@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Settings chosen for the driver's local[32] harness but expressed so the
+  * same code scales to a multi-executor cluster: AQE owns runtime shuffle
+  * sizing (coalescing + skew splitting), broadcast threshold covers the
+  * dimension tables, and parquet pushdown/pruning stay on.
+  */
+object GraftSession {
+
+  /** Apply graft's tuning to an arbitrary builder (used by Verify/Bench
+    * which pick their own master/parallelism).
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+
+  /** Standalone session (tests, ad-hoc mains). */
+  def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$threads]").appName("graft"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
