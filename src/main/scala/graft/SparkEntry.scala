@@ -9,13 +9,11 @@ object SparkEntry {
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" -> Relational.q01Oracle,
-  )
+  def oracleSql: Map[String, String] =
+    Relational.entries.collect { case (k, (_, sql)) if sql.nonEmpty => k -> sql }
 }

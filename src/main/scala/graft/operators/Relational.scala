@@ -1,43 +1,386 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Relational query surface (SURVEY §2.1) — the workshop's query shapes
   * generalized over the test star schema. Pure DataFrame API: Catalyst owns
   * pushdown, pruning, join strategy; AQE owns runtime shuffle sizing.
   *
-  * Money/ratio aggregates are computed over DECIMAL so results are
-  * bit-identical to the DuckDB oracle (double summation order would differ).
+  * Oracle-exactness rules (the driver hash-compares against DuckDB):
+  *  - aggregates over doubles go through DECIMAL (summation order would
+  *    otherwise drift in the last bits);
+  *  - per-row double arithmetic is fine (IEEE ops are order-free);
+  *  - event timestamps are only ever emitted truncated (parquet stores
+  *    nanos; Spark reads micros, DuckDB keeps nanos — raw values differ).
   */
 object Relational {
 
-  private def dec(c: Column, scale: Int = 2): Column =
-    c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
+  private def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
 
-  /** q01: TPC-H Q1-shape pricing summary. Workshop analogue: group-by
-    * aggregates over the fact table (reference README.md "Partitioning").
+  /** Decimal-exact SUM(c) emitted as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Decimal-exact SUM(price * (1 - disc)) emitted as double. */
+  private def revenue(price: Column, disc: Column): Column =
+    sum((dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(disc))).cast(DecimalType(38, 6)))
+      .cast("double")
+
+  private val revenueSql =
+    "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q01
+
+  /** q01: TPC-H Q1-shape pricing summary — the workshop's "aggregate over
+    * the fact table" shape (reference README.md, Partitioning section).
     */
-  def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val l = Tables.lineitem(spark, sfDir)
-    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+  def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("decimal(38,6)")).cast("double").as("sum_disc_price"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
-  }
 
   val q01Oracle: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-      |  COUNT(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  $revenueSql AS sum_disc_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+
+  /** q02: date-range filtered aggregate — the workshop's partition-pruning /
+    * predicate-pushdown query shape (reference README.md "Predicate pushdown
+    * and file pruning"; `WHERE year = 2008` / `ts BETWEEN …`). The range
+    * predicate reaches the parquet scan as PushedFilters.
+    */
+  def q02FilterPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  val q02Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+
+  /** q03: fact⋈dim join (lineitem⋈part) — the workshop's flights⋈airlines
+    * shape. `part` is dimension-sized → Catalyst broadcasts it; no shuffle
+    * of the fact side.
+    */
+  def q03JoinFactDim(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        revenue(col("l_extendedprice"), col("l_discount")).as("brand_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  val q03Oracle: String =
+    s"""SELECT p_brand, $revenueSql AS brand_revenue, COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+
+  /** q04: multiway star join (TPC-H Q5 shape): region⋈nation⋈customer⋈
+    * orders⋈lineitem, revenue per (region, nation). Dims broadcast; only
+    * the orders⋈lineitem join shuffles, on the orderkey both sides.
+    */
+  def q04MultiwayJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        revenue(col("l_extendedprice"), col("l_discount")).as("nation_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q04Oracle: String =
+    s"""SELECT r_name, n_name, $revenueSql AS nation_revenue, COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+
+  /** q05: top-3 orders per customer via rank() window. rank() (not
+    * row_number) so value ties are included identically on both engines.
+    */
+  def q05WindowTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  val q05Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+
+  /** q06: time-derivative grouping on events.ts — the workshop's transform
+    * partitioning query shape (year(ts)/month(ts)/day(ts); reference
+    * README.md "Transform partitioning"). Only truncated derivatives are
+    * emitted (raw ts differs at ns precision across engines).
+    */
+  def q06TimeTransforms(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("y"), col("m"), col("d"), col("event_type"))
+
+  val q06Oracle: String =
+    """SELECT CAST(EXTRACT(YEAR FROM ts) AS INT) AS y, CAST(EXTRACT(MONTH FROM ts) AS INT) AS m,
+      |  CAST(EXTRACT(DAY FROM ts) AS INT) AS d, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+
+  /** q07: MERGE INTO semantics as a batch query (reference
+    * sql/update_iceberg_v2_examples.sql:9-18): matched rows get updated,
+    * unmatched source rows are inserted, untouched rows survive. The
+    * transactional file-level MERGE lives in graft.tables.GraftTable; this
+    * is the engine-level join plan it compiles to.
+    */
+  def q07MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val updates = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("u_key"), (col("c_acctbal") + lit(100.0)).as("u_bal"))
+    val inserts = cust.filter(col("c_custkey") <= 10)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+              lit("MERGED-NEW").as("c_name"), lit(0.0).as("c_acctbal"),
+              lit("inserted").as("action"))
+    val merged = cust.join(updates, col("c_custkey") === col("u_key"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"),
+        when(col("u_key").isNotNull, lit("updated")).otherwise(lit("kept")).as("action"))
+    merged.unionAll(inserts).orderBy(col("c_custkey"))
+  }
+
+  val q07Oracle: String =
+    """WITH updates AS (
+      |  SELECT c_custkey AS u_key, c_acctbal + 100.0 AS u_bal
+      |  FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT c.c_custkey, c.c_name,
+      |  COALESCE(u.u_bal, c.c_acctbal) AS c_acctbal,
+      |  CASE WHEN u.u_key IS NOT NULL THEN 'updated' ELSE 'kept' END AS action
+      |FROM customer c LEFT JOIN updates u ON c.c_custkey = u.u_key
+      |UNION ALL
+      |SELECT c_custkey + 10000000, 'MERGED-NEW', 0.0, 'inserted'
+      |FROM customer WHERE c_custkey <= 10
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+
+  /** q08: exact distinct aggregation per group. */
+  def q08DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  val q08Oracle: String =
+    """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+
+  /** q09: global top-k with deterministic tie-break — TakeOrderedAndProject,
+    * no full sort of the table.
+    */
+  def q09TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val q09Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+
+  /** q10: EXISTS / left-semi join — orders having any heavy lineitem. */
+  def q10Semijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val heavy = Tables.lineitem(spark, sfDir).filter(col("l_quantity") >= 48)
+    Tables.orders(spark, sfDir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q10Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+
+  /** q11: NOT EXISTS / left-anti join — customers with no recent orders. */
+  def q11Antijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    Tables.customer(spark, sfDir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q11Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+
+  /** q12: pivot-style conditional aggregation (status × priority matrix). */
+  def q12ConditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("o_orderpriority"))
+
+  val q12Oracle: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+      |  COUNT(*) AS n_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+
+  /** q13: ROLLUP grouping sets. NULL grouping labels are coalesced to 'ALL'
+    * on both sides (engines disagree on NULL sort placement).
+    */
+  def q13Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  val q13Oracle: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+
+  /** q14: gap-based sessionization (30-min inactivity) per user, batch form
+    * (streaming twin: graft.streaming st02). All time math on epoch millis:
+    * truncation composes identically from Spark's micros and DuckDB's nanos.
+    */
+  def q14SessionizeBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms_ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("ms_ts", ms)
+      .withColumn("prev_ms", lag(col("ms_ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || (col("ms_ts") - col("prev_ms")) > 1800000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  val q14Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms_ts, event_id,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  SUM(CASE WHEN prev_ms IS NULL OR ms_ts - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+
+  /** q15: tumbling-window (1 hour) aggregate on events — batch twin of the
+    * streaming windowed agg (st01). Emits the truncated window start only.
+    */
+  def q15WindowedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val q15Oracle: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** All §2.1 queries + oracles, keyed as in SURVEY §2. */
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_pricing_summary"  -> ((q01PricingSummary _, q01Oracle)),
+    "q02_filter_pushdown"  -> ((q02FilterPushdown _, q02Oracle)),
+    "q03_join_fact_dim"    -> ((q03JoinFactDim _, q03Oracle)),
+    "q04_multiway_join"    -> ((q04MultiwayJoin _, q04Oracle)),
+    "q05_window_topn"      -> ((q05WindowTopN _, q05Oracle)),
+    "q06_time_transforms"  -> ((q06TimeTransforms _, q06Oracle)),
+    "q07_merge_upsert"     -> ((q07MergeUpsert _, q07Oracle)),
+    "q08_distinct_agg"     -> ((q08DistinctAgg _, q08Oracle)),
+    "q09_topk"             -> ((q09TopK _, q09Oracle)),
+    "q10_semijoin"         -> ((q10Semijoin _, q10Oracle)),
+    "q11_antijoin"         -> ((q11Antijoin _, q11Oracle)),
+    "q12_conditional_agg"  -> ((q12ConditionalAgg _, q12Oracle)),
+    "q13_rollup"           -> ((q13Rollup _, q13Oracle)),
+    "q14_sessionize_batch" -> ((q14SessionizeBatch _, q14Oracle)),
+    "q15_windowed_agg"     -> ((q15WindowedAgg _, q15Oracle)),
+  )
 }
