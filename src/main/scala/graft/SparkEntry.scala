@@ -8,12 +8,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
+  private def allEntries: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    Relational.entries ++ TextAnalysis.entries ++ Dedup.entries
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.entries.map { case (k, (fn, _)) => k -> fn }
+    allEntries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (empty
+    * oracle string → rows-only check).
+    */
   def oracleSql: Map[String, String] =
-    Relational.entries.collect { case (k, (_, sql)) if sql.nonEmpty => k -> sql }
+    allEntries.collect { case (k, (_, sql)) if sql.nonEmpty => k -> sql }
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.5).
+  * Everything stays inside codegen'd builtin functions (split/transform/
+  * aggregate) — no UDFs in the hot path, so whole-stage codegen covers the
+  * full pipeline and the same plan runs unchanged on a 1000-executor
+  * cluster (per-row ops, zero shuffle except final top-n).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization as a column of words. */
+  private def words(text: Column): Column = split(trim(text), "\\s+")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  private val stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------- x01
+
+  /** x01: token counting — whitespace tokens + character length per doc. */
+  def x01TokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+      .orderBy(col("doc_id"))
+
+  val x01Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS len_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- x02
+
+  /** x02: quality scoring — length/stopword/word-shape metrics plus a
+    * keep/drop flag, the standard pre-training corpus filter shape.
+    */
+  def x02QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        size(ws).as("n_words"),
+        expr(s"size(filter(split(trim(text), '\\\\s+'), w -> w IN ($inList)))").as("n_stopwords"),
+        expr("aggregate(transform(split(trim(text), '\\\\s+'), w -> length(w)), 0, (a, x) -> a + x)")
+          .as("sum_word_len"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_words"))
+      .withColumn("mean_word_len", col("sum_word_len").cast("double") / col("n_words"))
+      .withColumn("keep",
+        col("n_words") >= 10 && col("n_words") <= 500 && col("n_stopwords") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val x02Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS INT) AS len_chars,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |         w -> w IN ($stopwordSqlList))) AS INT) AS n_stopwords,
+       |    CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |         w -> length(w))) AS INT) AS sum_word_len
+       |  FROM documents)
+       |SELECT doc_id, len_chars, n_words, n_stopwords, sum_word_len,
+       |  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+       |  CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+       |  (n_words >= 10 AND n_words <= 500 AND n_stopwords >= 1) AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- x05
+
+  /** x05: word-bigram extraction + corpus-wide top-50 frequency table.
+    * Explode is per-row work; only the final count/top-n shuffles, on the
+    * bigram key — at 100 TB this is the classic map-side-combine n-gram
+    * count with a tiny global top-k at the end.
+    */
+  def x05NgramStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        """CASE WHEN size(split(trim(text), '\\s+')) < 2 THEN array()
+          |ELSE transform(sequence(1, size(split(trim(text), '\\s+')) - 1),
+          |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
+          |              element_at(split(trim(text), '\\s+'), i + 1)))
+          |END""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(50)
+
+  val x05Oracle: String =
+    """WITH ws AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+      |  FROM ws)
+      |SELECT bigram, COUNT(*) AS n FROM bg
+      |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
+    "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
+    "x05_ngram_stats"   -> ((x05NgramStats _, x05Oracle)),
+  )
+}
