@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Column-API entry points for graft's custom Catalyst expressions. */
+object F {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  /** MinHash signature (array<long> of `k` minima) from element hashes. */
+  def minhashSig(elementHashes: Column, k: Int): Column = col(MinHashSig(ex(elementHashes), k))
+
+  /** 64-bit simhash from element hashes. */
+  def simhash64(elementHashes: Column): Column = col(SimHash64(ex(elementHashes)))
+
+  /** Cosine similarity (double) of two array<float> columns. */
+  def cosine(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+
+  /** Hyperplane-LSH sign bits (long) of an array<float> vector. */
+  def rpBits(v: Column, numBits: Int, seed: Long): Column =
+    col(RandomProjectionBits(ex(v), numBits, seed))
+
+  /** Rolling-hash fingerprint (long) of a string column. */
+  def fingerprint(text: Column, window: Int = 16): Column =
+    col(RabinFingerprint(ex(text), window))
+}
+
+/** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.
+  * Usable either at build time (`.withExtensions(new GraftExtensions)`) or
+  * post hoc on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineDesc)
+    ext.injectFunction(GraftExtensions.simhashDesc)
+    ext.injectFunction(GraftExtensions.fingerprintDesc)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private[functions] val cosineDesc =
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float vectors"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
+  private[functions] val simhashDesc =
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(hashes) - 64-bit simhash of an array of hashes"),
+      (children: Seq[Expression]) => SimHash64(children.head))
+
+  private[functions] val fingerprintDesc =
+    (FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(text) - rolling-hash fingerprint"),
+      (children: Seq[Expression]) => RabinFingerprint(children.head, 16))
+
+  /** Register graft SQL functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    Seq(cosineDesc, simhashDesc, fingerprintDesc).foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,308 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit mixing (splitmix64 finalizer). Public static so
+  * generated code can call it.
+  */
+object HashUtil {
+  final val Golden: Long = 0x9e3779b97f4a7c15L
+
+  def mix(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Rabin-Karp rolling-hash fingerprint: min of the hashes of all
+    * `w`-byte windows of `bytes` (mixed to spread); stable doc identity
+    * under small edits outside the minimal window.
+    */
+  def rabinFingerprint(bytes: Array[Byte], w: Int): Long = {
+    if (bytes.length == 0) return 0L
+    val win = math.min(w, bytes.length)
+    val B = 257L
+    var pow = 1L // B^(win-1)
+    var i = 1
+    while (i < win) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < win) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    var minH = mix(h)
+    i = win
+    while (i < bytes.length) {
+      h = (h - (bytes(i - win) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      val m = mix(h)
+      if (m < minH) minH = m
+      i += 1
+    }
+    minH
+  }
+}
+
+/** MinHash signature: input = array<long> of element hashes (e.g.
+  * `transform(shingles, s -> xxhash64(s))`), output = array<long> of
+  * `numHashes` minima where hash_j(h) = mix(h + Golden * (j+1)).
+  *
+  * Single pass over the input (n*k updates, no intermediate arrays) —
+  * the builtin-only formulation (`transform(sequence(...), j ->
+  * array_min(transform(...)))`) allocates k arrays per row.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = HashUtil.mix(h + HashUtil.Golden * (j + 1))
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val hu = classOf[HashUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $arr.getLong($i);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = $hu.mix($h + ${HashUtil.Golden}L * ($j + 1));
+         |      if ($v < $sig[$j]) $sig[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of element hashes: per input hash, each of
+  * the 64 bit positions votes +1/-1; the sign of the tally is the output
+  * bit. One pass, no allocation beyond the 64 counters.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $arr.getLong($i);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) if ($counts[$b] > 0) $out |= (1L << $b);
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two float vectors, accumulated in double in index
+  * order (bit-stable across runs/engines that do the same). Zero-norm
+  * inputs yield 0.0.
+  */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rademacher random-projection sign bits for hyperplane LSH: bit b of the
+  * output is the sign of sum_d coef(b, d) * v[d] where coef is ±1 derived
+  * from mix(seed, b, d). One pass over the vector per row.
+  */
+case class RandomProjectionBits(child: Expression, numBits: Int, seed: Long)
+  extends UnaryExpression {
+  require(numBits >= 1 && numBits <= 64, "numBits in [1, 64]")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rp_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val acc = new Array[Double](numBits)
+    val n = v.numElements()
+    var d = 0
+    while (d < n) {
+      val x = v.getFloat(d).toDouble
+      var b = 0
+      while (b < numBits) {
+        val sign = if ((HashUtil.mix(seed + b * 0x100000001L + d) & 1L) == 1L) 1.0 else -1.0
+        acc(b) += sign * x
+        b += 1
+      }
+      d += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < numBits) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val hu = classOf[HashUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |double[] $acc = new double[$numBits];
+         |for (int $d = 0; $d < $v.numElements(); $d++) {
+         |  double $x = (double) $v.getFloat($d);
+         |  for (int $b = 0; $b < $numBits; $b++) {
+         |    $acc[$b] += ((($hu.mix(${seed}L + $b * 0x100000001L + $d)) & 1L) == 1L ? 1.0 : -1.0) * $x;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < $numBits; $b++) if ($acc[$b] > 0) $out |= (1L << $b);
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectionBits =
+    copy(child = newChild)
+}
+
+/** Rolling-hash (Rabin-Karp) document fingerprint over the UTF-8 bytes. */
+case class RabinFingerprint(child: Expression, window: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.rabinFingerprint(input.asInstanceOf[UTF8String].getBytes, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val hu = classOf[HashUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $hu.rabinFingerprint($s.getBytes(), $window);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RabinFingerprint =
+    copy(child = newChild)
+}

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.F
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines (SURVEY §2.3).
@@ -59,8 +60,154 @@ object Dedup {
       |  COUNT(*) - COUNT(DISTINCT text) AS n_duplicates
       |FROM corpus GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------ near-dup
+
+  /** Corpus with planted near-duplicates: every doc also appears with each
+    * 10th word dropped, under doc_id+2000000 — observable near-dup
+    * structure on the driver's dup-free testdata, fully deterministic.
+    */
+  private[operators] def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val mutated = d.select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      expr("concat_ws(' ', filter(split(trim(text), '\\\\s+'), (w, i) -> i % 10 != 0))").as("text"))
+    d.unionAll(mutated)
+  }
+
+  /** Word 3-shingles of `text`, hashed (distinct array<long>). Short docs
+    * fall back to the whole text as a single shingle.
+    */
+  private def shingleHashes(text: Column): Column = expr(
+    """array_distinct(transform(
+      |  transform(sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
+      |    i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))),
+      |  s -> xxhash64(s)))""".stripMargin)
+
+  /** Character 5-gram shingles, hashed. */
+  private def charShingleHashes(text: Column): Column = expr(
+    """array_distinct(transform(
+      |  transform(sequence(1, greatest(length(text) - 4, 1)),
+      |    i -> substring(text, i, 5)),
+      |  s -> xxhash64(s)))""".stripMargin)
+
+  /** Exact Jaccard similarity of two hashed shingle sets (array<long>). */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** LSH banding: explode a minhash signature into (bandIdx, bandKey) rows;
+    * docs sharing any band key become candidate pairs. `maxBucket` caps
+    * pathological buckets (boilerplate clusters) so no reducer sees a
+    * quadratic bucket at 100 TB.
+    */
+  private def candidatePairs(
+      docs: DataFrame, // (doc_id, sh: array<long>)
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val sig = docs.withColumn("sig", F.minhashSig(col("sh"), bands * rowsPerBand))
+    val banded = sig.select(
+        col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS key))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** d03: MinHash+LSH near-dup clustering — shingle → 128-hash minhash
+    * signature → 32×4 LSH bands → bucket join (capped) → exact-Jaccard
+    * verification (≥0.5) → connected components → (doc_id, cluster_id).
+    */
+  def d03MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, sfDir)
+      .withColumn("sh", shingleHashes(col("text")))
+      .persist()
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, 1000)
+    val verified = cands
+      .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val clusters = Graph.connectedComponents(corpus.select(col("doc_id").as("id")), verified)
+    val out = clusters.orderBy(col("id"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    out
+  }
+
+  /** d04: SimHash near-dup pairs — 64-bit simhash over word hashes; the 8
+    * 8-bit chunks are the blocking keys (pigeonhole: any pair with hamming
+    * ≤ 7 shares at least one chunk), verified by exact hamming ≤ 8 via
+    * builtin bit_count.
+    */
+  def d04Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = plantedCorpus(spark, sfDir)
+      .withColumn("sig", F.simhash64(expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))")))
+      .select(col("doc_id"), col("sig"))
+      .persist()
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 7), c -> struct(c AS c, (sig div CAST(pow(2, c * 8) AS BIGINT)) % 256 AS key))")).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.key").as("key"))
+    chunked.as("l").join(chunked.as("r"),
+        col("l.c") === col("r.c") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        expr("bit_count(l.sig ^ r.sig)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** d05: character n-gram Jaccard near-dup pairs — char-5-gram shingles,
+    * LSH candidate generation, exact Jaccard ≥ 0.6 verification.
+    */
+  def d05NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, sfDir)
+      .withColumn("sh", charShingleHashes(col("text")))
+      .persist()
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, 1000)
+    cands
+      .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** d06: embedding-cosine near-dup pairs — hyperplane-LSH bucketing (two
+    * independent 16-bit keys, union of candidates) then exact cosine ≥
+    * 0.999 verification. Planted dups are scaled copies (identical
+    * direction) under vec_id+2000000.
+    */
+  def d06EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select(
+        (col("vec_id") + lit(2000000L)).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
+      .persist()
+    val keyed = corpus
+      .withColumn("k1", F.rpBits(col("embedding"), 16, 0xbeefL))
+      .withColumn("k2", F.rpBits(col("embedding"), 16, 0xcafeL))
+    val bySomeKey = keyed.select(col("vec_id"), col("embedding"),
+        explode(array(concat(lit("k1:"), col("k1")), concat(lit("k2:"), col("k2")))).as("key"))
+    bySomeKey.as("l").join(bySomeKey.as("r"),
+        col("l.key") === col("r.key") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        F.cosine(col("l.embedding"), col("r.embedding")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= 0.999)
+      .select(col("a"), col("b"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),
     "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),
+    "d03_minhash_lsh"       -> ((d03MinhashLsh _, "")),
+    "d04_simhash"           -> ((d04Simhash _, "")),
+    "d05_ngram_jaccard"     -> ((d05NgramJaccard _, "")),
+    "d06_embed_neardup"     -> ((d06EmbedNeardup _, "")),
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY §2.6): opaque binary payloads with a
+  * typed metadata struct, processed in per-partition batches.
+  *
+  * The decode step is a DETERMINISTIC STUB (no image/audio codecs ship in
+  * this environment): it "decodes" the payload to a 16-bin byte histogram.
+  * Everything around it — binary column handling, metadata schema, typed
+  * Dataset batch processing via mapPartitions, feature-vector output — is
+  * the real plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int, feature: Array[Double], feature_norm: Double)
+
+  /** STUB decoder: byte-value histogram (16 bins) normalized to sum 1.
+    * A real decoder (image resize, audio frame-sample, …) replaces exactly
+    * this function; batch shape and schema stay.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) { bins((payload(i) & 0xff) >> 4) += 1.0; i += 1 }
+    if (payload.length > 0) { var b = 0; while (b < 16) { bins(b) /= payload.length; b += 1 } }
+    bins
+  }
+
+  /** m01: binary payload + metadata → per-partition batch decode → feature
+    * rows. Payloads here are the document texts cast to binary (stand-in
+    * for image bytes); metadata is derived deterministically.
+    */
+  def m01MultimodalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("fake/rgb8").as("format"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"))
+      .as[MediaRow]
+
+    // Batch shape: one decoder context per partition (a real codec would
+    // init native state here once, then stream rows through it).
+    val feats = media.mapPartitions { rows =>
+      rows.map { r =>
+        val f = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.format, r.payload.length, f, math.sqrt(f.map(x => x * x).sum))
+      }
+    }
+    feats.toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("feature_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, "")),
+  )
+}

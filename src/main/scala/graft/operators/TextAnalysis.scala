@@ -105,9 +105,57 @@ object TextAnalysis {
       |SELECT bigram, COUNT(*) AS n FROM bg
       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- x03
+
+  /** Stopword marker profiles for the language-ID heuristic. Priority
+    * breaks score ties deterministically (higher wins).
+    */
+  val langProfiles: Seq[(String, Int, Seq[String])] = Seq(
+    ("en", 5, Seq("the", "and", "of", "is", "to", "in", "a", "that")),
+    ("es", 4, Seq("el", "la", "de", "que", "y", "los", "las", "es")),
+    ("fr", 3, Seq("le", "la", "de", "et", "les", "des", "est", "une")),
+    ("de", 2, Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu")),
+    ("zh", 1, Seq("的", "是", "了", "在", "我", "有", "他", "这")))
+
+  /** x03: n-gram/stopword-profile language ID. Scores = marker-word hits
+    * per language over whitespace tokens; argmax with deterministic
+    * priority tie-break. Pure builtin array lambdas → codegen'd, per-row,
+    * shuffle-free.
+    */
+  def x03LangId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOver(Tables.documents(spark, sfDir), col("text"))
+      .select(col("doc_id"), col("lang_pred"), col("lang_score"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID columns over any dataframe with a text column. */
+  def langIdOver(df: DataFrame, text: org.apache.spark.sql.Column): DataFrame = {
+    val scoreCols = langProfiles.map { case (lang, prio, markers) =>
+      val inList = markers.map(w => s"'$w'").mkString(", ")
+      struct(
+        expr(s"size(filter(split(trim(${text.toString}), '\\\\s+'), w -> w IN ($inList)))").as("score"),
+        lit(prio).as("prio"), lit(lang).as("lang"))
+    }
+    df.withColumn("best", element_at(sort_array(array(scoreCols: _*), asc = false), 1))
+      .withColumn("lang_pred", col("best.lang"))
+      .withColumn("lang_score", col("best.score"))
+      .drop("best")
+  }
+
+  // ---------------------------------------------------------------- x04
+
+  /** x04: rolling-hash document fingerprint (custom Catalyst expression,
+    * codegen'd Rabin-Karp over UTF-8 bytes).
+    */
+  def x04Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.F.fingerprint(col("text"), 16).as("fp"))
+      .orderBy(col("doc_id"))
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
     "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
+    "x03_langid"        -> ((x03LangId _, "")),
+    "x04_fingerprint"   -> ((x04Fingerprint _, "")),
     "x05_ngram_stats"   -> ((x05NgramStats _, x05Oracle)),
   )
 }

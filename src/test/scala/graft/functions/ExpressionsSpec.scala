@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, scale-invariant, zero-norm=0") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f, 3f), Array(2f, 4f, 6f)),
+      (Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+    val sims = df.select(F.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(sims(1) == 0.0)
+    assert(math.abs(sims(2) - 1.0) < 1e-12)
+    assert(sims(3) == 0.0)
+  }
+
+  test("cosine interpreted eval matches codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val a = Literal(new GenericArrayData(Array(0.5f, -1.5f, 2f)), ArrayType(FloatType))
+    val b = Literal(new GenericArrayData(Array(1f, 2f, 0.25f)), ArrayType(FloatType))
+    val interpreted = CosineSim(a, b).eval(null).asInstanceOf[Double]
+    val viaDf = Seq((Array(0.5f, -1.5f, 2f), Array(1f, 2f, 0.25f))).toDF("a", "b")
+      .select(F.cosine($"a", $"b")).as[Double].head()
+    assert(interpreted == viaDf)
+  }
+
+  test("minhash signature: deterministic, k-length, similarity-preserving") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)),
+      (2L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 11L)), // J=9/11
+      (3L, Seq(100L, 200L, 300L))).toDF("id", "hs")
+    val sigs = df.select($"id", F.minhashSig($"hs", 128).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).length == 128)
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 128.0
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y } / 128.0
+    assert(agree12 > 0.6, s"similar sets should agree often, got $agree12")
+    assert(agree13 < 0.2, s"disjoint sets should rarely agree, got $agree13")
+    // determinism across evaluations
+    val again = df.select($"id", F.minhashSig($"hs", 128).as("sig")).as[(Long, Seq[Long])].collect().toMap
+    assert(again(1L) == sigs(1L))
+  }
+
+  test("simhash64: equal inputs equal, similar inputs near, dissimilar far") {
+    val ws = (1 to 100).map(i => s"w$i")
+    val df = Seq(
+      (1L, ws), (2L, ws),
+      (3L, ws.take(90) ++ Seq("x1", "x2", "x3")),
+      (4L, (1 to 100).map(i => s"z$i"))).toDF("id", "words")
+      .select($"id", F.simhash64(expr("transform(words, w -> xxhash64(w))")).as("sig"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L))
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+    assert(ham(m(1L), m(4L)) > 15)
+  }
+
+  test("rpBits: deterministic and direction-invariant under positive scaling") {
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val df = Seq((1L, v), (2L, v.map(_ * 3.0f))).toDF("id", "v")
+      .select($"id", F.rpBits($"v", 16, 42L).as("k")).as[(Long, Long)].collect().toMap
+    assert(df(1L) == df(2L))
+  }
+
+  test("fingerprint: deterministic, distinct for different docs, window-stable") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (3L, "a completely different document about spark query engines")).toDF("id", "t")
+      .select($"id", F.fingerprint($"t", 16).as("fp")).as[(Long, Long)].collect().toMap
+    assert(df(1L) == df(2L))
+    assert(df(1L) != df(3L))
+  }
+
+  test("SQL registration exposes graft functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c," +
+      " graft_simhash64(array(CAST(7 AS BIGINT))) AS s," +
+      " graft_fingerprint('hello world hello world') AS f").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == 7L)
+  }
+}

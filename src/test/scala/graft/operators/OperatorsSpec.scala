@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components finds the right clusters") {
+    val vertices = (1L to 8L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 7L)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(5L) == 5L && cc(6L) == 5L)
+    assert(cc(4L) == 4L && cc(7L) == 7L && cc(8L) == 8L)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("d03 minhash-lsh clusters planted near-duplicates") {
+    val m = Dedup.d03MinhashLsh(spark, sf).as[(Long, Long)].collect().toMap
+    val orig = m.keys.filter(_ < 2000000L).toSeq
+    val found = orig.count(i => m.get(i + 2000000L).contains(m(i)))
+    assert(found.toDouble / orig.size >= 0.9, s"planted recall $found/${orig.size}")
+  }
+
+  test("d04 simhash finds most planted near-duplicates") {
+    val pairs = Dedup.d04Simhash(spark, sf).select($"a", $"b").as[(Long, Long)].collect()
+    val planted = pairs.count { case (a, b) => b - a == 2000000L }
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(planted.toDouble / nDocs >= 0.7, s"planted recall $planted/$nDocs")
+  }
+
+  test("d05 ngram jaccard keeps planted pairs above threshold") {
+    val pairs = Dedup.d05NgramJaccard(spark, sf)
+    val planted = pairs.filter($"b" - $"a" === 2000000L).count()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(planted.toDouble / nDocs >= 0.9, s"planted recall $planted/$nDocs")
+    // jaccard column is a real similarity: all in (0, 1]
+    val js = pairs.select($"jaccard").as[Double].collect()
+    assert(js.forall(j => j > 0.0 && j <= 1.0))
+  }
+
+  test("d06 embedding near-dup finds every scaled copy") {
+    val pairs = Dedup.d06EmbedNeardup(spark, sf).as[(Long, Long)].collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val planted = pairs.count { case (a, b) => b - a == 2000000L }
+    assert(planted == nVecs, s"found $planted of $nVecs scaled copies")
+  }
+
+  test("d01 exact dedup halves the doubled corpus") {
+    val out = Dedup.d01DedupExact(spark, sf)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == nDocs)
+    assert(out.agg(sum($"n_copies")).as[Long].head() == 2 * nDocs)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("s01 brute-force matches a driver-side exact computation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = emb.keys.filter(_ % 50 == 0).flatMap { q =>
+      emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(emb(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }.toSet
+    val got = Similarity.s01AnnBruteforce(spark, sf).as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("s03 ivf reaches >=0.8 recall of brute force") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.s03AnnIvf(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf recall $recall")
+  }
+
+  test("s02 lsh returns correctly-ranked true neighbors (recall>=0.3 on uniform data)") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.s02AnnLsh(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.3, s"lsh recall $recall")
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("x03 langid classifies constructed sentences") {
+    val samples = Seq(
+      ("en", "the cat and the dog of the house is going to sleep in a corner"),
+      ("es", "el perro y la casa de que los gatos y las aves es bonito"),
+      ("fr", "le chien et la maison de les oiseaux des chats est une merveille"),
+      ("de", "der hund und die katze und das haus ist nicht ein problem zu haben"),
+      ("zh", "我 在 这 有 他 的 是 了 的 是")).toDF("expected", "text")
+    val pred = TextAnalysis.langIdOver(samples, col("text"))
+      .select($"expected", $"lang_pred").as[(String, String)].collect()
+    pred.foreach { case (exp, got) => assert(exp == got, s"expected $exp got $got") }
+  }
+
+  test("x04 fingerprints are deterministic across runs") {
+    val a = TextAnalysis.x04Fingerprint(spark, sf).as[(Long, Long)].collect()
+    val b = TextAnalysis.x04Fingerprint(spark, sf).as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+    assert(a.map(_._2).distinct.length > a.length / 2, "fingerprints should mostly differ")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("m01 plumbing: every doc decoded, features normalized, deterministic") {
+    val out = Multimodal.m01MultimodalPipeline(spark, sf)
+    val rows = out.as[(Long, String, Int, Double)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(_._3 > 0), "payload bytes present")
+    assert(rows.forall { case (_, fmt, _, norm) => fmt == "fake/rgb8" && norm > 0 && norm <= 1.0 })
+    val again = Multimodal.m01MultimodalPipeline(spark, sf).as[(Long, String, Int, Double)].collect()
+    assert(rows.sameElements(again))
+  }
+}
+
+class RelationalPlanSpec extends SparkSpec {
+
+  test("q02 pushes the date-range predicate to the parquet scan") {
+    val plan = Relational.q02FilterPushdown(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"expected pushed filters in plan:\n$plan")
+  }
+
+  test("q03 broadcasts the dimension side") {
+    val plan = Relational.q03JoinFactDim(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q01 stays inside whole-stage codegen") {
+    val df = Relational.q01PricingSummary(spark, sf)
+    df.collect() // finalize the AQE plan before inspecting it
+    // codegen'd spans render as "*(n) Op" in the AQE final plan; partial
+    // (map-side) aggregation must be present too
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) HashAggregate") && plan.contains("partial_sum"))
+  }
+}
