@@ -10,7 +10,7 @@ object SparkEntry {
 
   private def allEntries: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
-      Similarity.entries ++ Multimodal.entries
+      Similarity.entries ++ Multimodal.entries ++ TableOps.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,480 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.util.UUID
+
+/** Snapshot-versioned table over parquet — the Spark-native re-expression
+  * of the workshop's Iceberg table-management surface:
+  *
+  *  - CTAS + in-place migration (reference README.md "Import: CTAS and
+  *    in-place")
+  *  - snapshots, time travel, rollback, history (README.md "Time travel")
+  *  - identity/transform partitioning + partition evolution (README.md
+  *    "Partitioning", sql/iceberg_partitioning_examples.sql)
+  *  - manifest stats → partition pruning + file skipping (README.md
+  *    "Predicate pushdown and file pruning without partitioning")
+  *  - copy-on-write DELETE / UPDATE / MERGE / TRUNCATE
+  *    (sql/update_iceberg_v2_examples.sql)
+  *  - expire_snapshots, metadata retention, compaction, rewrite_manifests
+  *    (README.md "Maintenance")
+  *
+  * Every data movement is a Spark job over DataFrames; the driver only
+  * touches manifest JSON (O(#files)) and never row data. Copy-on-write
+  * rewrites touch only files that actually contain matching rows.
+  * Single-writer-per-table commit protocol (catalog CAS is out of scope).
+  */
+class GraftTable(val spark: SparkSession, val location: String) {
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  def meta: TableMeta = MetaIO.loadMeta(conf, location)
+
+  def currentFiles(m: TableMeta = meta): Seq[DataFile] =
+    m.currentSnapshot.map(s => MetaIO.loadManifest(conf, location, s)).getOrElse(Nil)
+
+  // ------------------------------------------------------------- reads
+
+  /** Current-snapshot read with manifest-level pruning. */
+  def toDF(filterSql: Option[String] = None): DataFrame = {
+    val m = meta
+    ScanPlanner.scan(spark, m, currentFiles(m), filterSql)
+  }
+
+  /** Files surviving manifest pruning for a filter (the workshop's
+    * "files=N of M scanned" observability).
+    */
+  def plannedFiles(filterSql: String): Seq[DataFile] = {
+    val m = meta
+    ScanPlanner.pruneFiles(m, currentFiles(m), filterSql, spark)
+  }
+
+  /** Time travel to a snapshot id (reference `FOR SYSTEM_TIME AS OF`). */
+  def asOf(snapshotId: Long): DataFrame = {
+    val m = meta
+    val snap = m.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    ScanPlanner.scan(spark, m, MetaIO.loadManifest(conf, location, snap), None)
+  }
+
+  /** Time travel to the snapshot current as of `timestampMs`. */
+  def asOfTimestamp(timestampMs: Long): DataFrame = {
+    val m = meta
+    val snap = m.snapshots.filter(_.timestampMs <= timestampMs)
+      .sortBy(_.timestampMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at or before $timestampMs"))
+    asOf(snap.id)
+  }
+
+  // ---------------------------------------------------- metadata tables
+
+  /** `.history` metadata table (reference README.md snapshot table:
+    * made_current_at / snapshot_id / parent_id / is_current_ancestor).
+    */
+  def history: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    val anc = m.currentAncestors
+    m.snapshots.map(s =>
+        (new java.sql.Timestamp(s.timestampMs), s.id, s.parentId, anc.contains(s.id)))
+      .toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  /** `.snapshots` metadata table. */
+  def snapshotsDf: DataFrame = {
+    import spark.implicits._
+    meta.snapshots.map(s => (s.id, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.addedFiles, s.totalFiles, s.totalRecords))
+      .toDF("snapshot_id", "committed_at", "operation", "added_files", "total_files", "total_records")
+  }
+
+  /** `.files` metadata table. */
+  def filesDf: DataFrame = {
+    import spark.implicits._
+    currentFiles().map(f => (f.path, f.specId,
+        f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"),
+        f.recordCount, f.sizeBytes))
+      .toDF("file_path", "spec_id", "partition", "record_count", "size_bytes")
+  }
+
+  // ------------------------------------------------------------ commits
+
+  private def nextSnapshotId(m: TableMeta): Long =
+    (m.snapshots.map(_.id) :+ 0L).max + 1
+
+  private def commitSnapshot(m: TableMeta, files: Seq[DataFile], op: String,
+      added: Long, parentOverride: Option[Long] = None): TableMeta = {
+    val snapId = nextSnapshotId(m)
+    val manifestName = s"manifest-$snapId.json"
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
+      MetaIO.manifestToJson(files))
+    val snap = Snapshot(snapId, parentOverride.orElse(m.currentSnapshotId),
+      System.currentTimeMillis(), op,
+      manifestName, added, files.size, files.map(_.recordCount).sum)
+    val next = m.copy(version = m.version + 1, snapshots = m.snapshots :+ snap,
+      currentSnapshotId = Some(snapId))
+    MetaIO.commitMeta(conf, next)
+    next
+  }
+
+  private def commitMetadataOnly(next: TableMeta): TableMeta = {
+    MetaIO.commitMeta(conf, next)
+    next
+  }
+
+  // -------------------------------------------------------- write path
+
+  private val StatTypes: Set[Class[_]] = Set()
+
+  private def statCast(f: StructField): Option[Column] = f.dataType match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => Some(col(f.name).cast("long"))
+    case _: FloatType | _: DoubleType => Some(col(f.name).cast("double"))
+    case _: StringType | _: BooleanType => Some(col(f.name))
+    // NTZ timestamps (parquet isAdjustedToUTC=false): session tz is UTC,
+    // so the cast is a wall-clock-preserving reinterpretation
+    case _: TimestampType | _: TimestampNTZType =>
+      Some(unix_micros(col(f.name).cast(TimestampType)))
+    case _: DateType => Some(datediff(col(f.name), to_date(lit("1970-01-01"))).cast("long"))
+    case _: DecimalType => Some(col(f.name).cast("double"))
+    case _ => None
+  }
+
+  /** Write `df` as new data files under a fresh commit dir, partitioned by
+    * the current spec, and build manifest entries with per-column min/max
+    * stats (one parallel stats pass over just the new files).
+    */
+  private def writeDataFiles(df: DataFrame, m: TableMeta): Seq[DataFile] = {
+    val commitDir = s"$location/data/${UUID.randomUUID().toString.take(8)}"
+    val spec = m.currentSpec
+    val gpCols = spec.fields.map(f => TableFormat.PartColPrefix + f.name)
+    val out = spec.fields.foldLeft(df) { (d, f) =>
+      d.withColumn(TableFormat.PartColPrefix + f.name,
+        GraftTransforms.transformColumn(f, m.schema).cast("string"))
+    }
+    if (gpCols.isEmpty) out.write.parquet(commitDir)
+    else out.write.partitionBy(gpCols: _*).parquet(commitDir)
+    collectFileEntries(commitDir, m, spec.specId)
+  }
+
+  /** Build DataFile entries (stats + partition values) for every parquet
+    * file under `dir`. Also used by in-place migration.
+    */
+  private[tables] def collectFileEntries(dir: String, m: TableMeta, specId: Int): Seq[DataFile] = {
+    val fsys = MetaIO.fs(conf, dir)
+    val it = fsys.listFiles(new Path(dir), true)
+    val sizes = scala.collection.mutable.Map[String, Long]()
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      if (p.endsWith(".parquet") || p.endsWith(".parq")) sizes(stripScheme(p)) = st.getLen
+    }
+    if (sizes.isEmpty) return Nil
+
+    val statFields = m.schema.fields.flatMap(f => statCast(f).map(c => (f.name, c))).toSeq
+    val aggs = count(lit(1)).as("__rc") +:
+      statFields.flatMap { case (n, c) =>
+        Seq(min(c).as(s"__min_$n"), max(c).as(s"__max_$n"),
+          sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls_$n"))
+      }
+    val statRows = spark.read.schema(m.schema).parquet(dir)
+      .groupBy(col("_metadata.file_path").as("__path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    statRows.toSeq.map { r =>
+      val path = stripScheme(r.getAs[String]("__path"))
+      val stats = statFields.map { case (n, _) =>
+        n -> ColStats(Option(r.getAs[Any](s"__min_$n")).map(normStat),
+          Option(r.getAs[Any](s"__max_$n")).map(normStat),
+          r.getAs[Long](s"__nulls_$n"))
+      }.toMap
+      DataFile(path, specId, partitionValuesFromPath(path), r.getAs[Long]("__rc"),
+        sizes.getOrElse(path, 0L), stats)
+    }
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new Path(p).toUri.getPath else p
+
+  private def normStat(v: Any): Any = v match {
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case l: java.lang.Long => l.longValue()
+    case f: java.lang.Float => f.doubleValue()
+    case d: java.lang.Double => d.doubleValue()
+    case d: java.math.BigDecimal => d.doubleValue()
+    case b: java.lang.Boolean => b.booleanValue()
+    case other => other.toString
+  }
+
+  private def partitionValuesFromPath(path: String): Map[String, String] =
+    path.split('/').filter(_.startsWith(TableFormat.PartColPrefix)).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k.stripPrefix(TableFormat.PartColPrefix) -> v)
+        case _ => None
+      }
+    }.toMap
+
+  // --------------------------------------------------------------- DML
+
+  /** Append rows (reference INSERT INTO). */
+  def append(df: DataFrame): GraftTable = {
+    val m = meta
+    val newFiles = writeDataFiles(df, m)
+    commitSnapshot(m, currentFiles(m) ++ newFiles, "append", newFiles.size)
+    this
+  }
+
+  /** Replace table contents (INSERT OVERWRITE). */
+  def overwrite(df: DataFrame): GraftTable = {
+    val m = meta
+    val newFiles = writeDataFiles(df, m)
+    commitSnapshot(m, newFiles, "overwrite", newFiles.size)
+    this
+  }
+
+  /** TRUNCATE TABLE (reference README.md maintenance walkthrough). */
+  def truncate(): GraftTable = {
+    val m = meta
+    commitSnapshot(m, Nil, "delete", 0)
+    this
+  }
+
+  /** Files that actually contain rows matching `cond` (manifest pruning
+    * first, then an exact scan of only the surviving files).
+    */
+  private def matchingFiles(m: TableMeta, cond: String): Seq[DataFile] = {
+    val cur = currentFiles(m)
+    val candidates = ScanPlanner.pruneFiles(m, cur, cond, spark)
+    if (candidates.isEmpty) return Nil
+    val hit = spark.read.schema(m.schema).parquet(candidates.map(_.path): _*)
+      .filter(expr(cond))
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(r => stripScheme(r.getString(0))).toSet
+    candidates.filter(f => hit.contains(f.path))
+  }
+
+  /** Copy-on-write DELETE WHERE. */
+  def delete(cond: String): GraftTable = {
+    val m = meta
+    val cur = currentFiles(m)
+    val touched = matchingFiles(m, cond)
+    if (touched.isEmpty) return this
+    val kept = spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+      .filter(!coalesce(expr(cond), lit(false)))
+    val rewritten = writeDataFiles(kept, m)
+    val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
+    commitSnapshot(m, untouchedFiles ++ rewritten, "delete", rewritten.size)
+    this
+  }
+
+  /** Copy-on-write UPDATE ... SET (assignments: column -> SQL expr). */
+  def update(cond: String, set: Map[String, String]): GraftTable = {
+    val m = meta
+    val cur = currentFiles(m)
+    val touched = matchingFiles(m, cond)
+    if (touched.isEmpty) return this
+    val base = spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+    val updated = m.schema.fields.foldLeft(base) { (d, f) =>
+      set.get(f.name) match {
+        case Some(e) => d.withColumn(f.name,
+          when(coalesce(expr(cond), lit(false)), expr(e).cast(f.dataType)).otherwise(col(f.name)))
+        case None => d
+      }
+    }
+    val rewritten = writeDataFiles(updated, m)
+    val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
+    commitSnapshot(m, untouchedFiles ++ rewritten, "update", rewritten.size)
+    this
+  }
+
+  /** Copy-on-write MERGE INTO (reference
+    * sql/update_iceberg_v2_examples.sql:9-18): WHEN MATCHED → replace the
+    * row with the source row, WHEN NOT MATCHED → insert. `source` must
+    * have the table schema; keys are assumed unique in the source.
+    * Only files containing matched keys are rewritten.
+    */
+  def mergeInto(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+    val m = meta
+    val cur = currentFiles(m)
+    val target = toDF()
+    val srcRenamed = m.schema.fields.foldLeft(source) { (d, f) =>
+      d.withColumnRenamed(f.name, s"__s_${f.name}") }
+
+    val joinCond = keyCols.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    // files containing at least one matched key
+    val touched: Seq[DataFile] =
+      if (cur.isEmpty) Nil
+      else {
+        val hit = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
+          .join(srcRenamed, joinCond, "left_semi")
+          .select(col("_metadata.file_path")).distinct().collect()
+          .map(r => stripScheme(r.getString(0))).toSet
+        cur.filter(f => hit.contains(f.path))
+      }
+
+    val rewritten: DataFrame = if (touched.isEmpty) null else {
+      val base = spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+      base.join(srcRenamed, joinCond, "left")
+        .select(m.schema.fields.map { f =>
+          when(col(s"__s_${keyCols.head}").isNotNull, col(s"__s_${f.name}"))
+            .otherwise(col(f.name)).as(f.name)
+        }: _*)
+    }
+    val inserts = source.join(target.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(m.schema.fields.map(f => col(f.name)): _*)
+
+    val toWrite = (Option(rewritten).toSeq :+ inserts).reduce(_ unionAll _)
+    val newFiles = writeDataFiles(toWrite, m)
+    val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
+    commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size)
+    this
+  }
+
+  // -------------------------------------------------------- lifecycle ops
+
+  /** Rollback to an earlier snapshot (reference `EXECUTE rollback`): a new
+    * commit whose file set is the old snapshot's.
+    */
+  def rollback(snapshotId: Long): GraftTable = {
+    val m = meta
+    val snap = m.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    val files = MetaIO.loadManifest(conf, location, snap)
+    // history continues from the rollback target: abandoned snapshots stop
+    // being current ancestors (reference history table semantics)
+    commitSnapshot(m, files, "rollback", 0, parentOverride = Some(snapshotId))
+    this
+  }
+
+  /** Expire snapshots older than `olderThanMs` (never the current one) and
+    * delete data files referenced only by expired snapshots (reference
+    * `EXECUTE expire_snapshots`). Only files under this table's data dir
+    * are deleted — in-place-migrated external files are left alone.
+    */
+  def expireSnapshots(olderThanMs: Long): GraftTable = {
+    val m = meta
+    val (expired, kept) = m.snapshots.partition(s =>
+      s.timestampMs < olderThanMs && !m.currentSnapshotId.contains(s.id))
+    if (expired.isEmpty) return this
+    val keptFiles = kept.flatMap(s => MetaIO.loadManifest(conf, location, s).map(_.path)).toSet
+    val orphans = expired.flatMap(s => MetaIO.loadManifest(conf, location, s).map(_.path))
+      .toSet.diff(keptFiles)
+      .filter(_.startsWith(s"$location/data/"))
+    orphans.foreach(p => MetaIO.delete(conf, p))
+    expired.foreach(s => MetaIO.delete(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))
+    commitMetadataOnly(m.copy(version = m.version + 1, snapshots = kept))
+    this
+  }
+
+  /** Bin-pack compaction (reference `rewrite_data_files`): partitions with
+    * several files below `targetBytes` are rewritten into ~targetBytes
+    * files; large files are left alone; table contents are unchanged.
+    */
+  def compact(targetBytes: Long = 128L << 20): GraftTable = {
+    val m = meta
+    val cur = currentFiles(m)
+    val small = cur.filter(_.sizeBytes < targetBytes)
+      .groupBy(f => (f.specId, f.partitionValues)).filter(_._2.size > 1)
+      .values.flatten.toSeq
+    if (small.isEmpty) return this
+    val totalBytes = small.map(_.sizeBytes).sum
+    val nOut = math.max(1, (totalBytes / targetBytes).toInt)
+    val packed = spark.read.schema(m.schema).parquet(small.map(_.path): _*)
+      .repartition(nOut)
+    val newFiles = writeDataFiles(packed, m)
+    val untouched = cur.filterNot(f => small.exists(_.path == f.path))
+    commitSnapshot(m, untouched ++ newFiles, "replace", newFiles.size)
+    this
+  }
+
+  /** Consolidate the current manifest (reference `rewrite_manifests`). */
+  def rewriteManifests(): GraftTable = {
+    val m = meta
+    m.currentSnapshot.foreach { s =>
+      val files = MetaIO.loadManifest(conf, location, s)
+      MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}",
+        MetaIO.manifestToJson(files))
+    }
+    this
+  }
+
+  // --------------------------------------------------------- evolution
+
+  /** Schema evolution: ADD COLUMN (reference limitations.md example).
+    * Existing files read back with nulls for the new column.
+    */
+  def addColumn(name: String, dataType: DataType): GraftTable = {
+    val m = meta
+    require(!m.schema.fieldNames.contains(name), s"column $name exists")
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      schema = m.schema.add(StructField(name, dataType, nullable = true))))
+    this
+  }
+
+  /** Partition evolution: new writes use the new spec, old files keep the
+    * old one, the scan planner prunes each file with its own spec
+    * (reference `ALTER TABLE … SET PARTITION SPEC`).
+    */
+  def setPartitionSpec(fields: Seq[PartitionField]): GraftTable = {
+    val m = meta
+    val newSpec = PartitionSpec((m.specs.map(_.specId) :+ -1).max + 1, fields)
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      specs = m.specs :+ newSpec, currentSpecId = newSpec.specId))
+    this
+  }
+
+  def setProperties(props: Map[String, String]): GraftTable = {
+    val m = meta
+    commitMetadataOnly(m.copy(version = m.version + 1, properties = m.properties ++ props))
+    this
+  }
+}
+
+object GraftTable {
+
+  /** CTAS (reference "Import: CTAS"): create a table from a query result. */
+  def createAs(spark: SparkSession, location: String, df: DataFrame,
+      partitionFields: Seq[PartitionField] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val t = createEmpty(spark, location, df.schema, partitionFields, properties)
+    t.append(df)
+  }
+
+  def createEmpty(spark: SparkSession, location: String, schema: StructType,
+      partitionFields: Seq[PartitionField] = Nil,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(MetaIO.currentVersion(conf, location).isEmpty, s"table exists at $location")
+    val m = TableMeta(location, 1, schema,
+      Seq(PartitionSpec(0, partitionFields)), 0, Nil, None, properties)
+    MetaIO.commitMeta(conf, m)
+    new GraftTable(spark, location)
+  }
+
+  /** In-place migration (reference "in-place" import: ALTER TABLE … SET
+    * storage_handler): register an existing parquet directory as a table
+    * without rewriting any data — manifests point at the original files.
+    */
+  def migrateInPlace(spark: SparkSession, location: String, sourceDir: String): GraftTable = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val t = createEmpty(spark, location, schema, Nil, Map.empty)
+    val m = t.meta
+    // same stats pass as the write path, over the source files
+    val entries = t.collectFileEntries(sourceDir, m, 0)
+    val snapId = 1L
+    val manifestName = s"manifest-$snapId.json"
+    MetaIO.writeString(conf = spark.sparkContext.hadoopConfiguration,
+      path = s"${MetaIO.metadataDir(location)}/$manifestName",
+      content = MetaIO.manifestToJson(entries))
+    val snap = Snapshot(snapId, None, System.currentTimeMillis(), "migrate",
+      manifestName, entries.size, entries.size, entries.map(_.recordCount).sum)
+    MetaIO.commitMeta(spark.sparkContext.hadoopConfiguration,
+      m.copy(version = m.version + 1, snapshots = Seq(snap), currentSnapshotId = Some(snapId)))
+    t
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable = new GraftTable(spark, location)
+}

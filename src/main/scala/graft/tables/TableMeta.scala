@@ -1,0 +1,290 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.charset.StandardCharsets
+import scala.util.Try
+
+/** Metadata model for graft's snapshot-versioned table format — a
+  * Spark-native re-expression of the Iceberg v1 surface the reference
+  * workshop drives (cf. reference README.md "Time travel", "Maintenance";
+  * iceberg-metadata examples in reference limitations.md).
+  *
+  * Layout under a table location:
+  * {{{
+  *   metadata/v{N}.metadata.json      — one per commit (schema, specs, snapshot log)
+  *   metadata/manifest-{snap}.json    — data-file list + per-column stats
+  *   metadata/version-hint.text       — latest N
+  *   data/…                           — parquet data files (absolute paths in manifests,
+  *                                      so in-place migrated files may live elsewhere)
+  * }}}
+  *
+  * Single-writer-per-table commit protocol (the workshop's engines delegate
+  * this to a catalog CAS; file-based tables get last-writer-wins on the
+  * version hint, like Iceberg's HadoopTableOperations).
+  */
+object TableFormat {
+  val FormatVersion = 1
+  /** Hidden partition-column prefix used in data-file paths. */
+  val PartColPrefix = "__gp_"
+  /** Metadata retention property (reference README.md "Metadata files"). */
+  val PrevVersionsMax = "write.metadata.previous-versions-max"
+}
+
+/** One partition field: `transform(source) AS name`. Transforms: identity,
+  * years, months, days, hours, bucket[N], truncate[W] (reference
+  * iceberg_partitioning_examples.sql; README.md "Transform partitioning").
+  */
+case class PartitionField(source: String, transform: String, name: String)
+
+case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
+
+/** Typed per-column file stats; values are Long / Double / String /
+  * Boolean (timestamps as epoch micros, dates as epoch days).
+  */
+case class ColStats(min: Option[Any], max: Option[Any], nullCount: Long)
+
+case class DataFile(
+    path: String,
+    specId: Int,
+    partitionValues: Map[String, String],
+    recordCount: Long,
+    sizeBytes: Long,
+    stats: Map[String, ColStats])
+
+case class Snapshot(
+    id: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String,
+    manifest: String,
+    addedFiles: Long,
+    totalFiles: Long,
+    totalRecords: Long)
+
+case class TableMeta(
+    location: String,
+    version: Int,
+    schema: StructType,
+    specs: Seq[PartitionSpec],
+    currentSpecId: Int,
+    snapshots: Seq[Snapshot],
+    currentSnapshotId: Option[Long],
+    properties: Map[String, String]) {
+
+  def currentSpec: PartitionSpec = specs.find(_.specId == currentSpecId).get
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshot)
+
+  /** Ancestor chain of the current snapshot (for history's
+    * is_current_ancestor, cf. reference README.md snapshot-expiration
+    * history table).
+    */
+  def currentAncestors: Set[Long] = {
+    var out = Set.empty[Long]
+    var cur = currentSnapshot
+    while (cur.isDefined) {
+      out += cur.get.id
+      cur = cur.get.parentId.flatMap(snapshot)
+    }
+    out
+  }
+}
+
+/** JSON (de)serialization with jackson-databind (ships with Spark). */
+object MetaIO {
+  private val mapper = new ObjectMapper()
+
+  def fs(conf: Configuration, path: String): FileSystem = new Path(path).getFileSystem(conf)
+
+  def writeString(conf: Configuration, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val stream = fs(conf, path).create(p, true)
+    try stream.write(content.getBytes(StandardCharsets.UTF_8)) finally stream.close()
+  }
+
+  def readString(conf: Configuration, path: String): String = {
+    val p = new Path(path)
+    val in = fs(conf, path).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  def exists(conf: Configuration, path: String): Boolean =
+    fs(conf, path).exists(new Path(path))
+
+  def delete(conf: Configuration, path: String): Unit =
+    fs(conf, path).delete(new Path(path), true)
+
+  // ------------------------------------------------------------ stats json
+
+  private def statValueToJson(o: ObjectNode, key: String, v: Any): Unit = v match {
+    case l: Long    => o.put(key, l)
+    case d: Double  => o.put(key, d)
+    case s: String  => o.put(key, s)
+    case b: Boolean => o.put(key, b)
+    case other      => o.put(key, other.toString)
+  }
+
+  private def statValueFromJson(n: JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else n.asText()
+
+  // ------------------------------------------------------------ manifest
+
+  def manifestToJson(files: Seq[DataFile]): String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("files")
+    files.foreach { f =>
+      val o = arr.addObject()
+      o.put("path", f.path)
+      o.put("spec_id", f.specId)
+      val pv = o.putObject("partition")
+      f.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+      o.put("record_count", f.recordCount)
+      o.put("size_bytes", f.sizeBytes)
+      val st = o.putObject("stats")
+      f.stats.foreach { case (c, s) =>
+        val so = st.putObject(c)
+        s.min.foreach(statValueToJson(so, "min", _))
+        s.max.foreach(statValueToJson(so, "max", _))
+        so.put("nulls", s.nullCount)
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def manifestFromJson(json: String): Seq[DataFile] = {
+    val root = mapper.readTree(json)
+    val out = Seq.newBuilder[DataFile]
+    root.get("files").forEach { o =>
+      val pv = Map.newBuilder[String, String]
+      val pvNode = o.get("partition")
+      pvNode.fieldNames().forEachRemaining(k => pv += k -> pvNode.get(k).asText())
+      val stats = Map.newBuilder[String, ColStats]
+      val stNode = o.get("stats")
+      stNode.fieldNames().forEachRemaining { c =>
+        val so = stNode.get(c)
+        stats += c -> ColStats(
+          Option(so.get("min")).map(statValueFromJson),
+          Option(so.get("max")).map(statValueFromJson),
+          so.get("nulls").asLong())
+      }
+      out += DataFile(o.get("path").asText(), o.get("spec_id").asInt(),
+        pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
+        stats.result())
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------ metadata
+
+  def metaToJson(m: TableMeta): String = {
+    val root = mapper.createObjectNode()
+    root.put("format_version", TableFormat.FormatVersion)
+    root.put("location", m.location)
+    root.put("version", m.version)
+    root.set[ObjectNode]("schema", mapper.readTree(m.schema.json).asInstanceOf[ObjectNode])
+    val specs = root.putArray("partition_specs")
+    m.specs.foreach { s =>
+      val so = specs.addObject()
+      so.put("spec_id", s.specId)
+      val fa = so.putArray("fields")
+      s.fields.foreach { f =>
+        val fo = fa.addObject()
+        fo.put("source", f.source); fo.put("transform", f.transform); fo.put("name", f.name)
+      }
+    }
+    root.put("current_spec_id", m.currentSpecId)
+    val snaps = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val so = snaps.addObject()
+      so.put("snapshot_id", s.id)
+      s.parentId.foreach(so.put("parent_id", _))
+      so.put("timestamp_ms", s.timestampMs)
+      so.put("operation", s.operation)
+      so.put("manifest", s.manifest)
+      so.put("added_files", s.addedFiles)
+      so.put("total_files", s.totalFiles)
+      so.put("total_records", s.totalRecords)
+    }
+    m.currentSnapshotId.foreach(root.put("current_snapshot_id", _))
+    val props = root.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def metaFromJson(json: String): TableMeta = {
+    val root = mapper.readTree(json)
+    val schema = DataType.fromJson(root.get("schema").toString).asInstanceOf[StructType]
+    val specs = Seq.newBuilder[PartitionSpec]
+    root.get("partition_specs").forEach { so =>
+      val fields = Seq.newBuilder[PartitionField]
+      so.get("fields").forEach { fo =>
+        fields += PartitionField(fo.get("source").asText(), fo.get("transform").asText(), fo.get("name").asText())
+      }
+      specs += PartitionSpec(so.get("spec_id").asInt(), fields.result())
+    }
+    val snaps = Seq.newBuilder[Snapshot]
+    root.get("snapshots").forEach { so =>
+      snaps += Snapshot(
+        so.get("snapshot_id").asLong(),
+        Option(so.get("parent_id")).map(_.asLong()),
+        so.get("timestamp_ms").asLong(),
+        so.get("operation").asText(),
+        so.get("manifest").asText(),
+        so.get("added_files").asLong(),
+        so.get("total_files").asLong(),
+        so.get("total_records").asLong())
+    }
+    val props = Map.newBuilder[String, String]
+    val pNode = root.get("properties")
+    pNode.fieldNames().forEachRemaining(k => props += k -> pNode.get(k).asText())
+    TableMeta(
+      root.get("location").asText(),
+      root.get("version").asInt(),
+      schema, specs.result(), root.get("current_spec_id").asInt(),
+      snaps.result(),
+      Option(root.get("current_snapshot_id")).map(_.asLong()),
+      props.result())
+  }
+
+  // ------------------------------------------------------------ versions
+
+  def metadataDir(location: String): String = s"$location/metadata"
+  def versionHintPath(location: String): String = s"${metadataDir(location)}/version-hint.text"
+  def metadataPath(location: String, v: Int): String = s"${metadataDir(location)}/v$v.metadata.json"
+  def manifestPath(location: String, snapId: Long): String =
+    s"${metadataDir(location)}/manifest-$snapId.json"
+
+  def currentVersion(conf: Configuration, location: String): Option[Int] =
+    Try(readString(conf, versionHintPath(location)).trim.toInt).toOption
+
+  def loadMeta(conf: Configuration, location: String): TableMeta = {
+    val v = currentVersion(conf, location)
+      .getOrElse(throw new IllegalStateException(s"not a graft table: $location"))
+    metaFromJson(readString(conf, metadataPath(location, v)))
+  }
+
+  def loadManifest(conf: Configuration, location: String, snap: Snapshot): Seq[DataFile] =
+    manifestFromJson(readString(conf, s"${metadataDir(location)}/${snap.manifest}"))
+
+  /** Write vN+1 metadata + hint; prune old metadata files per the
+    * `previous-versions-max` property (reference README.md "Metadata
+    * files" — `delete-after-commit` behavior).
+    */
+  def commitMeta(conf: Configuration, m: TableMeta): Unit = {
+    writeString(conf, metadataPath(m.location, m.version), metaToJson(m))
+    writeString(conf, versionHintPath(m.location), m.version.toString)
+    m.properties.get(TableFormat.PrevVersionsMax).map(_.toInt).foreach { keep =>
+      (1 until m.version - keep).foreach { old =>
+        val p = metadataPath(m.location, old)
+        if (exists(conf, p)) delete(conf, p)
+      }
+    }
+  }
+}

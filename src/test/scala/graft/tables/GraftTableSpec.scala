@@ -1,0 +1,207 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_tbl").toString + "/t"
+
+  private def ordersDf = spark.read.parquet(s"$sf/orders.parquet")
+
+  test("t01 CTAS + read back") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf)
+    assert(t.toDF().count() == ordersDf.count())
+    assert(t.meta.currentSnapshot.get.operation == "append")
+  }
+
+  test("t02 in-place migration references original files") {
+    val srcDir = Files.createTempDirectory("graft_src").toString + "/orders"
+    ordersDf.write.parquet(srcDir)
+    val t = GraftTable.migrateInPlace(spark, tmp(), srcDir)
+    assert(t.toDF().count() == ordersDf.count())
+    assert(t.currentFiles().forall(_.path.startsWith(srcDir)), "files must stay in place")
+    assert(t.meta.currentSnapshot.get.operation == "migrate")
+  }
+
+  test("t03/t04/t05 snapshots, time travel, rollback") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.limit(100))
+    val snap1 = t.meta.currentSnapshotId.get
+    t.append(ordersDf.limit(50).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    val snap2 = t.meta.currentSnapshotId.get
+    assert(t.toDF().count() == 150)
+    assert(t.asOf(snap1).count() == 100)       // FOR SYSTEM_TIME AS OF
+    val h = t.history.collect()
+    assert(h.length == 2 && h.forall(_.getBoolean(3)))
+    t.rollback(snap1)
+    assert(t.toDF().count() == 100)
+    assert(t.meta.currentSnapshot.get.operation == "rollback")
+    // snap2 is no longer a current ancestor
+    val h2 = t.history.as[(java.sql.Timestamp, Long, Option[Long], Boolean)].collect()
+    assert(h2.find(_._2 == snap2).exists(!_._4))
+  }
+
+  test("t06 expire snapshots deletes orphaned data files") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.limit(100))
+    t.truncate()
+    t.append(ordersDf.limit(10))
+    val before = t.meta.snapshots.size
+    assert(before == 3)
+    Thread.sleep(5)
+    t.expireSnapshots(System.currentTimeMillis())
+    assert(t.meta.snapshots.size == 1)
+    assert(t.toDF().count() == 10)
+    // the first commit's files are orphans and must be gone from disk
+    val dataFiles = {
+      val fsys = MetaIO.fs(spark.sparkContext.hadoopConfiguration, loc)
+      val it = fsys.listFiles(new org.apache.hadoop.fs.Path(s"$loc/data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    assert(dataFiles == t.currentFiles().size, "orphaned files should be deleted")
+  }
+
+  test("t07 merge: matched rows replaced, unmatched inserted, untouched files kept") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf)
+    val nFilesBefore = t.currentFiles().size
+    val source = ordersDf.limit(5)
+      .withColumn("o_orderpriority", lit("MERGED"))
+      .unionAll(ordersDf.limit(3)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        .withColumn("o_orderpriority", lit("INSERTED")))
+    t.mergeInto(source, Seq("o_orderkey"))
+    val out = t.toDF()
+    assert(out.count() == ordersDf.count() + 3)
+    assert(out.filter($"o_orderpriority" === "MERGED").count() == 5)
+    assert(out.filter($"o_orderpriority" === "INSERTED").count() == 3)
+    assert(t.meta.currentSnapshot.get.operation == "merge")
+  }
+
+  test("t08 delete / update / truncate (copy-on-write)") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf)
+    val n = ordersDf.count()
+    val nStatusO = ordersDf.filter($"o_orderstatus" === "O").count()
+    t.delete("o_orderstatus = 'O'")
+    assert(t.toDF().count() == n - nStatusO)
+    assert(t.toDF().filter($"o_orderstatus" === "O").count() == 0)
+
+    t.update("o_totalprice > 100000", Map("o_orderpriority" -> "'5-HIGH-VALUE'"))
+    val updated = t.toDF().filter($"o_totalprice" > 100000)
+    assert(updated.count() > 0)
+    assert(updated.filter($"o_orderpriority" =!= "5-HIGH-VALUE").count() == 0)
+
+    t.truncate()
+    assert(t.toDF().count() == 0)
+  }
+
+  test("t09 identity partitioning produces partition dirs and prunes by value") {
+    val loc = tmp()
+    val df = ordersDf.withColumn("status", col("o_orderstatus"))
+    val t = GraftTable.createAs(spark, loc, df,
+      Seq(PartitionField("o_orderstatus", "identity", "status_p")))
+    val all = t.currentFiles()
+    assert(all.forall(_.partitionValues.contains("status_p")))
+    val planned = t.plannedFiles("o_orderstatus = 'F'")
+    assert(planned.nonEmpty && planned.size < all.size, s"pruned ${planned.size}/${all.size}")
+    assert(planned.forall(_.partitionValues("status_p") == "F"))
+    // results identical with and without pruning
+    assert(t.toDF(Some("o_orderstatus = 'F'")).count() ==
+      ordersDf.filter($"o_orderstatus" === "F").count())
+  }
+
+  test("t10 transform partitioning (years) prunes time-derivative queries") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf,
+      Seq(PartitionField("o_orderdate", "years", "order_year")))
+    val all = t.currentFiles()
+    val planned = t.plannedFiles("o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'")
+    assert(planned.nonEmpty && planned.size < all.size, s"pruned ${planned.size}/${all.size}")
+    assert(planned.forall(f => f.partitionValues("order_year").toInt >= 1995 &&
+      f.partitionValues("order_year").toInt <= 1996))
+    val expected = ordersDf.filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01").count()
+    assert(t.toDF(Some("o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'")).count() == expected)
+  }
+
+  test("t11 partition evolution: new writes under new spec, queries span both") {
+    val loc = tmp()
+    val half1 = ordersDf.filter($"o_orderkey" % 2 === 0)
+    val half2 = ordersDf.filter($"o_orderkey" % 2 === 1)
+    val t = GraftTable.createAs(spark, loc, half1) // unpartitioned spec 0
+    t.setPartitionSpec(Seq(PartitionField("o_orderdate", "years", "order_year")))
+    t.append(half2) // spec 1
+    val files = t.currentFiles()
+    assert(files.exists(_.specId == 0) && files.exists(_.specId == 1))
+    assert(t.toDF().count() == ordersDf.count())
+    // pruning applies per-file spec: spec-1 files prune by year, spec-0 by stats
+    val planned = t.plannedFiles("o_orderdate >= TIMESTAMP '2001-01-01'")
+    assert(planned.size < files.size)
+  }
+
+  test("t12 stats-based file skipping without partitioning") {
+    val loc = tmp()
+    // write sorted by orderkey so files have disjoint key ranges
+    val t = GraftTable.createAs(spark, loc,
+      ordersDf.repartitionByRange(8, $"o_orderkey"))
+    val all = t.currentFiles()
+    assert(all.size >= 8)
+    val planned = t.plannedFiles("o_orderkey <= 100")
+    assert(planned.size < all.size, s"stats should skip files: ${planned.size}/${all.size}")
+    assert(t.toDF(Some("o_orderkey <= 100")).count() ==
+      ordersDf.filter($"o_orderkey" <= 100).count())
+  }
+
+  test("t13 compaction bin-packs small files without changing contents") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.repartition(16))
+    val before = t.currentFiles().size
+    assert(before >= 16)
+    // decimal sum: order-independent, so contents-equality survives the rewrite
+    def checksum() = t.toDF()
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))).as[java.math.BigDecimal].head()
+    val sumBefore = checksum()
+    t.compact(64L << 20)
+    val after = t.currentFiles().size
+    assert(after < before, s"compaction should reduce files: $after < $before")
+    assert(t.meta.currentSnapshot.get.operation == "replace")
+    assert(t.toDF().count() == ordersDf.count())
+    assert(checksum() == sumBefore)
+  }
+
+  test("t14 schema evolution + metadata retention") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.limit(100),
+      properties = Map(TableFormat.PrevVersionsMax -> "2"))
+    t.addColumn("discount_pct", DoubleType)
+    // old files read back with nulls in the new column
+    val df = t.toDF()
+    assert(df.schema.fieldNames.contains("discount_pct"))
+    assert(df.filter($"discount_pct".isNotNull).count() == 0)
+    // new writes carry the column; filter on it works across old+new files
+    t.append(df.limit(10).withColumn("discount_pct", lit(5.0)))
+    assert(t.toDF().filter($"discount_pct" === 5.0).count() == 10)
+    // metadata retention: only the last `max`+current versions remain
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = t.meta.version
+    assert(!MetaIO.exists(conf, MetaIO.metadataPath(loc, v - 3)))
+    assert(MetaIO.exists(conf, MetaIO.metadataPath(loc, v)))
+  }
+
+  test("metadata tables: snapshots and files") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.limit(100))
+    t.append(ordersDf.limit(20))
+    val snaps = t.snapshotsDf.collect()
+    assert(snaps.length == 2)
+    assert(t.filesDf.count() == t.currentFiles().size)
+    assert(t.snapshotsDf.agg(max($"total_records")).as[Long].head() == 120)
+  }
+}
