@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.7) — the streaming twins of
+  * the batch operators (q15 windowed agg, q14 sessionization, d01 dedup).
+  * All take unbounded DataFrames from any `readStream` source; state is
+  * bounded by watermarks / explicit session state.
+  */
+object Streams {
+
+  /** st01: tumbling-window aggregate with a watermark (late events beyond
+    * 1 hour are dropped; state is bounded). Batch twin: Relational.q15.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** st03: streaming exact dedup — dropDuplicates keyed on the dedup key
+    * with a watermark bounding the dedup state. Batch twin: Dedup.d01.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------- sessionization
+
+  case class Ev(user_id: Long, ts_ms: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** st02: gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): a session closes when the next event for
+    * the user arrives more than `gapMs` later; the closed session is
+    * emitted downstream. Batch twin: Relational.q14.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_ms)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ms - s.last > gapMs =>
+                closed += Session(userId, s.start, s.last, s.n)
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              case Some(s) =>
+                cur = Some(s.copy(last = math.max(s.last, e.ts_ms), n = s.n + 1))
+              case None =>
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

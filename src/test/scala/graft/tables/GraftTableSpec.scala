@@ -195,6 +195,19 @@ class GraftTableSpec extends SparkSpec {
     assert(MetaIO.exists(conf, MetaIO.metadataPath(loc, v)))
   }
 
+  test("csv staging -> CTAS import (the workshop's airlines path)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/airlines.csv"),
+      "code,description\nAA,American Airlines\nDL,Delta\nABC,Real Fake Airlines\n")
+    val schema = StructType(Seq(
+      StructField("code", StringType), StructField("description", StringType)))
+    val staged = graft.sources.Tables.importCsv(spark, s"$dir/airlines.csv", schema)
+    val t = GraftTable.createAs(spark, tmp(), staged)
+    assert(t.toDF().count() == 3)
+    assert(t.toDF().filter($"code" === "ABC").count() == 1)
+  }
+
   test("metadata tables: snapshots and files") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(100))
