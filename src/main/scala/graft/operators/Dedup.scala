@@ -74,14 +74,21 @@ object Dedup {
     d.unionAll(mutated)
   }
 
-  /** Word 3-shingles of `text`, hashed (distinct array<long>). Short docs
-    * fall back to the whole text as a single shingle.
+  /** Word 3-shingles over a precomputed words array, hashed (distinct
+    * array<long>). Short docs fall back to the whole text as one shingle.
+    * Takes the split as a named column so the regex split runs once per
+    * row, not once per lambda reference.
     */
-  private def shingleHashes(text: Column): Column = expr(
+  private def shingleHashesOfWords: Column = expr(
     """array_distinct(transform(
-      |  transform(sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
-      |    i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))),
+      |  transform(sequence(1, greatest(size(__ws) - 2, 1)),
+      |    i -> concat_ws(' ', slice(__ws, i, 3))),
       |  s -> xxhash64(s)))""".stripMargin)
+
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("__ws", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", shingleHashesOfWords)
+      .drop("__ws")
 
   /** Character 5-gram shingles, hashed. */
   private def charShingleHashes(text: Column): Column = expr(
@@ -122,19 +129,26 @@ object Dedup {
     * verification (≥0.5) → connected components → (doc_id, cluster_id).
     */
   def d03MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = plantedCorpus(spark, sfDir)
-      .withColumn("sh", shingleHashes(col("text")))
-      .persist()
-    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, 1000)
+    val corpus = withShingles(plantedCorpus(spark, sfDir)).persist()
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, 500)
     val verified = cands
       .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
       .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("a").as("src"), col("b").as("dst"))
-    val clusters = Graph.connectedComponents(corpus.select(col("doc_id").as("id")), verified)
-    val out = clusters.orderBy(col("id"))
+      .persist()
+    // CC only over edge endpoints — the near-dup graph is tiny relative to
+    // the corpus, so the iterative part never touches the full id set;
+    // everything else is a singleton cluster by construction.
+    val endpoints = verified.select(col("src").as("id"))
+      .unionAll(verified.select(col("dst").as("id"))).distinct()
+    val clustered = Graph.connectedComponents(endpoints, verified)
+    val singletons = corpus.select(col("doc_id").as("id"))
+      .join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    clustered.unionAll(singletons)
       .select(col("id").as("doc_id"), col("cluster_id"))
-    out
+      .orderBy(col("doc_id"))
   }
 
   /** d04: SimHash near-dup pairs — 64-bit simhash over word hashes; the 8
@@ -162,12 +176,17 @@ object Dedup {
 
   /** d05: character n-gram Jaccard near-dup pairs — char-5-gram shingles,
     * LSH candidate generation, exact Jaccard ≥ 0.6 verification.
+    *
+    * Char shingles of same-domain text overlap heavily, so the banding is
+    * tighter than d03 (16×8 → ~0.7 candidate threshold) and hot buckets
+    * are capped harder — otherwise boilerplate buckets go quadratic, the
+    * exact failure mode a 100 TB corpus hits.
     */
   def d05NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = plantedCorpus(spark, sfDir)
       .withColumn("sh", charShingleHashes(col("text")))
       .persist()
-    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, 1000)
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, 100)
     cands
       .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")

@@ -24,22 +24,29 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    var cached = vertices.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0L
+      // one job per iteration: materialize the new labels and count label
+      // changes in the same pass via an accumulator
+      val changedAcc = vertices.sparkSession.sparkContext.longAccumulator(s"cc_changed_$iter")
+      next.foreach { r =>
+        if (r.getLong(r.fieldIndex("old_label")) != r.getLong(r.fieldIndex("label")))
+          changedAcc.add(1L)
+      }
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("label"))
+      converged = changedAcc.value == 0L
       iter += 1
     }
     und.unpersist()

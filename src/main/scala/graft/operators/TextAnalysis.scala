@@ -85,11 +85,11 @@ object TextAnalysis {
     */
   def x05NgramStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(words(col("text")).as("ws"))
       .select(explode(expr(
-        """CASE WHEN size(split(trim(text), '\\s+')) < 2 THEN array()
-          |ELSE transform(sequence(1, size(split(trim(text), '\\s+')) - 1),
-          |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
-          |              element_at(split(trim(text), '\\s+'), i + 1)))
+        """CASE WHEN size(ws) < 2 THEN array()
+          |ELSE transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
           |END""".stripMargin)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
