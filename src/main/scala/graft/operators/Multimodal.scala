@@ -18,6 +18,22 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int, feature: Array[Double], feature_norm: Double)
 
+  /** STUB "resize": rebin a feature vector to `n` bins (stands in for
+    * image resize — same signature a real kernel would have).
+    */
+  private[operators] def resizeStub(feature: Array[Double], n: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < feature.length) { out(i * n / feature.length) += feature(i); i += 1 }
+    out
+  }
+
+  /** STUB "frame sampling": every `stride`-th byte of the payload (stands
+    * in for video frame extraction — batch shape identical).
+    */
+  private[operators] def frameSample(payload: Array[Byte], stride: Int): Array[Byte] =
+    payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+
   /** STUB decoder: byte-value histogram (16 bins) normalized to sum 1.
     * A real decoder (image resize, audio frame-sample, …) replaces exactly
     * this function; batch shape and schema stay.
@@ -49,7 +65,8 @@ object Multimodal {
     // init native state here once, then stream rows through it).
     val feats = media.mapPartitions { rows =>
       rows.map { r =>
-        val f = decodeStub(r.payload)
+        val sampled = frameSample(r.payload, stride = 2)
+        val f = resizeStub(decodeStub(sampled), 8)
         MediaFeatures(r.doc_id, r.format, r.payload.length, f, math.sqrt(f.map(x => x * x).sum))
       }
     }

@@ -137,6 +137,18 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class CatalogSqlSpec extends SparkSpec {
+  test("registerAll exposes the full surface via spark.sql") {
+    graft.sources.Catalog.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT p_brand, count(*) AS n,
+        |  max(graft_fingerprint(p_name)) AS fp
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5 && r.forall(_.getLong(1) > 0))
+  }
+}
+
 class RelationalPlanSpec extends SparkSpec {
 
   test("q02 pushes the date-range predicate to the parquet scan") {

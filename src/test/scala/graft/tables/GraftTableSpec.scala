@@ -195,6 +195,15 @@ class GraftTableSpec extends SparkSpec {
     assert(MetaIO.exists(conf, MetaIO.metadataPath(loc, v)))
   }
 
+  test("rewrite_manifests keeps the file set identical") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.limit(1000))
+    val before = t.currentFiles().map(_.path).toSet
+    t.rewriteManifests()
+    assert(t.currentFiles().map(_.path).toSet == before)
+    assert(t.toDF().count() == 1000)
+  }
+
   test("csv staging -> CTAS import (the workshop's airlines path)") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_csv").toString
