@@ -74,21 +74,18 @@ object Dedup {
     d.unionAll(mutated)
   }
 
-  /** Word 3-shingles over a precomputed words array, hashed (distinct
-    * array<long>). Short docs fall back to the whole text as one shingle.
-    * Takes the split as a named column so the regex split runs once per
-    * row, not once per lambda reference.
+  /** Word 3-shingle hashes (distinct array<long>): words are hashed once,
+    * then each shingle hash is xxhash64 over a 3-slice of word hashes — no
+    * shingle strings are ever built and the regex split runs once per row.
+    * Short docs fall back to the whole word-hash array as one shingle.
     */
-  private def shingleHashesOfWords: Column = expr(
-    """array_distinct(transform(
-      |  transform(sequence(1, greatest(size(__ws) - 2, 1)),
-      |    i -> concat_ws(' ', slice(__ws, i, 3))),
-      |  s -> xxhash64(s)))""".stripMargin)
-
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("__ws", split(trim(col("text")), "\\s+"))
-      .withColumn("sh", shingleHashesOfWords)
-      .drop("__ws")
+    df.withColumn("__wh", expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"))
+      .withColumn("sh", expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(__wh) - 2, 1)),
+          |  i -> xxhash64(slice(__wh, i, 3))))""".stripMargin))
+      .drop("__wh")
 
   /** Character 5-gram shingles, hashed. */
   private def charShingleHashes(text: Column): Column = expr(
@@ -131,12 +128,13 @@ object Dedup {
   def d03MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = withShingles(plantedCorpus(spark, sfDir)).persist()
     val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, 500)
+    // pin the verified edge list (small), then the LSH pipeline caches can go
     val verified = cands
       .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
       .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("a").as("src"), col("b").as("dst"))
-      .persist()
+      .localCheckpoint(true)
     // CC only over edge endpoints — the near-dup graph is tiny relative to
     // the corpus, so the iterative part never touches the full id set;
     // everything else is a singleton cluster by construction.
@@ -146,9 +144,12 @@ object Dedup {
     val singletons = corpus.select(col("doc_id").as("id"))
       .join(endpoints, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    clustered.unionAll(singletons)
+    val out = clustered.unionAll(singletons)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
   }
 
   /** d04: SimHash near-dup pairs — 64-bit simhash over word hashes; the 8
@@ -164,7 +165,7 @@ object Dedup {
     val chunked = sigs.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 7), c -> struct(c AS c, (sig div CAST(pow(2, c * 8) AS BIGINT)) % 256 AS key))")).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.key").as("key"))
-    chunked.as("l").join(chunked.as("r"),
+    val out = chunked.as("l").join(chunked.as("r"),
         col("l.c") === col("r.c") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
@@ -172,6 +173,9 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** d05: character n-gram Jaccard near-dup pairs — char-5-gram shingles,
@@ -187,12 +191,15 @@ object Dedup {
       .withColumn("sh", charShingleHashes(col("text")))
       .persist()
     val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, 100)
-    cands
+    val out = cands
       .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
       .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
   }
 
   /** d06: embedding-cosine near-dup pairs — hyperplane-LSH bucketing (two
@@ -211,7 +218,7 @@ object Dedup {
       .withColumn("k2", F.rpBits(col("embedding"), 16, 0xcafeL))
     val bySomeKey = keyed.select(col("vec_id"), col("embedding"),
         explode(array(concat(lit("k1:"), col("k1")), concat(lit("k2:"), col("k2")))).as("key"))
-    bySomeKey.as("l").join(bySomeKey.as("r"),
+    val out = bySomeKey.as("l").join(bySomeKey.as("r"),
         col("l.key") === col("r.key") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
         F.cosine(col("l.embedding"), col("r.embedding")).as("sim"))
@@ -219,6 +226,9 @@ object Dedup {
       .filter(col("sim") >= 0.999)
       .select(col("a"), col("b"))
       .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
   }
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(

@@ -36,8 +36,8 @@ object Graph {
         .select(labels("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // one job per iteration: materialize the new labels and count label
-      // changes in the same pass via an accumulator
+      // one job per iteration: materialize new labels and count changes in
+      // the same pass via an accumulator
       val changedAcc = vertices.sparkSession.sparkContext.longAccumulator(s"cc_changed_$iter")
       next.foreach { r =>
         if (r.getLong(r.fieldIndex("old_label")) != r.getLong(r.fieldIndex("label")))
@@ -49,7 +49,12 @@ object Graph {
       converged = changedAcc.value == 0L
       iter += 1
     }
+    // pin the (small) result and release every intermediate cache — CC is
+    // often called inside larger pipelines and must not leak executor memory
+    val result = labels.select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    cached.unpersist()
     und.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    result
   }
 }
