@@ -365,6 +365,48 @@ object Relational {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q16
+
+  /** q16: semi-structured extraction — events.props carries JSON payloads;
+    * extract a typed field and aggregate over it (the "props" pattern of
+    * event tables).
+    */
+  def q16JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q16Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+
+  /** q17: set operations — nations with customers INTERSECT/EXCEPT nations
+    * with suppliers.
+    */
+  def q17SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custNations = Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.intersect(suppNations).withColumn("set_op", lit("both"))
+      .unionAll(custNations.except(suppNations).withColumn("set_op", lit("customers_only")))
+      .orderBy(col("set_op"), col("nationkey"))
+  }
+
+  val q17Oracle: String =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT nationkey, 'both' AS set_op FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+      |UNION ALL
+      |SELECT nationkey, 'customers_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+      |ORDER BY set_op, nationkey""".stripMargin
+
   /** All §2.1 queries + oracles, keyed as in SURVEY §2. */
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary"  -> ((q01PricingSummary _, q01Oracle)),
@@ -382,5 +424,7 @@ object Relational {
     "q13_rollup"           -> ((q13Rollup _, q13Oracle)),
     "q14_sessionize_batch" -> ((q14SessionizeBatch _, q14Oracle)),
     "q15_windowed_agg"     -> ((q15WindowedAgg _, q15Oracle)),
+    "q16_json_extract"     -> ((q16JsonExtract _, q16Oracle)),
+    "q17_setops"           -> ((q17SetOps _, q17Oracle)),
   )
 }

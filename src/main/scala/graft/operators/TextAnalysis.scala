@@ -22,20 +22,29 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- x01
 
-  /** x01: token counting — whitespace tokens + character length per doc. */
+  /** BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct pieces with
+    * optional leading space; no lookahead so Java regex and RE2 agree).
+    */
+  val bpeishPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** x01: token counting — whitespace tokens, BPE-ish regex pieces, and
+    * character length per doc.
+    */
   def x01TokenCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
         size(words(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).as("n_bpeish"),
         length(col("text")).as("len_chars"))
       .orderBy(col("doc_id"))
 
   val x01Oracle: String =
-    """SELECT doc_id,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-      |  CAST(length(text) AS INT) AS len_chars
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INT) AS n_bpeish,
+       |  CAST(length(text) AS INT) AS len_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- x02
 
