@@ -9,8 +9,8 @@ object SparkEntry {
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
   private def allEntries: Map[String, ((SparkSession, String) => DataFrame, String)] =
-    Relational.entries ++ TextAnalysis.entries ++ Dedup.entries ++
-      Similarity.entries ++ Multimodal.entries ++ TableOps.entries
+    Relational.entries ++ TemporalJoins.entries ++ TextAnalysis.entries ++
+      Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++ TableOps.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
