@@ -160,8 +160,30 @@ object TextAnalysis {
       .select(col("doc_id"), graft.functions.F.fingerprint(col("text"), 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- x06
+
+  /** x06: heavy-hitter words via the Misra–Gries sketch Aggregator —
+    * bounded state per partition, one merge, no full-term shuffle. Exact
+    * counts joined on for the surviving candidates (the standard
+    * sketch-then-verify pattern).
+    */
+  def x06HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpusWords = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+    val sketch = corpusWords.as[String]
+      .select(new graft.functions.MisraGries(50).toColumn)
+      .head()
+    val candidates = sketch.keys.toSeq.toDF("word")
+    corpusWords.join(broadcast(candidates), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
+    "x06_heavy_hitters" -> ((x06HeavyHitters _, "")),
     "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
     "x03_langid"        -> ((x03LangId _, "")),
     "x04_fingerprint"   -> ((x04Fingerprint _, "")),

@@ -137,6 +137,43 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class SketchAndSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("misra-gries sketch contains every true heavy hitter") {
+    // 1000 'hot' + 100 'warm' + 900 distinct cold words; k=20 guarantees
+    // anything with freq > n/k = 100 survives
+    val data = Seq.fill(1000)("hot") ++ Seq.fill(300)("warm") ++ (1 to 900).map(i => s"cold$i")
+    val ds = spark.createDataset(data)
+    val sketch = ds.select(new graft.functions.MisraGries(20).toColumn).head()
+    assert(sketch.contains("hot") && sketch.contains("warm"))
+    assert(sketch.size <= 20)
+  }
+
+  test("x06 heavy hitters returns true top words") {
+    val out = TextAnalysis.x06HeavyHitters(spark, sf)
+      .as[(String, Long)].collect()
+    assert(out.length == 20)
+    // exact top-20 from a plain groupBy must be contained in the result
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .groupBy($"w").count().orderBy($"count".desc, $"w".asc)
+      .limit(20).as[(String, Long)].collect()
+    assert(out.map(_._1).toSet == exact.map(_._1).toSet)
+  }
+
+  test("salted join equals plain join") {
+    val left = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val right = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val plain = left.join(right, "l_orderkey")
+    val salted = SkewJoins.saltedJoin(left, right, "l_orderkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+}
+
 class CatalogSqlSpec extends SparkSpec {
   test("registerAll exposes the full surface via spark.sql") {
     graft.sources.Catalog.registerAll(spark, sf)
