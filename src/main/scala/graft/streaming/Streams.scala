@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.tables.GraftTable
 
 /** Structured Streaming operators (SURVEY §2.7) — the streaming twins of
   * the batch operators (q15 windowed agg, q14 sessionization, d01 dedup).
@@ -28,6 +29,20 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** st04: stream into a versioned table — each micro-batch becomes one
+    * GraftTable snapshot (append), giving exactly the workshop's
+    * commit-per-write history plus time travel over a live stream.
+    * Empty batches commit nothing.
+    */
+  def writeToTable(stream: DataFrame, table: GraftTable, queryName: String): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.append(batch); () }
+      }
+      .start()
 
   // ------------------------------------------------------- sessionization
 

@@ -105,6 +105,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   private def commitSnapshot(m: TableMeta, files: Seq[DataFile], op: String,
       added: Long, parentOverride: Option[Long] = None): TableMeta = {
+    // optimistic concurrency: refuse to clobber a commit that landed after
+    // this operation read its base metadata (single-writer is the contract;
+    // this turns a silent lost-update into a loud failure)
+    MetaIO.currentVersion(conf, location).foreach { v =>
+      if (v != m.version)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict at $location: base version ${m.version}, current $v")
+    }
     val snapId = nextSnapshotId(m)
     val manifestName = s"manifest-$snapId.json"
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",

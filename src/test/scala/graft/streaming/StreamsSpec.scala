@@ -52,6 +52,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st04 streaming writes land as one snapshot per micro-batch with time travel") {
+    import graft.tables.GraftTable
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/t"
+    val schema = StructType(Seq(StructField("event_id", LongType), StructField("value", DoubleType)))
+    val table = GraftTable.createEmpty(spark, loc, schema)
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.writeToTable(input.toDF().toDF("event_id", "value"), table, "st04")
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      val snap1 = table.meta.currentSnapshotId.get
+      input.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(table.toDF().count() == 3)
+      assert(table.asOf(snap1).count() == 2)          // time travel over the stream
+      assert(table.meta.snapshots.size == 2)
+    } finally q.stop()
+  }
+
+  test("commit conflict is detected, not silently lost") {
+    import graft.tables.GraftTable
+    val loc = java.nio.file.Files.createTempDirectory("graft_conflict").toString + "/t"
+    val df = spark.read.parquet(s"$sf/region.parquet")
+    GraftTable.createAs(spark, loc, df)
+    val t1 = GraftTable.load(spark, loc)
+    val staleMeta = t1.meta
+    GraftTable.load(spark, loc).append(df) // another writer commits
+    intercept[java.util.ConcurrentModificationException] {
+      // t1 still operates on the stale base version
+      val m = staleMeta
+      val method = classOf[graft.tables.GraftTable].getDeclaredMethods
+        .find(_.getName == "commitSnapshot").get
+      method.setAccessible(true)
+      try method.invoke(t1, m, Nil, "append", Long.box(0L), None)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+  }
+
   test("st03 streaming dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
