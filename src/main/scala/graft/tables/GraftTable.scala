@@ -398,6 +398,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Range-cluster the table by `cols` (the sort-order analogue of
+    * Iceberg's rewrite with sort: data files get disjoint value ranges, so
+    * min/max stats pruning on those columns approaches partition-pruning
+    * effectiveness without a partition spec).
+    */
+  def cluster(cols: Seq[String], nFiles: Int = 0): GraftTable = {
+    val m = meta
+    val cur = currentFiles(m)
+    if (cur.isEmpty) return this
+    val n = if (nFiles > 0) nFiles
+      else math.max(1, (cur.map(_.sizeBytes).sum / (128L << 20)).toInt)
+    val sorted = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
+      .repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    val newFiles = writeDataFiles(sorted, m)
+    commitSnapshot(m, newFiles, "replace", newFiles.size)
+    this
+  }
+
   /** Consolidate the current manifest (reference `rewrite_manifests`). */
   def rewriteManifests(): GraftTable = {
     val m = meta

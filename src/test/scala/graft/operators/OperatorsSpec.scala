@@ -199,6 +199,10 @@ class RelationalPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("driver smoke: entry() returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q01 stays inside whole-stage codegen") {
     val df = Relational.q01PricingSummary(spark, sf)
     df.collect() // finalize the AQE plan before inspecting it

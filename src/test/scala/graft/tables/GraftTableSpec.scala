@@ -195,6 +195,19 @@ class GraftTableSpec extends SparkSpec {
     assert(MetaIO.exists(conf, MetaIO.metadataPath(loc, v)))
   }
 
+  test("cluster() makes stats pruning near-exact on the sort column") {
+    val loc = tmp()
+    // random layout: every file spans the whole key range -> no pruning
+    val t = GraftTable.createAs(spark, loc, ordersDf.repartition(8))
+    val unclustered = t.plannedFiles("o_orderkey <= 100").size
+    assert(unclustered == t.currentFiles().size, "random layout should not prune")
+    t.cluster(Seq("o_orderkey"), nFiles = 8)
+    val clustered = t.plannedFiles("o_orderkey <= 100")
+    assert(clustered.size <= 2, s"clustered layout should prune to ~1 file, got ${clustered.size}")
+    assert(t.toDF(Some("o_orderkey <= 100")).count() ==
+      ordersDf.filter($"o_orderkey" <= 100).count())
+  }
+
   test("rewrite_manifests keeps the file set identical") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(1000))
