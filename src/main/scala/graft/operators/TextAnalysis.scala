@@ -136,6 +136,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang_pred"), col("lang_score"))
       .orderBy(col("doc_id"))
 
+  /** Oracle mirror of the heuristic: per-language marker counts, argmax
+    * with the same priority tie-break (the CASE chain tests languages in
+    * priority-descending order, which is exactly the struct-sort order).
+    */
+  val x03Oracle: String = {
+    val scoreDefs = langProfiles.map { case (lang, _, markers) =>
+      val inList = markers.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ($inList))) AS INT) AS s_$lang"
+    }.mkString(",\n    ")
+    val byPriority = langProfiles.sortBy(-_._2).map(_._1)
+    val best = byPriority.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val caseChain = byPriority.map(l => s"WHEN s_$l = __best THEN '$l'").mkString("\n      ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $scoreDefs
+       |  FROM documents),
+       |g AS (SELECT *, $best AS __best FROM scored)
+       |SELECT doc_id,
+       |  CASE $caseChain END AS lang_pred,
+       |  __best AS lang_score
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** Language-ID columns over any dataframe with a text column. */
   def langIdOver(df: DataFrame, text: org.apache.spark.sql.Column): DataFrame = {
     val scoreCols = langProfiles.map { case (lang, prio, markers) =>
@@ -185,7 +208,7 @@ object TextAnalysis {
     "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
     "x06_heavy_hitters" -> ((x06HeavyHitters _, "")),
     "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
-    "x03_langid"        -> ((x03LangId _, "")),
+    "x03_langid"        -> ((x03LangId _, x03Oracle)),
     "x04_fingerprint"   -> ((x04Fingerprint _, "")),
     "x05_ngram_stats"   -> ((x05NgramStats _, x05Oracle)),
   )

@@ -160,8 +160,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
       d.withColumn(TableFormat.PartColPrefix + f.name,
         GraftTransforms.transformColumn(f, m.schema).cast("string"))
     }
-    if (gpCols.isEmpty) out.write.parquet(commitDir)
-    else out.write.partitionBy(gpCols: _*).parquet(commitDir)
+    // write distribution (Iceberg's write.distribution-mode): partitioned
+    // writes default to hash-by-partition-values so each task writes one
+    // partition's file instead of every task writing a sliver of every
+    // partition (the small-file explosion at 1000 executors); `none`
+    // preserves the incoming layout (needed when the caller range-sorted).
+    val mode = m.properties.getOrElse("write.distribution-mode",
+      if (gpCols.isEmpty) "none" else "hash")
+    val distributed = mode match {
+      case "hash" if gpCols.nonEmpty => out.repartition(gpCols.map(col): _*)
+      case "hash" => out.repartition()
+      case _ => out
+    }
+    if (gpCols.isEmpty) distributed.write.parquet(commitDir)
+    else distributed.write.partitionBy(gpCols: _*).parquet(commitDir)
     collectFileEntries(commitDir, m, spec.specId)
   }
 
