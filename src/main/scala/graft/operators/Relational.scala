@@ -407,6 +407,35 @@ object Relational {
       |SELECT nationkey, 'customers_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
       |ORDER BY set_op, nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q20
+
+  /** q20: correlated-subquery shape — customers above their segment's
+    * average balance. Expressed as aggregate + broadcast join-back
+    * (Catalyst's decorrelation target); the threshold is decimal-exact on
+    * both engines so the boundary comparison is deterministic.
+    */
+  def q20CorrelatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val segAvg = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    cust.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above"), dsum(col("c_acctbal")).as("sum_above"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q20Oracle: String =
+    """WITH seg AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |  FROM customer GROUP BY 1)
+      |SELECT c_mktsegment, COUNT(*) AS n_above,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+      |FROM customer JOIN seg ON c_mktsegment = seg
+      |WHERE c_acctbal > avg_bal
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** All §2.1 queries + oracles, keyed as in SURVEY §2. */
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary"  -> ((q01PricingSummary _, q01Oracle)),
@@ -426,5 +455,6 @@ object Relational {
     "q15_windowed_agg"     -> ((q15WindowedAgg _, q15Oracle)),
     "q16_json_extract"     -> ((q16JsonExtract _, q16Oracle)),
     "q17_setops"           -> ((q17SetOps _, q17Oracle)),
+    "q20_correlated_subquery" -> ((q20CorrelatedSubquery _, q20Oracle)),
   )
 }
