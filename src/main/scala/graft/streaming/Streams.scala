@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, DoubleType, StringType}
 import graft.tables.GraftTable
 
 /** Structured Streaming operators (SURVEY §2.7) — the streaming twins of
@@ -29,6 +30,59 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** st01 as a driver-gate query: run the REAL streaming pipeline (file
+    * source → watermark → window agg → memory sink) over the events table
+    * and return the closed windows. A far-future flush file advances the
+    * watermark so every real window emits; the result is then
+    * value-identical to the batch q15 oracle (decimal sums, same windows).
+    */
+  def st01StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+    val name = s"st01_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush: one far-future event closes every real window
+      import spark.implicits._
+      Seq((-1L, 3000000000000000000L, -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("event_type") =!= "flush")
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Same result shape as Relational.q15 — the batch oracle IS the
+    * streaming oracle.
+    */
+  val st01GateOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),
+  )
 
   /** st04: stream into a versioned table — each micro-batch becomes one
     * GraftTable snapshot (append), giving exactly the workshop's
