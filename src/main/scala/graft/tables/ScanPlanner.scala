@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryComparison, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryComparison, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.functions.{col, expr => sqlExpr}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ScanPlanner {
 
-  /** A simple comparison extracted from the filter. */
+  /** A simple comparison extracted from the filter. For op "in", `value`
+    * is a Seq of candidate values; for "isnull"/"isnotnull" it is unused.
+    */
   private case class Compare(column: String, op: String, value: Any)
 
   private def stripCast(e: Expression): Expression = e match {
@@ -64,6 +66,11 @@ object ScanPlanner {
         case (_, _, Some(lit), Some(n)) => Seq(Compare(n, flipped(symbolOf(cmp)), litValue(lit)))
         case _ => Nil
       }
+    case In(l, values) if values.forall(foldToLiteral(_).isDefined) =>
+      attrName(l).map(n =>
+        Compare(n, "in", values.flatMap(foldToLiteral).map(litValue))).toSeq
+    case IsNull(l)    => attrName(l).map(n => Compare(n, "isnull", null)).toSeq
+    case IsNotNull(l) => attrName(l).map(n => Compare(n, "isnotnull", null)).toSeq
     case _ => Nil
   }
 
@@ -188,11 +195,17 @@ object ScanPlanner {
   }
 
   /** File-stats check (reference README.md: pruning on NON-partitioned
-    * tables via metadata min/max).
+    * tables via metadata min/max + null counts).
     */
   private def statsMay(f: DataFile, c: Compare, types: Map[String, DataType]): Boolean =
     f.stats.get(c.column) match {
-      case Some(s) => rangeMaySatisfy(s.min, s.max, c.op, c.value)
+      case Some(s) => c.op match {
+        case "isnull"    => s.nullCount > 0
+        case "isnotnull" => s.nullCount < f.recordCount
+        case "in" => c.value.asInstanceOf[Seq[Any]]
+          .exists(v => rangeMaySatisfy(s.min, s.max, "=", v))
+        case op => rangeMaySatisfy(s.min, s.max, op, c.value)
+      }
       case None => true
     }
 
@@ -211,6 +224,15 @@ object ScanPlanner {
         case Some(raw) =>
           parsePartitionValue(pf.transform, raw, srcType) match {
             case None => true
+            case Some(pv) if c.op == "in" =>
+              // keep if ANY candidate value could live in this partition
+              c.value.asInstanceOf[Seq[Any]].exists { v =>
+                transformValue(pf.transform, v, srcType) match {
+                  case Some(tv) => rangeMaySatisfy(Some(pv), Some(pv), "=", tv)
+                  case None => true
+                }
+              }
+            case Some(_) if c.op == "isnull" || c.op == "isnotnull" => true
             case Some(pv) =>
               bucketN(pf.transform) match {
                 case Some(n) =>

@@ -74,6 +74,23 @@ class TransformsSpec extends SparkSpec {
     assert(tn.toDF(Some(fn)).count() == expectedN)
   }
 
+  test("IN-list and null-count pruning") {
+    val t = GraftTable.createAs(spark, tmp(), orders,
+      Seq(PartitionField("o_orderstatus", "identity", "st")))
+    val all = t.currentFiles().size
+    val planned = t.plannedFiles("o_orderstatus IN ('F', 'P')")
+    assert(planned.size < all, "IN-list should prune partitions")
+    assert(planned.forall(f => Set("F", "P").contains(f.partitionValues("st"))))
+    val expected = orders.filter($"o_orderstatus".isin("F", "P")).count()
+    assert(t.toDF(Some("o_orderstatus IN ('F', 'P')")).count() == expected)
+
+    // no column is ever null in orders -> IS NULL prunes every file
+    val t2 = GraftTable.createAs(spark, tmp(), orders)
+    assert(t2.plannedFiles("o_orderpriority IS NULL").isEmpty)
+    assert(t2.toDF(Some("o_orderpriority IS NULL")).count() == 0)
+    assert(t2.plannedFiles("o_orderpriority IS NOT NULL").nonEmpty)
+  }
+
   test("null partition values round-trip (identity on nullable col)") {
     val df = orders.limit(100)
       .withColumn("maybe", when($"o_orderkey" % 2 === 0, $"o_orderstatus"))
