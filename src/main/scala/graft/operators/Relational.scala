@@ -357,11 +357,14 @@ object Relational {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      // string-rendered window start: engines store timestamps at different
+      // precisions (us vs ns) and a byte-level hash would diverge
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
   val q15Oracle: String =
-    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -55,7 +55,8 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
     val name = s"st01_gate_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
@@ -76,7 +77,7 @@ object Streams {
     * streaming oracle.
     */
   val st01GateOracle: String =
-    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
