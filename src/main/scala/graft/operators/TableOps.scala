@@ -171,7 +171,25 @@ object TableOps {
       .toDF("rows_null_newcol", "rows_with_newcol")
   }
 
+  /** t15: merge-on-read delete — metadata-only delete commit, correct
+    * reads, then materialization (Iceberg v2 delete-file semantics).
+    */
+  def t15MergeOnRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir))
+    val filesBefore = t.currentFiles().size
+    t.deleteMergeOnRead("o_orderstatus = 'O'")
+    val filesAfterMor = t.currentFiles().size
+    val rowsAfterMor = t.toDF().count()
+    t.materializeDeletes()
+    Seq((filesBefore, filesAfterMor, rowsAfterMor, t.toDF().count(),
+        t.currentDeletes().size))
+      .toDF("files_before", "files_after_mor", "rows_after_mor", "rows_after_rewrite",
+        "remaining_predicates")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t15_merge_on_read"        -> ((t15MergeOnRead _, "")),
     "t01_ctas_import"          -> ((t01Ctas _, "")),
     "t02_inplace_migrate"      -> ((t02Migrate _, "")),
     "t03_snapshots_history"    -> ((t03History _, "")),

@@ -34,12 +34,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def currentFiles(m: TableMeta = meta): Seq[DataFile] =
     m.currentSnapshot.map(s => MetaIO.loadManifest(conf, location, s)).getOrElse(Nil)
 
+  /** Active merge-on-read delete predicates of the current snapshot. */
+  def currentDeletes(m: TableMeta = meta): Seq[String] =
+    m.currentSnapshot.map { s =>
+      MetaIO.manifestFromJsonFull(
+        MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))._2
+    }.getOrElse(Nil)
+
+  /** Apply merge-on-read delete predicates to a scan result. */
+  private def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
+    deletes.foldLeft(df)((d, p) => d.filter(!coalesce(expr(p), lit(false))))
+
   // ------------------------------------------------------------- reads
 
   /** Current-snapshot read with manifest-level pruning. */
   def toDF(filterSql: Option[String] = None): DataFrame = {
     val m = meta
-    ScanPlanner.scan(spark, m, currentFiles(m), filterSql)
+    applyDeletes(ScanPlanner.scan(spark, m, currentFiles(m), filterSql), currentDeletes(m))
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's
@@ -55,7 +66,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    ScanPlanner.scan(spark, m, MetaIO.loadManifest(conf, location, snap), None)
+    val (files, deletes) = MetaIO.manifestFromJsonFull(
+      MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${snap.manifest}"))
+    applyDeletes(ScanPlanner.scan(spark, m, files, None), deletes)
   }
 
   /** Time travel to the snapshot current as of `timestampMs`. */
@@ -104,7 +117,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     (m.snapshots.map(_.id) :+ 0L).max + 1
 
   private def commitSnapshot(m: TableMeta, files: Seq[DataFile], op: String,
-      added: Long, parentOverride: Option[Long] = None): TableMeta = {
+      added: Long, parentOverride: Option[Long] = None,
+      deletePredicates: Seq[String] = Nil): TableMeta = {
     // optimistic concurrency: refuse to clobber a commit that landed after
     // this operation read its base metadata (single-writer is the contract;
     // this turns a silent lost-update into a loud failure)
@@ -116,7 +130,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val snapId = nextSnapshotId(m)
     val manifestName = s"manifest-$snapId.json"
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
-      MetaIO.manifestToJson(files))
+      MetaIO.manifestToJson(files, deletePredicates))
     val snap = Snapshot(snapId, parentOverride.orElse(m.currentSnapshotId),
       System.currentTimeMillis(), op,
       manifestName, added, files.size, files.map(_.recordCount).sum)
@@ -239,8 +253,49 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   // --------------------------------------------------------------- DML
 
+  /** Merge-on-read DELETE WHERE (the Iceberg v2 shape behind reference
+    * sql/update_iceberg_v2_examples.sql): no data file is touched — the
+    * predicate is recorded in the snapshot manifest and applied at read
+    * time. O(metadata) commit regardless of table size; the rewrite cost
+    * is deferred to [[materializeDeletes]] (or absorbed by the next
+    * mutating operation).
+    */
+  def deleteMergeOnRead(cond: String): GraftTable = {
+    val m = meta
+    commitSnapshot(m, currentFiles(m), "delete-mor", 0,
+      deletePredicates = currentDeletes(m) :+ cond)
+    this
+  }
+
+  /** Rewrite the files containing rows hit by active merge-on-read delete
+    * predicates and clear them (Iceberg's rewrite of v2 delete files).
+    */
+  def materializeDeletes(): GraftTable = {
+    val m = meta
+    val deletes = currentDeletes(m)
+    if (deletes.isEmpty) return this
+    val combined = deletes.map(p => s"($p)").mkString(" OR ")
+    val cur = currentFiles(m)
+    val touched = matchingFiles(m, combined)
+    val rewritten =
+      if (touched.isEmpty) Nil
+      else writeDataFiles(
+        spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+          .filter(!coalesce(expr(combined), lit(false))), m)
+    val untouched = cur.filterNot(f => touched.exists(_.path == f.path))
+    commitSnapshot(m, untouched ++ rewritten, "rewrite-deletes", rewritten.size)
+    this
+  }
+
+  /** Mutations operate on materialized state so new rows are never hit by
+    * older merge-on-read predicates.
+    */
+  private def ensureMaterialized(): Unit =
+    if (currentDeletes().nonEmpty) { materializeDeletes(); () }
+
   /** Append rows (reference INSERT INTO). */
   def append(df: DataFrame): GraftTable = {
+    ensureMaterialized()
     val m = meta
     val newFiles = writeDataFiles(df, m)
     commitSnapshot(m, currentFiles(m) ++ newFiles, "append", newFiles.size)
@@ -278,6 +333,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Copy-on-write DELETE WHERE. */
   def delete(cond: String): GraftTable = {
+    ensureMaterialized()
     val m = meta
     val cur = currentFiles(m)
     val touched = matchingFiles(m, cond)
@@ -292,6 +348,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Copy-on-write UPDATE ... SET (assignments: column -> SQL expr). */
   def update(cond: String, set: Map[String, String]): GraftTable = {
+    ensureMaterialized()
     val m = meta
     val cur = currentFiles(m)
     val touched = matchingFiles(m, cond)
@@ -317,6 +374,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * Only files containing matched keys are rewritten.
     */
   def mergeInto(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+    ensureMaterialized()
     val m = meta
     val cur = currentFiles(m)
     val target = toDF()
@@ -394,6 +452,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * files; large files are left alone; table contents are unchanged.
     */
   def compact(targetBytes: Long = 128L << 20): GraftTable = {
+    ensureMaterialized()
     val m = meta
     val cur = currentFiles(m)
     val small = cur.filter(_.sizeBytes < targetBytes)
@@ -416,6 +475,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * effectiveness without a partition spec).
     */
   def cluster(cols: Seq[String], nFiles: Int = 0): GraftTable = {
+    ensureMaterialized()
     val m = meta
     val cur = currentFiles(m)
     if (cur.isEmpty) return this

@@ -136,8 +136,12 @@ object MetaIO {
 
   // ------------------------------------------------------------ manifest
 
-  def manifestToJson(files: Seq[DataFile]): String = {
+  def manifestToJson(files: Seq[DataFile], deletePredicates: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
+    if (deletePredicates.nonEmpty) {
+      val dp = root.putArray("delete_predicates")
+      deletePredicates.foreach(dp.add)
+    }
     val arr = root.putArray("files")
     files.foreach { f =>
       val o = arr.addObject()
@@ -158,8 +162,14 @@ object MetaIO {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  def manifestFromJson(json: String): Seq[DataFile] = {
+  def manifestFromJson(json: String): Seq[DataFile] =
+    manifestFromJsonFull(json)._1
+
+  /** Files + merge-on-read delete predicates. */
+  def manifestFromJsonFull(json: String): (Seq[DataFile], Seq[String]) = {
     val root = mapper.readTree(json)
+    val deletes = Seq.newBuilder[String]
+    Option(root.get("delete_predicates")).foreach(_.forEach(n => deletes += n.asText()))
     val out = Seq.newBuilder[DataFile]
     root.get("files").forEach { o =>
       val pv = Map.newBuilder[String, String]
@@ -178,7 +188,7 @@ object MetaIO {
         pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
         stats.result())
     }
-    out.result()
+    (out.result(), deletes.result())
   }
 
   // ------------------------------------------------------------ metadata

@@ -195,6 +195,41 @@ class GraftTableSpec extends SparkSpec {
     assert(MetaIO.exists(conf, MetaIO.metadataPath(loc, v)))
   }
 
+  test("merge-on-read delete: O(metadata) commit, correct reads, materialization") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf)
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    val n = ordersDf.count()
+    val nO = ordersDf.filter($"o_orderstatus" === "O").count()
+
+    t.deleteMergeOnRead("o_orderstatus = 'O'")
+    // no data file was touched, but reads exclude the deleted rows
+    assert(t.currentFiles().map(_.path).toSet == filesBefore)
+    assert(t.meta.currentSnapshot.get.operation == "delete-mor")
+    assert(t.toDF().count() == n - nO)
+    assert(t.toDF().filter($"o_orderstatus" === "O").count() == 0)
+    // time travel before the delete still sees everything
+    assert(t.asOf(t.meta.snapshots.head.id).count() == n)
+
+    // stacking a second predicate
+    val nP = ordersDf.filter($"o_orderstatus" === "P").count()
+    t.deleteMergeOnRead("o_orderstatus = 'P'")
+    assert(t.toDF().count() == n - nO - nP)
+
+    // materialization clears predicates, rewrites hit files, keeps results
+    t.materializeDeletes()
+    assert(t.currentDeletes().isEmpty)
+    assert(t.meta.currentSnapshot.get.operation == "rewrite-deletes")
+    assert(t.toDF().count() == n - nO - nP)
+
+    // appends after MoR deletes are not hit by older predicates
+    val t2 = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    t2.deleteMergeOnRead("o_orderkey >= 0") // deletes everything
+    assert(t2.toDF().count() == 0)
+    t2.append(ordersDf.limit(10))
+    assert(t2.toDF().count() == 10, "new rows must survive older delete predicates")
+  }
+
   test("cluster() makes stats pruning near-exact on the sort column") {
     val loc = tmp()
     // random layout: every file spans the whole key range -> no pruning
