@@ -71,7 +71,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     applyDeletes(ScanPlanner.scan(spark, m, files, None), deletes)
   }
 
-  /** Time travel to the snapshot current as of `timestampMs`. */
+  /** Incremental read (CDC-style changelog): rows added between two
+    * snapshots = contents of data files present in `to` but not in
+    * `from`. Append-only consumers tail a table with one manifest diff
+    * per poll — no data is re-read, no row-level diffing. (Copy-on-write
+    * rewrites re-add their surviving rows; consume between append
+    * snapshots for exact-once semantics.)
+    */
+  def addedBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val m = meta
+    def files(id: Long): Seq[DataFile] = m.snapshot(id)
+      .map(s => MetaIO.loadManifest(conf, location, s))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
+    val before = files(fromSnapshotId).map(_.path).toSet
+    val added = files(toSnapshotId).filterNot(f => before.contains(f.path))
+    ScanPlanner.scan(spark, m, added, None)
+  }
   def asOfTimestamp(timestampMs: Long): DataFrame = {
     val m = meta
     val snap = m.snapshots.filter(_.timestampMs <= timestampMs)
@@ -484,6 +499,46 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val sorted = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
       .repartitionByRange(n, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
+    val newFiles = writeDataFiles(sorted, m)
+    commitSnapshot(m, newFiles, "replace", newFiles.size)
+    this
+  }
+
+  /** Z-order clustering over two numeric/timestamp columns: each value is
+    * min-max normalized to 16 bits and the bits interleaved (pure bitwise
+    * builtins — stays in codegen), then the table is rewritten range-
+    * partitioned on the z-value. Files end up with tight min/max ranges on
+    * BOTH columns, so stats pruning works for predicates on either —
+    * what single-column clustering can't give.
+    */
+  def clusterZOrder(colA: String, colB: String, nFiles: Int = 0): GraftTable = {
+    ensureMaterialized()
+    val m = meta
+    val cur = currentFiles(m)
+    if (cur.isEmpty) return this
+    val base = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
+    val Row(minA: Double, maxA: Double, minB: Double, maxB: Double) = base.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+
+    def norm16(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+
+    val a16 = norm16(colA, minA, maxA)
+    val b16 = norm16(colB, minB, maxB)
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a16, i).bitwiseAND(lit(1L)), 2 * i).cast("long"))
+        .bitwiseOR(shiftleft(shiftright(b16, i).bitwiseAND(lit(1L)), 2 * i + 1).cast("long"))
+    }
+    val n = if (nFiles > 0) nFiles
+      else math.max(1, (cur.map(_.sizeBytes).sum / (128L << 20)).toInt)
+    val sorted = base.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
     val newFiles = writeDataFiles(sorted, m)
     commitSnapshot(m, newFiles, "replace", newFiles.size)
     this

@@ -243,6 +243,39 @@ class GraftTableSpec extends SparkSpec {
       ordersDf.filter($"o_orderkey" <= 100).count())
   }
 
+  test("incremental read returns exactly the rows appended between snapshots") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.limit(100))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(ordersDf.limit(150).filter($"o_orderkey" > 400))
+    val s2 = t.meta.currentSnapshotId.get
+    t.append(ordersDf.limit(10).withColumn("o_orderkey", $"o_orderkey" + 777000L))
+    val s3 = t.meta.currentSnapshotId.get
+    val batch1 = t.addedBetween(s1, s2)
+    val batch2 = t.addedBetween(s2, s3)
+    assert(batch1.count() == ordersDf.limit(150).filter($"o_orderkey" > 400).count())
+    assert(batch2.count() == 10)
+    assert(batch2.filter($"o_orderkey" >= 777000L).count() == 10)
+    assert(t.addedBetween(s1, s3).count() == batch1.count() + batch2.count())
+  }
+
+  test("z-order clustering prunes on BOTH columns") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc, ordersDf.repartition(8))
+    t.clusterZOrder("o_custkey", "o_orderkey", nFiles = 16)
+    val all = t.currentFiles().size
+    assert(all >= 8)
+    val byCust = t.plannedFiles("o_custkey <= 15").size
+    val byOrder = t.plannedFiles("o_orderkey <= 150").size
+    assert(byCust < all, s"custkey pruning: $byCust/$all")
+    assert(byOrder < all, s"orderkey pruning: $byOrder/$all")
+    // results stay exact on both dimensions
+    assert(t.toDF(Some("o_custkey <= 15")).count() ==
+      ordersDf.filter($"o_custkey" <= 15).count())
+    assert(t.toDF(Some("o_orderkey <= 150")).count() ==
+      ordersDf.filter($"o_orderkey" <= 150).count())
+  }
+
   test("rewrite_manifests keeps the file set identical") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(1000))
