@@ -34,8 +34,9 @@ class MisraGries(k: Int) extends Aggregator[String, mutable.Map[String, Long], M
   override def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
     b.foreach { case (key, v) => a(key) = a.getOrElse(key, 0L) + v }
     if (a.size > k) {
-      // subtract the (size-k)-th largest count so at most k survive
-      val cut = a.values.toSeq.sorted(Ordering[Long].reverse).drop(k - 1).headOption.getOrElse(0L)
+      // subtract the (k+1)-th largest count (Agarwal et al. mergeable
+      // summaries): at most k survive and the n/k error bound is preserved
+      val cut = a.values.toSeq.sorted(Ordering[Long].reverse).drop(k).headOption.getOrElse(0L)
       val dead = mutable.ArrayBuffer[String]()
       a.keys.foreach { key =>
         val v = a(key) - cut

@@ -163,7 +163,10 @@ object Dedup {
       .select(col("doc_id"), col("sig"))
       .persist()
     val chunked = sigs.select(col("doc_id"), col("sig"),
-        explode(expr("transform(sequence(0, 7), c -> struct(c AS c, (sig div CAST(pow(2, c * 8) AS BIGINT)) % 256 AS key))")).as("ck"))
+        // bitwise chunk extraction: div/% on a signed sig would leak sign
+        // and low-order bits into the key for the ~half of simhashes with
+        // bit 63 set, silently missing near-dup pairs
+        explode(expr("transform(sequence(0, 7), c -> struct(c AS c, shiftrightunsigned(sig, c * 8) & 255 AS key))")).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.key").as("key"))
     val out = chunked.as("l").join(chunked.as("r"),
         col("l.c") === col("r.c") && col("l.key") === col("r.key") &&

@@ -134,7 +134,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(spark, sfDir)
-      .withColumn("rnk", rank().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
       .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
@@ -291,9 +291,9 @@ object Relational {
 
   val q12Oracle: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
       |  COUNT(*) AS n_total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -345,7 +345,7 @@ object Relational {
       |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
       |  FROM events)
       |SELECT user_id, COUNT(*) AS n_events,
-      |  SUM(CASE WHEN prev_ms IS NULL OR ms_ts - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions
+      |  CAST(SUM(CASE WHEN prev_ms IS NULL OR ms_ts - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q15
@@ -384,7 +384,7 @@ object Relational {
 
   val q16Oracle: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -26,7 +26,7 @@ object Similarity {
   private def topK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))

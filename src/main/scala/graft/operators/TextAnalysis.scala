@@ -169,7 +169,7 @@ object TextAnalysis {
     }
     df.withColumn("best", element_at(sort_array(array(scoreCols: _*), asc = false), 1))
       .withColumn("lang_pred", col("best.lang"))
-      .withColumn("lang_score", col("best.score"))
+      .withColumn("lang_score", col("best.score").cast("long"))
       .drop("best")
   }
 

@@ -181,7 +181,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * the current spec, and build manifest entries with per-column min/max
     * stats (one parallel stats pass over just the new files).
     */
-  private def writeDataFiles(df: DataFrame, m: TableMeta): Seq[DataFile] = {
+  private def writeDataFiles(df: DataFrame, m: TableMeta,
+      distributionOverride: Option[String] = None): Seq[DataFile] = {
     val commitDir = s"$location/data/${UUID.randomUUID().toString.take(8)}"
     val spec = m.currentSpec
     val gpCols = spec.fields.map(f => TableFormat.PartColPrefix + f.name)
@@ -194,8 +195,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // partition's file instead of every task writing a sliver of every
     // partition (the small-file explosion at 1000 executors); `none`
     // preserves the incoming layout (needed when the caller range-sorted).
-    val mode = m.properties.getOrElse("write.distribution-mode",
-      if (gpCols.isEmpty) "none" else "hash")
+    val mode = distributionOverride.getOrElse(
+      m.properties.getOrElse("write.distribution-mode",
+        if (gpCols.isEmpty) "none" else "hash"))
     val distributed = mode match {
       case "hash" if gpCols.nonEmpty => out.repartition(gpCols.map(col): _*)
       case "hash" => out.repartition()
@@ -261,10 +263,32 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def partitionValuesFromPath(path: String): Map[String, String] =
     path.split('/').filter(_.startsWith(TableFormat.PartColPrefix)).flatMap { seg =>
       seg.split("=", 2) match {
-        case Array(k, v) => Some(k.stripPrefix(TableFormat.PartColPrefix) -> v)
+        case Array(k, v) =>
+          Some(k.stripPrefix(TableFormat.PartColPrefix) -> unescapePathName(v))
         case _ => None
       }
     }.toMap
+
+  /** Invert Hive path escaping (%XX) so stored partition values compare
+    * equal to unescaped filter literals (':', '%', '=', '#', … would
+    * otherwise break equality pruning and silently drop files).
+    */
+  private def unescapePathName(v: String): String = {
+    if (!v.contains('%')) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(v.charAt(i + 1), 16) * 16 +
+          Character.digit(v.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   // --------------------------------------------------------------- DML
 
@@ -435,10 +459,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    val files = MetaIO.loadManifest(conf, location, snap)
+    // full manifest read: the target's merge-on-read delete predicates must
+    // survive the rollback, or MOR-deleted rows would silently resurrect
+    val (files, deletes) = MetaIO.manifestFromJsonFull(
+      MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${snap.manifest}"))
     // history continues from the rollback target: abandoned snapshots stop
     // being current ancestors (reference history table semantics)
-    commitSnapshot(m, files, "rollback", 0, parentOverride = Some(snapshotId))
+    commitSnapshot(m, files, "rollback", 0, parentOverride = Some(snapshotId),
+      deletePredicates = deletes)
     this
   }
 
@@ -499,7 +527,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val sorted = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
       .repartitionByRange(n, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
-    val newFiles = writeDataFiles(sorted, m)
+    // distribution 'none': a hash-by-partition repartition here would
+    // destroy the range layout this rewrite just produced
+    val newFiles = writeDataFiles(sorted, m, distributionOverride = Some("none"))
     commitSnapshot(m, newFiles, "replace", newFiles.size)
     this
   }
@@ -517,9 +547,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     if (cur.isEmpty) return this
     val base = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
-    val Row(minA: Double, maxA: Double, minB: Double, maxB: Double) = base.agg(
+    val st = base.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    // an all-null column yields null min/max: treat it as constant (z bits
+    // 0 for that axis) instead of crashing the rewrite
+    def statAt(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
+    val (minA, maxA, minB, maxB) = (statAt(0), statAt(1), statAt(2), statAt(3))
 
     def norm16(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
@@ -539,7 +573,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    val newFiles = writeDataFiles(sorted, m)
+    val newFiles = writeDataFiles(sorted, m, distributionOverride = Some("none"))
     commitSnapshot(m, newFiles, "replace", newFiles.size)
     this
   }

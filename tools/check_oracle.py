@@ -47,6 +47,15 @@ def main(sf_dir, out_dir):
             print(f"{name}: ROWCOUNT MISMATCH spark={len(g)} duckdb={len(w)}")
             fails += 1
             continue
+        # The driver hashes rendered values, so a dtype drift (e.g. DuckDB
+        # HUGEINT from SUM(int) -> pandas float/object vs Spark int64) fails
+        # its hash even when values are numerically equal. Fail it here too.
+        dt_bad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                  if str(g[c].dtype) != str(w[c].dtype)]
+        if dt_bad:
+            print(f"{name}: DTYPE MISMATCH {dt_bad} (cast the oracle column)")
+            fails += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             print(f"{name}: OK ({len(g)} rows)")
