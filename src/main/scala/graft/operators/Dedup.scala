@@ -234,12 +234,30 @@ object Dedup {
     out
   }
 
+  /** Exact brute-force twin of d06: the planted duplicates are exact
+    * directional copies, so LSH recall on them is provably 1.0 (identical
+    * sign pattern under every hyperplane) and the candidate-filtered result
+    * equals the exhaustive one; random 64-dim pairs sit far below the
+    * 0.999 threshold on both engines.
+    */
+  val d06Oracle: String =
+    """WITH c AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS vec_id,
+      |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+      |  FROM embeddings)
+      |SELECT l.vec_id AS a, r.vec_id AS b
+      |FROM c l JOIN c r ON l.vec_id < r.vec_id
+      |WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.999
+      |ORDER BY a, b""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),
     "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),
     "d03_minhash_lsh"       -> ((d03MinhashLsh _, "")),
     "d04_simhash"           -> ((d04Simhash _, "")),
     "d05_ngram_jaccard"     -> ((d05NgramJaccard _, "")),
-    "d06_embed_neardup"     -> ((d06EmbedNeardup _, "")),
+    "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),
   )
 }

@@ -70,12 +70,23 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.format, r.payload.length, f, math.sqrt(f.map(x => x * x).sum))
       }
     }
+    // feature_ok: the stub decode normalizes each histogram to sum 1 and
+    // resize preserves sums, so a correctly-plumbed pipeline yields sum≈1
+    // for every non-empty payload — an oracle-checkable invariant of the
+    // batch path (exact feature values are asserted in MultimodalSpec)
     feats.toDF()
-      .select(col("doc_id"), col("format"), col("n_bytes"), col("feature_norm"))
+      .withColumn("feature_ok",
+        col("n_bytes") === 0 || abs(aggregate(col("feature"), lit(0.0), _ + _) - 1.0) < 1e-9)
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("feature_ok"))
       .orderBy(col("doc_id"))
   }
 
+  val m01Oracle: String =
+    """SELECT doc_id, 'fake/rgb8' AS format, CAST(strlen(text) AS INT) AS n_bytes,
+      |  TRUE AS feature_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, "")),
+    "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
   )
 }

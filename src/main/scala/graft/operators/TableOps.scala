@@ -9,19 +9,42 @@ import java.nio.file.Files
 
 /** SURVEY §2.2 as driver-contract queries: each entry stands up a fresh
   * GraftTable under a temp dir, exercises one workshop capability, and
-  * returns an observable result (rows-only check; the full semantics are
-  * asserted in GraftTableSpec).
+  * returns an observable result. Outputs are restricted to values that are
+  * deterministic functions of the input tables (row counts, snapshot
+  * lineage, partition layouts — never wall-clock timestamps or
+  * parallelism-dependent file counts), so every query is oracle-checkable
+  * by plain SQL over the same parquet inputs; the full file-level semantics
+  * are asserted in GraftTableSpec.
   *
-  * Inputs are capped (`limit`) so these stay snapshot-lifecycle benchmarks
-  * rather than raw-IO benchmarks at larger SFs.
+  * Inputs are capped with ORDER BY o_orderkey LIMIT n (mirrored in the
+  * oracle SQL) so the same rows are selected at every scale factor, and the
+  * queries stay snapshot-lifecycle benchmarks rather than raw-IO benchmarks.
   */
 object TableOps {
 
   private def tmp(): String =
     Files.createTempDirectory("graft_top").toString + "/t"
 
-  private def orders(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir).limit(20000)
+  /** Deterministic input cap: the n lowest-keyed orders. */
+  private def orders(spark: SparkSession, sfDir: String, n: Int = 20000): DataFrame =
+    Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
+
+  /** Oracle-side mirror of [[orders]]. */
+  private def cappedSql(n: Int = 20000): String =
+    s"(SELECT * FROM orders ORDER BY o_orderkey LIMIT $n)"
+
+  /** Snapshot-lineage projection shared by t03/t05: wall-clock-free view
+    * of the history table (made_current_at is asserted in specs instead).
+    */
+  private def lineage(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    val m = t.meta
+    val anc = m.currentAncestors
+    m.snapshots.map(s => (s.id, s.parentId.getOrElse(-1L), s.operation,
+        anc.contains(s.id), s.totalRecords))
+      .toDF("snapshot_id", "parent_id", "operation", "is_current_ancestor", "total_records")
+      .orderBy(col("snapshot_id"))
+  }
 
   /** t01: CTAS import (reference README.md "Import: CTAS and in-place"). */
   def t01Ctas(spark: SparkSession, sfDir: String): DataFrame = {
@@ -31,61 +54,106 @@ object TableOps {
       .toDF("n_rows", "operation")
   }
 
+  val t01Oracle: String =
+    s"SELECT COUNT(*) AS n_rows, 'append' AS operation FROM ${cappedSql()}"
+
   /** t02: in-place migration — no data files rewritten. */
   def t02Migrate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = GraftTable.migrateInPlace(spark, tmp(), s"$sfDir/orders.parquet")
-    val inPlace = t.currentFiles().forall(_.path.contains("orders.parquet"))
-    Seq((t.currentFiles().size, t.toDF().count(), inPlace))
-      .toDF("n_files", "n_rows", "files_in_place")
+    val inPlace = t.currentFiles().nonEmpty &&
+      t.currentFiles().forall(_.path.contains("orders.parquet"))
+    Seq((t.toDF().count(), inPlace)).toDF("n_rows", "files_in_place")
   }
 
-  /** t03: snapshot history table. */
+  val t02Oracle: String =
+    "SELECT COUNT(*) AS n_rows, TRUE AS files_in_place FROM orders"
+
+  /** t03: snapshot history table (lineage + cumulative record counts). */
   def t03History(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).limit(5000))
-    t.append(orders(spark, sfDir).limit(1000))
-    t.append(orders(spark, sfDir).limit(500))
-    t.history.orderBy(col("snapshot_id"))
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
+    t.append(orders(spark, sfDir, 1000))
+    t.append(orders(spark, sfDir, 500))
+    lineage(t)
   }
+
+  val t03Oracle: String =
+    s"""WITH c AS (SELECT
+       |  (SELECT COUNT(*) FROM ${cappedSql(5000)}) AS a,
+       |  (SELECT COUNT(*) FROM ${cappedSql(1000)}) AS b,
+       |  (SELECT COUNT(*) FROM ${cappedSql(500)}) AS d)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
+       |    'append' AS operation, TRUE AS is_current_ancestor, CAST(a AS BIGINT) AS total_records FROM c
+       |  UNION ALL SELECT 2, 1, 'append', TRUE, a + b FROM c
+       |  UNION ALL SELECT 3, 2, 'append', TRUE, a + b + d FROM c)
+       |ORDER BY snapshot_id""".stripMargin
 
   /** t04: time travel (FOR SYSTEM_TIME AS OF). */
   def t04TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).limit(5000))
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
     val s1 = t.meta.currentSnapshotId.get
-    t.append(orders(spark, sfDir).limit(1000))
+    t.append(orders(spark, sfDir, 1000))
     val s2 = t.meta.currentSnapshotId.get
-    Seq((1, t.asOf(s1).count()), (2, t.asOf(s2).count()))
+    Seq((1L, t.asOf(s1).count()), (2L, t.asOf(s2).count()))
       .toDF("snapshot_seq", "n_rows")
   }
 
-  /** t05: rollback (EXECUTE rollback). */
+  val t04Oracle: String =
+    s"""WITH c AS (SELECT
+       |  (SELECT COUNT(*) FROM ${cappedSql(5000)}) AS a,
+       |  (SELECT COUNT(*) FROM ${cappedSql(1000)}) AS b)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS snapshot_seq, CAST(a AS BIGINT) AS n_rows FROM c
+       |  UNION ALL SELECT 2, a + b FROM c)
+       |ORDER BY snapshot_seq""".stripMargin
+
+  /** t05: rollback (EXECUTE rollback) — abandoned snapshot leaves the
+    * current-ancestor chain; the rollback commit restores the old count.
+    */
   def t05Rollback(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).limit(5000))
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
     val s1 = t.meta.currentSnapshotId.get
-    t.append(orders(spark, sfDir).limit(1000))
+    t.append(orders(spark, sfDir, 1000))
     t.rollback(s1)
-    t.history.orderBy(col("snapshot_id"))
+    lineage(t)
   }
+
+  val t05Oracle: String =
+    s"""WITH c AS (SELECT
+       |  (SELECT COUNT(*) FROM ${cappedSql(5000)}) AS a,
+       |  (SELECT COUNT(*) FROM ${cappedSql(1000)}) AS b)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
+       |    'append' AS operation, TRUE AS is_current_ancestor, CAST(a AS BIGINT) AS total_records FROM c
+       |  UNION ALL SELECT 2, 1, 'append', FALSE, a + b FROM c
+       |  UNION ALL SELECT 3, 1, 'rollback', TRUE, a FROM c)
+       |ORDER BY snapshot_id""".stripMargin
 
   /** t06: expire_snapshots + orphan file cleanup. */
   def t06Expire(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).limit(5000))
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
     t.truncate()
-    t.append(orders(spark, sfDir).limit(1000))
-    val before = t.meta.snapshots.size
+    t.append(orders(spark, sfDir, 1000))
+    val before = t.meta.snapshots.size.toLong
     t.expireSnapshots(System.currentTimeMillis() + 1000)
-    Seq((before, t.meta.snapshots.size, t.toDF().count()))
+    Seq((before, t.meta.snapshots.size.toLong, t.toDF().count()))
       .toDF("snapshots_before", "snapshots_after", "n_rows")
   }
 
-  /** t07: MERGE INTO (reference update_iceberg_v2_examples.sql). */
+  val t06Oracle: String =
+    s"""SELECT CAST(3 AS BIGINT) AS snapshots_before, CAST(1 AS BIGINT) AS snapshots_after,
+       |  (SELECT COUNT(*) FROM ${cappedSql(1000)}) AS n_rows""".stripMargin
+
+  /** t07: MERGE INTO (reference update_iceberg_v2_examples.sql): the 100
+    * lowest-keyed orders get updated, 50 shifted copies get inserted.
+    */
   def t07Merge(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = orders(spark, sfDir)
-    val t = GraftTable.createAs(spark, tmp(), base)
-    val source = base.limit(100).withColumn("o_orderpriority", lit("0-MERGED"))
-      .unionAll(base.limit(50)
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir))
+    val source = orders(spark, sfDir, 100).withColumn("o_orderpriority", lit("0-MERGED"))
+      .unionAll(orders(spark, sfDir, 50)
         .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
         .withColumn("o_orderpriority", lit("0-INSERTED")))
     t.mergeInto(source, Seq("o_orderkey"))
@@ -93,7 +161,18 @@ object TableOps {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** t08: copy-on-write DELETE / UPDATE / TRUNCATE. */
+  val t07Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()}),
+       |u AS (SELECT o_orderkey FROM ${cappedSql(100)}),
+       |merged AS (
+       |  SELECT CASE WHEN b.o_orderkey IN (SELECT o_orderkey FROM u)
+       |    THEN '0-MERGED' ELSE b.o_orderpriority END AS o_orderpriority FROM base b
+       |  UNION ALL
+       |  SELECT '0-INSERTED' AS o_orderpriority FROM ${cappedSql(50)})
+       |SELECT o_orderpriority, COUNT(*) AS n FROM merged
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** t08: copy-on-write DELETE / UPDATE. */
   def t08DeleteUpdate(spark: SparkSession, sfDir: String): DataFrame = {
     val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir))
     t.delete("o_orderstatus = 'O'")
@@ -103,7 +182,16 @@ object TableOps {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
-  /** t09: identity partitioning (PARTITIONED BY). */
+  val t08Oracle: String =
+    s"""SELECT o_orderstatus,
+       |  CASE WHEN o_totalprice > 300000 THEN '0-HIGH-VALUE' ELSE o_orderpriority END AS o_orderpriority,
+       |  COUNT(*) AS n
+       |FROM ${cappedSql()} WHERE o_orderstatus <> 'O'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** t09: identity partitioning (PARTITIONED BY) — hash write distribution
+    * puts each partition value in exactly one task, so one file per value.
+    */
   def t09IdentityPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir),
       Seq(PartitionField("o_orderstatus", "identity", "status")))
@@ -111,6 +199,11 @@ object TableOps {
       .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("n_rows"))
       .orderBy(col("partition"))
   }
+
+  val t09Oracle: String =
+    s"""SELECT 'status=' || o_orderstatus AS partition, CAST(1 AS BIGINT) AS n_files,
+       |  COUNT(*) AS n_rows
+       |FROM ${cappedSql()} GROUP BY o_orderstatus ORDER BY 1""".stripMargin
 
   /** t10: transform partitioning (years(ts)) + partition pruning — the
     * workshop's "1 file of 238 scanned" observability.
@@ -121,11 +214,20 @@ object TableOps {
       Seq(PartitionField("o_orderdate", "years", "order_year")))
     val filter = "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
     val planned = t.plannedFiles(filter)
-    Seq((t.currentFiles().size, planned.size, t.toDF(Some(filter)).count()))
+    Seq((t.currentFiles().size.toLong, planned.size.toLong, t.toDF(Some(filter)).count()))
       .toDF("total_files", "scanned_files", "n_rows")
   }
 
-  /** t11: partition evolution — old files keep the old spec. */
+  val t10Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM base) AS BIGINT) AS total_files,
+       |  CAST(1 AS BIGINT) AS scanned_files,
+       |  (SELECT COUNT(*) FROM base
+       |   WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') AS n_rows""".stripMargin
+
+  /** t11: partition evolution — old files keep the old spec, new writes use
+    * the new spec, one scan spans both.
+    */
   def t11PartitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     val base = orders(spark, sfDir)
     val t = GraftTable.createAs(spark, tmp(), base.filter(col("o_orderkey") % 2 === 0))
@@ -136,33 +238,57 @@ object TableOps {
       .orderBy(col("spec_id"))
   }
 
+  val t11Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()}),
+       |evens AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+       |odds  AS (SELECT * FROM base WHERE o_orderkey % 2 = 1)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS INT) AS spec_id, CAST(1 AS BIGINT) AS n_files,
+       |    (SELECT COUNT(*) FROM evens) AS n_rows
+       |  UNION ALL
+       |  SELECT 1, (SELECT COUNT(DISTINCT year(o_orderdate)) FROM odds),
+       |    (SELECT COUNT(*) FROM odds))
+       |ORDER BY spec_id""".stripMargin
+
   /** t12: min/max file skipping on a NON-partitioned table (reference
-    * "Predicate pushdown and file pruning without partitioning").
+    * "Predicate pushdown and file pruning without partitioning"). The
+    * exact surviving-file count depends on range-sampling, so the oracle
+    * checks that pruning skipped at least one file and the scan is exact.
     */
   def t12StatsPruning(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = GraftTable.createAs(spark, tmp(),
       orders(spark, sfDir).repartitionByRange(8, col("o_orderkey")))
     val filter = "o_orderkey <= 1000"
-    Seq((t.currentFiles().size, t.plannedFiles(filter).size, t.toDF(Some(filter)).count()))
-      .toDF("total_files", "scanned_files", "n_rows")
+    val planned = t.plannedFiles(filter)
+    Seq((t.currentFiles().size.toLong, planned.size < t.currentFiles().size,
+        t.toDF(Some(filter)).count()))
+      .toDF("total_files", "pruned", "n_rows")
   }
 
-  /** t13: rewrite_data_files bin-pack compaction. */
+  val t12Oracle: String =
+    s"""SELECT CAST(8 AS BIGINT) AS total_files, TRUE AS pruned,
+       |  (SELECT COUNT(*) FROM ${cappedSql()} WHERE o_orderkey <= 1000) AS n_rows""".stripMargin
+
+  /** t13: rewrite_data_files bin-pack compaction: 16 small files → 1. */
   def t13Compaction(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(16))
-    val before = t.currentFiles().size
+    val before = t.currentFiles().size.toLong
     t.compact(64L << 20)
-    Seq((before, t.currentFiles().size, t.toDF().count(),
+    Seq((before, t.currentFiles().size.toLong, t.toDF().count(),
         t.meta.currentSnapshot.get.operation))
       .toDF("files_before", "files_after", "n_rows", "operation")
   }
 
+  val t13Oracle: String =
+    s"""SELECT CAST(16 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+       |  COUNT(*) AS n_rows, 'replace' AS operation FROM ${cappedSql()}""".stripMargin
+
   /** t14: schema evolution (ADD COLUMN) + metadata retention property. */
   def t14SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).limit(5000),
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000),
       properties = Map(TableFormat.PrevVersionsMax -> "2"))
     t.addColumn("quality_score", DoubleType)
     t.append(t.toDF().limit(100).withColumn("quality_score", lit(0.9)))
@@ -171,38 +297,50 @@ object TableOps {
       .toDF("rows_null_newcol", "rows_with_newcol")
   }
 
-  /** t15: merge-on-read delete — metadata-only delete commit, correct
-    * reads, then materialization (Iceberg v2 delete-file semantics).
+  val t14Oracle: String =
+    s"""SELECT (SELECT COUNT(*) FROM ${cappedSql(5000)}) AS rows_null_newcol,
+       |  CAST(100 AS BIGINT) AS rows_with_newcol""".stripMargin
+
+  /** t15: merge-on-read delete — metadata-only delete commit (file set
+    * unchanged), correct reads, then materialization (Iceberg v2 delete-
+    * file semantics).
     */
   def t15MergeOnRead(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir))
-    val filesBefore = t.currentFiles().size
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(8))
+    val filesBefore = t.currentFiles().size.toLong
     t.deleteMergeOnRead("o_orderstatus = 'O'")
-    val filesAfterMor = t.currentFiles().size
+    val morMetadataOnly = t.currentFiles().size.toLong == filesBefore
     val rowsAfterMor = t.toDF().count()
     t.materializeDeletes()
-    Seq((filesBefore, filesAfterMor, rowsAfterMor, t.toDF().count(),
-        t.currentDeletes().size))
-      .toDF("files_before", "files_after_mor", "rows_after_mor", "rows_after_rewrite",
+    Seq((filesBefore, morMetadataOnly, rowsAfterMor, t.toDF().count(),
+        t.currentDeletes().size.toLong))
+      .toDF("files_before", "mor_metadata_only", "rows_after_mor", "rows_after_rewrite",
         "remaining_predicates")
   }
 
+  val t15Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT CAST(8 AS BIGINT) AS files_before, TRUE AS mor_metadata_only,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'O') AS rows_after_mor,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'O') AS rows_after_rewrite,
+       |  CAST(0 AS BIGINT) AS remaining_predicates""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "t15_merge_on_read"        -> ((t15MergeOnRead _, "")),
-    "t01_ctas_import"          -> ((t01Ctas _, "")),
-    "t02_inplace_migrate"      -> ((t02Migrate _, "")),
-    "t03_snapshots_history"    -> ((t03History _, "")),
-    "t04_time_travel"          -> ((t04TimeTravel _, "")),
-    "t05_rollback"             -> ((t05Rollback _, "")),
-    "t06_expire_snapshots"     -> ((t06Expire _, "")),
-    "t07_merge_into"           -> ((t07Merge _, "")),
-    "t08_delete_update"        -> ((t08DeleteUpdate _, "")),
-    "t09_identity_partitioning" -> ((t09IdentityPartition _, "")),
-    "t10_transform_partitioning" -> ((t10TransformPartition _, "")),
-    "t11_partition_evolution"  -> ((t11PartitionEvolution _, "")),
-    "t12_file_pruning_stats"   -> ((t12StatsPruning _, "")),
-    "t13_compaction"           -> ((t13Compaction _, "")),
-    "t14_schema_evolution"     -> ((t14SchemaEvolution _, "")),
+    "t15_merge_on_read"        -> ((t15MergeOnRead _, t15Oracle)),
+    "t01_ctas_import"          -> ((t01Ctas _, t01Oracle)),
+    "t02_inplace_migrate"      -> ((t02Migrate _, t02Oracle)),
+    "t03_snapshots_history"    -> ((t03History _, t03Oracle)),
+    "t04_time_travel"          -> ((t04TimeTravel _, t04Oracle)),
+    "t05_rollback"             -> ((t05Rollback _, t05Oracle)),
+    "t06_expire_snapshots"     -> ((t06Expire _, t06Oracle)),
+    "t07_merge_into"           -> ((t07Merge _, t07Oracle)),
+    "t08_delete_update"        -> ((t08DeleteUpdate _, t08Oracle)),
+    "t09_identity_partitioning" -> ((t09IdentityPartition _, t09Oracle)),
+    "t10_transform_partitioning" -> ((t10TransformPartition _, t10Oracle)),
+    "t11_partition_evolution"  -> ((t11PartitionEvolution _, t11Oracle)),
+    "t12_file_pruning_stats"   -> ((t12StatsPruning _, t12Oracle)),
+    "t13_compaction"           -> ((t13Compaction _, t13Oracle)),
+    "t14_schema_evolution"     -> ((t14SchemaEvolution _, t14Oracle)),
   )
 }

@@ -194,8 +194,12 @@ object TextAnalysis {
     import spark.implicits._
     val corpusWords = Tables.documents(spark, sfDir)
       .select(explode(words(col("text"))).as("word"))
+    // k sized so the MG guarantee (every word with freq > n/k survives)
+    // covers the top 20 with wide margin — then the exact-count verify join
+    // makes the result identical to the exhaustive top-20, which is what
+    // the oracle computes
     val sketch = corpusWords.as[String]
-      .select(new graft.functions.MisraGries(50).toColumn)
+      .select(new graft.functions.MisraGries(1024).toColumn)
       .head()
     val candidates = sketch.keys.toSeq.toDF("word")
     corpusWords.join(broadcast(candidates), "word")
@@ -204,9 +208,15 @@ object TextAnalysis {
       .limit(20)
   }
 
+  val x06Oracle: String =
+    """WITH w AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+      |SELECT word, COUNT(*) AS n FROM w
+      |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
-    "x06_heavy_hitters" -> ((x06HeavyHitters _, "")),
+    "x06_heavy_hitters" -> ((x06HeavyHitters _, x06Oracle)),
     "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
     "x03_langid"        -> ((x03LangId _, x03Oracle)),
     "x04_fingerprint"   -> ((x04Fingerprint _, "")),

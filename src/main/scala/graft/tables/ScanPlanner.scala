@@ -137,6 +137,24 @@ object ScanPlanner {
     }
   }
 
+  /** Interval start (in the source domain) of partition value `tv` for a
+    * floor-style transform — None when unknown. Used to tighten strict
+    * upper bounds: `src < v` with v exactly on a partition boundary
+    * excludes the whole boundary partition.
+    */
+  private[tables] def partitionIntervalStart(transform: String, tv: Any): Option[Any] =
+    (transform, tv) match {
+      case ("years", y: Long) =>
+        Some(java.time.LocalDate.of(y.toInt, 1, 1).toEpochDay * 86400000000L)
+      case ("months", m: Long) =>
+        Some(java.time.LocalDate.of(Math.floorDiv(m, 12L).toInt,
+          Math.floorMod(m, 12L).toInt + 1, 1).toEpochDay * 86400000000L)
+      case ("days", d: Long)  => Some(d * 86400000000L)
+      case ("hours", h: Long) => Some(h * 3600000000L)
+      case (t, _) if t.startsWith("truncate[") => Some(tv)
+      case _ => None
+    }
+
   /** Monotonic transforms preserve order → safe for range ops. */
   private def isMonotonic(transform: String): Boolean =
     transform == "identity" || transform == "years" || transform == "months" ||
@@ -245,10 +263,19 @@ object ScanPlanner {
                         // a non-identity partition value is a FLOOR of the
                         // source, i.e. an interval: strict bounds relax to
                         // inclusive (the boundary partition may still hold
-                        // matching rows)
+                        // matching rows) — EXCEPT `< v` where v sits exactly
+                        // on the interval start: then the boundary partition
+                        // holds only rows >= v and can be skipped
                         val effOp =
                           if (pf.transform == "identity") c.op
-                          else c.op match { case ">" => ">="; case "<" => "<="; case o => o }
+                          else c.op match {
+                            case ">" => ">="
+                            case "<" =>
+                              val atBoundary = partitionIntervalStart(pf.transform, tv)
+                                .exists(st => cmpValues(st, c.value).contains(0))
+                              if (atBoundary) "<" else "<="
+                            case o => o
+                          }
                         rangeMaySatisfy(Some(pv), Some(pv), effOp, tv)
                       case None => true
                     }

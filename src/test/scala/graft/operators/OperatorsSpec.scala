@@ -74,9 +74,9 @@ class SimilaritySpec extends SparkSpec {
       emb.toSeq.filter(_._1 != q)
         .map { case (id, v) => (id, cos(emb(q), v)) }
         .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
-        .map { case ((id, _), i) => (q, id, i + 1) }
+        .map { case ((id, _), i) => (q, id, (i + 1).toLong) }
     }.toSet
-    val got = Similarity.s01AnnBruteforce(spark, sf).as[(Long, Long, Int)].collect().toSet
+    val got = Similarity.s01AnnBruteforce(spark, sf).as[(Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
 
@@ -127,12 +127,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("m01 plumbing: every doc decoded, features normalized, deterministic") {
     val out = Multimodal.m01MultimodalPipeline(spark, sf)
-    val rows = out.as[(Long, String, Int, Double)].collect()
+    val rows = out.as[(Long, String, Int, Boolean)].collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.length == nDocs)
     assert(rows.forall(_._3 > 0), "payload bytes present")
-    assert(rows.forall { case (_, fmt, _, norm) => fmt == "fake/rgb8" && norm > 0 && norm <= 1.0 })
-    val again = Multimodal.m01MultimodalPipeline(spark, sf).as[(Long, String, Int, Double)].collect()
+    assert(rows.forall { case (_, fmt, _, ok) => fmt == "fake/rgb8" && ok })
+    val again = Multimodal.m01MultimodalPipeline(spark, sf).as[(Long, String, Int, Boolean)].collect()
     assert(rows.sameElements(again))
   }
 }
