@@ -326,7 +326,33 @@ object TableOps {
        |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'O') AS rows_after_rewrite,
        |  CAST(0 AS BIGINT) AS remaining_predicates""".stripMargin
 
+  /** t16: the workshop's SQL surface end-to-end through the GraftSql
+    * facade — CTAS, DELETE, INSERT INTO ... SELECT, FOR SYSTEM_VERSION AS
+    * OF, DESCRIBE HISTORY — one statement-driven lifecycle, counts only.
+    */
+  def t16SqlFacade(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val g = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_sqlf").toString)
+    g.sql(s"CREATE TABLE f_orders AS SELECT * FROM ${cappedSql()} AS __base")
+    g.sql("DELETE FROM f_orders WHERE o_orderstatus = 'P'")
+    g.sql(s"INSERT INTO f_orders SELECT o_orderkey + 900000000, o_custkey, " +
+      s"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM ${cappedSql(100)} AS __ins")
+    val nV1 = g.sql("SELECT COUNT(*) AS n FROM f_orders FOR SYSTEM_VERSION AS OF 1").head().getLong(0)
+    val nCur = g.sql("SELECT COUNT(*) AS n FROM f_orders").head().getLong(0)
+    val nSnaps = g.sql("DESCRIBE HISTORY f_orders").count()
+    Seq((nV1, nCur, nSnaps)).toDF("n_v1", "n_current", "n_snapshots")
+  }
+
+  val t16Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT (SELECT COUNT(*) FROM base) AS n_v1,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'P') + 100 AS n_current,
+       |  CAST(3 AS BIGINT) AS n_snapshots""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t16_sql_facade"           -> ((t16SqlFacade _, t16Oracle)),
     "t15_merge_on_read"        -> ((t15MergeOnRead _, t15Oracle)),
     "t01_ctas_import"          -> ((t01Ctas _, t01Oracle)),
     "t02_inplace_migrate"      -> ((t02Migrate _, t02Oracle)),

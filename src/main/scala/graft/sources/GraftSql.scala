@@ -1,0 +1,341 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.tables._
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** SQL facade over the GraftTable layer: accepts the workshop's DDL/DML
+  * statement shapes and routes them onto the versioned-table API, so the
+  * reference's SQL scripts port 1:1:
+  *
+  *  - `CREATE TABLE t [PARTITIONED BY (...)] [TBLPROPERTIES(...)] AS SELECT ...`
+  *    (reference sql/airlines.sql CTAS import)
+  *  - `INSERT INTO t SELECT ...` / `INSERT INTO t VALUES (...)` /
+  *    `INSERT OVERWRITE t SELECT ...`
+  *  - `MERGE INTO t [AS x] USING (...) [AS y] ON ... WHEN MATCHED THEN
+  *    UPDATE ... WHEN NOT MATCHED THEN INSERT ...` (update_iceberg_v2_examples.sql:9-18)
+  *  - `UPDATE t SET c = e, ... WHERE cond` / `DELETE FROM t WHERE cond` /
+  *    `TRUNCATE TABLE t`
+  *  - `ALTER TABLE t ADD COLUMNS (c type, ...)` (limitations.md schema evolution)
+  *  - `ALTER TABLE t SET PARTITION SPEC (years(c), bucket(8, c), ...)`
+  *    (partition evolution; iceberg_partitioning_examples.sql)
+  *  - `ALTER TABLE t SET TBLPROPERTIES('k'='v', ...)`
+  *  - `ALTER TABLE t EXECUTE rollback(<snapshot-id>)` and
+  *    `ALTER TABLE t EXECUTE expire_snapshots('<timestamp>')` (README.md
+  *    "Time travel" / "Maintenance")
+  *  - `CALL system.rewrite_data_files('t')` / `CALL system.rewrite_manifests('t')`
+  *  - `DESCRIBE HISTORY t`
+  *  - `SELECT ... FROM t [FOR SYSTEM_TIME AS OF '<ts>']
+  *    [FOR SYSTEM_VERSION AS OF <id>] ...` — time travel inline in queries
+  *
+  * Anything not matching a managed-table statement falls through to
+  * `spark.sql` untouched (with managed tables visible as temp views), so
+  * the full Spark SQL surface composes with the table layer.
+  *
+  * Statement routing is intentionally shape-based (anchored regexes over
+  * the statement head): the goal is the workshop's command surface, not a
+  * general SQL parser — Catalyst keeps doing all expression parsing.
+  */
+class GraftSql(val spark: SparkSession, warehouse: String) {
+
+  private val tables = mutable.LinkedHashMap[String, String]() // name -> location
+
+  def location(name: String): String = tables.getOrElse(name,
+    throw new IllegalArgumentException(s"unknown graft table: $name"))
+
+  def table(name: String): GraftTable = GraftTable.load(spark, location(name))
+
+  /** Adopt an existing GraftTable (or reserve a location) under `name`. */
+  def register(name: String, loc: String): Unit = tables(name) = loc
+
+  /** In-place migration of a parquet dir (reference "in-place" import). */
+  def migrate(name: String, sourceDir: String): GraftTable = {
+    val t = GraftTable.migrateInPlace(spark, s"$warehouse/$name", sourceDir)
+    register(name, s"$warehouse/$name")
+    t
+  }
+
+  // --------------------------------------------------------- statement regexes
+
+  private def r(p: String): Regex = ("(?is)^" + p + "$").r
+
+  private val CreateHead = r("""CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""")
+  private val InsertSel = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*|FROM\b.*)""")
+  private val InsertVals = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+VALUES\s*(.*)""")
+  private val InsertOver = r("""INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)""")
+  private val Merge = r("""MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*?)(?:\s+AS\s+(\w+))?\s+ON\s+(.*?)\s+WHEN\s+MATCHED.*WHEN\s+NOT\s+MATCHED.*""")
+  private val Delete = r("""DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)""")
+  private val Update = r("""UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)""")
+  private val Truncate = r("""TRUNCATE\s+(?:TABLE\s+)?(\w+)""")
+  private val AddCols = r("""ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*(.*?)\s*\)?""")
+  private val SetSpec = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)""")
+  private val SetProps = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)""")
+  private val ExecRollback = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+ROLLBACK\s*\(\s*["']?(\d+)["']?\s*\)""")
+  private val ExecExpire = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s*\(\s*(.*?)\s*\)""")
+  private val CallRewriteFiles = r("""CALL\s+[\w.]*REWRITE_DATA_FILES\s*\(\s*["']([\w.]+)["']\s*\)""")
+  private val CallRewriteManifests = r("""CALL\s+[\w.]*REWRITE_MANIFESTS\s*\(\s*["']([\w.]+)["']\s*\)""")
+  private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
+
+  private val AsOfTime = """(?is)(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?["']([^"']+)["']""".r
+  private val AsOfVersion = """(?is)(\w+)\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+["']?(\d+)["']?""".r
+
+  // --------------------------------------------------------- entry point
+
+  def sql(statement: String): DataFrame = {
+    val stmt = statement.trim.stripSuffix(";").trim
+    stmt match {
+      case CreateHead(name, rest) =>
+        handleCreate(name, rest)
+      case InsertOver(name, select) =>
+        table(name).overwrite(runSelect(select)); status("overwrite", name)
+      case InsertSel(name, select) =>
+        table(name).append(conform(name, runSelect(select))); status("insert", name)
+      case InsertVals(name, tuples) =>
+        val schema = table(name).meta.schema
+        val cols = schema.fieldNames.mkString(", ")
+        table(name).append(conform(name,
+          runSelect(s"SELECT * FROM (VALUES $tuples) AS __v($cols)")))
+        status("insert", name)
+      case Merge(name, _, using, _, on) =>
+        val src = runSelect(stripParens(using))
+        table(name).mergeInto(conform(name, src), keysFromOn(on))
+        status("merge", name)
+      case Delete(name, cond) =>
+        table(name).delete(cond); status("delete", name)
+      case Update(name, sets, cond) =>
+        table(name).update(cond, parseAssignments(sets)); status("update", name)
+      case Truncate(name) =>
+        table(name).truncate(); status("truncate", name)
+      case AddCols(name, cols) =>
+        val t = table(name)
+        StructType.fromDDL(cols).fields.foreach(f => t.addColumn(f.name, f.dataType))
+        status("add-columns", name)
+      case SetSpec(name, spec) =>
+        table(name).setPartitionSpec(parseSpec(spec)); status("set-spec", name)
+      case SetProps(name, props) =>
+        table(name).setProperties(parseProps(props)); status("set-properties", name)
+      case ExecRollback(name, snap) =>
+        table(name).rollback(snap.toLong); status("rollback", name)
+      case ExecExpire(name, ts) =>
+        table(name).expireSnapshots(parseTimestampMs(ts)); status("expire", name)
+      case CallRewriteFiles(name) =>
+        table(stripDb(name)).compact(); status("rewrite-data-files", stripDb(name))
+      case CallRewriteManifests(name) =>
+        table(stripDb(name)).rewriteManifests(); status("rewrite-manifests", stripDb(name))
+      case DescHistory(name) =>
+        table(name).history
+      case _ =>
+        runSelect(stmt)
+    }
+  }
+
+  // --------------------------------------------------------- helpers
+
+  /** CREATE TABLE tail: optional (columns), then any order of PARTITIONED
+    * BY (...) / STORED AS|BY x / TBLPROPERTIES (...), then optional AS
+    * SELECT. Clause bodies are taken with balanced parens so nested types
+    * (DECIMAL(18,2)) and transforms (bucket(8, c)) parse correctly.
+    */
+  private def handleCreate(name: String, rest: String): DataFrame = {
+    var rem = rest.trim
+    var cols: Option[String] = None
+    var spec: Seq[PartitionField] = Nil
+    var props: Map[String, String] = Map.empty
+    var select: Option[String] = None
+    if (rem.startsWith("(")) {
+      val (inside, after) = takeBalanced(rem); cols = Some(inside); rem = after.trim
+    }
+    val PartBy = """(?is)^PARTITIONED\s+BY\s*(\(.*)$""".r
+    val Stored = """(?is)^STORED\s+(?:AS|BY)\s+\S+\s*(.*)$""".r
+    val Props = """(?is)^TBLPROPERTIES\s*(\(.*)$""".r
+    val AsSel = """(?is)^AS\s+(.*)$""".r
+    var progress = true
+    while (rem.nonEmpty && select.isEmpty && progress) {
+      progress = true
+      rem match {
+        case PartBy(tail) =>
+          val (inside, after) = takeBalanced(tail); spec = parseSpec(inside); rem = after.trim
+        case Props(tail) =>
+          val (inside, after) = takeBalanced(tail); props = parseProps(inside); rem = after.trim
+        case Stored(tail) => rem = tail.trim
+        case AsSel(sel) => select = Some(sel)
+        case _ => progress = false
+      }
+    }
+    require(rem.isEmpty || select.isDefined, s"unparsed CREATE TABLE tail: $rem")
+    val t = select match {
+      case Some(sel) =>
+        GraftTable.createAs(spark, s"$warehouse/$name", runSelect(sel), spec, props)
+      case None =>
+        GraftTable.createEmpty(spark, s"$warehouse/$name",
+          StructType.fromDDL(cols.getOrElse(
+            throw new IllegalArgumentException("CREATE TABLE needs columns or AS SELECT"))),
+          spec, props)
+    }
+    register(name, t.location)
+    status("create", name)
+  }
+
+  /** `s` starts with '(': returns (inside-without-outer-parens, remainder). */
+  private def takeBalanced(s: String): (String, String) = {
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(1, i), s.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $s")
+  }
+
+  /** Run a read statement with managed tables resolved: time-travel
+    * clauses become per-snapshot temp views, current snapshots back plain
+    * name references.
+    */
+  private def runSelect(selectRaw: String): DataFrame = {
+    var q = selectRaw
+    var i = 0
+    q = AsOfTime.replaceAllIn(q, m =>
+      if (!tables.contains(m.group(1))) Regex.quoteReplacement(m.matched)
+      else {
+        i += 1; val view = s"__graft_asof_$i"
+        table(m.group(1)).asOfTimestamp(parseTimestampMs("'" + m.group(2) + "'"))
+          .createOrReplaceTempView(view)
+        view
+      })
+    q = AsOfVersion.replaceAllIn(q, m =>
+      if (!tables.contains(m.group(1))) Regex.quoteReplacement(m.matched)
+      else {
+        i += 1; val view = s"__graft_asof_$i"
+        table(m.group(1)).asOf(m.group(2).toLong).createOrReplaceTempView(view)
+        view
+      })
+    tables.keys.foreach { name =>
+      if (("(?i)\\b" + name + "\\b").r.findFirstIn(q).isDefined)
+        table(name).toDF().createOrReplaceTempView(name)
+    }
+    spark.sql(q)
+  }
+
+  /** Align a source dataframe to the table schema: by name when every
+    * schema column is present (MERGE sources with extra/reordered columns),
+    * positionally otherwise (SQL INSERT semantics — `SELECT k + 1, name`
+    * feeds columns in order).
+    */
+  private def conform(name: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = table(name).meta.schema
+    val byName = schema.fieldNames.forall(n => df.columns.exists(_.equalsIgnoreCase(n)))
+    val named =
+      if (byName) df.select(schema.fieldNames.map(col): _*)
+      else {
+        require(df.columns.length == schema.fields.length,
+          s"INSERT column count ${df.columns.length} != table arity ${schema.fields.length}")
+        df.toDF(schema.fieldNames: _*)
+      }
+    named.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+  }
+
+  private def status(op: String, name: String): DataFrame = {
+    import spark.implicits._
+    Seq((op, name)).toDF("operation", "table")
+  }
+
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1) else t
+  }
+
+  private def stripDb(s: String): String = s.split('.').last
+
+  /** Equality keys from a MERGE ON clause: every `a.k = b.k`-shaped
+    * conjunct contributes column k.
+    */
+  private[sources] def keysFromOn(on: String): Seq[String] =
+    on.split("(?i)\\s+AND\\s+").toSeq.flatMap { conj =>
+      conj.split("=", 2) match {
+        case Array(l, r0) =>
+          val ln = l.trim.split('.').last.trim
+          val rn = r0.trim.split('.').last.trim
+          if (ln.equalsIgnoreCase(rn) && ln.matches("\\w+")) Some(ln) else None
+        case _ => None
+      }
+    }.distinct
+
+  /** `a = expr, b = expr` → assignment map (top-level commas only). */
+  private[sources] def parseAssignments(sets: String): Map[String, String] =
+    splitTopLevel(sets).map { a =>
+      val Array(k, v) = a.split("=", 2)
+      k.trim -> v.trim
+    }.toMap
+
+  /** Partition spec items: `col`, `years(col)`, `months(col)`, `days(col)`,
+    * `hours(col)`, `bucket(n, col)`, `truncate(w, col)`.
+    */
+  private[sources] def parseSpec(spec: String): Seq[PartitionField] =
+    if (spec == null || spec.trim.isEmpty) Nil
+    else splitTopLevel(spec).map { item =>
+      val FnArg = """(?i)(\w+)\s*\(\s*([^)]*)\s*\)""".r
+      item.trim match {
+        case FnArg(fn, args) =>
+          val parts = args.split(",").map(_.trim)
+          fn.toLowerCase match {
+            case "bucket"   => PartitionField(parts(1), s"bucket[${parts(0)}]", s"${parts(1)}_bucket")
+            case "truncate" => PartitionField(parts(1), s"truncate[${parts(0)}]", s"${parts(1)}_trunc")
+            case t @ ("years" | "months" | "days" | "hours") =>
+              PartitionField(parts(0), t, s"${parts(0)}_${t.dropRight(1)}")
+            case t @ ("year" | "month" | "day" | "hour") =>
+              PartitionField(parts(0), t + "s", s"${parts(0)}_$t")
+            case other => throw new IllegalArgumentException(s"unknown transform: $other")
+          }
+        case col => PartitionField(col, "identity", col)
+      }
+    }
+
+  /** `'k'='v', 'k2'='v2'` → property map. */
+  private[sources] def parseProps(props: String): Map[String, String] =
+    if (props == null || props.trim.isEmpty) Map.empty
+    else splitTopLevel(props).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      def unq(s: String) = s.trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'")
+      unq(k) -> unq(v)
+    }.toMap
+
+  /** Millis from `TIMESTAMP '...'`, a quoted timestamp, or a raw long. */
+  private[sources] def parseTimestampMs(raw: String): Long = {
+    val s = raw.trim.replaceAll("(?i)^TIMESTAMP\\s+", "")
+      .stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+    if (s.matches("\\d+")) s.toLong
+    else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
+  /** Split on commas that are not inside parentheses or quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

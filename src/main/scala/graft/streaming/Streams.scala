@@ -58,7 +58,15 @@ object Streams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
     val name = s"st01_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    // state partitioning is pinned at stream start: 8 partitions means 8
+    // state-store checkpoint commits per micro-batch instead of 32 — the
+    // dominant cost of this short-lived query. (A long-lived production
+    // stream would size this to state volume instead.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.processAllAvailable()
       // flush: one far-future event closes every real window

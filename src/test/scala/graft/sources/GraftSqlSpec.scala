@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** The workshop's SQL flows (reference sql/airlines.sql,
+  * update_iceberg_v2_examples.sql, iceberg_partitioning_examples.sql,
+  * README.md time-travel/maintenance walkthroughs) driven verbatim-shaped
+  * through the GraftSql facade.
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  private def freshSql(): GraftSql =
+    new GraftSql(spark, Files.createTempDirectory("graft_sql").toString)
+
+  private def registerSources(g: GraftSql): Unit =
+    Catalog.registerAll(spark, sf)
+
+  test("CTAS import + query (airlines.sql shape)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE orders_ice STORED AS PARQUET AS SELECT * FROM orders;")
+    assert(g.sql("SELECT COUNT(*) AS n FROM orders_ice").head().getLong(0) ==
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    assert(g.table("orders_ice").meta.currentSnapshot.get.operation == "append")
+  }
+
+  test("MERGE INTO updates matched and inserts unmatched (update_iceberg_v2 shape)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE n_ice AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    g.sql("""MERGE INTO n_ice AS target
+            |USING (SELECT n_nationkey, 'RENAMED' AS n_name, n_regionkey
+            |       FROM nation WHERE n_nationkey < 3
+            |       UNION ALL
+            |       SELECT 990 + n_nationkey AS n_nationkey, n_name, n_regionkey
+            |       FROM nation WHERE n_nationkey < 2) AS source
+            |ON n_nationkey = source.n_nationkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = g.sql("SELECT n_nationkey, n_name FROM n_ice ORDER BY n_nationkey")
+      .collect().map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    assert(out(0L) == "RENAMED" && out(1L) == "RENAMED" && out(2L) == "RENAMED")
+    assert(out.contains(990L) && out.contains(991L))
+    assert(out.size == 27)
+  }
+
+  test("DELETE / UPDATE / TRUNCATE / INSERT VALUES round trip") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE r_ice AS SELECT r_regionkey, r_name FROM region")
+    g.sql("DELETE FROM r_ice WHERE r_regionkey >= 3")
+    assert(g.sql("SELECT COUNT(*) AS n FROM r_ice").head().getLong(0) == 3)
+    g.sql("UPDATE r_ice SET r_name = 'EDITED' WHERE r_regionkey = 0")
+    assert(g.sql("SELECT r_name FROM r_ice WHERE r_regionkey = 0").head().getString(0) == "EDITED")
+    g.sql("INSERT INTO r_ice VALUES (97, 'NEW-A'), (98, 'NEW-B')")
+    assert(g.sql("SELECT COUNT(*) AS n FROM r_ice").head().getLong(0) == 5)
+    g.sql("TRUNCATE TABLE r_ice")
+    assert(g.sql("SELECT COUNT(*) AS n FROM r_ice").head().getLong(0) == 0)
+  }
+
+  test("time travel + EXECUTE ROLLBACK + EXECUTE EXPIRE_SNAPSHOTS (README time travel)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE tt_ice AS SELECT r_regionkey, r_name FROM region")
+    g.sql("INSERT INTO tt_ice SELECT r_regionkey + 100, r_name FROM region")
+    val hist = g.sql("DESCRIBE HISTORY tt_ice").collect()
+    assert(hist.length == 2)
+    assert(g.sql("SELECT COUNT(*) AS n FROM tt_ice FOR SYSTEM_VERSION AS OF 1")
+      .head().getLong(0) == 5)
+    assert(g.sql("SELECT COUNT(*) AS n FROM tt_ice").head().getLong(0) == 10)
+    g.sql("ALTER TABLE tt_ice EXECUTE ROLLBACK(1)")
+    assert(g.sql("SELECT COUNT(*) AS n FROM tt_ice").head().getLong(0) == 5)
+    val futureMs = System.currentTimeMillis() + 100000
+    g.sql(s"ALTER TABLE tt_ice EXECUTE EXPIRE_SNAPSHOTS($futureMs)")
+    assert(g.table("tt_ice").meta.snapshots.size == 1)
+    assert(g.sql("SELECT COUNT(*) AS n FROM tt_ice").head().getLong(0) == 5)
+  }
+
+  test("partition spec DDL + evolution + schema evolution (partitioning examples)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("""CREATE TABLE o_ice PARTITIONED BY (o_orderstatus)
+            |AS SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice FROM orders""".stripMargin)
+    val t = g.table("o_ice")
+    assert(t.meta.currentSpec.fields.map(f => (f.source, f.transform)) ==
+      Seq(("o_orderstatus", "identity")))
+    g.sql("ALTER TABLE o_ice SET PARTITION SPEC (years(o_orderdate), bucket(4, o_orderkey))")
+    assert(t.meta.currentSpec.fields.map(_.transform) == Seq("years", "bucket[4]"))
+    g.sql("INSERT INTO o_ice SELECT o_orderkey + 10000000, o_orderstatus, o_orderdate, o_totalprice FROM orders")
+    // both layouts answer one query
+    assert(g.sql("SELECT COUNT(*) AS n FROM o_ice").head().getLong(0) ==
+      2 * spark.read.parquet(s"$sf/orders.parquet").count())
+    g.sql("ALTER TABLE o_ice ADD COLUMNS (quality DOUBLE)")
+    assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE quality IS NULL").head().getLong(0) > 0)
+  }
+
+  test("CALL rewrite_data_files / rewrite_manifests + TBLPROPERTIES (maintenance)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE c_ice AS SELECT * FROM customer")
+    g.sql("INSERT INTO c_ice SELECT * FROM customer")
+    g.sql("INSERT INTO c_ice SELECT * FROM customer")
+    val before = g.table("c_ice").currentFiles().size
+    g.sql("CALL system.rewrite_data_files('c_ice')")
+    assert(g.table("c_ice").currentFiles().size < before)
+    g.sql("CALL system.rewrite_manifests('c_ice')")
+    g.sql("ALTER TABLE c_ice SET TBLPROPERTIES('write.distribution-mode'='none')")
+    assert(g.table("c_ice").meta.properties("write.distribution-mode") == "none")
+    assert(g.sql("SELECT COUNT(*) AS n FROM c_ice").head().getLong(0) ==
+      3 * spark.read.parquet(s"$sf/customer.parquet").count())
+  }
+}
