@@ -34,23 +34,52 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def currentFiles(m: TableMeta = meta): Seq[DataFile] =
     m.currentSnapshot.map(s => MetaIO.loadManifest(conf, location, s)).getOrElse(Nil)
 
+  /** Full manifest payload of a snapshot (files + both MOR delete kinds). */
+  private def manifestDataOf(s: Snapshot): ManifestData =
+    MetaIO.manifestData(
+      MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))
+
+  private def currentManifest(m: TableMeta = meta): ManifestData =
+    m.currentSnapshot.map(manifestDataOf).getOrElse(ManifestData(Nil, Nil, Nil))
+
   /** Active merge-on-read delete predicates of the current snapshot. */
   def currentDeletes(m: TableMeta = meta): Seq[String] =
-    m.currentSnapshot.map { s =>
-      MetaIO.manifestFromJsonFull(
-        MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))._2
-    }.getOrElse(Nil)
+    currentManifest(m).deletePredicates
+
+  /** Active merge-on-read position-delete files of the current snapshot. */
+  def currentPositionDeletes(m: TableMeta = meta): Seq[String] =
+    currentManifest(m).positionDeleteFiles
 
   /** Apply merge-on-read delete predicates to a scan result. */
   private def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
     deletes.foldLeft(df)((d, p) => d.filter(!coalesce(expr(p), lit(false))))
+
+  /** Apply both merge-on-read delete kinds to a scan result. Position
+    * deletes anti-join on (_metadata.file_path, _metadata.row_index) — the
+    * delete set is usually tiny relative to the data, so Catalyst/AQE pick
+    * a broadcast anti-join and the scan stays one pass.
+    */
+  private def applyMor(df: DataFrame, md: ManifestData): DataFrame = {
+    val afterPos =
+      if (md.positionDeleteFiles.isEmpty || md.files.isEmpty) df
+      else {
+        val dels = spark.read.parquet(md.positionDeleteFiles: _*)
+        df.withColumn("__gp_fp", col("_metadata.file_path"))
+          .withColumn("__gp_pos", col("_metadata.row_index"))
+          .join(dels, col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
+            "left_anti")
+          .drop("__gp_fp", "__gp_pos")
+      }
+    applyDeletes(afterPos, md.deletePredicates)
+  }
 
   // ------------------------------------------------------------- reads
 
   /** Current-snapshot read with manifest-level pruning. */
   def toDF(filterSql: Option[String] = None): DataFrame = {
     val m = meta
-    applyDeletes(ScanPlanner.scan(spark, m, currentFiles(m), filterSql), currentDeletes(m))
+    val md = currentManifest(m)
+    applyMor(ScanPlanner.scan(spark, m, md.files, filterSql), md)
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's
@@ -66,9 +95,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    val (files, deletes) = MetaIO.manifestFromJsonFull(
-      MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${snap.manifest}"))
-    applyDeletes(ScanPlanner.scan(spark, m, files, None), deletes)
+    val md = manifestDataOf(snap)
+    applyMor(ScanPlanner.scan(spark, m, md.files, None), md)
   }
 
   /** Incremental read (CDC-style changelog): rows added between two
@@ -133,7 +161,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   private def commitSnapshot(m: TableMeta, files: Seq[DataFile], op: String,
       added: Long, parentOverride: Option[Long] = None,
-      deletePredicates: Seq[String] = Nil): TableMeta = {
+      deletePredicates: Seq[String] = Nil,
+      positionDeleteFiles: Seq[String] = Nil): TableMeta = {
     // optimistic concurrency: refuse to clobber a commit that landed after
     // this operation read its base metadata (single-writer is the contract;
     // this turns a silent lost-update into a loud failure)
@@ -145,7 +174,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val snapId = nextSnapshotId(m)
     val manifestName = s"manifest-$snapId.json"
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
-      MetaIO.manifestToJson(files, deletePredicates))
+      MetaIO.manifestToJson(files, deletePredicates, positionDeleteFiles))
     val snap = Snapshot(snapId, parentOverride.orElse(m.currentSnapshotId),
       System.currentTimeMillis(), op,
       manifestName, added, files.size, files.map(_.recordCount).sum)
@@ -301,27 +330,91 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   def deleteMergeOnRead(cond: String): GraftTable = {
     val m = meta
-    commitSnapshot(m, currentFiles(m), "delete-mor", 0,
-      deletePredicates = currentDeletes(m) :+ cond)
+    val md = currentManifest(m)
+    commitSnapshot(m, md.files, "delete-mor", 0,
+      deletePredicates = md.deletePredicates :+ cond,
+      positionDeleteFiles = md.positionDeleteFiles)
     this
   }
 
-  /** Rewrite the files containing rows hit by active merge-on-read delete
-    * predicates and clear them (Iceberg's rewrite of v2 delete files).
+  /** Merge-on-read DELETE WHERE as POSITION deletes (Iceberg v2 delete
+    * files): matching row positions are written to a small parquet delete
+    * file — one scan of candidate files, no data file rewritten — and
+    * anti-joined at read time on (_metadata.file_path, _metadata.row_index).
+    * Unlike predicate deletes, the read cost is independent of how many
+    * delete conditions have accumulated, and rows appended later can never
+    * be hit by an old delete.
+    */
+  def deleteMergeOnReadPositions(cond: String): GraftTable = {
+    val m = meta
+    val md = currentManifest(m)
+    if (md.files.isEmpty) return this
+    val candidates = ScanPlanner.pruneFiles(m, md.files, cond, spark)
+    val written: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
+        // capture positions before any join: _metadata resolves only on
+        // the file-source side of the plan
+        val base = ScanPlanner.scan(spark, m, candidates, None)
+          .withColumn("__gp_fp", col("_metadata.file_path"))
+          .withColumn("__gp_pos", col("_metadata.row_index"))
+        val minusPos =
+          if (md.positionDeleteFiles.isEmpty) base
+          else {
+            val dels = spark.read.parquet(md.positionDeleteFiles: _*)
+            base.join(dels,
+              col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
+              "left_anti")
+          }
+        applyDeletes(minusPos, md.deletePredicates)
+          .filter(coalesce(expr(cond), lit(false)))
+          .select(col("__gp_fp").as("file_path"), col("__gp_pos").as("pos"))
+          .write.parquet(delDir)
+        listParquet(delDir)
+      }
+    if (written.isEmpty && md.deletePredicates.isEmpty) return this
+    commitSnapshot(m, md.files, "delete-mor-pos", 0,
+      deletePredicates = md.deletePredicates,
+      positionDeleteFiles = md.positionDeleteFiles ++ written)
+    this
+  }
+
+  private def listParquet(dir: String): Seq[String] = {
+    val fsys = MetaIO.fs(conf, dir)
+    val it = fsys.listFiles(new Path(dir), true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (p.endsWith(".parquet")) out += stripScheme(p)
+    }
+    out.result()
+  }
+
+  /** Rewrite the files containing rows hit by active merge-on-read deletes
+    * (predicate and position kinds) and clear them (Iceberg's rewrite of
+    * v2 delete files).
     */
   def materializeDeletes(): GraftTable = {
     val m = meta
-    val deletes = currentDeletes(m)
-    if (deletes.isEmpty) return this
-    val combined = deletes.map(p => s"($p)").mkString(" OR ")
-    val cur = currentFiles(m)
-    val touched = matchingFiles(m, combined)
+    val md = currentManifest(m)
+    if (md.deletePredicates.isEmpty && md.positionDeleteFiles.isEmpty) return this
+    val predTouched: Set[String] =
+      if (md.deletePredicates.isEmpty) Set.empty
+      else matchingFiles(m, md.deletePredicates.map(p => s"($p)").mkString(" OR "))
+        .map(_.path).toSet
+    val posTouched: Set[String] =
+      if (md.positionDeleteFiles.isEmpty) Set.empty
+      else spark.read.parquet(md.positionDeleteFiles: _*)
+        .select(col("file_path")).distinct().collect()
+        .map(r => stripScheme(r.getString(0))).toSet
+    val touched = md.files.filter(f => predTouched.contains(f.path) || posTouched.contains(f.path))
     val rewritten =
       if (touched.isEmpty) Nil
       else writeDataFiles(
-        spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
-          .filter(!coalesce(expr(combined), lit(false))), m)
-    val untouched = cur.filterNot(f => touched.exists(_.path == f.path))
+        applyMor(spark.read.schema(m.schema).parquet(touched.map(_.path): _*),
+          md.copy(files = touched)), m)
+    val untouched = md.files.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouched ++ rewritten, "rewrite-deletes", rewritten.size)
     this
   }
@@ -329,8 +422,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** Mutations operate on materialized state so new rows are never hit by
     * older merge-on-read predicates.
     */
-  private def ensureMaterialized(): Unit =
-    if (currentDeletes().nonEmpty) { materializeDeletes(); () }
+  private def ensureMaterialized(): Unit = {
+    val md = currentManifest()
+    if (md.deletePredicates.nonEmpty || md.positionDeleteFiles.nonEmpty) {
+      materializeDeletes(); ()
+    }
+  }
 
   /** Append rows (reference INSERT INTO). */
   def append(df: DataFrame): GraftTable = {
@@ -459,14 +556,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    // full manifest read: the target's merge-on-read delete predicates must
-    // survive the rollback, or MOR-deleted rows would silently resurrect
-    val (files, deletes) = MetaIO.manifestFromJsonFull(
-      MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${snap.manifest}"))
+    // full manifest read: the target's merge-on-read deletes (both kinds)
+    // must survive the rollback, or MOR-deleted rows would silently
+    // resurrect
+    val md = manifestDataOf(snap)
     // history continues from the rollback target: abandoned snapshots stop
     // being current ancestors (reference history table semantics)
-    commitSnapshot(m, files, "rollback", 0, parentOverride = Some(snapshotId),
-      deletePredicates = deletes)
+    commitSnapshot(m, md.files, "rollback", 0, parentOverride = Some(snapshotId),
+      deletePredicates = md.deletePredicates,
+      positionDeleteFiles = md.positionDeleteFiles)
     this
   }
 
@@ -480,11 +578,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val (expired, kept) = m.snapshots.partition(s =>
       s.timestampMs < olderThanMs && !m.currentSnapshotId.contains(s.id))
     if (expired.isEmpty) return this
-    val keptFiles = kept.flatMap(s => MetaIO.loadManifest(conf, location, s).map(_.path)).toSet
-    val orphans = expired.flatMap(s => MetaIO.loadManifest(conf, location, s).map(_.path))
+    val keptData = kept.map(manifestDataOf)
+    val expiredData = expired.map(manifestDataOf)
+    val keptFiles = keptData.flatMap(_.files.map(_.path)).toSet
+    val orphans = expiredData.flatMap(_.files.map(_.path))
       .toSet.diff(keptFiles)
       .filter(_.startsWith(s"$location/data/"))
     orphans.foreach(p => MetaIO.delete(conf, p))
+    // position-delete files referenced only by expired snapshots
+    val keptPos = keptData.flatMap(_.positionDeleteFiles).toSet
+    expiredData.flatMap(_.positionDeleteFiles).toSet.diff(keptPos)
+      .filter(_.startsWith(s"$location/deletes/"))
+      .foreach(p => MetaIO.delete(conf, p))
     expired.foreach(s => MetaIO.delete(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))
     commitMetadataOnly(m.copy(version = m.version + 1, snapshots = kept))
     this
@@ -578,13 +683,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
-  /** Consolidate the current manifest (reference `rewrite_manifests`). */
+  /** Consolidate the current manifest (reference `rewrite_manifests`).
+    * Round-trips the FULL payload — dropping the merge-on-read delete
+    * entries here would resurrect deleted rows.
+    */
   def rewriteManifests(): GraftTable = {
     val m = meta
     m.currentSnapshot.foreach { s =>
-      val files = MetaIO.loadManifest(conf, location, s)
+      val md = manifestDataOf(s)
       MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}",
-        MetaIO.manifestToJson(files))
+        MetaIO.manifestToJson(md.files, md.deletePredicates, md.positionDeleteFiles))
     }
     this
   }

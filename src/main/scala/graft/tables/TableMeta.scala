@@ -55,6 +55,16 @@ case class DataFile(
     sizeBytes: Long,
     stats: Map[String, ColStats])
 
+/** Everything a snapshot manifest carries: the data-file list plus the two
+  * merge-on-read delete kinds (predicate deletes: a SQL condition applied
+  * at read time; position deletes: parquet files of (file_path, pos) rows
+  * to drop — Iceberg v2 delete-file analogue).
+  */
+case class ManifestData(
+    files: Seq[DataFile],
+    deletePredicates: Seq[String],
+    positionDeleteFiles: Seq[String])
+
 case class Snapshot(
     id: Long,
     parentId: Option[Long],
@@ -136,11 +146,16 @@ object MetaIO {
 
   // ------------------------------------------------------------ manifest
 
-  def manifestToJson(files: Seq[DataFile], deletePredicates: Seq[String] = Nil): String = {
+  def manifestToJson(files: Seq[DataFile], deletePredicates: Seq[String] = Nil,
+      positionDeleteFiles: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     if (deletePredicates.nonEmpty) {
       val dp = root.putArray("delete_predicates")
       deletePredicates.foreach(dp.add)
+    }
+    if (positionDeleteFiles.nonEmpty) {
+      val pd = root.putArray("position_delete_files")
+      positionDeleteFiles.foreach(pd.add)
     }
     val arr = root.putArray("files")
     files.foreach { f =>
@@ -163,13 +178,22 @@ object MetaIO {
   }
 
   def manifestFromJson(json: String): Seq[DataFile] =
-    manifestFromJsonFull(json)._1
+    manifestData(json).files
 
-  /** Files + merge-on-read delete predicates. */
+  /** Files + merge-on-read delete predicates (predicate deletes only;
+    * prefer [[manifestData]] which also carries position deletes).
+    */
   def manifestFromJsonFull(json: String): (Seq[DataFile], Seq[String]) = {
+    val d = manifestData(json); (d.files, d.deletePredicates)
+  }
+
+  /** Full manifest payload: data files + both merge-on-read delete kinds. */
+  def manifestData(json: String): ManifestData = {
     val root = mapper.readTree(json)
     val deletes = Seq.newBuilder[String]
     Option(root.get("delete_predicates")).foreach(_.forEach(n => deletes += n.asText()))
+    val posDeletes = Seq.newBuilder[String]
+    Option(root.get("position_delete_files")).foreach(_.forEach(n => posDeletes += n.asText()))
     val out = Seq.newBuilder[DataFile]
     root.get("files").forEach { o =>
       val pv = Map.newBuilder[String, String]
@@ -188,7 +212,7 @@ object MetaIO {
         pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
         stats.result())
     }
-    (out.result(), deletes.result())
+    ManifestData(out.result(), deletes.result(), posDeletes.result())
   }
 
   // ------------------------------------------------------------ metadata

@@ -87,7 +87,7 @@ class StreamsSpec extends SparkSpec {
       val method = classOf[graft.tables.GraftTable].getDeclaredMethods
         .find(_.getName == "commitSnapshot").get
       method.setAccessible(true)
-      try method.invoke(t1, m, Nil, "append", Long.box(0L), None, Nil)
+      try method.invoke(t1, m, Nil, "append", Long.box(0L), None, Nil, Nil)
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }
   }

@@ -230,6 +230,54 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.toDF().count() == 10, "new rows must survive older delete predicates")
   }
 
+  test("position-delete merge-on-read: metadata commit, reads, time travel, rollback, materialize") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(4))
+    val total = ordersDf.count()
+    val nO = ordersDf.filter($"o_orderstatus" === "O").count()
+    val filesBefore = t.currentFiles().map(_.path).toSet
+
+    t.deleteMergeOnReadPositions("o_orderstatus = 'O'")
+    assert(t.currentFiles().map(_.path).toSet == filesBefore, "no data file rewritten")
+    assert(t.meta.currentSnapshot.get.operation == "delete-mor-pos")
+    assert(t.currentPositionDeletes().nonEmpty)
+    assert(t.toDF().count() == total - nO)
+    assert(t.toDF().filter($"o_orderstatus" === "O").count() == 0)
+
+    // stacking a second position delete only records still-live rows
+    val nHigh = ordersDf.filter($"o_orderstatus" =!= "O")
+      .filter($"o_totalprice" > 300000).count()
+    t.deleteMergeOnReadPositions("o_totalprice > 300000")
+    assert(t.toDF().count() == total - nO - nHigh)
+
+    // time travel across both deletes
+    assert(t.asOf(1).count() == total)
+    assert(t.asOf(2).count() == total - nO)
+
+    // rollback carries the target's position deletes
+    t.rollback(2)
+    assert(t.toDF().count() == total - nO)
+
+    // materialization rewrites only hit files and clears the delete files
+    t.materializeDeletes()
+    assert(t.currentPositionDeletes().isEmpty)
+    assert(t.toDF().count() == total - nO)
+    assert(t.toDF().filter($"o_orderstatus" === "O").count() == 0)
+  }
+
+  test("predicate and position deletes compose at read time") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf)
+    val total = ordersDf.count()
+    val nO = ordersDf.filter($"o_orderstatus" === "O").count()
+    val nPHigh = ordersDf.filter($"o_orderstatus" === "P")
+      .filter($"o_totalprice" > 200000).count()
+    t.deleteMergeOnRead("o_orderstatus = 'O'")
+    t.deleteMergeOnReadPositions("o_totalprice > 200000 AND o_orderstatus = 'P'")
+    assert(t.toDF().count() == total - nO - nPHigh)
+    t.materializeDeletes()
+    assert(t.currentDeletes().isEmpty && t.currentPositionDeletes().isEmpty)
+    assert(t.toDF().count() == total - nO - nPHigh)
+  }
+
   test("cluster() makes stats pruning near-exact on the sort column") {
     val loc = tmp()
     // random layout: every file spans the whole key range -> no pruning
