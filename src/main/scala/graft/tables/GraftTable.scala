@@ -232,8 +232,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case "hash" => out.repartition()
       case _ => out
     }
-    if (gpCols.isEmpty) distributed.write.parquet(commitDir)
-    else distributed.write.partitionBy(gpCols: _*).parquet(commitDir)
+    // point-lookup pruning beyond min/max: the `write.bloom-columns`
+    // property turns on parquet's NATIVE per-row-group bloom filters for
+    // the listed columns (the scale-correct home for blooms — sized by the
+    // writer, read back automatically by the parquet reader for `=` and
+    // IN predicates; manifests stay O(min/max))
+    val bloomCols = m.properties.get(TableFormat.BloomColumns)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val writer = bloomCols.foldLeft(distributed.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    if (gpCols.isEmpty) writer.parquet(commitDir)
+    else writer.partitionBy(gpCols: _*).parquet(commitDir)
     collectFileEntries(commitDir, m, spec.specId)
   }
 
@@ -639,38 +649,51 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
-  /** Z-order clustering over two numeric/timestamp columns: each value is
-    * min-max normalized to 16 bits and the bits interleaved (pure bitwise
-    * builtins — stays in codegen), then the table is rewritten range-
-    * partitioned on the z-value. Files end up with tight min/max ranges on
-    * BOTH columns, so stats pruning works for predicates on either —
-    * what single-column clustering can't give.
+  /** Z-order clustering over two columns (see the N-column overload). */
+  def clusterZOrder(colA: String, colB: String, nFiles: Int): GraftTable =
+    clusterZOrder(Seq(colA, colB), nFiles)
+  def clusterZOrder(colA: String, colB: String): GraftTable =
+    clusterZOrder(Seq(colA, colB), 0)
+
+  /** Z-order clustering over N numeric/timestamp columns: each value is
+    * min-max normalized to ⌊63/N⌋ bits (≤16) and the bits interleaved
+    * round-robin (pure bitwise builtins — stays in codegen), then the
+    * table is rewritten range-partitioned on the z-value. Files end up
+    * with tight min/max ranges on EVERY listed column, so stats pruning
+    * works for predicates on any of them — what single-column clustering
+    * can't give.
     */
-  def clusterZOrder(colA: String, colB: String, nFiles: Int = 0): GraftTable = {
+  def clusterZOrder(cols: Seq[String], nFiles: Int = 0): GraftTable = {
+    require(cols.size >= 2, "z-order needs at least two columns")
     ensureMaterialized()
     val m = meta
     val cur = currentFiles(m)
     if (cur.isEmpty) return this
     val base = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
     val st = base.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+      min(col(cols.head).cast("double")),
+      (Seq(max(col(cols.head).cast("double"))) ++
+        cols.tail.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))): _*
+    ).head()
     // an all-null column yields null min/max: treat it as constant (z bits
     // 0 for that axis) instead of crashing the rewrite
     def statAt(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
-    val (minA, maxA, minB, maxB) = (statAt(0), statAt(1), statAt(2), statAt(3))
 
-    def norm16(c: String, lo: Double, hi: Double): Column =
+    val bits = math.min(16, 63 / cols.size)
+    val maxVal = (1L << bits) - 1
+    def normBits(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(lit(65535L), greatest(lit(0L),
-        ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+      else least(lit(maxVal), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxVal.toDouble).cast("long")))
 
-    val a16 = norm16(colA, minA, maxA)
-    val b16 = norm16(colB, minB, maxB)
-    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a16, i).bitwiseAND(lit(1L)), 2 * i).cast("long"))
-        .bitwiseOR(shiftleft(shiftright(b16, i).bitwiseAND(lit(1L)), 2 * i + 1).cast("long"))
+    val normed = cols.zipWithIndex.map { case (c, j) =>
+      normBits(c, statAt(2 * j), statAt(2 * j + 1))
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      normed.zipWithIndex.foldLeft(acc) { case (a, (nc, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(nc, i).bitwiseAND(lit(1L)),
+          i * cols.size + j).cast("long"))
+      }
     }
     val n = if (nFiles > 0) nFiles
       else math.max(1, (cur.map(_.sizeBytes).sum / (128L << 20)).toInt)

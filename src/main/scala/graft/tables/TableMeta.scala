@@ -32,6 +32,10 @@ object TableFormat {
   val PartColPrefix = "__gp_"
   /** Metadata retention property (reference README.md "Metadata files"). */
   val PrevVersionsMax = "write.metadata.previous-versions-max"
+  /** Comma-separated columns that get parquet native bloom filters on
+    * write (point-lookup row-group skipping beyond min/max stats).
+    */
+  val BloomColumns = "write.bloom-columns"
 }
 
 /** One partition field: `transform(source) AS name`. Transforms: identity,

@@ -278,6 +278,40 @@ class GraftTableSpec extends SparkSpec {
     assert(t.toDF().count() == total - nO - nPHigh)
   }
 
+  test("write.bloom-columns enables parquet native bloom filters on data files") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val t = GraftTable.createAs(spark, tmp(), ordersDf,
+      properties = Map(TableFormat.BloomColumns -> "o_orderkey"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = t.currentFiles().head.path
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val keyCol = rg.getColumns.asScala.find(_.getPath.toDotString == "o_orderkey").get
+      assert(keyCol.getBloomFilterOffset > 0, "o_orderkey must carry a bloom filter")
+      val otherCol = rg.getColumns.asScala.find(_.getPath.toDotString == "o_custkey").get
+      assert(otherCol.getBloomFilterOffset <= 0, "unlisted columns stay bloom-free")
+    } finally reader.close()
+    // point lookups stay correct with the filters in play
+    val k = ordersDf.select($"o_orderkey").head().getLong(0)
+    assert(t.toDF(Some(s"o_orderkey = $k")).count() ==
+      ordersDf.filter($"o_orderkey" === k).count())
+  }
+
+  test("n-column z-order clusters three columns at once") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(8))
+    t.clusterZOrder(Seq("o_orderkey", "o_custkey", "o_totalprice"), nFiles = 8)
+    assert(t.toDF().count() == ordersDf.count())
+    // every axis prunes to a strict subset of the files
+    for (pred <- Seq("o_orderkey <= 50", "o_custkey <= 20", "o_totalprice <= 30000")) {
+      val planned = t.plannedFiles(pred).size
+      assert(planned < t.currentFiles().size, s"$pred should prune, planned=$planned")
+    }
+  }
+
   test("cluster() makes stats pruning near-exact on the sort column") {
     val loc = tmp()
     // random layout: every file spans the whole key range -> no pruning
