@@ -26,6 +26,18 @@ object F {
   /** Rolling-hash fingerprint (long) of a string column. */
   def fingerprint(text: Column, window: Int = 16): Column =
     col(RabinFingerprint(ex(text), window))
+
+  /** Sorted distinct rolling char-n-gram hashes of a string column. */
+  def charShingles(text: Column, window: Int): Column =
+    col(CharWindowHashes(ex(text), window))
+
+  /** Sorted distinct n-element shingle hashes over an array<long> column. */
+  def wordShingles(elementHashes: Column, window: Int): Column =
+    col(WordWindowHashes(ex(elementHashes), window))
+
+  /** Intersection size of two sorted distinct array<long> columns. */
+  def sortedOverlap(a: Column, b: Column): Column =
+    col(SortedOverlapCount(ex(a), ex(b)))
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.

@@ -46,6 +46,147 @@ object HashUtil {
   }
 }
 
+/** One-pass shingling kernels shared by the interpreted and generated
+  * paths. All emit SORTED DISTINCT hash arrays so set operations downstream
+  * can run as linear merges instead of hash-set builds.
+  */
+object ShingleUtil {
+  import HashUtil.{Golden, mix}
+
+  /** Sort + dedup in place; wraps the unique prefix. */
+  private def sortedDistinct(out: Array[Long]): GenericArrayData = {
+    java.util.Arrays.sort(out)
+    var m = 0
+    var i = 0
+    while (i < out.length) {
+      if (m == 0 || out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Rolling Rabin-Karp hashes of every `w`-byte window (mixed), sorted
+    * distinct — zero per-window allocations, one pass over the bytes.
+    */
+  def charWindowHashes(bytes: Array[Byte], w: Int): GenericArrayData = {
+    if (bytes.length == 0) return new GenericArrayData(Array(0L))
+    val win = math.min(w, bytes.length)
+    val B = 257L
+    var pow = 1L
+    var i = 1
+    while (i < win) { pow *= B; i += 1 }
+    val out = new Array[Long](bytes.length - win + 1)
+    var h = 0L
+    i = 0
+    while (i < win) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    out(0) = mix(h)
+    i = win
+    while (i < bytes.length) {
+      h = (h - (bytes(i - win) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      out(i - win + 1) = mix(h)
+      i += 1
+    }
+    sortedDistinct(out)
+  }
+
+  /** Window hashes over an array of element hashes (word shingles), sorted
+    * distinct — replaces per-window `slice` allocations with a chained mix.
+    */
+  def wordWindowHashes(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array(0L))
+    val win = math.min(w, n)
+    val out = new Array[Long](n - win + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 1L
+      var k = 0
+      while (k < win) { h = mix(h * Golden + arr.getLong(i + k)); k += 1 }
+      out(i) = h
+      i += 1
+    }
+    sortedDistinct(out)
+  }
+
+  /** |a ∩ b| of two sorted distinct long arrays — linear merge, no sets. */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Sorted distinct rolling char-`window`-gram hashes of a string. */
+case class CharWindowHashes(child: Expression, window: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.charWindowHashes(input.asInstanceOf[UTF8String].getBytes, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val su = classOf[ShingleUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $su.charWindowHashes($s.getBytes(), $window);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashes =
+    copy(child = newChild)
+}
+
+/** Sorted distinct `window`-element shingle hashes over element hashes. */
+case class WordWindowHashes(child: Expression, window: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.wordWindowHashes(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val su = classOf[ShingleUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $su.wordWindowHashes($arr, $window);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindowHashes =
+    copy(child = newChild)
+}
+
+/** Intersection size of two sorted distinct long arrays (linear merge). */
+case class SortedOverlapCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleUtil.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val su = classOf[ShingleUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $su.sortedOverlap($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedOverlapCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature: input = array<long> of element hashes (e.g.
   * `transform(shingles, s -> xxhash64(s))`), output = array<long> of
   * `numHashes` minima where hash_j(h) = mix(h + Golden * (j+1)).

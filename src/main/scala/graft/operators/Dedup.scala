@@ -74,29 +74,28 @@ object Dedup {
     d.unionAll(mutated)
   }
 
-  /** Word 3-shingle hashes (distinct array<long>): words are hashed once,
-    * then each shingle hash is xxhash64 over a 3-slice of word hashes — no
-    * shingle strings are ever built and the regex split runs once per row.
-    * Short docs fall back to the whole word-hash array as one shingle.
+  /** Word 3-shingle hashes (sorted distinct array<long>): words are hashed
+    * once, then one codegen'd pass chains the window hashes — no shingle
+    * strings, no per-window slice arrays, and the regex split runs once
+    * per row. Short docs fall back to one whole-array shingle.
     */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("__wh", expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"))
-      .withColumn("sh", expr(
-        """array_distinct(transform(
-          |  sequence(1, greatest(size(__wh) - 2, 1)),
-          |  i -> xxhash64(slice(__wh, i, 3))))""".stripMargin))
-      .drop("__wh")
+    df.withColumn("sh", F.wordShingles(
+      expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 3))
 
-  /** Character 5-gram shingles, hashed. */
-  private def charShingleHashes(text: Column): Column = expr(
-    """array_distinct(transform(
-      |  transform(sequence(1, greatest(length(text) - 4, 1)),
-      |    i -> substring(text, i, 5)),
-      |  s -> xxhash64(s)))""".stripMargin)
+  /** Character 5-gram shingles: one rolling-hash pass over the UTF-8 bytes
+    * (codegen'd, zero per-window allocations), sorted distinct.
+    */
+  private def charShingleHashes(text: Column): Column = F.charShingles(text, 5)
 
-  /** Exact Jaccard similarity of two hashed shingle sets (array<long>). */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard similarity of two sorted hashed shingle sets: the
+    * intersection is a linear two-pointer merge (arrays come pre-sorted
+    * from the shingle expressions), not a per-pair hash-set build.
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = F.sortedOverlap(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
 
   /** LSH banding: explode a minhash signature into (bandIdx, bandKey) rows;
     * docs sharing any band key become candidate pairs. `maxBucket` caps

@@ -115,6 +115,64 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val added = files(toSnapshotId).filterNot(f => before.contains(f.path))
     ScanPlanner.scan(spark, m, added, None)
   }
+  /** Row-level changelog (CDC) between two snapshots on the same ancestry
+    * chain: each commit contributes its rows tagged `_change_type`
+    * 'insert' (append/merge-inserted files) or 'delete' (rows hit by a
+    * merge-on-read predicate or position delete in that commit). Appends
+    * are a manifest diff (no data re-read beyond the added files); MOR
+    * deletes re-derive exactly the deleted rows from the parent snapshot.
+    * Copy-on-write rewrite commits (delete/update/merge/replace) don't
+    * retain enough metadata for row-level diffs — consumers of those
+    * should read between append/MOR snapshots, matching Iceberg's
+    * changelog-scan restriction.
+    */
+  def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val m = meta
+    var chain = List.empty[Snapshot]
+    var cur = m.snapshot(toSnapshotId)
+    while (cur.isDefined && cur.get.id != fromSnapshotId) {
+      chain = cur.get :: chain
+      cur = cur.get.parentId.flatMap(m.snapshot)
+    }
+    require(cur.isDefined, s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
+
+    def tagged(df: DataFrame, kind: String): DataFrame =
+      df.select(m.schema.fieldNames.map(col) :+ lit(kind).as("_change_type"): _*)
+
+    val parts = chain.map { s =>
+      val md = manifestDataOf(s)
+      val parentMd = s.parentId.flatMap(m.snapshot).map(manifestDataOf)
+        .getOrElse(ManifestData(Nil, Nil, Nil))
+      s.operation match {
+        case "append" =>
+          val before = parentMd.files.map(_.path).toSet
+          val added = md.files.filterNot(f => before.contains(f.path))
+          tagged(ScanPlanner.scan(spark, m, added, None), "insert")
+        case "delete-mor" =>
+          val newPreds = md.deletePredicates.diff(parentMd.deletePredicates)
+          val hit = newPreds.map(p => coalesce(expr(p), lit(false))).reduce(_ || _)
+          tagged(applyMor(ScanPlanner.scan(spark, m, parentMd.files, None), parentMd)
+            .filter(hit), "delete")
+        case "delete-mor-pos" =>
+          val newPos = md.positionDeleteFiles.diff(parentMd.positionDeleteFiles)
+          val dels = spark.read.parquet(newPos: _*)
+          val base = ScanPlanner.scan(spark, m, parentMd.files, None)
+            .withColumn("__gp_fp", col("_metadata.file_path"))
+            .withColumn("__gp_pos", col("_metadata.row_index"))
+          tagged(base.join(dels,
+            col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
+            "left_semi").drop("__gp_fp", "__gp_pos"), "delete")
+        case other => throw new UnsupportedOperationException(
+          s"changelog across '$other' commit (snapshot ${s.id}): rewrite commits " +
+            "don't retain row-level lineage; consume between append/MOR snapshots")
+      }
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(m.schema.fields :+ StructField("_change_type", StringType)))
+    else parts.reduce(_ unionAll _)
+  }
+
   def asOfTimestamp(timestampMs: Long): DataFrame = {
     val m = meta
     val snap = m.snapshots.filter(_.timestampMs <= timestampMs)

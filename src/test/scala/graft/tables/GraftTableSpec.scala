@@ -341,6 +341,38 @@ class GraftTableSpec extends SparkSpec {
     assert(t.addedBetween(s1, s3).count() == batch1.count() + batch2.count())
   }
 
+  test("changesBetween emits inserts for appends and deletes for MOR commits") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(ordersDf.limit(20).withColumn("o_orderkey", $"o_orderkey" + 555000L))
+    val s2 = t.meta.currentSnapshotId.get
+    t.deleteMergeOnRead("o_orderkey >= 555000")
+    val s3 = t.meta.currentSnapshotId.get
+    t.deleteMergeOnReadPositions("o_orderstatus = 'F'")
+    val s4 = t.meta.currentSnapshotId.get
+
+    val ins = t.changesBetween(s1, s2)
+    assert(ins.count() == 20)
+    assert(ins.select($"_change_type").distinct().collect().map(_.getString(0)).toSeq == Seq("insert"))
+
+    val del = t.changesBetween(s2, s3)
+    assert(del.count() == 20)
+    assert(del.filter($"_change_type" === "delete").count() == 20)
+
+    // position-delete commit: deleted = still-live F rows at s3
+    val delPos = t.changesBetween(s3, s4)
+    val expected = t.asOf(s3).filter($"o_orderstatus" === "F").count()
+    assert(delPos.count() == expected && expected > 0)
+
+    // whole range = all three commits' changes
+    assert(t.changesBetween(s1, s4).count() == 40 + expected)
+
+    // rewrites refuse row-level changelog instead of lying
+    t.materializeDeletes()
+    val s5 = t.meta.currentSnapshotId.get
+    intercept[UnsupportedOperationException] { t.changesBetween(s4, s5).count() }
+  }
+
   test("z-order clustering prunes on BOTH columns") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.repartition(8))
