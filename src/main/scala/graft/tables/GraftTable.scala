@@ -50,14 +50,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def currentPositionDeletes(m: TableMeta = meta): Seq[String] =
     currentManifest(m).positionDeleteFiles
 
+  /** Active merge-on-read equality deletes of the current snapshot. */
+  def currentEqualityDeletes(m: TableMeta = meta): Seq[EqualityDelete] =
+    currentManifest(m).equalityDeletes
+
   /** Apply merge-on-read delete predicates to a scan result. */
   private def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
     deletes.foldLeft(df)((d, p) => d.filter(!coalesce(expr(p), lit(false))))
 
-  /** Apply both merge-on-read delete kinds to a scan result. Position
-    * deletes anti-join on (_metadata.file_path, _metadata.row_index) — the
-    * delete set is usually tiny relative to the data, so Catalyst/AQE pick
-    * a broadcast anti-join and the scan stays one pass.
+  /** Apply all merge-on-read delete kinds to a scan result. Position and
+    * equality deletes anti-join against their delete sets — usually tiny
+    * relative to the data, so Catalyst/AQE pick broadcast anti-joins and
+    * the scan stays one pass.
     */
   private def applyMor(df: DataFrame, md: ManifestData): DataFrame = {
     val afterPos =
@@ -70,7 +74,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
             "left_anti")
           .drop("__gp_fp", "__gp_pos")
       }
-    applyDeletes(afterPos, md.deletePredicates)
+    val afterEq = md.equalityDeletes.foldLeft(afterPos) { (d, e) =>
+      val keys = spark.read.parquet(e.files: _*)
+      d.join(keys, e.cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
+    }
+    applyDeletes(afterEq, md.deletePredicates)
   }
 
   // ------------------------------------------------------------- reads
@@ -162,6 +170,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
           tagged(base.join(dels,
             col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
             "left_semi").drop("__gp_fp", "__gp_pos"), "delete")
+        case "delete-mor-eq" =>
+          val newEq = md.equalityDeletes.diff(parentMd.equalityDeletes)
+          val live = applyMor(ScanPlanner.scan(spark, m, parentMd.files, None), parentMd)
+          newEq.map { e =>
+            val keys = spark.read.parquet(e.files: _*)
+            tagged(live.join(keys,
+              e.cols.map(c => live(c) <=> keys(c)).reduce(_ && _), "left_semi"), "delete")
+          }.reduce(_ unionAll _)
         case other => throw new UnsupportedOperationException(
           s"changelog across '$other' commit (snapshot ${s.id}): rewrite commits " +
             "don't retain row-level lineage; consume between append/MOR snapshots")
@@ -220,7 +236,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def commitSnapshot(m: TableMeta, files: Seq[DataFile], op: String,
       added: Long, parentOverride: Option[Long] = None,
       deletePredicates: Seq[String] = Nil,
-      positionDeleteFiles: Seq[String] = Nil): TableMeta = {
+      positionDeleteFiles: Seq[String] = Nil,
+      equalityDeletes: Seq[EqualityDelete] = Nil): TableMeta = {
     // optimistic concurrency: refuse to clobber a commit that landed after
     // this operation read its base metadata (single-writer is the contract;
     // this turns a silent lost-update into a loud failure)
@@ -232,7 +249,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val snapId = nextSnapshotId(m)
     val manifestName = s"manifest-$snapId.json"
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
-      MetaIO.manifestToJson(files, deletePredicates, positionDeleteFiles))
+      MetaIO.manifestToJson(files, deletePredicates, positionDeleteFiles, equalityDeletes))
     val snap = Snapshot(snapId, parentOverride.orElse(m.currentSnapshotId),
       System.currentTimeMillis(), op,
       manifestName, added, files.size, files.map(_.recordCount).sum)
@@ -249,27 +266,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   // -------------------------------------------------------- write path
 
-  private val StatTypes: Set[Class[_]] = Set()
-
-  private def statCast(f: StructField): Option[Column] = f.dataType match {
-    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => Some(col(f.name).cast("long"))
-    case _: FloatType | _: DoubleType => Some(col(f.name).cast("double"))
-    case _: StringType | _: BooleanType => Some(col(f.name))
-    // NTZ timestamps (parquet isAdjustedToUTC=false): session tz is UTC,
-    // so the cast is a wall-clock-preserving reinterpretation
-    case _: TimestampType | _: TimestampNTZType =>
-      Some(unix_micros(col(f.name).cast(TimestampType)))
-    case _: DateType => Some(datediff(col(f.name), to_date(lit("1970-01-01"))).cast("long"))
-    case _: DecimalType => Some(col(f.name).cast("double"))
-    case _ => None
-  }
-
   /** Write `df` as new data files under a fresh commit dir, partitioned by
     * the current spec, and build manifest entries with per-column min/max
     * stats (one parallel stats pass over just the new files).
     */
   private def writeDataFiles(df: DataFrame, m: TableMeta,
       distributionOverride: Option[String] = None): Seq[DataFile] = {
+    // INT64-micros timestamps (not INT96): footer min/max stats for
+    // timestamp columns are only usable in this encoding
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val commitDir = s"$location/data/${UUID.randomUUID().toString.take(8)}"
     val spec = m.currentSpec
     val gpCols = spec.fields.map(f => TableFormat.PartColPrefix + f.name)
@@ -307,55 +312,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Build DataFile entries (stats + partition values) for every parquet
     * file under `dir`. Also used by in-place migration.
+    *
+    * Stats come from the parquet FOOTERS (per-row-group min/max/null
+    * counts the writer already produced) — an O(files) metadata read, not
+    * a second O(data) scan. At cluster scale each write task would emit
+    * its own file's entry (Iceberg's model); a driver-side footer loop is
+    * the single-node equivalent with identical results. Unmappable or
+    * untrusted stats (INT96 timestamps, non-ASCII binary bounds, unset
+    * null counts) are dropped per column — pruning is conservative by
+    * construction.
     */
   private[tables] def collectFileEntries(dir: String, m: TableMeta, specId: Int): Seq[DataFile] = {
     val fsys = MetaIO.fs(conf, dir)
     val it = fsys.listFiles(new Path(dir), true)
-    val sizes = scala.collection.mutable.Map[String, Long]()
+    val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath.toString
       if (p.endsWith(".parquet") || p.endsWith(".parq")) sizes(stripScheme(p)) = st.getLen
     }
     if (sizes.isEmpty) return Nil
-
-    val statFields = m.schema.fields.flatMap(f => statCast(f).map(c => (f.name, c))).toSeq
-    val aggs = count(lit(1)).as("__rc") +:
-      statFields.flatMap { case (n, c) =>
-        Seq(min(c).as(s"__min_$n"), max(c).as(s"__max_$n"),
-          sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nulls_$n"))
-      }
-    val statRows = spark.read.schema(m.schema).parquet(dir)
-      .groupBy(col("_metadata.file_path").as("__path"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-
-    statRows.toSeq.map { r =>
-      val path = stripScheme(r.getAs[String]("__path"))
-      val stats = statFields.map { case (n, _) =>
-        n -> ColStats(Option(r.getAs[Any](s"__min_$n")).map(normStat),
-          Option(r.getAs[Any](s"__max_$n")).map(normStat),
-          r.getAs[Long](s"__nulls_$n"))
-      }.toMap
-      DataFile(path, specId, partitionValuesFromPath(path), r.getAs[Long]("__rc"),
-        sizes.getOrElse(path, 0L), stats)
+    sizes.toSeq.map { case (path, size) =>
+      val (rows, stats) = FooterStats.read(conf, path, m.schema)
+      DataFile(path, specId, partitionValuesFromPath(path), rows, size, stats)
     }
   }
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) new Path(p).toUri.getPath else p
-
-  private def normStat(v: Any): Any = v match {
-    case i: java.lang.Integer => i.longValue()
-    case s: java.lang.Short => s.longValue()
-    case b: java.lang.Byte => b.longValue()
-    case l: java.lang.Long => l.longValue()
-    case f: java.lang.Float => f.doubleValue()
-    case d: java.lang.Double => d.doubleValue()
-    case d: java.math.BigDecimal => d.doubleValue()
-    case b: java.lang.Boolean => b.booleanValue()
-    case other => other.toString
-  }
 
   private def partitionValuesFromPath(path: String): Map[String, String] =
     path.split('/').filter(_.startsWith(TableFormat.PartColPrefix)).flatMap { seg =>
@@ -401,7 +385,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val md = currentManifest(m)
     commitSnapshot(m, md.files, "delete-mor", 0,
       deletePredicates = md.deletePredicates :+ cond,
-      positionDeleteFiles = md.positionDeleteFiles)
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes)
     this
   }
 
@@ -441,10 +426,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .write.parquet(delDir)
         listParquet(delDir)
       }
-    if (written.isEmpty && md.deletePredicates.isEmpty) return this
+    if (written.isEmpty && md.deletePredicates.isEmpty && md.equalityDeletes.isEmpty)
+      return this
     commitSnapshot(m, md.files, "delete-mor-pos", 0,
       deletePredicates = md.deletePredicates,
-      positionDeleteFiles = md.positionDeleteFiles ++ written)
+      positionDeleteFiles = md.positionDeleteFiles ++ written,
+      equalityDeletes = md.equalityDeletes)
+    this
+  }
+
+  /** Merge-on-read EQUALITY delete (Iceberg v2 equality delete files):
+    * rows whose `keyCols` tuple matches any row of `keys` are dropped at
+    * read time. O(|keys|) commit — no data file is scanned or rewritten,
+    * which is the streaming-upsert shape (a CDC consumer commits the
+    * deleted keys of each batch without touching the table).
+    */
+  def deleteMergeOnReadEquality(keys: DataFrame, keyCols: Seq[String]): GraftTable = {
+    require(keyCols.nonEmpty, "equality delete needs key columns")
+    val m = meta
+    val md = currentManifest(m)
+    val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
+    keys.select(keyCols.map(col): _*).distinct().write.parquet(delDir)
+    commitSnapshot(m, md.files, "delete-mor-eq", 0,
+      deletePredicates = md.deletePredicates,
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes :+ EqualityDelete(keyCols, listParquet(delDir)))
     this
   }
 
@@ -466,7 +472,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def materializeDeletes(): GraftTable = {
     val m = meta
     val md = currentManifest(m)
-    if (md.deletePredicates.isEmpty && md.positionDeleteFiles.isEmpty) return this
+    if (md.deletePredicates.isEmpty && md.positionDeleteFiles.isEmpty &&
+        md.equalityDeletes.isEmpty) return this
     val predTouched: Set[String] =
       if (md.deletePredicates.isEmpty) Set.empty
       else matchingFiles(m, md.deletePredicates.map(p => s"($p)").mkString(" OR "))
@@ -476,7 +483,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
       else spark.read.parquet(md.positionDeleteFiles: _*)
         .select(col("file_path")).distinct().collect()
         .map(r => stripScheme(r.getString(0))).toSet
-    val touched = md.files.filter(f => predTouched.contains(f.path) || posTouched.contains(f.path))
+    val eqTouched: Set[String] = md.equalityDeletes.flatMap { e =>
+      val keys = spark.read.parquet(e.files: _*)
+      val base = spark.read.schema(m.schema).parquet(md.files.map(_.path): _*)
+      base.join(keys, e.cols.map(c => base(c) <=> keys(c)).reduce(_ && _), "left_semi")
+        .select(col("_metadata.file_path")).distinct().collect()
+        .map(r => stripScheme(r.getString(0)))
+    }.toSet
+    val touched = md.files.filter(f => predTouched.contains(f.path) ||
+      posTouched.contains(f.path) || eqTouched.contains(f.path))
     val rewritten =
       if (touched.isEmpty) Nil
       else writeDataFiles(
@@ -492,7 +507,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   private def ensureMaterialized(): Unit = {
     val md = currentManifest()
-    if (md.deletePredicates.nonEmpty || md.positionDeleteFiles.nonEmpty) {
+    if (md.deletePredicates.nonEmpty || md.positionDeleteFiles.nonEmpty ||
+        md.equalityDeletes.nonEmpty) {
       materializeDeletes(); ()
     }
   }
@@ -632,7 +648,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // being current ancestors (reference history table semantics)
     commitSnapshot(m, md.files, "rollback", 0, parentOverride = Some(snapshotId),
       deletePredicates = md.deletePredicates,
-      positionDeleteFiles = md.positionDeleteFiles)
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes)
     this
   }
 
@@ -653,9 +670,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .toSet.diff(keptFiles)
       .filter(_.startsWith(s"$location/data/"))
     orphans.foreach(p => MetaIO.delete(conf, p))
-    // position-delete files referenced only by expired snapshots
-    val keptPos = keptData.flatMap(_.positionDeleteFiles).toSet
-    expiredData.flatMap(_.positionDeleteFiles).toSet.diff(keptPos)
+    // delete files (position + equality) referenced only by expired snapshots
+    def delFiles(d: ManifestData): Seq[String] =
+      d.positionDeleteFiles ++ d.equalityDeletes.flatMap(_.files)
+    val keptDel = keptData.flatMap(delFiles).toSet
+    expiredData.flatMap(delFiles).toSet.diff(keptDel)
       .filter(_.startsWith(s"$location/deletes/"))
       .foreach(p => MetaIO.delete(conf, p))
     expired.foreach(s => MetaIO.delete(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))
@@ -773,7 +792,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     m.currentSnapshot.foreach { s =>
       val md = manifestDataOf(s)
       MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}",
-        MetaIO.manifestToJson(md.files, md.deletePredicates, md.positionDeleteFiles))
+        MetaIO.manifestToJson(md.files, md.deletePredicates, md.positionDeleteFiles,
+          md.equalityDeletes))
     }
     this
   }

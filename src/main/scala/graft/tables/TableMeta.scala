@@ -59,15 +59,22 @@ case class DataFile(
     sizeBytes: Long,
     stats: Map[String, ColStats])
 
-/** Everything a snapshot manifest carries: the data-file list plus the two
-  * merge-on-read delete kinds (predicate deletes: a SQL condition applied
-  * at read time; position deletes: parquet files of (file_path, pos) rows
-  * to drop — Iceberg v2 delete-file analogue).
+/** One merge-on-read equality delete: rows matching any key tuple in
+  * `files` (parquet, schema = `cols`) are dropped at read time.
+  */
+case class EqualityDelete(cols: Seq[String], files: Seq[String])
+
+/** Everything a snapshot manifest carries: the data-file list plus the
+  * three merge-on-read delete kinds (predicate deletes: a SQL condition
+  * applied at read time; position deletes: parquet files of
+  * (file_path, pos) rows to drop; equality deletes: key-tuple files —
+  * the Iceberg v2 delete-file model).
   */
 case class ManifestData(
     files: Seq[DataFile],
     deletePredicates: Seq[String],
-    positionDeleteFiles: Seq[String])
+    positionDeleteFiles: Seq[String],
+    equalityDeletes: Seq[EqualityDelete] = Nil)
 
 case class Snapshot(
     id: Long,
@@ -151,7 +158,8 @@ object MetaIO {
   // ------------------------------------------------------------ manifest
 
   def manifestToJson(files: Seq[DataFile], deletePredicates: Seq[String] = Nil,
-      positionDeleteFiles: Seq[String] = Nil): String = {
+      positionDeleteFiles: Seq[String] = Nil,
+      equalityDeletes: Seq[EqualityDelete] = Nil): String = {
     val root = mapper.createObjectNode()
     if (deletePredicates.nonEmpty) {
       val dp = root.putArray("delete_predicates")
@@ -160,6 +168,14 @@ object MetaIO {
     if (positionDeleteFiles.nonEmpty) {
       val pd = root.putArray("position_delete_files")
       positionDeleteFiles.foreach(pd.add)
+    }
+    if (equalityDeletes.nonEmpty) {
+      val eq = root.putArray("equality_deletes")
+      equalityDeletes.foreach { e =>
+        val o = eq.addObject()
+        val ca = o.putArray("cols"); e.cols.foreach(ca.add)
+        val fa = o.putArray("files"); e.files.foreach(fa.add)
+      }
     }
     val arr = root.putArray("files")
     files.foreach { f =>
@@ -198,6 +214,14 @@ object MetaIO {
     Option(root.get("delete_predicates")).foreach(_.forEach(n => deletes += n.asText()))
     val posDeletes = Seq.newBuilder[String]
     Option(root.get("position_delete_files")).foreach(_.forEach(n => posDeletes += n.asText()))
+    val eqDeletes = Seq.newBuilder[EqualityDelete]
+    Option(root.get("equality_deletes")).foreach(_.forEach { o =>
+      val cols = Seq.newBuilder[String]
+      o.get("cols").forEach(n => cols += n.asText())
+      val fls = Seq.newBuilder[String]
+      o.get("files").forEach(n => fls += n.asText())
+      eqDeletes += EqualityDelete(cols.result(), fls.result())
+    })
     val out = Seq.newBuilder[DataFile]
     root.get("files").forEach { o =>
       val pv = Map.newBuilder[String, String]
@@ -216,7 +240,7 @@ object MetaIO {
         pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
         stats.result())
     }
-    ManifestData(out.result(), deletes.result(), posDeletes.result())
+    ManifestData(out.result(), deletes.result(), posDeletes.result(), eqDeletes.result())
   }
 
   // ------------------------------------------------------------ metadata

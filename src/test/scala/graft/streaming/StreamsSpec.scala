@@ -87,7 +87,13 @@ class StreamsSpec extends SparkSpec {
       val method = classOf[graft.tables.GraftTable].getDeclaredMethods
         .find(_.getName == "commitSnapshot").get
       method.setAccessible(true)
-      try method.invoke(t1, m, Nil, "append", Long.box(0L), None, Nil, Nil)
+      // trailing params are defaults (Option/Seq) — fill by type so the
+      // test survives signature growth
+      val args: Array[AnyRef] = Array[AnyRef](m, Nil, "append", Long.box(0L)) ++
+        method.getParameterTypes.drop(4).map { t =>
+          if (classOf[Option[_]].isAssignableFrom(t)) None else Nil
+        }
+      try method.invoke(t1, args: _*)
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }
   }

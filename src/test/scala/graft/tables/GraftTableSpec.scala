@@ -264,6 +264,31 @@ class GraftTableSpec extends SparkSpec {
     assert(t.toDF().filter($"o_orderstatus" === "O").count() == 0)
   }
 
+  test("equality-delete merge-on-read: key-file commit, reads, changelog, materialize") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(4))
+    val total = ordersDf.count()
+    val delKeys = ordersDf.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey")
+    val nDel = delKeys.count()
+    val filesBefore = t.currentFiles().map(_.path).toSet
+
+    t.deleteMergeOnReadEquality(delKeys, Seq("o_orderkey"))
+    assert(t.currentFiles().map(_.path).toSet == filesBefore, "no data file rewritten")
+    assert(t.meta.currentSnapshot.get.operation == "delete-mor-eq")
+    assert(t.toDF().count() == total - nDel)
+    assert(t.toDF().filter($"o_orderkey" % 7 === 0).count() == 0)
+
+    // changelog reports exactly the deleted keys
+    val ch = t.changesBetween(1, t.meta.currentSnapshotId.get)
+    assert(ch.filter($"_change_type" === "delete").count() == nDel)
+
+    // time travel + materialization
+    assert(t.asOf(1).count() == total)
+    t.materializeDeletes()
+    assert(t.currentEqualityDeletes().isEmpty)
+    assert(t.toDF().count() == total - nDel)
+  }
+
   test("predicate and position deletes compose at read time") {
     val t = GraftTable.createAs(spark, tmp(), ordersDf)
     val total = ordersDf.count()
