@@ -172,8 +172,10 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         expr("bit_count(l.sig ^ r.sig)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming cut kills most candidate rows,
+      // so the dedup shuffle only carries survivors
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy(col("a"), col("b"))
       .localCheckpoint(true)
     sigs.unpersist()

@@ -631,6 +631,88 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  // ------------------------------------------------------------- refs
+
+  /** Tag a snapshot under an immutable name (Iceberg tags). */
+  def createTag(name: String, snapshotId: Long): GraftTable = {
+    val m = meta
+    require(m.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
+    require(!m.refs.contains(name), s"ref $name exists")
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      refs = m.refs + (name -> Ref("tag", snapshotId))))
+    this
+  }
+
+  /** Create a branch at a snapshot (defaults to the current one). */
+  def createBranch(name: String, fromSnapshotId: Option[Long] = None): GraftTable = {
+    val m = meta
+    val base = fromSnapshotId.orElse(m.currentSnapshotId)
+      .getOrElse(throw new IllegalStateException("empty table has no snapshot to branch"))
+    require(m.snapshot(base).isDefined, s"no snapshot $base")
+    require(!m.refs.contains(name), s"ref $name exists")
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      refs = m.refs + (name -> Ref("branch", base))))
+    this
+  }
+
+  def dropRef(name: String): GraftTable = {
+    val m = meta
+    commitMetadataOnly(m.copy(version = m.version + 1, refs = m.refs - name))
+    this
+  }
+
+  /** Read a named ref (`FOR SYSTEM_VERSION AS OF 'name'` semantics). */
+  def asOfRef(name: String): DataFrame = {
+    val m = meta
+    asOf(m.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown ref: $name")).snapshotId)
+  }
+
+  /** WAP "write": append onto a branch without touching the main table
+    * state — auditors read the branch ([[asOfRef]]); main readers are
+    * unaffected until [[publish]].
+    */
+  def appendToBranch(df: DataFrame, branch: String): GraftTable = {
+    val m = meta
+    val ref = m.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"unknown branch: $branch"))
+    require(ref.kind == "branch", s"$branch is a ${ref.kind}, not a branch")
+    val head = m.snapshot(ref.snapshotId).get
+    val headMd = manifestDataOf(head)
+    // predicate/equality deletes apply at read time to EVERY file in the
+    // manifest — staging new rows under them would silently delete any
+    // staged row they match (position deletes are file-anchored and safe)
+    require(headMd.deletePredicates.isEmpty && headMd.equalityDeletes.isEmpty,
+      s"branch $branch head carries merge-on-read value deletes; materialize before staging")
+    val newFiles = writeDataFiles(df, m)
+    val snapId = nextSnapshotId(m)
+    val manifestName = s"manifest-$snapId.json"
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
+      MetaIO.manifestToJson(headMd.files ++ newFiles, headMd.deletePredicates,
+        headMd.positionDeleteFiles, headMd.equalityDeletes))
+    val snap = Snapshot(snapId, Some(ref.snapshotId), System.currentTimeMillis(),
+      "append", manifestName, newFiles.size,
+      headMd.files.size + newFiles.size,
+      (headMd.files ++ newFiles).map(_.recordCount).sum)
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + (branch -> Ref("branch", snapId))))
+    this
+  }
+
+  /** WAP "publish": fast-forward the main table to the branch head (the
+    * audited snapshots become current; the branch ref remains).
+    */
+  def publish(branch: String): GraftTable = {
+    val m = meta
+    val ref = m.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"unknown branch: $branch"))
+    require(ref.kind == "branch", s"$branch is a ${ref.kind}, not a branch")
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      currentSnapshotId = Some(ref.snapshotId)))
+    this
+  }
+
   // -------------------------------------------------------- lifecycle ops
 
   /** Rollback to an earlier snapshot (reference `EXECUTE rollback`): a new
@@ -661,7 +743,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def expireSnapshots(olderThanMs: Long): GraftTable = {
     val m = meta
     val (expired, kept) = m.snapshots.partition(s =>
-      s.timestampMs < olderThanMs && !m.currentSnapshotId.contains(s.id))
+      s.timestampMs < olderThanMs && !m.currentSnapshotId.contains(s.id) &&
+        !m.refs.values.exists(_.snapshotId == s.id))
     if (expired.isEmpty) return this
     val keptData = kept.map(manifestDataOf)
     val expiredData = expired.map(manifestDataOf)

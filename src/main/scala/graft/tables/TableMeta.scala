@@ -86,6 +86,11 @@ case class Snapshot(
     totalFiles: Long,
     totalRecords: Long)
 
+/** Named snapshot reference: a `tag` is immutable, a `branch` advances as
+  * commits land on it (Iceberg refs).
+  */
+case class Ref(kind: String, snapshotId: Long)
+
 case class TableMeta(
     location: String,
     version: Int,
@@ -94,7 +99,8 @@ case class TableMeta(
     currentSpecId: Int,
     snapshots: Seq[Snapshot],
     currentSnapshotId: Option[Long],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    refs: Map[String, Ref] = Map.empty) {
 
   def currentSpec: PartitionSpec = specs.find(_.specId == currentSpecId).get
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
@@ -275,6 +281,13 @@ object MetaIO {
       so.put("total_records", s.totalRecords)
     }
     m.currentSnapshotId.foreach(root.put("current_snapshot_id", _))
+    if (m.refs.nonEmpty) {
+      val ro = root.putObject("refs")
+      m.refs.foreach { case (name, r) =>
+        val o = ro.putObject(name)
+        o.put("kind", r.kind); o.put("snapshot_id", r.snapshotId)
+      }
+    }
     val props = root.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
@@ -306,13 +319,21 @@ object MetaIO {
     val props = Map.newBuilder[String, String]
     val pNode = root.get("properties")
     pNode.fieldNames().forEachRemaining(k => props += k -> pNode.get(k).asText())
+    val refs = Map.newBuilder[String, Ref]
+    Option(root.get("refs")).foreach { ro =>
+      ro.fieldNames().forEachRemaining { name =>
+        val o = ro.get(name)
+        refs += name -> Ref(o.get("kind").asText(), o.get("snapshot_id").asLong())
+      }
+    }
     TableMeta(
       root.get("location").asText(),
       root.get("version").asInt(),
       schema, specs.result(), root.get("current_spec_id").asInt(),
       snaps.result(),
       Option(root.get("current_snapshot_id")).map(_.asLong()),
-      props.result())
+      props.result(),
+      refs.result())
   }
 
   // ------------------------------------------------------------ versions

@@ -203,6 +203,23 @@ class RelationalPlanSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q04 star join is all-broadcast: no sort-merge join in the final plan") {
+    val df = Relational.q04MultiwayJoin(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dims must broadcast at this SF — no fact-side shuffle before the agg:\n$plan")
+  }
+
+  test("q01 scan prunes to the needed lineitem columns only") {
+    val plan = Relational.q01PricingSummary(spark, sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_shipdate"),
+      s"unused columns must not reach the scan: $readSchema")
+  }
+
   test("q01 stays inside whole-stage codegen") {
     val df = Relational.q01PricingSummary(spark, sf)
     df.collect() // finalize the AQE plan before inspecting it

@@ -398,6 +398,30 @@ class GraftTableSpec extends SparkSpec {
     intercept[UnsupportedOperationException] { t.changesBetween(s4, s5).count() }
   }
 
+  test("refs: tags, branches, and the write-audit-publish flow") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    val base = t.meta.currentSnapshotId.get
+    t.createTag("v1", base)
+
+    // write: staged rows land on the branch only
+    t.createBranch("audit")
+    t.appendToBranch(ordersDf.limit(30).withColumn("o_orderkey", $"o_orderkey" + 888000L), "audit")
+    assert(t.toDF().count() == 100, "main is unaffected before publish")
+    assert(t.asOfRef("audit").count() == 130, "auditors read the branch")
+    assert(t.asOfRef("v1").count() == 100)
+
+    // audit passed -> publish fast-forwards main to the branch head
+    t.publish("audit")
+    assert(t.toDF().count() == 130)
+    assert(t.toDF().filter($"o_orderkey" >= 888000L).count() == 30)
+
+    // tagged snapshots survive expiration
+    t.expireSnapshots(System.currentTimeMillis() + 100000)
+    assert(t.asOfRef("v1").count() == 100)
+    t.dropRef("v1")
+    intercept[IllegalArgumentException] { t.asOfRef("v1") }
+  }
+
   test("z-order clustering prunes on BOTH columns") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.repartition(8))
