@@ -72,6 +72,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val AddCols = r("""ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*(.*?)\s*\)?""")
   private val SetSpec = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)""")
   private val SetProps = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)""")
+  private val CreateRef = r("""ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(TAG|BRANCH)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""")
+  private val DropRef = r("""ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:TAG|BRANCH)\s+(\w+)""")
+  private val CallFastForward = r("""CALL\s+[\w.]*FAST_FORWARD\s*\(\s*["']([\w.]+)["']\s*,\s*["'](\w+)["']\s*\)""")
   private val ExecRollback = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+ROLLBACK\s*\(\s*["']?(\d+)["']?\s*\)""")
   private val ExecExpire = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s*\(\s*(.*?)\s*\)""")
   private val CallRewriteFiles = r("""CALL\s+[\w.]*REWRITE_DATA_FILES\s*\(\s*["']([\w.]+)["']\s*\)""")
@@ -79,7 +82,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
 
   private val AsOfTime = """(?is)(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?["']([^"']+)["']""".r
-  private val AsOfVersion = """(?is)(\w+)\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+["']?(\d+)["']?""".r
+  // numeric snapshot id, or a tag/branch name
+  private val AsOfVersion = """(?is)(\w+)\s+FOR\s+SYSTEM_VERSION\s+AS\s+OF\s+["']?(\w+)["']?""".r
 
   // --------------------------------------------------------- entry point
 
@@ -116,6 +120,17 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).setPartitionSpec(parseSpec(spec)); status("set-spec", name)
       case SetProps(name, props) =>
         table(name).setProperties(parseProps(props)); status("set-properties", name)
+      case CreateRef(name, kind, refName, version) =>
+        val t = table(name)
+        val snapId = Option(version).map(_.toLong)
+        if (kind.equalsIgnoreCase("TAG"))
+          t.createTag(refName, snapId.getOrElse(t.meta.currentSnapshotId.get))
+        else t.createBranch(refName, snapId)
+        status(s"create-${kind.toLowerCase}", name)
+      case DropRef(name, refName) =>
+        table(name).dropRef(refName); status("drop-ref", name)
+      case CallFastForward(name, branch) =>
+        table(stripDb(name)).publish(branch); status("fast-forward", stripDb(name))
       case ExecRollback(name, snap) =>
         table(name).rollback(snap.toLong); status("rollback", name)
       case ExecExpire(name, ts) =>
@@ -216,7 +231,10 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       if (!tables.contains(m.group(1))) Regex.quoteReplacement(m.matched)
       else {
         i += 1; val view = s"__graft_asof_$i"
-        table(m.group(1)).asOf(m.group(2).toLong).createOrReplaceTempView(view)
+        val t = table(m.group(1))
+        val target = m.group(2)
+        val df = if (target.forall(_.isDigit)) t.asOf(target.toLong) else t.asOfRef(target)
+        df.createOrReplaceTempView(view)
         view
       })
     tables.keys.foreach { name =>

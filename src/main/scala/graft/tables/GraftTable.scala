@@ -502,6 +502,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Fold accumulated merge-on-read delete files — many small per-commit
+    * files → one position-delete file and one file per equality key-set —
+    * without touching data files or visible rows (the delete-file
+    * analogue of rewrite_data_files: read fan-in stays O(1) as delete
+    * commits accumulate, deferring the full materialization rewrite).
+    */
+  def compactDeleteFiles(): GraftTable = {
+    val m = meta
+    val md = currentManifest(m)
+    val posNeedsFold = md.positionDeleteFiles.size > 1
+    val eqNeedsFold = md.equalityDeletes.groupBy(_.cols).exists(_._2.flatMap(_.files).size > 1)
+    if (!posNeedsFold && !eqNeedsFold) return this
+    def fold(paths: Seq[String]): Seq[String] = {
+      val dir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
+      spark.read.parquet(paths: _*).distinct().coalesce(1).write.parquet(dir)
+      listParquet(dir)
+    }
+    val newPos = if (posNeedsFold) fold(md.positionDeleteFiles) else md.positionDeleteFiles
+    val newEq = md.equalityDeletes.groupBy(_.cols).map { case (cols, es) =>
+      val files = es.flatMap(_.files)
+      if (files.size > 1) EqualityDelete(cols, fold(files)) else EqualityDelete(cols, files)
+    }.toSeq
+    commitSnapshot(m, md.files, "rewrite-deletes", 0,
+      deletePredicates = md.deletePredicates,
+      positionDeleteFiles = newPos, equalityDeletes = newEq)
+    this
+  }
+
   /** Mutations operate on materialized state so new rows are never hit by
     * older merge-on-read predicates.
     */

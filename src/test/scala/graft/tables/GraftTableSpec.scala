@@ -398,6 +398,25 @@ class GraftTableSpec extends SparkSpec {
     intercept[UnsupportedOperationException] { t.changesBetween(s4, s5).count() }
   }
 
+  test("compactDeleteFiles folds delete files without changing visible rows") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(4))
+    t.deleteMergeOnReadPositions("o_orderkey % 5 = 0")
+    t.deleteMergeOnReadPositions("o_orderkey % 7 = 1")
+    t.deleteMergeOnReadEquality(ordersDf.filter($"o_orderkey" % 11 === 2).select($"o_orderkey"), Seq("o_orderkey"))
+    t.deleteMergeOnReadEquality(ordersDf.filter($"o_orderkey" % 13 === 3).select($"o_orderkey"), Seq("o_orderkey"))
+    val before = t.toDF().count()
+    val posBefore = t.currentPositionDeletes().size
+    assert(posBefore > 1 && t.currentEqualityDeletes().size == 2)
+    t.compactDeleteFiles()
+    assert(t.currentPositionDeletes().size == 1)
+    assert(t.currentEqualityDeletes().size == 1 &&
+      t.currentEqualityDeletes().head.files.size == 1)
+    assert(t.toDF().count() == before)
+    // and the folded state still materializes cleanly
+    t.materializeDeletes()
+    assert(t.toDF().count() == before)
+  }
+
   test("refs: tags, branches, and the write-audit-publish flow") {
     val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
     val base = t.meta.currentSnapshotId.get
