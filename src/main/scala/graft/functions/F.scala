@@ -45,11 +45,8 @@ object F {
   * post hoc on a live session via [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineDesc)
-    ext.injectFunction(GraftExtensions.simhashDesc)
-    ext.injectFunction(GraftExtensions.fingerprintDesc)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -71,9 +68,49 @@ object GraftExtensions {
       info("graft_fingerprint", "graft_fingerprint(text) - rolling-hash fingerprint"),
       (children: Seq[Expression]) => RabinFingerprint(children.head, 16))
 
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"literal int expected, got $other")
+  }
+  private def litLong(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"literal long expected, got $other")
+  }
+
+  private[functions] val charShinglesDesc =
+    (FunctionIdentifier("graft_char_shingles"),
+      info("graft_char_shingles", "graft_char_shingles(text, w) - sorted distinct rolling char-w-gram hashes"),
+      (children: Seq[Expression]) => CharWindowHashes(children(0), litInt(children(1))))
+
+  private[functions] val wordShinglesDesc =
+    (FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles", "graft_word_shingles(hashes, w) - sorted distinct w-element shingle hashes"),
+      (children: Seq[Expression]) => WordWindowHashes(children(0), litInt(children(1))))
+
+  private[functions] val sortedOverlapDesc =
+    (FunctionIdentifier("graft_sorted_overlap"),
+      info("graft_sorted_overlap", "graft_sorted_overlap(a, b) - |a ∩ b| of two sorted distinct long arrays"),
+      (children: Seq[Expression]) => SortedOverlapCount(children(0), children(1)))
+
+  private[functions] val minhashDesc =
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(hashes, k) - k-element minhash signature"),
+      (children: Seq[Expression]) => MinHashSig(children(0), litInt(children(1))))
+
+  private[functions] val rpBitsDesc =
+    (FunctionIdentifier("graft_rp_bits"),
+      info("graft_rp_bits", "graft_rp_bits(vec, bits, seed) - hyperplane-LSH sign bits"),
+      (children: Seq[Expression]) =>
+        RandomProjectionBits(children(0), litInt(children(1)), litLong(children(2))))
+
+  private[functions] def all = Seq(cosineDesc, simhashDesc, fingerprintDesc,
+    charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc, rpBitsDesc)
+
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineDesc, simhashDesc, fingerprintDesc).foreach { case (id, inf, builder) =>
+    all.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
 }

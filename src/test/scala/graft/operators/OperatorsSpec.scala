@@ -183,6 +183,15 @@ class CatalogSqlSpec extends SparkSpec {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand LIMIT 5""".stripMargin).collect()
     assert(r.length == 5 && r.forall(_.getLong(1) > 0))
+    val sh = spark.sql(
+      """SELECT doc_id,
+        |  graft_sorted_overlap(graft_char_shingles(text, 5), graft_char_shingles(text, 5)) AS self,
+        |  size(graft_char_shingles(text, 5)) AS n_shingles,
+        |  graft_minhash_sig(graft_word_shingles(transform(split(trim(text), '\\s+'),
+        |    w -> xxhash64(w)), 3), 16)[0] AS mh0,
+        |  graft_rp_bits(CAST(array(1.0, -2.0) AS ARRAY<FLOAT>), 8, 42) AS rp
+        |FROM documents LIMIT 5""".stripMargin).collect()
+    assert(sh.forall(row => row.getInt(1) == row.getInt(2)), "self-overlap = set size")
   }
 }
 
