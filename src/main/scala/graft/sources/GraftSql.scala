@@ -93,7 +93,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       case CreateHead(name, rest) =>
         handleCreate(name, rest)
       case InsertOver(name, select) =>
-        table(name).overwrite(runSelect(select)); status("overwrite", name)
+        table(name).overwrite(conform(name, runSelect(select))); status("overwrite", name)
       case InsertSel(name, select) =>
         table(name).append(conform(name, runSelect(select))); status("insert", name)
       case InsertVals(name, tuples) =>
@@ -107,7 +107,12 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).mergeInto(conform(name, src), keysFromOn(on))
         status("merge", name)
       case Delete(name, cond) =>
-        table(name).delete(cond); status("delete", name)
+        // Iceberg's write.delete.mode: merge-on-read defers the rewrite
+        val t = table(name)
+        if (t.meta.properties.get("write.delete.mode").contains("merge-on-read"))
+          t.deleteMergeOnRead(cond)
+        else t.delete(cond)
+        status("delete", name)
       case Update(name, sets, cond) =>
         table(name).update(cond, parseAssignments(sets)); status("update", name)
       case Truncate(name) =>

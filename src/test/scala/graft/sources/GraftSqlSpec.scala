@@ -90,6 +90,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE quality IS NULL").head().getLong(0) > 0)
   }
 
+  test("INSERT OVERWRITE conforms column order; write.delete.mode routes to MoR") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE w_ice AS SELECT r_regionkey, r_name FROM region")
+    // reversed column order in the select must still land correctly
+    g.sql("INSERT OVERWRITE w_ice SELECT r_name, r_regionkey FROM region")
+    assert(g.sql("SELECT r_name FROM w_ice WHERE r_regionkey = 0").head().getString(0) ==
+      spark.read.parquet(s"$sf/region.parquet")
+        .filter(org.apache.spark.sql.functions.col("r_regionkey") === 0)
+        .select("r_name").head().getString(0))
+    g.sql("ALTER TABLE w_ice SET TBLPROPERTIES('write.delete.mode'='merge-on-read')")
+    val filesBefore = g.table("w_ice").currentFiles().map(_.path).toSet
+    g.sql("DELETE FROM w_ice WHERE r_regionkey >= 3")
+    assert(g.table("w_ice").currentFiles().map(_.path).toSet == filesBefore,
+      "merge-on-read delete must not rewrite data files")
+    assert(g.table("w_ice").currentDeletes().nonEmpty)
+    assert(g.sql("SELECT COUNT(*) AS n FROM w_ice").head().getLong(0) == 3)
+  }
+
   test("tags, branches, and fast-forward through SQL") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE b_ice AS SELECT r_regionkey, r_name FROM region")
