@@ -65,7 +65,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val InsertSel = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*|FROM\b.*)""")
   private val InsertVals = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+VALUES\s*(.*)""")
   private val InsertOver = r("""INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)""")
-  private val Merge = r("""MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*?)(?:\s+AS\s+(\w+))?\s+ON\s+(.*?)\s+WHEN\s+MATCHED.*WHEN\s+NOT\s+MATCHED.*""")
+  private val Merge = r("""MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*?)(?:\s+AS\s+(\w+))?\s+ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)""")
   private val Delete = r("""DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)""")
   private val Update = r("""UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)""")
   private val Truncate = r("""TRUNCATE\s+(?:TABLE\s+)?(\w+)""")
@@ -102,10 +102,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).append(conform(name,
           runSelect(s"SELECT * FROM (VALUES $tuples) AS __v($cols)")))
         status("insert", name)
-      case Merge(name, _, using, _, on) =>
-        val src = runSelect(stripParens(using))
-        table(name).mergeInto(conform(name, src), keysFromOn(on))
-        status("merge", name)
+      case Merge(name, tgtAlias, using, srcAlias, on, setClause, insClause) =>
+        handleMerge(name, Option(tgtAlias).getOrElse(name),
+          Option(srcAlias).getOrElse("source"), using, on, setClause, insClause)
       case Delete(name, cond) =>
         // Iceberg's write.delete.mode: merge-on-read defers the rewrite
         val t = table(name)
@@ -152,6 +151,82 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   }
 
   // --------------------------------------------------------- helpers
+
+  /** MERGE INTO with real clause semantics: `UPDATE SET *` replaces the
+    * matched row with the source row; `UPDATE SET a = e, …` updates only
+    * the listed columns; `INSERT *` / `INSERT [(cols)] VALUES (…)` builds
+    * the inserted row (unlisted columns become NULL). Compiled to one
+    * effective source (updated-matched ∪ inserts) fed to the file-level
+    * copy-on-write [[GraftTable.mergeInto]].
+    */
+  private def handleMerge(name: String, tgtAlias: String, srcAlias: String,
+      using: String, on: String, setClause: String, insClause: String): DataFrame = {
+    val t = table(name)
+    val schema = t.meta.schema
+    val keys = keysFromOn(on)
+    require(keys.nonEmpty, s"no equality keys in MERGE ON clause: $on")
+    val srcDf = runSelect(stripParens(using))
+    if (setClause.trim == "*" && insClause.trim == "*") {
+      t.mergeInto(conform(name, srcDf), keys)
+      return status("merge", name)
+    }
+    val tgtView = "__graft_merge_tgt"
+    val srcView = "__graft_merge_src"
+    t.toDF().createOrReplaceTempView(tgtView)
+    srcDf.createOrReplaceTempView(srcView)
+    // MERGE convention: unqualified columns in ON refer to the target
+    val onQ = qualifyBareColumns(on, tgtAlias, schema.fieldNames.toSet)
+    val sets: Map[String, String] =
+      if (setClause.trim == "*") schema.fieldNames.map(c => c -> s"$srcAlias.$c").toMap
+      else parseAssignments(setClause).map { case (k, v) => k.split('.').last -> v }
+    sets.keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown SET column $k"))
+    val matchedCols = schema.fieldNames
+      .map(c => s"${sets.getOrElse(c, s"$tgtAlias.$c")} AS $c").mkString(", ")
+    val ColsVals = """(?is)^(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)$""".r
+    val insertExprs: Seq[String] = insClause.trim match {
+      case "*" => schema.fieldNames.map(c => s"$srcAlias.$c AS $c").toSeq
+      case ColsVals(colsOpt, vals) =>
+        val valExprs = splitTopLevel(vals)
+        Option(colsOpt) match {
+          case Some(cs) =>
+            val named = splitTopLevel(cs).map(_.trim).zip(valExprs).toMap
+            schema.fields.toSeq.map(f => named.get(f.name)
+              .map(e => s"($e) AS ${f.name}")
+              .getOrElse(s"CAST(NULL AS ${f.dataType.sql}) AS ${f.name}"))
+          case None =>
+            require(valExprs.length == schema.fields.length,
+              s"INSERT VALUES arity ${valExprs.length} != table arity ${schema.fields.length}")
+            schema.fields.toSeq.zip(valExprs).map { case (f, e) => s"($e) AS ${f.name}" }
+        }
+      case other => throw new IllegalArgumentException(s"unsupported INSERT clause: $other")
+    }
+    val effSource = spark.sql(
+      s"""SELECT $matchedCols
+         |FROM $tgtView AS $tgtAlias JOIN $srcView AS $srcAlias ON $onQ
+         |UNION ALL
+         |SELECT ${insertExprs.mkString(", ")}
+         |FROM $srcView AS $srcAlias
+         |WHERE NOT EXISTS (SELECT 1 FROM $tgtView AS $tgtAlias WHERE $onQ)""".stripMargin)
+    t.mergeInto(conform(name, effSource), keys)
+    status("merge", name)
+  }
+
+  /** Prefix bare schema-column tokens in an ON clause with the target
+    * alias (the MERGE resolution convention), leaving qualified references
+    * and literals alone.
+    */
+  private[sources] def qualifyBareColumns(on: String, alias: String, cols: Set[String]): String =
+    on.split("(?i)\\s+AND\\s+").map { conj =>
+      conj.split("=", 2) match {
+        case Array(l, r0) =>
+          def q(s: String): String = {
+            val t0 = s.trim
+            if (t0.matches("\\w+") && cols.contains(t0)) s"$alias.$t0" else t0
+          }
+          s"${q(l)} = ${q(r0)}"
+        case _ => conj
+      }
+    }.mkString(" AND ")
 
   /** CREATE TABLE tail: optional (columns), then any order of PARTITIONED
     * BY (...) / STORED AS|BY x / TBLPROPERTIES (...), then optional AS

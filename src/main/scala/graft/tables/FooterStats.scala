@@ -84,10 +84,12 @@ object FooterStats {
       st: org.apache.parquet.column.statistics.Statistics[_],
       sparkType: DataType): Option[(Any, Any)] = {
     val prim = cc.getPrimitiveType
-    def longs(f: Long => Long): Option[(Any, Any)] = (st.genericGetMin, st.genericGetMax) match {
-      case (a: Number, b: Number) => Some((f(a.longValue()), f(b.longValue())))
-      case _ => None
-    }
+    def longs2(fMin: Long => Long, fMax: Long => Long): Option[(Any, Any)] =
+      (st.genericGetMin, st.genericGetMax) match {
+        case (a: Number, b: Number) => Some((fMin(a.longValue()), fMax(b.longValue())))
+        case _ => None
+      }
+    def longs(f: Long => Long): Option[(Any, Any)] = longs2(f, f)
     sparkType match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType => longs(identity)
       case _: DateType => longs(identity) // INT32 epoch days
@@ -97,9 +99,26 @@ object FooterStats {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
             case TimeUnit.MICROS => longs(identity)
             case TimeUnit.MILLIS => longs(_ * 1000L)
-            case TimeUnit.NANOS  => longs(Math.floorDiv(_, 1000L))
+            // bounds must stay bounds under truncation: floor the min,
+            // ceil the max (1500ns rounds to [1, 2]us, not [1, 1])
+            case TimeUnit.NANOS =>
+              longs2(Math.floorDiv(_, 1000L), n => -Math.floorDiv(-n, 1000L))
             case _ => None
           }
+          case _ => None
+        }
+      case d: DecimalType =>
+        // INT32/INT64-backed decimals: unscaled / 10^scale in double (the
+        // scan planner compares decimal literals as doubles); binary-backed
+        // decimals are skipped
+        prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (a: Number, b: Number) =>
+                val scale = math.pow(10, d.scale)
+                Some((a.longValue() / scale, b.longValue() / scale))
+              case _ => None
+            }
           case _ => None
         }
       case _: FloatType | _: DoubleType => (st.genericGetMin, st.genericGetMax) match {

@@ -87,7 +87,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def toDF(filterSql: Option[String] = None): DataFrame = {
     val m = meta
     val md = currentManifest(m)
-    applyMor(ScanPlanner.scan(spark, m, md.files, filterSql), md)
+    // prune BEFORE applyMor sees the file list: a fully-pruned scan is a
+    // LocalRelation without _metadata, so the position-delete anti-join
+    // must know no file survived
+    val pruned = filterSql.map(f => ScanPlanner.pruneFiles(m, md.files, f, spark))
+      .getOrElse(md.files)
+    applyMor(ScanPlanner.scan(spark, m, pruned, filterSql), md.copy(files = pruned))
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's
@@ -272,9 +277,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   private def writeDataFiles(df: DataFrame, m: TableMeta,
       distributionOverride: Option[String] = None): Seq[DataFile] = {
-    // INT64-micros timestamps (not INT96): footer min/max stats for
-    // timestamp columns are only usable in this encoding
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val commitDir = s"$location/data/${UUID.randomUUID().toString.take(8)}"
     val spec = m.currentSpec
     val gpCols = spec.fields.map(f => TableFormat.PartColPrefix + f.name)
@@ -305,8 +307,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val writer = bloomCols.foldLeft(distributed.write) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
-    if (gpCols.isEmpty) writer.parquet(commitDir)
-    else writer.partitionBy(gpCols: _*).parquet(commitDir)
+    // INT64-micros timestamps (not INT96): footer min/max stats for
+    // timestamp columns are only usable in this encoding. Session conf is
+    // restored — other writers in the session keep their own setting.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      if (gpCols.isEmpty) writer.parquet(commitDir)
+      else writer.partitionBy(gpCols: _*).parquet(commitDir)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     collectFileEntries(commitDir, m, spec.specId)
   }
 
@@ -352,24 +365,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Invert Hive path escaping (%XX) so stored partition values compare
     * equal to unescaped filter literals (':', '%', '=', '#', … would
-    * otherwise break equality pruning and silently drop files).
+    * otherwise break equality pruning and silently drop files). Delegates
+    * to the exact inverse of the escaping Spark applied on write.
     */
-  private def unescapePathName(v: String): String = {
-    if (!v.contains('%')) return v
-    val sb = new StringBuilder(v.length)
-    var i = 0
-    while (i < v.length) {
-      val c = v.charAt(i)
-      if (c == '%' && i + 2 < v.length &&
-          Character.digit(v.charAt(i + 1), 16) >= 0 &&
-          Character.digit(v.charAt(i + 2), 16) >= 0) {
-        sb.append((Character.digit(v.charAt(i + 1), 16) * 16 +
-          Character.digit(v.charAt(i + 2), 16)).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapePathName(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   // --------------------------------------------------------------- DML
 
@@ -420,14 +420,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
               col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
               "left_anti")
           }
-        applyDeletes(minusPos, md.deletePredicates)
+        // equality deletes too: rows they already hide must not be
+        // re-recorded (a CDC consumer would double-count the delete)
+        val minusEq = md.equalityDeletes.foldLeft(minusPos) { (d, e) =>
+          val keys = spark.read.parquet(e.files: _*)
+          d.join(keys, e.cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
+        }
+        applyDeletes(minusEq, md.deletePredicates)
           .filter(coalesce(expr(cond), lit(false)))
           .select(col("__gp_fp").as("file_path"), col("__gp_pos").as("pos"))
           .write.parquet(delDir)
         listParquet(delDir)
       }
-    if (written.isEmpty && md.deletePredicates.isEmpty && md.equalityDeletes.isEmpty)
-      return this
+    // nothing matched -> no commit at all (an empty delete-mor-pos
+    // snapshot would break changelog consumers reading the file diff)
+    if (written.isEmpty) return this
     commitSnapshot(m, md.files, "delete-mor-pos", 0,
       deletePredicates = md.deletePredicates,
       positionDeleteFiles = md.positionDeleteFiles ++ written,
@@ -541,12 +548,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
-  /** Append rows (reference INSERT INTO). */
+  /** Append rows (reference INSERT INTO). Value-based merge-on-read
+    * deletes (predicate/equality) are materialized first — they would
+    * silently hit the new rows — but file-anchored position deletes are
+    * carried forward: they cannot touch files that don't exist yet, so
+    * the deferred-rewrite economics of MOR survive appends.
+    */
   def append(df: DataFrame): GraftTable = {
-    ensureMaterialized()
+    val md0 = currentManifest()
+    if (md0.deletePredicates.nonEmpty || md0.equalityDeletes.nonEmpty) {
+      materializeDeletes(); ()
+    }
     val m = meta
+    val md = currentManifest(m)
     val newFiles = writeDataFiles(df, m)
-    commitSnapshot(m, currentFiles(m) ++ newFiles, "append", newFiles.size)
+    commitSnapshot(m, md.files ++ newFiles, "append", newFiles.size,
+      positionDeleteFiles = md.positionDeleteFiles)
     this
   }
 

@@ -43,6 +43,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.size == 27)
   }
 
+  test("MERGE with partial SET and INSERT column list (workshop airlines-merge shape)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE a_ice AS SELECT n_nationkey AS code, n_name AS description, n_regionkey FROM nation")
+    val beforeRegion = g.sql("SELECT n_regionkey FROM a_ice WHERE code = 1")
+      .head().get(0)
+    g.sql("""MERGE INTO a_ice AS target
+            |USING (SELECT n_nationkey AS code FROM nation WHERE n_nationkey < 2
+            |       UNION ALL SELECT 995) AS source
+            |ON code = source.code
+            |WHEN MATCHED THEN UPDATE SET description = 'Titanic Trauma'
+            |WHEN NOT MATCHED THEN INSERT (code, description) VALUES (source.code, 'NEW')""".stripMargin)
+    val rows = g.sql("SELECT code, description, n_regionkey FROM a_ice ORDER BY code").collect()
+    val byCode = rows.map(r => r.get(0).toString.toLong -> r).toMap
+    assert(byCode(0L).getString(1) == "Titanic Trauma")
+    assert(byCode(1L).getString(1) == "Titanic Trauma")
+    assert(byCode(1L).get(2) == beforeRegion, "unlisted columns must keep target values")
+    assert(byCode(995L).getString(1) == "NEW")
+    assert(byCode(995L).isNullAt(2), "columns missing from INSERT list become NULL")
+    assert(rows.length == 26)
+  }
+
   test("DELETE / UPDATE / TRUNCATE / INSERT VALUES round trip") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE r_ice AS SELECT r_regionkey, r_name FROM region")

@@ -242,6 +242,9 @@ class GraftTableSpec extends SparkSpec {
     assert(t.currentPositionDeletes().nonEmpty)
     assert(t.toDF().count() == total - nO)
     assert(t.toDF().filter($"o_orderstatus" === "O").count() == 0)
+    // a filter that prunes EVERY file must return empty, not crash on the
+    // position-delete anti-join against a metadata-less empty relation
+    assert(t.toDF(Some("o_orderkey < -1")).count() == 0)
 
     // stacking a second position delete only records still-live rows
     val nHigh = ordersDf.filter($"o_orderstatus" =!= "O")
@@ -257,10 +260,16 @@ class GraftTableSpec extends SparkSpec {
     t.rollback(2)
     assert(t.toDF().count() == total - nO)
 
+    // appends carry file-anchored position deletes — no forced rewrite
+    t.append(ordersDf.filter($"o_orderstatus" =!= "O").limit(10)
+      .withColumn("o_orderkey", $"o_orderkey" + 999000L))
+    assert(t.currentPositionDeletes().nonEmpty, "append must not materialize position deletes")
+    assert(t.toDF().count() == total - nO + 10)
+
     // materialization rewrites only hit files and clears the delete files
     t.materializeDeletes()
     assert(t.currentPositionDeletes().isEmpty)
-    assert(t.toDF().count() == total - nO)
+    assert(t.toDF().count() == total - nO + 10)
     assert(t.toDF().filter($"o_orderstatus" === "O").count() == 0)
   }
 
