@@ -107,6 +107,22 @@ object Streams {
       }
       .start()
 
+  /** st05: continuous CDC upsert into a versioned table — each micro-batch
+    * lands as ONE merge-on-read upsert commit (equality-delete the batch
+    * keys + append the batch rows, O(batch) work, no table scan), the
+    * Flink-CDC-into-Iceberg ingestion shape. Read-side debt is paid by
+    * maintenance (`materializeDeletes` / `compactDeleteFiles`).
+    */
+  def upsertToTable(stream: DataFrame, table: GraftTable, keyCols: Seq[String],
+      queryName: String): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.upsertMergeOnRead(batch, keyCols); () }
+      }
+      .start()
+
   // ------------------------------------------------------- sessionization
 
   case class Ev(user_id: Long, ts_ms: Long)

@@ -58,27 +58,47 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
     deletes.foldLeft(df)((d, p) => d.filter(!coalesce(expr(p), lit(false))))
 
-  /** Apply all merge-on-read delete kinds to a scan result. Position and
-    * equality deletes anti-join against their delete sets — usually tiny
-    * relative to the data, so Catalyst/AQE pick broadcast anti-joins and
-    * the scan stays one pass.
+  /** Position-delete anti-join over a scan of `files` (delete sets are
+    * usually tiny, so Catalyst/AQE pick broadcast anti-joins).
     */
-  private def applyMor(df: DataFrame, md: ManifestData): DataFrame = {
-    val afterPos =
-      if (md.positionDeleteFiles.isEmpty || md.files.isEmpty) df
-      else {
-        val dels = spark.read.parquet(md.positionDeleteFiles: _*)
-        df.withColumn("__gp_fp", col("_metadata.file_path"))
-          .withColumn("__gp_pos", col("_metadata.row_index"))
-          .join(dels, col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
-            "left_anti")
-          .drop("__gp_fp", "__gp_pos")
-      }
-    val afterEq = md.equalityDeletes.foldLeft(afterPos) { (d, e) =>
+  private def applyPosDeletes(df: DataFrame, files: Seq[DataFile],
+      posFiles: Seq[String]): DataFrame =
+    if (posFiles.isEmpty || files.isEmpty) df
+    else {
+      val dels = spark.read.parquet(posFiles: _*)
+      df.withColumn("__gp_fp", col("_metadata.file_path"))
+        .withColumn("__gp_pos", col("_metadata.row_index"))
+        .join(dels, col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
+          "left_anti")
+        .drop("__gp_fp", "__gp_pos")
+    }
+
+  private def applyEq(df: DataFrame, eqs: Seq[EqualityDelete]): DataFrame =
+    eqs.foldLeft(df) { (d, e) =>
       val keys = spark.read.parquet(e.files: _*)
       d.join(keys, e.cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
     }
-    applyDeletes(afterEq, md.deletePredicates)
+
+  /** Sequence-aware merge-on-read read: files are grouped by which
+    * equality deletes apply to them (only deletes with a HIGHER sequence
+    * number — the Iceberg v2 rule that lets an upsert commit hide old key
+    * versions without hiding the rows it appends), each group scanned and
+    * anti-joined, then unioned; position deletes are file-anchored and
+    * predicate deletes global.
+    */
+  private def readWithMor(m: TableMeta, md: ManifestData,
+      filterSql: Option[String]): DataFrame = {
+    val pruned = filterSql.map(f => ScanPlanner.pruneFiles(m, md.files, f, spark))
+      .getOrElse(md.files)
+    val scans = pruned.groupBy(f => md.equalityDeletes.filter(e => f.seq < e.seq))
+      .toSeq.map { case (eqs, fs) =>
+        applyEq(applyPosDeletes(ScanPlanner.scan(spark, m, fs, filterSql), fs,
+          md.positionDeleteFiles), eqs)
+      }
+    val base =
+      if (scans.isEmpty) ScanPlanner.scan(spark, m, Nil, filterSql)
+      else scans.reduce(_ unionAll _)
+    applyDeletes(base, md.deletePredicates)
   }
 
   // ------------------------------------------------------------- reads
@@ -86,13 +106,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** Current-snapshot read with manifest-level pruning. */
   def toDF(filterSql: Option[String] = None): DataFrame = {
     val m = meta
-    val md = currentManifest(m)
-    // prune BEFORE applyMor sees the file list: a fully-pruned scan is a
-    // LocalRelation without _metadata, so the position-delete anti-join
-    // must know no file survived
-    val pruned = filterSql.map(f => ScanPlanner.pruneFiles(m, md.files, f, spark))
-      .getOrElse(md.files)
-    applyMor(ScanPlanner.scan(spark, m, pruned, filterSql), md.copy(files = pruned))
+    readWithMor(m, currentManifest(m), filterSql)
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's
@@ -108,8 +122,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    val md = manifestDataOf(snap)
-    applyMor(ScanPlanner.scan(spark, m, md.files, None), md)
+    readWithMor(m, manifestDataOf(snap), None)
   }
 
   /** Incremental read (CDC-style changelog): rows added between two
@@ -164,8 +177,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         case "delete-mor" =>
           val newPreds = md.deletePredicates.diff(parentMd.deletePredicates)
           val hit = newPreds.map(p => coalesce(expr(p), lit(false))).reduce(_ || _)
-          tagged(applyMor(ScanPlanner.scan(spark, m, parentMd.files, None), parentMd)
-            .filter(hit), "delete")
+          tagged(readWithMor(m, parentMd, None).filter(hit), "delete")
         case "delete-mor-pos" =>
           val newPos = md.positionDeleteFiles.diff(parentMd.positionDeleteFiles)
           val dels = spark.read.parquet(newPos: _*)
@@ -175,14 +187,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
           tagged(base.join(dels,
             col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
             "left_semi").drop("__gp_fp", "__gp_pos"), "delete")
-        case "delete-mor-eq" =>
+        case "delete-mor-eq" | "upsert-mor" =>
           val newEq = md.equalityDeletes.diff(parentMd.equalityDeletes)
-          val live = applyMor(ScanPlanner.scan(spark, m, parentMd.files, None), parentMd)
-          newEq.map { e =>
+          val live = readWithMor(m, parentMd, None)
+          val deletes = newEq.map { e =>
             val keys = spark.read.parquet(e.files: _*)
             tagged(live.join(keys,
               e.cols.map(c => live(c) <=> keys(c)).reduce(_ && _), "left_semi"), "delete")
-          }.reduce(_ unionAll _)
+          }
+          val before = parentMd.files.map(_.path).toSet
+          val added = md.files.filterNot(f => before.contains(f.path))
+          val inserts =
+            if (added.isEmpty) Nil
+            else Seq(tagged(ScanPlanner.scan(spark, m, added, None), "insert"))
+          (deletes ++ inserts).reduce(_ unionAll _)
         case other => throw new UnsupportedOperationException(
           s"changelog across '$other' commit (snapshot ${s.id}): rewrite commits " +
             "don't retain row-level lineage; consume between append/MOR snapshots")
@@ -320,7 +338,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
-    collectFileEntries(commitDir, m, spec.specId)
+    // stamp the data sequence number of the commit these files land in
+    // (single-writer: the caller commits against the same base meta)
+    collectFileEntries(commitDir, m, spec.specId).map(_.copy(seq = nextSnapshotId(m)))
   }
 
   /** Build DataFile entries (stats + partition values) for every parquet
@@ -407,26 +427,26 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (candidates.isEmpty) Nil
       else {
         val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
-        // capture positions before any join: _metadata resolves only on
-        // the file-source side of the plan
-        val base = ScanPlanner.scan(spark, m, candidates, None)
-          .withColumn("__gp_fp", col("_metadata.file_path"))
-          .withColumn("__gp_pos", col("_metadata.row_index"))
-        val minusPos =
-          if (md.positionDeleteFiles.isEmpty) base
-          else {
-            val dels = spark.read.parquet(md.positionDeleteFiles: _*)
-            base.join(dels,
-              col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
-              "left_anti")
-          }
-        // equality deletes too: rows they already hide must not be
-        // re-recorded (a CDC consumer would double-count the delete)
-        val minusEq = md.equalityDeletes.foldLeft(minusPos) { (d, e) =>
-          val keys = spark.read.parquet(e.files: _*)
-          d.join(keys, e.cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
-        }
-        applyDeletes(minusEq, md.deletePredicates)
+        // capture positions before any join (_metadata resolves only on
+        // the file-source side), per seq group so already-hidden rows are
+        // not re-recorded (a CDC consumer would double-count) while rows
+        // that OUTLIVE an older equality delete still are
+        val live = candidates.groupBy(f => md.equalityDeletes.filter(e => f.seq < e.seq))
+          .toSeq.map { case (eqs, fs) =>
+            val base = ScanPlanner.scan(spark, m, fs, None)
+              .withColumn("__gp_fp", col("_metadata.file_path"))
+              .withColumn("__gp_pos", col("_metadata.row_index"))
+            val minusPos =
+              if (md.positionDeleteFiles.isEmpty) base
+              else {
+                val dels = spark.read.parquet(md.positionDeleteFiles: _*)
+                base.join(dels,
+                  col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
+                  "left_anti")
+              }
+            applyEq(minusPos, eqs)
+          }.reduce(_ unionAll _)
+        applyDeletes(live, md.deletePredicates)
           .filter(coalesce(expr(cond), lit(false)))
           .select(col("__gp_fp").as("file_path"), col("__gp_pos").as("pos"))
           .write.parquet(delDir)
@@ -457,7 +477,32 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commitSnapshot(m, md.files, "delete-mor-eq", 0,
       deletePredicates = md.deletePredicates,
       positionDeleteFiles = md.positionDeleteFiles,
-      equalityDeletes = md.equalityDeletes :+ EqualityDelete(keyCols, listParquet(delDir)))
+      equalityDeletes = md.equalityDeletes :+
+        EqualityDelete(keyCols, listParquet(delDir), nextSnapshotId(m)))
+    this
+  }
+
+  /** Merge-on-read UPSERT (the streaming-CDC ingestion shape): ONE commit
+    * holding an equality delete on the source keys plus the source rows
+    * as new files. O(|source|) work — no target file is read or
+    * rewritten; sequence numbers scope the delete to files older than
+    * this commit, so the appended rows survive their own delete. At 100 TB
+    * this is the only upsert whose cost doesn't grow with table size;
+    * [[materializeDeletes]]/[[compactDeleteFiles]] amortize the read-side
+    * debt on maintenance schedule.
+    */
+  def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val m = meta
+    val md = currentManifest(m)
+    val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
+    source.select(keyCols.map(col): _*).distinct().write.parquet(delDir)
+    val newFiles = writeDataFiles(source, m)
+    commitSnapshot(m, md.files ++ newFiles, "upsert-mor", newFiles.size,
+      deletePredicates = md.deletePredicates,
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes :+
+        EqualityDelete(keyCols, listParquet(delDir), nextSnapshotId(m)))
     this
   }
 
@@ -491,19 +536,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .select(col("file_path")).distinct().collect()
         .map(r => stripScheme(r.getString(0))).toSet
     val eqTouched: Set[String] = md.equalityDeletes.flatMap { e =>
-      val keys = spark.read.parquet(e.files: _*)
-      val base = spark.read.schema(m.schema).parquet(md.files.map(_.path): _*)
-      base.join(keys, e.cols.map(c => base(c) <=> keys(c)).reduce(_ && _), "left_semi")
-        .select(col("_metadata.file_path")).distinct().collect()
-        .map(r => stripScheme(r.getString(0)))
+      // only files the delete's sequence number covers can be touched
+      val applicable = md.files.filter(_.seq < e.seq)
+      if (applicable.isEmpty) Nil
+      else {
+        val keys = spark.read.parquet(e.files: _*)
+        val base = spark.read.schema(m.schema).parquet(applicable.map(_.path): _*)
+        base.join(keys, e.cols.map(c => base(c) <=> keys(c)).reduce(_ && _), "left_semi")
+          .select(col("_metadata.file_path")).distinct().collect()
+          .map(r => stripScheme(r.getString(0))).toSeq
+      }
     }.toSet
     val touched = md.files.filter(f => predTouched.contains(f.path) ||
       posTouched.contains(f.path) || eqTouched.contains(f.path))
     val rewritten =
       if (touched.isEmpty) Nil
-      else writeDataFiles(
-        applyMor(spark.read.schema(m.schema).parquet(touched.map(_.path): _*),
-          md.copy(files = touched)), m)
+      else writeDataFiles(readWithMor(m, md.copy(files = touched), None), m)
     val untouched = md.files.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouched ++ rewritten, "rewrite-deletes", rewritten.size)
     this
@@ -548,22 +596,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
-  /** Append rows (reference INSERT INTO). Value-based merge-on-read
-    * deletes (predicate/equality) are materialized first — they would
-    * silently hit the new rows — but file-anchored position deletes are
-    * carried forward: they cannot touch files that don't exist yet, so
-    * the deferred-rewrite economics of MOR survive appends.
+  /** Append rows (reference INSERT INTO). Predicate merge-on-read deletes
+    * are materialized first — they would silently hit the new rows — but
+    * position deletes (file-anchored) and equality deletes (sequence-
+    * scoped to older files) are carried forward: neither can touch files
+    * that don't exist yet, so the deferred-rewrite economics of MOR
+    * survive appends.
     */
   def append(df: DataFrame): GraftTable = {
-    val md0 = currentManifest()
-    if (md0.deletePredicates.nonEmpty || md0.equalityDeletes.nonEmpty) {
-      materializeDeletes(); ()
-    }
+    if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
     val m = meta
     val md = currentManifest(m)
     val newFiles = writeDataFiles(df, m)
     commitSnapshot(m, md.files ++ newFiles, "append", newFiles.size,
-      positionDeleteFiles = md.positionDeleteFiles)
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes)
     this
   }
 
@@ -724,11 +771,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     require(ref.kind == "branch", s"$branch is a ${ref.kind}, not a branch")
     val head = m.snapshot(ref.snapshotId).get
     val headMd = manifestDataOf(head)
-    // predicate/equality deletes apply at read time to EVERY file in the
-    // manifest — staging new rows under them would silently delete any
-    // staged row they match (position deletes are file-anchored and safe)
-    require(headMd.deletePredicates.isEmpty && headMd.equalityDeletes.isEmpty,
-      s"branch $branch head carries merge-on-read value deletes; materialize before staging")
+    // predicate deletes apply at read time to EVERY file in the manifest —
+    // staging new rows under them would silently delete any staged row
+    // they match (position deletes are file-anchored, equality deletes
+    // sequence-scoped: both safe to stage under)
+    require(headMd.deletePredicates.isEmpty,
+      s"branch $branch head carries merge-on-read predicate deletes; materialize before staging")
     val newFiles = writeDataFiles(df, m)
     val snapId = nextSnapshotId(m)
     val manifestName = s"manifest-$snapId.json"

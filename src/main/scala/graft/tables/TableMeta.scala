@@ -57,12 +57,17 @@ case class DataFile(
     partitionValues: Map[String, String],
     recordCount: Long,
     sizeBytes: Long,
-    stats: Map[String, ColStats])
+    stats: Map[String, ColStats],
+    seq: Long = 0) // data sequence number: the snapshot that added the file
 
 /** One merge-on-read equality delete: rows matching any key tuple in
-  * `files` (parquet, schema = `cols`) are dropped at read time.
+  * `files` (parquet, schema = `cols`) are dropped at read time — but only
+  * from data files with a LOWER sequence number (`file.seq < seq`), the
+  * Iceberg v2 sequencing rule that lets an upsert commit delete old
+  * versions of its keys without hiding the rows it appends.
   */
-case class EqualityDelete(cols: Seq[String], files: Seq[String])
+case class EqualityDelete(cols: Seq[String], files: Seq[String],
+    seq: Long = Long.MaxValue)
 
 /** Everything a snapshot manifest carries: the data-file list plus the
   * three merge-on-read delete kinds (predicate deletes: a SQL condition
@@ -181,6 +186,7 @@ object MetaIO {
         val o = eq.addObject()
         val ca = o.putArray("cols"); e.cols.foreach(ca.add)
         val fa = o.putArray("files"); e.files.foreach(fa.add)
+        o.put("seq", e.seq)
       }
     }
     val arr = root.putArray("files")
@@ -192,6 +198,7 @@ object MetaIO {
       f.partitionValues.foreach { case (k, v) => pv.put(k, v) }
       o.put("record_count", f.recordCount)
       o.put("size_bytes", f.sizeBytes)
+      if (f.seq != 0) o.put("seq", f.seq)
       val st = o.putObject("stats")
       f.stats.foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -226,7 +233,8 @@ object MetaIO {
       o.get("cols").forEach(n => cols += n.asText())
       val fls = Seq.newBuilder[String]
       o.get("files").forEach(n => fls += n.asText())
-      eqDeletes += EqualityDelete(cols.result(), fls.result())
+      eqDeletes += EqualityDelete(cols.result(), fls.result(),
+        Option(o.get("seq")).map(_.asLong()).getOrElse(Long.MaxValue))
     })
     val out = Seq.newBuilder[DataFile]
     root.get("files").forEach { o =>
@@ -244,7 +252,7 @@ object MetaIO {
       }
       out += DataFile(o.get("path").asText(), o.get("spec_id").asInt(),
         pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
-        stats.result())
+        stats.result(), Option(o.get("seq")).map(_.asLong()).getOrElse(0L))
     }
     ManifestData(out.result(), deletes.result(), posDeletes.result(), eqDeletes.result())
   }

@@ -73,6 +73,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st05 streaming upsert: each micro-batch is one merge-on-read upsert commit") {
+    import graft.tables.GraftTable
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_stream_up").toString + "/t"
+    val schema = StructType(Seq(StructField("event_id", LongType), StructField("value", DoubleType)))
+    val table = GraftTable.createEmpty(spark, loc, schema)
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.upsertToTable(input.toDF().toDF("event_id", "value"), table,
+      Seq("event_id"), "st05")
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(table.toDF().count() == 2)
+      input.addData((2L, 20.0), (3L, 3.0))
+      q.processAllAvailable()
+      val byId = table.toDF().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(byId == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0), s"latest value wins: $byId")
+      assert(table.meta.snapshots.size == 2, "one commit per micro-batch")
+      assert(table.currentEqualityDeletes().nonEmpty, "no rewrite happened")
+    } finally q.stop()
+  }
+
   test("commit conflict is detected, not silently lost") {
     import graft.tables.GraftTable
     val loc = java.nio.file.Files.createTempDirectory("graft_conflict").toString + "/t"

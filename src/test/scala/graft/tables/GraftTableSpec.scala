@@ -407,6 +407,43 @@ class GraftTableSpec extends SparkSpec {
     intercept[UnsupportedOperationException] { t.changesBetween(s4, s5).count() }
   }
 
+  test("upsertMergeOnRead: one O(batch) commit updates keys and inserts rows") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(4))
+    val total = ordersDf.count()
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    val updates = ordersDf.orderBy($"o_orderkey").limit(50)
+      .withColumn("o_orderpriority", lit("0-UPSERTED"))
+    val inserts = ordersDf.orderBy($"o_orderkey").limit(20)
+      .withColumn("o_orderkey", $"o_orderkey" + 444000L)
+      .withColumn("o_orderpriority", lit("0-NEW"))
+    t.upsertMergeOnRead(updates.unionAll(inserts), Seq("o_orderkey"))
+
+    assert(filesBefore.subsetOf(t.currentFiles().map(_.path).toSet),
+      "no target file read or rewritten")
+    assert(t.toDF().count() == total + 20)
+    assert(t.toDF().filter($"o_orderpriority" === "0-UPSERTED").count() == 50,
+      "appended rows must survive their own commit's equality delete (seq scoping)")
+    assert(t.toDF().filter($"o_orderpriority" === "0-NEW").count() == 20)
+
+    // changelog: old versions deleted, all source rows inserted
+    val ch = t.changesBetween(1, t.meta.currentSnapshotId.get)
+    assert(ch.filter($"_change_type" === "delete").count() == 50)
+    assert(ch.filter($"_change_type" === "insert").count() == 70)
+
+    // a second upsert re-hides only older versions of its keys
+    t.upsertMergeOnRead(updates.limit(10).withColumn("o_orderpriority", lit("0-AGAIN")),
+      Seq("o_orderkey"))
+    assert(t.toDF().filter($"o_orderpriority" === "0-AGAIN").count() == 10)
+    assert(t.toDF().filter($"o_orderpriority" === "0-UPSERTED").count() == 40)
+    assert(t.toDF().count() == total + 20)
+
+    // materialization collapses the stacked upserts
+    t.materializeDeletes()
+    assert(t.currentEqualityDeletes().isEmpty)
+    assert(t.toDF().count() == total + 20)
+    assert(t.toDF().filter($"o_orderpriority" === "0-AGAIN").count() == 10)
+  }
+
   test("compactDeleteFiles folds delete files without changing visible rows") {
     val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(4))
     t.deleteMergeOnReadPositions("o_orderkey % 5 = 0")
