@@ -167,7 +167,11 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     require(keys.nonEmpty, s"no equality keys in MERGE ON clause: $on")
     val srcDf = runSelect(stripParens(using))
     if (setClause.trim == "*" && insClause.trim == "*") {
-      t.mergeInto(conform(name, srcDf), keys)
+      // Iceberg's write.merge.mode: the full-row upsert form maps onto the
+      // O(batch) merge-on-read upsert (no target scan) when requested
+      if (t.meta.properties.get("write.merge.mode").contains("merge-on-read"))
+        t.upsertMergeOnRead(conform(name, srcDf), keys)
+      else t.mergeInto(conform(name, srcDf), keys)
       return status("merge", name)
     }
     val tgtView = "__graft_merge_tgt"

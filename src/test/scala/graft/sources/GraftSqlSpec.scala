@@ -129,6 +129,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM w_ice").head().getLong(0) == 3)
   }
 
+  test("write.merge.mode=merge-on-read routes full-row MERGE to the upsert path") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE u_ice TBLPROPERTIES('write.merge.mode'='merge-on-read') " +
+      "AS SELECT n_nationkey, n_name FROM nation")
+    val filesBefore = g.table("u_ice").currentFiles().map(_.path).toSet
+    g.sql("""MERGE INTO u_ice USING (
+            |  SELECT n_nationkey, 'UP' AS n_name FROM nation WHERE n_nationkey < 3
+            |  UNION ALL SELECT 990, 'NEW') AS source
+            |ON n_nationkey = source.n_nationkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(filesBefore.subsetOf(g.table("u_ice").currentFiles().map(_.path).toSet),
+      "merge-on-read merge must not rewrite target files")
+    assert(g.table("u_ice").currentEqualityDeletes().nonEmpty)
+    assert(g.sql("SELECT COUNT(*) AS n FROM u_ice").head().getLong(0) == 26)
+    assert(g.sql("SELECT COUNT(*) AS n FROM u_ice WHERE n_name = 'UP'").head().getLong(0) == 3)
+  }
+
   test("tags, branches, and fast-forward through SQL") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE b_ice AS SELECT r_regionkey, r_name FROM region")
