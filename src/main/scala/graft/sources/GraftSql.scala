@@ -65,7 +65,11 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val InsertSel = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*|FROM\b.*)""")
   private val InsertVals = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+VALUES\s*(.*)""")
   private val InsertOver = r("""INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)""")
-  private val Merge = r("""MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*?)(?:\s+AS\s+(\w+))?\s+ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)""")
+  // USING body is extracted separately (takeBalanced for subqueries) so a
+  // `JOIN ... ON` inside the subquery can't bind the merge's own ON token
+  private val MergeHead = r("""MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*)""")
+  private val MergeTail =
+    """(?is)^(?:AS\s+)?(?:(\w+)\s+)?ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$""".r
   private val Delete = r("""DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)""")
   private val Update = r("""UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)""")
   private val Truncate = r("""TRUNCATE\s+(?:TABLE\s+)?(\w+)""")
@@ -102,9 +106,23 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).append(conform(name,
           runSelect(s"SELECT * FROM (VALUES $tuples) AS __v($cols)")))
         status("insert", name)
-      case Merge(name, tgtAlias, using, srcAlias, on, setClause, insClause) =>
-        handleMerge(name, Option(tgtAlias).getOrElse(name),
-          Option(srcAlias).getOrElse("source"), using, on, setClause, insClause)
+      case MergeHead(name, tgtAlias, usingRest) =>
+        val trimmed = usingRest.trim
+        val (using, rest) =
+          if (trimmed.startsWith("(")) {
+            val (inside, after) = takeBalanced(trimmed)
+            (inside, after.trim)
+          } else {
+            val parts = trimmed.split("\\s+", 2)
+            (parts(0), if (parts.length > 1) parts(1) else "")
+          }
+        rest match {
+          case MergeTail(srcAlias, on, setClause, insClause) =>
+            handleMerge(name, Option(tgtAlias).getOrElse(name),
+              Option(srcAlias).getOrElse("source"), using, on, setClause, insClause)
+          case _ =>
+            throw new IllegalArgumentException(s"unsupported MERGE statement: $stmt")
+        }
       case Delete(name, cond) =>
         // Iceberg's write.delete.mode: merge-on-read defers the rewrite
         val t = table(name)

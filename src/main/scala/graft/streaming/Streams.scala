@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, DoubleType, StringType}
 import graft.tables.GraftTable
@@ -112,14 +113,29 @@ object Streams {
     * keys + append the batch rows, O(batch) work, no table scan), the
     * Flink-CDC-into-Iceberg ingestion shape. Read-side debt is paid by
     * maintenance (`materializeDeletes` / `compactDeleteFiles`).
+    *
+    * A micro-batch may carry several updates to one key (they share a
+    * sequence number, so all would survive the equality delete); the batch
+    * is reduced to the LAST row per key — by `seqCol` descending when
+    * given, else an arbitrary winner — before the commit, preserving the
+    * "latest value per key wins" CDC contract.
     */
   def upsertToTable(stream: DataFrame, table: GraftTable, keyCols: Seq[String],
-      queryName: String): StreamingQuery =
+      queryName: String, seqCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.upsertMergeOnRead(batch, keyCols); () }
+        if (!batch.isEmpty) {
+          val latest = seqCol match {
+            case Some(c) =>
+              val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(c).desc)
+              batch.withColumn("__graft_rn", row_number().over(w))
+                .filter(col("__graft_rn") === 1).drop("__graft_rn")
+            case None => batch.dropDuplicates(keyCols)
+          }
+          table.upsertMergeOnRead(latest, keyCols); ()
+        }
       }
       .start()
 

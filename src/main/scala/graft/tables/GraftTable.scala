@@ -493,6 +493,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     require(keyCols.nonEmpty, "upsert needs key columns")
+    // predicate deletes apply globally at read time — a carried-forward
+    // predicate would silently drop upserted rows it matches, violating the
+    // append()/appendToBranch invariant that new rows are never hit by
+    // older merge-on-read predicates. Materialize them first.
+    if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
     val m = meta
     val md = currentManifest(m)
     val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
@@ -567,7 +572,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val md = currentManifest(m)
     val posNeedsFold = md.positionDeleteFiles.size > 1
-    val eqNeedsFold = md.equalityDeletes.groupBy(_.cols).exists(_._2.flatMap(_.files).size > 1)
+    // fold ONLY within a (cols, seq) group: the sequence number scopes which
+    // data files a delete applies to (f.seq < e.seq), so merging deletes of
+    // different seqs would widen the older ones onto files they must not
+    // touch — e.g. rows appended by an upsert would vanish under their own
+    // (now seq-less) delete after compaction
+    val eqNeedsFold = md.equalityDeletes.groupBy(e => (e.cols, e.seq))
+      .exists(_._2.flatMap(_.files).size > 1)
     if (!posNeedsFold && !eqNeedsFold) return this
     def fold(paths: Seq[String]): Seq[String] = {
       val dir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
@@ -575,9 +586,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
       listParquet(dir)
     }
     val newPos = if (posNeedsFold) fold(md.positionDeleteFiles) else md.positionDeleteFiles
-    val newEq = md.equalityDeletes.groupBy(_.cols).map { case (cols, es) =>
+    val newEq = md.equalityDeletes.groupBy(e => (e.cols, e.seq)).map { case ((cols, seq), es) =>
       val files = es.flatMap(_.files)
-      if (files.size > 1) EqualityDelete(cols, fold(files)) else EqualityDelete(cols, files)
+      if (files.size > 1) EqualityDelete(cols, fold(files), seq)
+      else EqualityDelete(cols, files, seq)
     }.toSeq
     commitSnapshot(m, md.files, "rewrite-deletes", 0,
       deletePredicates = md.deletePredicates,
@@ -801,6 +813,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val ref = m.refs.getOrElse(branch,
       throw new IllegalArgumentException(s"unknown branch: $branch"))
     require(ref.kind == "branch", s"$branch is a ${ref.kind}, not a branch")
+    // fast-forward only (Iceberg fast_forward errors on divergence): main's
+    // current snapshot must be an ancestor of the branch head, or commits
+    // that landed on main after the branch was created would be silently
+    // discarded by the pointer switch
+    m.currentSnapshotId.foreach { mainId =>
+      var cur = m.snapshot(ref.snapshotId)
+      var found = false
+      while (cur.isDefined && !found) {
+        if (cur.get.id == mainId) found = true
+        else cur = cur.get.parentId.flatMap(m.snapshot)
+      }
+      require(found, s"cannot publish $branch: main snapshot $mainId is not " +
+        "an ancestor of the branch head (main has diverged)")
+    }
     commitMetadataOnly(m.copy(version = m.version + 1,
       currentSnapshotId = Some(ref.snapshotId)))
     this

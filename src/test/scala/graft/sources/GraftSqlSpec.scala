@@ -152,13 +152,17 @@ class GraftSqlSpec extends SparkSpec {
     g.sql("CREATE TABLE b_ice AS SELECT r_regionkey, r_name FROM region")
     g.sql("ALTER TABLE b_ice CREATE TAG v1")
     g.sql("ALTER TABLE b_ice CREATE BRANCH audit")
-    g.sql("INSERT INTO b_ice SELECT r_regionkey + 50, r_name FROM region")
-    // main moved to 10; tag still reads 5; branch still at 5
-    assert(g.sql("SELECT COUNT(*) AS n FROM b_ice").head().getLong(0) == 10)
+    // stage rows on the branch (write-audit-publish); main stays untouched
+    g.table("b_ice").appendToBranch(
+      g.sql("SELECT r_regionkey + 50 AS r_regionkey, r_name FROM region"), "audit")
+    assert(g.sql("SELECT COUNT(*) AS n FROM b_ice").head().getLong(0) == 5)
     assert(g.sql("SELECT COUNT(*) AS n FROM b_ice FOR SYSTEM_VERSION AS OF 'v1'")
       .head().getLong(0) == 5)
     g.sql("CALL system.fast_forward('b_ice', 'audit')")
-    assert(g.sql("SELECT COUNT(*) AS n FROM b_ice").head().getLong(0) == 5)
+    assert(g.sql("SELECT COUNT(*) AS n FROM b_ice").head().getLong(0) == 10)
+    // tag still pins the creation-time snapshot after the fast-forward
+    assert(g.sql("SELECT COUNT(*) AS n FROM b_ice FOR SYSTEM_VERSION AS OF 'v1'")
+      .head().getLong(0) == 5)
     g.sql("ALTER TABLE b_ice DROP TAG v1")
     intercept[IllegalArgumentException] {
       g.sql("SELECT COUNT(*) AS n FROM b_ice FOR SYSTEM_VERSION AS OF 'v1'")

@@ -455,12 +455,63 @@ class GraftTableSpec extends SparkSpec {
     assert(posBefore > 1 && t.currentEqualityDeletes().size == 2)
     t.compactDeleteFiles()
     assert(t.currentPositionDeletes().size == 1)
-    assert(t.currentEqualityDeletes().size == 1 &&
-      t.currentEqualityDeletes().head.files.size == 1)
+    // the two equality deletes landed at different sequence numbers, so they
+    // must NOT merge into one entry (that would widen the older delete onto
+    // files it may not touch) — but each entry folds to one file
+    assert(t.currentEqualityDeletes().size == 2 &&
+      t.currentEqualityDeletes().forall(_.files.size == 1))
     assert(t.toDF().count() == before)
     // and the folded state still materializes cleanly
     t.materializeDeletes()
     assert(t.toDF().count() == before)
+  }
+
+  test("compactDeleteFiles preserves equality-delete seq: upserted rows survive") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    val up = ordersDf.orderBy($"o_orderkey").limit(20)
+    t.upsertMergeOnRead(up.withColumn("o_orderpriority", lit("0-V1")), Seq("o_orderkey"))
+    t.upsertMergeOnRead(up.withColumn("o_orderpriority", lit("0-V2")), Seq("o_orderkey"))
+    val before = t.toDF().count()
+    assert(t.toDF().filter($"o_orderpriority" === "0-V2").count() == 20)
+    val seqsBefore = t.currentEqualityDeletes().map(_.seq).sorted
+    t.compactDeleteFiles()
+    assert(t.currentEqualityDeletes().map(_.seq).sorted == seqsBefore,
+      "delete-file compaction must not change sequence numbers")
+    assert(t.toDF().count() == before)
+    assert(t.toDF().filter($"o_orderpriority" === "0-V2").count() == 20,
+      "current key versions must survive compaction (seq-scoping preserved)")
+  }
+
+  test("upsertMergeOnRead materializes older predicate deletes first") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    t.deleteMergeOnRead("o_orderstatus = 'O'")
+    val liveAfterDelete = t.toDF().count()
+    // upsert rows that MATCH the older predicate — they must survive it
+    val up = ordersDf.orderBy($"o_orderkey").limit(15)
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderpriority", lit("0-UPSERT-O"))
+    // some upserted keys may still be live (their row wasn't status='O'):
+    // those are replaced, the rest are pure inserts
+    val liveMatching = t.toDF()
+      .join(up.select($"o_orderkey"), "o_orderkey").count()
+    t.upsertMergeOnRead(up, Seq("o_orderkey"))
+    assert(t.currentDeletes().isEmpty,
+      "predicate deletes must be materialized before the upsert commit")
+    assert(t.toDF().filter($"o_orderpriority" === "0-UPSERT-O").count() == 15,
+      "upserted rows matching an older predicate delete must not be hidden")
+    assert(t.toDF().count() == liveAfterDelete - liveMatching + 15)
+  }
+
+  test("publish refuses to discard commits that landed on main after branching") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    t.createBranch("wap")
+    t.appendToBranch(ordersDf.limit(10)
+      .withColumn("o_orderkey", $"o_orderkey" + 777000L), "wap")
+    // main moves on independently -> branch head no longer descends from it
+    t.append(ordersDf.limit(5).withColumn("o_orderkey", $"o_orderkey" + 999000L))
+    intercept[IllegalArgumentException] { t.publish("wap") }
+    assert(t.toDF().filter($"o_orderkey" >= 999000L).count() == 5,
+      "diverged publish must not silently drop main's commits")
   }
 
   test("refs: tags, branches, and the write-audit-publish flow") {
