@@ -11,7 +11,8 @@ object SparkEntry {
   private def allEntries: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Relational.entries ++ TemporalJoins.entries ++ TextAnalysis.entries ++
       Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++
-      TableOps.entries ++ graft.streaming.Streams.entries
+      TableOps.entries ++ TableOpsExt.entries ++ SkewJoins.entries ++
+      graft.streaming.Streams.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
 
 /** Manual key-salting for skew joins (SURVEY §5). AQE's skew-join split
   * handles most cases at runtime; explicit salting is the deterministic
@@ -25,4 +27,27 @@ object SkewJoins {
       explode(expr(s"sequence(0, ${salt - 1})")))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** x07 as a driver-gate query: the salted fact⋈dim join must produce
+    * results identical to the plain join — the oracle IS the plain join.
+    */
+  def x07SaltedJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey")
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus"))
+    saltedJoin(li, ord, "o_orderkey", 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val x07Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x07_salted_join" -> ((x07SaltedJoinGate _, x07Oracle)),
+  )
 }

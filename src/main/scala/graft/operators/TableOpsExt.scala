@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.tables._
+import java.nio.file.Files
+
+/** SURVEY §2.2 continued — driver-gate queries for the table-layer
+  * operators that round 2 covered only in ScalaTest: merge-on-read
+  * position/equality delete files, the CDC upsert + changelog reads,
+  * refs/WAP, clustering (range + z-order), manifest rewrite, and parquet
+  * native bloom filters. Same contract as [[TableOps]]: deterministic
+  * capped inputs (ORDER BY o_orderkey LIMIT n, mirrored in the oracle
+  * SQL), outputs restricted to input-derivable values; file-level
+  * semantics stay asserted in GraftTableSpec.
+  */
+object TableOpsExt {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_topx").toString + "/t"
+
+  private def orders(spark: SparkSession, sfDir: String, n: Int = 20000): DataFrame =
+    Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
+
+  private def cappedSql(n: Int = 20000): String =
+    s"(SELECT * FROM orders ORDER BY o_orderkey LIMIT $n)"
+
+  /** The n lowest-keyed orders shifted to fresh keys (disjoint from base). */
+  private def shifted(spark: SparkSession, sfDir: String, n: Int, off: Long): DataFrame =
+    orders(spark, sfDir, n).withColumn("o_orderkey", col("o_orderkey") + off)
+
+  // ---------------------------------------------------------------- t17
+
+  /** t17: merge-on-read POSITION delete files (Iceberg v2): two stacked
+    * position deletes are metadata-plus-delete-file commits (the data file
+    * set never changes), reads stay exact as they accumulate, and
+    * materialization clears them without changing visible rows.
+    */
+  def t17PositionDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(8))
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    t.deleteMergeOnReadPositions("o_orderstatus = 'F'")
+    val rowsD1 = t.toDF().count()
+    t.deleteMergeOnReadPositions("o_totalprice > 250000")
+    val rowsD2 = t.toDF().count()
+    val metadataOnly = t.currentFiles().map(_.path).toSet == filesBefore &&
+      t.currentPositionDeletes().nonEmpty
+    t.materializeDeletes()
+    Seq((metadataOnly, rowsD1, rowsD2, t.toDF().count(),
+        t.currentPositionDeletes().size.toLong))
+      .toDF("mor_metadata_only", "rows_d1", "rows_d2", "rows_final", "pos_files_final")
+  }
+
+  val t17Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT TRUE AS mor_metadata_only,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F') AS rows_d1,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F' AND o_totalprice <= 250000) AS rows_d2,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F' AND o_totalprice <= 250000) AS rows_final,
+       |  CAST(0 AS BIGINT) AS pos_files_final""".stripMargin
+
+  // ---------------------------------------------------------------- t18
+
+  /** t18: merge-on-read EQUALITY delete files: an O(|keys|) commit hides
+    * matching rows without touching data files, and rows appended LATER
+    * with the same keys survive it (sequence-number scoping — the property
+    * that makes CDC upserts possible).
+    */
+  def t18EqualityDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir))
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    t.deleteMergeOnReadEquality(orders(spark, sfDir, 100).select(col("o_orderkey")),
+      Seq("o_orderkey"))
+    val metadataOnly = t.currentFiles().map(_.path).toSet == filesBefore &&
+      t.currentEqualityDeletes().size == 1
+    val rowsAfterDelete = t.toDF().count()
+    t.append(orders(spark, sfDir, 100))
+    Seq((metadataOnly, rowsAfterDelete, t.toDF().count(),
+        t.currentEqualityDeletes().size.toLong))
+      .toDF("eq_metadata_only", "rows_after_delete", "rows_after_reappend", "eq_entries")
+  }
+
+  val t18Oracle: String =
+    s"""SELECT TRUE AS eq_metadata_only,
+       |  (SELECT COUNT(*) FROM ${cappedSql()}) - 100 AS rows_after_delete,
+       |  (SELECT COUNT(*) FROM ${cappedSql()}) AS rows_after_reappend,
+       |  CAST(1 AS BIGINT) AS eq_entries""".stripMargin
+
+  // ---------------------------------------------------------------- t19
+
+  /** t19: merge-on-read UPSERT — ONE commit (equality delete on the source
+    * keys + append), no target file read or rewritten; old key versions
+    * hidden, appended rows survive their own delete.
+    */
+  def t19UpsertMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir))
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    val source = orders(spark, sfDir, 100).withColumn("o_orderpriority", lit("0-UPSERT"))
+      .unionAll(shifted(spark, sfDir, 50, 900000000L)
+        .withColumn("o_orderpriority", lit("0-NEW")))
+    t.upsertMergeOnRead(source, Seq("o_orderkey"))
+    val noRewrite = filesBefore.subsetOf(t.currentFiles().map(_.path).toSet)
+    val oneCommit = t.meta.snapshots.size == 2
+    val df = t.toDF()
+    Seq((noRewrite, oneCommit, df.count(),
+        df.filter(col("o_orderpriority") === "0-UPSERT").count(),
+        df.filter(col("o_orderpriority") === "0-NEW").count()))
+      .toDF("no_rewrite", "one_commit", "n_rows", "n_upserted", "n_inserted")
+  }
+
+  val t19Oracle: String =
+    s"""SELECT TRUE AS no_rewrite, TRUE AS one_commit,
+       |  (SELECT COUNT(*) FROM ${cappedSql()}) + 50 AS n_rows,
+       |  CAST(100 AS BIGINT) AS n_upserted, CAST(50 AS BIGINT) AS n_inserted""".stripMargin
+
+  // ---------------------------------------------------------------- t20
+
+  /** t20: row-level changelog (CDC read) between snapshots: an append
+    * contributes 'insert' rows from its manifest diff, an equality-delete
+    * commit contributes exactly the rows it hid as 'delete' — no full-table
+    * diffing.
+    */
+  def t20ChangesBetween(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 1000, 900000000L))
+    t.deleteMergeOnReadEquality(orders(spark, sfDir, 100).select(col("o_orderkey")),
+      Seq("o_orderkey"))
+    val s3 = t.meta.currentSnapshotId.get
+    t.changesBetween(s1, s3)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy(col("_change_type"))
+  }
+
+  val t20Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'delete' AS _change_type, CAST(100 AS BIGINT) AS n, CAST(100 AS BIGINT) AS n_keys
+      |  UNION ALL
+      |  SELECT 'insert', 1000, 1000)
+      |ORDER BY _change_type""".stripMargin
+
+  // ---------------------------------------------------------------- t21
+
+  /** t21: tags, branches, and the write-audit-publish flow: staged rows are
+    * visible on the branch but not on main until publish fast-forwards it;
+    * the tag keeps reading its creation-time snapshot throughout.
+    */
+  def t21RefsWap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
+    t.createTag("v1", t.meta.currentSnapshotId.get)
+    t.createBranch("audit")
+    t.appendToBranch(shifted(spark, sfDir, 500, 900000000L), "audit")
+    val mainBefore = t.toDF().count()
+    val branchRows = t.asOfRef("audit").count()
+    t.publish("audit")
+    Seq((mainBefore, branchRows, t.toDF().count(), t.asOfRef("v1").count()))
+      .toDF("main_before", "branch_rows", "main_after", "tag_rows")
+  }
+
+  val t21Oracle: String =
+    s"""WITH c AS (SELECT (SELECT COUNT(*) FROM ${cappedSql(5000)}) AS a,
+       |  (SELECT COUNT(*) FROM ${cappedSql(500)}) AS b)
+       |SELECT a AS main_before, a + b AS branch_rows, a + b AS main_after,
+       |  a AS tag_rows FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- t22
+
+  /** t22: rewrite_manifests — manifest consolidation keeps the data file
+    * set byte-identical and round-trips merge-on-read delete state (hidden
+    * rows stay hidden).
+    */
+  def t22RewriteManifests(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(8))
+    t.deleteMergeOnReadEquality(orders(spark, sfDir, 100).select(col("o_orderkey")),
+      Seq("o_orderkey"))
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    t.rewriteManifests()
+    val same = t.currentFiles().map(_.path).toSet == filesBefore
+    Seq((same, t.toDF().count())).toDF("files_identical", "n_rows")
+  }
+
+  val t22Oracle: String =
+    s"""SELECT TRUE AS files_identical,
+       |  (SELECT COUNT(*) FROM ${cappedSql()}) - 100 AS n_rows""".stripMargin
+
+  // ---------------------------------------------------------------- t23
+
+  /** t23: range clustering (rewrite with sort): before, every file spans
+    * the whole key range so a key predicate scans all of them; after, files
+    * hold disjoint ranges and min/max stats pruning skips most of the
+    * table without any partition spec.
+    */
+  def t23Cluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(8))
+    val filter = "o_orderkey <= 1000"
+    val allScanned = t.plannedFiles(filter).size == t.currentFiles().size
+    t.cluster(Seq("o_orderkey"), nFiles = 8)
+    val pruned = t.plannedFiles(filter).size < t.currentFiles().size
+    Seq((allScanned, pruned, t.toDF(Some(filter)).count(), t.toDF().count()))
+      .toDF("all_scanned_before", "pruned_after", "n_rows_filtered", "n_rows_total")
+  }
+
+  val t23Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT TRUE AS all_scanned_before, TRUE AS pruned_after,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderkey <= 1000) AS n_rows_filtered,
+       |  (SELECT COUNT(*) FROM base) AS n_rows_total""".stripMargin
+
+  // ---------------------------------------------------------------- t24
+
+  /** t24: z-order clustering — one rewrite gives min/max pruning on BOTH
+    * listed columns (what single-column range clustering can't), with
+    * exact reads under each predicate.
+    */
+  def t24ClusterZOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(8))
+    t.clusterZOrder(Seq("o_custkey", "o_totalprice"), nFiles = 16)
+    val total = t.currentFiles().size
+    val fA = "o_custkey <= 100"
+    val fB = "o_totalprice > 400000"
+    Seq((t.plannedFiles(fA).size < total, t.toDF(Some(fA)).count(),
+        t.plannedFiles(fB).size < total, t.toDF(Some(fB)).count()))
+      .toDF("pruned_custkey", "n_custkey", "pruned_price", "n_price")
+  }
+
+  val t24Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT TRUE AS pruned_custkey,
+       |  (SELECT COUNT(*) FROM base WHERE o_custkey <= 100) AS n_custkey,
+       |  TRUE AS pruned_price,
+       |  (SELECT COUNT(*) FROM base WHERE o_totalprice > 400000) AS n_price""".stripMargin
+
+  // ---------------------------------------------------------------- t25
+
+  /** t25: incremental append-only read (addedBetween): each poll is a
+    * manifest diff — only files added in the snapshot range are read.
+    */
+  def t25AddedBetween(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 1000, 900000000L))
+    val s2 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 200, 910000000L))
+    val s3 = t.meta.currentSnapshotId.get
+    Seq((t.addedBetween(s1, s3).count(), t.addedBetween(s2, s3).count(),
+        t.addedBetween(s3, s3).count()))
+      .toDF("added_1_3", "added_2_3", "added_3_3")
+  }
+
+  val t25Oracle: String =
+    """SELECT CAST(1200 AS BIGINT) AS added_1_3, CAST(200 AS BIGINT) AS added_2_3,
+      |  CAST(0 AS BIGINT) AS added_3_3""".stripMargin
+
+  // ---------------------------------------------------------------- t26
+
+  /** t26: parquet native bloom filters via `write.bloom-columns`: listed
+    * columns carry a bloom filter in every row group, unlisted ones don't,
+    * and point lookups combine manifest min/max pruning (one file survives
+    * on range-disjoint files) with exact results.
+    */
+  def t26BloomFilters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(),
+      orders(spark, sfDir).repartitionByRange(8, col("o_orderkey")),
+      properties = Map(TableFormat.BloomColumns -> "o_orderkey"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(t.currentFiles().head.path), conf))
+    val (keyBloom, otherNoBloom) =
+      try {
+        val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        (cols.find(_.getPath.toDotString == "o_orderkey").exists(_.getBloomFilterOffset > 0),
+          cols.find(_.getPath.toDotString == "o_custkey").forall(_.getBloomFilterOffset <= 0))
+      } finally reader.close()
+    val k = orders(spark, sfDir, 1).select(col("o_orderkey")).head().getLong(0)
+    val prunedToOne = t.plannedFiles(s"o_orderkey = $k").size == 1
+    Seq((keyBloom, otherNoBloom, prunedToOne, t.toDF(Some(s"o_orderkey = $k")).count()))
+      .toDF("key_has_bloom", "other_no_bloom", "pruned_to_one", "n_point")
+  }
+
+  val t26Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT TRUE AS key_has_bloom, TRUE AS other_no_bloom, TRUE AS pruned_to_one,
+       |  (SELECT COUNT(*) FROM base
+       |   WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM base)) AS n_point""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t17_position_deletes"  -> ((t17PositionDeletes _, t17Oracle)),
+    "t18_equality_deletes"  -> ((t18EqualityDeletes _, t18Oracle)),
+    "t19_upsert_mor"        -> ((t19UpsertMor _, t19Oracle)),
+    "t20_changes_between"   -> ((t20ChangesBetween _, t20Oracle)),
+    "t21_refs_wap"          -> ((t21RefsWap _, t21Oracle)),
+    "t22_rewrite_manifests" -> ((t22RewriteManifests _, t22Oracle)),
+    "t23_cluster"           -> ((t23Cluster _, t23Oracle)),
+    "t24_cluster_zorder"    -> ((t24ClusterZOrder _, t24Oracle)),
+    "t25_added_between"     -> ((t25AddedBetween _, t25Oracle)),
+    "t26_bloom_filters"     -> ((t26BloomFilters _, t26Oracle)),
+  )
+}

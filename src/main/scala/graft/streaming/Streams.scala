@@ -90,8 +90,178 @@ object Streams {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Run `body` with streaming state partitions pinned to 8 (state-store
+    * commit count dominates short-lived local streams; a production stream
+    * would size this to state volume), restoring the session conf after.
+    */
+  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** st02 as a driver-gate query: the REAL streaming sessionizer (file
+    * source → flatMapGroupsWithState → memory sink) over the events table.
+    * A far-future flush event PER USER closes every real session (each
+    * flush opens a session of its own that stays in state, never emitted),
+    * so the closed-session aggregate is value-identical to the batch q14
+    * oracle.
+    */
+  def st02StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_st02_gate").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir)
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms")).as[Ev]
+    val name = s"st02_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = withStatePartitions(spark) {
+      sessionize(stream, 1800000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try {
+      q.processAllAvailable()
+      // flush: one far-future event per user closes that user's last session
+      spark.read.schema(eventsSchema).parquet(s"$dir/batch1.parquet")
+        .select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"), lit(3000000000000000000L).as("ts"),
+          col("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Identical to the batch q14 oracle: same gap, same millisecond floor. */
+  val st02GateOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms_ts,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN prev_ms IS NULL OR ms_ts - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** st03 as a driver-gate query: live streaming dedup over the events
+    * table with every row duplicated (two identical files land in one
+    * micro-batch, so no row is watermark-late); the deduped per-type
+    * counts equal the original table's.
+    */
+  def st03StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_st03_gate").toString
+    Seq("copy1.parquet", "copy2.parquet").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/$f"))
+    }
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"st03_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = withStatePartitions(spark) {
+      dedupStream(stream)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val st03GateOracle: String =
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+
+  /** st04 as a driver-gate query: stream files into a versioned table —
+    * maxFilesPerTrigger=1 forces one micro-batch per file, so the table
+    * history shows exactly one append commit per batch and time travel
+    * works over a live stream's commits.
+    */
+  def st04StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st04_gate").toString
+    Seq("b1.parquet", "b2.parquet").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+        java.nio.file.Paths.get(s"$dir/$f"))
+    }
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val table = GraftTable.createEmpty(spark,
+      java.nio.file.Files.createTempDirectory("graft_st04_tbl").toString + "/t", schema)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val name = s"st04_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = withStatePartitions(spark) { writeToTable(stream, table, name) }
+    try q.processAllAvailable() finally q.stop()
+    val snaps = table.meta.snapshots
+    val firstCommitRows = table.asOf(snaps.head.id).count()
+    Seq((snaps.size.toLong, snaps.forall(_.operation == "append"),
+        firstCommitRows, table.toDF().count()))
+      .toDF("n_commits", "all_append", "rows_first_commit", "n_rows")
+  }
+
+  val st04GateOracle: String =
+    """SELECT CAST(2 AS BIGINT) AS n_commits, TRUE AS all_append,
+      |  (SELECT COUNT(*) FROM orders) AS rows_first_commit,
+      |  2 * (SELECT COUNT(*) FROM orders) AS n_rows""".stripMargin
+
+  /** st05 as a driver-gate query: continuous CDC upsert — two micro-batches
+    * land as two merge-on-read upsert commits; the second batch's versions
+    * win over the first's for overlapping keys, and new keys insert.
+    */
+  def st05StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def capped(n: Int): DataFrame =
+      graft.sources.Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
+    val table = GraftTable.createAs(spark,
+      java.nio.file.Files.createTempDirectory("graft_st05_tbl").toString + "/t",
+      capped(1000))
+    val dir = java.nio.file.Files.createTempDirectory("graft_st05_gate").toString
+    capped(100).withColumn("o_orderpriority", lit("0-V1"))
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(table.meta.schema).parquet(dir)
+    val name = s"st05_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = withStatePartitions(spark) {
+      upsertToTable(stream, table, Seq("o_orderkey"), name)
+    }
+    try {
+      q.processAllAvailable()
+      capped(100).withColumn("o_orderpriority", lit("0-V2"))
+        .unionAll(capped(50)
+          .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+          .withColumn("o_orderpriority", lit("0-NEW")))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val df = table.toDF()
+    Seq((table.meta.snapshots.size.toLong, df.count(),
+        df.filter(col("o_orderpriority") === "0-V1").count(),
+        df.filter(col("o_orderpriority") === "0-V2").count(),
+        df.filter(col("o_orderpriority") === "0-NEW").count()))
+      .toDF("n_commits", "n_rows", "n_v1", "n_v2", "n_new")
+  }
+
+  val st05GateOracle: String =
+    """SELECT CAST(3 AS BIGINT) AS n_commits, CAST(1050 AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_v1, CAST(100 AS BIGINT) AS n_v2,
+      |  CAST(50 AS BIGINT) AS n_new""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),
+    "st02_stream_sessionize"   -> ((st02StreamingGate _, st02GateOracle)),
+    "st03_stream_dedup"        -> ((st03StreamingGate _, st03GateOracle)),
+    "st04_stream_to_table"     -> ((st04StreamingGate _, st04GateOracle)),
+    "st05_stream_upsert"       -> ((st05StreamingGate _, st05GateOracle)),
   )
 
   /** st04: stream into a versioned table — each micro-batch becomes one
