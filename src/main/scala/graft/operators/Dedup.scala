@@ -97,10 +97,26 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Distinct candidate pairs from blocking-key buckets, with hot buckets
+    * capped: ALL the near-dup blocking schemes (minhash bands, simhash
+    * chunks, hyperplane keys) funnel through this so none of them can go
+    * quadratic on a boilerplate bucket at 100 TB. Input is (doc_id, band,
+    * key); a bucket larger than `maxBucket` is dropped whole (its pairs
+    * are boilerplate, not near-dups worth quadratic work). The distinct
+    * shuffles bare (a, b) longs — payloads (signatures, embeddings) are
+    * joined back AFTER dedup so each unique pair is verified exactly once.
+    */
+  private[operators] def cappedBucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame =
+    keyed.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
   /** LSH banding: explode a minhash signature into (bandIdx, bandKey) rows;
-    * docs sharing any band key become candidate pairs. `maxBucket` caps
-    * pathological buckets (boilerplate clusters) so no reducer sees a
-    * quadratic bucket at 100 TB.
+    * docs sharing any band key become candidate pairs (capped buckets).
     */
   private def candidatePairs(
       docs: DataFrame, // (doc_id, sh: array<long>)
@@ -111,13 +127,7 @@ object Dedup {
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS key))")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    cappedBucketPairs(banded, maxBucket)
   }
 
   /** d03: MinHash+LSH near-dup clustering — shingle → 128-hash minhash
@@ -156,26 +166,32 @@ object Dedup {
     * ≤ 7 shares at least one chunk), verified by exact hamming ≤ 8 via
     * builtin bit_count.
     */
-  def d04Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def d04Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    d04Simhash(spark, sfDir, maxBucket = 200)
+
+  /** See [[cappedBucketPairs]] for why chunk buckets are capped: an 8-bit
+    * chunk key over N random docs holds ~N/256 of them, so the uncapped
+    * self-join is Θ(N²/32) candidates — the all-pairs failure mode at
+    * 100 TB. The cap bounds every bucket's pair fan-out; signatures are
+    * joined back after pair-dedup so hamming is computed once per pair.
+    */
+  private[operators] def d04Simhash(spark: SparkSession, sfDir: String,
+      maxBucket: Int): DataFrame = {
     val sigs = plantedCorpus(spark, sfDir)
       .withColumn("sig", F.simhash64(expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))")))
       .select(col("doc_id"), col("sig"))
       .persist()
-    val chunked = sigs.select(col("doc_id"), col("sig"),
+    val chunked = sigs.select(col("doc_id"),
         // bitwise chunk extraction: div/% on a signed sig would leak sign
         // and low-order bits into the key for the ~half of simhashes with
         // bit 63 set, silently missing near-dup pairs
-        explode(expr("transform(sequence(0, 7), c -> struct(c AS c, shiftrightunsigned(sig, c * 8) & 255 AS key))")).as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.key").as("key"))
-    val out = chunked.as("l").join(chunked.as("r"),
-        col("l.c") === col("r.c") && col("l.key") === col("r.key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        expr("bit_count(l.sig ^ r.sig)").as("hamming"))
-      // filter BEFORE distinct: the hamming cut kills most candidate rows,
-      // so the dedup shuffle only carries survivors
+        explode(expr("transform(sequence(0, 7), c -> struct(c AS band, shiftrightunsigned(sig, c * 8) & 255 AS key))")).as("ck"))
+      .select(col("doc_id"), col("ck.band").as("band"), col("ck.key").as("key"))
+    val out = cappedBucketPairs(chunked, maxBucket)
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .select(col("a"), col("b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
       .filter(col("hamming") <= 8)
-      .distinct()
       .orderBy(col("a"), col("b"))
       .localCheckpoint(true)
     sigs.unpersist()
@@ -211,7 +227,17 @@ object Dedup {
     * 0.999 verification. Planted dups are scaled copies (identical
     * direction) under vec_id+2000000.
     */
-  def d06EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+  def d06EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    d06EmbedNeardup(spark, sfDir, maxBucket = 500)
+
+  /** Hyperplane buckets funnel through [[cappedBucketPairs]] like every
+    * other blocking scheme — uniform data puts ~N/2¹⁶ vectors on each
+    * 16-bit key, so the uncapped self-join is Θ(N²/2¹⁶) pairs at scale.
+    * Pairs are deduped BEFORE the embedding join, so the shuffle carries
+    * bare id pairs and cosine runs once per unique pair.
+    */
+  private[operators] def d06EmbedNeardup(spark: SparkSession, sfDir: String,
+      maxBucket: Int): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val corpus = e.unionAll(e.select(
         (col("vec_id") + lit(2000000L)).as("vec_id"),
@@ -220,13 +246,14 @@ object Dedup {
     val keyed = corpus
       .withColumn("k1", F.rpBits(col("embedding"), 16, 0xbeefL))
       .withColumn("k2", F.rpBits(col("embedding"), 16, 0xcafeL))
-    val bySomeKey = keyed.select(col("vec_id"), col("embedding"),
-        explode(array(concat(lit("k1:"), col("k1")), concat(lit("k2:"), col("k2")))).as("key"))
-    val out = bySomeKey.as("l").join(bySomeKey.as("r"),
-        col("l.key") === col("r.key") && col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        F.cosine(col("l.embedding"), col("r.embedding")).as("sim"))
-      .distinct()
+      .select(col("vec_id").as("doc_id"),
+        explode(array(struct(lit(1).as("band"), col("k1").as("key")),
+          struct(lit(2).as("band"), col("k2").as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val out = cappedBucketPairs(keyed, maxBucket)
+      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a")), "a")
+      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b")), "b")
+      .select(col("a"), col("b"), F.cosine(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= 0.999)
       .select(col("a"), col("b"))
       .orderBy(col("a"), col("b"))

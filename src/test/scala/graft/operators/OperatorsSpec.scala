@@ -51,6 +51,31 @@ class DedupSpec extends SparkSpec {
     assert(planted == nVecs, s"found $planted of $nVecs scaled copies")
   }
 
+  test("near-dup blocking caps hot buckets (no quadratic bucket at scale)") {
+    // one boilerplate bucket of 10 (over the cap → dropped whole) and one
+    // genuine bucket of 3 (under the cap → all pairs emitted)
+    val keyed = ((1 to 10).map(i => (i.toLong, 0, 7L)) ++
+        Seq((100L, 1, 9L), (101L, 1, 9L), (102L, 1, 9L)))
+      .toDF("doc_id", "band", "key")
+    val pairs = Dedup.cappedBucketPairs(keyed, maxBucket = 5)
+      .as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"oversize bucket must be dropped whole, got ${pairs.toSeq}")
+  }
+
+  test("d04/d06 planted recall survives a binding bucket cap") {
+    // cap small enough to bind on the test corpus: planted pairs live in
+    // tiny buckets, so dropping hot buckets must not cost recall
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val d04 = Dedup.d04Simhash(spark, sf, maxBucket = 50)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(d04.count { case (a, b) => b - a == 2000000L }.toDouble / nDocs >= 0.7)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val d06 = Dedup.d06EmbedNeardup(spark, sf, maxBucket = 50)
+      .as[(Long, Long)].collect()
+    assert(d06.count { case (a, b) => b - a == 2000000L } == nVecs)
+  }
+
   test("d01 exact dedup halves the doubled corpus") {
     val out = Dedup.d01DedupExact(spark, sf)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
