@@ -14,10 +14,15 @@ object Scratch {
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    spark.read.parquet(s"$sfDir/orders.parquet").count()
+    import org.apache.spark.sql.functions._
+    val capped = spark.read.parquet(s"$sfDir/orders.parquet").orderBy(col("o_orderkey")).limit(20000)
     (1 to 2).foreach { i =>
-      time(s"d04 run $i")(println("[scratch]   d04 rows: " + graft.operators.Dedup.d04Simhash(spark, sfDir).count()))
-      time(s"d06 run $i")(println("[scratch]   d06 rows: " + graft.operators.Dedup.d06EmbedNeardup(spark, sfDir).count()))
+      val dir = java.nio.file.Files.createTempDirectory("graft_t13prof").toString + "/t"
+      val t = time(s"createAs(16 files) $i")(graft.tables.GraftTable.createAs(spark, dir, capped.repartition(16)))
+      time(s"compact $i")(t.compact(64L << 20))
+      time(s"read-count $i")(t.toDF().count())
+      time(s"full t13 $i")(graft.operators.TableOps.t13Compaction(spark, sfDir).count())
     }
     spark.stop()
   }

@@ -348,14 +348,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
     *
     * Stats come from the parquet FOOTERS (per-row-group min/max/null
     * counts the writer already produced) — an O(files) metadata read, not
-    * a second O(data) scan. At cluster scale each write task would emit
-    * its own file's entry (Iceberg's model); a driver-side footer loop is
-    * the single-node equivalent with identical results. Unmappable or
+    * a second O(data) scan, and the reads run CONCURRENTLY (bounded
+    * thread pool): commit latency is O(files / parallelism), not a serial
+    * driver loop that stalls a 100k-file commit. At cluster scale each
+    * write task would emit its own file's entry (Iceberg's model); this
+    * is the single-node equivalent with identical results. Unmappable or
     * untrusted stats (INT96 timestamps, non-ASCII binary bounds, unset
     * null counts) are dropped per column — pruning is conservative by
     * construction.
     */
   private[tables] def collectFileEntries(dir: String, m: TableMeta, specId: Int): Seq[DataFile] = {
+    import scala.collection.parallel.CollectionConverters._
     val fsys = MetaIO.fs(conf, dir)
     val it = fsys.listFiles(new Path(dir), true)
     val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -365,10 +368,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (p.endsWith(".parquet") || p.endsWith(".parq")) sizes(stripScheme(p)) = st.getLen
     }
     if (sizes.isEmpty) return Nil
-    sizes.toSeq.map { case (path, size) =>
+    val par = sizes.toSeq.par
+    par.tasksupport = GraftTable.footerPool
+    par.map { case (path, size) =>
       val (rows, stats) = FooterStats.read(conf, path, m.schema)
       DataFile(path, specId, partitionValuesFromPath(path), rows, size, stats)
-    }
+    }.seq
   }
 
   private def stripScheme(p: String): String =
@@ -1033,6 +1038,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+
+  /** Shared bounded pool for concurrent footer reads at commit time (I/O
+    * bound; daemon threads so it never blocks JVM exit).
+    */
+  private[tables] lazy val footerPool: scala.collection.parallel.TaskSupport =
+    new scala.collection.parallel.ExecutionContextTaskSupport(
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(16,
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-footer-stats")
+            t.setDaemon(true)
+            t
+          })))
 
   /** CTAS (reference "Import: CTAS"): create a table from a query result. */
   def createAs(spark: SparkSession, location: String, df: DataFrame,
