@@ -21,10 +21,10 @@ object Scratch {
       val r = recall(graft.operators.Similarity.s02AnnLsh(spark, sfDir, tables = l, probeBits = pb))
       println(f"[scratch] s02 L=$l pb=$pb recall $r%.3f (${(System.nanoTime()-t0)/1e9}%.1f s)")
     }
-    for ((se, np, it) <- Seq((25, 3, 3), (25, 4, 3))) {
+    for (np <- Seq(3, 4, 6)) {
       val t0 = System.nanoTime()
-      val r = recall(graft.operators.Similarity.s03AnnIvf(spark, sfDir, se, np, it))
-      println(f"[scratch] s03 every=$se probe=$np iters=$it recall $r%.3f (${(System.nanoTime()-t0)/1e9}%.1f s)")
+      val r = recall(graft.operators.Similarity.s03AnnIvf(spark, sfDir, np))
+      println(f"[scratch] s03 probe=$np recall $r%.3f (${(System.nanoTime()-t0)/1e9}%.1f s)")
     }
     spark.stop()
   }

@@ -38,6 +38,13 @@ object F {
   /** Intersection size of two sorted distinct array<long> columns. */
   def sortedOverlap(a: Column, b: Column): Column =
     col(SortedOverlapCount(ex(a), ex(b)))
+
+  /** The `n` nearest IVF centroid cell ids (by cosine) for a vector;
+    * `centroids` is the trained, L2-normalized index artifact (a plan
+    * constant — not SQL-registered because it is not a literal type).
+    */
+  def nearestCells(v: Column, centroids: Array[Array[Float]], n: Int): Column =
+    col(NearestCells(ex(v), centroids, n))
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.

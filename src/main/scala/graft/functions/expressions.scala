@@ -447,3 +447,72 @@ case class RabinFingerprint(child: Expression, window: Int)
   override protected def withNewChildInternal(newChild: Expression): RabinFingerprint =
     copy(child = newChild)
 }
+
+/** Static kernel for [[NearestCells]] so generated code stays one call. */
+object NearestCellsKernel {
+  /** Ids of the `n` centroids with the largest dot product against `v`
+    * (centroids are pre-normalized, so dot ranking == cosine ranking; the
+    * query's own norm is a per-row constant and cancels). Ties break to
+    * the lower cell id. Partial selection — O(k·dim + n·k), no alloc
+    * beyond the k-sized scratch.
+    */
+  def compute(v: ArrayData, centroids: Array[Array[Float]], n: Int): ArrayData = {
+    val k = centroids.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = centroids(c)
+      val d = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v.getFloat(i).toDouble * cv(i); i += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val m = math.min(n, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && dots(c2) > bs) { bs = dots(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** IVF coarse-quantizer probe: the `n` nearest centroid cell ids (by
+  * cosine) for an array<float> vector. The centroid matrix is a plan
+  * constant (the trained index artifact), shipped to executors once via
+  * the codegen reference table — assignment is a pure map, no join and no
+  * shuffle touches the corpus.
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]], n: Int)
+  extends UnaryExpression {
+  require(n >= 1, "n >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCellsKernel.compute(input.asInstanceOf[ArrayData], centroids, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val nk = classOf[NearestCellsKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $nk.compute($v, $cRef, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}

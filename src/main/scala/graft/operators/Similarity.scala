@@ -108,82 +108,139 @@ object Similarity {
     topK(scored)
   }
 
-  /** Spherical k-means training for the IVF coarse quantizer: seed with a
-    * deterministic sample, then Lloyd iterations run as Spark jobs —
-    * assignment is a map-only pass against broadcast centroids, the
-    * centroid update is a posexplode + groupBy(cell, dim) mean over
-    * L2-NORMALIZED vectors (cosine geometry: magnitude must not bias the
-    * mean). Only the k×dim centroid table ever reaches the driver; the
-    * corpus itself never shuffles. At 100 TB training would read a bounded
-    * sample of the corpus — the iteration structure is unchanged.
+  /** Trained-once IVF index artifact, cached per corpus dir.
+    *
+    * k = ceil(sqrt(N)) clamped to [16, 1024] — FIXED relative to any one
+    * corpus and sublinear in N, never corpus-proportional. Training reads
+    * a deterministic strided sample bounded at min(50·k, 50000) vectors,
+    * so the driver holds O(sample·dim + k·dim) floats REGARDLESS of corpus
+    * size, and the Lloyd iterations run driver-local over that sample (the
+    * classic train-on-sample IVF recipe). This is an index BUILD cost paid
+    * once per corpus — the per-query path in [[s03AnnIvf]] only reads the
+    * cached centroid matrix. At 100 TB the artifact would be persisted
+    * next to the table; the cache here plays that role for a single JVM.
     */
-  private[graft] def trainCentroids(e: DataFrame, sampleEvery: Int,
-      iters: Int): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val unit = expr(
-      "transform(embedding, x -> CAST(x / sqrt(aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
-    val normed = e.select(col("vec_id"), unit.as("embedding"))
-    var centroids = normed.filter(col("vec_id") % sampleEvery === 0)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    for (_ <- 1 to iters) {
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)
-      val assigned = normed.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          F.cosine(col("embedding"), col("cv")).as("csim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-      val means = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      val rebuilt = means.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
-        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
-      }
-      centroids = rebuilt.toDF("cell", "cv")
-    }
-    centroids
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  private[graft] def ivfCentroids(spark: SparkSession, sfDir: String): Array[Array[Float]] =
+    centroidCache.computeIfAbsent(sfDir, _ => {
+      val e = Tables.embeddings(spark, sfDir)
+      val n = math.max(1L, e.count())
+      val k = math.min(1024L, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      val cap = math.min(50L * k, 50000L).toInt
+      val stride = math.max(1L, n / cap)
+      val sample = e.filter(col("vec_id") % stride === 0)
+        .select(col("embedding")).limit(cap).collect()
+        .map(r => normalize(r.getSeq[Float](0).toArray))
+      trainKMeans(sample, math.min(k, sample.length), iters = 12)
+    })
+
+  private[graft] def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+    out
   }
 
-  /** s03: IVF ANN — k-means-trained coarse quantizer (seeded from every
-    * 25th vector, 3 Lloyd iterations), vectors assigned to their nearest
-    * centroid cell, queries probe the 4 nearest cells (~10% of a balanced
-    * corpus at k = N/25). Broadcast centroids both times; the big side
-    * never shuffles until the top-k. Training balances the cells, so the
-    * probed fraction is nProbe/k by construction instead of whatever the
-    * skew of an untrained quantizer happens to give.
+  /** Driver-local spherical k-means (Lloyd) over the bounded sample:
+    * seeds are evenly strided sample points (deterministic), assignment is
+    * max dot over unit vectors (== cosine), means are renormalized, and an
+    * emptied cell keeps its previous centroid.
+    */
+  private[graft] def trainKMeans(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val dim = sample.head.length
+    // Fixed prime offset decouples the seed set from %-patterned query
+    // workloads (r3's recall number came from seeds landing on the queries).
+    val off = 13 % sample.length
+    val cents = Array.tabulate(k)(c =>
+      sample(((c.toLong * sample.length / k).toInt + off) % sample.length).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      for (p <- sample) {
+        var best = 0; var bs = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += p(i).toDouble * cents(c)(i); i += 1 }
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        val su = sums(best)
+        var i = 0
+        while (i < dim) { su(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val m = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          cents(c) = normalize(m)
+        }
+        c += 1
+      }
+    }
+    cents
+  }
+
+  /** s03: IVF ANN over the pre-trained coarse quantizer, with SPANN-style
+    * boundary replication: each corpus vector is indexed under its `repl`
+    * nearest cells (a bounded storage multiplier that recovers the recall
+    * an exact Voronoi partition loses at cell boundaries), and each query
+    * probes its `nProbe` nearest cells. Cell assignment is a single
+    * codegen'd [[F.nearestCells]] map over the corpus — the centroid
+    * matrix rides the plan as a constant, so no join, window, or shuffle
+    * touches the corpus; probes are a broadcast; the only shuffles are the
+    * candidate dedup (a pair can arrive via more than one shared cell) and
+    * the per-query top-k window, both sized to the candidate set.
+    *
+    * Recall honesty note (round 4): r3's reported 0.96 recall was an
+    * artifact — its centroid seeds (every 25th vec_id) coincided with the
+    * query set (every 50th vec_id), centering cells on the queries
+    * themselves. With decoupled seeds, the honest recall of single-
+    * assignment IVF on THIS corpus (uniform random 64-dim — the
+    * no-locality worst case for any ANN index, pairwise cosine never
+    * exceeds 0.48) is ~0.6 at nProbe=4. On clusterable data — the IVF
+    * design case, and what real embedding corpora look like — the same
+    * defaults measure recall 1.0 scanning <20% of the corpus
+    * (OperatorsSpec "s03 ivf on clustered corpus"). Both cases are
+    * spec-asserted; the knobs (nProbe, repl) trade scan fraction for
+    * worst-case recall.
     */
   def s03AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
-    s03AnnIvf(spark, sfDir, sampleEvery = 25, nProbe = 4, iters = 3)
+    s03AnnIvf(spark, sfDir, nProbe = 4, repl = 2)
 
   private[graft] def s03AnnIvf(spark: SparkSession, sfDir: String,
-      sampleEvery: Int, nProbe: Int, iters: Int): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir).persist()
-    val centroids = trainCentroids(e, sampleEvery, iters)
+      nProbe: Int, repl: Int = 2): DataFrame = {
+    val cents = ivfCentroids(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = queries(spark, sfDir)
+    s03AnnIvfOn(e, q, cents, nProbe, repl)
+  }
 
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)
-    val assigned = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        F.cosine(col("embedding"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
-    val probes = queries(spark, sfDir).crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cell"),
-        F.cosine(col("qv"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
-
+  /** DataFrame-level IVF core (shared by the gate query and the
+    * clustered-corpus spec): `e` = (vec_id, embedding), `q` = (query_id,
+    * qv), `cents` = the trained index artifact.
+    */
+  private[graft] def s03AnnIvfOn(e: DataFrame, q: DataFrame,
+      cents: Array[Array[Float]], nProbe: Int, repl: Int): DataFrame = {
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      explode(F.nearestCells(col("embedding"), cents, repl)).as("cell"))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(F.nearestCells(col("qv"), cents, nProbe)).as("cell"))
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         F.cosine(col("qv"), col("embedding")).as("sim"))
-    val out = topK(scored).localCheckpoint(true)
-    e.unpersist()
-    out
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
+    topK(scored)
   }
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
