@@ -39,6 +39,11 @@ object F {
   def sortedOverlap(a: Column, b: Column): Column =
     col(SortedOverlapCount(ex(a), ex(b)))
 
+  /** Cross-engine-portable per-word polynomial hashes (array<long>) of an
+    * array<string> column — reproducible in DuckDB SQL for oracle checks.
+    */
+  def polyWordHashes(words: Column): Column = col(PolyWordHashes(ex(words)))
+
   /** The `n` nearest IVF centroid cell ids (by cosine) for a vector;
     * `centroids` is the trained, L2-normalized index artifact (a plan
     * constant — not SQL-registered because it is not a literal type).

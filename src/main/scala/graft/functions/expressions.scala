@@ -516,3 +516,66 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]], n: In
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
 }
+
+/** Static kernel for [[PolyWordHashes]] so generated code stays one call. */
+object PolyWordHashKernel {
+  final val P1 = 2147483647L // 2^31 - 1
+  final val P2 = 2147483629L
+
+  /** Cross-engine-portable 62-bit word hash: two polynomial code-point
+    * hashes mod 31-bit primes, packed as h2·2³² + h1. Every intermediate
+    * stays below 2⁶³, so the identical arithmetic runs in DuckDB SQL
+    * (whose BIGINT errors on overflow rather than wrapping) — which is the
+    * whole point: a simhash built on these hashes can be recomputed
+    * exactly by the oracle.
+    */
+  def hashWord(w: UTF8String, h1Init: Long, h2Init: Long): Long = {
+    val s = w.toString
+    var h1 = h1Init
+    var h2 = h2Init
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i).toLong
+      h1 = (h1 * 31L + cp) % P1
+      h2 = (h2 * 131L + cp) % P2
+      i += Character.charCount(cp.toInt)
+    }
+    h2 * 4294967296L + h1
+  }
+
+  def compute(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (words.isNullAt(i)) 0L
+        else hashWord(words.getUTF8String(i), 7L, 11L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-word portable polynomial hashes of an array<string> column (see
+  * [[PolyWordHashKernel.hashWord]]). Bits 31 and 63 of each hash are
+  * always zero; a simhash over these hashes therefore carries 62 live
+  * bits — the pigeonhole guarantee of 8×8-bit chunk blocking still holds.
+  */
+case class PolyWordHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_poly_word_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyWordHashKernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val pk = classOf[PolyWordHashKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyWordHashes =
+    copy(child = newChild)
+}

@@ -163,8 +163,8 @@ object Dedup {
 
   /** d04: SimHash near-dup pairs — 64-bit simhash over word hashes; the 8
     * 8-bit chunks are the blocking keys (pigeonhole: any pair with hamming
-    * ≤ 7 shares at least one chunk), verified by exact hamming ≤ 8 via
-    * builtin bit_count.
+    * ≤ 7 shares at least one chunk), verified by exact hamming ≤ 7 via
+    * builtin bit_count — the threshold the blocking provably covers.
     */
   def d04Simhash(spark: SparkSession, sfDir: String): DataFrame =
     d04Simhash(spark, sfDir, maxBucket = 200)
@@ -190,13 +190,90 @@ object Dedup {
     val out = cappedBucketPairs(chunked, maxBucket)
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
-      .select(col("a"), col("b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
-      .filter(col("hamming") <= 8)
+      // ≤ 7, not ≤ 8: the 8-chunk pigeonhole only guarantees a shared
+      // chunk for hamming ≤ 7, so ≤ 7 makes the (uncapped) output the
+      // EXACT pair set instead of best-effort at the boundary
+      .select(col("a"), col("b"), expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 7)
       .orderBy(col("a"), col("b"))
       .localCheckpoint(true)
     sigs.unpersist()
     out
   }
+
+  /** d04 oracle-exact gate variant: simhash over PORTABLE word hashes
+    * ([[F.polyWordHashes]] — reproducible arithmetic in DuckDB), verify at
+    * hamming ≤ 7 (the 8-chunk pigeonhole bound, so blocking recall is
+    * provably 1.0), bucket cap disabled. The corpus is bounded to
+    * doc_id < 250 (mirrored in the oracle, t-series style): this vocabulary
+    * is ~31 words, so simhashes are heavily correlated, the TRUE ≤7 pair
+    * set is Θ(N²)-sized, and an exact answer over the full sf0.1 corpus
+    * would be quadratic by construction — the capped [[d04Simhash]] above
+    * stays the 100 TB path, and this entry is the exactness proof.
+    */
+  def d04SimhashExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 250)
+    val corpus = base.unionAll(base.select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      expr("concat_ws(' ', filter(split(trim(text), '\\\\s+'), (w, i) -> i % 10 != 0))").as("text")))
+    val sigs = corpus
+      .withColumn("sig", F.simhash64(F.polyWordHashes(split(trim(col("text")), "\\s+"))))
+      .select(col("doc_id"), col("sig"))
+      .persist()
+    val chunked = sigs.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 7), c -> struct(c AS band, shiftrightunsigned(sig, c * 8) & 255 AS key))")).as("ck"))
+      .select(col("doc_id"), col("ck.band").as("band"), col("ck.key").as("key"))
+    val out = cappedBucketPairs(chunked, Int.MaxValue)
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .select(col("a"), col("b"), expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 7)
+      .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
+
+  /** All-pairs recomputation of the exact variant: the same portable word
+    * hashes, simhash majority vote, and hamming threshold, expressed in
+    * DuckDB SQL over the same bounded corpus.
+    */
+  val d04Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      (w, i) -> (i - 1) % 10 <> 0), ' ') AS text
+      |  FROM base),
+      |words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM corpus),
+      |wh AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(w, '')]),
+      |      (a, c) -> (a * 31 + c) % 2147483647) AS h1,
+      |    list_reduce(list_prepend(CAST(11 AS BIGINT),
+      |      [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(w, '')]),
+      |      (a, c) -> (a * 131 + c) % 2147483629) AS h2
+      |  FROM words),
+      |hashes AS (SELECT doc_id, h2 * 4294967296 + h1 AS h FROM wh),
+      |bitvotes AS (
+      |  SELECT doc_id, r.b AS b,
+      |    CASE WHEN SUM(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) r
+      |  GROUP BY doc_id, r.b),
+      |sigs AS (SELECT doc_id, SUM(bit << b) AS sig FROM bitvotes GROUP BY doc_id)
+      |SELECT s1.doc_id AS a, s2.doc_id AS b,
+      |       CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+      |FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+      |WHERE bit_count(xor(s1.sig, s2.sig)) <= 7
+      |ORDER BY a, b""".stripMargin
 
   /** d05: character n-gram Jaccard near-dup pairs — char-5-gram shingles,
     * LSH candidate generation, exact Jaccard ≥ 0.6 verification.
@@ -284,7 +361,7 @@ object Dedup {
     "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),
     "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),
     "d03_minhash_lsh"       -> ((d03MinhashLsh _, "")),
-    "d04_simhash"           -> ((d04Simhash _, "")),
+    "d04_simhash"           -> ((d04SimhashExact _, d04Oracle)),
     "d05_ngram_jaccard"     -> ((d05NgramJaccard _, "")),
     "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),
   )

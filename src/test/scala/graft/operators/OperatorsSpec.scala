@@ -34,6 +34,29 @@ class DedupSpec extends SparkSpec {
     assert(planted.toDouble / nDocs >= 0.7, s"planted recall $planted/$nDocs")
   }
 
+  test("d04 exact variant equals all-pairs hamming<=7 (blocking recall 1.0)") {
+    import org.apache.spark.sql.functions.{col, expr, split, trim}
+    val out = Dedup.d04SimhashExact(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    // same sigs via the same expressions, then exhaustive driver-side pairs
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 250)
+    val corpus = base.unionAll(base.select(
+      (col("doc_id") + org.apache.spark.sql.functions.lit(2000000L)).as("doc_id"),
+      expr("concat_ws(' ', filter(split(trim(text), '\\\\s+'), (w, i) -> i % 10 != 0))").as("text")))
+    val sigs = corpus.select(col("doc_id"),
+        graft.functions.F.simhash64(
+          graft.functions.F.polyWordHashes(split(trim(col("text")), "\\s+"))).as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      i <- sigs.indices; j <- sigs.indices
+      if sigs(i)._1 < sigs(j)._1
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2).toLong
+      if h <= 7
+    } yield (sigs(i)._1, sigs(j)._1, h)).toSet
+    assert(out == brute, s"exact ${out.size} vs brute ${brute.size}")
+  }
+
   test("d05 ngram jaccard keeps planted pairs above threshold") {
     val pairs = Dedup.d05NgramJaccard(spark, sf)
     val planted = pairs.filter($"b" - $"a" === 2000000L).count()
