@@ -299,6 +299,58 @@ object Dedup {
     out
   }
 
+  /** d05 oracle-exact gate variant: the planted partners are EXACT text
+    * copies (doc_id + 2000000, text unchanged), so their shingle sets,
+    * minhash signatures, and band keys are identical — LSH recall on them
+    * is 1.0 by construction, not probability. The only other pairs over
+    * the 0.6 threshold on this corpus are the d01-planted base-table
+    * near-dups (4 pairs at Jaccard 0.96–0.99 among doc_id < 250, fixed
+    * data + fixed seeds → deterministically banded together; asserted in
+    * DedupSpec). Jaccard is a pure set ratio — |∩| / (|a| + |b| − |∩|)
+    * over distinct char-5-grams — so DuckDB recomputes the identical
+    * doubles from string shingles without needing our hash values.
+    * Corpus bounded to doc_id < 250 (mirrored in the oracle) to keep the
+    * all-pairs oracle cheap; the capped, mutation-tolerant
+    * [[d05NgramJaccard]] above stays the 100 TB path.
+    */
+  def d05NgramJaccardExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 250)
+    val corpus = base.unionAll(base.select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      .withColumn("sh", charShingleHashes(col("text")))
+      .persist()
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, Int.MaxValue)
+    val out = cands
+      .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
+  }
+
+  /** All-pairs recomputation of the exact variant from string shingles. */
+  val d05Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM base),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [substring(text, i, 5) for i in generate_series(1, length(text) - 4)]) AS s
+      |  FROM corpus),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+
   /** d06: embedding-cosine near-dup pairs — hyperplane-LSH bucketing (two
     * independent 16-bit keys, union of candidates) then exact cosine ≥
     * 0.999 verification. Planted dups are scaled copies (identical
@@ -362,7 +414,7 @@ object Dedup {
     "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),
     "d03_minhash_lsh"       -> ((d03MinhashLsh _, "")),
     "d04_simhash"           -> ((d04SimhashExact _, d04Oracle)),
-    "d05_ngram_jaccard"     -> ((d05NgramJaccard _, "")),
+    "d05_ngram_jaccard"     -> ((d05NgramJaccardExact _, d05Oracle)),
     "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),
   )
 }

@@ -86,6 +86,29 @@ class DedupSpec extends SparkSpec {
       s"oversize bucket must be dropped whole, got ${pairs.toSeq}")
   }
 
+  test("d05 exact variant equals all-pairs string-shingle jaccard >= 0.6") {
+    val out = Dedup.d05NgramJaccardExact(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 250)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val corpus = base ++ base.map { case (id, t) => (id + 2000000L, t) }
+    val shingles = corpus.map { case (id, t) =>
+      (id, (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet)
+    }
+    val brute = (for {
+      (ia, sa) <- shingles; (ib, sb) <- shingles
+      if ia < ib
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter)
+      if j >= 0.6
+    } yield (ia, ib, j)).toSet
+    assert(out == brute, s"exact ${out.size} vs brute ${brute.size}")
+    // the base table's own planted near-dups are deterministically banded
+    assert(brute.exists { case (a, b, _) => b - a != 2000000L },
+      "expected cross pairs from the d01-planted base dups")
+  }
+
   test("d04/d06 planted recall survives a binding bucket cap") {
     // cap small enough to bind on the test corpus: planted pairs live in
     // tiny buckets, so dropping hot buckets must not cost recall
