@@ -351,8 +351,55 @@ object TableOps {
        |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'P') + 100 AS n_current,
        |  CAST(3 AS BIGINT) AS n_snapshots""".stripMargin
 
+  /** t29: the airlines.sql CSV staging flow statement-for-statement
+    * through GraftSql — DROP/CREATE DATABASE, CREATE EXTERNAL TABLE over a
+    * delimited TEXTFILE location with a header-skip property (reference
+    * sql/airlines.sql:1-46), CTAS into parquet, then an aggregate over the
+    * staged table. The CSV is derived deterministically from `orders` at a
+    * path keyed by the sf name so the static DuckDB oracle can read the
+    * very same files via read_csv.
+    */
+  def t29CsvExternal(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    val stage = s"/tmp/graft_csv_stage/${new java.io.File(sfDir).getName}"
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+         |  o_orderpriority FROM ${cappedSql(5000)} AS __c""".stripMargin)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$stage/orders")
+    val g = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_csvext").toString)
+    g.setVar("bucket", stage)
+    g.sql("DROP DATABASE IF EXISTS staging CASCADE")
+    g.sql("CREATE DATABASE staging")
+    g.sql("""CREATE EXTERNAL TABLE staging.orders_csv (
+            |  o_orderkey BIGINT,
+            |  o_custkey BIGINT,
+            |  o_totalprice DECIMAL(12,2),
+            |  o_orderpriority STRING
+            |)
+            |ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' LINES TERMINATED BY '\n'
+            |STORED AS TEXTFILE
+            |LOCATION '${bucket}/orders/'
+            |TBLPROPERTIES("skip.header.line.count"="1")""".stripMargin)
+    g.sql("CREATE EXTERNAL TABLE staging.orders_parquet STORED AS PARQUET AS SELECT * FROM staging.orders_csv")
+    g.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+            |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+            |FROM staging.orders_parquet
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Reads the gate's own staged CSV (driver checks at sf0.01). */
+  val t29Oracle: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+      |FROM read_csv('/tmp/graft_csv_stage/sf0.01/orders/*.csv', header=true,
+      |  columns={'o_orderkey':'BIGINT','o_custkey':'BIGINT',
+      |           'o_totalprice':'DECIMAL(12,2)','o_orderpriority':'VARCHAR'})
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t16_sql_facade"           -> ((t16SqlFacade _, t16Oracle)),
+    "t29_csv_external"         -> ((t29CsvExternal _, t29Oracle)),
     "t15_merge_on_read"        -> ((t15MergeOnRead _, t15Oracle)),
     "t01_ctas_import"          -> ((t01Ctas _, t01Oracle)),
     "t02_inplace_migrate"      -> ((t02Migrate _, t02Oracle)),

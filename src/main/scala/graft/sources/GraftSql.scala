@@ -12,6 +12,13 @@ import scala.util.matching.Regex
   *
   *  - `CREATE TABLE t [PARTITIONED BY (...)] [TBLPROPERTIES(...)] AS SELECT ...`
   *    (reference sql/airlines.sql CTAS import)
+  *  - `CREATE DATABASE db` / `DROP DATABASE [IF EXISTS] db [CASCADE]` —
+  *    db-qualified names are normalized to a flat `db__name` namespace
+  *  - `CREATE EXTERNAL TABLE t (cols) ROW FORMAT DELIMITED FIELDS
+  *    TERMINATED BY ',' ... STORED AS TEXTFILE LOCATION '...'
+  *    TBLPROPERTIES("skip.header.line.count"="1")` — CSV staging table
+  *    (sql/airlines.sql:5-46), re-scanned per reference; `${var}`
+  *    placeholders in statements bind via [[setVar]]
   *  - `INSERT INTO t SELECT ...` / `INSERT INTO t VALUES (...)` /
   *    `INSERT OVERWRITE t SELECT ...`
   *  - `MERGE INTO t [AS x] USING (...) [AS y] ON ... WHEN MATCHED THEN
@@ -41,6 +48,17 @@ import scala.util.matching.Regex
 class GraftSql(val spark: SparkSession, warehouse: String) {
 
   private val tables = mutable.LinkedHashMap[String, String]() // name -> location
+  // EXTERNAL (non-versioned) sources: name -> lazily re-read DataFrame —
+  // CSV staging tables re-scan their location on every reference, like a
+  // Hive external table over a landing directory
+  private val externals = mutable.LinkedHashMap[String, () => DataFrame]()
+  private val databases = mutable.Set[String]()
+  private val vars = mutable.Map[String, String]()
+
+  /** Bind `${name}` placeholders in statements (reference scripts use
+    * `${bucket}` for the staging location root).
+    */
+  def setVar(name: String, value: String): Unit = vars(name) = value
 
   def location(name: String): String = tables.getOrElse(name,
     throw new IllegalArgumentException(s"unknown graft table: $name"))
@@ -61,7 +79,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
 
   private def r(p: String): Regex = ("(?is)^" + p + "$").r
 
-  private val CreateHead = r("""CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""")
+  private val CreateDb = r("""CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)""")
+  private val DropDb = r("""DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)(?:\s+CASCADE)?""")
+  private val CreateHead = r("""CREATE\s+(EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""")
   private val InsertSel = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*|FROM\b.*)""")
   private val InsertVals = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+VALUES\s*(.*)""")
   private val InsertOver = r("""INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)""")
@@ -92,10 +112,28 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   // --------------------------------------------------------- entry point
 
   def sql(statement: String): DataFrame = {
-    val stmt = statement.trim.stripSuffix(";").trim
+    // ${var} substitution, then db-qualified names normalized to simple
+    // identifiers (staging.flights_csv -> staging__flights_csv) so the
+    // whole shape-based surface — and Spark temp views, which cannot hold
+    // dots — sees one flat namespace per database
+    var stmt = statement.trim.stripSuffix(";").trim
+    stmt = """\$\{(\w+)\}""".r.replaceAllIn(stmt, m =>
+      Regex.quoteReplacement(vars.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"unbound variable $${${m.group(1)}}"))))
+    databases.foreach { db =>
+      stmt = ("(?i)\\b" + db + "\\.(\\w+)").r.replaceAllIn(stmt, db + "__$1")
+    }
     stmt match {
-      case CreateHead(name, rest) =>
-        handleCreate(name, rest)
+      case CreateDb(name) =>
+        databases += name.toLowerCase; status("create-database", name)
+      case DropDb(name) =>
+        val prefix = name.toLowerCase + "__"
+        tables.keys.filter(_.startsWith(prefix)).toSeq.foreach(tables.remove)
+        externals.keys.filter(_.startsWith(prefix)).toSeq.foreach(externals.remove)
+        databases -= name.toLowerCase
+        status("drop-database", name)
+      case CreateHead(external, name, rest) =>
+        handleCreate(name, rest, external != null)
       case InsertOver(name, select) =>
         table(name).overwrite(conform(name, runSelect(select))); status("overwrite", name)
       case InsertSel(name, select) =>
@@ -251,21 +289,36 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     }.mkString(" AND ")
 
   /** CREATE TABLE tail: optional (columns), then any order of PARTITIONED
-    * BY (...) / STORED AS|BY x / TBLPROPERTIES (...), then optional AS
-    * SELECT. Clause bodies are taken with balanced parens so nested types
-    * (DECIMAL(18,2)) and transforms (bucket(8, c)) parse correctly.
+    * BY (...) / ROW FORMAT DELIMITED [FIELDS TERMINATED BY '…'] [LINES
+    * TERMINATED BY '…'] / STORED AS|BY x / LOCATION '…' / TBLPROPERTIES
+    * (...), then optional AS SELECT. Clause bodies are taken with balanced
+    * parens so nested types (DECIMAL(18,2)) and transforms (bucket(8, c))
+    * parse correctly.
+    *
+    * `CREATE EXTERNAL TABLE … STORED AS TEXTFILE LOCATION '…'` (reference
+    * sql/airlines.sql:5-46 CSV staging) registers a non-versioned CSV
+    * source that re-scans its location on every reference — schema
+    * enforced at read (no inference pass over 100 TB), delimiter from ROW
+    * FORMAT, header skip from TBLPROPERTIES skip.header.line.count.
     */
-  private def handleCreate(name: String, rest: String): DataFrame = {
+  private def handleCreate(name: String, rest: String, isExternal: Boolean): DataFrame = {
     var rem = rest.trim
     var cols: Option[String] = None
     var spec: Seq[PartitionField] = Nil
     var props: Map[String, String] = Map.empty
     var select: Option[String] = None
+    var format: Option[String] = None
+    var location: Option[String] = None
+    var sep = ","
     if (rem.startsWith("(")) {
       val (inside, after) = takeBalanced(rem); cols = Some(inside); rem = after.trim
     }
     val PartBy = """(?is)^PARTITIONED\s+BY\s*(\(.*)$""".r
-    val Stored = """(?is)^STORED\s+(?:AS|BY)\s+\S+\s*(.*)$""".r
+    val RowFmt = """(?is)^ROW\s+FORMAT\s+DELIMITED\s*(.*)$""".r
+    val FieldsTerm = """(?is)^FIELDS\s+TERMINATED\s+BY\s+'((?:\\.|[^'\\])*)'\s*(.*)$""".r
+    val LinesTerm = """(?is)^LINES\s+TERMINATED\s+BY\s+'((?:\\.|[^'\\])*)'\s*(.*)$""".r
+    val Stored = """(?is)^STORED\s+(?:AS|BY)\s+(\S+)\s*(.*)$""".r
+    val Location = """(?is)^LOCATION\s+'([^']+)'\s*(.*)$""".r
     val Props = """(?is)^TBLPROPERTIES\s*(\(.*)$""".r
     val AsSel = """(?is)^AS\s+(.*)$""".r
     var progress = true
@@ -274,14 +327,34 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       rem match {
         case PartBy(tail) =>
           val (inside, after) = takeBalanced(tail); spec = parseSpec(inside); rem = after.trim
+        case RowFmt(tail) =>
+          rem = tail.trim
+          var more = true
+          while (more) rem match {
+            case FieldsTerm(d, after) => sep = unescapeDelim(d); rem = after.trim
+            case LinesTerm(_, after) => rem = after.trim // \n is the only line sep Spark reads
+            case _ => more = false
+          }
         case Props(tail) =>
           val (inside, after) = takeBalanced(tail); props = parseProps(inside); rem = after.trim
-        case Stored(tail) => rem = tail.trim
+        case Stored(fmt, tail) => format = Some(fmt.toUpperCase); rem = tail.trim
+        case Location(loc, tail) => location = Some(loc); rem = tail.trim
         case AsSel(sel) => select = Some(sel)
         case _ => progress = false
       }
     }
     require(rem.isEmpty || select.isDefined, s"unparsed CREATE TABLE tail: $rem")
+    if (isExternal && format.contains("TEXTFILE")) {
+      val loc = location.getOrElse(
+        throw new IllegalArgumentException("STORED AS TEXTFILE needs LOCATION"))
+      val schema = StructType.fromDDL(cols.getOrElse(
+        throw new IllegalArgumentException("CSV staging table needs explicit columns")))
+      val header = props.get("skip.header.line.count").contains("1")
+      val delim = sep
+      externals(name) = () => spark.read.schema(schema)
+        .option("header", header).option("sep", delim).csv(loc)
+      return status("create-external", name)
+    }
     val t = select match {
       case Some(sel) =>
         GraftTable.createAs(spark, s"$warehouse/$name", runSelect(sel), spec, props)
@@ -294,6 +367,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     register(name, t.location)
     status("create", name)
   }
+
+  private def unescapeDelim(s: String): String =
+    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
 
   /** `s` starts with '(': returns (inside-without-outer-parens, remainder). */
   private def takeBalanced(s: String): (String, String) = {
@@ -342,6 +418,10 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     tables.keys.foreach { name =>
       if (("(?i)\\b" + name + "\\b").r.findFirstIn(q).isDefined)
         table(name).toDF().createOrReplaceTempView(name)
+    }
+    externals.foreach { case (name, mk) =>
+      if (("(?i)\\b" + name + "\\b").r.findFirstIn(q).isDefined)
+        mk().createOrReplaceTempView(name)
     }
     spark.sql(q)
   }

@@ -183,4 +183,42 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM c_ice").head().getLong(0) ==
       3 * spark.read.parquet(s"$sf/customer.parquet").count())
   }
+
+  test("airlines.sql CSV staging flow end-to-end (CREATE EXTERNAL TABLE TEXTFILE)") {
+    val g = freshSql(); registerSources(g)
+    // stage a small CSV landing dir, like the workshop's s3a csv drop
+    val stage = Files.createTempDirectory("graft_airlines").toString
+    spark.sql("SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, o_orderpriority, o_orderdate FROM orders")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$stage/orders")
+    g.setVar("bucket", stage)
+    g.sql("DROP DATABASE IF EXISTS staging CASCADE;")
+    g.sql("CREATE DATABASE staging;")
+    g.sql("""CREATE EXTERNAL TABLE staging.orders_csv (
+            |  o_orderkey BIGINT,
+            |  o_custkey BIGINT,
+            |  o_totalprice DECIMAL(12,2),
+            |  o_orderpriority STRING,
+            |  o_orderdate DATE
+            |)
+            |ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' LINES TERMINATED BY '\n'
+            |STORED AS TEXTFILE
+            |LOCATION '${bucket}/orders/'
+            |TBLPROPERTIES("skip.header.line.count"="1");""".stripMargin)
+    val nCsv = g.sql("SELECT COUNT(*) AS n FROM staging.orders_csv").head().getLong(0)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(nCsv == nOrders, s"csv staging rows $nCsv != $nOrders")
+    // CTAS to parquet (airlines.sql:48-51), then a partitioned CTAS
+    g.sql("CREATE EXTERNAL TABLE staging.orders_parquet STORED AS PARQUET AS SELECT * FROM staging.orders_csv;")
+    assert(g.sql("SELECT COUNT(*) AS n FROM staging.orders_parquet").head().getLong(0) == nOrders)
+    g.sql("""CREATE TABLE staging.orders_part PARTITIONED BY (months(o_orderdate))
+            |AS SELECT * FROM staging.orders_csv""".stripMargin)
+    assert(g.sql("SELECT COUNT(*) AS n FROM staging.orders_part").head().getLong(0) == nOrders)
+    assert(g.table("staging__orders_part").meta.specs.nonEmpty)
+    // header line was skipped, delimiter honored, schema enforced at read
+    val minKey = g.sql("SELECT MIN(o_orderkey) AS k FROM staging.orders_csv").head().getLong(0)
+    assert(minKey >= 0L)
+    // DROP DATABASE CASCADE unregisters the staging namespace
+    g.sql("DROP DATABASE IF EXISTS staging CASCADE")
+    intercept[IllegalArgumentException](g.table("staging__orders_part"))
+  }
 }
