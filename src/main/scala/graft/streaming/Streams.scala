@@ -256,12 +256,101 @@ object Streams {
       |  CAST(0 AS BIGINT) AS n_v1, CAST(100 AS BIGINT) AS n_v2,
       |  CAST(50 AS BIGINT) AS n_new""".stripMargin
 
+  /** st06: live changelog source — the CONSUMER side of [[upsertToTable]]'s
+    * producer. Polls the table's snapshot head at `intervalMs`; every
+    * advance is delivered as one micro-batch DataFrame of
+    * `changesBetween(lastDeliveredHead, newHead)` (rows tagged
+    * `_change_type` insert/delete). Offsets are snapshot ids, so a
+    * restarted consumer resumes by persisting the last delivered head —
+    * the Kafka-offset shape over table commits. The batch stays a
+    * DataFrame end to end (the sink writes it distributed); the poller
+    * thread only moves snapshot ids, never rows.
+    */
+  final class ChangelogStream(table: GraftTable, startSnapshotId: Long,
+      intervalMs: Long, process: (DataFrame, Long) => Unit) {
+    @volatile private var running = true
+    private var last = startSnapshotId
+    private val thread = new Thread(() => {
+      while (running) {
+        try deliverPending()
+        catch { case _: InterruptedException => () }
+        Thread.sleep(intervalMs)
+      }
+    }, s"graft-changelog-${table.location.hashCode}")
+
+    def start(): this.type = { thread.setDaemon(true); thread.start(); this }
+
+    /** Deliver any snapshots committed since the last delivery, now. */
+    def processAllAvailable(): Unit = deliverPending()
+
+    private def deliverPending(): Unit = synchronized {
+      val head = table.meta.currentSnapshotId.getOrElse(last)
+      if (head != last) { process(table.changesBetween(last, head), head); last = head }
+    }
+
+    def stop(): Unit = { running = false; thread.interrupt() }
+  }
+
+  /** st06 as a driver-gate query: an append, a merge-on-read predicate
+    * delete, and a merge-on-read upsert land on a table while a LIVE
+    * [[ChangelogStream]] consumes them; the consumed rows (written
+    * distributed, batch by batch) aggregate to exactly the counts the
+    * inputs imply — the stream sees what the batch changelog sees.
+    */
+  def st06ChangelogGate(spark: SparkSession, sfDir: String): DataFrame = {
+    def capped(n: Int): DataFrame =
+      graft.sources.Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
+    val table = GraftTable.createAs(spark,
+      java.nio.file.Files.createTempDirectory("graft_st06_tbl").toString + "/t",
+      capped(1000))
+    val s0 = table.meta.currentSnapshotId.get
+    val sink = java.nio.file.Files.createTempDirectory("graft_st06_sink").toString + "/cdc"
+    val cs = new ChangelogStream(table, s0, intervalMs = 50,
+      (batch, _) => batch.write.mode("append").parquet(sink)).start()
+    try {
+      table.append(capped(100)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        .withColumn("o_orderpriority", lit("0-ADD")))
+      cs.processAllAvailable()
+      table.deleteMergeOnRead("o_orderpriority = '1-URGENT'")
+      cs.processAllAvailable()
+      table.upsertMergeOnRead(capped(50).withColumn("o_orderpriority", lit("0-UPS")),
+        Seq("o_orderkey"))
+      cs.processAllAvailable()
+    } finally cs.stop()
+    spark.read.parquet(sink)
+      .groupBy(col("_change_type"), col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("_change_type"), col("o_orderpriority"))
+  }
+
+  /** Input-derivable mirror: the append inserts its 100 rows; the
+    * predicate delete emits the urgent rows live at that point; the upsert
+    * emits deletes for the still-live rows of its 50 keys (urgent ones are
+    * already gone) and inserts its 50 new versions.
+    */
+  val st06GateOracle: String =
+    """WITH base AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000),
+      |ups AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
+      |SELECT _change_type, o_orderpriority, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'insert' AS _change_type, '0-ADD' AS o_orderpriority,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)) AS n
+      |  UNION ALL
+      |  SELECT 'insert', '0-UPS', (SELECT COUNT(*) FROM ups)
+      |  UNION ALL
+      |  SELECT 'delete', '1-URGENT',
+      |    (SELECT COUNT(*) FROM base WHERE o_orderpriority = '1-URGENT')
+      |  UNION ALL
+      |  SELECT 'delete', o_orderpriority, COUNT(*) FROM ups
+      |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_orderpriority
+      |) ORDER BY _change_type, o_orderpriority""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),
     "st02_stream_sessionize"   -> ((st02StreamingGate _, st02GateOracle)),
     "st03_stream_dedup"        -> ((st03StreamingGate _, st03GateOracle)),
     "st04_stream_to_table"     -> ((st04StreamingGate _, st04GateOracle)),
     "st05_stream_upsert"       -> ((st05StreamingGate _, st05GateOracle)),
+    "st06_stream_changelog"    -> ((st06ChangelogGate _, st06GateOracle)),
   )
 
   /** st04: stream into a versioned table — each micro-batch becomes one

@@ -201,9 +201,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
             if (added.isEmpty) Nil
             else Seq(tagged(ScanPlanner.scan(spark, m, added, None), "insert"))
           (deletes ++ inserts).reduce(_ unionAll _)
+        // Row-preserving maintenance (delete materialization, compaction,
+        // clustering, manifest rewrites) changes files, not rows: the
+        // changelog skips them, like Iceberg's changelog scan skips
+        // replace snapshots — a consumer must survive maintenance running
+        // between its polls.
+        case "rewrite-deletes" | "replace" =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(m.schema.fields :+ StructField("_change_type", StringType)))
         case other => throw new UnsupportedOperationException(
-          s"changelog across '$other' commit (snapshot ${s.id}): rewrite commits " +
-            "don't retain row-level lineage; consume between append/MOR snapshots")
+          s"changelog across '$other' commit (snapshot ${s.id}): copy-on-write " +
+            "commits don't retain row-level lineage; consume between append/MOR snapshots")
       }
     }
     if (parts.isEmpty)

@@ -136,4 +136,31 @@ class StreamsSpec extends SparkSpec {
       assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
     } finally q.stop()
   }
+
+  test("st06 changelog stream delivers per-commit batches equal to the batch changelog") {
+    val table = graft.tables.GraftTable.createAs(spark,
+      java.nio.file.Files.createTempDirectory("graft_st06_spec").toString + "/t",
+      spark.read.parquet(s"$sf/orders.parquet").orderBy($"o_orderkey").limit(200))
+    val s0 = table.meta.currentSnapshotId.get
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (head, rows)
+    val cs = new Streams.ChangelogStream(table, s0, intervalMs = 1000000, // poll off: drain manually
+      (df, head) => batches += ((head, df.count()))).start()
+    try {
+      table.append(spark.read.parquet(s"$sf/orders.parquet").orderBy($"o_orderkey").limit(30)
+        .withColumn("o_orderkey", $"o_orderkey" + 900000000L))
+      cs.processAllAvailable()
+      table.deleteMergeOnRead("o_orderkey >= 900000000")
+      cs.processAllAvailable()
+      cs.processAllAvailable() // no new commits -> no new batch
+      // row-preserving maintenance between polls: empty batch, no error
+      table.materializeDeletes()
+      cs.processAllAvailable()
+    } finally cs.stop()
+    assert(batches.map(_._2) == Seq(30L, 30L, 0L), s"got $batches")
+    // union of streamed batches == one batch changelog over the same range
+    val full = table.changesBetween(s0, table.meta.currentSnapshotId.get)
+    assert(full.count() == 60L)
+    assert(full.groupBy($"_change_type").count().as[(String, Long)].collect().toMap ==
+      Map("insert" -> 30L, "delete" -> 30L))
+  }
 }

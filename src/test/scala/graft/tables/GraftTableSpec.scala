@@ -401,10 +401,15 @@ class GraftTableSpec extends SparkSpec {
     // whole range = all three commits' changes
     assert(t.changesBetween(s1, s4).count() == 40 + expected)
 
-    // rewrites refuse row-level changelog instead of lying
+    // row-preserving maintenance emits nothing (Iceberg changelog scans
+    // skip replace snapshots); copy-on-write row changes still refuse
     t.materializeDeletes()
     val s5 = t.meta.currentSnapshotId.get
-    intercept[UnsupportedOperationException] { t.changesBetween(s4, s5).count() }
+    assert(t.changesBetween(s4, s5).count() == 0)
+    assert(t.changesBetween(s1, s5).count() == 40 + expected)
+    t.delete("o_orderstatus = 'O'")
+    val s6 = t.meta.currentSnapshotId.get
+    intercept[UnsupportedOperationException] { t.changesBetween(s5, s6).count() }
   }
 
   test("upsertMergeOnRead: one O(batch) commit updates keys and inserts rows") {
