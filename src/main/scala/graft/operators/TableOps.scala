@@ -289,7 +289,8 @@ object TableOps {
   def t14SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000),
-      properties = Map(TableFormat.PrevVersionsMax -> "2"))
+      properties = Map(TableFormat.PrevVersionsMax -> "2",
+        TableFormat.DeleteAfterCommit -> "true"))
     t.addColumn("quality_score", DoubleType)
     t.append(t.toDF().limit(100).withColumn("quality_score", lit(0.9)))
     Seq((t.toDF().filter(col("quality_score").isNull).count(),

@@ -297,7 +297,62 @@ object TableOpsExt {
        |  (SELECT COUNT(*) FROM base
        |   WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM base)) AS n_point""".stripMargin
 
+  // ---------------------------------------------------------------- t27
+
+  /** t27: metadata-file inspection + retention toggles (reference
+    * README.md "Metadata files"): `.metadata_log_entries` lists the
+    * version files on disk, and pruning requires BOTH properties — the
+    * retention count alone deletes nothing until
+    * `delete-after-commit.enabled` flips on. `.manifests` summarizes the
+    * current snapshot's content groups from footers, no data scan.
+    */
+  def t27MetadataInspection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 1000))
+    t.append(shifted(spark, sfDir, 100, 900000000L))
+    t.upsertMergeOnRead(orders(spark, sfDir, 50)
+      .withColumn("o_orderpriority", lit("0-UPS")), Seq("o_orderkey"))
+    val nMeta0 = t.metadataLogDf.count() // createAs (2 versions) + append + upsert = 4
+    val man = t.manifestsDf.select(col("content"), col("file_count") > 0,
+      col("record_count")).as[(String, Boolean, Long)].collect().sortBy(_._1)
+    // retention count alone must not delete anything...
+    t.setProperties(Map(TableFormat.PrevVersionsMax -> "1"))
+    val nMeta1 = t.metadataLogDf.count()
+    // ...until the distinct enable toggle flips on
+    t.setProperties(Map(TableFormat.DeleteAfterCommit -> "true"))
+    val nMeta2 = t.metadataLogDf.count()
+    t.truncate()
+    val nMeta3 = t.metadataLogDf.count()
+    Seq((nMeta0, nMeta1, nMeta2, nMeta3,
+        man.map(_._1).mkString(","), man.forall(_._2),
+        man.find(_._1 == "data").map(_._3).getOrElse(-1L),
+        man.find(_._1 == "equality-deletes").map(_._3).getOrElse(-1L)))
+      .toDF("meta_initial", "meta_after_count_only", "meta_after_enable",
+        "meta_after_commit", "manifest_contents", "manifest_files_nonzero",
+        "data_records", "eq_delete_keys")
+  }
+
+  /** Version math: createAs writes create + append versions, then the
+    * append and upsert commits make 4 version files; setting the count
+    * alone commits v5 and deletes nothing; enabling deletion commits v6
+    * and prunes to current + 1 previous (2 files); the truncate commit
+    * keeps the window at 2. Data records = base 1000 + appended 100 +
+    * upsert's 50 new versions; the eq-delete file carries the 50 keys.
+    */
+  val t27Oracle: String =
+    """SELECT CAST(4 AS BIGINT) AS meta_initial,
+      |  CAST(5 AS BIGINT) AS meta_after_count_only,
+      |  CAST(2 AS BIGINT) AS meta_after_enable,
+      |  CAST(2 AS BIGINT) AS meta_after_commit,
+      |  'data,equality-deletes' AS manifest_contents,
+      |  TRUE AS manifest_files_nonzero,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000))
+      |    + (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100))
+      |    + (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)) AS data_records,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)) AS eq_delete_keys""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t27_metadata_inspection" -> ((t27MetadataInspection _, t27Oracle)),
     "t17_position_deletes"  -> ((t17PositionDeletes _, t17Oracle)),
     "t18_equality_deletes"  -> ((t18EqualityDeletes _, t18Oracle)),
     "t19_upsert_mor"        -> ((t19UpsertMor _, t19Oracle)),

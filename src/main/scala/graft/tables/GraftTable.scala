@@ -259,6 +259,56 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("file_path", "spec_id", "partition", "record_count", "size_bytes")
   }
 
+  /** `.manifests` metadata table (reference README.md:301-338 walks the
+    * manifest chain): one row per content group of the CURRENT snapshot's
+    * manifest — data files, position-delete files, equality-delete files —
+    * with file and record counts. Record counts for delete files come from
+    * parquet footers (O(#files) metadata reads, no data scan).
+    */
+  def manifestsDf: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    val rows = m.currentSnapshotId.flatMap(m.snapshot).toSeq.flatMap { s =>
+      val md = manifestDataOf(s)
+      def footerRows(paths: Seq[String]): Long =
+        paths.map(p => FooterStats.read(conf, p,
+          org.apache.spark.sql.types.StructType(Nil))._1).sum
+      val data = Seq(("data", s.manifest, md.files.size.toLong,
+        md.files.map(_.recordCount).sum))
+      val pos =
+        if (md.positionDeleteFiles.isEmpty) Nil
+        else Seq(("position-deletes", s.manifest, md.positionDeleteFiles.size.toLong,
+          footerRows(md.positionDeleteFiles)))
+      val eq =
+        if (md.equalityDeletes.isEmpty) Nil
+        else Seq(("equality-deletes", s.manifest,
+          md.equalityDeletes.flatMap(_.files).size.toLong,
+          footerRows(md.equalityDeletes.flatMap(_.files))))
+      data ++ pos ++ eq
+    }
+    rows.toDF("content", "manifest", "file_count", "record_count")
+  }
+
+  /** `.metadata_log_entries` metadata table (reference README.md
+    * "Metadata files" aws-s3-ls walkthrough): one row per metadata
+    * version file still on disk, with the snapshot that version pointed
+    * at — the observable surface of `previous-versions-max` +
+    * `delete-after-commit` retention.
+    */
+  def metadataLogDf: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    val rows = (1 to m.version).flatMap { v =>
+      val p = MetaIO.metadataPath(location, v)
+      if (!MetaIO.exists(conf, p)) Nil
+      else {
+        val pm = MetaIO.metaFromJson(MetaIO.readString(conf, p))
+        Seq((v, s"v$v.metadata.json", pm.currentSnapshotId))
+      }
+    }
+    rows.toDF("version", "file", "latest_snapshot_id")
+  }
+
   // ------------------------------------------------------------ commits
 
   private def nextSnapshotId(m: TableMeta): Long =

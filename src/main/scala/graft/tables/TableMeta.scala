@@ -30,8 +30,15 @@ object TableFormat {
   val FormatVersion = 1
   /** Hidden partition-column prefix used in data-file paths. */
   val PartColPrefix = "__gp_"
-  /** Metadata retention property (reference README.md "Metadata files"). */
+  /** Metadata retention count (reference README.md "Metadata files"):
+    * how many previous metadata versions to keep once deletion is on.
+    */
   val PrevVersionsMax = "write.metadata.previous-versions-max"
+  /** Distinct enable toggle for metadata deletion (Iceberg
+    * `write.metadata.delete-after-commit.enabled`): without it, commits
+    * never delete old metadata no matter what the retention count says.
+    */
+  val DeleteAfterCommit = "write.metadata.delete-after-commit.enabled"
   /** Comma-separated columns that get parquet native bloom filters on
     * write (point-lookup row-group skipping beyond min/max stats).
     */
@@ -364,14 +371,17 @@ object MetaIO {
   def loadManifest(conf: Configuration, location: String, snap: Snapshot): Seq[DataFile] =
     manifestFromJson(readString(conf, s"${metadataDir(location)}/${snap.manifest}"))
 
-  /** Write vN+1 metadata + hint; prune old metadata files per the
-    * `previous-versions-max` property (reference README.md "Metadata
-    * files" — `delete-after-commit` behavior).
+  /** Write vN+1 metadata + hint; when `delete-after-commit.enabled` is
+    * set, prune old metadata files down to the `previous-versions-max`
+    * retention count (default 100, matching Iceberg). The two properties
+    * are distinct (reference README.md "Metadata files"): the count alone
+    * never deletes anything.
     */
   def commitMeta(conf: Configuration, m: TableMeta): Unit = {
     writeString(conf, metadataPath(m.location, m.version), metaToJson(m))
     writeString(conf, versionHintPath(m.location), m.version.toString)
-    m.properties.get(TableFormat.PrevVersionsMax).map(_.toInt).foreach { keep =>
+    if (m.properties.get(TableFormat.DeleteAfterCommit).contains("true")) {
+      val keep = m.properties.get(TableFormat.PrevVersionsMax).map(_.toInt).getOrElse(100)
       (1 until m.version - keep).foreach { old =>
         val p = metadataPath(m.location, old)
         if (exists(conf, p)) delete(conf, p)

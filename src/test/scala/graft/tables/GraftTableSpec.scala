@@ -179,7 +179,8 @@ class GraftTableSpec extends SparkSpec {
   test("t14 schema evolution + metadata retention") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(100),
-      properties = Map(TableFormat.PrevVersionsMax -> "2"))
+      properties = Map(TableFormat.PrevVersionsMax -> "2",
+        TableFormat.DeleteAfterCommit -> "true"))
     t.addColumn("discount_pct", DoubleType)
     // old files read back with nulls in the new column
     val df = t.toDF()
