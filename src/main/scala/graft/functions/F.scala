@@ -44,6 +44,10 @@ object F {
     */
   def polyWordHashes(words: Column): Column = col(PolyWordHashes(ex(words)))
 
+  /** Hilbert-curve index of an array<long> of `bits`-bit coordinates. */
+  def hilbertIndex(coords: Column, bits: Int): Column =
+    col(HilbertIndex(ex(coords), bits))
+
   /** The `n` nearest IVF centroid cell ids (by cosine) for a vector;
     * `centroids` is the trained, L2-normalized index artifact (a plan
     * constant — not SQL-registered because it is not a literal type).

@@ -239,6 +239,34 @@ object TableOpsExt {
        |  TRUE AS pruned_price,
        |  (SELECT COUNT(*) FROM base WHERE o_totalprice > 400000) AS n_price""".stripMargin
 
+  // ---------------------------------------------------------------- t28
+
+  /** t28: Hilbert-curve clustering — t24's gate shape on the Hilbert
+    * rewrite: after clustering on (o_custkey, o_totalprice), stats
+    * pruning skips files for predicates on EITHER column, and results
+    * stay exact. The z-order-vs-Hilbert pruning comparison on a 3-column
+    * mix lives in GraftTableSpec ("hilbert clustering prunes at least as
+    * well as z-order on a 3-column mix").
+    */
+  def t28ClusterHilbert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(8))
+    t.clusterHilbert(Seq("o_custkey", "o_totalprice"), nFiles = 16)
+    val total = t.currentFiles().size
+    val fA = "o_custkey <= 100"
+    val fB = "o_totalprice > 400000"
+    Seq((t.plannedFiles(fA).size < total, t.toDF(Some(fA)).count(),
+        t.plannedFiles(fB).size < total, t.toDF(Some(fB)).count()))
+      .toDF("pruned_custkey", "n_custkey", "pruned_price", "n_price")
+  }
+
+  val t28Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT TRUE AS pruned_custkey,
+       |  (SELECT COUNT(*) FROM base WHERE o_custkey <= 100) AS n_custkey,
+       |  TRUE AS pruned_price,
+       |  (SELECT COUNT(*) FROM base WHERE o_totalprice > 400000) AS n_price""".stripMargin
+
   // ---------------------------------------------------------------- t25
 
   /** t25: incremental append-only read (addedBetween): each poll is a
@@ -361,6 +389,7 @@ object TableOpsExt {
     "t22_rewrite_manifests" -> ((t22RewriteManifests _, t22Oracle)),
     "t23_cluster"           -> ((t23Cluster _, t23Oracle)),
     "t24_cluster_zorder"    -> ((t24ClusterZOrder _, t24Oracle)),
+    "t28_cluster_hilbert"   -> ((t28ClusterHilbert _, t28Oracle)),
     "t25_added_between"     -> ((t25AddedBetween _, t25Oracle)),
     "t26_bloom_filters"     -> ((t26BloomFilters _, t26Oracle)),
   )

@@ -89,4 +89,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == 7L)
   }
+
+  test("hilbert index is a bijection with unit-step adjacency") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bits = 4
+    val side = 1 << bits
+    def idx(xy: (Int, Int)): Long =
+      HilbertKernel.index(new GenericArrayData(Array(xy._1.toLong, xy._2.toLong)), bits)
+    val cells = for (x <- 0 until side; y <- 0 until side) yield (x, y)
+    val indexed = cells.map(c => idx(c) -> c).toMap
+    // bijection over the full grid
+    assert(indexed.size == side * side)
+    assert(indexed.keys.min == 0L && indexed.keys.max == (side * side - 1).toLong)
+    // defining Hilbert property: consecutive curve positions are ADJACENT
+    // cells (manhattan distance 1) - z-order violates this at carry points
+    for (i <- 0L until (side * side - 1).toLong) {
+      val (x1, y1) = indexed(i); val (x2, y2) = indexed(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at $i")
+    }
+  }
 }

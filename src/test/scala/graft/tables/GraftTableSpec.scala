@@ -347,6 +347,25 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("hilbert clustering prunes at least as well as z-order on a 3-column mix") {
+    def plannedSum(t: GraftTable, preds: Seq[String]): Int =
+      preds.map(p => t.plannedFiles(p).size).sum
+    val preds = Seq("o_orderkey <= 50", "o_custkey <= 20", "o_totalprice <= 30000",
+      "o_orderkey <= 50 AND o_custkey <= 60", "o_custkey <= 60 AND o_totalprice <= 90000")
+    val tz = GraftTable.createAs(spark, tmp(), ordersDf.repartition(8))
+    tz.clusterZOrder(Seq("o_orderkey", "o_custkey", "o_totalprice"), nFiles = 8)
+    val th = GraftTable.createAs(spark, tmp(), ordersDf.repartition(8))
+    th.clusterHilbert(Seq("o_orderkey", "o_custkey", "o_totalprice"), nFiles = 8)
+    val (zn, hn) = (plannedSum(tz, preds), plannedSum(th, preds))
+    assert(hn <= zn, s"hilbert planned $hn files vs z-order $zn over ${preds.size} predicates")
+    // every axis still prunes, and results stay exact
+    for (pred <- Seq("o_orderkey <= 50", "o_custkey <= 20", "o_totalprice <= 30000")) {
+      assert(th.plannedFiles(pred).size < th.currentFiles().size, s"$pred should prune")
+    }
+    assert(th.toDF(Some("o_custkey <= 20")).count() ==
+      ordersDf.filter($"o_custkey" <= 20).count())
+  }
+
   test("cluster() makes stats pruning near-exact on the sort column") {
     val loc = tmp()
     // random layout: every file spans the whole key range -> no pruning
