@@ -27,6 +27,13 @@ object F {
   def fingerprint(text: Column, window: Int = 16): Column =
     col(RabinFingerprint(ex(text), window))
 
+  /** Cross-engine-portable window fingerprint (long) — reproducible in
+    * DuckDB SQL for oracle checks (the wrapping-multiply variant above
+    * is not).
+    */
+  def portableFingerprint(text: Column, window: Int = 16): Column =
+    col(PortableFingerprint(ex(text), window))
+
   /** Sorted distinct rolling char-n-gram hashes of a string column. */
   def charShingles(text: Column, window: Int): Column =
     col(CharWindowHashes(ex(text), window))

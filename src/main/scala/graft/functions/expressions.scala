@@ -650,3 +650,60 @@ case class HilbertIndex(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HilbertIndex =
     copy(child = newChild)
 }
+
+/** Static kernel for [[PortableFingerprint]]. */
+object PortableFingerprintKernel {
+  /** Min over all `w`-code-point windows of the packed two-prime
+    * polynomial hash ([[PolyWordHashKernel.hashWord]] arithmetic) — a
+    * Rabin-Karp-style document fingerprint whose every intermediate stays
+    * below 2⁶³, so DuckDB SQL recomputes it exactly (the wrapping-multiply
+    * fingerprint in [[RabinFingerprint]] cannot be expressed there).
+    * Texts shorter than `w` hash as one whole-text window.
+    */
+  def fingerprint(s: UTF8String, w: Int): Long = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    val eff = math.min(w, n)
+    var best = Long.MaxValue
+    var start = 0
+    val last = math.max(0, n - eff)
+    while (start <= last) {
+      var h1 = 7L
+      var h2 = 11L
+      var i = 0
+      while (i < eff) {
+        val cp = cps(start + i).toLong
+        h1 = (h1 * 31L + cp) % PolyWordHashKernel.P1
+        h2 = (h2 * 131L + cp) % PolyWordHashKernel.P2
+        i += 1
+      }
+      val h = h2 * 4294967296L + h1
+      if (h < best) best = h
+      start += 1
+    }
+    if (best == Long.MaxValue) 0L else best
+  }
+}
+
+/** Cross-engine-portable rolling-window document fingerprint (long). */
+case class PortableFingerprint(child: Expression, window: Int)
+  extends UnaryExpression {
+  require(window >= 1, "window >= 1")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_portable_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableFingerprintKernel.fingerprint(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val pk = classOf[PortableFingerprintKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.fingerprint($s, $window);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PortableFingerprint =
+    copy(child = newChild)
+}

@@ -161,6 +161,75 @@ object Dedup {
     out
   }
 
+  /** d03 oracle-exact gate variant (same construction as
+    * [[d05NgramJaccardExact]]): exact text copies at doc_id + 2000000, so
+    * minhash signatures and band keys are identical and LSH recall on the
+    * planted pairs is 1.0 by construction. The only cross pairs over the
+    * 0.5 word-shingle threshold are the base table's d01-planted
+    * near-dups (4 pairs at Jaccard 0.96–0.99; the next-highest cross pair
+    * on this corpus sits at 0.07, so the threshold has a 0.9 gap), and
+    * fixed data + fixed seeds band them deterministically. Those pairs
+    * merge {X, Y, X′, Y′} into one component, which the DuckDB oracle
+    * reproduces with a recursive transitive-closure min-label CTE over
+    * string-shingle Jaccard edges.
+    */
+  def d03MinhashLshExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 250)
+    val corpus = withShingles(base.unionAll(base.select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))))
+      .persist()
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, Int.MaxValue)
+    val verified = cands
+      .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint(true)
+    val endpoints = verified.select(col("src").as("id"))
+      .unionAll(verified.select(col("dst").as("id"))).distinct()
+    val clustered = Graph.connectedComponents(endpoints, verified)
+    val singletons = corpus.select(col("doc_id").as("id"))
+      .join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    val out = clustered.unionAll(singletons)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
+  }
+
+  /** Transitive-closure min-label components over string-shingle Jaccard
+    * edges — components here are ≤ 4 nodes, so the recursion depth is
+    * tiny and UNION dedup terminates it.
+    */
+  val d03Oracle: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM base),
+      |words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)]) AS s
+      |  FROM words),
+      |edges AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |bi AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT r.src, b.v FROM reach r JOIN bi b ON r.dst = b.u)
+      |SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** d04: SimHash near-dup pairs — 64-bit simhash over word hashes; the 8
     * 8-bit chunks are the blocking keys (pigeonhole: any pair with hamming
     * ≤ 7 shares at least one chunk), verified by exact hamming ≤ 7 via
@@ -412,7 +481,7 @@ object Dedup {
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),
     "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),
-    "d03_minhash_lsh"       -> ((d03MinhashLsh _, "")),
+    "d03_minhash_lsh"       -> ((d03MinhashLshExact _, d03Oracle)),
     "d04_simhash"           -> ((d04SimhashExact _, d04Oracle)),
     "d05_ngram_jaccard"     -> ((d05NgramJaccardExact _, d05Oracle)),
     "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),

@@ -183,6 +183,30 @@ object TextAnalysis {
       .select(col("doc_id"), graft.functions.F.fingerprint(col("text"), 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** x04 gate variant: the PORTABLE window fingerprint (two-prime
+    * polynomial arithmetic, every intermediate < 2⁶³), so the DuckDB
+    * oracle recomputes the identical values per document — converting the
+    * fingerprint gate from rows-only to hash-checked. The wrapping-multiply
+    * [[x04Fingerprint]] stays the fast path with its semantics spec'd in
+    * ExpressionsSpec.
+    */
+  def x04FingerprintPortable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.F.portableFingerprint(col("text"), 16).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val x04Oracle: String =
+    """SELECT doc_id,
+      |  list_min([
+      |    list_reduce(list_prepend(CAST(11 AS BIGINT),
+      |      [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(substring(text, i, 16), '')]),
+      |      (a, c) -> (a * 131 + c) % 2147483629) * 4294967296
+      |    + list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(substring(text, i, 16), '')]),
+      |      (a, c) -> (a * 31 + c) % 2147483647)
+      |  for i in generate_series(1, length(text) - 15)]) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- x06
 
   /** x06: heavy-hitter words via the Misra–Gries sketch Aggregator —
@@ -219,7 +243,7 @@ object TextAnalysis {
     "x06_heavy_hitters" -> ((x06HeavyHitters _, x06Oracle)),
     "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
     "x03_langid"        -> ((x03LangId _, x03Oracle)),
-    "x04_fingerprint"   -> ((x04Fingerprint _, "")),
+    "x04_fingerprint"   -> ((x04FingerprintPortable _, x04Oracle)),
     "x05_ngram_stats"   -> ((x05NgramStats _, x05Oracle)),
   )
 }

@@ -108,4 +108,27 @@ class ExpressionsSpec extends SparkSpec {
       assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at $i")
     }
   }
+
+  test("portable fingerprint: min-window two-prime hash, short-text fallback") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "tiny"), // shorter than the window: whole-text hash
+      (4L, "a different document entirely about query engines")).toDF("id", "t")
+      .select($"id", F.portableFingerprint($"t", 16).as("fp")).as[(Long, Long)].collect().toMap
+    assert(df(1L) == df(2L) && df(1L) != df(4L))
+    // driver-side replication of the definition
+    def poly(cps: Seq[Int], init: Long, b: Long, p: Long): Long =
+      cps.foldLeft(init)((a, c) => (a * b + c) % p)
+    def fp(t: String, w: Int): Long = {
+      val cps = t.codePoints().toArray.toSeq
+      val eff = math.min(w, cps.length)
+      (0 to cps.length - eff).map { i =>
+        val win = cps.slice(i, i + eff)
+        poly(win, 11L, 131L, 2147483629L) * 4294967296L + poly(win, 7L, 31L, 2147483647L)
+      }.min
+    }
+    assert(df(1L) == fp("the quick brown fox jumps over the lazy dog", 16))
+    assert(df(3L) == fp("tiny", 16))
+  }
 }

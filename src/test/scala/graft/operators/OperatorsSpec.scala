@@ -27,6 +27,35 @@ class DedupSpec extends SparkSpec {
     assert(found.toDouble / orig.size >= 0.9, s"planted recall $found/${orig.size}")
   }
 
+  test("d03 exact variant equals driver-side union-find over string shingles") {
+    val out = Dedup.d03MinhashLshExact(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 250)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val corpus = base ++ base.map { case (id, t) => (id + 2000000L, t) }
+    val shingles = corpus.map { case (id, t) =>
+      val ws = t.trim.split("\\s+")
+      (id, (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet)
+    }
+    // union-find over exact word-3-shingle jaccard >= 0.5 edges
+    val parent = scala.collection.mutable.Map(corpus.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for { (ia, sa) <- shingles; (ib, sb) <- shingles if ia < ib } {
+      val inter = (sa & sb).size.toDouble
+      if (inter / (sa.size + sb.size - inter) >= 0.5) union(ia, ib)
+    }
+    val brute = corpus.map(c => c._1 -> find(c._1)).toMap
+    assert(out == brute,
+      s"diff: ${(out.toSet diff brute.toSet).take(5)} / ${(brute.toSet diff out.toSet).take(5)}")
+    // base-table planted dups must have merged quadruples
+    assert(brute.count { case (id, cl) => id != cl && (id - cl) != 2000000L } > 0)
+  }
+
   test("d04 simhash finds most planted near-duplicates") {
     val pairs = Dedup.d04Simhash(spark, sf).select($"a", $"b").as[(Long, Long)].collect()
     val planted = pairs.count { case (a, b) => b - a == 2000000L }
