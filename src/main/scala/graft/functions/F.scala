@@ -61,6 +61,18 @@ object F {
     */
   def nearestCells(v: Column, centroids: Array[Array[Float]], n: Int): Column =
     col(NearestCells(ex(v), centroids, n))
+
+  /** Product-quantization code (array<int>, one entry per subspace). */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    col(PqEncode(ex(v), codebooks))
+
+  /** Per-query PQ ADC lookup table (flattened m×ks array<float>). */
+  def pqLut(q: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    col(PqLut(ex(q), codebooks))
+
+  /** PQ asymmetric-distance score of a code against a query LUT. */
+  def pqAdc(code: Column, lut: Column, ks: Int): Column =
+    col(PqAdcScore(ex(code), ex(lut), ks))
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.

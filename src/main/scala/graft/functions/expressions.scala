@@ -707,3 +707,126 @@ case class PortableFingerprint(child: Expression, window: Int)
   override protected def withNewChildInternal(newChild: Expression): PortableFingerprint =
     copy(child = newChild)
 }
+
+/** Static kernels for the product-quantization expressions. */
+object PqKernel {
+  /** Nearest codebook entry per subspace by L2 over the (pre-normalized)
+    * vector: code[j] = argmin_c ||x_j − cb[j][c]||². O(m·ks·subDim).
+    */
+  def encode(v: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val sub = cb(j)
+      val subDim = sub(0).length
+      val off = j * subDim
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < sub.length) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = v.getFloat(off + i).toDouble - sub(c)(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table, flattened m×ks floats:
+    * lut[j·ks + c] = dot(q_j, cb[j][c]).
+    */
+  def lut(q: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val m = cb.length
+    val ks = cb(0).length
+    val out = new Array[Float](m * ks)
+    var j = 0
+    while (j < m) {
+      val sub = cb(j)
+      val subDim = sub(0).length
+      val off = j * subDim
+      var c = 0
+      while (c < ks) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) { d += q.getFloat(off + i).toDouble * sub(c)(i); i += 1 }
+        out(j * ks + c) = d.toFloat
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance: approx dot(q, x) = Σ_j lut[j·ks + code_j] —
+    * O(m) per pair instead of O(dim).
+    */
+  def adc(code: ArrayData, lut: ArrayData, ks: Int): Double = {
+    var s = 0.0
+    var j = 0
+    val m = code.numElements()
+    while (j < m) { s += lut.getFloat(j * ks + code.getInt(j)); j += 1 }
+    s
+  }
+}
+
+/** PQ encode: array<int> of per-subspace codebook indices. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.encode(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+      val pk = classOf[PqKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.encode($v, $cbRef);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** PQ per-query ADC lookup table (flattened m×ks float array). */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_lut"
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.lut(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+      val pk = classOf[PqKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.lut($v, $cbRef);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric-distance score: Σ_j lut[j·ks + code_j] (double). */
+case class PqAdcScore(left: Expression, right: Expression, ks: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+  override def nullSafeEval(code: Any, lut: Any): Any =
+    PqKernel.adc(code.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val pk = classOf[PqKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.adc($c, $l, $ks);"
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}

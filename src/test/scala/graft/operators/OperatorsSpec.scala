@@ -227,6 +227,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.55, s"ivf uniform recall $recall")
   }
 
+  test("s04 pq+adc+rerank reaches >=0.85 recall on the uniform corpus") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.s04AnnPq(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.85, s"pq uniform recall $recall")
+  }
+
+  test("s04 pq on clustered corpus: recall >=0.95") {
+    val rnd = new scala.util.Random(11)
+    def gauss(): Float = rnd.nextGaussian().toFloat
+    val centers = Array.fill(25)(Array.fill(64)(gauss()))
+    val vecs: Seq[(Long, Array[Float])] = (for {
+      c <- centers.indices; m <- 0 until 20
+    } yield ((c * 20 + m).toLong, centers(c).map(x => x + 0.35f * gauss()))).toSeq
+    val e = vecs.toDF("vec_id", "embedding")
+    val q = vecs.filter(_._1 % 10 == 0).toDF("query_id", "qv")
+    val cbs = Similarity.pqTrain(vecs.map(v => Similarity.normalize(v._2)).toArray, 8, 32)
+    val pq = Similarity.s04AnnPqOn(e, q, cbs, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = vecs.toMap
+    val exact = emb.keys.filter(_ % 10 == 0).flatMap { qid =>
+      vecs.filter(_._1 != qid).map { case (id, v) => (id, cos(emb(qid), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.95, s"pq clustered recall $recall")
+  }
+
   test("s02 lsh returns correctly-ranked true neighbors (recall>=0.8 on uniform data)") {
     val exact = Similarity.s01AnnBruteforce(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
