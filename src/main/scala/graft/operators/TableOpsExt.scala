@@ -267,6 +267,39 @@ object TableOpsExt {
        |  TRUE AS pruned_price,
        |  (SELECT COUNT(*) FROM base WHERE o_totalprice > 400000) AS n_price""".stripMargin
 
+  // ---------------------------------------------------------------- t30
+
+  /** t30: copy-on-write changelog recovery — CoW DELETE and UPDATE
+    * commits rewrite whole touched files, but the row-level diff is
+    * recovered from just the removed-vs-added file sets (unchanged
+    * copied rows cancel in the multiset diff): the delete emits one
+    * 'delete' per matching row, the update one 'delete' + one 'insert'
+    * per truly-changed row.
+    */
+  def t30CowChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 1000))
+    val s0 = t.meta.currentSnapshotId.get
+    t.delete("o_orderpriority = '1-URGENT'")
+    t.update("o_totalprice > 200000", Map("o_orderpriority" -> "'9-COW'"))
+    t.changesBetween(s0, t.meta.currentSnapshotId.get)
+      .groupBy(col("_change_type"), col("o_orderpriority") === "9-COW")
+      .agg(count(lit(1)).as("n"))
+      .toDF("change_type", "is_cow_mark", "n")
+      .orderBy(col("change_type"), col("is_cow_mark"))
+  }
+
+  val t30Oracle: String =
+    """WITH base AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000),
+      |live AS (SELECT * FROM base WHERE o_orderpriority <> '1-URGENT'),
+      |touched AS (SELECT COUNT(*) AS n FROM live WHERE o_totalprice > 200000),
+      |urgent AS (SELECT COUNT(*) AS n FROM base WHERE o_orderpriority = '1-URGENT')
+      |SELECT change_type, is_cow_mark, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'delete' AS change_type, FALSE AS is_cow_mark,
+      |    (SELECT n FROM urgent) + (SELECT n FROM touched) AS n
+      |  UNION ALL
+      |  SELECT 'insert', TRUE, (SELECT n FROM touched)
+      |) ORDER BY change_type, is_cow_mark""".stripMargin
+
   // ---------------------------------------------------------------- t25
 
   /** t25: incremental append-only read (addedBetween): each poll is a
@@ -390,6 +423,7 @@ object TableOpsExt {
     "t23_cluster"           -> ((t23Cluster _, t23Oracle)),
     "t24_cluster_zorder"    -> ((t24ClusterZOrder _, t24Oracle)),
     "t28_cluster_hilbert"   -> ((t28ClusterHilbert _, t28Oracle)),
+    "t30_cow_changelog"     -> ((t30CowChangelog _, t30Oracle)),
     "t25_added_between"     -> ((t25AddedBetween _, t25Oracle)),
     "t26_bloom_filters"     -> ((t26BloomFilters _, t26Oracle)),
   )

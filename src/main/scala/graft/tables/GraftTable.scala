@@ -209,9 +209,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
         case "rewrite-deletes" | "replace" =>
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
             StructType(m.schema.fields :+ StructField("_change_type", StringType)))
+        // Copy-on-write commits don't retain row-level lineage, but they
+        // only rewrite TOUCHED files — so the row-level diff is
+        // recoverable by comparing just the removed file set against the
+        // added one (multiset exceptAll both ways; rows a rewrite copied
+        // unchanged cancel out). CoW mutations materialize pending MOR
+        // deletes first (ensureMaterialized), so the physical diff IS the
+        // logical diff. Cost is O(rewritten files), not O(table).
+        case "delete" | "update" | "merge" | "overwrite" | "truncate" | "rollback" =>
+          val parentPaths = parentMd.files.map(_.path).toSet
+          val curPaths = md.files.map(_.path).toSet
+          val removed = parentMd.files.filterNot(f => curPaths.contains(f.path))
+          val added = md.files.filterNot(f => parentPaths.contains(f.path))
+          def readOrEmpty(fs: Seq[DataFile]): DataFrame =
+            if (fs.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+            else ScanPlanner.scan(spark, m, fs, None)
+          val before = readOrEmpty(removed)
+          val after = readOrEmpty(added)
+          tagged(before.exceptAll(after), "delete")
+            .unionAll(tagged(after.exceptAll(before), "insert"))
         case other => throw new UnsupportedOperationException(
-          s"changelog across '$other' commit (snapshot ${s.id}): copy-on-write " +
-            "commits don't retain row-level lineage; consume between append/MOR snapshots")
+          s"changelog across '$other' commit (snapshot ${s.id}): no row-level " +
+            "lineage recovery for this operation")
       }
     }
     if (parts.isEmpty)

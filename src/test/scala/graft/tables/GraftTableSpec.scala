@@ -422,14 +422,28 @@ class GraftTableSpec extends SparkSpec {
     assert(t.changesBetween(s1, s4).count() == 40 + expected)
 
     // row-preserving maintenance emits nothing (Iceberg changelog scans
-    // skip replace snapshots); copy-on-write row changes still refuse
+    // skip replace snapshots)
     t.materializeDeletes()
     val s5 = t.meta.currentSnapshotId.get
     assert(t.changesBetween(s4, s5).count() == 0)
     assert(t.changesBetween(s1, s5).count() == 40 + expected)
+    // copy-on-write commits recover the row diff from the rewritten files
+    val liveO = t.toDF().filter($"o_orderstatus" === "O").count()
     t.delete("o_orderstatus = 'O'")
     val s6 = t.meta.currentSnapshotId.get
-    intercept[UnsupportedOperationException] { t.changesBetween(s5, s6).count() }
+    val cowDiff = t.changesBetween(s5, s6)
+    assert(cowDiff.filter($"_change_type" === "delete").count() == liveO)
+    assert(cowDiff.filter($"_change_type" === "insert").count() == 0)
+    // CoW UPDATE: one delete + one insert per truly-changed row, even
+    // though whole files were rewritten
+    val touched = t.toDF().filter($"o_totalprice" > 200000).count()
+    t.update("o_totalprice > 200000", Map("o_orderpriority" -> "'9-COW'"))
+    val s7 = t.meta.currentSnapshotId.get
+    val upDiff = t.changesBetween(s6, s7)
+    assert(upDiff.filter($"_change_type" === "delete").count() == touched)
+    assert(upDiff.filter($"_change_type" === "insert").count() == touched)
+    assert(upDiff.filter($"_change_type" === "insert")
+      .filter($"o_orderpriority" === "9-COW").count() == touched)
   }
 
   test("upsertMergeOnRead: one O(batch) commit updates keys and inserts rows") {
