@@ -394,9 +394,33 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     * clauses become per-snapshot temp views, current snapshots back plain
     * name references.
     */
+  private val MetaTableRef =
+    """(?i)\b(\w+)\.(history|snapshots|files|manifests|metadata_log_entries|partitions)\b""".r
+
   private def runSelect(selectRaw: String): DataFrame = {
     var q = selectRaw
     var i = 0
+    // Iceberg-style inline metadata tables (reference README.md:353
+    // `SELECT * FROM ${user}_ice.airlines.history`): resolve
+    // <table>.<metadata> references to temp views of the metadata frames
+    q = MetaTableRef.replaceAllIn(q, mm => {
+      val name = mm.group(1)
+      if (!tables.contains(name)) Regex.quoteReplacement(mm.matched)
+      else {
+        val kind = mm.group(2).toLowerCase
+        val view = s"__graft_meta_${name}_$kind"
+        val df = kind match {
+          case "history" => table(name).history
+          case "snapshots" => table(name).snapshotsDf
+          case "files" => table(name).filesDf
+          case "manifests" => table(name).manifestsDf
+          case "metadata_log_entries" => table(name).metadataLogDf
+          case "partitions" => table(name).partitionsDf
+        }
+        df.createOrReplaceTempView(view)
+        view
+      }
+    })
     q = AsOfTime.replaceAllIn(q, m =>
       if (!tables.contains(m.group(1))) Regex.quoteReplacement(m.matched)
       else {

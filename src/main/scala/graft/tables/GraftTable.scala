@@ -279,6 +279,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("file_path", "spec_id", "partition", "record_count", "size_bytes")
   }
 
+  /** `.partitions` metadata table: one row per live partition of the
+    * current snapshot with file and record counts (manifest-only — no
+    * data scan).
+    */
+  def partitionsDf: DataFrame = {
+    import spark.implicits._
+    currentFiles()
+      .groupBy(f => (f.specId,
+        f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")))
+      .toSeq
+      .map { case ((specId, part), fs) =>
+        (part, specId, fs.size.toLong, fs.map(_.recordCount).sum) }
+      .sortBy(r => (r._2, r._1))
+      .toDF("partition", "spec_id", "file_count", "record_count")
+  }
+
   /** `.manifests` metadata table (reference README.md:301-338 walks the
     * manifest chain): one row per content group of the CURRENT snapshot's
     * manifest — data files, position-delete files, equality-delete files —

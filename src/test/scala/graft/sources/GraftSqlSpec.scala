@@ -221,4 +221,25 @@ class GraftSqlSpec extends SparkSpec {
     g.sql("DROP DATABASE IF EXISTS staging CASCADE")
     intercept[IllegalArgumentException](g.table("staging__orders_part"))
   }
+
+  test("inline metadata tables: SELECT FROM t.history/.snapshots/.files/.partitions/.manifests/.metadata_log_entries") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE meta_ice PARTITIONED BY (o_orderstatus) AS SELECT * FROM orders")
+    g.sql("INSERT INTO meta_ice SELECT o_orderkey + 900000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey < 100")
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    val added = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") < 100).count()
+    // reference README.md:353 shape
+    assert(g.sql("SELECT COUNT(*) AS n FROM meta_ice.history").head().getLong(0) == 2)
+    assert(g.sql("SELECT MAX(total_records) AS r FROM meta_ice.snapshots").head().getLong(0) == n + added)
+    assert(g.sql("SELECT SUM(record_count) AS r FROM meta_ice.files").head().getLong(0) == n + added)
+    assert(g.sql("SELECT SUM(record_count) AS r FROM meta_ice.partitions").head().getLong(0) == n + added)
+    // partitions: one row per status value
+    val statuses = spark.read.parquet(s"$sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderstatus")).distinct().count()
+    assert(g.sql("SELECT COUNT(*) AS n FROM meta_ice.partitions").head().getLong(0) == statuses)
+    assert(g.sql("SELECT SUM(record_count) AS r FROM meta_ice.manifests WHERE content = 'data'")
+      .head().getLong(0) == n + added)
+    assert(g.sql("SELECT COUNT(*) AS n FROM meta_ice.metadata_log_entries").head().getLong(0) >= 2)
+  }
 }
