@@ -238,7 +238,61 @@ object TextAnalysis {
       |SELECT word, COUNT(*) AS n FROM w
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- p01
+
+  /** p01: the end-to-end pre-training corpus pipeline — exact dedup (d01
+    * shape), quality filter (x02 thresholds), language ID (x03 heuristic),
+    * then per-language document and token totals. Every stage is per-row
+    * codegen'd builtins; the only shuffles are the dedup groupBy(text) and
+    * the final tiny per-language aggregate — the 100 TB corpus-curation
+    * shape end to end, and every stage is portable SQL so the WHOLE
+    * pipeline is oracle-checked, not just its pieces.
+    */
+  def p01PretrainPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = Tables.documents(spark, sfDir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val ws = words(col("text"))
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    val scored = deduped
+      .withColumn("n_words", size(ws))
+      .withColumn("n_stopwords",
+        expr(s"size(filter(split(trim(text), '\\\\s+'), w -> w IN ($inList)))"))
+      .filter(col("n_words") >= 10 && col("n_words") <= 500 && col("n_stopwords") >= 1)
+    langIdOver(scored, col("text"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).cast("long").as("sum_tokens"))
+      .orderBy(col("lang_pred"))
+  }
+
+  val p01Oracle: String = {
+    val scoreDefs = langProfiles.map { case (lang, _, markers) =>
+      val inList = markers.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ($inList))) AS INT) AS s_$lang"
+    }.mkString(",\n    ")
+    val byPriority = langProfiles.sortBy(-_._2).map(_._1)
+    val best = byPriority.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val caseChain = byPriority.map(l => s"WHEN s_$l = __best THEN '$l'").mkString("\n      ")
+    s"""WITH dedup AS (
+       |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |q AS (
+       |  SELECT doc_id, text,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        w -> w IN ($stopwordSqlList))) AS n_stop
+       |  FROM dedup),
+       |kept AS (SELECT * FROM q WHERE n_words >= 10 AND n_words <= 500 AND n_stop >= 1),
+       |scored AS (
+       |  SELECT doc_id, n_words,
+       |    $scoreDefs
+       |  FROM kept),
+       |g AS (SELECT *, $best AS __best FROM scored)
+       |SELECT CASE $caseChain END AS lang_pred,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS sum_tokens
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
     "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
     "x06_heavy_hitters" -> ((x06HeavyHitters _, x06Oracle)),
     "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
