@@ -104,6 +104,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val CallRewriteFiles = r("""CALL\s+[\w.]*REWRITE_DATA_FILES\s*\(\s*["']([\w.]+)["']\s*\)""")
   private val CallRewriteManifests = r("""CALL\s+[\w.]*REWRITE_MANIFESTS\s*\(\s*["']([\w.]+)["']\s*\)""")
   private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
+  private val ShowTables = r("""SHOW\s+TABLES(?:\s+IN\s+(\w+))?""")
+  private val ShowPartitions = r("""SHOW\s+PARTITIONS\s+(\w+)""")
+  private val Describe = r("""DESCRIBE\s+(?:FORMATTED\s+|EXTENDED\s+)?(\w+)""")
 
   private val AsOfTime = """(?is)(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?["']([^"']+)["']""".r
   // numeric snapshot id, or a tag/branch name
@@ -201,6 +204,28 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(stripDb(name)).rewriteManifests(); status("rewrite-manifests", stripDb(name))
       case DescHistory(name) =>
         table(name).history
+      case ShowTables(db) =>
+        import spark.implicits._
+        val prefix = Option(db).map(_.toLowerCase + "__").getOrElse("")
+        (tables.keys.map((_, "managed")) ++ externals.keys.map((_, "external")))
+          .filter(_._1.startsWith(prefix)).toSeq.sorted
+          .map { case (n, kind) => (n.stripPrefix(prefix), kind) }
+          .toDF("tableName", "tableType")
+      case ShowPartitions(name) =>
+        table(name).partitionsDf
+      // DESCRIBE is matched after every statement head above (so e.g.
+      // DESCRIBE HISTORY keeps its own route); unknown names fall through
+      // to Spark for its own temp views
+      case Describe(name) if tables.contains(name) =>
+        import spark.implicits._
+        table(name).meta.schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString))
+          .toDF("col_name", "data_type")
+      case Describe(name) if externals.contains(name) =>
+        import spark.implicits._
+        externals(name)().schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString))
+          .toDF("col_name", "data_type")
       case _ =>
         runSelect(stmt)
     }

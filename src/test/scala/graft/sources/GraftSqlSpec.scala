@@ -242,4 +242,25 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == n + added)
     assert(g.sql("SELECT COUNT(*) AS n FROM meta_ice.metadata_log_entries").head().getLong(0) >= 2)
   }
+
+  test("SHOW TABLES / SHOW PARTITIONS / DESCRIBE (hive_partitioning_examples + README shapes)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE DATABASE hive_p")
+    g.sql("CREATE TABLE hive_p.orders PARTITIONED BY (o_orderstatus) AS SELECT * FROM orders")
+    g.sql("CREATE TABLE plain_t AS SELECT * FROM nation")
+    // SHOW TABLES IN staging (reference README.md:35 shape)
+    val inDb = g.sql("SHOW TABLES IN hive_p").collect().map(_.getString(0)).toSeq
+    assert(inDb == Seq("orders"))
+    val all = g.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq
+    assert(all.contains("hive_p__orders") && all.contains("plain_t"))
+    // SHOW PARTITIONS (reference hive_partitioning_examples.sql:44 shape)
+    val parts = g.sql("SHOW PARTITIONS hive_p.orders").collect()
+    val statuses = spark.read.parquet(s"$sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderstatus")).distinct().count()
+    assert(parts.length == statuses)
+    // DESCRIBE lists the schema; DESCRIBE HISTORY still routes to history
+    val cols = g.sql("DESCRIBE hive_p.orders").collect().map(_.getString(0)).toSeq
+    assert(cols.contains("o_orderkey") && cols.contains("o_orderstatus"))
+    assert(g.sql("DESCRIBE HISTORY hive_p.orders").count() == 1)
+  }
 }
