@@ -86,7 +86,55 @@ object Multimodal {
       |  TRUE AS feature_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  case class FrameFeatures(doc_id: Long, n_frames: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** m02: frame-sample + resize plumbing, VALUE-checked end to end — the
+    * stubs are deterministic byte arithmetic, so the oracle recomputes the
+    * exact feature values (m01 only checks an invariant of them). The
+    * pipeline keeps raw INTEGER histogram counts through resize and
+    * normalizes once at the end, so both engines do one double division
+    * per bin and the doubles match bit-for-bit. Frame-sample every 4th
+    * byte → 16-bin histogram → resize to 4 bins → normalized features.
+    */
+  def m02FrameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("fake/rgb8").as("format"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = frameSample(r.payload, stride = 4)
+        val counts = new Array[Double](16)
+        var i = 0
+        while (i < frames.length) { counts((frames(i) & 0xff) >> 4) += 1.0; i += 1 }
+        val binned = resizeStub(counts, 4)
+        val n = frames.length
+        def norm(b: Int): Double = if (n == 0) 0.0 else binned(b) / n
+        FrameFeatures(r.doc_id, n, norm(0), norm(1), norm(2), norm(3))
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Every-4th-char code points (ASCII corpus: bytes == code points),
+    * 4-bin histogram by code//64 (== resize of the 16-bin code//16
+    * histogram), one double division per bin.
+    */
+  val m02Oracle: String =
+    """WITH fr AS (
+      |  SELECT doc_id,
+      |    [unicode(c) for c in
+      |      list_filter(regexp_split_to_array(text, ''), (c, i) -> (i - 1) % 4 = 0)] AS f
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(f) AS INT) AS n_frames,
+      |  len(list_filter(f, x -> x // 64 = 0)) / CAST(len(f) AS DOUBLE) AS f0,
+      |  len(list_filter(f, x -> x // 64 = 1)) / CAST(len(f) AS DOUBLE) AS f1,
+      |  len(list_filter(f, x -> x // 64 = 2)) / CAST(len(f) AS DOUBLE) AS f2,
+      |  len(list_filter(f, x -> x // 64 = 3)) / CAST(len(f) AS DOUBLE) AS f3
+      |FROM fr ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
+    "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
   )
 }
