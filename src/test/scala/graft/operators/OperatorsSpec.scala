@@ -227,6 +227,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.55, s"ivf uniform recall $recall")
   }
 
+  test("s03 plan: corpus stays map-only below the broadcast join (no corpus shuffle)") {
+    val plan = Similarity.s03AnnIvf(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probes must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must never shuffle for the join:\n$plan")
+    // allowed shuffles: candidate max-dedup, top-k window, final order —
+    // anything more means assignment regressed to a shuffling plan
+    val shuffles = "Exchange (?:hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles:\n$plan")
+    assert(plan.contains("graft_nearest_cells"), "assignment must be the codegen'd map")
+  }
+
   test("s04 pq+adc+rerank reaches >=0.85 recall on the uniform corpus") {
     val exact = Similarity.s01AnnBruteforce(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
