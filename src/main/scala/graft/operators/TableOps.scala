@@ -389,7 +389,12 @@ object TableOps {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
-  /** Reads the gate's own staged CSV (driver checks at sf0.01). */
+  /** Reads the gate's own staged CSV. The oracle path is bound to
+    * sf0.01 — the only scale the driver's DuckDB gate runs at — because
+    * oracle SQL is static and the capped orders subset differs per scale
+    * (the generator isn't prefix-consistent). Other scales stage and
+    * query correctly; only this static oracle is sf0.01-specific.
+    */
   val t29Oracle: String =
     """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
