@@ -42,8 +42,9 @@ object ScanPlanner {
   }
 
   private def attrName(e: Expression): Option[String] = stripCast(e) match {
+    // UnresolvedAttribute is an Attribute subtype, so this also covers
+    // pre-analysis predicate strings
     case a: Attribute => Some(a.name)
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
     case _ => None
   }
 
