@@ -82,8 +82,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val CreateDb = r("""CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)""")
   private val DropDb = r("""DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)(?:\s+CASCADE)?""")
   private val CreateHead = r("""CREATE\s+(EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)""")
-  private val InsertSel = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*|FROM\b.*)""")
-  private val InsertVals = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+VALUES\s*(.*)""")
+  private val InsertSel = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?(SELECT\b.*|FROM\b.*)""")
+  private val InsertVals = r("""INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?VALUES\s*(.*)""")
+  private val DropTable = r("""DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)(?:\s+PURGE)?""")
   private val InsertOver = r("""INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)""")
   // USING body is extracted separately (takeBalanced for subqueries) so a
   // `JOIN ... ON` inside the subquery can't bind the merge's own ON token
@@ -139,14 +140,24 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         handleCreate(name, rest, external != null)
       case InsertOver(name, select) =>
         table(name).overwrite(conform(name, runSelect(select))); status("overwrite", name)
-      case InsertSel(name, select) =>
-        table(name).append(conform(name, runSelect(select))); status("insert", name)
-      case InsertVals(name, tuples) =>
-        val schema = table(name).meta.schema
-        val cols = schema.fieldNames.mkString(", ")
+      case InsertSel(name, part, select) =>
         table(name).append(conform(name,
-          runSelect(s"SELECT * FROM (VALUES $tuples) AS __v($cols)")))
+          applyStaticPartition(runSelect(select), part)))
         status("insert", name)
+      case InsertVals(name, part, tuples) =>
+        val schema = table(name).meta.schema
+        // Hive INSERT ... PARTITION(col="v"): tuples omit the static
+        // partition columns; they come back as literals below
+        val staticKeys = staticPartitionKeys(part)
+        val cols = schema.fieldNames
+          .filterNot(n => staticKeys.exists(_.equalsIgnoreCase(n))).mkString(", ")
+        table(name).append(conform(name, applyStaticPartition(
+          runSelect(s"SELECT * FROM (VALUES $tuples) AS __v($cols)"), part)))
+        status("insert", name)
+      case DropTable(name) =>
+        tables.remove(name); externals.remove(name)
+        spark.catalog.dropTempView(name)
+        status("drop-table", name)
       case MergeHead(name, tgtAlias, usingRest) =>
         val trimmed = usingRest.trim
         val (using, rest) =
@@ -338,7 +349,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     if (rem.startsWith("(")) {
       val (inside, after) = takeBalanced(rem); cols = Some(inside); rem = after.trim
     }
-    val PartBy = """(?is)^PARTITIONED\s+BY\s*(\(.*)$""".r
+    // `SPEC` is the Impala/Hive-on-Iceberg transform form
+    // (iceberg_partitioning_examples.sql:47 `PARTITIONED BY SPEC (DAYS(c))`)
+    val PartBy = """(?is)^PARTITIONED\s+BY\s+(?:SPEC\s*)?(\(.*)$""".r
     val RowFmt = """(?is)^ROW\s+FORMAT\s+DELIMITED\s*(.*)$""".r
     val FieldsTerm = """(?is)^FIELDS\s+TERMINATED\s+BY\s+'((?:\\.|[^'\\])*)'\s*(.*)$""".r
     val LinesTerm = """(?is)^LINES\s+TERMINATED\s+BY\s+'((?:\\.|[^'\\])*)'\s*(.*)$""".r
@@ -351,7 +364,22 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       progress = true
       rem match {
         case PartBy(tail) =>
-          val (inside, after) = takeBalanced(tail); spec = parseSpec(inside); rem = after.trim
+          val (inside, after) = takeBalanced(tail)
+          // Hive-style `PARTITIONED BY (order_date DATE)` DECLARES the
+          // partition column (hive_partitioning_examples.sql:15): append
+          // it to the schema and partition by identity on it
+          val ColDef = """(?i)^(\w+)\s+(\w+(?:\s*\([^)]*\))?)$""".r
+          val items = splitTopLevel(inside).map(_.trim)
+          val (colDefs, transforms) = items.partition {
+            case ColDef(_, _) => true
+            case _ => false
+          }
+          spec = parseSpec(transforms.mkString(", ")) ++ colDefs.map {
+            case ColDef(n, _) => PartitionField(n, "identity", n)
+          }
+          if (colDefs.nonEmpty)
+            cols = Some(cols.map(_ + ", ").getOrElse("") + colDefs.mkString(", "))
+          rem = after.trim
         case RowFmt(tail) =>
           rem = tail.trim
           var more = true
@@ -395,6 +423,29 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
 
   private def unescapeDelim(s: String): String =
     s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
+
+  /** Static keys of a Hive `PARTITION (k="v", dyn)` clause (dynamic
+    * entries carry their value in the row itself and contribute nothing).
+    */
+  private def staticPartitionKeys(part: String): Seq[String] =
+    if (part == null || part.trim.isEmpty) Nil
+    else part.split(",").toSeq.flatMap { item =>
+      item.split("=", 2) match {
+        case Array(k, _) => Some(k.trim)
+        case _ => None
+      }
+    }
+
+  /** Bind static `PARTITION (k="v")` values as literal columns. */
+  private def applyStaticPartition(df: DataFrame, part: String): DataFrame =
+    if (part == null || part.trim.isEmpty) df
+    else part.split(",").foldLeft(df) { (d, item) =>
+      item.split("=", 2) match {
+        case Array(k, v) =>
+          d.withColumn(k.trim, org.apache.spark.sql.functions.expr(v.trim))
+        case _ => d // dynamic partition: the value is already in the row
+      }
+    }
 
   /** `s` starts with '(': returns (inside-without-outer-parens, remainder). */
   private def takeBalanced(s: String): (String, String) = {

@@ -263,4 +263,111 @@ class GraftSqlSpec extends SparkSpec {
     assert(cols.contains("o_orderkey") && cols.contains("o_orderstatus"))
     assert(g.sql("DESCRIBE HISTORY hive_p.orders").count() == 1)
   }
+
+  test("hive_partitioning_examples.sql ports statement-for-statement") {
+    val g = freshSql(); registerSources(g)
+    g.sql("DROP DATABASE IF EXISTS hive_p CASCADE;") // reference omits IF EXISTS on a fresh env
+    g.sql("CREATE DATABASE hive_p;")
+    g.sql("""CREATE EXTERNAL TABLE hive_p.orders (
+            |    order_id BIGINT,
+            |    customer_id BIGINT,
+            |    order_amount FLOAT,
+            |    order_ts TIMESTAMP
+            |)
+            |PARTITIONED BY (order_date DATE)
+            |STORED AS PARQUET;""".stripMargin)
+    g.sql("""INSERT INTO hive_p.orders
+            |PARTITION(order_date="2022-01-01")
+            |VALUES (1, 1, 100.0, "2022-01-01 00:00:00");""".stripMargin)
+    g.sql("""INSERT INTO hive_p.orders
+            |VALUES (1, 1, 100.0, "2022-01-02 00:00:00", "2022-01-02");""".stripMargin)
+    g.sql("DROP TABLE IF EXISTS orders_tmp;")
+    g.sql("""CREATE TABLE orders_tmp (
+            |    order_id BIGINT,
+            |    customer_id BIGINT,
+            |    order_amount FLOAT,
+            |    order_ts TIMESTAMP
+            |);""".stripMargin)
+    g.sql("""INSERT INTO orders_tmp
+            |VALUES (1, 1, 100.0, "2022-01-03 00:00:00");""".stripMargin)
+    g.sql("""INSERT INTO hive_p.orders
+            |PARTITION(order_date)
+            |SELECT *, to_date(order_ts) FROM orders_tmp;""".stripMargin)
+    assert(g.sql("SHOW PARTITIONS hive_p.orders").count() == 3)
+    val rows = g.sql("""SELECT * FROM hive_p.orders
+            |WHERE order_ts BETWEEN "2022-01-01 00:00:00" AND "2022-01-01 18:00:00"
+            |AND order_date = "2022-01-01";""".stripMargin)
+    assert(rows.count() == 1)
+    // partition pruning reaches the scan: only the matching partition's file
+    assert(g.table("hive_p__orders").plannedFiles("order_date = DATE'2022-01-01'").size == 1)
+  }
+
+  test("iceberg_partitioning_examples.sql ports statement-for-statement") {
+    val g = freshSql(); registerSources(g)
+    g.sql("DROP DATABASE IF EXISTS ice_p CASCADE;")
+    g.sql("CREATE DATABASE ice_p;")
+    g.sql("""CREATE EXTERNAL TABLE ice_p.orders_ip (
+            |    order_id BIGINT,
+            |    customer_id BIGINT,
+            |    order_amount FLOAT,
+            |    order_ts TIMESTAMP
+            |)
+            |PARTITIONED BY (order_date DATE)
+            |STORED BY ICEBERG
+            |STORED AS PARQUET;""".stripMargin)
+    g.sql("""INSERT INTO ice_p.orders_ip
+            |VALUES (1, 1, 100.0, "2022-01-01 00:00:00", "2022-01-01"),
+            |       (1, 1, 100.0, "2022-01-02 00:00:00", "2022-01-02");""".stripMargin)
+    g.sql("DROP TABLE IF EXISTS orders_tmp;")
+    g.sql("""CREATE TABLE orders_tmp (
+            |    order_id BIGINT,
+            |    customer_id BIGINT,
+            |    order_amount FLOAT,
+            |    order_ts TIMESTAMP
+            |);""".stripMargin)
+    g.sql("INSERT INTO orders_tmp VALUES (1, 1, 100.0, \"2022-01-03 00:00:00\");")
+    g.sql("INSERT INTO ice_p.orders_ip SELECT *, to_date(order_ts) FROM orders_tmp;")
+    assert(g.sql("SELECT * FROM ice_p.orders_ip;").count() == 3)
+    g.sql("""CREATE EXTERNAL TABLE ice_p.orders_tp (
+            |    order_id BIGINT,
+            |    customer_id BIGINT,
+            |    order_amount FLOAT,
+            |    order_ts TIMESTAMP
+            |)
+            |PARTITIONED BY SPEC (DAYS(order_ts))
+            |STORED BY ICEBERG
+            |STORED AS PARQUET;""".stripMargin)
+    g.sql("""INSERT INTO ice_p.orders_tp
+            |VALUES (1, 1, 100.0, "2022-01-01 00:00:00"),
+            |       (1, 1, 100.0, "2022-01-02 00:00:00");""".stripMargin)
+    g.sql("INSERT INTO ice_p.orders_tp SELECT * FROM orders_tmp;")
+    assert(g.sql("SELECT * FROM ice_p.orders_tp;").count() == 3)
+    val pruned = g.sql("""SELECT * FROM ice_p.orders_tp
+            |WHERE order_ts BETWEEN "2022-01-01 00:00:00" AND "2022-01-01 18:00:00";""".stripMargin)
+    assert(pruned.count() == 1)
+    assert(g.table("ice_p__orders_tp").meta.specs.flatMap(_.fields).exists(_.transform == "days"))
+  }
+
+  test("update_iceberg_v2_examples.sql ports statement-for-statement") {
+    val g = freshSql(); registerSources(g)
+    // staging prerequisite from airlines.sql: a tiny airlines_parquet
+    g.sql("CREATE DATABASE staging")
+    g.sql("""CREATE TABLE staging.airlines_parquet AS
+            |SELECT * FROM (VALUES ('02Q', 'Titan Airways'), ('04Q', 'Tradewind Aviation'))
+            |AS v(code, description)""".stripMargin)
+    g.sql("DROP DATABASE IF EXISTS updates_ice CASCADE;")
+    g.sql("CREATE DATABASE updates_ice;")
+    g.sql("""CREATE EXTERNAL TABLE updates_ice.airlines
+            |STORED BY ICEBERG
+            |STORED AS PARQUET
+            |AS SELECT * FROM staging.airlines_parquet;""".stripMargin)
+    g.sql("""MERGE INTO updates_ice.airlines AS target
+            |USING (SELECT code, description FROM staging.airlines_parquet WHERE code = "02Q") AS source
+            |ON code = source.code
+            |WHEN MATCHED THEN UPDATE SET code=source.code, description="Titanic Trauma"
+            |WHEN NOT MATCHED THEN INSERT VALUES (source.code, "Titanic Trauma");""".stripMargin)
+    val out = g.sql("SELECT code, description FROM updates_ice.airlines ORDER BY code")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("02Q", "Titanic Trauma"), ("04Q", "Tradewind Aviation")), s"got $out")
+  }
 }
