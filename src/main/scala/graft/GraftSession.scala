@@ -21,6 +21,11 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // INT64 timestamps: INT96 footers carry no trustworthy min/max, so
+    // stats-pruning (and in-place migration of graft-written dirs) would
+    // silently lose timestamp bounds — the reference's own Hive
+    // limitation (limitations.md #3)
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
     .config("spark.sql.shuffle.partitions", "32")

@@ -60,6 +60,14 @@ object ScanPlanner {
   /** Split a resolved filter into analyzable comparisons (conjuncts only). */
   private def extract(e: Expression): Seq[Compare] = e match {
     case And(l, r) => extract(l) ++ extract(r)
+    // BETWEEN survives analysis as a RuntimeReplaceable whose replacement
+    // hides the input behind a With/CommonExpressionRef — rebuild the two
+    // comparisons on the real input instead
+    case b: org.apache.spark.sql.catalyst.expressions.Between =>
+      extract(And(GreaterThanOrEqual(b.input, b.lower), LessThanOrEqual(b.input, b.upper)))
+    // other sugar: the replacement is usually a plain comparison tree
+    case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+      extract(r.replacement)
     case cmp: BinaryComparison =>
       val flipped = Map(">" -> "<", "<" -> ">", ">=" -> "<=", "<=" -> ">=", "=" -> "=")
       (attrName(cmp.left), foldToLiteral(cmp.right), foldToLiteral(cmp.left), attrName(cmp.right)) match {
