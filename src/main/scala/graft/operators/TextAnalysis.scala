@@ -291,8 +291,95 @@ object TextAnalysis {
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x08
+
+  /** Word-8-shingle hashes (sorted distinct) — the decontamination gram. */
+  private def gramHashes(text: Column): Column =
+    graft.functions.F.wordShingles(
+      expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 8)
+
+  /** x08: benchmark decontamination — the GPT-3/Pile pipeline step: flag
+    * training documents sharing any word-8-gram with the benchmark
+    * blocklist (stand-in: every 5th doc_id). The blocklist's distinct gram
+    * hashes BROADCAST (benchmark suites are tiny next to a 100 TB corpus),
+    * so the scan is one map-side semi-join per doc — no corpus shuffle
+    * until the per-doc count. Exact, not probabilistic: grams are chained
+    * word hashes, collisions are 2⁻⁶⁴-level.
+    */
+  def x08Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val shingled = d.select(col("doc_id"), explode(gramHashes(col("text"))).as("g"))
+    val blocklist = shingled.filter(col("doc_id") % 5 === 0).select(col("g")).distinct()
+    val hits = shingled.filter(col("doc_id") % 5 =!= 0)
+      .join(broadcast(blocklist), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    d.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** String-gram recomputation; the short-doc fallback (whole text as one
+    * gram) mirrors WordWindowHashes exactly.
+    */
+  val x08Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+      |      for i in generate_series(1, len(w) - 7)]) END) AS g
+      |  FROM ws),
+      |bl AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0),
+      |hits AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_shared
+      |  FROM sh s JOIN bl ON s.g = bl.g
+      |  WHERE s.doc_id % 5 <> 0 GROUP BY s.doc_id)
+      |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+      |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- x09
+
+  /** x09: within-document repetition (a Gopher/MassiveText quality rule):
+    * the fraction of a doc's word-3-grams that are duplicates of earlier
+    * ones. Pure per-row builtin + one codegen'd shingle pass — shuffle-free
+    * except the final sort.
+    */
+  def x09Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(size(ws) >= 3, size(ws) - 2).otherwise(lit(1)).as("n_grams"),
+        size(graft.functions.F.wordShingles(
+          expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 3)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x09Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS n_grams,
+      |    CASE WHEN len(w) < 3 THEN 1
+      |      ELSE len(list_distinct([array_to_string(w[i:i+2], ' ')
+      |        for i in generate_series(1, len(w) - 2)])) END AS n_distinct
+      |  FROM ws)
+      |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+      |  CAST(n_distinct AS INT) AS n_distinct,
+      |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
+    "x08_decontaminate" -> ((x08Decontaminate _, x08Oracle)),
+    "x09_repetition"    -> ((x09Repetition _, x09Oracle)),
     "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
     "x06_heavy_hitters" -> ((x06HeavyHitters _, x06Oracle)),
     "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),

@@ -287,6 +287,22 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("x08 decontamination flags the base table's planted text dups") {
+    val out = TextAnalysis.x08Decontaminate(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    val flagged = out.filter(_._3).map(_._1)
+    assert(flagged.nonEmpty, "expected contaminated docs (d01-planted dups cross the %5 blocklist)")
+    assert(out.count(_._3) < out.length / 10, "contamination should be the exception")
+    // flagged docs must share at least one 8-gram with a blocklist doc (exactness by construction)
+    assert(out.filter(_._3).forall(_._2 > 0))
+  }
+
+  test("x09 repetition ratio is sane on the salad corpus") {
+    val out = TextAnalysis.x09Repetition(spark, sf)
+      .select($"rep_ratio").as[Double].collect()
+    assert(out.forall(r => r >= 0.0 && r < 0.5))
+  }
+
   test("x03 langid classifies constructed sentences") {
     val samples = Seq(
       ("en", "the cat and the dog of the house is going to sleep in a corner"),
