@@ -300,6 +300,31 @@ object TableOpsExt {
       |  SELECT 'insert', TRUE, (SELECT n FROM touched)
       |) ORDER BY change_type, is_cow_mark""".stripMargin
 
+  // ---------------------------------------------------------------- t31
+
+  /** t31: remove_orphan_files — a stray parquet under the table's data dir
+    * (an aborted write) is deleted, every snapshot-referenced file
+    * survives, and the table reads back unchanged. The recent-files guard
+    * is exercised by a far-future cutoff (the spec covers the refusal
+    * side).
+    */
+  def t31RemoveOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 1000))
+    orders(spark, sfDir, 10).coalesce(1)
+      .write.mode("overwrite").parquet(t.location + "/data/stray")
+    val strayCount = spark.read.parquet(t.location + "/data/stray").count()
+    val removed = t.removeOrphanFiles(System.currentTimeMillis() + 60000L)
+    Seq((removed.size.toLong, removed.forall(_.contains("/data/stray/")),
+        strayCount, t.toDF().count()))
+      .toDF("n_removed", "only_strays_removed", "stray_rows_seen", "n_rows_after")
+  }
+
+  val t31Oracle: String =
+    """SELECT CAST(1 AS BIGINT) AS n_removed, TRUE AS only_strays_removed,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 10)) AS stray_rows_seen,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000)) AS n_rows_after""".stripMargin
+
   // ---------------------------------------------------------------- t25
 
   /** t25: incremental append-only read (addedBetween): each poll is a
@@ -424,6 +449,7 @@ object TableOpsExt {
     "t24_cluster_zorder"    -> ((t24ClusterZOrder _, t24Oracle)),
     "t28_cluster_hilbert"   -> ((t28ClusterHilbert _, t28Oracle)),
     "t30_cow_changelog"     -> ((t30CowChangelog _, t30Oracle)),
+    "t31_remove_orphans"    -> ((t31RemoveOrphans _, t31Oracle)),
     "t25_added_between"     -> ((t25AddedBetween _, t25Oracle)),
     "t26_bloom_filters"     -> ((t26BloomFilters _, t26Oracle)),
   )

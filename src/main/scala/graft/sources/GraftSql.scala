@@ -104,6 +104,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val ExecExpire = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s*\(\s*(.*?)\s*\)""")
   private val CallRewriteFiles = r("""CALL\s+[\w.]*REWRITE_DATA_FILES\s*\(\s*["']([\w.]+)["']\s*\)""")
   private val CallRewriteManifests = r("""CALL\s+[\w.]*REWRITE_MANIFESTS\s*\(\s*["']([\w.]+)["']\s*\)""")
+  private val CallRemoveOrphans =
+    r("""CALL\s+[\w.]*REMOVE_ORPHAN_FILES\s*\(\s*["']([\w.]+)["']\s*(?:,\s*(\d+)\s*)?\)""")
   private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
   private val ShowTables = r("""SHOW\s+TABLES(?:\s+IN\s+(\w+))?""")
   private val ShowPartitions = r("""SHOW\s+PARTITIONS\s+(\w+)""")
@@ -213,6 +215,12 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(stripDb(name)).compact(); status("rewrite-data-files", stripDb(name))
       case CallRewriteManifests(name) =>
         table(stripDb(name)).rewriteManifests(); status("rewrite-manifests", stripDb(name))
+      case CallRemoveOrphans(name, olderThan) =>
+        import spark.implicits._
+        table(stripDb(name)).removeOrphanFiles(
+          Option(olderThan).map(_.toLong)
+            .getOrElse(System.currentTimeMillis() - 3L * 86400000L))
+          .toDF("removed_path")
       case DescHistory(name) =>
         table(name).history
       case ShowTables(db) =>

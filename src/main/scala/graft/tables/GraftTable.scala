@@ -983,6 +983,42 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Remove files under the table's own data/deletes dirs that no
+    * snapshot references (aborted writes, crashed compactions) — Iceberg's
+    * `remove_orphan_files`. Only files older than `olderThanMs` are
+    * eligible, the standard guard against deleting an in-flight commit's
+    * freshly written files. Returns the removed paths. O(#files) listing +
+    * set diff; never touches referenced or external (in-place-migrated)
+    * files.
+    */
+  def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis() - 3 * 86400000L): Seq[String] = {
+    val m = meta
+    val referenced: Set[String] = m.snapshots.flatMap { s =>
+      val md = manifestDataOf(s)
+      md.files.map(_.path) ++ md.positionDeleteFiles ++
+        md.equalityDeletes.flatMap(_.files)
+    }.toSet
+    val removed = Seq.newBuilder[String]
+    for (sub <- Seq("data", "deletes")) {
+      val dir = new Path(s"$location/$sub")
+      val fsys = MetaIO.fs(conf, dir.toString)
+      if (fsys.exists(dir)) {
+        val it = fsys.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath.toString
+          val norm = if (p.startsWith("file:")) st.getPath.toUri.getPath else p
+          if ((norm.endsWith(".parquet") || norm.endsWith(".parq")) &&
+              !referenced.contains(norm) && st.getModificationTime < olderThanMs) {
+            MetaIO.delete(conf, norm)
+            removed += norm
+          }
+        }
+      }
+    }
+    removed.result()
+  }
+
   /** Bin-pack compaction (reference `rewrite_data_files`): partitions with
     * several files below `targetBytes` are rewritten into ~targetBytes
     * files; large files are left alone; table contents are unchanged.

@@ -594,6 +594,18 @@ class GraftTableSpec extends SparkSpec {
       ordersDf.filter($"o_orderkey" <= 150).count())
   }
 
+  test("remove_orphan_files deletes strays, honors the recency guard, spares referenced files") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(500))
+    ordersDf.limit(5).coalesce(1).write.parquet(t.location + "/data/stray")
+    // recency guard: a cutoff in the past refuses the fresh stray
+    assert(t.removeOrphanFiles(System.currentTimeMillis() - 3600000L).isEmpty)
+    val removed = t.removeOrphanFiles(System.currentTimeMillis() + 60000L)
+    assert(removed.size == 1 && removed.head.contains("/data/stray/"))
+    assert(t.toDF().count() == 500)
+    // idempotent: nothing left to remove
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000L).isEmpty)
+  }
+
   test("rewrite_manifests keeps the file set identical") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(1000))
