@@ -285,7 +285,18 @@ object Streams {
 
     private def deliverPending(): Unit = synchronized {
       val head = table.meta.currentSnapshotId.getOrElse(last)
-      if (head != last) { process(table.changesBetween(last, head), head); last = head }
+      if (head != last) {
+        // a rollback can move the head OFF the branch holding our offset:
+        // changesBetween requires ancestry, so fall back to the snapshot
+        // file-diff — one reconciliation batch that deletes the abandoned
+        // rows and inserts the restored ones (the poller must survive
+        // this, not die silently mid-subscription)
+        val batch =
+          try table.changesBetween(last, head)
+          catch { case _: IllegalArgumentException => table.diffSnapshots(last, head) }
+        process(batch, head)
+        last = head
+      }
     }
 
     def stop(): Unit = { running = false; thread.interrupt() }

@@ -240,6 +240,37 @@ class GraftTable(val spark: SparkSession, val location: String) {
     else parts.reduce(_ unionAll _)
   }
 
+  /** Row-level diff between ANY two retained snapshots, ancestry or not:
+    * multiset exceptAll over the file sets that differ (shared files
+    * cancel without being read). This is the reconciliation read a
+    * changelog consumer needs after a rollback moved the head off its
+    * last-delivered branch — `changesBetween` is cheaper when `from` IS
+    * an ancestor because unchanged files never enter the diff.
+    */
+  def diffSnapshots(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val m = meta
+    def md(id: Long): ManifestData = m.snapshot(id).map(manifestDataOf)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id (expired?)"))
+    val fromMd = md(fromSnapshotId)
+    val toMd = md(toSnapshotId)
+    def tagged(df: DataFrame, kind: String): DataFrame =
+      df.select(m.schema.fieldNames.map(col) :+ lit(kind).as("_change_type"): _*)
+    val fromPaths = fromMd.files.map(_.path).toSet
+    val toPaths = toMd.files.map(_.path).toSet
+    def readOrEmpty(fs: Seq[DataFile]): DataFrame =
+      if (fs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      else ScanPlanner.scan(spark, m, fs, None)
+    // apply each side's MOR deletes? both sides read raw removed/added
+    // files: logical rows that survive on both sides cancel only if their
+    // files match — MOR delete differences surface as row diffs when
+    // materialized. For the rollback-reconciliation use both endpoints are
+    // commit heads whose CoW ops have materialized state (ensureMaterialized).
+    val before = readOrEmpty(fromMd.files.filterNot(f => toPaths.contains(f.path)))
+    val after = readOrEmpty(toMd.files.filterNot(f => fromPaths.contains(f.path)))
+    tagged(before.exceptAll(after), "delete")
+      .unionAll(tagged(after.exceptAll(before), "insert"))
+  }
+
   def asOfTimestamp(timestampMs: Long): DataFrame = {
     val m = meta
     val snap = m.snapshots.filter(_.timestampMs <= timestampMs)

@@ -155,8 +155,18 @@ class StreamsSpec extends SparkSpec {
       // row-preserving maintenance between polls: empty batch, no error
       table.materializeDeletes()
       cs.processAllAvailable()
+      // rollback between polls moves the head off our branch: the poller
+      // must deliver a reconciliation diff, not die on the ancestry check
+      val preRollbackSnap = table.meta.currentSnapshotId.get
+      val preRollbackRows = table.toDF().count()
+      table.append(spark.read.parquet(s"$sf/orders.parquet").orderBy($"o_orderkey").limit(20)
+        .withColumn("o_orderkey", $"o_orderkey" + 910000000L))
+      cs.processAllAvailable() // delivers the 20 inserts
+      table.rollback(preRollbackSnap)
+      cs.processAllAvailable() // reconciliation: 20 deletes
+      assert(table.toDF().count() == preRollbackRows)
     } finally cs.stop()
-    assert(batches.map(_._2) == Seq(30L, 30L, 0L), s"got $batches")
+    assert(batches.map(_._2) == Seq(30L, 30L, 0L, 20L, 20L), s"got $batches")
     // union of streamed batches == one batch changelog over the same range
     val full = table.changesBetween(s0, table.meta.currentSnapshotId.get)
     assert(full.count() == 60L)
