@@ -260,13 +260,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
     def readOrEmpty(fs: Seq[DataFile]): DataFrame =
       if (fs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
       else ScanPlanner.scan(spark, m, fs, None)
-    // apply each side's MOR deletes? both sides read raw removed/added
-    // files: logical rows that survive on both sides cancel only if their
-    // files match — MOR delete differences surface as row diffs when
-    // materialized. For the rollback-reconciliation use both endpoints are
-    // commit heads whose CoW ops have materialized state (ensureMaterialized).
-    val before = readOrEmpty(fromMd.files.filterNot(f => toPaths.contains(f.path)))
-    val after = readOrEmpty(toMd.files.filterNot(f => fromPaths.contains(f.path)))
+    // Fast path: identical MOR delete state on both endpoints means the
+    // logical diff IS the raw diff of the differing files. When delete
+    // sets differ (e.g. a rollback across a delete-mor commit — files
+    // unchanged, logical rows not), fall back to the full logical diff
+    // with each side's deletes applied; reconciliation across maintenance
+    // boundaries is rare enough to pay O(both snapshots) for.
+    val sameDeletes = fromMd.deletePredicates == toMd.deletePredicates &&
+      fromMd.positionDeleteFiles == toMd.positionDeleteFiles &&
+      fromMd.equalityDeletes == toMd.equalityDeletes
+    val (before, after) =
+      if (sameDeletes)
+        (readOrEmpty(fromMd.files.filterNot(f => toPaths.contains(f.path))),
+          readOrEmpty(toMd.files.filterNot(f => fromPaths.contains(f.path))))
+      else
+        (readWithMor(m, fromMd, None), readWithMor(m, toMd, None))
     tagged(before.exceptAll(after), "delete")
       .unionAll(tagged(after.exceptAll(before), "insert"))
   }

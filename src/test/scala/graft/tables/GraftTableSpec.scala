@@ -606,6 +606,21 @@ class GraftTableSpec extends SparkSpec {
     assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000L).isEmpty)
   }
 
+  test("diffSnapshots reconciles across MOR-delete differences (files unchanged)") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(200))
+    val s1 = t.meta.currentSnapshotId.get
+    val hit = t.toDF().filter($"o_orderstatus" === "F").count()
+    t.deleteMergeOnRead("o_orderstatus = 'F'")
+    val s2 = t.meta.currentSnapshotId.get
+    assert(hit > 0)
+    // forward: the MOR delete's rows disappear; backward: they come back
+    val fwd = t.diffSnapshots(s1, s2)
+    assert(fwd.filter($"_change_type" === "delete").count() == hit)
+    assert(fwd.filter($"_change_type" === "insert").count() == 0)
+    val back = t.diffSnapshots(s2, s1)
+    assert(back.filter($"_change_type" === "insert").count() == hit)
+  }
+
   test("rewrite_manifests keeps the file set identical") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(1000))
