@@ -267,7 +267,8 @@ object Streams {
     * thread only moves snapshot ids, never rows.
     */
   final class ChangelogStream(table: GraftTable, startSnapshotId: Long,
-      intervalMs: Long, process: (DataFrame, Long) => Unit) {
+      intervalMs: Long, process: (DataFrame, Long) => Unit,
+      ref: Option[String] = None) {
     @volatile private var running = true
     private var last = startSnapshotId
     private val thread = new Thread(() => {
@@ -284,7 +285,11 @@ object Streams {
     def processAllAvailable(): Unit = deliverPending()
 
     private def deliverPending(): Unit = synchronized {
-      val head = table.meta.currentSnapshotId.getOrElse(last)
+      // follow main's head, or a branch's (a WAP auditor subscribes to the
+      // staging branch and sees commits main can't yet)
+      val m = table.meta
+      val head = ref.flatMap(r => m.refs.get(r).map(_.snapshotId))
+        .orElse(m.currentSnapshotId).getOrElse(last)
       if (head != last) {
         // a rollback can move the head OFF the branch holding our offset:
         // changesBetween requires ancestry, so fall back to the snapshot

@@ -173,4 +173,31 @@ class StreamsSpec extends SparkSpec {
     assert(full.groupBy($"_change_type").count().as[(String, Long)].collect().toMap ==
       Map("insert" -> 30L, "delete" -> 30L))
   }
+
+  test("changelog stream can follow a branch (WAP audit consumer)") {
+    val table = graft.tables.GraftTable.createAs(spark,
+      java.nio.file.Files.createTempDirectory("graft_st06_branch").toString + "/t",
+      spark.read.parquet(s"$sf/orders.parquet").orderBy($"o_orderkey").limit(100))
+    val s0 = table.meta.currentSnapshotId.get
+    table.createBranch("audit")
+    val mainBatches = scala.collection.mutable.ArrayBuffer[Long]()
+    val auditBatches = scala.collection.mutable.ArrayBuffer[Long]()
+    val csMain = new Streams.ChangelogStream(table, s0, 1000000,
+      (df, _) => mainBatches += df.count()).start()
+    val csAudit = new Streams.ChangelogStream(table, s0, 1000000,
+      (df, _) => auditBatches += df.count(), ref = Some("audit")).start()
+    try {
+      table.appendToBranch(
+        spark.read.parquet(s"$sf/orders.parquet").orderBy($"o_orderkey").limit(25)
+          .withColumn("o_orderkey", $"o_orderkey" + 920000000L), "audit")
+      csMain.processAllAvailable()
+      csAudit.processAllAvailable()
+      // staged rows visible to the branch subscriber only
+      assert(mainBatches.isEmpty && auditBatches == Seq(25L),
+        s"main=$mainBatches audit=$auditBatches")
+      table.publish("audit")
+      csMain.processAllAvailable()
+      assert(mainBatches == Seq(25L), s"after publish main=$mainBatches")
+    } finally { csMain.stop(); csAudit.stop() }
+  }
 }
