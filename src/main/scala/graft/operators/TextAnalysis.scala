@@ -376,8 +376,46 @@ object TextAnalysis {
       |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x10
+
+  /** x10: deterministic stratified sampling for corpus mixing — The
+    * Pile-style source re-weighting: each stratum (here: doc length
+    * tercile, standing in for source/domain) keeps a different fraction,
+    * selected by a portable multiplicative hash of doc_id so the sample
+    * is reproducible row-by-row on any engine and any run (no RNG state,
+    * no sort). Per-row arithmetic only — the op is shuffle-free and the
+    * same plan samples a 100 TB corpus.
+    */
+  def x10DataMix(spark: SparkSession, sfDir: String): DataFrame = {
+    // Knuth multiplicative hash mod a Mersenne prime; doc_id < 2^31 keeps
+    // every intermediate below 2^63 (the cross-engine-portable envelope)
+    val bucket = expr("(doc_id * 2654435761) % 2147483647 % 1000")
+    val stratum = when(col("n_chars") < 150, lit("short"))
+      .when(col("n_chars") < 300, lit("medium")).otherwise(lit("long"))
+    val quota = when(col("stratum") === "short", lit(800))
+      .when(col("stratum") === "medium", lit(500)).otherwise(lit(200))
+    Tables.documents(spark, sfDir)
+      .withColumn("stratum", stratum)
+      .withColumn("__b", bucket)
+      .filter(col("__b") < quota)
+      .select(col("doc_id"), col("stratum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x10Oracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) < 150 THEN 'short'
+      |         WHEN length(text) < 300 THEN 'medium' ELSE 'long' END AS stratum,
+      |    (doc_id * 2654435761) % 2147483647 % 1000 AS b
+      |  FROM documents)
+      |SELECT doc_id, stratum FROM s
+      |WHERE b < CASE stratum WHEN 'short' THEN 800 WHEN 'medium' THEN 500 ELSE 200 END
+      |ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
+    "x10_data_mix"      -> ((x10DataMix _, x10Oracle)),
     "x08_decontaminate" -> ((x08Decontaminate _, x08Oracle)),
     "x09_repetition"    -> ((x09Repetition _, x09Oracle)),
     "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
