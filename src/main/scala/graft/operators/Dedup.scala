@@ -478,7 +478,71 @@ object Dedup {
       |WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.999
       |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- d07
+
+  /** d07: cross-document duplicated n-gram coverage — the exact-substring
+    * dedup signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): per document, the fraction of its distinct word
+    * 8-grams that also occur in at least one OTHER document. Docs over the
+    * flag threshold are the ones substring-dedup would trim.
+    *
+    * Shape at 100 TB: one codegen'd shingle pass per doc, one groupBy on
+    * the gram hash (map-side combine — gram frequencies, the suffix-array
+    * substitute), one shuffle join of grams against the duplicated-gram
+    * set (AQE broadcasts it when small), one per-doc count. No doc-doc
+    * pair blowup anywhere: cost is O(total grams), never O(docs²) — this
+    * is why coverage-style substring dedup scales where pairwise methods
+    * cannot. Grams are chained xxhash64 word hashes (collisions at the
+    * 2⁻⁶⁴ level); the oracle recomputes from string grams.
+    *
+    * A gram repeated WITHIN one doc does not count (shingles are distinct
+    * per doc; the gram count is a document frequency), so `n_dup` is
+    * purely cross-document — x09 measures the within-doc signal.
+    */
+  def d07DupGramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = F.wordShingles(
+      expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 8)
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val shingled = d.select(col("doc_id"), explode(grams).as("g"))
+    val dupGrams = shingled.groupBy(col("g"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select(col("g"))
+    val perDoc = shingled.join(dupGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    d.select(col("doc_id"), size(grams).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams"))
+      .withColumn("flagged", col("dup_frac") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** String-gram recomputation; the short-doc fallback (whole text as one
+    * gram) mirrors WordWindowHashes exactly, and both sides count DISTINCT
+    * grams per doc.
+    */
+  val d07Oracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+      |      for i in generate_series(1, len(w) - 7)]) END) AS g
+      |  FROM ws),
+      |dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+      |per AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_dup
+      |  FROM sh s JOIN dup USING (g) GROUP BY s.doc_id),
+      |ng AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams FROM sh GROUP BY doc_id)
+      |SELECT ng.doc_id, ng.n_grams,
+      |  COALESCE(per.n_dup, 0) AS n_dup,
+      |  CAST(COALESCE(per.n_dup, 0) AS DOUBLE) / ng.n_grams AS dup_frac,
+      |  CAST(COALESCE(per.n_dup, 0) AS DOUBLE) / ng.n_grams >= 0.5 AS flagged
+      |FROM ng LEFT JOIN per ON ng.doc_id = per.doc_id
+      |ORDER BY ng.doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d07_dup_grams"         -> ((d07DupGramCoverage _, d07Oracle)),
     "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),
     "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),
     "d03_minhash_lsh"       -> ((d03MinhashLshExact _, d03Oracle)),

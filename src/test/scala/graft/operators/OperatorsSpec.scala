@@ -20,6 +20,32 @@ class GraphSpec extends SparkSpec {
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("d07 dup-gram coverage equals driver-side brute force and is bimodal") {
+    val out = Dedup.d07DupGramCoverage(spark, sf)
+      .select($"doc_id", $"n_grams", $"n_dup", $"flagged")
+      .as[(Long, Int, Long, Boolean)].collect()
+    // brute-force recompute over string grams (50 docs at sf0.001)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val gramsOf: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      val ws = t.trim.split("\\s+")
+      val g = if (ws.length < 8) Set(ws.mkString(" "))
+              else (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" ")).toSet
+      id -> g
+    }.toMap
+    val df = gramsOf.values.flatten.groupBy(identity).map { case (g, c) => g -> c.size }
+    for ((id, nGrams, nDup, flagged) <- out) {
+      val want = gramsOf(id).count(g => df(g) >= 2)
+      assert(nGrams == gramsOf(id).size, s"doc $id n_grams")
+      assert(nDup == want.toLong, s"doc $id n_dup: got $nDup want $want")
+      assert(flagged == (want.toDouble / gramsOf(id).size >= 0.5))
+    }
+    // the signal is bimodal on this corpus: planted dups near 1, rest at 0
+    val frac = out.map(r => r._3.toDouble / r._2)
+    assert(out.exists(_._4), "expected planted dup docs to be flagged")
+    assert(frac.forall(f => f == 0.0 || f >= 0.5), "no mid-range mass expected")
+  }
+
   test("d03 minhash-lsh clusters planted near-duplicates") {
     val m = Dedup.d03MinhashLsh(spark, sf).as[(Long, Long)].collect().toMap
     val orig = m.keys.filter(_ < 2000000L).toSeq
