@@ -413,7 +413,75 @@ object TextAnalysis {
       |WHERE b < CASE stratum WHEN 'short' THEN 800 WHEN 'medium' THEN 500 ELSE 200 END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x11
+
+  /** PII patterns, written in the common subset of Java regex and RE2 so
+    * Spark and DuckDB (and a C4/CCNet-style scrubber on any engine) agree
+    * byte-for-byte: plain classes, bounded quantifiers, \b anchors — no
+    * lookarounds, no backrefs.
+    */
+  val piiEmail: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhone: String = "\\b555-[0-9]{4}\\b"
+  val piiIpv4: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** x11: PII redaction — the pre-training scrub step (C4/CCNet shape):
+    * count and replace emails, phone numbers, and IPv4 addresses per
+    * document. The testdata corpus is digit-free, so every 7th doc gets a
+    * deterministic doc_id-derived PII suffix planted (emails, a 555-line
+    * phone, an RFC-1918 address) — mirrored exactly in the oracle, which
+    * re-runs the same regexes in DuckDB and must reproduce the REDACTED
+    * TEXT string-identically, not just the counts. Per-row regex work
+    * only: shuffle-free, codegen'd, the same plan scrubs 100 TB.
+    *
+    * Replacement order (email → ip → phone) is part of the contract:
+    * earlier redactions cannot create or destroy later matches with these
+    * patterns, so the composition is order-stable.
+    */
+  def x11PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@ex.com or u"), col("doc_id"),
+            lit("@mail.test from 10."), col("doc_id") % 256,
+            lit("."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
+            lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+    planted
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(piiEmail), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(piiPhone), lit(0))).as("n_phone"),
+        size(regexp_extract_all(col("text"), lit(piiIpv4), lit(0))).as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), piiEmail, "[EMAIL]"),
+            piiIpv4, "[IP]"),
+          piiPhone, "[PHONE]").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x11Oracle: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text
+      |      || ' contact u' || doc_id || '@ex.com or u' || doc_id
+      |      || '@mail.test from 10.' || (doc_id % 256)
+      |      || '.' || (doc_id % 256) || '.' || (doc_id % 100)
+      |      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+      |    '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS clean
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x11_pii_redact"    -> ((x11PiiRedact _, x11Oracle)),
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
     "x10_data_mix"      -> ((x10DataMix _, x10Oracle)),
     "x08_decontaminate" -> ((x08Decontaminate _, x08Oracle)),

@@ -323,6 +323,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._3).forall(_._2 > 0))
   }
 
+  test("x11 redacts exactly the planted PII and leaves no residual matches") {
+    val out = TextAnalysis.x11PiiRedact(spark, sf)
+      .select($"doc_id", $"n_email", $"n_phone", $"n_ip", $"clean")
+      .as[(Long, Int, Int, Int, String)].collect()
+    for ((id, ne, np, ni, clean) <- out) {
+      if (id % 7 == 0) assert((ne, np, ni) == ((2, 1, 1)), s"doc $id counts")
+      else assert((ne, np, ni) == ((0, 0, 0)), s"doc $id should be clean")
+      // the scrub must be complete: no pattern survives in the output
+      for (p <- Seq(TextAnalysis.piiEmail, TextAnalysis.piiPhone, TextAnalysis.piiIpv4))
+        assert(!p.r.findFirstIn(clean).isDefined, s"doc $id residual match for $p")
+      if (id % 7 == 0) assert(clean.contains("[EMAIL]") && clean.contains("[PHONE]") && clean.contains("[IP]"))
+    }
+  }
+
   test("x09 repetition ratio is sane on the salad corpus") {
     val out = TextAnalysis.x09Repetition(spark, sf)
       .select($"rep_ratio").as[Double].collect()
