@@ -437,7 +437,43 @@ object TableOpsExt {
       |    + (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)) AS data_records,
       |  (SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)) AS eq_delete_keys""".stripMargin
 
+  // ---------------------------------------------------------------- t32
+
+  /** t32: cherry-pick — the divergent-WAP publish. An audit branch stages
+    * an append; main then advances with its own append, so fast-forward
+    * publish (t21's path) correctly REFUSES; `cherryPick` re-applies the
+    * staged files as a new commit on the moved head, metadata-only. A
+    * second pick of the same snapshot refuses (files already referenced).
+    */
+  def t32CherryPick(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000))
+    t.createBranch("audit")
+    t.appendToBranch(shifted(spark, sfDir, 500, 900000000L), "audit")
+    val staged = t.meta.refs("audit").snapshotId
+    t.append(shifted(spark, sfDir, 300, 950000000L)) // main diverges
+    val ffRefused =
+      try { t.publish("audit"); false } catch { case _: IllegalArgumentException => true }
+    t.cherryPick(staged)
+    val mainAfter = t.toDF().count()
+    val stagedVisible = t.toDF()
+      .filter(col("o_orderkey").between(900000000L, 949999999L)).count()
+    val dupRefused =
+      try { t.cherryPick(staged); false } catch { case _: IllegalArgumentException => true }
+    Seq((ffRefused, mainAfter, stagedVisible, dupRefused))
+      .toDF("ff_refused", "main_after", "staged_visible", "dup_refused")
+  }
+
+  val t32Oracle: String =
+    s"""SELECT TRUE AS ff_refused,
+       |  (SELECT COUNT(*) FROM ${cappedSql(5000)})
+       |    + (SELECT COUNT(*) FROM ${cappedSql(300)})
+       |    + (SELECT COUNT(*) FROM ${cappedSql(500)}) AS main_after,
+       |  (SELECT COUNT(*) FROM ${cappedSql(500)}) AS staged_visible,
+       |  TRUE AS dup_refused""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t32_cherry_pick"       -> ((t32CherryPick _, t32Oracle)),
     "t27_metadata_inspection" -> ((t27MetadataInspection _, t27Oracle)),
     "t17_position_deletes"  -> ((t17PositionDeletes _, t17Oracle)),
     "t18_equality_deletes"  -> ((t18EqualityDeletes _, t18Oracle)),

@@ -33,6 +33,7 @@ import scala.util.matching.Regex
   *    `ALTER TABLE t EXECUTE expire_snapshots('<timestamp>')` (README.md
   *    "Time travel" / "Maintenance")
   *  - `CALL system.rewrite_data_files('t')` / `CALL system.rewrite_manifests('t')`
+  *  - `CALL system.cherrypick_snapshot('t', <snapshot-id>)` (divergent-WAP publish)
   *  - `DESCRIBE HISTORY t`
   *  - `SELECT ... FROM t [FOR SYSTEM_TIME AS OF '<ts>']
   *    [FOR SYSTEM_VERSION AS OF <id>] ...` — time travel inline in queries
@@ -100,6 +101,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val CreateRef = r("""ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(TAG|BRANCH)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""")
   private val DropRef = r("""ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:TAG|BRANCH)\s+(\w+)""")
   private val CallFastForward = r("""CALL\s+[\w.]*FAST_FORWARD\s*\(\s*["']([\w.]+)["']\s*,\s*["'](\w+)["']\s*\)""")
+  private val CallCherryPick =
+    r("""CALL\s+[\w.]*CHERRYPICK_SNAPSHOT\s*\(\s*["']([\w.]+)["']\s*,\s*(\d+)\s*\)""")
   private val ExecRollback = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+ROLLBACK\s*\(\s*["']?(\d+)["']?\s*\)""")
   private val ExecExpire = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s*\(\s*(.*?)\s*\)""")
   private val CallRewriteFiles = r("""CALL\s+[\w.]*REWRITE_DATA_FILES\s*\(\s*["']([\w.]+)["']\s*\)""")
@@ -207,6 +210,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).dropRef(refName); status("drop-ref", name)
       case CallFastForward(name, branch) =>
         table(stripDb(name)).publish(branch); status("fast-forward", stripDb(name))
+      case CallCherryPick(name, snap) =>
+        table(stripDb(name)).cherryPick(snap.toLong); status("cherry-pick", stripDb(name))
       case ExecRollback(name, snap) =>
         table(name).rollback(snap.toLong); status("rollback", name)
       case ExecExpire(name, ts) =>

@@ -970,6 +970,43 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Cherry-pick an APPEND snapshot onto the current head (Iceberg's
+    * `cherrypick_snapshot`) — the divergent-WAP publish: when main has
+    * advanced since a branch staged its audit append, [[publish]]'s
+    * fast-forward correctly refuses, and the staged files are instead
+    * re-applied as a NEW commit on top of main. Metadata-only: the staged
+    * parquet files are re-referenced, never rewritten or copied.
+    *
+    * Only append snapshots are eligible (their effect is exactly "these
+    * files were added", derivable from the manifest diff against the
+    * snapshot's parent); replays of deletes/rewrites are ambiguous under a
+    * moved base and are refused, as in Iceberg. The picked files are
+    * re-stamped with THIS commit's data sequence number, so equality
+    * deletes committed between staging and cherry-pick do not silently hit
+    * the newly visible rows — same rule that protects [[append]].
+    */
+  def cherryPick(snapshotId: Long): GraftTable = {
+    if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
+    val m = meta
+    val snap = m.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    require(snap.operation == "append",
+      s"cherry-pick supports append snapshots only; $snapshotId is '${snap.operation}'")
+    val parentPaths = snap.parentId.flatMap(m.snapshot)
+      .map(p => manifestDataOf(p).files.map(_.path).toSet).getOrElse(Set.empty[String])
+    val added = manifestDataOf(snap).files.filterNot(f => parentPaths.contains(f.path))
+    val md = currentManifest(m)
+    val already = added.filter(f => md.files.exists(_.path == f.path))
+    require(already.isEmpty,
+      s"cherry-pick $snapshotId: ${already.size} of its files are already referenced " +
+        "by the current snapshot (published or previously picked)")
+    val restamped = added.map(_.copy(seq = nextSnapshotId(m)))
+    commitSnapshot(m, md.files ++ restamped, "append", restamped.size,
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes)
+    this
+  }
+
   // -------------------------------------------------------- lifecycle ops
 
   /** Rollback to an earlier snapshot (reference `EXECUTE rollback`): a new

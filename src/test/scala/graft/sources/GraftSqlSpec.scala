@@ -169,6 +169,21 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("CALL cherrypick_snapshot publishes a staged append onto a diverged main") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE cp_ice AS SELECT r_regionkey, r_name FROM region")
+    g.sql("ALTER TABLE cp_ice CREATE BRANCH audit")
+    g.table("cp_ice").appendToBranch(
+      g.sql("SELECT r_regionkey + 50 AS r_regionkey, r_name FROM region"), "audit")
+    val staged = g.table("cp_ice").meta.refs("audit").snapshotId
+    g.sql("INSERT INTO cp_ice SELECT r_regionkey + 90 AS r_regionkey, r_name FROM region")
+    intercept[IllegalArgumentException] { g.sql("CALL system.fast_forward('cp_ice', 'audit')") }
+    g.sql(s"CALL system.cherrypick_snapshot('cp_ice', $staged)")
+    assert(g.sql("SELECT COUNT(*) AS n FROM cp_ice").head().getLong(0) == 15)
+    assert(g.sql("SELECT COUNT(*) AS n FROM cp_ice WHERE r_regionkey >= 50 AND r_regionkey < 90")
+      .head().getLong(0) == 5)
+  }
+
   test("CALL rewrite_data_files / rewrite_manifests + TBLPROPERTIES (maintenance)") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE c_ice AS SELECT * FROM customer")

@@ -553,6 +553,33 @@ class GraftTableSpec extends SparkSpec {
       "diverged publish must not silently drop main's commits")
   }
 
+  test("cherry-pick applies staged append onto a diverged main; seq protects picked rows") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    t.createBranch("wap")
+    t.appendToBranch(ordersDf.limit(10)
+      .withColumn("o_orderkey", $"o_orderkey" + 777000L), "wap")
+    val staged = t.meta.refs("wap").snapshotId
+    // main diverges: an append AND an equality delete that names some
+    // staged keys — committed before the pick, so it must NOT hit them
+    t.append(ordersDf.limit(5).withColumn("o_orderkey", $"o_orderkey" + 999000L))
+    t.deleteMergeOnReadEquality(
+      ordersDf.limit(10).select(($"o_orderkey" + 777000L).as("o_orderkey")),
+      Seq("o_orderkey"))
+    intercept[IllegalArgumentException] { t.publish("wap") }
+    t.cherryPick(staged)
+    assert(t.toDF().count() == 115, "100 base + 5 main append + 10 picked")
+    assert(t.toDF().filter($"o_orderkey" >= 777000L && $"o_orderkey" < 999000L).count() == 10,
+      "older equality deletes must not hit rows made visible by the pick")
+    assert(t.toDF().filter($"o_orderkey" >= 999000L).count() == 5,
+      "main's own commits survive the pick")
+    // replays of non-append snapshots are ambiguous -> refused
+    t.delete("o_orderkey >= 999000")
+    val del = t.meta.currentSnapshotId.get
+    intercept[IllegalArgumentException] { t.cherryPick(del) }
+    // a second pick of the same snapshot refuses: files already referenced
+    intercept[IllegalArgumentException] { t.cherryPick(staged) }
+  }
+
   test("refs: tags, branches, and the write-audit-publish flow") {
     val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
     val base = t.meta.currentSnapshotId.get
