@@ -360,7 +360,56 @@ object Streams {
       |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_orderpriority
       |) ORDER BY _change_type, o_orderpriority""".stripMargin
 
+  /** st07: WATERMARKED STREAM-STREAM JOIN — the ad-attribution shape: for
+    * every view, the clicks by the same user within the next 15 minutes.
+    * Both sides carry event-time watermarks and the join condition bounds
+    * c_ts to [v_ts, v_ts + 15 min], so each side's buffered state is
+    * evicted once the other side's watermark passes the bound — state is
+    * O(15-minute window), not O(stream), which is what lets the same
+    * pipeline run forever on an unbounded feed. Inner-join matches emit
+    * as soon as both rows arrive (no flush file needed); the result is
+    * value-identical to the batch self-join, which is the DuckDB oracle.
+    */
+  def st07StreamJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_st07_gate").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    val ev = spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 15 MINUTES"))
+      .select(col("v_id"), col("c_id"), col("user_id"),
+        (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+    val name = s"st07_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = withStatePartitions(spark) {
+      joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("v_id"), col("c_id"))
+  }
+
+  val st07GateOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_ms(ts) AS ms, user_id, event_type FROM events)
+      |SELECT v.event_id AS v_id, c.event_id AS c_id, v.user_id AS user_id,
+      |  c.ms - v.ms AS gap_ms
+      |FROM e v JOIN e c ON v.user_id = c.user_id
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ms BETWEEN v.ms AND v.ms + 900000
+      |ORDER BY v_id, c_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "st07_stream_join"         -> ((st07StreamJoinGate _, st07GateOracle)),
     "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),
     "st02_stream_sessionize"   -> ((st02StreamingGate _, st02GateOracle)),
     "st03_stream_dedup"        -> ((st03StreamingGate _, st03GateOracle)),

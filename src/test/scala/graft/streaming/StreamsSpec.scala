@@ -31,6 +31,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st07 stream-stream join matches across micro-batches and evicts old state") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val views = vIn.toDF().toDF("v_id", "user_id", "v_ts").withWatermark("v_ts", "10 minutes")
+    val clicks = cIn.toDF().toDF("c_id", "c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val joined = views.join(clicks,
+      $"user_id" === $"c_user" && $"c_ts" >= $"v_ts" &&
+        $"c_ts" <= $"v_ts" + expr("INTERVAL 15 MINUTES"))
+      .select($"v_id", $"c_id")
+    val q = joined.writeStream.format("memory").queryName("st07_out")
+      .outputMode("append").start()
+    try {
+      // view arrives alone in batch 1 — no match yet
+      vIn.addData((1L, 7L, ts(0)))
+      q.processAllAvailable()
+      assert(spark.table("st07_out").count() == 0)
+      // matching click in a LATER batch: the buffered view still matches
+      cIn.addData((100L, 7L, ts(5)))
+      // out-of-window click: same user, 20 min later -> no match
+      cIn.addData((101L, 7L, ts(20)))
+      q.processAllAvailable()
+      val out = spark.table("st07_out").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 100L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("st02 flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Ev]
