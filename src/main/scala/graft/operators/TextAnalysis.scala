@@ -195,16 +195,31 @@ object TextAnalysis {
       .select(col("doc_id"), graft.functions.F.portableFingerprint(col("text"), 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  // Mirrors PortableFingerprintKernel exactly, including its short-text
+  // fallback: texts under the 16-cp window hash as ONE whole-text window
+  // (the generate_series branch would be an empty list -> NULL fp), and an
+  // empty text is one zero-length window = 11*2^32 + 7.
   val x04Oracle: String =
     """SELECT doc_id,
-      |  list_min([
-      |    list_reduce(list_prepend(CAST(11 AS BIGINT),
-      |      [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(substring(text, i, 16), '')]),
-      |      (a, c) -> (a * 131 + c) % 2147483629) * 4294967296
-      |    + list_reduce(list_prepend(CAST(7 AS BIGINT),
-      |      [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(substring(text, i, 16), '')]),
-      |      (a, c) -> (a * 31 + c) % 2147483647)
-      |  for i in generate_series(1, length(text) - 15)]) AS fp
+      |  CASE
+      |    WHEN length(text) = 0 THEN CAST(47244640263 AS BIGINT)
+      |    WHEN length(text) < 16 THEN
+      |      list_reduce(list_prepend(CAST(11 AS BIGINT),
+      |        [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(text, '')]),
+      |        (a, c) -> (a * 131 + c) % 2147483629) * 4294967296
+      |      + list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(text, '')]),
+      |        (a, c) -> (a * 31 + c) % 2147483647)
+      |    ELSE
+      |      list_min([
+      |        list_reduce(list_prepend(CAST(11 AS BIGINT),
+      |          [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(substring(text, i, 16), '')]),
+      |          (a, c) -> (a * 131 + c) % 2147483629) * 4294967296
+      |        + list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |          [CAST(unicode(c) AS BIGINT) for c in regexp_split_to_array(substring(text, i, 16), '')]),
+      |          (a, c) -> (a * 31 + c) % 2147483647)
+      |      for i in generate_series(1, length(text) - 15)])
+      |  END AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- x06

@@ -130,7 +130,10 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       Regex.quoteReplacement(vars.getOrElse(m.group(1),
         throw new IllegalArgumentException(s"unbound variable $${${m.group(1)}}"))))
     databases.foreach { db =>
-      stmt = ("(?i)\\b" + db + "\\.(\\w+)").r.replaceAllIn(stmt, db + "__$1")
+      val rx = ("(?i)\\b" + Regex.quote(db) + "\\.(\\w+)").r
+      // identifier positions only: a database named 'skip' must not corrupt
+      // TBLPROPERTIES("skip.header.line.count") or quoted LOCATION paths
+      stmt = mapUnquoted(stmt)(seg => rx.replaceAllIn(seg, db + "__$1"))
     }
     stmt match {
       case CreateDb(name) =>
@@ -568,7 +571,44 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1) else t
   }
 
-  private def stripDb(s: String): String = s.split('.').last
+  /** Apply `f` to the parts of `stmt` OUTSIDE '…' / "…" / `…` quoted
+    * regions (backslash escapes honored), leaving the quoted text intact.
+    */
+  private def mapUnquoted(stmt: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (quote == 0) {
+        if (c == '\'' || c == '"' || c == '`') {
+          out.append(f(cur.toString)); cur.setLength(0)
+          out.append(c); quote = c
+        } else cur.append(c)
+      } else {
+        out.append(c)
+        if (c == '\\' && i + 1 < stmt.length) { out.append(stmt.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+      }
+      i += 1
+    }
+    out.append(f(cur.toString))
+    out.toString
+  }
+
+  /** Resolve a possibly catalog-/db-qualified procedure argument (these
+    * arrive inside quotes, which the identifier rewrite leaves alone) to
+    * the flat registry name: 'staging.t' / 'cat.staging.t' ->
+    * 'staging__t' when staging is a known database; otherwise the bare
+    * table name.
+    */
+  private def stripDb(s: String): String = {
+    val parts = s.split('.')
+    if (parts.length >= 2 && databases.contains(parts(parts.length - 2).toLowerCase))
+      parts(parts.length - 2).toLowerCase + "__" + parts.last
+    else parts.last
+  }
 
   /** Equality keys from a MERGE ON clause: every `a.k = b.k`-shaped
     * conjunct contributes column k.

@@ -273,9 +273,18 @@ object Streams {
     private var last = startSnapshotId
     private val thread = new Thread(() => {
       while (running) {
+        // A transient failure (sink IO, concurrent commit race) must not
+        // kill the subscription thread — log and retry next tick. Only
+        // interruption (stop()) ends the loop.
         try deliverPending()
+        catch {
+          case _: InterruptedException => ()
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"graft-changelog: poll failed (will retry): $e")
+        }
+        try Thread.sleep(intervalMs)
         catch { case _: InterruptedException => () }
-        Thread.sleep(intervalMs)
       }
     }, s"graft-changelog-${table.location.hashCode}")
 

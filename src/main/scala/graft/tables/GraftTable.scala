@@ -764,16 +764,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
-  /** Replace table contents (INSERT OVERWRITE). */
+  /** Replace table contents (INSERT OVERWRITE). Pending MOR deletes are
+    * materialized first so the changelog's removed-vs-added file diff sees
+    * only rows that were logically live — otherwise changesBetween would
+    * emit 'delete' rows for versions the equality deletes already killed.
+    */
   def overwrite(df: DataFrame): GraftTable = {
+    ensureMaterialized()
     val m = meta
     val newFiles = writeDataFiles(df, m)
     commitSnapshot(m, newFiles, "overwrite", newFiles.size)
     this
   }
 
-  /** TRUNCATE TABLE (reference README.md maintenance walkthrough). */
+  /** TRUNCATE TABLE (reference README.md maintenance walkthrough).
+    * Materializes pending MOR deletes first for the same changelog-lineage
+    * reason as overwrite().
+    */
   def truncate(): GraftTable = {
+    ensureMaterialized()
     val m = meta
     commitSnapshot(m, Nil, "delete", 0)
     this
