@@ -574,7 +574,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   /** Apply `f` to the parts of `stmt` OUTSIDE '…' / "…" / `…` quoted
     * regions (backslash escapes honored), leaving the quoted text intact.
     */
-  private def mapUnquoted(stmt: String)(f: String => String): String = {
+  private[sources] def mapUnquoted(stmt: String)(f: String => String): String = {
     val out = new StringBuilder
     val cur = new StringBuilder
     var quote: Char = 0
@@ -588,8 +588,17 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         } else cur.append(c)
       } else {
         out.append(c)
-        if (c == '\\' && i + 1 < stmt.length) { out.append(stmt.charAt(i + 1)); i += 1 }
-        else if (c == quote) quote = 0
+        // Spark-default escape semantics: backslash escapes exist only in
+        // '…'/"…" literals; backtick identifiers escape the delimiter by
+        // DOUBLING (a backslash before a closing backtick is literal).
+        // Doubled closing quotes ('it''s', `a``b`) stay inside the region.
+        if (c == '\\' && quote != '`' && i + 1 < stmt.length) {
+          out.append(stmt.charAt(i + 1)); i += 1
+        } else if (c == quote) {
+          if (i + 1 < stmt.length && stmt.charAt(i + 1) == quote) {
+            out.append(quote); i += 1
+          } else quote = 0
+        }
       }
       i += 1
     }
@@ -603,7 +612,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     * 'staging__t' when staging is a known database; otherwise the bare
     * table name.
     */
-  private def stripDb(s: String): String = {
+  private[sources] def stripDb(s: String): String = {
     val parts = s.split('.')
     if (parts.length >= 2 && databases.contains(parts(parts.length - 2).toLowerCase))
       parts(parts.length - 2).toLowerCase + "__" + parts.last

@@ -283,8 +283,12 @@ object Streams {
             System.err.println(
               s"graft-changelog: poll failed (will retry): $e")
         }
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => () }
+        // stop() flips `running` before interrupting; checking it here means
+        // an interrupt swallowed inside deliverPending() can't strand the
+        // thread in a full-interval sleep after stop.
+        if (running)
+          try Thread.sleep(intervalMs)
+          catch { case _: InterruptedException => () }
       }
     }, s"graft-changelog-${table.location.hashCode}")
 
@@ -313,7 +317,13 @@ object Streams {
       }
     }
 
-    def stop(): Unit = { running = false; thread.interrupt() }
+    /** Synchronous stop: flips the run flag BEFORE interrupting (so a
+      * swallowed interrupt can't strand the poller in a full-interval
+      * sleep) and joins briefly so callers observe the thread gone.
+      */
+    def stop(): Unit = { running = false; thread.interrupt(); thread.join(2000) }
+
+    private[streaming] def isAlive: Boolean = thread.isAlive
   }
 
   /** st06 as a driver-gate query: an append, a merge-on-read predicate

@@ -221,12 +221,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
           val curPaths = md.files.map(_.path).toSet
           val removed = parentMd.files.filterNot(f => curPaths.contains(f.path))
           val added = md.files.filterNot(f => parentPaths.contains(f.path))
-          def readOrEmpty(fs: Seq[DataFile]): DataFrame =
+          // Each side reads through ITS OWN manifest's MOR deletes, so the
+          // physical file diff is the logical row diff without requiring
+          // the commit to have physically materialized pending deletes
+          // first (overwrite/truncate no longer pay a thrown-away rewrite;
+          // rollback targets keep their delete files live). CoW mutations
+          // still materialize before operating, so for them the delete set
+          // is empty and this degrades to a plain scan.
+          def readSide(fs: Seq[DataFile], side: ManifestData): DataFrame =
             if (fs.isEmpty)
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-            else ScanPlanner.scan(spark, m, fs, None)
-          val before = readOrEmpty(removed)
-          val after = readOrEmpty(added)
+            else readWithMor(m, side.copy(files = fs), None)
+          val before = readSide(removed, parentMd)
+          val after = readSide(added, md)
           tagged(before.exceptAll(after), "delete")
             .unionAll(tagged(after.exceptAll(before), "insert"))
         case other => throw new UnsupportedOperationException(
@@ -764,13 +771,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
-  /** Replace table contents (INSERT OVERWRITE). Pending MOR deletes are
-    * materialized first so the changelog's removed-vs-added file diff sees
-    * only rows that were logically live — otherwise changesBetween would
-    * emit 'delete' rows for versions the equality deletes already killed.
+  /** Replace table contents (INSERT OVERWRITE). Pending MOR deletes need
+    * no materialization: `changesBetween` reads the removed-file side
+    * through the parent manifest's delete files, so rows the equality
+    * deletes already killed never appear in the changelog diff.
     */
   def overwrite(df: DataFrame): GraftTable = {
-    ensureMaterialized()
     val m = meta
     val newFiles = writeDataFiles(df, m)
     commitSnapshot(m, newFiles, "overwrite", newFiles.size)
@@ -778,11 +784,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** TRUNCATE TABLE (reference README.md maintenance walkthrough).
-    * Materializes pending MOR deletes first for the same changelog-lineage
-    * reason as overwrite().
+    * O(metadata): commits an empty file list; pending MOR deletes stay in
+    * the parent manifest, where the changelog's MOR-aware diff reads them.
     */
   def truncate(): GraftTable = {
-    ensureMaterialized()
     val m = meta
     commitSnapshot(m, Nil, "delete", 0)
     this

@@ -130,5 +130,13 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(df(1L) == fp("the quick brown fox jumps over the lazy dog", 16))
     assert(df(3L) == fp("tiny", 16))
+    // r5 regression: the x04 oracle's short-text CASE branches mirror the
+    // kernel — empty text is one zero-length window = 11*2^32 + 7, and a
+    // sub-window text hashes as ONE whole-text window (never NULL).
+    val edge = Seq((1L, ""), (2L, "ab")).toDF("id", "t")
+      .select($"id", F.portableFingerprint($"t", 16).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(edge(1L) == 47244640263L)
+    assert(edge(2L) == fp("ab", 16))
   }
 }

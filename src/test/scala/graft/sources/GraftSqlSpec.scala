@@ -385,4 +385,41 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(out == Seq(("02Q", "Titanic Trauma"), ("04Q", "Tradewind Aviation")), s"got $out")
   }
+
+  // r5 regression: a database named like a TBLPROPERTIES key prefix must
+  // not have the db-qualification rewrite corrupt quoted property keys.
+  test("db rewrite leaves quoted TBLPROPERTIES keys and literals intact") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE DATABASE skip")
+    g.sql("CREATE TABLE skip.t AS SELECT n_nationkey FROM nation WHERE n_nationkey < 3")
+    g.sql("""ALTER TABLE skip.t SET TBLPROPERTIES('skip.header.line.count'='1')""")
+    assert(g.table("skip__t").meta.properties.get("skip.header.line.count").contains("1"))
+    assert(g.sql("SELECT COUNT(*) AS n FROM skip.t").head().getLong(0) == 3)
+  }
+
+  // r5 regression: procedure args arrive quoted (exempt from the
+  // identifier rewrite), so stripDb must resolve db- and catalog-qualified
+  // names to the flat registry name.
+  test("CALL procedures accept db- and catalog-qualified table args") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE DATABASE staging")
+    g.sql("CREATE TABLE staging.c AS SELECT * FROM nation")
+    g.sql("CALL system.rewrite_data_files('staging.c')")
+    g.sql("CALL spark_catalog.system.rewrite_manifests('cat.staging.c')")
+    assert(g.sql("SELECT COUNT(*) AS n FROM staging.c").head().getLong(0) == 25)
+  }
+
+  // r6 regression: mapUnquoted quote-scanning edge cases (ADVICE r5).
+  // Spark-default escape semantics inside '…'/"…" (backslash escapes, so
+  // 'it\'s' is ONE literal); backtick identifiers escape by DOUBLING only —
+  // a backslash before a closing backtick must not swallow it; ANSI
+  // doubled quotes stay inside the literal.
+  test("mapUnquoted: escape semantics per quote style") {
+    val g = freshSql()
+    def up(s: String) = g.mapUnquoted(s)(_.toUpperCase)
+    assert(up("""select 'it\'s ok' from t""") == """SELECT 'it\'s ok' FROM T""")
+    assert(up("""select `a\` from t""") == """SELECT `a\` FROM T""")
+    assert(up("""select `a``b` from t""") == """SELECT `a``b` FROM T""")
+    assert(up("""select 'it''s ok' from t""") == """SELECT 'it''s ok' FROM T""")
+  }
 }

@@ -227,4 +227,18 @@ class StreamsSpec extends SparkSpec {
       assert(mainBatches == Seq(25L), s"after publish main=$mainBatches")
     } finally { csMain.stop(); csAudit.stop() }
   }
+
+  // ADVICE r5 regression: stop() must not leave the poller sleeping out a
+  // full interval — even with a pathological poll interval the thread is
+  // gone when stop() returns.
+  test("changelog stream stop() terminates the poller promptly") {
+    val table = graft.tables.GraftTable.createAs(spark,
+      java.nio.file.Files.createTempDirectory("graft_st06_stop").toString + "/t",
+      spark.read.parquet(s"$sf/orders.parquet").limit(10))
+    val cs = new Streams.ChangelogStream(table, table.meta.currentSnapshotId.get,
+      intervalMs = 3600000L, (_, _) => ()).start()
+    Thread.sleep(50) // let the poller reach its sleep
+    cs.stop()
+    assert(!cs.isAlive, "poller thread survived stop()")
+  }
 }

@@ -679,4 +679,45 @@ class GraftTableSpec extends SparkSpec {
     assert(t.filesDf.count() == t.currentFiles().size)
     assert(t.snapshotsDf.agg(max($"total_records")).as[Long].head() == 120)
   }
+
+  // r5 regression: overwrite across pending equality deletes must not emit
+  // changelog 'delete' rows for versions the equality deletes already
+  // killed (the double-delete bug), and must not need a physical
+  // materialization rewrite to avoid it.
+  test("changelog across overwrite with pending equality deletes is MOR-aware") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "v1"), (2L, "v1"), (3L, "v1")).toDF("k", "v"))
+    t.upsertMergeOnRead(Seq((1L, "v2")).toDF("k", "v"), Seq("k"))
+    val parent = t.meta.currentSnapshotId.get
+    t.overwrite(Seq((9L, "x")).toDF("k", "v"))
+    val head = t.meta.currentSnapshotId.get
+    // exactly create + upsert + overwrite: no interposed rewrite commit
+    assert(t.meta.snapshots.map(_.operation) == Seq("append", "upsert-mor", "overwrite"))
+    val ch = t.changesBetween(parent, head)
+      .as[(Long, String, String)].collect().toSet
+    assert(ch == Set((1L, "v2", "delete"), (2L, "v1", "delete"),
+      (3L, "v1", "delete"), (9L, "x", "insert")))
+  }
+
+  // r5/r6 regression: truncate is O(metadata) — no thrown-away rewrite of
+  // the parent's data files — and its changelog still sees only live rows.
+  test("truncate with pending equality deletes is O(metadata) and changelog-exact") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "v1"), (2L, "v1")).toDF("k", "v"))
+    t.upsertMergeOnRead(Seq((1L, "v2")).toDF("k", "v"), Seq("k"))
+    val parent = t.meta.currentSnapshotId.get
+    val parentFiles = t.currentFiles().map(_.path).toSet
+    t.truncate()
+    // parent snapshot's manifest still references the SAME physical files
+    // (nothing was rewritten just to serve the changelog)
+    val parentMdFiles = t.meta.snapshot(parent)
+      .map(s => MetaIO.loadManifest(spark.sparkContext.hadoopConfiguration,
+        t.location, s)).get.map(_.path).toSet
+    assert(parentMdFiles == parentFiles)
+    assert(t.meta.snapshots.map(_.operation) == Seq("append", "upsert-mor", "delete"))
+    assert(t.toDF().count() == 0)
+    val ch = t.changesBetween(parent, t.meta.currentSnapshotId.get)
+      .as[(Long, String, String)].collect().toSet
+    assert(ch == Set((1L, "v2", "delete"), (2L, "v1", "delete")))
+  }
 }
