@@ -472,7 +472,51 @@ object TableOpsExt {
        |  (SELECT COUNT(*) FROM ${cappedSql(500)}) AS staged_visible,
        |  TRUE AS dup_refused""".stripMargin
 
+  // ---------------------------------------------------------------- t33
+
+  /** t33: CONCURRENT APPENDS through the commit CAS (r6) — four writers
+    * race the same table head with disjoint key slices; every writer must
+    * land (rebase-retry on a lost CAS, no data rewrite), history must stay
+    * one linear ancestry, and no rows may be lost or duplicated. This is
+    * the catalog-CAS behavior of the reference's engines
+    * (Iceberg `commit.retry.num-retries`), exercised for real on the
+    * file-based commit protocol.
+    */
+  def t33ConcurrentAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val writers = 4
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 2000),
+      properties = Map(TableFormat.CommitRetries -> "16"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((1 to writers).map { i =>
+        Future {
+          GraftTable.load(spark, t.location)
+            .append(shifted(spark, sfDir, 250, 900000000L * i))
+        }
+      }), 300.seconds)
+    } finally pool.shutdown()
+    val m = t.meta
+    val linear = m.currentAncestors.size == m.snapshots.size
+    val distinctRows = t.toDF().select(col("o_orderkey")).distinct().count()
+    Seq((m.snapshots.count(_.operation == "append").toLong,
+      t.toDF().count(), distinctRows, linear))
+      .toDF("n_appends", "n_rows", "n_distinct_keys", "linear_history")
+  }
+
+  val t33Oracle: String =
+    s"""SELECT CAST(5 AS BIGINT) AS n_appends,
+       |  (SELECT COUNT(*) FROM ${cappedSql(2000)})
+       |    + 4 * (SELECT COUNT(*) FROM ${cappedSql(250)}) AS n_rows,
+       |  (SELECT COUNT(*) FROM ${cappedSql(2000)})
+       |    + 4 * (SELECT COUNT(*) FROM ${cappedSql(250)}) AS n_distinct_keys,
+       |  TRUE AS linear_history""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t33_concurrent_append" -> ((t33ConcurrentAppend _, t33Oracle)),
     "t32_cherry_pick"       -> ((t32CherryPick _, t32Oracle)),
     "t27_metadata_inspection" -> ((t27MetadataInspection _, t27Oracle)),
     "t17_position_deletes"  -> ((t17PositionDeletes _, t17Oracle)),

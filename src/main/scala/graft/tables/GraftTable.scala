@@ -410,7 +410,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           s"commit conflict at $location: base version ${m.version}, current $v")
     }
     val snapId = nextSnapshotId(m)
-    val manifestName = s"manifest-$snapId.json"
+    val manifestName = MetaIO.newManifestName(snapId)
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
       MetaIO.manifestToJson(files, deletePredicates, positionDeleteFiles, equalityDeletes))
     val snap = Snapshot(snapId, parentOverride.orElse(m.currentSnapshotId),
@@ -760,14 +760,47 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * that don't exist yet, so the deferred-rewrite economics of MOR
     * survive appends.
     */
-  def append(df: DataFrame): GraftTable = {
+  def append(df: DataFrame): GraftTable = appendWithRetry(df)
+
+  /** The concurrent-writer append (Iceberg `commit.retry.num-retries`
+    * behavior): the commit is a CAS on the next metadata version; a
+    * writer that loses the race re-reads the winner's manifest, re-points
+    * its ALREADY-WRITTEN data files onto the fresh base (no data
+    * rewrite — commit dirs are writer-unique), and retries. The rebase is
+    * refused — loud ConcurrentModificationException, like every
+    * non-append commit — when the winning commit is semantically
+    * conflicting: schema or partition spec changed, or pending predicate
+    * deletes landed that would capture the new rows.
+    */
+  private[tables] def appendWithRetry(df: DataFrame,
+      onAttempt: Int => Unit = _ => ()): GraftTable = {
     if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
-    val m = meta
-    val md = currentManifest(m)
-    val newFiles = writeDataFiles(df, m)
-    commitSnapshot(m, md.files ++ newFiles, "append", newFiles.size,
-      positionDeleteFiles = md.positionDeleteFiles,
-      equalityDeletes = md.equalityDeletes)
+    var m = meta
+    val written = writeDataFiles(df, m)
+    val retries = m.properties.get(TableFormat.CommitRetries)
+      .map(_.toInt).getOrElse(4)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      onAttempt(attempt) // test seam: deterministic mid-flight conflicts
+      val md = currentManifest(m)
+      val newFiles = written.map(_.copy(seq = nextSnapshotId(m)))
+      try {
+        commitSnapshot(m, md.files ++ newFiles, "append", newFiles.size,
+          positionDeleteFiles = md.positionDeleteFiles,
+          equalityDeletes = md.equalityDeletes)
+        committed = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          val fresh = meta
+          if (attempt > retries || fresh.schema != m.schema ||
+              fresh.currentSpecId != m.currentSpecId ||
+              currentManifest(fresh).deletePredicates.nonEmpty)
+            throw e
+          m = fresh
+      }
+    }
     this
   }
 
@@ -943,7 +976,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       s"branch $branch head carries merge-on-read predicate deletes; materialize before staging")
     val newFiles = writeDataFiles(df, m)
     val snapId = nextSnapshotId(m)
-    val manifestName = s"manifest-$snapId.json"
+    val manifestName = MetaIO.newManifestName(snapId)
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
       MetaIO.manifestToJson(headMd.files ++ newFiles, headMd.deletePredicates,
         headMd.positionDeleteFiles, headMd.equalityDeletes))
@@ -1329,7 +1362,7 @@ object GraftTable {
     // same stats pass as the write path, over the source files
     val entries = t.collectFileEntries(sourceDir, m, 0)
     val snapId = 1L
-    val manifestName = s"manifest-$snapId.json"
+    val manifestName = MetaIO.newManifestName(snapId)
     MetaIO.writeString(conf = spark.sparkContext.hadoopConfiguration,
       path = s"${MetaIO.metadataDir(location)}/$manifestName",
       content = MetaIO.manifestToJson(entries))

@@ -16,15 +16,18 @@ import scala.util.Try
   * Layout under a table location:
   * {{{
   *   metadata/v{N}.metadata.json      — one per commit (schema, specs, snapshot log)
-  *   metadata/manifest-{snap}.json    — data-file list + per-column stats
+  *   metadata/manifest-{snap}-{uuid}.json    — data-file list + per-column stats
   *   metadata/version-hint.text       — latest N
   *   data/…                           — parquet data files (absolute paths in manifests,
   *                                      so in-place migrated files may live elsewhere)
   * }}}
   *
-  * Single-writer-per-table commit protocol (the workshop's engines delegate
-  * this to a catalog CAS; file-based tables get last-writer-wins on the
-  * version hint, like Iceberg's HadoopTableOperations).
+  * Commit protocol: each commit CAS-publishes `v{N+1}.metadata.json`
+  * (atomic link/rename — [[MetaIO.casPublish]]); exactly one writer wins a
+  * version, losers fail loudly, and non-conflicting appends rebase and
+  * retry (`commit.retry.num-retries`). This is the role the workshop's
+  * engines delegate to a catalog CAS, done Iceberg-HadoopTableOperations
+  * style; the version hint is advisory and readers probe past it.
   */
 object TableFormat {
   val FormatVersion = 1
@@ -43,6 +46,12 @@ object TableFormat {
     * write (point-lookup row-group skipping beyond min/max stats).
     */
   val BloomColumns = "write.bloom-columns"
+  /** Bounded retry count for non-conflicting commits that lose the
+    * version CAS (Iceberg `commit.retry.num-retries`, default 4): an
+    * append re-points its already-written files onto the winner's
+    * manifest and retries — no data rewrite.
+    */
+  val CommitRetries = "commit.retry.num-retries"
 }
 
 /** One partition field: `transform(source) AS name`. Transforms: identity,
@@ -356,11 +365,69 @@ object MetaIO {
   def metadataDir(location: String): String = s"$location/metadata"
   def versionHintPath(location: String): String = s"${metadataDir(location)}/version-hint.text"
   def metadataPath(location: String, v: Int): String = s"${metadataDir(location)}/v$v.metadata.json"
-  def manifestPath(location: String, snapId: Long): String =
-    s"${metadataDir(location)}/manifest-$snapId.json"
+  /** Fresh manifest filename — unique per write ATTEMPT, not just per
+    * snapshot id: two racing writers both targeting the same next
+    * snapshot would otherwise overwrite each other's manifest before the
+    * metadata CAS picks the single winner. (Snapshots carry the chosen
+    * name; nothing derives it from the id.)
+    */
+  def newManifestName(snapId: Long): String =
+    s"manifest-$snapId-${java.util.UUID.randomUUID.toString.take(8)}.json"
 
+  /** Replace `path` atomically so readers never observe a truncated
+    * file (the advisory hint is overwritten on every commit). Local
+    * filesystems rename-with-replace via nio ATOMIC_MOVE; elsewhere fall
+    * back to a plain overwrite — readers recover from a torn hint through
+    * [[currentVersion]]'s directory-scan fallback either way.
+    */
+  def writeStringAtomic(conf: Configuration, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val f = fs(conf, path)
+    if (f.getScheme == "file") {
+      val target = java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath)
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else writeString(conf, path, content)
+  }
+
+  private val VersionFile = """v(\d+)\.metadata\.json""".r
+
+  /** Largest committed version found by listing the metadata dir — the
+    * reader's recovery path when the advisory hint is missing or torn.
+    */
+  private def scanMaxVersion(conf: Configuration, location: String): Option[Int] = {
+    val dir = new Path(metadataDir(location))
+    val f = fs(conf, location)
+    if (!f.exists(dir)) None
+    else {
+      val vs = f.listStatus(dir).flatMap(_.getPath.getName match {
+        case VersionFile(n) => Some(n.toInt)
+        case _ => None
+      })
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Latest committed version. The hint file is ADVISORY (its update is
+    * not part of the CAS), so probe forward from it: a writer that
+    * published vN+1 but crashed — or lost the hint-write race to an older
+    * writer — is still visible to every reader. One extra exists() probe
+    * when the hint is current; a missing/torn hint falls back to a
+    * directory scan.
+    */
   def currentVersion(conf: Configuration, location: String): Option[Int] =
     Try(readString(conf, versionHintPath(location)).trim.toInt).toOption
+      .orElse(scanMaxVersion(conf, location))
+      .map { hinted =>
+        var v = hinted
+        while (exists(conf, metadataPath(location, v + 1))) v += 1
+        v
+      }
 
   def loadMeta(conf: Configuration, location: String): TableMeta = {
     val v = currentVersion(conf, location)
@@ -371,15 +438,49 @@ object MetaIO {
   def loadManifest(conf: Configuration, location: String, snap: Snapshot): Seq[DataFile] =
     manifestFromJson(readString(conf, s"${metadataDir(location)}/${snap.manifest}"))
 
-  /** Write vN+1 metadata + hint; when `delete-after-commit.enabled` is
-    * set, prune old metadata files down to the `previous-versions-max`
-    * retention count (default 100, matching Iceberg). The two properties
-    * are distinct (reference README.md "Metadata files"): the count alone
-    * never deletes anything.
+  /** Atomically publish `content` at `path` iff nothing exists there yet —
+    * the CAS primitive of the commit protocol (the role a catalog's
+    * compare-and-swap plays for the reference's engines). Local
+    * filesystems get a true atomic publish: write a temp file, then
+    * link(2) it into place — link fails with EEXIST if another writer
+    * already published that version. Other filesystems use
+    * write-temp-then-rename, which is fail-if-destination-exists on HDFS
+    * (the Iceberg HadoopTableOperations contract; object stores would
+    * need a real catalog, as Iceberg itself documents).
+    */
+  def casPublish(conf: Configuration, path: String, content: String): Boolean = {
+    val p = new Path(path)
+    val f = fs(conf, path)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val won =
+      if (f.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else !f.exists(p) && f.rename(tmp, p)
+    f.delete(tmp, false)
+    won
+  }
+
+  /** Commit vN+1: CAS-publish the metadata file (loses loudly if another
+    * writer took the version), then update the advisory hint; when
+    * `delete-after-commit.enabled` is set, prune old metadata files down
+    * to the `previous-versions-max` retention count (default 100,
+    * matching Iceberg). The two properties are distinct (reference
+    * README.md "Metadata files"): the count alone never deletes anything.
     */
   def commitMeta(conf: Configuration, m: TableMeta): Unit = {
-    writeString(conf, metadataPath(m.location, m.version), metaToJson(m))
-    writeString(conf, versionHintPath(m.location), m.version.toString)
+    if (!casPublish(conf, metadataPath(m.location, m.version), metaToJson(m)))
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict at ${m.location}: version ${m.version} was " +
+          "committed by another writer")
+    writeStringAtomic(conf, versionHintPath(m.location), m.version.toString)
     if (m.properties.get(TableFormat.DeleteAfterCommit).contains("true")) {
       val keep = m.properties.get(TableFormat.PrevVersionsMax).map(_.toInt).getOrElse(100)
       (1 until m.version - keep).foreach { old =>
