@@ -36,8 +36,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** Full manifest payload of a snapshot (files + both MOR delete kinds). */
   private def manifestDataOf(s: Snapshot): ManifestData =
-    MetaIO.manifestData(
-      MetaIO.readString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))
+    MetaIO.loadManifestData(conf, location, s.manifest)
 
   private def currentManifest(m: TableMeta = meta): ManifestData =
     m.currentSnapshot.map(manifestDataOf).getOrElse(ManifestData(Nil, Nil, Nil))
@@ -103,10 +102,40 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   // ------------------------------------------------------------- reads
 
-  /** Current-snapshot read with manifest-level pruning. */
+  /** Current-snapshot read. A filter plans at TWO metadata levels: the
+    * manifest list's aggregated summaries skip whole child manifests
+    * without reading them ([[prunedManifestData]]), then per-file stats
+    * prune within the survivors (readWithMor) — at ~10⁶ files the first
+    * level is what keeps driver-side planning O(list), not O(entries).
+    */
   def toDF(filterSql: Option[String] = None): DataFrame = {
     val m = meta
-    readWithMor(m, currentManifest(m), filterSql)
+    val md = filterSql match {
+      case Some(f) => m.currentSnapshot.map(s => prunedManifestData(m, s, f))
+        .getOrElse(ManifestData(Nil, Nil, Nil))
+      case None => currentManifest(m)
+    }
+    readWithMor(m, md, filterSql)
+  }
+
+  /** Summary entries as pseudo-files so [[ScanPlanner.pruneFiles]]'s
+    * stats logic prunes MANIFESTS with zero new machinery (empty
+    * partition map = conservatively kept by partition checks).
+    */
+  private def pseudoFiles(m: TableMeta, entries: Seq[ManifestEntry]): Seq[DataFile] =
+    entries.map(e =>
+      DataFile(e.name, m.currentSpecId, Map.empty, e.recordCount, 0L, e.stats))
+
+  /** Manifest payload of snapshot `s` restricted to child manifests whose
+    * aggregated stats may satisfy `cond`; only survivors are read.
+    */
+  private def prunedManifestData(m: TableMeta, s: Snapshot, cond: String): ManifestData = {
+    val (entries, dp, pdf, eq) = MetaIO.loadManifestListData(conf, location, s)
+    val surviving =
+      ScanPlanner.pruneFiles(m, pseudoFiles(m, entries), cond, spark).map(_.path).toSet
+    val files = entries.filter(e => surviving.contains(e.name))
+      .flatMap(e => MetaIO.loadChildFiles(conf, location, e.name))
+    ManifestData(files, dp, pdf, eq)
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's
@@ -115,6 +144,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def plannedFiles(filterSql: String): Seq[DataFile] = {
     val m = meta
     ScanPlanner.pruneFiles(m, currentFiles(m), filterSql, spark)
+  }
+
+  /** (surviving, total) CHILD-MANIFEST counts for a predicate — the
+    * pruning observability one metadata level above [[plannedFiles]].
+    */
+  def plannedManifests(filterSql: String): (Int, Int) = {
+    val m = meta
+    m.currentSnapshot.map { s =>
+      val entries = MetaIO.loadManifestEntries(conf, location, s)
+      (ScanPlanner.pruneFiles(m, pseudoFiles(m, entries), filterSql, spark).size,
+        entries.size)
+    }.getOrElse((0, 0))
   }
 
   /** Time travel to a snapshot id (reference `FOR SYSTEM_TIME AS OF`). */
@@ -396,26 +437,66 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def nextSnapshotId(m: TableMeta): Long =
     (m.snapshots.map(_.id) :+ 0L).max + 1
 
+  /** Build the manifest LIST for a commit whose full file set is `files`,
+    * reusing every parent child manifest whose entries are ALL retained
+    * unchanged (path + content identity) and writing ONE new child for
+    * the delta — so an append's metadata write is O(new files) and a
+    * rewrite's is O(touched files), never O(table). The reuse check reads
+    * parent children through the process-wide cache (the operation that
+    * computed `files` usually just loaded them).
+    */
+  private def buildManifestList(m: TableMeta, parent: Option[Snapshot],
+      files: Seq[DataFile], snapId: Long): (String, Seq[ManifestEntry]) = {
+    val byPath = files.map(f => f.path -> f).toMap
+    val reused = Seq.newBuilder[ManifestEntry]
+    val covered = scala.collection.mutable.Set[String]()
+    parent.toSeq.flatMap(p => MetaIO.loadManifestEntries(conf, location, p))
+      .foreach { e =>
+        val fs = MetaIO.loadChildFiles(conf, location, e.name)
+        if (fs.nonEmpty && fs.forall(f => byPath.get(f.path).contains(f)) &&
+            fs.forall(f => !covered.contains(f.path))) {
+          reused += e
+          covered ++= fs.map(_.path)
+        }
+      }
+    val rest = files.filterNot(f => covered.contains(f.path))
+    val fresh =
+      if (rest.isEmpty) Nil
+      else {
+        val name = MetaIO.newManifestName(snapId)
+        MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
+          MetaIO.manifestToJson(rest))
+        MetaIO.cachePut(location, name, rest)
+        Seq(ManifestEntry(name, rest.size, rest.map(_.recordCount).sum,
+          ManifestStats.aggregate(rest)))
+      }
+    val listName = s"manifest-list-$snapId-${UUID.randomUUID().toString.take(8)}.json"
+    (listName, reused.result() ++ fresh)
+  }
+
   private def commitSnapshot(m: TableMeta, files: Seq[DataFile], op: String,
       added: Long, parentOverride: Option[Long] = None,
       deletePredicates: Seq[String] = Nil,
       positionDeleteFiles: Seq[String] = Nil,
       equalityDeletes: Seq[EqualityDelete] = Nil): TableMeta = {
-    // optimistic concurrency: refuse to clobber a commit that landed after
-    // this operation read its base metadata (single-writer is the contract;
-    // this turns a silent lost-update into a loud failure)
+    // optimistic concurrency: fail fast when a commit landed after this
+    // operation read its base metadata (the CAS in commitMeta is the
+    // authoritative check; this avoids writing manifests we'd discard)
     MetaIO.currentVersion(conf, location).foreach { v =>
       if (v != m.version)
         throw new java.util.ConcurrentModificationException(
           s"commit conflict at $location: base version ${m.version}, current $v")
     }
     val snapId = nextSnapshotId(m)
-    val manifestName = MetaIO.newManifestName(snapId)
-    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
-      MetaIO.manifestToJson(files, deletePredicates, positionDeleteFiles, equalityDeletes))
-    val snap = Snapshot(snapId, parentOverride.orElse(m.currentSnapshotId),
+    val parentId = parentOverride.orElse(m.currentSnapshotId)
+    val (listName, entries) =
+      buildManifestList(m, parentId.flatMap(m.snapshot), files, snapId)
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$listName",
+      MetaIO.manifestListToJson(entries, deletePredicates, positionDeleteFiles,
+        equalityDeletes))
+    val snap = Snapshot(snapId, parentId,
       System.currentTimeMillis(), op,
-      manifestName, added, files.size, files.map(_.recordCount).sum)
+      listName, added, files.size, files.map(_.recordCount).sum)
     val next = m.copy(version = m.version + 1, snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(snapId))
     MetaIO.commitMeta(conf, next)
@@ -976,12 +1057,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
       s"branch $branch head carries merge-on-read predicate deletes; materialize before staging")
     val newFiles = writeDataFiles(df, m)
     val snapId = nextSnapshotId(m)
-    val manifestName = MetaIO.newManifestName(snapId)
-    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
-      MetaIO.manifestToJson(headMd.files ++ newFiles, headMd.deletePredicates,
+    val (listName, entries) =
+      buildManifestList(m, Some(head), headMd.files ++ newFiles, snapId)
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$listName",
+      MetaIO.manifestListToJson(entries, headMd.deletePredicates,
         headMd.positionDeleteFiles, headMd.equalityDeletes))
     val snap = Snapshot(snapId, Some(ref.snapshotId), System.currentTimeMillis(),
-      "append", manifestName, newFiles.size,
+      "append", listName, newFiles.size,
       headMd.files.size + newFiles.size,
       (headMd.files ++ newFiles).map(_.recordCount).sum)
     commitMetadataOnly(m.copy(version = m.version + 1,
@@ -1101,7 +1183,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     expiredData.flatMap(delFiles).toSet.diff(keptDel)
       .filter(_.startsWith(s"$location/deletes/"))
       .foreach(p => MetaIO.delete(conf, p))
-    expired.foreach(s => MetaIO.delete(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}"))
+    // manifests are SHARED across snapshots (commits reuse parent child
+    // manifests), so deletion is reference-counted: a list file or child
+    // is removed only when no retained snapshot references it
+    def manifestFiles(s: Snapshot): Seq[String] =
+      s.manifest +: MetaIO.loadManifestEntries(conf, location, s).map(_.name)
+    val keptManifests = kept.flatMap(manifestFiles).toSet
+    expired.flatMap(manifestFiles).toSet.diff(keptManifests)
+      .foreach(n => MetaIO.delete(conf, s"${MetaIO.metadataDir(location)}/$n"))
     commitMetadataOnly(m.copy(version = m.version + 1, snapshots = kept))
     this
   }
@@ -1136,6 +1225,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
             MetaIO.delete(conf, norm)
             removed += norm
           }
+        }
+      }
+    }
+    // metadata-side orphans: manifest lists/children no snapshot
+    // references (old pointers left by rewrite_manifests repoints,
+    // manifests of commits that lost the CAS) and abandoned CAS temp
+    // files — same recency guard; version files and the hint are never
+    // touched (metadata-log retention owns those)
+    val refManifests: Set[String] = m.snapshots.flatMap(s =>
+      s.manifest +: MetaIO.loadManifestEntries(conf, location, s).map(_.name)).toSet
+    val mdir = new Path(MetaIO.metadataDir(location))
+    val mfs = MetaIO.fs(conf, mdir.toString)
+    if (mfs.exists(mdir)) {
+      mfs.listStatus(mdir).foreach { st =>
+        val name = st.getPath.getName
+        val orphanManifest = name.startsWith("manifest-") &&
+          name.endsWith(".json") && !refManifests.contains(name)
+        val abandonedTmp = name.startsWith(".") && name.contains(".tmp-")
+        if ((orphanManifest || abandonedTmp) && st.getModificationTime < olderThanMs) {
+          val norm = if (st.getPath.toString.startsWith("file:"))
+            st.getPath.toUri.getPath else st.getPath.toString
+          MetaIO.delete(conf, norm)
+          removed += norm
         }
       }
     }
@@ -1270,17 +1382,39 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
-  /** Consolidate the current manifest (reference `rewrite_manifests`).
-    * Round-trips the FULL payload — dropping the merge-on-read delete
-    * entries here would resurrect deleted rows.
+  /** Consolidate or re-cluster the current snapshot's manifests
+    * (reference `rewrite_manifests`): data files are regrouped into
+    * `target` child manifests sorted by partition value (path order for
+    * unpartitioned tables), so each child's aggregated stat summary
+    * covers a tight disjoint range and the planner can skip whole
+    * manifests. Metadata-only and row-preserving: same snapshot id, same
+    * files, full merge-on-read delete payload round-tripped (dropping it
+    * would resurrect deleted rows) — history and the changelog are
+    * unaffected, a new manifest LIST just replaces the pointer.
     */
-  def rewriteManifests(): GraftTable = {
+  def rewriteManifests(target: Int = 1): GraftTable = {
     val m = meta
     m.currentSnapshot.foreach { s =>
       val md = manifestDataOf(s)
-      MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/${s.manifest}",
-        MetaIO.manifestToJson(md.files, md.deletePredicates, md.positionDeleteFiles,
-          md.equalityDeletes))
+      val sorted = md.files.sortBy(f =>
+        (f.partitionValues.toSeq.sortBy(_._1).map(_._2).mkString("/"), f.path))
+      val per = math.max(1, math.ceil(sorted.size.toDouble / math.max(1, target)).toInt)
+      val entries = sorted.grouped(per).toSeq.map { g =>
+        val name = MetaIO.newManifestName(s.id)
+        MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
+          MetaIO.manifestToJson(g))
+        MetaIO.cachePut(location, name, g)
+        ManifestEntry(name, g.size, g.map(_.recordCount).sum,
+          ManifestStats.aggregate(g))
+      }
+      val listName =
+        s"manifest-list-${s.id}-${UUID.randomUUID().toString.take(8)}.json"
+      MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$listName",
+        MetaIO.manifestListToJson(entries, md.deletePredicates,
+          md.positionDeleteFiles, md.equalityDeletes))
+      val snaps = m.snapshots.map(x =>
+        if (x.id == s.id) x.copy(manifest = listName) else x)
+      commitMetadataOnly(m.copy(version = m.version + 1, snapshots = snaps))
     }
     this
   }

@@ -97,6 +97,58 @@ case class ManifestData(
     positionDeleteFiles: Seq[String],
     equalityDeletes: Seq[EqualityDelete] = Nil)
 
+/** One manifest referenced from a snapshot's manifest LIST, carrying the
+  * aggregated column stats that let the scan planner skip the WHOLE
+  * manifest without reading it (Iceberg's manifest-list partition
+  * summaries): at ~10⁶ files, planning cost is O(surviving manifests),
+  * not O(all file entries).
+  */
+case class ManifestEntry(name: String, fileCount: Long, recordCount: Long,
+    stats: Map[String, ColStats])
+
+object ManifestStats {
+  private def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
+    case (x: Long, y: Long)       => Some(x < y)
+    case (x: Double, y: Double)   => Some(x < y)
+    case (x: Long, y: Double)     => Some(x.toDouble < y)
+    case (x: Double, y: Long)     => Some(x < y.toDouble)
+    case (x: String, y: String)   => Some(x < y)
+    case (x: Boolean, y: Boolean) => Some(x < y)
+    case _                        => None
+  }
+
+  private def bound(vals: Seq[Option[Any]], takeMin: Boolean): Option[Any] =
+    if (vals.isEmpty || vals.exists(_.isEmpty)) None
+    else {
+      val vs = vals.flatten
+      var acc = vs.head
+      var ok = true
+      vs.tail.foreach { v =>
+        if (ok) lt(acc, v) match {
+          case Some(accLtV) => if (accLtV != takeMin) acc = v
+          case None         => ok = false // incomparable types: no sound bound
+        }
+      }
+      if (ok) Some(acc) else None
+    }
+
+  /** Conservative manifest-level summary of per-file column stats:
+    * min-of-mins / max-of-maxes for columns EVERY file reports (a column
+    * any file omits is dropped — unknown never prunes), exact-sum null
+    * counts. Sound by construction: a predicate that may match some file
+    * always may match the aggregate.
+    */
+  def aggregate(files: Seq[DataFile]): Map[String, ColStats] = {
+    if (files.isEmpty) return Map.empty
+    val cols = files.map(_.stats.keySet).reduce(_ intersect _)
+    cols.iterator.map { c =>
+      val ss = files.map(_.stats(c))
+      c -> ColStats(bound(ss.map(_.min), takeMin = true),
+        bound(ss.map(_.max), takeMin = false), ss.map(_.nullCount).sum)
+    }.toMap
+  }
+}
+
 case class Snapshot(
     id: Long,
     parentId: Option[Long],
@@ -273,6 +325,159 @@ object MetaIO {
     ManifestData(out.result(), deletes.result(), posDeletes.result(), eqDeletes.result())
   }
 
+  // ------------------------------------------------------- manifest list
+
+  /** Snapshot manifest LIST (r6, the Iceberg manifest-list shape): child
+    * manifest references with aggregated stats summaries, plus the
+    * snapshot-level merge-on-read delete payloads (small). Child
+    * manifests hold only data-file entries and are IMMUTABLE once
+    * written — commits reuse a parent's children untouched and add one
+    * new child for the delta, so commit metadata cost is O(changed
+    * files), not O(table).
+    */
+  def manifestListToJson(entries: Seq[ManifestEntry],
+      deletePredicates: Seq[String] = Nil,
+      positionDeleteFiles: Seq[String] = Nil,
+      equalityDeletes: Seq[EqualityDelete] = Nil): String = {
+    val root = mapper.createObjectNode()
+    root.put("manifest_list", true)
+    if (deletePredicates.nonEmpty) {
+      val dp = root.putArray("delete_predicates")
+      deletePredicates.foreach(dp.add)
+    }
+    if (positionDeleteFiles.nonEmpty) {
+      val pd = root.putArray("position_delete_files")
+      positionDeleteFiles.foreach(pd.add)
+    }
+    if (equalityDeletes.nonEmpty) {
+      val eq = root.putArray("equality_deletes")
+      equalityDeletes.foreach { e =>
+        val o = eq.addObject()
+        val ca = o.putArray("cols"); e.cols.foreach(ca.add)
+        val fa = o.putArray("files"); e.files.foreach(fa.add)
+        o.put("seq", e.seq)
+      }
+    }
+    val arr = root.putArray("manifests")
+    entries.foreach { e =>
+      val o = arr.addObject()
+      o.put("name", e.name)
+      o.put("file_count", e.fileCount)
+      o.put("record_count", e.recordCount)
+      val st = o.putObject("stats")
+      e.stats.foreach { case (c, s) =>
+        val so = st.putObject(c)
+        s.min.foreach(statValueToJson(so, "min", _))
+        s.max.foreach(statValueToJson(so, "max", _))
+        so.put("nulls", s.nullCount)
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Parse a manifest-list json; None if `json` is a legacy inline
+    * manifest (pre-r6 tables keep reading).
+    */
+  def manifestListParts(json: String): Option[(Seq[ManifestEntry], Seq[String],
+      Seq[String], Seq[EqualityDelete])] = {
+    val root = mapper.readTree(json)
+    if (!root.has("manifest_list")) None
+    else {
+      val deletes = Seq.newBuilder[String]
+      Option(root.get("delete_predicates")).foreach(_.forEach(n => deletes += n.asText()))
+      val posDeletes = Seq.newBuilder[String]
+      Option(root.get("position_delete_files")).foreach(_.forEach(n => posDeletes += n.asText()))
+      val eqDeletes = Seq.newBuilder[EqualityDelete]
+      Option(root.get("equality_deletes")).foreach(_.forEach { o =>
+        val cols = Seq.newBuilder[String]
+        o.get("cols").forEach(n => cols += n.asText())
+        val fls = Seq.newBuilder[String]
+        o.get("files").forEach(n => fls += n.asText())
+        eqDeletes += EqualityDelete(cols.result(), fls.result(),
+          Option(o.get("seq")).map(_.asLong()).getOrElse(Long.MaxValue))
+      })
+      val entries = Seq.newBuilder[ManifestEntry]
+      Option(root.get("manifests")).foreach(_.forEach { o =>
+        val stats = Map.newBuilder[String, ColStats]
+        val stNode = o.get("stats")
+        stNode.fieldNames().forEachRemaining { c =>
+          val so = stNode.get(c)
+          stats += c -> ColStats(
+            Option(so.get("min")).map(statValueFromJson),
+            Option(so.get("max")).map(statValueFromJson),
+            so.get("nulls").asLong())
+        }
+        entries += ManifestEntry(o.get("name").asText(), o.get("file_count").asLong(),
+          o.get("record_count").asLong(), stats.result())
+      })
+      Some((entries.result(), deletes.result(), posDeletes.result(), eqDeletes.result()))
+    }
+  }
+
+  // Child manifests are immutable once written (unique names), so their
+  // parsed file lists are safe to cache process-wide: repeated planning
+  // and the commit path's reuse check skip the JSON re-parse. Bounded LRU.
+  private val childCache =
+    new java.util.LinkedHashMap[(String, String), Seq[DataFile]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Seq[DataFile]]): Boolean =
+        size() > 512
+    }
+
+  private[tables] def cachePut(location: String, name: String, files: Seq[DataFile]): Unit =
+    childCache.synchronized { childCache.put((location, name), files); () }
+
+  /** Data-file entries of one child manifest (or a legacy inline
+    * manifest), through the process-wide cache.
+    */
+  def loadChildFiles(conf: Configuration, location: String, name: String): Seq[DataFile] = {
+    val key = (location, name)
+    val hit = childCache.synchronized(childCache.get(key))
+    if (hit != null) hit
+    else {
+      val files = manifestData(readString(conf, s"${metadataDir(location)}/$name")).files
+      childCache.synchronized { childCache.put(key, files); () }
+      files
+    }
+  }
+
+  /** Full logical manifest payload of a snapshot, whichever physical
+    * format it was written in (r6 manifest list, or legacy inline).
+    */
+  def loadManifestData(conf: Configuration, location: String, name: String): ManifestData = {
+    val json = readString(conf, s"${metadataDir(location)}/$name")
+    manifestListParts(json) match {
+      case Some((entries, dp, pdf, eq)) =>
+        ManifestData(entries.flatMap(e => loadChildFiles(conf, location, e.name)),
+          dp, pdf, eq)
+      case None => manifestData(json)
+    }
+  }
+
+  /** Manifest-list entries + snapshot-level delete payloads of a
+    * snapshot, WITHOUT loading any child manifest — the planner's entry
+    * point. Legacy inline manifests synthesize one entry covering the
+    * whole file list.
+    */
+  def loadManifestListData(conf: Configuration, location: String, snap: Snapshot):
+      (Seq[ManifestEntry], Seq[String], Seq[String], Seq[EqualityDelete]) = {
+    val json = readString(conf, s"${metadataDir(location)}/${snap.manifest}")
+    manifestListParts(json).getOrElse {
+      val d = manifestData(json)
+      cachePut(location, snap.manifest, d.files)
+      val entries =
+        if (d.files.isEmpty) Nil
+        else Seq(ManifestEntry(snap.manifest, d.files.size,
+          d.files.map(_.recordCount).sum, ManifestStats.aggregate(d.files)))
+      (entries, d.deletePredicates, d.positionDeleteFiles, d.equalityDeletes)
+    }
+  }
+
+  /** Manifest-list entries of a snapshot (see [[loadManifestListData]]). */
+  def loadManifestEntries(conf: Configuration, location: String,
+      snap: Snapshot): Seq[ManifestEntry] =
+    loadManifestListData(conf, location, snap)._1
+
   // ------------------------------------------------------------ metadata
 
   def metaToJson(m: TableMeta): String = {
@@ -436,7 +641,7 @@ object MetaIO {
   }
 
   def loadManifest(conf: Configuration, location: String, snap: Snapshot): Seq[DataFile] =
-    manifestFromJson(readString(conf, s"${metadataDir(location)}/${snap.manifest}"))
+    loadManifestData(conf, location, snap.manifest).files
 
   /** Atomically publish `content` at `path` iff nothing exists there yet —
     * the CAS primitive of the commit protocol (the role a catalog's
