@@ -478,6 +478,65 @@ object Dedup {
       |WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.999
       |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- d08
+
+  /** d08: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 — the LAION/LLM
+    * corpus semantic-redundancy pruner): embeddings are clustered with
+    * the s03 IVF coarse quantizer (driver-trained on a bounded sample;
+    * assignment is one codegen'd dot-ranked map, no corpus shuffle), and
+    * duplicate search runs ONLY within a cluster: a pair at cosine ≥ τ
+    * drops the higher-id vector (the paper ranks by centroid distance;
+    * lowest-id-wins is the deterministic stand-in). Pair cost is
+    * Σ|cluster|², never N², and hot clusters are bounded by the same
+    * bucket cap as every other blocking scheme.
+    *
+    * Gate construction (cf. d06): planted ×1.5 directional copies are
+    * cosine-1.0 with their originals and land in the SAME cell (dot
+    * ranking is scale-invariant), so cluster-scoped search finds exactly
+    * the pairs the oracle's all-pairs scan finds; random 64-dim pairs
+    * never reach τ=0.999 on either engine.
+    */
+  def d08SemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    d08SemDedup(spark, sfDir, maxBucket = 100000)
+
+  private[operators] def d08SemDedup(spark: SparkSession, sfDir: String,
+      maxBucket: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select(
+        (col("vec_id") + lit(2000000L)).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
+      .persist()
+    val cents = Similarity.ivfCentroids(spark, sfDir)
+    val keyed = corpus.select(col("vec_id").as("doc_id"), lit(1).as("band"),
+      F.nearestCells(col("embedding"), cents, 1).getItem(0).cast("long").as("key"))
+    val dups = cappedBucketPairs(keyed, maxBucket)
+      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a")), "a")
+      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b")), "b")
+      .filter(F.cosine(col("emb_a"), col("emb_b")) >= 0.999)
+      .select(col("b").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    val out = corpus.select(col("vec_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), (!coalesce(col("dup"), lit(false))).as("keep"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    corpus.unpersist()
+    out
+  }
+
+  val d08Oracle: String =
+    """WITH c AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS vec_id,
+      |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+      |  FROM embeddings)
+      |SELECT l.vec_id, NOT EXISTS (
+      |    SELECT 1 FROM c r WHERE r.vec_id < l.vec_id
+      |      AND list_cosine_similarity(l.embedding, r.embedding) >= 0.999) AS keep
+      |FROM c l ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- d07
 
   /** d07: cross-document duplicated n-gram coverage — the exact-substring
@@ -549,5 +608,6 @@ object Dedup {
     "d04_simhash"           -> ((d04SimhashExact _, d04Oracle)),
     "d05_ngram_jaccard"     -> ((d05NgramJaccardExact _, d05Oracle)),
     "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),
+    "d08_semdedup"          -> ((d08SemDedup _, d08Oracle)),
   )
 }

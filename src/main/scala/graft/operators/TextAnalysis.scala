@@ -306,6 +306,62 @@ object TextAnalysis {
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p02
+
+  /** p02: TRAINING-SEQUENCE PACKING accounting — the GPT/LLaMA
+    * concatenate-and-chunk step: per source corpus, documents are laid
+    * end-to-end in doc_id order and cut into fixed `budget`-token
+    * training sequences. Reports, per source, the sequence count, how
+    * many documents straddle a sequence boundary (the attention-mask /
+    * document-leakage concern), and the tail padding waste — the numbers
+    * a data engineer checks before choosing a packing budget.
+    *
+    * Shape at 100 TB: one window cumsum per source partition (the only
+    * shuffle) + one aggregate; at cluster scale you'd pack within write
+    * partitions, which is this same plan with source buckets pre-split.
+    */
+  def p02SequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 256L
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val placed = d
+      .withColumn("start", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("crossing",
+        col("tokens") > 0 &&
+          expr(s"(start div $budget) != ((start + tokens - 1) div $budget)"))
+    placed.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(when(col("crossing"), 1L).otherwise(0L)).as("n_crossing"))
+      .withColumn("n_sequences", expr(s"(total_tokens + ${budget - 1}) div $budget"))
+      .withColumn("tail_waste", col("n_sequences") * budget - col("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_sequences"), col("n_crossing"), col("tail_waste"))
+      .orderBy(col("source"))
+  }
+
+  val p02Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |placed AS (
+      |  SELECT source, tokens,
+      |    COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM d)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      |  CAST((SUM(tokens) + 255) // 256 AS BIGINT) AS n_sequences,
+      |  CAST(SUM(CASE WHEN tokens > 0 AND (start // 256) <> ((start + tokens - 1) // 256)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+      |  CAST(((SUM(tokens) + 255) // 256) * 256 - SUM(tokens) AS BIGINT) AS tail_waste
+      |FROM placed GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- x08
 
   /** Word-8-shingle hashes (sorted distinct) — the decontamination gram. */
@@ -498,6 +554,7 @@ object TextAnalysis {
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "x11_pii_redact"    -> ((x11PiiRedact _, x11Oracle)),
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
+    "p02_seq_packing"       -> ((p02SequencePacking _, p02Oracle)),
     "x10_data_mix"      -> ((x10DataMix _, x10Oracle)),
     "x08_decontaminate" -> ((x08Decontaminate _, x08Oracle)),
     "x09_repetition"    -> ((x09Repetition _, x09Oracle)),

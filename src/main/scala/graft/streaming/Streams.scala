@@ -427,7 +427,52 @@ object Streams {
       |  AND c.ms BETWEEN v.ms AND v.ms + 900000
       |ORDER BY v_id, c_id""".stripMargin
 
+  /** st08: STREAM-STATIC ENRICHMENT JOIN — the canonical streaming-ETL
+    * shape: a live event stream joined per micro-batch against a
+    * slowly-changing dimension snapshot (customer→nation). STATELESS and
+    * append-mode: the static side broadcasts, each batch joins map-side —
+    * no watermark, no state store, no flush needed, which is exactly why
+    * this shape (unlike st07's stream-stream join) runs at any scale with
+    * zero state growth. The gate batch-aggregates the enriched sink rows
+    * and must match the all-batch join's DuckDB oracle value-for-value.
+    */
+  def st08StreamStaticGate(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_st08_gate").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val dim = broadcast(cust
+      .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+      .select(col("c_custkey"), col("n_name")))
+    val joined = stream.join(dim, stream("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("n_name"), col("value"))
+    val name = s"st08_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("n_name"))
+  }
+
+  val st08GateOracle: String =
+    """SELECT n_name, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "st08_stream_static_join"  -> ((st08StreamStaticGate _, st08GateOracle)),
     "st07_stream_join"         -> ((st07StreamJoinGate _, st07GateOracle)),
     "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),
     "st02_stream_sessionize"   -> ((st02StreamingGate _, st02GateOracle)),

@@ -122,6 +122,21 @@ class DedupSpec extends SparkSpec {
     assert(js.forall(j => j > 0.0 && j <= 1.0))
   }
 
+  test("d08 semdedup drops every planted copy, keeps every original, never leaves a cluster") {
+    val out = Dedup.d08SemDedup(spark, sf).as[(Long, Boolean)].collect().toMap
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.size == 2 * n)
+    // planted ×1.5 copies (higher ids) dropped; originals kept
+    assert(out.filter(!_._2).keySet == out.keySet.filter(_ >= 2000000L),
+      "exactly the planted copies must be dropped")
+    // the bucket cap composes: any cap above the max cluster size is a
+    // no-op (and a cap below it drops boilerplate clusters whole, the
+    // same contract as every other blocking scheme)
+    val capped = Dedup.d08SemDedup(spark, sf, maxBucket = 400)
+      .as[(Long, Boolean)].collect().toMap
+    assert(capped == out, "cap above max cluster size must change nothing")
+  }
+
   test("d06 embedding near-dup finds every scaled copy") {
     val pairs = Dedup.d06EmbedNeardup(spark, sf).as[(Long, Long)].collect()
     val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
@@ -312,6 +327,25 @@ class SimilaritySpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("p02 packing accounting matches a driver-side replay of concat-and-chunk") {
+    val out = TextAnalysis.p02SequencePacking(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val bySource = docs.groupBy(_._2)
+    for ((source, nDocs, total, nSeqs, nCross, waste) <- out) {
+      val toks = bySource(source).sortBy(_._1)
+        .map(d => d._3.trim.split("\\s+").length.toLong)
+      val starts = toks.scanLeft(0L)(_ + _)
+      val cross = toks.indices.count(i =>
+        toks(i) > 0 && starts(i) / 256 != (starts(i) + toks(i) - 1) / 256)
+      assert(nDocs == toks.length && total == toks.sum, s"$source totals")
+      assert(nSeqs == (toks.sum + 255) / 256, s"$source seqs")
+      assert(nCross == cross.toLong, s"$source crossing: got $nCross want $cross")
+      assert(waste == nSeqs * 256 - total, s"$source waste")
+    }
+  }
 
   test("x08 decontamination flags the base table's planted text dups") {
     val out = TextAnalysis.x08Decontaminate(spark, sf)

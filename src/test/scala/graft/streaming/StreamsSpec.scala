@@ -228,6 +228,21 @@ class StreamsSpec extends SparkSpec {
     } finally { csMain.stop(); csAudit.stop() }
   }
 
+  test("st08 stream-static join is value-identical to the batch join") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val out = Streams.st08StreamStaticGate(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(spark.read.parquet(s"$sf/customer.parquet"), $"user_id" === $"c_custkey")
+      .join(spark.read.parquet(s"$sf/nation.parquet"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy($"n_name")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == batch, s"stream=$out batch=$batch")
+  }
+
   // ADVICE r5 regression: stop() must not leave the poller sleeping out a
   // full interval — even with a pathological poll interval the thread is
   // gone when stop() returns.
