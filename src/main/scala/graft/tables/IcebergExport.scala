@@ -1,0 +1,166 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.types._
+
+/** Read-only export of a GraftTable's metadata as an Apache Iceberg v1
+  * `TableMetadata` JSON document, per the PUBLIC Iceberg table spec
+  * (format-version 1 required fields: table-uuid, location,
+  * last-updated-ms, last-column-id, schema, partition-spec,
+  * current-snapshot-id, snapshots, snapshot-log).
+  *
+  * Scope (reference pyspark-iceberg/interoperability.md — external
+  * engines read a table by metadata location): this export gives an
+  * external engine the table's SCHEMA, partition spec (graft's transform
+  * vocabulary is Iceberg's: identity/years/months/days/hours/
+  * bucket[N]/truncate[W]), properties, snapshot history and current
+  * pointer — the catalog-registration surface. It does NOT produce Avro
+  * manifest files (no Iceberg/Avro jars in this environment), so scan
+  * planning from a real Iceberg reader stops at the manifest list; the
+  * `manifest-list` entries point at graft's JSON manifests and the
+  * summary carries `graft.manifest-format: json` to make the boundary
+  * explicit rather than silently broken.
+  */
+object IcebergExport {
+  private val mapper = new ObjectMapper()
+
+  /** Iceberg JSON type for a Spark type (primitives inline as strings,
+    * list/struct as nested objects, field ids assigned depth-first).
+    */
+  private def typeJson(dt: DataType, nextId: () => Int): Any = dt match {
+    case LongType      => "long"
+    case IntegerType   => "int"
+    case ShortType     => "int"
+    case DoubleType    => "double"
+    case FloatType     => "float"
+    case StringType    => "string"
+    case BooleanType   => "boolean"
+    case DateType      => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType    => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case a: ArrayType =>
+      val o = mapper.createObjectNode()
+      o.put("type", "list")
+      o.put("element-id", nextId())
+      putType(o, "element", typeJson(a.elementType, nextId))
+      o.put("element-required", !a.containsNull)
+      o
+    case s: StructType =>
+      val o = mapper.createObjectNode()
+      o.put("type", "struct")
+      val fields = o.putArray("fields")
+      s.fields.foreach { f =>
+        val fo = fields.addObject()
+        fo.put("id", nextId())
+        fo.put("name", f.name)
+        fo.put("required", !f.nullable)
+        putType(fo, "type", typeJson(f.dataType, nextId))
+      }
+      o
+    case other => throw new IllegalArgumentException(
+      s"no Iceberg v1 mapping for Spark type $other")
+  }
+
+  private def putType(o: ObjectNode, key: String, t: Any): Unit = t match {
+    case s: String     => o.put(key, s); ()
+    case n: ObjectNode => o.set(key, n); ()
+  }
+
+  /** Iceberg summary operation for a graft commit op: row-preserving
+    * maintenance maps to `replace`, everything that only adds files to
+    * `append`, truncation/deletion to `delete`, and the rest (CoW
+    * rewrites of matched rows) to `overwrite` — the four values the spec
+    * allows.
+    */
+  private[tables] def icebergOp(op: String): String = op match {
+    case "append" | "migrate" | "upsert-mor" | "cherry-pick" => "append"
+    case "delete" | "delete-mor" | "delete-mor-pos" | "delete-mor-eq" => "delete"
+    case "replace" | "rewrite-deletes" => "replace"
+    case _ => "overwrite"
+  }
+
+  def metadataJson(t: GraftTable): String = {
+    val m = t.meta
+    val root = mapper.createObjectNode()
+    root.put("format-version", 1)
+    // deterministic uuid: exports of the same table location agree
+    root.put("table-uuid",
+      java.util.UUID.nameUUIDFromBytes(m.location.getBytes("UTF-8")).toString)
+    root.put("location", m.location)
+    root.put("last-updated-ms",
+      (m.snapshots.map(_.timestampMs) :+ 0L).max)
+    var lastId = 0
+    val nextId = () => { lastId += 1; lastId }
+    val schemaNode = typeJson(m.schema, nextId).asInstanceOf[ObjectNode]
+    schemaNode.put("schema-id", 0)
+    root.put("last-column-id", lastId)
+    root.set("schema", schemaNode)
+    root.putArray("schemas").add(schemaNode)
+    def specFields(spec: PartitionSpec) = {
+      val arr = mapper.createArrayNode()
+      spec.fields.zipWithIndex.foreach { case (f, i) =>
+        val fo = arr.addObject()
+        fo.put("name", f.name)
+        fo.put("transform", f.transform)
+        fo.put("source-id", m.schema.fieldNames.indexOf(f.source) + 1)
+        fo.put("field-id", 1000 + i)
+      }
+      arr
+    }
+    root.set("partition-spec", specFields(m.currentSpec))
+    val specs = root.putArray("partition-specs")
+    m.specs.foreach { s =>
+      val so = specs.addObject()
+      so.put("spec-id", s.specId)
+      so.set("fields", specFields(s))
+      ()
+    }
+    root.put("default-spec-id", m.currentSpecId)
+    val props = root.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    props.put("graft.manifest-format", "json")
+    root.put("current-snapshot-id", m.currentSnapshotId.getOrElse(-1L))
+    val snaps = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val so = snaps.addObject()
+      so.put("snapshot-id", s.id)
+      s.parentId.foreach(p => so.put("parent-snapshot-id", p))
+      so.put("timestamp-ms", s.timestampMs)
+      val sm = so.putObject("summary")
+      sm.put("operation", icebergOp(s.operation))
+      sm.put("graft.operation", s.operation)
+      sm.put("added-data-files", s.addedFiles.toString)
+      sm.put("total-data-files", s.totalFiles.toString)
+      sm.put("total-records", s.totalRecords.toString)
+      so.put("manifest-list", s"${MetaIO.metadataDir(m.location)}/${s.manifest}")
+      ()
+    }
+    val log = root.putArray("snapshot-log")
+    m.snapshots.filter(s => m.currentAncestors.contains(s.id)).foreach { s =>
+      val lo = log.addObject()
+      lo.put("timestamp-ms", s.timestampMs)
+      lo.put("snapshot-id", s.id)
+      ()
+    }
+    val refs = root.putObject("refs")
+    m.refs.foreach { case (name, r) =>
+      val ro = refs.putObject(name)
+      ro.put("snapshot-id", r.snapshotId)
+      ro.put("type", r.kind.toUpperCase)
+      ()
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Write the export next to the table (or at `path`) so an external
+    * engine can be pointed at a metadata location.
+    */
+  def export(t: GraftTable, path: String): String = {
+    val json = metadataJson(t)
+    MetaIO.writeString(t.spark.sparkContext.hadoopConfiguration, path, json)
+    json
+  }
+}

@@ -1,0 +1,77 @@
+package graft.tables
+
+import graft.SparkSpec
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The read-only Iceberg v1 metadata export (reference
+  * pyspark-iceberg/interoperability.md: external engines locate a table
+  * by metadata file). Validates the document against the public v1
+  * spec's required fields and the transform-name vocabulary.
+  */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private def tmp(): String = Files.createTempDirectory("graft_ice").toString + "/t"
+
+  test("export carries every v1 required field with the right shapes") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(200),
+      partitionFields = Seq(PartitionField("o_orderdate", "months", "o_month")))
+    t.append(spark.read.parquet(s"$sf/orders.parquet").limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    t.createTag("v1", t.meta.currentSnapshotId.get)
+    val root = mapper.readTree(IcebergExport.metadataJson(t))
+    for (f <- Seq("format-version", "table-uuid", "location", "last-updated-ms",
+        "last-column-id", "schema", "partition-spec", "current-snapshot-id",
+        "snapshots", "snapshot-log"))
+      assert(root.has(f), s"missing required v1 field $f")
+    assert(root.get("format-version").asInt() == 1)
+    // schema: struct with one id'd field per column
+    val fields = root.get("schema").get("fields")
+    assert(fields.size() == t.meta.schema.fields.length)
+    val ids = (0 until fields.size()).map(i => fields.get(i).get("id").asInt())
+    assert(ids == ids.sorted && ids.distinct.size == ids.size)
+    assert(root.get("last-column-id").asInt() == ids.max)
+    // partition spec uses Iceberg's transform vocabulary verbatim
+    val pf = root.get("partition-spec").get(0)
+    assert(pf.get("transform").asText() == "months")
+    assert(pf.get("field-id").asInt() == 1000)
+    assert(pf.get("source-id").asInt() ==
+      t.meta.schema.fieldNames.indexOf("o_orderdate") + 1)
+    // snapshots: current pointer resolves, parent chain intact, ops legal
+    val cur = root.get("current-snapshot-id").asLong()
+    val snaps = root.get("snapshots")
+    val byId = (0 until snaps.size()).map(i => snaps.get(i))
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    assert(byId.contains(cur))
+    assert(byId(cur).get("parent-snapshot-id").asLong() ==
+      t.meta.currentSnapshot.get.parentId.get)
+    val legalOps = Set("append", "delete", "replace", "overwrite")
+    assert(byId.values.forall(s =>
+      legalOps.contains(s.get("summary").get("operation").asText())))
+    // refs: the tag is exported with the spec's TAG type
+    assert(root.get("refs").get("v1").get("type").asText() == "TAG")
+    // the documented boundary is explicit
+    assert(root.get("properties").get("graft.manifest-format").asText() == "json")
+    // deterministic table-uuid (same location -> same uuid)
+    assert(root.get("table-uuid").asText() ==
+      mapper.readTree(IcebergExport.metadataJson(t)).get("table-uuid").asText())
+  }
+
+  test("type mapping covers the corpus schemas incl. nested lists") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc,
+      spark.read.parquet(s"$sf/embeddings.parquet")) // vec_id, ARRAY<FLOAT>, label
+    val root = mapper.readTree(IcebergExport.metadataJson(t))
+    val emb = root.get("schema").get("fields").get(1)
+    assert(emb.get("type").get("type").asText() == "list")
+    assert(emb.get("type").get("element").asText() == "float")
+    // ops map onto the spec's four summary operations
+    assert(IcebergExport.icebergOp("upsert-mor") == "append")
+    assert(IcebergExport.icebergOp("rewrite-deletes") == "replace")
+    assert(IcebergExport.icebergOp("update") == "overwrite")
+  }
+}
