@@ -315,6 +315,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"pq clustered recall $recall")
   }
 
+  test("ann gate variants return exactly the planted copies at ranks 1..5") {
+    // The oracle-exact gate construction (Similarity.plantedCorpus):
+    // 5 exact copies of each query vector at ids 1000000 + qid*10 + j.
+    // Identical arrays collide in every LSH table / IVF cell / PQ code by
+    // construction, and cosine ~1.0 dwarfs the corpus max of 0.48 — so
+    // every gate must return precisely the copy ids, ranked by id.
+    for ((name, gate) <- Seq(
+        "s02" -> Similarity.s02AnnLshGate _,
+        "s03" -> Similarity.s03AnnIvfGate _,
+        "s04" -> Similarity.s04AnnPqGate _)) {
+      val rows = gate(spark, sf)
+        .select($"query_id", $"neighbor_id", $"rnk").as[(Long, Long, Long)].collect()
+      assert(rows.nonEmpty, s"$name gate empty")
+      for ((qid, nid, rnk) <- rows)
+        assert(nid == 1000000L + qid * 10 + rnk,
+          s"$name gate: query $qid rank $rnk expected planted id, got $nid")
+    }
+  }
+
   test("s02 lsh returns correctly-ranked true neighbors (recall>=0.8 on uniform data)") {
     val exact = Similarity.s01AnnBruteforce(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
