@@ -440,6 +440,27 @@ object Relational {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** All §2.1 queries + oracles, keyed as in SURVEY §2. */
+  /** q21: PIVOT — long-to-wide reshaping with explicit pivot values
+    * (`RelationalGroupedDataset.pivot` with a value list stays a single
+    * hash-aggregate; omitting the list would add a distinct-scan job to
+    * discover values — never do that over 100 TB). A (flag, status) combo
+    * absent from the data yields NULL in both engines.
+    */
+  def q21Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_returnflag"),
+        col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  val q21Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary"  -> ((q01PricingSummary _, q01Oracle)),
     "q02_filter_pushdown"  -> ((q02FilterPushdown _, q02Oracle)),
@@ -459,5 +480,6 @@ object Relational {
     "q16_json_extract"     -> ((q16JsonExtract _, q16Oracle)),
     "q17_setops"           -> ((q17SetOps _, q17Oracle)),
     "q20_correlated_subquery" -> ((q20CorrelatedSubquery _, q20Oracle)),
+    "q21_pivot"               -> ((q21Pivot _, q21Oracle)),
   )
 }

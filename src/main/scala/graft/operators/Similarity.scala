@@ -413,6 +413,85 @@ object Similarity {
     s04AnnPqOn(plantedCorpus(spark, sfDir), queries(spark, sfDir),
       pqCodebooks(spark, sfDir), rerank = 100)
 
+  // ------------------------------------------------------------------
+  // s05: filtered ANN — the vector-store staple "top-k WHERE metadata
+  // predicate". The predicate here is label equality with the query's own
+  // label (embeddings carry an int label). The filter rides the BUCKET
+  // KEY: corpus rows join probes on (cell, label), so Catalyst evaluates
+  // the predicate inside the broadcast-hash-join condition and non-
+  // matching rows never reach scoring — a pre-filtered index probe, not a
+  // post-filter of an unfiltered top-k (post-filtering an approximate
+  // top-k under-fills k when the predicate is selective; scoping the
+  // index probe does not). At 100 TB with a very selective predicate the
+  // planner-preferred alternative is a pushed-down parquet scan + exact
+  // top-k over the survivors; this kernel is the broad-predicate path.
+  // ------------------------------------------------------------------
+
+  private def labeledQueries(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+
+  private[graft] def s05AnnFilteredOn(e: DataFrame, q: DataFrame,
+      cents: Array[Array[Float]], nProbe: Int, repl: Int): DataFrame = {
+    val assigned = e.select(col("vec_id"), col("embedding"), col("label"),
+      explode(F.nearestCells(col("embedding"), cents, repl)).as("cell"))
+    val probes = q.select(col("query_id"), col("qv"), col("qlabel"),
+      explode(F.nearestCells(col("qv"), cents, nProbe)).as("cell"))
+    val scored = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && assigned("label") === probes("qlabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        F.cosine(col("qv"), col("embedding")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
+    topK(scored)
+  }
+
+  def s05AnnFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    s05AnnFilteredOn(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"), col("label")),
+      labeledQueries(spark, sfDir),
+      ivfCentroids(spark, sfDir), nProbe = 4, repl = 2)
+
+  /** Gate variant: planted same-label copies (ids 2000000+) make the
+    * label-scoped recall provably 1.0 — identical arrays share cells AND
+    * the label passes the filter — so the result equals DuckDB's exact
+    * label-filtered top-5.
+    */
+  def s05AnnFilteredGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = labeledQueries(spark, sfDir)
+    val copies = q
+      .select(col("query_id"), col("qv"), col("qlabel"),
+        explode(array((1 to Copies).map(lit): _*)).as("j"))
+      .select((lit(2000000L) + col("query_id") * 10 + col("j")).cast("long").as("vec_id"),
+        col("qv").as("embedding"), col("qlabel").as("label"))
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(copies)
+    s05AnnFilteredOn(corpus, q, ivfCentroids(spark, sfDir), nProbe = 4, repl = 2)
+  }
+
+  val s05Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(2000000 + q.query_id * 10 + t.j AS BIGINT) AS vec_id, q.qv AS ev, q.label
+      |  FROM q CROSS JOIN range(1, 6) t(j)),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qv, c.ev) AS sim
+      |  FROM q JOIN corpus c ON c.label = q.label AND c.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, rnk FROM (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** Exact top-5 over the same planted corpus — what a provably-recall-1.0
     * index must return. Mirrors [[plantedCorpus]] row for row.
     */
@@ -440,5 +519,6 @@ object Similarity {
     "s02_ann_lsh"        -> ((s02AnnLshGate _, plantedOracle)),
     "s03_ann_ivf"        -> ((s03AnnIvfGate _, plantedOracle)),
     "s04_ann_pq"         -> ((s04AnnPqGate _, plantedOracle)),
+    "s05_ann_filtered"   -> ((s05AnnFilteredGate _, s05Oracle)),
   )
 }

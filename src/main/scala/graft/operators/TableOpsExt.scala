@@ -515,8 +515,49 @@ object TableOpsExt {
        |    + 4 * (SELECT COUNT(*) FROM ${cappedSql(250)}) AS n_distinct_keys,
        |  TRUE AS linear_history""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+
+  /** t34: retention-aware snapshot expiration (Iceberg branch/tag
+    * retention properties). Four snapshots; a bare tag pins s1 forever, a
+    * tag with `max-ref-age-ms = 0` is itself dropped by the expire
+    * (releasing s2), and a branch at s3 with `min-snapshots-to-keep = 1`
+    * protects exactly its head. Expiring everything older than the
+    * newest commit then leaves {s1, s3, s4}, drops the stale tag, and
+    * both surviving refs still time-travel correctly.
+    */
+  def t34BranchRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 1000))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 200, 900000000L))
+    val s2 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 200, 1800000000L))
+    val s3 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 200, 2700000000L))
+    t.createTag("pin", s1)
+    t.createTag("stale", s2)
+    t.createBranch("dev", Some(s3))
+    val asOf = t.meta.snapshots.map(_.timestampMs).max + 1
+    t.expireSnapshots(asOf, Map(
+      "stale" -> RefRetention(maxRefAgeMs = 0L),
+      "dev"   -> RefRetention(minSnapshotsToKeep = 1, maxSnapshotAgeMs = 0L)), asOf)
+    val m = t.meta
+    Seq((m.snapshots.size.toLong, m.refs.size.toLong, m.refs.contains("stale"),
+        t.asOfRef("pin").count(), t.asOfRef("dev").count(), t.toDF().count()))
+      .toDF("n_snapshots", "n_refs", "stale_survives",
+        "tag_rows", "branch_rows", "main_rows")
+  }
+
+  val t34Oracle: String =
+    s"""WITH c AS (SELECT (SELECT COUNT(*) FROM ${cappedSql(1000)}) AS a,
+       |  (SELECT COUNT(*) FROM ${cappedSql(200)}) AS b)
+       |SELECT CAST(3 AS BIGINT) AS n_snapshots, CAST(2 AS BIGINT) AS n_refs,
+       |  FALSE AS stale_survives, a AS tag_rows, a + 2 * b AS branch_rows,
+       |  a + 3 * b AS main_rows FROM c""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t33_concurrent_append" -> ((t33ConcurrentAppend _, t33Oracle)),
+    "t34_branch_retention"  -> ((t34BranchRetention _, t34Oracle)),
     "t32_cherry_pick"       -> ((t32CherryPick _, t32Oracle)),
     "t27_metadata_inspection" -> ((t27MetadataInspection _, t27Oracle)),
     "t17_position_deletes"  -> ((t17PositionDeletes _, t17Oracle)),

@@ -362,6 +362,67 @@ object TextAnalysis {
       |  CAST(((SUM(tokens) + 255) // 256) * 256 - SUM(tokens) AS BIGINT) AS tail_waste
       |FROM placed GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p03
+
+  /** p03: token-budget mixture sampling — the "data mixing" step that
+    * turns per-source weights into an actual training subset: each source
+    * keeps documents in a DETERMINISTIC pseudo-random order (a portable
+    * multiplicative hash of doc_id — reshuffling the corpus never changes
+    * the selection) until the running token count reaches the source's
+    * budget (here 50% of its total tokens). A document is kept iff the
+    * tokens BEFORE it are still under budget, so every source overshoots
+    * by at most one document and never under-fills.
+    *
+    * Scale note: the per-source cumsum window is fine up to ~10⁸ docs per
+    * source; at 100 TB the same selection is computed without any
+    * single-partition window by histogramming token counts over hash-
+    * prefix buckets and binary-searching the hash threshold whose prefix
+    * sum meets the budget (two shuffle-free aggregate passes), then
+    * filtering h < threshold. The hash-order definition here is exactly
+    * that threshold semantics, so the two implementations agree.
+    */
+  def p03TokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).as("h"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totals = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs_total"),
+      sum(col("n_tokens")).as("tokens_total"))
+    d.withColumn("before", coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+      .join(broadcast(totals), "source")
+      .withColumn("keep", col("before") < expr("tokens_total div 2"))
+      .groupBy(col("source"), col("n_docs_total"), col("tokens_total"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs_total"), col("n_docs_kept"),
+        col("tokens_total"), col("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val p03Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    (doc_id * 2654435761) % 2147483647 AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS tokens_total,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_docs_total
+      |  FROM d)
+      |SELECT source,
+      |  CAST(n_docs_total AS BIGINT) AS n_docs_total,
+      |  CAST(SUM(CASE WHEN before < tokens_total // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+      |  tokens_total,
+      |  CAST(SUM(CASE WHEN before < tokens_total // 2 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM c GROUP BY source, n_docs_total, tokens_total ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- x08
 
   /** Word-8-shingle hashes (sorted distinct) — the decontamination gram. */
@@ -555,6 +616,7 @@ object TextAnalysis {
     "x11_pii_redact"    -> ((x11PiiRedact _, x11Oracle)),
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
     "p02_seq_packing"       -> ((p02SequencePacking _, p02Oracle)),
+    "p03_token_budget_mix"  -> ((p03TokenBudgetMix _, p03Oracle)),
     "x10_data_mix"      -> ((x10DataMix _, x10Oracle)),
     "x08_decontaminate" -> ((x08Decontaminate _, x08Oracle)),
     "x09_repetition"    -> ((x09Repetition _, x09Oracle)),

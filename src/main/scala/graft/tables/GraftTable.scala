@@ -1163,12 +1163,47 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * `EXECUTE expire_snapshots`). Only files under this table's data dir
     * are deleted — in-place-migrated external files are left alone.
     */
-  def expireSnapshots(olderThanMs: Long): GraftTable = {
+  def expireSnapshots(olderThanMs: Long): GraftTable =
+    expireSnapshots(olderThanMs, Map.empty, System.currentTimeMillis())
+
+  /** Retention-aware expiration (Iceberg branch/tag retention). Per-ref
+    * policies from `retention` (refs absent from the map keep today's
+    * semantics: a tag pins its snapshot forever, a branch protects only
+    * its head). Ages are measured against `asOfMs`, never the wall clock,
+    * so maintenance jobs are replayable. Order of operations matches
+    * Iceberg's ExpireSnapshots: refs past `maxRefAgeMs` are dropped FIRST
+    * (releasing their snapshots), then the protected set is computed from
+    * the surviving refs, then unprotected snapshots older than
+    * `olderThanMs` expire along with any file only they reference.
+    */
+  def expireSnapshots(olderThanMs: Long, retention: Map[String, RefRetention],
+      asOfMs: Long): GraftTable = {
     val m = meta
+    val liveRefs = m.refs.filter { case (name, r) =>
+      val born = m.snapshot(r.snapshotId).map(_.timestampMs).getOrElse(asOfMs)
+      asOfMs - born <= retention.get(name).map(_.maxRefAgeMs).getOrElse(Long.MaxValue)
+    }
+    val protectedIds: Set[Long] = {
+      val b = Set.newBuilder[Long]
+      m.currentSnapshotId.foreach(b += _)
+      liveRefs.foreach { case (name, r) =>
+        if (r.kind == "branch" && retention.contains(name)) {
+          val pol = retention(name)
+          m.ancestorsOf(r.snapshotId).zipWithIndex.foreach { case (id, i) =>
+            val young = m.snapshot(id).exists(s => asOfMs - s.timestampMs <= pol.maxSnapshotAgeMs)
+            if (i < pol.minSnapshotsToKeep || young) b += id
+          }
+        } else b += r.snapshotId
+      }
+      b.result()
+    }
     val (expired, kept) = m.snapshots.partition(s =>
-      s.timestampMs < olderThanMs && !m.currentSnapshotId.contains(s.id) &&
-        !m.refs.values.exists(_.snapshotId == s.id))
-    if (expired.isEmpty) return this
+      s.timestampMs < olderThanMs && !protectedIds.contains(s.id))
+    if (expired.isEmpty && liveRefs.size == m.refs.size) return this
+    if (expired.isEmpty) {
+      commitMetadataOnly(m.copy(version = m.version + 1, refs = liveRefs))
+      return this
+    }
     val keptData = kept.map(manifestDataOf)
     val expiredData = expired.map(manifestDataOf)
     val keptFiles = keptData.flatMap(_.files.map(_.path)).toSet
@@ -1191,7 +1226,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val keptManifests = kept.flatMap(manifestFiles).toSet
     expired.flatMap(manifestFiles).toSet.diff(keptManifests)
       .foreach(n => MetaIO.delete(conf, s"${MetaIO.metadataDir(location)}/$n"))
-    commitMetadataOnly(m.copy(version = m.version + 1, snapshots = kept))
+    commitMetadataOnly(m.copy(version = m.version + 1, snapshots = kept,
+      refs = liveRefs))
     this
   }
 

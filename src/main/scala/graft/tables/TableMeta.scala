@@ -192,7 +192,33 @@ case class TableMeta(
     }
     out
   }
+
+  /** Ancestor chain starting at `id`, newest first (the branch history a
+    * ref retention policy protects).
+    */
+  def ancestorsOf(id: Long): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    var cur = snapshot(id)
+    while (cur.isDefined) {
+      out += cur.get.id
+      cur = cur.get.parentId.flatMap(snapshot)
+    }
+    out.result()
+  }
 }
+
+/** Per-ref snapshot retention policy (Iceberg's branch/tag retention
+  * properties `min-snapshots-to-keep` / `max-snapshot-age-ms` /
+  * `max-ref-age-ms`). For a BRANCH, the head plus the most recent
+  * `minSnapshotsToKeep` ancestors plus every ancestor younger than
+  * `maxSnapshotAgeMs` survive expiration; for a TAG only the pinned
+  * snapshot is protected. A ref older than `maxRefAgeMs` is itself
+  * dropped, releasing its snapshots.
+  */
+case class RefRetention(
+    minSnapshotsToKeep: Int = 1,
+    maxSnapshotAgeMs: Long = Long.MaxValue,
+    maxRefAgeMs: Long = Long.MaxValue)
 
 /** JSON (de)serialization with jackson-databind (ships with Spark). */
 object MetaIO {

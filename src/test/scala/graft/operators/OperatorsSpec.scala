@@ -334,6 +334,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s05 filtered ann: every neighbor carries the query's label; gate returns planted ids") {
+    // production kernel: the label predicate is enforced inside the
+    // bucket join, so no cross-label neighbor can ever appear
+    val lbl = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val out = Similarity.s05AnnFiltered(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((qid, nid) <- out)
+      assert(lbl(nid) == lbl(qid), s"neighbor $nid label ${lbl(nid)} != query $qid label ${lbl(qid)}")
+    // gate: planted same-label copies are provably the filtered top-5
+    val rows = Similarity.s05AnnFilteredGate(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rnk").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((qid, nid, rnk) <- rows)
+      assert(nid == 2000000L + qid * 10 + rnk,
+        s"s05 gate: query $qid rank $rnk expected planted id, got $nid")
+  }
+
   test("s02 lsh returns correctly-ranked true neighbors (recall>=0.8 on uniform data)") {
     val exact = Similarity.s01AnnBruteforce(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
@@ -346,6 +365,23 @@ class SimilaritySpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("p03 budget mix: every source fills its token budget with minimal overshoot, deterministically") {
+    val out = TextAnalysis.p03TokenBudgetMix(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((source, nTotal, nKept, tokTotal, tokKept) <- out) {
+      val budget = tokTotal / 2
+      assert(nKept <= nTotal)
+      // the kept set is the smallest hash-order prefix reaching the budget:
+      // it never under-fills, and dropping its last doc would under-fill
+      assert(tokKept >= budget, s"$source under-filled: $tokKept < $budget")
+      assert(nKept < nTotal || tokKept == tokTotal, s"$source kept everything yet total>budget")
+    }
+    val again = TextAnalysis.p03TokenBudgetMix(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.sameElements(again), "selection must be deterministic")
+  }
 
   test("p02 packing accounting matches a driver-side replay of concat-and-chunk") {
     val out = TextAnalysis.p02SequencePacking(spark, sf)

@@ -46,6 +46,45 @@ class GraftTableSpec extends SparkSpec {
     assert(h2.find(_._2 == snap2).exists(!_._4))
   }
 
+  test("t34 branch retention protects min-snapshots and age-window ancestors; branch still reads") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))   // s1
+    t.append(ordersDf.limit(10))                                      // s2
+    t.append(ordersDf.limit(10))                                      // s3
+    t.append(ordersDf.limit(10))                                      // s4 (current)
+    val ids = t.meta.snapshots.map(_.id)
+    val Seq(s1, s2, s3, s4) = ids
+    t.createBranch("dev", Some(s3))
+    val asOf = t.meta.snapshots.map(_.timestampMs).max + 1
+    // min-snapshots-to-keep=2 on dev protects s3 (head) AND s2 (ancestor);
+    // only s1 expires
+    t.expireSnapshots(asOf, Map("dev" -> RefRetention(minSnapshotsToKeep = 2,
+      maxSnapshotAgeMs = 0L)), asOf)
+    assert(t.meta.snapshots.map(_.id).toSet == Set(s2, s3, s4))
+    // the branch must still time-travel to both protected snapshots
+    assert(t.asOfRef("dev").count() == 120)
+    assert(t.asOf(s2).count() == 110)
+
+    // a generous age window protects the whole chain even with min=1
+    val t2 = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    t2.append(ordersDf.limit(10))
+    t2.append(ordersDf.limit(10))
+    t2.createBranch("dev", None)
+    val asOf2 = t2.meta.snapshots.map(_.timestampMs).max + 1
+    t2.expireSnapshots(asOf2, Map("dev" -> RefRetention(minSnapshotsToKeep = 1,
+      maxSnapshotAgeMs = Long.MaxValue)), asOf2)
+    assert(t2.meta.snapshots.size == 3, "age window must protect all ancestors")
+
+    // a tag past max-ref-age is dropped and releases its snapshot
+    val t3 = GraftTable.createAs(spark, tmp(), ordersDf.limit(100))
+    val p1 = t3.meta.currentSnapshotId.get
+    t3.append(ordersDf.limit(10))
+    t3.createTag("stale", p1)
+    val asOf3 = t3.meta.snapshots.map(_.timestampMs).max + 1
+    t3.expireSnapshots(asOf3, Map("stale" -> RefRetention(maxRefAgeMs = 0L)), asOf3)
+    assert(!t3.meta.refs.contains("stale"))
+    assert(t3.meta.snapshots.size == 1)
+  }
+
   test("t06 expire snapshots deletes orphaned data files") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(100))
