@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.tables._
 import java.nio.file.Files
@@ -555,9 +556,43 @@ object TableOpsExt {
        |  FALSE AS stale_survives, a AS tag_rows, a + 2 * b AS branch_rows,
        |  a + 3 * b AS main_rows FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+
+  /** t35: runtime-filter join — the dim side's distinct keys prune the
+    * fact table's files via min/max stats before the scan (Iceberg Spark
+    * runtime filtering). The fact table is clustered by the join key so
+    * key ranges per file are tight; the dim side is every 500th customer.
+    * Correctness is oracle-checked (the join result must equal a plain
+    * SQL join); the files-actually-skipped assertion lives in the spec —
+    * file counts depend on write parallelism and stay out of gate output.
+    */
+  def t35RuntimeFilterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000).repartition(8))
+    t.cluster(Seq("o_custkey"), nFiles = 8)
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 500 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = t.joinPruned(dim, "o_custkey", "c_custkey")
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_keys"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .select(col("n_rows"), col("n_keys"), col("sum_price"))
+  }
+
+  val t35Oracle: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM ${cappedSql(5000)} o
+       |JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 500 = 0) c
+       |  ON o.o_custkey = c.c_custkey""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t33_concurrent_append" -> ((t33ConcurrentAppend _, t33Oracle)),
     "t34_branch_retention"  -> ((t34BranchRetention _, t34Oracle)),
+    "t35_runtime_filter_join" -> ((t35RuntimeFilterJoin _, t35Oracle)),
     "t32_cherry_pick"       -> ((t32CherryPick _, t32Oracle)),
     "t27_metadata_inspection" -> ((t27MetadataInspection _, t27Oracle)),
     "t17_position_deletes"  -> ((t17PositionDeletes _, t17Oracle)),

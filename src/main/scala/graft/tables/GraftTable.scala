@@ -138,6 +138,38 @@ class GraftTable(val spark: SparkSession, val location: String) {
     ManifestData(files, dp, pdf, eq)
   }
 
+  /** Fact⋈dim join with RUNTIME file skipping (Iceberg's Spark runtime
+    * filtering, reference README.md "Predicate pushdown and file
+    * pruning"): the dim side's distinct join keys — bounded and small,
+    * it's the broadcast side by definition — become an IN-list predicate
+    * that prunes this table's manifests and files via min/max stats
+    * BEFORE Spark lists a single fact file. On a table clustered by the
+    * join key this turns a full-table scan into reading only the files
+    * whose key range intersects the dim keys; static Catalyst pushdown
+    * can never do this because the key set exists only at run time.
+    * `maxKeys` guards the driver: past it the dim side is no longer
+    * "small" and the plain broadcast join without file skipping is the
+    * right plan anyway.
+    */
+  def joinPruned(dim: DataFrame, factCol: String, dimCol: String,
+      maxKeys: Int = 100000): DataFrame = {
+    val keys = dim.select(dim(dimCol)).distinct().limit(maxKeys + 1).collect()
+      .map(_.get(0)).filter(_ != null)
+    require(keys.length <= maxKeys,
+      s"dim side exceeds $maxKeys distinct keys; use a plain join")
+    val fact =
+      if (keys.isEmpty) toDF(None).filter(lit(false))
+      else toDF(Some(s"$factCol IN (${keys.map(sqlLit).mkString(", ")})"))
+    fact.join(broadcast(dim), fact(factCol) === dim(dimCol))
+  }
+
+  private def sqlLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE'$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP'$t'"
+    case n => n.toString
+  }
+
   /** Files surviving manifest pruning for a filter (the workshop's
     * "files=N of M scanned" observability).
     */

@@ -85,6 +85,27 @@ class GraftTableSpec extends SparkSpec {
     assert(t3.meta.snapshots.size == 1)
   }
 
+  test("t35 runtime-filter join skips fact files and matches the plain join") {
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(8))
+    t.cluster(Seq("o_custkey"), nFiles = 8)
+    val dim = ordersDf.select($"o_custkey".as("k")).distinct().orderBy($"k").limit(3)
+    val keys = dim.as[Long].collect()
+    // the IN-list must actually skip files on a key-clustered table
+    val planned = t.plannedFiles(s"o_custkey IN (${keys.mkString(",")})")
+    assert(planned.size < t.currentFiles().size,
+      s"expected file skipping, planned ${planned.size} of ${t.currentFiles().size}")
+    // and the join result must be identical to the unpruned join
+    val pruned = t.joinPruned(dim, "o_custkey", "k")
+      .select($"o_orderkey").as[Long].collect().sorted
+    val full = t.toDF()
+    val plain = full.join(dim, full("o_custkey") === dim("k"))
+      .select($"o_orderkey").as[Long].collect().sorted
+    assert(pruned.sameElements(plain))
+    assert(plain.nonEmpty)
+    // empty dim side -> empty result, no scan blow-up
+    assert(t.joinPruned(dim.filter(lit(false)), "o_custkey", "k").count() == 0)
+  }
+
   test("t06 expire snapshots deletes orphaned data files") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf.limit(100))
