@@ -461,6 +461,28 @@ object Relational {
       |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q22: CUBE — all 2^k grouping sets in ONE pass (Spark expands the
+    * sets inside a single hash-aggregate `Expand`, not k separate scans
+    * of a 100 TB input).
+    */
+  def q22Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  val q22Oracle: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary"  -> ((q01PricingSummary _, q01Oracle)),
     "q02_filter_pushdown"  -> ((q02FilterPushdown _, q02Oracle)),
@@ -481,5 +503,6 @@ object Relational {
     "q17_setops"           -> ((q17SetOps _, q17Oracle)),
     "q20_correlated_subquery" -> ((q20CorrelatedSubquery _, q20Oracle)),
     "q21_pivot"               -> ((q21Pivot _, q21Oracle)),
+    "q22_cube"                -> ((q22Cube _, q22Oracle)),
   )
 }

@@ -423,6 +423,52 @@ object TextAnalysis {
       |  CAST(SUM(CASE WHEN before < tokens_total // 2 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
       |FROM c GROUP BY source, n_docs_total, tokens_total ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- x13
+
+  /** x13: exact per-source token-length quantiles (p50/p90/p99) — corpus
+    * length profiling for curation cutoffs. "Exact" is the point: the
+    * quantile is DEFINED as the value at rank ceil(p·n/100) in
+    * (n_tokens, doc_id) order, computed with integer arithmetic
+    * ((p·n+99) div 100), so both engines select the identical row — no
+    * sketch error bars, no builtin-interpolation-semantics drift.
+    *
+    * Scale note: rank selection per source is a per-source sort window
+    * (same caveat as p03); at 100 TB the identical definition is computed
+    * by a value-histogram pass + per-source cumulative-count walk (two
+    * aggregates, no global sort), converging to the same row.
+    */
+  def x13ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    def at(p: Int) =
+      max(when(col("rn") === expr(s"($p * n + 99) div 100"), col("n_tokens")))
+    d.withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        at(50).as("p50"), at(90).as("p90"), at(99).as("p99"))
+      .orderBy(col("source"))
+  }
+
+  val x13Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, n_tokens,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM d)
+      |SELECT source, MAX(n) AS n_docs,
+      |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN n_tokens END) AS p50,
+      |  MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN n_tokens END) AS p90,
+      |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tokens END) AS p99
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- x08
 
   /** Word-8-shingle hashes (sorted distinct) — the decontamination gram. */
@@ -617,6 +663,7 @@ object TextAnalysis {
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
     "p02_seq_packing"       -> ((p02SequencePacking _, p02Oracle)),
     "p03_token_budget_mix"  -> ((p03TokenBudgetMix _, p03Oracle)),
+    "x13_exact_quantiles"   -> ((x13ExactQuantiles _, x13Oracle)),
     "x10_data_mix"      -> ((x10DataMix _, x10Oracle)),
     "x08_decontaminate" -> ((x08Decontaminate _, x08Oracle)),
     "x09_repetition"    -> ((x09Repetition _, x09Oracle)),

@@ -383,6 +383,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sameElements(again), "selection must be deterministic")
   }
 
+  test("x13 exact quantiles match a driver-side sort-and-index replay") {
+    val out = TextAnalysis.x13ExactQuantiles(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val bySource = docs.groupBy(_._2)
+    for ((source, nDocs, p50, p90, p99) <- out) {
+      val toks = bySource(source)
+        .map { case (id, _, t) => (t.trim.split("\\s+").length.toLong, id) }
+        .sortBy(identity)
+      assert(nDocs == toks.length)
+      def at(p: Int) = toks(((p.toLong * toks.length + 99) / 100).toInt - 1)._1
+      assert(p50 == at(50) && p90 == at(90) && p99 == at(99),
+        s"$source quantiles ($p50,$p90,$p99) != (${at(50)},${at(90)},${at(99)})")
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("p02 packing accounting matches a driver-side replay of concat-and-chunk") {
     val out = TextAnalysis.p02SequencePacking(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
