@@ -586,4 +586,38 @@ class RelationalPlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) HashAggregate") && plan.contains("partial_sum"))
   }
+
+  // AQE plans print "== Final Plan ==" followed by "== Initial Plan ==";
+  // operator counting must only see the final section
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q21 pivot scans once with map-side partials; post-scan shuffles carry only aggregated rows") {
+    val plan = finalPlan(Relational.q21Pivot(spark, sf))
+    assert(plan.contains("partial_sum"), "map-side partial aggregation expected")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"explicit value list must not add a discovery scan:\n$plan")
+    // Spark plans pivot as pair-aggregate -> pivotfirst aggregate -> sort:
+    // 3 exchanges, but only the first moves un-aggregated data
+    val exchanges = "Exchange (?:hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"unexpected extra shuffle:\n$plan")
+  }
+
+  test("q22 cube expands all grouping sets in a single pass") {
+    val plan = finalPlan(Relational.q22Cube(spark, sf))
+    assert(plan.contains("Expand"), s"cube must use Expand, not multiple scans:\n$plan")
+    // exactly one scan of the input feeds the Expand
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"cube must scan the input once:\n$plan")
+  }
+
+  test("s05 filtered ann keeps the corpus map-only below a broadcast join") {
+    val df = graft.operators.Similarity.s05AnnFiltered(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probes must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
+  }
 }
