@@ -12,7 +12,7 @@ object SparkEntry {
     Relational.entries ++ TemporalJoins.entries ++ TextAnalysis.entries ++
       Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++
       TableOps.entries ++ TableOpsExt.entries ++ SkewJoins.entries ++
-      graft.streaming.Streams.entries
+      Incremental.entries ++ graft.streaming.Streams.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -483,7 +483,53 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** q23: bucketed CO-LOCATED join — the zero-shuffle fact⋈fact join. Both
+    * tables are written bucketed by the join key (`bucketBy` + in-bucket
+    * sort); the sort-merge join then reads bucket i against bucket i with
+    * NO exchange on either side — at 100 TB this turns the single biggest
+    * shuffle of a fact-fact pipeline into a metadata arrangement, paid once
+    * at write time and amortized over every subsequent join (the Hive/Spark
+    * bucketed-table contract; Iceberg gets the same via storage-partitioned
+    * joins over `bucket(n, key)`). 8 buckets here is sized to the test SF —
+    * at production scale you size buckets to ~executor-count × small
+    * integer. The MERGE hint keeps the demonstration honest (a broadcast
+    * join would also be shuffle-free, but only because the test input is
+    * small). Plan shape (no exchange on the join keys) is pinned in
+    * RelationalPlanSpec; the gate checks values against the plain join.
+    */
+  def q23BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (o, l) = bucketedPair(spark, sfDir, 8)
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** orders + lineitem written as bucketed tables on the join key (unique
+    * catalog names per call; external paths under a temp dir).
+    */
+  private[operators] def bucketedPair(spark: SparkSession, sfDir: String,
+      nBuckets: Int): (DataFrame, DataFrame) = {
+    val suf = java.util.UUID.randomUUID().toString.take(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val (ot, lt) = (s"graft_bkt_o_$suf", s"graft_bkt_l_$suf")
+    Tables.orders(spark, sfDir).write
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/o").saveAsTable(ot)
+    Tables.lineitem(spark, sfDir).write
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/l").saveAsTable(lt)
+    (spark.table(ot), spark.table(lt))
+  }
+
+  val q23Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q23_bucketed_join"    -> ((q23BucketedJoin _, q23Oracle)),
     "q01_pricing_summary"  -> ((q01PricingSummary _, q01Oracle)),
     "q02_filter_pushdown"  -> ((q02FilterPushdown _, q02Oracle)),
     "q03_join_fact_dim"    -> ((q03JoinFactDim _, q03Oracle)),

@@ -510,7 +510,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       added: Long, parentOverride: Option[Long] = None,
       deletePredicates: Seq[String] = Nil,
       positionDeleteFiles: Seq[String] = Nil,
-      equalityDeletes: Seq[EqualityDelete] = Nil): TableMeta = {
+      equalityDeletes: Seq[EqualityDelete] = Nil,
+      extraProperties: Map[String, String] = Map.empty): TableMeta = {
     // optimistic concurrency: fail fast when a commit landed after this
     // operation read its base metadata (the CAS in commitMeta is the
     // authoritative check; this avoids writing manifests we'd discard)
@@ -530,7 +531,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       System.currentTimeMillis(), op,
       listName, added, files.size, files.map(_.recordCount).sum)
     val next = m.copy(version = m.version + 1, snapshots = m.snapshots :+ snap,
-      currentSnapshotId = Some(snapId))
+      currentSnapshotId = Some(snapId),
+      properties = m.properties ++ extraProperties)
     MetaIO.commitMeta(conf, next)
     next
   }
@@ -749,7 +751,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * [[materializeDeletes]]/[[compactDeleteFiles]] amortize the read-side
     * debt on maintenance schedule.
     */
-  def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+  def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable =
+    mergeBatch(source, None, keyCols)
+
+  /** The generic CDC batch apply: ONE commit carrying an equality delete on
+    * `keyCols` for the upserted keys PLUS `deletedKeys` (rows that vanish
+    * without a replacement — the 'D' side of a changelog batch), the
+    * upserted rows as new files, and optionally `extraProperties` folded
+    * into the same metadata version. The atomic property ride-along is what
+    * gives changelog consumers exactly-once apply: their progress cursor
+    * (e.g. [[graft.tables.IncrementalAggView]]'s base-snapshot watermark)
+    * commits or fails WITH the data, so a crash between "apply" and
+    * "advance cursor" cannot happen. O(|batch|) like [[upsertMergeOnRead]].
+    */
+  def mergeBatch(upserts: DataFrame, deletedKeys: Option[DataFrame],
+      keyCols: Seq[String],
+      extraProperties: Map[String, String] = Map.empty): GraftTable = {
     require(keyCols.nonEmpty, "upsert needs key columns")
     // predicate deletes apply globally at read time — a carried-forward
     // predicate would silently drop upserted rows it matches, violating the
@@ -759,13 +776,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val md = currentManifest(m)
     val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
-    source.select(keyCols.map(col): _*).distinct().write.parquet(delDir)
-    val newFiles = writeDataFiles(source, m)
+    val upsertKeys = upserts.select(keyCols.map(col): _*)
+    deletedKeys.map(d => upsertKeys.unionByName(d.select(keyCols.map(col): _*)))
+      .getOrElse(upsertKeys).distinct().write.parquet(delDir)
+    val newFiles = writeDataFiles(upserts, m)
     commitSnapshot(m, md.files ++ newFiles, "upsert-mor", newFiles.size,
       deletePredicates = md.deletePredicates,
       positionDeleteFiles = md.positionDeleteFiles,
       equalityDeletes = md.equalityDeletes :+
-        EqualityDelete(keyCols, listParquet(delDir), nextSnapshotId(m)))
+        EqualityDelete(keyCols, listParquet(delDir), nextSnapshotId(m)),
+      extraProperties = extraProperties)
     this
   }
 

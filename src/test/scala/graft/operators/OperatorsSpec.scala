@@ -613,6 +613,16 @@ class RelationalPlanSpec extends SparkSpec {
       s"cube must scan the input once:\n$plan")
   }
 
+  test("q23 bucketed join is co-located: no exchange on either join key") {
+    val plan = finalPlan(Relational.q23BucketedJoin(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // bucketed scans align partitioning with the join keys — the only
+    // exchanges left are the post-aggregate ones (status agg + sort)
+    assert(!plan.contains("hashpartitioning(o_orderkey") &&
+      !plan.contains("hashpartitioning(l_orderkey"),
+      s"join keys must NOT shuffle — bucketing is supposed to co-locate:\n$plan")
+  }
+
   test("s05 filtered ann keeps the corpus map-only below a broadcast join") {
     val df = graft.operators.Similarity.s05AnnFiltered(spark, sf)
     df.collect()

@@ -1,0 +1,119 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import java.nio.file.Files
+
+/** Incremental materialized-view maintenance (mv01): refresh folds the
+  * base table's changelog into the aggregate instead of recomputing it,
+  * groups die when their count hits zero, and the progress cursor commits
+  * atomically with the delta.
+  */
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_mv").toString + "/t"
+
+  private def orders(n: Int): DataFrame =
+    Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(n)
+
+  private def recompute(base: GraftTable): Set[(String, Long, BigDecimal)] =
+    base.toDF().groupBy(col("o_orderstatus")).agg(
+      count(lit(1)).as("cnt"),
+      sum(coalesce(col("o_totalprice").cast(DecimalType(28, 6)),
+        lit(0).cast(DecimalType(28, 6)))).cast(DecimalType(28, 6)).as("s"))
+      .as[(String, Long, BigDecimal)].collect().toSet
+
+  private def viewRows(v: IncrementalAggView): Set[(String, Long, BigDecimal)] =
+    v.toDF().select(col("o_orderstatus"), col("cnt"),
+      col("sum_o_totalprice").cast(DecimalType(28, 6)))
+      .as[(String, Long, BigDecimal)].collect().toSet
+
+  test("refresh tracks append, CoW delete, MOR upsert, and truncate exactly") {
+    val base = GraftTable.createAs(spark, tmp(), orders(600))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    assert(viewRows(v) == recompute(base))
+
+    base.append(orders(100).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    assert(v.refresh() == 100L)
+    assert(viewRows(v) == recompute(base))
+
+    base.delete("o_orderkey % 5 = 0")
+    v.refresh()
+    assert(viewRows(v) == recompute(base))
+
+    base.upsertMergeOnRead(
+      orders(50).withColumn("o_totalprice", lit(9999.25)), Seq("o_orderkey"))
+    v.refresh()
+    assert(viewRows(v) == recompute(base))
+
+    base.truncate()
+    v.refresh()
+    assert(viewRows(v).isEmpty)
+  }
+
+  test("no-op refresh returns 0 and commits nothing") {
+    val base = GraftTable.createAs(spark, tmp(), orders(100))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    val version = v.table.meta.version
+    assert(v.refresh() == 0L)
+    assert(v.table.meta.version == version)
+  }
+
+  test("refresh work is proportional to the delta, not the base table") {
+    val base = GraftTable.createAs(spark, tmp(), orders(5000))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    base.append(orders(7).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    // 7 changelog rows processed — not 5007
+    assert(v.refresh() == 7L)
+  }
+
+  test("a group whose count reaches zero is deleted from the view") {
+    val base = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 5.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    assert(viewRows(v).map(_._1) == Set("A", "B"))
+    base.delete("o_orderstatus = 'B'")
+    v.refresh()
+    assert(viewRows(v).map(_._1) == Set("A"))
+  }
+
+  test("cursor advances atomically with the apply commit (one version)") {
+    val base = GraftTable.createAs(spark, tmp(), orders(200))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    base.append(orders(20).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    val before = v.table.meta.version
+    v.refresh()
+    val m = v.table.meta
+    // exactly one metadata version: delta apply + cursor ride together
+    assert(m.version == before + 1)
+    assert(m.properties(IncrementalAggView.BaseSnapProp).toLong ==
+      base.meta.currentSnapshotId.get)
+    assert(m.currentSnapshot.get.operation == "upsert-mor")
+  }
+
+  test("NULL measures count toward cnt and sum as zero") {
+    val base = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "A", Some(10.0)), (2L, "A", None), (3L, "B", None))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    base.append(Seq((4L, "B", Option.empty[Double]))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    v.refresh()
+    val rows = viewRows(v)
+    assert(rows.find(_._1 == "A").get._2 == 2L)
+    assert(rows.find(_._1 == "A").get._3 == BigDecimal("10.000000"))
+    assert(rows.find(_._1 == "B").get._2 == 2L)
+    assert(rows.find(_._1 == "B").get._3 == BigDecimal(0))
+  }
+}
