@@ -55,3 +55,65 @@ class MisraGries(k: Int) extends Aggregator[String, mutable.Map[String, Long], M
   override def outputEncoder: Encoder[Map[String, Long]] =
     implicitly[Encoder[Map[String, Long]]](Encoders.kryo[Map[String, Long]])
 }
+
+/** KMV (k-minimum-values) distinct-count sketch as a typed Aggregator
+  * (Bar-Yossef et al. 2002): keep the k smallest hash values seen; with
+  * hashes uniform on [0,1), the k-th minimum U estimates the cardinality
+  * as (k-1)/U. O(k) memory per group regardless of cardinality, and merge
+  * is set-union-keep-k-smallest — fully mergeable map-side partials, so a
+  * 100 TB distinct-count never shuffles raw values (the exact
+  * `count(distinct)` shuffles every distinct key to its group).
+  *
+  * Input is an ALREADY-HASHED long (hash in the plan via codegen'd
+  * `xxhash64`; the Aggregator only maintains order statistics). Hashes are
+  * stored sign-flipped so natural Long order equals unsigned hash order.
+  *
+  * EXACTNESS CONTRACT: while fewer than k distinct hashes have been seen,
+  * the buffer IS the distinct hash set and the result is the exact
+  * distinct count (modulo 64-bit hash collisions, ~n²/2⁶⁵) — sketches with
+  * this property gate-check against `COUNT(DISTINCT …)`; the estimation
+  * path (cardinality ≥ k, relative error ≈ 1/√(k−2)) is spec-asserted.
+  */
+class KMinValues(k: Int) extends Aggregator[Long, mutable.HashSet[Long], Long] {
+  require(k >= 16, "k too small for a meaningful estimate")
+
+  private def flip(h: Long): Long = h ^ Long.MinValue
+
+  // buffer is an unordered set trimmed to the k smallest whenever it grows
+  // past 2k (amortized O(log) per insert; kryo round-trips HashSet
+  // faithfully where sorted collections lose their ordering)
+  private def trim(s: mutable.HashSet[Long]): mutable.HashSet[Long] =
+    if (s.size <= 2 * k) s
+    else {
+      val kept = s.toArray.sorted.take(k)
+      s.clear()
+      s ++= kept
+    }
+
+  override def zero: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+
+  override def reduce(s: mutable.HashSet[Long], x: Long): mutable.HashSet[Long] = {
+    s.add(flip(x))
+    trim(s)
+  }
+
+  override def merge(a: mutable.HashSet[Long], b: mutable.HashSet[Long]): mutable.HashSet[Long] = {
+    a ++= b
+    trim(a)
+  }
+
+  override def finish(s: mutable.HashSet[Long]): Long =
+    if (s.size < k) s.size.toLong
+    else {
+      // k-th minimum as a fraction of the hash space: flipped values are
+      // uniform on [Long.Min, Long.Max] → u = v/2⁶⁴ + 0.5 ∈ (0, 1)
+      val kth = s.toArray.sorted.apply(k - 1)
+      val u = kth.toDouble / 18446744073709551616.0 + 0.5
+      Math.round((k - 1).toDouble / u)
+    }
+
+  override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
+    implicitly[Encoder[mutable.HashSet[Long]]](Encoders.kryo[mutable.HashSet[Long]])
+
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

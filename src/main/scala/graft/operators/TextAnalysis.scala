@@ -658,7 +658,37 @@ object TextAnalysis {
       |    '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS clean
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x14
+
+  /** x14: approximate distinct counting via the KMV sketch
+    * ([[graft.functions.KMinValues]]) — per-event-type distinct users with
+    * O(k) state per group and mergeable map-side partials, where exact
+    * `count(distinct)` shuffles every (group, user) pair; at 100 TB the
+    * sketch is the only affordable per-group cardinality. Hashing stays in
+    * the plan (codegen'd `xxhash64`); the Aggregator keeps order
+    * statistics only. Gate-exact by the KMV contract: every per-type
+    * cardinality here is far below k = 8192, so the sketch holds the full
+    * distinct hash set and returns the exact count — DuckDB recomputes it
+    * as COUNT(DISTINCT). The estimation path (≥ k, error ≈ 1/√(k−2)) and
+    * partition-invariance are spec-asserted in SketchAndSkewSpec.
+    */
+  def x14KmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KMinValues(8192),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(kmv(xxhash64(col("user_id"))).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val x14Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS approx_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),
     "x11_pii_redact"    -> ((x11PiiRedact _, x11Oracle)),
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
     "p02_seq_packing"       -> ((p02SequencePacking _, p02Oracle)),

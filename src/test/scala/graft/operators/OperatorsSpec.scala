@@ -511,6 +511,35 @@ class SketchAndSkewSpec extends SparkSpec {
     assert(out.map(_._1).toSet == exact.map(_._1).toSet)
   }
 
+  test("kmv below saturation is the exact distinct count") {
+    val kmv = udaf(new graft.functions.KMinValues(1024),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // 700 distinct values with heavy repetition, k=1024 → exact
+    val df = spark.range(7000).select((col("id") % 700).as("v"))
+    val got = df.agg(kmv(xxhash64(col("v")))).head().getLong(0)
+    assert(got == 700L)
+  }
+
+  test("kmv saturated estimate is within the theoretical error band") {
+    val k = 256
+    val kmv = udaf(new graft.functions.KMinValues(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val n = 20000L
+    val got = spark.range(n).select(xxhash64(col("id")).as("h"))
+      .agg(kmv(col("h"))).head().getLong(0)
+    // stderr ≈ 1/√(k−2) ≈ 6.3%; 4σ band, deterministic draw
+    assert(math.abs(got - n).toDouble / n < 0.25, s"estimate $got vs $n")
+  }
+
+  test("kmv estimate is invariant to partitioning (merge is set union)") {
+    val kmv = udaf(new graft.functions.KMinValues(128),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val base = spark.range(5000).select(xxhash64(col("id")).as("h"))
+    val a = base.repartition(1).agg(kmv(col("h"))).head().getLong(0)
+    val b = base.repartition(13).agg(kmv(col("h"))).head().getLong(0)
+    assert(a == b, s"partitioning changed the estimate: $a vs $b")
+  }
+
   test("salted join equals plain join") {
     val left = spark.read.parquet(s"$sf/lineitem.parquet")
       .select($"l_orderkey", $"l_partkey", $"l_quantity")
