@@ -589,7 +589,113 @@ object TableOpsExt {
        |JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 500 = 0) c
        |  ON o.o_custkey = c.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- t36
+
+  /** t36: FULL schema evolution (r6) — rename / drop / re-add / widen as
+    * metadata-only commits over the logical→physical column mapping
+    * ([[graft.tables.ColumnMapping]]; the Iceberg field-id model over
+    * plain parquet). The gate proves: a rename rewrites no file and keeps
+    * values queryable under the new name across old AND new files; a
+    * widened int column sums as long across mixed-type files; a dropped
+    * column re-added under the same name reads NULL from pre-drop files
+    * (no byte resurrection) and real values from post-re-add writes.
+    */
+  def t36SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = orders(spark, sfDir, 1000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        (col("o_orderkey") % 50).cast("int").as("qty"))
+    val t = GraftTable.createAs(spark, tmp(), base)
+    val filesBefore = t.currentFiles().map(_.path).toSet
+
+    t.renameColumn("o_totalprice", "price")
+    val metadataOnly = t.currentFiles().map(_.path).toSet == filesBefore
+    t.widenColumn("qty", org.apache.spark.sql.types.LongType)
+    t.dropColumn("o_orderstatus")
+    t.addColumn("o_orderstatus", org.apache.spark.sql.types.StringType)
+
+    t.append(orders(spark, sfDir, 200)
+      .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+        col("o_totalprice").as("price"),
+        ((col("o_orderkey") + 900000000L) % 50).as("qty"),
+        lit("NEW").as("o_orderstatus")))
+
+    t.toDF().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("price").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+        sum(col("qty")).as("sum_qty"),
+        count(col("o_orderstatus")).as("n_status"))
+      .withColumn("metadata_only", lit(metadataOnly))
+  }
+
+  val t36Oracle: String =
+    s"""WITH base AS (
+       |  SELECT o_totalprice AS price, o_orderkey % 50 AS qty,
+       |    CAST(NULL AS VARCHAR) AS status FROM ${cappedSql(1000)}
+       |  UNION ALL
+       |  SELECT o_totalprice AS price, (o_orderkey + 900000000) % 50 AS qty,
+       |    'NEW' AS status FROM ${cappedSql(200)}
+       |)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       |  COUNT(status) AS n_status,
+       |  TRUE AS metadata_only
+       |FROM base""".stripMargin
+
+  // ---------------------------------------------------------------- t37
+
+  /** t37: changelog-driven table REPLICATION (r6) — the consumer end of
+    * CDC ([[graft.tables.TableReplicator]]): per-commit replay of the
+    * source's row-level changelog through one mergeBatch each, cursor
+    * riding every apply commit (exactly-once). The gate drives the source
+    * through append / copy-on-write delete / merge-on-read upsert, syncs,
+    * and emits the REPLICA's aggregate plus the applied-commit count —
+    * DuckDB replays the same sequence relationally.
+    */
+  def t37Replicate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 2000))
+    val repLoc = tmp()
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+
+    src.append(shifted(spark, sfDir, 300, 900000000L))
+    src.delete("o_orderkey % 9 = 0")
+    src.upsertMergeOnRead(orders(spark, sfDir, 150)
+      .withColumn("o_totalprice", lit(555.25)), Seq("o_orderkey"))
+    val applied = TableReplicator.sync(spark, repLoc)
+
+    GraftTable.load(spark, repLoc).toDF().agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .withColumn("commits_applied", lit(applied.toLong))
+  }
+
+  val t37Oracle: String =
+    s"""WITH base0 AS (
+       |  SELECT * FROM ${cappedSql(2000)}
+       |  UNION ALL
+       |  SELECT * REPLACE (o_orderkey + 900000000 AS o_orderkey)
+       |  FROM ${cappedSql(300)}
+       |), afterdel AS (
+       |  SELECT * FROM base0 WHERE o_orderkey % 9 <> 0
+       |), ups AS (
+       |  SELECT * REPLACE (555.25 AS o_totalprice) FROM ${cappedSql(150)}
+       |), final AS (
+       |  SELECT * FROM afterdel
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+       |  UNION ALL SELECT * FROM ups
+       |)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  CAST(3 AS BIGINT) AS commits_applied
+       |FROM final""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t37_replicate"         -> ((t37Replicate _, t37Oracle)),
+    "t36_schema_evolution"  -> ((t36SchemaEvolution _, t36Oracle)),
     "t33_concurrent_append" -> ((t33ConcurrentAppend _, t33Oracle)),
     "t34_branch_retention"  -> ((t34BranchRetention _, t34Oracle)),
     "t35_runtime_filter_join" -> ((t35RuntimeFilterJoin _, t35Oracle)),

@@ -96,6 +96,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val Update = r("""UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)""")
   private val Truncate = r("""TRUNCATE\s+(?:TABLE\s+)?(\w+)""")
   private val AddCols = r("""ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*(.*?)\s*\)?""")
+  private val RenameCol = r("""ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""")
+  private val DropCol = r("""ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""")
+  private val AlterColType = r("""ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)""")
   private val SetSpec = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)""")
   private val SetProps = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)""")
   private val CreateRef = r("""ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(TAG|BRANCH)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""")
@@ -198,6 +201,14 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         val t = table(name)
         StructType.fromDDL(cols).fields.foreach(f => t.addColumn(f.name, f.dataType))
         status("add-columns", name)
+      case RenameCol(name, from, to) =>
+        table(name).renameColumn(from, to); status("rename-column", name)
+      case DropCol(name, colName) =>
+        table(name).dropColumn(colName); status("drop-column", name)
+      case AlterColType(name, colName, typ) =>
+        table(name).widenColumn(colName,
+          StructType.fromDDL(s"x $typ").fields(0).dataType)
+        status("alter-column-type", name)
       case SetSpec(name, spec) =>
         table(name).setPartitionSpec(parseSpec(spec)); status("set-spec", name)
       case SetProps(name, props) =>

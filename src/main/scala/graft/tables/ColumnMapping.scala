@@ -1,0 +1,76 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** Logical→physical column-name mapping for schema evolution (the Delta
+  * "column mapping" / Iceberg field-id model, re-expressed over plain
+  * parquet): data files always carry a field's PHYSICAL name — the name it
+  * had when it first entered the schema — while the table schema maps it
+  * to the current LOGICAL name via field metadata (`graft.physical`).
+  * RENAME is then a metadata-only commit (no file rewrite at any scale),
+  * DROP removes the logical field while old files keep their bytes, and a
+  * re-ADD of a retired name gets a fresh physical name so dropped data can
+  * never resurrect (Iceberg gets the same from never reusing field ids).
+  *
+  * Reads project physical→logical in one positional `select` (swap-safe:
+  * a chain of renames that permutes names resolves atomically); writes
+  * project logical→physical the same way. Stats and partition specs live
+  * in the physical namespace — footer stats are keyed by what's in the
+  * file, and [[ScanPlanner]] translates predicates before pruning.
+  */
+object ColumnMapping {
+  val PhysicalKey = "graft.physical"
+  /** Table property: comma-joined physical names of dropped columns. */
+  val RetiredProp = "graft.retired-cols"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      StructField(physicalName(f), f.dataType, f.nullable)))
+
+  def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** Physical name of a logical column (identity for unmapped columns,
+    * including names not in the schema — pruning passes through predicate
+    * columns it does not recognize).
+    */
+  def physicalOf(schema: StructType, logical: String): String =
+    schema.fields.find(_.name == logical).map(physicalName).getOrElse(logical)
+
+  /** Field with its physical name pinned into metadata. */
+  def withPhysical(f: StructField, physical: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalKey, physical).build())
+
+  /** Read parquet files under the physical schema, exposed logically. */
+  def readFiles(spark: SparkSession, schema: StructType,
+      paths: Seq[String]): DataFrame = {
+    val df = spark.read.schema(physicalSchema(schema)).parquet(paths: _*)
+    if (!hasMapping(schema)) df
+    else df.select(schema.fields.map(f =>
+      col(physicalName(f)).as(f.name, f.metadata)): _*)
+  }
+
+  /** Project a logical-named frame to physical names for writing. Extra
+    * columns (e.g. partition-transform derivatives added downstream) are
+    * not expected here — callers rename BEFORE adding them.
+    */
+  def toPhysical(schema: StructType, df: DataFrame): DataFrame =
+    if (!hasMapping(schema)) df
+    else df.select(schema.fields.map(f =>
+      col(f.name).as(physicalName(f))): _*)
+
+  /** All physical names a new column must not collide with: live fields
+    * plus retired (dropped) ones whose bytes persist in old files.
+    */
+  def reservedPhysical(meta: TableMeta): Set[String] =
+    meta.schema.fields.map(physicalName).toSet ++
+      meta.properties.get(RetiredProp).toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty)
+}

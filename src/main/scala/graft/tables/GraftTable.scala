@@ -553,9 +553,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val commitDir = s"$location/data/${UUID.randomUUID().toString.take(8)}"
     val spec = m.currentSpec
     val gpCols = spec.fields.map(f => TableFormat.PartColPrefix + f.name)
-    val out = spec.fields.foldLeft(df) { (d, f) =>
+    // files carry PHYSICAL names (schema evolution: renames never rewrite
+    // data); partition transforms run after the projection — spec sources
+    // are physical too
+    val physDf = ColumnMapping.toPhysical(m.schema, df)
+    val physSchema = ColumnMapping.physicalSchema(m.schema)
+    val out = spec.fields.foldLeft(physDf) { (d, f) =>
       d.withColumn(TableFormat.PartColPrefix + f.name,
-        GraftTransforms.transformColumn(f, m.schema).cast("string"))
+        GraftTransforms.transformColumn(f, physSchema).cast("string"))
     }
     // write distribution (Iceberg's write.distribution-mode): partitioned
     // writes default to hash-by-partition-values so each task writes one
@@ -626,7 +631,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val par = sizes.toSeq.par
     par.tasksupport = GraftTable.footerPool
     par.map { case (path, size) =>
-      val (rows, stats) = FooterStats.read(conf, path, m.schema)
+      // footers are keyed by what the file contains: physical names
+      val (rows, stats) =
+        FooterStats.read(conf, path, ColumnMapping.physicalSchema(m.schema))
       DataFile(path, specId, partitionValuesFromPath(path), rows, size, stats)
     }.seq
   }
@@ -824,7 +831,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (applicable.isEmpty) Nil
       else {
         val keys = spark.read.parquet(e.files: _*)
-        val base = spark.read.schema(m.schema).parquet(applicable.map(_.path): _*)
+        val base = ColumnMapping.readFiles(spark, m.schema, applicable.map(_.path))
         base.join(keys, e.cols.map(c => base(c) <=> keys(c)).reduce(_ && _), "left_semi")
           .select(col("_metadata.file_path")).distinct().collect()
           .map(r => stripScheme(r.getString(0))).toSeq
@@ -966,7 +973,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     val candidates = ScanPlanner.pruneFiles(m, cur, cond, spark)
     if (candidates.isEmpty) return Nil
-    val hit = spark.read.schema(m.schema).parquet(candidates.map(_.path): _*)
+    val hit = ColumnMapping.readFiles(spark, m.schema, candidates.map(_.path))
       .filter(expr(cond))
       .select(col("_metadata.file_path")).distinct().collect()
       .map(r => stripScheme(r.getString(0))).toSet
@@ -980,7 +987,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     val touched = matchingFiles(m, cond)
     if (touched.isEmpty) return this
-    val kept = spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+    val kept = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
       .filter(!coalesce(expr(cond), lit(false)))
     val rewritten = writeDataFiles(kept, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
@@ -995,7 +1002,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     val touched = matchingFiles(m, cond)
     if (touched.isEmpty) return this
-    val base = spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+    val base = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
     val updated = m.schema.fields.foldLeft(base) { (d, f) =>
       set.get(f.name) match {
         case Some(e) => d.withColumn(f.name,
@@ -1028,7 +1035,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val touched: Seq[DataFile] =
       if (cur.isEmpty) Nil
       else {
-        val hit = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
+        val hit = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
           .join(srcRenamed, joinCond, "left_semi")
           .select(col("_metadata.file_path")).distinct().collect()
           .map(r => stripScheme(r.getString(0))).toSet
@@ -1036,7 +1043,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
 
     val rewritten: DataFrame = if (touched.isEmpty) null else {
-      val base = spark.read.schema(m.schema).parquet(touched.map(_.path): _*)
+      val base = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
       base.join(srcRenamed, joinCond, "left")
         .select(m.schema.fields.map { f =>
           when(col(s"__s_${keyCols.head}").isNotNull, col(s"__s_${f.name}"))
@@ -1356,7 +1363,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (small.isEmpty) return this
     val totalBytes = small.map(_.sizeBytes).sum
     val nOut = math.max(1, (totalBytes / targetBytes).toInt)
-    val packed = spark.read.schema(m.schema).parquet(small.map(_.path): _*)
+    val packed = ColumnMapping.readFiles(spark, m.schema, small.map(_.path))
       .repartition(nOut)
     val newFiles = writeDataFiles(packed, m)
     val untouched = cur.filterNot(f => small.exists(_.path == f.path))
@@ -1376,7 +1383,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (cur.isEmpty) return this
     val n = if (nFiles > 0) nFiles
       else math.max(1, (cur.map(_.sizeBytes).sum / (128L << 20)).toInt)
-    val sorted = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
+    val sorted = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
       .repartitionByRange(n, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     // distribution 'none': a hash-by-partition repartition here would
@@ -1438,7 +1445,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val cur = currentFiles(m)
     if (cur.isEmpty) return this
-    val base = spark.read.schema(m.schema).parquet(cur.map(_.path): _*)
+    val base = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
     val st = base.agg(
       min(col(cols.head).cast("double")),
       (Seq(max(col(cols.head).cast("double"))) ++
@@ -1510,23 +1517,114 @@ class GraftTable(val spark: SparkSession, val location: String) {
   // --------------------------------------------------------- evolution
 
   /** Schema evolution: ADD COLUMN (reference limitations.md example).
-    * Existing files read back with nulls for the new column.
+    * Existing files read back with nulls for the new column. If the name
+    * was ever used physically before (a dropped column, or a name freed by
+    * a rename whose physical stayed behind), the new column gets a FRESH
+    * physical name — old bytes can never resurrect under a re-added name
+    * (the reason Iceberg never reuses field ids).
     */
   def addColumn(name: String, dataType: DataType): GraftTable = {
     val m = meta
     require(!m.schema.fieldNames.contains(name), s"column $name exists")
+    val reserved = ColumnMapping.reservedPhysical(m)
+    val field =
+      if (!reserved.contains(name)) StructField(name, dataType, nullable = true)
+      else {
+        var i = 2
+        while (reserved.contains(s"${name}_$i")) i += 1
+        ColumnMapping.withPhysical(
+          StructField(name, dataType, nullable = true), s"${name}_$i")
+      }
     commitMetadataOnly(m.copy(version = m.version + 1,
-      schema = m.schema.add(StructField(name, dataType, nullable = true))))
+      schema = m.schema.add(field)))
+    this
+  }
+
+  /** Pending merge-on-read state stores column names as of ITS commit
+    * (equality-delete parquet headers, predicate SQL strings) — a name or
+    * type change under it would silently decouple the deletes from the
+    * rows they target. Evolution refuses loudly; materialize first.
+    */
+  private def requireNoPendingMor(op: String): Unit = {
+    val md = currentManifest()
+    require(md.deletePredicates.isEmpty && md.positionDeleteFiles.isEmpty &&
+        md.equalityDeletes.isEmpty,
+      s"$op with pending merge-on-read deletes: run materializeDeletes() first")
+  }
+
+  /** Schema evolution: RENAME COLUMN — metadata-only at any scale. The
+    * field keeps its physical (on-disk) name via [[ColumnMapping]]; every
+    * existing and future data file stays valid, reads project
+    * physical→logical, writes project back.
+    */
+  def renameColumn(from: String, to: String): GraftTable = {
+    val m = meta
+    val idx = m.schema.fieldIndex(from)
+    require(!m.schema.fieldNames.contains(to), s"column $to exists")
+    requireNoPendingMor("renameColumn")
+    val f = m.schema.fields(idx)
+    val renamed = ColumnMapping.withPhysical(
+      f.copy(name = to), ColumnMapping.physicalName(f))
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      schema = StructType(m.schema.fields.updated(idx, renamed))))
+    this
+  }
+
+  /** Schema evolution: DROP COLUMN — metadata-only; old files keep the
+    * bytes but no read projects them. The physical name is retired so a
+    * later ADD COLUMN of the same name maps to fresh storage.
+    */
+  def dropColumn(name: String): GraftTable = {
+    val m = meta
+    val idx = m.schema.fieldIndex(name)
+    require(m.schema.fields.length > 1, "cannot drop the only column")
+    requireNoPendingMor("dropColumn")
+    val phys = ColumnMapping.physicalName(m.schema.fields(idx))
+    require(!m.currentSpec.fields.exists(_.source == phys),
+      s"$name is a partition source of the current spec; evolve the spec first")
+    val retired = (m.properties.get(ColumnMapping.RetiredProp).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty) :+ phys).mkString(",")
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      schema = StructType(m.schema.fields.patch(idx, Nil, 1)),
+      properties = m.properties + (ColumnMapping.RetiredProp -> retired)))
+    this
+  }
+
+  /** Schema evolution: widen a column's type in place (Iceberg's type
+    * promotion rules) — metadata-only; old files are read through the
+    * wider type by the parquet reader's widening conversions, new files
+    * write the wider type. Only the lossless promotions are allowed.
+    */
+  def widenColumn(name: String, to: DataType): GraftTable = {
+    val m = meta
+    val idx = m.schema.fieldIndex(name)
+    val from = m.schema.fields(idx).dataType
+    val ok = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (IntegerType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported widening $from -> $to (allowed: int->long, " +
+      "float->double, int->double)")
+    requireNoPendingMor("widenColumn")
+    val f = m.schema.fields(idx)
+    commitMetadataOnly(m.copy(version = m.version + 1,
+      schema = StructType(m.schema.fields.updated(idx, f.copy(dataType = to)))))
     this
   }
 
   /** Partition evolution: new writes use the new spec, old files keep the
     * old one, the scan planner prunes each file with its own spec
-    * (reference `ALTER TABLE … SET PARTITION SPEC`).
+    * (reference `ALTER TABLE … SET PARTITION SPEC`). Sources are given as
+    * logical names and stored physical (rename-proof, like Iceberg specs
+    * referencing field ids).
     */
   def setPartitionSpec(fields: Seq[PartitionField]): GraftTable = {
     val m = meta
-    val newSpec = PartitionSpec((m.specs.map(_.specId) :+ -1).max + 1, fields)
+    val phys = fields.map(f =>
+      f.copy(source = ColumnMapping.physicalOf(m.schema, f.source)))
+    val newSpec = PartitionSpec((m.specs.map(_.specId) :+ -1).max + 1, phys)
     commitMetadataOnly(m.copy(version = m.version + 1,
       specs = m.specs :+ newSpec, currentSpecId = newSpec.specId))
     this

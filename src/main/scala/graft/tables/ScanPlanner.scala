@@ -209,9 +209,13 @@ object ScanPlanner {
 
   /** Keep only files that may contain rows matching `filterSql`. */
   def pruneFiles(meta: TableMeta, files: Seq[DataFile], filterSql: String, spark: SparkSession): Seq[DataFile] = {
+    // predicates resolve against LOGICAL names; stats and partition specs
+    // live in the PHYSICAL namespace (what the files actually contain)
     val compares = extract(resolvedCondition(meta, filterSql, spark))
+      .map(c => c.copy(column = ColumnMapping.physicalOf(meta.schema, c.column)))
     if (compares.isEmpty) return files
-    val fieldTypes: Map[String, DataType] = meta.schema.fields.map(f => f.name -> f.dataType).toMap
+    val fieldTypes: Map[String, DataType] =
+      meta.schema.fields.map(f => ColumnMapping.physicalName(f) -> f.dataType).toMap
     val specById = meta.specs.map(s => s.specId -> s).toMap
 
     files.filter { f =>
@@ -311,7 +315,7 @@ object ScanPlanner {
       if (pruned.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
       else
-        spark.read.schema(meta.schema).parquet(pruned.map(_.path): _*)
+        ColumnMapping.readFiles(spark, meta.schema, pruned.map(_.path))
     filterSql.map(f => base.filter(sqlExpr(f))).getOrElse(base)
   }
 }

@@ -111,6 +111,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE quality IS NULL").head().getLong(0) > 0)
   }
 
+  test("ALTER RENAME COLUMN / DROP COLUMN / ALTER COLUMN TYPE through SQL") {
+    val g = freshSql(); registerSources(g)
+    g.sql("""CREATE TABLE evo AS
+            |SELECT o_orderkey, o_orderstatus, o_totalprice,
+            |  CAST(o_orderkey % 10 AS INT) AS qty FROM orders""".stripMargin)
+    g.sql("ALTER TABLE evo RENAME COLUMN o_totalprice TO price")
+    assert(g.sql("SELECT SUM(price) AS s FROM evo").head().getDouble(0) > 0)
+    g.sql("ALTER TABLE evo ALTER COLUMN qty TYPE BIGINT")
+    assert(g.table("evo").meta.schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    g.sql("ALTER TABLE evo DROP COLUMN o_orderstatus")
+    assert(!g.sql("SELECT * FROM evo").columns.contains("o_orderstatus"))
+    // widening guard refuses a narrowing
+    intercept[IllegalArgumentException](
+      g.sql("ALTER TABLE evo ALTER COLUMN price TYPE INT"))
+  }
+
   test("INSERT OVERWRITE conforms column order; write.delete.mode routes to MoR") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE w_ice AS SELECT r_regionkey, r_name FROM region")

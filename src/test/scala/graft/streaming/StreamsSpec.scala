@@ -141,7 +141,9 @@ class StreamsSpec extends SparkSpec {
       // test survives signature growth
       val args: Array[AnyRef] = Array[AnyRef](m, Nil, "append", Long.box(0L)) ++
         method.getParameterTypes.drop(4).map { t =>
-          if (classOf[Option[_]].isAssignableFrom(t)) None else Nil
+          if (classOf[Option[_]].isAssignableFrom(t)) None
+          else if (classOf[Map[_, _]].isAssignableFrom(t)) Map.empty
+          else Nil
         }
       try method.invoke(t1, args: _*)
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }

@@ -1,0 +1,135 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Full schema evolution (t36): rename / drop / widen are metadata-only
+  * commits over the logical→physical column mapping; data files never
+  * rewrite, old files stay readable, dropped bytes never resurrect.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_evo").toString + "/t"
+
+  test("rename is metadata-only: values survive, old and new files coexist") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "price"))
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    t.renameColumn("price", "cost")
+    assert(t.currentFiles().map(_.path).toSet == filesBefore, "no rewrite")
+    assert(t.toDF().columns.toSeq == Seq("id", "name", "cost"))
+    // writes after the rename land under the physical name; reads unify
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "cost"))
+    assert(t.toDF().select(sum(col("cost"))).head().getDouble(0) == 60.0)
+  }
+
+  test("stats pruning works across a rename (predicate on the new name)") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.range(1000).select(col("id"), (col("id") * 2).as("v")).repartition(4))
+    t.cluster(Seq("v"), nFiles = 4)
+    t.renameColumn("v", "value")
+    val pruned = t.plannedFiles("value < 10")
+    assert(pruned.size < t.currentFiles().size,
+      s"expected file skipping on renamed column: ${pruned.size} of ${t.currentFiles().size}")
+    assert(t.toDF(Some("value < 10")).count() == 5)
+  }
+
+  test("copy-on-write mutations work through the mapping (delete/update/merge)") {
+    val t = GraftTable.createAs(spark, tmp(),
+      (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "price")
+        .repartition(4))
+    t.renameColumn("price", "cost")
+    t.delete("cost > 90.0")
+    assert(t.toDF().count() == 90)
+    t.update("id = 1", Map("cost" -> "111.0"))
+    assert(t.toDF().filter(col("id") === 1).head().getAs[Double]("cost") == 111.0)
+    t.mergeInto(Seq((2L, "upd", 222.0), (200L, "new", 200.0))
+      .toDF("id", "name", "cost"), Seq("id"))
+    val m = t.toDF().filter(col("id") === 2 || col("id") === 200)
+      .select(col("name")).as[String].collect().toSet
+    assert(m == Set("upd", "new"))
+  }
+
+  test("drop then re-add: old bytes never resurrect") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "secret", 5.0), (2L, "hidden", 6.0)).toDF("id", "label", "v"))
+    t.dropColumn("label")
+    assert(t.toDF().columns.toSeq == Seq("id", "v"))
+    t.addColumn("label", StringType)
+    // the re-added column reads NULL from old files, not the dropped bytes
+    assert(t.toDF().filter(col("label").isNotNull).count() == 0)
+    t.append(Seq((3L, 7.0, "fresh")).toDF("id", "v", "label"))
+    assert(t.toDF().filter(col("label") === "fresh").count() == 1)
+    assert(t.toDF().filter(col("label").isNotNull).count() == 1)
+  }
+
+  test("widen int->long and float->double reads old files through the wider type") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1, 1.5f), (2, 2.5f)).toDF("n", "x"))
+    t.widenColumn("n", LongType)
+    t.widenColumn("x", DoubleType)
+    val s = t.toDF().schema
+    assert(s("n").dataType == LongType && s("x").dataType == DoubleType)
+    // old (int32/float) files read through the widened schema
+    assert(t.toDF().select(sum(col("n"))).head().getLong(0) == 3L)
+    assert(t.toDF().select(sum(col("x"))).head().getDouble(0) == 4.0)
+    // new files write the wide types and unify with the old
+    t.append(Seq((3L, 3.5)).toDF("n", "x"))
+    assert(t.toDF().select(sum(col("n"))).head().getLong(0) == 6L)
+    assert(t.toDF().count() == 3)
+  }
+
+  test("rename chain that swaps two names resolves atomically") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, 10.0, 100.0)).toDF("id", "a", "b"))
+    t.renameColumn("a", "tmp_swap")
+    t.renameColumn("b", "a")
+    t.renameColumn("tmp_swap", "b")
+    // logical a now reads physical b's values and vice versa
+    val r = t.toDF().head()
+    assert(r.getAs[Double]("a") == 100.0 && r.getAs[Double]("b") == 10.0)
+    t.append(Seq((2L, 200.0, 20.0)).toDF("id", "a", "b"))
+    assert(t.toDF().select(sum(col("a"))).head().getDouble(0) == 300.0)
+    assert(t.toDF().select(sum(col("b"))).head().getDouble(0) == 30.0)
+  }
+
+  test("partition spec survives a source rename; pruning still applies") {
+    val t = GraftTable.createAs(spark, tmp(),
+      (1L to 40L).map(i => (i, i % 4)).toDF("id", "bucket_col"),
+      partitionFields = Seq(PartitionField("bucket_col", "identity", "bucket_col")))
+    t.renameColumn("bucket_col", "shard")
+    assert(t.toDF(Some("shard = 2")).count() == 10)
+    // new writes still partition correctly through the physical source
+    t.append(Seq((100L, 2L)).toDF("id", "shard"))
+    assert(t.toDF(Some("shard = 2")).count() == 11)
+  }
+
+  test("evolution refuses under pending merge-on-read deletes") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.deleteMergeOnReadEquality(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    intercept[IllegalArgumentException](t.renameColumn("v", "w"))
+    intercept[IllegalArgumentException](t.dropColumn("v"))
+    t.materializeDeletes()
+    t.renameColumn("v", "w")
+    assert(t.toDF().columns.contains("w"))
+  }
+
+  test("changelog and time travel read correctly across a rename") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val s1 = t.meta.currentSnapshotId.get
+    t.renameColumn("v", "val")
+    t.append(Seq((3L, 3.0)).toDF("id", "val"))
+    val s2 = t.meta.currentSnapshotId.get
+    // changelog emits the CURRENT logical schema for old commits too
+    val ch = t.changesBetween(s1, s2)
+    assert(ch.columns.toSeq == Seq("id", "val", "_change_type"))
+    assert(ch.count() == 1)
+    // time travel to the pre-rename snapshot reads under the current schema
+    assert(t.asOf(s1).columns.contains("val") && t.asOf(s1).count() == 2)
+  }
+}
