@@ -630,10 +630,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (sizes.isEmpty) return Nil
     val par = sizes.toSeq.par
     par.tasksupport = GraftTable.footerPool
+    // footers are keyed by what the files contain: physical names
+    val physSchema = ColumnMapping.physicalSchema(m.schema)
     par.map { case (path, size) =>
-      // footers are keyed by what the file contains: physical names
-      val (rows, stats) =
-        FooterStats.read(conf, path, ColumnMapping.physicalSchema(m.schema))
+      val (rows, stats) = FooterStats.read(conf, path, physSchema)
       DataFile(path, specId, partitionValuesFromPath(path), rows, size, stats)
     }.seq
   }
