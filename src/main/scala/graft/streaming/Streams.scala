@@ -379,6 +379,96 @@ object Streams {
       |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_orderpriority
       |) ORDER BY _change_type, o_orderpriority""".stripMargin
 
+  /** st09: CONTINUOUS VIEW MAINTENANCE — the streaming end of
+    * [[graft.tables.IncrementalAggView]]: a poller watches the base
+    * table's snapshot head and folds every advance into the stored
+    * aggregate via `refresh()` (O(delta + touched groups), cursor riding
+    * the apply commit). Because refresh is exactly-once by construction,
+    * the poller needs NO offset state of its own — a crashed maintainer
+    * restarts anywhere and the view's own cursor says where it left off
+    * (compare [[ChangelogStream]], which must persist its delivered head).
+    * A transient refresh failure logs and retries next tick.
+    */
+  final class ViewMaintainer(view: graft.tables.IncrementalAggView,
+      intervalMs: Long) {
+    @volatile private var running = true
+    // one refresh at a time: the poller tick and processAllAvailable()
+    // would otherwise race each other onto the same view version and one
+    // would lose the commit CAS
+    private def refreshOnce(): Unit = synchronized { view.refresh(); () }
+    private val thread = new Thread(() => {
+      while (running) {
+        try refreshOnce()
+        catch {
+          case _: InterruptedException => ()
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"graft-view-maintainer: refresh failed (will retry): $e")
+        }
+        if (running)
+          try Thread.sleep(intervalMs)
+          catch { case _: InterruptedException => () }
+      }
+    }, s"graft-view-maintainer-${view.table.location.hashCode}")
+
+    def start(): this.type = { thread.setDaemon(true); thread.start(); this }
+
+    /** Fold any pending base commits in, now (synchronous). */
+    def processAllAvailable(): Unit = refreshOnce()
+
+    def stop(): Unit = { running = false; thread.interrupt(); thread.join(2000) }
+
+    private[streaming] def isAlive: Boolean = thread.isAlive
+  }
+
+  /** st09 as a driver-gate query: commits land on the base table while a
+    * LIVE maintainer keeps the aggregate view current; the final view rows
+    * are exactly the aggregate of the final base state.
+    */
+  def st09ViewMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.tables.IncrementalAggView
+    def capped(n: Int): DataFrame =
+      graft.sources.Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString + "/t"
+    val base = GraftTable.createAs(spark, tmp("graft_st09_b"), capped(1500))
+    val view = IncrementalAggView.create(spark, tmp("graft_st09_v"), base,
+      Seq("o_orderpriority"), Seq("o_totalprice"))
+    val vm = new ViewMaintainer(view, intervalMs = 50).start()
+    try {
+      base.append(capped(250).withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+      vm.processAllAvailable()
+      base.delete("o_orderkey % 6 = 0")
+      vm.processAllAvailable()
+      base.upsertMergeOnRead(capped(100).withColumn("o_totalprice", lit(77.25)),
+        Seq("o_orderkey"))
+      vm.processAllAvailable()
+    } finally vm.stop()
+    view.toDF()
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sum_o_totalprice").cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val st09Oracle: String =
+    """WITH base0 AS (
+      |  SELECT * FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1500)
+      |  UNION ALL
+      |  SELECT * REPLACE (o_orderkey + 900000000 AS o_orderkey)
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 250)
+      |), afterdel AS (
+      |  SELECT * FROM base0 WHERE o_orderkey % 6 <> 0
+      |), ups AS (
+      |  SELECT * REPLACE (77.25 AS o_totalprice)
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)
+      |), final AS (
+      |  SELECT * FROM afterdel
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+      |  UNION ALL SELECT * FROM ups
+      |)
+      |SELECT o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** st07: WATERMARKED STREAM-STREAM JOIN — the ad-attribution shape: for
     * every view, the clicks by the same user within the next 15 minutes.
     * Both sides carry event-time watermarks and the join condition bounds
@@ -472,6 +562,7 @@ object Streams {
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "st09_view_maintain"       -> ((st09ViewMaintain _, st09Oracle)),
     "st08_stream_static_join"  -> ((st08StreamStaticGate _, st08GateOracle)),
     "st07_stream_join"         -> ((st07StreamJoinGate _, st07GateOracle)),
     "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),

@@ -248,6 +248,29 @@ class StreamsSpec extends SparkSpec {
   // ADVICE r5 regression: stop() must not leave the poller sleeping out a
   // full interval — even with a pathological poll interval the thread is
   // gone when stop() returns.
+  test("view maintainer converges live without explicit sync and stops promptly") {
+    import graft.tables.{GraftTable, IncrementalAggView}
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/t"
+    val base = GraftTable.createAs(spark, tmp("graft_st09b"),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100))
+    val view = IncrementalAggView.create(spark, tmp("graft_st09v"), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    val vm = new Streams.ViewMaintainer(view, intervalMs = 25).start()
+    try {
+      base.append(spark.read.parquet(s"$sf/orders.parquet").limit(40)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+      // poll-driven, no processAllAvailable: the maintainer must converge
+      val deadline = System.currentTimeMillis() + 20000
+      def viewCnt(): Long =
+        view.toDF().agg(fsum(col("cnt"))).head().getLong(0)
+      while (viewCnt() != 140 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(viewCnt() == 140, "maintainer did not converge within deadline")
+    } finally vm.stop()
+    assert(!vm.isAlive, "maintainer thread survived stop()")
+  }
+
   test("changelog stream stop() terminates the poller promptly") {
     val table = graft.tables.GraftTable.createAs(spark,
       java.nio.file.Files.createTempDirectory("graft_st06_stop").toString + "/t",
