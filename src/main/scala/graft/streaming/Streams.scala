@@ -573,18 +573,39 @@ object Streams {
     "st06_stream_changelog"    -> ((st06ChangelogGate _, st06GateOracle)),
   )
 
+  /** Batch-id fence for EXACTLY-ONCE foreachBatch sinks: Spark replays the
+    * last micro-batch after a crash between the table commit and the
+    * checkpoint commit; the applied batch id rides the table commit
+    * atomically (property ride-along), so the fence and the data can never
+    * disagree — a replayed batch id compares ≤ and is skipped. Keyed by
+    * query name: one fence per (stream, table) subscription.
+    */
+  private def batchFence(queryName: String): String =
+    s"graft.stream.$queryName.batch-id"
+
+  private def alreadyApplied(table: GraftTable, queryName: String,
+      batchId: Long): Boolean =
+    table.meta.properties.get(batchFence(queryName)).exists(_.toLong >= batchId)
+
   /** st04: stream into a versioned table — each micro-batch becomes one
     * GraftTable snapshot (append), giving exactly the workshop's
     * commit-per-write history plus time travel over a live stream.
-    * Empty batches commit nothing.
+    * Empty batches commit nothing; replayed batches are fenced off by the
+    * batch id riding each commit (exactly-once end to end).
     */
+  private[streaming] def applyAppendBatch(table: GraftTable,
+      queryName: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty && !alreadyApplied(table, queryName, batchId)) {
+      table.appendWithProperties(batch,
+        Map(batchFence(queryName) -> batchId.toString))
+      ()
+    }
+
   def writeToTable(stream: DataFrame, table: GraftTable, queryName: String): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.append(batch); () }
-      }
+      .foreachBatch(applyAppendBatch(table, queryName) _)
       .start()
 
   /** st05: continuous CDC upsert into a versioned table — each micro-batch
@@ -604,19 +625,24 @@ object Streams {
     stream.writeStream
       .queryName(queryName)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val latest = seqCol match {
-            case Some(c) =>
-              val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(c).desc)
-              batch.withColumn("__graft_rn", row_number().over(w))
-                .filter(col("__graft_rn") === 1).drop("__graft_rn")
-            case None => batch.dropDuplicates(keyCols)
-          }
-          table.upsertMergeOnRead(latest, keyCols); ()
-        }
-      }
+      .foreachBatch(applyUpsertBatch(table, keyCols, seqCol, queryName) _)
       .start()
+
+  private[streaming] def applyUpsertBatch(table: GraftTable,
+      keyCols: Seq[String], seqCol: Option[String], queryName: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty && !alreadyApplied(table, queryName, batchId)) {
+      val latest = seqCol match {
+        case Some(c) =>
+          val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(c).desc)
+          batch.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        case None => batch.dropDuplicates(keyCols)
+      }
+      table.mergeBatch(latest, None, keyCols,
+        extraProperties = Map(batchFence(queryName) -> batchId.toString))
+      ()
+    }
 
   // ------------------------------------------------------- sessionization
 

@@ -902,6 +902,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   def append(df: DataFrame): GraftTable = appendWithRetry(df)
 
+  /** Append with properties folded into the SAME commit — the atomic
+    * cursor/fence primitive (see [[mergeBatch]]'s property ride-along).
+    */
+  def appendWithProperties(df: DataFrame,
+      extraProperties: Map[String, String]): GraftTable =
+    appendWithRetry(df, extraProperties = extraProperties)
+
   /** The concurrent-writer append (Iceberg `commit.retry.num-retries`
     * behavior): the commit is a CAS on the next metadata version; a
     * writer that loses the race re-reads the winner's manifest, re-points
@@ -913,7 +920,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * deletes landed that would capture the new rows.
     */
   private[tables] def appendWithRetry(df: DataFrame,
-      onAttempt: Int => Unit = _ => ()): GraftTable = {
+      onAttempt: Int => Unit = _ => (),
+      extraProperties: Map[String, String] = Map.empty): GraftTable = {
     if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
     var m = meta
     val written = writeDataFiles(df, m)
@@ -928,7 +936,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       try {
         commitSnapshot(m, md.files ++ newFiles, "append", newFiles.size,
           positionDeleteFiles = md.positionDeleteFiles,
-          equalityDeletes = md.equalityDeletes)
+          equalityDeletes = md.equalityDeletes,
+          extraProperties = extraProperties)
         committed = true
       } catch {
         case e: java.util.ConcurrentModificationException =>

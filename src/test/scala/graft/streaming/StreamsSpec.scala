@@ -248,6 +248,33 @@ class StreamsSpec extends SparkSpec {
   // ADVICE r5 regression: stop() must not leave the poller sleeping out a
   // full interval — even with a pathological poll interval the thread is
   // gone when stop() returns.
+  test("batch-id fence: a replayed micro-batch is applied exactly once") {
+    import graft.tables.GraftTable
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/t"
+    val df10 = spark.read.parquet(s"$sf/orders.parquet").limit(10)
+
+    // append sink: replaying batch 0 after a simulated crash must not
+    // duplicate rows — the fence rode the first commit
+    val ta = GraftTable.createAs(spark, tmp("graft_fence_a"), df10)
+    Streams.applyAppendBatch(ta, "q")(df10, 0L)
+    assert(ta.toDF().count() == 20)
+    Streams.applyAppendBatch(ta, "q")(df10, 0L) // replay
+    assert(ta.toDF().count() == 20, "replayed append batch was re-applied")
+    Streams.applyAppendBatch(ta, "q")(df10, 1L) // next batch proceeds
+    assert(ta.toDF().count() == 30)
+
+    // upsert sink: a replayed upsert is skipped (no spurious commit, no
+    // phantom delete+insert in the changelog)
+    val tu = GraftTable.createAs(spark, tmp("graft_fence_u"), df10)
+    Streams.applyUpsertBatch(tu, Seq("o_orderkey"), None, "q")(df10, 0L)
+    val commits = tu.meta.snapshots.size
+    Streams.applyUpsertBatch(tu, Seq("o_orderkey"), None, "q")(df10, 0L) // replay
+    assert(tu.meta.snapshots.size == commits, "replayed upsert committed again")
+    // independent subscriptions fence independently
+    Streams.applyUpsertBatch(tu, Seq("o_orderkey"), None, "q2")(df10, 0L)
+    assert(tu.meta.snapshots.size == commits + 1)
+  }
+
   test("view maintainer converges live without explicit sync and stops promptly") {
     import graft.tables.{GraftTable, IncrementalAggView}
     import org.apache.spark.sql.functions.{col, sum => fsum}
