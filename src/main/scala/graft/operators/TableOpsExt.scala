@@ -607,6 +607,7 @@ object TableOpsExt {
         (col("o_orderkey") % 50).cast("int").as("qty"))
     val t = GraftTable.createAs(spark, tmp(), base)
     val filesBefore = t.currentFiles().map(_.path).toSet
+    val s1 = t.meta.currentSnapshotId.get
 
     t.renameColumn("o_totalprice", "price")
     val metadataOnly = t.currentFiles().map(_.path).toSet == filesBefore
@@ -626,6 +627,9 @@ object TableOpsExt {
         sum(col("qty")).as("sum_qty"),
         count(col("o_orderstatus")).as("n_status"))
       .withColumn("metadata_only", lit(metadataOnly))
+      // snapshot-schema time travel: the pre-evolution snapshot still
+      // reads under its own (original) column names and types
+      .withColumn("old_snapshot_cols", lit(t.asOf(s1).columns.mkString(",")))
   }
 
   val t36Oracle: String =
@@ -640,7 +644,8 @@ object TableOpsExt {
        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
        |  COUNT(status) AS n_status,
-       |  TRUE AS metadata_only
+       |  TRUE AS metadata_only,
+       |  'o_orderkey,o_orderstatus,o_totalprice,qty' AS old_snapshot_cols
        |FROM base""".stripMargin
 
   // ---------------------------------------------------------------- t37

@@ -190,12 +190,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }.getOrElse((0, 0))
   }
 
-  /** Time travel to a snapshot id (reference `FOR SYSTEM_TIME AS OF`). */
+  /** Time travel to a snapshot id (reference `FOR SYSTEM_TIME AS OF`).
+    * Reads under the SNAPSHOT's schema (Iceberg semantics: each snapshot
+    * records its schema id) — after a rename/drop/widen, historical reads
+    * still show the names and types their writers saw.
+    */
   def asOf(snapshotId: Long): DataFrame = {
     val m = meta
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    readWithMor(m, manifestDataOf(snap), None)
+    readWithMor(m.copy(schema = m.schemaAt(snap.schemaId)),
+      manifestDataOf(snap), None)
   }
 
   /** Incremental read (CDC-style changelog): rows added between two
@@ -529,7 +534,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         equalityDeletes))
     val snap = Snapshot(snapId, parentId,
       System.currentTimeMillis(), op,
-      listName, added, files.size, files.map(_.recordCount).sum)
+      listName, added, files.size, files.map(_.recordCount).sum,
+      schemaId = m.currentSchemaId)
     val next = m.copy(version = m.version + 1, snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(snapId),
       properties = m.properties ++ extraProperties)
@@ -1544,9 +1550,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
         ColumnMapping.withPhysical(
           StructField(name, dataType, nullable = true), s"${name}_$i")
       }
-    commitMetadataOnly(m.copy(version = m.version + 1,
-      schema = m.schema.add(field)))
+    commitSchemaChange(m, m.schema.add(field))
     this
+  }
+
+  /** Every schema change appends a SchemaVersion and moves
+    * currentSchemaId; snapshots stamp the id they commit under, so time
+    * travel can read them with their own schema ([[asOf]]).
+    */
+  private def commitSchemaChange(m: TableMeta, newSchema: StructType,
+      extraProps: Map[String, String] = Map.empty): TableMeta = {
+    val hist =
+      if (m.schemasHistory.nonEmpty) m.schemasHistory
+      else Seq(SchemaVersion(m.currentSchemaId, m.schema))
+    val nid = hist.map(_.id).max + 1
+    commitMetadataOnly(m.copy(version = m.version + 1, schema = newSchema,
+      schemasHistory = hist :+ SchemaVersion(nid, newSchema),
+      currentSchemaId = nid,
+      properties = m.properties ++ extraProps))
   }
 
   /** Pending merge-on-read state stores column names as of ITS commit
@@ -1574,8 +1595,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val f = m.schema.fields(idx)
     val renamed = ColumnMapping.withPhysical(
       f.copy(name = to), ColumnMapping.physicalName(f))
-    commitMetadataOnly(m.copy(version = m.version + 1,
-      schema = StructType(m.schema.fields.updated(idx, renamed))))
+    commitSchemaChange(m, StructType(m.schema.fields.updated(idx, renamed)))
     this
   }
 
@@ -1593,9 +1613,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       s"$name is a partition source of the current spec; evolve the spec first")
     val retired = (m.properties.get(ColumnMapping.RetiredProp).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty) :+ phys).mkString(",")
-    commitMetadataOnly(m.copy(version = m.version + 1,
-      schema = StructType(m.schema.fields.patch(idx, Nil, 1)),
-      properties = m.properties + (ColumnMapping.RetiredProp -> retired)))
+    commitSchemaChange(m, StructType(m.schema.fields.patch(idx, Nil, 1)),
+      Map(ColumnMapping.RetiredProp -> retired))
     this
   }
 
@@ -1618,8 +1637,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       "float->double, int->double)")
     requireNoPendingMor("widenColumn")
     val f = m.schema.fields(idx)
-    commitMetadataOnly(m.copy(version = m.version + 1,
-      schema = StructType(m.schema.fields.updated(idx, f.copy(dataType = to)))))
+    commitSchemaChange(m,
+      StructType(m.schema.fields.updated(idx, f.copy(dataType = to))))
     this
   }
 

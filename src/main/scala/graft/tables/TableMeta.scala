@@ -157,7 +157,15 @@ case class Snapshot(
     manifest: String,
     addedFiles: Long,
     totalFiles: Long,
-    totalRecords: Long)
+    totalRecords: Long,
+    schemaId: Int = 0)
+
+/** One entry of the table's schema history (Iceberg `schemas` +
+  * `current-schema-id`): every evolution commit appends a new id, and each
+  * snapshot records the id it was committed under, so time travel reads a
+  * snapshot with ITS schema, not today's.
+  */
+case class SchemaVersion(id: Int, schema: StructType)
 
 /** Named snapshot reference: a `tag` is immutable, a `branch` advances as
   * commits land on it (Iceberg refs).
@@ -173,7 +181,15 @@ case class TableMeta(
     snapshots: Seq[Snapshot],
     currentSnapshotId: Option[Long],
     properties: Map[String, String],
-    refs: Map[String, Ref] = Map.empty) {
+    refs: Map[String, Ref] = Map.empty,
+    schemasHistory: Seq[SchemaVersion] = Nil,
+    currentSchemaId: Int = 0) {
+
+  /** Schema as of a snapshot's recorded schema id. Tables created before
+    * any evolution carry no history — the current schema is schema 0.
+    */
+  def schemaAt(id: Int): StructType =
+    schemasHistory.find(_.id == id).map(_.schema).getOrElse(schema)
 
   def currentSpec: PartitionSpec = specs.find(_.specId == currentSpecId).get
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
@@ -534,6 +550,17 @@ object MetaIO {
       so.put("added_files", s.addedFiles)
       so.put("total_files", s.totalFiles)
       so.put("total_records", s.totalRecords)
+      if (s.schemaId != 0) so.put("schema_id", s.schemaId)
+    }
+    if (m.schemasHistory.nonEmpty) {
+      val sa = root.putArray("schemas")
+      m.schemasHistory.foreach { sv =>
+        val o = sa.addObject()
+        o.put("schema_id", sv.id)
+        o.set[ObjectNode]("schema",
+          mapper.readTree(sv.schema.json).asInstanceOf[ObjectNode])
+      }
+      root.put("current_schema_id", m.currentSchemaId)
     }
     m.currentSnapshotId.foreach(root.put("current_snapshot_id", _))
     if (m.refs.nonEmpty) {
@@ -569,8 +596,14 @@ object MetaIO {
         so.get("manifest").asText(),
         so.get("added_files").asLong(),
         so.get("total_files").asLong(),
-        so.get("total_records").asLong())
+        so.get("total_records").asLong(),
+        Option(so.get("schema_id")).map(_.asInt()).getOrElse(0))
     }
+    val schemasHist = Seq.newBuilder[SchemaVersion]
+    Option(root.get("schemas")).foreach(_.forEach { so =>
+      schemasHist += SchemaVersion(so.get("schema_id").asInt(),
+        DataType.fromJson(so.get("schema").toString).asInstanceOf[StructType])
+    })
     val props = Map.newBuilder[String, String]
     val pNode = root.get("properties")
     pNode.fieldNames().forEachRemaining(k => props += k -> pNode.get(k).asText())
@@ -588,7 +621,9 @@ object MetaIO {
       snaps.result(),
       Option(root.get("current_snapshot_id")).map(_.asLong()),
       props.result(),
-      refs.result())
+      refs.result(),
+      schemasHist.result(),
+      Option(root.get("current_schema_id")).map(_.asInt()).getOrElse(0))
   }
 
   // ------------------------------------------------------------ versions

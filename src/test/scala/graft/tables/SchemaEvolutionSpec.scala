@@ -129,7 +129,32 @@ class SchemaEvolutionSpec extends SparkSpec {
     val ch = t.changesBetween(s1, s2)
     assert(ch.columns.toSeq == Seq("id", "val", "_change_type"))
     assert(ch.count() == 1)
-    // time travel to the pre-rename snapshot reads under the current schema
-    assert(t.asOf(s1).columns.contains("val") && t.asOf(s1).count() == 2)
+    // time travel reads each snapshot under ITS schema (Iceberg
+    // snapshot-schema semantics): the pre-rename snapshot still says "v"
+    assert(t.asOf(s1).columns.toSeq == Seq("id", "v") && t.asOf(s1).count() == 2)
+    assert(t.asOf(s2).columns.toSeq == Seq("id", "val") && t.asOf(s2).count() == 3)
+  }
+
+  test("snapshot schemas: drop and widen are scoped to their commits") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1, "x", 1.5f)).toDF("n", "label", "f"))
+    val s1 = t.meta.currentSnapshotId.get
+    t.dropColumn("label")
+    t.widenColumn("n", org.apache.spark.sql.types.LongType)
+    t.append(Seq((2L, 2.5f)).toDF("n", "f"))
+    val s2 = t.meta.currentSnapshotId.get
+    // the old snapshot still shows the dropped column and narrow type
+    val old = t.asOf(s1)
+    assert(old.columns.toSeq == Seq("n", "label", "f"))
+    assert(old.schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(old.select(col("label")).as[String].collect().toSeq == Seq("x"))
+    // the new snapshot reads the evolved shape
+    val cur = t.asOf(s2)
+    assert(cur.columns.toSeq == Seq("n", "f"))
+    assert(cur.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    // schema history is persisted, not in-memory state
+    val reloaded = GraftTable.load(spark, t.location)
+    assert(reloaded.meta.schemasHistory.size == 3)
+    assert(reloaded.asOf(s1).columns.contains("label"))
   }
 }
