@@ -698,7 +698,51 @@ object TableOpsExt {
        |  CAST(3 AS BIGINT) AS commits_applied
        |FROM final""".stripMargin
 
+  // ---------------------------------------------------------------- t38
+
+  /** t38: `add_files` — register already-written parquet into a LIVE
+    * table with zero rewrite (Iceberg's add_files procedure; the in-place
+    * import path of t02 applied to an existing table). The gate stages a
+    * parquet directory outside the table, adds it through the SQL facade,
+    * and proves the table answers with the union while the staged file
+    * paths entered the manifest verbatim (no copy).
+    */
+  def t38AddFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 1500))
+    val staged = Files.createTempDirectory("graft_t38_stage").toString + "/p"
+    shifted(spark, sfDir, 400, 900000000L).write.parquet(staged)
+
+    val sql = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_t38_db").toString)
+    sql.register("t38t", t.location)
+    sql.sql(s"CALL system.add_files('t38t', '$staged')")
+
+    val reloaded = GraftTable.load(spark, t.location)
+    val inPlace = reloaded.currentFiles().count(_.path.startsWith(staged))
+    reloaded.toDF().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .withColumn("staged_in_place", lit(inPlace > 0))
+      .withColumn("pruned_added", lit(
+        reloaded.plannedFiles("o_orderkey >= 900000000").forall(
+          _.path.startsWith(staged))))
+  }
+
+  val t38Oracle: String =
+    s"""WITH u AS (
+       |  SELECT * FROM ${cappedSql(1500)}
+       |  UNION ALL
+       |  SELECT * REPLACE (o_orderkey + 900000000 AS o_orderkey)
+       |  FROM ${cappedSql(400)}
+       |)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  TRUE AS staged_in_place, TRUE AS pruned_added
+       |FROM u""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t38_add_files"         -> ((t38AddFiles _, t38Oracle)),
     "t37_replicate"         -> ((t37Replicate _, t37Oracle)),
     "t36_schema_evolution"  -> ((t36SchemaEvolution _, t36Oracle)),
     "t33_concurrent_append" -> ((t33ConcurrentAppend _, t33Oracle)),

@@ -112,6 +112,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val CallRewriteManifests = r("""CALL\s+[\w.]*REWRITE_MANIFESTS\s*\(\s*["']([\w.]+)["']\s*\)""")
   private val CallRemoveOrphans =
     r("""CALL\s+[\w.]*REMOVE_ORPHAN_FILES\s*\(\s*["']([\w.]+)["']\s*(?:,\s*(\d+)\s*)?\)""")
+  private val CallAddFiles =
+    r("""CALL\s+[\w.]*ADD_FILES\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
   private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
   private val ShowTables = r("""SHOW\s+TABLES(?:\s+IN\s+(\w+))?""")
   private val ShowPartitions = r("""SHOW\s+PARTITIONS\s+(\w+)""")
@@ -230,6 +232,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).rollback(snap.toLong); status("rollback", name)
       case ExecExpire(name, ts) =>
         table(name).expireSnapshots(parseTimestampMs(ts)); status("expire", name)
+      case CallAddFiles(name, dir) =>
+        table(stripDb(name)).addFiles(dir); status("add-files", stripDb(name))
       case CallRewriteFiles(name) =>
         table(stripDb(name)).compact(); status("rewrite-data-files", stripDb(name))
       case CallRewriteManifests(name) =>

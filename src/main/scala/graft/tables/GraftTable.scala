@@ -959,6 +959,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Register existing parquet files into this table WITHOUT rewriting
+    * them (Iceberg's `add_files` procedure; the in-place half of the
+    * workshop's import story applied to a live table instead of a new
+    * one). One footer-stats pass over the new files builds their manifest
+    * entries; the commit is an append — the files get this commit's data
+    * sequence number, so carried-forward equality deletes (scoped to older
+    * sequences) can never hit them, same as [[append]]. The incoming
+    * physical schema must match: a file whose columns differ would
+    * silently read as nulls forever after.
+    */
+  def addFiles(sourceDir: String): GraftTable = {
+    if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
+    val m = meta
+    val incoming = spark.read.parquet(sourceDir).schema
+    val expected = ColumnMapping.physicalSchema(m.schema)
+    val missing = expected.fields.filterNot(f =>
+      incoming.fields.exists(i => i.name == f.name && i.dataType == f.dataType))
+    require(missing.isEmpty,
+      s"add_files schema mismatch: source lacks ${missing.map(_.name).mkString(", ")}")
+    val md = currentManifest(m)
+    val entries = collectFileEntries(sourceDir, m, m.currentSpecId)
+      .map(_.copy(seq = nextSnapshotId(m)))
+    commitSnapshot(m, md.files ++ entries, "append", entries.size,
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes)
+    this
+  }
+
   /** Replace table contents (INSERT OVERWRITE). Pending MOR deletes need
     * no materialization: `changesBetween` reads the removed-file side
     * through the parent manifest's delete files, so rows the equality

@@ -780,4 +780,24 @@ class GraftTableSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(ch == Set((1L, "v2", "delete"), (2L, "v1", "delete")))
   }
+
+  test("add_files registers files in place; older equality deletes can't hit them") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // pending equality delete on k=3 BEFORE the files are added
+    t.deleteMergeOnReadEquality(Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_addf").toString + "/p"
+    Seq((3L, "staged"), (4L, "staged")).toDF("k", "v").write.parquet(staged)
+    t.addFiles(staged)
+    // the added files carry this commit's sequence number — the older
+    // delete is scoped to earlier files and must NOT swallow the new k=3
+    assert(t.toDF().count() == 4)
+    assert(t.toDF().filter(col("k") === 3L).count() == 1)
+    // registered, not copied
+    assert(t.currentFiles().exists(_.path.startsWith(staged)))
+    // schema mismatch refuses loudly
+    val bad = java.nio.file.Files.createTempDirectory("graft_addf_bad").toString + "/p"
+    Seq(Tuple1(9L)).toDF("k").write.parquet(bad)
+    intercept[IllegalArgumentException](t.addFiles(bad))
+  }
 }
