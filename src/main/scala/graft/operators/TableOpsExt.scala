@@ -741,7 +741,51 @@ object TableOpsExt {
        |  TRUE AS staged_in_place, TRUE AS pruned_added
        |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- t39
+
+  /** t39: the FULL MERGE clause surface (r6) — conditional WHEN clauses,
+    * DELETE actions, first-match-wins ordering, conditional NOT MATCHED
+    * inserts — compiled to ONE copy-on-write `mergeApply` commit that
+    * rewrites only files holding an affected key. Matched even keys
+    * delete, remaining matched keys update, and only every 5th unmatched
+    * source key inserts; rows no clause selects survive untouched.
+    */
+  def t39MergeClauses(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 1000))
+    val s = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 1600))
+    val sql = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_t39_db").toString)
+    sql.register("t39t", t.location)
+    sql.register("t39s", s.location)
+    sql.sql("""MERGE INTO t39t AS t USING (SELECT * FROM t39s) AS src
+              |ON t.o_orderkey = src.o_orderkey
+              |WHEN MATCHED AND src.o_orderkey % 2 = 0 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'UPD'
+              |WHEN NOT MATCHED AND src.o_orderkey % 5 = 0 THEN INSERT *""".stripMargin)
+    GraftTable.load(spark, t.location).toDF().agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderpriority") === "UPD", 1L).otherwise(0L)).as("n_updated"),
+      sum(col("o_orderkey") % 2).as("n_odd"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+  }
+
+  val t39Oracle: String =
+    s"""WITH tgt AS (SELECT * FROM ${cappedSql(1000)}),
+       |src AS (SELECT * FROM ${cappedSql(1600)}),
+       |upd AS (SELECT * REPLACE ('UPD' AS o_orderpriority) FROM tgt
+       |        WHERE o_orderkey % 2 <> 0),
+       |ins AS (SELECT * FROM src
+       |        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+       |          AND o_orderkey % 5 = 0),
+       |final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN o_orderpriority = 'UPD' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       |  CAST(SUM(o_orderkey % 2) AS BIGINT) AS n_odd,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM final""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t39_merge_clauses"     -> ((t39MergeClauses _, t39Oracle)),
     "t38_add_files"         -> ((t38AddFiles _, t38Oracle)),
     "t37_replicate"         -> ((t37Replicate _, t37Oracle)),
     "t36_schema_evolution"  -> ((t36SchemaEvolution _, t36Oracle)),

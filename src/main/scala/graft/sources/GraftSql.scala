@@ -92,6 +92,10 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val MergeHead = r("""MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*)""")
   private val MergeTail =
     """(?is)^(?:AS\s+)?(?:(\w+)\s+)?ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$""".r
+  // general clause-list form: conditional clauses, DELETE actions,
+  // update-only / delete-only merges (Iceberg's full MERGE surface)
+  private val MergeTailGeneral =
+    """(?is)^(?:AS\s+)?(?:(\w+)\s+)?ON\s+(.*?)\s+(WHEN\s+.*)$""".r
   private val Delete = r("""DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)""")
   private val Update = r("""UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)""")
   private val Truncate = r("""TRUNCATE\s+(?:TABLE\s+)?(\w+)""")
@@ -185,6 +189,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
           case MergeTail(srcAlias, on, setClause, insClause) =>
             handleMerge(name, Option(tgtAlias).getOrElse(name),
               Option(srcAlias).getOrElse("source"), using, on, setClause, insClause)
+          case MergeTailGeneral(srcAlias, on, whenPart) =>
+            handleMergeGeneral(name, Option(tgtAlias).getOrElse(name),
+              Option(srcAlias).getOrElse("source"), using, on, whenPart)
           case _ =>
             throw new IllegalArgumentException(s"unsupported MERGE statement: $stmt")
         }
@@ -309,8 +316,25 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     sets.keys.foreach(k => require(schema.fieldNames.contains(k), s"unknown SET column $k"))
     val matchedCols = schema.fieldNames
       .map(c => s"${sets.getOrElse(c, s"$tgtAlias.$c")} AS $c").mkString(", ")
+    val insertExprs = buildInsertExprs(schema, srcAlias, insClause)
+    val effSource = spark.sql(
+      s"""SELECT $matchedCols
+         |FROM $tgtView AS $tgtAlias JOIN $srcView AS $srcAlias ON $onQ
+         |UNION ALL
+         |SELECT ${insertExprs.mkString(", ")}
+         |FROM $srcView AS $srcAlias
+         |WHERE NOT EXISTS (SELECT 1 FROM $tgtView AS $tgtAlias WHERE $onQ)""".stripMargin)
+    t.mergeInto(conform(name, effSource), keys)
+    status("merge", name)
+  }
+
+  /** Row-builder expressions for a MERGE INSERT clause: `*` takes the
+    * source row, `[(cols)] VALUES (…)` builds it (unlisted columns NULL).
+    */
+  private def buildInsertExprs(schema: org.apache.spark.sql.types.StructType,
+      srcAlias: String, insClause: String): Seq[String] = {
     val ColsVals = """(?is)^(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)$""".r
-    val insertExprs: Seq[String] = insClause.trim match {
+    insClause.trim match {
       case "*" => schema.fieldNames.map(c => s"$srcAlias.$c AS $c").toSeq
       case ColsVals(colsOpt, vals) =>
         val valExprs = splitTopLevel(vals)
@@ -327,14 +351,106 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         }
       case other => throw new IllegalArgumentException(s"unsupported INSERT clause: $other")
     }
-    val effSource = spark.sql(
-      s"""SELECT $matchedCols
-         |FROM $tgtView AS $tgtAlias JOIN $srcView AS $srcAlias ON $onQ
-         |UNION ALL
-         |SELECT ${insertExprs.mkString(", ")}
-         |FROM $srcView AS $srcAlias
-         |WHERE NOT EXISTS (SELECT 1 FROM $tgtView AS $tgtAlias WHERE $onQ)""".stripMargin)
-    t.mergeInto(conform(name, effSource), keys)
+  }
+
+  private case class WhenClause(matched: Boolean, cond: Option[String],
+      action: String, body: String)
+
+  /** Parse a MERGE WHEN-clause list: `WHEN MATCHED [AND c] THEN UPDATE SET
+    * …|DELETE` / `WHEN NOT MATCHED [AND c] THEN INSERT …`, in order.
+    */
+  private def parseWhenClauses(s: String): Seq[WhenClause] = {
+    val starts = """(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b""".r
+      .findAllMatchIn(s).map(_.start).toSeq
+    require(starts.nonEmpty && starts.head == 0, s"malformed MERGE clauses: $s")
+    val pieces = starts.zip(starts.drop(1) :+ s.length)
+      .map { case (a, b) => s.substring(a, b).trim }
+    val Clause =
+      """(?is)^WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+(UPDATE\s+SET\s+(.*)|DELETE|INSERT\s*(.*))$""".r
+    pieces.map {
+      case Clause(not, cond, action, setBody, insBody) =>
+        val matched = not == null
+        val up = action.trim.toUpperCase(java.util.Locale.ROOT)
+        val wc =
+          if (up.startsWith("UPDATE")) WhenClause(matched, Option(cond), "update", setBody)
+          else if (up == "DELETE") WhenClause(matched, Option(cond), "delete", "")
+          else WhenClause(matched, Option(cond), "insert", insBody)
+        require(if (wc.matched) wc.action != "insert" else wc.action == "insert",
+          s"MERGE clause action ${wc.action} not valid for " +
+            (if (wc.matched) "MATCHED" else "NOT MATCHED"))
+        wc
+      case other => throw new IllegalArgumentException(s"unsupported MERGE clause: $other")
+    }
+  }
+
+  /** The FULL MERGE surface (Iceberg semantics, first-match-wins):
+    * conditional WHEN clauses, DELETE actions, several UPDATE clauses with
+    * different SETs, update-only / delete-only merges. Compiled to three
+    * frames — per-clause updates, deleted keys, per-clause inserts — and
+    * executed as ONE copy-on-write [[GraftTable.mergeApply]] commit that
+    * rewrites only files containing an affected key. Clause conditions may
+    * reference both aliases (qualify columns; bare names resolve in join
+    * scope). Matched rows selected by no clause survive untouched.
+    */
+  private def handleMergeGeneral(name: String, tgtAlias: String,
+      srcAlias: String, using: String, on: String, whenPart: String): DataFrame = {
+    val t = table(name)
+    val schema = t.meta.schema
+    val keys = keysFromOn(on)
+    require(keys.nonEmpty, s"no equality keys in MERGE ON clause: $on")
+    val clauses = parseWhenClauses(whenPart)
+    val srcDf = runSelect(stripParens(using))
+    val tgtView = "__graft_mergeg_tgt"
+    val srcView = "__graft_mergeg_src"
+    t.toDF().createOrReplaceTempView(tgtView)
+    srcDf.createOrReplaceTempView(srcView)
+    val onQ = qualifyBareColumns(on, tgtAlias, schema.fieldNames.toSet)
+    val pairs = s"$tgtView AS $tgtAlias JOIN $srcView AS $srcAlias ON $onQ"
+
+    // first-match-wins verdict over the MATCHED clauses, evaluated in
+    // declaration order on each (target, source) pair
+    val matchedIdx = clauses.zipWithIndex.filter(_._1.matched)
+    val verdict =
+      if (matchedIdx.isEmpty) "-1"
+      else "CASE " + matchedIdx.map { case (c, i) =>
+        s"WHEN (${c.cond.getOrElse("TRUE")}) THEN $i" }.mkString(" ") + " ELSE -1 END"
+
+    val updateSelects = matchedIdx.filter(_._1.action == "update").map { case (c, i) =>
+      val sets: Map[String, String] =
+        if (c.body.trim == "*") schema.fieldNames.map(x => x -> s"$srcAlias.$x").toMap
+        else parseAssignments(c.body).map { case (k, v) => k.split('.').last -> v }
+      sets.keys.foreach(k =>
+        require(schema.fieldNames.contains(k), s"unknown SET column $k"))
+      val cols = schema.fieldNames
+        .map(x => s"${sets.getOrElse(x, s"$tgtAlias.$x")} AS $x").mkString(", ")
+      s"SELECT $cols FROM $pairs WHERE ($verdict) = $i"
+    }
+    val updates =
+      if (updateSelects.isEmpty) t.toDF().limit(0)
+      else spark.sql(updateSelects.mkString(" UNION ALL "))
+
+    val deleteIdxs = matchedIdx.filter(_._1.action == "delete").map(_._2)
+    val deleteKeys =
+      if (deleteIdxs.isEmpty) t.toDF().select(keys.map(org.apache.spark.sql.functions.col): _*).limit(0)
+      else spark.sql(
+        s"SELECT ${keys.map(k => s"$tgtAlias.$k AS $k").mkString(", ")} " +
+          s"FROM $pairs WHERE ($verdict) IN (${deleteIdxs.mkString(", ")})")
+
+    val insertIdx = clauses.zipWithIndex.filter(!_._1.matched)
+    val insVerdict =
+      if (insertIdx.isEmpty) "-1"
+      else "CASE " + insertIdx.map { case (c, j) =>
+        s"WHEN (${c.cond.getOrElse("TRUE")}) THEN $j" }.mkString(" ") + " ELSE -1 END"
+    val insertSelects = insertIdx.map { case (c, j) =>
+      s"SELECT ${buildInsertExprs(schema, srcAlias, c.body).mkString(", ")} " +
+        s"FROM $srcView AS $srcAlias WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM $tgtView AS $tgtAlias WHERE $onQ) AND ($insVerdict) = $j"
+    }
+    val inserts =
+      if (insertSelects.isEmpty) t.toDF().limit(0)
+      else spark.sql(insertSelects.mkString(" UNION ALL "))
+
+    t.mergeApply(conform(name, updates), deleteKeys, conform(name, inserts), keys)
     status("merge", name)
   }
 

@@ -1103,6 +1103,64 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Generalized MERGE executor (one copy-on-write commit): `updates`
+    * replace their matched rows, `deleteKeys` drop theirs, `inserts`
+    * append — matched rows named by neither survive the rewrite untouched.
+    * Only files containing an affected key are rewritten (same file-level
+    * CoW economics as [[mergeInto]], which is the
+    * update-all/insert-all special case). Keys must be unique per action.
+    */
+  def mergeApply(updates: DataFrame, deleteKeys: DataFrame,
+      inserts: DataFrame, keyCols: Seq[String]): GraftTable = {
+    ensureMaterialized()
+    val m = meta
+    val cur = currentFiles(m)
+    val affectedKeys = updates.select(keyCols.map(col): _*)
+      .unionByName(deleteKeys.select(keyCols.map(col): _*)).distinct()
+    val keyed = keyCols.foldLeft(affectedKeys) { (d, c) =>
+      d.withColumnRenamed(c, s"__k_$c") }
+    def keyCond(df: DataFrame): org.apache.spark.sql.Column =
+      keyCols.map(c => df(c) === keyed(s"__k_$c")).reduce(_ && _)
+
+    val touched: Seq[DataFile] =
+      if (cur.isEmpty) Nil
+      else {
+        val base = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
+        val hit = base.join(broadcast(keyed), keyCond(base), "left_semi")
+          .select(col("_metadata.file_path")).distinct().collect()
+          .map(r => stripScheme(r.getString(0))).toSet
+        cur.filter(f => hit.contains(f.path))
+      }
+
+    val rewritten: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val base = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
+        val delKeyed = keyCols.foldLeft(deleteKeys.select(keyCols.map(col): _*)
+          .distinct()) { (d, c) => d.withColumnRenamed(c, s"__d_$c") }
+        val updRenamed = m.schema.fieldNames.foldLeft(updates) { (d, c) =>
+          d.withColumnRenamed(c, s"__u_$c") }
+        val minusDeleted = base.join(delKeyed,
+          keyCols.map(c => base(c) === delKeyed(s"__d_$c")).reduce(_ && _),
+          "left_anti")
+        val joined = minusDeleted.join(updRenamed,
+          keyCols.map(c => minusDeleted(c) === updRenamed(s"__u_$c")).reduce(_ && _),
+          "left")
+        Some(joined.select(m.schema.fieldNames.map { c =>
+          when(col(s"__u_${keyCols.head}").isNotNull, col(s"__u_$c"))
+            .otherwise(col(c)).as(c)
+        }.toSeq: _*))
+      }
+
+    if (touched.isEmpty && inserts.isEmpty) return this // nothing to do
+    val toWrite = (rewritten.toSeq :+ inserts.select(
+      m.schema.fieldNames.map(col).toSeq: _*)).reduce(_ unionAll _)
+    val newFiles = writeDataFiles(toWrite, m)
+    val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
+    commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size)
+    this
+  }
+
   // ------------------------------------------------------------- refs
 
   /** Tag a snapshot under an immutable name (Iceberg tags). */

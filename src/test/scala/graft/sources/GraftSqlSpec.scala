@@ -111,6 +111,58 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE quality IS NULL").head().getLong(0) > 0)
   }
 
+  test("MERGE general clauses: conditional UPDATE, DELETE action, conditional INSERT") {
+    val g = freshSql(); registerSources(g)
+    g.sql("""CREATE TABLE acct AS SELECT o_orderkey AS id, o_orderstatus AS st,
+            |o_totalprice AS bal FROM orders WHERE o_orderkey <= 40""".stripMargin)
+    val before = g.sql("SELECT * FROM acct").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // src covers ids 1..60 step 1 where present; CDC-style ops column
+    g.sql("""MERGE INTO acct AS t USING (
+            |  SELECT o_orderkey AS id, o_totalprice * 2 AS newbal,
+            |    CASE WHEN o_orderkey % 3 = 0 THEN 'D'
+            |         WHEN o_orderkey % 3 = 1 THEN 'U' ELSE 'K' END AS op
+            |  FROM orders WHERE o_orderkey <= 60
+            |) AS s ON t.id = s.id
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET bal = s.newbal
+            |WHEN NOT MATCHED AND s.op = 'U' THEN
+            |  INSERT (id, st, bal) VALUES (s.id, 'NEW', s.newbal)""".stripMargin)
+    val after = g.sql("SELECT * FROM acct").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    before.foreach { case (id, (st, bal)) =>
+      if (id % 3 == 0) assert(!after.contains(id), s"id $id should be deleted")
+      else if (id % 3 == 1) {
+        assert(after(id)._2 == bal * 2, s"id $id should be updated")
+        assert(after(id)._1 == st, "unlisted SET column must keep its value")
+      }
+      else assert(after(id) == (st, bal), s"id $id untouched by any clause")
+    }
+    // inserts: only op='U' ids beyond the target's range
+    after.keys.filter(_ > 40).foreach { id =>
+      assert(id % 3 == 1 && after(id)._1 == "NEW", s"unexpected insert $id")
+    }
+    assert(after.keys.exists(_ > 40), "conditional NOT MATCHED inserted nothing")
+  }
+
+  test("MERGE delete-only and update-only forms work without other clauses") {
+    val g = freshSql(); registerSources(g)
+    g.sql("""CREATE TABLE dm AS SELECT o_orderkey AS id, o_totalprice AS v
+            |FROM orders WHERE o_orderkey <= 20""".stripMargin)
+    val n0 = g.sql("SELECT COUNT(*) AS n FROM dm").head().getLong(0)
+    g.sql("""MERGE INTO dm AS t USING (
+            |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 2 = 0
+            |) AS s ON t.id = s.id
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    val even = g.sql("SELECT COUNT(*) AS n FROM dm WHERE id % 2 = 0").head().getLong(0)
+    assert(even == 0 && g.sql("SELECT COUNT(*) AS n FROM dm").head().getLong(0) < n0)
+    g.sql("""MERGE INTO dm AS t USING (
+            |  SELECT o_orderkey AS id FROM orders
+            |) AS s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = 0.0""".stripMargin)
+    assert(g.sql("SELECT SUM(v) AS s FROM dm").head().getDouble(0) == 0.0)
+  }
+
   test("ALTER RENAME COLUMN / DROP COLUMN / ALTER COLUMN TYPE through SQL") {
     val g = freshSql(); registerSources(g)
     g.sql("""CREATE TABLE evo AS
