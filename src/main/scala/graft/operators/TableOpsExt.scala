@@ -784,7 +784,62 @@ object TableOpsExt {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        |FROM final""".stripMargin
 
+  // ---------------------------------------------------------------- t40
+
+  /** t40: DYNAMIC partition overwrite (r6) — `INSERT OVERWRITE` on a
+    * partitioned table with `write.overwrite-mode=dynamic` replaces
+    * exactly the partitions the incoming rows touch (here: one
+    * orderstatus) and keeps every other file byte-identical; the daily
+    * re-run shape. The untouched partitions' FILES (not just rows) must
+    * survive — pinned via the path set — and the changelog sees the swap
+    * as a file-diff CoW commit.
+    */
+  def t40DynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 2000),
+      partitionFields = Seq(PartitionField("o_orderstatus", "identity", "o_orderstatus")),
+      properties = Map("write.overwrite-mode" -> "dynamic"))
+    val untouchedBefore = t.currentFiles()
+      .filterNot(_.partitionValues.get("o_orderstatus").contains("F")).map(_.path).toSet
+
+    val sql = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_t40_db").toString)
+    sql.register("t40t", t.location)
+    // replacement rows for partition F only: the 100 lowest F keys, price 1.0
+    val repl = orders(spark, sfDir, 2000).filter(col("o_orderstatus") === "F")
+      .orderBy(col("o_orderkey")).limit(100)
+      .withColumn("o_totalprice", lit(1.0))
+    repl.createOrReplaceTempView("t40_repl")
+    sql.sql("INSERT OVERWRITE t40t SELECT * FROM t40_repl")
+
+    val after = GraftTable.load(spark, t.location)
+    val untouchedAfter = after.currentFiles()
+      .filterNot(_.partitionValues.get("o_orderstatus").contains("F")).map(_.path).toSet
+    after.toDF().agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .withColumn("other_files_untouched", lit(untouchedAfter == untouchedBefore))
+  }
+
+  val t40Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql(2000)}),
+       |repl AS (
+       |  SELECT * REPLACE (1.0 AS o_totalprice) FROM (
+       |    SELECT * FROM base WHERE o_orderstatus = 'F'
+       |    ORDER BY o_orderkey LIMIT 100)
+       |), final AS (
+       |  SELECT * FROM base WHERE o_orderstatus <> 'F'
+       |  UNION ALL SELECT * FROM repl
+       |)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  TRUE AS other_files_untouched
+       |FROM final""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t40_dynamic_overwrite" -> ((t40DynamicOverwrite _, t40Oracle)),
     "t39_merge_clauses"     -> ((t39MergeClauses _, t39Oracle)),
     "t38_add_files"         -> ((t38AddFiles _, t38Oracle)),
     "t37_replicate"         -> ((t37Replicate _, t37Oracle)),

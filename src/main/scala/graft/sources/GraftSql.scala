@@ -156,7 +156,14 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       case CreateHead(external, name, rest) =>
         handleCreate(name, rest, external != null)
       case InsertOver(name, select) =>
-        table(name).overwrite(conform(name, runSelect(select))); status("overwrite", name)
+        // Hive/Iceberg dynamic-overwrite mode: on a partitioned table with
+        // write.overwrite-mode=dynamic, replace only the touched partitions
+        val t = table(name)
+        val dyn = t.meta.currentSpec.fields.nonEmpty &&
+          t.meta.properties.get("write.overwrite-mode").contains("dynamic")
+        val rows = conform(name, runSelect(select))
+        if (dyn) t.overwritePartitions(rows) else t.overwrite(rows)
+        status("overwrite", name)
       case InsertSel(name, part, select) =>
         table(name).append(conform(name,
           applyStaticPartition(runSelect(select), part)))

@@ -999,6 +999,38 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** DYNAMIC partition overwrite (Hive `INSERT OVERWRITE` with dynamic
+    * partitions; Iceberg's `overwrite` with a partition expression): ONE
+    * commit that replaces exactly the partitions the incoming data
+    * touches and keeps every other file — at 100 TB this is how a daily
+    * re-run replaces its day without rewriting the table. Partition
+    * identity is the current spec's transformed value tuple; files written
+    * under OLDER specs don't carry those values and are conservatively
+    * kept (evolve-then-compact migrates them). Pending predicate deletes
+    * materialize first (they apply globally and would capture the new
+    * rows); file-anchored and sequence-scoped delete files carry forward
+    * for the kept files.
+    */
+  def overwritePartitions(df: DataFrame): GraftTable = {
+    val m0 = meta
+    require(m0.currentSpec.fields.nonEmpty,
+      "dynamic partition overwrite needs a partitioned table; use overwrite()")
+    if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
+    val m = meta
+    val md = currentManifest(m)
+    val newFiles = writeDataFiles(df, m)
+    val keyNames = m.currentSpec.fields.map(_.name)
+    def tuple(f: DataFile): Option[Seq[String]] =
+      if (f.specId == m.currentSpecId) Some(keyNames.map(k => f.partitionValues.getOrElse(k, "")))
+      else None
+    val newTuples = newFiles.flatMap(tuple).toSet
+    val kept = md.files.filterNot(f => tuple(f).exists(newTuples.contains))
+    commitSnapshot(m, kept ++ newFiles, "overwrite", newFiles.size,
+      positionDeleteFiles = md.positionDeleteFiles,
+      equalityDeletes = md.equalityDeletes)
+    this
+  }
+
   /** TRUNCATE TABLE (reference README.md maintenance walkthrough).
     * O(metadata): commits an empty file list; pending MOR deletes stay in
     * the parent manifest, where the changelog's MOR-aware diff reads them.

@@ -781,6 +781,37 @@ class GraftTableSpec extends SparkSpec {
     assert(ch == Set((1L, "v2", "delete"), (2L, "v1", "delete")))
   }
 
+  test("dynamic partition overwrite replaces touched partitions only") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0), (4L, "C", 4.0))
+        .toDF("k", "p", "v"),
+      partitionFields = Seq(PartitionField("p", "identity", "p")))
+    val keepFiles = t.currentFiles()
+      .filterNot(_.partitionValues.get("p").contains("A")).map(_.path).toSet
+    val s0 = t.meta.currentSnapshotId.get
+    t.overwritePartitions(Seq((10L, "A", 10.0)).toDF("k", "p", "v"))
+    // A replaced wholesale; B and C files untouched (same physical paths)
+    assert(t.toDF().filter(col("p") === "A").as[(Long, String, Double)]
+      .collect().toSet == Set((10L, "A", 10.0)))
+    assert(t.toDF().count() == 3)
+    assert(t.currentFiles()
+      .filterNot(_.partitionValues.get("p").contains("A")).map(_.path).toSet == keepFiles)
+    // changelog recovers the row-level swap from the file diff
+    val ch = t.changesBetween(s0, t.meta.currentSnapshotId.get)
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(ch == Set((1L, "A", 1.0, "delete"), (2L, "A", 2.0, "delete"),
+      (10L, "A", 10.0, "insert")))
+    // kept partitions' MOR deletes survive the partial overwrite
+    t.deleteMergeOnReadEquality(Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    t.overwritePartitions(Seq((11L, "A", 11.0)).toDF("k", "p", "v"))
+    assert(t.toDF().filter(col("k") === 3L).count() == 0,
+      "equality delete on a kept partition was dropped by the overwrite")
+    // unpartitioned tables refuse (overwrite() is the right call)
+    val u = GraftTable.createAs(spark, tmp(), Seq((1L, "x")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      u.overwritePartitions(Seq((2L, "y")).toDF("k", "v")))
+  }
+
   test("add_files registers files in place; older equality deletes can't hit them") {
     val t = GraftTable.createAs(spark, tmp(),
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
