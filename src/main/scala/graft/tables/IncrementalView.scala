@@ -80,16 +80,21 @@ final class IncrementalAggView private (
         scols.map(c => sum(sign.cast(SumType) *
           coalesce(col(c).cast(SumType), lit(0).cast(SumType))).as(deltaSum(c))): _*)
 
+      // null-safe joins throughout: a NULL group key is a real group (the
+      // upsert's equality delete is null-safe too — a plain `=` here would
+      // drop the old NULL-group row without folding it in)
       val view = table.toDF()
-      val touched = view.join(broadcast(delta.select(gcols.map(col): _*)),
-        gcols, "left_semi")
-      val merged = delta.join(touched, gcols, "left_outer")
-      val newCnt = coalesce(col(CntCol), lit(0L)) + col(DeltaCnt)
+      val deltaKeys = delta.select(gcols.map(col): _*)
+      val touched = view.join(broadcast(deltaKeys),
+        gcols.map(c => view(c) <=> deltaKeys(c)).reduce(_ && _), "left_semi")
+      val merged = delta.join(touched,
+        gcols.map(c => delta(c) <=> touched(c)).reduce(_ && _), "left_outer")
+      val newCnt = coalesce(touched(CntCol), lit(0L)) + delta(DeltaCnt)
       val newSums = scols.map(c =>
-        (coalesce(col(sumCol(c)), lit(0).cast(SumType)).cast(SumType) +
-          col(deltaSum(c))).cast(SumType).as(sumCol(c)))
+        (coalesce(touched(sumCol(c)), lit(0).cast(SumType)).cast(SumType) +
+          delta(deltaSum(c))).cast(SumType).as(sumCol(c)))
       val next = merged.select(
-        (gcols.map(col) :+ newCnt.as(CntCol)) ++ newSums: _*)
+        (gcols.map(c => delta(c).as(c)) :+ newCnt.as(CntCol)) ++ newSums: _*)
       val upserts = next.filter(col(CntCol) > 0)
       val dead = next.filter(col(CntCol) <= 0).select(gcols.map(col): _*)
       table.mergeBatch(upserts, Some(dead), gcols,

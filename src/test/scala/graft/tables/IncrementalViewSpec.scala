@@ -101,6 +101,24 @@ class IncrementalViewSpec extends SparkSpec {
     assert(m.currentSnapshot.get.operation == "upsert-mor")
   }
 
+  test("a NULL group key is a real group across refreshes") {
+    val base = GraftTable.createAs(spark, tmp(),
+      Seq((1L, Option("A"), 10.0), (2L, Option.empty[String], 5.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    base.append(Seq((3L, Option.empty[String], 7.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    v.refresh()
+    val rows = v.toDF().collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDecimal(2).doubleValue()))
+      .toMap
+    // the NULL group folded in (old 5.0 + new 7.0), not dropped or split
+    assert(rows(None) == (2L, 12.0), s"NULL group wrong: $rows")
+    assert(rows(Some("A")) == (1L, 10.0))
+    assert(v.toDF().count() == 2, "NULL group duplicated")
+  }
+
   test("NULL measures count toward cnt and sum as zero") {
     val base = GraftTable.createAs(spark, tmp(),
       Seq((1L, "A", Some(10.0)), (2L, "A", None), (3L, "B", None))
