@@ -100,6 +100,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val Update = r("""UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)""")
   private val Truncate = r("""TRUNCATE\s+(?:TABLE\s+)?(\w+)""")
   private val AddCols = r("""ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*(.*?)\s*\)?""")
+  private val CreateMv = r(
+    """CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+(.*)""")
+  private val RefreshMv = r("""REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)""")
   private val RenameCol = r("""ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""")
   private val DropCol = r("""ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""")
   private val AlterColType = r("""ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)""")
@@ -217,6 +220,12 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         val t = table(name)
         StructType.fromDDL(cols).fields.foreach(f => t.addColumn(f.name, f.dataType))
         status("add-columns", name)
+      case CreateMv(name, selectList, baseName, groupBy) =>
+        handleCreateMv(name, selectList, baseName, groupBy)
+      case RefreshMv(name) =>
+        val n = graft.tables.IncrementalAggView.load(spark, location(name)).refresh()
+        import spark.implicits._
+        Seq(("refresh-mv", name, n)).toDF("status", "table", "change_rows")
       case RenameCol(name, from, to) =>
         table(name).renameColumn(from, to); status("rename-column", name)
       case DropCol(name, colName) =>
@@ -333,6 +342,41 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
          |WHERE NOT EXISTS (SELECT 1 FROM $tgtView AS $tgtAlias WHERE $onQ)""".stripMargin)
     t.mergeInto(conform(name, effSource), keys)
     status("merge", name)
+  }
+
+  /** `CREATE MATERIALIZED VIEW v AS SELECT g…, COUNT(*) AS cnt,
+    * SUM(c) AS sum_c… FROM t GROUP BY g…` — the incrementally-maintained
+    * aggregate ([[graft.tables.IncrementalAggView]]): the initial
+    * aggregate computes once, and `REFRESH MATERIALIZED VIEW v` folds the
+    * base table's changelog in (O(delta), exactly-once cursor). The select
+    * list is restricted to the maintainable shape — group columns,
+    * COUNT(*), and SUM(col) — anything else must be a plain query.
+    */
+  private def handleCreateMv(name: String, selectList: String,
+      baseName: String, groupBy: String): DataFrame = {
+    val baseT = table(baseName)
+    val gcols = splitTopLevel(groupBy).map(_.trim)
+    gcols.foreach(c => require(baseT.meta.schema.fieldNames.contains(c),
+      s"GROUP BY column $c not in $baseName"))
+    val SumItem = """(?is)^SUM\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?$""".r
+    val CntItem = """(?is)^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?$""".r
+    val sumCols = splitTopLevel(selectList).map(_.trim).flatMap {
+      case c if gcols.contains(c) => None
+      case CntItem(alias) =>
+        require(alias == null || alias.equalsIgnoreCase("cnt"),
+          s"COUNT(*) must be aliased cnt (the maintained column name)")
+        None
+      case SumItem(c, alias) =>
+        require(alias == null || alias.equalsIgnoreCase(s"sum_$c"),
+          s"SUM($c) must be aliased sum_$c (the maintained column name)")
+        Some(c)
+      case other => throw new IllegalArgumentException(
+        s"materialized views maintain only group columns, COUNT(*), SUM(col); got: $other")
+    }
+    val loc = s"$warehouse/$name"
+    graft.tables.IncrementalAggView.create(spark, loc, baseT, gcols, sumCols)
+    register(name, loc)
+    status("create-materialized-view", name)
   }
 
   /** Row-builder expressions for a MERGE INSERT clause: `*` takes the

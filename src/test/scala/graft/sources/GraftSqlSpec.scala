@@ -111,6 +111,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE quality IS NULL").head().getLong(0) > 0)
   }
 
+  test("CREATE + REFRESH MATERIALIZED VIEW maintain the aggregate incrementally") {
+    val g = freshSql(); registerSources(g)
+    g.sql("""CREATE TABLE mvbase AS SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_orderkey <= 500""".stripMargin)
+    g.sql("""CREATE MATERIALIZED VIEW mv1 AS
+            |SELECT o_orderstatus, COUNT(*) AS cnt, SUM(o_totalprice) AS sum_o_totalprice
+            |FROM mvbase GROUP BY o_orderstatus""".stripMargin)
+    def recompute() = g.sql(
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM mvbase GROUP BY o_orderstatus""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def mvRows() = g.sql("SELECT o_orderstatus, cnt FROM mv1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mvRows() == recompute())
+    g.sql("""INSERT INTO mvbase SELECT o_orderkey + 1000000, o_orderstatus,
+            |o_totalprice FROM orders WHERE o_orderkey <= 100""".stripMargin)
+    g.sql("DELETE FROM mvbase WHERE o_orderkey % 3 = 0")
+    val res = g.sql("REFRESH MATERIALIZED VIEW mv1")
+    assert(res.columns.contains("change_rows") && res.head().getLong(2) > 0)
+    assert(mvRows() == recompute())
+    // non-maintainable select lists refuse loudly
+    intercept[IllegalArgumentException](g.sql(
+      "CREATE MATERIALIZED VIEW bad AS SELECT o_orderstatus, AVG(o_totalprice) AS a FROM mvbase GROUP BY o_orderstatus"))
+  }
+
   test("MERGE general clauses: conditional UPDATE, DELETE action, conditional INSERT") {
     val g = freshSql(); registerSources(g)
     g.sql("""CREATE TABLE acct AS SELECT o_orderkey AS id, o_orderstatus AS st,
