@@ -170,6 +170,65 @@ class GraftTable(val spark: SparkSession, val location: String) {
     case n => n.toString
   }
 
+  /** COUNT(*) from metadata alone (Iceberg's aggregate pushdown): the
+    * current snapshot's record total is maintained at commit time, so an
+    * unfiltered count is O(1) driver work — no file is listed or opened.
+    * Returns None when merge-on-read deletes are pending (their row hits
+    * aren't knowable from stats); callers fall back to a scan.
+    */
+  def fastCount(): Option[Long] = {
+    val m = meta
+    val md = currentManifest(m)
+    if (md.deletePredicates.nonEmpty || md.positionDeleteFiles.nonEmpty ||
+        md.equalityDeletes.nonEmpty) None
+    else Some(m.currentSnapshot.map(_.totalRecords).getOrElse(0L))
+  }
+
+  /** MIN/MAX of a column from manifest stats alone (aggregate pushdown):
+    * exact when every live file carries trusted bounds for the column and
+    * no merge-on-read delete is pending — min/max can only shrink under
+    * deletes, so stats bounds would overshoot. None = fall back to a scan.
+    * O(files) driver metadata, zero data IO.
+    */
+  def fastMinMax(column: String): Option[(Any, Any)] = {
+    val m = meta
+    val md = currentManifest(m)
+    if (md.deletePredicates.nonEmpty || md.positionDeleteFiles.nonEmpty ||
+        md.equalityDeletes.nonEmpty) return None
+    // only types whose footer stats are exact-or-absent: timestamp bounds
+    // may be ceiled under unit conversion (pruning-safe, aggregate-unsafe)
+    // and decimal bounds are stored as lossy doubles
+    m.schema.find(_.name == column).map(_.dataType) match {
+      case Some(_: ByteType | _: ShortType | _: IntegerType | _: LongType |
+                _: FloatType | _: DoubleType | _: StringType | _: DateType |
+                _: BooleanType) => ()
+      case _ => return None
+    }
+    val phys = ColumnMapping.physicalOf(m.schema, column)
+    // zero-row files (empty rewrite residue) carry no stats and no values
+    val live = md.files.filter(_.recordCount > 0)
+    if (live.isEmpty) return None
+    val stats = live.map(_.stats.get(phys))
+    if (stats.exists(_.isEmpty)) return None
+    val ss = stats.flatten
+    // a file whose rows are all NULL contributes no bounds; files with
+    // partial bounds (untrusted) already surfaced as None above
+    val mins = ss.flatMap(_.min)
+    val maxs = ss.flatMap(_.max)
+    if (mins.size != ss.size || maxs.size != ss.size) return None
+    // single stats type only (a widen can mix Long and Double bounds
+    // across file generations — fall back to the scan there)
+    val ord: Option[Ordering[Any]] =
+      if (mins.forall(_.isInstanceOf[Long]) && maxs.forall(_.isInstanceOf[Long]))
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Long]))
+      else if (mins.forall(_.isInstanceOf[Double]) && maxs.forall(_.isInstanceOf[Double]))
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Double]))
+      else if (mins.forall(_.isInstanceOf[String]) && maxs.forall(_.isInstanceOf[String]))
+        Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      else None
+    ord.map(o => (mins.min(o), maxs.max(o)))
+  }
+
   /** Files surviving manifest pruning for a filter (the workshop's
     * "files=N of M scanned" observability).
     */

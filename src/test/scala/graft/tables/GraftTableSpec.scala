@@ -781,6 +781,25 @@ class GraftTableSpec extends SparkSpec {
     assert(ch == Set((1L, "v2", "delete"), (2L, "v1", "delete")))
   }
 
+  test("fastCount/fastMinMax answer from metadata and refuse when stats can't be exact") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((5L, "b", 2.5), (1L, "a", 9.0), (9L, "c", 1.25))
+        .toDF("k", "s", "v").repartition(3))
+    assert(t.fastCount().contains(3L))
+    assert(t.fastMinMax("k").contains((1L, 9L)))
+    assert(t.fastMinMax("v").contains((1.25, 9.0)))
+    assert(t.fastMinMax("s").contains(("a", "c")))
+    // pending MOR deletes make stats bounds unsafe -> scan fallback
+    t.deleteMergeOnReadEquality(Seq(Tuple1(9L)).toDF("k"), Seq("k"))
+    assert(t.fastCount().isEmpty && t.fastMinMax("k").isEmpty)
+    t.materializeDeletes()
+    assert(t.fastCount().contains(2L))
+    assert(t.fastMinMax("k").contains((1L, 5L)))
+    // rename keeps the metadata path working (stats live physical)
+    t.renameColumn("k", "key")
+    assert(t.fastMinMax("key").contains((1L, 5L)))
+  }
+
   test("dynamic partition overwrite replaces touched partitions only") {
     val t = GraftTable.createAs(spark, tmp(),
       Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0), (4L, "C", 4.0))
