@@ -53,7 +53,7 @@ object ColumnMapping {
       paths: Seq[String]): DataFrame = {
     val df = spark.read.schema(physicalSchema(schema)).parquet(paths: _*)
     if (!hasMapping(schema)) df
-    else df.select(schema.fields.map(f =>
+    else df.select(schema.fields.toSeq.map(f =>
       col(physicalName(f)).as(f.name, f.metadata)): _*)
   }
 
@@ -63,7 +63,7 @@ object ColumnMapping {
     */
   def toPhysical(schema: StructType, df: DataFrame): DataFrame =
     if (!hasMapping(schema)) df
-    else df.select(schema.fields.map(f =>
+    else df.select(schema.fields.toSeq.map(f =>
       col(f.name).as(physicalName(f))): _*)
 
   /** All physical names a new column must not collide with: live fields
