@@ -838,7 +838,52 @@ object TableOpsExt {
        |  TRUE AS other_files_untouched
        |FROM final""".stripMargin
 
+  // ---------------------------------------------------------------- t41
+
+  /** t41: metadata-only aggregates (r6; Iceberg aggregate pushdown) —
+    * COUNT(*) from the snapshot's maintained record total and MIN/MAX
+    * from manifest stats, zero data IO. The gate checks the values against
+    * a real scan (DuckDB) AND that the unsafe states refuse: after a
+    * merge-on-read delete lands, both must return None (the fallback),
+    * and after materialization they answer again with the delete applied.
+    */
+  def t41FastAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 2500).repartition(6))
+    val c0 = t.fastCount()
+    val mm0 = t.fastMinMax("o_totalprice")
+    val key0 = t.fastMinMax("o_orderkey")
+    t.deleteMergeOnReadEquality(
+      orders(spark, sfDir, 2500).orderBy(col("o_orderkey").desc).limit(1)
+        .select(col("o_orderkey")), Seq("o_orderkey"))
+    val refusedPending = t.fastCount().isEmpty && t.fastMinMax("o_orderkey").isEmpty
+    t.materializeDeletes()
+    val c1 = t.fastCount()
+    val key1 = t.fastMinMax("o_orderkey")
+    Seq((c0.getOrElse(-1L), mm0.map(_._1.asInstanceOf[Double]).getOrElse(-1.0),
+        mm0.map(_._2.asInstanceOf[Double]).getOrElse(-1.0),
+        key0.map(_._1.asInstanceOf[Long]).getOrElse(-1L),
+        key0.map(_._2.asInstanceOf[Long]).getOrElse(-1L),
+        refusedPending, c1.getOrElse(-1L),
+        key1.map(_._2.asInstanceOf[Long]).getOrElse(-1L)))
+      .toDF("n0", "min_price", "max_price", "min_key", "max_key",
+        "refused_pending", "n1", "max_key_after")
+  }
+
+  val t41Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql(2500)})
+       |SELECT (SELECT COUNT(*) FROM base) AS n0,
+       |  (SELECT MIN(o_totalprice) FROM base) AS min_price,
+       |  (SELECT MAX(o_totalprice) FROM base) AS max_price,
+       |  (SELECT MIN(o_orderkey) FROM base) AS min_key,
+       |  (SELECT MAX(o_orderkey) FROM base) AS max_key,
+       |  TRUE AS refused_pending,
+       |  (SELECT COUNT(*) FROM base) - 1 AS n1,
+       |  (SELECT MAX(o_orderkey) FROM base
+       |   WHERE o_orderkey <> (SELECT MAX(o_orderkey) FROM base)) AS max_key_after""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t41_fast_agg"          -> ((t41FastAgg _, t41Oracle)),
     "t40_dynamic_overwrite" -> ((t40DynamicOverwrite _, t40Oracle)),
     "t39_merge_clauses"     -> ((t39MergeClauses _, t39Oracle)),
     "t38_add_files"         -> ((t38AddFiles _, t38Oracle)),

@@ -687,7 +687,68 @@ object TextAnalysis {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- x15
+
+  /** x15: LINE-level deduplication (the C4 step: drop any line that
+    * occurred verbatim earlier in the corpus, keeping documents otherwise
+    * intact). The testdata has no newlines, so "lines" are deterministic
+    * 10-word chunks — replayable identically in SQL. Scale shape: one
+    * shuffle keyed by the line (the global first-occurrence window —
+    * exact dedup's cost model, same as d01 but at line granularity), then
+    * one shuffle back by doc to reassemble. First occurrence is defined
+    * by (doc_id, position) order, so the result is deterministic and the
+    * oracle must reproduce every retained document STRING identically.
+    * Docs whose every line is a duplicate come back empty, not dropped.
+    */
+  def x15LineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val lines = docs.select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(split(trim(text), '\\s+')) / 10.0) AS int) - 1),
+            |  i -> array_join(slice(split(trim(text), '\\s+'), i * 10 + 1, 10), ' '))""".stripMargin))
+          .as(Seq("idx", "line")))
+    val firstSeen = lines.withColumn("rn",
+        row_number().over(Window.partitionBy(col("line"))
+          .orderBy(col("doc_id"), col("idx"))))
+      .filter(col("rn") === 1)
+    val rebuilt = firstSeen.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_lines_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => x.getField("line")), " ").as("text_dedup"))
+    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x15Oracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), lines AS (
+      |  SELECT doc_id, i.i AS idx,
+      |    array_to_string(w[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS line
+      |  FROM words,
+      |    LATERAL (SELECT UNNEST(generate_series(0,
+      |      CAST(CEIL(len(w) / 10.0) AS INT) - 1)) AS i) i
+      |), kept AS (
+      |  SELECT doc_id, idx, line,
+      |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+      |  FROM lines
+      |), rebuilt AS (
+      |  SELECT doc_id, COUNT(*) AS n_lines_kept,
+      |    string_agg(line, ' ' ORDER BY idx) AS text_dedup
+      |  FROM kept WHERE rn = 1 GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+      |  COALESCE(r.text_dedup, '') AS text_dedup
+      |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
     "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),
     "x11_pii_redact"    -> ((x11PiiRedact _, x11Oracle)),
     "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
