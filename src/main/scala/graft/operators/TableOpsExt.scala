@@ -882,7 +882,46 @@ object TableOpsExt {
        |  (SELECT MAX(o_orderkey) FROM base
        |   WHERE o_orderkey <> (SELECT MAX(o_orderkey) FROM base)) AS max_key_after""".stripMargin
 
+  // ---------------------------------------------------------------- t42
+
+  /** t42: ANALYZE column statistics (r6; the Puffin-stats shape) — one
+    * KMV pass computes per-column NDV, stored in properties stamped with
+    * the analyzed snapshot. Cardinalities here are far below the sketch's
+    * k, so the NDVs are exact (the x14 contract) and DuckDB recomputes
+    * them as COUNT(DISTINCT). Staleness is part of the gate: a commit
+    * after ANALYZE must flip `columnNdv` to None (stats describe a
+    * snapshot, never the moving table), and re-ANALYZE restores them.
+    */
+  def t42Analyze(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 3000))
+    val sql = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_t42_db").toString)
+    sql.register("t42t", t.location)
+    sql.sql("ANALYZE TABLE t42t COMPUTE STATISTICS FOR COLUMNS o_orderstatus, o_custkey, o_orderpriority")
+    val ndv0 = Seq("o_orderstatus", "o_custkey", "o_orderpriority").map(t.columnNdv)
+    t.append(shifted(spark, sfDir, 100, 900000000L))
+    val staleAfterCommit = t.columnNdv("o_orderstatus").isEmpty
+    t.analyze(Seq("o_orderkey"))
+    Seq((ndv0(0).getOrElse(-1L), ndv0(1).getOrElse(-1L), ndv0(2).getOrElse(-1L),
+        staleAfterCommit, t.columnNdv("o_orderkey").getOrElse(-1L)))
+      .toDF("ndv_status", "ndv_cust", "ndv_priority", "stale_after_commit", "ndv_key_after")
+  }
+
+  val t42Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql(3000)})
+       |SELECT
+       |  (SELECT COUNT(DISTINCT o_orderstatus) FROM base) AS ndv_status,
+       |  (SELECT COUNT(DISTINCT o_custkey) FROM base) AS ndv_cust,
+       |  (SELECT COUNT(DISTINCT o_orderpriority) FROM base) AS ndv_priority,
+       |  TRUE AS stale_after_commit,
+       |  (SELECT COUNT(DISTINCT o_orderkey) FROM (
+       |     SELECT o_orderkey FROM base
+       |     UNION ALL
+       |     SELECT o_orderkey + 900000000 FROM ${cappedSql(100)})) AS ndv_key_after""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t42_analyze"           -> ((t42Analyze _, t42Oracle)),
     "t41_fast_agg"          -> ((t41FastAgg _, t41Oracle)),
     "t40_dynamic_overwrite" -> ((t40DynamicOverwrite _, t40Oracle)),
     "t39_merge_clauses"     -> ((t39MergeClauses _, t39Oracle)),

@@ -100,6 +100,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val Update = r("""UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)""")
   private val Truncate = r("""TRUNCATE\s+(?:TABLE\s+)?(\w+)""")
   private val AddCols = r("""ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*(.*?)\s*\)?""")
+  private val AnalyzeCols = r(
+    """ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(.*)""")
   private val CreateMv = r(
     """CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+(.*)""")
   private val RefreshMv = r("""REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)""")
@@ -220,6 +222,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         val t = table(name)
         StructType.fromDDL(cols).fields.foreach(f => t.addColumn(f.name, f.dataType))
         status("add-columns", name)
+      case AnalyzeCols(name, cols) =>
+        table(name).analyze(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        status("analyze", name)
       case CreateMv(name, selectList, baseName, groupBy) =>
         handleCreateMv(name, selectList, baseName, groupBy)
       case RefreshMv(name) =>

@@ -229,6 +229,45 @@ class GraftTable(val spark: SparkSession, val location: String) {
     ord.map(o => (mins.min(o), maxs.max(o)))
   }
 
+  /** ANALYZE: per-column NDV (distinct count) statistics computed with
+    * the KMV sketch ([[graft.functions.KMinValues]] — one pass, O(k)
+    * state, exact below k) and stored in table properties stamped with
+    * the snapshot they describe — the shape of Iceberg's Puffin stats
+    * files (Theta sketches attached to a snapshot). [[columnNdv]] serves
+    * them only while they're current; any newer commit makes them stale
+    * (None), never silently wrong.
+    */
+  def analyze(columns: Seq[String], k: Int = 8192): GraftTable = {
+    require(columns.nonEmpty, "analyze needs columns")
+    val m = meta
+    columns.foreach(c => require(m.schema.fieldNames.contains(c), s"unknown column $c"))
+    val snap = m.currentSnapshotId.getOrElse(
+      throw new IllegalStateException("no snapshot to analyze"))
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KMinValues(k), org.apache.spark.sql.Encoders.scalaLong)
+    val aggs = columns.map(c => kmv(xxhash64(col(c))).as(c))
+    val row = toDF().agg(aggs.head, aggs.tail: _*).head()
+    val stats = columns.zipWithIndex.map { case (c, i) =>
+      s"${TableFormat.NdvPrefix}$c" -> row.getLong(i).toString }.toMap
+    setProperties(stats + (TableFormat.StatsSnapshot -> snap.toString))
+    this
+  }
+
+  /** NDV of an analyzed column, or None when no stats exist, the column
+    * wasn't analyzed, or the table has moved past the analyzed snapshot.
+    */
+  def columnNdv(column: String): Option[Long] = {
+    val m = meta
+    for {
+      statsSnap <- m.properties.get(TableFormat.StatsSnapshot)
+      // the analyze commit itself (and other property-only commits) don't
+      // change data: stats stay valid while the SNAPSHOT hasn't moved
+      cur <- m.currentSnapshotId
+      if statsSnap.toLong == cur
+      v <- m.properties.get(s"${TableFormat.NdvPrefix}$column")
+    } yield v.toLong
+  }
+
   /** Files surviving manifest pruning for a filter (the workshop's
     * "files=N of M scanned" observability).
     */

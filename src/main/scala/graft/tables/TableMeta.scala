@@ -46,6 +46,11 @@ object TableFormat {
     * write (point-lookup row-group skipping beyond min/max stats).
     */
   val BloomColumns = "write.bloom-columns"
+  /** ANALYZE column-NDV stats (the Puffin-stats shape): one property per
+    * analyzed column plus the snapshot id the stats describe.
+    */
+  val NdvPrefix = "graft.stats.ndv."
+  val StatsSnapshot = "graft.stats.snapshot-id"
   /** Bounded retry count for non-conflicting commits that lose the
     * version CAS (Iceberg `commit.retry.num-retries`, default 4): an
     * append re-points its already-written files onto the winner's
