@@ -877,26 +877,73 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   def mergeBatch(upserts: DataFrame, deletedKeys: Option[DataFrame],
       keyCols: Seq[String],
-      extraProperties: Map[String, String] = Map.empty): GraftTable = {
+      extraProperties: Map[String, String] = Map.empty): GraftTable =
+    mergeBatchWithRetry(upserts, deletedKeys, keyCols, extraProperties)
+
+  /** [[mergeBatch]] with the maintenance-race rebase: a CDC upsert that
+    * loses the version CAS to a ROW-PRESERVING commit (compaction,
+    * clustering, delete materialization/folding — ops `replace` /
+    * `rewrite-deletes`) re-points its already-written delete-key and data
+    * files onto the winner's manifest and retries: the winner changed the
+    * table's files, not its rows, so the equality delete selects the same
+    * logical rows under a fresh sequence number. Anything that changed
+    * ROWS (appends, other upserts, CoW mutations) still refuses loudly —
+    * rebasing across those would reorder writes the caller believes are
+    * serial. This is what lets a streaming upsert sink and a maintenance
+    * schedule share a table (Iceberg's RowDelta retry under the same
+    * validation).
+    */
+  private[tables] def mergeBatchWithRetry(upserts: DataFrame,
+      deletedKeys: Option[DataFrame], keyCols: Seq[String],
+      extraProperties: Map[String, String] = Map.empty,
+      onAttempt: Int => Unit = _ => ()): GraftTable = {
     require(keyCols.nonEmpty, "upsert needs key columns")
     // predicate deletes apply globally at read time — a carried-forward
     // predicate would silently drop upserted rows it matches, violating the
     // append()/appendToBranch invariant that new rows are never hit by
     // older merge-on-read predicates. Materialize them first.
     if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
-    val m = meta
-    val md = currentManifest(m)
+    var m = meta
     val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
     val upsertKeys = upserts.select(keyCols.map(col): _*)
     deletedKeys.map(d => upsertKeys.unionByName(d.select(keyCols.map(col): _*)))
       .getOrElse(upsertKeys).distinct().write.parquet(delDir)
-    val newFiles = writeDataFiles(upserts, m)
-    commitSnapshot(m, md.files ++ newFiles, "upsert-mor", newFiles.size,
-      deletePredicates = md.deletePredicates,
-      positionDeleteFiles = md.positionDeleteFiles,
-      equalityDeletes = md.equalityDeletes :+
-        EqualityDelete(keyCols, listParquet(delDir), nextSnapshotId(m)),
-      extraProperties = extraProperties)
+    val delFiles = listParquet(delDir)
+    val written = writeDataFiles(upserts, m)
+    val retries = m.properties.get(TableFormat.CommitRetries)
+      .map(_.toInt).getOrElse(4)
+    val rowPreserving = Set("replace", "rewrite-deletes")
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      onAttempt(attempt) // test seam: deterministic mid-flight conflicts
+      val md = currentManifest(m)
+      val seq = nextSnapshotId(m)
+      val newFiles = written.map(_.copy(seq = seq))
+      try {
+        commitSnapshot(m, md.files ++ newFiles, "upsert-mor", newFiles.size,
+          deletePredicates = md.deletePredicates,
+          positionDeleteFiles = md.positionDeleteFiles,
+          equalityDeletes = md.equalityDeletes :+
+            EqualityDelete(keyCols, delFiles, seq),
+          extraProperties = extraProperties)
+        committed = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          val fresh = meta
+          val newSince = fresh.snapshots
+            .filterNot(s => m.snapshots.exists(_.id == s.id))
+          // an empty newSince is a pure metadata-version race (property
+          // commit) — always safe to rebase onto
+          if (attempt > retries || fresh.schema != m.schema ||
+              fresh.currentSpecId != m.currentSpecId ||
+              !newSince.forall(s => rowPreserving.contains(s.operation)) ||
+              currentManifest(fresh).deletePredicates.nonEmpty)
+            throw e
+          m = fresh
+      }
+    }
     this
   }
 

@@ -83,6 +83,39 @@ class ConcurrencySpec extends SparkSpec {
     assert(rows == Set((0L, "base"), (1L, "mine"), (2L, "theirs")))
   }
 
+  test("mid-flight COMPACTION: an upsert rebases onto the row-preserving winner") {
+    val loc = tmp()
+    GraftTable.createAs(spark, loc,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4))
+    val t1 = GraftTable.load(spark, loc)
+    var attempts = 0
+    t1.mergeBatchWithRetry(Seq((1L, "upd"), (100L, "new")).toDF("k", "v"),
+      None, Seq("k"), onAttempt = { a =>
+        attempts = a + 1
+        if (a == 0) { GraftTable.load(spark, loc).compact(); () }
+      })
+    assert(attempts == 2, s"expected one rebase retry, saw $attempts attempt(s)")
+    val t = GraftTable.load(spark, loc)
+    val byKey = t.toDF().as[(Long, String)].collect().toMap
+    assert(byKey.size == 41 && byKey(1L) == "upd" && byKey(100L) == "new")
+    // the upsert's equality delete applies across the compacted files
+    assert(t.toDF().filter(col("v") === "v1").count() == 0)
+  }
+
+  test("mid-flight APPEND refuses an upsert rebase (rows changed under it)") {
+    val loc = tmp()
+    GraftTable.createAs(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val t1 = GraftTable.load(spark, loc)
+    intercept[java.util.ConcurrentModificationException] {
+      t1.mergeBatchWithRetry(Seq((1L, "upd")).toDF("k", "v"), None, Seq("k"),
+        onAttempt = { a =>
+          if (a == 0) {
+            GraftTable.load(spark, loc).append(Seq((2L, "b")).toDF("k", "v")); ()
+          }
+        })
+    }
+  }
+
   test("mid-flight CONFLICTING commit (schema change) is refused, not rebased") {
     val loc = tmp()
     GraftTable.createAs(spark, loc, Seq((0L, "base")).toDF("k", "v"))
