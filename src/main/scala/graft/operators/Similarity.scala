@@ -84,6 +84,13 @@ object Similarity {
     * `q` = (query_id, qv).
     */
   private[graft] def s02AnnLshOn(e: DataFrame, q: DataFrame,
+      tables: Int, probeBits: Int): DataFrame =
+    topK(lshScored(e, q, tables, probeBits))
+
+  /** Candidate generation + exact scoring shared by top-k ANN (s02) and
+    * radius search (s06): LSH bucket join → dedup → cosine.
+    */
+  private[graft] def lshScored(e: DataFrame, q: DataFrame,
       tables: Int, probeBits: Int): DataFrame = {
     val bits = 8
     def seed(t: Int): Long = 0x5eedL + t * 7919L
@@ -107,12 +114,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val scored = cands
+    cands
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         F.cosine(col("qv"), col("embedding")).as("sim"))
-    topK(scored)
   }
 
   /** Trained-once IVF index artifact, cached per corpus dir.
@@ -514,7 +520,52 @@ object Similarity {
       |  FROM scored)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s06: RANGE (radius) search — every neighbor with cosine ≥ τ, the
+  // threshold-query primitive behind near-dup sweeps and recall-oriented
+  // retrieval ("give me ALL matches", not top-k). Same LSH candidate
+  // generation as s02 (bucket join, bare-id shuffle, exact cosine on
+  // candidates only), with a similarity filter instead of a rank window —
+  // so the cost model is identical and no global sort is needed at all.
+  // Gate-exact by the planted-copy construction: copies score ~1.0,
+  // the corpus' max natural pairwise cosine is 0.48, and τ = 0.8 sits in
+  // that gap with a huge margin, so the radius set IS the planted set and
+  // DuckDB recomputes it exactly; candidate recall of the copies is 1.0
+  // by construction (identical arrays share every table key).
+  // ------------------------------------------------------------------
+
+  private[graft] def s06RangeSearchOn(e: DataFrame, q: DataFrame, tau: Double,
+      tables: Int, probeBits: Int): DataFrame =
+    lshScored(e, q, tables, probeBits)
+      .filter(col("sim") >= tau)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+
+  def s06RangeSearch(spark: SparkSession, sfDir: String): DataFrame =
+    s06RangeSearchOn(Tables.embeddings(spark, sfDir), queries(spark, sfDir),
+      tau = 0.8, tables = 16, probeBits = 2)
+
+  def s06RangeSearchGate(spark: SparkSession, sfDir: String): DataFrame =
+    s06RangeSearchOn(plantedCorpus(spark, sfDir), queries(spark, sfDir),
+      tau = 0.8, tables = 16, probeBits = 2)
+
+  val s06Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(1000000 + q.query_id * 10 + t.j AS BIGINT) AS vec_id, q.qv AS ev
+      |  FROM q CROSS JOIN range(1, 6) t(j))
+      |SELECT q.query_id, c.vec_id AS neighbor_id
+      |FROM q CROSS JOIN corpus c
+      |WHERE c.vec_id <> q.query_id
+      |  AND list_cosine_similarity(q.qv, c.ev) >= 0.8
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s06_range_search"   -> ((s06RangeSearchGate _, s06Oracle)),
     "s01_ann_bruteforce" -> ((s01AnnBruteforce _, s01Oracle)),
     "s02_ann_lsh"        -> ((s02AnnLshGate _, plantedOracle)),
     "s03_ann_ivf"        -> ((s03AnnIvfGate _, plantedOracle)),

@@ -203,6 +203,19 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("s06 range search returns exactly the radius set, empty off-threshold") {
+    // planted copies are the ONLY pairs above τ=0.8 (natural max 0.48):
+    // 5 copies per query, nothing else
+    val out = Similarity.s06RangeSearchGate(spark, sf)
+      .as[(Long, Long)].collect()
+    val nQueries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 50 === 0).count()
+    assert(out.length == 5 * nQueries, s"expected ${5 * nQueries} pairs, got ${out.length}")
+    assert(out.forall { case (q, n) => n >= 1000000L + q * 10 + 1 && n <= 1000000L + q * 10 + 5 })
+    // the raw corpus has no pair at this radius — threshold respected
+    assert(Similarity.s06RangeSearch(spark, sf).count() == 0)
+  }
+
   test("s01 brute-force matches a driver-side exact computation") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
