@@ -469,6 +469,74 @@ object Streams {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
       |FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** st10: watermarked stream-stream LEFT OUTER join — st07's attribution
+    * shape plus the rows inner joins silently drop: a view with NO click
+    * inside its 15-minute window must still emit (with NULL click fields)
+    * once BOTH watermarks pass the window's end, i.e. once it is provable
+    * no matching click can still arrive. That deferred emission is the
+    * semantic heart of streaming outer joins: the gate advances the
+    * watermarks with a far-future flush row per side (excluded from
+    * output), the unmatched views surface in the following micro-batch,
+    * and the whole result is value-identical to the batch LEFT JOIN
+    * oracle. State stays O(window) exactly as in st07. NULL click fields
+    * are emitted as -1 (both engines) so the compare stays dtype-stable.
+    */
+  def st10StreamOuterJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_st10_gate").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    val ev = spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 15 MINUTES"),
+        "leftOuter")
+      .select(col("v_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+        col("user_id"),
+        coalesce(unix_millis(col("c_ts")) - unix_millis(col("v_ts")), lit(-1L))
+          .as("gap_ms"))
+    val name = s"st10_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = withStatePartitions(spark) {
+      joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try {
+      q.processAllAvailable()
+      // flush: one far-future row per side advances both watermarks past
+      // every real view's window, releasing the unmatched views
+      val maxTs = spark.read.schema(eventsSchema).parquet(s"$dir/batch1.parquet")
+        .agg(max(col("ts"))).head().getLong(0)
+      val flushTs = maxTs + 3L * 3600L * 1000000000L
+      import spark.implicits._
+      Seq((900000001L, flushTs, 999999L, "view", 0.0, "{}"),
+          (900000002L, flushTs, 999999L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("v_id") < 900000000L)
+      .orderBy(col("v_id"), col("c_id"))
+  }
+
+  val st10Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_ms(ts) AS ms, user_id, event_type FROM events)
+      |SELECT v.event_id AS v_id, COALESCE(c.event_id, -1) AS c_id,
+      |  v.user_id AS user_id, COALESCE(c.ms - v.ms, -1) AS gap_ms
+      |FROM e v LEFT JOIN e c
+      |  ON v.user_id = c.user_id AND c.event_type = 'click'
+      |  AND c.ms BETWEEN v.ms AND v.ms + 900000
+      |WHERE v.event_type = 'view'
+      |ORDER BY v_id, c_id""".stripMargin
+
   /** st07: WATERMARKED STREAM-STREAM JOIN — the ad-attribution shape: for
     * every view, the clicks by the same user within the next 15 minutes.
     * Both sides carry event-time watermarks and the join condition bounds
@@ -563,6 +631,7 @@ object Streams {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "st09_view_maintain"       -> ((st09ViewMaintain _, st09Oracle)),
+    "st10_stream_outer_join"   -> ((st10StreamOuterJoinGate _, st10Oracle)),
     "st08_stream_static_join"  -> ((st08StreamStaticGate _, st08GateOracle)),
     "st07_stream_join"         -> ((st07StreamJoinGate _, st07GateOracle)),
     "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),
