@@ -133,8 +133,87 @@ object Multimodal {
       |  len(list_filter(f, x -> x // 64 = 3)) / CAST(len(f) AS DOUBLE) AS f3
       |FROM fr ORDER BY doc_id""".stripMargin
 
+  case class AudioSegments(doc_id: Long, n_windows: Int, n_voiced: Int,
+      longest_run: Int, total_energy: Long)
+
+  /** m03: AUDIO segmentation plumbing — the voice-activity-detection
+    * pipeline shape (window → per-window energy → threshold → contiguous
+    * voiced segments), with the codec stubbed as byte arithmetic like
+    * m01/m02 (no audio libs in env): payload bytes are the "samples",
+    * window = 25 samples (full windows only), energy = Σ(sample−32)² in
+    * INTEGER math — so the oracle recomputes every value exactly,
+    * including the run-length logic (longest voiced segment) that real
+    * segmenters hang everything on. mapPartitions batch shape matches how
+    * a real decoder amortizes per-batch codec state.
+    */
+  def m03AudioSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = 120000L
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("fake/pcm8").as("format"), lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        val nw = b.length / 25
+        var run = 0; var best = 0; var voiced = 0; var total = 0L
+        var w = 0
+        while (w < nw) {
+          var e = 0L
+          var i = w * 25; val end = i + 25
+          while (i < end) { val d = (b(i) & 0xff) - 32; e += d.toLong * d; i += 1 }
+          total += e
+          if (e > threshold) { voiced += 1; run += 1; if (run > best) best = run }
+          else run = 0
+          w += 1
+        }
+        AudioSegments(r.doc_id, nw, voiced, best, total)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Islands (gaps-and-islands on window index) recompute the longest
+    * voiced run; all arithmetic integer → exact.
+    */
+  val m03Oracle: String =
+    """WITH cp AS (
+      |  SELECT doc_id, [unicode(c) for c in regexp_split_to_array(text, '')] AS cs
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, i.i AS widx,
+      |    list_sum([ (x-32)*(x-32) for x in cs[i.i*25+1 : i.i*25+25] ]) AS energy
+      |  FROM cp, LATERAL (SELECT UNNEST(generate_series(0,
+      |    CAST(FLOOR(len(cs)/25.0) AS INT)-1)) AS i) i
+      |), v AS (
+      |  SELECT doc_id, widx, energy, energy > 120000 AS voiced FROM w
+      |), isl AS (
+      |  SELECT doc_id, voiced,
+      |    widx - ROW_NUMBER() OVER (PARTITION BY doc_id, voiced ORDER BY widx) AS grp
+      |  FROM v
+      |), runs AS (
+      |  SELECT doc_id, COUNT(*) AS run_len FROM isl WHERE voiced
+      |  GROUP BY doc_id, grp
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(s.n_windows, 0) AS INT) AS n_windows,
+      |  CAST(COALESCE(s.n_voiced, 0) AS INT) AS n_voiced,
+      |  CAST(COALESCE(r.longest, 0) AS INT) AS longest_run,
+      |  CAST(COALESCE(s.total_energy, 0) AS BIGINT) AS total_energy
+      |FROM documents d
+      |LEFT JOIN (
+      |  SELECT doc_id, COUNT(*) AS n_windows,
+      |    COUNT(*) FILTER (WHERE voiced) AS n_voiced,
+      |    SUM(energy) AS total_energy
+      |  FROM v GROUP BY doc_id) s ON d.doc_id = s.doc_id
+      |LEFT JOIN (
+      |  SELECT doc_id, MAX(run_len) AS longest FROM runs GROUP BY doc_id) r
+      |  ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
+    "m03_audio_segments"      -> ((m03AudioSegments _, m03Oracle)),
   )
 }
