@@ -1137,10 +1137,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * through the parent manifest's delete files, so rows the equality
     * deletes already killed never appear in the changelog diff.
     */
-  def overwrite(df: DataFrame): GraftTable = {
+  def overwrite(df: DataFrame,
+      extraProperties: Map[String, String] = Map.empty): GraftTable = {
     val m = meta
     val newFiles = writeDataFiles(df, m)
-    commitSnapshot(m, newFiles, "overwrite", newFiles.size)
+    commitSnapshot(m, newFiles, "overwrite", newFiles.size,
+      extraProperties = extraProperties)
     this
   }
 

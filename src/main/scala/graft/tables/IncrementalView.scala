@@ -52,7 +52,11 @@ final class IncrementalAggView private (
 
   /** Fold the base table's commits since the last refresh into the view.
     * Returns the number of changelog rows processed (0 = already current,
-    * no commit made).
+    * no commit made). If the cursor's snapshot has EXPIRED off the base
+    * table (or a rollback moved the head off its ancestry), the changelog
+    * is unreachable — refresh self-heals with a FULL recompute instead of
+    * failing forever: the recompute is idempotent, so the overwrite +
+    * cursor (one atomic commit) is safe even if a crash forces a redo.
     */
   def refresh(): Long = {
     val base = GraftTable.load(spark, baseLocation)
@@ -63,7 +67,10 @@ final class IncrementalAggView private (
 
     val gcols = groupCols
     val scols = sumCols
-    val changes = base.changesBetween(last, cur)
+    val changes = (try base.changesBetween(last, cur)
+      catch {
+        case _: IllegalArgumentException => return fullRefresh(base, cur)
+      })
       .select((gcols ++ scols).map(col) :+ col("_change_type"): _*)
       .cache()
     try {
@@ -102,6 +109,29 @@ final class IncrementalAggView private (
       nChanges
     } finally {
       changes.unpersist()
+      ()
+    }
+  }
+
+  /** Recompute the aggregate from the base's current state and replace
+    * the view contents in ONE commit carrying the cursor. Returns the
+    * number of base rows aggregated (the work actually done).
+    */
+  private def fullRefresh(base: GraftTable, cur: Long): Long = {
+    val gcols = groupCols
+    val scols = sumCols
+    val src = base.toDF().cache()
+    try {
+      val n = src.count()
+      val agg = src.groupBy(gcols.map(col): _*).agg(
+        count(lit(1)).as(CntCol),
+        scols.map(c =>
+          sum(coalesce(col(c).cast(SumType), lit(0).cast(SumType)))
+            .cast(SumType).as(s"sum_$c")): _*)
+      table.overwrite(agg, extraProperties = Map(BaseSnapProp -> cur.toString))
+      n
+    } finally {
+      src.unpersist()
       ()
     }
   }

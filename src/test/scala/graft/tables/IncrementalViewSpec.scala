@@ -101,6 +101,25 @@ class IncrementalViewSpec extends SparkSpec {
     assert(m.currentSnapshot.get.operation == "upsert-mor")
   }
 
+  test("expired cursor self-heals via full recompute in one commit") {
+    val base = GraftTable.createAs(spark, tmp(), orders(300))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    base.append(orders(50).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    base.delete("o_orderkey % 2 = 0")
+    // expire everything older than the head: the cursor's snapshot is gone
+    base.expireSnapshots(System.currentTimeMillis() + 1000L)
+    assert(base.meta.snapshot(v.baseSnapshot).isEmpty, "cursor should be expired")
+    val versionBefore = v.table.meta.version
+    assert(v.refresh() > 0L)
+    assert(viewRows(v) == recompute(base))
+    // one commit: overwrite + cursor rode together
+    assert(v.table.meta.version == versionBefore + 1)
+    assert(v.baseSnapshot == base.meta.currentSnapshotId.get)
+    // and the next refresh is a cheap no-op
+    assert(v.refresh() == 0L)
+  }
+
   test("a NULL group key is a real group across refreshes") {
     val base = GraftTable.createAs(spark, tmp(),
       Seq((1L, Option("A"), 10.0), (2L, Option.empty[String], 5.0))
