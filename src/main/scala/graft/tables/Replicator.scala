@@ -66,8 +66,16 @@ object TableReplicator {
       chain = cur.get :: chain
       cur = cur.get.parentId.flatMap(sm.snapshot)
     }
-    require(cur.isDefined, s"cursor snapshot $last is no longer an ancestor " +
-      s"of $head (source rolled back?) — reconcile before resuming")
+    if (cur.isEmpty) {
+      // the cursor's snapshot is unreachable (expired off the source, or
+      // a rollback moved the head off its ancestry): the per-commit
+      // changelog is gone, so self-heal by replacing the replica with the
+      // source's CURRENT state in one commit carrying the cursor —
+      // idempotent, so an at-least-once redo after a crash is safe
+      replica.overwrite(source.toDF(),
+        extraProperties = Map(SrcSnapProp -> head.toString))
+      return 1
+    }
 
     chain.foreach { snap =>
       val parent = snap.parentId.getOrElse(

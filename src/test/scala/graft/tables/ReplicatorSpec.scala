@@ -68,15 +68,32 @@ class ReplicatorSpec extends SparkSpec {
       src.meta.currentSnapshotId.get)
   }
 
-  test("a source rollback breaks ancestry and fails loudly") {
+  test("a source rollback (or expired cursor) reconciles to current state") {
     val src = GraftTable.createAs(spark, tmp(), orders(100))
     val repLoc = tmp()
     TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
     val s1 = src.meta.currentSnapshotId.get
     src.append(orders(10).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
     assert(TableReplicator.sync(spark, repLoc) == 1)
+    // rollback abandons the synced commit: the cursor is off the ancestry,
+    // so sync self-heals by replacing the replica with the current state
     src.rollback(s1)
     src.append(orders(20).withColumn("o_orderkey", col("o_orderkey") + 2000000L))
-    intercept[IllegalArgumentException](TableReplicator.sync(spark, repLoc))
+    assert(TableReplicator.sync(spark, repLoc) == 1)
+    assertIdentical(src, GraftTable.load(spark, repLoc))
+    // back on the ancestry: subsequent syncs are incremental again
+    src.append(orders(5).withColumn("o_orderkey", col("o_orderkey") + 3000000L))
+    assert(TableReplicator.sync(spark, repLoc) == 1)
+    assertIdentical(src, GraftTable.load(spark, repLoc))
+
+    // expiration past the cursor heals the same way
+    val src2 = GraftTable.createAs(spark, tmp(), orders(80))
+    val rep2 = tmp()
+    TableReplicator.create(spark, rep2, src2, Seq("o_orderkey"))
+    src2.append(orders(10).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    src2.delete("o_orderkey % 3 = 0")
+    src2.expireSnapshots(System.currentTimeMillis() + 1000L)
+    assert(TableReplicator.sync(spark, rep2) == 1)
+    assertIdentical(src2, GraftTable.load(spark, rep2))
   }
 }
