@@ -17,16 +17,25 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
 
-    // min over reps: a single GC/scheduling hiccup shouldn't define the
-    // round's number (reps=2 by default; driver can override)
+    // min over INTERLEAVED reps: run a full pass over all queries, then a
+    // second full pass, and keep the per-query min. Back-to-back reps share
+    // any transient load burst (both samples inflate together and min-of-2
+    // can't reject it — the r6 driver sample manufactured phantom 2-5×
+    // deltas on one contiguous alphabetical block exactly this way);
+    // interleaving puts minutes between a query's two samples so a burst
+    // can't sit on both.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = Array.fill(named.size)(Double.MaxValue)
+    for (_ <- 1 to reps; ((_, fn), i) <- named.zipWithIndex) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      best(i) = math.min(best(i), (System.nanoTime() - t0) / 1e9)
+    }
+    val results = named.zipWithIndex.map { case ((name, _), i) => name -> best(i) }
+    // per-query times, slowest first, on stderr (stdout stays ONE JSON line)
+    results.sortBy(-_._2).foreach { case (n, t) =>
+      System.err.println(f"$t%8.3f  $n")
     }
     // ms precision keeps the stdout line compact (68 queries overflowed the
     // driver's tail capture in r3); the same JSON also goes to a file so a

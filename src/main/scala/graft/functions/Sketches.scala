@@ -74,6 +74,22 @@ class MisraGries(k: Int) extends Aggregator[String, mutable.Map[String, Long], M
   * this property gate-check against `COUNT(DISTINCT …)`; the estimation
   * path (cardinality ≥ k, relative error ≈ 1/√(k−2)) is spec-asserted.
   */
+object KMinValues {
+  /** NDV from a sorted array of sign-flipped min-hashes: exact while the
+    * sketch is unsaturated (the buffer IS the distinct hash set), the
+    * (k-1)/U order-statistics estimate past k.
+    */
+  def estimate(k: Int, sortedMins: Array[Long]): Long =
+    if (sortedMins.length < k) sortedMins.length.toLong
+    else {
+      // k-th minimum as a fraction of the hash space: flipped values are
+      // uniform on [Long.Min, Long.Max] → u = v/2⁶⁴ + 0.5 ∈ (0, 1)
+      val kth = sortedMins(k - 1)
+      val u = kth.toDouble / 18446744073709551616.0 + 0.5
+      Math.round((k - 1).toDouble / u)
+    }
+}
+
 class KMinValues(k: Int) extends Aggregator[Long, mutable.HashSet[Long], Long] {
   require(k >= 16, "k too small for a meaningful estimate")
 
@@ -103,17 +119,57 @@ class KMinValues(k: Int) extends Aggregator[Long, mutable.HashSet[Long], Long] {
   }
 
   override def finish(s: mutable.HashSet[Long]): Long =
-    if (s.size < k) s.size.toLong
-    else {
-      // k-th minimum as a fraction of the hash space: flipped values are
-      // uniform on [Long.Min, Long.Max] → u = v/2⁶⁴ + 0.5 ∈ (0, 1)
-      val kth = s.toArray.sorted.apply(k - 1)
-      val u = kth.toDouble / 18446744073709551616.0 + 0.5
-      Math.round((k - 1).toDouble / u)
-    }
+    KMinValues.estimate(k, s.toArray.sorted.take(k))
 
   override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
     implicitly[Encoder[mutable.HashSet[Long]]](Encoders.kryo[mutable.HashSet[Long]])
 
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** [[KMinValues]] variant that outputs the sketch BUFFER (the k smallest
+  * sign-flipped hashes, sorted) instead of the finished estimate, and
+  * SKIPS NULL inputs — the persistence shape: the buffer is what a
+  * Puffin-style stats file stores, because set-union-keep-k-smallest
+  * makes it mergeable with the sketches of later-appended files while
+  * the finished number is not. NULL skipping keeps `COUNT(DISTINCT …)`
+  * semantics (xxhash64 maps NULL to the unchanged seed, which would
+  * otherwise count as one phantom distinct value).
+  */
+class KMinValuesSketch(k: Int)
+    extends Aggregator[java.lang.Long, mutable.HashSet[Long], Array[Long]] {
+  require(k >= 16, "k too small for a meaningful estimate")
+
+  private def flip(h: Long): Long = h ^ Long.MinValue
+
+  private def trim(s: mutable.HashSet[Long]): mutable.HashSet[Long] =
+    if (s.size <= 2 * k) s
+    else {
+      val kept = s.toArray.sorted.take(k)
+      s.clear()
+      s ++= kept
+    }
+
+  override def zero: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+
+  override def reduce(s: mutable.HashSet[Long], x: java.lang.Long): mutable.HashSet[Long] =
+    if (x == null) s
+    else {
+      s.add(flip(x.longValue()))
+      trim(s)
+    }
+
+  override def merge(a: mutable.HashSet[Long], b: mutable.HashSet[Long]): mutable.HashSet[Long] = {
+    a ++= b
+    trim(a)
+  }
+
+  override def finish(s: mutable.HashSet[Long]): Array[Long] =
+    s.toArray.sorted.take(k)
+
+  override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
+    implicitly[Encoder[mutable.HashSet[Long]]](Encoders.kryo[mutable.HashSet[Long]])
+
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

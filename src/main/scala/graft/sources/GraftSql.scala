@@ -90,8 +90,12 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   // USING body is extracted separately (takeBalanced for subqueries) so a
   // `JOIN ... ON` inside the subquery can't bind the merge's own ON token
   private val MergeHead = r("""MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*)""")
+  // the ON capture must not cross a WHEN boundary: a leading conditional
+  // or DELETE clause (general form) would otherwise be swallowed into the
+  // ON string and die downstream as a confusing SQL parse error instead
+  // of dispatching to MergeTailGeneral
   private val MergeTail =
-    """(?is)^(?:AS\s+)?(?:(\w+)\s+)?ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$""".r
+    """(?is)^(?:AS\s+)?(?:(\w+)\s+)?ON\s+((?:(?!\bWHEN\b).)*?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+((?:(?!\bWHEN\b).)*?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$""".r
   // general clause-list form: conditional clauses, DELETE actions,
   // update-only / delete-only merges (Iceberg's full MERGE surface)
   private val MergeTailGeneral =

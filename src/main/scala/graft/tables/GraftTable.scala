@@ -208,6 +208,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // zero-row files (empty rewrite residue) carry no stats and no values
     val live = md.files.filter(_.recordCount > 0)
     if (live.isEmpty) return None
+    // string bounds from externally-written files may be TRUNCATED
+    // (parquet increments the max's last byte: pruning-safe upper bound,
+    // not a value present in the data) — refuse unless every live file
+    // was written by this engine (untruncated footer stats)
+    if (m.schema.find(_.name == column).exists(_.dataType == StringType) &&
+        live.exists(!_.trustedBounds)) return None
     val stats = live.map(_.stats.get(phys))
     if (stats.exists(_.isEmpty)) return None
     val ss = stats.flatten
@@ -1124,8 +1130,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     require(missing.isEmpty,
       s"add_files schema mismatch: source lacks ${missing.map(_.name).mkString(", ")}")
     val md = currentManifest(m)
+    // external writers may truncate binary footer stats: string bounds
+    // stay pruning-safe but must not serve aggregate-exact answers
     val entries = collectFileEntries(sourceDir, m, m.currentSpecId)
-      .map(_.copy(seq = nextSnapshotId(m)))
+      .map(_.copy(seq = nextSnapshotId(m), trustedBounds = false))
     commitSnapshot(m, md.files ++ entries, "append", entries.size,
       positionDeleteFiles = md.positionDeleteFiles,
       equalityDeletes = md.equalityDeletes)
@@ -1238,14 +1246,30 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Iceberg's MERGE cardinality check: several source rows carrying the
+    * same key would each match one target row, and the rewrite's left
+    * join would silently multiply it. Fail loudly before any file is
+    * rewritten (org.apache.iceberg.exceptions raises the same).
+    */
+  private def requireUniqueMergeKeys(src: DataFrame, keyCols: Seq[String],
+      what: String): Unit = {
+    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"MERGE cardinality violation: multiple $what rows share the key " +
+        keyCols.zip(dup.head.toSeq).map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")"))
+  }
+
   /** Copy-on-write MERGE INTO (reference
     * sql/update_iceberg_v2_examples.sql:9-18): WHEN MATCHED → replace the
     * row with the source row, WHEN NOT MATCHED → insert. `source` must
-    * have the table schema; keys are assumed unique in the source.
+    * have the table schema; duplicate source keys fail the Iceberg
+    * cardinality check before any rewrite.
     * Only files containing matched keys are rewritten.
     */
   def mergeInto(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     ensureMaterialized()
+    requireUniqueMergeKeys(source, keyCols, "source")
     val m = meta
     val cur = currentFiles(m)
     val target = toDF()
@@ -1287,11 +1311,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * append — matched rows named by neither survive the rewrite untouched.
     * Only files containing an affected key are rewritten (same file-level
     * CoW economics as [[mergeInto]], which is the
-    * update-all/insert-all special case). Keys must be unique per action.
+    * update-all/insert-all special case). Duplicate update keys fail the
+    * cardinality check loudly; duplicate delete keys are harmless
+    * (distinct'd below).
     */
   def mergeApply(updates: DataFrame, deleteKeys: DataFrame,
       inserts: DataFrame, keyCols: Seq[String]): GraftTable = {
     ensureMaterialized()
+    requireUniqueMergeKeys(updates, keyCols, "update")
     val m = meta
     val cur = currentFiles(m)
     val affectedKeys = updates.select(keyCols.map(col): _*)
@@ -1972,8 +1999,10 @@ object GraftTable {
     val schema = spark.read.parquet(sourceDir).schema
     val t = createEmpty(spark, location, schema, Nil, Map.empty)
     val m = t.meta
-    // same stats pass as the write path, over the source files
+    // same stats pass as the write path, over the source files — which an
+    // external writer produced, so string bounds are not aggregate-trusted
     val entries = t.collectFileEntries(sourceDir, m, 0)
+      .map(_.copy(trustedBounds = false))
     val snapId = 1L
     val manifestName = MetaIO.newManifestName(snapId)
     MetaIO.writeString(conf = spark.sparkContext.hadoopConfiguration,

@@ -79,7 +79,13 @@ case class DataFile(
     recordCount: Long,
     sizeBytes: Long,
     stats: Map[String, ColStats],
-    seq: Long = 0) // data sequence number: the snapshot that added the file
+    seq: Long = 0, // data sequence number: the snapshot that added the file
+    // false for files registered from EXTERNAL writers (add_files /
+    // in-place migration): parquet binary max stats may be truncated
+    // (last byte incremented — an upper bound, not a value in the data),
+    // so string bounds stay pruning-safe but are NOT aggregate-exact.
+    // Self-written files are exact (Spark writes untruncated footer stats).
+    trustedBounds: Boolean = true)
 
 /** One merge-on-read equality delete: rows matching any key tuple in
   * `files` (parquet, schema = `cols`) are dropped at read time — but only
@@ -314,6 +320,7 @@ object MetaIO {
       o.put("record_count", f.recordCount)
       o.put("size_bytes", f.sizeBytes)
       if (f.seq != 0) o.put("seq", f.seq)
+      if (!f.trustedBounds) o.put("trusted_bounds", false)
       val st = o.putObject("stats")
       f.stats.foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -367,7 +374,8 @@ object MetaIO {
       }
       out += DataFile(o.get("path").asText(), o.get("spec_id").asInt(),
         pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
-        stats.result(), Option(o.get("seq")).map(_.asLong()).getOrElse(0L))
+        stats.result(), Option(o.get("seq")).map(_.asLong()).getOrElse(0L),
+        Option(o.get("trusted_bounds")).forall(_.asBoolean()))
     }
     ManifestData(out.result(), deletes.result(), posDeletes.result(), eqDeletes.result())
   }
