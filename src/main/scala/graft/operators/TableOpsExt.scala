@@ -920,7 +920,83 @@ object TableOpsExt {
        |     UNION ALL
        |     SELECT o_orderkey + 900000000 FROM ${cappedSql(100)})) AS ndv_key_after""".stripMargin
 
+  // ---------------------------------------------------------------- t43
+
+  /** t43: CDC SCHEMA-EVOLUTION propagation (r8) — the replica survives
+    * its source renaming the replication KEY, renaming a measure,
+    * widening, and dropping a column MID-STREAM: `sync` detects the
+    * schema-id change, replays the diff (keyed by physical name — the
+    * field-id role) onto the replica as one metadata commit carrying the
+    * schema cursor and the remapped key columns, then replays the row
+    * commits under the new schema. DuckDB replays the same sequence
+    * relationally; the replica's column set is part of the gate.
+    */
+  def t43CdcSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = GraftTable.createAs(spark, tmp(),
+      orders(spark, sfDir, 1200)
+        .withColumn("qty", (col("o_orderkey") % 50).cast("int")))
+    val repLoc = tmp()
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+    src.append(shifted(spark, sfDir, 200, 900000000L)
+      .withColumn("qty", (col("o_orderkey") % 50).cast("int")))
+    val pre = TableReplicator.sync(spark, repLoc)
+
+    // mid-stream evolution: all metadata-only commits on the source
+    src.renameColumn("o_orderkey", "okey")
+    src.renameColumn("o_totalprice", "amount")
+    src.widenColumn("qty", org.apache.spark.sql.types.LongType)
+    src.dropColumn("o_orderpriority")
+
+    def evolved(n: Int, off: Long): DataFrame =
+      orders(spark, sfDir, n).withColumn("o_orderkey", col("o_orderkey") + off)
+        .withColumn("qty", (col("o_orderkey") % 50).cast("long"))
+        .withColumnRenamed("o_orderkey", "okey")
+        .withColumnRenamed("o_totalprice", "amount")
+        .drop("o_orderpriority")
+    src.append(evolved(150, 950000000L))
+    src.upsertMergeOnRead(evolved(100, 0L).withColumn("amount", lit(42.5)),
+      Seq("okey"))
+    val applied = TableReplicator.sync(spark, repLoc)
+
+    val rep = GraftTable.load(spark, repLoc)
+    rep.toDF().agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("okey")).as("n_keys"),
+        sum(col("amount").cast(DecimalType(18, 2))).cast("double").as("sum_amount"),
+        sum(col("qty")).as("sum_qty"))
+      .withColumn("commits_applied", lit(pre.toLong + applied.toLong))
+      .withColumn("replica_cols", lit(rep.meta.schema.fieldNames.sorted.mkString(",")))
+  }
+
+  val t43Oracle: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS okey, o_totalprice AS amount,
+       |    o_orderkey % 50 AS qty FROM ${cappedSql(1200)}
+       |), b2 AS (
+       |  SELECT o_orderkey + 900000000 AS okey, o_totalprice AS amount,
+       |    (o_orderkey + 900000000) % 50 AS qty FROM ${cappedSql(200)}
+       |), b3 AS (
+       |  SELECT o_orderkey + 950000000 AS okey, o_totalprice AS amount,
+       |    (o_orderkey + 950000000) % 50 AS qty FROM ${cappedSql(150)}
+       |), ups AS (
+       |  SELECT o_orderkey AS okey, 42.5 AS amount, o_orderkey % 50 AS qty
+       |  FROM ${cappedSql(100)}
+       |), allr AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+       |), final AS (
+       |  SELECT * FROM allr WHERE okey NOT IN (SELECT okey FROM ups)
+       |  UNION ALL SELECT * FROM ups
+       |)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+       |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       |  CAST(3 AS BIGINT) AS commits_applied,
+       |  'amount,o_custkey,o_orderdate,o_orderstatus,okey,qty' AS replica_cols
+       |FROM final""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t43_cdc_schema_evolution" -> ((t43CdcSchemaEvolution _, t43Oracle)),
     "t42_analyze"           -> ((t42Analyze _, t42Oracle)),
     "t41_fast_agg"          -> ((t41FastAgg _, t41Oracle)),
     "t40_dynamic_overwrite" -> ((t40DynamicOverwrite _, t40Oracle)),

@@ -1830,19 +1830,103 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * physical name — old bytes can never resurrect under a re-added name
     * (the reason Iceberg never reuses field ids).
     */
-  def addColumn(name: String, dataType: DataType): GraftTable = {
+  def addColumn(name: String, dataType: DataType): GraftTable =
+    evolveSchema(Seq(SchemaOp.Add(name, dataType)))
+
+  /** Apply a BATCH of schema operations in ONE metadata commit (the shape
+    * of Iceberg's UpdateSchema transaction — all pending changes land as
+    * one new schema id). Ops reference PRE-evolution names; renames apply
+    * simultaneously, so a batch that permutes names (a↔b) resolves
+    * atomically without temp names — which is what lets a CDC consumer
+    * replay an arbitrary source evolution ([[SchemaDiff.diff]]) without
+    * observing intermediate states. All single-op rules hold: drops retire
+    * their physical name (re-adds map to fresh storage), widens are the
+    * lossless promotions only, non-add ops refuse under pending
+    * merge-on-read deletes (whose files/predicates carry old names).
+    * `extraProperties` commit atomically with the schema — the cursor
+    * ride-along for consumers tracking which source schema they applied.
+    */
+  def evolveSchema(ops: Seq[SchemaOp],
+      extraProperties: Map[String, String] = Map.empty): GraftTable = {
+    if (ops.isEmpty) {
+      if (extraProperties.nonEmpty) { setProperties(extraProperties); () }
+      return this
+    }
     val m = meta
-    require(!m.schema.fieldNames.contains(name), s"column $name exists")
-    val reserved = ColumnMapping.reservedPhysical(m)
-    val field =
-      if (!reserved.contains(name)) StructField(name, dataType, nullable = true)
-      else {
-        var i = 2
-        while (reserved.contains(s"${name}_$i")) i += 1
-        ColumnMapping.withPhysical(
-          StructField(name, dataType, nullable = true), s"${name}_$i")
+    if (ops.exists(!_.isInstanceOf[SchemaOp.Add]))
+      requireNoPendingMor("evolveSchema")
+    var fields = m.schema.fields.toVector
+    def idxOf(name: String): Int = {
+      val i = fields.indexWhere(_.name == name)
+      require(i >= 0, s"unknown column $name")
+      i
+    }
+    // 1. widens (pre-evolution names)
+    ops.collect { case w: SchemaOp.Widen => w }.foreach { w =>
+      val i = idxOf(w.name)
+      val from = fields(i).dataType
+      val ok = (from, w.to) match {
+        case (IntegerType, LongType)   => true
+        case (FloatType, DoubleType)   => true
+        case (IntegerType, DoubleType) => true
+        case _                         => from == w.to
       }
-    commitSchemaChange(m, m.schema.add(field))
+      require(ok, s"unsupported widening $from -> ${w.to} (allowed: " +
+        "int->long, float->double, int->double)")
+      fields = fields.updated(i, fields(i).copy(dataType = w.to))
+    }
+    // 2. drops (pre-evolution names); physicals retire so re-adds can
+    //    never resurrect old bytes
+    var retired = m.properties.get(ColumnMapping.RetiredProp).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    val retiredBefore = retired.size
+    ops.collect { case d: SchemaOp.Drop => d }.foreach { d =>
+      val i = idxOf(d.name)
+      require(fields.length > 1, "cannot drop the only column")
+      val phys = ColumnMapping.physicalName(fields(i))
+      require(!m.currentSpec.fields.exists(_.source == phys),
+        s"${d.name} is a partition source of the current spec; evolve the spec first")
+      retired :+= phys
+      fields = fields.patch(i, Nil, 1)
+    }
+    // 3. renames, simultaneously (swap-safe: the final name array is
+    //    built in one step, so permutations need no temp names)
+    val renames = ops.collect { case r: SchemaOp.Rename => r }
+    renames.foreach(r => { idxOf(r.from); () })
+    val renameMap = renames.map(r => r.from -> r.to).toMap
+    require(renameMap.size == renames.size, "duplicate rename sources")
+    fields = fields.map { f =>
+      renameMap.get(f.name) match {
+        case Some(to) => ColumnMapping.withPhysical(
+          f.copy(name = to), ColumnMapping.physicalName(f))
+        case None => f
+      }
+    }
+    // 4. adds (fresh physical when the name was ever used on disk)
+    var reserved = ColumnMapping.reservedPhysical(m) ++ retired
+    ops.collect { case a: SchemaOp.Add => a }.foreach { a =>
+      require(!fields.exists(_.name == a.name), s"column ${a.name} exists")
+      val field =
+        if (!reserved.contains(a.name)) {
+          reserved += a.name
+          StructField(a.name, a.dataType, nullable = true)
+        } else {
+          var i = 2
+          while (reserved.contains(s"${a.name}_$i")) i += 1
+          reserved += s"${a.name}_$i"
+          ColumnMapping.withPhysical(
+            StructField(a.name, a.dataType, nullable = true), s"${a.name}_$i")
+        }
+      fields :+= field
+    }
+    val names = fields.map(_.name)
+    require(names.distinct.size == names.size,
+      s"evolution produces duplicate column names: ${names.mkString(", ")}")
+    val retireProps =
+      if (retired.size == retiredBefore) Map.empty[String, String]
+      else Map(ColumnMapping.RetiredProp -> retired.mkString(","))
+    commitSchemaChange(m, StructType(fields.toArray),
+      retireProps ++ extraProperties)
     this
   }
 
@@ -1879,60 +1963,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * existing and future data file stays valid, reads project
     * physical→logical, writes project back.
     */
-  def renameColumn(from: String, to: String): GraftTable = {
-    val m = meta
-    val idx = m.schema.fieldIndex(from)
-    require(!m.schema.fieldNames.contains(to), s"column $to exists")
-    requireNoPendingMor("renameColumn")
-    val f = m.schema.fields(idx)
-    val renamed = ColumnMapping.withPhysical(
-      f.copy(name = to), ColumnMapping.physicalName(f))
-    commitSchemaChange(m, StructType(m.schema.fields.updated(idx, renamed)))
-    this
-  }
+  def renameColumn(from: String, to: String): GraftTable =
+    evolveSchema(Seq(SchemaOp.Rename(from, to)))
 
   /** Schema evolution: DROP COLUMN — metadata-only; old files keep the
     * bytes but no read projects them. The physical name is retired so a
     * later ADD COLUMN of the same name maps to fresh storage.
     */
-  def dropColumn(name: String): GraftTable = {
-    val m = meta
-    val idx = m.schema.fieldIndex(name)
-    require(m.schema.fields.length > 1, "cannot drop the only column")
-    requireNoPendingMor("dropColumn")
-    val phys = ColumnMapping.physicalName(m.schema.fields(idx))
-    require(!m.currentSpec.fields.exists(_.source == phys),
-      s"$name is a partition source of the current spec; evolve the spec first")
-    val retired = (m.properties.get(ColumnMapping.RetiredProp).toSeq
-      .flatMap(_.split(",")).filter(_.nonEmpty) :+ phys).mkString(",")
-    commitSchemaChange(m, StructType(m.schema.fields.patch(idx, Nil, 1)),
-      Map(ColumnMapping.RetiredProp -> retired))
-    this
-  }
+  def dropColumn(name: String): GraftTable =
+    evolveSchema(Seq(SchemaOp.Drop(name)))
 
   /** Schema evolution: widen a column's type in place (Iceberg's type
     * promotion rules) — metadata-only; old files are read through the
     * wider type by the parquet reader's widening conversions, new files
     * write the wider type. Only the lossless promotions are allowed.
     */
-  def widenColumn(name: String, to: DataType): GraftTable = {
-    val m = meta
-    val idx = m.schema.fieldIndex(name)
-    val from = m.schema.fields(idx).dataType
-    val ok = (from, to) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case (IntegerType, DoubleType) => true
-      case _ => false
-    }
-    require(ok, s"unsupported widening $from -> $to (allowed: int->long, " +
-      "float->double, int->double)")
-    requireNoPendingMor("widenColumn")
-    val f = m.schema.fields(idx)
-    commitSchemaChange(m,
-      StructType(m.schema.fields.updated(idx, f.copy(dataType = to))))
-    this
-  }
+  def widenColumn(name: String, to: DataType): GraftTable =
+    evolveSchema(Seq(SchemaOp.Widen(name, to)))
 
   /** Partition evolution: new writes use the new spec, old files keep the
     * old one, the scan planner prunes each file with its own spec

@@ -50,6 +50,54 @@ final class IncrementalAggView private (
 
   def toDF(): DataFrame = table.toDF()
 
+  /** Replay base-table schema evolution since the last refresh onto the
+    * view: a renamed group/measure column renames the matching view column
+    * and the tracked column lists (one [[GraftTable.evolveSchema]] commit
+    * carrying them + the schema cursor); a widened group column widens the
+    * view's; a DROPPED group or measure column refuses loudly — the view's
+    * grouping identity (or a sum whose source vanished) cannot be
+    * maintained, recreate the view. Renames/drops/adds of columns the view
+    * doesn't track are no-ops. Must run BEFORE the changelog read:
+    * [[GraftTable.changesBetween]] emits the base's CURRENT names.
+    */
+  private def reconcileSchema(base: GraftTable): Unit = {
+    val bm = base.meta
+    val lastId = props.get(BaseSchemaProp).map(_.toInt).getOrElse(bm.currentSchemaId)
+    if (lastId == bm.currentSchemaId) {
+      if (props.get(BaseSchemaProp).isEmpty)
+        { table.setProperties(Map(BaseSchemaProp -> lastId.toString)); () }
+      return
+    }
+    val gcols = groupCols
+    val scols = sumCols
+    val ops = SchemaDiff.diff(bm.schemaAt(lastId), bm.schema)
+    ops.foreach {
+      case SchemaOp.Drop(c) if gcols.contains(c) || scols.contains(c) =>
+        throw new IllegalStateException(
+          s"base table dropped column '$c' that the view groups or sums " +
+            "by; the aggregate cannot be maintained — recreate the view")
+      case _ => ()
+    }
+    val renames = ops.collect { case SchemaOp.Rename(f, t) => f -> t }.toMap
+    val viewOps = ops.flatMap {
+      case SchemaOp.Rename(f, t) if gcols.contains(f) =>
+        Some(SchemaOp.Rename(f, t))
+      case SchemaOp.Rename(f, t) if scols.contains(f) =>
+        Some(SchemaOp.Rename(sumCol(f), sumCol(t)))
+      case SchemaOp.Widen(f, to) if gcols.contains(f) =>
+        Some(SchemaOp.Widen(f, to))
+      // measure widens are absorbed (sums accumulate as DECIMAL anyway);
+      // everything else doesn't touch the view's columns
+      case _ => None
+    }
+    if (viewOps.exists(!_.isInstanceOf[SchemaOp.Add])) { table.materializeDeletes(); () }
+    table.evolveSchema(viewOps, extraProperties = Map(
+      BaseSchemaProp -> bm.currentSchemaId.toString,
+      GroupColsProp -> gcols.map(c => renames.getOrElse(c, c)).mkString(","),
+      SumColsProp -> scols.map(c => renames.getOrElse(c, c)).mkString(",")))
+    ()
+  }
+
   /** Fold the base table's commits since the last refresh into the view.
     * Returns the number of changelog rows processed (0 = already current,
     * no commit made). If the cursor's snapshot has EXPIRED off the base
@@ -60,6 +108,7 @@ final class IncrementalAggView private (
     */
   def refresh(): Long = {
     val base = GraftTable.load(spark, baseLocation)
+    reconcileSchema(base)
     val cur = base.meta.currentSnapshotId
       .getOrElse(throw new IllegalStateException("base table has no snapshot"))
     val last = baseSnapshot
@@ -140,6 +189,7 @@ final class IncrementalAggView private (
 object IncrementalAggView {
   private[tables] val BaseLocProp = "graft.mv.base-location"
   private[tables] val BaseSnapProp = "graft.mv.base-snapshot"
+  private[tables] val BaseSchemaProp = "graft.mv.base-schema"
   private[tables] val GroupColsProp = "graft.mv.group-cols"
   private[tables] val SumColsProp = "graft.mv.sum-cols"
   private[tables] val CntCol = "cnt"
@@ -165,6 +215,7 @@ object IncrementalAggView {
     val t = GraftTable.createAs(spark, location, agg, properties = Map(
       BaseLocProp -> base.location,
       BaseSnapProp -> snap.toString,
+      BaseSchemaProp -> base.meta.currentSchemaId.toString,
       GroupColsProp -> groupCols.mkString(","),
       SumColsProp -> sumCols.mkString(",")))
     new IncrementalAggView(spark, t)

@@ -24,39 +24,102 @@ import org.apache.spark.sql.functions._
   * (compaction, clustering, delete materialization) produce an empty
   * changelog and advance the cursor with a metadata-only commit.
   *
-  * A source rollback breaks the ancestry walk and fails loudly —
-  * reconcile with a snapshot file-diff (the [[graft.streaming]] changelog
-  * source's `diffSnapshots` strategy) before resuming.
+  * SCHEMA EVOLUTION propagates: before reading anything, `sync` compares
+  * the source's current schema id against the one it last applied
+  * (`graft.replica.source-schema`) and replays the diff
+  * ([[SchemaDiff.diff]], keyed by physical name — the field-id role) onto
+  * the replica as ONE [[GraftTable.evolveSchema]] commit carrying the
+  * schema cursor: renames/widens/adds/drops land metadata-only, a renamed
+  * replication key updates the stored key columns in the same commit, and
+  * a DROPPED key column refuses loudly (a replica cannot be maintained
+  * without its identity). Evolving first is correct because
+  * [[GraftTable.changesBetween]] emits every commit's rows under the
+  * source's CURRENT schema — pre-evolution commits read with nulls/new
+  * names exactly like the source's own files do.
+  *
+  * If the cursor's snapshot is UNREACHABLE (expired off the source, or a
+  * rollback moved the head off its ancestry), the per-commit changelog is
+  * gone and `sync` self-heals: it replaces the replica with the source's
+  * current state in one overwrite commit carrying the cursor (idempotent,
+  * at-least-once safe) and returns [[TableReplicator.FullResync]] (-1) so
+  * callers can tell a full reconciliation from a per-commit replay.
   */
 object TableReplicator {
   private[tables] val SrcLocProp = "graft.replica.source-location"
   private[tables] val SrcSnapProp = "graft.replica.source-snapshot"
+  private[tables] val SrcSchemaProp = "graft.replica.source-schema"
   private[tables] val KeyColsProp = "graft.replica.key-cols"
+
+  /** `sync` return value for the self-heal path: the replica was rebuilt
+    * from the source's current state (rollback past the cursor, or cursor
+    * snapshot expired), not replayed per commit.
+    */
+  val FullResync: Int = -1
 
   /** Bootstrap a replica from the source's current snapshot. */
   def create(spark: SparkSession, location: String, source: GraftTable,
       keyCols: Seq[String]): GraftTable = {
     require(keyCols.nonEmpty, "replication needs key columns")
-    val snap = source.meta.currentSnapshotId
+    val sm = source.meta
+    val snap = sm.currentSnapshotId
       .getOrElse(throw new IllegalStateException("source table has no snapshot"))
     GraftTable.createAs(spark, location, source.toDF(), properties = Map(
       SrcLocProp -> source.location,
       SrcSnapProp -> snap.toString,
+      SrcSchemaProp -> sm.currentSchemaId.toString,
       KeyColsProp -> keyCols.mkString(",")))
   }
 
+  /** Replay source schema evolution since the last-applied schema id onto
+    * the replica (one metadata commit riding the schema cursor + any key
+    * rename). Returns the key columns under the CURRENT source schema.
+    */
+  private def reconcileSchema(replica: GraftTable, sm: TableMeta,
+      keyCols: Seq[String], lastSchemaId: Int): Seq[String] = {
+    if (lastSchemaId == sm.currentSchemaId) return keyCols
+    val ops = SchemaDiff.diff(sm.schemaAt(lastSchemaId), sm.schema)
+    ops.foreach {
+      case SchemaOp.Drop(c) if keyCols.contains(c) =>
+        throw new IllegalStateException(
+          s"source dropped replication key column '$c'; the replica cannot " +
+            "be maintained — recreate it with the new key columns")
+      case _ => ()
+    }
+    val renames = ops.collect { case SchemaOp.Rename(f, t) => f -> t }.toMap
+    val newKeys = keyCols.map(c => renames.getOrElse(c, c))
+    // pending equality-delete files carry pre-evolution column names;
+    // non-add evolution refuses under them, so settle the debt first
+    if (ops.exists(!_.isInstanceOf[SchemaOp.Add])) { replica.materializeDeletes(); () }
+    replica.evolveSchema(ops, extraProperties = Map(
+      SrcSchemaProp -> sm.currentSchemaId.toString,
+      KeyColsProp -> newKeys.mkString(",")))
+    newKeys
+  }
+
   /** Apply all source commits since the replica's cursor. Returns the
-    * number of commits applied (0 = already in sync).
+    * number of commits applied (0 = already in sync), or
+    * [[FullResync]] (-1) when the cursor was unreachable and the replica
+    * was rebuilt from the source's current state instead.
     */
   def sync(spark: SparkSession, replicaLocation: String): Int = {
     val replica = GraftTable.load(spark, replicaLocation)
     val props = replica.meta.properties
     val source = GraftTable.load(spark, props(SrcLocProp))
-    val keyCols = props(KeyColsProp).split(",").toSeq
-    val last = props(SrcSnapProp).toLong
     val sm = source.meta
+    val last = props(SrcSnapProp).toLong
     val head = sm.currentSnapshotId
       .getOrElse(throw new IllegalStateException("source table has no snapshot"))
+
+    // schema first: changesBetween (and the resync read) emit the source's
+    // CURRENT schema, so the replica must match before any row lands.
+    // Pre-evolution replicas carry no schema cursor — derive it from the
+    // cursor snapshot's stamped schema id.
+    val lastSchemaId = props.get(SrcSchemaProp).map(_.toInt)
+      .orElse(sm.snapshot(last).map(_.schemaId))
+      .getOrElse(sm.currentSchemaId)
+    val keyCols = reconcileSchema(replica, sm,
+      props(KeyColsProp).split(",").toSeq, lastSchemaId)
+
     if (head == last) return 0
 
     // ancestry walk: last .. head, oldest first
@@ -74,7 +137,7 @@ object TableReplicator {
       // idempotent, so an at-least-once redo after a crash is safe
       replica.overwrite(source.toDF(),
         extraProperties = Map(SrcSnapProp -> head.toString))
-      return 1
+      return FullResync
     }
 
     chain.foreach { snap =>

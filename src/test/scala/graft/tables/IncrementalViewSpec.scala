@@ -153,4 +153,76 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rows.find(_._1 == "B").get._2 == 2L)
     assert(rows.find(_._1 == "B").get._3 == BigDecimal(0))
   }
+
+  // ------------------------------------------------ schema evolution (t43)
+
+  test("refresh survives renames of group and measure columns mid-stream") {
+    val base = GraftTable.createAs(spark, tmp(), orders(400))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    base.renameColumn("o_orderstatus", "status")
+    base.renameColumn("o_totalprice", "amount")
+    base.append(orders(60).withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumnRenamed("o_orderstatus", "status")
+      .withColumnRenamed("o_totalprice", "amount"))
+    assert(v.refresh() == 60L)
+    val fresh = IncrementalAggView.load(spark, v.table.location)
+    assert(fresh.groupCols == Seq("status"))
+    assert(fresh.sumCols == Seq("amount"))
+    val expected = base.toDF().groupBy(col("status")).agg(
+      count(lit(1)).as("cnt"),
+      sum(coalesce(col("amount").cast(DecimalType(28, 6)),
+        lit(0).cast(DecimalType(28, 6)))).cast(DecimalType(28, 6)).as("s"))
+      .as[(String, Long, BigDecimal)].collect().toSet
+    val got = fresh.toDF().select(col("status"), col("cnt"),
+      col("sum_amount").cast(DecimalType(28, 6)))
+      .as[(String, Long, BigDecimal)].collect().toSet
+    assert(got == expected)
+    // still incremental afterwards
+    base.append(orders(5).withColumn("o_orderkey", col("o_orderkey") + 2000000L)
+      .withColumnRenamed("o_orderstatus", "status")
+      .withColumnRenamed("o_totalprice", "amount"))
+    assert(fresh.refresh() == 5L)
+  }
+
+  test("renames/drops of untracked columns are cursor-advancing no-ops") {
+    val base = GraftTable.createAs(spark, tmp(), orders(100))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    val colsBefore = v.table.meta.schema.fieldNames.toSeq
+    base.renameColumn("o_orderpriority", "prio")
+    base.dropColumn("o_custkey")
+    assert(v.refresh() == 0L) // schema cursor advanced, no rows to fold
+    assert(v.table.meta.schema.fieldNames.toSeq == colsBefore)
+    // and row commits after the no-op evolution still fold in
+    base.append(orders(10).withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumnRenamed("o_orderpriority", "prio").drop("o_custkey"))
+    assert(v.refresh() == 10L)
+    assert(viewRows(v).toSeq.map(_._2).sum == 110L)
+  }
+
+  test("a dropped group or measure column refuses loudly") {
+    val base = GraftTable.createAs(spark, tmp(), orders(100))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    base.dropColumn("o_totalprice")
+    val e = intercept[IllegalStateException](v.refresh())
+    assert(e.getMessage.contains("recreate the view"))
+  }
+
+  test("widened group column widens the view's column and keeps counting") {
+    val base = GraftTable.createAs(spark, tmp(),
+      Seq((1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 5.0))
+        .toDF("k", "grp", "val"))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("grp"), Seq("val"))
+    base.widenColumn("grp", org.apache.spark.sql.types.LongType)
+    base.append(Seq((4L, 2L, 7.0), (5L, 3L, 1.0)).toDF("k", "grp", "val"))
+    assert(v.refresh() == 2L)
+    val got = v.toDF().select(col("grp").cast("long"), col("cnt"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    assert(v.table.meta.schema("grp").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
 }

@@ -76,10 +76,11 @@ class ReplicatorSpec extends SparkSpec {
     src.append(orders(10).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
     assert(TableReplicator.sync(spark, repLoc) == 1)
     // rollback abandons the synced commit: the cursor is off the ancestry,
-    // so sync self-heals by replacing the replica with the current state
+    // so sync self-heals by replacing the replica with the current state —
+    // and says so (FullResync, not a per-commit count)
     src.rollback(s1)
     src.append(orders(20).withColumn("o_orderkey", col("o_orderkey") + 2000000L))
-    assert(TableReplicator.sync(spark, repLoc) == 1)
+    assert(TableReplicator.sync(spark, repLoc) == TableReplicator.FullResync)
     assertIdentical(src, GraftTable.load(spark, repLoc))
     // back on the ancestry: subsequent syncs are incremental again
     src.append(orders(5).withColumn("o_orderkey", col("o_orderkey") + 3000000L))
@@ -93,7 +94,87 @@ class ReplicatorSpec extends SparkSpec {
     src2.append(orders(10).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
     src2.delete("o_orderkey % 3 = 0")
     src2.expireSnapshots(System.currentTimeMillis() + 1000L)
-    assert(TableReplicator.sync(spark, rep2) == 1)
+    assert(TableReplicator.sync(spark, rep2) == TableReplicator.FullResync)
     assertIdentical(src2, GraftTable.load(spark, rep2))
+  }
+
+  // ------------------------------------------------ schema evolution (t43)
+
+  test("replica survives mid-stream rename/widen/drop/add, including the key") {
+    val src = GraftTable.createAs(spark, tmp(),
+      orders(300).withColumn("qty", (col("o_orderkey") % 50).cast("int")))
+    val repLoc = tmp()
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+
+    // evolution between syncs: rename the KEY, rename a value column,
+    // widen, drop, add — all metadata-only commits on the source
+    src.renameColumn("o_orderkey", "okey")
+    src.renameColumn("o_totalprice", "amount")
+    src.widenColumn("qty", org.apache.spark.sql.types.LongType)
+    src.dropColumn("o_orderpriority")
+    src.addColumn("note", org.apache.spark.sql.types.StringType)
+    // commits under the NEW schema
+    val b2 = orders(40).withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumnRenamed("o_orderkey", "okey")
+      .withColumnRenamed("o_totalprice", "amount")
+      .withColumn("qty", (col("okey") % 50).cast("long"))
+      .drop("o_orderpriority").withColumn("note", lit("new"))
+    src.append(b2)
+    src.upsertMergeOnRead(b2.limit(10).withColumn("amount", lit(9.5)), Seq("okey"))
+    assert(TableReplicator.sync(spark, repLoc) == 2)
+
+    val rep = GraftTable.load(spark, repLoc)
+    assert(rep.meta.schema.fieldNames.toSeq ==
+      src.meta.schema.fieldNames.toSeq)
+    assert(rep.meta.properties(TableReplicator.KeyColsProp) == "okey")
+    assertIdentical(src, rep)
+
+    // sync is still incremental afterwards, keyed on the renamed column
+    src.upsertMergeOnRead(b2.limit(5).withColumn("amount", lit(1.25)), Seq("okey"))
+    assert(TableReplicator.sync(spark, repLoc) == 1)
+    assertIdentical(src, GraftTable.load(spark, repLoc))
+  }
+
+  test("schema-only evolution converges the replica even with no row commits") {
+    val src = GraftTable.createAs(spark, tmp(), orders(50))
+    val repLoc = tmp()
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+    src.renameColumn("o_totalprice", "amount")
+    assert(TableReplicator.sync(spark, repLoc) == 0)
+    val rep = GraftTable.load(spark, repLoc)
+    assert(rep.meta.schema.fieldNames.contains("amount"))
+    assertIdentical(src, rep)
+    // idempotent: a second sync applies nothing
+    assert(TableReplicator.sync(spark, repLoc) == 0)
+  }
+
+  test("evolution with pending replica MOR state materializes first") {
+    val src = GraftTable.createAs(spark, tmp(), orders(120))
+    val repLoc = tmp()
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+    // leave equality-delete debt on the replica via an upsert replay
+    src.upsertMergeOnRead(orders(20).withColumn("o_totalprice", lit(3.5)),
+      Seq("o_orderkey"))
+    assert(TableReplicator.sync(spark, repLoc) == 1)
+    assert(GraftTable.load(spark, repLoc).currentEqualityDeletes().nonEmpty)
+    // the SOURCE settles its own MOR debt before evolving (documented
+    // requirement); the replica's pending eq-deletes are sync's problem
+    src.materializeDeletes()
+    src.renameColumn("o_totalprice", "amount")
+    src.append(orders(10).withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumnRenamed("o_totalprice", "amount"))
+    // two source commits since the cursor: the maintenance rewrite
+    // (empty changelog, cursor advance) and the append
+    assert(TableReplicator.sync(spark, repLoc) == 2)
+    assertIdentical(src, GraftTable.load(spark, repLoc))
+  }
+
+  test("a dropped replication key column refuses loudly") {
+    val src = GraftTable.createAs(spark, tmp(), orders(30))
+    val repLoc = tmp()
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+    src.dropColumn("o_orderkey")
+    val e = intercept[IllegalStateException](TableReplicator.sync(spark, repLoc))
+    assert(e.getMessage.contains("replication key column"))
   }
 }
