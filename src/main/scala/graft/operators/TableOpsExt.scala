@@ -884,41 +884,60 @@ object TableOpsExt {
 
   // ---------------------------------------------------------------- t42
 
-  /** t42: ANALYZE column statistics (r6; the Puffin-stats shape) — one
-    * KMV pass computes per-column NDV, stored in properties stamped with
-    * the analyzed snapshot. Cardinalities here are far below the sketch's
-    * k, so the NDVs are exact (the x14 contract) and DuckDB recomputes
-    * them as COUNT(DISTINCT). Staleness is part of the gate: a commit
-    * after ANALYZE must flip `columnNdv` to None (stats describe a
-    * snapshot, never the moving table), and re-ANALYZE restores them.
+  /** t42: ANALYZE column statistics (r6, persistence r8 — the Iceberg
+    * Puffin shape): one KMV pass computes per-column sketch BUFFERS,
+    * persisted in a snapshot-stamped stats file. Cardinalities here are
+    * far below the sketch's k, so NDVs are exact (the x14 contract) and
+    * DuckDB recomputes them as COUNT(DISTINCT). The r8 contract is part
+    * of the gate: an APPEND after ANALYZE folds the new rows' sketches
+    * into the persisted buffers (mergeable set-union), so NDV stays LIVE
+    * under ingest; a NULL-bearing column counts only non-NULL values
+    * (NULLs are skipped before hashing); a row-REWRITING commit (CoW
+    * delete) flips stats to stale — None, never silently wrong.
     */
   def t42Analyze(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 3000))
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 3000)
+      .withColumn("maybe",
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority"))))
     val sql = new graft.sources.GraftSql(spark,
       Files.createTempDirectory("graft_t42_db").toString)
     sql.register("t42t", t.location)
-    sql.sql("ANALYZE TABLE t42t COMPUTE STATISTICS FOR COLUMNS o_orderstatus, o_custkey, o_orderpriority")
-    val ndv0 = Seq("o_orderstatus", "o_custkey", "o_orderpriority").map(t.columnNdv)
-    t.append(shifted(spark, sfDir, 100, 900000000L))
-    val staleAfterCommit = t.columnNdv("o_orderstatus").isEmpty
+    sql.sql("ANALYZE TABLE t42t COMPUTE STATISTICS FOR COLUMNS o_orderstatus, o_custkey, maybe")
+    val ndv0 = Seq("o_orderstatus", "o_custkey", "maybe").map(t.columnNdv)
+    t.append(shifted(spark, sfDir, 100, 900000000L)
+      .withColumn("maybe", lit("EXTRA")))
+    val liveAfterAppend = t.columnNdv("maybe").getOrElse(-1L)
+    t.delete("o_orderkey % 97 = 0")
+    val staleAfterRewrite = t.columnNdv("o_orderstatus").isEmpty
     t.analyze(Seq("o_orderkey"))
     Seq((ndv0(0).getOrElse(-1L), ndv0(1).getOrElse(-1L), ndv0(2).getOrElse(-1L),
-        staleAfterCommit, t.columnNdv("o_orderkey").getOrElse(-1L)))
-      .toDF("ndv_status", "ndv_cust", "ndv_priority", "stale_after_commit", "ndv_key_after")
+        liveAfterAppend, staleAfterRewrite, t.columnNdv("o_orderkey").getOrElse(-1L)))
+      .toDF("ndv_status", "ndv_cust", "ndv_maybe",
+        "ndv_maybe_after_append", "stale_after_rewrite", "ndv_key_after")
   }
 
   val t42Oracle: String =
-    s"""WITH base AS (SELECT * FROM ${cappedSql(3000)})
+    s"""WITH base AS (
+       |  SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       |    ELSE o_orderpriority END AS maybe FROM ${cappedSql(3000)}
+       |), appended AS (
+       |  SELECT o_orderkey + 900000000 AS o_orderkey, 'EXTRA' AS maybe
+       |  FROM ${cappedSql(100)}
+       |)
        |SELECT
        |  (SELECT COUNT(DISTINCT o_orderstatus) FROM base) AS ndv_status,
        |  (SELECT COUNT(DISTINCT o_custkey) FROM base) AS ndv_cust,
-       |  (SELECT COUNT(DISTINCT o_orderpriority) FROM base) AS ndv_priority,
-       |  TRUE AS stale_after_commit,
+       |  (SELECT COUNT(DISTINCT maybe) FROM base) AS ndv_maybe,
+       |  (SELECT COUNT(DISTINCT maybe) FROM (
+       |     SELECT maybe FROM base UNION ALL SELECT maybe FROM appended))
+       |    AS ndv_maybe_after_append,
+       |  TRUE AS stale_after_rewrite,
        |  (SELECT COUNT(DISTINCT o_orderkey) FROM (
-       |     SELECT o_orderkey FROM base
-       |     UNION ALL
-       |     SELECT o_orderkey + 900000000 FROM ${cappedSql(100)})) AS ndv_key_after""".stripMargin
+       |     SELECT o_orderkey FROM base UNION ALL
+       |     SELECT o_orderkey FROM appended)
+       |   WHERE o_orderkey % 97 <> 0) AS ndv_key_after""".stripMargin
 
   // ---------------------------------------------------------------- t43
 

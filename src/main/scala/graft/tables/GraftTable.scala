@@ -163,6 +163,32 @@ class GraftTable(val spark: SparkSession, val location: String) {
     fact.join(broadcast(dim), fact(factCol) === dim(dimCol))
   }
 
+  /** STATS-DRIVEN variant — the ANALYZE consumer: the dim's persisted
+    * column NDV ([[columnNdv]], live under ingest since the r8 sketch
+    * fold; the metadata row count as the NDV upper bound when the dim
+    * was never analyzed) decides the join strategy instead of the fixed
+    * `maxKeys` cliff. A small-NDV dim takes the IN-list file-skipping
+    * path above; a large or unknown dim skips straight to the plain join
+    * Catalyst/AQE will size — no speculative distinct+collect probe
+    * burned on the driver, and no hard failure where the DataFrame
+    * overload would refuse. This is the flip CBO can't make for us:
+    * Spark sees file sizes, not distinct keys.
+    */
+  def joinPruned(dim: GraftTable, factCol: String, dimCol: String,
+      maxKeys: Int): DataFrame = {
+    val ndv = dim.columnNdv(dimCol).orElse(dim.fastCount())
+    ndv match {
+      case Some(n) if n <= maxKeys =>
+        joinPruned(dim.toDF(), factCol, dimCol, maxKeys)
+      case _ =>
+        val d = dim.toDF()
+        val fact = toDF(None)
+        fact.join(d, fact(factCol) === d(dimCol))
+    }
+  }
+  def joinPruned(dim: GraftTable, factCol: String, dimCol: String): DataFrame =
+    joinPruned(dim, factCol, dimCol, 100000)
+
   private def sqlLit(v: Any): String = v match {
     case s: String => "'" + s.replace("'", "''") + "'"
     case d: java.sql.Date => s"DATE'$d'"
@@ -235,13 +261,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     ord.map(o => (mins.min(o), maxs.max(o)))
   }
 
-  /** ANALYZE: per-column NDV (distinct count) statistics computed with
-    * the KMV sketch ([[graft.functions.KMinValues]] — one pass, O(k)
-    * state, exact below k) and stored in table properties stamped with
-    * the snapshot they describe — the shape of Iceberg's Puffin stats
-    * files (Theta sketches attached to a snapshot). [[columnNdv]] serves
-    * them only while they're current; any newer commit makes them stale
-    * (None), never silently wrong.
+  /** ANALYZE: per-column NDV statistics computed with the KMV sketch
+    * ([[graft.functions.KMinValuesSketch]] — one pass, O(k) state, exact
+    * below k, NULL-skipping so NDV matches `COUNT(DISTINCT …)`) and
+    * PERSISTED as sketch buffers in a snapshot-stamped stats file — the
+    * Iceberg Puffin shape (sketch blobs attached to a snapshot). Buffers
+    * persist instead of finished numbers because set-union-keep-k makes
+    * them mergeable: every [[append]] folds the new rows' sketches in and
+    * re-stamps, so [[columnNdv]] stays live under continuous ingest.
+    * Sketches are keyed by PHYSICAL column name — renames don't
+    * invalidate them. Row-CHANGING commits that aren't appends (CoW
+    * rewrites, upserts, overwrites) flip stats to stale (None), never
+    * silently wrong; row-preserving maintenance (compaction, clustering,
+    * delete-file folding) keeps them valid.
+    *
+    * Re-analyzing different columns at the same snapshot extends the
+    * existing stats file rather than discarding it.
     */
   def analyze(columns: Seq[String], k: Int = 8192): GraftTable = {
     require(columns.nonEmpty, "analyze needs columns")
@@ -249,29 +284,86 @@ class GraftTable(val spark: SparkSession, val location: String) {
     columns.foreach(c => require(m.schema.fieldNames.contains(c), s"unknown column $c"))
     val snap = m.currentSnapshotId.getOrElse(
       throw new IllegalStateException("no snapshot to analyze"))
-    val kmv = org.apache.spark.sql.functions.udaf(
-      new graft.functions.KMinValues(k), org.apache.spark.sql.Encoders.scalaLong)
-    val aggs = columns.map(c => kmv(xxhash64(col(c))).as(c))
-    val row = toDF().agg(aggs.head, aggs.tail: _*).head()
-    val stats = columns.zipWithIndex.map { case (c, i) =>
-      s"${TableFormat.NdvPrefix}$c" -> row.getLong(i).toString }.toMap
-    setProperties(stats + (TableFormat.StatsSnapshot -> snap.toString))
+    val computed = computeSketches(toDF(),
+      columns.map(c => c -> ColumnMapping.physicalOf(m.schema, c)), k)
+    // additive at the same snapshot (same-k): analyzing B after A keeps A
+    val prior = currentStats(m) match {
+      case Some((_, k0, sk)) if k0 == k => sk
+      case _ => Map.empty[String, Array[Long]]
+    }
+    val name = MetaIO.newStatsName(snap)
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
+      MetaIO.statsFileToJson(snap, k, prior ++ computed))
+    setProperties(Map(TableFormat.StatsSnapshot -> snap.toString,
+      TableFormat.StatsFile -> name))
     this
   }
 
-  /** NDV of an analyzed column, or None when no stats exist, the column
-    * wasn't analyzed, or the table has moved past the analyzed snapshot.
+  /** One aggregation pass computing the NULL-skipping KMV buffer of each
+    * `(logical, physical)` column over `df`; result keyed physical.
+    */
+  private def computeSketches(df: DataFrame, cols: Seq[(String, String)],
+      k: Int): Map[String, Array[Long]] = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KMinValuesSketch(k), org.apache.spark.sql.Encoders.LONG)
+    // NULL must be skipped BEFORE hashing: xxhash64 maps NULL to the
+    // unchanged seed, which would count as one phantom distinct value
+    val aggs = cols.map { case (logical, _) =>
+      kmv(when(col(logical).isNotNull, xxhash64(col(logical)))).as(logical) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case ((_, phys), i) =>
+      phys -> row.getSeq[Long](i).toArray }.toMap
+  }
+
+  /** Set-union-keep-k merge of two sorted sketch buffers (associative,
+    * commutative; exact below k because the union of distinct-hash sets
+    * IS the distinct-hash set of the union).
+    */
+  private def mergeSketch(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** The live stats payload, or None when none exist or the table's rows
+    * have changed since they were computed. Validity walks the snapshot
+    * chain: the stamped snapshot must be reachable from the current one
+    * through ROW-PRESERVING commits only (compaction/clustering
+    * 'replace', delete-file maintenance 'rewrite-deletes') — appends
+    * re-stamp atomically in their own commit, so an unreachable stamp
+    * means rows changed under the stats.
+    */
+  private def currentStats(m: TableMeta): Option[(Long, Int, Map[String, Array[Long]])] = {
+    def reachable(statsSnap: Long): Boolean = {
+      val rowPreserving = Set("replace", "rewrite-deletes")
+      var cur = m.currentSnapshotId
+      while (cur.isDefined) {
+        if (cur.get == statsSnap) return true
+        val s = m.snapshot(cur.get)
+        if (s.isEmpty || !rowPreserving.contains(s.get.operation)) return false
+        cur = s.get.parentId
+      }
+      false
+    }
+    for {
+      snapStr <- m.properties.get(TableFormat.StatsSnapshot)
+      file <- m.properties.get(TableFormat.StatsFile)
+      if reachable(snapStr.toLong)
+      // resilient to a swept stats file (advisory data, never an error)
+      stats <- scala.util.Try(MetaIO.loadStatsFile(conf, location, file)).toOption
+    } yield stats
+  }
+
+  /** NDV of an analyzed column — exact below the sketch's k (the
+    * `COUNT(DISTINCT)` contract, NULLs excluded), the (k-1)/U estimate
+    * past it — or None when no stats exist, the column wasn't analyzed,
+    * or a non-append row change made them stale. Appends keep stats live
+    * (the fold in [[appendWithRetry]]); renames don't invalidate
+    * (physical keying).
     */
   def columnNdv(column: String): Option[Long] = {
     val m = meta
     for {
-      statsSnap <- m.properties.get(TableFormat.StatsSnapshot)
-      // the analyze commit itself (and other property-only commits) don't
-      // change data: stats stay valid while the SNAPSHOT hasn't moved
-      cur <- m.currentSnapshotId
-      if statsSnap.toLong == cur
-      v <- m.properties.get(s"${TableFormat.NdvPrefix}$column")
-    } yield v.toLong
+      (_, k, sketches) <- currentStats(m)
+      arr <- sketches.get(ColumnMapping.physicalOf(m.schema, column))
+    } yield graft.functions.KMinValues.estimate(k, arr)
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's
@@ -1082,6 +1174,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
     var m = meta
     val written = writeDataFiles(df, m)
+    // Puffin fold: when live ANALYZE stats exist, sketch the APPENDED rows
+    // once (one extra O(batch) agg — never a table rescan) so the commit
+    // can merge them in and re-stamp; NDV stays live under ingest
+    val incoming: Option[(Int, Map[String, Array[Long]])] =
+      currentStats(m).flatMap { case (_, k, sk) =>
+        val live = sk.keys.toSeq.sorted.flatMap(phys =>
+          m.schema.fields.find(f => ColumnMapping.physicalName(f) == phys)
+            .map(f => f.name -> phys))
+        if (live.isEmpty) None else Some(k -> computeSketches(df, live, k))
+      }
     val retries = m.properties.get(TableFormat.CommitRetries)
       .map(_.toInt).getOrElse(4)
     var attempt = 0
@@ -1089,12 +1191,26 @@ class GraftTable(val spark: SparkSession, val location: String) {
     while (!committed) {
       onAttempt(attempt) // test seam: deterministic mid-flight conflicts
       val md = currentManifest(m)
-      val newFiles = written.map(_.copy(seq = nextSnapshotId(m)))
+      val seq = nextSnapshotId(m)
+      val newFiles = written.map(_.copy(seq = seq))
+      // merge against the CURRENT base's stats (a rebase may have moved
+      // them); the new stamp rides the data commit atomically
+      val statsProps: Map[String, String] = incoming.flatMap { case (k, ns) =>
+        currentStats(m).collect { case (_, k2, cur) if k2 == k =>
+          val merged = cur.map { case (p, arr) =>
+            p -> ns.get(p).map(n => mergeSketch(arr, n, k)).getOrElse(arr) }
+          val name = MetaIO.newStatsName(seq)
+          MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
+            MetaIO.statsFileToJson(seq, k, merged))
+          Map(TableFormat.StatsSnapshot -> seq.toString,
+            TableFormat.StatsFile -> name)
+        }
+      }.getOrElse(Map.empty)
       try {
         commitSnapshot(m, md.files ++ newFiles, "append", newFiles.size,
           positionDeleteFiles = md.positionDeleteFiles,
           equalityDeletes = md.equalityDeletes,
-          extraProperties = extraProperties)
+          extraProperties = extraProperties ++ statsProps)
         committed = true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1640,12 +1756,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val mdir = new Path(MetaIO.metadataDir(location))
     val mfs = MetaIO.fs(conf, mdir.toString)
     if (mfs.exists(mdir)) {
+      // superseded stats files: every append fold writes a fresh one, so
+      // only the file the CURRENT properties reference stays load-bearing
+      val liveStats = m.properties.get(TableFormat.StatsFile)
       mfs.listStatus(mdir).foreach { st =>
         val name = st.getPath.getName
         val orphanManifest = name.startsWith("manifest-") &&
           name.endsWith(".json") && !refManifests.contains(name)
+        val orphanStats = name.startsWith("stats-") &&
+          name.endsWith(".json") && !liveStats.contains(name)
         val abandonedTmp = name.startsWith(".") && name.contains(".tmp-")
-        if ((orphanManifest || abandonedTmp) && st.getModificationTime < olderThanMs) {
+        if ((orphanManifest || orphanStats || abandonedTmp) && st.getModificationTime < olderThanMs) {
           val norm = if (st.getPath.toString.startsWith("file:"))
             st.getPath.toUri.getPath else st.getPath.toString
           MetaIO.delete(conf, norm)

@@ -46,11 +46,16 @@ object TableFormat {
     * write (point-lookup row-group skipping beyond min/max stats).
     */
   val BloomColumns = "write.bloom-columns"
-  /** ANALYZE column-NDV stats (the Puffin-stats shape): one property per
-    * analyzed column plus the snapshot id the stats describe.
+  /** ANALYZE column statistics (the Puffin shape — Iceberg attaches
+    * sketch blobs to a snapshot via a stats file): the snapshot the stats
+    * describe plus the metadata-dir file holding the per-column KMV
+    * sketch BUFFERS. Buffers (not finished estimates) persist because
+    * set-union-keep-k-smallest makes them MERGEABLE: an append folds the
+    * new rows' sketches in and re-stamps, so NDV stays live under
+    * continuous ingest without rescanning the table.
     */
-  val NdvPrefix = "graft.stats.ndv."
   val StatsSnapshot = "graft.stats.snapshot-id"
+  val StatsFile = "graft.stats.file"
   /** Bounded retry count for non-conflicting commits that lose the
     * version CAS (Iceberg `commit.retry.num-retries`, default 4): an
     * append re-points its already-written files onto the winner's
@@ -532,6 +537,62 @@ object MetaIO {
   def loadManifestEntries(conf: Configuration, location: String,
       snap: Snapshot): Seq[ManifestEntry] =
     loadManifestListData(conf, location, snap)._1
+
+  // ----------------------------------------------------------- stats file
+
+  /** Serialize a Puffin-style column-stats payload: the snapshot it
+    * describes, the sketch size k, and per-PHYSICAL-column sorted KMV
+    * buffers (sign-flipped min-hashes — see [[graft.functions.KMinValues]]).
+    */
+  def statsFileToJson(snapshotId: Long, k: Int,
+      sketches: Map[String, Array[Long]]): String = {
+    val root = mapper.createObjectNode()
+    root.put("snapshot_id", snapshotId)
+    root.put("k", k)
+    val sk = root.putObject("sketches")
+    sketches.foreach { case (c, arr) =>
+      val a = sk.putArray(c)
+      arr.foreach(a.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def statsFileFromJson(json: String): (Long, Int, Map[String, Array[Long]]) = {
+    val root = mapper.readTree(json)
+    val sketches = Map.newBuilder[String, Array[Long]]
+    val sk = root.get("sketches")
+    sk.fieldNames().forEachRemaining { c =>
+      val a = sk.get(c)
+      val arr = new Array[Long](a.size())
+      var i = 0
+      a.forEach { n => arr(i) = n.asLong(); i += 1 }
+      sketches += c -> arr
+    }
+    (root.get("snapshot_id").asLong(), root.get("k").asInt(), sketches.result())
+  }
+
+  // stats files are immutable once written (unique names): cache parses
+  private val statsCache =
+    new java.util.LinkedHashMap[(String, String), (Long, Int, Map[String, Array[Long]])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), (Long, Int, Map[String, Array[Long]])]): Boolean =
+        size() > 32
+    }
+
+  def loadStatsFile(conf: Configuration, location: String,
+      name: String): (Long, Int, Map[String, Array[Long]]) = {
+    val key = (location, name)
+    val hit = statsCache.synchronized(statsCache.get(key))
+    if (hit != null) hit
+    else {
+      val parsed = statsFileFromJson(readString(conf, s"${metadataDir(location)}/$name"))
+      statsCache.synchronized { statsCache.put(key, parsed); () }
+      parsed
+    }
+  }
+
+  def newStatsName(snapId: Long): String =
+    s"stats-$snapId-${java.util.UUID.randomUUID.toString.take(8)}.json"
 
   // ------------------------------------------------------------ metadata
 
