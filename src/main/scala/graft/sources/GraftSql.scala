@@ -349,7 +349,18 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
          |SELECT ${insertExprs.mkString(", ")}
          |FROM $srcView AS $srcAlias
          |WHERE NOT EXISTS (SELECT 1 FROM $tgtView AS $tgtAlias WHERE $onQ)""".stripMargin)
-    t.mergeInto(conform(name, effSource), keys)
+    try t.mergeInto(conform(name, effSource), keys)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("cardinality") =>
+        // the column-assignment rewrite routes (target⋈source) back through
+        // mergeInto, so duplicate TARGET keys also trip the check here —
+        // say so instead of blaming the source
+        throw new IllegalArgumentException(e.getMessage +
+          " (column-assignment MERGE compiles matched rows through a " +
+          "target join: duplicate keys on EITHER side multiply; " +
+          "deduplicate, or use the full-row `UPDATE SET *` form)", e)
+    }
     status("merge", name)
   }
 

@@ -960,8 +960,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * [[materializeDeletes]]/[[compactDeleteFiles]] amortize the read-side
     * debt on maintenance schedule.
     */
-  def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable =
+  def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+    // same statement, same loud failure in BOTH write modes: duplicate
+    // source keys would corrupt silently here (two surviving rows under
+    // one equality delete) where the CoW merge errors
+    requireUniqueMergeKeys(source, keyCols, "source")
     mergeBatch(source, None, keyCols)
+  }
 
   /** The generic CDC batch apply: ONE commit carrying an equality delete on
     * `keyCols` for the upserted keys PLUS `deletedKeys` (rows that vanish
@@ -1362,10 +1367,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
-  /** Iceberg's MERGE cardinality check: several source rows carrying the
-    * same key would each match one target row, and the rewrite's left
-    * join would silently multiply it. Fail loudly before any file is
-    * rewritten (org.apache.iceberg.exceptions raises the same).
+  /** Iceberg's MERGE cardinality check for the merge-on-read path (no
+    * probe join to fold into — [[upsertMergeOnRead]] never reads the
+    * target): duplicate source keys would land as duplicate rows under
+    * one equality delete. One O(|source|) pass over the SMALL side only.
+    * The copy-on-write paths fold the equivalent check into their
+    * touched-files probe join instead (see [[mergeInto]]).
     */
   private def requireUniqueMergeKeys(src: DataFrame, keyCols: Seq[String],
       what: String): Unit = {
@@ -1376,16 +1383,48 @@ class GraftTable(val spark: SparkSession, val location: String) {
         keyCols.zip(dup.head.toSeq).map { case (c, v) => s"$c=$v" }.mkString("(", ", ", ")"))
   }
 
+  /** Iceberg MERGE cardinality rule, evaluated INSIDE the probe join that
+    * finds touched files (one pass, no separate source scan): fail when a
+    * TARGET ROW matches more than one counted probe row. Returns the set
+    * of file paths holding matched rows. `countFlag` is 1 for probe rows
+    * that participate in the count (updates), 0 for rows that only mark
+    * files touched (delete keys). Matching Iceberg exactly: duplicate
+    * probe keys that match NO target row are legal (they insert).
+    */
+  private def touchedFilesWithCardinalityCheck(base: DataFrame, probe: DataFrame,
+      joinCond: Column, countFlag: Column, keyDesc: Column,
+      keyCols: Seq[String]): Set[String] = {
+    val perRow = base
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(probe, joinCond, "inner")
+      .groupBy(col("__fp"), col("__pos"))
+      .agg(sum(countFlag).as("__n"), first(keyDesc).as("__k"))
+    val byFile = perRow.groupBy(col("__fp")).agg(
+      max(col("__n")).as("__mx"),
+      first(when(col("__n") > 1, col("__k")), ignoreNulls = true).as("__dup"))
+      .collect()
+    byFile.find(_.getLong(1) > 1).foreach { r =>
+      throw new IllegalArgumentException(
+        s"MERGE cardinality violation: a target row matches ${r.getLong(1)} " +
+          s"source rows sharing the key (${keyCols.mkString(", ")}) = " +
+          s"(${Option(r.getString(2)).getOrElse("?")})")
+    }
+    byFile.map(r => stripScheme(r.getString(0))).toSet
+  }
+
   /** Copy-on-write MERGE INTO (reference
     * sql/update_iceberg_v2_examples.sql:9-18): WHEN MATCHED → replace the
     * row with the source row, WHEN NOT MATCHED → insert. `source` must
-    * have the table schema; duplicate source keys fail the Iceberg
-    * cardinality check before any rewrite.
+    * have the table schema. The Iceberg cardinality check (a target row
+    * matching several source rows would be silently multiplied by the
+    * rewrite's left join) is folded into the touched-files probe join —
+    * no separate pass over the source; duplicate source keys that match
+    * nothing insert normally, as in Iceberg.
     * Only files containing matched keys are rewritten.
     */
   def mergeInto(source: DataFrame, keyCols: Seq[String]): GraftTable = {
     ensureMaterialized()
-    requireUniqueMergeKeys(source, keyCols, "source")
     val m = meta
     val cur = currentFiles(m)
     val target = toDF()
@@ -1393,14 +1432,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
       d.withColumnRenamed(f.name, s"__s_${f.name}") }
 
     val joinCond = keyCols.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
-    // files containing at least one matched key
+    // files containing at least one matched key (+ cardinality check)
     val touched: Seq[DataFile] =
       if (cur.isEmpty) Nil
       else {
-        val hit = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
-          .join(srcRenamed, joinCond, "left_semi")
-          .select(col("_metadata.file_path")).distinct().collect()
-          .map(r => stripScheme(r.getString(0))).toSet
+        val hit = touchedFilesWithCardinalityCheck(
+          ColumnMapping.readFiles(spark, m.schema, cur.map(_.path)),
+          srcRenamed, joinCond, lit(1L),
+          concat_ws(",", keyCols.map(k => col(s"__s_$k").cast("string")): _*),
+          keyCols)
         cur.filter(f => hit.contains(f.path))
       }
 
@@ -1427,30 +1467,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * append — matched rows named by neither survive the rewrite untouched.
     * Only files containing an affected key are rewritten (same file-level
     * CoW economics as [[mergeInto]], which is the
-    * update-all/insert-all special case). Duplicate update keys fail the
-    * cardinality check loudly; duplicate delete keys are harmless
-    * (distinct'd below).
+    * update-all/insert-all special case). The Iceberg cardinality check
+    * rides the touched-files probe join: a target row matched by more
+    * than one UPDATE row fails loudly (delete keys count zero — they
+    * only mark files touched, and duplicates among them are harmless).
     */
   def mergeApply(updates: DataFrame, deleteKeys: DataFrame,
       inserts: DataFrame, keyCols: Seq[String]): GraftTable = {
     ensureMaterialized()
-    requireUniqueMergeKeys(updates, keyCols, "update")
     val m = meta
     val cur = currentFiles(m)
-    val affectedKeys = updates.select(keyCols.map(col): _*)
-      .unionByName(deleteKeys.select(keyCols.map(col): _*)).distinct()
-    val keyed = keyCols.foldLeft(affectedKeys) { (d, c) =>
+    // ONE probe frame: update keys keep duplicates (counted per matched
+    // target row), delete keys are distinct'd and flagged out of the count
+    val updProbe = updates.select(keyCols.map(col): _*)
+      .withColumn("__upd", lit(1L))
+    val delProbe = deleteKeys.select(keyCols.map(col): _*).distinct()
+      .withColumn("__upd", lit(0L))
+    val keyed = keyCols.foldLeft(updProbe.unionByName(delProbe)) { (d, c) =>
       d.withColumnRenamed(c, s"__k_$c") }
-    def keyCond(df: DataFrame): org.apache.spark.sql.Column =
-      keyCols.map(c => df(c) === keyed(s"__k_$c")).reduce(_ && _)
 
     val touched: Seq[DataFile] =
       if (cur.isEmpty) Nil
       else {
         val base = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
-        val hit = base.join(broadcast(keyed), keyCond(base), "left_semi")
-          .select(col("_metadata.file_path")).distinct().collect()
-          .map(r => stripScheme(r.getString(0))).toSet
+        val hit = touchedFilesWithCardinalityCheck(base, broadcast(keyed),
+          keyCols.map(c => base(c) === keyed(s"__k_$c")).reduce(_ && _),
+          col("__upd"),
+          concat_ws(",", keyCols.map(c => col(s"__k_$c").cast("string")): _*),
+          keyCols)
         cur.filter(f => hit.contains(f.path))
       }
 

@@ -515,4 +515,76 @@ class GraftSqlSpec extends SparkSpec {
     assert(up("""select `a``b` from t""") == """SELECT `a``b` FROM T""")
     assert(up("""select 'it''s ok' from t""") == """SELECT 'it''s ok' FROM T""")
   }
+
+  // r7/r8 regression: the MERGE cardinality check, Iceberg-scoped — a
+  // TARGET row matching several source rows fails loudly BEFORE any file
+  // is rewritten, in BOTH write modes; duplicate source keys that match
+  // no target row are legal inserts.
+  test("MERGE cardinality violation refuses loudly (copy-on-write)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE card1 AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    val e = intercept[IllegalArgumentException](g.sql(
+      """MERGE INTO card1 AS t USING (
+        |  SELECT n_nationkey, 'X' AS n_name, n_regionkey FROM nation WHERE n_nationkey = 1
+        |  UNION ALL
+        |  SELECT n_nationkey, 'Y' AS n_name, n_regionkey FROM nation WHERE n_nationkey = 1
+        |) AS s ON n_nationkey = s.n_nationkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("MERGE cardinality violation"))
+    // nothing was rewritten by the failed statement
+    assert(g.sql("SELECT COUNT(*) AS n FROM card1 WHERE n_name IN ('X','Y')")
+      .head().getLong(0) == 0)
+  }
+
+  test("duplicate source keys that match NO target row insert, as in Iceberg") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE card2 AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    g.sql("""MERGE INTO card2 AS t USING (
+            |  SELECT 990 AS n_nationkey, 'A' AS n_name, 0 AS n_regionkey
+            |  UNION ALL SELECT 990, 'B', 0
+            |) AS s ON n_nationkey = s.n_nationkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(g.sql("SELECT COUNT(*) AS n FROM card2 WHERE n_nationkey = 990")
+      .head().getLong(0) == 2)
+  }
+
+  test("MERGE cardinality violation refuses in merge-on-read mode too") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE card3 AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    g.table("card3").setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    val e = intercept[IllegalArgumentException](g.sql(
+      """MERGE INTO card3 AS t USING (
+        |  SELECT n_nationkey, 'X' AS n_name, n_regionkey FROM nation WHERE n_nationkey = 1
+        |  UNION ALL
+        |  SELECT n_nationkey, 'Y' AS n_name, n_regionkey FROM nation WHERE n_nationkey = 1
+        |) AS s ON n_nationkey = s.n_nationkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("MERGE cardinality violation"))
+    assert(g.sql("SELECT COUNT(*) AS n FROM card3").head().getLong(0) == 25,
+      "the MoR upsert must not have landed")
+  }
+
+  // r7 regression: the MergeTail ON capture must not cross a WHEN
+  // boundary — a leading conditional DELETE followed by UNCONDITIONAL
+  // update+insert clauses previously let the simple-form regex swallow
+  // the DELETE into the ON string and die as a confusing parse error.
+  test("leading conditional DELETE + plain UPDATE/INSERT dispatches to the general form") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE lead1 AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    g.sql("""MERGE INTO lead1 AS t USING (
+            |  SELECT n_nationkey, 'UPD' AS n_name, n_regionkey FROM nation WHERE n_nationkey < 6
+            |  UNION ALL SELECT 990, 'NEW', 0
+            |) AS s ON n_nationkey = s.n_nationkey
+            |WHEN MATCHED AND t.n_nationkey % 2 = 0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = g.sql("SELECT n_nationkey, n_name FROM lead1 ORDER BY n_nationkey")
+      .collect().map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    Seq(0L, 2L, 4L).foreach(k => assert(!rows.contains(k), s"key $k should be deleted"))
+    Seq(1L, 3L, 5L).foreach(k => assert(rows(k) == "UPD", s"key $k should be updated"))
+    assert(rows(990L) == "NEW")
+  }
 }

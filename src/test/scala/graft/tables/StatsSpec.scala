@@ -143,6 +143,31 @@ class StatsSpec extends SparkSpec {
       .count() > 0)
   }
 
+  // r7 regression: string bounds from EXTERNALLY-written files may be
+  // truncated by the parquet writer (last byte incremented — an upper
+  // bound, not a value in the data), so fastMinMax must refuse string
+  // columns on migrated/add_files tables while numeric bounds still serve.
+  test("fastMinMax refuses untrusted string bounds from external files") {
+    val staged = Files.createTempDirectory("graft_stats_ext").toString + "/p"
+    orders(300).write.parquet(staged)
+    val t = GraftTable.migrateInPlace(spark, tmp(), staged)
+    assert(t.fastMinMax("o_orderstatus").isEmpty,
+      "external string bounds are not aggregate-exact")
+    assert(t.fastMinMax("o_orderkey").nonEmpty,
+      "numeric bounds from external files stay exact")
+
+    // add_files onto a self-written table: ONE untrusted file poisons
+    // string aggregates for the whole table, numerics still answer
+    val t2 = GraftTable.createAs(spark, tmp(), orders(200))
+    assert(t2.fastMinMax("o_orderstatus").nonEmpty)
+    val staged2 = Files.createTempDirectory("graft_stats_ext2").toString + "/p"
+    orders(100).withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .write.parquet(staged2)
+    t2.addFiles(staged2)
+    assert(t2.fastMinMax("o_orderstatus").isEmpty)
+    assert(t2.fastMinMax("o_orderkey").nonEmpty)
+  }
+
   test("orphan sweep removes superseded stats files, keeps the live one") {
     val t = GraftTable.createAs(spark, tmp(), orders(200))
     t.analyze(Seq("o_custkey"))
