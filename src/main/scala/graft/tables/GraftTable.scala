@@ -119,12 +119,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** Summary entries as pseudo-files so [[ScanPlanner.pruneFiles]]'s
-    * stats logic prunes MANIFESTS with zero new machinery (empty
-    * partition map = conservatively kept by partition checks).
+    * stats AND partition logic prunes MANIFESTS with zero new machinery:
+    * an entry with a partition summary expands to one pseudo-file per
+    * distinct partition tuple (the manifest survives if ANY tuple may
+    * match — exact-set semantics, so numeric-string values never hit a
+    * lexical-ordering trap); entries without one keep a single
+    * empty-partition pseudo-file, conservatively unprunable by partition
+    * checks. Survivors must be deduped by name.
     */
   private def pseudoFiles(m: TableMeta, entries: Seq[ManifestEntry]): Seq[DataFile] =
-    entries.map(e =>
-      DataFile(e.name, m.currentSpecId, Map.empty, e.recordCount, 0L, e.stats))
+    entries.flatMap { e =>
+      val specId = if (e.specId >= 0) e.specId else m.currentSpecId
+      if (e.partitionTuples.isEmpty)
+        Seq(DataFile(e.name, specId, Map.empty, e.recordCount, 0L, e.stats))
+      else e.partitionTuples.map(pv =>
+        DataFile(e.name, specId, pv, e.recordCount, 0L, e.stats))
+    }
 
   /** Manifest payload of snapshot `s` restricted to child manifests whose
     * aggregated stats may satisfy `cond`; only survivors are read.
@@ -381,8 +391,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     m.currentSnapshot.map { s =>
       val entries = MetaIO.loadManifestEntries(conf, location, s)
-      (ScanPlanner.pruneFiles(m, pseudoFiles(m, entries), filterSql, spark).size,
-        entries.size)
+      (ScanPlanner.pruneFiles(m, pseudoFiles(m, entries), filterSql, spark)
+        .map(_.path).distinct.size, entries.size)
     }.getOrElse((0, 0))
   }
 
@@ -700,8 +710,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
           MetaIO.manifestToJson(rest))
         MetaIO.cachePut(location, name, rest)
-        Seq(ManifestEntry(name, rest.size, rest.map(_.recordCount).sum,
-          ManifestStats.aggregate(rest)))
+        Seq(ManifestStats.entryFor(name, rest))
       }
     val listName = s"manifest-list-$snapId-${UUID.randomUUID().toString.take(8)}.json"
     (listName, reused.result() ++ fresh)
@@ -1971,8 +1980,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
           MetaIO.manifestToJson(g))
         MetaIO.cachePut(location, name, g)
-        ManifestEntry(name, g.size, g.map(_.recordCount).sum,
-          ManifestStats.aggregate(g))
+        ManifestStats.entryFor(name, g)
       }
       val listName =
         s"manifest-list-${s.id}-${UUID.randomUUID().toString.take(8)}.json"

@@ -118,9 +118,17 @@ case class ManifestData(
   * manifest without reading it (Iceberg's manifest-list partition
   * summaries): at ~10⁶ files, planning cost is O(surviving manifests),
   * not O(all file entries).
+  *
+  * `specId`/`partitionTuples` are the PARTITION summary (r8): the child's
+  * distinct partition-value tuples when its files share one spec and stay
+  * under the cap — so a partition predicate skips whole manifests even
+  * where column stats are absent (non-ASCII string bounds, all-NULL
+  * files, mixed schema generations). specId -1 / empty tuples = unknown,
+  * conservatively kept.
   */
 case class ManifestEntry(name: String, fileCount: Long, recordCount: Long,
-    stats: Map[String, ColStats])
+    stats: Map[String, ColStats], specId: Int = -1,
+    partitionTuples: Seq[Map[String, String]] = Nil)
 
 object ManifestStats {
   private def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
@@ -147,6 +155,29 @@ object ManifestStats {
       }
       if (ok) Some(acc) else None
     }
+
+  /** Partition summary of a child manifest: (specId, distinct partition
+    * tuples), or (-1, Nil) = unknown when the files span partition specs
+    * or the tuple count exceeds the cap (a manifest covering many
+    * partitions can't be skipped by one anyway). Exact-set summaries stay
+    * sound for EVERY predicate shape the per-file partition check
+    * supports — no lexical min/max traps on numeric-string values.
+    */
+  def partitionSummary(files: Seq[DataFile],
+      cap: Int = 32): (Int, Seq[Map[String, String]]) = {
+    if (files.isEmpty) return (-1, Nil)
+    val specs = files.map(_.specId).distinct
+    if (specs.size != 1) return (-1, Nil)
+    val tuples = files.map(_.partitionValues).distinct
+    if (tuples.size > cap) (-1, Nil) else (specs.head, tuples)
+  }
+
+  /** Build a child-manifest entry with both summary kinds. */
+  def entryFor(name: String, files: Seq[DataFile]): ManifestEntry = {
+    val (specId, tuples) = partitionSummary(files)
+    ManifestEntry(name, files.size, files.map(_.recordCount).sum,
+      aggregate(files), specId, tuples)
+  }
 
   /** Conservative manifest-level summary of per-file column stats:
     * min-of-mins / max-of-maxes for columns EVERY file reports (a column
@@ -424,6 +455,14 @@ object MetaIO {
       o.put("name", e.name)
       o.put("file_count", e.fileCount)
       o.put("record_count", e.recordCount)
+      if (e.specId >= 0 && e.partitionTuples.nonEmpty) {
+        o.put("spec_id", e.specId)
+        val pa = o.putArray("partitions")
+        e.partitionTuples.foreach { t =>
+          val to = pa.addObject()
+          t.foreach { case (k, v) => to.put(k, v) }
+        }
+      }
       val st = o.putObject("stats")
       e.stats.foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -467,8 +506,15 @@ object MetaIO {
             Option(so.get("max")).map(statValueFromJson),
             so.get("nulls").asLong())
         }
+        val tuples = Seq.newBuilder[Map[String, String]]
+        Option(o.get("partitions")).foreach(_.forEach { to =>
+          val t = Map.newBuilder[String, String]
+          to.fieldNames().forEachRemaining(k => t += k -> to.get(k).asText())
+          tuples += t.result()
+        })
         entries += ManifestEntry(o.get("name").asText(), o.get("file_count").asLong(),
-          o.get("record_count").asLong(), stats.result())
+          o.get("record_count").asLong(), stats.result(),
+          Option(o.get("spec_id")).map(_.asInt()).getOrElse(-1), tuples.result())
       })
       Some((entries.result(), deletes.result(), posDeletes.result(), eqDeletes.result()))
     }
@@ -527,8 +573,7 @@ object MetaIO {
       cachePut(location, snap.manifest, d.files)
       val entries =
         if (d.files.isEmpty) Nil
-        else Seq(ManifestEntry(snap.manifest, d.files.size,
-          d.files.map(_.recordCount).sum, ManifestStats.aggregate(d.files)))
+        else Seq(ManifestStats.entryFor(snap.manifest, d.files))
       (entries, d.deletePredicates, d.positionDeleteFiles, d.equalityDeletes)
     }
   }

@@ -107,6 +107,50 @@ class ManifestListSpec extends SparkSpec {
     assert(MetaIO.exists(conf, s"${MetaIO.metadataDir(t.location)}/${s.manifest}"))
   }
 
+  test("partition summaries skip child manifests where column stats can't") {
+    // non-ASCII column values: parquet binary bounds don't mirror engine
+    // string order, so footer stats are dropped and min/max pruning is
+    // blind at BOTH metadata levels — but the truncate[1] partition
+    // values stay ASCII (first letter), so the r8 partition-tuple
+    // summary is the only thing that can skip whole child manifests
+    val cities = Seq("zürich", "münchen", "tōkyō", "são paulo")
+    val df = (1 to 400).map(i => (i.toLong, cities(i % 4), i * 1.5))
+      .toDF("k", "city", "v")
+    val t = GraftTable.createAs(spark, tmp(), df,
+      partitionFields = Seq(PartitionField("city", "truncate[1]", "ct")))
+    // rewrite_manifests clusters children by partition value
+    t.rewriteManifests(target = 4)
+    val entries = entriesOf(t)
+    assert(entries.size == 4)
+    assert(entries.forall(e => e.specId >= 0 && e.partitionTuples.nonEmpty),
+      "children of a partition-clustered rewrite must carry summaries")
+    // column stats genuinely absent for the non-ASCII column -> the skip
+    // below can only come from the partition summary
+    assert(entries.forall(!_.stats.contains("city")))
+    val (surviving, total) = t.plannedManifests("city = 'tōkyō'")
+    assert(total == 4 && surviving == 1,
+      s"partition predicate should read 1 of $total children, read $surviving")
+    // correctness: the pruned read returns exactly the partition
+    assert(t.toDF(Some("city = 'tōkyō'")).count() == 100)
+    // a value in no partition reads zero children
+    assert(t.plannedManifests("city = 'gotham'")._1 == 0)
+    // IN-lists prune to the union of matching partitions
+    assert(t.plannedManifests("city IN ('zürich', 'münchen')")._1 == 2)
+  }
+
+  test("partition summaries stay sound across partition-spec evolution") {
+    val df1 = (1 to 100).map(i => (i.toLong, s"p${i % 2}", i * 1.0)).toDF("k", "p", "v")
+    val t = GraftTable.createAs(spark, tmp(), df1,
+      partitionFields = Seq(PartitionField("p", "identity", "p")))
+    t.setPartitionSpec(Seq(PartitionField("k", "bucket[4]", "kb")))
+    t.append((101 to 200).map(i => (i.toLong, s"p${i % 2}", i * 1.0)).toDF("k", "p", "v"))
+    // children mixing specs (or per-spec children) must never wrongly
+    // prune: every 'p' row is still found
+    assert(t.toDF(Some("p = 'p1'")).count() == 100)
+    val (surv, total) = t.plannedManifests("p = 'p1'")
+    assert(surv >= 1 && surv <= total)
+  }
+
   test("aggregate summaries are sound: min-of-mins/max-of-maxes, exact null sums") {
     val fs = Seq(
       DataFile("a", 0, Map.empty, 10, 1, Map(
