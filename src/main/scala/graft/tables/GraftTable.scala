@@ -445,11 +445,37 @@ class GraftTable(val spark: SparkSession, val location: String) {
       cur = cur.get.parentId.flatMap(m.snapshot)
     }
     require(cur.isDefined, s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
+    val parts = chain.map(s => commitChanges(m, s))
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(m.schema.fields :+ StructField("_change_type", StringType)))
+    else parts.reduce(_ unionAll _)
+  }
 
+  /** ONE commit's row-level changes under ITS OWN snapshot schema when
+    * `underSnapshotSchema` (the stretch half of Iceberg's changelog
+    * semantics): after a rename-then-append chain, each commit's rows
+    * surface with the names and types their writer saw — what an auditor
+    * replaying history wants, where a live consumer wants
+    * [[changesBetween]]'s current-schema view (per-commit schemas can't
+    * union into one frame).
+    */
+  def changesOf(snapshotId: Long, underSnapshotSchema: Boolean = false): DataFrame = {
+    val m0 = meta
+    val snap = m0.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    val m = if (underSnapshotSchema) m0.copy(schema = m0.schemaAt(snap.schemaId)) else m0
+    commitChanges(m, snap)
+  }
+
+  /** The per-commit changelog kernel shared by [[changesBetween]] (current
+    * schema) and [[changesOf]] (optionally the snapshot's schema): all
+    * reads and the output projection go through `m.schema`.
+    */
+  private def commitChanges(m: TableMeta, s: Snapshot): DataFrame = {
     def tagged(df: DataFrame, kind: String): DataFrame =
       df.select(m.schema.fieldNames.map(col) :+ lit(kind).as("_change_type"): _*)
-
-    val parts = chain.map { s =>
+    locally {
       val md = manifestDataOf(s)
       val parentMd = s.parentId.flatMap(m.snapshot).map(manifestDataOf)
         .getOrElse(ManifestData(Nil, Nil, Nil))
@@ -525,10 +551,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
             "lineage recovery for this operation")
       }
     }
-    if (parts.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(m.schema.fields :+ StructField("_change_type", StringType)))
-    else parts.reduce(_ unionAll _)
   }
 
   /** Row-level diff between ANY two retained snapshots, ancestry or not:

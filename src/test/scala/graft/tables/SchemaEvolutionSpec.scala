@@ -135,6 +135,28 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.asOf(s2).columns.toSeq == Seq("id", "val") && t.asOf(s2).count() == 3)
   }
 
+  test("changesOf emits each commit under its own schema on request (r8)") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, 1.0)).toDF("id", "v"))
+    val s1 = t.meta.currentSnapshotId.get
+    t.renameColumn("v", "val")
+    t.addColumn("note", org.apache.spark.sql.types.StringType)
+    t.append(Seq((2L, 2.0, "n2")).toDF("id", "val", "note"))
+    val s2 = t.meta.currentSnapshotId.get
+
+    // the historical commit replays with the names/types its writer saw
+    val old = t.changesOf(s1, underSnapshotSchema = true)
+    assert(old.columns.toSeq == Seq("id", "v", "_change_type"))
+    assert(old.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet ==
+      Set((1L, 1.0, "insert")))
+    // the post-evolution commit under its schema
+    val neu = t.changesOf(s2, underSnapshotSchema = true)
+    assert(neu.columns.toSeq == Seq("id", "val", "note", "_change_type"))
+    assert(neu.count() == 1)
+    // default stays the live-consumer view: CURRENT schema for any commit
+    assert(t.changesOf(s1).columns.toSeq == Seq("id", "val", "note", "_change_type"))
+  }
+
   test("snapshot schemas: drop and widen are scoped to their commits") {
     val t = GraftTable.createAs(spark, tmp(),
       Seq((1, "x", 1.5f)).toDF("n", "label", "f"))
