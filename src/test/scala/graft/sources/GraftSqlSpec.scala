@@ -567,6 +567,25 @@ class GraftSqlSpec extends SparkSpec {
       "the MoR upsert must not have landed")
   }
 
+  // duplicate TARGET keys through the column-assignment rewrite: the
+  // effSource (target⋈source) path trips the same check — the facade must
+  // say so instead of blaming the source
+  test("duplicate target keys in column-assignment MERGE get the reworded error") {
+    val g = freshSql(); registerSources(g)
+    g.sql("""CREATE TABLE card4 AS SELECT n_nationkey, n_name, n_regionkey FROM nation
+            |WHERE n_nationkey < 3""".stripMargin)
+    g.sql("INSERT INTO card4 SELECT n_nationkey, 'DUP' AS n_name, n_regionkey FROM nation WHERE n_nationkey = 1")
+    val e = intercept[IllegalArgumentException](g.sql(
+      """MERGE INTO card4 AS t USING (
+        |  SELECT n_nationkey, 'X' AS n_name FROM nation WHERE n_nationkey = 1
+        |) AS s ON n_nationkey = s.n_nationkey
+        |WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+        |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) VALUES (s.n_nationkey, s.n_name)""".stripMargin))
+    assert(e.getMessage.contains("cardinality"))
+    assert(e.getMessage.contains("column-assignment MERGE"),
+      s"expected the effSource-path context, got: ${e.getMessage}")
+  }
+
   // r7 regression: the MergeTail ON capture must not cross a WHEN
   // boundary — a leading conditional DELETE followed by UNCONDITIONAL
   // update+insert clauses previously let the simple-form regex swallow

@@ -135,6 +135,29 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.asOf(s2).columns.toSeq == Seq("id", "val") && t.asOf(s2).count() == 3)
   }
 
+  test("evolveSchema applies a whole op batch atomically (swap, drop+re-add)") {
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1L, 10.0, "x1")).toDF("a", "b", "c"))
+    // a<->b swap in ONE batch: no temp names, one schema version
+    val v0 = t.meta.currentSchemaId
+    t.evolveSchema(Seq(SchemaOp.Rename("a", "b"), SchemaOp.Rename("b", "a")))
+    assert(t.meta.currentSchemaId == v0 + 1, "one batch = one schema id")
+    assert(t.meta.schema.fieldNames.toSeq == Seq("b", "a", "c"))
+    val r = t.toDF().select("b", "a").head()
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 10.0, "values follow the swap")
+    // drop + re-add the same name in one batch: fresh physical, old bytes
+    // can never resurrect
+    t.evolveSchema(Seq(SchemaOp.Drop("c"),
+      SchemaOp.Add("c", org.apache.spark.sql.types.StringType)))
+    assert(t.toDF().select("c").head().isNullAt(0),
+      "re-added column must not resurrect dropped bytes")
+    // batch extraProperties ride the same metadata version
+    val ver = t.meta.version
+    t.evolveSchema(Seq(SchemaOp.Add("d", org.apache.spark.sql.types.LongType)),
+      extraProperties = Map("my.cursor" -> "42"))
+    assert(t.meta.version == ver + 1 && t.meta.properties("my.cursor") == "42")
+  }
+
   test("changesOf emits each commit under its own schema on request (r8)") {
     val t = GraftTable.createAs(spark, tmp(),
       Seq((1L, 1.0)).toDF("id", "v"))
