@@ -78,6 +78,41 @@ class GraftTable(val spark: SparkSession, val location: String) {
       d.join(keys, e.cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
     }
 
+  /** Can equality delete `e` possibly hit rows of data file `f`? False
+    * only when some key column's ranges are PROVABLY disjoint — delete
+    * key bounds were collected from the delete files' footers at commit
+    * ([[eqDeleteStats]]), file bounds come from its manifest entry (keyed
+    * physical). NULL keys match null-safely, so a column with NULLs on
+    * both sides never prunes. Empty delete stats (pre-r8 metadata) always
+    * apply. On a key-clustered table this turns a point-upsert's delete
+    * from an anti-join over every older file into one over the files
+    * whose key range it intersects.
+    */
+  private def eqMayHit(m: TableMeta, f: DataFile, e: EqualityDelete): Boolean =
+    e.stats.isEmpty || e.cols.forall { c =>
+      (e.stats.get(c), f.stats.get(ColumnMapping.physicalOf(m.schema, c))) match {
+        case (Some(ds), Some(fs)) =>
+          (ds.nullCount > 0 && fs.nullCount > 0) ||
+            ManifestStats.rangesMayOverlap(ds, fs)
+        case _ => true
+      }
+    }
+
+  /** Aggregated key-column bounds of just-written delete files (footer
+    * reads over the SMALL side — O(delete files) metadata, no data pass),
+    * stored on the [[EqualityDelete]] so reads can skip non-overlapping
+    * data files. Delete files carry the keys under their logical names.
+    */
+  private def eqDeleteStats(delFiles: Seq[String], keyCols: Seq[String],
+      m: TableMeta): Map[String, ColStats] = {
+    val schema = StructType(
+      keyCols.flatMap(c => m.schema.fields.find(_.name == c)).toArray)
+    if (schema.isEmpty || delFiles.isEmpty) return Map.empty
+    val pseudo = delFiles.map(p =>
+      DataFile(p, 0, Map.empty, 0L, 0L, FooterStats.read(conf, p, schema)._2))
+    ManifestStats.aggregate(pseudo)
+  }
+
   /** Sequence-aware merge-on-read read: files are grouped by which
     * equality deletes apply to them (only deletes with a HIGHER sequence
     * number — the Iceberg v2 rule that lets an upsert commit hide old key
@@ -89,7 +124,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       filterSql: Option[String]): DataFrame = {
     val pruned = filterSql.map(f => ScanPlanner.pruneFiles(m, md.files, f, spark))
       .getOrElse(md.files)
-    val scans = pruned.groupBy(f => md.equalityDeletes.filter(e => f.seq < e.seq))
+    val scans = pruned.groupBy(f =>
+        md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)))
       .toSeq.map { case (eqs, fs) =>
         applyEq(applyPosDeletes(ScanPlanner.scan(spark, m, fs, filterSql), fs,
           md.positionDeleteFiles), eqs)
@@ -931,7 +967,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // the file-source side), per seq group so already-hidden rows are
         // not re-recorded (a CDC consumer would double-count) while rows
         // that OUTLIVE an older equality delete still are
-        val live = candidates.groupBy(f => md.equalityDeletes.filter(e => f.seq < e.seq))
+        val live = candidates.groupBy(f =>
+            md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)))
           .toSeq.map { case (eqs, fs) =>
             val base = ScanPlanner.scan(spark, m, fs, None)
               .withColumn("__gp_fp", col("_metadata.file_path"))
@@ -974,11 +1011,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val md = currentManifest(m)
     val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
     keys.select(keyCols.map(col): _*).distinct().write.parquet(delDir)
+    val delFiles = listParquet(delDir)
     commitSnapshot(m, md.files, "delete-mor-eq", 0,
       deletePredicates = md.deletePredicates,
       positionDeleteFiles = md.positionDeleteFiles,
       equalityDeletes = md.equalityDeletes :+
-        EqualityDelete(keyCols, listParquet(delDir), nextSnapshotId(m)))
+        EqualityDelete(keyCols, delFiles, nextSnapshotId(m),
+          eqDeleteStats(delFiles, keyCols, m)))
     this
   }
 
@@ -991,13 +1030,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * [[materializeDeletes]]/[[compactDeleteFiles]] amortize the read-side
     * debt on maintenance schedule.
     */
-  def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable = {
+  def upsertMergeOnRead(source: DataFrame, keyCols: Seq[String]): GraftTable =
     // same statement, same loud failure in BOTH write modes: duplicate
     // source keys would corrupt silently here (two surviving rows under
-    // one equality delete) where the CoW merge errors
-    requireUniqueMergeKeys(source, keyCols, "source")
-    mergeBatch(source, None, keyCols)
-  }
+    // one equality delete) where the CoW merge errors. The check is a
+    // footer-count comparison over files already written — no extra pass.
+    mergeBatchWithRetry(source, None, keyCols, enforceUniqueKeys = true)
 
   /** The generic CDC batch apply: ONE commit carrying an equality delete on
     * `keyCols` for the upserted keys PLUS `deletedKeys` (rows that vanish
@@ -1030,7 +1068,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private[tables] def mergeBatchWithRetry(upserts: DataFrame,
       deletedKeys: Option[DataFrame], keyCols: Seq[String],
       extraProperties: Map[String, String] = Map.empty,
-      onAttempt: Int => Unit = _ => ()): GraftTable = {
+      onAttempt: Int => Unit = _ => (),
+      enforceUniqueKeys: Boolean = false): GraftTable = {
     require(keyCols.nonEmpty, "upsert needs key columns")
     // predicate deletes apply globally at read time — a carried-forward
     // predicate would silently drop upserted rows it matches, violating the
@@ -1043,7 +1082,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
     deletedKeys.map(d => upsertKeys.unionByName(d.select(keyCols.map(col): _*)))
       .getOrElse(upsertKeys).distinct().write.parquet(delDir)
     val delFiles = listParquet(delDir)
+    val delStats = eqDeleteStats(delFiles, keyCols, m)
     val written = writeDataFiles(upserts, m)
+    // Iceberg cardinality check at ZERO extra passes: the delete files
+    // hold the DISTINCT keys and the data files every row — both counts
+    // come from footers already on disk. Fewer distinct keys than rows
+    // means duplicates; only then pay the diagnostic pass for the message.
+    if (enforceUniqueKeys && deletedKeys.isEmpty) {
+      val distinctKeys =
+        delFiles.map(p => FooterStats.read(conf, p, StructType(Nil))._1).sum
+      if (distinctKeys < written.map(_.recordCount).sum)
+        requireUniqueMergeKeys(upserts, keyCols, "source")
+    }
     val retries = m.properties.get(TableFormat.CommitRetries)
       .map(_.toInt).getOrElse(4)
     val rowPreserving = Set("replace", "rewrite-deletes")
@@ -1059,7 +1109,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           deletePredicates = md.deletePredicates,
           positionDeleteFiles = md.positionDeleteFiles,
           equalityDeletes = md.equalityDeletes :+
-            EqualityDelete(keyCols, delFiles, seq),
+            EqualityDelete(keyCols, delFiles, seq, delStats),
           extraProperties = extraProperties)
         committed = true
       } catch {
@@ -1111,8 +1161,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .select(col("file_path")).distinct().collect()
         .map(r => stripScheme(r.getString(0))).toSet
     val eqTouched: Set[String] = md.equalityDeletes.flatMap { e =>
-      // only files the delete's sequence number covers can be touched
-      val applicable = md.files.filter(_.seq < e.seq)
+      // only files the delete's sequence number covers — and whose key
+      // range it can intersect — can be touched
+      val applicable = md.files.filter(f => f.seq < e.seq && eqMayHit(m, f, e))
       if (applicable.isEmpty) Nil
       else {
         val keys = spark.read.parquet(e.files: _*)
@@ -1158,8 +1209,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val newPos = if (posNeedsFold) fold(md.positionDeleteFiles) else md.positionDeleteFiles
     val newEq = md.equalityDeletes.groupBy(e => (e.cols, e.seq)).map { case ((cols, seq), es) =>
       val files = es.flatMap(_.files)
-      if (files.size > 1) EqualityDelete(cols, fold(files), seq)
-      else EqualityDelete(cols, files, seq)
+      if (files.size > 1) {
+        val folded = fold(files)
+        // folded file = union of the originals: recompute bounds so the
+        // read-side overlap pruning survives compaction
+        EqualityDelete(cols, folded, seq, eqDeleteStats(folded, cols, m))
+      } else EqualityDelete(cols, files, seq, es.head.stats)
     }.toSeq
     commitSnapshot(m, md.files, "rewrite-deletes", 0,
       deletePredicates = md.deletePredicates,

@@ -97,9 +97,17 @@ case class DataFile(
   * from data files with a LOWER sequence number (`file.seq < seq`), the
   * Iceberg v2 sequencing rule that lets an upsert commit delete old
   * versions of its keys without hiding the rows it appends.
+  *
+  * `stats` (r8) are the delete files' aggregated key-column bounds,
+  * collected from their footers at commit time (the fields Iceberg keeps
+  * on delete-file manifest entries): a read skips applying the delete to
+  * any data file whose key range can't intersect — on a key-clustered
+  * table, point-upsert deletes stop costing an anti-join over every
+  * older file. Empty = unknown (pre-r8 metadata), always applied. Keyed
+  * by the delete files' own column names (`cols`).
   */
 case class EqualityDelete(cols: Seq[String], files: Seq[String],
-    seq: Long = Long.MaxValue)
+    seq: Long = Long.MaxValue, stats: Map[String, ColStats] = Map.empty)
 
 /** Everything a snapshot manifest carries: the data-file list plus the
   * three merge-on-read delete kinds (predicate deletes: a SQL condition
@@ -170,6 +178,18 @@ object ManifestStats {
     if (specs.size != 1) return (-1, Nil)
     val tuples = files.map(_.partitionValues).distinct
     if (tuples.size > cap) (-1, Nil) else (specs.head, tuples)
+  }
+
+  /** May value ranges `a` and `b` intersect? Conservative true when any
+    * bound is missing or the types don't compare.
+    */
+  def rangesMayOverlap(a: ColStats, b: ColStats): Boolean = {
+    val disjoint = (for {
+      aMin <- a.min; aMax <- a.max; bMin <- b.min; bMax <- b.max
+      aBelowB <- lt(aMax, bMin)
+      bBelowA <- lt(bMax, aMin)
+    } yield aBelowB || bBelowA).getOrElse(false)
+    !disjoint
   }
 
   /** Build a child-manifest entry with both summary kinds. */
@@ -323,6 +343,54 @@ object MetaIO {
     else if (n.isBoolean) n.asBoolean()
     else n.asText()
 
+  private def statsMapToJson(parent: ObjectNode, stats: Map[String, ColStats]): Unit = {
+    val st = parent.putObject("stats")
+    stats.foreach { case (c, s) =>
+      val so = st.putObject(c)
+      s.min.foreach(statValueToJson(so, "min", _))
+      s.max.foreach(statValueToJson(so, "max", _))
+      so.put("nulls", s.nullCount)
+    }
+  }
+
+  private def statsMapFromJson(stNode: JsonNode): Map[String, ColStats] = {
+    val stats = Map.newBuilder[String, ColStats]
+    if (stNode != null) stNode.fieldNames().forEachRemaining { c =>
+      val so = stNode.get(c)
+      stats += c -> ColStats(
+        Option(so.get("min")).map(statValueFromJson),
+        Option(so.get("max")).map(statValueFromJson),
+        so.get("nulls").asLong())
+    }
+    stats.result()
+  }
+
+  private def eqDeletesToJson(root: ObjectNode, eqs: Seq[EqualityDelete]): Unit =
+    if (eqs.nonEmpty) {
+      val eq = root.putArray("equality_deletes")
+      eqs.foreach { e =>
+        val o = eq.addObject()
+        val ca = o.putArray("cols"); e.cols.foreach(ca.add)
+        val fa = o.putArray("files"); e.files.foreach(fa.add)
+        o.put("seq", e.seq)
+        if (e.stats.nonEmpty) statsMapToJson(o, e.stats)
+      }
+    }
+
+  private def eqDeletesFromJson(root: JsonNode): Seq[EqualityDelete] = {
+    val out = Seq.newBuilder[EqualityDelete]
+    Option(root.get("equality_deletes")).foreach(_.forEach { o =>
+      val cols = Seq.newBuilder[String]
+      o.get("cols").forEach(n => cols += n.asText())
+      val fls = Seq.newBuilder[String]
+      o.get("files").forEach(n => fls += n.asText())
+      out += EqualityDelete(cols.result(), fls.result(),
+        Option(o.get("seq")).map(_.asLong()).getOrElse(Long.MaxValue),
+        statsMapFromJson(o.get("stats")))
+    })
+    out.result()
+  }
+
   // ------------------------------------------------------------ manifest
 
   def manifestToJson(files: Seq[DataFile], deletePredicates: Seq[String] = Nil,
@@ -337,15 +405,7 @@ object MetaIO {
       val pd = root.putArray("position_delete_files")
       positionDeleteFiles.foreach(pd.add)
     }
-    if (equalityDeletes.nonEmpty) {
-      val eq = root.putArray("equality_deletes")
-      equalityDeletes.foreach { e =>
-        val o = eq.addObject()
-        val ca = o.putArray("cols"); e.cols.foreach(ca.add)
-        val fa = o.putArray("files"); e.files.foreach(fa.add)
-        o.put("seq", e.seq)
-      }
-    }
+    eqDeletesToJson(root, equalityDeletes)
     val arr = root.putArray("files")
     files.foreach { f =>
       val o = arr.addObject()
@@ -385,35 +445,19 @@ object MetaIO {
     Option(root.get("delete_predicates")).foreach(_.forEach(n => deletes += n.asText()))
     val posDeletes = Seq.newBuilder[String]
     Option(root.get("position_delete_files")).foreach(_.forEach(n => posDeletes += n.asText()))
-    val eqDeletes = Seq.newBuilder[EqualityDelete]
-    Option(root.get("equality_deletes")).foreach(_.forEach { o =>
-      val cols = Seq.newBuilder[String]
-      o.get("cols").forEach(n => cols += n.asText())
-      val fls = Seq.newBuilder[String]
-      o.get("files").forEach(n => fls += n.asText())
-      eqDeletes += EqualityDelete(cols.result(), fls.result(),
-        Option(o.get("seq")).map(_.asLong()).getOrElse(Long.MaxValue))
-    })
     val out = Seq.newBuilder[DataFile]
     root.get("files").forEach { o =>
       val pv = Map.newBuilder[String, String]
       val pvNode = o.get("partition")
       pvNode.fieldNames().forEachRemaining(k => pv += k -> pvNode.get(k).asText())
-      val stats = Map.newBuilder[String, ColStats]
-      val stNode = o.get("stats")
-      stNode.fieldNames().forEachRemaining { c =>
-        val so = stNode.get(c)
-        stats += c -> ColStats(
-          Option(so.get("min")).map(statValueFromJson),
-          Option(so.get("max")).map(statValueFromJson),
-          so.get("nulls").asLong())
-      }
       out += DataFile(o.get("path").asText(), o.get("spec_id").asInt(),
         pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
-        stats.result(), Option(o.get("seq")).map(_.asLong()).getOrElse(0L),
+        statsMapFromJson(o.get("stats")),
+        Option(o.get("seq")).map(_.asLong()).getOrElse(0L),
         Option(o.get("trusted_bounds")).forall(_.asBoolean()))
     }
-    ManifestData(out.result(), deletes.result(), posDeletes.result(), eqDeletes.result())
+    ManifestData(out.result(), deletes.result(), posDeletes.result(),
+      eqDeletesFromJson(root))
   }
 
   // ------------------------------------------------------- manifest list
@@ -440,15 +484,7 @@ object MetaIO {
       val pd = root.putArray("position_delete_files")
       positionDeleteFiles.foreach(pd.add)
     }
-    if (equalityDeletes.nonEmpty) {
-      val eq = root.putArray("equality_deletes")
-      equalityDeletes.foreach { e =>
-        val o = eq.addObject()
-        val ca = o.putArray("cols"); e.cols.foreach(ca.add)
-        val fa = o.putArray("files"); e.files.foreach(fa.add)
-        o.put("seq", e.seq)
-      }
-    }
+    eqDeletesToJson(root, equalityDeletes)
     val arr = root.putArray("manifests")
     entries.foreach { e =>
       val o = arr.addObject()
@@ -486,26 +522,8 @@ object MetaIO {
       Option(root.get("delete_predicates")).foreach(_.forEach(n => deletes += n.asText()))
       val posDeletes = Seq.newBuilder[String]
       Option(root.get("position_delete_files")).foreach(_.forEach(n => posDeletes += n.asText()))
-      val eqDeletes = Seq.newBuilder[EqualityDelete]
-      Option(root.get("equality_deletes")).foreach(_.forEach { o =>
-        val cols = Seq.newBuilder[String]
-        o.get("cols").forEach(n => cols += n.asText())
-        val fls = Seq.newBuilder[String]
-        o.get("files").forEach(n => fls += n.asText())
-        eqDeletes += EqualityDelete(cols.result(), fls.result(),
-          Option(o.get("seq")).map(_.asLong()).getOrElse(Long.MaxValue))
-      })
       val entries = Seq.newBuilder[ManifestEntry]
       Option(root.get("manifests")).foreach(_.forEach { o =>
-        val stats = Map.newBuilder[String, ColStats]
-        val stNode = o.get("stats")
-        stNode.fieldNames().forEachRemaining { c =>
-          val so = stNode.get(c)
-          stats += c -> ColStats(
-            Option(so.get("min")).map(statValueFromJson),
-            Option(so.get("max")).map(statValueFromJson),
-            so.get("nulls").asLong())
-        }
         val tuples = Seq.newBuilder[Map[String, String]]
         Option(o.get("partitions")).foreach(_.forEach { to =>
           val t = Map.newBuilder[String, String]
@@ -513,10 +531,11 @@ object MetaIO {
           tuples += t.result()
         })
         entries += ManifestEntry(o.get("name").asText(), o.get("file_count").asLong(),
-          o.get("record_count").asLong(), stats.result(),
+          o.get("record_count").asLong(), statsMapFromJson(o.get("stats")),
           Option(o.get("spec_id")).map(_.asInt()).getOrElse(-1), tuples.result())
       })
-      Some((entries.result(), deletes.result(), posDeletes.result(), eqDeletes.result()))
+      Some((entries.result(), deletes.result(), posDeletes.result(),
+        eqDeletesFromJson(root)))
     }
   }
 

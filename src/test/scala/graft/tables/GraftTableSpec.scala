@@ -12,6 +12,53 @@ class GraftTableSpec extends SparkSpec {
 
   private def ordersDf = spark.read.parquet(s"$sf/orders.parquet")
 
+  test("eq-delete key-range stats confine the anti-join to overlapping files (r8)") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val nRows = ordersDf.limit(2000).count()
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.limit(2000))
+    t.cluster(Seq("o_orderkey"), nFiles = 8)
+    // point upsert touching only the lowest keys
+    t.upsertMergeOnRead(
+      ordersDf.orderBy($"o_orderkey").limit(5).withColumn("o_totalprice", lit(1.25)),
+      Seq("o_orderkey"))
+    // bounds survive commit + reload (JSON round-trip)
+    val reloaded = GraftTable.load(spark, t.location)
+    val e = reloaded.currentEqualityDeletes().head
+    assert(e.stats.get("o_orderkey").exists(s => s.min.nonEmpty && s.max.nonEmpty),
+      "delete-file key bounds must be collected at commit")
+
+    // plan shape: the LeftAnti applies to the files the key range can hit,
+    // not to all 8 clustered files
+    val plan = reloaded.toDF().queryExecution.sparkPlan
+    def dataFiles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collectLeaves().collect { case f: FileSourceScanExec =>
+        f.relation.location.inputFiles.count(!_.contains("/deletes/")) }.sum
+    val antiScanned = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => dataFiles(j.left)
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => dataFiles(j.left)
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => dataFiles(j.left)
+    }
+    assert(antiScanned.nonEmpty, "expected an anti-join in the MOR read")
+    assert(antiScanned.sum <= 2,
+      s"anti-join should scan only key-overlapping files, scanned $antiScanned of 8")
+
+    // correctness unchanged: upserted rows visible once, with the new value
+    val low = reloaded.toDF().orderBy($"o_orderkey").limit(5).collect()
+    assert(low.forall(_.getAs[Double]("o_totalprice") == 1.25))
+    assert(reloaded.toDF().count() == nRows)
+
+    // a NULL-keyed delete never prunes against NULL-keyed data
+    val tn = GraftTable.createAs(spark, tmp(),
+      Seq((Option(1L), "a"), (Option.empty[Long], "b"), (Option(9L), "c"))
+        .toDF("k", "v"))
+    tn.deleteMergeOnReadEquality(
+      Seq(Option.empty[Long]).toDF("k"), Seq("k"))
+    assert(tn.toDF().select("v").as[String].collect().sorted.toSeq == Seq("a", "c"),
+      "null-keyed row must still be deleted (null-safe match, no false prune)")
+  }
+
   test("t01 CTAS + read back") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf)
