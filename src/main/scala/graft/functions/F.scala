@@ -34,6 +34,9 @@ object F {
   def portableFingerprint(text: Column, window: Int = 16): Column =
     col(PortableFingerprint(ex(text), window))
 
+  /** Unicode NFC canonical composition of a string column. */
+  def nfc(text: Column): Column = col(NfcNormalize(ex(text)))
+
   /** Sorted distinct rolling char-n-gram hashes of a string column. */
   def charShingles(text: Column, window: Int): Column =
     col(CharWindowHashes(ex(text), window))
@@ -140,8 +143,14 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         RandomProjectionBits(children(0), litInt(children(1)), litLong(children(2))))
 
+  private[functions] val nfcDesc =
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(text) - Unicode NFC canonical composition"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
+
   private[functions] def all = Seq(cosineDesc, simhashDesc, fingerprintDesc,
-    charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc, rpBitsDesc)
+    charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc,
+    rpBitsDesc, nfcDesc)
 
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -830,3 +830,37 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcScore =
     copy(left = newLeft, right = newRight)
 }
+
+/** Unicode NFC normalization kernel. Public static so generated code can
+  * call it. Fast path: already-normalized text (all ASCII in practice)
+  * pays one isNormalized scan and keeps the original UTF8String — no
+  * String round-trip on the hot path of an ASCII-heavy corpus.
+  */
+object NormalizeUtil {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC canonical composition (x16; the fix-text step web-scale
+  * pipelines run before fingerprinting — decomposed "e"+U+0301 and
+  * composed U+00E9 must hash identically or near-dup detection silently
+  * misses). Codegen'd; DuckDB's `nfc_normalize` is the oracle.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+  override def nullSafeEval(input: Any): Any =
+    NormalizeUtil.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val nu = classOf[NormalizeUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $nu.nfc($s);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

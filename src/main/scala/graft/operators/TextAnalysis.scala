@@ -747,7 +747,44 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x16
+
+  /** x16: Unicode normalization + control-char cleanup (r8) — the
+    * fix-text step web-scale pipelines run BEFORE any hashing: NFC
+    * canonical composition (decomposed "e"+U+0301 and composed U+00E9
+    * must fingerprint identically or near-dup detection silently
+    * misses), C0 control stripping, whitespace collapse. NFC is a
+    * codegen'd Catalyst expression ([[graft.functions.NfcNormalize]],
+    * `graft_nfc` in SQL); strip/collapse are builtin regexp_replace.
+    * The gate plants deterministic decomposed + control-char suffixes on
+    * every document so the normalization provably fires; DuckDB's
+    * `nfc_normalize` recomputes it.
+    */
+  def x16Normalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // decomposed e + combining acute, a tab run, a C0 control, spaces
+    val dirty = concat(col("text"), lit(" Cafe\u0301 \t\u0001  fin"))
+    val cleaned = regexp_replace(
+      regexp_replace(dirty, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+      "\\s+", " ")
+    val norm = graft.functions.F.nfc(cleaned)
+    docs.select(col("doc_id"), norm.as("norm_text"),
+        length(norm).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x16Oracle: String =
+    """SELECT doc_id,
+      |  nfc_normalize(regexp_replace(regexp_replace(
+      |    text || ' Cafe' || chr(769) || ' ' || chr(9) || chr(1) || '  fin',
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+      |  CAST(length(nfc_normalize(regexp_replace(regexp_replace(
+      |    text || ' Cafe' || chr(769) || ' ' || chr(9) || chr(1) || '  fin',
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
     "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),
     "x11_pii_redact"    -> ((x11PiiRedact _, x11Oracle)),

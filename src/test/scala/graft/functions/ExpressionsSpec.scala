@@ -80,6 +80,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(df(1L) != df(3L))
   }
 
+  test("nfc: composes decomposed input, identity on NFC text, null-safe") {
+    val df = Seq(
+      Option("Cafe\u0301"),          // decomposed: e + combining acute
+      Option("Caf\u00e9"),           // already composed
+      Option("plain ascii"),
+      Option.empty[String]).toDF("t")
+    val out = df.select(F.nfc($"t")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) == "Caf\u00e9", "decomposed must compose")
+    assert(out(1) == "Caf\u00e9")
+    assert(out(2) == "plain ascii")
+    assert(out(3) == null)
+    // composed and decomposed fingerprints agree after normalization --
+    // the reason the pipeline normalizes BEFORE hashing
+    val fp = Seq(("Cafe\u0301 x", "Caf\u00e9 x")).toDF("a", "b")
+      .select(F.fingerprint(F.nfc($"a"), 4) === F.fingerprint(F.nfc($"b"), 4))
+      .head().getBoolean(0)
+    assert(fp, "normalized variants must fingerprint identically")
+  }
+
   test("SQL registration exposes graft functions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

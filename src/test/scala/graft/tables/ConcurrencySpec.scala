@@ -83,6 +83,27 @@ class ConcurrencySpec extends SparkSpec {
     assert(rows == Set((0L, "base"), (1L, "mine"), (2L, "theirs")))
   }
 
+  test("racing appends both fold ANALYZE sketches; NDV stays exact (r8)") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.analyze(Seq("k"))
+    assert(t.columnNdv("k").contains(100L))
+    val t1 = GraftTable.load(spark, loc)
+    // another writer appends (and folds) while our append is in flight:
+    // the loser must re-merge its sketches against the WINNER's stats file
+    t1.appendWithRetry((101L to 150L).map(i => (i, s"v$i")).toDF("k", "v"),
+      onAttempt = { a =>
+        if (a == 0)
+          GraftTable.load(spark, loc)
+            .append((201L to 260L).map(i => (i, s"v$i")).toDF("k", "v"))
+      })
+    val fresh = GraftTable.load(spark, loc)
+    assert(fresh.toDF().count() == 210)
+    assert(fresh.columnNdv("k").contains(210L),
+      s"both folds must survive the race, got ${fresh.columnNdv("k")}")
+  }
+
   test("mid-flight COMPACTION: an upsert rebases onto the row-preserving winner") {
     val loc = tmp()
     GraftTable.createAs(spark, loc,
