@@ -600,7 +600,75 @@ object Dedup {
       |FROM ng LEFT JOIN per ON ng.doc_id = per.doc_id
       |ORDER BY ng.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+
+  /** d09: duplicate-cluster CONNECTED COMPONENTS (r8) — near-dup PAIRS
+    * are only edges; consistent corpus-level dedup needs the transitive
+    * closure (A~B and B~C must share ONE representative even when A~C
+    * falls under the pair threshold, or per-pair dedup keeps
+    * contradictory survivors). Edges are the d05 exact construction
+    * (LSH candidates, Jaccard-verified ≥ 0.6, recall 1.0 by
+    * construction on this corpus); the closure is
+    * [[Graph.connectedComponents]] — min-label propagation, one shuffle
+    * per round, O(diameter) rounds, no driver-side graph — so 100 TB
+    * runs the same loop with each round a distributed join. keep = the
+    * component representative (min doc id); csize drives "drop all but
+    * one per cluster" downstream.
+    */
+  def d09DupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 250)
+    val corpus = base.unionAll(base.select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      .withColumn("sh", charShingleHashes(col("text")))
+      .persist()
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, Int.MaxValue)
+    val edges = cands
+      .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val comps = Graph.connectedComponents(
+      corpus.select(col("doc_id").as("id")),
+      edges.select(col("a").as("src"), col("b").as("dst")))
+    corpus.unpersist()
+    val sizes = comps.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    comps.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id").as("component"),
+        col("csize"), (col("id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** All-pairs edges + recursive-CTE closure replay of d09. */
+  val d09Oracle: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM base),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [substring(text, i, 5) for i in generate_series(1, length(text) - 4)]) AS s
+      |  FROM corpus),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+      |e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b AS x, a AS y FROM p),
+      |reach(node, label) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT e.x, r.label FROM reach r JOIN e ON e.y = r.node),
+      |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+      |sz AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+      |SELECT c.node AS doc_id, c.component, s.csize, c.node = c.component AS keep
+      |FROM comp c JOIN sz s USING (component) ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d09_dup_components" -> ((d09DupComponents _, d09Oracle)),
     "d07_dup_grams"         -> ((d07DupGramCoverage _, d07Oracle)),
     "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),
     "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),

@@ -82,6 +82,34 @@ class DedupSpec extends SparkSpec {
     assert(brute.count { case (id, cl) => id != cl && (id - cl) != 2000000L } > 0)
   }
 
+  test("d09 components equal driver-side union-find; closure is transitive") {
+    val out = Dedup.d09DupComponents(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 250)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val corpus = base ++ base.map { case (id, t) => (id + 2000000L, t) }
+    val shingles = corpus.map { case (id, t) => (id, t.sliding(5).toSet) }
+    val parent = scala.collection.mutable.Map(corpus.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (ia, sa) <- shingles; (ib, sb) <- shingles if ia < ib } {
+      val inter = (sa & sb).size.toDouble
+      if (inter / (sa.size + sb.size - inter) >= 0.6) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val comps = corpus.map(c => c._1 -> find(c._1)).toMap
+    val sizes = comps.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val brute = comps.map { case (id, c) => id -> (c, sizes(c), id == c) }
+    assert(out == brute,
+      s"diff: ${(out.toSet diff brute.toSet).take(5)} / ${(brute.toSet diff out.toSet).take(5)}")
+    // planted copies + base near-dup pairs chain into >=4-node components:
+    // the closure must carry one representative through the whole chain
+    assert(out.values.exists(_._2 >= 4), "expected a transitively-merged chain")
+  }
+
   test("d04 simhash finds most planted near-duplicates") {
     val pairs = Dedup.d04Simhash(spark, sf).select($"a", $"b").as[(Long, Long)].collect()
     val planted = pairs.count { case (a, b) => b - a == 2000000L }
