@@ -1014,7 +1014,47 @@ object TableOpsExt {
        |  'amount,o_custkey,o_orderdate,o_orderstatus,okey,qty' AS replica_cols
        |FROM final""".stripMargin
 
+  // ---------------------------------------------------------------- t44
+
+  /** t44: STATS-DRIVEN runtime-filter join (r8; the ANALYZE consumer) —
+    * `joinPruned(dim: GraftTable)` reads the dim's persisted NDV and
+    * picks the IN-list file-skipping path (small dim) instead of the
+    * fixed maxKeys cliff. The gate pins the decision inputs (NDV served
+    * from the stats file), the effect (fact files pruned on the
+    * key-clustered table), and the join values vs a plain SQL join.
+    */
+  def t44StatsJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 2000))
+    fact.cluster(Seq("o_custkey"), nFiles = 8)
+    val dim = GraftTable.createAs(spark, tmp(),
+      orders(spark, sfDir, 2000).select(col("o_custkey").as("k"))
+        .distinct().orderBy(col("k")).limit(5))
+    dim.analyze(Seq("k"))
+    val ndvServed = dim.columnNdv("k").contains(5L)
+    val joined = fact.joinPruned(dim, "o_custkey", "k", maxKeys = 100)
+    val keys = dim.toDF().orderBy(col("k")).collect().map(_.getLong(0))
+    val pruned = fact.plannedFiles(
+      s"o_custkey IN (${keys.mkString(",")})").size < fact.currentFiles().size
+    joined.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .withColumn("ndv_served", lit(ndvServed))
+      .withColumn("files_pruned", lit(pruned))
+  }
+
+  val t44Oracle: String =
+    s"""WITH f AS (SELECT * FROM ${cappedSql(2000)}),
+       |d AS (SELECT DISTINCT o_custkey AS k FROM ${cappedSql(2000)}
+       |      ORDER BY k LIMIT 5)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       |  TRUE AS ndv_served, TRUE AS files_pruned
+       |FROM f JOIN d ON f.o_custkey = d.k""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t44_stats_join"           -> ((t44StatsJoin _, t44Oracle)),
     "t43_cdc_schema_evolution" -> ((t43CdcSchemaEvolution _, t43Oracle)),
     "t42_analyze"           -> ((t42Analyze _, t42Oracle)),
     "t41_fast_agg"          -> ((t41FastAgg _, t41Oracle)),
