@@ -113,22 +113,37 @@ class GraftTable(val spark: SparkSession, val location: String) {
     ManifestStats.aggregate(pseudo)
   }
 
+  /** Can position-delete file `pf` reference data file `path`? Checked
+    * against the delete file's `file_path` column bounds (footer stats,
+    * cached — delete files are immutable). Commit-unique data dirs give
+    * each delete a tight lexical path range, so files appended AFTER a
+    * delete (new dirs) skip its anti-join entirely. Missing bounds
+    * (non-ASCII paths) conservatively apply.
+    */
+  private def posMayHit(pf: String, path: String): Boolean =
+    GraftTable.posDeleteBounds(conf, pf) match {
+      case Some((lo, hi)) => lo <= path && path <= hi
+      case None => true
+    }
+
   /** Sequence-aware merge-on-read read: files are grouped by which
     * equality deletes apply to them (only deletes with a HIGHER sequence
     * number — the Iceberg v2 rule that lets an upsert commit hide old key
-    * versions without hiding the rows it appends), each group scanned and
-    * anti-joined, then unioned; position deletes are file-anchored and
-    * predicate deletes global.
+    * versions without hiding the rows it appends — and an intersecting
+    * key range) and by which position-delete files can reference them
+    * (path-bounds check), each group scanned and anti-joined against ONLY
+    * its applicable deletes, then unioned; predicate deletes are global.
     */
   private def readWithMor(m: TableMeta, md: ManifestData,
       filterSql: Option[String]): DataFrame = {
     val pruned = filterSql.map(f => ScanPlanner.pruneFiles(m, md.files, f, spark))
       .getOrElse(md.files)
     val scans = pruned.groupBy(f =>
-        md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)))
-      .toSeq.map { case (eqs, fs) =>
+        (md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)),
+          md.positionDeleteFiles.filter(pf => posMayHit(pf, f.path))))
+      .toSeq.map { case ((eqs, pos), fs) =>
         applyEq(applyPosDeletes(ScanPlanner.scan(spark, m, fs, filterSql), fs,
-          md.positionDeleteFiles), eqs)
+          pos), eqs)
       }
     val base =
       if (scans.isEmpty) ScanPlanner.scan(spark, m, Nil, filterSql)
@@ -968,15 +983,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // not re-recorded (a CDC consumer would double-count) while rows
         // that OUTLIVE an older equality delete still are
         val live = candidates.groupBy(f =>
-            md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)))
-          .toSeq.map { case (eqs, fs) =>
+            (md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)),
+              md.positionDeleteFiles.filter(pf => posMayHit(pf, f.path))))
+          .toSeq.map { case ((eqs, pos), fs) =>
             val base = ScanPlanner.scan(spark, m, fs, None)
               .withColumn("__gp_fp", col("_metadata.file_path"))
               .withColumn("__gp_pos", col("_metadata.row_index"))
             val minusPos =
-              if (md.positionDeleteFiles.isEmpty) base
+              if (pos.isEmpty) base
               else {
-                val dels = spark.read.parquet(md.positionDeleteFiles: _*)
+                val dels = spark.read.parquet(pos: _*)
                 base.join(dels,
                   col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
                   "left_anti")
@@ -2255,6 +2271,37 @@ class GraftTable(val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+
+  // position-delete file_path bounds, cached process-wide (delete files
+  // are immutable). Stored strings carry the _metadata scheme
+  // ("file:/…") — normalized to the manifest's stripped form so range
+  // checks compare like with like.
+  private val posBoundsCache =
+    new java.util.LinkedHashMap[String, Option[(String, String)]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[(String, String)]]): Boolean =
+        size() > 4096
+    }
+
+  private[tables] def posDeleteBounds(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[(String, String)] = {
+    val hit = posBoundsCache.synchronized(posBoundsCache.get(path))
+    if (hit != null) hit
+    else {
+      def strip(p: String): String =
+        if (p.startsWith("file:")) new Path(p).toUri.getPath else p
+      val computed =
+        try {
+          val (_, stats) = FooterStats.read(conf, path,
+            StructType(Seq(StructField("file_path", StringType))))
+          stats.get("file_path").flatMap(s =>
+            for { mn <- s.min; mx <- s.max }
+              yield (strip(mn.toString), strip(mx.toString)))
+        } catch { case _: Exception => None }
+      posBoundsCache.synchronized { posBoundsCache.put(path, computed); () }
+      computed
+    }
+  }
 
   /** Shared bounded pool for concurrent footer reads at commit time (I/O
     * bound; daemon threads so it never blocks JVM exit).

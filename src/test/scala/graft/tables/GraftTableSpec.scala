@@ -59,6 +59,34 @@ class GraftTableSpec extends SparkSpec {
       "null-keyed row must still be deleted (null-safe match, no false prune)")
   }
 
+  test("position-delete path bounds confine the anti-join to referenced files (r8)") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val n = ordersDf.count()
+    val minKey = ordersDf.agg(min($"o_orderkey")).head().getLong(0)
+    val t = GraftTable.createAs(spark, tmp(), ordersDf.repartition(8))
+    assert(t.currentFiles().size == 8)
+    // point position-delete: references exactly one data file
+    t.deleteMergeOnReadPositions(s"o_orderkey = $minKey")
+    // rows appended AFTER the delete can never be referenced by it
+    t.append(ordersDf.limit(10).withColumn("o_orderkey", $"o_orderkey" + 1000000L))
+    assert(t.toDF().count() == n - 1 + 10)
+
+    val plan = t.toDF().queryExecution.sparkPlan
+    def dataFiles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collectLeaves().collect { case f: FileSourceScanExec =>
+        f.relation.location.inputFiles.count(!_.contains("/deletes/")) }.sum
+    val antiScanned = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => dataFiles(j.left)
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => dataFiles(j.left)
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => dataFiles(j.left)
+    }
+    assert(antiScanned.nonEmpty, "expected the position-delete anti-join")
+    assert(antiScanned.sum == 1,
+      s"anti-join should scan only the referenced file, scanned $antiScanned of 9")
+  }
+
   test("t01 CTAS + read back") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf)
