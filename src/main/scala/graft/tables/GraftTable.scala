@@ -130,9 +130,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * equality deletes apply to them (only deletes with a HIGHER sequence
     * number — the Iceberg v2 rule that lets an upsert commit hide old key
     * versions without hiding the rows it appends — and an intersecting
-    * key range) and by which position-delete files can reference them
-    * (path-bounds check), each group scanned and anti-joined against ONLY
-    * its applicable deletes, then unioned; predicate deletes are global.
+    * key range), and each eq-group splits once more into files some
+    * position-delete can reference vs files none can (path-bounds check)
+    * — NOT by the per-file delete-file set, which would fan the plan out
+    * to O(files) branches. Each group scans once and anti-joins against
+    * only the delete files relevant to it, so rows appended after a
+    * position delete (commit-unique dirs, disjoint path ranges) skip its
+    * anti-join entirely while the plan stays O(delete structure).
+    * Predicate deletes are global.
     */
   private def readWithMor(m: TableMeta, md: ManifestData,
       filterSql: Option[String]): DataFrame = {
@@ -140,8 +145,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .getOrElse(md.files)
     val scans = pruned.groupBy(f =>
         (md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)),
-          md.positionDeleteFiles.filter(pf => posMayHit(pf, f.path))))
-      .toSeq.map { case ((eqs, pos), fs) =>
+          md.positionDeleteFiles.exists(pf => posMayHit(pf, f.path))))
+      .toSeq.map { case ((eqs, hasPos), fs) =>
+        val pos =
+          if (!hasPos) Nil
+          else md.positionDeleteFiles.filter(pf => fs.exists(f => posMayHit(pf, f.path)))
         applyEq(applyPosDeletes(ScanPlanner.scan(spark, m, fs, filterSql), fs,
           pos), eqs)
       }
@@ -984,8 +992,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // that OUTLIVE an older equality delete still are
         val live = candidates.groupBy(f =>
             (md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)),
-              md.positionDeleteFiles.filter(pf => posMayHit(pf, f.path))))
-          .toSeq.map { case ((eqs, pos), fs) =>
+              md.positionDeleteFiles.exists(pf => posMayHit(pf, f.path))))
+          .toSeq.map { case ((eqs, hasPos), fs) =>
+            val pos =
+              if (!hasPos) Nil
+              else md.positionDeleteFiles.filter(pf =>
+                fs.exists(f => posMayHit(pf, f.path)))
             val base = ScanPlanner.scan(spark, m, fs, None)
               .withColumn("__gp_fp", col("_metadata.file_path"))
               .withColumn("__gp_pos", col("_metadata.row_index"))
