@@ -87,6 +87,37 @@ class GraftTableSpec extends SparkSpec {
       s"anti-join should scan only the referenced file, scanned $antiScanned of 9")
   }
 
+  test("interleaved pos/eq deletes, upserts, appends read exactly under group-split pruning") {
+    def rows(t: GraftTable): Set[(Long, Long)] =
+      t.toDF().as[(Long, Long)].collect().toSet
+    val t = GraftTable.createAs(spark, tmp(),
+      (1L to 200L).map(k => (k, k)).toDF("k", "v").repartition(4))
+    // position delete (file-anchored, seq 2)
+    t.deleteMergeOnReadPositions("k % 7 = 0")
+    // append AFTER the pos delete: its k%7==0 rows must survive (seq 3)
+    t.append((201L to 250L).map(k => (k, k)).toDF("k", "v").repartition(2))
+    // MOR upsert (eq-delete seq 4 scoped to older files + new rows)
+    t.upsertMergeOnRead((50L to 60L).map(k => (k, -1L)).toDF("k", "v"), Seq("k"))
+    // standalone equality delete (seq 5) — hits older files incl. upserts
+    t.deleteMergeOnReadEquality((10L to 20L).map(Tuple1(_)).toDF("k"), Seq("k"))
+    t.append((300L to 310L).map(k => (k, k)).toDF("k", "v"))
+
+    var model = (1L to 200L).filterNot(_ % 7 == 0).map(k => (k, k)).toSet
+    model ++= (201L to 250L).map(k => (k, k))
+    model = model.filterNot { case (k, _) => (50L to 60L).contains(k) } ++
+      (50L to 60L).map(k => (k, -1L))
+    model = model.filterNot { case (k, _) => (10L to 20L).contains(k) }
+    model ++= (300L to 310L).map(k => (k, k))
+
+    assert(rows(t) == model, "merge-on-read read must equal the model")
+    // row-preserving maintenance must not change visible rows
+    t.compactDeleteFiles()
+    assert(rows(t) == model, "delete-file folding changed rows")
+    t.materializeDeletes()
+    assert(rows(t) == model, "materialization changed rows")
+    assert(t.currentPositionDeletes().isEmpty && t.currentEqualityDeletes().isEmpty)
+  }
+
   test("t01 CTAS + read back") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc, ordersDf)
