@@ -735,13 +735,34 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       })
     tables.keys.foreach { name =>
       if (("(?i)\\b" + name + "\\b").r.findFirstIn(q).isDefined)
-        table(name).toDF().createOrReplaceTempView(name)
+        sizedView(name).createOrReplaceTempView(name)
     }
     externals.foreach { case (name, mk) =>
       if (("(?i)\\b" + name + "\\b").r.findFirstIn(q).isDefined)
         mk().createOrReplaceTempView(name)
     }
     spark.sql(q)
+  }
+
+  /** Table read for query planning, with the size signal Catalyst can't
+    * derive itself: a merge-on-read table's frame is a union/anti-join
+    * tree whose size estimate obscures how small the TABLE is, so joins
+    * that should broadcast fall back to sort-merge. The snapshot's
+    * maintained record total × schema width is a sound UPPER bound on the
+    * live data (deletes only shrink it) — when it fits under
+    * `autoBroadcastJoinThreshold`, the view carries a broadcast hint.
+    * This is the catalog-stats signal Iceberg hands Spark's CBO,
+    * re-expressed as a hint (graft tables aren't catalog tables).
+    */
+  private def sizedView(name: String): DataFrame = {
+    val t = table(name)
+    val df = t.toDF()
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val est = t.meta.currentSnapshot.map(
+      _.totalRecords * t.meta.schema.defaultSize.toLong)
+    if (thr > 0 && est.exists(_ <= thr))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
   }
 
   /** Align a source dataframe to the table schema: by name when every

@@ -516,6 +516,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(up("""select 'it''s ok' from t""") == """SELECT 'it''s ok' FROM T""")
   }
 
+  // r8: the metadata size signal — a small MoR table's frame is a
+  // union/anti-join tree whose size Catalyst misjudges; the facade hints
+  // broadcast from the snapshot's record total (a sound upper bound)
+  test("facade joins carry a broadcast hint for metadata-small tables only") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE dimt AS SELECT n_nationkey, n_name FROM nation")
+    g.sql("CREATE TABLE factt AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+    // pending MOR state on the dim: exactly the shape whose plan-size
+    // estimate goes opaque
+    g.table("dimt").upsertMergeOnRead(
+      g.sql("SELECT n_nationkey, 'X' AS n_name FROM nation WHERE n_nationkey < 3")
+        .as("s"), Seq("n_nationkey"))
+    val joined = g.sql(
+      """SELECT COUNT(*) AS n FROM factt f
+        |JOIN dimt d ON f.o_custkey % 25 = d.n_nationkey""".stripMargin)
+    // correctness first
+    val expect = {
+      val f = spark.read.parquet(s"$sf/orders.parquet")
+      val d = g.table("dimt").toDF()
+      f.join(d, f("o_custkey") % 25 === d("n_nationkey")).count()
+    }
+    assert(joined.head().getLong(0) == expect)
+
+    // the hint fired for the small dim...
+    def hinted(sqlText: String): Boolean = {
+      val df = g.sql(sqlText)
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
+    }
+    assert(hinted("SELECT * FROM factt f JOIN dimt d ON f.o_custkey % 25 = d.n_nationkey"),
+      "metadata-small dim must carry the broadcast hint")
+    // ...and NOT when the metadata estimate exceeds the threshold
+    // (25 rows x ~28B schema width ≈ 700B, so 100B is provably above)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100")
+    try assert(!hinted("SELECT * FROM factt f JOIN dimt d ON f.o_custkey % 25 = d.n_nationkey"),
+      "no table fits under a 100-byte threshold — no hint")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // r7/r8 regression: the MERGE cardinality check, Iceberg-scoped — a
   // TARGET row matching several source rows fails loudly BEFORE any file
   // is rewritten, in BOTH write modes; duplicate source keys that match
