@@ -2265,13 +2265,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * logical names and stored physical (rename-proof, like Iceberg specs
     * referencing field ids).
     */
-  def setPartitionSpec(fields: Seq[PartitionField]): GraftTable = {
+  def setPartitionSpec(fields: Seq[PartitionField],
+      extraProperties: Map[String, String] = Map.empty): GraftTable = {
     val m = meta
     val phys = fields.map(f =>
       f.copy(source = ColumnMapping.physicalOf(m.schema, f.source)))
     val newSpec = PartitionSpec((m.specs.map(_.specId) :+ -1).max + 1, phys)
     commitMetadataOnly(m.copy(version = m.version + 1,
-      specs = m.specs :+ newSpec, currentSpecId = newSpec.specId))
+      specs = m.specs :+ newSpec, currentSpecId = newSpec.specId,
+      properties = m.properties ++ extraProperties))
     this
   }
 

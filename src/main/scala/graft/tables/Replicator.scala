@@ -48,6 +48,7 @@ object TableReplicator {
   private[tables] val SrcLocProp = "graft.replica.source-location"
   private[tables] val SrcSnapProp = "graft.replica.source-snapshot"
   private[tables] val SrcSchemaProp = "graft.replica.source-schema"
+  private[tables] val SrcSpecProp = "graft.replica.source-spec"
   private[tables] val KeyColsProp = "graft.replica.key-cols"
 
   /** `sync` return value for the self-heal path: the replica was rebuilt
@@ -56,18 +57,38 @@ object TableReplicator {
     */
   val FullResync: Int = -1
 
-  /** Bootstrap a replica from the source's current snapshot. */
+  /** The source's current partition spec with sources mapped back to
+    * LOGICAL names (specs store physical names; the replica allocates its
+    * own physicals, so the spec must travel logically — same reason
+    * [[SchemaDiff]] ops do). A spec source column can never be dropped
+    * (evolution refuses on partition sources), so the lookup always hits.
+    */
+  private def logicalSpecFields(sm: TableMeta): Seq[PartitionField] =
+    sm.currentSpec.fields.map { f =>
+      val logical = sm.schema.fields
+        .find(fd => ColumnMapping.physicalName(fd) == f.source)
+        .map(_.name).getOrElse(f.source)
+      f.copy(source = logical)
+    }
+
+  /** Bootstrap a replica from the source's current snapshot, MIRRORING
+    * its partition spec — a replica that loses the source's partitioning
+    * loses its pruning at scale.
+    */
   def create(spark: SparkSession, location: String, source: GraftTable,
       keyCols: Seq[String]): GraftTable = {
     require(keyCols.nonEmpty, "replication needs key columns")
     val sm = source.meta
     val snap = sm.currentSnapshotId
       .getOrElse(throw new IllegalStateException("source table has no snapshot"))
-    GraftTable.createAs(spark, location, source.toDF(), properties = Map(
-      SrcLocProp -> source.location,
-      SrcSnapProp -> snap.toString,
-      SrcSchemaProp -> sm.currentSchemaId.toString,
-      KeyColsProp -> keyCols.mkString(",")))
+    GraftTable.createAs(spark, location, source.toDF(),
+      partitionFields = logicalSpecFields(sm),
+      properties = Map(
+        SrcLocProp -> source.location,
+        SrcSnapProp -> snap.toString,
+        SrcSchemaProp -> sm.currentSchemaId.toString,
+        SrcSpecProp -> sm.currentSpecId.toString,
+        KeyColsProp -> keyCols.mkString(",")))
   }
 
   /** Replay source schema evolution since the last-applied schema id onto
@@ -119,6 +140,15 @@ object TableReplicator {
       .getOrElse(sm.currentSchemaId)
     val keyCols = reconcileSchema(replica, sm,
       props(KeyColsProp).split(",").toSeq, lastSchemaId)
+
+    // partition-spec evolution mirrors too (after schema reconcile so the
+    // spec's logical source names resolve): replica writes from here on
+    // partition like the source's; existing files keep their old spec,
+    // exactly as on the source. Pre-r8 replicas default to "in sync".
+    val lastSpecId = props.get(SrcSpecProp).map(_.toInt).getOrElse(sm.currentSpecId)
+    if (lastSpecId != sm.currentSpecId)
+      replica.setPartitionSpec(logicalSpecFields(sm),
+        extraProperties = Map(SrcSpecProp -> sm.currentSpecId.toString))
 
     if (head == last) return 0
 

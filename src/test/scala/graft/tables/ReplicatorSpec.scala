@@ -169,6 +169,25 @@ class ReplicatorSpec extends SparkSpec {
     assertIdentical(src, GraftTable.load(spark, repLoc))
   }
 
+  test("replica mirrors the source's partition spec and its evolution") {
+    val src = GraftTable.createAs(spark, tmp(), orders(200),
+      partitionFields = Seq(PartitionField("o_orderstatus", "identity", "st")))
+    val repLoc = tmp()
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+    val rep = GraftTable.load(spark, repLoc)
+    assert(rep.meta.currentSpec.fields.map(f => (f.source, f.transform)) ==
+      Seq(("o_orderstatus", "identity")), "bootstrap must mirror the spec")
+    assert(rep.currentFiles().forall(_.partitionValues.contains("st")))
+    // spec evolution mid-stream: replayed batches land under the NEW spec
+    src.setPartitionSpec(Seq(PartitionField("o_orderkey", "bucket[4]", "kb")))
+    src.append(orders(50).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    assert(TableReplicator.sync(spark, repLoc) == 1)
+    val rep2 = GraftTable.load(spark, repLoc)
+    assert(rep2.meta.currentSpec.fields.map(_.name) == Seq("kb"))
+    assert(rep2.currentFiles().exists(_.partitionValues.contains("kb")))
+    assertIdentical(src, rep2)
+  }
+
   test("a dropped replication key column refuses loudly") {
     val src = GraftTable.createAs(spark, tmp(), orders(30))
     val repLoc = tmp()
