@@ -107,7 +107,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val AnalyzeCols = r(
     """ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(.*)""")
   private val CreateMv = r(
-    """CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+(.*)""")
+    """CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+(.*)""")
   private val RefreshMv = r("""REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)""")
   private val RenameCol = r("""ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""")
   private val DropCol = r("""ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""")
@@ -229,8 +229,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       case AnalyzeCols(name, cols) =>
         table(name).analyze(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         status("analyze", name)
-      case CreateMv(name, selectList, baseName, groupBy) =>
-        handleCreateMv(name, selectList, baseName, groupBy)
+      case CreateMv(name, selectList, baseName, where, groupBy) =>
+        handleCreateMv(name, selectList, baseName, Option(where), groupBy)
       case RefreshMv(name) =>
         val n = graft.tables.IncrementalAggView.load(spark, location(name)).refresh()
         import spark.implicits._
@@ -373,7 +373,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     * COUNT(*), and SUM(col) — anything else must be a plain query.
     */
   private def handleCreateMv(name: String, selectList: String,
-      baseName: String, groupBy: String): DataFrame = {
+      baseName: String, where: Option[String], groupBy: String): DataFrame = {
     val baseT = table(baseName)
     val gcols = splitTopLevel(groupBy).map(_.trim)
     gcols.foreach(c => require(baseT.meta.schema.fieldNames.contains(c),
@@ -394,7 +394,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         s"materialized views maintain only group columns, COUNT(*), SUM(col); got: $other")
     }
     val loc = s"$warehouse/$name"
-    graft.tables.IncrementalAggView.create(spark, loc, baseT, gcols, sumCols)
+    graft.tables.IncrementalAggView.create(spark, loc, baseT, gcols, sumCols,
+      filter = where.map(_.trim).filter(_.nonEmpty))
     register(name, loc)
     status("create-materialized-view", name)
   }

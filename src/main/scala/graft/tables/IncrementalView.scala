@@ -47,6 +47,12 @@ final class IncrementalAggView private (
     props(SumColsProp).split(",").toSeq.filter(_.nonEmpty)
   def baseLocation: String = props(BaseLocProp)
   def baseSnapshot: Long = props(BaseSnapProp).toLong
+  /** Optional row predicate (SQL over base columns) the view maintains
+    * under. The changelog delta filters insert and delete rows
+    * IDENTICALLY, so a row UPDATEd into (out of) the predicate set is a
+    * bare +1 (−1) adjustment — incremental maintenance stays exact.
+    */
+  def filterSql: Option[String] = props.get(FilterProp).filter(_.nonEmpty)
 
   def toDF(): DataFrame = table.toDF()
 
@@ -70,15 +76,33 @@ final class IncrementalAggView private (
     }
     val gcols = groupCols
     val scols = sumCols
+    val filterAttrs: Set[String] = filterSql.toSeq.flatMap { f =>
+      spark.sessionState.sqlParser.parseExpression(f).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }
+    }.toSet
     val ops = SchemaDiff.diff(bm.schemaAt(lastId), bm.schema)
     ops.foreach {
-      case SchemaOp.Drop(c) if gcols.contains(c) || scols.contains(c) =>
+      case SchemaOp.Drop(c)
+          if gcols.contains(c) || scols.contains(c) || filterAttrs.contains(c) =>
         throw new IllegalStateException(
-          s"base table dropped column '$c' that the view groups or sums " +
-            "by; the aggregate cannot be maintained — recreate the view")
+          s"base table dropped column '$c' that the view groups, sums, or " +
+            "filters by; the aggregate cannot be maintained — recreate the view")
       case _ => ()
     }
     val renames = ops.collect { case SchemaOp.Rename(f, t) => f -> t }.toMap
+    // a renamed filter column rewrites the stored predicate (parse →
+    // rename attributes → regenerate), so the filter keeps matching the
+    // changelog's CURRENT column names
+    val newFilter = filterSql.map { f =>
+      if (renames.keySet.intersect(filterAttrs).isEmpty) f
+      else spark.sessionState.sqlParser.parseExpression(f).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 && renames.contains(a.name) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(renames(a.name)))
+      }.sql
+    }
     val viewOps = ops.flatMap {
       case SchemaOp.Rename(f, t) if gcols.contains(f) =>
         Some(SchemaOp.Rename(f, t))
@@ -94,7 +118,8 @@ final class IncrementalAggView private (
     table.evolveSchema(viewOps, extraProperties = Map(
       BaseSchemaProp -> bm.currentSchemaId.toString,
       GroupColsProp -> gcols.map(c => renames.getOrElse(c, c)).mkString(","),
-      SumColsProp -> scols.map(c => renames.getOrElse(c, c)).mkString(",")))
+      SumColsProp -> scols.map(c => renames.getOrElse(c, c)).mkString(",")) ++
+      newFilter.map(FilterProp -> _))
     ()
   }
 
@@ -116,10 +141,11 @@ final class IncrementalAggView private (
 
     val gcols = groupCols
     val scols = sumCols
-    val changes = (try base.changesBetween(last, cur)
+    val changes0 = (try base.changesBetween(last, cur)
       catch {
         case _: IllegalArgumentException => return fullRefresh(base, cur)
       })
+    val changes = filterSql.map(f => changes0.filter(expr(f))).getOrElse(changes0)
       .select((gcols ++ scols).map(col) :+ col("_change_type"): _*)
       .cache()
     try {
@@ -169,7 +195,8 @@ final class IncrementalAggView private (
   private def fullRefresh(base: GraftTable, cur: Long): Long = {
     val gcols = groupCols
     val scols = sumCols
-    val src = base.toDF().cache()
+    val src = filterSql.map(f => base.toDF().filter(expr(f)))
+      .getOrElse(base.toDF()).cache()
     try {
       val n = src.count()
       val agg = src.groupBy(gcols.map(col): _*).agg(
@@ -190,6 +217,7 @@ object IncrementalAggView {
   private[tables] val BaseLocProp = "graft.mv.base-location"
   private[tables] val BaseSnapProp = "graft.mv.base-snapshot"
   private[tables] val BaseSchemaProp = "graft.mv.base-schema"
+  private[tables] val FilterProp = "graft.mv.filter"
   private[tables] val GroupColsProp = "graft.mv.group-cols"
   private[tables] val SumColsProp = "graft.mv.sum-cols"
   private[tables] val CntCol = "cnt"
@@ -203,11 +231,13 @@ object IncrementalAggView {
     * GraftTable at `location` with the maintenance metadata.
     */
   def create(spark: SparkSession, location: String, base: GraftTable,
-      groupCols: Seq[String], sumCols: Seq[String]): IncrementalAggView = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      filter: Option[String] = None): IncrementalAggView = {
     require(groupCols.nonEmpty, "view needs group columns")
     val snap = base.meta.currentSnapshotId
       .getOrElse(throw new IllegalStateException("base table has no snapshot"))
-    val agg = base.toDF().groupBy(groupCols.map(col): _*).agg(
+    val src = filter.map(f => base.toDF().filter(expr(f))).getOrElse(base.toDF())
+    val agg = src.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as(CntCol),
       sumCols.map(c =>
         sum(coalesce(col(c).cast(SumType), lit(0).cast(SumType)))
@@ -217,7 +247,8 @@ object IncrementalAggView {
       BaseSnapProp -> snap.toString,
       BaseSchemaProp -> base.meta.currentSchemaId.toString,
       GroupColsProp -> groupCols.mkString(","),
-      SumColsProp -> sumCols.mkString(",")))
+      SumColsProp -> sumCols.mkString(",")) ++
+      filter.map(FilterProp -> _))
     new IncrementalAggView(spark, t)
   }
 

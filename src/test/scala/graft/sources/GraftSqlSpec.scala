@@ -133,6 +133,22 @@ class GraftSqlSpec extends SparkSpec {
     // non-maintainable select lists refuse loudly
     intercept[IllegalArgumentException](g.sql(
       "CREATE MATERIALIZED VIEW bad AS SELECT o_orderstatus, AVG(o_totalprice) AS a FROM mvbase GROUP BY o_orderstatus"))
+
+    // filtered form (r8): the WHERE rides the view and refreshes exactly
+    g.sql("""CREATE MATERIALIZED VIEW mv2 AS
+            |SELECT o_orderstatus, COUNT(*) AS cnt FROM mvbase
+            |WHERE o_totalprice >= 100000 GROUP BY o_orderstatus""".stripMargin)
+    def recompute2() = g.sql(
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM mvbase
+        |WHERE o_totalprice >= 100000 GROUP BY o_orderstatus""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def mv2Rows() = g.sql("SELECT o_orderstatus, cnt FROM mv2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mv2Rows() == recompute2())
+    g.sql("""INSERT INTO mvbase SELECT o_orderkey + 2000000, o_orderstatus,
+            |o_totalprice FROM orders WHERE o_orderkey <= 60""".stripMargin)
+    g.sql("REFRESH MATERIALIZED VIEW mv2")
+    assert(mv2Rows() == recompute2())
   }
 
   test("MERGE general clauses: conditional UPDATE, DELETE action, conditional INSERT") {

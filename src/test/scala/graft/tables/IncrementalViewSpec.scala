@@ -210,6 +210,58 @@ class IncrementalViewSpec extends SparkSpec {
     assert(e.getMessage.contains("recreate the view"))
   }
 
+  test("filtered view maintains exactly as rows move in and out of the predicate") {
+    val base = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "A", 10.0), (2L, "A", 200.0), (3L, "B", 5.0), (4L, "B", 300.0))
+        .toDF("k", "grp", "v"))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("grp"), Seq("v"), filter = Some("v >= 100"))
+    def viewMap(): Map[String, (Long, Double)] =
+      v.toDF().collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(viewMap() == Map("A" -> (1L, 200.0), "B" -> (1L, 300.0)))
+
+    // append: only matching rows fold in
+    base.append(Seq((5L, "A", 150.0), (6L, "A", 1.0)).toDF("k", "grp", "v"))
+    v.refresh()
+    assert(viewMap() == Map("A" -> (2L, 350.0), "B" -> (1L, 300.0)))
+    // UPDATE moving a row OUT of the predicate set: bare -1 adjustment
+    base.update("k = 2", Map("v" -> "50.0"))
+    v.refresh()
+    assert(viewMap() == Map("A" -> (1L, 150.0), "B" -> (1L, 300.0)))
+    // and INTO it: bare +1
+    base.update("k = 3", Map("v" -> "500.0"))
+    v.refresh()
+    assert(viewMap() == Map("A" -> (1L, 150.0), "B" -> (2L, 800.0)))
+    // a group emptied of matching rows dies
+    base.delete("grp = 'B' AND v >= 100")
+    v.refresh()
+    assert(viewMap() == Map("A" -> (1L, 150.0)))
+  }
+
+  test("renaming a filter column rewrites the stored predicate; dropping refuses") {
+    val base = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "A", 10.0), (2L, "A", 200.0)).toDF("k", "grp", "v"))
+    val v = IncrementalAggView.create(spark, tmp(), base,
+      Seq("grp"), Nil, filter = Some("v >= 100"))
+    base.renameColumn("v", "amount")
+    base.append(Seq((3L, "A", 500.0)).toDF("k", "grp", "amount"))
+    assert(v.refresh() == 1L, "only the matching appended row folds")
+    val fresh = IncrementalAggView.load(spark, v.table.location)
+    assert(fresh.filterSql.exists(_.contains("amount")),
+      s"predicate must follow the rename, got ${fresh.filterSql}")
+    assert(fresh.toDF().collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 2L)))
+    // dropping the filter column kills maintainability — loudly
+    val base2 = GraftTable.createAs(spark, tmp(),
+      Seq((1L, "A", 10.0, "x")).toDF("k", "grp", "v", "aux"))
+    val v2 = IncrementalAggView.create(spark, tmp(), base2,
+      Seq("grp"), Nil, filter = Some("v >= 5"))
+    base2.dropColumn("v")
+    val e = intercept[IllegalStateException](v2.refresh())
+    assert(e.getMessage.contains("filters"))
+  }
+
   test("widened group column widens the view's column and keeps counting") {
     val base = GraftTable.createAs(spark, tmp(),
       Seq((1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 5.0))
