@@ -667,7 +667,120 @@ object Dedup {
       |SELECT c.node AS doc_id, c.component, s.csize, c.node = c.component AS keep
       |FROM comp c JOIN sz s USING (component) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+
+  /** LSH band keys (doc_id, band, key) with d05's exact parameters
+    * (128-hash signature, 16 bands × 8 rows — the banding whose
+    * determinism on this corpus DedupSpec pins).
+    */
+  private[operators] def bandKeysForTest(df: DataFrame): DataFrame = bandKeys(df)
+
+  private def bandKeys(df: DataFrame): DataFrame = {
+    val sig = df.withColumn("sh", charShingleHashes(col("text")))
+      .withColumn("sig", F.minhashSig(col("sh"), 128))
+    sig.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 15), b -> " +
+          "struct(b AS band, hash(slice(sig, b * 8 + 1, 8), b) AS key))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** d10: INCREMENTAL dedup against a persisted fingerprint index (r8) —
+    * the continuous-ingestion shape: each day's batch dedups against the
+    * WHOLE historical corpus without rescanning it. History exists only
+    * as a fingerprint GraftTable of LSH band keys (clustered by key, so
+    * the candidate join prunes); the batch pays O(batch) fingerprinting,
+    * one key join, and exact-Jaccard verification of ONLY the candidate
+    * old docs (fetched by id) — then the index absorbs the batch's
+    * surviving keys in one append, ready for the next increment. The
+    * gate plants exact copies (identical text ⇒ identical band keys,
+    * recall 1.0 by construction); the corpus's own cross-batch near-dups
+    * sit at Jaccard ≥ 0.97 (per-pair band-miss odds ~1e-13, fixed data +
+    * fixed seeds ⇒ deterministic), so DuckDB's all-pairs replay matches.
+    */
+  def d10IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch1 = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val batch2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      .unionAll(batch1.select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+
+    // the persisted index: history's band keys, key-clustered for pruning
+    val fpLoc = java.nio.file.Files.createTempDirectory("graft_d10").toString + "/fp"
+    val fp = graft.tables.GraftTable.createAs(spark, fpLoc, bandKeys(batch1))
+    fp.cluster(Seq("key"))
+    incrementalDedupRound(spark, fp, corpusById(batch1, batch2), batch2)
+  }
+
+  /** Text lookup by doc id for candidate verification (the spec also
+    * feeds later batches through it).
+    */
+  private def corpusById(batches: DataFrame*): DataFrame =
+    batches.reduce(_ unionAll _)
+
+  /** One ingestion round: flag `batch` docs duplicating anything the
+    * fingerprint index has seen, then absorb the SURVIVORS' keys in one
+    * append so the next round dedups against history + this batch.
+    * `corpus` resolves candidate old ids to text for exact verification —
+    * only candidate ids are fetched, history is never rescanned.
+    */
+  private[operators] def incrementalDedupRound(spark: SparkSession,
+      fp: graft.tables.GraftTable, corpus: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val fpDf = fp.toDF()
+    val bk = bandKeys(batch)
+    val cands = bk.join(fpDf,
+        bk("band") === fpDf("band") && bk("key") === fpDf("key"))
+      .select(bk("doc_id").as("new_id"), fpDf("doc_id").as("old_id")).distinct()
+
+    val oldIds = cands.select(col("old_id")).distinct()
+    val oldSh = corpus.join(oldIds, corpus("doc_id") === oldIds("old_id"))
+      .select(col("old_id"), charShingleHashes(col("text")).as("sh_old"))
+    val newSh = batch.select(col("doc_id").as("new_id"),
+      charShingleHashes(col("text")).as("sh_new"))
+    val verified = cands.join(oldSh, "old_id").join(newSh, "new_id")
+      .filter(jaccard(col("sh_new"), col("sh_old")) >= 0.6)
+      .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+      .localCheckpoint(true)
+
+    fp.append(bandKeys(batch.join(verified,
+      batch("doc_id") === verified("new_id"), "left_anti")))
+
+    batch.select(col("doc_id"))
+      .join(verified, batch("doc_id") === verified("new_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** All-pairs replay: batch2 vs batch1 exact char-5-gram Jaccard. */
+  val d10Oracle: String =
+    """WITH b1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |b2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, text FROM b1),
+      |s1 AS (
+      |  SELECT doc_id, list_distinct(
+      |    [substring(text, i, 5) for i in generate_series(1, length(text) - 4)]) AS s
+      |  FROM b1),
+      |s2 AS (
+      |  SELECT doc_id, list_distinct(
+      |    [substring(text, i, 5) for i in generate_series(1, length(text) - 4)]) AS s
+      |  FROM b2),
+      |m AS (
+      |  SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+      |  FROM s2 n JOIN s1 o
+      |    ON CAST(len(list_intersect(n.s, o.s)) AS DOUBLE) /
+      |      (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.6
+      |  GROUP BY n.doc_id)
+      |SELECT b.doc_id, m.dup_of IS NOT NULL AS is_dup,
+      |  COALESCE(m.dup_of, -1) AS dup_of
+      |FROM b2 b LEFT JOIN m ON b.doc_id = m.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d10_incremental_dedup" -> ((d10IncrementalDedup _, d10Oracle)),
     "d09_dup_components" -> ((d09DupComponents _, d09Oracle)),
     "d07_dup_grams"         -> ((d07DupGramCoverage _, d07Oracle)),
     "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),

@@ -110,6 +110,37 @@ class DedupSpec extends SparkSpec {
     assert(out.values.exists(_._2 >= 4), "expected a transitively-merged chain")
   }
 
+  test("d10 incremental dedup absorbs survivors; later batches dedup against them") {
+    import graft.tables.GraftTable
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch1 = docs.filter($"doc_id" < 100).select($"doc_id", $"text")
+    // batch2: fresh docs + one exact copy of a batch1 doc
+    val fresh2 = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
+      .select($"doc_id", $"text")
+    val batch2 = fresh2.unionAll(
+      batch1.filter($"doc_id" === 7L)
+        .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+    val fpLoc = java.nio.file.Files.createTempDirectory("graft_d10s").toString + "/fp"
+    val fp = GraftTable.createAs(spark, fpLoc, Dedup.bandKeysForTest(batch1))
+    val corpus12 = batch1.unionAll(batch2)
+    val r2 = Dedup.incrementalDedupRound(spark, fp, corpus12, batch2)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(r2(3000007L) == (true, 7L), "planted copy must flag against history")
+
+    // batch3 copies a batch2 SURVIVOR (a fresh doc) and the batch2 DUP
+    val batch3 = docs.filter($"doc_id" === 101L)
+        .select(($"doc_id" + 4000000L).as("doc_id"), $"text")
+      .unionAll(batch1.filter($"doc_id" === 7L)
+        .select(($"doc_id" + 5000000L).as("doc_id"), $"text"))
+    val r3 = Dedup.incrementalDedupRound(spark,
+        GraftTable.load(spark, fpLoc), corpus12.unionAll(batch3), batch3)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    // the survivor WAS absorbed: its copy flags against the batch2 id
+    assert(r3(4000101L) == (true, 101L), s"survivor not absorbed: $r3")
+    // the batch2 dup was NOT absorbed: its copy still flags against batch1
+    assert(r3(5000007L) == (true, 7L), s"dup should flag via batch1: $r3")
+  }
+
   test("d04 simhash finds most planted near-duplicates") {
     val pairs = Dedup.d04Simhash(spark, sf).select($"a", $"b").as[(Long, Long)].collect()
     val planted = pairs.count { case (a, b) => b - a == 2000000L }
