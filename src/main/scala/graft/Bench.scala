@@ -27,26 +27,45 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = Array.fill(named.size)(Double.MaxValue)
+    // A query that throws must surface as an explicit error, not as the
+    // elapsed-until-throw time masquerading as a (suspiciously fast) success.
+    val errs = Array.fill[Option[String]](named.size)(None)
     for (_ <- 1 to reps; ((_, fn), i) <- named.zipWithIndex) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      best(i) = math.min(best(i), (System.nanoTime() - t0) / 1e9)
+      try {
+        fn(spark, sfDir).count()
+        best(i) = math.min(best(i), (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        errs(i) = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
     }
-    val results = named.zipWithIndex.map { case ((name, _), i) => name -> best(i) }
+    val results = named.zipWithIndex.collect {
+      case ((name, _), i) if errs(i).isEmpty => name -> best(i)
+    }
+    val failed = named.zipWithIndex.collect {
+      case ((name, _), i) if errs(i).isDefined => name -> errs(i).get
+    }
     // per-query times, slowest first, on stderr (stdout stays ONE JSON line)
     results.sortBy(-_._2).foreach { case (n, t) =>
       System.err.println(f"$t%8.3f  $n")
     }
+    failed.foreach { case (n, e) => System.err.println(s"  ERROR  $n  $e") }
     // ms precision keeps the stdout line compact (68 queries overflowed the
     // driver's tail capture in r3); the same JSON also goes to a file so a
     // truncated stream can never lose the round's numbers.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+      failed.map { case (k, _) => "\"" + k + "\":\"err\"" })
+      .sorted.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errsJson =
+      if (failed.isEmpty) ""
+      else failed.map { case (k, e) =>
+        "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      }.mkString(",\"errors\":{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

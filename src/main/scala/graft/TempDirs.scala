@@ -1,0 +1,28 @@
+package graft
+
+/** JVM-exit sweeper for operator-created local temp dirs: ONE shutdown
+  * hook deleting every registered directory — a hook per call would stack
+  * threads, and no hook at all leaks a written table per gate/bench run
+  * (the r8 d10 fingerprint-index leak).
+  */
+object TempDirs {
+  private val dirs = scala.collection.mutable.Set.empty[java.nio.file.Path]
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      dirs.synchronized(dirs.toSeq).foreach { dir =>
+        try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => () } // best-effort sweep
+      }
+    }))
+  }
+
+  /** Create a temp directory registered for deletion at JVM exit. */
+  def create(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    hook
+    dirs.synchronized { dirs += dir; () }
+    dir
+  }
+}

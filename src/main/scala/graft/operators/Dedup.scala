@@ -673,7 +673,8 @@ object Dedup {
     * (128-hash signature, 16 bands × 8 rows — the banding whose
     * determinism on this corpus DedupSpec pins).
     */
-  private[operators] def bandKeysForTest(df: DataFrame): DataFrame = bandKeys(df)
+  private[operators] def bandKeysForTest(df: DataFrame): DataFrame =
+    bandKeysWithSketch(df)
 
   private def bandKeys(df: DataFrame): DataFrame = {
     val sig = df.withColumn("sh", charShingleHashes(col("text")))
@@ -684,18 +685,84 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** d10: INCREMENTAL dedup against a persisted fingerprint index (r8) —
-    * the continuous-ingestion shape: each day's batch dedups against the
-    * WHOLE historical corpus without rescanning it. History exists only
-    * as a fingerprint GraftTable of LSH band keys (clustered by key, so
-    * the candidate join prunes); the batch pays O(batch) fingerprinting,
-    * one key join, and exact-Jaccard verification of ONLY the candidate
-    * old docs (fetched by id) — then the index absorbs the batch's
-    * surviving keys in one append, ready for the next increment. The
-    * gate plants exact copies (identical text ⇒ identical band keys,
-    * recall 1.0 by construction); the corpus's own cross-batch near-dups
-    * sit at Jaccard ≥ 0.97 (per-pair band-miss odds ~1e-13, fixed data +
-    * fixed seeds ⇒ deterministic), so DuckDB's all-pairs replay matches.
+  /** Bottom-k cap of the shingle-hash sketches stored in the d10
+    * fingerprint index. Capping bounds the index row width no matter how
+    * long documents grow; sketch Jaccard stays EXACT while a candidate
+    * pair's union is under k (every gate/test corpus — max text 577
+    * chars ⇒ union ≤ ~1.1k < 2048) and degrades to the KMV estimate
+    * (rel. error ≈ 1/√k) past it.
+    */
+  private[operators] val SketchK = 2048
+
+  /** Bottom-k shingle sketch: the k smallest hashes (the input comes
+    * sorted distinct from the shingle expression, so a prefix slice).
+    */
+  private def shingleSketch(text: Column, k: Int): Column = {
+    val sh = charShingleHashes(text)
+    when(size(sh) > k, slice(sh, 1, k)).otherwise(sh)
+  }
+
+  /** Jaccard from two bottom-k sketches (Broder's minwise estimate,
+    * mergeable form): exact two-pointer Jaccard while BOTH sketches are
+    * unsaturated (they then ARE the full shingle sets); otherwise the
+    * k-smallest-of-the-union estimator — u = bottom-k(a ∪ b),
+    * J ≈ |u ∩ a ∩ b| / |u| — which is sound on capped inputs because
+    * bottom-k sketches are union-mergeable.
+    */
+  private[operators] def sketchJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = slice(array_sort(array_union(a, b)), 1, k)
+    val est = size(array_intersect(array_intersect(u, a), b)).cast("double") /
+      size(u).cast("double")
+    when(size(a) < k && size(b) < k, jaccard(a, b)).otherwise(est)
+  }
+
+  /** Spec hook: sketch Jaccard between a two-row (doc_id, text) frame's
+    * docs at a chosen k (tiny k forces the estimator path).
+    */
+  private[operators] def sketchJaccardForTest(spark: SparkSession,
+      two: DataFrame, k: Int): Double = {
+    val sk = two.select(col("doc_id"), shingleSketch(col("text"), k).as("s"))
+    val a = sk.filter(col("doc_id") === 1L).select(col("s").as("sa"))
+    val b = sk.filter(col("doc_id") === 2L).select(col("s").as("sb"))
+    a.crossJoin(b).select(sketchJaccard(col("sa"), col("sb"), k).as("j"))
+      .collect().head.getDouble(0)
+  }
+
+  /** [[bandKeys]] plus the doc's bottom-k shingle sketch riding the
+    * band-0 row (one sketch per doc, NULL on the other 15 band rows —
+    * parquet RLE makes the nulls free): the index carries everything
+    * verification needs, so candidate checks never read corpus text.
+    */
+  private def bandKeysWithSketch(df: DataFrame): DataFrame = {
+    val sig = df.withColumn("sh", charShingleHashes(col("text")))
+      .withColumn("sk",
+        when(size(col("sh")) > SketchK, slice(col("sh"), 1, SketchK))
+          .otherwise(col("sh")))
+      .withColumn("sig", F.minhashSig(col("sh"), 128))
+    sig.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 15), b -> " +
+          "struct(b AS band, hash(slice(sig, b * 8 + 1, 8), b) AS key))")).as("bk"),
+        col("sk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"),
+        when(col("bk.band") === 0, col("sk")).as("sketch"))
+  }
+
+  /** d10: INCREMENTAL dedup against a persisted fingerprint index (r8;
+    * verification bounded r9) — the continuous-ingestion shape: each
+    * day's batch dedups against the WHOLE historical corpus without
+    * rescanning it. History exists only as a fingerprint GraftTable of
+    * LSH band keys PLUS each doc's bottom-k shingle sketch (clustered by
+    * key, so the candidate join prunes); the batch pays O(batch)
+    * fingerprinting, one key join, and sketch-Jaccard verification of
+    * ONLY the candidate old docs — the sketches live IN the index, so
+    * the history corpus text is NEVER read, not even for candidates —
+    * then the index absorbs the batch's surviving keys in one append,
+    * ready for the next increment. The gate plants exact copies
+    * (identical text ⇒ identical band keys, recall 1.0 by construction);
+    * sketch Jaccard is exact below [[SketchK]] (this corpus); the
+    * corpus's own cross-batch near-dups sit at Jaccard ≥ 0.97 (per-pair
+    * band-miss odds ~1e-13, fixed data + fixed seeds ⇒ deterministic),
+    * so DuckDB's all-pairs replay matches.
     */
   def d10IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -705,27 +772,21 @@ object Dedup {
       .unionAll(batch1.select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
 
     // the persisted index: history's band keys, key-clustered for pruning
-    val fpLoc = java.nio.file.Files.createTempDirectory("graft_d10").toString + "/fp"
-    val fp = graft.tables.GraftTable.createAs(spark, fpLoc, bandKeys(batch1))
+    val fpLoc = graft.TempDirs.create("graft_d10").toString + "/fp"
+    val fp = graft.tables.GraftTable.createAs(spark, fpLoc, bandKeysWithSketch(batch1))
     fp.cluster(Seq("key"))
-    incrementalDedupRound(spark, fp, corpusById(batch1, batch2), batch2)
+    incrementalDedupRound(spark, fp, batch2)
   }
 
-  /** Text lookup by doc id for candidate verification (the spec also
-    * feeds later batches through it).
-    */
-  private def corpusById(batches: DataFrame*): DataFrame =
-    batches.reduce(_ unionAll _)
-
   /** One ingestion round: flag `batch` docs duplicating anything the
-    * fingerprint index has seen, then absorb the SURVIVORS' keys in one
-    * append so the next round dedups against history + this batch.
-    * `corpus` resolves candidate old ids to text for exact verification —
-    * only candidate ids are fetched, history is never rescanned.
+    * fingerprint index has seen, then absorb the SURVIVORS' keys (and
+    * sketches) in one append so the next round dedups against history +
+    * this batch. Candidate verification joins the index's own stored
+    * sketches — O(index ∩ candidates), zero corpus IO: the history
+    * corpus may not even exist anymore.
     */
   private[operators] def incrementalDedupRound(spark: SparkSession,
-      fp: graft.tables.GraftTable, corpus: DataFrame,
-      batch: DataFrame): DataFrame = {
+      fp: graft.tables.GraftTable, batch: DataFrame): DataFrame = {
     val fpDf = fp.toDF()
     val bk = bandKeys(batch)
     val cands = bk.join(fpDf,
@@ -733,16 +794,20 @@ object Dedup {
       .select(bk("doc_id").as("new_id"), fpDf("doc_id").as("old_id")).distinct()
 
     val oldIds = cands.select(col("old_id")).distinct()
-    val oldSh = corpus.join(oldIds, corpus("doc_id") === oldIds("old_id"))
-      .select(col("old_id"), charShingleHashes(col("text")).as("sh_old"))
+    // candidate sketches come from the index itself (the band-0 rows
+    // carry them), never from corpus text
+    val sk = fpDf.filter(col("sketch").isNotNull)
+      .select(col("doc_id"), col("sketch"))
+    val oldSh = sk.join(oldIds, sk("doc_id") === oldIds("old_id"))
+      .select(col("old_id"), col("sketch").as("sh_old"))
     val newSh = batch.select(col("doc_id").as("new_id"),
-      charShingleHashes(col("text")).as("sh_new"))
+      shingleSketch(col("text"), SketchK).as("sh_new"))
     val verified = cands.join(oldSh, "old_id").join(newSh, "new_id")
-      .filter(jaccard(col("sh_new"), col("sh_old")) >= 0.6)
+      .filter(sketchJaccard(col("sh_new"), col("sh_old"), SketchK) >= 0.6)
       .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
       .localCheckpoint(true)
 
-    fp.append(bandKeys(batch.join(verified,
+    fp.append(bandKeysWithSketch(batch.join(verified,
       batch("doc_id") === verified("new_id"), "left_anti")))
 
     batch.select(col("doc_id"))

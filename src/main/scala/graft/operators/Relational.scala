@@ -513,18 +513,6 @@ object Relational {
     */
   private val bucketCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), (String, String)]
-  // ONE JVM-exit hook sweeping every build's temp dir (a rebuild after a
-  // dropped table must not stack another hook per call)
-  private val bucketDirs = scala.collection.mutable.Set.empty[java.nio.file.Path]
-  private lazy val bucketCleanup: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      bucketDirs.synchronized(bucketDirs.toSeq).foreach { dir =>
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }))
-  }
 
   private[operators] def bucketedPair(spark: SparkSession, sfDir: String,
       nBuckets: Int): (DataFrame, DataFrame) = bucketCache.synchronized {
@@ -536,9 +524,7 @@ object Relational {
         spark.catalog.tableExists(o) && spark.catalog.tableExists(l) }
       .getOrElse {
         val suf = java.util.UUID.randomUUID().toString.take(8)
-        val dir = java.nio.file.Files.createTempDirectory("graft_bkt")
-        bucketCleanup
-        bucketDirs.synchronized { bucketDirs += dir; () }
+        val dir = graft.TempDirs.create("graft_bkt")
         val pair = (s"graft_bkt_o_$suf", s"graft_bkt_l_$suf")
         Tables.orders(spark, sfDir).write
           .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")

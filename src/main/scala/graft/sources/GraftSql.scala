@@ -757,10 +757,16 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     */
   private def sizedView(name: String): DataFrame = {
     val t = table(name)
+    val m = t.meta
     val df = t.toDF()
     val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val est = t.meta.currentSnapshot.map(
-      _.totalRecords * t.meta.schema.defaultSize.toLong)
+    // live data-file bytes, NOT rows × schema.defaultSize: defaultSize is
+    // a fixed 20 bytes for strings, so a modest-row-count table with wide
+    // text columns (the documents-corpus shape) would be hinted into a
+    // multi-GB broadcast. File bytes are the same signal Spark's own
+    // HadoopFsRelation sizes scans with, so the same threshold compare
+    // applies.
+    val est = m.currentSnapshot.map(_ => t.liveDataBytes(m))
     if (thr > 0 && est.exists(_ <= thr))
       org.apache.spark.sql.functions.broadcast(df)
     else df

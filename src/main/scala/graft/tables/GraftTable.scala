@@ -41,6 +41,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def currentManifest(m: TableMeta = meta): ManifestData =
     m.currentSnapshot.map(manifestDataOf).getOrElse(ManifestData(Nil, Nil, Nil))
 
+  /** Sum of live data-file bytes (the snapshot's maintained file sizes) —
+    * an actual upper bound on the table's on-disk footprint: pending
+    * merge-on-read deletes only shrink the live rows. O(files) driver
+    * metadata, no file opened. This is the size signal for planner
+    * statistics: rows × schema.defaultSize undercounts wide string
+    * columns (a 20-byte fixed guess) by orders of magnitude.
+    */
+  def liveDataBytes(m: TableMeta = meta): Long =
+    currentFiles(m).map(_.sizeBytes).sum
+
   /** Active merge-on-read delete predicates of the current snapshot. */
   def currentDeletes(m: TableMeta = meta): Seq[String] =
     currentManifest(m).deletePredicates
@@ -245,15 +255,27 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   def joinPruned(dim: GraftTable, factCol: String, dimCol: String,
       maxKeys: Int): DataFrame = {
-    val ndv = dim.columnNdv(dimCol).orElse(dim.fastCount())
-    ndv match {
-      case Some(n) if n <= maxKeys =>
-        joinPruned(dim.toDF(), factCol, dimCol, maxKeys)
-      case _ =>
-        val d = dim.toDF()
-        val fact = toDF(None)
-        fact.join(d, fact(factCol) === d(dimCol))
+    def plain: DataFrame = {
+      val d = dim.toDF()
+      val fact = toDF(None)
+      fact.join(d, fact(factCol) === d(dimCol))
     }
+    // A saturated sketch is a (k-1)/U ESTIMATE (rel. error ≈ 1/√(k−2)):
+    // a slightly-low estimate near the maxKeys boundary would reach the
+    // IN-list overload's hard `require` — the exact failure this variant
+    // exists to avoid. 25% headroom (many σ at any reasonable k) keeps
+    // estimates away from the cliff; the exact-below-k contract (and
+    // fastCount, an exact row total ≥ NDV) needs no margin.
+    val fits = dim.columnNdvDetail(dimCol) match {
+      case Some((n, exact)) => if (exact) n <= maxKeys else n + n / 4 <= maxKeys
+      case None => dim.fastCount().exists(_ <= maxKeys)
+    }
+    if (!fits) plain
+    else
+      // belt-and-braces: if the margin still wasn't enough, fall back to
+      // the plain join instead of surfacing the probe's hard failure
+      try joinPruned(dim.toDF(), factCol, dimCol, maxKeys)
+      catch { case _: IllegalArgumentException => plain }
   }
   def joinPruned(dim: GraftTable, factCol: String, dimCol: String): DataFrame =
     joinPruned(dim, factCol, dimCol, 100000)
@@ -427,12 +449,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * (the fold in [[appendWithRetry]]); renames don't invalidate
     * (physical keying).
     */
-  def columnNdv(column: String): Option[Long] = {
+  def columnNdv(column: String): Option[Long] =
+    columnNdvDetail(column).map(_._1)
+
+  /** [[columnNdv]] plus whether the value is EXACT (sketch unsaturated —
+    * the buffer IS the distinct hash set) or the (k-1)/U estimate.
+    * Consumers near a hard threshold ([[joinPruned]]) apply a safety
+    * margin only on the estimate side.
+    */
+  def columnNdvDetail(column: String): Option[(Long, Boolean)] = {
     val m = meta
     for {
       (_, k, sketches) <- currentStats(m)
       arr <- sketches.get(ColumnMapping.physicalOf(m.schema, column))
-    } yield graft.functions.KMinValues.estimate(k, arr)
+    } yield (graft.functions.KMinValues.estimate(k, arr), arr.length < k)
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's

@@ -91,6 +91,27 @@ object TableReplicator {
         KeyColsProp -> keyCols.mkString(",")))
   }
 
+  /** Diff two schemas of DIFFERENT tables by logical name — the
+    * full-resync fallback where [[SchemaDiff]]'s physical-name keying
+    * cannot apply (each table allocates its own physicals). Renames are
+    * indistinguishable from drop+add here; callers must only use this
+    * where row data is about to be fully rewritten.
+    */
+  private def logicalDiff(from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType): Seq[SchemaOp] = {
+    val toByName = to.fields.map(f => f.name -> f).toMap
+    val fromNames = from.fields.map(_.name).toSet
+    val drops = from.fields.toSeq
+      .filterNot(f => toByName.contains(f.name)).map(f => SchemaOp.Drop(f.name))
+    val widens = from.fields.toSeq.flatMap(of =>
+      toByName.get(of.name).filter(_.dataType != of.dataType)
+        .map(nf => SchemaOp.Widen(of.name, nf.dataType)))
+    val adds = to.fields.toSeq
+      .filterNot(f => fromNames.contains(f.name))
+      .map(f => SchemaOp.Add(f.name, f.dataType))
+    drops ++ widens ++ adds
+  }
+
   /** Replay source schema evolution since the last-applied schema id onto
     * the replica (one metadata commit riding the schema cursor + any key
     * rename). Returns the key columns under the CURRENT source schema.
@@ -164,9 +185,32 @@ object TableReplicator {
       // a rollback moved the head off its ancestry): the per-commit
       // changelog is gone, so self-heal by replacing the replica with the
       // source's CURRENT state in one commit carrying the cursor —
-      // idempotent, so an at-least-once redo after a crash is safe
-      replica.overwrite(source.toDF(),
-        extraProperties = Map(SrcSnapProp -> head.toString))
+      // idempotent, so an at-least-once redo after a crash is safe.
+      //
+      // A legacy replica (no schema cursor) whose cursor snapshot expired
+      // got NO schema reconcile above (the lastSchemaId fallback had to
+      // assume "current"): if the source also evolved, the replica's
+      // schema is stale and the overwrite below would refuse. Diff the
+      // replica's OWN schema against the source's current one BY LOGICAL
+      // NAME — no physical correspondence exists across tables, so
+      // renames degrade to drop+add, which is harmless here because
+      // every row is rewritten anyway. No-op when already reconciled.
+      val ops = logicalDiff(replica.meta.schema, sm.schema)
+      ops.collect { case SchemaOp.Drop(c) if keyCols.contains(c) =>
+        throw new IllegalStateException(
+          s"replication key column '$c' is gone from the source schema " +
+            "(dropped, or renamed past an expired cursor); the replica " +
+            "cannot be maintained — recreate it with the new key columns")
+      }
+      if (ops.nonEmpty) {
+        if (ops.exists(!_.isInstanceOf[SchemaOp.Add])) {
+          replica.materializeDeletes(); ()
+        }
+        replica.evolveSchema(ops)
+      }
+      replica.overwrite(source.toDF(), extraProperties = Map(
+        SrcSnapProp -> head.toString,
+        SrcSchemaProp -> sm.currentSchemaId.toString))
       return FullResync
     }
 

@@ -122,8 +122,7 @@ class DedupSpec extends SparkSpec {
         .select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
     val fpLoc = java.nio.file.Files.createTempDirectory("graft_d10s").toString + "/fp"
     val fp = GraftTable.createAs(spark, fpLoc, Dedup.bandKeysForTest(batch1))
-    val corpus12 = batch1.unionAll(batch2)
-    val r2 = Dedup.incrementalDedupRound(spark, fp, corpus12, batch2)
+    val r2 = Dedup.incrementalDedupRound(spark, fp, batch2)
       .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
     assert(r2(3000007L) == (true, 7L), "planted copy must flag against history")
 
@@ -133,12 +132,52 @@ class DedupSpec extends SparkSpec {
       .unionAll(batch1.filter($"doc_id" === 7L)
         .select(($"doc_id" + 5000000L).as("doc_id"), $"text"))
     val r3 = Dedup.incrementalDedupRound(spark,
-        GraftTable.load(spark, fpLoc), corpus12.unionAll(batch3), batch3)
+        GraftTable.load(spark, fpLoc), batch3)
       .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
     // the survivor WAS absorbed: its copy flags against the batch2 id
     assert(r3(4000101L) == (true, 101L), s"survivor not absorbed: $r3")
     // the batch2 dup was NOT absorbed: its copy still flags against batch1
     assert(r3(5000007L) == (true, 7L), s"dup should flag via batch1: $r3")
+  }
+
+  test("d10 verification is corpus-free: flags dups after history text is GONE") {
+    import graft.tables.GraftTable
+    import java.nio.file.{Files, Path, Paths}
+    // history batch written to its own parquet dir, indexed, then DELETED:
+    // if verification still resolves a planted copy, it provably read only
+    // the index (the strongest possible no-corpus-IO assertion)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = Files.createTempDirectory("graft_d10c")
+    val histDir = s"$tmp/hist"
+    docs.filter($"doc_id" < 100).select($"doc_id", $"text")
+      .write.parquet(histDir)
+    val hist = spark.read.parquet(histDir)
+    val fp = GraftTable.createAs(spark, s"$tmp/fp", Dedup.bandKeysForTest(hist))
+    // drop the history corpus from disk entirely
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(histDir)).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    val batch = docs.filter($"doc_id" === 42L)
+      .select(($"doc_id" + 7000000L).as("doc_id"), $"text")
+    val out = Dedup.incrementalDedupRound(spark, fp, batch)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out(7000042L) == (true, 42L), s"copy must flag via index sketches: $out")
+    Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+  }
+
+  test("d10 sketch Jaccard: exact below k, bounded KMV estimate past k") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // two long synthetic docs with a known overlap ratio, shingled the
+    // same way d10 does; tiny k forces the estimator path
+    val base = (0 until 6000).map(i => f"tok$i%05d").mkString(" ")
+    val half = ((0 until 3000) ++ (10000 until 13000))
+      .map(i => f"tok$i%05d").mkString(" ")
+    val df = Seq((1L, base), (2L, half)).toDF("doc_id", "text")
+    val full = Dedup.sketchJaccardForTest(spark, df, k = 1 << 20) // unsaturated: exact
+    val est = Dedup.sketchJaccardForTest(spark, df, k = 256) // saturated: estimate
+    assert(math.abs(est - full) <= 0.12, s"estimate $est vs exact $full")
+    assert(full > 0.2 && full < 0.8, s"test overlap not in the useful band: $full")
   }
 
   test("d04 simhash finds most planted near-duplicates") {
