@@ -1053,7 +1053,48 @@ object TableOpsExt {
        |  TRUE AS ndv_served, TRUE AS files_pruned
        |FROM f JOIN d ON f.o_custkey = d.k""".stripMargin
 
+  // ---------------------------------------------------------------- t45
+
+  /** t45: WRITE-TIME sort order (Iceberg SortOrder + distribution mode;
+    * reference README.md "Predicate pushdown and file pruning" — the
+    * unpartitioned pruning story, made durable): the table DECLARES
+    * `write.sort-order`, then every append range-distributes + locally
+    * sorts — files get tight, disjoint key ranges the moment rows land,
+    * so stats pruning works with NO maintenance cluster() call anywhere.
+    * The gate appends two UNSORTED batches and pins: multiple files per
+    * append (a real layout, not one file), pruning on the sort key
+    * (planned < total), and exact filtered values.
+    */
+  def t45SortOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = orders(spark, sfDir, 4000)
+    val t = GraftTable.createAs(spark, tmp(), base.limit(0))
+    t.setSortOrder(Seq("o_orderkey"))
+    // small target so gate-scale appends still land several files (at
+    // production scale the same knob yields ~128MB files)
+    t.setProperties(Map(TableFormat.TargetFileSize -> "16384"))
+    // each unsorted batch spans the WHOLE key range (parity split), so
+    // only the declared order — not arrival luck — can separate files
+    t.append(base.filter(col("o_orderkey") % 2 === 0).repartition(4))
+    t.append(base.filter(col("o_orderkey") % 2 === 1).repartition(4))
+    val total = t.currentFiles().size
+    val filter = "o_orderkey <= 400"
+    val planned = t.plannedFiles(filter).size
+    t.toDF(Some(filter)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .withColumn("multi_file", lit(total > 2))
+      .withColumn("files_pruned", lit(planned < total))
+  }
+
+  val t45Oracle: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  TRUE AS multi_file, TRUE AS files_pruned
+       |FROM ${cappedSql(4000)} WHERE o_orderkey <= 400""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t45_sort_order"           -> ((t45SortOrder _, t45Oracle)),
     "t44_stats_join"           -> ((t44StatsJoin _, t44Oracle)),
     "t43_cdc_schema_evolution" -> ((t43CdcSchemaEvolution _, t43Oracle)),
     "t42_analyze"           -> ((t42Analyze _, t42Oracle)),

@@ -114,6 +114,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val AlterColType = r("""ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)""")
   private val SetSpec = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)""")
   private val SetProps = r("""ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.*)\)""")
+  private val WriteOrdered = r("""ALTER\s+TABLE\s+(\w+)\s+WRITE\s+ORDERED\s+BY\s*\(?\s*([\w\s,]*?)\s*\)?""")
+  private val WriteUnordered = r("""ALTER\s+TABLE\s+(\w+)\s+WRITE\s+UNORDERED""")
   private val CreateRef = r("""ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(TAG|BRANCH)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""")
   private val DropRef = r("""ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:TAG|BRANCH)\s+(\w+)""")
   private val CallFastForward = r("""CALL\s+[\w.]*FAST_FORWARD\s*\(\s*["']([\w.]+)["']\s*,\s*["'](\w+)["']\s*\)""")
@@ -247,6 +249,12 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).setPartitionSpec(parseSpec(spec)); status("set-spec", name)
       case SetProps(name, props) =>
         table(name).setProperties(parseProps(props)); status("set-properties", name)
+      case WriteUnordered(name) =>
+        table(name).setSortOrder(Nil); status("write-unordered", name)
+      case WriteOrdered(name, cols) =>
+        table(name).setSortOrder(
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        status("write-ordered", name)
       case CreateRef(name, kind, refName, version) =>
         val t = table(name)
         val snapId = Option(version).map(_.toLong)
@@ -745,32 +753,15 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     spark.sql(q)
   }
 
-  /** Table read for query planning, with the size signal Catalyst can't
-    * derive itself: a merge-on-read table's frame is a union/anti-join
-    * tree whose size estimate obscures how small the TABLE is, so joins
-    * that should broadcast fall back to sort-merge. The snapshot's
-    * maintained record total × schema width is a sound UPPER bound on the
-    * live data (deletes only shrink it) — when it fits under
-    * `autoBroadcastJoinThreshold`, the view carries a broadcast hint.
-    * This is the catalog-stats signal Iceberg hands Spark's CBO,
-    * re-expressed as a hint (graft tables aren't catalog tables).
+  /** Table read for query planning. Since r9 the size signal rides the
+    * frame itself: `toDF()` wraps every read in [[graft.plans.DeclaredStats]],
+    * which serves the snapshot's live data-file bytes, record count and
+    * persisted NDV to Catalyst as NATIVE relation statistics — the signal
+    * Iceberg hands Spark via SupportsReportStatistics. JoinSelection's own
+    * threshold compare then flips broadcast-vs-sort-merge (no hint), and
+    * CBO join reorder sees the rowCount it requires on every view.
     */
-  private def sizedView(name: String): DataFrame = {
-    val t = table(name)
-    val m = t.meta
-    val df = t.toDF()
-    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    // live data-file bytes, NOT rows × schema.defaultSize: defaultSize is
-    // a fixed 20 bytes for strings, so a modest-row-count table with wide
-    // text columns (the documents-corpus shape) would be hinted into a
-    // multi-GB broadcast. File bytes are the same signal Spark's own
-    // HadoopFsRelation sizes scans with, so the same threshold compare
-    // applies.
-    val est = m.currentSnapshot.map(_ => t.liveDataBytes(m))
-    if (thr > 0 && est.exists(_ <= thr))
-      org.apache.spark.sql.functions.broadcast(df)
-    else df
-  }
+  private def sizedView(name: String): DataFrame = table(name).toDF()
 
   /** Align a source dataframe to the table schema: by name when every
     * schema column is present (MERGE sources with extra/reordered columns),

@@ -1,5 +1,6 @@
 package graft.tables
 
+import graft.plans.DeclaredStats
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -150,7 +151,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * Predicate deletes are global.
     */
   private def readWithMor(m: TableMeta, md: ManifestData,
-      filterSql: Option[String]): DataFrame = {
+      filterSql: Option[String], ndv: Map[String, Long] = Map.empty): DataFrame = {
     val pruned = filterSql.map(f => ScanPlanner.pruneFiles(m, md.files, f, spark))
       .getOrElse(md.files)
     val scans = pruned.groupBy(f =>
@@ -166,7 +167,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val base =
       if (scans.isEmpty) ScanPlanner.scan(spark, m, Nil, filterSql)
       else scans.reduce(_ unionAll _)
-    applyDeletes(base, md.deletePredicates)
+    val frame = applyDeletes(base, md.deletePredicates)
+    // serve the snapshot's own numbers to the planner: the MoR frame's
+    // union/anti-join shape otherwise inflates size estimates past any
+    // broadcast threshold, and rowCount/NDV enable CBO join reorder
+    DeclaredStats.attach(frame, pruned.map(_.sizeBytes).sum,
+      Some(pruned.map(_.recordCount).sum), ndv)
   }
 
   // ------------------------------------------------------------- reads
@@ -184,8 +190,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .getOrElse(ManifestData(Nil, Nil, Nil))
       case None => currentManifest(m)
     }
-    readWithMor(m, md, filterSql)
+    readWithMor(m, md, filterSql, statsNdv(m))
   }
+
+  /** Per-column NDV from the persisted ANALYZE sketches, keyed by LOGICAL
+    * name, for the planner statistics of current-snapshot reads. Empty
+    * when no live stats exist ([[currentStats]] staleness rules).
+    */
+  private def statsNdv(m: TableMeta): Map[String, Long] =
+    currentStats(m).map { case (_, k, sketches) =>
+      m.schema.fields.iterator.flatMap { f =>
+        sketches.get(ColumnMapping.physicalOf(m.schema, f.name))
+          .map(arr => f.name -> graft.functions.KMinValues.estimate(k, arr))
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Summary entries as pseudo-files so [[ScanPlanner.pruneFiles]]'s
     * stats AND partition logic prunes MANIFESTS with zero new machinery:
@@ -884,19 +902,36 @@ class GraftTable(val spark: SparkSession, val location: String) {
       d.withColumn(TableFormat.PartColPrefix + f.name,
         GraftTransforms.transformColumn(f, physSchema).cast("string"))
     }
+    // write-time sort order (Iceberg SortOrder): declared in LOGICAL
+    // names, applied physical. Skipped when the caller pinned its own
+    // layout (cluster/z-order/hilbert rewrites pass an explicit override).
+    val sortCols =
+      if (distributionOverride.isDefined) Nil
+      else m.properties.get(TableFormat.SortOrder)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        .map(c => ColumnMapping.physicalOf(m.schema, c))
     // write distribution (Iceberg's write.distribution-mode): partitioned
     // writes default to hash-by-partition-values so each task writes one
     // partition's file instead of every task writing a sliver of every
-    // partition (the small-file explosion at 1000 executors); `none`
-    // preserves the incoming layout (needed when the caller range-sorted).
+    // partition (the small-file explosion at 1000 executors); a declared
+    // sort order defaults an UNPARTITIONED write to range distribution
+    // (disjoint per-file key ranges — the pruning this order exists for);
+    // `none` preserves the incoming layout (caller range-sorted).
     val mode = distributionOverride.getOrElse(
       m.properties.getOrElse("write.distribution-mode",
-        if (gpCols.isEmpty) "none" else "hash"))
+        if (gpCols.nonEmpty) "hash" else if (sortCols.nonEmpty) "range" else "none"))
     val distributed = mode match {
       case "hash" if gpCols.nonEmpty => out.repartition(gpCols.map(col): _*)
       case "hash" => out.repartition()
+      case "range" if sortCols.nonEmpty =>
+        out.repartitionByRange(sortCols.map(col): _*)
       case _ => out
     }
+    // local sort to the declared order (within partition dirs when
+    // partitioned): every file gets tight min/max on the sort keys
+    val laidOut =
+      if (sortCols.isEmpty) distributed
+      else distributed.sortWithinPartitions((gpCols ++ sortCols).map(col): _*)
     // point-lookup pruning beyond min/max: the `write.bloom-columns`
     // property turns on parquet's NATIVE per-row-group bloom filters for
     // the listed columns (the scale-correct home for blooms — sized by the
@@ -904,21 +939,32 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // IN predicates; manifests stay O(min/max))
     val bloomCols = m.properties.get(TableFormat.BloomColumns)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val writer = bloomCols.foldLeft(distributed.write) { (w, c) =>
+    val writer = bloomCols.foldLeft(laidOut.write) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     // INT64-micros timestamps (not INT96): footer min/max stats for
-    // timestamp columns are only usable in this encoding. Session conf is
-    // restored — other writers in the session keep their own setting.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // timestamp columns are only usable in this encoding. Target file
+    // size (Iceberg write.target-file-size-bytes) rides AQE's advisory
+    // partition size for this write's shuffle. Session confs are
+    // restored — other writers in the session keep their own settings.
+    val target = m.properties.get(TableFormat.TargetFileSize)
+    val writeConfs = Map(
+      "spark.sql.parquet.outputTimestampType" -> Some("TIMESTAMP_MICROS"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> target,
+      // parallelismFirst coalesces by minPartitionSize (1MB default) and
+      // IGNORES the advisory size — a declared file-size target must win
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+        target.map(_ => "false"),
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> target
+    ).collect { case (k, Some(v)) => k -> v }
+    val prevConfs = writeConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    writeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       if (gpCols.isEmpty) writer.parquet(commitDir)
       else writer.partitionBy(gpCols: _*).parquet(commitDir)
-    } finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    } finally prevConfs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     // stamp the data sequence number of the commit these files land in
     // (single-writer: the caller commits against the same base meta)
@@ -2312,6 +2358,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commitMetadataOnly(m.copy(version = m.version + 1, properties = m.properties ++ props))
     this
   }
+
+  /** Declare the write-time sort order (Iceberg `ALTER TABLE … WRITE
+    * ORDERED BY`): a metadata-only property commit; every subsequent
+    * data-producing write range-distributes + locally sorts to it, so
+    * sort-key pruning holds without a maintenance `cluster()` pass.
+    * Columns are LOGICAL names (rename-safe — writes re-resolve the
+    * physical mapping per commit). Empty clears the order.
+    */
+  def setSortOrder(cols: Seq[String]): GraftTable = {
+    val m = meta
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"sort column $c not in schema ${m.schema.fieldNames.mkString(",")}"))
+    setProperties(Map(TableFormat.SortOrder -> cols.mkString(",")))
+  }
+
+  /** The declared write-time sort order, empty when none. */
+  def sortOrder: Seq[String] =
+    meta.properties.get(TableFormat.SortOrder)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 }
 
 object GraftTable {

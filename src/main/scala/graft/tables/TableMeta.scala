@@ -62,6 +62,22 @@ object TableFormat {
     * manifest and retries — no data rewrite.
     */
   val CommitRetries = "commit.retry.num-retries"
+  /** Write-time sort order (Iceberg SortOrder + `write.distribution-mode`):
+    * comma-separated LOGICAL column names. Every data-producing commit
+    * (append, CoW rewrite, compaction) range-distributes + locally sorts
+    * to this order, so stats pruning on the sort keys holds from the
+    * moment rows land — not only after the next maintenance `cluster()`
+    * pass. Evolves like a partition spec: a property commit changes it
+    * for NEW writes only; existing files keep their layout.
+    */
+  val SortOrder = "write.sort-order"
+  /** Target data-file size for writes (Iceberg
+    * `write.target-file-size-bytes`): served to AQE as the advisory
+    * partition size for the write's shuffle, so range/hash-distributed
+    * writes coalesce to files of roughly this size instead of whatever
+    * `spark.sql.shuffle.partitions` dictates.
+    */
+  val TargetFileSize = "write.target-file-size-bytes"
 }
 
 /** One partition field: `transform(source) AS name`. Transforms: identity,

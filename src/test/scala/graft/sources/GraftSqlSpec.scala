@@ -532,11 +532,13 @@ class GraftSqlSpec extends SparkSpec {
     assert(up("""select 'it''s ok' from t""") == """SELECT 'it''s ok' FROM T""")
   }
 
-  // r8: the metadata size signal — a small MoR table's frame is a
-  // union/anti-join tree whose size Catalyst misjudges; the facade hints
-  // broadcast from the snapshot's record total (a sound upper bound)
-  test("facade joins carry a broadcast hint for metadata-small tables only") {
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+  // r8 hinted broadcast from metadata size; r9 serves the size as NATIVE
+  // relation statistics (DeclaredStats) — a small MoR table's frame is a
+  // union/anti-join tree whose size Catalyst misjudges, and JoinSelection's
+  // own threshold compare now flips on the snapshot's live byte total
+  test("facade joins broadcast metadata-small tables from native stats") {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE dimt AS SELECT n_nationkey, n_name FROM nation")
     g.sql("CREATE TABLE factt AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
@@ -556,20 +558,36 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(joined.head().getLong(0) == expect)
 
-    // the hint fired for the small dim...
-    def hinted(sqlText: String): Boolean = {
-      val df = g.sql(sqlText)
-      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
-    }
-    assert(hinted("SELECT * FROM factt f JOIN dimt d ON f.o_custkey % 25 = d.n_nationkey"),
-      "metadata-small dim must carry the broadcast hint")
-    // ...and NOT when the metadata estimate exceeds the threshold
-    // (25 rows x ~28B schema width ≈ 700B, so 100B is provably above)
+    // the stats flip the fact⋈dim join to broadcast (no hint in the plan)...
+    def broadcasts(sqlText: String): Boolean =
+      g.sql(sqlText).queryExecution.sparkPlan.collect {
+        case j: BroadcastHashJoinExec if j.joinType == Inner => j
+      }.nonEmpty
+    assert(broadcasts("SELECT * FROM factt f JOIN dimt d ON f.o_custkey % 25 = d.n_nationkey"),
+      "metadata-small MoR dim must plan as a broadcast join")
+    // ...and NOT when the declared size exceeds the threshold (the dim's
+    // live data-file bytes are well past 100B)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100")
-    try assert(!hinted("SELECT * FROM factt f JOIN dimt d ON f.o_custkey % 25 = d.n_nationkey"),
-      "no table fits under a 100-byte threshold — no hint")
+    try assert(!broadcasts("SELECT * FROM factt f JOIN dimt d ON f.o_custkey % 25 = d.n_nationkey"),
+      "no table fits under a 100-byte threshold — no broadcast")
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ALTER TABLE ... WRITE ORDERED BY declares the write-time sort order (r9)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE sorted1 AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+    g.sql("ALTER TABLE sorted1 WRITE ORDERED BY (o_orderkey)")
+    assert(g.table("sorted1").sortOrder == Seq("o_orderkey"))
+    // layout mechanics (range separation, local sort, pruning) are pinned
+    // in GraftTableSpec; here the statement surface + evolution round-trip
+    g.sql("ALTER TABLE sorted1 WRITE ORDERED BY (o_custkey, o_orderkey)")
+    assert(g.table("sorted1").sortOrder == Seq("o_custkey", "o_orderkey"))
+    g.sql("ALTER TABLE sorted1 WRITE UNORDERED")
+    assert(g.table("sorted1").sortOrder.isEmpty)
+    // unknown column refuses loudly
+    intercept[IllegalArgumentException](
+      g.sql("ALTER TABLE sorted1 WRITE ORDERED BY (nope)"))
   }
 
   // r7/r8 regression: the MERGE cardinality check, Iceberg-scoped — a

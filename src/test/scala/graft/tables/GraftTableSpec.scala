@@ -956,4 +956,50 @@ class GraftTableSpec extends SparkSpec {
     Seq(Tuple1(9L)).toDF("k").write.parquet(bad)
     intercept[IllegalArgumentException](t.addFiles(bad))
   }
+
+  test("write-time sort order: appends land range-separated and locally sorted (r9)") {
+    val base = ordersDf.limit(2000)
+    val t = GraftTable.createAs(spark, tmp(), base.limit(0))
+    t.setSortOrder(Seq("o_orderkey"))
+    t.setProperties(Map(TableFormat.TargetFileSize -> "16384"))
+    // one UNSORTED append spanning the whole key range — no cluster() call
+    t.append(base.repartition(4))
+    // the empty-create seed file is 0-row residue with no stats — skip it
+    val files = t.currentFiles().filter(_.recordCount > 0)
+    assert(files.size > 1, s"target-file-size must split the append, got ${files.size}")
+    // disjoint per-file key ranges (range distribution)
+    val ranges = files.flatMap(f => f.stats.get("o_orderkey").flatMap(s =>
+      for { mn <- s.min; mx <- s.max } yield (mn.toString.toLong, mx.toString.toLong)))
+    assert(ranges.size == files.size, "every file must carry sort-key bounds")
+    val sortedR = ranges.sortBy(_._1)
+    sortedR.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges must be disjoint: $sortedR")
+      case _ => ()
+    }
+    // locally sorted inside each file
+    val one = spark.read.parquet(files.head.path)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(one.sameElements(one.sorted), "rows inside a file must follow the order")
+    // the point of it all: pruning on the sort key, straight off the append
+    assert(t.plannedFiles("o_orderkey <= 100").size < t.currentFiles().size)
+    assert(t.toDF().count() == base.count())
+
+    // evolution: a later order change affects NEW writes only
+    t.setSortOrder(Seq("o_custkey"))
+    val before = t.currentFiles().map(_.path).toSet
+    t.append(base.withColumn("o_orderkey", col("o_orderkey") + 1000000).repartition(4))
+    val newFiles = t.currentFiles().filterNot(f => before.contains(f.path))
+      .filter(_.recordCount > 0)
+    assert(t.currentFiles().map(_.path).toSet.intersect(before) == before,
+      "old files keep their layout — the order change is metadata-only")
+    val custRanges = newFiles.flatMap(f => f.stats.get("o_custkey").flatMap(s =>
+      for { mn <- s.min; mx <- s.max } yield (mn.toString.toLong, mx.toString.toLong)))
+      .sortBy(_._1)
+    custRanges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"new files must range-separate on the NEW order: $custRanges")
+      case _ => ()
+    }
+  }
 }
