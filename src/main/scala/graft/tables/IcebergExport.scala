@@ -152,6 +152,54 @@ object IcebergExport {
       ro.put("type", r.kind.toUpperCase)
       ()
     }
+    // Puffin-style statistics files (Iceberg TableMetadata `statistics`):
+    // the persisted ANALYZE sketch file, stamped with the snapshot it
+    // describes, one blob-metadata entry per sketched column (field ids
+    // from this export's own schema numbering). The blob type is graft's
+    // (KMV buffers as JSON, not Puffin binary) — declared explicitly,
+    // the same honesty boundary as graft.manifest-format.
+    val statsArr = root.putArray("statistics")
+    for {
+      snap <- m.properties.get(TableFormat.StatsSnapshot)
+      file <- m.properties.get(TableFormat.StatsFile)
+    } {
+      val conf = t.spark.sparkContext.hadoopConfiguration
+      val path = s"${MetaIO.metadataDir(m.location)}/$file"
+      // top-level name → field id, read back from the schema node the
+      // export just numbered (nested ids were consumed depth-first)
+      val fieldIds = {
+        val it = schemaNode.get("fields").elements()
+        val b = Map.newBuilder[String, Int]
+        while (it.hasNext) { val f = it.next(); b += f.get("name").asText() -> f.get("id").asInt() }
+        b.result()
+      }
+      val physToLogical = m.schema.fields.map(f =>
+        ColumnMapping.physicalOf(m.schema, f.name) -> f.name).toMap
+      scala.util.Try(MetaIO.loadStatsFile(conf, m.location, file)).toOption
+        .foreach { case (_, k, sketches) =>
+          val so = statsArr.addObject()
+          so.put("snapshot-id", snap.toLong)
+          so.put("statistics-path", path)
+          val len = scala.util.Try(MetaIO.fs(conf, path)
+            .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen).getOrElse(0L)
+          so.put("file-size-in-bytes", len)
+          so.put("file-footer-size-in-bytes", 0L)
+          val blobs = so.putArray("blob-metadata")
+          sketches.keys.toSeq.sorted.foreach { phys =>
+            for (logical <- physToLogical.get(phys); id <- fieldIds.get(logical)) {
+              val bo = blobs.addObject()
+              bo.put("type", "graft-kmv-sketch-v1")
+              bo.put("snapshot-id", snap.toLong)
+              bo.put("sequence-number", snap.toLong)
+              bo.putArray("fields").add(id)
+              val bp = bo.putObject("properties")
+              bp.put("k", k)
+              bp.put("ndv", graft.functions.KMinValues.estimate(k, sketches(phys)).toString)
+              ()
+            }
+          }
+        }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

@@ -74,4 +74,34 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.icebergOp("rewrite-deletes") == "replace")
     assert(IcebergExport.icebergOp("update") == "overwrite")
   }
+
+  test("analyzed tables export the stats file in `statistics` (r9)") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(300))
+    // no stats yet: field present, empty (spec-legal optional list)
+    val before = mapper.readTree(IcebergExport.metadataJson(t))
+    assert(before.get("statistics").size() == 0)
+    t.analyze(Seq("o_custkey", "o_orderstatus"))
+    val root = mapper.readTree(IcebergExport.metadataJson(t))
+    val st = root.get("statistics")
+    assert(st.size() == 1, "one statistics file for the analyzed snapshot")
+    val e = st.get(0)
+    assert(e.get("snapshot-id").asLong() == t.meta.currentSnapshotId.get)
+    assert(e.get("statistics-path").asText().endsWith(".json"))
+    assert(e.get("file-size-in-bytes").asLong() > 0)
+    // one blob per sketched column, pointing at the export's OWN field ids
+    val blobs = e.get("blob-metadata")
+    assert(blobs.size() == 2)
+    val fields = root.get("schema").get("fields")
+    val idsByName = (0 until fields.size()).map(i =>
+      fields.get(i).get("name").asText() -> fields.get(i).get("id").asInt()).toMap
+    val blobIds = (0 until blobs.size()).map(i =>
+      blobs.get(i).get("fields").get(0).asInt()).toSet
+    assert(blobIds == Set(idsByName("o_custkey"), idsByName("o_orderstatus")))
+    val ndvs = (0 until blobs.size()).map(i =>
+      blobs.get(i).get("properties").get("ndv").asText().toLong)
+    assert(ndvs.forall(_ > 0))
+    assert((0 until blobs.size()).forall(i =>
+      blobs.get(i).get("type").asText() == "graft-kmv-sketch-v1"))
+  }
 }
