@@ -37,6 +37,9 @@ object F {
   /** Unicode NFC canonical composition of a string column. */
   def nfc(text: Column): Column = col(NfcNormalize(ex(text)))
 
+  /** Greedy longest-match token count under the shipped subword vocab. */
+  def subwordTokens(text: Column): Column = col(SubwordTokenCount(ex(text)))
+
   /** Sorted distinct rolling char-n-gram hashes of a string column. */
   def charShingles(text: Column, window: Int): Column =
     col(CharWindowHashes(ex(text), window))

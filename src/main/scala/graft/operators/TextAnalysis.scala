@@ -783,7 +783,28 @@ object TextAnalysis {
       |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x17
+
+  /** x17: REAL-tokenizer token accounting (closing x01's "BPE-ish"
+    * approximation): greedy longest-match over the shipped subword
+    * vocabulary ([[graft.functions.SubwordTokenCount]], codegen'd), the
+    * deterministic stand-in for a BPE tokenizer's charge. Budget shapes
+    * inherit it: `budget_real` is the running-sum packing key p02 would
+    * use. Greedy longest-match is not SQL-expressible in DuckDB (no
+    * per-row iteration), so this is a rows-only gate; the matcher's
+    * semantics are pinned against an independent reference
+    * implementation in TokenizerSpec.
+    */
+  def x17SubwordTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.F.subwordTokens(col("text")).as("tokens_real"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy(col("doc_id"))
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x17_subword_tokens" -> ((x17SubwordTokens _, "")),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
     "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),

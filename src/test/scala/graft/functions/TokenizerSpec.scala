@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the subword tokenizer (x17) against an INDEPENDENT reference
+  * implementation of greedy longest-match over the same vocabulary —
+  * the oracle role DuckDB can't play (no per-row iteration in SQL).
+  */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: naive greedy longest-match, written differently on
+    * purpose (tries every prefix length from longest down, set lookup).
+    */
+  private def refCount(text: String): Long = {
+    val vocab = SubwordVocab.entries.toSet
+    val maxLen = SubwordVocab.entries.map(_.length).max
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    var pos = 0
+    var n = 0L
+    while (pos < s.length) {
+      if (Character.isWhitespace(s.charAt(pos))) pos += 1
+      else {
+        val best = (math.min(maxLen, s.length - pos) to 1 by -1)
+          .find(l => vocab.contains(s.substring(pos, pos + l))).getOrElse(1)
+        n += 1
+        pos += best
+      }
+    }
+    n
+  }
+
+  test("hand cases: affixes split, whitespace free, unknown chars count 1") {
+    def c(s: String): Long =
+      Seq(s).toDF("t").select(F.subwordTokens(col("t"))).head().getLong(0)
+    assert(c("") == 0)
+    assert(c("   \t\n ") == 0)
+    assert(c("the") == 1)
+    assert(c("the the  the") == 3)
+    // vocabulary word beats character fallback
+    assert(c("government") == 1)
+    // case-insensitive
+    assert(c("The THE the") == 3)
+    // unknown non-ASCII counts one per char
+    assert(c("é") == 1)
+    assert(c("日本") == 2)
+    // greedy longest-match agrees with the reference on mixed text
+    val samples = Seq("unhappiness", "pre-training data pipelines",
+      "Café 42!", "internationalization", "a1b2c3")
+    samples.foreach(s => assert(c(s) == refCount(s), s"mismatch on '$s'"))
+  }
+
+  test("corpus agreement with the reference implementation + codegen parity") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val got = docs.select(col("doc_id"), col("text"),
+        F.subwordTokens(col("text")).as("n"))
+      .collect()
+    got.foreach { r =>
+      val expected = refCount(r.getString(1))
+      assert(r.getLong(2) == expected,
+        s"doc ${r.get(0)}: codegen ${r.getLong(2)} != reference $expected")
+    }
+    // interpreted path (eval) agrees with the codegen'd column
+    val interp = SubwordVocab.count(
+      org.apache.spark.unsafe.types.UTF8String.fromString(got.head.getString(1)))
+    assert(interp == got.head.getLong(2))
+    // sanity: a real tokenizer compresses — fewer tokens than characters
+    assert(got.forall(r => r.getLong(2) <= r.getString(1).length))
+  }
+
+  test("x17 gate shape: per-doc counts, deterministic") {
+    val a = graft.operators.TextAnalysis.x17SubwordTokens(spark, sf).collect()
+    val b = graft.operators.TextAnalysis.x17SubwordTokens(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    assert(a.forall(_.getLong(1) > 0))
+  }
+}
