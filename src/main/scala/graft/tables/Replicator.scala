@@ -50,6 +50,7 @@ object TableReplicator {
   private[tables] val SrcSchemaProp = "graft.replica.source-schema"
   private[tables] val SrcSpecProp = "graft.replica.source-spec"
   private[tables] val KeyColsProp = "graft.replica.key-cols"
+  private[tables] val SrcRefProp = "graft.replica.source-ref"
 
   /** `sync` return value for the self-heal path: the replica was rebuilt
     * from the source's current state (rollback past the cursor, or cursor
@@ -76,19 +77,34 @@ object TableReplicator {
     * loses its pruning at scale.
     */
   def create(spark: SparkSession, location: String, source: GraftTable,
-      keyCols: Seq[String]): GraftTable = {
+      keyCols: Seq[String]): GraftTable =
+    create(spark, location, source, keyCols, None)
+
+  /** Bootstrap a replica following `ref` when given (a source BRANCH —
+    * the WAP audit-consumer shape: the replica tracks staged commits
+    * before they publish; st06 follows branch heads the same way), or
+    * the main head when not.
+    */
+  def create(spark: SparkSession, location: String, source: GraftTable,
+      keyCols: Seq[String], ref: Option[String]): GraftTable = {
     require(keyCols.nonEmpty, "replication needs key columns")
     val sm = source.meta
-    val snap = sm.currentSnapshotId
-      .getOrElse(throw new IllegalStateException("source table has no snapshot"))
-    GraftTable.createAs(spark, location, source.toDF(),
+    val snap = ref match {
+      case Some(r) => sm.refs.getOrElse(r,
+        throw new IllegalArgumentException(s"source has no ref '$r'")).snapshotId
+      case None => sm.currentSnapshotId
+        .getOrElse(throw new IllegalStateException("source table has no snapshot"))
+    }
+    val bootstrap = ref.map(source.asOfRef).getOrElse(source.toDF())
+    GraftTable.createAs(spark, location, bootstrap,
       partitionFields = logicalSpecFields(sm),
       properties = Map(
         SrcLocProp -> source.location,
         SrcSnapProp -> snap.toString,
         SrcSchemaProp -> sm.currentSchemaId.toString,
         SrcSpecProp -> sm.currentSpecId.toString,
-        KeyColsProp -> keyCols.mkString(",")))
+        KeyColsProp -> keyCols.mkString(",")) ++
+        ref.map(SrcRefProp -> _))
   }
 
   /** Diff two schemas of DIFFERENT tables by logical name — the
@@ -149,7 +165,12 @@ object TableReplicator {
     val source = GraftTable.load(spark, props(SrcLocProp))
     val sm = source.meta
     val last = props(SrcSnapProp).toLong
-    val head = sm.currentSnapshotId
+    // a ref-following replica syncs to the BRANCH head; when the ref is
+    // gone (dropped after publish) it falls back to main — the staged
+    // commits it already applied are in main's ancestry after the
+    // fast-forward, so the per-commit walk continues seamlessly
+    val head = props.get(SrcRefProp).flatMap(sm.refs.get).map(_.snapshotId)
+      .orElse(sm.currentSnapshotId)
       .getOrElse(throw new IllegalStateException("source table has no snapshot"))
 
     // schema first: changesBetween (and the resync read) emit the source's

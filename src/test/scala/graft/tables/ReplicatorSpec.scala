@@ -188,6 +188,39 @@ class ReplicatorSpec extends SparkSpec {
     assertIdentical(src, rep2)
   }
 
+  test("branch-scoped replica follows staged commits, converges with main on publish (r9)") {
+    val src = GraftTable.createAs(spark, tmp(), orders(300))
+    src.createBranch("audit")
+    // two commits STAGED on the branch — main does not see them
+    src.appendToBranch(
+      orders(40).withColumn("o_orderkey", col("o_orderkey") + 1000000L), "audit")
+    src.appendToBranch(
+      orders(20).withColumn("o_orderkey", col("o_orderkey") + 2000000L), "audit")
+    val repLoc = tmp()
+    // bootstrap mid-stage: the replica starts from the branch head
+    TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"), Some("audit"))
+    assert(GraftTable.load(spark, repLoc).toDF().count() == 360)
+    assert(src.toDF().count() == 300, "main must not see staged rows")
+
+    // more staged work replays per commit against the BRANCH head
+    src.appendToBranch(
+      orders(10).withColumn("o_orderkey", col("o_orderkey") + 3000000L), "audit")
+    assert(TableReplicator.sync(spark, repLoc) == 1)
+    assert(GraftTable.load(spark, repLoc).toDF().count() == 370)
+
+    // publish fast-forwards main onto the branch head: the replica is
+    // already converged with main, and further MAIN commits keep syncing
+    src.publish("audit")
+    assert(TableReplicator.sync(spark, repLoc) == 0)
+    assertIdentical(src, GraftTable.load(spark, repLoc))
+    src.append(orders(5).withColumn("o_orderkey", col("o_orderkey") + 4000000L))
+    // the audit branch still points at the pre-append head; after the ref
+    // is dropped the replica follows main seamlessly (same ancestry)
+    src.dropRef("audit")
+    assert(TableReplicator.sync(spark, repLoc) == 1)
+    assertIdentical(src, GraftTable.load(spark, repLoc))
+  }
+
   test("a dropped replication key column refuses loudly") {
     val src = GraftTable.createAs(spark, tmp(), orders(30))
     val repLoc = tmp()
