@@ -29,6 +29,10 @@ object GraftSession {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
     .config("spark.sql.shuffle.partitions", "32")
+    // AQE stringifies the plan on every update; at 10^2+ scan branches an
+    // unbounded plan string is a driver OOM. 4M chars bounds the DEBUG
+    // artifact without touching planning itself.
+    .config("spark.sql.maxPlanStringLength", (4 << 20).toString)
     .config("spark.ui.enabled", "false")
 
   /** Standalone session (tests, ad-hoc mains). */

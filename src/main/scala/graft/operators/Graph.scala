@@ -14,6 +14,14 @@ object Graph {
     * shuffle on vertex id — no driver-side data beyond the convergence
     * flag.
     *
+    * Each round's labels are EAGERLY localCheckpoint'ed, not persist'ed:
+    * persist keeps the full logical lineage, so round r's plan nests all
+    * r-1 predecessors — plan stringification (which `persist` itself
+    * triggers for the cache name) and re-optimization grow superlinearly
+    * and stall past ~10 rounds on a long-chain graph. The checkpoint cuts
+    * lineage to the materialized RDD: every round plans O(1) work no
+    * matter the diameter.
+    *
     * @param vertices one column `id`
     * @param edges    columns `src`, `dst` (undirected semantics)
     * @return (id, cluster_id) where cluster_id = min reachable id
@@ -24,36 +32,37 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var cached = vertices.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // one job per iteration: materialize new labels and count changes in
-      // the same pass via an accumulator
-      val changedAcc = vertices.sparkSession.sparkContext.longAccumulator(s"cc_changed_$iter")
-      next.foreach { r =>
-        if (r.getLong(r.fieldIndex("old_label")) != r.getLong(r.fieldIndex("label")))
-          changedAcc.add(1L)
-      }
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("id"), col("label"))
-      converged = changedAcc.value == 0L
+        .localCheckpoint(true)
+      // convergence probe over the checkpointed round: a limit-1 scan,
+      // no recomputation
+      converged = stepped.filter(col("old_label") =!= col("label")).isEmpty
+      labels = stepped.select(col("id"), col("label"))
       iter += 1
     }
-    // pin the (small) result and release every intermediate cache — CC is
-    // often called inside larger pipelines and must not leak executor memory
+    // partial labels are WRONG labels: refuse loudly instead of returning
+    // a half-propagated clustering (hash-to-min needs O(diameter) rounds;
+    // dedup graphs are near-cliques, so hitting this means the caller fed
+    // a pathological chain and must raise maxIter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter")
+    // pin the (small) result and release the edge cache — CC is often
+    // called inside larger pipelines and must not leak executor memory
+    // (per-round checkpoint RDDs are reclaimed by the context cleaner
+    // once unreferenced)
     val result = labels.select(col("id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
-    cached.unpersist()
     und.unpersist()
     result
   }

@@ -83,11 +83,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .drop("__gp_fp", "__gp_pos")
     }
 
+  /** Equality-delete anti-joins, ONE per distinct key-column set: within
+    * a read group every listed delete applies to every file (the grouping
+    * key in [[readWithMor]] is the applicable-delete SET, sequence rules
+    * included), so same-keyed deletes union their key files and anti-join
+    * once. A CDC table with hundreds of upsert commits gets a plan of
+    * O(key-col sets) joins, not O(commits) — the per-commit fold was the
+    * plan-explosion (and AQE plan-string OOM) at 100+ delete files.
+    */
   private def applyEq(df: DataFrame, eqs: Seq[EqualityDelete]): DataFrame =
-    eqs.foldLeft(df) { (d, e) =>
-      val keys = spark.read.parquet(e.files: _*)
-      d.join(keys, e.cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
-    }
+    eqs.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(df) { case (d, (cols, es)) =>
+        val keys = spark.read.parquet(es.flatMap(_.files): _*)
+        d.join(keys, cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
+      }
 
   /** Can equality delete `e` possibly hit rows of data file `f`? False
     * only when some key column's ranges are PROVABLY disjoint — delete

@@ -1,0 +1,161 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import java.nio.file.Files
+
+/** The closest local[32] gets to the 100×-scale question: a ~10× corpus
+  * (union + id-shift of sf0.1) and metadata fabricated to 10⁴ files pin
+  * the SCALE properties the architecture claims — linear-envelope LSH
+  * dedup, O(diameter) connected components that refuse rather than
+  * return partial labels, MOR reads whose plan stays O(delete structure)
+  * under 100+ delete files, and manifest-list pruning that reads one
+  * child of a hundred. Runtime envelopes are generous (machine noise);
+  * the PLAN-SHAPE assertions are the real pins.
+  */
+object SlowSuite extends Tag("graft.SlowSuite")
+
+class ScaleStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private def tmp(): String = Files.createTempDirectory("graft_scale").toString + "/t"
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("d03 LSH dedup stays in a linear envelope at 10x the corpus", SlowSuite) {
+    // 10 id-shifted copies: a duplicate-heavy corpus (every doc has 9
+    // exact twins) — the worst realistic shape for LSH banding, held
+    // bounded by the per-bucket candidate caps
+    val dir = Files.createTempDirectory("graft_scale10x").toString
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val n1 = docs.count()
+    (0 until 10).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionAll _)
+      .repartition(16).write.parquet(s"$dir/documents.parquet")
+
+    val (r1, t1) = timed(Dedup.d03MinhashLsh(spark, sf01).count())
+    val (r10, t10) = timed(Dedup.d03MinhashLsh(spark, dir).count())
+    assert(r10 >= 10 * r1, s"10x corpus must cluster 10x the docs ($r1 -> $r10)")
+    // generous linear envelope: 10x rows with 45x the duplicate pairs may
+    // cost more than 10x, but an accidental all-pairs would be ~100x
+    val envelope = 25.0 * math.max(t1, 0.5)
+    assert(t10 <= envelope,
+      f"10x corpus took $t10%.1fs vs $t1%.1fs at 1x (envelope $envelope%.1fs)")
+  }
+
+  test("connected components: O(diameter) rounds on a chain; refuses partial labels", SlowSuite) {
+    // a 16-chain needs 15 propagation rounds — far beyond the near-clique
+    // 2-3 — and must still converge to a single component
+    val n = 16
+    val vertices = spark.range(n).select($"id")
+    val edges = spark.range(n - 1).select($"id".as("src"), ($"id" + 1L).as("dst"))
+    val cc = Graph.connectedComponents(vertices, edges)
+    assert(cc.select("cluster_id").distinct().count() == 1)
+    assert(cc.count() == n)
+    // partial convergence REFUSES (silent wrong labels are the scale
+    // hazard: a capped iteration count on a long chain)
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(
+        spark.range(12).select($"id"),
+        spark.range(11).select($"id".as("src"), ($"id" + 1L).as("dst")),
+        maxIter = 4)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("MOR read plan stays O(delete structure) under 100+ delete files", SlowSuite) {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val orders = spark.read.parquet(s"$sf01/orders.parquet")
+    val nRows = orders.count()
+    val t = GraftTable.createAs(spark, tmp(), orders)
+    t.cluster(Seq("o_orderkey"), nFiles = 8)
+    val dataFiles = t.currentFiles().size
+    // 100 single-key eq-delete commits — the CDC micro-batch shape, one
+    // delete file each; keys stride-sampled so they scatter across ALL
+    // data files (each file accumulates many applicable deletes)
+    val keys = orders.select($"o_orderkey").filter($"o_orderkey" % 1471 === 0)
+      .orderBy($"o_orderkey").limit(100).as[Long].collect()
+    assert(keys.length == 100)
+    val (_, tCommit) = timed {
+      keys.foreach(k =>
+        t.deleteMergeOnReadEquality(Seq(k).toDF("o_orderkey"), Seq("o_orderkey")))
+    }
+    val delFiles = t.currentEqualityDeletes().map(_.files.size).sum
+    assert(t.currentEqualityDeletes().size == 100 && delFiles >= 100,
+      s"expected 100+ delete files, got $delFiles in ${t.currentEqualityDeletes().size} commits")
+
+    val df = GraftTable.load(spark, t.location).toDF()
+    // plan shape: data-file scan branches bounded by the FILE count (the
+    // delete-combination grouping), never files x deletes
+    val dataScans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec
+        if f.relation.location.inputFiles.exists(!_.contains("/deletes/")) => f
+    }
+    assert(dataScans.length <= 2 * dataFiles,
+      s"MOR fan-out: ${dataScans.length} data scans for $dataFiles files")
+    // the r9 collapse: same-keyed deletes anti-join ONCE per read group —
+    // O(groups), never O(commits)
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val antiJoins = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => j
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(antiJoins.length <= dataFiles,
+      s"eq-delete anti-joins must collapse per group: ${antiJoins.length}")
+    // correctness + a generous runtime envelope for the whole read
+    val (cnt, tRead) = timed(df.count())
+    assert(cnt == nRows - keys.length)
+    assert(tRead <= 60.0, f"MOR read with $delFiles delete files took $tRead%.1fs")
+    assert(tCommit / 100.0 <= 5.0, f"eq-delete commit latency ${tCommit / 100.0}%.1fs")
+  }
+
+  test("manifest-list pruning reads one child of 100 at 10^4 files", SlowSuite) {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100))
+    val m = t.meta
+    val snap = m.currentSnapshot.get
+    val conf = spark.sparkContext.hadoopConfiguration
+    // fabricate 100 child manifests x 100 entries with disjoint key
+    // ranges — metadata only, through the table's own serializers
+    val phys = ColumnMapping.physicalOf(m.schema, "o_orderkey")
+    val entries = (0 until 100).map { c =>
+      val files = (0 until 100).map { i =>
+        val lo = (c * 100 + i) * 10L
+        DataFile(s"${t.location}/data/synthetic/f${c}_$i.parquet", m.currentSpecId,
+          Map.empty, 10L, 1000L,
+          Map(phys -> ColStats(Some(lo), Some(lo + 9L), 0L)))
+      }
+      val name = MetaIO.newManifestName(snap.id)
+      MetaIO.writeString(conf, s"${MetaIO.metadataDir(t.location)}/$name",
+        MetaIO.manifestToJson(files))
+      ManifestStats.entryFor(name, files)
+    }
+    val listName = s"manifest-list-${snap.id}-synthetic.json"
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(t.location)}/$listName",
+      MetaIO.manifestListToJson(entries))
+    MetaIO.commitMeta(conf, m.copy(version = m.version + 1,
+      snapshots = m.snapshots.map(s =>
+        if (s.id == snap.id) s.copy(manifest = listName) else s)))
+
+    val t2 = GraftTable.load(spark, t.location)
+    // one point predicate: ONE child survives the summary prune, and only
+    // that child's 100 entries are even loaded before file-level pruning
+    val ((surv, total), tPlan) = timed(t2.plannedManifests("o_orderkey = 55555"))
+    assert(total == 100 && surv == 1, s"manifest pruning: $surv of $total")
+    val (planned, tFiles) = timed(t2.plannedFiles("o_orderkey = 55555"))
+    assert(planned.size == 1 && planned.head.path.contains("f55_5"),
+      s"expected exactly the covering file, got ${planned.map(_.path)}")
+    assert(tPlan + tFiles <= 10.0,
+      f"driver planning over 10^4 files took ${tPlan + tFiles}%.1fs")
+  }
+}
