@@ -2,68 +2,89 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph helpers for dedup clustering. */
 object Graph {
 
-  /** Connected components by iterative min-label propagation (hash-to-min):
-    * each vertex repeatedly adopts the smallest label among itself and its
-    * neighbors until fixpoint. Converges in O(diameter) rounds; dedup
-    * graphs are near-cliques, so 2-3 rounds in practice. Each round is one
-    * shuffle on vertex id — no driver-side data beyond the convergence
-    * flag.
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14): each round relinks every vertex toward the minimum of its
+    * neighborhood, which provably converges to a forest of stars rooted
+    * at each component's minimum id in O(log² n) rounds on ANY graph
+    * shape — vs O(diameter) for plain min-label propagation, whose
+    * adversarial shape (a transitive near-dup CHAIN: doc A ~ B ~ C ~ …,
+    * the template-drift corpus pattern) needs one round per hop. At
+    * 100 TB both algorithms are "a few shuffles per round"; the round
+    * COUNT is the scale difference, and log²(10¹²) ≈ 40 while a chain's
+    * diameter is unbounded.
     *
-    * Each round's labels are EAGERLY localCheckpoint'ed, not persist'ed:
-    * persist keeps the full logical lineage, so round r's plan nests all
-    * r-1 predecessors — plan stringification (which `persist` itself
-    * triggers for the cache name) and re-optimization grow superlinearly
-    * and stall past ~10 rounds on a long-chain graph. The checkpoint cuts
-    * lineage to the materialized RDD: every round plans O(1) work no
-    * matter the diameter.
+    * Both phases are a groupBy-min + a join — neighborhoods are never
+    * materialized as per-row lists, so the high-degree hub that
+    * large-star exists to split can never become a single skewed
+    * collect_list row.
+    *
+    * Each round's edge set is EAGERLY localCheckpoint'ed: persist would
+    * keep the full logical lineage, so round r's plan would nest all r−1
+    * predecessors and plan work would grow superlinearly with rounds.
+    * The checkpoint cuts lineage to the materialized RDD: every round
+    * plans O(1) work. Partial convergence REFUSES: half-contracted
+    * edges are WRONG labels, never a degraded answer.
     *
     * @param vertices one column `id`
     * @param edges    columns `src`, `dst` (undirected semantics)
     * @return (id, cluster_id) where cluster_id = min reachable id
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical directed form: max → min, self-loops dropped
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
 
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    // large-star: every strictly-larger neighbor v of u relinks to
+    // m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = und.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      canon(
+        und.filter(col("dst") > col("src"))
+          .join(m, col("src") === col("u"))
+          .select(col("dst").as("src"), col("m").as("dst")))
+    }
+
+    // small-star (on the max→min orientation): u and all its smaller
+    // neighbors relink to m(u) = min of that set — m < src holds for
+    // every group, so m(u) is just the group min
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("src").agg(min("dst").as("m"))
+      val relinked = e.join(m.withColumnRenamed("src", "u"), col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      canon(relinked.unionAll(m.select(col("src"), col("m").as("dst"))))
+    }
+
+    var e = canon(edges.select(col("src"), col("dst"))).localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      val nbrMin = und.join(labels, und("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // convergence probe over the checkpointed round: a limit-1 scan,
-      // no recomputation
-      converged = stepped.filter(col("old_label") =!= col("label")).isEmpty
-      labels = stepped.select(col("id"), col("label"))
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint test on the canonical edge set: the round potential
+      // strictly decreases until the graph is a union of min-rooted
+      // stars (SoCC '14, Thm 1-2), on which both phases are identities —
+      // so next == e IS the star forest
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
       iter += 1
     }
-    // partial labels are WRONG labels: refuse loudly instead of returning
-    // a half-propagated clustering (hash-to-min needs O(diameter) rounds;
-    // dedup graphs are near-cliques, so hitting this means the caller fed
-    // a pathological chain and must raise maxIter)
     if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          "(graph diameter exceeds maxIter); raise maxIter")
-    // pin the (small) result and release the edge cache — CC is often
-    // called inside larger pipelines and must not leak executor memory
-    // (per-round checkpoint RDDs are reclaimed by the context cleaner
-    // once unreferenced)
-    val result = labels.select(col("id"), col("label").as("cluster_id"))
+        s"connected components did not converge in $maxIter rounds; raise maxIter")
+    // star forest: every non-root vertex has exactly one edge, to its
+    // component's minimum id; roots and isolated vertices label themselves
+    vertices.select(col("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
       .localCheckpoint(true)
-    und.unpersist()
-    result
   }
 }

@@ -51,22 +51,25 @@ class ScaleStressSpec extends SparkSpec {
       f"10x corpus took $t10%.1fs vs $t1%.1fs at 1x (envelope $envelope%.1fs)")
   }
 
-  test("connected components: O(diameter) rounds on a chain; refuses partial labels", SlowSuite) {
-    // a 16-chain needs 15 propagation rounds — far beyond the near-clique
-    // 2-3 — and must still converge to a single component
-    val n = 16
+  test("connected components: O(log n) rounds on a chain; refuses partial labels", SlowSuite) {
+    // a 4096-chain is label propagation's adversarial shape (4095 rounds);
+    // alternating large-star/small-star must converge inside the DEFAULT
+    // 20-round budget — the pin that the round count is O(log n), not
+    // O(diameter)
+    val n = 4096
     val vertices = spark.range(n).select($"id")
     val edges = spark.range(n - 1).select($"id".as("src"), ($"id" + 1L).as("dst"))
     val cc = Graph.connectedComponents(vertices, edges)
-    assert(cc.select("cluster_id").distinct().count() == 1)
     assert(cc.count() == n)
+    assert(cc.select("cluster_id").distinct().count() == 1)
+    assert(cc.agg(max($"cluster_id")).as[Long].head() == 0L)
     // partial convergence REFUSES (silent wrong labels are the scale
-    // hazard: a capped iteration count on a long chain)
+    // hazard: a capped iteration count on a deep graph)
     val e = intercept[IllegalStateException] {
       Graph.connectedComponents(
-        spark.range(12).select($"id"),
-        spark.range(11).select($"id".as("src"), ($"id" + 1L).as("dst")),
-        maxIter = 4)
+        spark.range(64).select($"id"),
+        spark.range(63).select($"id".as("src"), ($"id" + 1L).as("dst")),
+        maxIter = 1)
     }
     assert(e.getMessage.contains("did not converge"))
   }
