@@ -33,6 +33,13 @@ object GraftSession {
     // unbounded plan string is a driver OOM. 4M chars bounds the DEBUG
     // artifact without touching planning itself.
     .config("spark.sql.maxPlanStringLength", (4 << 20).toString)
+    // CBO is off by default in Spark because catalog stats are usually
+    // absent or stale; graft serves LIVE per-snapshot stats (rowCount,
+    // footer min/max/nullCount, sketch NDV) on every read, so estimation
+    // always has current inputs. Relations without rowCount (plain
+    // parquet reads) keep size-only estimation unchanged.
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.cbo.joinReorder.enabled", "true")
     .config("spark.ui.enabled", "false")
 
   /** Standalone session (tests, ad-hoc mains). */

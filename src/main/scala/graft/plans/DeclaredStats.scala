@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, NamedExpression}
 import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning, PushDownPredicates}
 import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, Filter, LogicalPlan, Project, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.FilterEstimation
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -24,14 +25,21 @@ import org.apache.spark.sql.graftbridge.Bridge
   *    upper bound — MoR deletes only shrink the live rows),
   *  - `rowCount`   = Σ planned-file record counts (footer-exact, upper
   *    bound under pending deletes),
-  *  - per-column NDV from the persisted ANALYZE sketches (t42), keyed by
-  *    LOGICAL name so schema renames don't detach them.
+  *  - per-column [[ColumnStat]]s keyed by LOGICAL name so schema renames
+  *    don't detach them: NDV from the persisted ANALYZE sketches (t42),
+  *    and min/max/nullCount aggregated LIVE from the planned files'
+  *    footer stats (r9) — the same numbers the scan planner prunes with,
+  *    so they exist without any ANALYZE and stay current under appends.
   *
   * With these, broadcast-vs-sort-merge flips on metadata truth
-  * (JoinSelection compares `stats.sizeInBytes`), and CBO join reorder
+  * (JoinSelection compares `stats.sizeInBytes`), CBO join reorder
   * (`spark.sql.cbo.joinReorder.enabled`) sees the `rowCount` it requires
-  * on every graft relation — decisions Spark cannot make from file sizes
-  * it can't even see behind the MoR frame.
+  * on every graft relation, and CBO filter estimation turns range/equality
+  * predicates into real selectivities (interval overlap over min/max,
+  * 1/NDV for equality; Spark requires NDV alongside bounds, so this arms
+  * fully on ANALYZEd tables) instead of the size-only "filters are free"
+  * guess — decisions Spark cannot make from file sizes it can't even see
+  * behind the MoR frame.
   *
   * The node is planning-transparent: [[DeclaredStats.PushThrough]] swaps
   * deterministic Filter/Project inside it (so FileSourceStrategy still
@@ -45,20 +53,23 @@ case class DeclaredStats(
     child: LogicalPlan,
     declaredSize: BigInt,
     declaredRows: Option[BigInt],
-    ndvByName: Map[String, Long]) extends UnaryNode {
+    colStatsByName: Map[String, ColumnStat],
+    // Σ file record counts at attach time: a TRUE upper bound on emitted
+    // rows, NEVER rescaled. declaredRows becomes an estimate once a
+    // pushed filter discounts it — fine for cost decisions, but maxRows
+    // feeds correctness-bearing rewrites (limit elimination), which must
+    // only ever see the sound bound.
+    boundRows: Option[BigInt]) extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // Σ file record counts is a TRUE upper bound on emitted rows: scans read
-  // exactly the planned files, and deletes/filters only remove rows.
   override def maxRows: Option[Long] =
-    declaredRows.filter(_.isValidLong).map(_.toLong)
+    boundRows.filter(_.isValidLong).map(_.toLong)
       .orElse(child.maxRows)
 
   override def stats: Statistics = {
     val colStats = output.flatMap(a =>
-      ndvByName.get(a.name).map(n =>
-        a -> ColumnStat(distinctCount = Some(BigInt(n)))))
+      colStatsByName.get(a.name).map(a -> _))
     Statistics(declaredSize.max(1), declaredRows, AttributeMap(colStats))
   }
 
@@ -78,14 +89,30 @@ object DeclaredStats {
     */
   object PushThrough extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-      case Filter(cond, ds: DeclaredStats) if cond.deterministic =>
-        // stats unchanged: a sound upper bound, same as Spark's size-only
-        // Filter estimate (which never discounts selectivity either)
-        ds.copy(child = Filter(cond, ds.child))
+      case f @ Filter(cond, ds: DeclaredStats) if cond.deterministic =>
+        // under CBO, rescale the declared stats by the filter's estimated
+        // selectivity (Catalyst's own FilterEstimation over the declared
+        // ColumnStats: interval overlap on min/max, 1/NDV equality) so the
+        // discount SURVIVES the push-through and reaches join planning —
+        // a selective filter on a big table broadcasts where the
+        // unfiltered table wouldn't. Non-estimable predicates (or CBO
+        // off) keep the stats as a sound upper bound, exactly Spark's
+        // size-only behavior.
+        val rescaled =
+          if (!conf.cboEnabled) None
+          else FilterEstimation(f).estimate
+        rescaled match {
+          case Some(est) =>
+            DeclaredStats(Filter(cond, ds.child), est.sizeInBytes,
+              est.rowCount,
+              est.attributeStats.map { case (a, c) => a.name -> c }.toMap,
+              ds.boundRows)
+          case None => ds.copy(child = Filter(cond, ds.child))
+        }
       case Project(list, ds: DeclaredStats) if list.forall(_.deterministic) =>
         DeclaredStats(Project(list, ds.child),
           scaleByWidth(ds.declaredSize, ds.child.output, list),
-          ds.declaredRows, ds.ndvByName)
+          ds.declaredRows, ds.colStatsByName, ds.boundRows)
     }
 
     private def scaleByWidth(size: BigInt, in: Seq[Attribute],
@@ -100,7 +127,7 @@ object DeclaredStats {
   /** Physical planning erases the node: its child plans as usual. */
   object Planning extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case DeclaredStats(child, _, _, _) => planLater(child) :: Nil
+      case DeclaredStats(child, _, _, _, _) => planLater(child) :: Nil
       case _ => Nil
     }
   }
@@ -120,10 +147,11 @@ object DeclaredStats {
 
   /** Wrap `df` so Catalyst plans it under the declared statistics. */
   def attach(df: DataFrame, sizeBytes: Long, rows: Option[Long],
-      ndvByName: Map[String, Long]): DataFrame = {
+      colStatsByName: Map[String, ColumnStat]): DataFrame = {
     install(df.sparkSession)
+    val r = rows.map(BigInt(_))
     Bridge.ofRows(df.sparkSession,
-      DeclaredStats(Bridge.analyzed(df), BigInt(sizeBytes),
-        rows.map(BigInt(_)), ndvByName))
+      DeclaredStats(Bridge.analyzed(df), BigInt(sizeBytes), r,
+        colStatsByName, boundRows = r))
   }
 }

@@ -229,7 +229,16 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         StructType.fromDDL(cols).fields.foreach(f => t.addColumn(f.name, f.dataType))
         status("add-columns", name)
       case AnalyzeCols(name, cols) =>
-        table(name).analyze(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        // honor Spark's own ANALYZE histogram confs: enabling
+        // spark.sql.statistics.histogram.enabled makes the facade compute
+        // equi-height histograms at the conf'd bin count, exactly like
+        // Spark's ANALYZE over catalog tables
+        val bins =
+          if (spark.conf.get("spark.sql.statistics.histogram.enabled", "false").toBoolean)
+            spark.conf.get("spark.sql.statistics.histogram.numBins", "254").toInt
+          else 0
+        table(name).analyze(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          histogramBins = bins)
         status("analyze", name)
       case CreateMv(name, selectList, baseName, where, groupBy) =>
         handleCreateMv(name, selectList, baseName, Option(where), groupBy)

@@ -3,6 +3,7 @@ package graft.tables
 import graft.plans.DeclaredStats
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, Histogram, HistogramBin}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.util.UUID
@@ -160,7 +161,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * Predicate deletes are global.
     */
   private def readWithMor(m: TableMeta, md: ManifestData,
-      filterSql: Option[String], ndv: Map[String, Long] = Map.empty): DataFrame = {
+      filterSql: Option[String], ndv: Map[String, Long] = Map.empty,
+      hists: Map[String, ColHistogram] = Map.empty): DataFrame = {
     val pruned = filterSql.map(f => ScanPlanner.pruneFiles(m, md.files, f, spark))
       .getOrElse(md.files)
     val scans = pruned.groupBy(f =>
@@ -179,9 +181,49 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val frame = applyDeletes(base, md.deletePredicates)
     // serve the snapshot's own numbers to the planner: the MoR frame's
     // union/anti-join shape otherwise inflates size estimates past any
-    // broadcast threshold, and rowCount/NDV enable CBO join reorder
+    // broadcast threshold, rowCount/NDV enable CBO join reorder, and
+    // footer-aggregated min/max/nullCount give CBO filter estimation
+    // real ranges — live on EVERY read, no ANALYZE required
     DeclaredStats.attach(frame, pruned.map(_.sizeBytes).sum,
-      Some(pruned.map(_.recordCount).sum), ndv)
+      Some(pruned.map(_.recordCount).sum), plannerColStats(m, pruned, ndv, hists))
+  }
+
+  /** Per-column Catalyst [[ColumnStat]]s for the planner, keyed by
+    * LOGICAL name: min/max/nullCount aggregated from the planned files'
+    * footer stats (the same bounds the scan planner prunes with — sound
+    * over-approximations under pending MoR deletes, which only remove
+    * rows), NDV from the persisted ANALYZE sketches when live. String
+    * bounds are withheld (CBO range estimation is numeric-only, and
+    * external files may carry truncated binary bounds); fixed-width
+    * columns declare their width so post-filter size estimates stay
+    * honest.
+    */
+  private def plannerColStats(m: TableMeta, files: Seq[DataFile],
+      ndv: Map[String, Long],
+      hists: Map[String, ColHistogram] = Map.empty): Map[String, ColumnStat] = {
+    // zero-row files constrain nothing but would void every column in
+    // the stats intersection — and PARTIAL bounds are worse than none:
+    // Spark's JoinEstimation falls back to a row-product estimate when
+    // one join side has min/max and the other doesn't
+    val agg = ManifestStats.aggregate(files.filter(_.recordCount > 0))
+    m.schema.fields.iterator.map { f =>
+      val s = agg.get(ColumnMapping.physicalOf(m.schema, f.name))
+      val (mn, mx) = s.map(cs => GraftTable.catalystBounds(f.dataType, cs))
+        .getOrElse((None, None))
+      val width = f.dataType match {
+        case dt @ (_: NumericType | _: DateType | _: TimestampType |
+                   _: TimestampNTZType | _: BooleanType) =>
+          Some(dt.defaultSize.toLong)
+        case _ => None
+      }
+      f.name -> ColumnStat(
+        distinctCount = ndv.get(f.name).map(BigInt(_)),
+        min = mn, max = mx,
+        nullCount = s.map(cs => BigInt(cs.nullCount)),
+        avgLen = width, maxLen = width,
+        histogram = hists.get(f.name).map(h =>
+          Histogram(h.height, h.bins.map(b => HistogramBin(b.lo, b.hi, b.ndv)).toArray)))
+    }.filter(_._2 != ColumnStat()).toMap
   }
 
   // ------------------------------------------------------------- reads
@@ -199,7 +241,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .getOrElse(ManifestData(Nil, Nil, Nil))
       case None => currentManifest(m)
     }
-    readWithMor(m, md, filterSql, statsNdv(m))
+    readWithMor(m, md, filterSql, statsNdv(m), statsHistograms(m))
   }
 
   /** Per-column NDV from the persisted ANALYZE sketches, keyed by LOGICAL
@@ -207,10 +249,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * when no live stats exist ([[currentStats]] staleness rules).
     */
   private def statsNdv(m: TableMeta): Map[String, Long] =
-    currentStats(m).map { case (_, k, sketches) =>
+    currentStats(m).map { sp =>
       m.schema.fields.iterator.flatMap { f =>
-        sketches.get(ColumnMapping.physicalOf(m.schema, f.name))
-          .map(arr => f.name -> graft.functions.KMinValues.estimate(k, arr))
+        sp.sketches.get(ColumnMapping.physicalOf(m.schema, f.name))
+          .map(arr => f.name -> graft.functions.KMinValues.estimate(sp.k, arr))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Live equi-height histograms keyed by LOGICAL name (empty unless
+    * ANALYZEd with `histogramBins` and no append re-stamp since).
+    */
+  private def statsHistograms(m: TableMeta): Map[String, ColHistogram] =
+    currentStats(m).map { sp =>
+      m.schema.fields.iterator.flatMap { f =>
+        sp.histograms.get(ColumnMapping.physicalOf(m.schema, f.name))
+          .map(f.name -> _)
       }.toMap
     }.getOrElse(Map.empty)
 
@@ -395,26 +448,84 @@ class GraftTable(val spark: SparkSession, val location: String) {
     *
     * Re-analyzing different columns at the same snapshot extends the
     * existing stats file rather than discarding it.
+    *
+    * `histogramBins > 0` additionally computes an EQUI-HEIGHT histogram
+    * per numeric column (Spark's `ANALYZE … FOR COLUMNS` shape with
+    * `spark.sql.statistics.histogram.enabled`): one pass for approximate
+    * percentile endpoints, one for per-bin NDV — served to CBO as
+    * `ColumnStat.histogram`, turning skewed-value selectivities from the
+    * uniformity guess into the distribution's own numbers. Histograms
+    * don't fold (bin boundaries are data-dependent), so the next append
+    * re-stamp DROPS them (NDV stays live) — re-ANALYZE to refresh.
     */
-  def analyze(columns: Seq[String], k: Int = 8192): GraftTable = {
+  def analyze(columns: Seq[String], k: Int = 8192,
+      histogramBins: Int = 0): GraftTable = {
     require(columns.nonEmpty, "analyze needs columns")
     val m = meta
     columns.foreach(c => require(m.schema.fieldNames.contains(c), s"unknown column $c"))
     val snap = m.currentSnapshotId.getOrElse(
       throw new IllegalStateException("no snapshot to analyze"))
-    val computed = computeSketches(toDF(),
-      columns.map(c => c -> ColumnMapping.physicalOf(m.schema, c)), k)
+    val physCols = columns.map(c => c -> ColumnMapping.physicalOf(m.schema, c))
+    val df = toDF()
+    val computed = computeSketches(df, physCols, k)
+    val computedHists =
+      if (histogramBins <= 0) Map.empty[String, ColHistogram]
+      else computeHistograms(df, physCols, histogramBins)
     // additive at the same snapshot (same-k): analyzing B after A keeps A
     val prior = currentStats(m) match {
-      case Some((_, k0, sk)) if k0 == k => sk
-      case _ => Map.empty[String, Array[Long]]
+      case Some(sp) if sp.k == k => sp
+      case _ => StatsPayload(snap, k, Map.empty)
     }
     val name = MetaIO.newStatsName(snap)
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
-      MetaIO.statsFileToJson(snap, k, prior ++ computed))
+      MetaIO.statsFileToJson(StatsPayload(snap, k,
+        prior.sketches ++ computed, prior.histograms ++ computedHists)))
     setProperties(Map(TableFormat.StatsSnapshot -> snap.toString,
       TableFormat.StatsFile -> name))
     this
+  }
+
+  /** Equi-height histograms for the NUMERIC columns of `cols`, keyed
+    * physical. Two distributed passes, no driver-side data:
+    * 1. one aggregation for approximate percentile endpoints
+    *    (`percentile_approx`, the equi-height bin bounds) + non-null
+    *    counts (the bin height);
+    * 2. one aggregation of per-interval NDV over ALL columns at once
+    *    (Catalyst's own `ApproxCountDistinctForIntervals`, the aggregate
+    *    Spark's ANALYZE uses) — skewed values simply occupy several
+    *    identical-endpoint bins, which CBO reads as a heavy value.
+    */
+  private def computeHistograms(df: DataFrame, cols: Seq[(String, String)],
+      bins: Int): Map[String, ColHistogram] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+    import org.apache.spark.sql.graftbridge.Bridge
+    val numeric = cols.filter { case (l, _) =>
+      df.schema(l).dataType.isInstanceOf[NumericType] }
+    if (numeric.isEmpty) return Map.empty
+    val pcts = (0 to bins).map(_.toDouble / bins)
+    val aggs1 = numeric.flatMap { case (l, _) => Seq(
+      percentile_approx(col(l).cast("double"), typedlit(pcts), lit(10000)),
+      count(col(l))) }
+    val row1 = df.agg(aggs1.head, aggs1.tail: _*).head()
+    val perCol = numeric.zipWithIndex.flatMap { case ((l, phys), i) =>
+      val eps = if (row1.isNullAt(2 * i)) Nil else row1.getSeq[Double](2 * i)
+      val nonNull = row1.getLong(2 * i + 1)
+      if (eps.isEmpty || nonNull == 0L) None
+      else Some((l, phys, eps, nonNull))
+    }
+    if (perCol.isEmpty) return Map.empty
+    val aggs2 = perCol.map { case (l, _, eps, _) =>
+      Bridge.column(ApproxCountDistinctForIntervals(
+        Bridge.expression(col(l).cast("double")),
+        CreateArray(eps.map(Literal(_))), 0.05).toAggregateExpression()) }
+    val row2 = df.agg(aggs2.head, aggs2.tail: _*).head()
+    perCol.zipWithIndex.map { case ((_, phys, eps, nonNull), i) =>
+      val ndvs = row2.getSeq[Long](i)
+      phys -> ColHistogram(nonNull.toDouble / bins,
+        eps.sliding(2).zip(ndvs.iterator).map {
+          case (Seq(lo, hi), ndv) => HistBin(lo, hi, ndv) }.toSeq)
+    }.toMap
   }
 
   /** One aggregation pass computing the NULL-skipping KMV buffer of each
@@ -448,7 +559,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * re-stamp atomically in their own commit, so an unreachable stamp
     * means rows changed under the stats.
     */
-  private def currentStats(m: TableMeta): Option[(Long, Int, Map[String, Array[Long]])] = {
+  private def currentStats(m: TableMeta): Option[StatsPayload] = {
     def reachable(statsSnap: Long): Boolean = {
       val rowPreserving = Set("replace", "rewrite-deletes")
       var cur = m.currentSnapshotId
@@ -487,9 +598,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def columnNdvDetail(column: String): Option[(Long, Boolean)] = {
     val m = meta
     for {
-      (_, k, sketches) <- currentStats(m)
-      arr <- sketches.get(ColumnMapping.physicalOf(m.schema, column))
-    } yield (graft.functions.KMinValues.estimate(k, arr), arr.length < k)
+      sp <- currentStats(m)
+      arr <- sp.sketches.get(ColumnMapping.physicalOf(m.schema, column))
+    } yield (graft.functions.KMinValues.estimate(sp.k, arr), arr.length < sp.k)
+  }
+
+  /** The live equi-height histogram of an ANALYZEd numeric column, or
+    * None when none was computed, rows changed since, or an append
+    * re-stamp dropped it (histograms don't fold — see [[analyze]]).
+    */
+  def columnHistogram(column: String): Option[ColHistogram] = {
+    val m = meta
+    currentStats(m).flatMap(
+      _.histograms.get(ColumnMapping.physicalOf(m.schema, column)))
   }
 
   /** Files surviving manifest pruning for a filter (the workshop's
@@ -1382,11 +1503,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // once (one extra O(batch) agg — never a table rescan) so the commit
     // can merge them in and re-stamp; NDV stays live under ingest
     val incoming: Option[(Int, Map[String, Array[Long]])] =
-      currentStats(m).flatMap { case (_, k, sk) =>
-        val live = sk.keys.toSeq.sorted.flatMap(phys =>
+      currentStats(m).flatMap { sp =>
+        val live = sp.sketches.keys.toSeq.sorted.flatMap(phys =>
           m.schema.fields.find(f => ColumnMapping.physicalName(f) == phys)
             .map(f => f.name -> phys))
-        if (live.isEmpty) None else Some(k -> computeSketches(df, live, k))
+        if (live.isEmpty) None else Some(sp.k -> computeSketches(df, live, sp.k))
       }
     val retries = m.properties.get(TableFormat.CommitRetries)
       .map(_.toInt).getOrElse(4)
@@ -1400,12 +1521,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // merge against the CURRENT base's stats (a rebase may have moved
       // them); the new stamp rides the data commit atomically
       val statsProps: Map[String, String] = incoming.flatMap { case (k, ns) =>
-        currentStats(m).collect { case (_, k2, cur) if k2 == k =>
-          val merged = cur.map { case (p, arr) =>
+        currentStats(m).collect { case sp if sp.k == k =>
+          val merged = sp.sketches.map { case (p, arr) =>
             p -> ns.get(p).map(n => mergeSketch(arr, n, k)).getOrElse(arr) }
           val name = MetaIO.newStatsName(seq)
+          // histograms are dropped, not folded: the appended rows aren't
+          // in the bins, and wrong bins are worse than no bins
           MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
-            MetaIO.statsFileToJson(seq, k, merged))
+            MetaIO.statsFileToJson(StatsPayload(seq, k, merged)))
           Map(TableFormat.StatsSnapshot -> seq.toString,
             TableFormat.StatsFile -> name)
         }
@@ -2389,6 +2512,37 @@ class GraftTable(val spark: SparkSession, val location: String) {
 }
 
 object GraftTable {
+
+  /** Footer-stat bounds (the FooterStats normalized domain: longs for
+    * integrals/date-days/timestamp-micros, doubles, booleans) converted
+    * to the Catalyst-internal values [[org.apache.spark.sql.catalyst.plans.logical.ColumnStat]]
+    * expects for the column's LOGICAL type — the same representation
+    * Spark's own ANALYZE stores, so CBO's interval arithmetic reads them
+    * natively. Types CBO range estimation doesn't model (strings,
+    * binary) and any stored-type mismatch return no bounds: planner
+    * stats must degrade, never lie.
+    */
+  private[tables] def catalystBounds(dt: DataType, cs: ColStats): (Option[Any], Option[Any]) = {
+    def conv(v: Any): Option[Any] = (dt, v) match {
+      case (ByteType, x: Long)      => Some(x.toByte)
+      case (ShortType, x: Long)     => Some(x.toShort)
+      case (IntegerType, x: Long)   => Some(x.toInt)
+      case (LongType, x: Long)      => Some(x)
+      case (DateType, x: Long)      => Some(x.toInt) // epoch days
+      case (_: TimestampType | _: TimestampNTZType, x: Long) => Some(x) // micros
+      case (FloatType, x: Double)   => Some(x.toFloat)
+      case (DoubleType, x: Double)  => Some(x)
+      case (d: DecimalType, x: Double) =>
+        // normalized lossily to double at footer read; round back to the
+        // column's scale — an estimate-grade bound, exact for the
+        // INT32/INT64-backed precisions the footer path admits
+        Some(Decimal(BigDecimal(x).setScale(d.scale, BigDecimal.RoundingMode.HALF_UP)))
+      case (BooleanType, x: Boolean) => Some(x)
+      case _ => None
+    }
+    (for { mn <- cs.min; mx <- cs.max; lo <- conv(mn); hi <- conv(mx) }
+      yield (Some(lo), Some(hi))).getOrElse((None, None))
+  }
 
   // position-delete file_path bounds, cached process-wide (delete files
   // are immutable). Stored strings carry the _metadata scheme

@@ -176,7 +176,8 @@ object IcebergExport {
       val physToLogical = m.schema.fields.map(f =>
         ColumnMapping.physicalOf(m.schema, f.name) -> f.name).toMap
       scala.util.Try(MetaIO.loadStatsFile(conf, m.location, file)).toOption
-        .foreach { case (_, k, sketches) =>
+        .foreach { sp =>
+          val (k, sketches) = (sp.k, sp.sketches)
           val so = statsArr.addObject()
           so.put("snapshot-id", snap.toLong)
           so.put("statistics-path", path)
@@ -195,6 +196,19 @@ object IcebergExport {
               val bp = bo.putObject("properties")
               bp.put("k", k)
               bp.put("ndv", graft.functions.KMinValues.estimate(k, sketches(phys)).toString)
+              ()
+            }
+          }
+          sp.histograms.keys.toSeq.sorted.foreach { phys =>
+            for (logical <- physToLogical.get(phys); id <- fieldIds.get(logical)) {
+              val bo = blobs.addObject()
+              bo.put("type", "graft-histogram-v1")
+              bo.put("snapshot-id", snap.toLong)
+              bo.put("sequence-number", snap.toLong)
+              bo.putArray("fields").add(id)
+              val bp = bo.putObject("properties")
+              bp.put("bins", sp.histograms(phys).bins.size)
+              bp.put("height", sp.histograms(phys).height)
               ()
             }
           }

@@ -93,6 +93,28 @@ case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
   */
 case class ColStats(min: Option[Any], max: Option[Any], nullCount: Long)
 
+/** One equi-height histogram bin: values in (lo, hi] (the first bin
+  * includes lo), `ndv` distinct values inside.
+  */
+case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+/** Equi-height histogram of a numeric column — the Catalyst `Histogram`
+  * shape CBO's filter estimation consumes: every bin holds ~`height`
+  * rows, so skewed values get wide single-value bins and selectivity
+  * estimates follow the DISTRIBUTION, not the uniformity assumption.
+  */
+case class ColHistogram(height: Double, bins: Seq[HistBin])
+
+/** The persisted ANALYZE payload of one stats file: snapshot stamp,
+  * sketch size, per-PHYSICAL-column KMV buffers, and (optional)
+  * equi-height histograms. Sketches fold under appends; histograms
+  * cannot (bin boundaries are data-dependent), so append re-stamps drop
+  * them rather than serve silently-wrong bins.
+  */
+case class StatsPayload(snapshotId: Long, k: Int,
+    sketches: Map[String, Array[Long]],
+    histograms: Map[String, ColHistogram] = Map.empty)
+
 case class DataFile(
     path: String,
     specId: Int,
@@ -624,20 +646,30 @@ object MetaIO {
     * describes, the sketch size k, and per-PHYSICAL-column sorted KMV
     * buffers (sign-flipped min-hashes — see [[graft.functions.KMinValues]]).
     */
-  def statsFileToJson(snapshotId: Long, k: Int,
-      sketches: Map[String, Array[Long]]): String = {
+  def statsFileToJson(payload: StatsPayload): String = {
     val root = mapper.createObjectNode()
-    root.put("snapshot_id", snapshotId)
-    root.put("k", k)
+    root.put("snapshot_id", payload.snapshotId)
+    root.put("k", payload.k)
     val sk = root.putObject("sketches")
-    sketches.foreach { case (c, arr) =>
+    payload.sketches.foreach { case (c, arr) =>
       val a = sk.putArray(c)
       arr.foreach(a.add)
+    }
+    if (payload.histograms.nonEmpty) {
+      val hs = root.putObject("histograms")
+      payload.histograms.foreach { case (c, h) =>
+        val ho = hs.putObject(c)
+        ho.put("height", h.height)
+        val ba = ho.putArray("bins")
+        h.bins.foreach { b =>
+          val bo = ba.addArray(); bo.add(b.lo); bo.add(b.hi); bo.add(b.ndv); ()
+        }
+      }
     }
     mapper.writeValueAsString(root)
   }
 
-  def statsFileFromJson(json: String): (Long, Int, Map[String, Array[Long]]) = {
+  def statsFileFromJson(json: String): StatsPayload = {
     val root = mapper.readTree(json)
     val sketches = Map.newBuilder[String, Array[Long]]
     val sk = root.get("sketches")
@@ -648,19 +680,30 @@ object MetaIO {
       a.forEach { n => arr(i) = n.asLong(); i += 1 }
       sketches += c -> arr
     }
-    (root.get("snapshot_id").asLong(), root.get("k").asInt(), sketches.result())
+    val hists = Map.newBuilder[String, ColHistogram]
+    val hs = root.get("histograms")
+    if (hs != null) hs.fieldNames().forEachRemaining { c =>
+      val ho = hs.get(c)
+      val bins = Seq.newBuilder[HistBin]
+      ho.get("bins").forEach { bo =>
+        bins += HistBin(bo.get(0).asDouble(), bo.get(1).asDouble(), bo.get(2).asLong())
+      }
+      hists += c -> ColHistogram(ho.get("height").asDouble(), bins.result())
+    }
+    StatsPayload(root.get("snapshot_id").asLong(), root.get("k").asInt(),
+      sketches.result(), hists.result())
   }
 
   // stats files are immutable once written (unique names): cache parses
   private val statsCache =
-    new java.util.LinkedHashMap[(String, String), (Long, Int, Map[String, Array[Long]])](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), StatsPayload](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), (Long, Int, Map[String, Array[Long]])]): Boolean =
+          e: java.util.Map.Entry[(String, String), StatsPayload]): Boolean =
         size() > 32
     }
 
   def loadStatsFile(conf: Configuration, location: String,
-      name: String): (Long, Int, Map[String, Array[Long]]) = {
+      name: String): StatsPayload = {
     val key = (location, name)
     val hit = statsCache.synchronized(statsCache.get(key))
     if (hit != null) hit

@@ -83,6 +83,40 @@ class DeclaredStatsSpec extends SparkSpec {
       "unreferenced wide column must be pruned from the read schema")
   }
 
+  test("footer min/max/nullCount reach the optimizer as ColumnStats — no ANALYZE") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.range(1000).select($"id", ($"id" % 10).cast("int").as("bucket")))
+    val stats = t.toDF().queryExecution.optimizedPlan.stats
+    val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+    val idStat = byName("id")
+    assert(idStat.min.contains(0L) && idStat.max.contains(999L),
+      s"live footer bounds must serve as ColumnStat min/max, got $idStat")
+    assert(idStat.nullCount.contains(BigInt(0)))
+    val bucketStat = byName("bucket")
+    assert(bucketStat.min.contains(0) && bucketStat.max.contains(9),
+      s"int column bounds must convert to Catalyst Int values, got $bucketStat")
+  }
+
+  test("CBO filter estimation runs on live bounds: range selectivity, not size-only") {
+    // ANALYZE supplies the NDV FilterEstimation requires alongside the
+    // footer min/max (same contract as Spark catalog stats + CBO)
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.range(10000).select($"id", ($"id" * 2).as("v")))
+      .analyze(Seq("id", "v"))
+    def estimatedRows(df: DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.stats.rowCount
+    // quarter-range predicate: interval overlap must discount the
+    // estimate to ~25% (size-only estimation would keep all 10k rows)
+    val quarter = estimatedRows(t.toDF().filter($"id" < 2500))
+    assert(quarter.exists(n => n > 1000 && n < 5000),
+      s"range selectivity must reflect min/max, estimated $quarter of 10000")
+    // out-of-range predicate: estimate collapses to ~0
+    val none = estimatedRows(t.toDF().filter($"id" > 1000000))
+    assert(none.exists(_ < 100), s"out-of-range filter must estimate ~0, got $none")
+    // the estimate is planning-only: results are exact either way
+    assert(t.toDF().filter($"id" < 2500).count() == 2500)
+  }
+
   test("CBO join reorder is observable on a 3-table facade query") {
     import graft.sources.GraftSql
     // fact(10k rows), mid(2k rows), tiny(10 rows) — but only 2 of the 10
@@ -115,17 +149,18 @@ class DeclaredStatsSpec extends SparkSpec {
       assert(bottom.nonEmpty, s"no leaf-level join in:\n$plan")
       bottom.head.condition.toSeq.flatMap(_.references.map(_.name)).toSet
     }
-    withConf("spark.sql.cbo.enabled" -> "true",
-        "spark.sql.cbo.joinReorder.enabled" -> "true") {
-      val reordered = bottomJoinKeys(g.sql(q).queryExecution.optimizedPlan)
-      assert(reordered.contains("k2"),
-        s"CBO must join the selective tiny dim first, joined on $reordered first")
-      assert(g.sql(q).head().getLong(0) == 2000L)
-    }
+    // CBO + join reorder are graft session defaults (GraftSession.tune)
+    val reordered = bottomJoinKeys(g.sql(q).queryExecution.optimizedPlan)
+    assert(reordered.contains("k2"),
+      s"CBO must join the selective tiny dim first, joined on $reordered first")
+    assert(g.sql(q).head().getLong(0) == 2000L)
     // without CBO the syntactic order survives — the reorder above was
     // a stats-driven decision, not an accident of the query shape
-    val syntactic = bottomJoinKeys(g.sql(q).queryExecution.optimizedPlan)
-    assert(syntactic.contains("k1"),
-      s"without CBO the written order must hold, joined on $syntactic first")
+    withConf("spark.sql.cbo.enabled" -> "false",
+        "spark.sql.cbo.joinReorder.enabled" -> "false") {
+      val syntactic = bottomJoinKeys(g.sql(q).queryExecution.optimizedPlan)
+      assert(syntactic.contains("k1"),
+        s"without CBO the written order must hold, joined on $syntactic first")
+    }
   }
 }
