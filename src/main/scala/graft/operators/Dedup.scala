@@ -609,9 +609,10 @@ object Dedup {
     * contradictory survivors). Edges are the d05 exact construction
     * (LSH candidates, Jaccard-verified ≥ 0.6, recall 1.0 by
     * construction on this corpus); the closure is
-    * [[Graph.connectedComponents]] — min-label propagation, one shuffle
-    * per round, O(diameter) rounds, no driver-side graph — so 100 TB
-    * runs the same loop with each round a distributed join. keep = the
+    * [[Graph.connectedComponents]] — alternating large-star/small-star
+    * (SoCC '14), a groupBy-min + join per phase, O(log² n) rounds on any
+    * graph shape, no driver-side graph — so 100 TB runs the same loop
+    * with each round a distributed join. keep = the
     * component representative (min doc id); csize drives "drop all but
     * one per cluster" downstream.
     */
@@ -778,15 +779,17 @@ object Dedup {
     incrementalDedupRound(spark, fp, batch2)
   }
 
-  /** One ingestion round: flag `batch` docs duplicating anything the
-    * fingerprint index has seen, then absorb the SURVIVORS' keys (and
-    * sketches) in one append so the next round dedups against history +
-    * this batch. Candidate verification joins the index's own stored
-    * sketches — O(index ∩ candidates), zero corpus IO: the history
-    * corpus may not even exist anymore.
+  /** READ-ONLY half of an ingestion round: flag `batch` docs duplicating
+    * anything the fingerprint index has seen. Candidate verification
+    * joins the index's own stored sketches — O(index ∩ candidates), zero
+    * corpus IO: the history corpus may not even exist anymore. Returns
+    * `(doc_id, is_dup, dup_of)` for every batch doc; the index is NOT
+    * modified, so the computation is deterministic under replay (the
+    * streaming st11 sink leans on exactly that for its exactly-once
+    * repair ordering).
     */
-  private[operators] def incrementalDedupRound(spark: SparkSession,
-      fp: graft.tables.GraftTable, batch: DataFrame): DataFrame = {
+  private[graft] def flagAgainstIndex(fp: graft.tables.GraftTable,
+      batch: DataFrame): DataFrame = {
     val fpDf = fp.toDF()
     val bk = bandKeys(batch)
     val cands = bk.join(fpDf,
@@ -807,14 +810,29 @@ object Dedup {
       .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
       .localCheckpoint(true)
 
-    fp.append(bandKeysWithSketch(batch.join(verified,
-      batch("doc_id") === verified("new_id"), "left_anti")))
-
     batch.select(col("doc_id"))
       .join(verified, batch("doc_id") === verified("new_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The fingerprint-index entries (band keys + riding sketch) for a set
+    * of surviving docs — what the index absorbs after a round.
+    */
+  private[graft] def indexEntries(survivors: DataFrame): DataFrame =
+    bandKeysWithSketch(survivors)
+
+  /** One ingestion round: [[flagAgainstIndex]], then absorb the
+    * SURVIVORS' keys (and sketches) in one append so the next round
+    * dedups against history + this batch.
+    */
+  private[operators] def incrementalDedupRound(spark: SparkSession,
+      fp: graft.tables.GraftTable, batch: DataFrame): DataFrame = {
+    val flags = flagAgainstIndex(fp, batch)
+    fp.append(indexEntries(batch.join(flags.filter(col("is_dup")),
+      Seq("doc_id"), "left_anti")))
+    flags
   }
 
   /** All-pairs replay: batch2 vs batch1 exact char-5-gram Jaccard. */

@@ -629,7 +629,149 @@ object Streams {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** st11: CONTINUOUS dedup ingestion — the streaming face of d10: each
+    * micro-batch is flagged against the persisted fingerprint index
+    * (LSH band keys + riding sketches, zero corpus IO), novel docs land
+    * in a CLEAN versioned table, and the index absorbs their keys — so
+    * the clean table never admits a near-dup of anything ever streamed,
+    * across batches, restarts and replays.
+    *
+    * Exactly-once across TWO tables with one deterministic repair order:
+    * flags are computed READ-ONLY (the index is untouched until the last
+    * step), per-batch flag output is an idempotent overwrite, and each
+    * table append carries its own batch-id fence — so a replay after any
+    * crash point recomputes identical flags (the index only changes in
+    * the final step) and re-applies exactly the missing commits.
+    */
+  private[streaming] def dedupIngestBatch(fp: GraftTable, clean: GraftTable,
+      flagsDir: String, queryName: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val cleanDone = alreadyApplied(clean, queryName, batchId)
+    val fpDone = alreadyApplied(fp, queryName, batchId)
+    if (cleanDone && fpDone) return
+    val flags = graft.operators.Dedup.flagAgainstIndex(fp, batch)
+    val survivors = batch.join(flags.filter(col("is_dup")), Seq("doc_id"), "left_anti")
+    flags.withColumn("batch", lit(batchId + 1))
+      .write.mode("overwrite").parquet(s"$flagsDir/b$batchId")
+    if (!cleanDone)
+      clean.appendWithProperties(survivors,
+        Map(batchFence(queryName) -> batchId.toString))
+    // the index absorb is LAST: everything above re-derives byte-identical
+    // results as long as the index hasn't moved
+    if (!fpDone)
+      fp.appendWithProperties(graft.operators.Dedup.indexEntries(survivors),
+        Map(batchFence(queryName) -> batchId.toString))
+    ()
+  }
+
+  /** st11 as a driver-gate query: three micro-batches stream through the
+    * index — batch 1 seeds it, batch 2 is the d10 shape (fresh docs +
+    * planted copies of batch 1), batch 3 is copies ONLY: of batch-1
+    * originals (dup against the index) and of batch-2's planted DUPS
+    * (still dup — they must match the batch-1 ORIGINAL in the index,
+    * because flagged dups are never absorbed). Emits per-batch flags;
+    * the oracle replays the sequential all-pairs dedup in DuckDB
+    * (batch k vs the SURVIVORS of batches < k).
+    */
+  def st11StreamDedupIndexGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val b1 = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      .unionAll(b1.select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+    val b3 = b1.filter(col("doc_id") < 50)
+        .select((col("doc_id") + lit(7000000L)).as("doc_id"), col("text"))
+      .unionAll(b1.filter(col("doc_id") < 10)
+        .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text")))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_st11_src").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$streamDir/.stage$i"
+      b.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/batch$i.parquet"))
+      // FileStreamSource orders by mtime; sub-ms writes can tie, so pin
+      // strictly increasing timestamps to make batch order deterministic
+      new java.io.File(s"$streamDir/batch$i.parquet")
+        .setLastModified(1000000000000L + i * 60000L)
+      ()
+    }
+    val work = graft.TempDirs.create("graft_st11").toString
+    val fp = GraftTable.createEmpty(spark, s"$work/fp",
+      graft.operators.Dedup.indexEntries(b1.limit(0)).schema)
+    val clean = GraftTable.createEmpty(spark, s"$work/clean", b1.schema)
+    val flagsDir = s"$work/flags"
+    val name = s"st11_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = withStatePartitions(spark) {
+      stream.writeStream.queryName(name).outputMode("append")
+        .foreachBatch(dedupIngestBatch(fp, clean, flagsDir, name) _).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$flagsDir/*")
+      .select(col("batch").cast("long").as("batch"), col("doc_id"),
+        col("is_dup"), col("dup_of"))
+      .orderBy(col("batch"), col("doc_id"))
+  }
+
+  /** Sequential replay: batch k's docs vs exact char-5-gram Jaccard ≥ 0.6
+    * against the SURVIVORS of earlier batches.
+    */
+  val st11Oracle: String =
+    """WITH b1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |b2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, text FROM b1),
+      |b3 AS (
+      |  SELECT doc_id + 7000000 AS doc_id, text FROM b1 WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id + 9000000 AS doc_id, text FROM b1 WHERE doc_id < 10),
+      |s1 AS (
+      |  SELECT doc_id, list_distinct(
+      |    [substring(text, i, 5) for i in generate_series(1, length(text) - 4)]) AS s
+      |  FROM b1),
+      |s2 AS (
+      |  SELECT doc_id, list_distinct(
+      |    [substring(text, i, 5) for i in generate_series(1, length(text) - 4)]) AS s
+      |  FROM b2),
+      |s3 AS (
+      |  SELECT doc_id, list_distinct(
+      |    [substring(text, i, 5) for i in generate_series(1, length(text) - 4)]) AS s
+      |  FROM b3),
+      |m2 AS (
+      |  SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+      |  FROM s2 n JOIN s1 o
+      |    ON CAST(len(list_intersect(n.s, o.s)) AS DOUBLE) /
+      |      (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.6
+      |  GROUP BY n.doc_id),
+      |srv AS (
+      |  SELECT * FROM s1
+      |  UNION ALL
+      |  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM m2)),
+      |m3 AS (
+      |  SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+      |  FROM s3 n JOIN srv o
+      |    ON CAST(len(list_intersect(n.s, o.s)) AS DOUBLE) /
+      |      (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.6
+      |  GROUP BY n.doc_id)
+      |SELECT CAST(1 AS BIGINT) AS batch, doc_id, FALSE AS is_dup,
+      |  CAST(-1 AS BIGINT) AS dup_of FROM b1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), b.doc_id, m.dup_of IS NOT NULL,
+      |  COALESCE(m.dup_of, -1) FROM b2 b LEFT JOIN m2 m ON b.doc_id = m.doc_id
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), b.doc_id, m.dup_of IS NOT NULL,
+      |  COALESCE(m.dup_of, -1) FROM b3 b LEFT JOIN m3 m ON b.doc_id = m.doc_id
+      |ORDER BY batch, doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "st11_stream_dedup_index"  -> ((st11StreamDedupIndexGate _, st11Oracle)),
     "st09_view_maintain"       -> ((st09ViewMaintain _, st09Oracle)),
     "st10_stream_outer_join"   -> ((st10StreamOuterJoinGate _, st10Oracle)),
     "st08_stream_static_join"  -> ((st08StreamStaticGate _, st08GateOracle)),
