@@ -707,7 +707,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     * name references.
     */
   private val MetaTableRef =
-    """(?i)\b(\w+)\.(history|snapshots|files|manifests|metadata_log_entries|partitions)\b""".r
+    """(?i)\b(\w+)\.(history|snapshots|files|manifests|metadata_log_entries|partitions|refs)\b""".r
 
   private def runSelect(selectRaw: String): DataFrame = {
     var q = selectRaw
@@ -728,6 +728,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
           case "manifests" => table(name).manifestsDf
           case "metadata_log_entries" => table(name).metadataLogDf
           case "partitions" => table(name).partitionsDf
+          case "refs" => table(name).refsDf
         }
         df.createOrReplaceTempView(view)
         view

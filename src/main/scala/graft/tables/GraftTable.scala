@@ -851,6 +851,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
   }
 
+  /** `.refs` metadata table (Iceberg's refs inspection): every named
+    * branch/tag plus the implicit `main` head.
+    */
+  def refsDf: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    (m.currentSnapshotId.map(id => ("main", "branch", id)).toSeq ++
+      m.refs.toSeq.sortBy(_._1).map { case (n, r) => (n, r.kind, r.snapshotId) })
+      .toDF("name", "type", "snapshot_id")
+  }
+
   /** `.snapshots` metadata table. */
   def snapshotsDf: DataFrame = {
     import spark.implicits._

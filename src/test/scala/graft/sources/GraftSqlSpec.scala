@@ -365,6 +365,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT SUM(record_count) AS r FROM meta_ice.manifests WHERE content = 'data'")
       .head().getLong(0) == n + added)
     assert(g.sql("SELECT COUNT(*) AS n FROM meta_ice.metadata_log_entries").head().getLong(0) >= 2)
+    // .refs: main + every named branch/tag with its pinned snapshot
+    val t = g.table("meta_ice")
+    val headId = t.meta.currentSnapshotId.get
+    t.createTag("v1", t.meta.snapshots.head.id)
+    t.createBranch("audit", Some(headId))
+    val refs = g.sql("SELECT name, type, snapshot_id FROM meta_ice.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(
+      ("audit", "branch", headId),
+      ("main", "branch", headId),
+      ("v1", "tag", t.meta.snapshots.head.id)))
   }
 
   test("SHOW TABLES / SHOW PARTITIONS / DESCRIBE (hive_partitioning_examples + README shapes)") {
