@@ -564,6 +564,78 @@ object Similarity {
       |  AND list_cosine_similarity(q.qv, c.ev) >= 0.8
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // s07: IVF-PQ — the composite index (FAISS's IndexIVFPQ shape; Jégou
+  // et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+  // 2011, §V): the coarse quantizer scopes WHICH codes are scanned and
+  // PQ compresses WHAT the scan reads. At 100 TB this is the deployable
+  // configuration: a cell-clustered code table is dim·4/m× smaller than
+  // the embeddings (64-dim float → 8-byte codes = 32×) and only
+  // ~nProbe/nCells of it is touched per query — the two savings
+  // MULTIPLY, where s03 alone still reads full vectors inside probed
+  // cells and s04 alone still ADC-scans every code in the corpus. Same
+  // trained artifacts as s03+s04 (one coarse quantizer, one codebook
+  // set — nothing new to train), same codegen'd ADC kernel, and the
+  // exact cosine re-rank re-reads true embeddings ONLY for the
+  // surviving `rerank` candidates per query. Cell assignment and
+  // encoding are one map over the corpus (centroids + codebooks ride
+  // the plan as constants); probes broadcast with a per-query LUT, so
+  // the only shuffles are candidate dedup and the top-k windows — the
+  // s03 cost model with a 32× lighter scan payload.
+  // ------------------------------------------------------------------
+
+  private[graft] def s07AnnIvfPqOn(e: DataFrame, q: DataFrame,
+      cents: Array[Array[Float]], cbs: Array[Array[Array[Float]]],
+      nProbe: Int, repl: Int, rerank: Int): DataFrame = {
+    val ks = cbs(0).length
+    val unit = expr(
+      "transform(embedding, x -> CAST(x / sqrt(aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
+    // encode once per corpus row; the generate for cell replication
+    // projects the already-computed code alongside each emitted cell
+    val coded = e.select(col("vec_id"), F.pqEncode(unit, cbs).as("code"),
+      explode(F.nearestCells(col("embedding"), cents, repl)).as("cell"))
+    val qunit = expr(
+      "transform(qv, x -> CAST(x / sqrt(aggregate(qv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
+    val probes = q.select(col("query_id"), F.pqLut(qunit, cbs).as("lut"),
+      explode(F.nearestCells(col("qv"), cents, nProbe)).as("cell"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cands = coded.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        F.pqAdc(col("code"), col("lut"), ks).as("ascore"))
+      // a pair can arrive via more than one shared cell; its ADC score is
+      // cell-independent, so max == any — one dedup shuffle
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("ascore")).as("ascore"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cands
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        F.cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored)
+  }
+
+  def s07AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    s07AnnIvfPqOn(Tables.embeddings(spark, sfDir), queries(spark, sfDir),
+      ivfCentroids(spark, sfDir), pqCodebooks(spark, sfDir),
+      nProbe = 4, repl = 2, rerank = 100)
+
+  /** Gate variant — oracle-exact by the planted-copy construction: a copy
+    * is the identical float array, so it shares every nearest cell with
+    * its query (candidate recall 1.0 by construction) and carries the
+    * query's own PQ code, whose ADC score (≈ cos(q, decode(code)) ≈ 1 −
+    * quantization error) clears the corpus' 0.48 natural-cosine ceiling
+    * by a wide margin — the copies survive any rerank ≥ 5 cut, and the
+    * exact re-rank then reproduces DuckDB's exact top-5.
+    */
+  def s07AnnIvfPqGate(spark: SparkSession, sfDir: String): DataFrame =
+    s07AnnIvfPqOn(plantedCorpus(spark, sfDir), queries(spark, sfDir),
+      ivfCentroids(spark, sfDir), pqCodebooks(spark, sfDir),
+      nProbe = 4, repl = 2, rerank = 100)
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s06_range_search"   -> ((s06RangeSearchGate _, s06Oracle)),
     "s01_ann_bruteforce" -> ((s01AnnBruteforce _, s01Oracle)),
@@ -571,5 +643,6 @@ object Similarity {
     "s03_ann_ivf"        -> ((s03AnnIvfGate _, plantedOracle)),
     "s04_ann_pq"         -> ((s04AnnPqGate _, plantedOracle)),
     "s05_ann_filtered"   -> ((s05AnnFilteredGate _, s05Oracle)),
+    "s07_ann_ivf_pq"     -> ((s07AnnIvfPqGate _, plantedOracle)),
   )
 }

@@ -426,6 +426,61 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"pq clustered recall $recall")
   }
 
+  test("s07 ivf-pq on clustered corpus: recall >=0.95 from the composite index") {
+    // IVF-PQ's design case: cluster-structured data, both artifacts
+    // trained on the same sample — the probed-cell scope and the coded
+    // scan must COMPOSE without recall collapsing below either parent.
+    val rnd = new scala.util.Random(19)
+    def gauss(): Float = rnd.nextGaussian().toFloat
+    val centers = Array.fill(25)(Array.fill(64)(gauss()))
+    val vecs: Seq[(Long, Array[Float])] = (for {
+      c <- centers.indices; m <- 0 until 20
+    } yield ((c * 20 + m).toLong, centers(c).map(x => x + 0.35f * gauss()))).toSeq
+    val e = vecs.toDF("vec_id", "embedding")
+    val q = vecs.filter(_._1 % 10 == 0).toDF("query_id", "qv")
+    val sample = vecs.map(v => Similarity.normalize(v._2)).toArray
+    val cents = Similarity.trainKMeans(sample, 25, iters = 12)
+    val cbs = Similarity.pqTrain(sample, 8, 32)
+    val got = Similarity.s07AnnIvfPqOn(e, q, cents, cbs, nProbe = 4, repl = 2, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = vecs.toMap
+    val exact = emb.keys.filter(_ % 10 == 0).flatMap { qid =>
+      vecs.filter(_._1 != qid).map { case (id, v) => (id, cos(emb(qid), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.95, s"ivf-pq clustered recall $recall")
+  }
+
+  test("s07 ivf-pq plan: one map assigns+encodes the corpus; probes broadcast") {
+    val plan = Similarity.s07AnnIvfPq(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probes must broadcast:\n$plan")
+    assert(plan.contains("graft_nearest_cells"), "cell assignment must be the codegen'd map")
+    assert(plan.contains("graft_pq_encode"), "encoding must ride the same corpus map")
+    assert(plan.contains("graft_pq_adc"), "scoring must be the ADC kernel, not cosine")
+    // the corpus side must never sort-merge for the probe join
+    assert(!plan.contains("SortMergeJoin"), s"corpus must never shuffle for the probe join:\n$plan")
+  }
+
+  test("s07 ivf-pq on the uniform corpus: honest composite worst-case recall >=0.5") {
+    // Composite of two approximations on the no-locality worst case:
+    // the probed-cell scope (s03 uniform ~0.6) intersected with ADC
+    // ranking error (s04 uniform >=0.85) — the bound is their product's
+    // neighborhood, not a quality target (see the s03 honesty note).
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.s07AnnIvfPq(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf-pq uniform recall $recall")
+  }
+
   test("ann gate variants return exactly the planted copies at ranks 1..5") {
     // The oracle-exact gate construction (Similarity.plantedCorpus):
     // 5 exact copies of each query vector at ids 1000000 + qid*10 + j.
@@ -435,7 +490,8 @@ class SimilaritySpec extends SparkSpec {
     for ((name, gate) <- Seq(
         "s02" -> Similarity.s02AnnLshGate _,
         "s03" -> Similarity.s03AnnIvfGate _,
-        "s04" -> Similarity.s04AnnPqGate _)) {
+        "s04" -> Similarity.s04AnnPqGate _,
+        "s07" -> Similarity.s07AnnIvfPqGate _)) {
       val rows = gate(spark, sf)
         .select($"query_id", $"neighbor_id", $"rnk").as[(Long, Long, Long)].collect()
       assert(rows.nonEmpty, s"$name gate empty")
