@@ -1093,7 +1093,40 @@ object TableOpsExt {
        |  TRUE AS multi_file, TRUE AS files_pruned
        |FROM ${cappedSql(4000)} WHERE o_orderkey <= 400""".stripMargin
 
+  /** t46: PERSISTED partition statistics (Iceberg's partition statistics
+    * files; reference README.md "Metadata files" — metadata serving the
+    * planner). `computePartitionStats()` stamps per-(spec, partition)
+    * data-file/record/byte counters from manifests (metadata-only); the
+    * APPEND then folds its own files' totals in — O(appended files),
+    * never a manifest rescan — and re-stamps in the same commit, so
+    * `.partitions` serves from the payload in O(partitions) with ZERO
+    * manifest IO at any file count (the 10⁶-file serving path).
+    * `from_stats` pins that the result really came from the persisted
+    * payload, live across the append; per-partition values are
+    * oracle-checked, and file_count = 2 pins the fold arithmetic (one
+    * file per partition per write). Staleness honesty (non-append
+    * commits flip to live recompute) is spec'd in StatsSpec.
+    */
+  def t46PartitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = orders(spark, sfDir)
+    val t = GraftTable.createAs(spark, tmp(), base.filter(col("o_orderkey") % 2 === 0),
+      Seq(PartitionField("o_orderstatus", "identity", "status")))
+    t.computePartitionStats()
+    t.append(base.filter(col("o_orderkey") % 2 === 1))
+    t.partitionsDf
+      .select(col("partition"), col("file_count"), col("record_count"))
+      .withColumn("from_stats", lit(t.partitionStats.isDefined))
+      .orderBy(col("partition"))
+  }
+
+  val t46Oracle: String =
+    s"""SELECT 'status=' || o_orderstatus AS partition,
+       |  CAST(2 AS BIGINT) AS file_count, COUNT(*) AS record_count,
+       |  TRUE AS from_stats
+       |FROM ${cappedSql()} GROUP BY o_orderstatus ORDER BY 1""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t46_partition_stats"      -> ((t46PartitionStats _, t46Oracle)),
     "t45_sort_order"           -> ((t45SortOrder _, t45Oracle)),
     "t44_stats_join"           -> ((t44StatsJoin _, t44Oracle)),
     "t43_cdc_schema_evolution" -> ((t43CdcSchemaEvolution _, t43Oracle)),

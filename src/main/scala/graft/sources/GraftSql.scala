@@ -33,6 +33,8 @@ import scala.util.matching.Regex
   *    `ALTER TABLE t EXECUTE expire_snapshots('<timestamp>')` (README.md
   *    "Time travel" / "Maintenance")
   *  - `CALL system.rewrite_data_files('t')` / `CALL system.rewrite_manifests('t')`
+  *  - `CALL system.compute_partition_stats('t')` (persisted partition statistics;
+  *    appends fold, `.partitions` serves in O(partitions))
   *  - `CALL system.cherrypick_snapshot('t', <snapshot-id>)` (divergent-WAP publish)
   *  - `DESCRIBE HISTORY t`
   *  - `SELECT ... FROM t [FOR SYSTEM_TIME AS OF '<ts>']
@@ -125,6 +127,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val ExecExpire = r("""ALTER\s+TABLE\s+(\w+)\s+EXECUTE\s+EXPIRE_SNAPSHOTS\s*\(\s*(.*?)\s*\)""")
   private val CallRewriteFiles = r("""CALL\s+[\w.]*REWRITE_DATA_FILES\s*\(\s*["']([\w.]+)["']\s*\)""")
   private val CallRewriteManifests = r("""CALL\s+[\w.]*REWRITE_MANIFESTS\s*\(\s*["']([\w.]+)["']\s*\)""")
+  private val CallComputePartStats =
+    r("""CALL\s+[\w.]*COMPUTE_PARTITION_STATS\s*\(\s*["']([\w.]+)["']\s*\)""")
   private val CallRemoveOrphans =
     r("""CALL\s+[\w.]*REMOVE_ORPHAN_FILES\s*\(\s*["']([\w.]+)["']\s*(?:,\s*(\d+)\s*)?\)""")
   private val CallAddFiles =
@@ -287,6 +291,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(stripDb(name)).compact(); status("rewrite-data-files", stripDb(name))
       case CallRewriteManifests(name) =>
         table(stripDb(name)).rewriteManifests(); status("rewrite-manifests", stripDb(name))
+      case CallComputePartStats(name) =>
+        table(stripDb(name)).computePartitionStats()
+        status("compute-partition-stats", stripDb(name))
       case CallRemoveOrphans(name, olderThan) =>
         import spark.implicits._
         table(stripDb(name)).removeOrphanFiles(

@@ -883,14 +883,66 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * current snapshot with file and record counts (manifest-only — no
     * data scan).
     */
+  /** Canonical partition rendering of a data file: sorted `k=v/k2=v2`. */
+  private def partitionKeyOf(f: DataFile): String =
+    f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  /** Per-partition counters of a file set — the partition-stats payload
+    * entries and the `.partitions` rows share this one aggregation.
+    */
+  private def partitionEntriesOf(files: Seq[DataFile]): Seq[PartitionStatEntry] =
+    files.groupBy(f => (f.specId, partitionKeyOf(f))).toSeq
+      .map { case ((specId, part), fs) =>
+        PartitionStatEntry(specId, part, fs.size.toLong,
+          fs.map(_.recordCount).sum, fs.map(_.sizeBytes).sum) }
+      .sortBy(e => (e.specId, e.partition))
+
+  /** Persist partition statistics for the CURRENT snapshot (Iceberg's
+    * partition statistics file): per-(spec, partition) data-file, record
+    * and byte counters, computed from manifests (metadata-only — no data
+    * IO) and stamped. From then on [[append]] FOLDS its own files'
+    * totals in — O(appended files), never a manifest rescan — and
+    * re-stamps atomically in the same commit, so [[partitionsDf]] serves
+    * from the payload in O(partitions) with zero manifest IO at any file
+    * count. Any other commit kind leaves the stamp behind (file counts /
+    * bytes move under rewrites even when rows don't): consumers fall
+    * back to the live computation — degrade, never lie.
+    */
+  def computePartitionStats(): GraftTable = {
+    val m = meta
+    val snap = m.currentSnapshotId.getOrElse(
+      throw new IllegalStateException("no snapshot to analyze"))
+    val name = MetaIO.newPartitionStatsName(snap)
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
+      MetaIO.partitionStatsToJson(
+        PartitionStatsPayload(snap, partitionEntriesOf(currentFiles(m)))))
+    setProperties(Map(TableFormat.PartStatsSnapshot -> snap.toString,
+      TableFormat.PartStatsFile -> name))
+    this
+  }
+
+  /** The live partition-stats payload, or None when none were computed
+    * or any non-append commit landed since (appends re-stamp atomically,
+    * so a stamp ≠ current snapshot means file-level counters moved).
+    */
+  def partitionStats: Option[PartitionStatsPayload] = partitionStats(meta)
+
+  private def partitionStats(m: TableMeta): Option[PartitionStatsPayload] =
+    for {
+      snapStr <- m.properties.get(TableFormat.PartStatsSnapshot)
+      file <- m.properties.get(TableFormat.PartStatsFile)
+      if m.currentSnapshotId.contains(snapStr.toLong)
+      // resilient to a swept stats file (advisory data, never an error)
+      stats <- scala.util.Try(MetaIO.loadPartitionStatsFile(conf, location, file)).toOption
+    } yield stats
+
   def partitionsDf: DataFrame = {
     import spark.implicits._
-    currentFiles()
-      .groupBy(f => (f.specId,
-        f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")))
-      .toSeq
-      .map { case ((specId, part), fs) =>
-        (part, specId, fs.size.toLong, fs.map(_.recordCount).sum) }
+    val entries = partitionStats
+      .map(_.entries) // O(partitions), zero manifest IO
+      .getOrElse(partitionEntriesOf(currentFiles()))
+    entries
+      .map(e => (e.partition, e.specId, e.dataFileCount, e.dataRecordCount))
       .sortBy(r => (r._2, r._1))
       .toDF("partition", "spec_id", "file_count", "record_count")
   }
@@ -1520,6 +1572,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
             .map(f => f.name -> phys))
         if (live.isEmpty) None else Some(sp.k -> computeSketches(df, live, sp.k))
       }
+    // partition-stats fold: counters are additive over added data files,
+    // so the appended files' own per-partition totals (O(batch), already
+    // in hand from the write) merge into the live payload — no manifest
+    // rescan at any table size
+    val incomingParts: Seq[PartitionStatEntry] = partitionEntriesOf(written)
     val retries = m.properties.get(TableFormat.CommitRetries)
       .map(_.toInt).getOrElse(4)
     var attempt = 0
@@ -1544,11 +1601,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
             TableFormat.StatsFile -> name)
         }
       }.getOrElse(Map.empty)
+      val partStatsProps: Map[String, String] = partitionStats(m).map { pp =>
+        val merged = (pp.entries ++ incomingParts)
+          .groupBy(e => (e.specId, e.partition)).toSeq
+          .map { case ((sid, part), es) => PartitionStatEntry(sid, part,
+            es.map(_.dataFileCount).sum, es.map(_.dataRecordCount).sum,
+            es.map(_.totalSizeBytes).sum) }
+          .sortBy(e => (e.specId, e.partition))
+        val name = MetaIO.newPartitionStatsName(seq)
+        MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$name",
+          MetaIO.partitionStatsToJson(PartitionStatsPayload(seq, merged)))
+        Map(TableFormat.PartStatsSnapshot -> seq.toString,
+          TableFormat.PartStatsFile -> name)
+      }.getOrElse(Map.empty)
       try {
         commitSnapshot(m, md.files ++ newFiles, "append", newFiles.size,
           positionDeleteFiles = md.positionDeleteFiles,
           equalityDeletes = md.equalityDeletes,
-          extraProperties = extraProperties ++ statsProps)
+          extraProperties = extraProperties ++ statsProps ++ partStatsProps)
         committed = true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -2136,14 +2206,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
       // superseded stats files: every append fold writes a fresh one, so
       // only the file the CURRENT properties reference stays load-bearing
       val liveStats = m.properties.get(TableFormat.StatsFile)
+      val livePartStats = m.properties.get(TableFormat.PartStatsFile)
       mfs.listStatus(mdir).foreach { st =>
         val name = st.getPath.getName
         val orphanManifest = name.startsWith("manifest-") &&
           name.endsWith(".json") && !refManifests.contains(name)
         val orphanStats = name.startsWith("stats-") &&
           name.endsWith(".json") && !liveStats.contains(name)
+        val orphanPartStats = name.startsWith("partition-stats-") &&
+          name.endsWith(".json") && !livePartStats.contains(name)
         val abandonedTmp = name.startsWith(".") && name.contains(".tmp-")
-        if ((orphanManifest || orphanStats || abandonedTmp) && st.getModificationTime < olderThanMs) {
+        if ((orphanManifest || orphanStats || orphanPartStats || abandonedTmp) && st.getModificationTime < olderThanMs) {
           val norm = if (st.getPath.toString.startsWith("file:"))
             st.getPath.toUri.getPath else st.getPath.toString
           MetaIO.delete(conf, norm)

@@ -214,6 +214,27 @@ object IcebergExport {
           }
         }
     }
+    // partition statistics (Iceberg `partition-statistics`): emitted only
+    // when the persisted payload is LIVE (stamped at the current
+    // snapshot) — same honesty boundary as the column-stats entry
+    val partStatsArr = root.putArray("partition-statistics")
+    for {
+      snap <- m.properties.get(TableFormat.PartStatsSnapshot)
+      file <- m.properties.get(TableFormat.PartStatsFile)
+      if m.currentSnapshotId.contains(snap.toLong)
+    } {
+      val conf = t.spark.sparkContext.hadoopConfiguration
+      val path = s"${MetaIO.metadataDir(m.location)}/$file"
+      if (scala.util.Try(MetaIO.loadPartitionStatsFile(conf, m.location, file)).isSuccess) {
+        val po = partStatsArr.addObject()
+        po.put("snapshot-id", snap.toLong)
+        po.put("statistics-path", path)
+        val len = scala.util.Try(MetaIO.fs(conf, path)
+          .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen).getOrElse(0L)
+        po.put("file-size-in-bytes", len)
+        ()
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

@@ -56,6 +56,20 @@ object TableFormat {
     */
   val StatsSnapshot = "graft.stats.snapshot-id"
   val StatsFile = "graft.stats.file"
+  /** Persisted PARTITION statistics (Iceberg's partition statistics
+    * files, the `partition-statistics` metadata list): per-(spec,
+    * partition-tuple) data-file/record/byte counters, stamped with the
+    * snapshot they describe. Counters are ADDITIVE over added data
+    * files, so an append folds its own files' per-partition totals in
+    * O(batch) and re-stamps in the same commit — `.partitions` then
+    * serves in O(partitions) with zero manifest IO. Any other commit
+    * kind (rewrite, delete, overwrite, compaction — file counts and
+    * bytes change even when rows don't) leaves the stamp behind:
+    * consumers fall back to the live manifest computation, never a
+    * stale answer.
+    */
+  val PartStatsSnapshot = "graft.partition-stats.snapshot-id"
+  val PartStatsFile = "graft.partition-stats.file"
   /** Bounded retry count for non-conflicting commits that lose the
     * version CAS (Iceberg `commit.retry.num-retries`, default 4): an
     * append re-points its already-written files onto the winner's
@@ -114,6 +128,19 @@ case class ColHistogram(height: Double, bins: Seq[HistBin])
 case class StatsPayload(snapshotId: Long, k: Int,
     sketches: Map[String, Array[Long]],
     histograms: Map[String, ColHistogram] = Map.empty)
+
+/** One partition's data-file counters (Iceberg partition-stats fields:
+  * `data_file_count` / `data_record_count` / bytes are counts over LIVE
+  * data files, NOT net of merge-on-read deletes — the same semantics
+  * `.partitions` reports from manifests). `partition` is the canonical
+  * sorted `k=v/k2=v2` rendering of the file's partition tuple.
+  */
+case class PartitionStatEntry(specId: Int, partition: String,
+    dataFileCount: Long, dataRecordCount: Long, totalSizeBytes: Long)
+
+/** The persisted partition-statistics payload of one stats file. */
+case class PartitionStatsPayload(snapshotId: Long,
+    entries: Seq[PartitionStatEntry])
 
 case class DataFile(
     path: String,
@@ -716,6 +743,41 @@ object MetaIO {
 
   def newStatsName(snapId: Long): String =
     s"stats-$snapId-${java.util.UUID.randomUUID.toString.take(8)}.json"
+
+  // -------------------------------------------------- partition stats file
+
+  def partitionStatsToJson(p: PartitionStatsPayload): String = {
+    val root = mapper.createObjectNode()
+    root.put("snapshot_id", p.snapshotId)
+    val arr = root.putArray("partitions")
+    p.entries.foreach { e =>
+      val o = arr.addObject()
+      o.put("spec_id", e.specId)
+      o.put("partition", e.partition)
+      o.put("data_file_count", e.dataFileCount)
+      o.put("data_record_count", e.dataRecordCount)
+      o.put("total_size_bytes", e.totalSizeBytes)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def partitionStatsFromJson(json: String): PartitionStatsPayload = {
+    val root = mapper.readTree(json)
+    val entries = Seq.newBuilder[PartitionStatEntry]
+    root.get("partitions").forEach { o =>
+      entries += PartitionStatEntry(o.get("spec_id").asInt(),
+        o.get("partition").asText(), o.get("data_file_count").asLong(),
+        o.get("data_record_count").asLong(), o.get("total_size_bytes").asLong())
+    }
+    PartitionStatsPayload(root.get("snapshot_id").asLong(), entries.result())
+  }
+
+  def loadPartitionStatsFile(conf: Configuration, location: String,
+      name: String): PartitionStatsPayload =
+    partitionStatsFromJson(readString(conf, s"${metadataDir(location)}/$name"))
+
+  def newPartitionStatsName(snapId: Long): String =
+    s"partition-stats-$snapId-${java.util.UUID.randomUUID.toString.take(8)}.json"
 
   // ------------------------------------------------------------ metadata
 

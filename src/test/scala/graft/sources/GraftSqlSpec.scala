@@ -378,6 +378,26 @@ class GraftSqlSpec extends SparkSpec {
       ("v1", "tag", t.meta.snapshots.head.id)))
   }
 
+  test("CALL system.compute_partition_stats: .partitions serves the persisted payload") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE pstats_ice PARTITIONED BY (o_orderstatus) AS SELECT * FROM orders")
+    g.sql("CALL system.compute_partition_stats('pstats_ice')")
+    val t = g.table("pstats_ice")
+    assert(t.partitionStats.nonEmpty, "payload persisted and stamped")
+    // INSERT folds + re-stamps; the facade `.partitions` read is the
+    // O(partitions) payload path and must match the data truth
+    g.sql("INSERT INTO pstats_ice SELECT o_orderkey + 900000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey < 100")
+    assert(t.partitionStats.nonEmpty, "append kept the payload live")
+    val viaSql = g.sql(
+      "SELECT partition, record_count FROM pstats_ice.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val truth = spark.read.parquet(s"$sf/orders.parquet")
+    val expected = truth.unionByName(truth.filter(org.apache.spark.sql.functions.col("o_orderkey") < 100))
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => (s"o_orderstatus=${r.getString(0)}", r.getLong(1))).sortBy(_._1).toSeq
+    assert(viaSql == expected)
+  }
+
   test("SHOW TABLES / SHOW PARTITIONS / DESCRIBE (hive_partitioning_examples + README shapes)") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE DATABASE hive_p")

@@ -104,6 +104,34 @@ class ConcurrencySpec extends SparkSpec {
       s"both folds must survive the race, got ${fresh.columnNdv("k")}")
   }
 
+  test("racing appends both fold partition stats; counters stay manifest-exact (r9)") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc,
+      (1L to 100L).map(i => (i, s"p${i % 3}")).toDF("k", "p"),
+      Seq(PartitionField("p", "identity", "part")))
+    t.computePartitionStats()
+    val t1 = GraftTable.load(spark, loc)
+    // another writer appends (and folds) while our append is in flight:
+    // the loser must re-merge its per-partition totals against the
+    // WINNER's payload, not its own stale base
+    t1.appendWithRetry((101L to 150L).map(i => (i, s"p${i % 3}")).toDF("k", "p"),
+      onAttempt = { a =>
+        if (a == 0)
+          GraftTable.load(spark, loc)
+            .append((201L to 260L).map(i => (i, s"p${i % 3}")).toDF("k", "p"))
+      })
+    val fresh = GraftTable.load(spark, loc)
+    val pp = fresh.partitionStats
+    assert(pp.nonEmpty, "payload must stay live through the race")
+    val live = fresh.currentFiles().groupBy(f =>
+        f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      .map { case (p, fs) => (p, fs.size.toLong, fs.map(_.recordCount).sum) }
+      .toSeq.sortBy(_._1)
+    assert(pp.get.entries.map(e => (e.partition, e.dataFileCount, e.dataRecordCount))
+      == live, s"both folds must survive the race, got ${pp.get.entries}")
+    assert(pp.get.entries.map(_.dataRecordCount).sum == 210L)
+  }
+
   test("mid-flight COMPACTION: an upsert rebases onto the row-preserving winner") {
     val loc = tmp()
     GraftTable.createAs(spark, loc,

@@ -104,4 +104,23 @@ class IcebergExportSpec extends SparkSpec {
     assert((0 until blobs.size()).forall(i =>
       blobs.get(i).get("type").asText() == "graft-kmv-sketch-v1"))
   }
+
+  test("partition statistics export in `partition-statistics`, only while live") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(300),
+      Seq(PartitionField("o_orderstatus", "identity", "status")))
+    assert(mapper.readTree(IcebergExport.metadataJson(t))
+      .get("partition-statistics").size() == 0)
+    t.computePartitionStats()
+    val root = mapper.readTree(IcebergExport.metadataJson(t))
+    val ps = root.get("partition-statistics")
+    assert(ps.size() == 1)
+    assert(ps.get(0).get("snapshot-id").asLong() == t.meta.currentSnapshotId.get)
+    assert(ps.get(0).get("statistics-path").asText().contains("partition-stats-"))
+    assert(ps.get(0).get("file-size-in-bytes").asLong() > 0)
+    // a file-rewriting commit leaves the stamp behind -> not exported
+    t.delete("o_orderkey <= 100")
+    assert(mapper.readTree(IcebergExport.metadataJson(t))
+      .get("partition-statistics").size() == 0, "stale payload must not export")
+  }
 }

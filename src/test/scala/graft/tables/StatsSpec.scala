@@ -178,4 +178,84 @@ class StatsSpec extends SparkSpec {
     assert(t.columnNdv("o_custkey").contains(exactNdv(t, "o_custkey")),
       "live stats file survives the sweep")
   }
+
+  // ------------------------------------------------ partition statistics
+
+  private def liveParts(t: GraftTable): Seq[(Int, String, Long, Long)] =
+    t.currentFiles().groupBy(f => (f.specId,
+        f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")))
+      .toSeq.map { case ((sid, p), fs) =>
+        (sid, p, fs.size.toLong, fs.map(_.recordCount).sum) }
+      .sortBy(e => (e._1, e._2))
+
+  test("partition stats: compute serves .partitions; appends fold without a rescan") {
+    val t = GraftTable.createAs(spark, tmp(), orders(600),
+      Seq(PartitionField("o_orderstatus", "identity", "status")))
+    assert(t.partitionStats.isEmpty, "nothing persisted yet")
+    t.computePartitionStats()
+    val p0 = t.partitionStats.get
+    assert(p0.entries.map(e => (e.specId, e.partition, e.dataFileCount, e.dataRecordCount))
+      == liveParts(t), "persisted payload mirrors the manifests")
+    // append re-stamps atomically: payload stays live and matches a fresh
+    // manifest computation (fold arithmetic = recompute result)
+    t.append(orders(200).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    val p1 = t.partitionStats.get
+    assert(p1.snapshotId == t.meta.currentSnapshotId.get, "fold re-stamped")
+    assert(p1.entries.map(e => (e.specId, e.partition, e.dataFileCount, e.dataRecordCount))
+      == liveParts(t), "folded counters equal the manifest truth")
+    assert(p1.entries.forall(_.totalSizeBytes > 0L))
+    // .partitions serves the payload
+    val viaDf = t.partitionsDf.collect()
+      .map(r => (r.getInt(1), r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaDf == liveParts(t))
+  }
+
+  test("partition stats: any non-append commit flips to live recompute; recompute heals") {
+    val t = GraftTable.createAs(spark, tmp(), orders(600),
+      Seq(PartitionField("o_orderstatus", "identity", "status")))
+    // two files per partition so compaction has something to merge
+    t.append(orders(200).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    t.computePartitionStats()
+    assert(t.partitionStats.nonEmpty)
+    t.compact(64L << 20) // row-preserving, but file counts/bytes move
+    assert(t.partitionStats.isEmpty, "compaction must invalidate file-level counters")
+    // the fallback path still answers correctly from manifests
+    val viaDf = t.partitionsDf.collect()
+      .map(r => (r.getInt(1), r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaDf == liveParts(t))
+    t.computePartitionStats()
+    assert(t.partitionStats.nonEmpty, "recompute heals")
+    t.delete("o_orderkey <= 100")
+    assert(t.partitionStats.isEmpty, "deletes invalidate")
+  }
+
+  test("partition stats: fold spans partition-spec evolution (per-spec entries)") {
+    val base = orders(400)
+    val t = GraftTable.createAs(spark, tmp(), base.filter(col("o_orderkey") % 2 === 0),
+      Seq(PartitionField("o_orderstatus", "identity", "status")))
+    t.computePartitionStats()
+    t.setPartitionSpec(Seq(PartitionField("o_orderpriority", "identity", "prio")))
+    // spec change is a metadata-only commit -> stats went stale; recompute
+    // then append under the NEW spec folds entries of a second specId
+    t.computePartitionStats()
+    t.append(base.filter(col("o_orderkey") % 2 === 1))
+    val p = t.partitionStats.get
+    assert(p.entries.map(_.specId).distinct.size == 2,
+      "entries must carry both specs' partitions")
+    assert(p.entries.map(e => (e.specId, e.partition, e.dataFileCount, e.dataRecordCount))
+      == liveParts(t))
+  }
+
+  test("partition stats: orphan sweep keeps the live file, removes superseded") {
+    val t = GraftTable.createAs(spark, tmp(), orders(200),
+      Seq(PartitionField("o_orderstatus", "identity", "status")))
+    t.computePartitionStats()
+    t.append(orders(20).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    t.append(orders(20).withColumn("o_orderkey", col("o_orderkey") + 2000000L))
+    val removed = t.removeOrphanFiles(System.currentTimeMillis() + 1000L)
+    assert(removed.exists(_.contains("partition-stats-")), "superseded payloads swept")
+    assert(t.partitionStats.nonEmpty, "live payload survives the sweep")
+    assert(t.partitionStats.get.entries.map(e =>
+      (e.specId, e.partition, e.dataFileCount, e.dataRecordCount)) == liveParts(t))
+  }
 }
