@@ -57,6 +57,9 @@ object F {
     */
   def polyWordHashes(words: Column): Column = col(PolyWordHashes(ex(words)))
 
+  /** Hashed-feature linear classifier score (integer, portable). */
+  def linearScore(words: Column): Column = col(HashedLinearScore(ex(words)))
+
   /** Hilbert-curve index of an array<long> of `bits`-bit coordinates. */
   def hilbertIndex(coords: Column, bits: Int): Column =
     col(HilbertIndex(ex(coords), bits))

@@ -556,6 +556,66 @@ object PolyWordHashKernel {
   }
 }
 
+/** Static kernel for [[HashedLinearScore]] so generated code stays one
+  * call. The "model" is a hashed-feature linear classifier (the
+  * fastText / CCNet quality-filter inference shape): token → portable
+  * hash → one of 65536 weight buckets → integer weight in [-500, 500].
+  * Weights are DERIVED (Knuth multiplicative hash of the bucket index),
+  * not loaded — deterministic pseudo-random, so any engine reproduces
+  * the exact score with no weight file to ship; a trained model drops
+  * into [[weight]] without touching the plan shape. All arithmetic is
+  * integer (sum of bounded weights — no float accumulation order
+  * issues), which is what makes the score hash-checkable cross-engine.
+  */
+object LinearScoreKernel {
+  final val Buckets = 65536L
+
+  /** Integer weight of one feature bucket, in [-500, 500]. */
+  def weight(bucket: Long): Long =
+    ((bucket * 2654435761L) % 2147483647L) % 1001L - 500L
+
+  def compute(words: ArrayData): Long = {
+    var s = 0L
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        if (w.numChars() > 0) {
+          // bucket = h1 % 2^16 (the packed hash is h2·2³² + h1 and
+          // 2³² ≡ 0 mod 2¹⁶, so the oracle only needs the h1 chain)
+          val h = PolyWordHashKernel.hashWord(w, 7L, 11L)
+          s += weight(h % Buckets)
+        }
+      }
+      i += 1
+    }
+    s
+  }
+}
+
+/** Hashed-feature linear-classifier score of an array<string> token
+  * column: Σ weight(hash(token) % 65536) over non-empty tokens, integer
+  * arithmetic end to end (see [[LinearScoreKernel]]).
+  */
+case class HashedLinearScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_linear_score"
+
+  override def nullSafeEval(input: Any): Any =
+    LinearScoreKernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val lk = classOf[LinearScoreKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $lk.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedLinearScore =
+    copy(child = newChild)
+}
+
 /** Per-word portable polynomial hashes of an array<string> column (see
   * [[PolyWordHashKernel.hashWord]]). Bits 31 and 63 of each hash are
   * always zero; a simhash over these hashes therefore carries 62 live

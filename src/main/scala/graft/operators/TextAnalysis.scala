@@ -803,7 +803,92 @@ object TextAnalysis {
         length(col("text")).cast("long").as("len_chars"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- p04
+
+  /** p04: deterministic SHARDED epoch shuffle — the step that turns a
+    * curated corpus into per-epoch training order. Each epoch seeds a
+    * portable multiplicative hash (the x10 family: doc_id < 2³¹ keeps
+    * every intermediate under 2⁶³, so any engine reproduces the bits);
+    * a doc's shard is `h % nShards` and its position is the rank of
+    * (h, doc_id) WITHIN the (epoch, shard) — so the order is
+    * row-reproducible on any engine/run/partitioning, epochs decorrelate
+    * (different seed → different permutation), and NOTHING is global:
+    * each shard sorts independently, which is exactly how training
+    * shards are laid out at 100 TB (a writer per shard, no global sort,
+    * no single-partition window — the window partitions by
+    * epoch × shard, parallelism nShards × epochs).
+    */
+  def p04EpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nShards = 8
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .crossJoin(broadcast(Seq(1, 2).toDF("epoch")))
+      .withColumn("h",
+        ((col("doc_id") + col("epoch") * lit(1000003L)) * lit(2654435761L))
+          % lit(2147483647L))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("position", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("position"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("position"))
+  }
+
+  val p04Oracle: String =
+    """WITH d AS (
+      |  SELECT e.epoch, doc.doc_id,
+      |    ((doc.doc_id + e.epoch * 1000003) * 2654435761) % 2147483647 AS h
+      |  FROM documents doc CROSS JOIN (VALUES (1), (2)) e(epoch)),
+      |s AS (
+      |  SELECT epoch, doc_id, h, CAST(h % 8 AS INT) AS shard FROM d)
+      |SELECT epoch, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS position,
+      |  doc_id
+      |FROM s ORDER BY epoch, shard, position""".stripMargin
+
+  // ---------------------------------------------------------------- x18
+
+  /** x18: quality-classifier INFERENCE (the CCNet/C4 fastText-filter
+    * step, distinct from x02's hand-written heuristics): every document
+    * is scored by a hashed-feature linear model — token → portable hash
+    * → one of 65536 weight buckets → integer weight — in one codegen'd
+    * expression ([[graft.functions.LinearScoreKernel]]); keep/drop is
+    * the score's sign. Per-row, shuffle-free, whole-stage codegen: the
+    * shape of ANY batch model inference over a corpus at 100 TB. The
+    * weights here are derived arithmetic (no model file to ship), so the
+    * oracle replays the EXACT integer score; a trained model changes one
+    * kernel function, not the plan.
+    */
+  def x18ClassifierScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.F.linearScore(words(col("text"))).as("score_sum"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("label", when(col("score_sum") > 0, "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+
+  val x18Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    [w FOR w IN regexp_split_to_array(trim(text), '\s+') IF length(w) > 0] AS ws,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(list_sum([
+      |      ((list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |          [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
+      |        (a, c) -> (a * 31 + c) % 2147483647) % 65536)
+      |       * 2654435761) % 2147483647 % 1001 - 500
+      |      FOR w IN ws]), 0) AS BIGINT) AS score_sum
+      |  FROM t)
+      |SELECT doc_id, score_sum, n_tokens,
+      |  CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),
+    "p04_epoch_shuffle"  -> ((p04EpochShuffle _, p04Oracle)),
     "x17_subword_tokens" -> ((x17SubwordTokens _, "")),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),

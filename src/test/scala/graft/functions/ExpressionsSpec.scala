@@ -159,4 +159,35 @@ class ExpressionsSpec extends SparkSpec {
     assert(edge(1L) == 47244640263L)
     assert(edge(2L) == fp("ab", 16))
   }
+
+  test("linear score: independent reimplementation, weight bounds, codegen parity") {
+    // independent reference: different code path (string fold, BigInt-free
+    // but same arithmetic spelled from the spec, not the kernel)
+    def refH1(w: String): Long =
+      w.codePoints().toArray.foldLeft(7L)((a, c) => (a * 31L + c) % 2147483647L)
+    def refScore(text: String): Long =
+      text.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => ((refH1(w) % 65536L) * 2654435761L) % 2147483647L % 1001L - 500L)
+        .sum
+    val texts = Seq("the quick brown fox", "a b c", "  padded   tokens  ",
+      "one", "", "repeat repeat repeat")
+    val viaDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", F.linearScore(split(trim($"t"), "\\s+")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(viaDf(i.toLong) == refScore(t), s"mismatch on '$t'")
+    // weight bounds: any single-token score is within [-500, 500]
+    for (w <- Seq("alpha", "beta", "x", "éclair"))
+      assert(math.abs(refScore(w)) <= 500)
+    // interpreted eval matches the df (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val arr = new GenericArrayData(
+      Array("the", "quick", "brown", "fox").map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    val interpreted = HashedLinearScore(Literal(arr, ArrayType(StringType)))
+      .eval(null).asInstanceOf[Long]
+    assert(interpreted == viaDf(0L))
+  }
 }

@@ -533,6 +533,29 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("p04 epoch shuffle: a permutation per epoch, epochs decorrelate, shards balanced") {
+    val out = TextAnalysis.p04EpochShuffle(spark, sf)
+      .as[(Int, Int, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1, 2))
+    for ((_, rows) <- byEpoch) {
+      // every doc exactly once per epoch (it IS a permutation)
+      assert(rows.map(_._4).distinct.length == nDocs.toInt)
+      // positions are 1..n within each shard (dense ranks, no gaps)
+      for ((_, srows) <- rows.groupBy(_._2))
+        assert(srows.map(_._3).sorted.toSeq == (1L to srows.length).toSeq)
+      // no shard hogs the corpus (hash balance, loose 3x bound)
+      val sizes = rows.groupBy(_._2).values.map(_.length)
+      assert(sizes.max <= 3 * math.max(1, sizes.min))
+    }
+    // different seeds must yield a DIFFERENT order: compare the doc
+    // sequence of a shard that exists in both epochs
+    val seq1 = byEpoch(1).filter(_._2 == 0).sortBy(_._3).map(_._4).toSeq
+    val seq2 = byEpoch(2).filter(_._2 == 0).sortBy(_._3).map(_._4).toSeq
+    assert(seq1 != seq2, "epochs must not replay the same order")
+  }
+
   test("p03 budget mix: every source fills its token budget with minimal overshoot, deterministically") {
     val out = TextAnalysis.p03TokenBudgetMix(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
