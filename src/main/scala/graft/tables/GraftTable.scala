@@ -922,19 +922,48 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** The live partition-stats payload, or None when none were computed
-    * or any non-append commit landed since (appends re-stamp atomically,
-    * so a stamp ≠ current snapshot means file-level counters moved).
+    * or the DATA-FILE SET moved since. Appends re-stamp atomically;
+    * merge-on-read delete commits leave `md.files` untouched (the
+    * counters are `data_*` semantics — live data files, pre-delete, same
+    * as the manifest computation), so the validity walk crosses them:
+    * the stamp must be reachable from the current snapshot through
+    * file-set-preserving commits only. Anything else (rewrite,
+    * overwrite, compaction with new files) falls back to live compute.
     */
   def partitionStats: Option[PartitionStatsPayload] = partitionStats(meta)
 
-  private def partitionStats(m: TableMeta): Option[PartitionStatsPayload] =
+  private def partitionStats(m: TableMeta): Option[PartitionStatsPayload] = {
+    def reachable(statsSnap: Long): Boolean = {
+      val filePreserving = Set("delete-mor", "delete-mor-pos", "delete-mor-eq")
+      var cur = m.currentSnapshotId
+      while (cur.isDefined) {
+        if (cur.get == statsSnap) return true
+        val s = m.snapshot(cur.get)
+        val preserves = s.exists(x => filePreserving.contains(x.operation) ||
+          // delete-file compaction folds delete files, data files untouched
+          (x.operation == "rewrite-deletes" && x.addedFiles == 0))
+        if (!preserves) return false
+        cur = s.get.parentId
+      }
+      false
+    }
     for {
       snapStr <- m.properties.get(TableFormat.PartStatsSnapshot)
       file <- m.properties.get(TableFormat.PartStatsFile)
-      if m.currentSnapshotId.contains(snapStr.toLong)
+      if reachable(snapStr.toLong)
       // resilient to a swept stats file (advisory data, never an error)
       stats <- scala.util.Try(MetaIO.loadPartitionStatsFile(conf, location, file)).toOption
     } yield stats
+  }
+
+  /** Re-derive partition stats after a maintenance rewrite when a live
+    * payload existed before it: the rewrite already did O(files) work, so
+    * the recompute is noise, and `.partitions` stays on the O(partitions)
+    * serving path through compaction/clustering instead of silently
+    * degrading to manifest scans until someone re-computes.
+    */
+  private def refreshPartitionStatsIfLive(hadLive: Boolean): Unit =
+    if (hadLive) { computePartitionStats(); () }
 
   def partitionsDf: DataFrame = {
     import spark.implicits._
@@ -2245,7 +2274,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .repartition(nOut)
     val newFiles = writeDataFiles(packed, m)
     val untouched = cur.filterNot(f => small.exists(_.path == f.path))
+    val hadLive = partitionStats(m).nonEmpty
     commitSnapshot(m, untouched ++ newFiles, "replace", newFiles.size)
+    refreshPartitionStatsIfLive(hadLive)
     this
   }
 
@@ -2267,7 +2298,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // distribution 'none': a hash-by-partition repartition here would
     // destroy the range layout this rewrite just produced
     val newFiles = writeDataFiles(sorted, m, distributionOverride = Some("none"))
+    val hadLive = partitionStats(m).nonEmpty
     commitSnapshot(m, newFiles, "replace", newFiles.size)
+    refreshPartitionStatsIfLive(hadLive)
     this
   }
 
@@ -2351,7 +2384,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .sortWithinPartitions(col("__curve"))
       .drop("__curve")
     val newFiles = writeDataFiles(sorted, m, distributionOverride = Some("none"))
+    val hadLive = partitionStats(m).nonEmpty
     commitSnapshot(m, newFiles, "replace", newFiles.size)
+    refreshPartitionStatsIfLive(hadLive)
     this
   }
 

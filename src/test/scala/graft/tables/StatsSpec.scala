@@ -210,23 +210,35 @@ class StatsSpec extends SparkSpec {
     assert(viaDf == liveParts(t))
   }
 
-  test("partition stats: any non-append commit flips to live recompute; recompute heals") {
+  test("partition stats: maintenance refreshes, MOR deletes traverse, CoW rewrites invalidate") {
     val t = GraftTable.createAs(spark, tmp(), orders(600),
       Seq(PartitionField("o_orderstatus", "identity", "status")))
     // two files per partition so compaction has something to merge
     t.append(orders(200).withColumn("o_orderkey", col("o_orderkey") + 1000000L))
     t.computePartitionStats()
     assert(t.partitionStats.nonEmpty)
-    t.compact(64L << 20) // row-preserving, but file counts/bytes move
-    assert(t.partitionStats.isEmpty, "compaction must invalidate file-level counters")
-    // the fallback path still answers correctly from manifests
+    t.compact(64L << 20) // file counts/bytes move -> auto re-derived in the rewrite
+    assert(t.partitionStats.nonEmpty, "maintenance must keep the payload live")
+    assert(t.partitionStats.get.entries.map(e =>
+      (e.specId, e.partition, e.dataFileCount, e.dataRecordCount)) == liveParts(t),
+      "refreshed payload mirrors the post-compaction manifests")
+    // a MOR delete predicate leaves the data-file set untouched: the
+    // validity walk crosses it (data_* counters are pre-delete semantics)
+    t.deleteMergeOnRead("o_orderkey <= 50")
+    assert(t.partitionStats.nonEmpty, "MOR delete commits must not strand the payload")
     val viaDf = t.partitionsDf.collect()
       .map(r => (r.getInt(1), r.getString(0), r.getLong(2), r.getLong(3))).toSeq
     assert(viaDf == liveParts(t))
+    // a CoW rewrite moves the file set with no refresh hook -> stale,
+    // fallback computes live, recompute heals
+    t.materializeDeletes()
+    t.delete("o_orderkey <= 100")
+    assert(t.partitionStats.isEmpty, "CoW rewrites invalidate")
+    val viaDf2 = t.partitionsDf.collect()
+      .map(r => (r.getInt(1), r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaDf2 == liveParts(t))
     t.computePartitionStats()
     assert(t.partitionStats.nonEmpty, "recompute heals")
-    t.delete("o_orderkey <= 100")
-    assert(t.partitionStats.isEmpty, "deletes invalidate")
   }
 
   test("partition stats: fold spans partition-spec evolution (per-spec entries)") {
