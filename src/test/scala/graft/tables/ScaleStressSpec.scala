@@ -161,4 +161,49 @@ class ScaleStressSpec extends SparkSpec {
     assert(tPlan + tFiles <= 10.0,
       f"driver planning over 10^4 files took ${tPlan + tFiles}%.1fs")
   }
+
+  test("partition stats serve 10^4 partitions from one payload read", SlowSuite) {
+    // 10^4 fabricated single-file partitions (the synthetic-manifest trick
+    // above): computePartitionStats persists 10^4 entries; .partitions
+    // must then answer from the payload — one metadata file read, zero
+    // manifest loads — and an append folds in O(batch) while the payload
+    // stays manifest-exact.
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100),
+      Seq(PartitionField("o_orderkey", "identity", "k")))
+    val m = t.meta
+    val snap = m.currentSnapshot.get
+    val conf = spark.sparkContext.hadoopConfiguration
+    val nParts = 10000
+    val files = (0 until nParts).map { i =>
+      DataFile(s"${t.location}/data/synthetic/p$i.parquet", m.currentSpecId,
+        Map("k" -> i.toString), 10L, 1000L, Map.empty)
+    }
+    val name = MetaIO.newManifestName(snap.id)
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(t.location)}/$name",
+      MetaIO.manifestToJson(files))
+    val listName = s"manifest-list-${snap.id}-synthetic.json"
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(t.location)}/$listName",
+      MetaIO.manifestListToJson(Seq(ManifestStats.entryFor(name, files))))
+    MetaIO.commitMeta(conf, m.copy(version = m.version + 1,
+      snapshots = m.snapshots.map(s =>
+        if (s.id == snap.id) s.copy(manifest = listName) else s)))
+
+    val t2 = GraftTable.load(spark, t.location)
+    val (_, tCompute) = timed(t2.computePartitionStats())
+    assert(t2.partitionStats.get.entries.size == nParts)
+    val (served, tServe) = timed(t2.partitionsDf.count())
+    assert(served == nParts)
+    assert(tCompute <= 30.0 && tServe <= 15.0,
+      f"10^4-partition stats: compute ${tCompute}%.1fs serve ${tServe}%.1fs")
+    // fold across an append lands new partitions without a manifest rescan
+    // and the result still mirrors the (now 10^4 + 1-partition) manifests
+    t2.append(spark.read.parquet(s"$sf/orders.parquet").limit(1)
+      .withColumn("o_orderkey", org.apache.spark.sql.functions.lit(10000000L)))
+    val pp = t2.partitionStats
+    assert(pp.nonEmpty, "append must fold + re-stamp at 10^4 partitions")
+    assert(pp.get.entries.size.toLong == nParts + 1)
+    assert(pp.get.entries.map(_.dataRecordCount).sum ==
+      t2.currentFiles().map(_.recordCount).sum)
+  }
 }
