@@ -37,6 +37,16 @@ object F {
   /** Unicode NFC canonical composition of a string column. */
   def nfc(text: Column): Column = col(NfcNormalize(ex(text)))
 
+  /** Is row position `pos` set in deletion-vector bitmap `bm`? */
+  def bitmapContains(bm: Column, pos: Column): Column =
+    col(BitmapContains(ex(bm), ex(pos)))
+
+  /** Sorted set positions (array<long>) of a deletion-vector bitmap. */
+  def bitmapPositions(bm: Column): Column = col(BitmapPositions(ex(bm)))
+
+  /** Number of set positions of a deletion-vector bitmap. */
+  def bitmapCardinality(bm: Column): Column = col(BitmapCardinality(ex(bm)))
+
   /** Greedy longest-match token count under the shipped subword vocab. */
   def subwordTokens(text: Column): Column = col(SubwordTokenCount(ex(text)))
 

@@ -69,20 +69,62 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
     deletes.foldLeft(df)((d, p) => d.filter(!coalesce(expr(p), lit(false))))
 
-  /** Position-delete anti-join over a scan of `files` (delete sets are
-    * usually tiny, so Catalyst/AQE pick broadcast anti-joins).
+  /** Position-delete application over a scan of `files`: classic
+    * row-per-delete files anti-join on (file_path, pos); deletion-vector
+    * files ([[deleteMergeOnReadDV]]) join ONE bitmap row per data file
+    * and drop rows via the codegen'd [[graft.functions.BitmapContains]]
+    * test — the scan side stays a single streamed pass and the broadcast
+    * small side is O(files-with-deletes) rows instead of O(deleted rows).
     */
   private def applyPosDeletes(df: DataFrame, files: Seq[DataFile],
       posFiles: Seq[String]): DataFrame =
     if (posFiles.isEmpty || files.isEmpty) df
-    else {
-      val dels = spark.read.parquet(posFiles: _*)
+    else minusPosDeletes(
       df.withColumn("__gp_fp", col("_metadata.file_path"))
-        .withColumn("__gp_pos", col("_metadata.row_index"))
-        .join(dels, col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
+        .withColumn("__gp_pos", col("_metadata.row_index")),
+      posFiles).drop("__gp_fp", "__gp_pos")
+
+  /** Subtract position deletes (both kinds) from a frame already carrying
+    * `__gp_fp`/`__gp_pos`.
+    */
+  private def minusPosDeletes(base: DataFrame, posFiles: Seq[String]): DataFrame = {
+    val (dv, classic) = posFiles.partition(GraftTable.isDvFile)
+    val afterClassic =
+      if (classic.isEmpty) base
+      else {
+        val dels = spark.read.parquet(classic: _*)
+        base.join(dels,
+          col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
           "left_anti")
-        .drop("__gp_fp", "__gp_pos")
+      }
+    if (dv.isEmpty) afterClassic
+    else {
+      val bms = dvBitmaps(dv)
+      afterClassic.join(bms, col("__gp_fp") === bms("__gp_dvfp"), "left_outer")
+        .filter(!coalesce(
+          graft.functions.F.bitmapContains(bms("__gp_dv"), col("__gp_pos")), lit(false)))
+        .drop("__gp_dvfp", "__gp_dv")
     }
+  }
+
+  /** One (__gp_dvfp, __gp_dv) bitmap row per data file from a set of
+    * deletion-vector files. Bitmaps accumulate O(new deletions) per
+    * commit; when several DV files carry bits for the same data file they
+    * are OR-merged here (decode → one bitmap re-aggregation on the SMALL
+    * side) until [[rewritePositionDeleteFiles]] folds the table back to
+    * the one-DV-per-file invariant.
+    */
+  private def dvBitmaps(dvFiles: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(dvFiles: _*)
+    if (dvFiles.size == 1)
+      raw.select(col("file_path").as("__gp_dvfp"), col("dv").as("__gp_dv"))
+    else
+      raw.select(col("file_path"),
+          explode(graft.functions.F.bitmapPositions(col("dv"))).as("pos"))
+        .groupBy(col("file_path"))
+        .agg(GraftTable.bitmapAgg(col("pos")).as("__gp_dv"))
+        .select(col("file_path").as("__gp_dvfp"), col("__gp_dv"))
+  }
 
   /** Equality-delete anti-joins, ONE per distinct key-column set: within
     * a read group every listed delete applies to every file (the grouping
