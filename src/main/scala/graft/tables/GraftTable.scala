@@ -111,8 +111,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * deletion-vector files. Bitmaps accumulate O(new deletions) per
     * commit; when several DV files carry bits for the same data file they
     * are OR-merged here (decode → one bitmap re-aggregation on the SMALL
-    * side) until [[rewritePositionDeleteFiles]] folds the table back to
-    * the one-DV-per-file invariant.
+    * side) until [[compactDeleteFiles]] folds the table back to the
+    * one-DV-per-file invariant.
     */
   private def dvBitmaps(dvFiles: Seq[String]): DataFrame = {
     val raw = spark.read.parquet(dvFiles: _*)
@@ -124,6 +124,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .groupBy(col("file_path"))
         .agg(GraftTable.bitmapAgg(col("pos")).as("__gp_dv"))
         .select(col("file_path").as("__gp_dvfp"), col("__gp_dv"))
+  }
+
+  /** Normalized (file_path, pos) rows of a mixed classic/deletion-vector
+    * delete-file set (DV bitmaps exploded). The row-shaped view for
+    * consumers that need individual deleted positions — CDC replay,
+    * touched-file discovery, delete folding; the READ path never calls
+    * this (it tests bitmaps in place via [[graft.functions.BitmapContains]]).
+    */
+  private def posDeleteRows(paths: Seq[String]): DataFrame = {
+    val (dv, classic) = paths.partition(GraftTable.isDvFile)
+    val parts = Seq(
+      if (classic.isEmpty) None
+      else Some(spark.read.parquet(classic: _*).select(col("file_path"), col("pos"))),
+      if (dv.isEmpty) None
+      else Some(spark.read.parquet(dv: _*).select(col("file_path"),
+        explode(graft.functions.F.bitmapPositions(col("dv"))).as("pos")))).flatten
+    parts.reduce(_ unionAll _)
   }
 
   /** Equality-delete anti-joins, ONE per distinct key-column set: within
@@ -769,7 +786,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           tagged(readWithMor(m, parentMd, None).filter(hit), "delete")
         case "delete-mor-pos" =>
           val newPos = md.positionDeleteFiles.diff(parentMd.positionDeleteFiles)
-          val dels = spark.read.parquet(newPos: _*)
+          val dels = posDeleteRows(newPos)
           val base = ScanPlanner.scan(spark, m, parentMd.files, None)
             .withColumn("__gp_fp", col("_metadata.file_path"))
             .withColumn("__gp_pos", col("_metadata.row_index"))
@@ -1320,43 +1337,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def deleteMergeOnReadPositions(cond: String): GraftTable = {
     val m = meta
     val md = currentManifest(m)
-    if (md.files.isEmpty) return this
-    val candidates = ScanPlanner.pruneFiles(m, md.files, cond, spark)
-    val written: Seq[String] =
-      if (candidates.isEmpty) Nil
-      else {
+    val written = matchingLivePositions(m, md, cond) match {
+      case None => Nil
+      case Some(posDf) =>
         val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
-        // capture positions before any join (_metadata resolves only on
-        // the file-source side), per seq group so already-hidden rows are
-        // not re-recorded (a CDC consumer would double-count) while rows
-        // that OUTLIVE an older equality delete still are
-        val live = candidates.groupBy(f =>
-            (md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)),
-              md.positionDeleteFiles.exists(pf => posMayHit(pf, f.path))))
-          .toSeq.map { case ((eqs, hasPos), fs) =>
-            val pos =
-              if (!hasPos) Nil
-              else md.positionDeleteFiles.filter(pf =>
-                fs.exists(f => posMayHit(pf, f.path)))
-            val base = ScanPlanner.scan(spark, m, fs, None)
-              .withColumn("__gp_fp", col("_metadata.file_path"))
-              .withColumn("__gp_pos", col("_metadata.row_index"))
-            val minusPos =
-              if (pos.isEmpty) base
-              else {
-                val dels = spark.read.parquet(pos: _*)
-                base.join(dels,
-                  col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
-                  "left_anti")
-              }
-            applyEq(minusPos, eqs)
-          }.reduce(_ unionAll _)
-        applyDeletes(live, md.deletePredicates)
-          .filter(coalesce(expr(cond), lit(false)))
-          .select(col("__gp_fp").as("file_path"), col("__gp_pos").as("pos"))
-          .write.parquet(delDir)
+        posDf.write.parquet(delDir)
         listParquet(delDir)
-      }
+    }
     // nothing matched -> no commit at all (an empty delete-mor-pos
     // snapshot would break changelog consumers reading the file diff)
     if (written.isEmpty) return this
@@ -1365,6 +1352,70 @@ class GraftTable(val spark: SparkSession, val location: String) {
       positionDeleteFiles = md.positionDeleteFiles ++ written,
       equalityDeletes = md.equalityDeletes)
     this
+  }
+
+  /** Merge-on-read DELETE WHERE as a DELETION VECTOR (the Iceberg v3 /
+    * Delta deletion-vector shape): matched row positions are aggregated
+    * into ONE compact bitmap row per data file
+    * ([[graft.functions.Bitmaps]], dense-or-sparse adaptive encoding)
+    * instead of a row per deleted position. Same O(candidate-scan) commit
+    * cost as [[deleteMergeOnReadPositions]], but the read side joins
+    * O(files-with-deletes) bitmap rows — broadcastable at any delete
+    * cardinality — where classic position files put O(deleted rows) on
+    * the join's build side. At 100 TB (a billion deleted rows is a few
+    * hundred MB of bitmaps vs tens of GB of delete rows) this is the only
+    * position-delete shape whose read cost doesn't scale with how much
+    * was deleted.
+    */
+  def deleteMergeOnReadDV(cond: String): GraftTable = {
+    val m = meta
+    val md = currentManifest(m)
+    val written = matchingLivePositions(m, md, cond) match {
+      case None => Nil
+      case Some(posDf) =>
+        val delDir = s"$location/deletes/dv-${UUID.randomUUID().toString.take(8)}"
+        posDf.groupBy(col("file_path"))
+          .agg(GraftTable.bitmapAgg(col("pos")).as("dv"))
+          .write.parquet(delDir)
+        listParquet(delDir)
+    }
+    if (written.isEmpty) return this
+    commitSnapshot(m, md.files, "delete-mor-pos", 0,
+      deletePredicates = md.deletePredicates,
+      positionDeleteFiles = md.positionDeleteFiles ++ written,
+      equalityDeletes = md.equalityDeletes)
+    this
+  }
+
+  /** Live row positions of the current snapshot matching `cond`, as a
+    * (file_path, pos) frame — the shared selection behind both
+    * position-delete flavors. None when file pruning leaves no candidate.
+    */
+  private def matchingLivePositions(m: TableMeta, md: ManifestData,
+      cond: String): Option[DataFrame] = {
+    if (md.files.isEmpty) return None
+    val candidates = ScanPlanner.pruneFiles(m, md.files, cond, spark)
+    if (candidates.isEmpty) return None
+    // capture positions before any join (_metadata resolves only on
+    // the file-source side), per seq group so already-hidden rows are
+    // not re-recorded (a CDC consumer would double-count) while rows
+    // that OUTLIVE an older equality delete still are
+    val live = candidates.groupBy(f =>
+        (md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)),
+          md.positionDeleteFiles.exists(pf => posMayHit(pf, f.path))))
+      .toSeq.map { case ((eqs, hasPos), fs) =>
+        val pos =
+          if (!hasPos) Nil
+          else md.positionDeleteFiles.filter(pf =>
+            fs.exists(f => posMayHit(pf, f.path)))
+        val base = ScanPlanner.scan(spark, m, fs, None)
+          .withColumn("__gp_fp", col("_metadata.file_path"))
+          .withColumn("__gp_pos", col("_metadata.row_index"))
+        applyEq(minusPosDeletes(base, pos), eqs)
+      }.reduce(_ unionAll _)
+    Some(applyDeletes(live, md.deletePredicates)
+      .filter(coalesce(expr(cond), lit(false)))
+      .select(col("__gp_fp").as("file_path"), col("__gp_pos").as("pos")))
   }
 
   /** Merge-on-read EQUALITY delete (Iceberg v2 equality delete files):
@@ -1525,9 +1576,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .map(_.path).toSet
     val posTouched: Set[String] =
       if (md.positionDeleteFiles.isEmpty) Set.empty
-      else spark.read.parquet(md.positionDeleteFiles: _*)
-        .select(col("file_path")).distinct().collect()
-        .map(r => stripScheme(r.getString(0))).toSet
+      else {
+        // both file kinds carry a file_path column, but schemas differ
+        // (pos rows vs dv bitmaps) — read each kind separately, union the
+        // pruned file_path projections (no bitmap is ever decoded here)
+        val (dv, classic) = md.positionDeleteFiles.partition(GraftTable.isDvFile)
+        Seq(classic, dv).filter(_.nonEmpty)
+          .map(ps => spark.read.parquet(ps: _*).select(col("file_path")))
+          .reduce(_ unionAll _)
+          .distinct().collect()
+          .map(r => stripScheme(r.getString(0))).toSet
+      }
     val eqTouched: Set[String] = md.equalityDeletes.flatMap { e =>
       // only files the delete's sequence number covers — and whose key
       // range it can intersect — can be touched
@@ -1574,7 +1633,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
       spark.read.parquet(paths: _*).distinct().coalesce(1).write.parquet(dir)
       listParquet(dir)
     }
-    val newPos = if (posNeedsFold) fold(md.positionDeleteFiles) else md.positionDeleteFiles
+    // position deletes fold into ONE deletion-vector file regardless of
+    // input kinds (classic row files decode-free, DV bitmaps explode then
+    // re-aggregate): maintenance upgrades the table to the bitmap layout,
+    // restoring the one-DV-per-data-file read invariant
+    val newPos =
+      if (!posNeedsFold) md.positionDeleteFiles
+      else {
+        val dir = s"$location/deletes/dv-${UUID.randomUUID().toString.take(8)}"
+        posDeleteRows(md.positionDeleteFiles)
+          .groupBy(col("file_path"))
+          .agg(GraftTable.bitmapAgg(col("pos")).as("dv"))
+          .coalesce(1).write.parquet(dir)
+        listParquet(dir)
+      }
     val newEq = md.equalityDeletes.groupBy(e => (e.cols, e.seq)).map { case ((cols, seq), es) =>
       val files = es.flatMap(_.files)
       if (files.size > 1) {
@@ -2735,6 +2807,23 @@ object GraftTable {
       computed
     }
   }
+
+  /** Is `path` a deletion-vector delete file (one bitmap row per data
+    * file) rather than a classic row-per-delete position file? Encoded in
+    * the file's directory name at write time — an O(1) string test, no
+    * footer read, mirroring how Iceberg v3 distinguishes DV blobs from v2
+    * position-delete files by manifest content type.
+    */
+  private[tables] def isDvFile(path: String): Boolean = path.contains("/deletes/dv-")
+
+  private lazy val bitmapAggUdf =
+    org.apache.spark.sql.functions.udaf(new graft.functions.BitmapAgg(),
+      org.apache.spark.sql.Encoders.LONG)
+
+  /** Aggregate a long position column into one deletion-vector bitmap
+    * (write/fold path only — the read path is codegen'd).
+    */
+  private[tables] def bitmapAgg(pos: Column): Column = bitmapAggUdf(pos)
 
   /** Shared bounded pool for concurrent footer reads at commit time (I/O
     * bound; daemon threads so it never blocks JVM exit).

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deletion-vector bitmap encoding: layout choice, round-trips, and the
+  * codegen'd membership/cardinality/positions expressions.
+  */
+class BitmapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roundtrip(pos: Array[Long]): Unit = {
+    val bm = Bitmaps.encode(pos)
+    assert(Bitmaps.positionsArray(bm).toSeq == pos.toSeq, "positions round-trip")
+    assert(Bitmaps.cardinality(bm) == pos.length.toLong, "cardinality")
+    pos.foreach(p => assert(Bitmaps.contains(bm, p), s"contains($p)"))
+    val missing = (0L to (if (pos.isEmpty) 10L else pos.last + 3)).filterNot(pos.contains)
+    missing.take(50).foreach(p => assert(!Bitmaps.contains(bm, p), s"!contains($p)"))
+    assert(!Bitmaps.contains(bm, -1L) && !Bitmaps.contains(bm, Long.MaxValue))
+  }
+
+  test("empty, singleton, and small sparse sets round-trip (sparse layout)") {
+    roundtrip(Array.empty[Long])
+    roundtrip(Array(0L))
+    roundtrip(Array(7L))
+    roundtrip(Array(0L, 1L, 63L, 64L, 1000000L))
+    assert(Bitmaps.encode(Array(0L, 1000000L))(0) == Bitmaps.Sparse,
+      "two far-apart positions must choose the sparse layout")
+  }
+
+  test("dense sets round-trip and the encoder picks the smaller layout") {
+    val dense = (0L until 1000L).filter(_ % 3 != 0).toArray
+    roundtrip(dense)
+    assert(Bitmaps.encode(dense)(0) == Bitmaps.Dense,
+      "2/3 of 0..999 set must choose the dense layout")
+    // boundary: exactly max/8+2 vs 1+8n bytes — either choice must round-trip
+    roundtrip(Array(0L, 8L, 16L, 24L))
+    roundtrip((0L until 64L).toArray)
+  }
+
+  test("encoder is deterministic and layouts agree on membership") {
+    val pos = Array(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)
+    val sparseForced = {
+      // force sparse by appending a huge position then dropping it logically:
+      // instead, just compare the two public layouts on the same set via
+      // encode (dense here) and a handmade sparse encoding
+      val out = new Array[Byte](1 + 8 * pos.length)
+      out(0) = Bitmaps.Sparse
+      pos.zipWithIndex.foreach { case (p, i) =>
+        var x = p
+        (0 until 8).foreach { j => out(1 + 8 * i + j) = (x & 0xff).toByte; x >>>= 8 }
+      }
+      out
+    }
+    val bm = Bitmaps.encode(pos)
+    (0L to 40L).foreach(p =>
+      assert(Bitmaps.contains(bm, p) == Bitmaps.contains(sparseForced, p),
+        s"layouts disagree at $p"))
+  }
+
+  test("expressions: contains/cardinality/positions evaluate under codegen") {
+    val bm = Bitmaps.encode(Array(2L, 5L, 9L))
+    val df = (0L to 10L).toDF("pos").withColumn("bm", lit(bm))
+    val hit = df.filter(F.bitmapContains($"bm", $"pos"))
+      .select("pos").as[Long].collect().sorted.toSeq
+    assert(hit == Seq(2L, 5L, 9L))
+    val card = df.limit(1).select(F.bitmapCardinality($"bm")).as[Long].head()
+    assert(card == 3L)
+    val posArr = df.limit(1).select(F.bitmapPositions($"bm")).as[Seq[Long]].head()
+    assert(posArr == Seq(2L, 5L, 9L))
+  }
+
+}
