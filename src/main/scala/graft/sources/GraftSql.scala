@@ -218,11 +218,15 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
             throw new IllegalArgumentException(s"unsupported MERGE statement: $stmt")
         }
       case Delete(name, cond) =>
-        // Iceberg's write.delete.mode: merge-on-read defers the rewrite
+        // Iceberg's write.delete.mode: merge-on-read defers the rewrite;
+        // merge-on-read-dv records matched positions as deletion-vector
+        // bitmaps (one row per touched data file) instead of delete rows
         val t = table(name)
-        if (t.meta.properties.get("write.delete.mode").contains("merge-on-read"))
-          t.deleteMergeOnRead(cond)
-        else t.delete(cond)
+        t.meta.properties.get("write.delete.mode") match {
+          case Some("merge-on-read")    => t.deleteMergeOnRead(cond)
+          case Some("merge-on-read-dv") => t.deleteMergeOnReadDV(cond)
+          case _                        => t.delete(cond)
+        }
         status("delete", name)
       case Update(name, sets, cond) =>
         table(name).update(cond, parseAssignments(sets)); status("update", name)
