@@ -12,9 +12,21 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Apply graft's tuning to an arbitrary builder (used by Verify/Bench
-    * which pick their own master/parallelism).
+    * which pick their own master/parallelism). `SPARK_GRAFT_CONF`
+    * (semicolon-separated k=v pairs) overrides individual settings for
+    * A/B profiling runs without a rebuild.
     */
-  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+  def tune(b: SparkSession.Builder): SparkSession.Builder = {
+    val base = tuneBase(b)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains('='))
+      .foldLeft(base) { (bb, kv) =>
+        val Array(k, v) = kv.split('=').map(_.trim)
+        bb.config(k, v)
+      }
+  }
+
+  private def tuneBase(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

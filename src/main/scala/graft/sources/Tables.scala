@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's test tables (TPC-H-ish star schema + events /
   * documents / embeddings). One parquet file per table under `sfDir`.
@@ -26,15 +26,44 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as a long (legacy conf) and truncate to
-    * micros ourselves — truncation composes, so every floor-style derivative
-    * (year/window/epoch_ms) matches engines that keep full nanos.
+  /** `events.ts` has shipped in two physical encodings across data drops:
+    * parquet TIMESTAMP(NANOS) (unmapped by Spark 4 — read as a nanos long
+    * under the legacy conf and truncated to micros here; truncation
+    * composes, so floor-style derivatives match full-nanos engines) and
+    * parquet timestamp[us] without the UTC flag (read as TIMESTAMP_NTZ —
+    * under this project's fixed UTC session the wall clock IS the UTC
+    * instant, so the cast to TimestampType is value-preserving).
+    *
+    * The branch is driven by the file's footer schema, never assumed, and
+    * an unrecognized encoding fails loudly — a mis-decoded timeline that
+    * collapses to ~1970 would otherwise poison every window/join result
+    * downstream while keeping row counts plausible (VERDICT r9).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet encoding $other — add a normalization branch")
+    }
+  }
+
+  /** Timeline sanity guard: one cheap aggregate proving the loaded events
+    * span plausible years. Gate stagers call this so a future encoding
+    * drift fails loudly at staging instead of silently degenerating (the
+    * r9 failure mode: micros divided as if nanos → every ts ≈ 1970 →
+    * windows/sessions/joins all wrong with healthy-looking row counts).
+    */
+  def assertSaneTimeline(events: DataFrame): Unit = {
+    val row = events.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+    val (lo, hi) = (row.getInt(0), row.getInt(1))
+    require(lo >= 2000 && hi <= 2100,
+      s"events timeline insane: year range [$lo, $hi] outside [2000, 2100] — ts mis-decoded?")
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
-import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, DoubleType, StringType, TimestampType}
+import graft.sources.Tables
 import graft.tables.GraftTable
 
 /** Structured Streaming operators (SURVEY §2.7) — the streaming twins of
@@ -39,18 +40,9 @@ object Streams {
     * value-identical to the batch q15 oracle (decimal sums, same windows).
     */
   def st01StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
-
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    stageEvents(spark, sfDir, dir)
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -72,7 +64,7 @@ object Streams {
       q.processAllAvailable()
       // flush: one far-future event closes every real window
       import spark.implicits._
-      Seq((-1L, 3000000000000000000L, -1L, "flush", 0.0, "{}"))
+      Seq((-1L, farFuture, -1L, "flush", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(dir)
       q.processAllAvailable()
@@ -90,10 +82,44 @@ object Streams {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Schema of the STAGED (normalized) events files — `ts` is always
+    * TimestampType because staging goes through `Tables.events`, never a
+    * raw file copy. The physical encoding of the driver's parquet is the
+    * loader's problem, decided from the footer in exactly one place.
+    */
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stage the events table for a file-source stream: load through the
+    * schema-driven normalizing loader, assert the timeline is sane (loud
+    * failure beats silently-wrong windows), write ONE normalized parquet
+    * file per requested name into `dir`. Gate stagers must never copy the
+    * raw driver file — that would re-introduce a per-gate physical-schema
+    * assumption.
+    */
+  private def stageEvents(spark: SparkSession, sfDir: String, dir: String,
+      names: Seq[String] = Seq("batch1.parquet")): Unit = {
+    val df = Tables.events(spark, sfDir).select(
+      col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    Tables.assertSaneTimeline(df)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_norm").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    names.foreach { n =>
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$n"))
+    }
+  }
+
+  /** A timestamp far past every real event, used by flush rows that close
+    * windows / advance watermarks; instant-based so JVM default tz is
+    * irrelevant.
+    */
+  private def farFuture: java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse("9999-01-01T00:00:00Z"))
 
   /** Run `body` with streaming state partitions pinned to 8 (state-store
     * commit count dominates short-lived local streams; a production stream
@@ -114,13 +140,10 @@ object Streams {
     */
   def st02StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_st02_gate").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    stageEvents(spark, sfDir, dir)
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
-      .select(col("user_id"), expr("ts div 1000000").as("ts_ms")).as[Ev]
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms")).as[Ev]
     val name = s"st02_gate_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = withStatePartitions(spark) {
       sessionize(stream, 1800000L)
@@ -131,7 +154,7 @@ object Streams {
       // flush: one far-future event per user closes that user's last session
       spark.read.schema(eventsSchema).parquet(s"$dir/batch1.parquet")
         .select(col("user_id")).distinct()
-        .select(lit(-1L).as("event_id"), lit(3000000000000000000L).as("ts"),
+        .select(lit(-1L).as("event_id"), lit(farFuture).as("ts"),
           col("user_id"), lit("flush").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
         .write.mode("append").parquet(dir)
@@ -159,15 +182,9 @@ object Streams {
     * counts equal the original table's.
     */
   def st03StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_st03_gate").toString
-    Seq("copy1.parquet", "copy2.parquet").foreach { f =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        java.nio.file.Paths.get(s"$dir/$f"))
-    }
+    stageEvents(spark, sfDir, dir, Seq("copy1.parquet", "copy2.parquet"))
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"st03_gate_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = withStatePartitions(spark) {
       dedupStream(stream)
@@ -482,13 +499,9 @@ object Streams {
     * are emitted as -1 (both engines) so the compare stays dtype-stable.
     */
   def st10StreamOuterJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_st10_gate").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    stageEvents(spark, sfDir, dir)
     val ev = spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")
@@ -513,8 +526,8 @@ object Streams {
       // flush: one far-future row per side advances both watermarks past
       // every real view's window, releasing the unmatched views
       val maxTs = spark.read.schema(eventsSchema).parquet(s"$dir/batch1.parquet")
-        .agg(max(col("ts"))).head().getLong(0)
-      val flushTs = maxTs + 3L * 3600L * 1000000000L
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val flushTs = new java.sql.Timestamp(maxTs / 1000L + 3L * 3600L * 1000L)
       import spark.implicits._
       Seq((900000001L, flushTs, 999999L, "view", 0.0, "{}"),
           (900000002L, flushTs, 999999L, "click", 0.0, "{}"))
@@ -548,13 +561,9 @@ object Streams {
     * value-identical to the batch self-join, which is the DuckDB oracle.
     */
   def st07StreamJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_st07_gate").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    stageEvents(spark, sfDir, dir)
     val ev = spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")
@@ -595,11 +604,8 @@ object Streams {
     * and must match the all-batch join's DuckDB oracle value-for-value.
     */
   def st08StreamStaticGate(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_st08_gate").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/batch1.parquet"))
+    stageEvents(spark, sfDir, dir)
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey"))

@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.SparkSpec
+
+/** The events loader is schema-driven: the driver's parquet has shipped as
+  * TIMESTAMP(NANOS) and as timestamp[us]-without-UTC-flag across data
+  * drops, and a wrong assumption silently collapses the timeline to ~1970
+  * (VERDICT r9: 13 red gate rows from one loader branch). These specs pin
+  * every branch and prove the sanity guard turns the silent failure mode
+  * into a loud one.
+  */
+class EventsLoaderSpec extends SparkSpec {
+
+  test("driver testdata loads as TimestampType with a sane timeline") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType == TimestampType)
+    Tables.assertSaneTimeline(ev) // must not throw
+    assert(ev.count() > 0)
+  }
+
+  test("nanos-as-long encoding normalizes to truncated micros") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("events_nanos").toString
+    val instant = Instant.parse("2024-05-01T12:00:00.123456Z")
+    val nanos = instant.getEpochSecond * 1000000000L + instant.getNano + 789L
+    Seq((1L, nanos, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.select(col("ts")).head().getTimestamp(0)
+    assert(got == Timestamp.from(instant)) // sub-micro tail truncated
+  }
+
+  test("sanity guard catches a mis-decoded timeline loudly") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("events_mistyped").toString
+    // ts written as long MICROS: the nanos-long branch divides by 1000 and
+    // every event lands in ~1970 — exactly the r9 silent-wrongness shape.
+    val micros = Instant.parse("2024-05-01T12:00:00Z").getEpochSecond * 1000000L
+    Seq((1L, micros, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    val e = intercept[IllegalArgumentException](Tables.assertSaneTimeline(ev))
+    assert(e.getMessage.contains("timeline insane"))
+  }
+
+  test("unsupported ts encoding fails at load, not downstream") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("events_badtype").toString
+    Seq((1L, "2024-05-01 12:00:00", 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("unsupported parquet encoding"))
+  }
+}
