@@ -1125,7 +1125,57 @@ object TableOpsExt {
        |  TRUE AS from_stats
        |FROM ${cappedSql()} GROUP BY o_orderstatus ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t47
+
+  /** t47: DELETION VECTORS — merge-on-read position deletes encoded as
+    * ONE adaptive bitmap row per touched data file
+    * ([[graft.functions.Bitmaps]]; the Iceberg-v3 / Delta DV shape)
+    * instead of a row per deleted position. The gate pins the four
+    * properties that make DVs the 100 TB position-delete format: the
+    * commit is metadata+bitmap only (data files untouched), the delete
+    * artifact is O(touched files) rows however many rows died (bounded
+    * here by 2 commits × 8 files while thousands of rows are deleted),
+    * stacked DVs read exactly, the changelog re-derives a DV commit's
+    * deleted rows, and materialization clears the DVs without changing
+    * visible rows. Facade dispatch (`write.delete.mode =
+    * 'merge-on-read-dv'`, a graft extension of Iceberg's mode values) is
+    * covered in GraftSqlSpec.
+    */
+  def t47DeletionVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir).repartition(8))
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    t.deleteMergeOnReadDV("o_orderstatus = 'F'")
+    val rowsD1 = t.toDF().count()
+    t.deleteMergeOnReadDV("o_totalprice > 250000")
+    val rowsD2 = t.toDF().count()
+    val dvFiles = t.currentPositionDeletes()
+    val metadataOnly = t.currentFiles().map(_.path).toSet == filesBefore &&
+      dvFiles.nonEmpty
+    // O(touched files), not O(deleted rows): ≤ 8 bitmap rows per commit
+    val dvRowsBounded = spark.read.parquet(dvFiles: _*).count() <= 16
+    val snaps = t.meta.snapshots
+    val changelogDeletes = t.changesBetween(snaps(1).id, snaps(2).id)
+      .filter(col("_change_type") === "delete").count()
+    t.materializeDeletes()
+    Seq((metadataOnly, rowsD1, rowsD2, dvRowsBounded, changelogDeletes,
+        t.toDF().count(), t.currentPositionDeletes().size.toLong))
+      .toDF("dv_metadata_only", "rows_d1", "rows_d2", "dv_rows_bounded",
+        "n_changelog_deletes", "rows_final", "dv_files_final")
+  }
+
+  val t47Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()})
+       |SELECT TRUE AS dv_metadata_only,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F') AS rows_d1,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F' AND o_totalprice <= 250000) AS rows_d2,
+       |  TRUE AS dv_rows_bounded,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F' AND o_totalprice > 250000) AS n_changelog_deletes,
+       |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F' AND o_totalprice <= 250000) AS rows_final,
+       |  CAST(0 AS BIGINT) AS dv_files_final""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t47_deletion_vectors"     -> ((t47DeletionVectors _, t47Oracle)),
     "t46_partition_stats"      -> ((t46PartitionStats _, t46Oracle)),
     "t45_sort_order"           -> ((t45SortOrder _, t45Oracle)),
     "t44_stats_join"           -> ((t44StatsJoin _, t44Oracle)),

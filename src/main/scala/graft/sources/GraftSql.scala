@@ -218,14 +218,23 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
             throw new IllegalArgumentException(s"unsupported MERGE statement: $stmt")
         }
       case Delete(name, cond) =>
-        // Iceberg's write.delete.mode: merge-on-read defers the rewrite;
-        // merge-on-read-dv records matched positions as deletion-vector
+        // Iceberg's write.delete.mode accepts copy-on-write/merge-on-read
+        // (DVs arrive via format-version=3); 'merge-on-read-dv' is a GRAFT
+        // EXTENSION value that records matched positions as deletion-vector
         // bitmaps (one row per touched data file) instead of delete rows
         val t = table(name)
-        t.meta.properties.get("write.delete.mode") match {
-          case Some("merge-on-read")    => t.deleteMergeOnRead(cond)
-          case Some("merge-on-read-dv") => t.deleteMergeOnReadDV(cond)
-          case _                        => t.delete(cond)
+        val props = t.meta.properties
+        // Iceberg-v3 alignment: merge-on-read + format-version >= 3 takes
+        // the DV path too, so a table configured exactly like a real
+        // Iceberg v3 table gets deletion vectors without graft-specific
+        // property values
+        val v3 = props.get("format-version").exists(v =>
+          scala.util.Try(v.trim.toInt >= 3).getOrElse(false))
+        props.get("write.delete.mode") match {
+          case Some("merge-on-read") if v3 => t.deleteMergeOnReadDV(cond)
+          case Some("merge-on-read")       => t.deleteMergeOnRead(cond)
+          case Some("merge-on-read-dv")    => t.deleteMergeOnReadDV(cond)
+          case _                           => t.delete(cond)
         }
         status("delete", name)
       case Update(name, sets, cond) =>

@@ -238,6 +238,50 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM w_ice").head().getLong(0) == 3)
   }
 
+  test("write.delete.mode=merge-on-read-dv routes DELETE to deletion vectors") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE dv_ice TBLPROPERTIES('write.delete.mode'='merge-on-read-dv') " +
+      "AS SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+    val t = g.table("dv_ice")
+    val filesBefore = t.currentFiles().map(_.path).toSet
+    val total = g.sql("SELECT COUNT(*) AS n FROM dv_ice").head().getLong(0)
+    val doomed = g.sql("SELECT COUNT(*) AS n FROM dv_ice WHERE o_orderstatus = 'F'")
+      .head().getLong(0)
+    g.sql("DELETE FROM dv_ice WHERE o_orderstatus = 'F'")
+    assert(t.currentFiles().map(_.path).toSet == filesBefore,
+      "DV delete must not rewrite data files")
+    // the artifact is bitmap rows (file_path, dv) — one per touched file,
+    // not one per deleted row
+    val dvFiles = t.currentPositionDeletes()
+    assert(dvFiles.nonEmpty)
+    val dvDf = spark.read.parquet(dvFiles: _*)
+    assert(dvDf.columns.toSet == Set("file_path", "dv"))
+    assert(dvDf.count() <= filesBefore.size)
+    assert(t.meta.currentSnapshot.exists(_.operation == "delete-mor-pos"))
+    // read-time application, changelog recovery, and a second stacked DV
+    assert(g.sql("SELECT COUNT(*) AS n FROM dv_ice").head().getLong(0) == total - doomed)
+    val snaps = t.meta.snapshots
+    assert(t.changesBetween(snaps(0).id, snaps(1).id)
+      .filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .count() == doomed)
+    g.sql("DELETE FROM dv_ice WHERE o_totalprice > 250000")
+    val expected = g.sql(
+      "SELECT COUNT(*) AS n FROM dv_ice").head().getLong(0)
+    assert(expected < total - doomed)
+  }
+
+  test("format-version=3 + merge-on-read takes the DV path (Iceberg v3 semantics)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE v3_ice TBLPROPERTIES('write.delete.mode'='merge-on-read', " +
+      "'format-version'='3') AS SELECT n_nationkey, n_name FROM nation")
+    val t = g.table("v3_ice")
+    g.sql("DELETE FROM v3_ice WHERE n_nationkey >= 20")
+    val dvFiles = t.currentPositionDeletes()
+    assert(dvFiles.nonEmpty, "v3 merge-on-read delete must produce DV files")
+    assert(spark.read.parquet(dvFiles: _*).columns.contains("dv"))
+    assert(g.sql("SELECT COUNT(*) AS n FROM v3_ice").head().getLong(0) == 20)
+  }
+
   test("write.merge.mode=merge-on-read routes full-row MERGE to the upsert path") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE u_ice TBLPROPERTIES('write.merge.mode'='merge-on-read') " +
