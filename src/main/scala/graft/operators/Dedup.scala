@@ -298,7 +298,8 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .select(col("a"), col("b"), expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 7)
-      .orderBy(col("a"), col("b"))
+      // no orderBy: the gate compare sorts rows itself, and a range
+      // shuffle (sample pass + exchange) is pure fixed cost here
       .localCheckpoint(true)
     sigs.unpersist()
     out

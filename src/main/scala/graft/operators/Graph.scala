@@ -30,11 +30,22 @@ object Graph {
     * plans O(1) work. Partial convergence REFUSES: half-contracted
     * edges are WRONG labels, never a degraded answer.
     *
+    * BELOW `localEdgeCap` canonical edges the labels come from a driver
+    * union-find instead ([[localComponents]]): the near-dup graphs the
+    * dedup operators feed here are verified-pair edge lists — tiny even
+    * on a huge corpus — and each distributed round costs 4+ fixed-overhead
+    * shuffle jobs, so at that size the rounds are pure latency. The
+    * default cap bounds driver memory at ~16 MB of edge pairs; identical
+    * labels either way (agreement is spec-pinned), and the O(log² n)
+    * distributed path is untouched above the cap. Pass 0 to force the
+    * distributed rounds (scale specs pin their round budget that way).
+    *
     * @param vertices one column `id`
     * @param edges    columns `src`, `dst` (undirected semantics)
     * @return (id, cluster_id) where cluster_id = min reachable id
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+      localEdgeCap: Long = 1L << 20): DataFrame = {
     // canonical directed form: max → min, self-loops dropped
     def canon(e: DataFrame): DataFrame =
       e.filter(col("src") =!= col("dst"))
@@ -65,8 +76,11 @@ object Graph {
     }
 
     var e = canon(edges.select(col("src"), col("dst"))).localCheckpoint(true)
+    val nEdges = e.count()
+    if (nEdges > 0 && nEdges <= localEdgeCap)
+      return localComponents(vertices, e)
     var iter = 0
-    var converged = e.isEmpty
+    var converged = nEdges == 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       // fixpoint test on the canonical edge set: the round potential
@@ -86,5 +100,41 @@ object Graph {
       .join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
       .localCheckpoint(true)
+  }
+
+  /** Union-find (path compression, min-id roots) over a collected
+    * canonical edge set — the same min-reachable-id labels the star
+    * rounds converge to, produced in one driver pass plus one broadcast
+    * join. Only called under [[connectedComponents]]'s edge cap, so the
+    * collect is bounded by construction. Non-root labels broadcast —
+    * exactly the star forest the distributed path joins with.
+    */
+  private def localComponents(vertices: DataFrame, canonEdges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    canonEdges.collect().foreach { row =>
+      val a = row.getAs[Number](0).longValue()
+      val b = row.getAs[Number](1).longValue()
+      seen += a; seen += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = seen.iterator.map(id => (id, find(id)))
+      .filter { case (id, r) => id != r }.toSeq
+      .toDF("id", "root")
+    vertices.select(col("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 }

@@ -15,6 +15,21 @@ class GraphSpec extends SparkSpec {
     assert(cc(5L) == 5L && cc(6L) == 5L)
     assert(cc(4L) == 4L && cc(7L) == 7L && cc(8L) == 8L)
   }
+
+  test("driver fast path and distributed rounds agree on the same graph") {
+    // deterministic pseudo-random graph with chains, merges and isolates
+    val vertices = (0L until 200L).toDF("id")
+    val edges = (0L until 300L)
+      .map(i => ((i * 48271L) % 200L, (i * 69621L + 7L) % 200L))
+      .toDF("src", "dst")
+    val local = Graph.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.connectedComponents(vertices, edges, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    // labels are the component MINIMUM: every label labels itself
+    assert(local.values.forall(r => local(r) == r))
+  }
 }
 
 class DedupSpec extends SparkSpec {

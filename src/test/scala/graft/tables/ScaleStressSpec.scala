@@ -59,7 +59,9 @@ class ScaleStressSpec extends SparkSpec {
     val n = 4096
     val vertices = spark.range(n).select($"id")
     val edges = spark.range(n - 1).select($"id".as("src"), ($"id" + 1L).as("dst"))
-    val cc = Graph.connectedComponents(vertices, edges)
+    // localEdgeCap = 0 forces the distributed rounds — the pin is about
+    // THEIR round budget, not the small-graph driver fast path
+    val cc = Graph.connectedComponents(vertices, edges, localEdgeCap = 0)
     assert(cc.count() == n)
     assert(cc.select("cluster_id").distinct().count() == 1)
     assert(cc.agg(max($"cluster_id")).as[Long].head() == 0L)
@@ -69,7 +71,7 @@ class ScaleStressSpec extends SparkSpec {
       Graph.connectedComponents(
         spark.range(64).select($"id"),
         spark.range(63).select($"id".as("src"), ($"id" + 1L).as("dst")),
-        maxIter = 1)
+        maxIter = 1, localEdgeCap = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }
