@@ -133,6 +133,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     r("""CALL\s+[\w.]*REMOVE_ORPHAN_FILES\s*\(\s*["']([\w.]+)["']\s*(?:,\s*(\d+)\s*)?\)""")
   private val CallAddFiles =
     r("""CALL\s+[\w.]*ADD_FILES\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
+  private val CallRegisterIceberg =
+    r("""CALL\s+[\w.]*REGISTER_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
   private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
   private val ShowTables = r("""SHOW\s+TABLES(?:\s+IN\s+(\w+))?""")
   private val ShowPartitions = r("""SHOW\s+PARTITIONS\s+(\w+)""")
@@ -300,6 +302,13 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).expireSnapshots(parseTimestampMs(ts)); status("expire", name)
       case CallAddFiles(name, dir) =>
         table(stripDb(name)).addFiles(dir); status("add-files", stripDb(name))
+      case CallRegisterIceberg(name, metaPath) =>
+        // read-side Iceberg interop (reference interoperability.md): point
+        // graft at an external metadata.json; metadata-only registration
+        val n = stripDb(name)
+        IcebergImport.importMetadata(spark, metaPath, s"$warehouse/$n")
+        register(n, s"$warehouse/$n")
+        status("register-iceberg", n)
       case CallRewriteFiles(name) =>
         table(stripDb(name)).compact(); status("rewrite-data-files", stripDb(name))
       case CallRewriteManifests(name) =>

@@ -97,15 +97,41 @@ object IcebergExport {
     val schemaNode = typeJson(m.schema, nextId).asInstanceOf[ObjectNode]
     schemaNode.put("schema-id", 0)
     root.put("last-column-id", lastId)
+    // graft's rename-stable physical column names ride each field as a
+    // `graft-physical` key (Iceberg readers ignore unknown keys; the
+    // field-id role carried explicitly so IcebergImport round-trips
+    // renamed tables without losing the file-column mapping)
+    locally {
+      val it = schemaNode.get("fields").elements()
+      while (it.hasNext) {
+        val fo = it.next().asInstanceOf[ObjectNode]
+        val logical = fo.get("name").asText()
+        val phys = ColumnMapping.physicalOf(m.schema, logical)
+        if (phys != logical) { fo.put("graft-physical", phys); () }
+      }
+    }
     root.set("schema", schemaNode)
     root.putArray("schemas").add(schemaNode)
+    // top-level name → the field id this export just assigned (nested ids
+    // were consumed depth-first, so index+1 would be wrong past the first
+    // nested type)
+    val topFieldIds: Map[String, Int] = {
+      val it = schemaNode.get("fields").elements()
+      val b = Map.newBuilder[String, Int]
+      while (it.hasNext) { val f = it.next(); b += f.get("name").asText() -> f.get("id").asInt() }
+      b.result()
+    }
+    val physToLogicalName = m.schema.fields.map(f =>
+      ColumnMapping.physicalOf(m.schema, f.name) -> f.name).toMap
     def specFields(spec: PartitionSpec) = {
       val arr = mapper.createArrayNode()
       spec.fields.zipWithIndex.foreach { case (f, i) =>
         val fo = arr.addObject()
         fo.put("name", f.name)
         fo.put("transform", f.transform)
-        fo.put("source-id", m.schema.fieldNames.indexOf(f.source) + 1)
+        // spec sources are PHYSICAL names: map back to logical for the id
+        fo.put("source-id", physToLogicalName.get(f.source)
+          .flatMap(topFieldIds.get).getOrElse(0))
         fo.put("field-id", 1000 + i)
       }
       arr
