@@ -790,10 +790,14 @@ object TextAnalysis {
     * vocabulary ([[graft.functions.SubwordTokenCount]], codegen'd), the
     * deterministic stand-in for a BPE tokenizer's charge. Budget shapes
     * inherit it: `budget_real` is the running-sum packing key p02 would
-    * use. Greedy longest-match is not SQL-expressible in DuckDB (no
-    * per-row iteration), so this is a rows-only gate; the matcher's
-    * semantics are pinned against an independent reference
-    * implementation in TokenizerSpec.
+    * use. Oracle-checked since r10: the greedy matcher IS expressible in
+    * DuckDB as a recursive CTE advancing one token per step (longest
+    * matching vocab prefix, else one char), run per DISTINCT word —
+    * whitespace separates and no vocab entry contains it, so word-local
+    * tokenization is exactly the full-text scan. The oracle's vocabulary
+    * VALUES list is generated from [[graft.functions.SubwordVocab]]
+    * itself, so the two sides can never drift; the matcher's semantics
+    * stay independently pinned in TokenizerSpec.
     */
   def x17SubwordTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -802,6 +806,35 @@ object TextAnalysis {
         size(words(col("text"))).cast("long").as("n_words"),
         length(col("text")).cast("long").as("len_chars"))
       .orderBy(col("doc_id"))
+
+  val x17Oracle: String = {
+    val vocab = graft.functions.SubwordVocab.entries
+      .map(e => "('" + e.replace("'", "''") + "')").mkString(",")
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, lower(text) AS t, text FROM documents),
+       |words AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\\s+')) AS w FROM docs),
+       |uw AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+       |vocab(e) AS (SELECT * FROM (VALUES $vocab) v(e)),
+       |tok(w, pos, n) AS (
+       |  SELECT w, 1, CAST(0 AS BIGINT) FROM uw
+       |  UNION ALL
+       |  SELECT t.w,
+       |    t.pos + COALESCE((SELECT MAX(len(v.e)) FROM vocab v
+       |      WHERE v.e = substr(t.w, t.pos, len(v.e))), 1),
+       |    t.n + 1
+       |  FROM tok t WHERE t.pos <= len(t.w)),
+       |wtok AS (SELECT w, MAX(n) AS n_tok FROM tok GROUP BY w),
+       |per_doc AS (
+       |  SELECT w2.doc_id, SUM(wt.n_tok) AS tokens_real
+       |  FROM (SELECT doc_id, w FROM words WHERE w <> '') w2
+       |  JOIN wtok wt USING (w) GROUP BY w2.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(p.tokens_real, 0) AS BIGINT) AS tokens_real,
+       |  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_words,
+       |  CAST(length(d.text) AS BIGINT) AS len_chars
+       |FROM docs d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- p04
 
@@ -889,7 +922,7 @@ object TextAnalysis {
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),
     "p04_epoch_shuffle"  -> ((p04EpochShuffle _, p04Oracle)),
-    "x17_subword_tokens" -> ((x17SubwordTokens _, "")),
+    "x17_subword_tokens" -> ((x17SubwordTokens _, x17Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
     "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),
