@@ -92,6 +92,10 @@ object F {
   /** PQ asymmetric-distance score of a code against a query LUT. */
   def pqAdc(code: Column, lut: Column, ks: Int): Column =
     col(PqAdcScore(ex(code), ex(lut), ks))
+
+  /** OPQ rotation apply y = R·x (row-major R), codegen'd. */
+  def rotate(v: Column, rot: Array[Array[Float]]): Column =
+    col(RotateVec(ex(v), rot))
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.

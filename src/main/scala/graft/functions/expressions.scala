@@ -836,6 +836,45 @@ object PqKernel {
     while (j < m) { s += lut.getFloat(j * ks + code.getInt(j)); j += 1 }
     s
   }
+
+  /** Dense orthogonal-rotation apply, y = R·x (row-major R): the OPQ
+    * pre-step before encode/LUT. O(dim²) per vector, paid once per corpus
+    * row at ENCODE time (the scan reads codes, never rotated vectors).
+    */
+  def rotate(v: ArrayData, r: Array[Array[Float]]): ArrayData = {
+    val dim = r.length
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val row = r(i)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += row(j).toDouble * v.getFloat(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** OPQ rotation apply: array<float> = R·x, codegen'd (the rotation
+  * matrix rides the plan as a constant reference, like PQ codebooks).
+  */
+case class RotateVec(child: Expression, rot: Array[Array[Float]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rotate_vec"
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.rotate(input.asInstanceOf[ArrayData], rot)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val rRef = ctx.addReferenceObj("rot", rot, "float[][]")
+      val pk = classOf[PqKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.rotate($v, $rRef);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): RotateVec =
+    copy(child = newChild)
 }
 
 /** PQ encode: array<int> of per-subspace codebook indices. */

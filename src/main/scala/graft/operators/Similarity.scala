@@ -326,6 +326,128 @@ object Similarity {
     cents
   }
 
+  /** OPQ rotation training (Ge et al., "Optimized Product Quantization",
+    * CVPR '13 — the non-parametric variant): alternate (a) PQ codebook
+    * training in the rotated space with (b) an orthogonal-Procrustes
+    * update of the rotation toward the current reconstructions, R = V·Uᵀ
+    * from the SVD of the data/reconstruction cross-covariance. The
+    * rotation redistributes correlated variance across the m independent
+    * subspaces — PQ's worst case is energy concentrated in a few
+    * dimensions that one subspace must quantize alone — at the SAME code
+    * budget (m bytes per vector, identical scan). Orthogonality preserves
+    * dot products, so cosine ranking in rotated space IS the original
+    * ranking: the encode/LUT pre-rotate and nothing downstream changes,
+    * including the exact re-rank over true embeddings. Driver-local over
+    * the same bounded sample as [[pqTrain]]; SVD is dim×dim (64² here)
+    * via breeze (on the Spark classpath).
+    */
+  private[graft] def opqTrain(sample: Array[Array[Float]], m: Int, ks: Int,
+      sweeps: Int = 6): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val dim = sample.head.length
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0f else 0.0f)
+    for (_ <- 1 to sweeps) {
+      val rotated = sample.map(x => applyRot(r, x))
+      val cbs = pqTrain(rotated, m, ks)
+      // maximize tr(R·C), C[b][a] = Σ_i x_i[b]·x̂_i[a]: C = U S Vᵀ → R = V Uᵀ
+      val c = DenseMatrix.zeros[Double](dim, dim)
+      for (i <- sample.indices) {
+        val x = sample(i)
+        val xh = pqDecode(cbs, rotated(i))
+        var a = 0
+        while (a < dim) {
+          var b = 0
+          while (b < dim) { c(b, a) += x(b).toDouble * xh(a); b += 1 }
+          a += 1
+        }
+      }
+      val s = svd(c)
+      val rOpt = s.Vt.t * s.U.t
+      r = Array.tabulate(dim, dim)((i, j) => rOpt(i, j).toFloat)
+    }
+    (r, pqTrain(sample.map(x => applyRot(r, x)), m, ks))
+  }
+
+  private[graft] def applyRot(r: Array[Array[Float]], x: Array[Float]): Array[Float] = {
+    val dim = r.length
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val row = r(i)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += row(j).toDouble * x(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Reconstruction of a rotated vector from its per-subspace nearest
+    * codebook entries (trainer/spec side only — the scan reads codes).
+    */
+  private[graft] def pqDecode(cbs: Array[Array[Array[Float]]],
+      y: Array[Float]): Array[Float] = {
+    val m = cbs.length
+    val subDim = cbs(0)(0).length
+    val out = new Array[Float](m * subDim)
+    var j = 0
+    while (j < m) {
+      val sub = cbs(j)
+      val off = j * subDim
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < sub.length) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) { val t = y(off + i).toDouble - sub(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      var i = 0
+      while (i < subDim) { out(off + i) = sub(best)(i); i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  /** Mean squared PQ reconstruction error of `sample` under (rot, cbs) —
+    * the objective OPQ descends; the spec pins OPQ ≤ identity-rotation PQ.
+    */
+  private[graft] def pqQuantError(sample: Array[Array[Float]],
+      r: Array[Array[Float]], cbs: Array[Array[Array[Float]]]): Double = {
+    var total = 0.0
+    for (x <- sample) {
+      val y = applyRot(r, x)
+      val xh = pqDecode(cbs, y)
+      var d = 0.0
+      var i = 0
+      while (i < y.length) { val t = y(i).toDouble - xh(i); d += t * t; i += 1 }
+      total += d
+    }
+    total / sample.length
+  }
+
+  /** Trained-once OPQ artifact (rotation + rotated-space codebooks),
+    * cached per corpus dir like the PQ/IVF artifacts.
+    */
+  private val opqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Array[Array[Array[Float]]])]()
+
+  private[graft] def opqArtifacts(spark: SparkSession, sfDir: String,
+      m: Int = 8, ks: Int = 32): (Array[Array[Float]], Array[Array[Array[Float]]]) =
+    opqCache.computeIfAbsent(s"$sfDir#$m#$ks", _ => {
+      val e = Tables.embeddings(spark, sfDir)
+      val n = math.max(1L, e.count())
+      val cap = math.min(50L * ks, 50000L).toInt
+      val stride = math.max(1L, n / cap)
+      val sample = e.filter(col("vec_id") % stride === 0)
+        .select(col("embedding")).limit(cap).collect()
+        .map(r => normalize(r.getSeq[Float](0).toArray))
+      opqTrain(sample, m, ks)
+    })
+
   /** s04: product-quantization ANN (PQ + ADC + exact re-rank). Corpus
     * vectors are normalized and encoded once into m-byte codes (a
     * codegen'd map — at 100 TB the code table is dim·4/m× smaller than
@@ -350,14 +472,17 @@ object Similarity {
   }
 
   private[graft] def s04AnnPqOn(e: DataFrame, q: DataFrame,
-      cbs: Array[Array[Array[Float]]], rerank: Int): DataFrame = {
+      cbs: Array[Array[Array[Float]]], rerank: Int,
+      rot: Option[Array[Array[Float]]] = None): DataFrame = {
     val ks = cbs(0).length
     val unit = expr(
       "transform(embedding, x -> CAST(x / sqrt(aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
-    val coded = e.select(col("vec_id"), F.pqEncode(unit, cbs).as("code"))
+    val enc = rot.map(r => F.rotate(unit, r)).getOrElse(unit)
+    val coded = e.select(col("vec_id"), F.pqEncode(enc, cbs).as("code"))
     val qunit = expr(
       "transform(qv, x -> CAST(x / sqrt(aggregate(qv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
-    val luts = q.select(col("query_id"), F.pqLut(qunit, cbs).as("lut"))
+    val qenc = rot.map(r => F.rotate(qunit, r)).getOrElse(qunit)
+    val luts = q.select(col("query_id"), F.pqLut(qenc, cbs).as("lut"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)
     val cands = coded.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
@@ -586,17 +711,25 @@ object Similarity {
 
   private[graft] def s07AnnIvfPqOn(e: DataFrame, q: DataFrame,
       cents: Array[Array[Float]], cbs: Array[Array[Array[Float]]],
-      nProbe: Int, repl: Int, rerank: Int): DataFrame = {
+      nProbe: Int, repl: Int, rerank: Int,
+      rot: Option[Array[Array[Float]]] = None): DataFrame = {
     val ks = cbs(0).length
     val unit = expr(
       "transform(embedding, x -> CAST(x / sqrt(aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
     // encode once per corpus row; the generate for cell replication
-    // projects the already-computed code alongside each emitted cell
-    val coded = e.select(col("vec_id"), F.pqEncode(unit, cbs).as("code"),
+    // projects the already-computed code alongside each emitted cell.
+    // OPQ composes FAISS-style (OPQMatrix + IndexIVFPQ): the rotation
+    // applies before PQ encode/LUT only; cell assignment keeps the
+    // original space (rotation is orthogonal, so rotating both centroids
+    // and vectors would be the identical partition — skipping it saves
+    // re-training the coarse quantizer).
+    val enc = rot.map(r => F.rotate(unit, r)).getOrElse(unit)
+    val coded = e.select(col("vec_id"), F.pqEncode(enc, cbs).as("code"),
       explode(F.nearestCells(col("embedding"), cents, repl)).as("cell"))
     val qunit = expr(
       "transform(qv, x -> CAST(x / sqrt(aggregate(qv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
-    val probes = q.select(col("query_id"), F.pqLut(qunit, cbs).as("lut"),
+    val qenc = rot.map(r => F.rotate(qunit, r)).getOrElse(qunit)
+    val probes = q.select(col("query_id"), F.pqLut(qenc, cbs).as("lut"),
       explode(F.nearestCells(col("qv"), cents, nProbe)).as("cell"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)
     val cands = coded.join(broadcast(probes), "cell")
@@ -622,6 +755,26 @@ object Similarity {
     s07AnnIvfPqOn(Tables.embeddings(spark, sfDir), queries(spark, sfDir),
       ivfCentroids(spark, sfDir), pqCodebooks(spark, sfDir),
       nProbe = 4, repl = 2, rerank = 100)
+
+  /** OPQ variants of s04/s07 (§9 quality-ledger upgrades): the same
+    * pipelines with encode/LUT in the learned rotated space — identical
+    * code budget and scan shape, lower quantization error on anisotropic
+    * corpora (the realistic embedding case; on isotropic uniform data the
+    * rotation is a no-op by symmetry). Spec'd in OperatorsSpec: error
+    * strictly improves and recall doesn't regress on correlated data.
+    */
+  def s04AnnOpq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (r, cbs) = opqArtifacts(spark, sfDir)
+    s04AnnPqOn(Tables.embeddings(spark, sfDir), queries(spark, sfDir),
+      cbs, rerank = 100, rot = Some(r))
+  }
+
+  def s07AnnIvfOpq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (r, cbs) = opqArtifacts(spark, sfDir)
+    s07AnnIvfPqOn(Tables.embeddings(spark, sfDir), queries(spark, sfDir),
+      ivfCentroids(spark, sfDir), cbs, nProbe = 4, repl = 2, rerank = 100,
+      rot = Some(r))
+  }
 
   /** Gate variant — oracle-exact by the planted-copy construction: a copy
     * is the identical float array, so it shares every nearest cell with

@@ -473,6 +473,65 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"ivf-pq clustered recall $recall")
   }
 
+  test("opq: lower quantization error and no recall loss on anisotropic data") {
+    // OPQ's design case: correlated variance misaligned with the subspace
+    // split. Latent rank-8 structure spread across all 64 dims by a fixed
+    // dense mixing matrix — each PQ subspace sees projections of the SAME
+    // latent factors, which plain per-subspace k-means quantizes
+    // independently (badly); the learned rotation re-axes the energy.
+    val rnd = new scala.util.Random(23)
+    def gauss(): Float = rnd.nextGaussian().toFloat
+    val mix = Array.fill(64, 8)(gauss())
+    val vecs: Seq[(Long, Array[Float])] = (0L until 500L).map { id =>
+      val z = Array.fill(8)(gauss())
+      val x = Array.tabulate(64)(i =>
+        (mix(i).zip(z).map { case (a, b) => a * b }.sum + 0.05f * gauss()))
+      (id, x)
+    }
+    val sample = vecs.map(v => Similarity.normalize(v._2)).toArray
+    val pqCbs = Similarity.pqTrain(sample, 8, 32)
+    val (rot, opqCbs) = Similarity.opqTrain(sample, 8, 32)
+    val eye = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0f else 0.0f)
+    val pqErr = Similarity.pqQuantError(sample, eye, pqCbs)
+    val opqErr = Similarity.pqQuantError(sample, rot, opqCbs)
+    assert(opqErr < pqErr * 0.9,
+      f"opq must cut quantization error materially: pq=$pqErr%.4f opq=$opqErr%.4f")
+
+    // end-to-end: same pipeline, rotated encode/LUT — recall must not lose
+    val e = vecs.toDF("vec_id", "embedding")
+    val q = vecs.filter(_._1 % 25 == 0).toDF("query_id", "qv")
+    def recallOf(rotOpt: Option[Array[Array[Float]]],
+        cbs: Array[Array[Array[Float]]]): Double = {
+      val got = Similarity.s04AnnPqOn(e, q, cbs, rerank = 30, rot = rotOpt)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val emb = vecs.toMap
+      val exact = emb.keys.filter(_ % 25 == 0).flatMap { qid =>
+        vecs.filter(_._1 != qid).map { case (id, v) => (id, cos(emb(qid), v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5)
+          .map { case (id, _) => (qid, id) }
+      }.toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val pqRecall = recallOf(None, pqCbs)
+    val opqRecall = recallOf(Some(rot), opqCbs)
+    assert(opqRecall >= pqRecall,
+      f"opq recall must not regress: pq=$pqRecall%.3f opq=$opqRecall%.3f")
+    // the rotation is orthogonal: R·Rᵀ = I (dot-product preservation is
+    // what makes rotated-space ADC rank the ORIGINAL cosine order)
+    for (i <- 0 until 64) {
+      for (j <- 0 until 64) {
+        val d = (0 until 64).map(k => rot(i)(k).toDouble * rot(j)(k)).sum
+        assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-3,
+          s"R not orthogonal at ($i,$j): $d")
+      }
+    }
+  }
+
   test("s07 ivf-pq plan: one map assigns+encodes the corpus; probes broadcast") {
     val plan = Similarity.s07AnnIvfPq(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"probes must broadcast:\n$plan")
