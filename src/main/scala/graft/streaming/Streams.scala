@@ -97,20 +97,28 @@ object Streams {
     * failure beats silently-wrong windows), write ONE normalized parquet
     * file per requested name into `dir`. Gate stagers must never copy the
     * raw driver file — that would re-introduce a per-gate physical-schema
-    * assumption.
+    * assumption. The normalize-write (plus its sanity aggregate) runs once
+    * per corpus dir per JVM — the six streaming gates then stage by file
+    * copy, the same cost profile the pre-normalization stagers had.
     */
+  private val normalizedEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   private def stageEvents(spark: SparkSession, sfDir: String, dir: String,
       names: Seq[String] = Seq("batch1.parquet")): Unit = {
-    val df = Tables.events(spark, sfDir).select(
-      col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value"), col("props"))
-    Tables.assertSaneTimeline(df)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_events_norm").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val part = normalizedEventsCache.computeIfAbsent(sfDir, _ => {
+      val df = Tables.events(spark, sfDir).select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      Tables.assertSaneTimeline(df)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_events_norm").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.toPath
+    })
     names.foreach { n =>
-      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$n"))
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$dir/$n"))
     }
   }
 
