@@ -58,6 +58,25 @@ class BitmapsSpec extends SparkSpec {
         s"layouts disagree at $p"))
   }
 
+  test("DV read plan: bitmap join broadcasts, corpus never sort-merges") {
+    // the 100 TB claim for deletion vectors is that the read-side join is
+    // O(touched files) bitmap rows on the BUILD side — broadcastable at
+    // any delete cardinality. Pin the plan shape: a DV-deleted table must
+    // read via BroadcastHashJoin + the codegen'd membership filter, never
+    // a sort-merge that shuffles the corpus by file path.
+    val t = graft.tables.GraftTable.createAs(spark,
+      java.nio.file.Files.createTempDirectory("graft_dvplan").toString + "/t",
+      spark.read.parquet(s"$sf/orders.parquet").repartition(4))
+    t.deleteMergeOnReadDV("o_orderstatus = 'F'")
+    val plan = t.toDF().queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bitmap_contains"),
+      s"DV application must be the codegen'd membership filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bitmap rows must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for DV application:\n$plan")
+  }
+
   test("expressions: contains/cardinality/positions evaluate under codegen") {
     val bm = Bitmaps.encode(Array(2L, 5L, 9L))
     val df = (0L to 10L).toDF("pos").withColumn("bm", lit(bm))
