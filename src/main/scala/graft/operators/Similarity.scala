@@ -789,6 +789,19 @@ object Similarity {
       ivfCentroids(spark, sfDir), pqCodebooks(spark, sfDir),
       nProbe = 4, repl = 2, rerank = 100)
 
+  /** s08 gate: the OPQ pipeline under the same planted-copy construction —
+    * a copy is the identical float array, so it maps to the identical
+    * ROTATED vector and PQ code as its query; its ADC score is the
+    * query's own reconstruction dot (≈ 1 − quantization error), clearing
+    * the corpus' 0.48 natural-cosine ceiling, so the copies survive any
+    * rerank ≥ 5 cut and the exact re-rank reproduces DuckDB's top-5.
+    */
+  def s08AnnOpqGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (r, cbs) = opqArtifacts(spark, sfDir)
+    s04AnnPqOn(plantedCorpus(spark, sfDir), queries(spark, sfDir),
+      cbs, rerank = 100, rot = Some(r))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s06_range_search"   -> ((s06RangeSearchGate _, s06Oracle)),
     "s01_ann_bruteforce" -> ((s01AnnBruteforce _, s01Oracle)),
@@ -797,5 +810,6 @@ object Similarity {
     "s04_ann_pq"         -> ((s04AnnPqGate _, plantedOracle)),
     "s05_ann_filtered"   -> ((s05AnnFilteredGate _, s05Oracle)),
     "s07_ann_ivf_pq"     -> ((s07AnnIvfPqGate _, plantedOracle)),
+    "s08_ann_opq"        -> ((s08AnnOpqGate _, plantedOracle)),
   )
 }
