@@ -38,6 +38,21 @@ class EventsLoaderSpec extends SparkSpec {
     assert(got == Timestamp.from(instant)) // sub-micro tail truncated
   }
 
+  test("tz-aware timestamp[us] encoding passes through unchanged") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("events_tzaware").toString
+    // a Spark-written timestamp column (TIMESTAMP_MICROS, adjusted to UTC)
+    // reads back as TimestampType — the loader's pass-through branch
+    val t = Timestamp.from(Instant.parse("2024-05-01T12:00:00.123456Z"))
+    Seq((1L, t, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.select(col("ts")).head().getTimestamp(0) == t)
+    Tables.assertSaneTimeline(ev)
+  }
+
   test("sanity guard catches a mis-decoded timeline loudly") {
     import spark.implicits._
     val dir = graft.TempDirs.create("events_mistyped").toString
