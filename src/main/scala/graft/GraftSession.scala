@@ -21,7 +21,9 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).filter(_.contains('='))
       .foldLeft(base) { (bb, kv) =>
-        val Array(k, v) = kv.split('=').map(_.trim)
+        // split at the FIRST '=' only: conf values legitimately contain
+        // '=' (e.g. -Dfoo=bar in extraJavaOptions)
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
         bb.config(k, v)
       }
   }

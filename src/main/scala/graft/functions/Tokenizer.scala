@@ -14,10 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * a subword tokenizer would charge, where the regex "BPE-ish" count
   * (x01) only approximates word/punct pieces.
   *
-  * Matching is case-insensitive; whitespace separates and is free; any
-  * character with no vocab entry (incl. all non-ASCII) counts as one
-  * token. Greedy longest-match is deterministic by construction — same
-  * text, same count, on every engine and at every parallelism.
+  * Matching is case-insensitive; ASCII whitespace separates and is free
+  * (exactly regex `\s` — the same separator class `split(text, "\\s+")`
+  * and the DuckDB oracle's word split use, so the three never disagree
+  * on what a word is; a Unicode space is an unknown CHAR, one token);
+  * any other character with no vocab entry counts as one token per CODE
+  * POINT (not UTF-16 unit — an emoji is one token in every engine).
+  * Greedy longest-match is deterministic by construction — same text,
+  * same count, on every engine and at every parallelism.
   */
 object SubwordVocab {
 
@@ -43,6 +47,10 @@ object SubwordVocab {
     buckets.map(_.sortBy(-_.length).toArray)
   }
 
+  /** ASCII whitespace = regex `\s`: space, tab, LF, VT, FF, CR. */
+  @inline private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   /** Greedy longest-match token count; called from codegen. */
   def count(s: UTF8String): Long = {
     // Locale.ROOT: locale-sensitive case folding (tr dotless-i) would
@@ -53,9 +61,11 @@ object SubwordVocab {
     val len = str.length
     while (pos < len) {
       val c = str.charAt(pos)
-      if (Character.isWhitespace(c)) pos += 1
+      if (isAsciiWs(c)) pos += 1
       else {
-        var advance = 1
+        // unknown chars advance one CODE POINT (surrogate pairs are one
+        // token, matching engines that index by code point)
+        var advance = Character.charCount(str.codePointAt(pos))
         if (c < 128) {
           val cands = byFirst(c.toInt)
           var i = 0

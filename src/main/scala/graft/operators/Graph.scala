@@ -35,17 +35,19 @@ object Graph {
     * dedup operators feed here are verified-pair edge lists — tiny even
     * on a huge corpus — and each distributed round costs 4+ fixed-overhead
     * shuffle jobs, so at that size the rounds are pure latency. The
-    * default cap bounds driver memory at ~16 MB of edge pairs; identical
-    * labels either way (agreement is spec-pinned), and the O(log² n)
-    * distributed path is untouched above the cap. Pass 0 to force the
-    * distributed rounds (scale specs pin their round budget that way).
+    * default cap (256k edges, collected as primitive long pairs) bounds
+    * transient driver memory at tens of MB including the union-find maps;
+    * identical labels either way (agreement is spec-pinned), and the
+    * O(log² n) distributed path is untouched above the cap. Pass 0 to
+    * force the distributed rounds (scale specs pin their round budget
+    * that way).
     *
     * @param vertices one column `id`
     * @param edges    columns `src`, `dst` (undirected semantics)
     * @return (id, cluster_id) where cluster_id = min reachable id
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
-      localEdgeCap: Long = 1L << 20): DataFrame = {
+      localEdgeCap: Long = 1L << 18): DataFrame = {
     // canonical directed form: max → min, self-loops dropped
     def canon(e: DataFrame): DataFrame =
       e.filter(col("src") =!= col("dst"))
@@ -106,8 +108,12 @@ object Graph {
     * canonical edge set — the same min-reachable-id labels the star
     * rounds converge to, produced in one driver pass plus one broadcast
     * join. Only called under [[connectedComponents]]'s edge cap, so the
-    * collect is bounded by construction. Non-root labels broadcast —
-    * exactly the star forest the distributed path joins with.
+    * collect is bounded by construction; edges collect as PRIMITIVE long
+    * pairs (typed Dataset, no Row objects). Non-root labels broadcast —
+    * exactly the star forest the distributed path joins with — and the
+    * result is eagerly checkpointed like the distributed path's, so
+    * downstream consumers plan O(1) work and callers may unpersist their
+    * inputs immediately (the d03/d09 pattern).
     */
   private def localComponents(vertices: DataFrame, canonEdges: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
@@ -123,18 +129,18 @@ object Graph {
       }
       r
     }
-    canonEdges.collect().foreach { row =>
-      val a = row.getAs[Number](0).longValue()
-      val b = row.getAs[Number](1).longValue()
-      seen += a; seen += b
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    canonEdges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect().foreach { case (a, b) =>
+        seen += a; seen += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
     val labels = seen.iterator.map(id => (id, find(id)))
       .filter { case (id, r) => id != r }.toSeq
       .toDF("id", "root")
     vertices.select(col("id"))
       .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
   }
 }

@@ -136,16 +136,27 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** Deterministic bounded sample of NORMALIZED corpus embeddings — the
+    * one training input every index artifact (IVF / PQ / OPQ) derives
+    * from: strided by vec_id, capped, collected driver-side. O(cap·dim)
+    * driver memory regardless of corpus size.
+    */
+  private def sampleNormalizedEmbeddings(spark: SparkSession, sfDir: String,
+      cap: Int): Array[Array[Float]] = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = math.max(1L, e.count())
+    val stride = math.max(1L, n / cap)
+    e.filter(col("vec_id") % stride === 0)
+      .select(col("embedding")).limit(cap).collect()
+      .map(r => normalize(r.getSeq[Float](0).toArray))
+  }
+
   private[graft] def ivfCentroids(spark: SparkSession, sfDir: String): Array[Array[Float]] =
     centroidCache.computeIfAbsent(sfDir, _ => {
-      val e = Tables.embeddings(spark, sfDir)
-      val n = math.max(1L, e.count())
+      val n = math.max(1L, Tables.embeddings(spark, sfDir).count())
       val k = math.min(1024L, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-      val cap = math.min(50L * k, 50000L).toInt
-      val stride = math.max(1L, n / cap)
-      val sample = e.filter(col("vec_id") % stride === 0)
-        .select(col("embedding")).limit(cap).collect()
-        .map(r => normalize(r.getSeq[Float](0).toArray))
+      val sample = sampleNormalizedEmbeddings(spark, sfDir,
+        math.min(50L * k, 50000L).toInt)
       trainKMeans(sample, math.min(k, sample.length), iters = 12)
     })
 
@@ -267,16 +278,9 @@ object Similarity {
 
   private[graft] def pqCodebooks(spark: SparkSession, sfDir: String,
       m: Int = 8, ks: Int = 32): Array[Array[Array[Float]]] =
-    codebookCache.computeIfAbsent(s"$sfDir#$m#$ks", _ => {
-      val e = Tables.embeddings(spark, sfDir)
-      val n = math.max(1L, e.count())
-      val cap = math.min(50L * ks, 50000L).toInt
-      val stride = math.max(1L, n / cap)
-      val sample = e.filter(col("vec_id") % stride === 0)
-        .select(col("embedding")).limit(cap).collect()
-        .map(r => normalize(r.getSeq[Float](0).toArray))
-      pqTrain(sample, m, ks)
-    })
+    codebookCache.computeIfAbsent(s"$sfDir#$m#$ks", _ =>
+      pqTrain(sampleNormalizedEmbeddings(spark, sfDir,
+        math.min(50L * ks, 50000L).toInt), m, ks))
 
   /** Per-subspace L2 codebooks from a normalized sample. */
   private[graft] def pqTrain(sample: Array[Array[Float]], m: Int, ks: Int): Array[Array[Array[Float]]] = {
@@ -437,16 +441,9 @@ object Similarity {
 
   private[graft] def opqArtifacts(spark: SparkSession, sfDir: String,
       m: Int = 8, ks: Int = 32): (Array[Array[Float]], Array[Array[Array[Float]]]) =
-    opqCache.computeIfAbsent(s"$sfDir#$m#$ks", _ => {
-      val e = Tables.embeddings(spark, sfDir)
-      val n = math.max(1L, e.count())
-      val cap = math.min(50L * ks, 50000L).toInt
-      val stride = math.max(1L, n / cap)
-      val sample = e.filter(col("vec_id") % stride === 0)
-        .select(col("embedding")).limit(cap).collect()
-        .map(r => normalize(r.getSeq[Float](0).toArray))
-      opqTrain(sample, m, ks)
-    })
+    opqCache.computeIfAbsent(s"$sfDir#$m#$ks", _ =>
+      opqTrain(sampleNormalizedEmbeddings(spark, sfDir,
+        math.min(50L * ks, 50000L).toInt), m, ks))
 
   /** s04: product-quantization ANN (PQ + ADC + exact re-rank). Corpus
     * vectors are normalized and encoded once into m-byte codes (a

@@ -61,6 +61,8 @@ object Tables {
     */
   def assertSaneTimeline(events: DataFrame): Unit = {
     val row = events.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "events table is empty (or ts all NULL) — cannot validate its timeline")
     val (lo, hi) = (row.getInt(0), row.getInt(1))
     require(lo >= 2000 && hi <= 2100,
       s"events timeline insane: year range [$lo, $hi] outside [2000, 2100] — ts mis-decoded?")

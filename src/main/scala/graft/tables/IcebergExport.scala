@@ -129,9 +129,13 @@ object IcebergExport {
         val fo = arr.addObject()
         fo.put("name", f.name)
         fo.put("transform", f.transform)
-        // spec sources are PHYSICAL names: map back to logical for the id
+        // spec sources are PHYSICAL names: map back to logical for the id.
+        // Unresolvable sources throw (evolution refuses to drop partition
+        // sources, so this can't occur on live tables) — a 0 placeholder
+        // would import as a silently-wrong spec downstream.
         fo.put("source-id", physToLogicalName.get(f.source)
-          .flatMap(topFieldIds.get).getOrElse(0))
+          .flatMap(topFieldIds.get).getOrElse(throw new IllegalStateException(
+            s"partition field '${f.name}' source '${f.source}' not in schema")))
         fo.put("field-id", 1000 + i)
       }
       arr

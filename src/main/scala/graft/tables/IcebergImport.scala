@@ -110,9 +110,16 @@ object IcebergImport {
       Option(root.get("partition-specs")).foreach(_.forEach { so =>
         val fields = Seq.newBuilder[PartitionField]
         so.get("fields").forEach { fo =>
-          fields += PartitionField(
-            idToPhysical.getOrElse(fo.get("source-id").asInt(),
-              fo.get("name").asText()),
+          // a spec source that doesn't resolve to a schema field would
+          // register a silently-wrong spec (mis-pruned reads); refuse
+          // loudly instead. Cannot occur on graft exports — evolution
+          // refuses to drop partition-source columns.
+          val sid = fo.get("source-id").asInt()
+          val source = idToPhysical.getOrElse(sid,
+            throw new IllegalArgumentException(
+              s"partition field '${fo.get("name").asText()}' references " +
+                s"unknown source field id $sid — cannot import the spec"))
+          fields += PartitionField(source,
             fo.get("transform").asText(), fo.get("name").asText())
         }
         out += PartitionSpec(so.get("spec-id").asInt(), fields.result())

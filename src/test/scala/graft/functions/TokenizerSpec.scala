@@ -12,6 +12,8 @@ class TokenizerSpec extends SparkSpec {
 
   /** Reference: naive greedy longest-match, written differently on
     * purpose (tries every prefix length from longest down, set lookup).
+    * Same separator class as the engine: ASCII `\s` only; unmatched
+    * chars advance one code point.
     */
   private def refCount(text: String): Long = {
     val vocab = SubwordVocab.entries.toSet
@@ -20,10 +22,12 @@ class TokenizerSpec extends SparkSpec {
     var pos = 0
     var n = 0L
     while (pos < s.length) {
-      if (Character.isWhitespace(s.charAt(pos))) pos += 1
+      val c = s.charAt(pos)
+      if (c == ' ' || (c >= '\t' && c <= '\r')) pos += 1
       else {
         val best = (math.min(maxLen, s.length - pos) to 1 by -1)
-          .find(l => vocab.contains(s.substring(pos, pos + l))).getOrElse(1)
+          .find(l => vocab.contains(s.substring(pos, pos + l)))
+          .getOrElse(Character.charCount(s.codePointAt(pos)))
         n += 1
         pos += best
       }
@@ -42,9 +46,13 @@ class TokenizerSpec extends SparkSpec {
     assert(c("government") == 1)
     // case-insensitive
     assert(c("The THE the") == 3)
-    // unknown non-ASCII counts one per char
+    // unknown non-ASCII counts one per CODE POINT (emoji = 1, not 2)
     assert(c("é") == 1)
     assert(c("日本") == 2)
+    assert(c("😀") == 1)
+    // a Unicode space is NOT a separator (oracle/words() parity: the
+    // separator class is exactly ASCII \s) — it charges one token
+    assert(c("a b") == c("a") + c("b") + 1)
     // greedy longest-match agrees with the reference on mixed text
     val samples = Seq("unhappiness", "pre-training data pipelines",
       "Café 42!", "internationalization", "a1b2c3")
