@@ -42,7 +42,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
@@ -51,7 +51,24 @@ object Tables {
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet encoding $other — add a normalization branch")
     }
+    // Once per corpus per JVM: the LongType branch ASSUMES nanos — a
+    // future micros-as-long drop would divide by 1000 and silently put
+    // every BATCH query in ~1970 (streaming stagers have their own
+    // guard). One tiny aggregate closes that hole; empty tables pass
+    // (nothing to mis-decode).
+    if (timelineChecked.add(d)) {
+      val row = normalized.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+      if (!row.isNullAt(0)) {
+        val (lo, hi) = (row.getInt(0), row.getInt(1))
+        require(lo >= 2000 && hi <= 2100,
+          s"events timeline insane: year range [$lo, $hi] outside [2000, 2100] — ts mis-decoded?")
+      }
+    }
+    normalized
   }
+
+  private val timelineChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Timeline sanity guard: one cheap aggregate proving the loaded events
     * span plausible years. Gate stagers call this so a future encoding

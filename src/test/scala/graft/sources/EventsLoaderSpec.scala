@@ -53,18 +53,33 @@ class EventsLoaderSpec extends SparkSpec {
     Tables.assertSaneTimeline(ev)
   }
 
-  test("sanity guard catches a mis-decoded timeline loudly") {
+  test("mis-decoded timeline fails loudly AT LOAD, not downstream") {
     import spark.implicits._
     val dir = graft.TempDirs.create("events_mistyped").toString
     // ts written as long MICROS: the nanos-long branch divides by 1000 and
     // every event lands in ~1970 — exactly the r9 silent-wrongness shape.
+    // The loader's once-per-corpus guard must catch it before any batch
+    // query computes on the collapsed timeline.
     val micros = Instant.parse("2024-05-01T12:00:00Z").getEpochSecond * 1000000L
     Seq((1L, micros, 7L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val ev = Tables.events(spark, dir)
-    val e = intercept[IllegalArgumentException](Tables.assertSaneTimeline(ev))
+    val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
     assert(e.getMessage.contains("timeline insane"))
+  }
+
+  test("empty events table loads (loader lenient) but refuses staging") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("events_empty").toString
+    Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // a legitimately empty table must not crash plain reads...
+    val ev = Tables.events(spark, dir)
+    assert(ev.count() == 0)
+    // ...but staging a stream from it is a gate bug — strict guard throws
+    val e = intercept[IllegalArgumentException](Tables.assertSaneTimeline(ev))
+    assert(e.getMessage.contains("empty"))
   }
 
   test("unsupported ts encoding fails at load, not downstream") {
