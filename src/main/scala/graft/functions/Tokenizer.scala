@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (x01) only approximates word/punct pieces.
   *
   * Matching is case-insensitive; ASCII whitespace separates and is free
-  * (exactly regex `\s` — the same separator class `split(text, "\\s+")`
-  * and the DuckDB oracle's word split use, so the three never disagree
-  * on what a word is; a Unicode space is an unknown CHAR, one token);
+  * (exactly RE2 `\s` = `[ \t\n\f\r]` — the same separator class the
+  * Spark-side `split(text, "[ \t\n\f\r]+")` and the DuckDB oracle's
+  * RE2 `\s+` word split use, so the three never disagree on what a
+  * word is; a Unicode space or a VT is an unknown CHAR, one token);
   * any other character with no vocab entry counts as one token per CODE
   * POINT (not UTF-16 unit — an emoji is one token in every engine).
   * Greedy longest-match is deterministic by construction — same text,
@@ -47,9 +48,14 @@ object SubwordVocab {
     buckets.map(_.sortBy(-_.length).toArray)
   }
 
-  /** ASCII whitespace = regex `\s`: space, tab, LF, VT, FF, CR. */
+  /** ASCII whitespace = RE2 `\s`: space, tab, LF, FF, CR — NOT vertical
+    * tab (\x0B). Java's regex `\s` includes VT but DuckDB's RE2 `\s`
+    * does not; the oracle splits words with RE2, so VT must be an
+    * unknown CHAR here (one token) or the two engines disagree on any
+    * document containing one (ADVICE r10).
+    */
   @inline private def isAsciiWs(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Greedy longest-match token count; called from codegen. */
   def count(s: UTF8String): Long = {

@@ -70,7 +70,7 @@ object Dedup {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val mutated = d.select(
       (col("doc_id") + lit(2000000L)).as("doc_id"),
-      expr("concat_ws(' ', filter(split(trim(text), '\\\\s+'), (w, i) -> i % 10 != 0))").as("text"))
+      expr("concat_ws(' ', filter(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), (w, i) -> i % 10 != 0))").as("text"))
     d.unionAll(mutated)
   }
 
@@ -81,7 +81,7 @@ object Dedup {
     */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("sh", F.wordShingles(
-      expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 3))
+      expr("transform(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> xxhash64(w))"), 3))
 
   /** Character 5-gram shingles: one rolling-hash pass over the UTF-8 bytes
     * (codegen'd, zero per-window allocations), sorted distinct.
@@ -247,7 +247,7 @@ object Dedup {
   private[operators] def d04Simhash(spark: SparkSession, sfDir: String,
       maxBucket: Int): DataFrame = {
     val sigs = plantedCorpus(spark, sfDir)
-      .withColumn("sig", F.simhash64(expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))")))
+      .withColumn("sig", F.simhash64(expr("transform(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> xxhash64(w))")))
       .select(col("doc_id"), col("sig"))
       .persist()
     val chunked = sigs.select(col("doc_id"),
@@ -285,9 +285,9 @@ object Dedup {
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 250)
     val corpus = base.unionAll(base.select(
       (col("doc_id") + lit(2000000L)).as("doc_id"),
-      expr("concat_ws(' ', filter(split(trim(text), '\\\\s+'), (w, i) -> i % 10 != 0))").as("text")))
+      expr("concat_ws(' ', filter(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), (w, i) -> i % 10 != 0))").as("text")))
     val sigs = corpus
-      .withColumn("sig", F.simhash64(F.polyWordHashes(split(trim(col("text")), "\\s+"))))
+      .withColumn("sig", F.simhash64(F.polyWordHashes(split(trim(col("text")), "[ \\t\\n\\f\\r]+"))))
       .select(col("doc_id"), col("sig"))
       .persist()
     val chunked = sigs.select(col("doc_id"),
@@ -561,7 +561,7 @@ object Dedup {
     */
   def d07DupGramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = F.wordShingles(
-      expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 8)
+      expr("transform(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> xxhash64(w))"), 8)
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val shingled = d.select(col("doc_id"), explode(grams).as("g"))
     val dupGrams = shingled.groupBy(col("g"))

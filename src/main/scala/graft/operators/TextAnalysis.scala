@@ -13,7 +13,11 @@ import graft.sources.Tables
 object TextAnalysis {
 
   /** Whitespace tokenization as a column of words. */
-  private def words(text: Column): Column = split(trim(text), "\\s+")
+  // separator class = RE2 `\s` (what the DuckDB oracles split on): Java's
+  // `\s` also matches VT (\x0B), RE2's does not — the explicit class keeps
+  // the two engines' word boundaries provably identical (ADVICE r10)
+  private val wsClass = "[ \\t\\n\\f\\r]"
+  private def words(text: Column): Column = split(trim(text), s"$wsClass+")
 
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
@@ -24,8 +28,10 @@ object TextAnalysis {
 
   /** BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct pieces with
     * optional leading space; no lookahead so Java regex and RE2 agree).
+    * The punct class spells out RE2's `\s` = `[ \t\n\f\r]` — the oracle's
+    * `[^A-Za-z0-9\s]` under RE2 treats VT as punct, Java's `\s` would not.
     */
-  val bpeishPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  val bpeishPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+"
 
   /** x01: token counting — whitespace tokens, BPE-ish regex pieces, and
     * character length per doc.
@@ -59,8 +65,8 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).as("len_chars"),
         size(ws).as("n_words"),
-        expr(s"size(filter(split(trim(text), '\\\\s+'), w -> w IN ($inList)))").as("n_stopwords"),
-        expr("aggregate(transform(split(trim(text), '\\\\s+'), w -> length(w)), 0, (a, x) -> a + x)")
+        expr(s"size(filter(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> w IN ($inList)))").as("n_stopwords"),
+        expr("aggregate(transform(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> length(w)), 0, (a, x) -> a + x)")
           .as("sum_word_len"))
       .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_words"))
       .withColumn("mean_word_len", col("sum_word_len").cast("double") / col("n_words"))
@@ -164,7 +170,7 @@ object TextAnalysis {
     val scoreCols = langProfiles.map { case (lang, prio, markers) =>
       val inList = markers.map(w => s"'$w'").mkString(", ")
       struct(
-        expr(s"size(filter(split(trim(${text.toString}), '\\\\s+'), w -> w IN ($inList)))").as("score"),
+        expr(s"size(filter(split(trim(${text.toString}), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> w IN ($inList)))").as("score"),
         lit(prio).as("prio"), lit(lang).as("lang"))
     }
     df.withColumn("best", element_at(sort_array(array(scoreCols: _*), asc = false), 1))
@@ -271,7 +277,7 @@ object TextAnalysis {
     val scored = deduped
       .withColumn("n_words", size(ws))
       .withColumn("n_stopwords",
-        expr(s"size(filter(split(trim(text), '\\\\s+'), w -> w IN ($inList)))"))
+        expr(s"size(filter(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> w IN ($inList)))"))
       .filter(col("n_words") >= 10 && col("n_words") <= 500 && col("n_stopwords") >= 1)
     langIdOver(scored, col("text"))
       .groupBy(col("lang_pred"))
@@ -474,7 +480,7 @@ object TextAnalysis {
   /** Word-8-shingle hashes (sorted distinct) — the decontamination gram. */
   private def gramHashes(text: Column): Column =
     graft.functions.F.wordShingles(
-      expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 8)
+      expr("transform(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> xxhash64(w))"), 8)
 
   /** x08: benchmark decontamination — the GPT-3/Pile pipeline step: flag
     * training documents sharing any word-8-gram with the benchmark
@@ -533,7 +539,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         when(size(ws) >= 3, size(ws) - 2).otherwise(lit(1)).as("n_grams"),
         size(graft.functions.F.wordShingles(
-          expr("transform(split(trim(text), '\\\\s+'), w -> xxhash64(w))"), 3)).as("n_distinct"))
+          expr("transform(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), w -> xxhash64(w))"), 3)).as("n_distinct"))
       .withColumn("rep_ratio",
         (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
       .orderBy(col("doc_id"))
@@ -705,8 +711,8 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
     val lines = docs.select(col("doc_id"),
         posexplode(expr(
-          """transform(sequence(0, cast(ceil(size(split(trim(text), '\\s+')) / 10.0) AS int) - 1),
-            |  i -> array_join(slice(split(trim(text), '\\s+'), i * 10 + 1, 10), ' '))""".stripMargin))
+          """transform(sequence(0, cast(ceil(size(split(trim(text), '[ \\t\\n\\f\\r]+')) / 10.0) AS int) - 1),
+            |  i -> array_join(slice(split(trim(text), '[ \\t\\n\\f\\r]+'), i * 10 + 1, 10), ' '))""".stripMargin))
           .as(Seq("idx", "line")))
     val firstSeen = lines.withColumn("rn",
         row_number().over(Window.partitionBy(col("line"))

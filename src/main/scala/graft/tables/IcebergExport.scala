@@ -123,29 +123,49 @@ object IcebergExport {
     }
     val physToLogicalName = m.schema.fields.map(f =>
       ColumnMapping.physicalOf(m.schema, f.name) -> f.name).toMap
-    def specFields(spec: PartitionSpec) = {
+    // spec sources are PHYSICAL names: map back to logical for the id.
+    // For the CURRENT spec an unresolvable source throws (the drop guard
+    // protects current-spec sources, so this can't occur on live tables —
+    // a 0 placeholder would import as a silently-wrong spec downstream).
+    // HISTORICAL specs are weaker: dropColumn only guards the current
+    // spec's sources, so a legal table that evolved its spec and then
+    // dropped the old source column has historical fields that no longer
+    // resolve (ADVICE r10). Those fields are OMITTED, with the omission
+    // declared on the spec object (`graft-omitted-fields`) — readers that
+    // only need the current spec are unaffected, and nothing silently
+    // maps to the wrong column.
+    def specFields(spec: PartitionSpec, strict: Boolean):
+        (com.fasterxml.jackson.databind.node.ArrayNode, Seq[String]) = {
       val arr = mapper.createArrayNode()
+      val omitted = Seq.newBuilder[String]
       spec.fields.zipWithIndex.foreach { case (f, i) =>
-        val fo = arr.addObject()
-        fo.put("name", f.name)
-        fo.put("transform", f.transform)
-        // spec sources are PHYSICAL names: map back to logical for the id.
-        // Unresolvable sources throw (evolution refuses to drop partition
-        // sources, so this can't occur on live tables) — a 0 placeholder
-        // would import as a silently-wrong spec downstream.
-        fo.put("source-id", physToLogicalName.get(f.source)
-          .flatMap(topFieldIds.get).getOrElse(throw new IllegalStateException(
-            s"partition field '${f.name}' source '${f.source}' not in schema")))
-        fo.put("field-id", 1000 + i)
+        physToLogicalName.get(f.source).flatMap(topFieldIds.get) match {
+          case Some(sid) =>
+            val fo = arr.addObject()
+            fo.put("name", f.name)
+            fo.put("transform", f.transform)
+            fo.put("source-id", sid)
+            fo.put("field-id", 1000 + i)
+            ()
+          case None if strict => throw new IllegalStateException(
+            s"partition field '${f.name}' source '${f.source}' not in schema")
+          case None => omitted += f.name
+        }
       }
-      arr
+      (arr, omitted.result())
     }
-    root.set("partition-spec", specFields(m.currentSpec))
+    root.set("partition-spec", specFields(m.currentSpec, strict = true)._1)
     val specs = root.putArray("partition-specs")
     m.specs.foreach { s =>
       val so = specs.addObject()
       so.put("spec-id", s.specId)
-      so.set("fields", specFields(s))
+      val strict = s.specId == m.currentSpecId
+      val (fields, omitted) = specFields(s, strict)
+      so.set("fields", fields)
+      if (omitted.nonEmpty) {
+        val oa = so.putArray("graft-omitted-fields")
+        omitted.foreach(oa.add)
+      }
       ()
     }
     root.put("default-spec-id", m.currentSpecId)

@@ -105,27 +105,43 @@ object IcebergImport {
       b.result()
     }
 
+    // a spec source that doesn't resolve to a schema field would
+    // register a silently-wrong spec (mis-pruned reads); refuse
+    // loudly instead. Cannot occur on graft exports — evolution
+    // refuses to drop partition-source columns (historical-spec fields
+    // the export could not resolve are omitted there, never emitted
+    // with a bogus id).
+    def parseFields(fieldsNode: JsonNode): Seq[PartitionField] = {
+      val fields = Seq.newBuilder[PartitionField]
+      fieldsNode.forEach { fo =>
+        val sid = fo.get("source-id").asInt()
+        val source = idToPhysical.getOrElse(sid,
+          throw new IllegalArgumentException(
+            s"partition field '${fo.get("name").asText()}' references " +
+              s"unknown source field id $sid — cannot import the spec"))
+        fields += PartitionField(source,
+          fo.get("transform").asText(), fo.get("name").asText())
+      }
+      fields.result()
+    }
     val specs = {
       val out = Seq.newBuilder[PartitionSpec]
       Option(root.get("partition-specs")).foreach(_.forEach { so =>
-        val fields = Seq.newBuilder[PartitionField]
-        so.get("fields").forEach { fo =>
-          // a spec source that doesn't resolve to a schema field would
-          // register a silently-wrong spec (mis-pruned reads); refuse
-          // loudly instead. Cannot occur on graft exports — evolution
-          // refuses to drop partition-source columns.
-          val sid = fo.get("source-id").asInt()
-          val source = idToPhysical.getOrElse(sid,
-            throw new IllegalArgumentException(
-              s"partition field '${fo.get("name").asText()}' references " +
-                s"unknown source field id $sid — cannot import the spec"))
-          fields += PartitionField(source,
-            fo.get("transform").asText(), fo.get("name").asText())
-        }
-        out += PartitionSpec(so.get("spec-id").asInt(), fields.result())
+        out += PartitionSpec(so.get("spec-id").asInt(),
+          parseFields(so.get("fields")))
       })
       val specs0 = out.result()
-      if (specs0.isEmpty) Seq(PartitionSpec(0, Nil)) else specs0
+      if (specs0.nonEmpty) specs0
+      else {
+        // v1's REQUIRED field is the legacy top-level `partition-spec`
+        // array; `partition-specs` is optional. A foreign document
+        // carrying only the legacy form must not import as silently
+        // unpartitioned (ADVICE r10) — parse it as spec 0.
+        Option(root.get("partition-spec")).filter(_.size() > 0) match {
+          case Some(legacy) => Seq(PartitionSpec(0, parseFields(legacy)))
+          case None         => Seq(PartitionSpec(0, Nil))
+        }
+      }
     }
     val currentSpecId = Option(root.get("default-spec-id")).map(_.asInt())
       .getOrElse(specs.head.specId)

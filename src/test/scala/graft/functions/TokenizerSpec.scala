@@ -12,8 +12,9 @@ class TokenizerSpec extends SparkSpec {
 
   /** Reference: naive greedy longest-match, written differently on
     * purpose (tries every prefix length from longest down, set lookup).
-    * Same separator class as the engine: ASCII `\s` only; unmatched
-    * chars advance one code point.
+    * Same separator class as the engine: RE2 `\s` = `[ \t\n\f\r]` — NOT
+    * VT, which the DuckDB oracle's RE2 split also treats as a word
+    * char; unmatched chars advance one code point.
     */
   private def refCount(text: String): Long = {
     val vocab = SubwordVocab.entries.toSet
@@ -23,7 +24,7 @@ class TokenizerSpec extends SparkSpec {
     var n = 0L
     while (pos < s.length) {
       val c = s.charAt(pos)
-      if (c == ' ' || (c >= '\t' && c <= '\r')) pos += 1
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') pos += 1
       else {
         val best = (math.min(maxLen, s.length - pos) to 1 by -1)
           .find(l => vocab.contains(s.substring(pos, pos + l)))
@@ -51,8 +52,12 @@ class TokenizerSpec extends SparkSpec {
     assert(c("日本") == 2)
     assert(c("😀") == 1)
     // a Unicode space is NOT a separator (oracle/words() parity: the
-    // separator class is exactly ASCII \s) — it charges one token
+    // separator class is exactly RE2 \s) — it charges one token
     assert(c("a b") == c("a") + c("b") + 1)
+    // vertical tab is Java-regex-\s but NOT RE2-\s: the oracle's split keeps
+    // it inside the word, so here it must charge one token, not
+    // separate for free (ADVICE r10)
+    assert(c("a\u000Bb") == c("a") + c("b") + 1)
     // greedy longest-match agrees with the reference on mixed text
     val samples = Seq("unhappiness", "pre-training data pipelines",
       "Café 42!", "internationalization", "a1b2c3")

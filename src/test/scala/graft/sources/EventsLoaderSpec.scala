@@ -82,6 +82,45 @@ class EventsLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("failed timeline validation stays loud on every retry") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("events_retry").toString
+    val micros = Instant.parse("2024-05-01T12:00:00Z").getEpochSecond * 1000000L
+    Seq((1L, micros, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // ADVICE r10: the guard used to record the dir BEFORE validating, so
+    // a caught first failure let every later load return the mis-decoded
+    // frame silently. Both loads must throw.
+    val e1 = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e1.getMessage.contains("timeline insane"))
+    val e2 = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e2.getMessage.contains("timeline insane"))
+  }
+
+  test("same-dir content swap re-validates (guard keyed by mtime)") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("events_swap").toString
+    val good = Timestamp.from(Instant.parse("2024-05-01T12:00:00Z"))
+    Seq((1L, good, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.assertSaneTimeline(Tables.events(spark, dir)) // validates + records
+    // swap the SAME path to a mis-encoded drop (long micros, decoded as
+    // nanos → ~1970). A dir-keyed guard would skip validation and hand
+    // the collapsed timeline to every batch query (VERDICT r10 nit).
+    val micros = Instant.parse("2024-05-01T12:00:00Z").getEpochSecond * 1000000L
+    Seq((1L, micros, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // local-fs mtime is millisecond-granular; force a visible bump so the
+    // test never races the clock
+    val f = new java.io.File(s"$dir/events.parquet")
+    assert(f.setLastModified(f.lastModified() + 10000))
+    val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("timeline insane"))
+  }
+
   test("unsupported ts encoding fails at load, not downstream") {
     import spark.implicits._
     val dir = graft.TempDirs.create("events_badtype").toString

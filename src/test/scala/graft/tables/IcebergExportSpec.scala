@@ -61,6 +61,31 @@ class IcebergExportSpec extends SparkSpec {
       mapper.readTree(IcebergExport.metadataJson(t)).get("table-uuid").asText())
   }
 
+  test("historical spec with dropped source exports; field omitted + declared") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100),
+      partitionFields = Seq(PartitionField("o_orderpriority", "identity", "o_prio")))
+    t.setPartitionSpec(Seq(PartitionField("o_orderdate", "months", "o_month")))
+    // legal: the drop guard protects only CURRENT-spec sources, so a table
+    // that evolved its spec away can drop the old source (ADVICE r10 —
+    // export used to throw on exactly this shape)
+    t.dropColumn("o_orderpriority")
+    val root = mapper.readTree(IcebergExport.metadataJson(t))
+    // current spec still exports fully resolved — and still throws-on-miss
+    assert(root.get("partition-spec").get(0).get("transform").asText() == "months")
+    // the historical spec omits the unresolvable field and says so
+    val specs = root.get("partition-specs")
+    val hist = (0 until specs.size()).map(specs.get)
+      .find(_.get("spec-id").asInt() == 0).get
+    assert(hist.get("fields").size() == 0)
+    assert(hist.get("graft-omitted-fields").get(0).asText() == "o_prio")
+    // nothing in the document carries a bogus source-id
+    val cur = (0 until specs.size()).map(specs.get)
+      .find(_.get("spec-id").asInt() == 1).get
+    assert(cur.get("fields").size() == 1)
+    assert(cur.get("fields").get(0).get("source-id").asInt() > 0)
+  }
+
   test("type mapping covers the corpus schemas incl. nested lists") {
     val loc = tmp()
     val t = GraftTable.createAs(spark, loc,

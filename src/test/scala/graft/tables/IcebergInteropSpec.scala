@@ -75,6 +75,30 @@ class IcebergInteropSpec extends SparkSpec {
     assert(ColumnMapping.physicalOf(imp.meta.schema, "price") == "o_totalprice")
   }
 
+  test("legacy-only 'partition-spec' documents import the spec (ADVICE r10)") {
+    // Iceberg v1's REQUIRED field is the legacy top-level `partition-spec`;
+    // `partition-specs` is optional. A foreign writer emitting only the
+    // legacy form must not import as silently unpartitioned.
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100),
+      partitionFields = Seq(PartitionField("o_orderdate", "months", "o_month")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = mapper.readTree(MetaIO.readString(conf, exportTo(src)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("partition-specs")
+    root.remove("default-spec-id")
+    val legacyPath = Files.createTempDirectory("graft_icemeta").toString + "/metadata.json"
+    MetaIO.writeString(conf, legacyPath, mapper.writeValueAsString(root))
+    val imp = IcebergImport.importMetadata(spark, legacyPath, tmp())
+    assert(imp.meta.currentSpecId == 0)
+    assert(imp.meta.specs.map(_.fields.map(f => (f.transform, f.name))) ==
+      Seq(Seq(("months", "o_month"))))
+    // the fallback spec is live: reads (and pruning) go through it
+    assert(imp.toDF().count() == 100)
+    assert(imp.toDF(Some("o_orderstatus = 'F'")).count() ==
+      src.toDF().filter($"o_orderstatus" === "F").count())
+  }
+
   test("refuses Avro-manifest tables and existing targets loudly") {
     val src = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/region.parquet"))
