@@ -1174,7 +1174,63 @@ object TableOpsExt {
        |  (SELECT COUNT(*) FROM base WHERE o_orderstatus <> 'F' AND o_totalprice <= 250000) AS rows_final,
        |  CAST(0 AS BIGINT) AS dv_files_final""".stripMargin
 
+  // ---------------------------------------------------------------- t48
+
+  /** t48: REAL-Iceberg binary interop (r11) — export a partitioned,
+    * multi-snapshot table as genuine v1 Avro manifests + manifest lists
+    * (from-scratch codec, [[graft.formats.Avro]]), re-import the binary
+    * artifact, and prove the round trip is exact: row-identical data,
+    * partition pruning live through the translated specs (months values
+    * shift Iceberg-epoch↔calendar on the way through), aggregates equal
+    * to the source. Byte-level spec conformance is pinned in AvroSpec /
+    * IcebergAvroInteropSpec; this gate pins the user-visible contract.
+    */
+  def t48AvroInterop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000).repartition(4),
+      partitionFields = Seq(PartitionField("o_orderdate", "months", "o_month")))
+    t.append(shifted(spark, sfDir, 1000, 900000000L))
+    val dir = Files.createTempDirectory("graft_avro_out").toString
+    IcebergExport.exportBinary(t, dir)
+    // ≥1 manifest list + ≥1 manifest, all genuinely Avro containers
+    val avroFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    val avroArtifacts = avroFiles.length >= 2 && avroFiles.forall { f =>
+      val in = new java.io.FileInputStream(f)
+      try {
+        val magic = new Array[Byte](4)
+        in.read(magic) == 4 && magic.sameElements(Array[Byte]('O', 'b', 'j', 1))
+      } finally in.close()
+    }
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json",
+      Files.createTempDirectory("graft_avro_in").toString + "/t")
+    val rowsTotal = imp.toDF().count()
+    val rows95 = imp.toDF(Some(
+      "o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'")).count()
+    val sumPrice = imp.toDF()
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"))
+      .head().getDouble(0)
+    val roundtripExact = rowsTotal == t.toDF().count()
+    Seq((avroArtifacts, roundtripExact, rowsTotal, rows95, sumPrice))
+      .toDF("avro_artifacts", "roundtrip_exact", "rows_total", "rows_1995", "sum_price")
+  }
+
+  val t48Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql(5000)}),
+       |shifted AS (SELECT * FROM ${cappedSql(1000)})
+       |SELECT TRUE AS avro_artifacts, TRUE AS roundtrip_exact,
+       |  CAST(6000 AS BIGINT) AS rows_total,
+       |  (SELECT COUNT(*) FROM base
+       |     WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01')
+       |  + (SELECT COUNT(*) FROM shifted
+       |     WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01')
+       |    AS rows_1995,
+       |  CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM base)
+       |     + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM shifted)
+       |    AS DOUBLE) AS sum_price""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t48_avro_interop"         -> ((t48AvroInterop _, t48Oracle)),
     "t47_deletion_vectors"     -> ((t47DeletionVectors _, t47Oracle)),
     "t46_partition_stats"      -> ((t46PartitionStats _, t46Oracle)),
     "t45_sort_order"           -> ((t45SortOrder _, t45Oracle)),

@@ -15,12 +15,12 @@ import org.apache.spark.sql.types._
   * external engine the table's SCHEMA, partition spec (graft's transform
   * vocabulary is Iceberg's: identity/years/months/days/hours/
   * bucket[N]/truncate[W]), properties, snapshot history and current
-  * pointer — the catalog-registration surface. It does NOT produce Avro
-  * manifest files (no Iceberg/Avro jars in this environment), so scan
-  * planning from a real Iceberg reader stops at the manifest list; the
-  * `manifest-list` entries point at graft's JSON manifests and the
-  * summary carries `graft.manifest-format: json` to make the boundary
-  * explicit rather than silently broken.
+  * pointer — the catalog-registration surface. Two manifest modes:
+  * [[export]] points `manifest-list` at graft's JSON manifests
+  * (`graft.manifest-format: json`, graft-to-graft exchange);
+  * [[exportBinary]] writes REAL Iceberg v1 Avro manifests through the
+  * from-scratch [[graft.formats.Avro]] codec, so an actual Iceberg
+  * reader can scan the export end-to-end.
   */
 object IcebergExport {
   private val mapper = new ObjectMapper()
@@ -82,8 +82,41 @@ object IcebergExport {
     case _ => "overwrite"
   }
 
-  def metadataJson(t: GraftTable): String = {
+  /** Depth-first Iceberg field-id numbering of a schema's TOP-LEVEL
+    * fields — the same ids [[metadataJson]] assigns (nested types consume
+    * ids in between, so index+1 would drift).
+    */
+  private[tables] def topLevelFieldIds(schema: StructType): Map[String, Int] = {
+    var lastId = 0
+    val nextId = () => { lastId += 1; lastId }
+    val node = typeJson(schema, nextId).asInstanceOf[ObjectNode]
+    val it = node.get("fields").elements()
+    val b = Map.newBuilder[String, Int]
+    while (it.hasNext) { val f = it.next(); b += f.get("name").asText() -> f.get("id").asInt() }
+    b.result()
+  }
+
+  def metadataJson(t: GraftTable): String = metadataJson(t, None)
+
+  /** The metadata document. With `binary` set (the [[exportBinary]] path),
+    * manifest-list pointers reference the exported Avro files, snapshots
+    * the v1 format can't represent (pending merge-on-read payloads) are
+    * omitted — declared via `graft.omitted-snapshots`, refused outright
+    * when the CURRENT snapshot is one of them — and `bucket[N]` spec
+    * fields export as the spec-legal `void` transform (graft's xxhash64
+    * bucket numbers would make a murmur3-based Iceberg reader prune wrong
+    * files; `void` never prunes), with the true transform riding
+    * `graft-transform` for graft's own round trip.
+    */
+  private[tables] def metadataJson(t: GraftTable,
+      binary: Option[IcebergManifests.ExportedManifests]): String = {
     val m = t.meta
+    val omittedSnaps = binary.map(_.omittedSnapshots.toSet).getOrElse(Set.empty)
+    m.currentSnapshotId.filter(omittedSnaps.contains).foreach { id =>
+      throw new IllegalStateException(
+        s"current snapshot $id has pending merge-on-read deletes, which " +
+          "Iceberg v1 manifests cannot represent — materializeDeletes() first")
+    }
     val root = mapper.createObjectNode()
     root.put("format-version", 1)
     // deterministic uuid: exports of the same table location agree
@@ -143,7 +176,10 @@ object IcebergExport {
           case Some(sid) =>
             val fo = arr.addObject()
             fo.put("name", f.name)
-            fo.put("transform", f.transform)
+            if (binary.isDefined && f.transform.startsWith("bucket[")) {
+              fo.put("transform", "void")
+              fo.put("graft-transform", f.transform)
+            } else fo.put("transform", f.transform)
             fo.put("source-id", sid)
             fo.put("field-id", 1000 + i)
             ()
@@ -171,13 +207,22 @@ object IcebergExport {
     root.put("default-spec-id", m.currentSpecId)
     val props = root.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
-    props.put("graft.manifest-format", "json")
+    props.put("graft.manifest-format", if (binary.isDefined) "avro" else "json")
+    if (omittedSnaps.nonEmpty)
+      props.put("graft.omitted-snapshots", omittedSnaps.toSeq.sorted.mkString(","))
     root.put("current-snapshot-id", m.currentSnapshotId.getOrElse(-1L))
     val snaps = root.putArray("snapshots")
-    m.snapshots.foreach { s =>
+    m.snapshots.filterNot(s => omittedSnaps.contains(s.id)).foreach { s =>
       val so = snaps.addObject()
       so.put("snapshot-id", s.id)
-      s.parentId.foreach(p => so.put("parent-snapshot-id", p))
+      // an omitted parent would dangle; point at the nearest exported
+      // ancestor instead (the chain stays walkable)
+      s.parentId.map { p0 =>
+        var p = Option(p0)
+        while (p.exists(omittedSnaps.contains))
+          p = p.flatMap(m.snapshot).flatMap(_.parentId)
+        p
+      }.getOrElse(None).foreach(p => so.put("parent-snapshot-id", p))
       so.put("timestamp-ms", s.timestampMs)
       val sm = so.putObject("summary")
       sm.put("operation", icebergOp(s.operation))
@@ -185,23 +230,28 @@ object IcebergExport {
       sm.put("added-data-files", s.addedFiles.toString)
       sm.put("total-data-files", s.totalFiles.toString)
       sm.put("total-records", s.totalRecords.toString)
-      so.put("manifest-list", s"${MetaIO.metadataDir(m.location)}/${s.manifest}")
+      so.put("manifest-list", binary match {
+        case Some(b) => b.listPathBySnapshot(s.id)
+        case None    => s"${MetaIO.metadataDir(m.location)}/${s.manifest}"
+      })
       ()
     }
     val log = root.putArray("snapshot-log")
-    m.snapshots.filter(s => m.currentAncestors.contains(s.id)).foreach { s =>
+    m.snapshots.filter(s => m.currentAncestors.contains(s.id) &&
+        !omittedSnaps.contains(s.id)).foreach { s =>
       val lo = log.addObject()
       lo.put("timestamp-ms", s.timestampMs)
       lo.put("snapshot-id", s.id)
       ()
     }
     val refs = root.putObject("refs")
-    m.refs.foreach { case (name, r) =>
-      val ro = refs.putObject(name)
-      ro.put("snapshot-id", r.snapshotId)
-      ro.put("type", r.kind.toUpperCase)
-      ()
-    }
+    m.refs.filterNot { case (_, r) => omittedSnaps.contains(r.snapshotId) }
+      .foreach { case (name, r) =>
+        val ro = refs.putObject(name)
+        ro.put("snapshot-id", r.snapshotId)
+        ro.put("type", r.kind.toUpperCase)
+        ()
+      }
     // Puffin-style statistics files (Iceberg TableMetadata `statistics`):
     // the persisted ANALYZE sketch file, stamped with the snapshot it
     // describes, one blob-metadata entry per sketched column (field ids
@@ -230,11 +280,28 @@ object IcebergExport {
           val (k, sketches) = (sp.k, sp.sketches)
           val so = statsArr.addObject()
           so.put("snapshot-id", snap.toLong)
-          so.put("statistics-path", path)
-          val len = scala.util.Try(MetaIO.fs(conf, path)
-            .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen).getOrElse(0L)
+          // binary export: the sketches ship in a REAL Puffin container
+          // (r11) — path/size/footer describe the .puffin artifact and
+          // the exported document's stats pointer follows it; the JSON
+          // mode keeps pointing at graft's own stats JSON, declared.
+          val (statsPath, len, footer) = binary match {
+            case Some(b) =>
+              val puffinName = file.stripSuffix(".json") + ".puffin"
+              val bytes = PuffinStats.toPuffin(sp,
+                phys => physToLogical.get(phys).flatMap(fieldIds.get))
+              val p = s"${b.dir}/$puffinName"
+              IcebergManifests.writeBytes(conf, p, bytes)
+              props.put(TableFormat.StatsFile, puffinName)
+              (p, bytes.length.toLong,
+                graft.formats.Puffin.read(bytes).footerSize)
+            case None =>
+              (path, scala.util.Try(MetaIO.fs(conf, path)
+                .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen)
+                .getOrElse(0L), 0L)
+          }
+          so.put("statistics-path", statsPath)
           so.put("file-size-in-bytes", len)
-          so.put("file-footer-size-in-bytes", 0L)
+          so.put("file-footer-size-in-bytes", footer)
           val blobs = so.putArray("blob-metadata")
           sketches.keys.toSeq.sorted.foreach { phys =>
             for (logical <- physToLogical.get(phys); id <- fieldIds.get(logical)) {
@@ -294,6 +361,25 @@ object IcebergExport {
   def export(t: GraftTable, path: String): String = {
     val json = metadataJson(t)
     MetaIO.writeString(t.spark.sparkContext.hadoopConfiguration, path, json)
+    json
+  }
+
+  /** FULL Iceberg v1 export: real binary Avro manifests + manifest lists
+    * (written with [[graft.formats.Avro]]) plus the metadata document at
+    * `outDir/metadata.json` — the artifact an actual Iceberg reader can
+    * scan end-to-end, closing the r10 boundary where graft exports
+    * stopped at JSON manifests (reference pyspark-iceberg/
+    * interoperability.md:55-113). Data files stay in place (absolute
+    * paths). Returns the metadata JSON. See [[metadataJson]] for the
+    * declared v1 representation limits (merge-on-read snapshots, bucket
+    * transforms).
+    */
+  def exportBinary(t: GraftTable, outDir: String): String = {
+    val manifests = IcebergManifests.exportManifests(t, outDir,
+      topLevelFieldIds(t.meta.schema))
+    val json = metadataJson(t, Some(manifests))
+    MetaIO.writeString(t.spark.sparkContext.hadoopConfiguration,
+      s"$outDir/metadata.json", json)
     json
   }
 }

@@ -11,12 +11,19 @@ import org.apache.spark.sql.types._
   * [[IcebergExport]], and the first thing a user coming from the reference
   * stack reaches for when pointing graft at an existing table.
   *
-  * Scope is the JSON-manifest subset, DECLARED not silent: the document
-  * must carry `graft.manifest-format: json` (IcebergExport's own output,
-  * or any writer emitting graft's JSON manifest shape). Binary Avro
-  * manifests refuse loudly — no Iceberg/Avro jars ship in this
-  * environment, and an import that dropped the file list would be a lie,
-  * not a subset.
+  * Both manifest formats import: documents carrying
+  * `graft.manifest-format: json` stage graft's JSON manifests verbatim;
+  * everything else takes the REAL-Iceberg path — binary Avro manifest
+  * lists and manifests (tables written by an actual Iceberg engine, or
+  * IcebergExport.exportBinary's own output) decode through the
+  * from-scratch [[graft.formats.Avro]] codec and translate into graft
+  * JSON manifests ([[IcebergManifests.importSnapshot]]): typed partition
+  * values back to graft's string rendering (years/months shifted between
+  * epoch-relative and calendar-absolute semantics), bounds decoded from
+  * Iceberg's single-value binary encoding with `trustedBounds = false`
+  * (foreign string bounds may be truncated — pruning-safe, never
+  * aggregate-exact), per-entry `snapshot_id` back to graft's data
+  * sequence number.
   *
   * The import is METADATA-ONLY, the add_files / in-place-migration posture
   * (t02/t38): manifest JSONs (and live column/partition-stats payloads)
@@ -86,10 +93,10 @@ object IcebergImport {
         p.fieldNames().forEachRemaining(k => b += k -> p.get(k).asText()))
       b.result()
     }
-    if (!props0.get("graft.manifest-format").contains("json"))
-      throw new IllegalArgumentException(
-        "table's manifests are not graft JSON (binary Avro manifests are " +
-          "out of scope — no Iceberg/Avro jars); cannot import the file list")
+    // json → graft's own JSON manifests copy verbatim; anything else is
+    // the REAL-Iceberg path: binary Avro manifest lists + manifests,
+    // decoded with the from-scratch codec and translated into graft JSON
+    val jsonManifests = props0.get("graft.manifest-format").contains("json")
     if (MetaIO.currentVersion(conf, targetLocation).isDefined)
       throw new IllegalArgumentException(
         s"$targetLocation already holds a graft table; refusing to clobber")
@@ -119,8 +126,12 @@ object IcebergImport {
           throw new IllegalArgumentException(
             s"partition field '${fo.get("name").asText()}' references " +
               s"unknown source field id $sid — cannot import the spec"))
-        fields += PartitionField(source,
-          fo.get("transform").asText(), fo.get("name").asText())
+        // binary exports declare bucket fields as `void` for foreign
+        // readers (hash mismatch) and ride the true transform on
+        // `graft-transform` — restore it here
+        val transform = Option(fo.get("graft-transform")).map(_.asText())
+          .getOrElse(fo.get("transform").asText())
+        fields += PartitionField(source, transform, fo.get("name").asText())
       }
       fields.result()
     }
@@ -147,28 +158,35 @@ object IcebergImport {
       .getOrElse(specs.head.specId)
 
     // snapshots: manifest-list paths give both the source metadata dir and
-    // the manifest name; copy each manifest (plus its child manifests for
-    // r6-style lists) into the target's metadata dir
+    // the manifest name; copy each JSON manifest (plus its child manifests
+    // for r6-style lists) — or TRANSLATE each Avro manifest list — into
+    // the target's metadata dir
     val tgtMetaDir = MetaIO.metadataDir(targetLocation)
     val copied = scala.collection.mutable.Set.empty[String]
+    val translatedAvro =
+      scala.collection.mutable.Map.empty[String, (String, Seq[DataFile])]
     var srcMetaDir: Option[String] = None
-    def copyManifest(absPath: String): String = {
+    val specById = specs.map(s => s.specId -> s).toMap
+    def stageManifestList(absPath: String): String = {
       val idx = absPath.lastIndexOf('/')
       require(idx > 0, s"manifest-list path '$absPath' is not absolute")
       val (srcDir, name) = (absPath.substring(0, idx), absPath.substring(idx + 1))
       srcMetaDir = srcMetaDir.orElse(Some(srcDir))
-      if (copied.add(name)) {
-        val json = MetaIO.readString(conf, absPath)
-        MetaIO.writeString(conf, s"$tgtMetaDir/$name", json)
-        MetaIO.manifestListParts(json).foreach { case (entries, _, _, _) =>
-          entries.foreach { e =>
-            if (copied.add(e.name))
-              MetaIO.writeString(conf, s"$tgtMetaDir/${e.name}",
-                MetaIO.readString(conf, s"$srcDir/${e.name}"))
+      if (jsonManifests) {
+        if (copied.add(name)) {
+          val json = MetaIO.readString(conf, absPath)
+          MetaIO.writeString(conf, s"$tgtMetaDir/$name", json)
+          MetaIO.manifestListParts(json).foreach { case (entries, _, _, _) =>
+            entries.foreach { e =>
+              if (copied.add(e.name))
+                MetaIO.writeString(conf, s"$tgtMetaDir/${e.name}",
+                  MetaIO.readString(conf, s"$srcDir/${e.name}"))
+            }
           }
         }
-      }
-      name
+        name
+      } else IcebergManifests.importSnapshot(conf, absPath, specById, schema,
+        idToPhysical, tgtMetaDir, translatedAvro)
     }
 
     val snaps = {
@@ -186,7 +204,7 @@ object IcebergImport {
           Option(so.get("parent-snapshot-id")).map(_.asLong()),
           so.get("timestamp-ms").asLong(),
           op,
-          copyManifest(so.get("manifest-list").asText()),
+          stageManifestList(so.get("manifest-list").asText()),
           sumLong("added-data-files"), sumLong("total-data-files"),
           sumLong("total-records"))
       })
@@ -212,16 +230,28 @@ object IcebergImport {
     // degraded stats, never a dangling reference
     val statsProps = Seq(TableFormat.StatsFile, TableFormat.StatsSnapshot,
       TableFormat.PartStatsFile, TableFormat.PartStatsSnapshot)
+    // a Puffin stats file (binary exports, r11) translates back into
+    // graft's JSON payload under a renamed pointer; anything else copies
+    // verbatim
+    var statsRenames = Map.empty[String, String]
     val statsOk = Seq(TableFormat.StatsFile, TableFormat.PartStatsFile)
       .forall(p => props0.get(p) match {
         case None => true
         case Some(name) => (for (dir <- srcMetaDir) yield scala.util.Try {
-          MetaIO.writeString(conf, s"$tgtMetaDir/$name",
-            MetaIO.readString(conf, s"$dir/$name"))
+          val bytes = IcebergManifests.readBytes(conf, s"$dir/$name")
+          if (p == TableFormat.StatsFile && graft.formats.Puffin.isPuffin(bytes)) {
+            val sp = PuffinStats.fromPuffin(bytes, idToPhysical)
+            val jsonName = name.stripSuffix(".puffin") + ".json"
+            MetaIO.writeString(conf, s"$tgtMetaDir/$jsonName",
+              MetaIO.statsFileToJson(sp))
+            statsRenames += p -> jsonName
+          } else
+            MetaIO.writeString(conf, s"$tgtMetaDir/$name",
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         }.isSuccess).getOrElse(false)
       })
-    val props = (if (statsOk) props0 else props0 -- statsProps) -
-      "graft.manifest-format"
+    val props = ((if (statsOk) props0 else props0 -- statsProps) ++
+      statsRenames) - "graft.manifest-format"
 
     MetaIO.commitMeta(conf, TableMeta(targetLocation, 1, schema, specs,
       currentSpecId, snaps, currentSnap, props, refs))

