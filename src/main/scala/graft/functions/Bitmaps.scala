@@ -125,6 +125,38 @@ object Bitmaps {
     }
 
   def positions(bm: Array[Byte]): ArrayData = new GenericArrayData(positionsArray(bm))
+
+  /** OR-fold two encoded bitmaps (DV compaction, r11). Dense∪dense is a
+    * straight byte-wise OR with NO decode — the layout stays optimal
+    * (the union only adds bits to the already-denser side). Any sparse
+    * operand falls back to merge-sorted-positions + re-encode, which
+    * re-picks the compact layout for the union.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.length <= 1) return b
+    if (b.length <= 1) return a
+    if (a(0) == Dense && b(0) == Dense) {
+      val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+      val out = java.util.Arrays.copyOf(big, big.length)
+      var i = 1
+      while (i < small.length) { out(i) = (out(i) | small(i)).toByte; i += 1 }
+      out
+    } else {
+      val pa = positionsArray(a)
+      val pb = positionsArray(b)
+      val out = new Array[Long](pa.length + pb.length)
+      var i = 0; var j = 0; var n = 0
+      while (i < pa.length && j < pb.length) {
+        val v = if (pa(i) < pb(j)) { val x = pa(i); i += 1; x }
+                else if (pb(j) < pa(i)) { val x = pb(j); j += 1; x }
+                else { val x = pa(i); i += 1; j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      while (i < pa.length) { out(n) = pa(i); i += 1; n += 1 }
+      while (j < pb.length) { out(n) = pb(j); j += 1; n += 1 }
+      encode(java.util.Arrays.copyOf(out, n))
+    }
+  }
 }
 
 /** Is row position `right` set in deletion-vector bitmap `left`? The MOR
@@ -219,5 +251,21 @@ class BitmapAgg extends Aggregator[java.lang.Long, mutable.HashSet[Long], Array[
   override def bufferEncoder: Encoder[mutable.HashSet[Long]] =
     implicitly[Encoder[mutable.HashSet[Long]]](Encoders.kryo[mutable.HashSet[Long]])
 
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** OR-folds already-encoded deletion-vector bitmaps (one group = one data
+  * file) — the DV-compaction aggregate: stacked DV files consolidate
+  * WITHOUT exploding a billion positions through a shuffle; the buffer is
+  * one encoded bitmap (O(bitmap bytes), not O(set positions)), and
+  * dense∪dense folds are byte-wise ORs.
+  */
+class BitmapMergeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  override def zero: Array[Byte] = Array(Bitmaps.Sparse)
+  override def reduce(buf: Array[Byte], bm: Array[Byte]): Array[Byte] =
+    if (bm == null) buf else Bitmaps.merge(buf, bm)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Bitmaps.merge(a, b)
+  override def finish(b: Array[Byte]): Array[Byte] = b
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

@@ -1634,17 +1634,28 @@ class GraftTable(val spark: SparkSession, val location: String) {
       listParquet(dir)
     }
     // position deletes fold into ONE deletion-vector file regardless of
-    // input kinds (classic row files decode-free, DV bitmaps explode then
-    // re-aggregate): maintenance upgrades the table to the bitmap layout,
-    // restoring the one-DV-per-data-file read invariant
+    // input kinds: maintenance upgrades the table to the bitmap layout,
+    // restoring the one-DV-per-data-file read invariant. All-DV stacks
+    // (the continuous-ingestion steady state) OR-fold the ENCODED bitmaps
+    // directly ([[graft.functions.BitmapMergeAgg]], r11) — a billion
+    // deleted positions never explode through the shuffle, the fold moves
+    // O(bitmap bytes) per file; only mixed classic+DV stacks take the
+    // explode-and-re-aggregate path (classic rows must be decoded anyway).
     val newPos =
       if (!posNeedsFold) md.positionDeleteFiles
       else {
         val dir = s"$location/deletes/dv-${UUID.randomUUID().toString.take(8)}"
-        posDeleteRows(md.positionDeleteFiles)
-          .groupBy(col("file_path"))
-          .agg(GraftTable.bitmapAgg(col("pos")).as("dv"))
-          .coalesce(1).write.parquet(dir)
+        val allDv = md.positionDeleteFiles.forall(GraftTable.isDvFile)
+        val folded =
+          if (allDv)
+            spark.read.parquet(md.positionDeleteFiles: _*)
+              .groupBy(col("file_path"))
+              .agg(GraftTable.bitmapMergeAgg(col("dv")).as("dv"))
+          else
+            posDeleteRows(md.positionDeleteFiles)
+              .groupBy(col("file_path"))
+              .agg(GraftTable.bitmapAgg(col("pos")).as("dv"))
+        folded.coalesce(1).write.parquet(dir)
         listParquet(dir)
       }
     val newEq = md.equalityDeletes.groupBy(e => (e.cols, e.seq)).map { case ((cols, seq), es) =>
@@ -2824,6 +2835,16 @@ object GraftTable {
     * (write/fold path only — the read path is codegen'd).
     */
   private[tables] def bitmapAgg(pos: Column): Column = bitmapAggUdf(pos)
+
+  private lazy val bitmapMergeAggUdf =
+    org.apache.spark.sql.functions.udaf(new graft.functions.BitmapMergeAgg(),
+      org.apache.spark.sql.Encoders.BINARY)
+
+  /** OR-fold a column of encoded bitmaps into one (DV compaction): no
+    * position ever explodes through the shuffle — the aggregation state
+    * is one encoded bitmap per group.
+    */
+  private[tables] def bitmapMergeAgg(bm: Column): Column = bitmapMergeAggUdf(bm)
 
   /** Shared bounded pool for concurrent footer reads at commit time (I/O
     * bound; daemon threads so it never blocks JVM exit).

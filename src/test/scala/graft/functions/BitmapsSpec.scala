@@ -58,6 +58,51 @@ class BitmapsSpec extends SparkSpec {
         s"layouts disagree at $p"))
   }
 
+  test("merge OR-folds across layouts; dense∪dense never decodes wrong") {
+    def check(a: Array[Long], b: Array[Long]): Unit = {
+      val expect = (a ++ b).distinct.sorted.toSeq
+      val merged = Bitmaps.merge(Bitmaps.encode(a), Bitmaps.encode(b))
+      assert(Bitmaps.positionsArray(merged).toSeq == expect,
+        s"merge(${a.toSeq}, ${b.toSeq})")
+      assert(Bitmaps.cardinality(merged) == expect.size.toLong)
+    }
+    // dense∪dense (byte-wise OR path), overlapping
+    check((0L until 600L).filter(_ % 2 == 0).toArray,
+      (0L until 900L).filter(_ % 3 == 0).toArray)
+    // sparse∪sparse (merge-sorted path), overlapping + disjoint
+    check(Array(1L, 1000000L), Array(1L, 5L, 2000000L))
+    check(Array(7L), Array(900000L))
+    // mixed layouts both orders
+    check((0L until 500L).toArray, Array(3L, 1000000L))
+    check(Array(3L, 1000000L), (0L until 500L).toArray)
+    // empty operands are identity
+    check(Array.empty[Long], Array(1L, 2L))
+    check(Array(1L, 2L), Array.empty[Long])
+    check(Array.empty[Long], Array.empty[Long])
+  }
+
+  test("10^6-position bitmap: size bound, round-trip, merge cost (r11 scale pin)") {
+    // ~1e6 deleted rows of an 8e6-row file: the DV artifact must stay a
+    // few hundred KB (dense layout, maxPos/8 bytes), not 8 MB of longs —
+    // the size claim behind "a billion deleted rows is a few hundred MB"
+    val rnd = new scala.util.Random(11)
+    val pos = Array.fill(1000000)(math.abs(rnd.nextLong()) % 8000000L)
+      .distinct.sorted
+    val bm = Bitmaps.encode(pos)
+    assert(bm(0) == Bitmaps.Dense, "1/8 density must choose dense")
+    assert(bm.length <= 8000000 / 8 + 2, s"DV size ${bm.length}")
+    assert(Bitmaps.cardinality(bm) == pos.length.toLong)
+    // stacked-DV merge at this size is a straight byte OR — microseconds,
+    // and the union round-trips exactly
+    val pos2 = Array.fill(1000000)(math.abs(rnd.nextLong()) % 8000000L)
+      .distinct.sorted
+    val t0 = System.nanoTime()
+    val merged = Bitmaps.merge(bm, Bitmaps.encode(pos2))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1000.0, f"dense merge took $ms%.1f ms")
+    assert(Bitmaps.cardinality(merged) == (pos ++ pos2).distinct.length.toLong)
+  }
+
   test("DV read plan: bitmap join broadcasts, corpus never sort-merges") {
     // the 100 TB claim for deletion vectors is that the read-side join is
     // O(touched files) bitmap rows on the BUILD side — broadcastable at

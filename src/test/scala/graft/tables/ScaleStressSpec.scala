@@ -124,6 +124,47 @@ class ScaleStressSpec extends SparkSpec {
     assert(tCommit / 100.0 <= 5.0, f"eq-delete commit latency ${tCommit / 100.0}%.1fs")
   }
 
+  test("30 stacked DV commits: plan stays O(files), compaction folds to one", SlowSuite) {
+    // continuous-ingestion steady state: many small DV commits accumulate;
+    // the read plan must stay one broadcast of O(files-with-deletes) bitmap
+    // rows (never O(commits) joins, never a corpus shuffle), and the
+    // encoded OR-fold must consolidate the stack without exploding
+    // positions through a shuffle
+    val orders = spark.read.parquet(s"$sf01/orders.parquet")
+    val nRows = orders.count()
+    val t = GraftTable.createAs(spark, tmp(), orders)
+    t.cluster(Seq("o_orderkey"), nFiles = 8)
+    val (_, tCommit) = timed {
+      (0 until 30).foreach(i => t.deleteMergeOnReadDV(s"o_orderkey % 97 = $i"))
+    }
+    assert(t.currentPositionDeletes().size == 30)
+    val df = GraftTable.load(spark, t.location).toDF()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bitmap_contains") && plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for DVs")
+    // exactly one membership filter: stacked bitmaps OR-merge per file at
+    // plan build, the scan is never re-joined per commit
+    assert("graft_bitmap_contains".r.findAllIn(plan).size <= 2,
+      s"stacked DVs must merge, not chain joins")
+    val (cnt, tRead) = timed(df.count())
+    val expect = nRows - orders.filter($"o_orderkey" % 97 < 30).count()
+    assert(cnt == expect)
+    assert(tRead <= 30.0, f"stacked-DV read took $tRead%.1fs")
+    assert(tCommit / 30.0 <= 5.0, f"DV commit latency ${tCommit / 30.0}%.1fs")
+    // consolidation: one DV file, one bitmap row per touched data file,
+    // artifact bounded by the bitmap encoding (not 8 bytes/position)
+    t.compactDeleteFiles()
+    val after = t.currentPositionDeletes()
+    assert(after.size == 1 && after.forall(GraftTable.isDvFile))
+    assert(GraftTable.load(spark, t.location).toDF().count() == expect)
+    val bms = spark.read.parquet(after.head)
+      .select(col("file_path"), length(col("dv")).as("len")).collect()
+    assert(bms.length <= 8, "one bitmap row per data file")
+    val deleted = nRows - expect
+    assert(bms.map(_.getInt(1).toLong).sum <= deleted * 8 + bms.length * 2,
+      "encoded DVs must never exceed the raw-positions footprint")
+  }
+
   test("manifest-list pruning reads one child of 100 at 10^4 files", SlowSuite) {
     val t = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/orders.parquet").limit(100))
