@@ -1187,8 +1187,12 @@ object TableOpsExt {
     */
   def t48AvroInterop(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000).repartition(4),
-      partitionFields = Seq(PartitionField("o_orderdate", "months", "o_month")))
+    // `years` partitioning (≈7 files/commit, not ~80 as months would
+    // give): the same epoch-shift conversion path on the wire, a bench
+    // cost proportional to what the gate actually proves. The months
+    // variant stays pinned in IcebergAvroInteropSpec.
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 5000),
+      partitionFields = Seq(PartitionField("o_orderdate", "years", "o_year")))
     t.append(shifted(spark, sfDir, 1000, 900000000L))
     val dir = Files.createTempDirectory("graft_avro_out").toString
     IcebergExport.exportBinary(t, dir)

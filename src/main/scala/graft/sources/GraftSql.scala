@@ -135,6 +135,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     r("""CALL\s+[\w.]*ADD_FILES\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
   private val CallRegisterIceberg =
     r("""CALL\s+[\w.]*REGISTER_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
+  private val CallExportIceberg =
+    r("""CALL\s+[\w.]*EXPORT_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
   private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
   private val ShowTables = r("""SHOW\s+TABLES(?:\s+IN\s+(\w+))?""")
   private val ShowPartitions = r("""SHOW\s+PARTITIONS\s+(\w+)""")
@@ -309,6 +311,12 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         IcebergImport.importMetadata(spark, metaPath, s"$warehouse/$n")
         register(n, s"$warehouse/$n")
         status("register-iceberg", n)
+      case CallExportIceberg(name, dir) =>
+        // write-side twin (r11): FULL binary v1 export — metadata.json +
+        // real Avro manifests + Puffin stats — an external Iceberg engine
+        // scans the artifact end-to-end
+        IcebergExport.exportBinary(table(stripDb(name)), dir)
+        status("export-iceberg", stripDb(name))
       case CallRewriteFiles(name) =>
         table(stripDb(name)).compact(); status("rewrite-data-files", stripDb(name))
       case CallRewriteManifests(name) =>

@@ -298,6 +298,12 @@ object Streams {
     private var last = startSnapshotId
     private val thread = new Thread(() => {
       while (running) {
+        // commit-notified wakeup (r11): snapshot the bus sequence BEFORE
+        // scanning, so a commit landing mid-delivery re-triggers
+        // immediately instead of waiting out the interval. The interval
+        // survives as the FALLBACK timeout — commits from other JVMs
+        // don't signal this bus, so liveness never depends on it.
+        val seen = graft.tables.CommitBus.seq(table.location)
         // A transient failure (sink IO, concurrent commit race) must not
         // kill the subscription thread — log and retry next tick. Only
         // interruption (stop()) ends the loop.
@@ -310,9 +316,9 @@ object Streams {
         }
         // stop() flips `running` before interrupting; checking it here means
         // an interrupt swallowed inside deliverPending() can't strand the
-        // thread in a full-interval sleep after stop.
+        // thread in a full-interval wait after stop.
         if (running)
-          try Thread.sleep(intervalMs)
+          try { graft.tables.CommitBus.awaitChange(table.location, seen, intervalMs); () }
           catch { case _: InterruptedException => () }
       }
     }, s"graft-changelog-${table.location.hashCode}")
@@ -365,7 +371,7 @@ object Streams {
       capped(1000))
     val s0 = table.meta.currentSnapshotId.get
     val sink = java.nio.file.Files.createTempDirectory("graft_st06_sink").toString + "/cdc"
-    val cs = new ChangelogStream(table, s0, intervalMs = 50,
+    val cs = new ChangelogStream(table, s0, intervalMs = 2000, // fallback only: CommitBus wakes the poller on every commit
       (batch, _) => batch.write.mode("append").parquet(sink)).start()
     try {
       table.append(capped(100)
@@ -423,6 +429,10 @@ object Streams {
     private def refreshOnce(): Unit = synchronized { view.refresh(); () }
     private val thread = new Thread(() => {
       while (running) {
+        // commit-notified wakeup (r11) on the BASE table's location —
+        // that's whose commits the view folds; the interval demotes to a
+        // fallback timeout (cross-JVM writers don't signal this bus)
+        val seen = graft.tables.CommitBus.seq(view.baseLocation)
         try refreshOnce()
         catch {
           case _: InterruptedException => ()
@@ -430,7 +440,7 @@ object Streams {
             System.err.println(s"graft-view-maintainer: refresh failed (will retry): $e")
         }
         if (running)
-          try Thread.sleep(intervalMs)
+          try { graft.tables.CommitBus.awaitChange(view.baseLocation, seen, intervalMs); () }
           catch { case _: InterruptedException => () }
       }
     }, s"graft-view-maintainer-${view.table.location.hashCode}")
@@ -458,7 +468,7 @@ object Streams {
     val base = GraftTable.createAs(spark, tmp("graft_st09_b"), capped(1500))
     val view = IncrementalAggView.create(spark, tmp("graft_st09_v"), base,
       Seq("o_orderpriority"), Seq("o_totalprice"))
-    val vm = new ViewMaintainer(view, intervalMs = 50).start()
+    val vm = new ViewMaintainer(view, intervalMs = 2000).start()
     try {
       base.append(capped(250).withColumn("o_orderkey", col("o_orderkey") + 900000000L))
       vm.processAllAvailable()

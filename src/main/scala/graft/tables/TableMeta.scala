@@ -1006,6 +1006,7 @@ object MetaIO {
         s"commit conflict at ${m.location}: version ${m.version} was " +
           "committed by another writer")
     writeStringAtomic(conf, versionHintPath(m.location), m.version.toString)
+    CommitBus.signal(m.location)
     if (m.properties.get(TableFormat.DeleteAfterCommit).contains("true")) {
       val keep = m.properties.get(TableFormat.PrevVersionsMax).map(_.toInt).getOrElse(100)
       (1 until m.version - keep).foreach { old =>

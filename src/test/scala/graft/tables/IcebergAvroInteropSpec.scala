@@ -193,6 +193,24 @@ class IcebergAvroInteropSpec extends SparkSpec {
     assert(impSp.sketches.forall { case (c, a) => a.sameElements(srcSp.sketches(c)) })
   }
 
+  test("CALL system.export_iceberg → register_iceberg round-trips the facade") {
+    val g = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_wh_avro").toString)
+    graft.sources.Catalog.registerAll(spark, sf)
+    g.sql("CREATE TABLE exp AS SELECT * FROM nation")
+    val dir = outDir()
+    g.sql(s"CALL system.export_iceberg('exp', '$dir')")
+    // the artifact is binary: real Avro manifests + metadata.json
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.contains("metadata.json") && files.exists(_.endsWith(".avro")))
+    g.sql(s"CALL system.register_iceberg('back', '$dir/metadata.json')")
+    assert(g.sql("SELECT COUNT(*) AS n FROM back").head().getLong(0) == 25)
+    assert(g.sql("SELECT COUNT(*) AS n FROM back WHERE n_regionkey = 0")
+      .head().getLong(0) ==
+      spark.read.parquet(s"$sf/nation.parquet")
+        .filter($"n_regionkey" === 0).count())
+  }
+
   test("foreign v1 document with no graft riders imports end-to-end") {
     // hand-built table: one parquet data file + one avro manifest + one
     // avro manifest list + a metadata document carrying ONLY required v1
