@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * The 10× corpus is built from the driver's own sf0.1 drop (never
   * synthesized from scratch): each FACT table unions `factor` copies
   * with row-identity keys shifted per copy (o_orderkey/l_orderkey,
-  * c_custkey + the o_custkey foreign key, doc_id, vec_id, event_id), so
-  * every join stays key-consistent; pure dimension tables (region,
+  * c_custkey + the o_custkey foreign key, doc_id, vec_id, event_id +
+  * the user_id foreign key), so every join stays key-consistent; pure dimension tables (region,
   * nation, supplier, part) keep one copy, exactly like a star schema
   * scaled on the fact side. Documents/embeddings texts repeat — a
   * dup-heavy corpus, which is the WORST case for the dedup block
@@ -53,7 +53,10 @@ object Scaling {
     shifted("orders", Seq("o_orderkey", "o_custkey"))
     shifted("lineitem", Seq("l_orderkey"))
     shifted("customer", Seq("c_custkey"))
-    shifted("events", Seq("event_id"))
+    // user_id shifts WITH c_custkey — an events↔customer join on the
+    // scaled corpus must stay key-consistent, not resolve every copy's
+    // events to copy-0 customers
+    shifted("events", Seq("event_id", "user_id"))
     shifted("documents", Seq("doc_id"))
     shifted("embeddings", Seq("vec_id"))
     Seq("region", "nation", "supplier", "part").foreach(copied)

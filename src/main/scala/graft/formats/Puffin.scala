@@ -75,6 +75,16 @@ object Puffin {
     out.toByteArray
   }
 
+  /** Footer size (what Iceberg's `file-footer-size-in-bytes` reports)
+    * straight from the trailing size field — no footer parse.
+    */
+  def footerSizeOf(bytes: Array[Byte]): Long = {
+    require(bytes.length >= 20, "truncated Puffin file")
+    val payloadSize = ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    12L + payloadSize + 4L
+  }
+
   def isPuffin(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'F' &&
       bytes(2) == 'A' && bytes(3) == '1'

@@ -43,14 +43,22 @@ object Tables {
     // the legacy conf only affects footer→catalyst conversion of
     // TIMESTAMP(NANOS) columns; restore the prior value when this footer
     // has none, so the loader stops mutating session conf for the common
-    // (non-nanos) drops (VERDICT r10 nit). When the footer IS nanos the
-    // conf must stay set — execution re-converts the footer schema.
-    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
-    if (raw.schema("ts").dataType != LongType) prevNanos match {
-      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    // (non-nanos) drops (VERDICT r10 nit). Once ANY nanos corpus has
+    // loaded in this JVM the conf stays set for good — its queries
+    // re-convert the footer at execution, and a later non-nanos load
+    // restoring the conf out from under them would break a
+    // previously-working frame (the restore is scoped to the probe lock,
+    // concurrent loads serialize on the cheap footer read only).
+    val raw = nanosProbeLock.synchronized {
+      val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val r = s.read.parquet(s"$d/events.parquet")
+      if (r.schema("ts").dataType == LongType) nanosCorpusSeen = true
+      else if (!nanosCorpusSeen) prevNanos match {
+        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      r
     }
     val normalized = raw.schema("ts").dataType match {
       case LongType =>
@@ -99,6 +107,9 @@ object Tables {
 
   private val timelineChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val nanosProbeLock = new Object
+  @volatile private var nanosCorpusSeen = false
 
   /** Timeline sanity guard: one cheap aggregate proving the loaded events
     * span plausible years. Gate stagers call this so a future encoding

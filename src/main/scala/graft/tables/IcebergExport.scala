@@ -231,7 +231,10 @@ object IcebergExport {
       sm.put("total-data-files", s.totalFiles.toString)
       sm.put("total-records", s.totalRecords.toString)
       so.put("manifest-list", binary match {
-        case Some(b) => b.listPathBySnapshot(s.id)
+        case Some(b) => b.listPathBySnapshot.getOrElse(s.id,
+          throw new IllegalStateException(
+            s"snapshot ${s.id} has no exported manifest list — a commit " +
+              "landed between manifest export and metadata export; retry"))
         case None    => s"${MetaIO.metadataDir(m.location)}/${s.manifest}"
       })
       ()
@@ -293,7 +296,7 @@ object IcebergExport {
               IcebergManifests.writeBytes(conf, p, bytes)
               props.put(TableFormat.StatsFile, puffinName)
               (p, bytes.length.toLong,
-                graft.formats.Puffin.read(bytes).footerSize)
+                graft.formats.Puffin.footerSizeOf(bytes))
             case None =>
               (path, scala.util.Try(MetaIO.fs(conf, path)
                 .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen)
@@ -331,6 +334,20 @@ object IcebergExport {
           }
         }
     }
+    // binary exports are SELF-CONTAINED: the importer reads every
+    // referenced sidecar from the manifest lists' own directory, so the
+    // partition-stats payload must travel with the artifact (the column
+    // stats already do, as the Puffin file) — without the copy the
+    // importer would drop ALL stats pointers as dangling (r11 review
+    // finding)
+    for {
+      b <- binary
+      file <- m.properties.get(TableFormat.PartStatsFile)
+    } scala.util.Try {
+      val conf = t.spark.sparkContext.hadoopConfiguration
+      MetaIO.writeString(conf, s"${b.dir}/$file",
+        MetaIO.readString(conf, s"${MetaIO.metadataDir(m.location)}/$file"))
+    }
     // partition statistics (Iceberg `partition-statistics`): emitted only
     // when the persisted payload is LIVE (stamped at the current
     // snapshot) — same honesty boundary as the column-stats entry
@@ -341,13 +358,14 @@ object IcebergExport {
       if m.currentSnapshotId.contains(snap.toLong)
     } {
       val conf = t.spark.sparkContext.hadoopConfiguration
-      val path = s"${MetaIO.metadataDir(m.location)}/$file"
+      val srcPath = s"${MetaIO.metadataDir(m.location)}/$file"
+      val path = binary.map(b => s"${b.dir}/$file").getOrElse(srcPath)
       if (scala.util.Try(MetaIO.loadPartitionStatsFile(conf, m.location, file)).isSuccess) {
         val po = partStatsArr.addObject()
         po.put("snapshot-id", snap.toLong)
         po.put("statistics-path", path)
-        val len = scala.util.Try(MetaIO.fs(conf, path)
-          .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen).getOrElse(0L)
+        val len = scala.util.Try(MetaIO.fs(conf, srcPath)
+          .getFileStatus(new org.apache.hadoop.fs.Path(srcPath)).getLen).getOrElse(0L)
         po.put("file-size-in-bytes", len)
         ()
       }
@@ -375,6 +393,14 @@ object IcebergExport {
     * transforms).
     */
   def exportBinary(t: GraftTable, outDir: String): String = {
+    // refuse BEFORE writing anything: a current snapshot with pending
+    // merge-on-read payloads can't be represented, and failing after the
+    // manifest pass would leave a partial artifact with no metadata.json
+    if (t.currentDeletes().nonEmpty || t.currentPositionDeletes().nonEmpty ||
+        t.currentEqualityDeletes().nonEmpty)
+      throw new IllegalStateException(
+        "current snapshot has pending merge-on-read deletes, which " +
+          "Iceberg v1 manifests cannot represent — materializeDeletes() first")
     val manifests = IcebergManifests.exportManifests(t, outDir,
       topLevelFieldIds(t.meta.schema))
     val json = metadataJson(t, Some(manifests))

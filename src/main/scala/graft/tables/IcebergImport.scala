@@ -250,8 +250,12 @@ object IcebergImport {
               new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
         }.isSuccess).getOrElse(false)
       })
-    val props = ((if (statsOk) props0 else props0 -- statsProps) ++
-      statsRenames) - "graft.manifest-format"
+    // renames apply ONLY on a fully-successful stats copy: merging a
+    // translated StatsFile pointer after the snapshot-stamp props were
+    // dropped would leave a half-restored, unserveable property set
+    // (r11 review finding)
+    val props = (if (statsOk) props0 ++ statsRenames
+      else props0 -- statsProps) - "graft.manifest-format"
 
     MetaIO.commitMeta(conf, TableMeta(targetLocation, 1, schema, specs,
       currentSpecId, snaps, currentSnap, props, refs))

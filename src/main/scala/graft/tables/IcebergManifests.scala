@@ -128,7 +128,12 @@ object IcebergManifests {
     r102.put("type", "record"); r102.put("name", "r102")
     val pfs = r102.putArray("fields")
     val physSchema = ColumnMapping.physicalSchema(schema)
-    spec.fields.zipWithIndex.foreach { case (f, i) =>
+    // historical specs may reference since-dropped source columns (the
+    // drop guard only protects the CURRENT spec) — such fields are
+    // OMITTED here exactly as metadataJson omits them from the document
+    // (graft-omitted-fields); field-ids keep their positional numbering
+    // so the surviving fields agree with the document's spec JSON
+    resolvableFields(spec, physSchema).foreach { case (f, i) =>
       val o = pfs.addObject()
       o.put("name", f.name)
       o.put("field-id", 1000 + i)
@@ -170,6 +175,18 @@ object IcebergManifests {
     intKeyedMap("upper_bounds", 128, 129, 130, "bytes")
     mapper.writeValueAsString(root)
   }
+
+  /** Spec fields whose source column still exists in the schema, with
+    * their ORIGINAL positional index (field-id stability across
+    * omissions). A historical spec that references a dropped column
+    * exports without that field — declared, never a crash or a bogus id
+    * (the r11 review finding mirroring ADVICE r10's metadataJson fix).
+    */
+  private def resolvableFields(spec: PartitionSpec,
+      physSchema: StructType): Seq[(PartitionField, Int)] =
+    spec.fields.zipWithIndex.filter { case (f, _) =>
+      physSchema.fieldNames.contains(f.source)
+    }
 
   // ------------------------------------- partition value conversion
 
@@ -292,8 +309,9 @@ object IcebergManifests {
         val spec = specById.getOrElse(specId,
           throw new IllegalStateException(s"data file references unknown spec $specId"))
         val schemaJson = manifestEntrySchemaJson(spec, m.schema)
+        val liveFields = resolvableFields(spec, physSchema).map(_._1)
         val records = files.map { f =>
-          val partition: Map[String, Any] = spec.fields.map { pf =>
+          val partition: Map[String, Any] = liveFields.map { pf =>
             pf.name -> partitionValueOut(pf.transform,
               physSchema(pf.source).dataType,
               f.partitionValues.getOrElse(pf.name, null))
@@ -338,7 +356,7 @@ object IcebergManifests {
         val avroName = s"$base-s$specId-m0.avro"
         val specFieldsJson = {
           val arr = mapper.createArrayNode()
-          spec.fields.zipWithIndex.foreach { case (pf, i) =>
+          resolvableFields(spec, physSchema).foreach { case (pf, i) =>
             val o = arr.addObject()
             o.put("name", pf.name)
             o.put("transform",
@@ -373,11 +391,20 @@ object IcebergManifests {
           val files = MetaIO.loadChildFiles(conf, m.location, e.name)
           files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (specId, group) =>
             val (path, len, fileCount, rowCount) = translateChild(e.name, specId, group)
+            // added_snapshot_id = the commit that WROTE this child (its
+            // files' data sequence number), not the list's snapshot — a
+            // carried-over manifest must not re-claim its files as added
+            // by every later snapshot (incremental consumers select
+            // manifests by this field). seq 0 (legacy metadata) → null.
+            val addedSnap: Any = {
+              val s = group.map(_.seq).max
+              if (s > 0L) s else null
+            }
             Map[String, Any](
               "manifest_path" -> path,
               "manifest_length" -> len,
               "partition_spec_id" -> specId,
-              "added_snapshot_id" -> snap.id,
+              "added_snapshot_id" -> addedSnap,
               "added_data_files_count" -> fileCount,
               "existing_data_files_count" -> 0,
               "deleted_data_files_count" -> 0,
@@ -507,8 +534,7 @@ object IcebergManifests {
               trustedBounds = false))
           }
         }
-        val name = path.substring(path.lastIndexOf('/') + 1)
-          .stripSuffix(".avro") + ".json"
+        val name = translatedName(path)
         MetaIO.writeString(conf, s"$tgtMetaDir/$name",
           MetaIO.manifestToJson(files))
         (name, files)
@@ -517,12 +543,23 @@ object IcebergManifests {
     val entries = children.distinct.map { case (name, files) =>
       ManifestStats.entryFor(name, files)
     }
-    val listName = manifestListPath
-      .substring(manifestListPath.lastIndexOf('/') + 1)
-      .stripSuffix(".avro") + ".json"
+    val listName = translatedName(manifestListPath)
     MetaIO.writeString(conf, s"$tgtMetaDir/$listName",
       MetaIO.manifestListToJson(entries))
     listName
+  }
+
+  /** Target-dir name for a translated Avro artifact: basename plus a
+    * short hash of the FULL source path — two foreign manifests with
+    * equal basenames in different directories (metadata consolidated
+    * from several source dirs) must not clobber each other's
+    * translation (r11 review finding).
+    */
+  private def translatedName(absPath: String): String = {
+    val base = absPath.substring(absPath.lastIndexOf('/') + 1).stripSuffix(".avro")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(absPath))
+    s"$base-$tag.json"
   }
 
   /** Column stats from a foreign manifest entry's bound/null maps. A

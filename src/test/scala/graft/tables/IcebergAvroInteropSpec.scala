@@ -193,6 +193,51 @@ class IcebergAvroInteropSpec extends SparkSpec {
     assert(impSp.sketches.forall { case (c, a) => a.sameElements(srcSp.sketches(c)) })
   }
 
+  test("binary export survives a historical spec with a dropped source (review r11)") {
+    // the ADVICE-r10 metadataJson shape, now for the manifest translator:
+    // files committed under spec 0 still resolve against it at export
+    // time, but spec 0's source column is gone — the field must be
+    // omitted from the avro partition record, never crash the export
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(80),
+      partitionFields = Seq(PartitionField("o_orderpriority", "identity", "o_prio")))
+    t.setPartitionSpec(Seq(PartitionField("o_orderdate", "years", "o_year")))
+    t.append(spark.read.parquet(s"$sf/orders.parquet").limit(40)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    t.dropColumn("o_orderpriority")
+    val dir = outDir()
+    IcebergExport.exportBinary(t, dir) // used to throw on spec 0's files
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.toDF().count() == 120)
+    // the current spec's partition values made it through intact
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = MetaIO.loadManifestData(conf, imp.meta.location,
+      imp.meta.currentSnapshot.get.manifest).files
+    assert(files.filter(_.specId == 1).forall(_.partitionValues.contains("o_year")))
+    // spec-0 files import with the unresolvable field absent, not bogus
+    assert(files.filter(_.specId == 0).forall(!_.partitionValues.contains("o_prio")))
+  }
+
+  test("ANALYZE + partition stats BOTH survive the binary round trip (review r11)") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(400),
+      partitionFields = Seq(PartitionField("o_orderstatus", "identity", "status")))
+    t.analyze(Seq("o_orderkey"))
+    t.computePartitionStats()
+    val dir = outDir()
+    IcebergExport.exportBinary(t, dir)
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    // column NDV serves from the translated Puffin payload…
+    assert(imp.columnNdv("o_orderkey") == t.columnNdv("o_orderkey"))
+    // …AND the partition-stats payload traveled with the artifact (it
+    // used to dangle, dropping every stats pointer on import)
+    assert(imp.partitionStats.nonEmpty)
+    assert(imp.partitionStats.get.entries.map(e =>
+        (e.partition, e.dataFileCount, e.dataRecordCount)).toSet ==
+      t.partitionStats.get.entries.map(e =>
+        (e.partition, e.dataFileCount, e.dataRecordCount)).toSet)
+  }
+
   test("CALL system.export_iceberg → register_iceberg round-trips the facade") {
     val g = new graft.sources.GraftSql(spark,
       Files.createTempDirectory("graft_wh_avro").toString)
