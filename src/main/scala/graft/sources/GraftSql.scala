@@ -136,7 +136,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private val CallRegisterIceberg =
     r("""CALL\s+[\w.]*REGISTER_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
   private val CallExportIceberg =
-    r("""CALL\s+[\w.]*EXPORT_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
+    r("""CALL\s+[\w.]*EXPORT_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*(?:,\s*(\d+)\s*)?\)""")
   private val DescHistory = r("""DESCRIBE\s+HISTORY\s+(\w+)""")
   private val ShowTables = r("""SHOW\s+TABLES(?:\s+IN\s+(\w+))?""")
   private val ShowPartitions = r("""SHOW\s+PARTITIONS\s+(\w+)""")
@@ -311,11 +311,13 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         IcebergImport.importMetadata(spark, metaPath, s"$warehouse/$n")
         register(n, s"$warehouse/$n")
         status("register-iceberg", n)
-      case CallExportIceberg(name, dir) =>
-        // write-side twin (r11): FULL binary v1 export — metadata.json +
+      case CallExportIceberg(name, dir, ver) =>
+        // write-side twin (r11): FULL binary export — metadata.json +
         // real Avro manifests + Puffin stats — an external Iceberg engine
-        // scans the artifact end-to-end
-        IcebergExport.exportBinary(table(stripDb(name)), dir)
+        // scans the artifact end-to-end. Optional third arg: format
+        // version (1 default; 2 carries merge-on-read delete files)
+        IcebergExport.exportBinary(table(stripDb(name)), dir,
+          Option(ver).map(_.toInt).getOrElse(1))
         status("export-iceberg", stripDb(name))
       case CallRewriteFiles(name) =>
         table(stripDb(name)).compact(); status("rewrite-data-files", stripDb(name))

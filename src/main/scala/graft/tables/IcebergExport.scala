@@ -109,16 +109,23 @@ object IcebergExport {
     * `graft-transform` for graft's own round trip.
     */
   private[tables] def metadataJson(t: GraftTable,
-      binary: Option[IcebergManifests.ExportedManifests]): String = {
+      binary: Option[IcebergManifests.ExportedManifests],
+      formatVersion: Int = 1): String = {
+    val v2 = formatVersion == 2
     val m = t.meta
     val omittedSnaps = binary.map(_.omittedSnapshots.toSet).getOrElse(Set.empty)
     m.currentSnapshotId.filter(omittedSnaps.contains).foreach { id =>
       throw new IllegalStateException(
-        s"current snapshot $id has pending merge-on-read deletes, which " +
-          "Iceberg v1 manifests cannot represent — materializeDeletes() first")
+        s"current snapshot $id has pending merge-on-read deletes that " +
+          s"Iceberg v$formatVersion manifests cannot represent — " +
+          "materializeDeletes() first")
     }
     val root = mapper.createObjectNode()
-    root.put("format-version", 1)
+    root.put("format-version", formatVersion)
+    // graft's data sequence numbers ARE its snapshot ids (nextSnapshotId
+    // assigns both), so v2's last-sequence-number is the newest id
+    if (v2) root.put("last-sequence-number",
+      (m.snapshots.map(_.id) :+ 0L).max)
     // deterministic uuid: exports of the same table location agree
     root.put("table-uuid",
       java.util.UUID.nameUUIDFromBytes(m.location.getBytes("UTF-8")).toString)
@@ -205,9 +212,40 @@ object IcebergExport {
       ()
     }
     root.put("default-spec-id", m.currentSpecId)
+    if (v2) {
+      // required in v2; graft's write-time ordering is a table property
+      // (write.sort-order), declared unsorted at the spec level
+      val sos = root.putArray("sort-orders")
+      val so = sos.addObject()
+      so.put("order-id", 0)
+      so.putArray("fields")
+      root.put("default-sort-order-id", 0)
+    }
     val props = root.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
     props.put("graft.manifest-format", if (binary.isDefined) "avro" else "json")
+    // graft data files carry NO parquet field ids (Spark writes by name),
+    // so a real Iceberg reader needs the spec's name-mapping fallback to
+    // project them: field-id → the PHYSICAL column name the files use
+    // (+ the logical name, harmless alternate). Without this property a
+    // foreign engine resolves every column to null.
+    locally {
+      val nm = mapper.createArrayNode()
+      val it = schemaNode.get("fields").elements()
+      while (it.hasNext) {
+        val fo = it.next()
+        val logical = fo.get("name").asText()
+        val phys = ColumnMapping.physicalOf(m.schema, logical)
+        val o = nm.addObject()
+        o.put("field-id", fo.get("id").asInt())
+        val names = o.putArray("names")
+        names.add(phys)
+        if (phys != logical) names.add(logical)
+        ()
+      }
+      props.put("schema.name-mapping.default", mapper.writeValueAsString(nm))
+      ()
+    }
     if (omittedSnaps.nonEmpty)
       props.put("graft.omitted-snapshots", omittedSnaps.toSeq.sorted.mkString(","))
     root.put("current-snapshot-id", m.currentSnapshotId.getOrElse(-1L))
@@ -215,6 +253,7 @@ object IcebergExport {
     m.snapshots.filterNot(s => omittedSnaps.contains(s.id)).foreach { s =>
       val so = snaps.addObject()
       so.put("snapshot-id", s.id)
+      if (v2) so.put("sequence-number", s.id)
       // an omitted parent would dangle; point at the nearest exported
       // ancestor instead (the chain stays walkable)
       s.parentId.map { p0 =>
@@ -392,18 +431,29 @@ object IcebergExport {
     * declared v1 representation limits (merge-on-read snapshots, bucket
     * transforms).
     */
-  def exportBinary(t: GraftTable, outDir: String): String = {
-    // refuse BEFORE writing anything: a current snapshot with pending
-    // merge-on-read payloads can't be represented, and failing after the
-    // manifest pass would leave a partial artifact with no metadata.json
-    if (t.currentDeletes().nonEmpty || t.currentPositionDeletes().nonEmpty ||
-        t.currentEqualityDeletes().nonEmpty)
+  def exportBinary(t: GraftTable, outDir: String, formatVersion: Int = 1): String = {
+    require(formatVersion == 1 || formatVersion == 2,
+      s"binary export supports Iceberg format v1/v2, not v$formatVersion")
+    // refuse BEFORE writing anything: a current snapshot with
+    // unrepresentable merge-on-read payloads would otherwise leave a
+    // partial artifact with no metadata.json. v1 can represent NO
+    // merge-on-read payload; v2 carries position/equality delete FILES
+    // (r11) — only graft's predicate deletes (a SQL string, no file
+    // form) still refuse.
+    val unrepresentable =
+      if (formatVersion == 2) t.currentDeletes().nonEmpty
+      else t.currentDeletes().nonEmpty || t.currentPositionDeletes().nonEmpty ||
+        t.currentEqualityDeletes().nonEmpty
+    if (unrepresentable)
       throw new IllegalStateException(
-        "current snapshot has pending merge-on-read deletes, which " +
-          "Iceberg v1 manifests cannot represent — materializeDeletes() first")
+        "current snapshot has pending merge-on-read deletes that " +
+          s"Iceberg v$formatVersion manifests cannot represent — " +
+          "materializeDeletes() first" +
+          (if (formatVersion == 1) " (or export formatVersion = 2, which " +
+            "carries position/equality delete files)" else ""))
     val manifests = IcebergManifests.exportManifests(t, outDir,
-      topLevelFieldIds(t.meta.schema))
-    val json = metadataJson(t, Some(manifests))
+      topLevelFieldIds(t.meta.schema), formatVersion)
+    val json = metadataJson(t, Some(manifests), formatVersion)
     MetaIO.writeString(t.spark.sparkContext.hadoopConfiguration,
       s"$outDir/metadata.json", json)
     json

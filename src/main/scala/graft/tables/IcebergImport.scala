@@ -86,7 +86,9 @@ object IcebergImport {
     val root = mapper.readTree(MetaIO.readString(conf, metadataJsonPath))
 
     val fv = Option(root.get("format-version")).map(_.asInt()).getOrElse(-1)
-    require(fv == 1, s"unsupported Iceberg format-version $fv (v1 JSON only)")
+    require(fv == 1 || fv == 2,
+      s"unsupported Iceberg format-version $fv (v1/v2 only; v3 deletion " +
+        "vectors and row lineage are out of scope)")
     val props0 = {
       val b = Map.newBuilder[String, String]
       Option(root.get("properties")).foreach(p =>
@@ -101,11 +103,28 @@ object IcebergImport {
       throw new IllegalArgumentException(
         s"$targetLocation already holds a graft table; refusing to clobber")
 
-    val schema = sparkStruct(root.get("schema"))
+    // v2 documents may carry ONLY the `schemas` list + `current-schema-id`
+    // (the inline `schema` field is v1's); resolve whichever is present
+    val schemaNode = Option(root.get("schema")).getOrElse {
+      val curId = Option(root.get("current-schema-id")).map(_.asInt())
+        .getOrElse(throw new IllegalArgumentException(
+          "document has neither 'schema' nor 'current-schema-id'"))
+      val it = Option(root.get("schemas")).getOrElse(
+        throw new IllegalArgumentException("document carries no schemas")).elements()
+      var found: JsonNode = null
+      while (it.hasNext && found == null) {
+        val s = it.next()
+        if (Option(s.get("schema-id")).exists(_.asInt() == curId)) found = s
+      }
+      if (found == null) throw new IllegalArgumentException(
+        s"current-schema-id $curId not present in schemas")
+      found
+    }
+    val schema = sparkStruct(schemaNode)
     // field id → PHYSICAL source name for partition-spec sources
     val idToPhysical: Map[Int, String] = {
       val b = Map.newBuilder[Int, String]
-      root.get("schema").get("fields").forEach { fo =>
+      schemaNode.get("fields").forEach { fo =>
         b += fo.get("id").asInt() ->
           ColumnMapping.physicalOf(schema, fo.get("name").asText())
       }
@@ -163,8 +182,7 @@ object IcebergImport {
     // the target's metadata dir
     val tgtMetaDir = MetaIO.metadataDir(targetLocation)
     val copied = scala.collection.mutable.Set.empty[String]
-    val translatedAvro =
-      scala.collection.mutable.Map.empty[String, (String, Seq[DataFile])]
+    val avroCaches = new IcebergManifests.ImportCaches
     var srcMetaDir: Option[String] = None
     val specById = specs.map(s => s.specId -> s).toMap
     def stageManifestList(absPath: String): String = {
@@ -185,8 +203,8 @@ object IcebergImport {
           }
         }
         name
-      } else IcebergManifests.importSnapshot(conf, absPath, specById, schema,
-        idToPhysical, tgtMetaDir, translatedAvro)
+      } else IcebergManifests.importSnapshot(spark, absPath, specById, schema,
+        idToPhysical, tgtMetaDir, targetLocation, avroCaches)
     }
 
     val snaps = {

@@ -53,7 +53,7 @@ object IcebergManifests {
   /** Iceberg v1 `manifest_file` schema (manifest-list rows), field-ids
     * per the public table spec.
     */
-  val manifestListSchemaJson: String = {
+  def manifestListSchema(v2: Boolean): String = {
     val root = mapper.createObjectNode()
     root.put("type", "record"); root.put("name", "manifest_file")
     val fs = root.putArray("fields")
@@ -66,15 +66,22 @@ object IcebergManifests {
     f("manifest_path", 500, opt = false, "string")
     f("manifest_length", 501, opt = false, "long")
     f("partition_spec_id", 502, opt = false, "int")
-    f("added_snapshot_id", 503, opt = true, "long")
-    f("added_data_files_count", 504, opt = true, "int")
-    f("existing_data_files_count", 505, opt = true, "int")
-    f("deleted_data_files_count", 506, opt = true, "int")
-    f("added_rows_count", 512, opt = true, "long")
-    f("existing_rows_count", 513, opt = true, "long")
-    f("deleted_rows_count", 514, opt = true, "long")
+    if (v2) {
+      f("content", 517, opt = false, "int")
+      f("sequence_number", 515, opt = false, "long")
+      f("min_sequence_number", 516, opt = false, "long")
+    }
+    f("added_snapshot_id", 503, opt = !v2, "long")
+    f("added_data_files_count", 504, opt = !v2, "int")
+    f("existing_data_files_count", 505, opt = !v2, "int")
+    f("deleted_data_files_count", 506, opt = !v2, "int")
+    f("added_rows_count", 512, opt = !v2, "long")
+    f("existing_rows_count", 513, opt = !v2, "long")
+    f("deleted_rows_count", 514, opt = !v2, "long")
     mapper.writeValueAsString(root)
   }
+
+  val manifestListSchemaJson: String = manifestListSchema(v2 = false)
 
   /** Avro type node for one partition field under a spec (the r102
     * member types): date-ish transforms and bucket are int, identity/
@@ -101,8 +108,12 @@ object IcebergManifests {
       }
     }
 
-  /** Iceberg v1 `manifest_entry` schema for one partition spec. */
-  def manifestEntrySchemaJson(spec: PartitionSpec, schema: StructType): String = {
+  /** Iceberg `manifest_entry` schema for one partition spec (v1, or v2
+    * with entry sequence numbers + `data_file.content`/`equality_ids` —
+    * the same record serves data and delete manifests in v2).
+    */
+  def manifestEntrySchemaJson(spec: PartitionSpec, schema: StructType,
+      v2: Boolean = false): String = {
     val root = mapper.createObjectNode()
     root.put("type", "record"); root.put("name", "manifest_entry")
     val fs = root.putArray("fields")
@@ -111,6 +122,14 @@ object IcebergManifests {
     val snapId = fs.addObject()
     snapId.put("name", "snapshot_id"); snapId.put("field-id", 1)
     snapId.putArray("type").add("null").add("long"); snapId.putNull("default")
+    if (v2) {
+      val sq = fs.addObject()
+      sq.put("name", "sequence_number"); sq.put("field-id", 3)
+      sq.putArray("type").add("null").add("long"); sq.putNull("default")
+      val fsq = fs.addObject()
+      fsq.put("name", "file_sequence_number"); fsq.put("field-id", 4)
+      fsq.putArray("type").add("null").add("long"); fsq.putNull("default")
+    }
     val df = fs.addObject()
     df.put("name", "data_file"); df.put("field-id", 2)
     val r2 = df.putObject("type")
@@ -120,6 +139,7 @@ object IcebergManifests {
       val o = dfs.addObject()
       o.put("name", name); o.put("type", tpe); o.put("field-id", fieldId); ()
     }
+    if (v2) prim("content", 134, "int")
     prim("file_path", 100, "string")
     prim("file_format", 101, "string")
     val part = dfs.addObject()
@@ -148,7 +168,18 @@ object IcebergManifests {
     }
     prim("record_count", 103, "long")
     prim("file_size_in_bytes", 104, "long")
-    prim("block_size_in_bytes", 105, "long") // v1 required; historical field
+    if (!v2) prim("block_size_in_bytes", 105, "long") // v1 required; v2 removed it
+    if (v2) {
+      val eq = dfs.addObject()
+      eq.put("name", "equality_ids"); eq.put("field-id", 135)
+      val u = eq.putArray("type")
+      u.add("null")
+      val arr = mapper.createObjectNode()
+      arr.put("type", "array"); arr.put("element-id", 136)
+      arr.put("items", "int")
+      u.add(arr)
+      eq.putNull("default")
+    }
     // optional stat maps (Iceberg's int-keyed maps are arrays of
     // key_value records with logicalType "map")
     def intKeyedMap(name: String, fieldId: Int, kId: Int, vId: Int,
@@ -294,7 +325,8 @@ object IcebergManifests {
     * by field id).
     */
   def exportManifests(t: GraftTable, outDir: String,
-      topFieldIds: Map[String, Int]): ExportedManifests = {
+      topFieldIds: Map[String, Int], formatVersion: Int = 1): ExportedManifests = {
+    val v2 = formatVersion == 2
     val m = t.meta
     val conf = t.spark.sparkContext.hadoopConfiguration
     val physSchema = ColumnMapping.physicalSchema(m.schema)
@@ -308,7 +340,7 @@ object IcebergManifests {
       translated.getOrElseUpdate((name, specId), {
         val spec = specById.getOrElse(specId,
           throw new IllegalStateException(s"data file references unknown spec $specId"))
-        val schemaJson = manifestEntrySchemaJson(spec, m.schema)
+        val schemaJson = manifestEntrySchemaJson(spec, m.schema, v2)
         val liveFields = resolvableFields(spec, physSchema).map(_._1)
         val records = files.map { f =>
           val partition: Map[String, Any] = liveFields.map { pf =>
@@ -338,19 +370,25 @@ object IcebergManifests {
             }.sortBy(_("key").asInstanceOf[Int])
             if (kvs.isEmpty) null else kvs
           }
+          val dataFile = Map[String, Any](
+            "file_path" -> f.path,
+            "file_format" -> "PARQUET",
+            "partition" -> partition,
+            "record_count" -> f.recordCount,
+            "file_size_in_bytes" -> f.sizeBytes,
+            "null_value_counts" -> nullCounts,
+            "lower_bounds" -> boundsFor(_.min),
+            "upper_bounds" -> boundsFor(_.max)) ++
+            (if (v2) Map[String, Any]("content" -> 0, "equality_ids" -> null)
+             else Map[String, Any]("block_size_in_bytes" -> (64L * 1024 * 1024)))
           Map[String, Any](
             "status" -> 1, // added (at its data sequence number)
             "snapshot_id" -> (if (f.seq != 0) f.seq else null),
-            "data_file" -> Map[String, Any](
-              "file_path" -> f.path,
-              "file_format" -> "PARQUET",
-              "partition" -> partition,
-              "record_count" -> f.recordCount,
-              "file_size_in_bytes" -> f.sizeBytes,
-              "block_size_in_bytes" -> (64L * 1024 * 1024),
-              "null_value_counts" -> nullCounts,
-              "lower_bounds" -> boundsFor(_.min),
-              "upper_bounds" -> boundsFor(_.max)))
+            "data_file" -> dataFile) ++
+            (if (v2) Map[String, Any](
+              "sequence_number" -> (if (f.seq != 0) f.seq else null),
+              "file_sequence_number" -> (if (f.seq != 0) f.seq else null))
+             else Map.empty[String, Any])
         }
         val base = name.stripSuffix(".json")
         val avroName = s"$base-s$specId-m0.avro"
@@ -373,21 +411,102 @@ object IcebergManifests {
             "schema" -> icebergSchemaJson(m.schema, topFieldIds),
             "partition-spec" -> specFieldsJson,
             "partition-spec-id" -> specId.toString,
-            "format-version" -> "1",
+            "format-version" -> formatVersion.toString,
             "content" -> "data"))
         val path = s"$outDir/$avroName"
         writeBytes(conf, path, bytes)
         (path, bytes.length.toLong, files.size, files.map(_.recordCount).sum)
       })
 
+    // DV bitmap files explode to classic (file_path, pos) parquet once
+    // per DV file (v2 has no bitmap delete representation until v3)
+    val explodedDv = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def classicPosFiles(pdf: Seq[String]): Seq[String] = {
+      val (dv, classic) = pdf.partition(GraftTable.isDvFile)
+      classic ++ dv.flatMap { d =>
+        explodedDv.getOrElseUpdate(d, {
+          import org.apache.spark.sql.functions.{col, explode}
+          val tag = java.lang.Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(d))
+          val dir = s"$outDir/deletes-dv-$tag"
+          t.spark.read.parquet(d)
+            .select(col("file_path"),
+              explode(graft.functions.F.bitmapPositions(col("dv"))).as("pos"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+          val out = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val p = it.next().getPath.toString
+            if (p.endsWith(".parquet")) out += stripLocal(p)
+          }
+          out.result()
+        })
+      }
+    }
+    def fileRows(path: String): Long =
+      scala.util.Try(FooterStats.read(conf, path, StructType(Nil))._1).getOrElse(0L)
+    def fileLen(path: String): Long =
+      scala.util.Try(MetaIO.fs(conf, path)
+        .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen).getOrElse(0L)
+
+    /** One v2 delete manifest for a snapshot's pos/eq payloads. */
+    def writeDeleteManifest(snapId: Long, pdf: Seq[String],
+        eq: Seq[EqualityDelete]): (String, Long, Int, Long) = {
+      val spec = specById(m.currentSpecId)
+      val schemaJson = manifestEntrySchemaJson(spec, m.schema, v2 = true)
+      def entry(content: Int, path: String, seq: Long, eqIds: Any): Map[String, Any] =
+        Map[String, Any](
+          "status" -> 1, "snapshot_id" -> snapId,
+          "sequence_number" -> seq, "file_sequence_number" -> seq,
+          "data_file" -> Map[String, Any](
+            "content" -> content, "file_path" -> path,
+            "file_format" -> "PARQUET",
+            "partition" -> Map.empty[String, Any],
+            "record_count" -> fileRows(path),
+            "file_size_in_bytes" -> fileLen(path),
+            "equality_ids" -> eqIds,
+            "null_value_counts" -> null,
+            "lower_bounds" -> null, "upper_bounds" -> null))
+      // position deletes are file-anchored: the list snapshot's sequence
+      // covers every data file they can name. Equality deletes keep their
+      // EXACT commit sequence — the strictly-older-data rule is what lets
+      // an upsert hide old key versions without hiding its own appends.
+      val records =
+        classicPosFiles(pdf).map(p => entry(1, p, snapId, null)) ++
+        eq.flatMap(e => e.files.map { p =>
+          val ids = e.cols.flatMap(c =>
+            physToLogical.get(c).flatMap(topFieldIds.get))
+          require(ids.size == e.cols.size,
+            s"equality delete key columns ${e.cols} not all in schema")
+          entry(2, p, e.seq, ids)
+        })
+      val name = s"snap-$snapId-deletes-m0.avro"
+      val bytes = Avro.writeContainer(schemaJson, records,
+        syncSalt = name, extraMeta = Seq(
+          "schema" -> icebergSchemaJson(m.schema, topFieldIds),
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> m.currentSpecId.toString,
+          "format-version" -> "2",
+          "content" -> "deletes"))
+      val path = s"$outDir/$name"
+      writeBytes(conf, path, bytes)
+      (path, bytes.length.toLong, records.size, records.size.toLong)
+    }
+
     val listPaths = Map.newBuilder[Long, String]
     val omitted = Seq.newBuilder[Long]
     m.snapshots.foreach { snap =>
       val (entries, dp, pdf, eq) =
         MetaIO.loadManifestListData(conf, m.location, snap)
-      if (dp.nonEmpty || pdf.nonEmpty || eq.nonEmpty) omitted += snap.id
+      // v1 cannot represent ANY merge-on-read payload; v2 represents
+      // position + equality delete files — only graft's predicate
+      // deletes (a SQL condition, no file form) still omit
+      val unrepresentable =
+        if (v2) dp.nonEmpty else dp.nonEmpty || pdf.nonEmpty || eq.nonEmpty
+      if (unrepresentable) omitted += snap.id
       else {
-        val rows = entries.flatMap { e =>
+        val dataRows = entries.flatMap { e =>
           val files = MetaIO.loadChildFiles(conf, m.location, e.name)
           files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (specId, group) =>
             val (path, len, fileCount, rowCount) = translateChild(e.name, specId, group)
@@ -395,11 +514,11 @@ object IcebergManifests {
             // files' data sequence number), not the list's snapshot — a
             // carried-over manifest must not re-claim its files as added
             // by every later snapshot (incremental consumers select
-            // manifests by this field). seq 0 (legacy metadata) → null.
-            val addedSnap: Any = {
-              val s = group.map(_.seq).max
-              if (s > 0L) s else null
-            }
+            // manifests by this field). seq 0 (legacy metadata) → null
+            // (v1) / the list snapshot (v2, where the field is required).
+            val childSeq = group.map(_.seq).max
+            val addedSnap: Any =
+              if (childSeq > 0L) childSeq else if (v2) snap.id else null
             Map[String, Any](
               "manifest_path" -> path,
               "manifest_length" -> len,
@@ -410,14 +529,41 @@ object IcebergManifests {
               "deleted_data_files_count" -> 0,
               "added_rows_count" -> rowCount,
               "existing_rows_count" -> 0L,
-              "deleted_rows_count" -> 0L)
+              "deleted_rows_count" -> 0L) ++
+              (if (v2) Map[String, Any]("content" -> 0,
+                "sequence_number" -> (if (childSeq > 0) childSeq else snap.id),
+                "min_sequence_number" -> {
+                  val mn = group.map(_.seq).min
+                  if (mn > 0) mn else snap.id
+                })
+               else Map.empty[String, Any])
           }
         }
+        val deleteRows =
+          if (!v2 || (pdf.isEmpty && eq.isEmpty)) Nil
+          else {
+            val (path, len, count, rows) = writeDeleteManifest(snap.id, pdf, eq)
+            val minSeq = (eq.map(_.seq) :+ snap.id).min
+            Seq(Map[String, Any](
+              "manifest_path" -> path,
+              "manifest_length" -> len,
+              "partition_spec_id" -> m.currentSpecId,
+              "content" -> 1,
+              "sequence_number" -> snap.id,
+              "min_sequence_number" -> minSeq,
+              "added_snapshot_id" -> snap.id,
+              "added_data_files_count" -> count,
+              "existing_data_files_count" -> 0,
+              "deleted_data_files_count" -> 0,
+              "added_rows_count" -> rows,
+              "existing_rows_count" -> 0L,
+              "deleted_rows_count" -> 0L))
+          }
         val listName = s"snap-${snap.id}-1-graft.avro"
-        val bytes = Avro.writeContainer(manifestListSchemaJson, rows,
+        val bytes = Avro.writeContainer(manifestListSchema(v2), dataRows ++ deleteRows,
           syncSalt = listName, extraMeta = Seq(
             "snapshot-id" -> snap.id.toString,
-            "format-version" -> "1") ++
+            "format-version" -> formatVersion.toString) ++
             snap.parentId.map(p => "parent-snapshot-id" -> p.toString))
         val path = s"$outDir/$listName"
         writeBytes(conf, path, bytes)
@@ -481,22 +627,71 @@ object IcebergManifests {
 
   // ------------------------------------------------------------- import
 
+  /** Per-import caches shared across a document's snapshots (shared
+    * manifests translate once): data manifests → (graft child name,
+    * files); delete manifests → their translated payload.
+    */
+  final class ImportCaches {
+    val children = scala.collection.mutable.Map.empty[String, (String, Seq[DataFile])]
+    val deletes = scala.collection.mutable.Map.empty[String, (Seq[String], Seq[EqualityDelete])]
+  }
+
+  /** A manifest entry's data sequence number: explicit when written
+    * (v2), inherited from the manifest list's `sequence_number` when
+    * null (the v2 inheritance rule), the entry's `snapshot_id` for v1
+    * manifests (graft's own export stores the adding commit there).
+    */
+  private def entrySeq(entry: Map[String, Any], manifestSeq: Long): Long =
+    entry.get("sequence_number") match {
+      case Some(l: Long) => l
+      case _ if manifestSeq > 0 => manifestSeq
+      case _ => entry.get("snapshot_id") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }
+    }
+
+  /** Local paths follow graft's manifest convention (scheme stripped);
+    * everything else stays as written.
+    */
+  private def stripLocal(p: String): String =
+    if (p.startsWith("file:"))
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    else p
+
   /** Translate one snapshot's Avro manifest list (+ its manifests) into
     * graft JSON manifests inside `tgtMetaDir`. Returns the graft
-    * manifest-list NAME for the snapshot. `translatedChildren` caches
-    * avro-manifest-path → (graft child name, its files) across snapshots
-    * of one import (shared manifests translate once).
+    * manifest-list NAME for the snapshot. Handles BOTH v1 lists and v2
+    * lists (r11): `content = 1` delete manifests become the graft list's
+    * merge-on-read payloads — position-delete files re-written with
+    * Spark-canonical `file_path` values (the read-side join compares
+    * against `_metadata.file_path`, so a schemeless foreign path would
+    * silently never match), equality-delete files referenced in place
+    * with their `equality_ids` resolved to column names and their v2
+    * sequence numbers preserved (graft applies the same
+    * strictly-older-data rule).
     */
-  def importSnapshot(conf: Configuration, manifestListPath: String,
+  def importSnapshot(spark: org.apache.spark.sql.SparkSession,
+      manifestListPath: String,
       specById: Map[Int, PartitionSpec], schema: StructType,
       idToPhysical: Map[Int, String], tgtMetaDir: String,
-      translatedChildren: scala.collection.mutable.Map[String, (String, Seq[DataFile])]): String = {
+      targetLocation: String, caches: ImportCaches): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val physSchema = ColumnMapping.physicalSchema(schema)
     val list = Avro.readContainer(readBytes(conf, manifestListPath))
-    val children = list.records.map { row =>
+    def contentOf(row: Map[String, Any]): Int = row.get("content") match {
+      case Some(i: Int) => i
+      case _            => 0 // v1 lists: data manifests only
+    }
+    def manifestSeqOf(row: Map[String, Any]): Long = row.get("sequence_number") match {
+      case Some(l: Long) => l
+      case _             => 0L
+    }
+    val children = list.records.filter(contentOf(_) == 0).map { row =>
       val path = row("manifest_path").asInstanceOf[String]
       val specId = row("partition_spec_id").asInstanceOf[Int]
-      translatedChildren.getOrElseUpdate(path, {
+      val manifestSeq = manifestSeqOf(row)
+      caches.children.getOrElseUpdate(path, {
         val spec = specById.getOrElse(specId, throw new IllegalArgumentException(
           s"manifest $path references unknown partition spec $specId"))
         val mf = Avro.readContainer(readBytes(conf, path))
@@ -518,16 +713,13 @@ object IcebergManifests {
             }.toMap
             val stats = importStats(df, physSchema, idToPhysical)
             Some(DataFile(
-              df("file_path").asInstanceOf[String],
+              stripLocal(df("file_path").asInstanceOf[String]),
               specId,
               partitionValues,
               df("record_count").asInstanceOf[Long],
               df("file_size_in_bytes").asInstanceOf[Long],
               stats,
-              seq = entry.get("snapshot_id") match {
-                case Some(l: Long) => l
-                case _             => 0L
-              },
+              seq = entrySeq(entry, manifestSeq),
               // foreign bounds may be truncated (Iceberg increments the
               // last byte of string upper bounds): pruning-safe, never
               // aggregate-exact
@@ -540,13 +732,89 @@ object IcebergManifests {
         (name, files)
       })
     }
+    val deletePayloads = list.records.filter(contentOf(_) == 1).map { row =>
+      val path = row("manifest_path").asInstanceOf[String]
+      caches.deletes.getOrElseUpdate(path,
+        translateDeleteManifest(spark, path, manifestSeqOf(row),
+          idToPhysical, targetLocation))
+    }
+    val posFiles = deletePayloads.flatMap(_._1).distinct
+    val eqDeletes = deletePayloads.flatMap(_._2).distinct
     val entries = children.distinct.map { case (name, files) =>
       ManifestStats.entryFor(name, files)
     }
     val listName = translatedName(manifestListPath)
     MetaIO.writeString(conf, s"$tgtMetaDir/$listName",
-      MetaIO.manifestListToJson(entries))
+      MetaIO.manifestListToJson(entries, Nil, posFiles, eqDeletes))
     listName
+  }
+
+  /** One v2 delete manifest → graft merge-on-read payloads. */
+  private def translateDeleteManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifestSeq: Long, idToPhysical: Map[Int, String],
+      targetLocation: String): (Seq[String], Seq[EqualityDelete]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mf = Avro.readContainer(readBytes(conf, path))
+    val pos = Seq.newBuilder[String]
+    val eqRaw = Seq.newBuilder[(Seq[String], Long, String)]
+    mf.records.foreach { entry =>
+      val status = entry("status").asInstanceOf[Int]
+      if (status != 2) {
+        val df = entry("data_file").asInstanceOf[Map[String, Any]]
+        val filePath = df("file_path").asInstanceOf[String]
+        df.get("content") match {
+          case Some(1) => pos += filePath
+          case Some(2) =>
+            val ids = df.get("equality_ids") match {
+              case Some(xs: Seq[_]) => xs.map(_.asInstanceOf[Int])
+              case _ => throw new IllegalArgumentException(
+                s"equality delete file $filePath carries no equality_ids")
+            }
+            val cols = ids.map(id => idToPhysical.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"equality delete references unknown field id $id")))
+            eqRaw += ((cols, entrySeq(entry, manifestSeq), filePath))
+          case other => throw new IllegalArgumentException(
+            s"unsupported delete-file content $other in $path " +
+              "(position=1 / equality=2 only)")
+        }
+      }
+    }
+    val eqDeletes = eqRaw.result().groupBy(e => (e._1, e._2)).map {
+      case ((cols, seq), es) => EqualityDelete(cols, es.map(_._3), seq)
+    }.toSeq
+    (normalizePositionDeletes(spark, pos.result(), targetLocation), eqDeletes)
+  }
+
+  /** Copy foreign position-delete files with `file_path` rewritten to
+    * Spark's canonical rendering ("file:/abs/path" for local files): the
+    * merge-on-read join compares stored paths against
+    * `_metadata.file_path`, so a schemeless path written by another
+    * engine would silently delete NOTHING.
+    */
+  private def normalizePositionDeletes(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], targetLocation: String): Seq[String] = {
+    if (files.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{col, udf}
+    val canon = udf((p: String) =>
+      if (p == null) null
+      else if (p.contains(":/")) new org.apache.hadoop.fs.Path(p).toString
+      else new org.apache.hadoop.fs.Path("file:" + p).toString)
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(files))
+    val dir = s"$targetLocation/deletes/imp-$tag"
+    spark.read.parquet(files: _*)
+      .select(canon(col("file_path")).as("file_path"), col("pos"))
+      .write.mode("overwrite").parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (p.endsWith(".parquet")) out += stripLocal(p)
+    }
+    out.result()
   }
 
   /** Target-dir name for a translated Avro artifact: basename plus a

@@ -256,6 +256,177 @@ class IcebergAvroInteropSpec extends SparkSpec {
         .filter($"n_regionkey" === 0).count())
   }
 
+  test("v2 export round-trips merge-on-read state: pos + DV + equality deletes") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet")
+        .orderBy($"o_orderkey").limit(2000).repartition(4))
+    src.deleteMergeOnReadPositions("o_orderstatus = 'F'") // classic pos file
+    src.deleteMergeOnReadDV("o_totalprice > 250000")      // DV bitmap file
+    src.upsertMergeOnRead(
+      spark.read.parquet(s"$sf/orders.parquet").orderBy($"o_orderkey").limit(100)
+        .withColumn("o_totalprice", lit(9.99)), Seq("o_orderkey")) // eq + append
+    // v1 cannot carry the pending payloads — still refuses, pointing at v2
+    val e = intercept[IllegalStateException](
+      IcebergExport.exportBinary(src, outDir()))
+    assert(e.getMessage.contains("formatVersion = 2"))
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir, formatVersion = 2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = mapper.readTree(MetaIO.readString(conf, s"$dir/metadata.json"))
+    assert(root.get("format-version").asInt() == 2)
+    assert(root.has("last-sequence-number") && root.has("sort-orders"))
+    // no snapshot omitted: v2 represents the whole chain
+    assert(!root.get("properties").has("graft.omitted-snapshots"))
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    // visible rows identical — all three delete kinds applied
+    val a = imp.toDF().orderBy("o_orderkey").collect()
+    val b = src.toDF().orderBy("o_orderkey").collect()
+    assert(a.length == b.length && a.sameElements(b))
+    // the sequencing pin: the upsert's OWN appended rows stay visible
+    // (its equality delete only hides strictly-older data files)
+    assert(imp.toDF().filter($"o_totalprice" === 9.99).count() == 100)
+    // graft's predicate deletes have no v2 file form: still refuse
+    val src2 = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(200))
+    src2.deleteMergeOnRead("o_orderkey % 3 = 0")
+    val e2 = intercept[IllegalStateException](
+      IcebergExport.exportBinary(src2, outDir(), formatVersion = 2))
+    assert(e2.getMessage.contains("materializeDeletes"))
+  }
+
+  test("foreign v2 document: sequence numbers + delete manifests import (r11)") {
+    // hand-built v2 table, the shape most real-world Iceberg tables have
+    // today: schemas-list-only metadata, a data manifest whose entry
+    // INHERITS its sequence number from the manifest list, and a delete
+    // manifest carrying one position-delete file (SCHEMELESS paths — the
+    // importer must canonicalize or the MOR join silently deletes
+    // nothing) and one equality-delete file with equality_ids.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stage = Files.createTempDirectory("graft_v2_data").toString
+    spark.read.parquet(s"$sf/orders.parquet").orderBy(col("o_orderkey")).limit(50)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/d")
+    val dataFile = new java.io.File(s"$stage/d").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val rows = spark.read.parquet(dataFile.getPath).collect()
+    val n = rows.length
+
+    // position delete: rows 0 and 1 of the data file, schemeless path
+    import spark.implicits._
+    Seq((dataFile.getPath, 0L), (dataFile.getPath, 1L))
+      .toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/posdel")
+    val posFile = new java.io.File(s"$stage/posdel").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    // equality delete: two keys NOT at positions 0/1
+    val eqKeys = Seq(rows(5).getLong(0), rows(6).getLong(0))
+    eqKeys.toDF("o_orderkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/eqdel")
+    val eqFile = new java.io.File(s"$stage/eqdel").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+
+    val dir = outDir()
+    val v2EntrySchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"sequence_number","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"},
+        |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |  ]}}]}""".stripMargin
+    def dataFileRec(content: Int, path: String, count: Long, size: Long,
+        eqIds: Any): Map[String, Any] = Map[String, Any](
+      "content" -> content, "file_path" -> path, "file_format" -> "PARQUET",
+      "partition" -> Map.empty[String, Any], "record_count" -> count,
+      "file_size_in_bytes" -> size, "equality_ids" -> eqIds)
+    // data manifest: entry seq NULL → inherits the list row's seq (1)
+    val dataEntry = Map[String, Any]("status" -> 1, "snapshot_id" -> 99L,
+      "sequence_number" -> null,
+      "data_file" -> dataFileRec(0, dataFile.getPath, n.toLong, dataFile.length(), null))
+    val dataM = Avro.writeContainer(v2EntrySchema, Seq(dataEntry))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v2-data-m0.avro"), dataM)
+    // delete manifest at seq 2: pos delete explicit seq, eq delete inherits
+    val posEntry = Map[String, Any]("status" -> 1, "snapshot_id" -> 99L,
+      "sequence_number" -> 2L,
+      "data_file" -> dataFileRec(1, posFile.getPath, 2L, posFile.length(), null))
+    val eqEntry = Map[String, Any]("status" -> 1, "snapshot_id" -> 99L,
+      "sequence_number" -> null,
+      "data_file" -> dataFileRec(2, eqFile.getPath, 2L, eqFile.length(), Seq(1)))
+    val delM = Avro.writeContainer(v2EntrySchema, Seq(posEntry, eqEntry))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v2-del-m0.avro"), delM)
+
+    val v2ListSchema =
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"content","type":"int"},
+        |  {"name":"sequence_number","type":"long"},
+        |  {"name":"min_sequence_number","type":"long"},
+        |  {"name":"added_snapshot_id","type":"long"}]}""".stripMargin
+    val listRows = Seq(
+      Map[String, Any]("manifest_path" -> s"$dir/v2-data-m0.avro",
+        "manifest_length" -> dataM.length.toLong, "partition_spec_id" -> 0,
+        "content" -> 0, "sequence_number" -> 1L, "min_sequence_number" -> 1L,
+        "added_snapshot_id" -> 99L),
+      Map[String, Any]("manifest_path" -> s"$dir/v2-del-m0.avro",
+        "manifest_length" -> delM.length.toLong, "partition_spec_id" -> 0,
+        "content" -> 1, "sequence_number" -> 2L, "min_sequence_number" -> 2L,
+        "added_snapshot_id" -> 99L))
+    val lBytes = Avro.writeContainer(v2ListSchema, listRows)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/snap-99-v2.avro"), lBytes)
+
+    val fields = spark.read.parquet(dataFile.getPath).schema.fields.zipWithIndex
+      .map { case (f, i) =>
+        s"""{"id": ${i + 1}, "name": "${f.name}", "required": false, "type": "${
+          f.dataType match {
+            case org.apache.spark.sql.types.LongType => "long"
+            case org.apache.spark.sql.types.IntegerType => "int"
+            case org.apache.spark.sql.types.DoubleType => "double"
+            case org.apache.spark.sql.types.DateType => "date"
+            case _ => "string"
+          }}"}"""
+      }.mkString(",")
+    val metadata =
+      s"""{"format-version": 2,
+         |"table-uuid": "22222222-3333-4444-5555-666666666666",
+         |"location": "$dir",
+         |"last-updated-ms": 1700000000000,
+         |"last-sequence-number": 2,
+         |"last-column-id": 9,
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [$fields]}],
+         |"current-schema-id": 0,
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 99,
+         |"snapshots": [{"snapshot-id": 99, "sequence-number": 2,
+         |  "timestamp-ms": 1700000000000,
+         |  "summary": {"operation": "append"},
+         |  "manifest-list": "$dir/snap-99-v2.avro"}],
+         |"snapshot-log": [{"timestamp-ms": 1700000000000, "snapshot-id": 99}]}
+         |""".stripMargin
+    MetaIO.writeString(conf, s"$dir/metadata.json", metadata)
+
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    // both delete kinds apply: 2 positions + 2 keys, no overlap
+    assert(imp.toDF().count() == n - 4)
+    val got = imp.toDF().select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(rows(0).getLong(0)) && !got.contains(rows(1).getLong(0)),
+      "position-deleted rows must be gone (path canonicalization)")
+    eqKeys.foreach(k => assert(!got.contains(k), s"equality-deleted key $k visible"))
+    // the sequence numbers landed: data file seq 1 (inherited), eq seq 2
+    val md = MetaIO.loadManifestData(conf, imp.meta.location,
+      imp.meta.currentSnapshot.get.manifest)
+    assert(md.files.forall(_.seq == 1L))
+    assert(md.equalityDeletes.map(_.seq) == Seq(2L))
+    assert(md.positionDeleteFiles.nonEmpty)
+  }
+
   test("foreign v1 document with no graft riders imports end-to-end") {
     // hand-built table: one parquet data file + one avro manifest + one
     // avro manifest list + a metadata document carrying ONLY required v1

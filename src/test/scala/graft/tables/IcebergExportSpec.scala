@@ -56,6 +56,20 @@ class IcebergExportSpec extends SparkSpec {
     assert(root.get("refs").get("v1").get("type").asText() == "TAG")
     // the documented boundary is explicit
     assert(root.get("properties").get("graft.manifest-format").asText() == "json")
+    // name-mapping fallback (r11): graft files carry no parquet field ids,
+    // so the export must hand foreign readers field-id → file-column names
+    val nm = mapper.readTree(
+      root.get("properties").get("schema.name-mapping.default").asText())
+    assert(nm.size() == t.meta.schema.fields.length)
+    val nmIds = (0 until nm.size()).map(i => nm.get(i).get("field-id").asInt())
+    val schemaIds = {
+      val it = root.get("schema").get("fields").elements()
+      val b = Seq.newBuilder[Int]
+      while (it.hasNext) b += it.next().get("id").asInt()
+      b.result()
+    }
+    assert(nmIds == schemaIds)
+    assert((0 until nm.size()).forall(i => nm.get(i).get("names").size() >= 1))
     // deterministic table-uuid (same location -> same uuid)
     assert(root.get("table-uuid").asText() ==
       mapper.readTree(IcebergExport.metadataJson(t)).get("table-uuid").asText())
