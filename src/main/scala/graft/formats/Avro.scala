@@ -9,9 +9,12 @@ import java.util.zip.{Deflater, Inflater}
 /** From-scratch Apache Avro object-container codec — the record subset
   * Iceberg v1 manifests and manifest lists use. Written against the
   * PUBLIC Avro 1.x specification only (binary encoding + object
-  * container file): no Avro jars ship in this environment, and the
-  * format is small enough that a spec-faithful implementation beats a
-  * dependency: zigzag varints, IEEE754 little-endian floats, length-
+  * container file): the shipping codec takes no Avro dependency — the
+  * format is small enough that a spec-faithful implementation beats one
+  * — and the Avro jar Spark itself carries serves as a TEST-SIDE
+  * referee (AvroApacheCrossSpec: both directions, both codecs,
+  * value-identical; IcebergAvroInteropSpec reads exported manifests
+  * with the reference implementation): zigzag varints, IEEE754 little-endian floats, length-
   * prefixed bytes/strings, union branch indices, block-terminated
   * arrays/maps, and the `Obj\x01` container with an embedded JSON
   * schema, optional raw-deflate (RFC 1951) block compression, and a

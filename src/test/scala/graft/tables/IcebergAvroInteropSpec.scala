@@ -497,4 +497,52 @@ class IcebergAvroInteropSpec extends SparkSpec {
     assert(MetaIO.loadManifestData(conf, imp.meta.location,
       imp.meta.currentSnapshot.get.manifest).files.forall(_.seq == 99L))
   }
+
+  test("exported manifest list + manifests parse in Apache Avro itself") {
+    // the reference-implementation referee (avro-1.12 ships as a Spark
+    // dependency, test-side only): every binary artifact exportBinary
+    // writes must be readable by the library a real Iceberg engine
+    // links against — not just by graft's own reader
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def apacheRecords(f: java.io.File): Seq[GenericRecord] = {
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(f.toPath)),
+        new GenericDatumReader[GenericRecord]())
+      val out = Seq.newBuilder[GenericRecord]
+      while (rd.hasNext) out += rd.next()
+      rd.close()
+      out.result()
+    }
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(120),
+      partitionFields = Seq(PartitionField("o_orderdate", "years", "o_year")))
+    src.append(spark.read.parquet(s"$sf/orders.parquet").limit(30)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir)
+    val files = new java.io.File(dir).listFiles()
+    val lists = files.filter(f => f.getName.startsWith("snap-") && f.getName.endsWith(".avro"))
+    val manifests = files.filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("snap-"))
+    assert(lists.nonEmpty && manifests.nonEmpty)
+    // manifest lists: every entry's manifest_path resolves to a written file
+    val listedPaths = lists.flatMap(apacheRecords).map(
+      _.get("manifest_path").toString)
+    assert(listedPaths.nonEmpty)
+    listedPaths.foreach(p => assert(new java.io.File(p).isFile, p))
+    // manifests: entries carry data_file records whose file_path points at
+    // real parquet and whose record_count sums to the table's row count
+    val current = apacheRecords(lists.maxBy(_.getName)) // names sort by snapshot
+    val entries = current.map(_.get("manifest_path").toString)
+      .flatMap(p => apacheRecords(new java.io.File(p)))
+    val dataFiles = entries.map(_.get("data_file").asInstanceOf[GenericRecord])
+    assert(dataFiles.map(_.get("record_count").asInstanceOf[Long]).sum == 150L)
+    dataFiles.foreach { df =>
+      assert(df.get("file_path").toString.endsWith(".parquet"))
+      assert(df.get("file_format").toString == "PARQUET")
+    }
+    // partition tuple decodes with the declared field name
+    assert(dataFiles.forall(df =>
+      df.get("partition").asInstanceOf[GenericRecord].get("o_year") != null))
+  }
 }
