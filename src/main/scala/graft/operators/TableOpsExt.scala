@@ -1233,7 +1233,53 @@ object TableOpsExt {
        |     + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM shifted)
        |    AS DOUBLE) AS sum_price""".stripMargin
 
+  // ---------------------------------------------------------------- t49
+
+  /** t49: Iceberg v3 deletion-vector interop (r11) — delete merge-on-read
+    * via DV bitmaps, export the table as a v3 artifact whose delete state
+    * is genuine `deletion-vector-v1` Puffin blobs (portable Roaring
+    * framed with magic + CRC, [[graft.tables.IcebergDV]]), re-import, and
+    * prove the read is exact WITH the deletes applied — and that the
+    * imported delete state is still bitmaps (the O(files-with-deletes)
+    * read plan survives the foreign round trip; a v2 export must explode
+    * to row-per-position files instead). Byte-level conformance is pinned
+    * in RoaringSpec (cross-validated against the RoaringBitmap jar) and
+    * IcebergDvInteropSpec; this gate pins the user-visible contract.
+    */
+  def t49DvInterop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 4000))
+    t.deleteMergeOnReadDV("o_orderkey % 7 = 0")
+    val dir = Files.createTempDirectory("graft_dv3_out").toString
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    val files = new java.io.File(dir).listFiles()
+    val puffinDeletes = files.exists(f => f.getName.startsWith("snap-") &&
+      f.getName.endsWith("-deletes.puffin"))
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json",
+      Files.createTempDirectory("graft_dv3_in").toString + "/t")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (_, _, pdf, _) = MetaIO.loadManifestListData(conf, imp.meta.location,
+      imp.meta.currentSnapshot.get)
+    val bitmapsSurvive = pdf.nonEmpty && pdf.forall(GraftTable.isDvFile)
+    val rowsTotal = imp.toDF().count()
+    val rowsF = imp.toDF().filter(col("o_orderstatus") === "F").count()
+    val sumPrice = imp.toDF()
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"))
+      .head().getDouble(0)
+    Seq((puffinDeletes, bitmapsSurvive, rowsTotal, rowsF, sumPrice))
+      .toDF("puffin_deletes", "bitmaps_survive", "rows_total", "rows_f", "sum_price")
+  }
+
+  val t49Oracle: String =
+    s"""WITH live AS (SELECT * FROM ${cappedSql(4000)} WHERE o_orderkey % 7 <> 0)
+       |SELECT TRUE AS puffin_deletes, TRUE AS bitmaps_survive,
+       |  (SELECT COUNT(*) FROM live) AS rows_total,
+       |  (SELECT COUNT(*) FROM live WHERE o_orderstatus = 'F') AS rows_f,
+       |  CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live)
+       |    AS DOUBLE) AS sum_price""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t49_dv_interop"           -> ((t49DvInterop _, t49Oracle)),
     "t48_avro_interop"         -> ((t48AvroInterop _, t48Oracle)),
     "t47_deletion_vectors"     -> ((t47DeletionVectors _, t47Oracle)),
     "t46_partition_stats"      -> ((t46PartitionStats _, t46Oracle)),

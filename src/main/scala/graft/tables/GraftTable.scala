@@ -2825,7 +2825,7 @@ object GraftTable {
     * footer read, mirroring how Iceberg v3 distinguishes DV blobs from v2
     * position-delete files by manifest content type.
     */
-  private[tables] def isDvFile(path: String): Boolean = path.contains("/deletes/dv-")
+  private[graft] def isDvFile(path: String): Boolean = path.contains("/deletes/dv-")
 
   private lazy val bitmapAggUdf =
     org.apache.spark.sql.functions.udaf(new graft.functions.BitmapAgg(),

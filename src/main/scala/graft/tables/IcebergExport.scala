@@ -111,7 +111,7 @@ object IcebergExport {
   private[tables] def metadataJson(t: GraftTable,
       binary: Option[IcebergManifests.ExportedManifests],
       formatVersion: Int = 1): String = {
-    val v2 = formatVersion == 2
+    val v2 = formatVersion >= 2
     val m = t.meta
     val omittedSnaps = binary.map(_.omittedSnapshots.toSet).getOrElse(Set.empty)
     m.currentSnapshotId.filter(omittedSnaps.contains).foreach { id =>
@@ -126,6 +126,11 @@ object IcebergExport {
     // assigns both), so v2's last-sequence-number is the newest id
     if (v2) root.put("last-sequence-number",
       (m.snapshots.map(_.id) :+ 0L).max)
+    // v3 row lineage: graft assigns no row ids, the legal posture of a
+    // just-upgraded table — every data file's first_row_id stays null
+    // (lineage unavailable for pre-upgrade files, per spec) and the
+    // REQUIRED next-row-id starts at 0 (nothing assigned yet)
+    if (formatVersion == 3) root.put("next-row-id", 0L)
     // deterministic uuid: exports of the same table location agree
     root.put("table-uuid",
       java.util.UUID.nameUUIDFromBytes(m.location.getBytes("UTF-8")).toString)
@@ -432,8 +437,8 @@ object IcebergExport {
     * transforms).
     */
   def exportBinary(t: GraftTable, outDir: String, formatVersion: Int = 1): String = {
-    require(formatVersion == 1 || formatVersion == 2,
-      s"binary export supports Iceberg format v1/v2, not v$formatVersion")
+    require(formatVersion >= 1 && formatVersion <= 3,
+      s"binary export supports Iceberg format v1/v2/v3, not v$formatVersion")
     // refuse BEFORE writing anything: a current snapshot with
     // unrepresentable merge-on-read payloads would otherwise leave a
     // partial artifact with no metadata.json. v1 can represent NO
@@ -441,7 +446,7 @@ object IcebergExport {
     // (r11) — only graft's predicate deletes (a SQL string, no file
     // form) still refuse.
     val unrepresentable =
-      if (formatVersion == 2) t.currentDeletes().nonEmpty
+      if (formatVersion >= 2) t.currentDeletes().nonEmpty
       else t.currentDeletes().nonEmpty || t.currentPositionDeletes().nonEmpty ||
         t.currentEqualityDeletes().nonEmpty
     if (unrepresentable)

@@ -86,9 +86,10 @@ object IcebergImport {
     val root = mapper.readTree(MetaIO.readString(conf, metadataJsonPath))
 
     val fv = Option(root.get("format-version")).map(_.asInt()).getOrElse(-1)
-    require(fv == 1 || fv == 2,
-      s"unsupported Iceberg format-version $fv (v1/v2 only; v3 deletion " +
-        "vectors and row lineage are out of scope)")
+    require(fv >= 1 && fv <= 3,
+      s"unsupported Iceberg format-version $fv (v1/v2/v3; v3 deletion " +
+        "vectors import as graft DV bitmaps, row-lineage fields are " +
+        "ignored — graft assigns no row ids)")
     val props0 = {
       val b = Map.newBuilder[String, String]
       Option(root.get("properties")).foreach(p =>

@@ -113,7 +113,7 @@ object IcebergManifests {
     * the same record serves data and delete manifests in v2).
     */
   def manifestEntrySchemaJson(spec: PartitionSpec, schema: StructType,
-      v2: Boolean = false): String = {
+      v2: Boolean = false, v3: Boolean = false): String = {
     val root = mapper.createObjectNode()
     root.put("type", "record"); root.put("name", "manifest_entry")
     val fs = root.putArray("fields")
@@ -179,6 +179,20 @@ object IcebergManifests {
       arr.put("items", "int")
       u.add(arr)
       eq.putNull("default")
+    }
+    if (v3) {
+      // v3 deletion-vector pointers (spec fields 143/144/145): the DV
+      // entry's file_path names the Puffin file; these locate the blob
+      def opt(name: String, fieldId: Int, tpe: String): Unit = {
+        val o = dfs.addObject()
+        o.put("name", name); o.put("field-id", fieldId)
+        o.putArray("type").add("null").add(tpe)
+        o.putNull("default")
+        ()
+      }
+      opt("referenced_data_file", 143, "string")
+      opt("content_offset", 144, "long")
+      opt("content_size_in_bytes", 145, "long")
     }
     // optional stat maps (Iceberg's int-keyed maps are arrays of
     // key_value records with logicalType "map")
@@ -326,7 +340,8 @@ object IcebergManifests {
     */
   def exportManifests(t: GraftTable, outDir: String,
       topFieldIds: Map[String, Int], formatVersion: Int = 1): ExportedManifests = {
-    val v2 = formatVersion == 2
+    val v2 = formatVersion >= 2
+    val v3 = formatVersion == 3
     val m = t.meta
     val conf = t.spark.sparkContext.hadoopConfiguration
     val physSchema = ColumnMapping.physicalSchema(m.schema)
@@ -444,6 +459,34 @@ object IcebergManifests {
         })
       }
     }
+    // v3: a snapshot's WHOLE position-delete payload (classic row-files
+    // OR-merged with graft DV bitmaps) becomes one Puffin DV file — one
+    // blob per referenced data file. Cached by payload set: consecutive
+    // snapshots that only added equality deletes share the artifact.
+    // file_path values strip back to the data manifests' own rendering
+    // (scheme-stripped) so a foreign reader's exact-path match works.
+    val dvPuffins = scala.collection.mutable.Map.empty[String, (String, Long, Seq[IcebergDV.DvBlobRef])]
+    def dvPuffinFor(snapId: Long, pdf: Seq[String]): (String, Long, Seq[IcebergDV.DvBlobRef]) =
+      dvPuffins.getOrElseUpdate(pdf.sorted.mkString("\n"), {
+        import org.apache.spark.sql.functions.col
+        val (dvF, classicF) = pdf.partition(GraftTable.isDvFile)
+        val parts = Seq(
+          if (classicF.nonEmpty) Some(t.spark.read.parquet(classicF: _*)
+            .groupBy(col("file_path"))
+            .agg(GraftTable.bitmapAgg(col("pos")).as("dv"))) else None,
+          if (dvF.nonEmpty) Some(t.spark.read.parquet(dvF: _*)
+            .select(col("file_path"), col("dv"))) else None).flatten
+        val merged = parts.reduce(_ unionByName _)
+          .groupBy(col("file_path"))
+          .agg(GraftTable.bitmapMergeAgg(col("dv")).as("dv"))
+        val rows = merged.collect()
+          .map(r => stripLocal(r.getString(0)) -> r.getAs[Array[Byte]](1)).toSeq
+        val (bytes, refs) = IcebergDV.buildPuffin(rows, snapId)
+        val path = s"$outDir/snap-$snapId-deletes.puffin"
+        writeBytes(conf, path, bytes)
+        (path, bytes.length.toLong, refs)
+      })
+
     def fileRows(path: String): Long =
       scala.util.Try(FooterStats.read(conf, path, StructType(Nil))._1).getOrElse(0L)
     def fileLen(path: String): Long =
@@ -454,26 +497,45 @@ object IcebergManifests {
     def writeDeleteManifest(snapId: Long, pdf: Seq[String],
         eq: Seq[EqualityDelete]): (String, Long, Int, Long) = {
       val spec = specById(m.currentSpecId)
-      val schemaJson = manifestEntrySchemaJson(spec, m.schema, v2 = true)
-      def entry(content: Int, path: String, seq: Long, eqIds: Any): Map[String, Any] =
+      val schemaJson = manifestEntrySchemaJson(spec, m.schema, v2 = true, v3 = v3)
+      def entry(content: Int, path: String, seq: Long, eqIds: Any,
+          format: String = "PARQUET", rows: Long = -1L, len: Long = -1L,
+          dvFields: Map[String, Any] = Map.empty): Map[String, Any] =
         Map[String, Any](
           "status" -> 1, "snapshot_id" -> snapId,
           "sequence_number" -> seq, "file_sequence_number" -> seq,
-          "data_file" -> Map[String, Any](
+          "data_file" -> (Map[String, Any](
             "content" -> content, "file_path" -> path,
-            "file_format" -> "PARQUET",
+            "file_format" -> format,
             "partition" -> Map.empty[String, Any],
-            "record_count" -> fileRows(path),
-            "file_size_in_bytes" -> fileLen(path),
+            "record_count" -> (if (rows >= 0) rows else fileRows(path)),
+            "file_size_in_bytes" -> (if (len >= 0) len else fileLen(path)),
             "equality_ids" -> eqIds,
             "null_value_counts" -> null,
-            "lower_bounds" -> null, "upper_bounds" -> null))
+            "lower_bounds" -> null, "upper_bounds" -> null) ++ dvFields))
       // position deletes are file-anchored: the list snapshot's sequence
       // covers every data file they can name. Equality deletes keep their
       // EXACT commit sequence — the strictly-older-data rule is what lets
       // an upsert hide old key versions without hiding its own appends.
-      val records =
-        classicPosFiles(pdf).map(p => entry(1, p, snapId, null)) ++
+      //
+      // v3 outlaws row-per-position delete files: ALL position-delete
+      // state (classic + graft DV parquet alike) folds into one Puffin
+      // deletion-vector file per payload set, one blob per data file,
+      // each entry pointing into it via referenced_data_file/
+      // content_offset/content_size_in_bytes.
+      val posRecords =
+        if (!v3) classicPosFiles(pdf).map(p => entry(1, p, snapId, null))
+        else if (pdf.isEmpty) Nil
+        else {
+          val (puffinPath, puffinLen, refs) = dvPuffinFor(snapId, pdf)
+          refs.map(r => entry(1, puffinPath, snapId, null,
+            format = "PUFFIN", rows = r.cardinality, len = puffinLen,
+            dvFields = Map[String, Any](
+              "referenced_data_file" -> r.dataFile,
+              "content_offset" -> r.offset,
+              "content_size_in_bytes" -> r.size)))
+        }
+      val records = posRecords ++
         eq.flatMap(e => e.files.map { p =>
           val ids = e.cols.flatMap(c =>
             physToLogical.get(c).flatMap(topFieldIds.get))
@@ -487,7 +549,7 @@ object IcebergManifests {
           "schema" -> icebergSchemaJson(m.schema, topFieldIds),
           "partition-spec" -> "[]",
           "partition-spec-id" -> m.currentSpecId.toString,
-          "format-version" -> "2",
+          "format-version" -> formatVersion.toString,
           "content" -> "deletes"))
       val path = s"$outDir/$name"
       writeBytes(conf, path, bytes)
@@ -756,6 +818,8 @@ object IcebergManifests {
     val conf = spark.sparkContext.hadoopConfiguration
     val mf = Avro.readContainer(readBytes(conf, path))
     val pos = Seq.newBuilder[String]
+    // v3 deletion vectors: (puffin path, offset, size, referenced file)
+    val dvPtrs = Seq.newBuilder[(String, Long, Long, String)]
     val eqRaw = Seq.newBuilder[(Seq[String], Long, String)]
     mf.records.foreach { entry =>
       val status = entry("status").asInstanceOf[Int]
@@ -763,6 +827,22 @@ object IcebergManifests {
         val df = entry("data_file").asInstanceOf[Map[String, Any]]
         val filePath = df("file_path").asInstanceOf[String]
         df.get("content") match {
+          case Some(1)
+            if df.getOrElse("file_format", "PARQUET").toString
+              .equalsIgnoreCase("puffin") =>
+            def longField(k: String): Long = df.get(k) match {
+              case Some(l: Long) => l
+              case other => throw new IllegalArgumentException(
+                s"deletion-vector entry for $filePath carries no $k ($other)")
+            }
+            val rdf = df.get("referenced_data_file") match {
+              case Some(s: String) => s
+              case other => throw new IllegalArgumentException(
+                s"deletion-vector entry in $filePath carries no " +
+                  s"referenced_data_file ($other)")
+            }
+            dvPtrs += ((filePath, longField("content_offset"),
+              longField("content_size_in_bytes"), rdf))
           case Some(1) => pos += filePath
           case Some(2) =>
             val ids = df.get("equality_ids") match {
@@ -783,7 +863,53 @@ object IcebergManifests {
     val eqDeletes = eqRaw.result().groupBy(e => (e._1, e._2)).map {
       case ((cols, seq), es) => EqualityDelete(cols, es.map(_._3), seq)
     }.toSeq
-    (normalizePositionDeletes(spark, pos.result(), targetLocation), eqDeletes)
+    val dvFiles = importDeletionVectors(spark, path, dvPtrs.result(),
+      targetLocation)
+    (normalizePositionDeletes(spark, pos.result(), targetLocation) ++ dvFiles,
+      eqDeletes)
+  }
+
+  /** v3 deletion-vector blobs → ONE graft DV parquet per delete manifest
+    * (rows of canonical data-file path + graft-encoded bitmap, under the
+    * `/deletes/dv-` prefix the MOR read path recognizes) — the bitmap
+    * shape survives the import, so the O(files-with-deletes) read plan
+    * does too. Blob decode validates framing magic + CRC + the portable
+    * Roaring stream ([[IcebergDV.readBlobAt]]). Driver-bounded: one row
+    * per file-with-deletes, O(bitmap bytes) each.
+    */
+  private def importDeletionVectors(spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String, ptrs: Seq[(String, Long, Long, String)],
+      targetLocation: String): Seq[String] = {
+    if (ptrs.isEmpty) return Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    def canon(p: String): String =
+      if (p.contains(":/")) new org.apache.hadoop.fs.Path(p).toString
+      else new org.apache.hadoop.fs.Path("file:" + p).toString
+    val rows = ptrs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (puffinPath, blobPtrs) =>
+        val bytes = readBytes(conf, puffinPath)
+        require(graft.formats.Puffin.isPuffin(bytes),
+          s"deletion-vector file $puffinPath is not a Puffin container")
+        blobPtrs.sortBy(_._2).map { case (_, off, sz, rdf) =>
+          canon(rdf) -> graft.functions.Bitmaps.encode(
+            IcebergDV.readBlobAt(bytes, off, sz))
+        }
+    }
+    val sp = spark
+    import sp.implicits._
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(manifestPath))
+    val dir = s"$targetLocation/deletes/dv-imp-$tag"
+    rows.toDF("file_path", "dv").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (p.endsWith(".parquet")) out += stripLocal(p)
+    }
+    out.result()
   }
 
   /** Copy foreign position-delete files with `file_path` rewritten to

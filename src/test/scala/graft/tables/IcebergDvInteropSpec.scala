@@ -1,0 +1,140 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.formats.{Avro, Puffin}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Iceberg v3 deletion-vector interop (t49): exportBinary(formatVersion=3)
+  * ships ALL position-delete state as genuine `deletion-vector-v1` Puffin
+  * blobs (portable Roaring, framed with magic + CRC), manifest entries
+  * point into them via referenced_data_file/content_offset/
+  * content_size_in_bytes, and importMetadata registers them back as graft
+  * DV bitmaps — the O(files-with-deletes) read shape survives a foreign
+  * round trip in BOTH directions, where the v2 path must explode to
+  * row-per-position files.
+  */
+class IcebergDvInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_dv3").toString + "/t"
+  private def outDir(): String = Files.createTempDirectory("graft_dv3_exp").toString
+
+  test("DV blob framing: BE length + magic + portable vector + CRC") {
+    val framed = IcebergDV.frame(Array(1L, 2L, 3L))
+    // RoaringSpec pins the 34-byte vector for [1,2,3]; the frame adds
+    // 4(len) + 4(magic) up front and 4(crc) behind
+    assert(framed.length == 4 + 4 + 34 + 4)
+    // length field: big-endian 4 + 34 = 38
+    assert(framed.take(4).map(_ & 0xff).toSeq == Seq(0, 0, 0, 38))
+    assert(framed.slice(4, 8).map(_ & 0xff).toSeq == Seq(0xD1, 0xD3, 0x39, 0x64))
+    assert(IcebergDV.unframe(framed).toSeq == Seq(1L, 2L, 3L))
+    // bit-flip anywhere in the vector → CRC refuses
+    val corrupt = framed.clone()
+    corrupt(10) = (corrupt(10) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](IcebergDV.unframe(corrupt))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("cookie"))
+  }
+
+  test("v3 export→import round-trips DV + classic-pos + equality deletes") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(300))
+    src.deleteMergeOnReadDV("o_orderkey % 7 = 0")
+    src.deleteMergeOnReadPositions("o_orderkey % 11 = 3")
+    src.deleteMergeOnReadEquality(
+      src.toDF().filter($"o_orderstatus" === "P").select($"o_orderkey").limit(5),
+      Seq("o_orderkey"))
+    val expected = src.toDF().orderBy("o_orderkey").collect()
+
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir, formatVersion = 3)
+    val files = new java.io.File(dir).listFiles()
+    // the artifact carries a real DV puffin file...
+    val dvPuffins = files.filter(f => f.getName.startsWith("snap-") &&
+      f.getName.endsWith("-deletes.puffin"))
+    assert(dvPuffins.nonEmpty)
+    dvPuffins.foreach { f =>
+      val p = Puffin.read(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(p.blobs.nonEmpty)
+      p.blobs.foreach { b =>
+        assert(b.blobType == IcebergDV.BlobType)
+        assert(b.properties.contains("referenced-data-file"))
+        assert(b.properties("cardinality").toLong ==
+          IcebergDV.unframe(b.payload).length.toLong)
+      }
+    }
+    // ...and the delete manifest points into it with the v3 fields
+    val deleteManifest = files.find(f => f.getName.contains("-deletes-m0")
+      && f.getName.endsWith(".avro")).get
+    val entries = Avro.readContainer(
+      java.nio.file.Files.readAllBytes(deleteManifest.toPath)).records
+    val dvEntries = entries.filter(_.apply("data_file")
+      .asInstanceOf[Map[String, Any]]("file_format") == "PUFFIN")
+    assert(dvEntries.nonEmpty)
+    dvEntries.foreach { e =>
+      val df = e("data_file").asInstanceOf[Map[String, Any]]
+      assert(df("content") == 1)
+      assert(df("referenced_data_file").asInstanceOf[String].endsWith(".parquet"))
+      assert(df("content_offset").asInstanceOf[Long] >= 4L)
+      assert(df("content_size_in_bytes").asInstanceOf[Long] > 12L)
+    }
+    // no row-per-position parquet delete files in a v3 artifact
+    assert(entries.forall { e =>
+      val df = e("data_file").asInstanceOf[Map[String, Any]]
+      df("content") != 1 || df("file_format") == "PUFFIN"
+    })
+    // metadata carries v3's required next-row-id
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new java.io.File(dir, "metadata.json"))
+    assert(root.get("format-version").asInt() == 3)
+    assert(root.get("next-row-id").asLong() == 0L)
+
+    // import: rows identical, and the delete state came back as BITMAPS
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.toDF().orderBy("o_orderkey").collect().sameElements(expected))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (_, dp, pdf, eq) = MetaIO.loadManifestListData(conf, imp.meta.location,
+      imp.meta.currentSnapshot.get)
+    assert(dp.isEmpty)
+    assert(pdf.nonEmpty && pdf.forall(GraftTable.isDvFile),
+      s"expected only DV files, got $pdf")
+    assert(eq.nonEmpty)
+  }
+
+  test("v2 export of the same DV table still explodes to classic files") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100))
+    src.deleteMergeOnReadDV("o_orderkey % 5 = 0")
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir, formatVersion = 2)
+    val files = new java.io.File(dir).listFiles()
+    assert(!files.exists(_.getName.endsWith(".puffin")))
+    assert(files.exists(_.getName.startsWith("deletes-dv-")))
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.toDF().count() == src.toDF().count())
+  }
+
+  test("v3 via the facade: CALL export_iceberg(..., 3) → register_iceberg") {
+    val g = new graft.sources.GraftSql(spark,
+      Files.createTempDirectory("graft_dv3_wh").toString)
+    spark.read.parquet(s"$sf/orders.parquet").limit(120)
+      .createOrReplaceTempView("dv3_src")
+    g.sql("CREATE TABLE dv3t AS SELECT * FROM dv3_src")
+    g.table("dv3t").deleteMergeOnReadDV("o_orderkey % 3 = 0")
+    val expected = g.table("dv3t").toDF().count()
+    val dir = outDir()
+    g.sql(s"CALL system.export_iceberg('dv3t', '$dir', 3)")
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".puffin")))
+    g.sql(s"CALL system.register_iceberg('dv3t_imp', '$dir/metadata.json')")
+    assert(g.sql("SELECT count(*) AS c FROM dv3t_imp").head().getLong(0) == expected)
+  }
+
+  test("current-snapshot predicate deletes still refuse a v3 export") {
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(50))
+    src.deleteMergeOnRead("o_orderkey % 2 = 0") // predicate form: no file shape
+    val e = intercept[IllegalStateException](
+      IcebergExport.exportBinary(src, outDir(), formatVersion = 3))
+    assert(e.getMessage.contains("materializeDeletes"))
+  }
+}
