@@ -113,12 +113,20 @@ object Roaring {
     val nBuckets = buf.getLong
     require(nBuckets >= 0 && nBuckets <= Int.MaxValue, s"bucket count $nBuckets out of range")
     val out = scala.collection.mutable.ArrayBuilder.make[Long]
-    var unordered = false
     var prevKey = Long.MinValue
     var b = 0L
     while (b < nBuckets) {
       val key = buf.getInt.toLong & 0xffffffffL
-      if (key <= prevKey && b > 0) unordered = true
+      // the u64 format addresses the full range, but graft positions are
+      // row indexes (< 2^63): a high-bit bucket key would decode to
+      // NEGATIVE longs that downstream Bitmaps.encode cannot represent —
+      // refuse loudly, never fabricate. Same for out-of-order or
+      // duplicate buckets: the spec mandates strictly ascending keys, and
+      // silently re-sorting would mask duplicate positions.
+      require(key <= 0x7fffffffL,
+        s"bucket key $key out of supported position range (< 2^63)")
+      require(b == 0 || key > prevKey,
+        s"bucket keys not strictly ascending ($prevKey then $key)")
       prevKey = key
       val high = key << 32
       // one 32-bit roaring bitmap
@@ -159,6 +167,10 @@ object Roaring {
           while (r < nRuns) {
             val start = buf.getShort & 0xffff
             val len = (buf.getShort & 0xffff) + 1
+            // an overflowing run would OR past bit 16 into the container
+            // key — silently wrong positions; refuse instead
+            require(start + len <= 65536,
+              s"run [$start, +$len) overflows the 16-bit container")
             var v = start
             while (v < start + len) { out += base | v; v += 1 }
             r += 1
@@ -183,9 +195,6 @@ object Roaring {
       }
       b += 1
     }
-    val arr = out.result()
-    // foreign writers must order buckets ascending, but decode defensively
-    if (unordered) java.util.Arrays.sort(arr)
-    arr
+    out.result()
   }
 }

@@ -81,16 +81,18 @@ object IcebergDV {
           "cardinality" -> card.toString))
     })
     // offsets as Puffin.write lays payloads out: 4-byte magic, then
-    // payloads in order — asserted against the file's own footer index
+    // payloads in order — verified by comparing the BYTES at each
+    // computed offset against the framed payload (a length-only check
+    // could not catch padding/alignment drift in the writer)
     var off = 4L
     val refs = blobs.map { case (path, payload, card) =>
       val r = DvBlobRef(path, off, payload.length.toLong, card)
+      require(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + payload.length),
+        payload), s"puffin layout drift: blob for $path not at offset $off")
       off += payload.length
       r
     }
-    val check = Puffin.read(bytes)
-    require(check.blobs.map(_.payload.length.toLong) == refs.map(_.size),
-      "puffin blob index disagrees with computed offsets")
     (bytes, refs)
   }
 

@@ -448,14 +448,7 @@ object IcebergManifests {
             .select(col("file_path"),
               explode(graft.functions.F.bitmapPositions(col("dv"))).as("pos"))
             .coalesce(1).write.mode("overwrite").parquet(dir)
-          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-          val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-          val out = Seq.newBuilder[String]
-          while (it.hasNext) {
-            val p = it.next().getPath.toString
-            if (p.endsWith(".parquet")) out += stripLocal(p)
-          }
-          out.result()
+          listParquetFiles(conf, dir)
         })
       }
     }
@@ -877,23 +870,27 @@ object IcebergManifests {
     * Roaring stream ([[IcebergDV.readBlobAt]]). Driver-bounded: one row
     * per file-with-deletes, O(bitmap bytes) each.
     */
-  private def importDeletionVectors(spark: org.apache.spark.sql.SparkSession,
+  private[tables] def importDeletionVectors(spark: org.apache.spark.sql.SparkSession,
       manifestPath: String, ptrs: Seq[(String, Long, Long, String)],
       targetLocation: String): Seq[String] = {
     if (ptrs.isEmpty) return Nil
     val conf = spark.sparkContext.hadoopConfiguration
-    def canon(p: String): String =
-      if (p.contains(":/")) new org.apache.hadoop.fs.Path(p).toString
-      else new org.apache.hadoop.fs.Path("file:" + p).toString
-    val rows = ptrs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+    val decoded = ptrs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
       case (puffinPath, blobPtrs) =>
         val bytes = readBytes(conf, puffinPath)
         require(graft.formats.Puffin.isPuffin(bytes),
           s"deletion-vector file $puffinPath is not a Puffin container")
         blobPtrs.sortBy(_._2).map { case (_, off, sz, rdf) =>
-          canon(rdf) -> graft.functions.Bitmaps.encode(
+          canonPath(rdf) -> graft.functions.Bitmaps.encode(
             IcebergDV.readBlobAt(bytes, off, sz))
         }
+    }
+    // OR-merge blobs that reference the same data file: the MOR read's
+    // single-DV-file fast path serves rows as-is, so a duplicate row
+    // would MULTIPLY the data file's rows through the join instead of
+    // refusing — fold here, one row per referenced file
+    val rows = decoded.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, bms) =>
+      p -> bms.map(_._2).reduce(graft.functions.Bitmaps.merge)
     }
     val sp = spark
     import sp.implicits._
@@ -902,6 +899,19 @@ object IcebergManifests {
     val dir = s"$targetLocation/deletes/dv-imp-$tag"
     rows.toDF("file_path", "dv").coalesce(1)
       .write.mode("overwrite").parquet(dir)
+    listParquetFiles(conf, dir)
+  }
+
+  /** Spark-canonical rendering of a possibly-schemeless path ("file:/abs"
+    * for local files) — what `_metadata.file_path` reports, so what every
+    * stored delete-side path must match exactly.
+    */
+  private[tables] def canonPath(p: String): String =
+    if (p.contains(":/")) new org.apache.hadoop.fs.Path(p).toString
+    else new org.apache.hadoop.fs.Path("file:" + p).toString
+
+  /** Recursive .parquet listing with graft's local-path convention. */
+  private[tables] def listParquetFiles(conf: Configuration, dir: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
     val out = Seq.newBuilder[String]
@@ -922,25 +932,14 @@ object IcebergManifests {
       files: Seq[String], targetLocation: String): Seq[String] = {
     if (files.isEmpty) return Nil
     import org.apache.spark.sql.functions.{col, udf}
-    val canon = udf((p: String) =>
-      if (p == null) null
-      else if (p.contains(":/")) new org.apache.hadoop.fs.Path(p).toString
-      else new org.apache.hadoop.fs.Path("file:" + p).toString)
+    val canon = udf((p: String) => if (p == null) null else canonPath(p))
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.orderedHash(files))
     val dir = s"$targetLocation/deletes/imp-$tag"
     spark.read.parquet(files: _*)
       .select(canon(col("file_path")).as("file_path"), col("pos"))
       .write.mode("overwrite").parquet(dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-    val out = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val p = it.next().getPath.toString
-      if (p.endsWith(".parquet")) out += stripLocal(p)
-    }
-    out.result()
+    listParquetFiles(spark.sparkContext.hadoopConfiguration, dir)
   }
 
   /** Target-dir name for a translated Avro artifact: basename plus a

@@ -129,6 +129,59 @@ class IcebergDvInteropSpec extends SparkSpec {
     assert(g.sql("SELECT count(*) AS c FROM dv3t_imp").head().getLong(0) == expected)
   }
 
+  test("duplicate DV blobs for one data file OR-merge on import (review r11)") {
+    // a spec-invalid foreign manifest may carry two DV entries for the
+    // same data file; a duplicate imported row would MULTIPLY that
+    // file's rows through the single-DV-file MOR fast path — the import
+    // must fold, one row per referenced file
+    import graft.functions.Bitmaps
+    val (bytes, refs) = IcebergDV.buildPuffin(Seq(
+      "/data/f.parquet" -> Bitmaps.encode(Array(1L, 3L)),
+      "/data/f.parquet" -> Bitmaps.encode(Array(2L, 3L)),
+      "/data/g.parquet" -> Bitmaps.encode(Array(7L))), snapshotId = 1L)
+    val work = Files.createTempDirectory("graft_dv_dup").toString
+    val pp = s"$work/dup.puffin"
+    IcebergManifests.writeBytes(spark.sparkContext.hadoopConfiguration, pp, bytes)
+    val written = IcebergManifests.importDeletionVectors(spark, pp,
+      refs.map(r => (pp, r.offset, r.size, r.dataFile)), work)
+    assert(written.nonEmpty && written.forall(GraftTable.isDvFile))
+    val rows = spark.read.parquet(written: _*)
+      .collect().map(r => r.getString(0) ->
+        Bitmaps.positionsArray(r.getAs[Array[Byte]](1)).toSeq).toMap
+    assert(rows.size == 2)
+    assert(rows("file:/data/f.parquet") == Seq(1L, 2L, 3L))
+    assert(rows("file:/data/g.parquet") == Seq(7L))
+  }
+
+  test("malformed foreign DV streams refuse loudly (review r11)") {
+    import graft.formats.Roaring
+    // overflowing run container: start 65535, length 101
+    val run = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 1 + 4 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    run.putLong(1L).putInt(0).putInt(12347).put(0x01.toByte)
+    run.putShort(0).putShort(100).putShort(1)
+      .putShort(0xffff.toShort).putShort(100)
+    assert(intercept[IllegalArgumentException](Roaring.deserialize(run.array()))
+      .getMessage.contains("overflows"))
+    // bucket key with the sign bit set → positions graft cannot represent
+    val hi = java.nio.ByteBuffer.allocate(8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hi.putLong(1L).putInt(0x80000000)
+    assert(intercept[IllegalArgumentException](Roaring.deserialize(hi.array()))
+      .getMessage.contains("position range"))
+    // duplicate/unordered bucket keys → refuse, never silently re-sort
+    // per bucket: key(4) + cookie(4) + count(4) + desc(4) + offset(4) + value(2)
+    val dup = java.nio.ByteBuffer.allocate(8 + 2 * 22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dup.putLong(2L)
+    for (_ <- 1 to 2) {
+      dup.putInt(5)
+      dup.putInt(12346).putInt(1).putShort(0).putShort(0).putInt(16).putShort(9)
+    }
+    assert(intercept[IllegalArgumentException](Roaring.deserialize(dup.array()))
+      .getMessage.contains("ascending"))
+  }
+
   test("current-snapshot predicate deletes still refuse a v3 export") {
     val src = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/orders.parquet").limit(50))
