@@ -41,6 +41,17 @@ object GraftSession {
     // limitation (limitations.md #3)
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // Parquet field-id resolution (SPARK-38094): inert for schemas without
+    // `parquet.field.id` metadata (all graft-native tables — reads stay
+    // name-based), but lets tables imported from REAL Iceberg metadata
+    // (IcebergImport, no name-mapping → files carry ids) resolve renamed
+    // columns by field id exactly as an Iceberg reader would, instead of
+    // silently reading NULLs by name. Writes stamp ids whenever the
+    // schema carries them so graft's own appends to such a table stay
+    // id-resolvable. `ignoreMissing` stays false: an id-less file under
+    // an id-carrying schema is a LOUD error, never silent nulls.
+    .config("spark.sql.parquet.fieldId.read.enabled", "true")
+    .config("spark.sql.parquet.fieldId.write.enabled", "true")
     .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
     .config("spark.sql.shuffle.partitions", "32")
     // AQE stringifies the plan on every update; at 10^2+ scan branches an

@@ -24,6 +24,30 @@ object ColumnMapping {
   val PhysicalKey = "graft.physical"
   /** Table property: comma-joined physical names of dropped columns. */
   val RetiredProp = "graft.retired-cols"
+  /** Spark's parquet field-id metadata key (SPARK-38094). Attached by
+    * [[IcebergImport]] to schemas of foreign Iceberg-written tables (whose
+    * files always carry parquet field ids) so renamed columns resolve by
+    * id, not name; preserved through [[physicalSchema]]/[[toPhysical]] so
+    * graft's own appends to such a table also stamp ids. Graft-native
+    * tables never carry it — their reads stay name-based.
+    */
+  val ParquetFieldIdKey = "parquet.field.id"
+
+  def hasFieldIds(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(ParquetFieldIdKey))
+
+  /** Field with an Iceberg/parquet field id pinned into metadata. */
+  def withFieldId(f: StructField, id: Int): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(ParquetFieldIdKey, id.toLong).build())
+
+  /** Only the field-id key survives into physical (file-facing) schemas;
+    * graft's logical riders stay out of file footers and write frames.
+    */
+  private def fileMetadata(f: StructField): Metadata =
+    if (!f.metadata.contains(ParquetFieldIdKey)) Metadata.empty
+    else new MetadataBuilder()
+      .putLong(ParquetFieldIdKey, f.metadata.getLong(ParquetFieldIdKey)).build()
 
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
@@ -31,7 +55,7 @@ object ColumnMapping {
 
   def physicalSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f =>
-      StructField(physicalName(f), f.dataType, f.nullable)))
+      StructField(physicalName(f), f.dataType, f.nullable, fileMetadata(f))))
 
   def hasMapping(schema: StructType): Boolean =
     schema.fields.exists(f => physicalName(f) != f.name)
@@ -62,9 +86,9 @@ object ColumnMapping {
     * not expected here — callers rename BEFORE adding them.
     */
   def toPhysical(schema: StructType, df: DataFrame): DataFrame =
-    if (!hasMapping(schema)) df
+    if (!hasMapping(schema) && !hasFieldIds(schema)) df
     else df.select(schema.fields.toSeq.map(f =>
-      col(f.name).as(physicalName(f))): _*)
+      col(f.name).as(physicalName(f), fileMetadata(f))): _*)
 
   /** All physical names a new column must not collide with: live fields
     * plus retired (dropped) ones whose bytes persist in old files.

@@ -77,6 +77,63 @@ object IcebergImport {
     StructType(fields.result().toArray)
   }
 
+  /** Top-level schema with column RESOLUTION decided (how graft will match
+    * schema fields to parquet columns in the table's files — the part a
+    * name-based reader gets silently wrong when the foreign table ever
+    * renamed a column):
+    *
+    *  - a `graft-physical` rider (graft's own exports) wins — files carry
+    *    that exact name;
+    *  - else `schema.name-mapping.default` (the migrated/`add_files`
+    *    posture: id-less files under declared historical names — also what
+    *    every graft export emits) maps field id → the first listed name,
+    *    read name-based like graft's own renames;
+    *  - else the table is pure Iceberg-written — such files ALWAYS carry
+    *    parquet field ids, so each field gets `parquet.field.id` metadata
+    *    and Spark's field-id resolution (enabled session-wide by
+    *    GraftSession) matches by id exactly as an Iceberg reader would.
+    *    Renames across any depth of file history resolve correctly, and an
+    *    id-less stray file is a LOUD Spark error, never silent nulls.
+    *
+    * Declared limits: ids attach at the top level only (nested renames in
+    * foreign structs still resolve by name within their parent), and when
+    * a name-mapping is present it is assumed to cover the files (Iceberg
+    * applies mappings only to id-less files; a table mixing mapped id-less
+    * files with later-renamed id-ful files cannot be expressed in one
+    * read schema).
+    */
+  private def resolvedSchema(schemaNode: JsonNode,
+      nameMapping: Map[Int, String]): StructType = {
+    val fields = Seq.newBuilder[StructField]
+    schemaNode.get("fields").forEach { fo =>
+      val id = fo.get("id").asInt()
+      val f0 = StructField(fo.get("name").asText(), sparkType(fo.get("type")),
+        nullable = !fo.get("required").asBoolean(false))
+      fields += Option(fo.get("graft-physical")).map(_.asText())
+        .orElse(nameMapping.get(id)).filter(_ != f0.name)
+        .map(p => ColumnMapping.withPhysical(f0, p))
+        .getOrElse(if (nameMapping.isEmpty) ColumnMapping.withFieldId(f0, id)
+          else f0)
+    }
+    StructType(fields.result().toArray)
+  }
+
+  /** `schema.name-mapping.default`: field id → first listed physical name
+    * (top-level entries; nested `fields` lists are not consulted — see
+    * [[resolvedSchema]]).
+    */
+  private def parseNameMapping(props: Map[String, String]): Map[Int, String] =
+    props.get("schema.name-mapping.default").map { s =>
+      val b = Map.newBuilder[Int, String]
+      mapper.readTree(s).forEach { o =>
+        for {
+          fid <- Option(o.get("field-id"))
+          names <- Option(o.get("names")) if names.size() > 0
+        } b += fid.asInt() -> names.get(0).asText()
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
   /** Parse + register. `targetLocation` must not already hold a graft
     * table (imports never clobber); returns the loaded table.
     */
@@ -121,7 +178,7 @@ object IcebergImport {
         s"current-schema-id $curId not present in schemas")
       found
     }
-    val schema = sparkStruct(schemaNode)
+    val schema = resolvedSchema(schemaNode, parseNameMapping(props0))
     // field id → PHYSICAL source name for partition-spec sources
     val idToPhysical: Map[Int, String] = {
       val b = Map.newBuilder[Int, String]
@@ -273,8 +330,12 @@ object IcebergImport {
     // translated StatsFile pointer after the snapshot-stamp props were
     // dropped would leave a half-restored, unserveable property set
     // (r11 review finding)
+    // name-mapping is consumed into the schema's physical names above;
+    // keeping the foreign property would go stale on the first rename
+    // (export regenerates it from live physical names anyway)
     val props = (if (statsOk) props0 ++ statsRenames
-      else props0 -- statsProps) - "graft.manifest-format"
+      else props0 -- statsProps) -
+      "graft.manifest-format" - "schema.name-mapping.default"
 
     MetaIO.commitMeta(conf, TableMeta(targetLocation, 1, schema, specs,
       currentSpecId, snaps, currentSnap, props, refs))

@@ -19,6 +19,17 @@ class IcebergAvroInteropSpec extends SparkSpec {
   private def tmp(): String = Files.createTempDirectory("graft_avro").toString + "/t"
   private def outDir(): String = Files.createTempDirectory("graft_avro_exp").toString
 
+  /** Write `df` as one parquet file with field ids 1..n stamped — the
+    * footer shape every real Iceberg engine produces (graft-native writes
+    * are id-less; a faithful foreign fixture must not be).
+    */
+  private def writeWithFieldIds(df: org.apache.spark.sql.DataFrame,
+      dir: String): Unit =
+    df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(ColumnMapping.ParquetFieldIdKey, i + 1L).build())
+    }.toSeq: _*).coalesce(1).write.mode("overwrite").parquet(dir)
+
   test("binary export → import round-trip matches the JSON path exactly") {
     val src = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/orders.parquet").limit(200),
@@ -303,8 +314,8 @@ class IcebergAvroInteropSpec extends SparkSpec {
     // nothing) and one equality-delete file with equality_ids.
     val conf = spark.sparkContext.hadoopConfiguration
     val stage = Files.createTempDirectory("graft_v2_data").toString
-    spark.read.parquet(s"$sf/orders.parquet").orderBy(col("o_orderkey")).limit(50)
-      .coalesce(1).write.mode("overwrite").parquet(s"$stage/d")
+    writeWithFieldIds(spark.read.parquet(s"$sf/orders.parquet")
+      .orderBy(col("o_orderkey")).limit(50), s"$stage/d")
     val dataFile = new java.io.File(s"$stage/d").listFiles()
       .find(_.getName.endsWith(".parquet")).get
     val rows = spark.read.parquet(dataFile.getPath).collect()
@@ -434,8 +445,7 @@ class IcebergAvroInteropSpec extends SparkSpec {
     // null_value_counts/bounds) — the shape an external writer produces
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = Files.createTempDirectory("graft_foreign_data").toString
-    spark.read.parquet(s"$sf/region.parquet")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/d")
+    writeWithFieldIds(spark.read.parquet(s"$sf/region.parquet"), s"$dataDir/d")
     val dataFile = new java.io.File(s"$dataDir/d").listFiles()
       .find(_.getName.endsWith(".parquet")).get
     val rows = spark.read.parquet(dataFile.getPath).count()
