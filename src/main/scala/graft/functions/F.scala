@@ -96,6 +96,15 @@ object F {
   /** OPQ rotation apply y = R·x (row-major R), codegen'd. */
   def rotate(v: Column, rot: Array[Array[Float]]): Column =
     col(RotateVec(ex(v), rot))
+
+  /** SQ8 code: one signed byte per dimension (binary, 4× compression). */
+  def sqEncode(v: Column, mins: Array[Float], spans: Array[Float]): Column =
+    col(SqEncode(ex(v), mins, spans))
+
+  /** SQ asymmetric score: dot(float query, decoded byte code). */
+  def sqScore(q: Column, code: Column, mins: Array[Float],
+      spans: Array[Float]): Column =
+    col(SqScore(ex(q), ex(code), mins, spans))
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.

@@ -837,6 +837,42 @@ object PqKernel {
     s
   }
 
+  /** SQ8 encode: per-dimension affine quantization of a float vector to
+    * one signed byte each (FAISS IndexScalarQuantizer QT_8bit shape):
+    * code_i = round((x_i − min_i) / span_i · 255) − 128, clamped. 4×
+    * compression at O(dim) encode; a zero span (constant dimension in
+    * the training sample) encodes 0 and decodes back to min_i.
+    */
+  def sqEncode(v: ArrayData, mins: Array[Float], spans: Array[Float]): Array[Byte] = {
+    val dim = mins.length
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < dim) {
+      val span = spans(i)
+      val t = if (span <= 0f) 0.0 else (v.getFloat(i) - mins(i)).toDouble / span
+      val c = math.max(0, math.min(255, math.round(t * 255.0).toInt))
+      out(i) = (c - 128).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Asymmetric SQ score: dot(q, decode(code)) — the query stays float,
+    * only the corpus is quantized (the FAISS asymmetric-distance default).
+    */
+  def sqScore(q: ArrayData, code: Array[Byte], mins: Array[Float],
+      spans: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val dim = code.length
+    while (i < dim) {
+      val x = mins(i) + ((code(i) + 128) / 255.0) * spans(i)
+      s += q.getFloat(i).toDouble * x
+      i += 1
+    }
+    s
+  }
+
   /** Dense orthogonal-rotation apply, y = R·x (row-major R): the OPQ
     * pre-step before encode/LUT. O(dim²) per vector, paid once per corpus
     * row at ENCODE time (the scan reads codes, never rotated vectors).
@@ -927,6 +963,45 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
       s"${ev.value} = $pk.adc($c, $l, $ks);"
     })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQ8 encode: binary (one signed byte per dimension, 4× compression). */
+case class SqEncode(child: Expression, mins: Array[Float], spans: Array[Float])
+  extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq_encode"
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.sqEncode(input.asInstanceOf[ArrayData], mins, spans)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mRef = ctx.addReferenceObj("mins", mins, "float[]")
+      val sRef = ctx.addReferenceObj("spans", spans, "float[]")
+      val pk = classOf[PqKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.sqEncode($v, $mRef, $sRef);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+}
+
+/** SQ asymmetric score: dot(float query, decoded byte code) (double). */
+case class SqScore(left: Expression, right: Expression,
+    mins: Array[Float], spans: Array[Float]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq_score"
+  override def nullSafeEval(q: Any, code: Any): Any =
+    PqKernel.sqScore(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]],
+      mins, spans)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val mRef = ctx.addReferenceObj("mins", mins, "float[]")
+      val sRef = ctx.addReferenceObj("spans", spans, "float[]")
+      val pk = classOf[PqKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pk.sqScore($q, $c, $mRef, $sRef);"
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqScore =
     copy(left = newLeft, right = newRight)
 }
 

@@ -799,6 +799,88 @@ object Similarity {
       cbs, rerank = 100, rot = Some(r))
   }
 
+  // ------------------------------------------------------------------
+  // s09: scalar-quantization ANN (FAISS IndexScalarQuantizer QT_8bit +
+  // asymmetric distance + exact re-rank) — the remaining member of the
+  // compression ladder between raw floats (s01) and PQ (s04): SQ8 keeps
+  // EVERY dimension at byte precision (4× compression, reconstruction
+  // error ≈ span/510 per dim) where PQ keeps m codebook ids (32×, but
+  // subspace-level error). Train is per-dimension min/max over the same
+  // bounded sample the other indexes use — O(dim) driver state, two
+  // floats per dimension, trivially mergeable under ingestion (min/min,
+  // max/max), so the index artifact never becomes a scale bottleneck.
+  // The scan reads only (vec_id, dim-byte code): map-only until the
+  // per-query top-rerank cut (WindowGroupLimit prunes below the
+  // shuffle), then the exact cosine re-rank re-reads true embeddings
+  // for the survivors only — the identical plan shape to s04.
+  // ------------------------------------------------------------------
+
+  private val sqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Float], Array[Float])]()
+
+  /** Per-dimension (min, span) over a normalized sample. */
+  private[graft] def sqTrain(sample: Array[Array[Float]]): (Array[Float], Array[Float]) = {
+    val dim = sample.head.length
+    val mins = Array.fill(dim)(Float.MaxValue)
+    val maxs = Array.fill(dim)(Float.MinValue)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        if (v(i) < mins(i)) mins(i) = v(i)
+        if (v(i) > maxs(i)) maxs(i) = v(i)
+        i += 1
+      }
+    }
+    (mins, Array.tabulate(dim)(i => maxs(i) - mins(i)))
+  }
+
+  private[graft] def sqParams(spark: SparkSession, sfDir: String): (Array[Float], Array[Float]) =
+    sqCache.computeIfAbsent(sfDir, _ =>
+      sqTrain(sampleNormalizedEmbeddings(spark, sfDir, 50000)))
+
+  private[graft] def s09AnnSqOn(e: DataFrame, q: DataFrame,
+      mins: Array[Float], spans: Array[Float], rerank: Int): DataFrame = {
+    val unit = expr(
+      "transform(embedding, x -> CAST(x / sqrt(aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
+    val coded = e.select(col("vec_id"), F.sqEncode(unit, mins, spans).as("code"))
+    val qunit = expr(
+      "transform(qv, x -> CAST(x / sqrt(aggregate(qv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
+    val qn = q.select(col("query_id"), qunit.as("qn"))
+    val wSq = Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cands = coded.crossJoin(broadcast(qn))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        F.sqScore(col("qn"), col("code"), mins, spans).as("ascore"))
+      .withColumn("rn", row_number().over(wSq))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cands
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        F.cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored)
+  }
+
+  def s09AnnSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (mins, spans) = sqParams(spark, sfDir)
+    s09AnnSqOn(Tables.embeddings(spark, sfDir), queries(spark, sfDir),
+      mins, spans, rerank = 100)
+  }
+
+  /** s09 gate — oracle-exact by the planted-copy construction: a copy is
+    * the identical float array, so it carries the query's own SQ8 code;
+    * its asymmetric score is the query's reconstruction dot ≈ 1 − O(dim ·
+    * span/510) ≈ 0.99, clearing the corpus' 0.48 natural-cosine ceiling,
+    * so copies survive any rerank ≥ 5 cut and the exact re-rank
+    * reproduces DuckDB's top-5.
+    */
+  def s09AnnSqGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (mins, spans) = sqParams(spark, sfDir)
+    s09AnnSqOn(plantedCorpus(spark, sfDir), queries(spark, sfDir),
+      mins, spans, rerank = 100)
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s06_range_search"   -> ((s06RangeSearchGate _, s06Oracle)),
     "s01_ann_bruteforce" -> ((s01AnnBruteforce _, s01Oracle)),
@@ -808,5 +890,6 @@ object Similarity {
     "s05_ann_filtered"   -> ((s05AnnFilteredGate _, s05Oracle)),
     "s07_ann_ivf_pq"     -> ((s07AnnIvfPqGate _, plantedOracle)),
     "s08_ann_opq"        -> ((s08AnnOpqGate _, plantedOracle)),
+    "s09_ann_sq"         -> ((s09AnnSqGate _, plantedOracle)),
   )
 }

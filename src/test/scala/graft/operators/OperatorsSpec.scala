@@ -441,6 +441,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"pq clustered recall $recall")
   }
 
+  test("s09 sq8 code is dim bytes and self-reconstruction dot >= 0.995") {
+    // SQ8 keeps every dimension at byte precision: the 4x-compressed
+    // code of a normalized vector must reconstruct to ~itself (per-dim
+    // error <= span/510), so the asymmetric self-score sits near 1.0 —
+    // far above the 0.48 natural-cosine ceiling the gate margin needs
+    val sample = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      Similarity.normalize(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }.toArray
+    val (mins, spans) = Similarity.sqTrain(sample)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    sample.take(20).foreach { v =>
+      val code = graft.functions.PqKernel.sqEncode(new GenericArrayData(v), mins, spans)
+      assert(code.length == 64, "one byte per dimension")
+      val self = graft.functions.PqKernel.sqScore(new GenericArrayData(v), code, mins, spans)
+      assert(self >= 0.995, s"self-reconstruction dot $self")
+    }
+  }
+
+  test("s09 sq+rerank reaches >=0.95 recall on the uniform corpus") {
+    // byte-precision quantization barely perturbs ranks: with the same
+    // rerank=100 cut as s04 the uniform worst case stays near-exact
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.s09AnnSq(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    assert(recall >= 0.95, s"sq uniform recall $recall")
+  }
+
   test("s07 ivf-pq on clustered corpus: recall >=0.95 from the composite index") {
     // IVF-PQ's design case: cluster-structured data, both artifacts
     // trained on the same sample — the probed-cell scope and the coded
