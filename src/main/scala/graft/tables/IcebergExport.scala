@@ -126,11 +126,14 @@ object IcebergExport {
     // assigns both), so v2's last-sequence-number is the newest id
     if (v2) root.put("last-sequence-number",
       (m.snapshots.map(_.id) :+ 0L).max)
-    // v3 row lineage: graft assigns no row ids, the legal posture of a
-    // just-upgraded table — every data file's first_row_id stays null
-    // (lineage unavailable for pre-upgrade files, per spec) and the
-    // REQUIRED next-row-id starts at 0 (nothing assigned yet)
-    if (formatVersion == 3) root.put("next-row-id", 0L)
+    // v3 row lineage (r11 third session — upgraded from the just-upgraded
+    // all-null posture): exportManifests assigned an explicit first_row_id
+    // to every data file (stable per path across snapshots, advanced by
+    // record_count in commit order); next-row-id is the final counter and
+    // each snapshot carries its assignment base below. JSON-manifest
+    // exports (no binary) keep the legal nothing-assigned posture.
+    if (formatVersion == 3)
+      root.put("next-row-id", binary.map(_.nextRowId).getOrElse(0L))
     // deterministic uuid: exports of the same table location agree
     root.put("table-uuid",
       java.util.UUID.nameUUIDFromBytes(m.location.getBytes("UTF-8")).toString)
@@ -259,6 +262,10 @@ object IcebergExport {
       val so = snaps.addObject()
       so.put("snapshot-id", s.id)
       if (v2) so.put("sequence-number", s.id)
+      // v3: the row-id counter when this snapshot's assignment began
+      if (formatVersion == 3)
+        binary.flatMap(_.snapFirstRowId.get(s.id))
+          .foreach(so.put("first-row-id", _))
       // an omitted parent would dangle; point at the nearest exported
       // ancestor instead (the chain stays walkable)
       s.parentId.map { p0 =>

@@ -146,7 +146,8 @@ object IcebergImport {
     require(fv >= 1 && fv <= 3,
       s"unsupported Iceberg format-version $fv (v1/v2/v3; v3 deletion " +
         "vectors import as graft DV bitmaps, row-lineage fields are " +
-        "ignored — graft assigns no row ids)")
+        "ignored on import — graft serves no _row_id column, though its " +
+        "own v3 exports assign them)")
     val props0 = {
       val b = Map.newBuilder[String, String]
       Option(root.get("properties")).foreach(p =>

@@ -53,7 +53,7 @@ object IcebergManifests {
   /** Iceberg v1 `manifest_file` schema (manifest-list rows), field-ids
     * per the public table spec.
     */
-  def manifestListSchema(v2: Boolean): String = {
+  def manifestListSchema(v2: Boolean, v3: Boolean = false): String = {
     val root = mapper.createObjectNode()
     root.put("type", "record"); root.put("name", "manifest_file")
     val fs = root.putArray("fields")
@@ -78,6 +78,11 @@ object IcebergManifests {
     f("added_rows_count", 512, opt = !v2, "long")
     f("existing_rows_count", 513, opt = !v2, "long")
     f("deleted_rows_count", 514, opt = !v2, "long")
+    // v3 row lineage (spec field 520): the starting row id for ADDED data
+    // files whose entries leave first_row_id null — graft writes explicit
+    // per-entry values, so this is the inheritance base a strict reader
+    // expects plus redundancy, never the only source
+    if (v3) f("first_row_id", 520, opt = true, "long")
     mapper.writeValueAsString(root)
   }
 
@@ -190,6 +195,9 @@ object IcebergManifests {
         o.putNull("default")
         ()
       }
+      // v3 row lineage (spec field 142): explicit first row id per data
+      // file; null on delete entries (deletes carry no row ids)
+      opt("first_row_id", 142, "long")
       opt("referenced_data_file", 143, "string")
       opt("content_offset", 144, "long")
       opt("content_size_in_bytes", 145, "long")
@@ -331,7 +339,8 @@ object IcebergManifests {
     * represented (merge-on-read payloads pending at that snapshot).
     */
   case class ExportedManifests(listPathBySnapshot: Map[Long, String],
-      omittedSnapshots: Seq[Long], dir: String)
+      omittedSnapshots: Seq[Long], dir: String,
+      snapFirstRowId: Map[Long, Long] = Map.empty, nextRowId: Long = 0L)
 
   /** Write real Iceberg v1 Avro manifests + manifest lists for every
     * representable snapshot of `t` into `outDir`. `topFieldIds` is the
@@ -351,11 +360,22 @@ object IcebergManifests {
     // child manifest (name, specId) → (avro path, length, fileCount, rowCount)
     val translated = scala.collection.mutable.Map.empty[(String, Int), (String, Long, Int, Long)]
 
+    // v3 row lineage: every data file gets an explicit first_row_id,
+    // assigned once per file path in snapshot-commit order (a file keeps
+    // its id across every later snapshot that carries it, the spec's
+    // stability rule) and advanced by record_count. Snapshot first-row-id
+    // = the counter when its walk began; metadata next-row-id = the final
+    // counter. Assignment happens BEFORE a snapshot's children translate,
+    // so the cached per-child records embed the settled ids.
+    var nextRowId = 0L
+    val fileRowId = scala.collection.mutable.Map.empty[String, Long]
+    val snapFirstRowIds = Map.newBuilder[Long, Long]
+
     def translateChild(name: String, specId: Int, files: Seq[DataFile]): (String, Long, Int, Long) =
       translated.getOrElseUpdate((name, specId), {
         val spec = specById.getOrElse(specId,
           throw new IllegalStateException(s"data file references unknown spec $specId"))
-        val schemaJson = manifestEntrySchemaJson(spec, m.schema, v2)
+        val schemaJson = manifestEntrySchemaJson(spec, m.schema, v2, v3)
         val liveFields = resolvableFields(spec, physSchema).map(_._1)
         val records = files.map { f =>
           val partition: Map[String, Any] = liveFields.map { pf =>
@@ -395,7 +415,9 @@ object IcebergManifests {
             "lower_bounds" -> boundsFor(_.min),
             "upper_bounds" -> boundsFor(_.max)) ++
             (if (v2) Map[String, Any]("content" -> 0, "equality_ids" -> null)
-             else Map[String, Any]("block_size_in_bytes" -> (64L * 1024 * 1024)))
+             else Map[String, Any]("block_size_in_bytes" -> (64L * 1024 * 1024))) ++
+            (if (v3) Map[String, Any]("first_row_id" -> fileRowId(f.path))
+             else Map.empty[String, Any])
           Map[String, Any](
             "status" -> 1, // added (at its data sequence number)
             "snapshot_id" -> (if (f.seq != 0) f.seq else null),
@@ -561,10 +583,27 @@ object IcebergManifests {
         if (v2) dp.nonEmpty else dp.nonEmpty || pdf.nonEmpty || eq.nonEmpty
       if (unrepresentable) omitted += snap.id
       else {
-        val dataRows = entries.flatMap { e =>
-          val files = MetaIO.loadChildFiles(conf, m.location, e.name)
+        val childFiles = entries.map(e =>
+          e.name -> MetaIO.loadChildFiles(conf, m.location, e.name))
+        if (v3) {
+          // assign row ids to files first seen at this snapshot (in the
+          // same deterministic walk the manifests are written in) BEFORE
+          // any of its children translate
+          snapFirstRowIds += snap.id -> nextRowId
+          childFiles.foreach { case (_, files) =>
+            files.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (_, group) =>
+              group.foreach { f =>
+                if (!fileRowId.contains(f.path)) {
+                  fileRowId(f.path) = nextRowId
+                  nextRowId += f.recordCount
+                }
+              }
+            }
+          }
+        }
+        val dataRows = childFiles.flatMap { case (childName, files) =>
           files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (specId, group) =>
-            val (path, len, fileCount, rowCount) = translateChild(e.name, specId, group)
+            val (path, len, fileCount, rowCount) = translateChild(childName, specId, group)
             // added_snapshot_id = the commit that WROTE this child (its
             // files' data sequence number), not the list's snapshot — a
             // carried-over manifest must not re-claim its files as added
@@ -591,6 +630,9 @@ object IcebergManifests {
                   val mn = group.map(_.seq).min
                   if (mn > 0) mn else snap.id
                 })
+               else Map.empty[String, Any]) ++
+              (if (v3) Map[String, Any](
+                "first_row_id" -> group.map(f => fileRowId(f.path)).min)
                else Map.empty[String, Any])
           }
         }
@@ -615,7 +657,7 @@ object IcebergManifests {
               "deleted_rows_count" -> 0L))
           }
         val listName = s"snap-${snap.id}-1-graft.avro"
-        val bytes = Avro.writeContainer(manifestListSchema(v2), dataRows ++ deleteRows,
+        val bytes = Avro.writeContainer(manifestListSchema(v2, v3), dataRows ++ deleteRows,
           syncSalt = listName, extraMeta = Seq(
             "snapshot-id" -> snap.id.toString,
             "format-version" -> formatVersion.toString) ++
@@ -625,7 +667,8 @@ object IcebergManifests {
         listPaths += snap.id -> path
       }
     }
-    ExportedManifests(listPaths.result(), omitted.result(), outDir)
+    ExportedManifests(listPaths.result(), omitted.result(), outDir,
+      snapFirstRowIds.result(), nextRowId)
   }
 
   /** The Iceberg schema JSON embedded in each manifest's file metadata

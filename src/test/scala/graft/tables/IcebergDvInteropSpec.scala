@@ -83,11 +83,13 @@ class IcebergDvInteropSpec extends SparkSpec {
       val df = e("data_file").asInstanceOf[Map[String, Any]]
       df("content") != 1 || df("file_format") == "PUFFIN"
     })
-    // metadata carries v3's required next-row-id
+    // metadata carries v3's required next-row-id — REAL row lineage
+    // since r11 third session: every data row got an id exactly once
+    // (deletes consume none), so the counter equals the data row total
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       new java.io.File(dir, "metadata.json"))
     assert(root.get("format-version").asInt() == 3)
-    assert(root.get("next-row-id").asLong() == 0L)
+    assert(root.get("next-row-id").asLong() == 300L)
 
     // import: rows identical, and the delete state came back as BITMAPS
     val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
@@ -180,6 +182,69 @@ class IcebergDvInteropSpec extends SparkSpec {
     }
     assert(intercept[IllegalArgumentException](Roaring.deserialize(dup.array()))
       .getMessage.contains("ascending"))
+  }
+
+  test("v3 export assigns row lineage: stable, disjoint, covering ids") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(200))
+    src.append(spark.read.parquet(s"$sf/orders.parquet").limit(100)
+      .withColumn("o_orderkey", $"o_orderkey" + 1000000L))
+    src.append(spark.read.parquet(s"$sf/orders.parquet").limit(50)
+      .withColumn("o_orderkey", $"o_orderkey" + 2000000L))
+    src.deleteMergeOnReadDV("o_orderkey % 9 = 0") // deletes consume no ids
+    val total = 350L
+
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir, formatVersion = 3)
+    val root = mapper.readTree(
+      MetaIO.readString(spark.sparkContext.hadoopConfiguration, s"$dir/metadata.json"))
+    // next-row-id covers every data row exactly once
+    assert(root.get("next-row-id").asLong() == total)
+    // snapshot first-row-id: non-decreasing in commit order; the
+    // delete-only snapshot assigns nothing (counter unchanged at 350)
+    val snaps = {
+      val b = Seq.newBuilder[(Long, Long, String)]
+      root.get("snapshots").forEach(s => b += ((s.get("snapshot-id").asLong(),
+        s.get("first-row-id").asLong(), s.get("manifest-list").asText())))
+      b.result().sortBy(_._1)
+    }
+    assert(snaps.map(_._2) == Seq(0L, 200L, 300L, 350L))
+
+    def dataEntryIds(listPath: String): Map[String, (Long, Long)] = {
+      val list = Avro.readContainer(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(listPath))).records
+      list.filter(_.apply("content") == 0).flatMap { mrow =>
+        val mEntries = Avro.readContainer(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(mrow("manifest_path").asInstanceOf[String]))).records
+        // list-level first_row_id = min of its entries' explicit ids
+        val dfs = mEntries.map(_.apply("data_file").asInstanceOf[Map[String, Any]])
+        assert(mrow("first_row_id") ==
+          dfs.map(_.apply("first_row_id").asInstanceOf[Long]).min)
+        dfs.map(df => df("file_path").asInstanceOf[String] ->
+          (df("first_row_id").asInstanceOf[Long],
+            df("record_count").asInstanceOf[Long]))
+      }.toMap
+    }
+    // final snapshot: per-file ranges [id, id+count) partition [0, total)
+    val fin = dataEntryIds(snaps.last._3)
+    val ranges = fin.values.toSeq.sortBy(_._1)
+    assert(ranges.map(_._2).sum == total)
+    assert(ranges.head._1 == 0L)
+    ranges.sliding(2).foreach {
+      case Seq((a, n), (b, _)) => assert(a + n == b, "ranges must tile")
+      case _ =>
+    }
+    // stability: a file carried across snapshots keeps its id
+    val first = dataEntryIds(snaps.head._3)
+    first.foreach { case (p, (id, _)) => assert(fin(p)._1 == id) }
+    // delete entries carry NO row ids
+    val delManifest = new java.io.File(dir).listFiles()
+      .find(f => f.getName.contains("-deletes-m0") && f.getName.endsWith(".avro")).get
+    Avro.readContainer(java.nio.file.Files.readAllBytes(delManifest.toPath))
+      .records.foreach { e =>
+        assert(e("data_file").asInstanceOf[Map[String, Any]]("first_row_id") == null)
+      }
   }
 
   test("current-snapshot predicate deletes still refuse a v3 export") {
