@@ -44,7 +44,7 @@ object ColumnMapping {
   /** Only the field-id key survives into physical (file-facing) schemas;
     * graft's logical riders stay out of file footers and write frames.
     */
-  private def fileMetadata(f: StructField): Metadata =
+  private[tables] def fileMetadata(f: StructField): Metadata =
     if (!f.metadata.contains(ParquetFieldIdKey)) Metadata.empty
     else new MetadataBuilder()
       .putLong(ParquetFieldIdKey, f.metadata.getLong(ParquetFieldIdKey)).build()

@@ -151,10 +151,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * O(key-col sets) joins, not O(commits) — the per-commit fold was the
     * plan-explosion (and AQE plan-string OOM) at 100+ delete files.
     */
-  private def applyEq(df: DataFrame, eqs: Seq[EqualityDelete]): DataFrame =
+  private def applyEq(df: DataFrame, eqs: Seq[EqualityDelete],
+      schema: StructType): DataFrame =
     eqs.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
       .foldLeft(df) { case (d, (cols, es)) =>
-        val keys = spark.read.parquet(es.flatMap(_.files): _*)
+        // id-attached tables (foreign Iceberg imports): read key files by
+        // FIELD ID — a foreign delete file written before a rename carries
+        // the old column name, which a name-based read cannot see. Graft's
+        // own eq-delete writes on such tables stamp the same ids.
+        val fields = cols.flatMap(c => schema.fields.find(_.name == c))
+        val byId = fields.size == cols.size &&
+          fields.forall(_.metadata.contains(ColumnMapping.ParquetFieldIdKey))
+        val keys =
+          if (byId) spark.read.schema(StructType(fields.map(f =>
+            StructField(f.name, f.dataType, nullable = true,
+              ColumnMapping.fileMetadata(f))).toArray))
+            .parquet(es.flatMap(_.files): _*)
+          else spark.read.parquet(es.flatMap(_.files): _*)
         d.join(keys, cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
       }
 
@@ -232,7 +245,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           if (!hasPos) Nil
           else md.positionDeleteFiles.filter(pf => fs.exists(f => posMayHit(pf, f.path)))
         applyEq(applyPosDeletes(ScanPlanner.scan(spark, m, fs, filterSql), fs,
-          pos), eqs)
+          pos), eqs, m.schema)
       }
     val base =
       if (scans.isEmpty) ScanPlanner.scan(spark, m, Nil, filterSql)
@@ -1411,12 +1424,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val base = ScanPlanner.scan(spark, m, fs, None)
           .withColumn("__gp_fp", col("_metadata.file_path"))
           .withColumn("__gp_pos", col("_metadata.row_index"))
-        applyEq(minusPosDeletes(base, pos), eqs)
+        applyEq(minusPosDeletes(base, pos), eqs, m.schema)
       }.reduce(_ unionAll _)
     Some(applyDeletes(live, md.deletePredicates)
       .filter(coalesce(expr(cond), lit(false)))
       .select(col("__gp_fp").as("file_path"), col("__gp_pos").as("pos")))
   }
+
+  /** Key-column projection for an equality-delete file, carrying the
+    * schema's parquet field-id metadata when present (id-attached foreign
+    * imports) so graft's own delete files stay id-resolvable alongside
+    * the table's foreign ones. Identity on graft-native schemas.
+    */
+  private def keyColsStamped(keyCols: Seq[String],
+      schema: StructType): Seq[org.apache.spark.sql.Column] =
+    keyCols.map(c => schema.fields.find(_.name == c)
+      .map(f => col(c).as(c, ColumnMapping.fileMetadata(f)))
+      .getOrElse(col(c)))
 
   /** Merge-on-read EQUALITY delete (Iceberg v2 equality delete files):
     * rows whose `keyCols` tuple matches any row of `keys` are dropped at
@@ -1429,7 +1453,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val md = currentManifest(m)
     val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
-    keys.select(keyCols.map(col): _*).distinct().write.parquet(delDir)
+    keys.select(keyColsStamped(keyCols, m.schema): _*)
+      .distinct().write.parquet(delDir)
     val delFiles = listParquet(delDir)
     commitSnapshot(m, md.files, "delete-mor-eq", 0,
       deletePredicates = md.deletePredicates,
@@ -1497,8 +1522,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
     var m = meta
     val delDir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
-    val upsertKeys = upserts.select(keyCols.map(col): _*)
-    deletedKeys.map(d => upsertKeys.unionByName(d.select(keyCols.map(col): _*)))
+    val upsertKeys = upserts.select(keyColsStamped(keyCols, m.schema): _*)
+    deletedKeys.map(d => upsertKeys.unionByName(
+        d.select(keyColsStamped(keyCols, m.schema): _*)))
       .getOrElse(upsertKeys).distinct().write.parquet(delDir)
     val delFiles = listParquet(delDir)
     val delStats = eqDeleteStats(delFiles, keyCols, m)

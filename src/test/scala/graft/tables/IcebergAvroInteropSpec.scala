@@ -328,10 +328,11 @@ class IcebergAvroInteropSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$stage/posdel")
     val posFile = new java.io.File(s"$stage/posdel").listFiles()
       .find(_.getName.endsWith(".parquet")).get
-    // equality delete: two keys NOT at positions 0/1
+    // equality delete: two keys NOT at positions 0/1 — real engines
+    // stamp field ids on delete files too (o_orderkey = field 1), and
+    // the id-resolved import reads them by id
     val eqKeys = Seq(rows(5).getLong(0), rows(6).getLong(0))
-    eqKeys.toDF("o_orderkey")
-      .coalesce(1).write.mode("overwrite").parquet(s"$stage/eqdel")
+    writeWithFieldIds(eqKeys.toDF("o_orderkey"), s"$stage/eqdel")
     val eqFile = new java.io.File(s"$stage/eqdel").listFiles()
       .find(_.getName.endsWith(".parquet")).get
 
@@ -554,5 +555,58 @@ class IcebergAvroInteropSpec extends SparkSpec {
     // partition tuple decodes with the declared field name
     assert(dataFiles.forall(df =>
       df.get("partition").asInstanceOf[GenericRecord].get("o_year") != null))
+  }
+
+  test("v3 export parses in Apache Avro: row lineage + DV entries (referee)") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def apacheRecords(f: java.io.File): Seq[GenericRecord] = {
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(f.toPath)),
+        new GenericDatumReader[GenericRecord]())
+      val out = Seq.newBuilder[GenericRecord]
+      while (rd.hasNext) out += rd.next()
+      rd.close()
+      out.result()
+    }
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(150))
+    src.append(spark.read.parquet(s"$sf/orders.parquet").limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    src.deleteMergeOnReadDV("o_orderkey % 6 = 0")
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir, formatVersion = 3)
+    val files = new java.io.File(dir).listFiles()
+    val lists = files.filter(f => f.getName.startsWith("snap-") &&
+      f.getName.endsWith(".avro") && !f.getName.contains("-deletes-"))
+    // the library a real engine links against reads the v3 list rows,
+    // including the row-lineage inheritance base
+    val listRows = lists.flatMap(apacheRecords)
+    val dataRows = listRows.filter(_.get("content") == 0)
+    assert(dataRows.nonEmpty)
+    dataRows.foreach(r => assert(r.get("first_row_id") != null))
+    // data manifests: explicit per-entry first_row_id; ranges cover 200
+    val latest = apacheRecords(lists.maxBy(_.getName))
+    val dataFiles = latest.filter(_.get("content") == 0)
+      .map(_.get("manifest_path").toString)
+      .flatMap(p => apacheRecords(new java.io.File(p)))
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
+    val ranges = dataFiles.map(df => (df.get("first_row_id").asInstanceOf[Long],
+      df.get("record_count").asInstanceOf[Long])).sortBy(_._1)
+    assert(ranges.map(_._2).sum == 200L)
+    assert(ranges.head._1 == 0L &&
+      ranges.zip(ranges.tail).forall { case ((a, n), (b, _)) => a + n == b })
+    // DV delete manifests: puffin pointers decode, no row ids
+    val delFiles = latest.filter(_.get("content") == 1)
+      .map(_.get("manifest_path").toString)
+      .flatMap(p => apacheRecords(new java.io.File(p)))
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
+    assert(delFiles.nonEmpty)
+    delFiles.foreach { df =>
+      assert(df.get("file_format").toString == "PUFFIN")
+      assert(df.get("referenced_data_file") != null)
+      assert(df.get("content_offset").asInstanceOf[Long] >= 4L)
+      assert(df.get("first_row_id") == null)
+    }
   }
 }

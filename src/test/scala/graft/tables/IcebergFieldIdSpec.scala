@@ -145,6 +145,36 @@ class IcebergFieldIdSpec extends SparkSpec {
     assert(vals == regionSrc.select("r_name").collect().map(_.getString(0)).toSet)
   }
 
+  test("equality deletes on an id-resolved table write and read by field id") {
+    val dataDir = Files.createTempDirectory("graft_fid_data5").toString
+    val f = writeRegion(s"$dataDir/d", withIds = true)
+    val n = regionSrc.count()
+    val imp = IcebergImport.importMetadata(spark,
+      buildForeignDoc(f, n), tmp())
+    // eq-delete keyed on the RENAMED column: the key file must stamp the
+    // same field id or the table's id-keyed applyEq read would fail loud
+    val victim = regionSrc.select("r_name").collect().map(_.getString(0)).head
+    imp.deleteMergeOnReadEquality(
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(victim)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("region_name",
+            org.apache.spark.sql.types.StringType)))),
+      Seq("region_name"))
+    val left = imp.toDF().select("region_name").collect().map(_.getString(0)).toSet
+    assert(!left.contains(victim) && left.size == n - 1)
+    // the delete file itself resolves by id under a different name
+    val delFile = MetaIO.loadManifestData(
+      spark.sparkContext.hadoopConfiguration, imp.meta.location,
+      imp.meta.currentSnapshot.get.manifest).equalityDeletes.head.files.head
+    val probe = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("zz", org.apache.spark.sql.types.StringType,
+        nullable = true, new MetadataBuilder()
+          .putLong(ColumnMapping.ParquetFieldIdKey, 2L).build())))
+    assert(spark.read.schema(probe).parquet(delFile)
+      .collect().map(_.getString(0)).toSeq == Seq(victim))
+  }
+
   test("name-mapping document maps to physical names (migrated id-less files)") {
     val dataDir = Files.createTempDirectory("graft_fid_data3").toString
     val f = writeRegion(s"$dataDir/d", withIds = false)
