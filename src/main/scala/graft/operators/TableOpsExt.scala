@@ -1278,7 +1278,46 @@ object TableOpsExt {
        |  CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live)
        |    AS DOUBLE) AS sum_price""".stripMargin
 
+  // ---------------------------------------------------------------- t50
+
+  /** t50: column DEFAULT values (the Iceberg v3 `initial-default` model,
+    * r11): add a column with a default through the SQL facade — pre-add
+    * files read the default (not null), a later append carries real
+    * values whose genuine nulls STAY null, filters and aggregates see the
+    * filled values, and the v3 binary export→import round trip preserves
+    * both the default and its fill boundary.
+    */
+  def t50ColumnDefaults(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 3000))
+    t.evolveSchema(Seq(
+      SchemaOp.Add("tier", org.apache.spark.sql.types.StringType, Some("bronze")),
+      SchemaOp.Add("score", org.apache.spark.sql.types.LongType, Some(7L))))
+    t.append(orders(spark, sfDir, 100)
+      .withColumn("o_orderkey", col("o_orderkey") + 9000000L)
+      .withColumn("tier", when(col("o_orderkey") % 2 === 0, lit("gold")))
+      .withColumn("score", lit(100L)))
+    val dir = Files.createTempDirectory("graft_def_out").toString
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json",
+      Files.createTempDirectory("graft_def_in").toString + "/t")
+    val bronze = imp.toDF().filter(col("tier") === "bronze").count()
+    val gold = imp.toDF().filter(col("tier") === "gold").count()
+    val nullsStay = imp.toDF().filter(col("tier").isNull).count()
+    val sumScore = imp.toDF().agg(sum("score")).head().getLong(0)
+    Seq((bronze, gold, nullsStay, sumScore))
+      .toDF("bronze_rows", "gold_rows", "null_rows", "sum_score")
+  }
+
+  val t50Oracle: String =
+    s"""WITH late AS (SELECT o_orderkey + 9000000 AS k FROM ${cappedSql(100)})
+       |SELECT (SELECT COUNT(*) FROM ${cappedSql(3000)}) AS bronze_rows,
+       |  (SELECT COUNT(*) FROM late WHERE k % 2 = 0) AS gold_rows,
+       |  (SELECT COUNT(*) FROM late WHERE k % 2 <> 0) AS null_rows,
+       |  (SELECT COUNT(*) FROM ${cappedSql(3000)}) * 7 + 100 * 100 AS sum_score""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t50_column_defaults"      -> ((t50ColumnDefaults _, t50Oracle)),
     "t49_dv_interop"           -> ((t49DvInterop _, t49Oracle)),
     "t48_avro_interop"         -> ((t48AvroInterop _, t48Oracle)),
     "t47_deletion_vectors"     -> ((t47DeletionVectors _, t47Oracle)),

@@ -247,7 +247,20 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         table(name).truncate(); status("truncate", name)
       case AddCols(name, cols) =>
         val t = table(name)
-        StructType.fromDDL(cols).fields.foreach(f => t.addColumn(f.name, f.dataType))
+        // `c type DEFAULT <literal>` (the Iceberg v3 initial-default
+        // model, ColumnDefaults): files written before the add read the
+        // default instead of null
+        val DefaultRe = "(?is)^(.*?)\\s+DEFAULT\\s+(.+)$".r
+        val ops = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty).map {
+          case DefaultRe(decl, litStr) =>
+            val f = StructType.fromDDL(decl).fields.head
+            SchemaOp.Add(f.name, f.dataType,
+              Some(parseDefaultLiteral(litStr.trim, f.dataType)))
+          case decl =>
+            val f = StructType.fromDDL(decl).fields.head
+            SchemaOp.Add(f.name, f.dataType)
+        }
+        t.evolveSchema(ops)
         status("add-columns", name)
       case AnalyzeCols(name, cols) =>
         // honor Spark's own ANALYZE histogram confs: enabling
@@ -904,6 +917,29 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     }.distinct
 
   /** `a = expr, b = expr` → assignment map (top-level commas only). */
+  /** SQL literal → typed column default ([[graft.tables.ColumnDefaults]]
+    * vocabulary): quoted strings, int/long/float/double numerics,
+    * true/false. Anything else refuses loudly.
+    */
+  private[sources] def parseDefaultLiteral(s: String,
+      t: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    val unquoted =
+      if ((s.startsWith("'") && s.endsWith("'") && s.length >= 2))
+        s.substring(1, s.length - 1).replace("''", "'")
+      else s
+    t match {
+      case StringType  => unquoted
+      case IntegerType => s.trim.toInt
+      case LongType    => s.trim.toLong
+      case FloatType   => s.trim.toFloat
+      case DoubleType  => s.trim.toDouble
+      case BooleanType => s.trim.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"unsupported DEFAULT literal '$s' for type $other")
+    }
+  }
+
   private[sources] def parseAssignments(sets: String): Map[String, String] =
     splitTopLevel(sets).map { a =>
       val Array(k, v) = a.split("=", 2)

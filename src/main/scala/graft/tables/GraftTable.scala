@@ -2589,6 +2589,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def addColumn(name: String, dataType: DataType): GraftTable =
     evolveSchema(Seq(SchemaOp.Add(name, dataType)))
 
+  /** ADD COLUMN with an initial default (Iceberg v3 `initial-default`):
+    * rows of files written before this commit read `default` instead of
+    * null; later files carry real values (their nulls stay null) — see
+    * [[ColumnDefaults]].
+    */
+  def addColumnWithDefault(name: String, dataType: DataType,
+      default: Any): GraftTable =
+    evolveSchema(Seq(SchemaOp.Add(name, dataType, Some(default))))
+
   /** Apply a BATCH of schema operations in ONE metadata commit (the shape
     * of Iceberg's UpdateSchema transaction — all pending changes land as
     * one new schema id). Ops reference PRE-evolution names; renames apply
@@ -2662,7 +2671,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     var reserved = ColumnMapping.reservedPhysical(m) ++ retired
     ops.collect { case a: SchemaOp.Add => a }.foreach { a =>
       require(!fields.exists(_.name == a.name), s"column ${a.name} exists")
-      val field =
+      val field0 =
         if (!reserved.contains(a.name)) {
           reserved += a.name
           StructField(a.name, a.dataType, nullable = true)
@@ -2673,7 +2682,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
           ColumnMapping.withPhysical(
             StructField(a.name, a.dataType, nullable = true), s"${a.name}_$i")
         }
-      fields :+= field
+      // initial-default (Iceberg v3 model): rides the field with the
+      // sequence boundary — files already on disk (seq < boundary) read
+      // the default, files written from now on carry real values
+      fields :+= a.default.map(v =>
+        ColumnDefaults.withDefault(field0, v, nextSnapshotId(m)))
+        .getOrElse(field0)
     }
     val names = fields.map(_.name)
     require(names.distinct.size == names.size,

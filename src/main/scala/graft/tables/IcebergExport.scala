@@ -156,6 +156,33 @@ object IcebergExport {
         val logical = fo.get("name").asText()
         val phys = ColumnMapping.physicalOf(m.schema, logical)
         if (phys != logical) { fo.put("graft-physical", phys); () }
+        // column defaults: v3 emits the SPEC's initial-default /
+        // write-default keys (real readers fill pre-add files with it);
+        // the graft riders carry the exact boundary for graft's own
+        // round trip on every version. v1/v2 BINARY exports with
+        // defaults refuse below — those readers would silently read
+        // nulls where this engine reads the default.
+        m.schema.fields.find(_.name == logical)
+          .flatMap(f => ColumnDefaults.of(f)).foreach { case (v, since) =>
+            def putVal(key: String): Unit = v match {
+              case i: Int     => fo.put(key, i); ()
+              case l: Long    => fo.put(key, l); ()
+              case x: Float   => fo.put(key, x); ()
+              case x: Double  => fo.put(key, x); ()
+              case s: String  => fo.put(key, s); ()
+              case b: Boolean => fo.put(key, b); ()
+              case other => throw new IllegalStateException(
+                s"unserializable column default $other")
+            }
+            if (formatVersion == 3) { putVal("initial-default"); putVal("write-default") }
+            else if (binary.isDefined) throw new IllegalStateException(
+              s"column '$logical' carries an initial-default, which Iceberg " +
+                s"v$formatVersion readers cannot honor (they would silently " +
+                "read nulls) — export with formatVersion = 3")
+            putVal("graft-initial-default")
+            fo.put("graft-default-since", since)
+            ()
+          }
       }
     }
     root.set("schema", schemaNode)

@@ -118,6 +118,78 @@ object IcebergImport {
     StructType(fields.result().toArray)
   }
 
+  /** Column defaults on import. Graft riders (`graft-initial-default` +
+    * `graft-default-since`) restore the exact boundary. A FOREIGN
+    * `initial-default` (Iceberg v3) has no graft boundary; the equivalent
+    * is derived from schema history: real readers fill files whose schema
+    * predates the column, so the boundary is the smallest data sequence
+    * among snapshots whose `schema-id` references a schema containing the
+    * field — pre-add files sit below it. A foreign default whose boundary
+    * cannot be derived (no snapshot carries `schema-id`) REFUSES loudly:
+    * importing it default-inert would silently read nulls where every
+    * real reader reads the default.
+    */
+  private def applyDefaults(schema: StructType, schemaNode: JsonNode,
+      root: JsonNode): StructType = {
+    def typed(node: JsonNode, t: DataType): Any = t match {
+      case IntegerType => node.asInt()
+      case LongType    => node.asLong()
+      case FloatType   => node.asDouble().toFloat
+      case DoubleType  => node.asDouble()
+      case StringType  => node.asText()
+      case BooleanType => node.asBoolean()
+      case other => throw new IllegalArgumentException(
+        s"unsupported imported column default for type $other")
+    }
+    // schema-id → set of field ids (for the foreign boundary derivation)
+    lazy val schemaFieldIds: Map[Int, Set[Int]] = {
+      val b = Map.newBuilder[Int, Set[Int]]
+      Option(root.get("schemas")).foreach(_.forEach { s =>
+        val ids = Set.newBuilder[Int]
+        Option(s.get("fields")).foreach(_.forEach(f => ids += f.get("id").asInt()))
+        Option(s.get("schema-id")).foreach(sid => b += sid.asInt() -> ids.result())
+      })
+      b.result()
+    }
+    lazy val snapSeqAndSchema: Seq[(Long, Option[Int])] = {
+      val b = Seq.newBuilder[(Long, Option[Int])]
+      Option(root.get("snapshots")).foreach(_.forEach { s =>
+        val seq = Option(s.get("sequence-number")).map(_.asLong())
+          .getOrElse(s.get("snapshot-id").asLong())
+        b += seq -> Option(s.get("schema-id")).map(_.asInt())
+      })
+      b.result()
+    }
+    def foreignBoundary(name: String, fieldId: Int): Long = {
+      val withField = snapSeqAndSchema.collect {
+        case (seq, Some(sid)) if schemaFieldIds.getOrElse(sid, Set.empty)
+          .contains(fieldId) => seq
+      }
+      if (withField.nonEmpty) withField.min
+      else throw new IllegalArgumentException(
+        s"column '$name' carries initial-default but no snapshot " +
+          "declares a schema-id containing it — cannot derive the " +
+          "fill boundary; importing it default-inert would silently " +
+          "read nulls where a real reader reads the default")
+    }
+    val out = schema.fields.toBuffer
+    var i = 0
+    schemaNode.get("fields").forEach { fo =>
+      val f = out(i)
+      Option(fo.get("graft-initial-default")) match {
+        case Some(v) =>
+          out(i) = ColumnDefaults.withDefault(f, typed(v, f.dataType),
+            fo.get("graft-default-since").asLong())
+        case None => Option(fo.get("initial-default")).foreach { v =>
+          out(i) = ColumnDefaults.withDefault(f, typed(v, f.dataType),
+            foreignBoundary(f.name, fo.get("id").asInt()))
+        }
+      }
+      i += 1
+    }
+    StructType(out.toArray)
+  }
+
   /** `schema.name-mapping.default`: field id → first listed physical name
     * (top-level entries; nested `fields` lists are not consulted — see
     * [[resolvedSchema]]).
@@ -179,7 +251,8 @@ object IcebergImport {
         s"current-schema-id $curId not present in schemas")
       found
     }
-    val schema = resolvedSchema(schemaNode, parseNameMapping(props0))
+    val schema = applyDefaults(
+      resolvedSchema(schemaNode, parseNameMapping(props0)), schemaNode, root)
     // field id → PHYSICAL source name for partition-spec sources
     val idToPhysical: Map[Int, String] = {
       val b = Map.newBuilder[Int, String]

@@ -124,7 +124,10 @@ object TableReplicator {
         .map(nf => SchemaOp.Widen(of.name, nf.dataType)))
     val adds = to.fields.toSeq
       .filterNot(f => fromNames.contains(f.name))
-      .map(f => SchemaOp.Add(f.name, f.dataType))
+      // defaults travel; the replica assigns its own boundary at replay
+      // time (in-order replay makes that the same pre-add population)
+      .map(f => SchemaOp.Add(f.name, f.dataType,
+        ColumnDefaults.of(f).map(_._1)))
     drops ++ widens ++ adds
   }
 

@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryComparison, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.functions.{col, expr => sqlExpr}
+import org.apache.spark.sql.functions.{coalesce, col, lit, expr => sqlExpr}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -314,8 +314,31 @@ object ScanPlanner {
     val base =
       if (pruned.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-      else
-        ColumnMapping.readFiles(spark, meta.schema, pruned.map(_.path))
+      else {
+        // initial-defaults (ColumnDefaults): group the file set by WHICH
+        // defaults apply (file predates the column's add boundary) and
+        // fill only those groups — plan growth is bounded by default
+        // EPOCHS (typically 2 scans), never per-file. The filter stays
+        // ABOVE the fill for filled groups (a pushed-down predicate on a
+        // defaulted column would test the raw nulls); unfilled groups
+        // keep full pushdown. Manifest pruning is default-safe already:
+        // pre-add files carry no stats for the column, so pruneFiles
+        // passes them through.
+        val defaults = meta.schema.fields.toSeq
+          .flatMap(f => ColumnDefaults.of(f).map { case (v, since) => (f, v, since) })
+        if (defaults.isEmpty)
+          ColumnMapping.readFiles(spark, meta.schema, pruned.map(_.path))
+        else pruned.groupBy(df => defaults.map(d => df.seq < d._3))
+          .toSeq.sortBy(_._1.toString).map { case (flags, fs) =>
+            defaults.zip(flags).foldLeft(
+              ColumnMapping.readFiles(spark, meta.schema, fs.map(_.path))) {
+                case (d, ((fld, v, _), applies)) =>
+                  if (!applies) d
+                  else d.withColumn(fld.name,
+                    coalesce(col(fld.name), lit(v).cast(fld.dataType)))
+              }
+          }.reduce(_ unionByName _)
+      }
     filterSql.map(f => base.filter(sqlExpr(f))).getOrElse(base)
   }
 }

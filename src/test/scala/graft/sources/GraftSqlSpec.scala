@@ -109,6 +109,15 @@ class GraftSqlSpec extends SparkSpec {
       2 * spark.read.parquet(s"$sf/orders.parquet").count())
     g.sql("ALTER TABLE o_ice ADD COLUMNS (quality DOUBLE)")
     assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE quality IS NULL").head().getLong(0) > 0)
+    // DEFAULT clause (Iceberg v3 initial-default): pre-add rows read the
+    // default, not null — and a decimal-typed sibling column still parses
+    // through the paren-aware splitter
+    val preAdd = g.sql("SELECT COUNT(*) AS n FROM o_ice").head().getLong(0)
+    g.sql("ALTER TABLE o_ice ADD COLUMNS (tier STRING DEFAULT 'bronze', ratio DECIMAL(10, 2))")
+    assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE tier = 'bronze'")
+      .head().getLong(0) == preAdd)
+    assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE ratio IS NULL")
+      .head().getLong(0) == preAdd)
   }
 
   test("CREATE + REFRESH MATERIALIZED VIEW maintain the aggregate incrementally") {
