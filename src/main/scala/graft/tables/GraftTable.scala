@@ -75,14 +75,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * and drop rows via the codegen'd [[graft.functions.BitmapContains]]
     * test — the scan side stays a single streamed pass and the broadcast
     * small side is O(files-with-deletes) rows instead of O(deleted rows).
+    * `df` must carry the scan-attached row-meta columns when `posFiles`
+    * is non-empty (`ScanPlanner.scan(…, rowMeta = true)` — `_metadata`
+    * does not resolve through a default-fill union, so the columns are
+    * captured per scan branch, never derived here).
     */
   private def applyPosDeletes(df: DataFrame, files: Seq[DataFile],
       posFiles: Seq[String]): DataFrame =
     if (posFiles.isEmpty || files.isEmpty) df
-    else minusPosDeletes(
-      df.withColumn("__gp_fp", col("_metadata.file_path"))
-        .withColumn("__gp_pos", col("_metadata.row_index")),
-      posFiles).drop("__gp_fp", "__gp_pos")
+    else minusPosDeletes(df, posFiles).drop("__gp_fp", "__gp_pos")
 
   /** Subtract position deletes (both kinds) from a frame already carrying
     * `__gp_fp`/`__gp_pos`.
@@ -244,8 +245,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val pos =
           if (!hasPos) Nil
           else md.positionDeleteFiles.filter(pf => fs.exists(f => posMayHit(pf, f.path)))
-        applyEq(applyPosDeletes(ScanPlanner.scan(spark, m, fs, filterSql), fs,
-          pos), eqs, m.schema)
+        applyEq(applyPosDeletes(
+          ScanPlanner.scan(spark, m, fs, filterSql, rowMeta = pos.nonEmpty),
+          fs, pos), eqs, m.schema)
       }
     val base =
       if (scans.isEmpty) ScanPlanner.scan(spark, m, Nil, filterSql)
@@ -800,9 +802,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         case "delete-mor-pos" =>
           val newPos = md.positionDeleteFiles.diff(parentMd.positionDeleteFiles)
           val dels = posDeleteRows(newPos)
-          val base = ScanPlanner.scan(spark, m, parentMd.files, None)
-            .withColumn("__gp_fp", col("_metadata.file_path"))
-            .withColumn("__gp_pos", col("_metadata.row_index"))
+          val base = ScanPlanner.scan(spark, m, parentMd.files, None,
+            rowMeta = true)
           tagged(base.join(dels,
             col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
             "left_semi").drop("__gp_fp", "__gp_pos"), "delete")
@@ -1421,9 +1422,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           if (!hasPos) Nil
           else md.positionDeleteFiles.filter(pf =>
             fs.exists(f => posMayHit(pf, f.path)))
-        val base = ScanPlanner.scan(spark, m, fs, None)
-          .withColumn("__gp_fp", col("_metadata.file_path"))
-          .withColumn("__gp_pos", col("_metadata.row_index"))
+        val base = ScanPlanner.scan(spark, m, fs, None, rowMeta = true)
         applyEq(minusPosDeletes(base, pos), eqs, m.schema)
       }.reduce(_ unionAll _)
     Some(applyDeletes(live, md.deletePredicates)
@@ -1620,9 +1619,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (applicable.isEmpty) Nil
       else {
         val keys = spark.read.parquet(e.files: _*)
-        val base = ColumnMapping.readFiles(spark, m.schema, applicable.map(_.path))
+        // defaults-aware scan (+ row meta per branch): eq keys on a
+        // defaulted column must probe the FILLED values, same as the
+        // read path
+        val base = ScanPlanner.scan(spark, m, applicable, None, rowMeta = true)
         base.join(keys, e.cols.map(c => base(c) <=> keys(c)).reduce(_ && _), "left_semi")
-          .select(col("_metadata.file_path")).distinct().collect()
+          .select(col("__gp_fp")).distinct().collect()
           .map(r => stripScheme(r.getString(0))).toSeq
       }
     }.toSet
@@ -1907,9 +1909,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     val candidates = ScanPlanner.pruneFiles(m, cur, cond, spark)
     if (candidates.isEmpty) return Nil
-    val hit = ColumnMapping.readFiles(spark, m.schema, candidates.map(_.path))
-      .filter(expr(cond))
-      .select(col("_metadata.file_path")).distinct().collect()
+    // defaults-aware: a CoW delete/update predicate on a defaulted
+    // column must see the FILLED values (raw nulls would silently skip
+    // every pre-add file)
+    val hit = ScanPlanner.scan(spark, m, candidates, Some(cond), rowMeta = true)
+      .select(col("__gp_fp")).distinct().collect()
       .map(r => stripScheme(r.getString(0))).toSet
     candidates.filter(f => hit.contains(f.path))
   }
@@ -1921,7 +1925,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     val touched = matchingFiles(m, cond)
     if (touched.isEmpty) return this
-    val kept = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
+    // defaults-aware read: the rewrite MATERIALIZES values into files
+    // that postdate the default boundary, so it must read filled values
+    // (raw nulls would silently erase the default for surviving rows)
+    val kept = ScanPlanner.scan(spark, m, touched, None)
       .filter(!coalesce(expr(cond), lit(false)))
     val rewritten = writeDataFiles(kept, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
@@ -1936,7 +1943,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     val touched = matchingFiles(m, cond)
     if (touched.isEmpty) return this
-    val base = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
+    val base = ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
     val updated = m.schema.fields.foldLeft(base) { (d, f) =>
       set.get(f.name) match {
         case Some(e) => d.withColumn(f.name,
@@ -1978,8 +1985,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       joinCond: Column, countFlag: Column, keyDesc: Column,
       keyCols: Seq[String]): Set[String] = {
     val perRow = base
-      .withColumn("__fp", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
+      .withColumnRenamed("__gp_fp", "__fp")
+      .withColumnRenamed("__gp_pos", "__pos")
       .join(probe, joinCond, "inner")
       .groupBy(col("__fp"), col("__pos"))
       .agg(sum(countFlag).as("__n"), first(keyDesc).as("__k"))
@@ -2020,7 +2027,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (cur.isEmpty) Nil
       else {
         val hit = touchedFilesWithCardinalityCheck(
-          ColumnMapping.readFiles(spark, m.schema, cur.map(_.path)),
+          ScanPlanner.scan(spark, m, cur, None, rowMeta = true),
           srcRenamed, joinCond, lit(1L),
           concat_ws(",", keyCols.map(k => col(s"__s_$k").cast("string")): _*),
           keyCols)
@@ -2028,7 +2035,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }
 
     val rewritten: DataFrame = if (touched.isEmpty) null else {
-      val base = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
+      val base = ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
       base.join(srcRenamed, joinCond, "left")
         .select(m.schema.fields.map { f =>
           when(col(s"__s_${keyCols.head}").isNotNull, col(s"__s_${f.name}"))
@@ -2072,7 +2079,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val touched: Seq[DataFile] =
       if (cur.isEmpty) Nil
       else {
-        val base = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
+        val base = ScanPlanner.scan(spark, m, cur, None, rowMeta = true)
         val hit = touchedFilesWithCardinalityCheck(base, broadcast(keyed),
           keyCols.map(c => base(c) === keyed(s"__k_$c")).reduce(_ && _),
           col("__upd"),
@@ -2084,7 +2091,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val base = ColumnMapping.readFiles(spark, m.schema, touched.map(_.path))
+        val base = ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
         val delKeyed = keyCols.foldLeft(deleteKeys.select(keyCols.map(col): _*)
           .distinct()) { (d, c) => d.withColumnRenamed(c, s"__d_$c") }
         val updRenamed = m.schema.fieldNames.foldLeft(updates) { (d, c) =>
@@ -2421,7 +2428,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (small.isEmpty) return this
     val totalBytes = small.map(_.sizeBytes).sum
     val nOut = math.max(1, (totalBytes / targetBytes).toInt)
-    val packed = ColumnMapping.readFiles(spark, m.schema, small.map(_.path))
+    // defaults materialize into the compacted files (Iceberg rewrites
+    // do the same); once no pre-add file remains, fastMinMax serves again
+    val packed = ScanPlanner.scan(spark, m, small, None)
       .repartition(nOut)
     val newFiles = writeDataFiles(packed, m)
     val untouched = cur.filterNot(f => small.exists(_.path == f.path))
@@ -2443,7 +2452,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (cur.isEmpty) return this
     val n = if (nFiles > 0) nFiles
       else math.max(1, (cur.map(_.sizeBytes).sum / (128L << 20)).toInt)
-    val sorted = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
+    val sorted = ScanPlanner.scan(spark, m, cur, None) // defaults-aware rewrite
       .repartitionByRange(n, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     // distribution 'none': a hash-by-partition repartition here would
@@ -2507,7 +2516,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val cur = currentFiles(m)
     if (cur.isEmpty) return this
-    val base = ColumnMapping.readFiles(spark, m.schema, cur.map(_.path))
+    val base = ScanPlanner.scan(spark, m, cur, None) // defaults-aware bounds
     val st = base.agg(
       min(col(cols.head).cast("double")),
       (Seq(max(col(cols.head).cast("double"))) ++

@@ -305,16 +305,33 @@ object ScanPlanner {
     * evolution: columns missing in old files come back null), apply the
     * residual filter.
     */
+  /** Helper row-position columns [[scan]] attaches when `rowMeta` is
+    * requested: `_metadata` resolves only on a direct file source, so
+    * they must be captured per scan BRANCH before any default-fill
+    * union — callers must never derive them from `_metadata` themselves.
+    */
+  val RowMetaFile = "__gp_fp"
+  val RowMetaPos = "__gp_pos"
+
   def scan(spark: SparkSession, meta: TableMeta, files: Seq[DataFile],
-      filterSql: Option[String]): DataFrame = {
+      filterSql: Option[String], rowMeta: Boolean = false): DataFrame = {
     val pruned = filterSql match {
       case Some(f) => pruneFiles(meta, files, f, spark)
       case None => files
     }
+    def withMeta(d: DataFrame): DataFrame =
+      if (!rowMeta) d
+      else d.withColumn(RowMetaFile, col("_metadata.file_path"))
+        .withColumn(RowMetaPos, col("_metadata.row_index"))
     val base =
-      if (pruned.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-      else {
+      if (pruned.isEmpty) {
+        val schema =
+          if (!rowMeta) meta.schema
+          else StructType(meta.schema.fields :+
+            StructField(RowMetaFile, StringType) :+
+            StructField(RowMetaPos, LongType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else {
         // initial-defaults (ColumnDefaults): group the file set by WHICH
         // defaults apply (file predates the column's add boundary) and
         // fill only those groups — plan growth is bounded by default
@@ -327,11 +344,11 @@ object ScanPlanner {
         val defaults = meta.schema.fields.toSeq
           .flatMap(f => ColumnDefaults.of(f).map { case (v, since) => (f, v, since) })
         if (defaults.isEmpty)
-          ColumnMapping.readFiles(spark, meta.schema, pruned.map(_.path))
+          withMeta(ColumnMapping.readFiles(spark, meta.schema, pruned.map(_.path)))
         else pruned.groupBy(df => defaults.map(d => df.seq < d._3))
           .toSeq.sortBy(_._1.toString).map { case (flags, fs) =>
             defaults.zip(flags).foldLeft(
-              ColumnMapping.readFiles(spark, meta.schema, fs.map(_.path))) {
+              withMeta(ColumnMapping.readFiles(spark, meta.schema, fs.map(_.path)))) {
                 case (d, ((fld, v, _), applies)) =>
                   if (!applies) d
                   else d.withColumn(fld.name,

@@ -54,6 +54,44 @@ class ColumnDefaultsSpec extends SparkSpec {
       org.apache.spark.sql.Row(7L, 100L))
   }
 
+  test("DV delete spanning pre-add AND post-add files (row-meta regression)") {
+    // _metadata does not resolve through the default-fill UNION, so the
+    // scan captures __gp_fp/__gp_pos per branch (rowMeta) — this case
+    // pins the cross-epoch MOR read that caught the original bug
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(3))
+    t.addColumnWithDefault("tier", StringType, "bronze")
+    t.append(Seq((500, "q", "gold"), (501, "s", "silver"))
+      .toDF("r_regionkey", "r_name", "tier"))
+    val victim = t.toDF().select("r_regionkey").orderBy("r_regionkey")
+      .limit(1).head.getInt(0)
+    t.deleteMergeOnReadDV(s"r_regionkey IN ($victim, 500)")
+    val rows = t.toDF().select("r_regionkey", "tier").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(!rows.contains(500) && !rows.contains(victim))
+    assert(rows(501) == "silver")
+    assert(rows.values.count(_ == "bronze") == 2)
+  }
+
+  test("equality deletes and CoW deletes match FILLED values") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(3))
+    t.addColumnWithDefault("tier", StringType, "bronze")
+    t.append(Seq((600, "r", "bronze")).toDF("r_regionkey", "r_name", "tier"))
+    // eq delete keyed ON the defaulted column hits pre-add rows too
+    t.deleteMergeOnReadEquality(Seq("bronze").toDF("tier"), Seq("tier"))
+    assert(t.toDF().count() == 0)
+    // CoW delete predicate on the defaulted column: raw nulls would
+    // silently skip every pre-add file
+    val c = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(3))
+    c.addColumnWithDefault("tier", StringType, "bronze")
+    c.append(Seq((700, "u", "gold")).toDF("r_regionkey", "r_name", "tier"))
+    c.delete("tier = 'bronze'")
+    assert(c.toDF().select("tier").collect().map(_.getString(0)).toSeq ==
+      Seq("gold"))
+  }
+
   test("v3 export carries initial-default; v1/v2 binary exports refuse") {
     val t = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/region.parquet").limit(3))
