@@ -1188,10 +1188,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val commitDir = s"$location/data/${UUID.randomUUID().toString.take(8)}"
     val spec = m.currentSpec
     val gpCols = spec.fields.map(f => TableFormat.PartColPrefix + f.name)
+    // write-default (the second half of the Iceberg v3 default model —
+    // graft uses one value for both roles): a writer may omit a DEFAULTED
+    // column entirely and every written row carries the default. This
+    // fill is REQUIRED for coherence, not convenience: the written file
+    // postdates the add boundary, so a read would see its missing column
+    // as raw null, never the initial-default fill. Missing non-defaulted
+    // columns keep today's behavior.
+    val dfFilled = m.schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else ColumnDefaults.of(f) match {
+        case Some((v, _)) => d.withColumn(f.name, lit(v).cast(f.dataType))
+        case None         => d
+      }
+    }
     // files carry PHYSICAL names (schema evolution: renames never rewrite
     // data); partition transforms run after the projection — spec sources
     // are physical too
-    val physDf = ColumnMapping.toPhysical(m.schema, df)
+    val physDf = ColumnMapping.toPhysical(m.schema, dfFilled)
     val physSchema = ColumnMapping.physicalSchema(m.schema)
     val out = spec.fields.foldLeft(physDf) { (d, f) =>
       d.withColumn(TableFormat.PartColPrefix + f.name,

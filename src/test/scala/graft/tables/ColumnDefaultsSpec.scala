@@ -92,6 +92,20 @@ class ColumnDefaultsSpec extends SparkSpec {
       Seq("gold"))
   }
 
+  test("write-default: an append omitting the defaulted column fills it") {
+    // required for coherence, not convenience: the appended file
+    // postdates the add boundary, so a read would see a missing column
+    // as raw null — the write must materialize the default
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(2))
+    t.addColumnWithDefault("tier", StringType, "bronze")
+    t.append(Seq((800, "v")).toDF("r_regionkey", "r_name"))
+    val got = t.toDF().select("r_regionkey", "tier").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(800) == "bronze")
+    assert(got.size == 3 && got.values.forall(_ == "bronze"))
+  }
+
   test("v3 export carries initial-default; v1/v2 binary exports refuse") {
     val t = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/region.parquet").limit(3))
