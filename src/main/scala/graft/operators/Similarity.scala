@@ -820,6 +820,8 @@ object Similarity {
 
   /** Per-dimension (min, span) over a normalized sample. */
   private[graft] def sqTrain(sample: Array[Array[Float]]): (Array[Float], Array[Float]) = {
+    require(sample.nonEmpty,
+      "SQ training sample is empty — no embeddings to train on")
     val dim = sample.head.length
     val mins = Array.fill(dim)(Float.MaxValue)
     val maxs = Array.fill(dim)(Float.MinValue)

@@ -249,16 +249,21 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         val t = table(name)
         // `c type DEFAULT <literal>` (the Iceberg v3 initial-default
         // model, ColumnDefaults): files written before the add read the
-        // default instead of null
-        val DefaultRe = "(?is)^(.*?)\\s+DEFAULT\\s+(.+)$".r
-        val ops = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty).map {
-          case DefaultRe(decl, litStr) =>
-            val f = StructType.fromDDL(decl).fields.head
-            SchemaOp.Add(f.name, f.dataType,
-              Some(parseDefaultLiteral(litStr.trim, f.dataType)))
-          case decl =>
-            val f = StructType.fromDDL(decl).fields.head
-            SchemaOp.Add(f.name, f.dataType)
+        // default instead of null. Splitting is ANGLE-BRACKET-aware
+        // (map<string,int> carries top-level commas that splitTopLevel
+        // would break on) and the DEFAULT keyword is only recognized
+        // OUTSIDE quotes/brackets (a COMMENT 'by default …' must not
+        // trigger it).
+        val ops = splitColumnDecls(cols).map { decl =>
+          splitDefaultClause(decl) match {
+            case (d, Some(litStr)) =>
+              val f = StructType.fromDDL(d).fields.head
+              SchemaOp.Add(f.name, f.dataType,
+                Some(parseDefaultLiteral(litStr, f.dataType)))
+            case (d, None) =>
+              val f = StructType.fromDDL(d).fields.head
+              SchemaOp.Add(f.name, f.dataType)
+          }
         }
         t.evolveSchema(ops)
         status("add-columns", name)
@@ -917,6 +922,57 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     }.distinct
 
   /** `a = expr, b = expr` → assignment map (top-level commas only). */
+  /** Comma-split of an ADD COLUMNS declaration list, tracking parens AND
+    * angle brackets (`map<string,int>`, `struct<a:int,b:string>`) plus
+    * quotes — [[splitTopLevel]] tracks only parens, which would break
+    * nested-type declarations on their inner commas.
+    */
+  private[sources] def splitColumnDecls(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' | '<' => depth += 1; cur += c
+        case ')' | '>' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split one column declaration at its top-level `DEFAULT` keyword
+    * (case-insensitive, whole word, outside quotes and brackets) —
+    * `x STRING DEFAULT 'a'` → (`x STRING`, Some(`'a'`)); a DEFAULT
+    * inside a quoted COMMENT never triggers.
+    */
+  private[sources] def splitDefaultClause(decl: String): (String, Option[String]) = {
+    var depth = 0; var quote: Char = 0
+    var i = 0
+    while (i < decl.length) {
+      val c = decl.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case 'd' | 'D' if depth == 0 && i + 7 <= decl.length &&
+            decl.substring(i, i + 7).equalsIgnoreCase("default") &&
+            (i == 0 || decl.charAt(i - 1).isWhitespace) &&
+            (i + 7 == decl.length || decl.charAt(i + 7).isWhitespace) =>
+          return (decl.substring(0, i).trim,
+            Some(decl.substring(i + 7).trim))
+        case _ => ()
+      }
+      i += 1
+    }
+    (decl.trim, None)
+  }
+
   /** SQL literal → typed column default ([[graft.tables.ColumnDefaults]]
     * vocabulary): quoted strings, int/long/float/double numerics,
     * true/false. Anything else refuses loudly.

@@ -83,7 +83,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def applyPosDeletes(df: DataFrame, files: Seq[DataFile],
       posFiles: Seq[String]): DataFrame =
     if (posFiles.isEmpty || files.isEmpty) df
-    else minusPosDeletes(df, posFiles).drop("__gp_fp", "__gp_pos")
+    else minusPosDeletes(df, posFiles).drop(ScanPlanner.RowMetaFile, ScanPlanner.RowMetaPos)
 
   /** Subtract position deletes (both kinds) from a frame already carrying
     * `__gp_fp`/`__gp_pos`.
@@ -95,15 +95,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
       else {
         val dels = spark.read.parquet(classic: _*)
         base.join(dels,
-          col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
+          col(ScanPlanner.RowMetaFile) === dels("file_path") && col(ScanPlanner.RowMetaPos) === dels("pos"),
           "left_anti")
       }
     if (dv.isEmpty) afterClassic
     else {
       val bms = dvBitmaps(dv)
-      afterClassic.join(bms, col("__gp_fp") === bms("__gp_dvfp"), "left_outer")
+      afterClassic.join(bms, col(ScanPlanner.RowMetaFile) === bms("__gp_dvfp"), "left_outer")
         .filter(!coalesce(
-          graft.functions.F.bitmapContains(bms("__gp_dv"), col("__gp_pos")), lit(false)))
+          graft.functions.F.bitmapContains(bms("__gp_dv"), col(ScanPlanner.RowMetaPos)), lit(false)))
         .drop("__gp_dvfp", "__gp_dv")
     }
   }
@@ -152,23 +152,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * O(key-col sets) joins, not O(commits) — the per-commit fold was the
     * plan-explosion (and AQE plan-string OOM) at 100+ delete files.
     */
+  /** Read equality-delete key files. On id-attached tables (foreign
+    * Iceberg imports) the read goes by FIELD ID — a foreign delete file
+    * written before a rename carries the old column name, which a
+    * name-based read cannot see; graft's own eq-delete writes on such
+    * tables stamp the same ids. EVERY eq-key consumer must come through
+    * here (read path, changelog, materialization) or renamed foreign
+    * tables diverge between them.
+    */
+  private def readEqKeys(cols: Seq[String], files: Seq[String],
+      schema: StructType): DataFrame = {
+    val fields = cols.flatMap(c => schema.fields.find(_.name == c))
+    val byId = fields.size == cols.size &&
+      fields.forall(_.metadata.contains(ColumnMapping.ParquetFieldIdKey))
+    if (byId) spark.read.schema(StructType(fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true,
+        ColumnMapping.fileMetadata(f))).toArray))
+      .parquet(files: _*)
+    else spark.read.parquet(files: _*)
+  }
+
   private def applyEq(df: DataFrame, eqs: Seq[EqualityDelete],
       schema: StructType): DataFrame =
     eqs.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
       .foldLeft(df) { case (d, (cols, es)) =>
-        // id-attached tables (foreign Iceberg imports): read key files by
-        // FIELD ID — a foreign delete file written before a rename carries
-        // the old column name, which a name-based read cannot see. Graft's
-        // own eq-delete writes on such tables stamp the same ids.
-        val fields = cols.flatMap(c => schema.fields.find(_.name == c))
-        val byId = fields.size == cols.size &&
-          fields.forall(_.metadata.contains(ColumnMapping.ParquetFieldIdKey))
-        val keys =
-          if (byId) spark.read.schema(StructType(fields.map(f =>
-            StructField(f.name, f.dataType, nullable = true,
-              ColumnMapping.fileMetadata(f))).toArray))
-            .parquet(es.flatMap(_.files): _*)
-          else spark.read.parquet(es.flatMap(_.files): _*)
+        val keys = readEqKeys(cols, es.flatMap(_.files), schema)
         d.join(keys, cols.map(c => d(c) <=> keys(c)).reduce(_ && _), "left_anti")
       }
 
@@ -805,13 +813,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
           val base = ScanPlanner.scan(spark, m, parentMd.files, None,
             rowMeta = true)
           tagged(base.join(dels,
-            col("__gp_fp") === dels("file_path") && col("__gp_pos") === dels("pos"),
-            "left_semi").drop("__gp_fp", "__gp_pos"), "delete")
+            col(ScanPlanner.RowMetaFile) === dels("file_path") && col(ScanPlanner.RowMetaPos) === dels("pos"),
+            "left_semi").drop(ScanPlanner.RowMetaFile, ScanPlanner.RowMetaPos), "delete")
         case "delete-mor-eq" | "upsert-mor" =>
           val newEq = md.equalityDeletes.diff(parentMd.equalityDeletes)
           val live = readWithMor(m, parentMd, None)
           val deletes = newEq.map { e =>
-            val keys = spark.read.parquet(e.files: _*)
+            val keys = readEqKeys(e.cols, e.files, m.schema)
             tagged(live.join(keys,
               e.cols.map(c => live(c) <=> keys(c)).reduce(_ && _), "left_semi"), "delete")
           }
@@ -1441,7 +1449,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       }.reduce(_ unionAll _)
     Some(applyDeletes(live, md.deletePredicates)
       .filter(coalesce(expr(cond), lit(false)))
-      .select(col("__gp_fp").as("file_path"), col("__gp_pos").as("pos")))
+      .select(col(ScanPlanner.RowMetaFile).as("file_path"), col(ScanPlanner.RowMetaPos).as("pos")))
   }
 
   /** Key-column projection for an equality-delete file, carrying the
@@ -1632,13 +1640,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val applicable = md.files.filter(f => f.seq < e.seq && eqMayHit(m, f, e))
       if (applicable.isEmpty) Nil
       else {
-        val keys = spark.read.parquet(e.files: _*)
+        val keys = readEqKeys(e.cols, e.files, m.schema)
         // defaults-aware scan (+ row meta per branch): eq keys on a
         // defaulted column must probe the FILLED values, same as the
         // read path
         val base = ScanPlanner.scan(spark, m, applicable, None, rowMeta = true)
         base.join(keys, e.cols.map(c => base(c) <=> keys(c)).reduce(_ && _), "left_semi")
-          .select(col("__gp_fp")).distinct().collect()
+          .select(col(ScanPlanner.RowMetaFile)).distinct().collect()
           .map(r => stripScheme(r.getString(0))).toSeq
       }
     }.toSet
@@ -1921,15 +1929,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   private def matchingFiles(m: TableMeta, cond: String): Seq[DataFile] = {
     val cur = currentFiles(m)
-    val candidates = ScanPlanner.pruneFiles(m, cur, cond, spark)
-    if (candidates.isEmpty) return Nil
     // defaults-aware: a CoW delete/update predicate on a defaulted
     // column must see the FILLED values (raw nulls would silently skip
-    // every pre-add file)
-    val hit = ScanPlanner.scan(spark, m, candidates, Some(cond), rowMeta = true)
-      .select(col("__gp_fp")).distinct().collect()
+    // every pre-add file). scan(Some(cond)) prunes internally — no
+    // separate pruneFiles pass (it would run the same stats walk twice).
+    val hit = ScanPlanner.scan(spark, m, cur, Some(cond), rowMeta = true)
+      .select(col(ScanPlanner.RowMetaFile)).distinct().collect()
       .map(r => stripScheme(r.getString(0))).toSet
-    candidates.filter(f => hit.contains(f.path))
+    cur.filter(f => hit.contains(f.path))
   }
 
   /** Copy-on-write DELETE WHERE. */
@@ -1999,8 +2006,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       joinCond: Column, countFlag: Column, keyDesc: Column,
       keyCols: Seq[String]): Set[String] = {
     val perRow = base
-      .withColumnRenamed("__gp_fp", "__fp")
-      .withColumnRenamed("__gp_pos", "__pos")
+      .withColumnRenamed(ScanPlanner.RowMetaFile, "__fp")
+      .withColumnRenamed(ScanPlanner.RowMetaPos, "__pos")
       .join(probe, joinCond, "inner")
       .groupBy(col("__fp"), col("__pos"))
       .agg(sum(countFlag).as("__n"), first(keyDesc).as("__k"))

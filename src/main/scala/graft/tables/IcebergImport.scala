@@ -161,16 +161,35 @@ object IcebergImport {
       b.result()
     }
     def foreignBoundary(name: String, fieldId: Int): Long = {
+      // no snapshots → no data files → nothing can need filling
+      if (snapSeqAndSchema.isEmpty) return 0L
       val withField = snapSeqAndSchema.collect {
         case (seq, Some(sid)) if schemaFieldIds.getOrElse(sid, Set.empty)
           .contains(fieldId) => seq
       }
-      if (withField.nonEmpty) withField.min
-      else throw new IllegalArgumentException(
+      if (withField.isEmpty) throw new IllegalArgumentException(
         s"column '$name' carries initial-default but no snapshot " +
           "declares a schema-id containing it — cannot derive the " +
           "fill boundary; importing it default-inert would silently " +
           "read nulls where a real reader reads the default")
+      // the derived boundary is only EXACT when some surviving snapshot
+      // still predates the column; if every surviving snapshot's schema
+      // already contains it (the add predates the retained history —
+      // snapshot expiry), files below min(withField) may hold GENUINE
+      // nulls written after the add, and filling them would silently
+      // diverge from a real reader. Loud, not wrong.
+      val anyWithout = snapSeqAndSchema.exists {
+        case (_, Some(sid)) => !schemaFieldIds.getOrElse(sid, Set.empty)
+          .contains(fieldId)
+        case (_, None) => true
+      }
+      if (!anyWithout) throw new IllegalArgumentException(
+        s"column '$name' carries initial-default but every surviving " +
+          "snapshot's schema already contains it (the add predates the " +
+          "retained history) — the fill boundary cannot be derived from " +
+          "metadata alone, and guessing would either fill genuine NULLs " +
+          "or drop the default")
+      withField.min
     }
     val out = schema.fields.toBuffer
     var i = 0

@@ -118,6 +118,13 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == preAdd)
     assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE ratio IS NULL")
       .head().getLong(0) == preAdd)
+    // nested-type declarations carry top-level commas inside <> — the
+    // splitter must not break on them — and a quoted 'default' inside a
+    // COMMENT must not trigger the DEFAULT clause (review findings)
+    g.sql("ALTER TABLE o_ice ADD COLUMNS (tags MAP<STRING, INT>, note STRING COMMENT 'by default five')")
+    assert(g.table("o_ice").meta.schema.fieldNames.contains("tags"))
+    assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE note IS NULL")
+      .head().getLong(0) > 0)
   }
 
   test("CREATE + REFRESH MATERIALIZED VIEW maintain the aggregate incrementally") {

@@ -236,6 +236,18 @@ class ColumnDefaultsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergImport.importMetadata(spark, s"$dir/metadata2.json", tmp()))
     assert(e.getMessage.contains("boundary"))
+
+    // every SURVIVING snapshot already carries the field (snapshot expiry
+    // ate the pre-add history): the derived boundary would over-fill
+    // genuine nulls — refuse loudly instead (review finding)
+    val ambiguous = metadata
+      .replace(""""sequence-number": 1, "schema-id": 0,""",
+        """"sequence-number": 1, "schema-id": 1,""")
+      .replace(s""""location": "$dir"""", s""""location": "$dir/y"""")
+    MetaIO.writeString(conf, s"$dir/metadata3.json", ambiguous)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergImport.importMetadata(spark, s"$dir/metadata3.json", tmp()))
+    assert(e2.getMessage.contains("predates the retained history"))
   }
 
   test("replication carries the default to the replica") {

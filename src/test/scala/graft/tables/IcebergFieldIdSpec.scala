@@ -173,6 +173,16 @@ class IcebergFieldIdSpec extends SparkSpec {
           .putLong(ColumnMapping.ParquetFieldIdKey, 2L).build())))
     assert(spark.read.schema(probe).parquet(delFile)
       .collect().map(_.getString(0)).toSeq == Seq(victim))
+    // materialization and the changelog read eq keys through the SAME
+    // id-keyed path (review finding: they used name-based reads, which
+    // fail on foreign delete files carrying pre-rename names)
+    val changed = imp.changesBetween(imp.meta.snapshots.head.id,
+      imp.meta.currentSnapshotId.get)
+    assert(changed.filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .count() == 1)
+    imp.materializeDeletes()
+    val after = imp.toDF().select("region_name").collect().map(_.getString(0)).toSet
+    assert(!after.contains(victim) && after.size == n - 1)
   }
 
   test("name-mapping document maps to physical names (migrated id-less files)") {
