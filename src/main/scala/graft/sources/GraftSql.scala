@@ -991,6 +991,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       case FloatType   => s.trim.toFloat
       case DoubleType  => s.trim.toDouble
       case BooleanType => s.trim.toBoolean
+      case DateType    => java.time.LocalDate.parse(
+        unquoted.trim.stripPrefix("DATE ").stripPrefix("date ")
+          .stripPrefix("'").stripSuffix("'"))
       case other => throw new IllegalArgumentException(
         s"unsupported DEFAULT literal '$s' for type $other")
     }

@@ -171,6 +171,8 @@ object IcebergExport {
               case x: Double  => fo.put(key, x); ()
               case s: String  => fo.put(key, s); ()
               case b: Boolean => fo.put(key, b); ()
+              // Iceberg single-value JSON for date: "YYYY-MM-DD"
+              case d: java.time.LocalDate => fo.put(key, d.toString); ()
               case other => throw new IllegalStateException(
                 s"unserializable column default $other")
             }

@@ -138,6 +138,8 @@ object IcebergImport {
       case DoubleType  => node.asDouble()
       case StringType  => node.asText()
       case BooleanType => node.asBoolean()
+      // Iceberg single-value JSON for date: "YYYY-MM-DD"
+      case DateType    => java.time.LocalDate.parse(node.asText())
       case other => throw new IllegalArgumentException(
         s"unsupported imported column default for type $other")
     }

@@ -77,9 +77,11 @@ object SchemaDiff {
   * refuse (those readers would silently see nulls), the graft JSON path
   * rides `graft-*` keys and round-trips exactly.
   *
-  * Supported default types: int, long, float, double, string, boolean
-  * (date/timestamp/binary defaults refuse loudly — add them when a user
-  * exists; a silently mis-typed default is worse than none).
+  * Supported default types: int, long, float, double, string, boolean,
+  * date (stored as epoch days, exchanged as Iceberg's "YYYY-MM-DD"
+  * single-value JSON). Timestamp/binary defaults refuse loudly — add
+  * them when a user exists; a silently mis-typed default is worse than
+  * none.
   */
 object ColumnDefaults {
   import org.apache.spark.sql.types._
@@ -99,6 +101,7 @@ object ColumnDefaults {
       case DoubleType  => m.getDouble(ValueKey)
       case StringType  => m.getString(ValueKey)
       case BooleanType => m.getBoolean(ValueKey)
+      case DateType    => java.time.LocalDate.ofEpochDay(m.getLong(ValueKey))
       case other => throw new IllegalStateException(
         s"column default metadata on unsupported type $other")
     }
@@ -114,9 +117,11 @@ object ColumnDefaults {
       case (DoubleType, x: Double)   => b.putDouble(ValueKey, x)
       case (StringType, s: String)   => b.putString(ValueKey, s)
       case (BooleanType, x: Boolean) => b.putBoolean(ValueKey, x)
+      case (DateType, d: java.time.LocalDate) => b.putLong(ValueKey, d.toEpochDay)
+      case (DateType, d: java.sql.Date) => b.putLong(ValueKey, d.toLocalDate.toEpochDay)
       case (t, x) => throw new IllegalArgumentException(
         s"unsupported column default $x (${x.getClass.getSimpleName}) for " +
-          s"type $t — supported: int, long, float, double, string, boolean")
+          s"type $t — supported: int, long, float, double, string, boolean, date")
     }
     b.putLong(SinceKey, since)
     f.copy(metadata = b.build())

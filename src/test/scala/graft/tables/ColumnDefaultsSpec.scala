@@ -250,6 +250,41 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(e2.getMessage.contains("predates the retained history"))
   }
 
+  test("date default fills, filters, and survives the v3 round trip") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(2))
+    t.addColumnWithDefault("since", DateType, java.time.LocalDate.parse("2020-06-15"))
+    t.append(Seq((910, "d", java.sql.Date.valueOf("2024-01-01")))
+      .toDF("r_regionkey", "r_name", "since"))
+    assert(t.toDF(Some("since = DATE '2020-06-15'")).count() == 2)
+    assert(t.toDF(Some("since > DATE '2022-01-01'")).count() == 1)
+    val dir = outDir()
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(dir, "metadata.json"))
+    var found: com.fasterxml.jackson.databind.JsonNode = null
+    root.get("schema").get("fields").forEach(f =>
+      if (f.get("name").asText() == "since") found = f)
+    assert(found.get("initial-default").asText() == "2020-06-15")
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.toDF(Some("since = DATE '2020-06-15'")).count() == 2)
+  }
+
+  test("time travel: pre-add snapshots have no column, later ones fill") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(2))
+    val s1 = t.meta.currentSnapshotId.get
+    t.addColumnWithDefault("tier", StringType, "bronze")
+    t.append(Seq((900, "w", "gold")).toDF("r_regionkey", "r_name", "tier"))
+    val s2 = t.meta.currentSnapshotId.get
+    // before the add: the column does not exist in that snapshot's schema
+    assert(!t.asOf(s1).columns.contains("tier"))
+    // after: pre-add rows fill, the appended row keeps its real value
+    val got = t.asOf(s2).select("r_regionkey", "tier").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(900) == "gold" && got.values.count(_ == "bronze") == 2)
+  }
+
   test("replication carries the default to the replica") {
     val src = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/region.parquet").limit(3))
