@@ -124,6 +124,52 @@ class ScaleStressSpec extends SparkSpec {
     assert(tCommit / 100.0 <= 5.0, f"eq-delete commit latency ${tCommit / 100.0}%.1fs")
   }
 
+  test("default-fill plan grows by EPOCHS, not files or columns", SlowSuite) {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // 6 defaulted columns added at 3 distinct moments over a multi-file
+    // table: epoch boundaries sort, so a file's applicable-default vector
+    // is determined by where its seq falls among the SORTED boundaries —
+    // at most (boundaries + 1) distinct scan branches, never 2^columns
+    // and never per-file
+    val orders = spark.read.parquet(s"$sf01/orders.parquet").limit(20000)
+    val t = GraftTable.createAs(spark, tmp(), orders.repartition(6))
+    def appendSome(shift: Long): Unit = {
+      t.append(t.toDF().limit(500)
+        .withColumn("o_orderkey", $"o_orderkey" + shift)); ()
+    }
+    t.addColumnWithDefault("d1", StringType, "a")
+    t.addColumnWithDefault("d2", LongType, 1L)
+    appendSome(10000000L)
+    t.addColumnWithDefault("d3", StringType, "b")
+    t.addColumnWithDefault("d4", LongType, 2L)
+    appendSome(20000000L)
+    t.addColumnWithDefault("d5", StringType, "c")
+    t.addColumnWithDefault("d6", LongType, 3L)
+    appendSome(30000000L)
+    val df = GraftTable.load(spark, t.location).toDF()
+    val files = t.currentFiles().size
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    // 3 epoch boundaries + 1 = at most 4 branches (6 defaulted columns,
+    // 9+ files)
+    assert(scans.length <= 4,
+      s"default-fill branches must be epoch-bounded: ${scans.length} scans " +
+        s"for $files files / 6 defaulted columns")
+    // every epoch reads its correct fill (appended copies carry the
+    // values materialized at their write time; pre-add rows fill at read)
+    assert(df.count() == 21500)
+    assert(df.filter($"d1" === "a" && $"d6" === 3L).count() == 21500)
+    assert(df.filter($"d1".isNull || $"d3".isNull || $"d6".isNull).count() == 0)
+    // pushdown survives on the unfilled side: a predicate on a REAL
+    // column still reaches the parquet scans
+    val plan = df.filter($"o_orderkey" === 42L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]")
+      || plan.contains("EqualTo(o_orderkey,42)"), s"pushdown lost:\n${plan.take(2000)}")
+  }
+
   test("30 stacked DV commits: plan stays O(files), compaction folds to one", SlowSuite) {
     // continuous-ingestion steady state: many small DV commits accumulate;
     // the read plan must stay one broadcast of O(files-with-deletes) bitmap
