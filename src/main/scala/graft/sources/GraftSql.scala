@@ -922,33 +922,20 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     }.distinct
 
   /** `a = expr, b = expr` → assignment map (top-level commas only). */
-  /** Comma-split of an ADD COLUMNS declaration list, tracking parens AND
-    * angle brackets (`map<string,int>`, `struct<a:int,b:string>`) plus
-    * quotes — [[splitTopLevel]] tracks only parens, which would break
-    * nested-type declarations on their inner commas.
+  /** Comma-split of an ADD COLUMNS declaration list — [[splitTopLevel]]
+    * with angle brackets tracked too (`map<string,int>`,
+    * `struct<a:int,b:string>` carry top-level commas inside `<>`).
     */
-  private[sources] def splitColumnDecls(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0; var quote: Char = 0
-    s.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' => quote = c; cur += c
-        case '(' | '<' => depth += 1; cur += c
-        case ')' | '>' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
-      }
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  private[sources] def splitColumnDecls(s: String): Seq[String] =
+    splitTopLevel(s, trackAngles = true)
 
   /** Split one column declaration at its top-level `DEFAULT` keyword
     * (case-insensitive, whole word, outside quotes and brackets) —
-    * `x STRING DEFAULT 'a'` → (`x STRING`, Some(`'a'`)); a DEFAULT
-    * inside a quoted COMMENT never triggers.
+    * `x STRING DEFAULT 'a' COMMENT 'n'` → (`x STRING COMMENT 'n'`,
+    * Some(`'a'`)): the LITERAL is one quoted string (with `''`
+    * doubling) or one unquoted token; any trailing clause rejoins the
+    * declaration. A DEFAULT inside a quoted COMMENT never triggers; a
+    * bare `DEFAULT` with no literal refuses loudly.
     */
   private[sources] def splitDefaultClause(decl: String): (String, Option[String]) = {
     var depth = 0; var quote: Char = 0
@@ -964,8 +951,35 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
             decl.substring(i, i + 7).equalsIgnoreCase("default") &&
             (i == 0 || decl.charAt(i - 1).isWhitespace) &&
             (i + 7 == decl.length || decl.charAt(i + 7).isWhitespace) =>
-          return (decl.substring(0, i).trim,
-            Some(decl.substring(i + 7).trim))
+          val before = decl.substring(0, i).trim
+          val tail = decl.substring(i + 7).trim
+          if (tail.isEmpty) throw new IllegalArgumentException(
+            s"DEFAULT with no literal in column declaration '$decl'")
+          // one literal token: optional DATE/TIMESTAMP prefix + quoted
+          // string (with '' doubling), or a bare token up to whitespace
+          val prefixLen = "(?i)^(date|timestamp)\\s*(?=')".r
+            .findFirstIn(tail).map(_.length).getOrElse(0)
+          val litEnd =
+            if (prefixLen < tail.length && tail.charAt(prefixLen) == '\'') {
+              var j = prefixLen + 1
+              var closed = -1
+              while (closed < 0 && j < tail.length) {
+                if (tail.charAt(j) == '\'') {
+                  if (j + 1 < tail.length && tail.charAt(j + 1) == '\'') j += 2
+                  else { closed = j + 1 }
+                } else j += 1
+              }
+              if (closed < 0) throw new IllegalArgumentException(
+                s"unterminated DEFAULT literal in '$decl'")
+              closed
+            } else {
+              val w = tail.indexWhere(_.isWhitespace)
+              if (w < 0) tail.length else w
+            }
+          val lit = tail.substring(0, litEnd)
+          val rest = tail.substring(litEnd).trim
+          return ((before + (if (rest.isEmpty) "" else " " + rest)).trim,
+            Some(lit))
         case _ => ()
       }
       i += 1
@@ -991,9 +1005,16 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       case FloatType   => s.trim.toFloat
       case DoubleType  => s.trim.toDouble
       case BooleanType => s.trim.toBoolean
-      case DateType    => java.time.LocalDate.parse(
-        unquoted.trim.stripPrefix("DATE ").stripPrefix("date ")
-          .stripPrefix("'").stripSuffix("'"))
+      case DateType =>
+        // accept DATE '...' in any case/spacing, or a bare quoted date
+        val body = "(?i)^date\\s*".r.replaceFirstIn(s.trim, "")
+          .stripPrefix("'").stripSuffix("'").replace("''", "'")
+        try java.time.LocalDate.parse(body)
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"unsupported DEFAULT literal '$s' for type DATE " +
+              "(expected DATE 'YYYY-MM-DD')")
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported DEFAULT literal '$s' for type $other")
     }
@@ -1048,7 +1069,7 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   }
 
   /** Split on commas that are not inside parentheses or quotes. */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private def splitTopLevel(s: String, trackAngles: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0; var quote: Char = 0
@@ -1058,6 +1079,10 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         case '\'' | '"' => quote = c; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
+        // '<'/'>' are type brackets only in DDL declaration lists
+        // (ADD COLUMNS); everywhere else they are comparison operators
+        case '<' if trackAngles => depth += 1; cur += c
+        case '>' if trackAngles => depth -= 1; cur += c
         case ',' if depth == 0 => out += cur.toString; cur.clear()
         case _ => cur += c
       }

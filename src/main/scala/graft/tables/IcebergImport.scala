@@ -153,45 +153,60 @@ object IcebergImport {
       })
       b.result()
     }
-    lazy val snapSeqAndSchema: Seq[(Long, Option[Int])] = {
-      val b = Seq.newBuilder[(Long, Option[Int])]
+    // (snapshotId, seq, schemaId?, parentId?) per surviving snapshot
+    case class SnapInfo(id: Long, seq: Long, schemaId: Option[Int],
+        parentId: Option[Long])
+    lazy val snapInfos: Seq[SnapInfo] = {
+      val b = Seq.newBuilder[SnapInfo]
       Option(root.get("snapshots")).foreach(_.forEach { s =>
-        val seq = Option(s.get("sequence-number")).map(_.asLong())
-          .getOrElse(s.get("snapshot-id").asLong())
-        b += seq -> Option(s.get("schema-id")).map(_.asInt())
+        val id = s.get("snapshot-id").asLong()
+        b += SnapInfo(id,
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(id),
+          Option(s.get("schema-id")).map(_.asInt()),
+          Option(s.get("parent-snapshot-id")).map(_.asLong()))
       })
       b.result()
     }
+    /** The fill boundary for a foreign `initial-default`, derived from
+      * which surviving snapshots' schemas contain the field. The derived
+      * `min(seq | schema has field)` is only EXACT when nothing can hide
+      * below it: the boundary snapshot has no parent (the table's first
+      * commit), or its parent SURVIVES with a schema known to lack the
+      * field. Anything else (dangling parent after snapshot expiry, a
+      * schema-id-less snapshot below the boundary) leaves room for
+      * post-add files holding genuine NULLs below the boundary — filling
+      * those would silently diverge from a real reader, so refuse loudly.
+      */
     def foreignBoundary(name: String, fieldId: Int): Long = {
       // no snapshots → no data files → nothing can need filling
-      if (snapSeqAndSchema.isEmpty) return 0L
-      val withField = snapSeqAndSchema.collect {
-        case (seq, Some(sid)) if schemaFieldIds.getOrElse(sid, Set.empty)
-          .contains(fieldId) => seq
-      }
+      if (snapInfos.isEmpty) return 0L
+      def hasField(sid: Int): Boolean =
+        schemaFieldIds.getOrElse(sid, Set.empty).contains(fieldId)
+      val withField = snapInfos.filter(_.schemaId.exists(hasField))
       if (withField.isEmpty) throw new IllegalArgumentException(
         s"column '$name' carries initial-default but no snapshot " +
           "declares a schema-id containing it — cannot derive the " +
           "fill boundary; importing it default-inert would silently " +
           "read nulls where a real reader reads the default")
-      // the derived boundary is only EXACT when some surviving snapshot
-      // still predates the column; if every surviving snapshot's schema
-      // already contains it (the add predates the retained history —
-      // snapshot expiry), files below min(withField) may hold GENUINE
-      // nulls written after the add, and filling them would silently
-      // diverge from a real reader. Loud, not wrong.
-      val anyWithout = snapSeqAndSchema.exists {
-        case (_, Some(sid)) => !schemaFieldIds.getOrElse(sid, Set.empty)
-          .contains(fieldId)
-        case (_, None) => true
+      val bSnap = withField.minBy(_.seq)
+      val boundary = bSnap.seq
+      if (snapInfos.exists(s => s.schemaId.isEmpty && s.seq < boundary))
+        throw new IllegalArgumentException(
+          s"column '$name' carries initial-default but a snapshot below " +
+            "the derived fill boundary declares no schema-id — its files " +
+            "cannot be classified as pre- or post-add")
+      val anchored = bSnap.parentId match {
+        case None => true // the table's first commit: nothing predates it
+        case Some(p) => snapInfos.find(_.id == p)
+          .exists(_.schemaId.exists(sid => !hasField(sid)))
       }
-      if (!anyWithout) throw new IllegalArgumentException(
-        s"column '$name' carries initial-default but every surviving " +
-          "snapshot's schema already contains it (the add predates the " +
-          "retained history) — the fill boundary cannot be derived from " +
-          "metadata alone, and guessing would either fill genuine NULLs " +
-          "or drop the default")
-      withField.min
+      if (!anchored) throw new IllegalArgumentException(
+        s"column '$name' carries initial-default but the snapshot that " +
+          "introduced it has no surviving pre-add parent (snapshot " +
+          "expiry ate the add point) — files below the derived boundary " +
+          "may hold genuine NULLs written after the add; refusing rather " +
+          "than guessing")
+      boundary
     }
     val out = schema.fields.toBuffer
     var i = 0

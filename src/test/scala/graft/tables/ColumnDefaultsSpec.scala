@@ -211,6 +211,7 @@ class ColumnDefaultsSpec extends SparkSpec {
          |   "summary": {"operation": "append"},
          |   "manifest-list": "$dir/snap-1-def.avro"},
          |  {"snapshot-id": 2, "sequence-number": 2, "schema-id": 1,
+         |   "parent-snapshot-id": 1,
          |   "timestamp-ms": 1700000000001,
          |   "summary": {"operation": "append"},
          |   "manifest-list": "$dir/snap-2-def.avro"}],
@@ -237,17 +238,34 @@ class ColumnDefaultsSpec extends SparkSpec {
       IcebergImport.importMetadata(spark, s"$dir/metadata2.json", tmp()))
     assert(e.getMessage.contains("boundary"))
 
-    // every SURVIVING snapshot already carries the field (snapshot expiry
-    // ate the pre-add history): the derived boundary would over-fill
-    // genuine nulls — refuse loudly instead (review finding)
-    val ambiguous = metadata
-      .replace(""""sequence-number": 1, "schema-id": 0,""",
-        """"sequence-number": 1, "schema-id": 1,""")
+    // snapshot expiry ate the add point (the with-field snapshot's
+    // parent DANGLES): files below the boundary may hold genuine nulls
+    // written after the add — refuse loudly (review finding), never fill
+    val dangling = metadata
+      .replace(""""snapshots": [
+         |  {"snapshot-id": 1, "sequence-number": 1, "schema-id": 0,
+         |   "timestamp-ms": 1700000000000,
+         |   "summary": {"operation": "append"},
+         |   "manifest-list": "$dir/snap-1-def.avro"},
+         |""".stripMargin.replace("$dir", dir), """"snapshots": [
+""")
+      .replace(""""current-snapshot-id": 2""", """"current-snapshot-id": 2""")
       .replace(s""""location": "$dir"""", s""""location": "$dir/y"""")
-    MetaIO.writeString(conf, s"$dir/metadata3.json", ambiguous)
+    MetaIO.writeString(conf, s"$dir/metadata3.json", dangling)
     val e2 = intercept[IllegalArgumentException](
       IcebergImport.importMetadata(spark, s"$dir/metadata3.json", tmp()))
-    assert(e2.getMessage.contains("predates the retained history"))
+    assert(e2.getMessage.contains("no surviving pre-add parent"))
+
+    // BUT a default that predates all data (the first snapshot's schema
+    // already carries it, no parent) is exact and must import — the
+    // earlier over-broad guard refused this (review finding)
+    val firstCommit = metadata
+      .replace(""""sequence-number": 1, "schema-id": 0,""",
+        """"sequence-number": 1, "schema-id": 1,""")
+      .replace(s""""location": "$dir"""", s""""location": "$dir/z"""")
+    MetaIO.writeString(conf, s"$dir/metadata4.json", firstCommit)
+    val imp4 = IcebergImport.importMetadata(spark, s"$dir/metadata4.json", tmp())
+    assert(imp4.toDF().count() == 3)
   }
 
   test("date default fills, filters, and survives the v3 round trip") {
