@@ -1015,6 +1015,16 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
             s"unsupported DEFAULT literal '$s' for type DATE " +
               "(expected DATE 'YYYY-MM-DD')")
         }
+      case TimestampNTZType =>
+        // TIMESTAMP '2024-01-01 12:00:00' (space or T separator)
+        val body = "(?i)^timestamp\\s*".r.replaceFirstIn(s.trim, "")
+          .stripPrefix("'").stripSuffix("'").replace("''", "'")
+        try java.time.LocalDateTime.parse(body.replace(' ', 'T'))
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"unsupported DEFAULT literal '$s' for type TIMESTAMP_NTZ " +
+              "(expected TIMESTAMP 'YYYY-MM-DD HH:MM:SS')")
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported DEFAULT literal '$s' for type $other")
     }

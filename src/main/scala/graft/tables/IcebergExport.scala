@@ -171,8 +171,12 @@ object IcebergExport {
               case x: Double  => fo.put(key, x); ()
               case s: String  => fo.put(key, s); ()
               case b: Boolean => fo.put(key, b); ()
-              // Iceberg single-value JSON for date: "YYYY-MM-DD"
+              // Iceberg single-value JSON for date: "YYYY-MM-DD";
+              // timestamp (NTZ): ISO-8601 local datetime with micros
               case d: java.time.LocalDate => fo.put(key, d.toString); ()
+              case t: java.time.LocalDateTime =>
+                fo.put(key, java.time.format.DateTimeFormatter
+                  .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS").format(t)); ()
               case other => throw new IllegalStateException(
                 s"unserializable column default $other")
             }

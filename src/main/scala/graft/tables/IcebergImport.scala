@@ -138,8 +138,10 @@ object IcebergImport {
       case DoubleType  => node.asDouble()
       case StringType  => node.asText()
       case BooleanType => node.asBoolean()
-      // Iceberg single-value JSON for date: "YYYY-MM-DD"
+      // Iceberg single-value JSON: date "YYYY-MM-DD"; timestamp (NTZ)
+      // ISO-8601 local datetime
       case DateType    => java.time.LocalDate.parse(node.asText())
+      case TimestampNTZType => java.time.LocalDateTime.parse(node.asText())
       case other => throw new IllegalArgumentException(
         s"unsupported imported column default for type $other")
     }

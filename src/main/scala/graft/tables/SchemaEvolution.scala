@@ -78,10 +78,10 @@ object SchemaDiff {
   * rides `graft-*` keys and round-trips exactly.
   *
   * Supported default types: int, long, float, double, string, boolean,
-  * date (stored as epoch days, exchanged as Iceberg's "YYYY-MM-DD"
-  * single-value JSON). Timestamp/binary defaults refuse loudly — add
-  * them when a user exists; a silently mis-typed default is worse than
-  * none.
+  * date (epoch days; Iceberg "YYYY-MM-DD" single-value JSON) and
+  * timestamp-NTZ (epoch micros; ISO-8601 local datetime JSON).
+  * Timestamptz/binary defaults refuse loudly — add them when a user
+  * exists; a silently mis-typed default is worse than none.
   */
 object ColumnDefaults {
   import org.apache.spark.sql.types._
@@ -102,6 +102,11 @@ object ColumnDefaults {
       case StringType  => m.getString(ValueKey)
       case BooleanType => m.getBoolean(ValueKey)
       case DateType    => java.time.LocalDate.ofEpochDay(m.getLong(ValueKey))
+      case TimestampNTZType =>
+        val us = m.getLong(ValueKey)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
       case other => throw new IllegalStateException(
         s"column default metadata on unsupported type $other")
     }
@@ -119,9 +124,13 @@ object ColumnDefaults {
       case (BooleanType, x: Boolean) => b.putBoolean(ValueKey, x)
       case (DateType, d: java.time.LocalDate) => b.putLong(ValueKey, d.toEpochDay)
       case (DateType, d: java.sql.Date) => b.putLong(ValueKey, d.toLocalDate.toEpochDay)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        b.putLong(ValueKey, t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+          + t.getNano / 1000L)
       case (t, x) => throw new IllegalArgumentException(
         s"unsupported column default $x (${x.getClass.getSimpleName}) for " +
-          s"type $t — supported: int, long, float, double, string, boolean, date")
+          s"type $t — supported: int, long, float, double, string, boolean, " +
+          "date, timestamp (NTZ)")
     }
     b.putLong(SinceKey, since)
     f.copy(metadata = b.build())

@@ -288,6 +288,27 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(imp.toDF(Some("since = DATE '2020-06-15'")).count() == 2)
   }
 
+  test("timestamp-NTZ default fills and survives the v3 round trip") {
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(2))
+    val ts = java.time.LocalDateTime.parse("2021-03-04T05:06:07.000008")
+    t.addColumnWithDefault("seen", TimestampNTZType, ts)
+    assert(t.toDF(Some("seen = TIMESTAMP_NTZ '2021-03-04 05:06:07.000008'"))
+      .count() == 2)
+    val dir = outDir()
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(dir, "metadata.json"))
+    var found: com.fasterxml.jackson.databind.JsonNode = null
+    root.get("schema").get("fields").forEach(f =>
+      if (f.get("name").asText() == "seen") found = f)
+    assert(found.get("initial-default").asText() == "2021-03-04T05:06:07.000008")
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(ColumnDefaults.of(imp.meta.schema("seen")) ==
+      ColumnDefaults.of(t.meta.schema("seen")))
+    assert(imp.toDF().filter(col("seen").isNull).count() == 0)
+  }
+
   test("time travel: pre-add snapshots have no column, later ones fill") {
     val t = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/region.parquet").limit(2))
