@@ -957,15 +957,20 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
             s"DEFAULT with no literal in column declaration '$decl'")
           // one literal token: optional DATE/TIMESTAMP prefix + quoted
           // string (with '' doubling), or a bare token up to whitespace
-          val prefixLen = "(?i)^(date|timestamp)\\s*(?=')".r
+          val prefixLen = "(?i)^(date|timestamp)\\s*(?=['\"])".r
             .findFirstIn(tail).map(_.length).getOrElse(0)
           val litEnd =
-            if (prefixLen < tail.length && tail.charAt(prefixLen) == '\'') {
+            if (prefixLen < tail.length &&
+                (tail.charAt(prefixLen) == '\'' ||
+                 tail.charAt(prefixLen) == '"')) {
+              // Spark SQL accepts both '-quoted and "-quoted string
+              // literals (with doubling); scan with whichever opened
+              val q = tail.charAt(prefixLen)
               var j = prefixLen + 1
               var closed = -1
               while (closed < 0 && j < tail.length) {
-                if (tail.charAt(j) == '\'') {
-                  if (j + 1 < tail.length && tail.charAt(j + 1) == '\'') j += 2
+                if (tail.charAt(j) == q) {
+                  if (j + 1 < tail.length && tail.charAt(j + 1) == q) j += 2
                   else { closed = j + 1 }
                 } else j += 1
               }
@@ -991,12 +996,21 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
     * vocabulary): quoted strings, int/long/float/double numerics,
     * true/false. Anything else refuses loudly.
     */
+  private def stripQuotes(s: String): String =
+    if (s.startsWith("'")) s.stripPrefix("'").stripSuffix("'")
+      .replace("''", "'")
+    else if (s.startsWith("\"")) s.stripPrefix("\"").stripSuffix("\"")
+      .replace("\"\"", "\"")
+    else s
+
   private[sources] def parseDefaultLiteral(s: String,
       t: org.apache.spark.sql.types.DataType): Any = {
     import org.apache.spark.sql.types._
     val unquoted =
-      if ((s.startsWith("'") && s.endsWith("'") && s.length >= 2))
+      if (s.startsWith("'") && s.endsWith("'") && s.length >= 2)
         s.substring(1, s.length - 1).replace("''", "'")
+      else if (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2)
+        s.substring(1, s.length - 1).replace("\"\"", "\"")
       else s
     t match {
       case StringType  => unquoted
@@ -1007,8 +1021,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
       case BooleanType => s.trim.toBoolean
       case DateType =>
         // accept DATE '...' in any case/spacing, or a bare quoted date
-        val body = "(?i)^date\\s*".r.replaceFirstIn(s.trim, "")
-          .stripPrefix("'").stripSuffix("'").replace("''", "'")
+        val body = stripQuotes(
+          "(?i)^date\\s*".r.replaceFirstIn(s.trim, ""))
         try java.time.LocalDate.parse(body)
         catch { case _: java.time.format.DateTimeParseException =>
           throw new IllegalArgumentException(
@@ -1017,8 +1031,8 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         }
       case TimestampNTZType =>
         // TIMESTAMP '2024-01-01 12:00:00' (space or T separator)
-        val body = "(?i)^timestamp\\s*".r.replaceFirstIn(s.trim, "")
-          .stripPrefix("'").stripSuffix("'").replace("''", "'")
+        val body = stripQuotes(
+          "(?i)^timestamp\\s*".r.replaceFirstIn(s.trim, ""))
         try java.time.LocalDateTime.parse(body.replace(' ', 'T'))
         catch { case _: java.time.format.DateTimeParseException =>
           throw new IllegalArgumentException(

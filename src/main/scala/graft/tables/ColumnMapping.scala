@@ -83,12 +83,21 @@ object ColumnMapping {
 
   /** Project a logical-named frame to physical names for writing. Extra
     * columns (e.g. partition-transform derivatives added downstream) are
-    * not expected here — callers rename BEFORE adding them.
+    * not expected here — callers rename BEFORE adding them. Schema
+    * columns ABSENT from the frame are skipped, not errors: the
+    * name-based (no-mapping) path lets a writer omit a column (the file
+    * simply lacks it; reads resolve it to null or the declared default),
+    * and id-attached tables must behave identically — ids are stamped on
+    * whichever columns the writer did provide.
     */
   def toPhysical(schema: StructType, df: DataFrame): DataFrame =
     if (!hasMapping(schema) && !hasFieldIds(schema)) df
-    else df.select(schema.fields.toSeq.map(f =>
-      col(f.name).as(physicalName(f), fileMetadata(f))): _*)
+    else {
+      val present = df.columns.map(_.toLowerCase).toSet
+      df.select(schema.fields.toSeq
+        .filter(f => present(f.name.toLowerCase)).map(f =>
+          col(f.name).as(physicalName(f), fileMetadata(f))): _*)
+    }
 
   /** All physical names a new column must not collide with: live fields
     * plus retired (dropped) ones whose bytes persist in old files.

@@ -1203,8 +1203,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // postdates the add boundary, so a read would see its missing column
     // as raw null, never the initial-default fill. Missing non-defaulted
     // columns keep today's behavior.
+    // presence test matches the session resolver (spark.sql.caseSensitive
+    // defaults to false): a frame carrying TIER must count as providing
+    // tier, or the fill below would silently overwrite the user's values
     val dfFilled = m.schema.fields.foldLeft(df) { (d, f) =>
-      if (d.columns.contains(f.name)) d
+      if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
       else ColumnDefaults.of(f) match {
         case Some((v, _)) => d.withColumn(f.name, lit(v).cast(f.dataType))
         case None         => d

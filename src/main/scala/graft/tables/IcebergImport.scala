@@ -192,15 +192,22 @@ object IcebergImport {
           "read nulls where a real reader reads the default")
       val bSnap = withField.minBy(_.seq)
       val boundary = bSnap.seq
-      if (snapInfos.exists(s => s.schemaId.isEmpty && s.seq < boundary))
+      // a schema-id that resolves to nothing in the 'schemas' list is as
+      // unclassifiable as no schema-id at all — treat both identically
+      // (below the boundary AND as the parent anchor), else a trimmed or
+      // malformed document slips past the refuse-loudly posture
+      def unresolvable(s: SnapInfo): Boolean =
+        !s.schemaId.exists(schemaFieldIds.contains)
+      if (snapInfos.exists(s => unresolvable(s) && s.seq < boundary))
         throw new IllegalArgumentException(
           s"column '$name' carries initial-default but a snapshot below " +
-            "the derived fill boundary declares no schema-id — its files " +
-            "cannot be classified as pre- or post-add")
+            "the derived fill boundary declares no resolvable schema-id " +
+            "— its files cannot be classified as pre- or post-add")
       val anchored = bSnap.parentId match {
         case None => true // the table's first commit: nothing predates it
         case Some(p) => snapInfos.find(_.id == p)
-          .exists(_.schemaId.exists(sid => !hasField(sid)))
+          .exists(s => !unresolvable(s) &&
+            s.schemaId.exists(sid => !hasField(sid)))
       }
       if (!anchored) throw new IllegalArgumentException(
         s"column '$name' carries initial-default but the snapshot that " +

@@ -125,6 +125,14 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.table("o_ice").meta.schema.fieldNames.contains("tags"))
     assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE note IS NULL")
       .head().getLong(0) > 0)
+    // double-quoted string literal (Spark SQL accepts both quote styles):
+    // the stored default is the UNQUOTED value, with "" doubling honored
+    // (review finding: the quotes were silently kept as part of the value)
+    g.sql("""ALTER TABLE o_ice ADD COLUMNS (grade STRING DEFAULT "a b", mark STRING DEFAULT "x""y")""")
+    assert(g.sql("SELECT COUNT(*) AS n FROM o_ice WHERE grade = 'a b'")
+      .head().getLong(0) == preAdd)
+    assert(g.sql("""SELECT COUNT(*) AS n FROM o_ice WHERE mark = 'x"y'""")
+      .head().getLong(0) == preAdd)
   }
 
   test("CREATE + REFRESH MATERIALIZED VIEW maintain the aggregate incrementally") {

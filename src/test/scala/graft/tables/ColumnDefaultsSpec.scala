@@ -106,6 +106,20 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(got.size == 3 && got.values.forall(_ == "bronze"))
   }
 
+  test("write-default fill: case-differing column counts as PRESENT") {
+    // the session resolver is case-insensitive (spark.sql.caseSensitive
+    // defaults to false), so a frame carrying TIER provides tier — the
+    // fill must not overwrite the user's real values (review finding)
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/region.parquet").limit(2))
+    t.addColumnWithDefault("tier", StringType, "bronze")
+    t.append(Seq((850, "c", "gold")).toDF("r_regionkey", "r_name", "TIER"))
+    val got = t.toDF().select("r_regionkey", "tier").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(850) == "gold", "case-differing real value must survive")
+    assert(got.values.count(_ == "bronze") == 2)
+  }
+
   test("v3 export carries initial-default; v1/v2 binary exports refuse") {
     val t = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/region.parquet").limit(3))
@@ -132,6 +146,14 @@ class ColumnDefaultsSpec extends SparkSpec {
       Seq.fill(3)("bronze"))
     assert(ColumnDefaults.of(imp.meta.schema("tier")) ==
       ColumnDefaults.of(t.meta.schema("tier")))
+
+    // id-attached parity: omitting a NON-defaulted column on write is
+    // accepted (absent from the file, read back as null), matching the
+    // name-based path's behavior (review finding)
+    imp.append(Seq((950, "gold")).toDF("r_regionkey", "tier"))
+    val r950 = imp.toDF().filter(col("r_regionkey") === 950)
+      .select("r_name", "tier").head
+    assert(r950.isNullAt(0) && r950.getString(1) == "gold")
   }
 
   test("foreign v3 default derives its boundary from snapshot schema-ids") {
@@ -255,6 +277,18 @@ class ColumnDefaultsSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       IcebergImport.importMetadata(spark, s"$dir/metadata3.json", tmp()))
     assert(e2.getMessage.contains("no surviving pre-add parent"))
+
+    // a schema-id resolving to NOTHING in the schemas list is as
+    // unclassifiable as a missing one — the below-boundary guard must
+    // refuse, never count it as known-to-lack-the-field (review finding)
+    val unresolvable = metadata
+      .replace(""""sequence-number": 1, "schema-id": 0,""",
+        """"sequence-number": 1, "schema-id": 99,""")
+      .replace(s""""location": "$dir"""", s""""location": "$dir/w"""")
+    MetaIO.writeString(conf, s"$dir/metadata5.json", unresolvable)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergImport.importMetadata(spark, s"$dir/metadata5.json", tmp()))
+    assert(e3.getMessage.contains("resolvable"))
 
     // BUT a default that predates all data (the first snapshot's schema
     // already carries it, no parent) is exact and must import — the
