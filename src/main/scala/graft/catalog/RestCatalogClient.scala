@@ -1,0 +1,190 @@
+package graft.catalog
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.tables.{GraftTable, MetaIO, TableMeta}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** Client side of the Iceberg-REST-catalog protocol ([[RestCatalogServer]];
+  * public spec: apache/iceberg `rest-catalog-open-api.yaml`): discovery
+  * (namespaces, listing, loadTable → metadata location) plus
+  * catalog-mediated commits. `table()` returns a [[GraftTable]] whose
+  * commits are rerouted through the catalog — each commit becomes a
+  * [[MetaDiff]] requirements/updates proposal, and a 409
+  * `CommitFailedException` surfaces as the same
+  * `ConcurrentModificationException` the native file CAS throws, so the
+  * existing append rebase-and-retry loop works unchanged over the wire.
+  *
+  * Scale posture: one small HTTP round trip per COMMIT (metadata bytes
+  * only — data/manifest files go straight to shared storage from the
+  * executors, never through the catalog), one per table load. The
+  * catalog is not on the per-row path anywhere.
+  */
+class RestCatalogClient(val baseUri: String) {
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  class CatalogException(val code: Int, val errorType: String, message: String)
+    extends RuntimeException(s"$errorType ($code): $message")
+
+  private def send(method: String, path: String, body: Option[String] = None): JsonNode = {
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+      .header("Content-Type", "application/json")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(
+        body.getOrElse("{}"), StandardCharsets.UTF_8))
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 400) {
+      val (typ, msg) =
+        try {
+          val e = mapper.readTree(resp.body()).get("error")
+          (e.get("type").asText(), e.get("message").asText())
+        } catch { case _: Exception => ("HttpError", resp.body()) }
+      throw new CatalogException(resp.statusCode(), typ, msg)
+    }
+    if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+    else mapper.readTree(resp.body())
+  }
+
+  // multi-level namespaces join on the spec's %1F unit separator
+  private def nsPath(ns: Seq[String]): String =
+    java.net.URLEncoder.encode(ns.mkString("\u001f"), "UTF-8")
+
+  // -------------------------------------------------------- namespaces
+
+  def createNamespace(ns: Seq[String], properties: Map[String, String] = Map.empty): Unit = {
+    val o = mapper.createObjectNode()
+    val a = o.putArray("namespace"); ns.foreach(a.add)
+    val p = o.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    send("POST", "/v1/namespaces", Some(mapper.writeValueAsString(o)))
+    ()
+  }
+
+  def listNamespaces(): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    send("GET", "/v1/namespaces").get("namespaces").forEach { a =>
+      val parts = Seq.newBuilder[String]
+      a.forEach(n => { parts += n.asText(); () })
+      out += parts.result()
+    }
+    out.result()
+  }
+
+  def dropNamespace(ns: Seq[String]): Unit = {
+    send("DELETE", s"/v1/namespaces/${nsPath(ns)}"); ()
+  }
+
+  // ------------------------------------------------------------ tables
+
+  def listTables(ns: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    send("GET", s"/v1/namespaces/${nsPath(ns)}/tables").get("identifiers")
+      .forEach(id => { out += id.get("name").asText(); () })
+    out.result()
+  }
+
+  def tableExists(ns: Seq[String], name: String): Boolean =
+    try { send("HEAD", s"/v1/namespaces/${nsPath(ns)}/tables/$name"); true }
+    catch { case e: CatalogException if e.code == 404 => false }
+
+  /** Create an empty table through the catalog (server writes v1). */
+  def createTable(ns: Seq[String], name: String, schema: StructType,
+      partitionFields: Seq[(String, String, String)] = Nil,
+      properties: Map[String, String] = Map.empty,
+      location: Option[String] = None): LoadResult = {
+    val o = mapper.createObjectNode()
+    o.put("name", name)
+    location.foreach(o.put("location", _))
+    o.set[JsonNode]("schema", mapper.readTree(schema.json))
+    if (partitionFields.nonEmpty) {
+      val pa = o.putArray("partition-spec")
+      partitionFields.foreach { case (src, transform, fname) =>
+        val fo = pa.addObject()
+        fo.put("source-id", src); fo.put("transform", transform); fo.put("name", fname)
+      }
+    }
+    val p = o.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    LoadResult(send("POST", s"/v1/namespaces/${nsPath(ns)}/tables",
+      Some(mapper.writeValueAsString(o))))
+  }
+
+  /** Adopt an existing graft table (the spec's `register` endpoint). */
+  def registerTable(ns: Seq[String], name: String, metadataLocation: String): LoadResult = {
+    val o = mapper.createObjectNode()
+    o.put("name", name)
+    o.put("metadata-location", metadataLocation)
+    LoadResult(send("POST", s"/v1/namespaces/${nsPath(ns)}/register",
+      Some(mapper.writeValueAsString(o))))
+  }
+
+  def loadTable(ns: Seq[String], name: String): LoadResult =
+    LoadResult(send("GET", s"/v1/namespaces/${nsPath(ns)}/tables/$name"))
+
+  def dropTable(ns: Seq[String], name: String): Unit = {
+    send("DELETE", s"/v1/namespaces/${nsPath(ns)}/tables/$name"); ()
+  }
+
+  def renameTable(ns: Seq[String], name: String, toNs: Seq[String], toName: String): Unit = {
+    val o = mapper.createObjectNode()
+    def ident(n: Seq[String], t: String, key: String): Unit = {
+      val id = o.putObject(key)
+      val a = id.putArray("namespace"); n.foreach(a.add)
+      id.put("name", t); ()
+    }
+    ident(ns, name, "source"); ident(toNs, toName, "destination")
+    send("POST", "/v1/tables/rename", Some(mapper.writeValueAsString(o)))
+    ()
+  }
+
+  case class LoadResult(raw: JsonNode) {
+    def metadataLocation: String = raw.get("metadata-location").asText()
+    /** Table root: …/metadata/vN.metadata.json → two levels up. */
+    def location: String = new org.apache.hadoop.fs.Path(metadataLocation)
+      .getParent.getParent.toString
+    def metadata: TableMeta = MetaIO.metaFromJson(raw.get("metadata").toString)
+  }
+
+  // ----------------------------------------------------------- commit
+
+  /** Propose a (base → next) metadata transition; 409 surfaces as the
+    * native CAS's ConcurrentModificationException so retry loops rebase.
+    */
+  def commit(ns: Seq[String], name: String, base: TableMeta, next: TableMeta): Unit = {
+    val proposal = MetaDiff.diff(base, next)
+    try {
+      send("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name",
+        Some(proposal.toJson(Some((ns, name)))))
+      ()
+    } catch {
+      case e: CatalogException if e.code == 409 =>
+        throw new java.util.ConcurrentModificationException(
+          s"catalog commit conflict for ${ns.mkString(".")}.$name: ${e.getMessage}")
+    }
+  }
+
+  /** A table handle whose COMMITS go through the catalog: reads resolve
+    * the location via `loadTable`, and the commit delegate rebuilds the
+    * (base → next) diff from the immutable previous version file — the
+    * base a commit was computed from is always `v{N-1}`, which no writer
+    * ever mutates.
+    */
+  def table(spark: SparkSession, ns: Seq[String], name: String): GraftTable = {
+    val t = GraftTable.load(spark, loadTable(ns, name).location)
+    val conf = spark.sparkContext.hadoopConfiguration
+    t.commitDelegate = Some { next =>
+      val base = MetaIO.metaFromJson(MetaIO.readString(conf,
+        MetaIO.metadataPath(next.location, next.version - 1)))
+      commit(ns, name, base, next)
+    }
+    t
+  }
+}

@@ -1,0 +1,391 @@
+package graft.catalog
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.tables._
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+/** A from-scratch Iceberg-REST-catalog-protocol server (public spec:
+  * apache/iceberg `rest-catalog-open-api.yaml`) arbitrating graft tables —
+  * the catalog leg of the reference's integration story
+  * (pyspark-iceberg/interoperability.md:5: "For full integration ... Spark
+  * needs to register a catalog"): engines DISCOVER tables through the
+  * catalog (`loadTable` returns the current metadata location; data and
+  * metadata files stay on shared storage) and COMMIT through it
+  * (requirements/updates CAS — [[MetaDiff]]), instead of racing on
+  * filesystem rename.
+  *
+  * Endpoints (prefix-less `/v1/...` paths, namespaces single-level or
+  * `%1F`-joined per the spec):
+  *  - `GET  /v1/config`
+  *  - `GET|POST /v1/namespaces`, `GET|DELETE /v1/namespaces/{ns}`
+  *  - `GET|POST /v1/namespaces/{ns}/tables` (list / create)
+  *  - `POST /v1/namespaces/{ns}/register` (adopt an existing graft table)
+  *  - `GET|HEAD|DELETE|POST /v1/namespaces/{ns}/tables/{t}` (load /
+  *    exists / drop / commit)
+  *  - `POST /v1/tables/rename`
+  *
+  * Commit maps onto graft's existing version-file CAS: the server
+  * validates the request's requirements against the CURRENT metadata,
+  * applies the update list, and publishes `v{N+1}.metadata.json` through
+  * [[MetaIO.commitMeta]] — per-table serialization makes the catalog the
+  * single commit arbiter (the HadoopTableOperations → catalog upgrade
+  * Iceberg itself prescribes for object stores, where rename is not
+  * atomic and a filesystem CAS cannot exist). Requirement violations and
+  * CAS losses surface as 409 `CommitFailedException`, which clients treat
+  * exactly like the native CAS conflict: reload, rebase, retry.
+  *
+  * Scale posture: the server touches METADATA only — requests are O(bytes
+  * of metadata.json), never data IO; a commit is one read + one write of
+  * a metadata file. Registry state (namespaces + name → location) persists
+  * to `catalog.json` under the warehouse so a restarted server recovers.
+  */
+class RestCatalogServer(val warehouse: String,
+    conf: Configuration = new Configuration(), port: Int = 0) {
+  private val mapper = new ObjectMapper()
+
+  // registry: namespace -> (table name -> location); namespace props
+  private val namespaces = new ConcurrentHashMap[String, java.util.Map[String, String]]()
+  private val tables = new ConcurrentHashMap[String, java.util.Map[String, String]]()
+  private val registryLock = new Object
+  private val tableLocks = new ConcurrentHashMap[String, Object]()
+
+  private val catalogFile = s"$warehouse/catalog.json"
+  loadRegistry()
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => route(ex))
+  // daemon workers: a leaked (or long-lived) catalog must never keep the
+  // host JVM alive past main — stop() also drains the pool explicitly
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-rest-catalog")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def uri: String = s"http://127.0.0.1:$boundPort"
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+
+  // --------------------------------------------------------- registry
+
+  private def loadRegistry(): Unit = registryLock.synchronized {
+    if (MetaIO.exists(conf, catalogFile)) {
+      val root = mapper.readTree(MetaIO.readString(conf, catalogFile))
+      root.get("namespaces").fieldNames().forEachRemaining { ns =>
+        val props = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        val pn = root.get("namespaces").get(ns)
+        pn.fieldNames().forEachRemaining(k => props.put(k, pn.get(k).asText()))
+        namespaces.put(ns, props)
+      }
+      root.get("tables").fieldNames().forEachRemaining { ns =>
+        val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        val tn = root.get("tables").get(ns)
+        tn.fieldNames().forEachRemaining(k => m.put(k, tn.get(k).asText()))
+        tables.put(ns, m)
+      }
+    }
+  }
+
+  private def saveRegistry(): Unit = registryLock.synchronized {
+    val root = mapper.createObjectNode()
+    val nsNode = root.putObject("namespaces")
+    namespaces.forEach { (ns, props) =>
+      val o = nsNode.putObject(ns)
+      props.forEach((k, v) => { o.put(k, v); () })
+    }
+    val tNode = root.putObject("tables")
+    tables.forEach { (ns, m) =>
+      val o = tNode.putObject(ns)
+      m.forEach((k, v) => { o.put(k, v); () })
+    }
+    MetaIO.writeStringAtomic(conf, catalogFile,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
+  // ---------------------------------------------------------- routing
+
+  private def route(ex: HttpExchange): Unit = {
+    try {
+      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
+        .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+      val method = ex.getRequestMethod
+      (method, segs) match {
+        case ("GET", Seq("v1", "config")) =>
+          val o = mapper.createObjectNode()
+          o.putObject("defaults"); o.putObject("overrides")
+          json(ex, 200, o)
+        case ("GET", Seq("v1", "namespaces")) => listNamespaces(ex)
+        case ("POST", Seq("v1", "namespaces")) => createNamespace(ex)
+        case ("GET", Seq("v1", "namespaces", ns)) => getNamespace(ex, ns)
+        case ("DELETE", Seq("v1", "namespaces", ns)) => dropNamespace(ex, ns)
+        case ("GET", Seq("v1", "namespaces", ns, "tables")) => listTables(ex, ns)
+        case ("POST", Seq("v1", "namespaces", ns, "tables")) => createTable(ex, ns)
+        case ("POST", Seq("v1", "namespaces", ns, "register")) => registerTable(ex, ns)
+        case ("GET", Seq("v1", "namespaces", ns, "tables", t)) => loadTable(ex, ns, t)
+        case ("HEAD", Seq("v1", "namespaces", ns, "tables", t)) =>
+          if (locationOf(ns, t).isDefined) { ex.sendResponseHeaders(204, -1); ex.close() }
+          else error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
+        case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) => dropTable(ex, ns, t)
+        case ("POST", Seq("v1", "namespaces", ns, "tables", t)) => commitTable(ex, ns, t)
+        case ("POST", Seq("v1", "tables", "rename")) => renameTable(ex)
+        case _ =>
+          error(ex, 404, "NotFoundException", s"$method ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: Exception =>
+        try error(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
+        catch { case _: Exception => () }
+    }
+  }
+
+  private def body(ex: HttpExchange): JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  private def json(ex: HttpExchange, code: Int, node: JsonNode): Unit = {
+    val bytes = mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** Spec error envelope: `{"error": {message, type, code}}`. */
+  private def error(ex: HttpExchange, code: Int, typ: String, msg: String): Unit = {
+    val o = mapper.createObjectNode()
+    val e = o.putObject("error")
+    e.put("message", msg); e.put("type", typ); e.put("code", code)
+    json(ex, code, o)
+  }
+
+  // the spec's multi-level namespace separator (unit separator, %1F)
+  private val NsSep = '\u001f'
+
+  private def nsParts(ns: String): Seq[String] = ns.split(NsSep).toSeq
+
+  private def locationOf(ns: String, t: String): Option[String] =
+    Option(tables.get(ns)).flatMap(m => Option(m.get(t)))
+
+  // ------------------------------------------------------- namespaces
+
+  private def listNamespaces(ex: HttpExchange): Unit = {
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("namespaces")
+    namespaces.keySet().stream().sorted().forEach { ns =>
+      val a = arr.addArray(); nsParts(ns).foreach(a.add)
+    }
+    json(ex, 200, o)
+  }
+
+  private def createNamespace(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    val parts = Seq.newBuilder[String]
+    b.get("namespace").forEach(n => { parts += n.asText(); () })
+    val ns = parts.result().mkString(NsSep.toString)
+    registryLock.synchronized {
+      if (namespaces.containsKey(ns))
+        return error(ex, 409, "AlreadyExistsException", s"namespace $ns exists")
+      val props = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      Option(b.get("properties")).foreach(p =>
+        p.fieldNames().forEachRemaining(k => props.put(k, p.get(k).asText())))
+      namespaces.put(ns, props)
+      tables.putIfAbsent(ns, new java.util.concurrent.ConcurrentHashMap[String, String]())
+      saveRegistry()
+    }
+    val o = mapper.createObjectNode()
+    val a = o.putArray("namespace"); nsParts(ns).foreach(a.add)
+    o.putObject("properties")
+    json(ex, 200, o)
+  }
+
+  private def getNamespace(ex: HttpExchange, ns: String): Unit =
+    Option(namespaces.get(ns)) match {
+      case None => error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+      case Some(props) =>
+        val o = mapper.createObjectNode()
+        val a = o.putArray("namespace"); nsParts(ns).foreach(a.add)
+        val p = o.putObject("properties")
+        props.forEach((k, v) => { p.put(k, v); () })
+        json(ex, 200, o)
+    }
+
+  private def dropNamespace(ex: HttpExchange, ns: String): Unit =
+    registryLock.synchronized {
+      if (!namespaces.containsKey(ns))
+        error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+      else if (!Option(tables.get(ns)).forall(_.isEmpty))
+        error(ex, 409, "NamespaceNotEmptyException", s"namespace $ns has tables")
+      else {
+        namespaces.remove(ns); tables.remove(ns); saveRegistry()
+        ex.sendResponseHeaders(204, -1); ex.close()
+      }
+    }
+
+  // ----------------------------------------------------------- tables
+
+  private def listTables(ex: HttpExchange, ns: String): Unit = {
+    if (!namespaces.containsKey(ns))
+      return error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+    val o = mapper.createObjectNode()
+    val arr = o.putArray("identifiers")
+    Option(tables.get(ns)).foreach(_.keySet().stream().sorted().forEach { t =>
+      val id = arr.addObject()
+      val a = id.putArray("namespace"); nsParts(ns).foreach(a.add)
+      id.put("name", t)
+    })
+    json(ex, 200, o)
+  }
+
+  private def loadTableResult(ns: String, t: String, loc: String): ObjectNode = {
+    val v = MetaIO.currentVersion(conf, loc).getOrElse(
+      throw new IllegalStateException(s"no metadata at $loc"))
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", MetaIO.metadataPath(loc, v))
+    o.set[ObjectNode]("metadata",
+      mapper.readTree(MetaIO.readString(conf, MetaIO.metadataPath(loc, v)))
+        .asInstanceOf[ObjectNode])
+    o.putObject("config")
+    o
+  }
+
+  private def createTable(ex: HttpExchange, ns: String): Unit = {
+    if (!namespaces.containsKey(ns))
+      return error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+    val b = body(ex)
+    val name = b.get("name").asText()
+    val loc = Option(b.get("location")).filterNot(_.isNull).map(_.asText())
+      .getOrElse(s"$warehouse/${nsParts(ns).mkString("/")}/$name")
+    registryLock.synchronized {
+      if (locationOf(ns, name).isDefined)
+        return error(ex, 409, "AlreadyExistsException", s"table $ns.$name exists")
+      val schema = DataType.fromJson(b.get("schema").toString).asInstanceOf[StructType]
+      val fields = Seq.newBuilder[PartitionField]
+      Option(b.get("partition-spec")).filterNot(_.isNull).foreach(_.forEach { fo =>
+        fields += PartitionField(fo.get("source-id").asText(),
+          fo.get("transform").asText(), fo.get("name").asText())
+      })
+      val props = Map.newBuilder[String, String]
+      Option(b.get("properties")).filterNot(_.isNull).foreach(p =>
+        p.fieldNames().forEachRemaining(k => props += k -> p.get(k).asText()))
+      if (MetaIO.currentVersion(conf, loc).isDefined)
+        return error(ex, 409, "AlreadyExistsException", s"metadata exists at $loc")
+      MetaIO.commitMeta(conf, TableMeta(loc, 1, schema,
+        Seq(PartitionSpec(0, fields.result())), 0, Nil, None, props.result()))
+      tables.computeIfAbsent(ns, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]()).put(name, loc)
+      saveRegistry()
+    }
+    json(ex, 200, loadTableResult(ns, name, loc))
+  }
+
+  private def registerTable(ex: HttpExchange, ns: String): Unit = {
+    if (!namespaces.containsKey(ns))
+      return error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+    val b = body(ex)
+    val name = b.get("name").asText()
+    // metadata-location per spec; the table dir is its grandparent
+    // (…/metadata/vN.metadata.json)
+    val metaLoc = b.get("metadata-location").asText()
+    val loc = new org.apache.hadoop.fs.Path(metaLoc).getParent.getParent.toString
+    registryLock.synchronized {
+      if (locationOf(ns, name).isDefined)
+        return error(ex, 409, "AlreadyExistsException", s"table $ns.$name exists")
+      if (MetaIO.currentVersion(conf, loc).isEmpty)
+        return error(ex, 404, "NoSuchTableException", s"no graft metadata at $loc")
+      tables.computeIfAbsent(ns, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]()).put(name, loc)
+      saveRegistry()
+    }
+    json(ex, 200, loadTableResult(ns, name, loc))
+  }
+
+  private def loadTable(ex: HttpExchange, ns: String, t: String): Unit =
+    locationOf(ns, t) match {
+      case None => error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
+      case Some(loc) => json(ex, 200, loadTableResult(ns, t, loc))
+    }
+
+  private def dropTable(ex: HttpExchange, ns: String, t: String): Unit =
+    registryLock.synchronized {
+      locationOf(ns, t) match {
+        case None => error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
+        case Some(_) =>
+          tables.get(ns).remove(t); saveRegistry()
+          ex.sendResponseHeaders(204, -1); ex.close()
+      }
+    }
+
+  private def renameTable(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    def ident(n: JsonNode): (String, String) = {
+      val parts = Seq.newBuilder[String]
+      n.get("namespace").forEach(x => { parts += x.asText(); () })
+      (parts.result().mkString(NsSep.toString), n.get("name").asText())
+    }
+    val (sNs, sName) = ident(b.get("source"))
+    val (dNs, dName) = ident(b.get("destination"))
+    registryLock.synchronized {
+      locationOf(sNs, sName) match {
+        case None =>
+          error(ex, 404, "NoSuchTableException", s"table $sNs.$sName not found")
+        case Some(loc) =>
+          if (!namespaces.containsKey(dNs))
+            error(ex, 404, "NoSuchNamespaceException", s"namespace $dNs not found")
+          else if (locationOf(dNs, dName).isDefined)
+            error(ex, 409, "AlreadyExistsException", s"table $dNs.$dName exists")
+          else {
+            tables.get(sNs).remove(sName)
+            tables.computeIfAbsent(dNs, _ =>
+              new java.util.concurrent.ConcurrentHashMap[String, String]())
+              .put(dName, loc)
+            saveRegistry()
+            ex.sendResponseHeaders(204, -1); ex.close()
+          }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- commit
+
+  /** The CAS: requirements checked against the CURRENT metadata, updates
+    * applied, the new version published through graft's version-file
+    * commit — all under a per-table lock, so the catalog serializes
+    * writers (the role interoperability.md assigns to the catalog).
+    */
+  private def commitTable(ex: HttpExchange, ns: String, t: String): Unit =
+    locationOf(ns, t) match {
+      case None => error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
+      case Some(loc) =>
+        val lock = tableLocks.computeIfAbsent(s"$ns\u001f$t", _ => new Object)
+        lock.synchronized {
+          val b = body(ex)
+          val cur = MetaIO.loadMeta(conf, loc)
+          MetaDiff.checkRequirements(cur, b.get("requirements")) match {
+            case Some(msg) => error(ex, 409, "CommitFailedException", msg)
+            case None =>
+              val next =
+                try MetaDiff.applyUpdates(cur, b.get("updates"))
+                catch {
+                  case e: IllegalArgumentException =>
+                    return error(ex, 400, "BadRequestException", e.getMessage)
+                }
+              try MetaIO.commitMeta(conf, next)
+              catch {
+                case e: java.util.ConcurrentModificationException =>
+                  // an out-of-band writer hit the version file directly —
+                  // the file CAS stays authoritative even under a catalog
+                  return error(ex, 409, "CommitFailedException", e.getMessage)
+              }
+              json(ex, 200, loadTableResult(ns, t, loc))
+          }
+        }
+    }
+}

@@ -1316,7 +1316,67 @@ object TableOpsExt {
        |  (SELECT COUNT(*) FROM late WHERE k % 2 <> 0) AS null_rows,
        |  (SELECT COUNT(*) FROM ${cappedSql(3000)}) * 7 + 100 * 100 AS sum_score""".stripMargin
 
+  // ---------------------------------------------------------------- t51
+
+  /** t51: catalog-mediated table sharing (the Iceberg REST catalog
+    * protocol — reference pyspark-iceberg/interoperability.md:5, the
+    * "register a catalog" integration leg). A from-scratch REST catalog
+    * server ([[graft.catalog.RestCatalogServer]]) arbitrates the table:
+    * creation, discovery, and every commit go over HTTP as
+    * requirements/updates proposals; four writers race their appends
+    * through the catalog CAS (losers get 409, rebase, retry — t33's
+    * semantics over the wire), and a fresh client handle discovers the
+    * final state through `loadTable`.
+    */
+  def t51RestCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val writers = 4
+    val srv = new RestCatalogServer(
+      Files.createTempDirectory("graft_cat51").toString,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val c = new RestCatalogClient(srv.uri)
+      c.createNamespace(Seq("lake"))
+      val base = orders(spark, sfDir, 2000)
+      c.createTable(Seq("lake"), "orders", base.schema,
+        properties = Map(TableFormat.CommitRetries -> "16"))
+      c.table(spark, Seq("lake"), "orders").append(base)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        Await.result(Future.sequence((1 to writers).map { i =>
+          Future {
+            c.table(spark, Seq("lake"), "orders")
+              .append(shifted(spark, sfDir, 250, 900000000L * i))
+          }
+        }), 300.seconds)
+      } finally pool.shutdown()
+      val t = c.table(spark, Seq("lake"), "orders")
+      val m = t.meta
+      Seq((m.snapshots.count(_.operation == "append").toLong,
+        t.toDF().count(),
+        t.toDF().select(col("o_orderkey")).distinct().count(),
+        m.currentAncestors.size == m.snapshots.size,
+        c.listTables(Seq("lake")).size.toLong))
+        .toDF("n_appends", "n_rows", "n_distinct_keys", "linear_history",
+          "n_tables")
+    } finally srv.stop()
+  }
+
+  val t51Oracle: String =
+    s"""SELECT CAST(5 AS BIGINT) AS n_appends,
+       |  (SELECT COUNT(*) FROM ${cappedSql(2000)})
+       |    + 4 * (SELECT COUNT(*) FROM ${cappedSql(250)}) AS n_rows,
+       |  (SELECT COUNT(*) FROM ${cappedSql(2000)})
+       |    + 4 * (SELECT COUNT(*) FROM ${cappedSql(250)}) AS n_distinct_keys,
+       |  TRUE AS linear_history,
+       |  CAST(1 AS BIGINT) AS n_tables""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t51_rest_catalog"         -> ((t51RestCatalog _, t51Oracle)),
     "t50_column_defaults"      -> ((t50ColumnDefaults _, t50Oracle)),
     "t49_dv_interop"           -> ((t49DvInterop _, t49Oracle)),
     "t48_avro_interop"         -> ((t48AvroInterop _, t48Oracle)),

@@ -48,7 +48,8 @@ import scala.util.matching.Regex
   * the statement head): the goal is the workshop's command surface, not a
   * general SQL parser — Catalyst keeps doing all expression parsing.
   */
-class GraftSql(val spark: SparkSession, warehouse: String) {
+class GraftSql(val spark: SparkSession, warehouse: String,
+    catalog: Option[(graft.catalog.RestCatalogClient, Seq[String])] = None) {
 
   private val tables = mutable.LinkedHashMap[String, String]() // name -> location
   // EXTERNAL (non-versioned) sources: name -> lazily re-read DataFrame —
@@ -64,12 +65,42 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   def setVar(name: String, value: String): Unit = vars(name) = value
 
   def location(name: String): String = tables.getOrElse(name,
-    throw new IllegalArgumentException(s"unknown graft table: $name"))
+    catalog.flatMap { case (c, ns) =>
+      // catalog-mode discovery: another session may have created the
+      // table; loadTable resolves it and the local map caches the
+      // (immutable) location
+      if (c.tableExists(ns, name)) {
+        val loc = c.loadTable(ns, name).location
+        tables(name) = loc
+        Some(loc)
+      } else None
+    }.getOrElse(
+      throw new IllegalArgumentException(s"unknown graft table: $name")))
 
-  def table(name: String): GraftTable = GraftTable.load(spark, location(name))
+  /** Handles in catalog mode COMMIT through the catalog (the REST
+    * requirements/updates CAS) — every INSERT/MERGE/ALTER the SQL facade
+    * issues is arbitrated by the server, not the local filesystem CAS.
+    */
+  def table(name: String): GraftTable = catalog match {
+    case Some((c, ns)) => location(name); c.table(spark, ns, name)
+    case None          => GraftTable.load(spark, location(name))
+  }
 
-  /** Adopt an existing GraftTable (or reserve a location) under `name`. */
-  def register(name: String, loc: String): Unit = tables(name) = loc
+  /** Adopt an existing GraftTable (or reserve a location) under `name`;
+    * in catalog mode the table is also registered with the catalog (the
+    * spec's `register` endpoint) so other sessions can discover it.
+    */
+  def register(name: String, loc: String): Unit = {
+    tables(name) = loc
+    catalog.foreach { case (c, ns) =>
+      if (!c.tableExists(ns, name)) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        graft.tables.MetaIO.currentVersion(conf, loc).foreach { v =>
+          c.registerTable(ns, name, graft.tables.MetaIO.metadataPath(loc, v))
+        }
+      }
+    }
+  }
 
   /** In-place migration of a parquet dir (reference "in-place" import). */
   def migrate(name: String, sourceDir: String): GraftTable = {
@@ -199,6 +230,9 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
         status("insert", name)
       case DropTable(name) =>
         tables.remove(name); externals.remove(name)
+        catalog.foreach { case (c, ns) =>
+          if (c.tableExists(ns, name)) c.dropTable(ns, name)
+        }
         spark.catalog.dropTempView(name)
         status("drop-table", name)
       case MergeHead(name, tgtAlias, usingRest) =>
@@ -769,6 +803,16 @@ class GraftSql(val spark: SparkSession, warehouse: String) {
   private def runSelect(selectRaw: String): DataFrame = {
     var q = selectRaw
     var i = 0
+    // catalog-mode discovery for SELECTs: identifiers unknown locally may
+    // be tables another session created — one listTables round trip
+    // resolves them (metadata-only; locations are immutable and cached)
+    catalog.foreach { case (cl, ns) =>
+      cl.listTables(ns).foreach { name =>
+        if (!tables.contains(name) &&
+            ("(?i)\\b" + Regex.quote(name) + "\\b").r.findFirstIn(q).isDefined)
+          tables(name) = cl.loadTable(ns, name).location
+      }
+    }
     // Iceberg-style inline metadata tables (reference README.md:353
     // `SELECT * FROM ${user}_ice.airlines.history`): resolve
     // <table>.<metadata> references to temp views of the metadata frames

@@ -1176,13 +1176,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val next = m.copy(version = m.version + 1, snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(snapId),
       properties = m.properties ++ extraProperties)
-    MetaIO.commitMeta(conf, next)
+    publish(next)
     next
   }
 
   private def commitMetadataOnly(next: TableMeta): TableMeta = {
-    MetaIO.commitMeta(conf, next)
+    publish(next)
     next
+  }
+
+  /** Catalog-mediated commits (Iceberg REST catalog,
+    * `graft.catalog.RestCatalogClient.table`): when set, commits of this
+    * handle are PROPOSED to the delegate instead of CAS-publishing the
+    * version file directly — the catalog becomes the single commit
+    * arbiter (reference interoperability.md:5, the "register a catalog"
+    * integration leg). The delegate throws
+    * `ConcurrentModificationException` on conflict, which the existing
+    * append rebase-and-retry loop handles unchanged.
+    */
+  @volatile private[graft] var commitDelegate: Option[TableMeta => Unit] = None
+
+  private def publish(next: TableMeta): Unit = commitDelegate match {
+    case Some(d) => d(next)
+    case None    => MetaIO.commitMeta(conf, next)
   }
 
   // -------------------------------------------------------- write path

@@ -1,0 +1,209 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The Iceberg REST catalog protocol over graft tables: discovery
+  * (namespaces, create/register/load/rename/drop), commit-via-
+  * requirements/updates CAS mapped onto the version-file commit, conflict
+  * refusal + rebase retry over the wire, diff/apply identity across every
+  * commit shape the engine produces, and registry recovery on restart.
+  */
+class RestCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_cat").toString
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
+  private def withServer[A](f: (RestCatalogServer, RestCatalogClient) => A): A = {
+    val srv = new RestCatalogServer(tmp(), conf)
+    try f(srv, new RestCatalogClient(srv.uri)) finally srv.stop()
+  }
+
+  test("namespace lifecycle: create, list, duplicate 409, non-empty 409, drop") {
+    withServer { (_, c) =>
+      c.createNamespace(Seq("lake"))
+      c.createNamespace(Seq("lake", "raw")) // multi-level
+      assert(c.listNamespaces() == Seq(Seq("lake"), Seq("lake", "raw")))
+      val dup = intercept[c.CatalogException](c.createNamespace(Seq("lake")))
+      assert(dup.code == 409 && dup.errorType == "AlreadyExistsException")
+      c.createTable(Seq("lake"), "t", StructType(Seq(StructField("a", IntegerType))))
+      val full = intercept[c.CatalogException](c.dropNamespace(Seq("lake")))
+      assert(full.code == 409)
+      c.dropTable(Seq("lake"), "t")
+      c.dropNamespace(Seq("lake"))
+      assert(c.listNamespaces() == Seq(Seq("lake", "raw")))
+    }
+  }
+
+  test("create + load + catalog-mediated append + read back") {
+    withServer { (_, c) =>
+      c.createNamespace(Seq("lake"))
+      val region = spark.read.parquet(s"$sf/region.parquet")
+      c.createTable(Seq("lake"), "region", region.schema)
+      assert(c.listTables(Seq("lake")) == Seq("region"))
+      assert(c.tableExists(Seq("lake"), "region"))
+      assert(!c.tableExists(Seq("lake"), "nope"))
+
+      val t = c.table(spark, Seq("lake"), "region")
+      t.append(region)
+      // a SECOND session-handle (fresh discovery through the catalog)
+      // sees the committed rows — the shared-table story
+      val t2 = c.table(spark, Seq("lake"), "region")
+      assert(t2.toDF().count() == region.count())
+      // loadTable's metadata-location points at the CURRENT version file
+      val lr = c.loadTable(Seq("lake"), "region")
+      assert(lr.metadataLocation.endsWith(s"v${t2.meta.version}.metadata.json"))
+      assert(lr.metadata.currentSnapshotId == t2.meta.currentSnapshotId)
+
+      val missing = intercept[c.CatalogException](c.loadTable(Seq("lake"), "nope"))
+      assert(missing.code == 404 && missing.errorType == "NoSuchTableException")
+    }
+  }
+
+  test("register adopts an existing graft table; rename moves it") {
+    withServer { (_, c) =>
+      c.createNamespace(Seq("lake"))
+      c.createNamespace(Seq("mart"))
+      val t = GraftTable.createAs(spark, tmp() + "/t",
+        spark.read.parquet(s"$sf/nation.parquet"))
+      val metaLoc = MetaIO.metadataPath(t.location,
+        MetaIO.currentVersion(conf, t.location).get)
+      c.registerTable(Seq("lake"), "nation", metaLoc)
+      assert(c.table(spark, Seq("lake"), "nation").toDF().count() == 25)
+      c.renameTable(Seq("lake"), "nation", Seq("mart"), "nations")
+      assert(!c.tableExists(Seq("lake"), "nation"))
+      assert(c.table(spark, Seq("mart"), "nations").toDF().count() == 25)
+    }
+  }
+
+  test("diff/apply is the identity on every commit shape the engine makes") {
+    // shim delegate: every commit round-trips base --diff--> updates
+    // --apply--> next' and must land EXACTLY on the client's next before
+    // the real publish — run a battery of heterogeneous ops under it
+    val loc = tmp() + "/t"
+    val t = GraftTable.createAs(spark, loc,
+      spark.read.parquet(s"$sf/region.parquet"))
+    var commits = 0
+    t.commitDelegate = Some { next =>
+      val base = MetaIO.metaFromJson(MetaIO.readString(conf,
+        MetaIO.metadataPath(loc, next.version - 1)))
+      val p = MetaDiff.diff(base, next)
+      assert(MetaDiff.checkRequirements(base, p.requirements).isEmpty)
+      val applied = MetaDiff.applyUpdates(base, p.updates)
+      assert(applied == next,
+        s"diff/apply drift on commit ${next.version}:\n$applied\nvs\n$next")
+      commits += 1
+      MetaIO.commitMeta(conf, next)
+    }
+    t.append(Seq((90, "x", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    t.setProperties(Map("write.sort-order" -> "r_regionkey", "x" -> "1"))
+    t.addColumn("score", LongType)                       // schema evolution
+    t.renameColumn("score", "rank")
+    t.setPartitionSpec(Seq(PartitionField("r_regionkey", "bucket[4]", "rk_bucket")))
+    t.append(Seq((91, "y", "c", 5L)).toDF("r_regionkey", "r_name", "r_comment", "rank"))
+    t.createTag("v1", t.meta.currentSnapshotId.get)      // refs
+    t.createBranch("dev", t.meta.currentSnapshotId)
+    t.delete("r_regionkey = 90")                          // CoW rewrite
+    val firstSnap = t.meta.snapshots.head.id
+    t.rollback(t.meta.snapshots(1).id)                    // pointer move
+    t.dropRef("dev")
+    t.expireSnapshots(System.currentTimeMillis() + 1000)  // snapshot removal
+    assert(commits >= 10, s"only $commits commits exercised")
+    assert(t.meta.snapshots.nonEmpty && firstSnap >= 0)
+  }
+
+  test("stale commit gets 409 CommitFailedException; retry loop rebases over the wire") {
+    withServer { (_, c) =>
+      c.createNamespace(Seq("lake"))
+      val orders = spark.read.parquet(s"$sf/orders.parquet").limit(200)
+      c.createTable(Seq("lake"), "orders", orders.schema,
+        properties = Map(TableFormat.CommitRetries -> "16"))
+      c.table(spark, Seq("lake"), "orders").append(orders)
+
+      // hand-rolled STALE proposal: base v1 when the table is at v2
+      val cur = c.loadTable(Seq("lake"), "orders").metadata
+      val v1 = MetaIO.metaFromJson(MetaIO.readString(conf,
+        MetaIO.metadataPath(cur.location, 1)))
+      val e = intercept[java.util.ConcurrentModificationException](
+        c.commit(Seq("lake"), "orders", v1,
+          v1.copy(version = 2, properties = v1.properties + ("p" -> "x"))))
+      assert(e.getMessage.contains("conflict"))
+
+      // t33 semantics over the wire: four writers race through the
+      // catalog; losers must 409, rebase onto the winner's base, retry —
+      // all rows land, history stays linear
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        Await.result(Future.sequence((1 to 4).map { i =>
+          Future {
+            c.table(spark, Seq("lake"), "orders").append(
+              orders.withColumn("o_orderkey", col("o_orderkey") + lit(1000000L * i)))
+          }
+        }), 300.seconds)
+      } finally pool.shutdown()
+      val t = c.table(spark, Seq("lake"), "orders")
+      val m = t.meta
+      assert(m.snapshots.count(_.operation == "append") == 5)
+      assert(m.currentAncestors.size == m.snapshots.size, "history must stay linear")
+      assert(t.toDF().count() == 5 * orders.count())
+      assert(t.toDF().select("o_orderkey").distinct().count() == 5 * orders.count())
+    }
+  }
+
+  test("a ref named 'main' is refused (it would shadow the current pointer)") {
+    val loc = tmp() + "/t"
+    val t = GraftTable.createAs(spark, loc,
+      spark.read.parquet(s"$sf/region.parquet"))
+    t.createBranch("main", t.meta.currentSnapshotId)
+    val base = MetaIO.metaFromJson(MetaIO.readString(conf,
+      MetaIO.metadataPath(loc, t.meta.version - 1)))
+    val e = intercept[IllegalArgumentException](MetaDiff.diff(base, t.meta))
+    assert(e.getMessage.contains("main"))
+  }
+
+  test("server restart recovers the registry from catalog.json") {
+    val wh = tmp()
+    val srv1 = new RestCatalogServer(wh, conf)
+    val c1 = new RestCatalogClient(srv1.uri)
+    c1.createNamespace(Seq("lake"))
+    c1.createTable(Seq("lake"), "region",
+      spark.read.parquet(s"$sf/region.parquet").schema)
+    c1.table(spark, Seq("lake"), "region")
+      .append(spark.read.parquet(s"$sf/region.parquet"))
+    srv1.stop()
+    val srv2 = new RestCatalogServer(wh, conf)
+    try {
+      val c2 = new RestCatalogClient(srv2.uri)
+      assert(c2.listNamespaces() == Seq(Seq("lake")))
+      assert(c2.listTables(Seq("lake")) == Seq("region"))
+      assert(c2.table(spark, Seq("lake"), "region").toDF().count() == 5)
+    } finally srv2.stop()
+  }
+
+  test("wire shapes: config endpoint, error envelope, spec paths") {
+    withServer { (srv, c) =>
+      // raw HTTP against the spec paths (no client sugar)
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): java.net.http.HttpResponse[String] =
+        http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      val cfg = get("/v1/config")
+      assert(cfg.statusCode() == 200)
+      assert(cfg.body().contains("\"defaults\"") && cfg.body().contains("\"overrides\""))
+      val nf = get("/v1/namespaces/nope/tables/ghost")
+      assert(nf.statusCode() == 404)
+      val err = new com.fasterxml.jackson.databind.ObjectMapper().readTree(nf.body())
+      assert(err.get("error").get("type").asText() == "NoSuchTableException")
+      assert(err.get("error").get("code").asInt() == 404)
+      assert(c.listNamespaces().isEmpty)
+    }
+  }
+}

@@ -779,4 +779,45 @@ class GraftSqlSpec extends SparkSpec {
     Seq(1L, 3L, 5L).foreach(k => assert(rows(k) == "UPD", s"key $k should be updated"))
     assert(rows(990L) == "NEW")
   }
+
+  test("DDL against the REST catalog: create, insert, evolve, discover, drop") {
+    // the SQL facade in catalog mode: CREATE registers the table with the
+    // catalog, every INSERT/ALTER commits THROUGH it (requirements/updates
+    // CAS), a second facade discovers the table via loadTable, and DROP
+    // removes it from the catalog
+    val wh = Files.createTempDirectory("graft_sql_cat").toString
+    val srv = new graft.catalog.RestCatalogServer(wh,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val c = new graft.catalog.RestCatalogClient(srv.uri)
+      c.createNamespace(Seq("lake"))
+      val g = new GraftSql(spark, wh, Some((c, Seq("lake"))))
+      registerSources(g)
+      g.sql("CREATE TABLE cat_orders AS SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 500")
+      assert(c.listTables(Seq("lake")).contains("cat_orders"))
+      val before = c.loadTable(Seq("lake"), "cat_orders").metadata.version
+      g.sql("INSERT INTO cat_orders SELECT o_orderkey + 100000, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 100")
+      g.sql("ALTER TABLE cat_orders ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+      // both commits are visible through catalog discovery
+      assert(c.loadTable(Seq("lake"), "cat_orders").metadata.version >= before + 2)
+      // a SECOND facade (fresh local registry) resolves through the catalog
+      val g2 = new GraftSql(spark, wh, Some((c, Seq("lake"))))
+      assert(g2.sql("SELECT COUNT(*) AS n FROM cat_orders WHERE tier = 'bronze'")
+        .head().getLong(0) == g.sql("SELECT COUNT(*) AS n FROM cat_orders")
+        .head().getLong(0))
+      // commits really ride the wire: with the server down, a write fails
+      srv.stop()
+      intercept[Exception](
+        g.sql("INSERT INTO cat_orders SELECT o_orderkey + 200000, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 10"))
+    } finally { try srv.stop() catch { case _: Exception => () } }
+    // drop-through-catalog on a fresh server over the same warehouse
+    val srv2 = new graft.catalog.RestCatalogServer(wh,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val c2 = new graft.catalog.RestCatalogClient(srv2.uri)
+      val g3 = new GraftSql(spark, wh, Some((c2, Seq("lake"))))
+      g3.sql("DROP TABLE cat_orders")
+      assert(!c2.tableExists(Seq("lake"), "cat_orders"))
+    } finally srv2.stop()
+  }
 }
