@@ -1,0 +1,219 @@
+package graft.formats
+
+/** From-scratch codecs for the two uncompressed media containers the
+  * multimodal operators (SURVEY §2.6) decode — no image/audio libraries
+  * involved, built against the public format specifications:
+  *
+  *  - BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER, 24/32-bpp
+  *    uncompressed (`BI_RGB`), 4-byte-padded rows, bottom-up (positive
+  *    height) or top-down (negative height) — the format Microsoft
+  *    documents in the Wdk `Bitmap Storage` pages.
+  *  - WAV: RIFF container with `fmt ` + `data` chunks, PCM
+  *    (`wFormatTag=1`), 8-bit unsigned / 16-bit signed little-endian,
+  *    word-aligned chunk walk — per the original IBM/Microsoft RIFF spec.
+  *
+  * Anything outside that envelope (compressed BMP, float/ADPCM WAV,
+  * truncated containers) refuses loudly rather than guessing.
+  * MediaFormatsSpec cross-validates both directions against the JDK's own
+  * readers/writers (`javax.imageio.ImageIO`, `javax.sound.sampled`) as
+  * independent referees, plus hand-computed byte-level fixtures.
+  */
+object Media {
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def putI32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Decoded raster: `pixels` is row-major TOP-DOWN RGB, 3 bytes per
+    * pixel (storage order in the file is BGR bottom-up; decode
+    * normalizes both).
+    */
+  case class Image(width: Int, height: Int, pixels: Array[Byte]) {
+    def red(x: Int, y: Int): Int = pixels((y * width + x) * 3) & 0xff
+    def green(x: Int, y: Int): Int = pixels((y * width + x) * 3 + 1) & 0xff
+    def blue(x: Int, y: Int): Int = pixels((y * width + x) * 3 + 2) & 0xff
+  }
+
+  object Bmp {
+    /** 24-bpp `BI_RGB` encode from top-down RGB pixel bytes: 14-byte file
+      * header, 40-byte info header, rows written bottom-up with each row
+      * padded to a 4-byte boundary.
+      */
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3,
+        s"pixel buffer ${rgb.length} != $width x $height x 3")
+      val stride = (width * 3 + 3) / 4 * 4
+      val dataSize = stride * height
+      val out = new Array[Byte](54 + dataSize)
+      out(0) = 'B'; out(1) = 'M'
+      putI32(out, 2, out.length)       // bfSize
+      putI32(out, 10, 54)              // bfOffBits
+      putI32(out, 14, 40)              // biSize (BITMAPINFOHEADER)
+      putI32(out, 18, width)
+      putI32(out, 22, height)          // positive → bottom-up
+      putU16(out, 26, 1)               // biPlanes
+      putU16(out, 28, 24)              // biBitCount
+      putI32(out, 30, 0)               // biCompression = BI_RGB
+      putI32(out, 34, dataSize)
+      var y = 0
+      while (y < height) {
+        val rowTop = height - 1 - y    // file row y holds image row rowTop
+        var x = 0
+        while (x < width) {
+          val src = (rowTop * width + x) * 3
+          val dst = 54 + y * stride + x * 3
+          out(dst) = rgb(src + 2)      // B
+          out(dst + 1) = rgb(src + 1)  // G
+          out(dst + 2) = rgb(src)      // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Decode 24/32-bpp uncompressed BMP to top-down RGB. Refuses
+      * compressed pixel formats, palette depths, and truncated buffers.
+      */
+    def decode(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP: missing 'BM' magic or header too short")
+      val offBits = i32(bytes, 10)
+      val dibSize = i32(bytes, 14)
+      require(dibSize >= 40,
+        s"unsupported DIB header size $dibSize (need BITMAPINFOHEADER+)")
+      val width = i32(bytes, 18)
+      val rawHeight = i32(bytes, 22)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30)
+      require(compression == 0,
+        s"unsupported BMP compression $compression (only BI_RGB)")
+      require(bpp == 24 || bpp == 32,
+        s"unsupported BMP bit depth $bpp (only 24/32)")
+      require(width > 0 && height >= 0, s"bad dimensions ${width}x$rawHeight")
+      val bytesPerPx = bpp / 8
+      val stride = (width * bytesPerPx + 3) / 4 * 4
+      require(bytes.length >= offBits + stride * height,
+        s"truncated BMP: need ${offBits + stride * height} bytes, have ${bytes.length}")
+      val rgb = new Array[Byte](width * height * 3)
+      var fileRow = 0
+      while (fileRow < height) {
+        val y = if (topDown) fileRow else height - 1 - fileRow
+        var x = 0
+        while (x < width) {
+          val src = offBits + fileRow * stride + x * bytesPerPx
+          val dst = (y * width + x) * 3
+          rgb(dst) = bytes(src + 2)     // R
+          rgb(dst + 1) = bytes(src + 1) // G
+          rgb(dst + 2) = bytes(src)     // B
+          x += 1
+        }
+        fileRow += 1
+      }
+      Image(width, height, rgb)
+    }
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Decoded PCM audio: `samples` interleaved across channels — 16-bit
+    * as signed values, 8-bit as the format's unsigned 0–255.
+    */
+  case class Audio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  object Wav {
+    /** 16-bit signed mono PCM encode: RIFF/WAVE with a canonical 16-byte
+      * `fmt ` chunk followed by `data`.
+      */
+    def encode(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putI32(out, 4, 36 + dataSize)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putI32(out, 16, 16)              // fmt chunk size
+      putU16(out, 20, 1)               // PCM
+      putU16(out, 22, 1)               // mono
+      putI32(out, 24, sampleRate)
+      putI32(out, 28, sampleRate * 2)  // byte rate
+      putU16(out, 32, 2)               // block align
+      putU16(out, 34, 16)              // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putI32(out, 40, dataSize)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s out of 16-bit range")
+        putU16(out, 44 + i * 2, s & 0xffff)
+        i += 1
+      }
+      out
+    }
+
+    /** Decode PCM WAV: word-aligned chunk walk (unknown chunks like
+      * `LIST` are skipped), `fmt ` must declare PCM 8- or 16-bit.
+      */
+    def decode(bytes: Array[Byte]): Audio = {
+      require(bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a WAV: missing RIFF/WAVE magic")
+      var pos = 12
+      var fmtSeen = false
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var samples: Array[Int] = null
+      while (pos + 8 <= bytes.length && samples == null) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val size = i32(bytes, pos + 4)
+        require(size >= 0 && pos + 8 + size <= bytes.length,
+          s"truncated WAV chunk '$id' at $pos (size $size)")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too short: $size")
+            val tag = u16(bytes, pos + 8)
+            require(tag == 1, s"unsupported WAV format tag $tag (only PCM)")
+            channels = u16(bytes, pos + 10)
+            sampleRate = i32(bytes, pos + 12)
+            bits = u16(bytes, pos + 22)
+            require(bits == 8 || bits == 16,
+              s"unsupported PCM bit depth $bits (only 8/16)")
+            require(channels >= 1, s"bad channel count $channels")
+            fmtSeen = true
+          case "data" =>
+            require(fmtSeen, "WAV data chunk before fmt chunk")
+            val n = size / (bits / 8)
+            val out = new Array[Int](n)
+            var i = 0
+            if (bits == 16) {
+              while (i < n) {
+                out(i) = u16(bytes, pos + 8 + i * 2).toShort.toInt
+                i += 1
+              }
+            } else {
+              while (i < n) { out(i) = bytes(pos + 8 + i) & 0xff; i += 1 }
+            }
+            samples = out
+          case _ => () // skip unknown chunk (LIST, fact, …)
+        }
+        pos += 8 + size + (size & 1)   // RIFF chunks are word-aligned
+      }
+      require(samples != null, "WAV has no data chunk")
+      Audio(sampleRate, channels, bits, samples)
+    }
+  }
+}

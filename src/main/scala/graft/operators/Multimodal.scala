@@ -2,113 +2,156 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.formats.Media
 import graft.sources.Tables
 
-/** Multimodal-column plumbing (SURVEY §2.6): opaque binary payloads with a
-  * typed metadata struct, processed in per-partition batches.
+/** Multimodal-column operators (SURVEY §2.6): opaque binary payloads with
+  * a typed metadata struct, decoded and feature-extracted in
+  * per-partition batches.
   *
-  * The decode step is a DETERMINISTIC STUB (no image/audio codecs ship in
-  * this environment): it "decodes" the payload to a 16-bin byte histogram.
-  * Everything around it — binary column handling, metadata schema, typed
-  * Dataset batch processing via mapPartitions, feature-vector output — is
-  * the real plumbing a codec would drop into.
+  * The codecs are REAL from-scratch parsers ([[graft.formats.Media]]):
+  * BMP (24-bpp BI_RGB, padded bottom-up rows) for images and RIFF/WAV
+  * (16-bit PCM) for audio — no libraries involved. The gates fabricate
+  * genuine containers deterministically from document text (gray pixel /
+  * PCM sample per character), so the decoded pixel and sample arithmetic
+  * is reproducible by the DuckDB oracle from the text alone, while the
+  * Spark side exercises the full encode → binary column → partition-batch
+  * decode → feature path. MediaFormatsSpec cross-validates the codecs
+  * against the JDK's ImageIO / javax.sound referees byte-for-byte.
+  *
+  * Scale shape: one decoder pass per row inside `mapPartitions` (codec
+  * state amortized per batch), features are fixed-width vectors — no
+  * shuffle until the final presentation sort.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int, feature: Array[Double], feature_norm: Double)
 
-  /** STUB "resize": rebin a feature vector to `n` bins (stands in for
-    * image resize — same signature a real kernel would have).
+  /** Image width used by the text→BMP fabrication: each document becomes
+    * a 25-pixel-wide grayscale image, one pixel per character, truncated
+    * to whole rows (25·⌊n/25⌋ chars). 25·3 = 75 bytes/row pads to a
+    * 76-byte stride, so the BMP row-padding path is exercised on every
+    * document.
     */
-  private[operators] def resizeStub(feature: Array[Double], n: Int): Array[Double] = {
+  private val ImgW = 25
+
+  /** Rebin a histogram to `n` coarser bins (real image-resize arithmetic
+    * on the feature axis: mass-preserving aggregation).
+    */
+  private[operators] def rebin(feature: Array[Double], n: Int): Array[Double] = {
     val out = new Array[Double](n)
     var i = 0
     while (i < feature.length) { out(i * n / feature.length) += feature(i); i += 1 }
     out
   }
 
-  /** STUB "frame sampling": every `stride`-th byte of the payload (stands
-    * in for video frame extraction — batch shape identical).
-    */
+  /** Every `stride`-th element — frame sampling over a decoded stream. */
   private[operators] def frameSample(payload: Array[Byte], stride: Int): Array[Byte] =
     payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
 
-  /** STUB decoder: byte-value histogram (16 bins) normalized to sum 1.
-    * A real decoder (image resize, audio frame-sample, …) replaces exactly
-    * this function; batch shape and schema stay.
+  /** Text → real 24-bpp BMP: one gray pixel per character (r=g=b=code),
+    * width [[ImgW]], whole rows only.
     */
-  private def decodeStub(payload: Array[Byte]): Array[Double] = {
-    val bins = new Array[Double](16)
+  private def textToBmp(text: String): (Array[Byte], Int) = {
+    val h = text.length / ImgW
+    val rgb = new Array[Byte](ImgW * h * 3)
     var i = 0
-    while (i < payload.length) { bins((payload(i) & 0xff) >> 4) += 1.0; i += 1 }
-    if (payload.length > 0) { var b = 0; while (b < 16) { bins(b) /= payload.length; b += 1 } }
-    bins
+    while (i < ImgW * h) {
+      val c = text.charAt(i).toByte
+      rgb(i * 3) = c; rgb(i * 3 + 1) = c; rgb(i * 3 + 2) = c
+      i += 1
+    }
+    (Media.Bmp.encode(ImgW, h, rgb), h)
   }
 
-  /** m01: binary payload + metadata → per-partition batch decode → feature
-    * rows. Payloads here are the document texts cast to binary (stand-in
-    * for image bytes); metadata is derived deterministically.
+  /** Red channel of a decoded image, row-major top-down — for the
+    * grayscale fabrication this is exactly the retained character codes.
+    */
+  private def redChannel(img: Media.Image): Array[Byte] = {
+    val out = new Array[Byte](img.width * img.height)
+    var i = 0
+    while (i < out.length) { out(i) = img.pixels(i * 3); i += 1 }
+    out
+  }
+
+  /** m01: binary payload + metadata → per-partition batch decode →
+    * feature rows. Payloads are REAL BMP containers fabricated from the
+    * document text; the decode is the from-scratch BMP parser, and the
+    * oracle pins the container size (54-byte headers + 76-byte padded
+    * rows) and the normalization invariant of the histogram features.
     */
   def m01MultimodalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        lit("fake/rgb8").as("format"),
-        (col("n_chars") % 64 + 1).cast("int").as("width"),
-        (col("n_chars") % 48 + 1).cast("int").as("height"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (bmp, h) = textToBmp(text)
+        MediaRow(id, bmp, "image/bmp", ImgW, h)
+      }
 
     // Batch shape: one decoder context per partition (a real codec would
     // init native state here once, then stream rows through it).
     val feats = media.mapPartitions { rows =>
       rows.map { r =>
-        val sampled = frameSample(r.payload, stride = 2)
-        val f = resizeStub(decodeStub(sampled), 8)
-        MediaFeatures(r.doc_id, r.format, r.payload.length, f, math.sqrt(f.map(x => x * x).sum))
+        val gray = redChannel(Media.Bmp.decode(r.payload))
+        val sampled = frameSample(gray, stride = 2)
+        val bins = new Array[Double](16)
+        var i = 0
+        while (i < sampled.length) { bins((sampled(i) & 0xff) >> 4) += 1.0; i += 1 }
+        if (sampled.length > 0) {
+          var b = 0; while (b < 16) { bins(b) /= sampled.length; b += 1 }
+        }
+        val f = rebin(bins, 8)
+        MediaFeatures(r.doc_id, r.format, r.payload.length, f,
+          math.sqrt(f.map(x => x * x).sum))
       }
     }
-    // feature_ok: the stub decode normalizes each histogram to sum 1 and
-    // resize preserves sums, so a correctly-plumbed pipeline yields sum≈1
-    // for every non-empty payload — an oracle-checkable invariant of the
-    // batch path (exact feature values are asserted in MultimodalSpec)
+    // feature_ok: decoded-pixel histograms normalize to sum 1 and rebin
+    // preserves mass, so a correctly-decoded non-empty image yields sum≈1
+    // — an oracle-checkable invariant of the decode+feature path (exact
+    // pixel values are pinned in m02 and MediaFormatsSpec)
     feats.toDF()
       .withColumn("feature_ok",
-        col("n_bytes") === 0 || abs(aggregate(col("feature"), lit(0.0), _ + _) - 1.0) < 1e-9)
+        col("n_bytes") === 54 || abs(aggregate(col("feature"), lit(0.0), _ + _) - 1.0) < 1e-9)
       .select(col("doc_id"), col("format"), col("n_bytes"), col("feature_ok"))
       .orderBy(col("doc_id"))
   }
 
+  /** BMP container arithmetic: 14+40 header bytes plus ⌊n/25⌋ rows of
+    * 76-byte stride (75 pixel bytes padded to 4-byte alignment).
+    */
   val m01Oracle: String =
-    """SELECT doc_id, 'fake/rgb8' AS format, CAST(strlen(text) AS INT) AS n_bytes,
+    """SELECT doc_id, 'image/bmp' AS format,
+      |  CAST(54 + (strlen(text) // 25) * 76 AS INT) AS n_bytes,
       |  TRUE AS feature_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
   case class FrameFeatures(doc_id: Long, n_frames: Int, f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** m02: frame-sample + resize plumbing, VALUE-checked end to end — the
-    * stubs are deterministic byte arithmetic, so the oracle recomputes the
-    * exact feature values (m01 only checks an invariant of them). The
-    * pipeline keeps raw INTEGER histogram counts through resize and
-    * normalizes once at the end, so both engines do one double division
-    * per bin and the doubles match bit-for-bit. Frame-sample every 4th
-    * byte → 16-bin histogram → resize to 4 bins → normalized features.
+  /** m02: REAL pixel arithmetic, VALUE-checked end to end — the payload
+    * is a genuine BMP, the decode walks headers, strides, padding and
+    * bottom-up rows, and the recovered gray values are exactly the
+    * retained character codes, so the oracle recomputes every feature
+    * from the text: every 4th pixel → 16-bin histogram → rebin to 4 →
+    * one double division per bin (bit-exact on both engines).
     */
   def m02FrameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit("fake/rgb8").as("format"), lit(0).as("width"), lit(0).as("height"))
-      .as[MediaRow]
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (bmp, h) = textToBmp(text)
+        MediaRow(id, bmp, "image/bmp", ImgW, h)
+      }
     media.mapPartitions { rows =>
       rows.map { r =>
-        val frames = frameSample(r.payload, stride = 4)
+        val gray = redChannel(Media.Bmp.decode(r.payload))
+        val frames = frameSample(gray, stride = 4)
         val counts = new Array[Double](16)
         var i = 0
         while (i < frames.length) { counts((frames(i) & 0xff) >> 4) += 1.0; i += 1 }
-        val binned = resizeStub(counts, 4)
+        val binned = rebin(counts, 4)
         val n = frames.length
         def norm(b: Int): Double = if (n == 0) 0.0 else binned(b) / n
         FrameFeatures(r.doc_id, n, norm(0), norm(1), norm(2), norm(3))
@@ -116,15 +159,16 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
-  /** Every-4th-char code points (ASCII corpus: bytes == code points),
-    * 4-bin histogram by code//64 (== resize of the 16-bin code//16
-    * histogram), one double division per bin.
+  /** Retained pixels = first 25·⌊n/25⌋ code points (ASCII corpus: bytes
+    * == code points); every-4th of those, 4-bin histogram by code//64
+    * (== rebin of the 16-bin code//16 histogram).
     */
   val m02Oracle: String =
     """WITH fr AS (
       |  SELECT doc_id,
       |    [unicode(c) for c in
-      |      list_filter(regexp_split_to_array(text, ''), (c, i) -> (i - 1) % 4 = 0)] AS f
+      |      list_filter(regexp_split_to_array(text, ''), (c, i) ->
+      |        i <= 25 * (strlen(text) // 25) AND (i - 1) % 4 = 0)] AS f
       |  FROM documents)
       |SELECT doc_id, CAST(len(f) AS INT) AS n_frames,
       |  len(list_filter(f, x -> x // 64 = 0)) / CAST(len(f) AS DOUBLE) AS f0,
@@ -136,33 +180,36 @@ object Multimodal {
   case class AudioSegments(doc_id: Long, n_windows: Int, n_voiced: Int,
       longest_run: Int, total_energy: Long)
 
-  /** m03: AUDIO segmentation plumbing — the voice-activity-detection
-    * pipeline shape (window → per-window energy → threshold → contiguous
-    * voiced segments), with the codec stubbed as byte arithmetic like
-    * m01/m02 (no audio libs in env): payload bytes are the "samples",
-    * window = 25 samples (full windows only), energy = Σ(sample−32)² in
-    * INTEGER math — so the oracle recomputes every value exactly,
-    * including the run-length logic (longest voiced segment) that real
-    * segmenters hang everything on. mapPartitions batch shape matches how
-    * a real decoder amortizes per-batch codec state.
+  /** m03: AUDIO voice-activity segmentation over REAL WAV containers —
+    * each document becomes 16-bit mono PCM (sample per character,
+    * centered at code−32), the from-scratch RIFF parser recovers the
+    * samples, then window → per-window energy → threshold → contiguous
+    * voiced segments, all in integer math so the oracle recomputes every
+    * value exactly, including the run-length logic (longest voiced
+    * segment) real segmenters hang everything on.
     */
   def m03AudioSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val threshold = 120000L
-    val media = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit("fake/pcm8").as("format"), lit(0).as("width"), lit(0).as("height"))
-      .as[MediaRow]
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val samples = new Array[Int](text.length)
+        var i = 0
+        while (i < samples.length) { samples(i) = text.charAt(i) - 32; i += 1 }
+        MediaRow(id, Media.Wav.encode(8000, samples), "audio/wav", 0, 0)
+      }
     media.mapPartitions { rows =>
       rows.map { r =>
-        val b = r.payload
-        val nw = b.length / 25
+        val audio = Media.Wav.decode(r.payload)
+        val s = audio.samples
+        val nw = s.length / 25
         var run = 0; var best = 0; var voiced = 0; var total = 0L
         var w = 0
         while (w < nw) {
           var e = 0L
           var i = w * 25; val end = i + 25
-          while (i < end) { val d = (b(i) & 0xff) - 32; e += d.toLong * d; i += 1 }
+          while (i < end) { e += s(i).toLong * s(i); i += 1 }
           total += e
           if (e > threshold) { voiced += 1; run += 1; if (run > best) best = run }
           else run = 0

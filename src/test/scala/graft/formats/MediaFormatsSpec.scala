@@ -1,0 +1,197 @@
+package graft.formats
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayInputStream
+
+/** The from-scratch BMP/WAV codecs vs two independent referees: the JDK's
+  * own readers/writers (ImageIO, javax.sound.sampled — both pure JDK, no
+  * external libs) and hand-computed byte-level fixtures pinned against
+  * the public format specifications.
+  */
+class MediaFormatsSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- BMP
+
+  test("BMP hand-computed fixture: header fields, BGR order, row padding, bottom-up") {
+    // 2x2 image, 24bpp: stride = (2*3+3)/4*4 = 8 (2 pad bytes per row).
+    // Pixels top-down: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,  0, 255.toByte, 0,
+      0, 0, 255.toByte,  255.toByte, 255.toByte, 255.toByte)
+    val bmp = Media.Bmp.encode(2, 2, rgb)
+    assert(bmp.length == 54 + 16)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    def i32(off: Int) = (bmp(off) & 0xff) | ((bmp(off + 1) & 0xff) << 8) |
+      ((bmp(off + 2) & 0xff) << 16) | ((bmp(off + 3) & 0xff) << 24)
+    assert(i32(2) == bmp.length && i32(10) == 54 && i32(14) == 40)
+    assert(i32(18) == 2 && i32(22) == 2)
+    assert((bmp(28) & 0xff) == 24 && i32(30) == 0)
+    // bottom-up: file row 0 = image row 1; BGR storage
+    assert((bmp(54) & 0xff) == 255 && (bmp(55) & 0xff) == 0 && (bmp(56) & 0xff) == 0)   // blue px BGR
+    assert((bmp(57) & 0xff) == 255 && (bmp(58) & 0xff) == 255 && (bmp(59) & 0xff) == 255)
+    assert((bmp(62) & 0xff) == 0 && (bmp(63) & 0xff) == 0 && (bmp(64) & 0xff) == 255)   // red px BGR
+    val back = Media.Bmp.decode(bmp)
+    assert(back.width == 2 && back.height == 2)
+    assert(back.pixels.sameElements(rgb))
+    assert(back.red(0, 0) == 255 && back.blue(0, 1) == 255)
+  }
+
+  test("BMP decode: JDK ImageIO-written files (the independent referee)") {
+    // ImageIO writes its own 24bpp BMP; graft must read it pixel-exact
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, (x * 36 << 16) | (y * 50 << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val dec = Media.Bmp.decode(bos.toByteArray)
+    assert(dec.width == 7 && dec.height == 5)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      assert(dec.red(x, y) == x * 36, s"red($x,$y)")
+      assert(dec.green(x, y) == y * 50, s"green($x,$y)")
+      assert(dec.blue(x, y) == x + y, s"blue($x,$y)")
+    }
+  }
+
+  test("BMP encode: JDK ImageIO reads graft's files back pixel-exact") {
+    val w = 9; val h = 4 // stride 28 with 1 pad byte — padding exercised
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 7) % 256).toByte)
+    val img = javax.imageio.ImageIO.read(
+      new ByteArrayInputStream(Media.Bmp.encode(w, h, rgb)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert(((p >> 16) & 0xff) == (rgb(base) & 0xff), s"R($x,$y)")
+      assert(((p >> 8) & 0xff) == (rgb(base + 1) & 0xff), s"G($x,$y)")
+      assert((p & 0xff) == (rgb(base + 2) & 0xff), s"B($x,$y)")
+    }
+  }
+
+  test("BMP decode: top-down (negative height) and 32bpp variants") {
+    // hand-build a 2x2 top-down 32bpp BMP (stride 8, no padding)
+    val out = new Array[Byte](54 + 16)
+    out(0) = 'B'; out(1) = 'M'
+    def putI32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    putI32(2, out.length); putI32(10, 54); putI32(14, 40)
+    putI32(18, 2); putI32(22, -2) // negative → top-down
+    out(26) = 1; out(28) = 32
+    putI32(30, 0); putI32(34, 16)
+    // first stored row IS image row 0 (top-down); BGRA per pixel
+    val px = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    px.zipWithIndex.foreach { case ((r, g, b), i) =>
+      out(54 + i * 4) = b.toByte; out(54 + i * 4 + 1) = g.toByte
+      out(54 + i * 4 + 2) = r.toByte; out(54 + i * 4 + 3) = 0xff.toByte
+    }
+    val dec = Media.Bmp.decode(out)
+    assert(dec.width == 2 && dec.height == 2)
+    assert(dec.red(0, 0) == 10 && dec.green(1, 0) == 50 && dec.blue(0, 1) == 90)
+    assert(dec.red(1, 1) == 100)
+  }
+
+  test("BMP refusals: compression, palette depth, truncation, bad magic") {
+    val good = Media.Bmp.encode(2, 2, new Array[Byte](12))
+    def mutated(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    assert(intercept[IllegalArgumentException](
+      Media.Bmp.decode(mutated(30, 1))).getMessage.contains("compression"))
+    assert(intercept[IllegalArgumentException](
+      Media.Bmp.decode(mutated(28, 8))).getMessage.contains("bit depth"))
+    assert(intercept[IllegalArgumentException](
+      Media.Bmp.decode(good.take(53))).getMessage.contains("BM"))
+    assert(intercept[IllegalArgumentException](
+      Media.Bmp.decode(good.take(60))).getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException](
+      Media.Bmp.decode(mutated(0, 'X'))).getMessage.contains("magic"))
+  }
+
+  // ------------------------------------------------------------- WAV
+
+  test("WAV hand-computed fixture: RIFF layout, LE samples, sign") {
+    val samples = Array(0, 1, -1, 32767, -32768, 256)
+    val wav = Media.Wav.encode(8000, samples)
+    assert(wav.length == 44 + 12)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    assert(new String(wav, 12, 4, "US-ASCII") == "fmt ")
+    assert(new String(wav, 36, 4, "US-ASCII") == "data")
+    // -1 → 0xFF 0xFF little-endian at sample index 2
+    assert((wav(44 + 4) & 0xff) == 0xff && (wav(44 + 5) & 0xff) == 0xff)
+    // 256 → 0x00 0x01
+    assert((wav(44 + 10) & 0xff) == 0x00 && (wav(44 + 11) & 0xff) == 0x01)
+    val back = Media.Wav.decode(wav)
+    assert(back.sampleRate == 8000 && back.channels == 1 && back.bitsPerSample == 16)
+    assert(back.samples.sameElements(samples))
+  }
+
+  test("WAV decode: javax.sound-written files (the independent referee)") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(16000f, 16, 1, true, false) // PCM signed LE
+    val samples = Array.tabulate(100)(i => (i * 331 - 16000))
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(i * 2) = s.toByte; pcm(i * 2 + 1) = (s >> 8).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val dec = Media.Wav.decode(bos.toByteArray)
+    assert(dec.sampleRate == 16000 && dec.bitsPerSample == 16)
+    assert(dec.samples.sameElements(samples))
+  }
+
+  test("WAV encode: javax.sound reads graft's files back sample-exact") {
+    import javax.sound.sampled._
+    val samples = Array.tabulate(64)(i => i * 515 - 16000)
+    val ais = AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(Media.Wav.encode(22050, samples)))
+    val f = ais.getFormat
+    assert(f.getSampleRate == 22050f && f.getChannels == 1 &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian)
+    val bytes = ais.readAllBytes()
+    assert(bytes.length == samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val got = ((bytes(i * 2) & 0xff) | ((bytes(i * 2 + 1) & 0xff) << 8)).toShort.toInt
+      assert(got == s, s"sample $i")
+    }
+  }
+
+  test("WAV chunk walk: unknown LIST chunk skipped, odd-size word alignment") {
+    // RIFF allows arbitrary chunks between fmt and data; odd-sized
+    // chunks pad to even — hand-build one with a 3-byte LIST chunk
+    val base = Media.Wav.encode(8000, Array(7, -7))
+    val fmtChunk = base.slice(12, 36)
+    val dataChunk = base.slice(36, base.length)
+    val listChunk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0) // 3 + 1 pad
+    val body = fmtChunk ++ listChunk ++ dataChunk
+    val out = new Array[Byte](12 + body.length)
+    Array[Byte]('R', 'I', 'F', 'F').copyToArray(out, 0)
+    val riffSize = 4 + body.length
+    out(4) = riffSize.toByte; out(5) = (riffSize >> 8).toByte
+    out(6) = (riffSize >> 16).toByte; out(7) = (riffSize >> 24).toByte
+    Array[Byte]('W', 'A', 'V', 'E').copyToArray(out, 8)
+    body.copyToArray(out, 12)
+    val dec = Media.Wav.decode(out)
+    assert(dec.samples.sameElements(Array(7, -7)))
+  }
+
+  test("WAV refusals: non-PCM, bad magic, truncated chunk, missing data") {
+    val good = Media.Wav.encode(8000, Array(1, 2, 3))
+    def mutated(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    assert(intercept[IllegalArgumentException](
+      Media.Wav.decode(mutated(20, 3))).getMessage.contains("format tag"))
+    assert(intercept[IllegalArgumentException](
+      Media.Wav.decode(mutated(0, 'X'))).getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException](
+      Media.Wav.decode(good.take(48))).getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException](
+      Media.Wav.decode(good.take(36))).getMessage.contains("data"))
+  }
+}

@@ -774,7 +774,7 @@ class MultimodalSpec extends SparkSpec {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.length == nDocs)
     assert(rows.forall(_._3 > 0), "payload bytes present")
-    assert(rows.forall { case (_, fmt, _, ok) => fmt == "fake/rgb8" && ok })
+    assert(rows.forall { case (_, fmt, _, ok) => fmt == "image/bmp" && ok })
     val again = Multimodal.m01MultimodalPipeline(spark, sf).as[(Long, String, Int, Boolean)].collect()
     assert(rows.sameElements(again))
   }
