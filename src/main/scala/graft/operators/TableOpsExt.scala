@@ -1375,7 +1375,59 @@ object TableOpsExt {
        |  TRUE AS linear_history,
        |  CAST(1 AS BIGINT) AS n_tables""".stripMargin
 
+  // ---------------------------------------------------------------- t52
+
+  /** t52: v3 row lineage read surface (`_row_id` /
+    * `_last_updated_sequence_number`, Iceberg v3 metadata columns). Two
+    * single-file sorted appends make the inherited ids follow key rank,
+    * so the ENTIRE per-row lineage is SQL-derivable: base rows take ids
+    * 0..n−1 at sequence 1, the second append continues the range at
+    * sequence 2, a lineage-preserving CoW delete removes rows without
+    * renumbering the survivors, and a CoW update keeps `_row_id` while
+    * moving only the HIT rows to the update commit's sequence number.
+    * The oracle recomputes every (key, row id, last sequence) triple.
+    */
+  def t52RowLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = orders(spark, sfDir, 2000)
+      .coalesce(1).sortWithinPartitions("o_orderkey")
+    val t = GraftTable.createAs(spark, tmp(), base,
+      properties = Map(TableFormat.RowLineagePreserve -> "true"))
+    t.append(shifted(spark, sfDir, 500, 90000000L)
+      .coalesce(1).sortWithinPartitions("o_orderkey"))
+    t.delete("o_orderkey % 10 = 3")
+    t.update("o_orderkey % 100 = 7", Map("o_orderstatus" -> "'U'"))
+    t.lineageDF()
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col(graft.tables.RowLineage.RowIdCol).as("row_id"),
+        col(graft.tables.RowLineage.SeqCol).as("last_seq"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val t52Oracle: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+       |    CAST(1 AS BIGINT) AS seq
+       |  FROM ${cappedSql(2000)}
+       |), extra AS (
+       |  SELECT o_orderkey + 90000000 AS o_orderkey, o_orderstatus,
+       |    (SELECT COUNT(*) FROM ${cappedSql(2000)})
+       |      + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+       |    CAST(2 AS BIGINT) AS seq
+       |  FROM ${cappedSql(500)}
+       |), unioned AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM extra
+       |), alive AS (
+       |  SELECT * FROM unioned WHERE o_orderkey % 10 <> 3
+       |)
+       |SELECT o_orderkey,
+       |  CASE WHEN o_orderkey % 100 = 7 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+       |  row_id,
+       |  CASE WHEN o_orderkey % 100 = 7 THEN CAST(4 AS BIGINT) ELSE seq END AS last_seq
+       |FROM alive ORDER BY o_orderkey""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t52_row_lineage"          -> ((t52RowLineage _, t52Oracle)),
     "t51_rest_catalog"         -> ((t51RestCatalog _, t51Oracle)),
     "t50_column_defaults"      -> ((t50ColumnDefaults _, t50Oracle)),
     "t49_dv_interop"           -> ((t49DvInterop _, t49Oracle)),

@@ -1185,6 +1185,74 @@ class GraftTable(val spark: SparkSession, val location: String) {
     next
   }
 
+  // ---------------------------------------------------- row lineage (v3)
+
+  /** Scan of `files` with merge-on-read deletes applied, carrying the
+    * MATERIALIZED lineage columns ([[RowLineage.MatRowId]]/MatSeq):
+    * explicit values read from rewritten files win; everything else
+    * inherits `file first_row_id + row position` / `file data sequence
+    * number` through a broadcast O(files) join. This frame is both the
+    * read surface (renamed to the public `_row_id` columns) and the
+    * rewrite source lineage-preserving rewrites write back.
+    */
+  private def lineageScan(m: TableMeta, md: ManifestData,
+      files: Seq[DataFile]): DataFrame = {
+    import spark.implicits._
+    val ids = RowLineage.assign(conf, m).fileFirstRowId
+    val extMeta = m.copy(schema = StructType(m.schema.fields :+
+      StructField(RowLineage.MatRowId, LongType) :+
+      StructField(RowLineage.MatSeq, LongType)))
+    val scans = files.groupBy(f =>
+        (md.equalityDeletes.filter(e => f.seq < e.seq && eqMayHit(m, f, e)),
+          md.positionDeleteFiles.exists(pf => posMayHit(pf, f.path))))
+      .toSeq.map { case ((eqs, hasPos), fs) =>
+        val pos =
+          if (!hasPos) Nil
+          else md.positionDeleteFiles.filter(pf => fs.exists(f => posMayHit(pf, f.path)))
+        val scan = ScanPlanner.scan(spark, extMeta, fs, None, rowMeta = true)
+        applyEq(if (pos.isEmpty) scan else minusPosDeletes(scan, pos),
+          eqs, m.schema)
+      }
+    val base =
+      if (scans.isEmpty) ScanPlanner.scan(spark, extMeta, Nil, None, rowMeta = true)
+      else scans.reduce(_ unionByName _)
+    // files a predicate-delete-carrying commit added have no assigned id
+    // (the v3 export omits those snapshots the same way) — their rows
+    // serve NULL lineage rather than invented numbers
+    val info = files.map(f => (f.path, ids.get(f.path), f.seq))
+      .toDF("__gp_lin_fp", "__gp_lin_first", "__gp_lin_seq")
+    val joined = base.join(broadcast(info),
+      regexp_replace(col(ScanPlanner.RowMetaFile), "^file:/+", "/") ===
+        regexp_replace(col("__gp_lin_fp"), "^file:/+", "/"),
+      "left_outer")
+    applyDeletes(joined, md.deletePredicates)
+      .withColumn(RowLineage.MatRowId,
+        coalesce(col(RowLineage.MatRowId),
+          col("__gp_lin_first") + col(ScanPlanner.RowMetaPos)))
+      .withColumn(RowLineage.MatSeq,
+        coalesce(col(RowLineage.MatSeq), col("__gp_lin_seq")))
+      .drop(ScanPlanner.RowMetaFile, ScanPlanner.RowMetaPos,
+        "__gp_lin_fp", "__gp_lin_first", "__gp_lin_seq")
+  }
+
+  /** The v3 row-lineage read surface: the table's rows plus `_row_id`
+    * and `_last_updated_sequence_number` (Iceberg v3 metadata columns).
+    * Ids match what the v3 binary export writes for the same table —
+    * [[RowLineage.assign]] shares the export's assignment walk, and
+    * rewritten files carry materialized ids when
+    * [[TableFormat.RowLineagePreserve]] is set.
+    */
+  def lineageDF(): DataFrame = {
+    val m = meta
+    val md = currentManifest(m)
+    lineageScan(m, md, md.files)
+      .withColumnRenamed(RowLineage.MatRowId, RowLineage.RowIdCol)
+      .withColumnRenamed(RowLineage.MatSeq, RowLineage.SeqCol)
+  }
+
+  private def lineagePreserving(m: TableMeta): Boolean =
+    m.properties.get(TableFormat.RowLineagePreserve).contains("true")
+
   /** Catalog-mediated commits (Iceberg REST catalog,
     * `graft.catalog.RestCatalogClient.table`): when set, commits of this
     * handle are PROPOSED to the delegate instead of CAS-publishing the
@@ -1231,8 +1299,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
     // files carry PHYSICAL names (schema evolution: renames never rewrite
     // data); partition transforms run after the projection — spec sources
-    // are physical too
-    val physDf = ColumnMapping.toPhysical(m.schema, dfFilled)
+    // are physical too. Materialized row-lineage riders (__gp_row_id /
+    // __gp_last_seq, present only on lineage-preserving rewrites) survive
+    // the projection: they're appended to the projection schema unmapped.
+    val lineageCols = Seq(RowLineage.MatRowId, RowLineage.MatSeq)
+      .filter(dfFilled.columns.contains)
+    val physDf =
+      if (lineageCols.isEmpty) ColumnMapping.toPhysical(m.schema, dfFilled)
+      else ColumnMapping.toPhysical(StructType(m.schema.fields ++
+        lineageCols.map(c => StructField(c, LongType))), dfFilled)
     val physSchema = ColumnMapping.physicalSchema(m.schema)
     val out = spec.fields.foldLeft(physDf) { (d, f) =>
       d.withColumn(TableFormat.PartColPrefix + f.name,
@@ -1673,6 +1748,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       posTouched.contains(f.path) || eqTouched.contains(f.path))
     val rewritten =
       if (touched.isEmpty) Nil
+      else if (lineagePreserving(m))
+        writeDataFiles(lineageScan(m, md, touched), m)
       else writeDataFiles(readWithMor(m, md.copy(files = touched), None), m)
     val untouched = md.files.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouched ++ rewritten, "rewrite-deletes", rewritten.size)
@@ -1967,9 +2044,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (touched.isEmpty) return this
     // defaults-aware read: the rewrite MATERIALIZES values into files
     // that postdate the default boundary, so it must read filled values
-    // (raw nulls would silently erase the default for surviving rows)
-    val kept = ScanPlanner.scan(spark, m, touched, None)
-      .filter(!coalesce(expr(cond), lit(false)))
+    // (raw nulls would silently erase the default for surviving rows).
+    // Under row-lineage preservation the scan additionally rides each
+    // surviving row's _row_id / last-updated seq into the new files.
+    val base =
+      if (lineagePreserving(m)) lineageScan(m, currentManifest(m), touched)
+      else ScanPlanner.scan(spark, m, touched, None)
+    val kept = base.filter(!coalesce(expr(cond), lit(false)))
     val rewritten = writeDataFiles(kept, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouchedFiles ++ rewritten, "delete", rewritten.size)
@@ -1983,14 +2064,28 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val cur = currentFiles(m)
     val touched = matchingFiles(m, cond)
     if (touched.isEmpty) return this
-    val base = ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
-    val updated = m.schema.fields.foldLeft(base) { (d, f) =>
+    val preserve = lineagePreserving(m)
+    val base0 =
+      if (preserve) lineageScan(m, currentManifest(m), touched)
+      else ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
+    // hit flag captured BEFORE assignments mutate the columns the
+    // condition reads — used to null the materialized last-updated seq
+    // on updated rows so they inherit THIS commit's sequence number
+    val base = if (preserve) base0.withColumn("__gp_lin_hit",
+      coalesce(expr(cond), lit(false))) else base0
+    val updated0 = m.schema.fields.foldLeft(base) { (d, f) =>
       set.get(f.name) match {
         case Some(e) => d.withColumn(f.name,
           when(coalesce(expr(cond), lit(false)), expr(e).cast(f.dataType)).otherwise(col(f.name)))
         case None => d
       }
     }
+    val updated =
+      if (!preserve) updated0
+      else updated0.withColumn(RowLineage.MatSeq,
+        when(col("__gp_lin_hit"), lit(null).cast(LongType))
+          .otherwise(col(RowLineage.MatSeq)))
+        .drop("__gp_lin_hit")
     val rewritten = writeDataFiles(updated, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouchedFiles ++ rewritten, "update", rewritten.size)
@@ -2469,9 +2564,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val totalBytes = small.map(_.sizeBytes).sum
     val nOut = math.max(1, (totalBytes / targetBytes).toInt)
     // defaults materialize into the compacted files (Iceberg rewrites
-    // do the same); once no pre-add file remains, fastMinMax serves again
-    val packed = ScanPlanner.scan(spark, m, small, None)
-      .repartition(nOut)
+    // do the same); once no pre-add file remains, fastMinMax serves
+    // again. Lineage-preserving tables carry each row's id through the
+    // repack — compaction reorders rows, so inheritance alone can't.
+    val packed =
+      (if (lineagePreserving(m)) lineageScan(m, currentManifest(m), small)
+       else ScanPlanner.scan(spark, m, small, None))
+        .repartition(nOut)
     val newFiles = writeDataFiles(packed, m)
     val untouched = cur.filterNot(f => small.exists(_.path == f.path))
     val hadLive = partitionStats(m).nonEmpty

@@ -452,9 +452,15 @@ object IcebergImport {
     // name-mapping is consumed into the schema's physical names above;
     // keeping the foreign property would go stale on the first rename
     // (export regenerates it from live physical names anyway)
+    // v3 row lineage: the foreign `next-row-id` watermark survives as a
+    // property so native appends after the import take ids ABOVE every
+    // imported range (the per-file ids themselves ride the translated
+    // manifests as DataFile.firstRowId)
+    val lineageProps = Option(root.get("next-row-id"))
+      .map(n => TableFormat.RowLineageNextRowId -> n.asLong().toString)
     val props = (if (statsOk) props0 ++ statsRenames
       else props0 -- statsProps) -
-      "graft.manifest-format" - "schema.name-mapping.default"
+      "graft.manifest-format" - "schema.name-mapping.default" ++ lineageProps
 
     MetaIO.commitMeta(conf, TableMeta(targetLocation, 1, schema, specs,
       currentSpecId, snaps, currentSnap, props, refs))

@@ -363,13 +363,18 @@ object IcebergManifests {
     // v3 row lineage: every data file gets an explicit first_row_id,
     // assigned once per file path in snapshot-commit order (a file keeps
     // its id across every later snapshot that carries it, the spec's
-    // stability rule) and advanced by record_count. Snapshot first-row-id
-    // = the counter when its walk began; metadata next-row-id = the final
-    // counter. Assignment happens BEFORE a snapshot's children translate,
-    // so the cached per-child records embed the settled ids.
-    var nextRowId = 0L
-    val fileRowId = scala.collection.mutable.Map.empty[String, Long]
-    val snapFirstRowIds = Map.newBuilder[Long, Long]
+    // stability rule) and advanced by record_count; snapshot
+    // first-row-id = the counter when its walk began, metadata
+    // next-row-id = the final counter. [[RowLineage.assign]] IS that
+    // walk — shared with the native `lineageDF` read surface, so scanned
+    // ids and exported ids are the same numbers, and imported files'
+    // explicit foreign ids survive a re-export.
+    val lineage =
+      if (v3) RowLineage.assign(conf, m)
+      else RowLineage.Assignment(Map.empty, Map.empty, 0L)
+    def fileRowId(path: String): Long = lineage.fileFirstRowId.getOrElse(path,
+      throw new IllegalStateException(
+        s"no row-id assignment for data file $path — snapshot set changed mid-export?"))
 
     def translateChild(name: String, specId: Int, files: Seq[DataFile]): (String, Long, Int, Long) =
       translated.getOrElseUpdate((name, specId), {
@@ -585,22 +590,6 @@ object IcebergManifests {
       else {
         val childFiles = entries.map(e =>
           e.name -> MetaIO.loadChildFiles(conf, m.location, e.name))
-        if (v3) {
-          // assign row ids to files first seen at this snapshot (in the
-          // same deterministic walk the manifests are written in) BEFORE
-          // any of its children translate
-          snapFirstRowIds += snap.id -> nextRowId
-          childFiles.foreach { case (_, files) =>
-            files.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (_, group) =>
-              group.foreach { f =>
-                if (!fileRowId.contains(f.path)) {
-                  fileRowId(f.path) = nextRowId
-                  nextRowId += f.recordCount
-                }
-              }
-            }
-          }
-        }
         val dataRows = childFiles.flatMap { case (childName, files) =>
           files.groupBy(_.specId).toSeq.sortBy(_._1).map { case (specId, group) =>
             val (path, len, fileCount, rowCount) = translateChild(childName, specId, group)
@@ -668,7 +657,7 @@ object IcebergManifests {
       }
     }
     ExportedManifests(listPaths.result(), omitted.result(), outDir,
-      snapFirstRowIds.result(), nextRowId)
+      lineage.snapshotFirstRowId, lineage.nextRowId)
   }
 
   /** The Iceberg schema JSON embedded in each manifest's file metadata
@@ -789,10 +778,22 @@ object IcebergManifests {
       val path = row("manifest_path").asInstanceOf[String]
       val specId = row("partition_spec_id").asInstanceOf[Int]
       val manifestSeq = manifestSeqOf(row)
+      // v3 row lineage: the manifest-list row's first_row_id (field 520)
+      // anchors inheritance for ADDED entries whose own field 142 is
+      // null. A manifest keeps the same first_row_id across every
+      // snapshot that carries it (the spec's stability rule), so the
+      // per-path cache stays sound.
+      val manifestFirst: Option[Long] = row.get("first_row_id") match {
+        case Some(l: Long) => Some(l)
+        case _             => None
+      }
       caches.children.getOrElseUpdate(path, {
         val spec = specById.getOrElse(specId, throw new IllegalArgumentException(
           s"manifest $path references unknown partition spec $specId"))
         val mf = Avro.readContainer(readBytes(conf, path))
+        // running record count of preceding ADDED entries that inherit —
+        // the spec's assignment rule for null first_row_id fields
+        var inheritOffset = 0L
         val files = mf.records.flatMap { entry =>
           val status = entry("status").asInstanceOf[Int]
           if (status == 2) None // deleted entry: not live
@@ -810,18 +811,36 @@ object IcebergManifests {
                 .map(pf.name -> _)
             }.toMap
             val stats = importStats(df, physSchema, idToPhysical)
+            val records = df("record_count").asInstanceOf[Long]
+            // entry-level first_row_id (field 142) wins; null on an
+            // ADDED entry inherits manifest first_row_id + accumulated
+            // added record counts; EXISTING entries without an explicit
+            // id have none to recover (a conforming writer materializes
+            // them on rewrite)
+            val explicitFirst: Option[Long] = entry.get("first_row_id") match {
+              case Some(l: Long) => Some(l)
+              case _             => None
+            }
+            val first = explicitFirst.orElse {
+              if (status == 1) manifestFirst.map { mf0 =>
+                val v = mf0 + inheritOffset
+                inheritOffset += records
+                v
+              } else None
+            }
             Some(DataFile(
               stripLocal(df("file_path").asInstanceOf[String]),
               specId,
               partitionValues,
-              df("record_count").asInstanceOf[Long],
+              records,
               df("file_size_in_bytes").asInstanceOf[Long],
               stats,
               seq = entrySeq(entry, manifestSeq),
               // foreign bounds may be truncated (Iceberg increments the
               // last byte of string upper bounds): pruning-safe, never
               // aggregate-exact
-              trustedBounds = false))
+              trustedBounds = false,
+              firstRowId = first))
           }
         }
         val name = translatedName(path)

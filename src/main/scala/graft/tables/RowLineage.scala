@@ -1,0 +1,79 @@
+package graft.tables
+
+import org.apache.hadoop.conf.Configuration
+
+/** Iceberg v3 row lineage (spec fields 142/520, metadata columns
+  * `_row_id` / `_last_updated_sequence_number`) for graft tables.
+  *
+  * Ids follow the spec's INHERITANCE model: a data file owns the
+  * half-open id range `[first_row_id, first_row_id + record_count)`, and
+  * a row's id is `first_row_id + its position in the file` unless the
+  * file carries a MATERIALIZED id column (written by lineage-preserving
+  * rewrites — [[GraftTable.delete]]/update under
+  * [[TableFormat.RowLineagePreserve]]), which always wins.
+  *
+  * [[assign]] computes per-file first ids with the SAME deterministic
+  * walk the v3 binary export uses (IcebergManifests.exportManifests:
+  * snapshots in commit order, child manifests in list order, file groups
+  * by ascending spec id, first-seen wins and the counter advances by
+  * record_count) — RowLineageSpec pins byte-level equality against the
+  * exported Avro manifests, so ids served by scans and ids a real
+  * Iceberg reader derives from the exported metadata are the same
+  * numbers. Imported foreign files carry their EXPLICIT ids
+  * ([[DataFile.firstRowId]]); native files appended afterwards continue
+  * from the imported `next-row-id` watermark.
+  *
+  * Scale: assignment is a driver-side walk of manifest metadata —
+  * O(files) like every other planning structure, zero data IO.
+  */
+object RowLineage {
+  /** Served metadata column names (the spec's reserved names). */
+  val RowIdCol = "_row_id"
+  val SeqCol = "_last_updated_sequence_number"
+  /** Physical names of MATERIALIZED lineage columns inside data files
+    * (hidden from normal reads — scans read by explicit schema).
+    */
+  val MatRowId = "__gp_row_id"
+  val MatSeq = "__gp_last_seq"
+
+  case class Assignment(fileFirstRowId: Map[String, Long],
+      snapshotFirstRowId: Map[Long, Long], nextRowId: Long)
+
+  /** Per-file first row ids for the CURRENT metadata. Files with an
+    * explicit (imported) id keep it; everything else is assigned by the
+    * export-order walk, starting from the imported watermark when one
+    * exists. Snapshots carrying predicate deletes are skipped exactly as
+    * the v3 export omits them (their file sets resolve at a later,
+    * representable snapshot).
+    */
+  def assign(conf: Configuration, m: TableMeta): Assignment = {
+    var next = m.properties.get(TableFormat.RowLineageNextRowId)
+      .map(_.toLong).getOrElse(0L)
+    val fileIds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val snapIds = Map.newBuilder[Long, Long]
+    m.snapshots.foreach { snap =>
+      val (entries, dp, _, _) = MetaIO.loadManifestListData(conf, m.location, snap)
+      if (dp.isEmpty) {
+        snapIds += snap.id -> next
+        entries.foreach { e =>
+          val files = MetaIO.loadChildFiles(conf, m.location, e.name)
+          files.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (_, group) =>
+            group.foreach { f =>
+              if (!fileIds.contains(f.path)) {
+                f.firstRowId match {
+                  case Some(explicit) =>
+                    fileIds(f.path) = explicit
+                    next = math.max(next, explicit + f.recordCount)
+                  case None =>
+                    fileIds(f.path) = next
+                    next += f.recordCount
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    Assignment(fileIds.toMap, snapIds.result(), next)
+  }
+}

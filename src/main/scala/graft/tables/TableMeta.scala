@@ -85,6 +85,18 @@ object TableFormat {
     * for NEW writes only; existing files keep their layout.
     */
   val SortOrder = "write.sort-order"
+  /** v3 row lineage ([[RowLineage]]): when `true`, copy-on-write
+    * rewrites MATERIALIZE `_row_id` / `_last_updated_sequence_number`
+    * into the rewritten files so row identity survives the rewrite (the
+    * v3 spec's requirement for lineage-preserving engines). Off by
+    * default — plain tables don't pay the two extra columns.
+    */
+  val RowLineagePreserve = "graft.row-lineage.preserve"
+  /** Watermark for native id assignment over IMPORTED lineage (the
+    * foreign metadata's `next-row-id`): files appended after an import
+    * take ids from here, never colliding with foreign ranges.
+    */
+  val RowLineageNextRowId = "graft.row-lineage.next-row-id"
   /** Target data-file size for writes (Iceberg
     * `write.target-file-size-bytes`): served to AQE as the advisory
     * partition size for the write's shuffle, so range/hash-distributed
@@ -155,7 +167,12 @@ case class DataFile(
     // (last byte incremented — an upper bound, not a value in the data),
     // so string bounds stay pruning-safe but are NOT aggregate-exact.
     // Self-written files are exact (Spark writes untruncated footer stats).
-    trustedBounds: Boolean = true)
+    trustedBounds: Boolean = true,
+    // v3 row lineage: explicit first row id carried from a FOREIGN
+    // manifest (Iceberg manifest-entry field 142, imports only).
+    // Native files leave it None — their ids derive from the same
+    // deterministic walk the v3 export uses ([[RowLineage.assign]]).
+    firstRowId: Option[Long] = None)
 
 /** One merge-on-read equality delete: rows matching any key tuple in
   * `files` (parquet, schema = `cols`) are dropped at read time — but only
@@ -482,6 +499,7 @@ object MetaIO {
       o.put("size_bytes", f.sizeBytes)
       if (f.seq != 0) o.put("seq", f.seq)
       if (!f.trustedBounds) o.put("trusted_bounds", false)
+      f.firstRowId.foreach(o.put("first_row_id", _))
       val st = o.putObject("stats")
       f.stats.foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -519,7 +537,8 @@ object MetaIO {
         pv.result(), o.get("record_count").asLong(), o.get("size_bytes").asLong(),
         statsMapFromJson(o.get("stats")),
         Option(o.get("seq")).map(_.asLong()).getOrElse(0L),
-        Option(o.get("trusted_bounds")).forall(_.asBoolean()))
+        Option(o.get("trusted_bounds")).forall(_.asBoolean()),
+        Option(o.get("first_row_id")).map(_.asLong()))
     }
     ManifestData(out.result(), deletes.result(), posDeletes.result(),
       eqDeletesFromJson(root))

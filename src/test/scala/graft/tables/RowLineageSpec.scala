@@ -1,0 +1,223 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.formats.Avro
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** v3 row lineage: the `_row_id` / `_last_updated_sequence_number` read
+  * surface, its equality with the v3 binary export's assignment, id
+  * stability under MOR deletes and lineage-preserving CoW rewrites /
+  * compaction, the import path (explicit ids, inheritance, watermark),
+  * and the graft→graft round trip.
+  */
+class RowLineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_lin").toString + "/t"
+  private def out(): String = Files.createTempDirectory("graft_lin_exp").toString
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
+  /** Single sorted file per append → row ids follow key rank. */
+  private def sortedRegion(n: Int) = spark.read.parquet(s"$sf/region.parquet")
+    .orderBy("r_regionkey").limit(n).coalesce(1)
+    .sortWithinPartitions("r_regionkey")
+
+  test("inherited ids cover [0, rows) in file order; seq = commit") {
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    t.append(Seq((100, "x", "c"), (101, "y", "c"))
+      .toDF("r_regionkey", "r_name", "r_comment").coalesce(1))
+    val got = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(got.map(_._2).toSeq == (0L until 7L))
+    assert(got.take(5).forall(_._3 == 1L) && got.drop(5).forall(_._3 == 2L))
+    // the appended rows ride the second file's range in write order
+    assert(got.drop(5).map(_._1).toSeq == Seq(100, 101))
+  }
+
+  test("scan ids equal the v3 export's manifest first_row_id assignment") {
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    t.append(Seq((200, "z", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    val assign = RowLineage.assign(conf, t.meta)
+    val dir = out()
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    // parse every exported Avro manifest: per-file first_row_id must be
+    // the exact numbers the native read surface serves
+    val metaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(dir, "metadata.json"))
+    assert(metaJson.get("next-row-id").asLong() == assign.nextRowId)
+    val exported = scala.collection.mutable.Map[String, Long]()
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+      .foreach { f =>
+        val c = Avro.readContainer(java.nio.file.Files.readAllBytes(f.toPath))
+        c.records.foreach { r =>
+          (r.get("data_file"), r.get("data_file").map(_ => r)) match {
+            case (Some(df: Map[String, Any] @unchecked), _) =>
+              (df.get("file_path"), df.get("first_row_id")) match {
+                case (Some(p: String), Some(id: Long)) => exported(p) = id
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      }
+    assert(exported.nonEmpty)
+    exported.foreach { case (p, id) =>
+      assert(assign.fileFirstRowId(p) == id, s"file $p")
+    }
+    // every live data file is covered by the export
+    assert(t.currentFiles().forall(f => exported.contains(f.path)))
+  }
+
+  test("MOR DV delete: survivors keep ids with no rewrite at all") {
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    val before = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    t.deleteMergeOnReadDV("r_regionkey = 2")
+    val after = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!after.contains(2))
+    assert(after == before - 2)
+  }
+
+  test("CoW delete/update preserve ids and bump seq only on hit rows") {
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5),
+      properties = Map(TableFormat.RowLineagePreserve -> "true"))
+    val before = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    t.delete("r_regionkey = 1")                 // snapshot 2: CoW rewrite
+    t.update("r_regionkey = 3", Map("r_name" -> "'UPD'"))  // snapshot 3
+    val after = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol, "r_name")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(!after.contains(1))
+    after.foreach { case (k, (rid, seq, name)) =>
+      assert(rid == before(k)._1, s"row id of key $k must survive the rewrites")
+      if (k == 3) {
+        assert(seq == 3L, "updated row carries the update commit's sequence")
+        assert(name == "UPD")
+      } else assert(seq == before(k)._2, s"untouched key $k keeps its seq")
+    }
+    // WITHOUT the property, a CoW rewrite reassigns (documented contrast)
+    val u = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    u.delete("r_regionkey = 0")
+    val ids = u.lineageDF().select(RowLineage.RowIdCol)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.size == 4 && ids.distinct.size == 4)
+  }
+
+  test("compaction carries each row's id through the repack") {
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(3),
+      properties = Map(TableFormat.RowLineagePreserve -> "true"))
+    t.append(Seq((300, "a", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    t.append(Seq((301, "b", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    val before = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val filesBefore = t.currentFiles().size
+    t.compact()
+    assert(t.currentFiles().size < filesBefore, "compaction must fold files")
+    val after = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before)
+  }
+
+  test("graft→graft v3 round trip keeps ids; post-import appends respect the watermark") {
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    t.append(Seq((400, "q", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    val before = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dir = out()
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    val after = imp.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before, "imported lineage must serve the exporter's ids")
+    assert(imp.meta.properties(TableFormat.RowLineageNextRowId).toLong == 6L)
+    // a native append AFTER the import continues above the watermark
+    imp.append(Seq((500, "w", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    val appended = imp.lineageDF().filter(col("r_regionkey") === 500)
+      .select(RowLineage.RowIdCol).head.getLong(0)
+    assert(appended == 6L)
+  }
+
+  test("foreign manifest inheritance: null entry ids derive from the list's first_row_id") {
+    // hand-built v3 doc: one manifest whose TWO added entries leave
+    // first_row_id null; the manifest-list row anchors inheritance at 100
+    // → files inherit 100 and 100+rows(A)
+    val stage = Files.createTempDirectory("graft_lin_inh").toString
+    def withIds(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        col(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ColumnMapping.ParquetFieldIdKey, i + 1L).build())
+      }.toSeq: _*).coalesce(1).write.parquet(dir)
+    withIds(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name"), s"$stage/a")
+    withIds(Seq((4, "d")).toDF("id", "name"), s"$stage/b")
+    def one(d: String) = new java.io.File(d).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getPath
+    val dir = out()
+    val entrySchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"first_row_id","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+    val manifestBytes = Avro.writeContainer(entrySchema, Seq(
+      Map[String, Any]("status" -> 1, "snapshot_id" -> 1L, "first_row_id" -> null,
+        "data_file" -> Map[String, Any]("file_path" -> one(s"$stage/a"),
+          "file_format" -> "PARQUET", "partition" -> Map.empty[String, Any],
+          "record_count" -> 3L, "file_size_in_bytes" -> 10L)),
+      Map[String, Any]("status" -> 1, "snapshot_id" -> 1L, "first_row_id" -> null,
+        "data_file" -> Map[String, Any]("file_path" -> one(s"$stage/b"),
+          "file_format" -> "PARQUET", "partition" -> Map.empty[String, Any],
+          "record_count" -> 1L, "file_size_in_bytes" -> 10L))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/lin-m0.avro"), manifestBytes)
+    val listSchema =
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"added_snapshot_id","type":"long"},
+        |  {"name":"first_row_id","type":["null","long"],"default":null}]}""".stripMargin
+    val listBytes = Avro.writeContainer(listSchema, Seq(Map[String, Any](
+      "manifest_path" -> s"$dir/lin-m0.avro",
+      "manifest_length" -> manifestBytes.length.toLong,
+      "partition_spec_id" -> 0, "added_snapshot_id" -> 1L,
+      "first_row_id" -> 100L)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/snap-1-lin.avro"), listBytes)
+    val metadata =
+      s"""{"format-version": 3,
+         |"table-uuid": "abcdabcd-1111-2222-3333-444455556666",
+         |"location": "$dir",
+         |"last-updated-ms": 1700000000000,
+         |"last-sequence-number": 1,
+         |"last-column-id": 2,
+         |"next-row-id": 104,
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "int"},
+         |  {"id": 2, "name": "name", "required": false, "type": "string"}]}],
+         |"current-schema-id": 0,
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 1,
+         |"snapshots": [
+         |  {"snapshot-id": 1, "sequence-number": 1, "schema-id": 0,
+         |   "timestamp-ms": 1700000000000,
+         |   "summary": {"operation": "append"},
+         |   "manifest-list": "$dir/snap-1-lin.avro"}],
+         |"snapshot-log": [{"timestamp-ms": 1700000000000, "snapshot-id": 1}]}
+         |""".stripMargin
+    MetaIO.writeString(conf, s"$dir/metadata.json", metadata)
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    val got = imp.lineageDF().select("id", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 100L, 2 -> 101L, 3 -> 102L, 4 -> 103L))
+    assert(imp.meta.properties(TableFormat.RowLineageNextRowId).toLong == 104L)
+  }
+}
