@@ -485,8 +485,8 @@ object IcebergManifests {
     // snapshots that only added equality deletes share the artifact.
     // file_path values strip back to the data manifests' own rendering
     // (scheme-stripped) so a foreign reader's exact-path match works.
-    val dvPuffins = scala.collection.mutable.Map.empty[String, (String, Long, Seq[IcebergDV.DvBlobRef])]
-    def dvPuffinFor(snapId: Long, pdf: Seq[String]): (String, Long, Seq[IcebergDV.DvBlobRef]) =
+    val dvPuffins = scala.collection.mutable.Map.empty[String, Seq[(String, Long, Seq[IcebergDV.DvBlobRef])]]
+    def dvPuffinFor(snapId: Long, pdf: Seq[String]): Seq[(String, Long, Seq[IcebergDV.DvBlobRef])] =
       dvPuffins.getOrElseUpdate(pdf.sorted.mkString("\n"), {
         import org.apache.spark.sql.functions.col
         val (dvF, classicF) = pdf.partition(GraftTable.isDvFile)
@@ -499,12 +499,43 @@ object IcebergManifests {
         val merged = parts.reduce(_ unionByName _)
           .groupBy(col("file_path"))
           .agg(GraftTable.bitmapMergeAgg(col("dv")).as("dv"))
-        val rows = merged.collect()
-          .map(r => stripLocal(r.getString(0)) -> r.getAs[Array[Byte]](1)).toSeq
-        val (bytes, refs) = IcebergDV.buildPuffin(rows, snapId)
-        val path = s"$outDir/snap-$snapId-deletes.puffin"
-        writeBytes(conf, path, bytes)
-        (path, bytes.length.toLong, refs)
+        // driver-buffer guard: at pathological delete density the total
+        // bitmap volume of a payload set can reach GBs — stream the rows
+        // (toLocalIterator: one partition resident at a time, never the
+        // whole set) and SPILL into multiple Puffin containers past the
+        // size budget. The spec allows any number of DV files per
+        // snapshot: each manifest entry points into its own container
+        // via referenced_data_file/content_offset, and the import path
+        // already groups pointers by container.
+        val maxBytes = m.properties.get(TableFormat.DvPuffinMaxBytes)
+          .map(_.toLong).getOrElse(256L << 20)
+        val containers = Seq.newBuilder[(String, Long, Seq[IcebergDV.DvBlobRef])]
+        var part = 0
+        var chunk = Seq.newBuilder[(String, Array[Byte])]
+        var chunkBytes = 0L
+        var chunkRows = 0
+        def flush(): Unit = if (chunkRows > 0) {
+          val suffix = if (part == 0) "" else s"-p$part"
+          val (bytes, refs) = IcebergDV.buildPuffin(chunk.result(), snapId)
+          val path = s"$outDir/snap-$snapId-deletes$suffix.puffin"
+          writeBytes(conf, path, bytes)
+          containers += ((path, bytes.length.toLong, refs))
+          part += 1
+          chunk = Seq.newBuilder[(String, Array[Byte])]
+          chunkBytes = 0L
+          chunkRows = 0
+        }
+        val it = merged.toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val dv = r.getAs[Array[Byte]](1)
+          if (chunkRows > 0 && chunkBytes + dv.length > maxBytes) flush()
+          chunk += stripLocal(r.getString(0)) -> dv
+          chunkBytes += dv.length
+          chunkRows += 1
+        }
+        flush()
+        containers.result()
       })
 
     def fileRows(path: String): Long =
@@ -546,8 +577,7 @@ object IcebergManifests {
       val posRecords =
         if (!v3) classicPosFiles(pdf).map(p => entry(1, p, snapId, null))
         else if (pdf.isEmpty) Nil
-        else {
-          val (puffinPath, puffinLen, refs) = dvPuffinFor(snapId, pdf)
+        else dvPuffinFor(snapId, pdf).flatMap { case (puffinPath, puffinLen, refs) =>
           refs.map(r => entry(1, puffinPath, snapId, null,
             format = "PUFFIN", rows = r.cardinality, len = puffinLen,
             dvFields = Map[String, Any](

@@ -85,6 +85,12 @@ object TableFormat {
     * for NEW writes only; existing files keep their layout.
     */
   val SortOrder = "write.sort-order"
+  /** Per-container byte budget for v3 deletion-vector Puffin export:
+    * payload sets whose merged bitmaps exceed it spill into multiple
+    * Puffin files (spec-legal — entries point into their own container),
+    * so the export's driver buffer stays bounded. Default 256 MiB.
+    */
+  val DvPuffinMaxBytes = "graft.export.dv-puffin-max-bytes"
   /** v3 row lineage ([[RowLineage]]): when `true`, copy-on-write
     * rewrites MATERIALIZE `_row_id` / `_last_updated_sequence_number`
     * into the rewritten files so row identity survives the rewrite (the

@@ -295,4 +295,34 @@ class ScaleStressSpec extends SparkSpec {
     assert(pp.get.entries.map(_.dataRecordCount).sum ==
       t2.currentFiles().map(_.recordCount).sum)
   }
+
+  test("v3 DV export spills into multiple Puffin containers past the byte budget") {
+    // driver-buffer guard (r11 verdict): past-threshold bitmap volume
+    // must chunk into N containers — identical read-back semantics, no
+    // single driver-resident buffer of the whole payload set. A tiny
+    // budget (64 B — real run-length bitmaps are ~33 B each) forces the
+    // spill on a small table.
+    val orders = spark.read.parquet(s"$sf/orders.parquet").limit(2000)
+    val t = GraftTable.createAs(spark, tmp(),
+      orders.repartition(6),
+      properties = Map(TableFormat.DvPuffinMaxBytes -> "64"))
+    t.deleteMergeOnReadDV("o_orderkey % 3 = 0")
+    val expected = t.toDF().orderBy("o_orderkey").collect()
+    val dir = Files.createTempDirectory("graft_dvspill").toString
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    val puffins = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".puffin"))
+      .filter(_.getName.contains("-deletes"))
+    assert(puffins.length > 1,
+      s"64 B budget over 6 files' bitmaps must spill, got ${puffins.length} container(s)")
+    // every container is a well-formed Puffin with DV blobs
+    puffins.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(graft.formats.Puffin.isPuffin(bytes), f.getName)
+    }
+    // read-back equivalence through the real import path
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json",
+      tmp())
+    assert(imp.toDF().orderBy("o_orderkey").collect().toSeq == expected.toSeq)
+  }
 }
