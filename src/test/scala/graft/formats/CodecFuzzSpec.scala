@@ -1,0 +1,259 @@
+package graft.formats
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based fuzz for the three from-scratch binary codecs — the
+  * hand-computed pins in AvroSpec/RoaringSpec/PuffinSpec are strong on
+  * anticipated layouts; random schemas/values/bitmaps close the
+  * unanticipated-layout corner. Referees: the Apache Avro 1.12 and
+  * RoaringBitmap jars Spark ships (test classpath only), both directions
+  * each; Puffin self-round-trips (no JVM referee exists) with
+  * structure-level assertions.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private def check(label: String, p: Prop, min: Int = 60): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, s"$label: $res")
+  }
+
+  // ------------------------------------------------------------ Roaring
+
+  private val roaringValues: Gen[Array[Long]] = {
+    val small = Gen.chooseNum(0L, 70000L)
+    val run = for {
+      start <- Gen.chooseNum(0L, 1000000L)
+      len <- Gen.chooseNum(1, 6000)
+    } yield (start until start + len)
+    val bucketed = for {
+      bucket <- Gen.chooseNum(0L, 5L)
+      v <- Gen.chooseNum(0L, 100000L)
+    } yield (bucket << 32) | v
+    val huge = Gen.chooseNum(0L, (1L << 62) - 1)
+    for {
+      singles <- Gen.listOf(Gen.oneOf(small, bucketed, huge))
+      runs <- Gen.listOf(run)
+    } yield (singles ++ runs.flatten).distinct.sorted.toArray
+  }
+
+  test("Roaring fuzz: graft bytes decode in the RoaringBitmap referee") {
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    import java.io.{ByteArrayInputStream, DataInputStream}
+    check("graft→referee", Prop.forAll(roaringValues) { vs =>
+      val rb = new Roaring64NavigableMap()
+      rb.deserializePortable(new DataInputStream(
+        new ByteArrayInputStream(Roaring.serialize(vs))))
+      val out = Array.newBuilder[Long]
+      val it = rb.getLongIterator
+      while (it.hasNext) out += it.next()
+      out.result().toSeq == vs.toSeq
+    })
+  }
+
+  test("Roaring fuzz: referee bytes decode in graft") {
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    check("referee→graft", Prop.forAll(roaringValues) { vs =>
+      val rb = new Roaring64NavigableMap()
+      vs.foreach(rb.addLong)
+      val bos = new ByteArrayOutputStream()
+      rb.serializePortable(new DataOutputStream(bos))
+      Roaring.deserialize(bos.toByteArray).toSeq == vs.toSeq
+    })
+  }
+
+  // --------------------------------------------------------------- Avro
+
+  /** A random flat-ish Avro schema (prims, nullable unions, arrays,
+    * maps, one nested record level) with a matching value generator.
+    */
+  private case class FieldGen(name: String, schemaJson: String, value: Gen[Any])
+
+  private val asciiName: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val utfString: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(32, 126),
+      2 -> Gen.choose(0xA1, 0x2FA0))).map(_.map(_.toChar).mkString)
+
+  private val primGens: Seq[(String, Gen[Any])] = Seq(
+    "\"int\"" -> Gen.chooseNum(Int.MinValue, Int.MaxValue).map(x => x: Any),
+    "\"long\"" -> Gen.chooseNum(Long.MinValue, Long.MaxValue).map(x => x: Any),
+    "\"boolean\"" -> Gen.oneOf(true, false).map(x => x: Any),
+    "\"string\"" -> utfString.map(x => x: Any),
+    "\"double\"" -> Gen.chooseNum(-1e18, 1e18).map(x => x: Any),
+    "\"float\"" -> Gen.chooseNum(-1e9f, 1e9f).map(x => x: Any),
+    "\"bytes\"" -> Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(bs => bs.toArray: Any))
+
+  private def fieldGen(idx: Int, allowNested: Boolean): Gen[FieldGen] = {
+    val prim = Gen.oneOf(primGens).map { case (s, g) =>
+      FieldGen(s"f$idx", s, g) }
+    val nullable = Gen.oneOf(primGens).flatMap { case (s, g) =>
+      Gen.const(FieldGen(s"f$idx", s"""["null", $s]""",
+        Gen.frequency(1 -> Gen.const(null: Any), 3 -> g)))
+    }
+    val arr = Gen.oneOf(primGens).map { case (s, g) =>
+      FieldGen(s"f$idx", s"""{"type": "array", "items": $s}""",
+        Gen.listOf(g).map(xs => xs: Any))
+    }
+    val mp = Gen.oneOf(primGens).map { case (s, g) =>
+      FieldGen(s"f$idx", s"""{"type": "map", "values": $s}""",
+        Gen.mapOf(Gen.zip(asciiName, g)).map(m => m: Any))
+    }
+    val nested =
+      if (!allowNested) prim
+      else Gen.choose(1, 3).flatMap { n =>
+        Gen.sequence[Seq[FieldGen], FieldGen](
+          (0 until n).map(i => fieldGen(idx * 10 + i, allowNested = false)))
+          .map { fs =>
+            val schema = s"""{"type": "record", "name": "n$idx", "fields": [
+              ${fs.map(f => s"""{"name": "${f.name}", "type": ${f.schemaJson}}""").mkString(",")}]}"""
+            val vg = Gen.sequence[Seq[Any], Any](fs.map(_.value))
+              .map(vs => fs.map(_.name).zip(vs).toMap: Any)
+            FieldGen(s"f$idx", schema, vg)
+          }
+      }
+    Gen.frequency(4 -> prim, 2 -> nullable, 1 -> arr, 1 -> mp, 1 -> nested)
+  }
+
+  private case class AvroCase(schemaJson: String, records: Seq[Map[String, Any]])
+
+  private val avroCase: Gen[AvroCase] = for {
+    nFields <- Gen.choose(1, 6)
+    fields <- Gen.sequence[Seq[FieldGen], FieldGen](
+      (0 until nFields).map(i => fieldGen(i, allowNested = true)))
+    nRecords <- Gen.choose(0, 40)
+    records <- Gen.listOfN(nRecords,
+      Gen.sequence[Seq[Any], Any](fields.map(_.value))
+        .map(vs => fields.map(_.name).zip(vs).toMap))
+  } yield AvroCase(
+    s"""{"type": "record", "name": "fz", "fields": [
+      ${fields.map(f => s"""{"name": "${f.name}", "type": ${f.schemaJson}}""").mkString(",")}]}""",
+    records)
+
+  /** Canonical form for cross-library comparison: Utf8→String,
+    * ByteBuffer/Array[Byte]→Seq[Byte], GenericRecord/Map→sorted pairs,
+    * lists→Seq, floats/doubles→raw bits.
+    */
+  private def canon(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a.toSeq
+    case b: Array[Byte] => b.toSeq
+    case r: org.apache.avro.generic.GenericRecord =>
+      r.getSchema.getFields.toArray.toSeq
+        .map(_.asInstanceOf[org.apache.avro.Schema.Field].name())
+        .sorted.map(n => n -> canon(r.get(n)))
+    case m: Map[_, _] =>
+      m.toSeq.map { case (k, x) => String.valueOf(k) -> canon(x) }.sortBy(_._1)
+    case m: java.util.Map[_, _] =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.toSeq.map { case (k, x) => String.valueOf(k) -> canon(x) }.sortBy(_._1)
+    case l: java.util.List[_] =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq.map(canon)
+    case s: Seq[_] => s.map(canon)
+    case f: Float => java.lang.Float.floatToIntBits(f)
+    case d: Double => java.lang.Double.doubleToLongBits(d)
+    case f: java.lang.Float => java.lang.Float.floatToIntBits(f)
+    case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
+    case other => other
+  }
+
+  private def toApache(schema: org.apache.avro.Schema, v: Any): Any = {
+    import org.apache.avro.Schema.Type
+    schema.getType match {
+      case Type.UNION =>
+        if (v == null) null
+        else toApache(schema.getTypes.get(1), v)
+      case Type.BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Type.RECORD =>
+        val r = new org.apache.avro.generic.GenericData.Record(schema)
+        val m = v.asInstanceOf[Map[String, Any]]
+        schema.getFields.forEach(f => r.put(f.name(), toApache(f.schema(), m(f.name()))))
+        r
+      case Type.ARRAY =>
+        import scala.jdk.CollectionConverters._
+        v.asInstanceOf[Seq[Any]].map(toApache(schema.getElementType, _)).asJava
+      case Type.MAP =>
+        import scala.jdk.CollectionConverters._
+        v.asInstanceOf[Map[String, Any]]
+          .map { case (k, x) => k -> toApache(schema.getValueType, x) }.asJava
+      case _ => v
+    }
+  }
+
+  test("Avro fuzz: graft containers decode in Apache Avro (referee)") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    check("graft→apache", Prop.forAll(avroCase) { c =>
+      val bytes = Avro.writeContainer(c.schemaJson, c.records)
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+      val got = Seq.newBuilder[GenericRecord]
+      while (rd.hasNext) got += rd.next()
+      rd.close()
+      val a = got.result().map(canon)
+      val b = c.records.map(canon)
+      a == b
+    }, min = 40)
+  }
+
+  test("Avro fuzz: Apache containers decode in graft") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
+    check("apache→graft", Prop.forAll(avroCase) { c =>
+      val schema = new org.apache.avro.Schema.Parser().parse(c.schemaJson)
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, bos)
+      c.records.foreach(r => w.append(toApache(schema, r).asInstanceOf[GenericRecord]))
+      w.close()
+      val got = Avro.readContainer(bos.toByteArray)
+      got.records.map(canon) == c.records.map(canon)
+    }, min = 40)
+  }
+
+  test("Avro fuzz: graft round trip is the identity") {
+    check("graft→graft", Prop.forAll(avroCase) { c =>
+      val back = Avro.readContainer(Avro.writeContainer(c.schemaJson, c.records))
+      back.records.map(canon) == c.records.map(canon)
+    }, min = 40)
+  }
+
+  // ------------------------------------------------------------- Puffin
+
+  private val puffinBlob: Gen[Puffin.Blob] = for {
+    typ <- Gen.oneOf("deletion-vector-v1", "apache-datasketches-theta-v1", "graft-kmv-v1")
+    fields <- Gen.listOf(Gen.chooseNum(1, 500))
+    snap <- Gen.chooseNum(0L, 1L << 40)
+    seq <- Gen.chooseNum(0L, 1L << 20)
+    payload <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    props <- Gen.mapOf(Gen.zip(asciiName, asciiName))
+  } yield Puffin.Blob(typ, fields, snap, seq, payload, props)
+
+  test("Puffin fuzz: random blob sets round-trip with exact payload slicing") {
+    val gen = for {
+      blobs <- Gen.listOf(puffinBlob)
+      props <- Gen.mapOf(Gen.zip(asciiName, asciiName))
+    } yield (blobs, props)
+    check("puffin", Prop.forAll(gen) { case (blobs, props) =>
+      val bytes = Puffin.write(blobs, props)
+      val back = Puffin.read(bytes)
+      back.properties == props &&
+        back.blobs.size == blobs.size &&
+        back.blobs.zip(blobs).forall { case (g, w) =>
+          g.blobType == w.blobType && g.fields == w.fields &&
+            g.snapshotId == w.snapshotId && g.sequenceNumber == w.sequenceNumber &&
+            g.payload.toSeq == w.payload.toSeq && g.properties == w.properties
+        }
+    })
+  }
+}
