@@ -121,6 +121,48 @@ object Similarity {
         F.cosine(col("qv"), col("embedding")).as("sim"))
   }
 
+  /** Occupancy-estimated LSH candidate volume PER QUERY, from a bounded
+    * corpus sample: per-table expected bucket size = N / (occupied keys
+    * per table), times the probes a query touches (tables × masks). The
+    * 8-bit key space saturates at 256 buckets/table, so past ~10⁵
+    * vectors the estimate grows LINEARLY in N — exactly the
+    * candidate-linear behavior the 10× scaling probe measured (SURVEY
+    * §8, s02 at 2.57×). Cost: one corpus count (parquet metadata) + key
+    * hashing over a 2 000-vector sample.
+    */
+  private[graft] def lshCandidateEstimate(e: DataFrame,
+      tables: Int, probeBits: Int): Double = {
+    val bits = 8
+    def seed(t: Int): Long = 0x5eedL + t * 7919L
+    val masks = (0L until (1L << bits))
+      .count(m => java.lang.Long.bitCount(m) <= probeBits)
+    val n = e.count()
+    if (n == 0) return 0.0
+    val sampleKeys = e.limit(2000).select(
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), F.rpBits(col("embedding"), bits, seed(t)).as("key"))): _*)).as("tk"))
+      .select(col("tk.t"), col("tk.key")).distinct().count()
+    // Σ_t masks × N / ndv_t with ndv_t ≈ sampled-occupied/tables; the
+    // sample under-counts rarely-hit buckets, which only makes the
+    // estimate (and therefore the flip) conservative toward IVF
+    masks.toDouble * n * tables * tables / math.max(sampleKeys, 1L)
+  }
+
+  /** The documented s02 growth path (SURVEY §8 r11, VERDICT r11 #7):
+    * top-k ANN that self-routes by estimated candidate volume. Under
+    * `budgetPerQuery` the multiprobe-LSH path wins (higher recall at
+    * small candidate cost); past it LSH is candidate-linear in the
+    * corpus — route to IVF, whose probed-cell volume is sublinear
+    * (cells ≈ √N). Returns the chosen route for plan-shape pinning.
+    */
+  private[graft] def annTopKAuto(spark: SparkSession, sfDir: String,
+      budgetPerQuery: Long = 100000L): (String, DataFrame) = {
+    val e = Tables.embeddings(spark, sfDir)
+    val est = lshCandidateEstimate(e, tables = 16, probeBits = 2)
+    if (est <= budgetPerQuery.toDouble) "lsh" -> s02AnnLsh(spark, sfDir)
+    else "ivf" -> s03AnnIvf(spark, sfDir)
+  }
+
   /** Trained-once IVF index artifact, cached per corpus dir.
     *
     * k = ceil(sqrt(N)) clamped to [16, 1024] — FIXED relative to any one
