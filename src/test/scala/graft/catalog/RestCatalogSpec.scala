@@ -112,7 +112,16 @@ class RestCatalogSpec extends SparkSpec {
     t.rollback(t.meta.snapshots(1).id)                    // pointer move
     t.dropRef("dev")
     t.expireSnapshots(System.currentTimeMillis() + 1000)  // snapshot removal
-    assert(commits >= 10, s"only $commits commits exercised")
+    // WAP shape: stage on a branch, cherry-pick onto main, drop the branch
+    t.createBranch("wap", t.meta.currentSnapshotId)
+    t.appendToBranch(Seq((95, "z", "c", 9L))
+      .toDF("r_regionkey", "r_name", "r_comment", "rank"), "wap")
+    t.cherryPick(t.meta.refs("wap").snapshotId)
+    t.dropRef("wap")
+    // merge-on-read commits (DV delete + materialization rewrite)
+    t.deleteMergeOnReadDV("r_regionkey = 95")
+    t.materializeDeletes()
+    assert(commits >= 15, s"only $commits commits exercised")
     assert(t.meta.snapshots.nonEmpty && firstSnap >= 0)
   }
 
