@@ -53,9 +53,15 @@ class RestCatalogClient(val baseUri: String) {
     else mapper.readTree(resp.body())
   }
 
+  /** Percent-encode one path segment (URLEncoder is form-style — its
+    * '+' means space — so rewrite to the %20 percent form the server's
+    * path decode expects).
+    */
+  private def seg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
   // multi-level namespaces join on the spec's %1F unit separator
-  private def nsPath(ns: Seq[String]): String =
-    java.net.URLEncoder.encode(ns.mkString("\u001f"), "UTF-8")
+  private def nsPath(ns: Seq[String]): String = seg(ns.mkString("\u001f"))
 
   // -------------------------------------------------------- namespaces
 
@@ -92,7 +98,7 @@ class RestCatalogClient(val baseUri: String) {
   }
 
   def tableExists(ns: Seq[String], name: String): Boolean =
-    try { send("HEAD", s"/v1/namespaces/${nsPath(ns)}/tables/$name"); true }
+    try { send("HEAD", s"/v1/namespaces/${nsPath(ns)}/tables/${seg(name)}"); true }
     catch { case e: CatalogException if e.code == 404 => false }
 
   /** Create an empty table through the catalog (server writes v1). */
@@ -127,10 +133,10 @@ class RestCatalogClient(val baseUri: String) {
   }
 
   def loadTable(ns: Seq[String], name: String): LoadResult =
-    LoadResult(send("GET", s"/v1/namespaces/${nsPath(ns)}/tables/$name"))
+    LoadResult(send("GET", s"/v1/namespaces/${nsPath(ns)}/tables/${seg(name)}"))
 
   def dropTable(ns: Seq[String], name: String): Unit = {
-    send("DELETE", s"/v1/namespaces/${nsPath(ns)}/tables/$name"); ()
+    send("DELETE", s"/v1/namespaces/${nsPath(ns)}/tables/${seg(name)}"); ()
   }
 
   def renameTable(ns: Seq[String], name: String, toNs: Seq[String], toName: String): Unit = {
@@ -161,7 +167,7 @@ class RestCatalogClient(val baseUri: String) {
   def commit(ns: Seq[String], name: String, base: TableMeta, next: TableMeta): Unit = {
     val proposal = MetaDiff.diff(base, next)
     try {
-      send("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name",
+      send("POST", s"/v1/namespaces/${nsPath(ns)}/tables/${seg(name)}",
         Some(proposal.toJson(Some((ns, name)))))
       ()
     } catch {
@@ -177,8 +183,17 @@ class RestCatalogClient(val baseUri: String) {
     * base a commit was computed from is always `v{N-1}`, which no writer
     * ever mutates.
     */
-  def table(spark: SparkSession, ns: Seq[String], name: String): GraftTable = {
-    val t = GraftTable.load(spark, loadTable(ns, name).location)
+  def table(spark: SparkSession, ns: Seq[String], name: String): GraftTable =
+    attach(spark, ns, name, loadTable(ns, name).location)
+
+  /** Delegate-attached handle for an ALREADY-RESOLVED location (the
+    * location of a catalog table is immutable, so a caller that has it —
+    * e.g. the SQL facade's per-name cache — skips the loadTable round
+    * trip on every subsequent statement).
+    */
+  def attach(spark: SparkSession, ns: Seq[String], name: String,
+      location: String): GraftTable = {
+    val t = GraftTable.load(spark, location)
     val conf = spark.sparkContext.hadoopConfiguration
     t.commitDelegate = Some { next =>
       val base = MetaIO.metaFromJson(MetaIO.readString(conf,

@@ -115,8 +115,12 @@ class RestCatalogServer(val warehouse: String,
 
   private def route(ex: HttpExchange): Unit = {
     try {
-      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
-        .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+      // getRawPath keeps percent-escapes intact so names containing '/'
+      // or '%' can't shift segment boundaries; each segment then decodes
+      // exactly once, percent-style (a literal '+' is a plus, not a
+      // space — URLDecoder alone would form-decode it)
+      val segs = ex.getRequestURI.getRawPath.split("/").filter(_.nonEmpty).toSeq
+        .map(s => java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8"))
       val method = ex.getRequestMethod
       (method, segs) match {
         case ("GET", Seq("v1", "config")) =>

@@ -105,9 +105,15 @@ object Media {
         s"unsupported BMP bit depth $bpp (only 24/32)")
       require(width > 0 && height >= 0, s"bad dimensions ${width}x$rawHeight")
       val bytesPerPx = bpp / 8
-      val stride = (width * bytesPerPx + 3) / 4 * 4
-      require(bytes.length >= offBits + stride * height,
-        s"truncated BMP: need ${offBits + stride * height} bytes, have ${bytes.length}")
+      // all size arithmetic in Long: a hostile header near Int.MaxValue
+      // must hit the refusal below, not wrap past it into a negative
+      // allocation (refuse-loudly posture)
+      val strideL = (width.toLong * bytesPerPx + 3) / 4 * 4
+      require(offBits >= 0 && strideL * height <= bytes.length.toLong - offBits,
+        s"truncated BMP: need ${offBits + strideL * height} bytes, have ${bytes.length}")
+      require(width.toLong * height * 3 <= Int.MaxValue,
+        s"BMP dimensions ${width}x$height exceed the decodable pixel budget")
+      val stride = strideL.toInt
       val rgb = new Array[Byte](width * height * 3)
       var fileRow = 0
       while (fileRow < height) {
@@ -180,7 +186,9 @@ object Media {
       while (pos + 8 <= bytes.length && samples == null) {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val size = i32(bytes, pos + 4)
-        require(size >= 0 && pos + 8 + size <= bytes.length,
+        // Long arithmetic: a chunk size near Int.MaxValue must refuse
+        // here, not wrap the bound check and blow up downstream
+        require(size >= 0 && pos.toLong + 8 + size <= bytes.length.toLong,
           s"truncated WAV chunk '$id' at $pos (size $size)")
         id match {
           case "fmt " =>

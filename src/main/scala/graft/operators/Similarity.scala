@@ -87,16 +87,25 @@ object Similarity {
       tables: Int, probeBits: Int): DataFrame =
     topK(lshScored(e, q, tables, probeBits))
 
+  /** LSH hashing constants shared by the scoring path AND the router's
+    * occupancy estimator ([[lshCandidateEstimate]]) — one definition, so
+    * a change to the key space can never desynchronize the estimate from
+    * the path it predicts.
+    */
+  private val LshBits = 8
+  private def lshSeed(t: Int): Long = 0x5eedL + t * 7919L
+  /** All XOR masks with popcount <= probeBits over the low LshBits bits. */
+  private def lshMasks(probeBits: Int): Seq[Long] =
+    (0L until (1L << LshBits)).filter(m => java.lang.Long.bitCount(m) <= probeBits)
+
   /** Candidate generation + exact scoring shared by top-k ANN (s02) and
     * radius search (s06): LSH bucket join → dedup → cosine.
     */
   private[graft] def lshScored(e: DataFrame, q: DataFrame,
       tables: Int, probeBits: Int): DataFrame = {
-    val bits = 8
-    def seed(t: Int): Long = 0x5eedL + t * 7919L
-    // All XOR masks with popcount <= probeBits over the low `bits` bits.
-    val masks: Seq[Long] = (0L until (1L << bits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
+    val bits = LshBits
+    def seed(t: Int): Long = lshSeed(t)
+    val masks: Seq[Long] = lshMasks(probeBits)
 
     val keyed = e.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
@@ -132,15 +141,12 @@ object Similarity {
     */
   private[graft] def lshCandidateEstimate(e: DataFrame,
       tables: Int, probeBits: Int): Double = {
-    val bits = 8
-    def seed(t: Int): Long = 0x5eedL + t * 7919L
-    val masks = (0L until (1L << bits))
-      .count(m => java.lang.Long.bitCount(m) <= probeBits)
+    val masks = lshMasks(probeBits).size
     val n = e.count()
     if (n == 0) return 0.0
     val sampleKeys = e.limit(2000).select(
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), F.rpBits(col("embedding"), bits, seed(t)).as("key"))): _*)).as("tk"))
+        struct(lit(t).as("t"), F.rpBits(col("embedding"), LshBits, lshSeed(t)).as("key"))): _*)).as("tk"))
       .select(col("tk.t"), col("tk.key")).distinct().count()
     // Σ_t masks × N / ndv_t with ndv_t ≈ sampled-occupied/tables; the
     // sample under-counts rarely-hit buckets, which only makes the

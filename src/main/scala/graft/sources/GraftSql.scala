@@ -77,13 +77,29 @@ class GraftSql(val spark: SparkSession, warehouse: String,
     }.getOrElse(
       throw new IllegalArgumentException(s"unknown graft table: $name")))
 
+  // tables confirmed registered with the catalog — after confirmation a
+  // handle attaches with ZERO catalog round trips (locations are
+  // immutable; commits still ride the wire through the delegate)
+  private val catalogKnown = mutable.Set[String]()
+
   /** Handles in catalog mode COMMIT through the catalog (the REST
     * requirements/updates CAS) — every INSERT/MERGE/ALTER the SQL facade
     * issues is arbitrated by the server, not the local filesystem CAS.
+    * A locally-reserved name whose table was created out-of-band is
+    * retro-registered on first access; a reservation with no metadata
+    * anywhere still serves the plain local handle (parity with
+    * non-catalog mode).
     */
   def table(name: String): GraftTable = catalog match {
-    case Some((c, ns)) => location(name); c.table(spark, ns, name)
-    case None          => GraftTable.load(spark, location(name))
+    case Some((c, ns)) =>
+      val loc = location(name)
+      if (!catalogKnown.contains(name)) {
+        if (!c.tableExists(ns, name)) register(name, loc)
+        if (c.tableExists(ns, name)) { catalogKnown += name; () }
+      }
+      if (catalogKnown.contains(name)) c.attach(spark, ns, name, loc)
+      else GraftTable.load(spark, loc)
+    case None => GraftTable.load(spark, location(name))
   }
 
   /** Adopt an existing GraftTable (or reserve a location) under `name`;
@@ -229,7 +245,7 @@ class GraftSql(val spark: SparkSession, warehouse: String,
           runSelect(s"SELECT * FROM (VALUES $tuples) AS __v($cols)"), part)))
         status("insert", name)
       case DropTable(name) =>
-        tables.remove(name); externals.remove(name)
+        tables.remove(name); externals.remove(name); catalogKnown -= name
         catalog.foreach { case (c, ns) =>
           if (c.tableExists(ns, name)) c.dropTable(ns, name)
         }

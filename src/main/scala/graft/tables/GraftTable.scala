@@ -1253,6 +1253,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def lineagePreserving(m: TableMeta): Boolean =
     m.properties.get(TableFormat.RowLineagePreserve).contains("true")
 
+  /** Property rider for lineage-materializing rewrite commits: the
+    * permanent marker the v3 export refuses on (rider columns are not
+    * representable as inherited id ranges).
+    */
+  private def lineageMarker(m: TableMeta): Map[String, String] =
+    if (lineagePreserving(m)) Map(TableFormat.RowLineageMaterialized -> "true")
+    else Map.empty
+
   /** Catalog-mediated commits (Iceberg REST catalog,
     * `graft.catalog.RestCatalogClient.table`): when set, commits of this
     * handle are PROPOSED to the delegate instead of CAS-publishing the
@@ -1752,7 +1760,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
         writeDataFiles(lineageScan(m, md, touched), m)
       else writeDataFiles(readWithMor(m, md.copy(files = touched), None), m)
     val untouched = md.files.filterNot(f => touched.exists(_.path == f.path))
-    commitSnapshot(m, untouched ++ rewritten, "rewrite-deletes", rewritten.size)
+    commitSnapshot(m, untouched ++ rewritten, "rewrite-deletes", rewritten.size,
+      extraProperties = if (rewritten.isEmpty) Map.empty else lineageMarker(m))
     this
   }
 
@@ -2053,7 +2062,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val kept = base.filter(!coalesce(expr(cond), lit(false)))
     val rewritten = writeDataFiles(kept, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
-    commitSnapshot(m, untouchedFiles ++ rewritten, "delete", rewritten.size)
+    commitSnapshot(m, untouchedFiles ++ rewritten, "delete", rewritten.size,
+      extraProperties = lineageMarker(m))
     this
   }
 
@@ -2065,30 +2075,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val touched = matchingFiles(m, cond)
     if (touched.isEmpty) return this
     val preserve = lineagePreserving(m)
-    val base0 =
+    val base =
       if (preserve) lineageScan(m, currentManifest(m), touched)
       else ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
-    // hit flag captured BEFORE assignments mutate the columns the
-    // condition reads — used to null the materialized last-updated seq
-    // on updated rows so they inherit THIS commit's sequence number
-    val base = if (preserve) base0.withColumn("__gp_lin_hit",
-      coalesce(expr(cond), lit(false))) else base0
-    val updated0 = m.schema.fields.foldLeft(base) { (d, f) =>
+    val hit = coalesce(expr(cond), lit(false))
+    // ONE simultaneous projection: the condition and every assignment RHS
+    // evaluate against the ORIGINAL row (SQL UPDATE semantics). A
+    // column-by-column fold would let later assignments read
+    // already-mutated values — SET status='B' WHERE status='A' would
+    // flip the condition for every assignment after the first.
+    val projected = m.schema.fields.toSeq.map { f =>
       set.get(f.name) match {
-        case Some(e) => d.withColumn(f.name,
-          when(coalesce(expr(cond), lit(false)), expr(e).cast(f.dataType)).otherwise(col(f.name)))
-        case None => d
+        case Some(e) =>
+          when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
       }
-    }
-    val updated =
-      if (!preserve) updated0
-      else updated0.withColumn(RowLineage.MatSeq,
-        when(col("__gp_lin_hit"), lit(null).cast(LongType))
-          .otherwise(col(RowLineage.MatSeq)))
-        .drop("__gp_lin_hit")
+    } ++ (if (!preserve) Nil else Seq(
+      col(RowLineage.MatRowId),
+      // updated rows inherit THIS commit's sequence number
+      when(hit, lit(null).cast(LongType))
+        .otherwise(col(RowLineage.MatSeq)).as(RowLineage.MatSeq)))
+    val updated = base.select(projected: _*)
     val rewritten = writeDataFiles(updated, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
-    commitSnapshot(m, untouchedFiles ++ rewritten, "update", rewritten.size)
+    commitSnapshot(m, untouchedFiles ++ rewritten, "update", rewritten.size,
+      extraProperties = lineageMarker(m))
     this
   }
 
@@ -2574,7 +2585,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val newFiles = writeDataFiles(packed, m)
     val untouched = cur.filterNot(f => small.exists(_.path == f.path))
     val hadLive = partitionStats(m).nonEmpty
-    commitSnapshot(m, untouched ++ newFiles, "replace", newFiles.size)
+    commitSnapshot(m, untouched ++ newFiles, "replace", newFiles.size,
+      extraProperties = lineageMarker(m))
     refreshPartitionStatsIfLive(hadLive)
     this
   }

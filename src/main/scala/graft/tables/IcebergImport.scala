@@ -455,9 +455,13 @@ object IcebergImport {
     // v3 row lineage: the foreign `next-row-id` watermark survives as a
     // property so native appends after the import take ids ABOVE every
     // imported range (the per-file ids themselves ride the translated
-    // manifests as DataFile.firstRowId)
-    val lineageProps = Option(root.get("next-row-id"))
-      .map(n => TableFormat.RowLineageNextRowId -> n.asLong().toString)
+    // manifests as DataFile.firstRowId); the import boundary marks every
+    // imported snapshot so files WITHOUT an explicit foreign id serve
+    // NULL lineage rather than invented numbers
+    val lineageProps = Option(root.get("next-row-id")).toSeq.flatMap(n => Seq(
+      TableFormat.RowLineageNextRowId -> n.asLong().toString) ++
+      snaps.map(_.id).maxOption.map(b =>
+        TableFormat.RowLineageImportBoundary -> b.toString))
     val props = (if (statsOk) props0 ++ statsRenames
       else props0 -- statsProps) -
       "graft.manifest-format" - "schema.name-mapping.default" ++ lineageProps

@@ -369,12 +369,26 @@ object IcebergManifests {
     // walk — shared with the native `lineageDF` read surface, so scanned
     // ids and exported ids are the same numbers, and imported files'
     // explicit foreign ids survive a re-export.
+    // a lineage-preserving rewrite materialized some files' REAL per-row
+    // ids into rider columns the Iceberg schema does not carry — an
+    // inherited first_row_id range would hand a foreign reader DIFFERENT
+    // ids than graft serves, so refuse rather than export
+    // silently-divergent lineage (the marker is stamped permanently by
+    // the first preserving rewrite)
+    if (v3 && m.properties.get(TableFormat.RowLineageMaterialized).contains("true"))
+      throw new IllegalStateException(
+        "table carries materialized row-lineage riders " +
+          "(graft.row-lineage.preserve rewrites); v3 export would assign " +
+          "divergent inherited ids — a foreign reader cannot see the " +
+          "rider columns")
     val lineage =
       if (v3) RowLineage.assign(conf, m)
       else RowLineage.Assignment(Map.empty, Map.empty, 0L)
     def fileRowId(path: String): Long = lineage.fileFirstRowId.getOrElse(path,
       throw new IllegalStateException(
-        s"no row-id assignment for data file $path — snapshot set changed mid-export?"))
+        s"no row-id assignment for data file $path — either the file has " +
+          "no recoverable lineage (imported EXISTING entry with null " +
+          "first_row_id) or the snapshot set changed mid-export"))
 
     def translateChild(name: String, specId: Int, files: Seq[DataFile]): (String, Long, Int, Long) =
       translated.getOrElseUpdate((name, specId), {

@@ -49,7 +49,13 @@ object RowLineage {
   def assign(conf: Configuration, m: TableMeta): Assignment = {
     var next = m.properties.get(TableFormat.RowLineageNextRowId)
       .map(_.toLong).getOrElse(0L)
+    // imported snapshots at or below the boundary: a file WITHOUT an
+    // explicit foreign id there has no recoverable lineage — serve NULL
+    // instead of inventing numbers the source engine would contradict
+    val importBoundary = m.properties.get(TableFormat.RowLineageImportBoundary)
+      .map(_.toLong).getOrElse(Long.MinValue)
     val fileIds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val unrecoverable = scala.collection.mutable.Set.empty[String]
     val snapIds = Map.newBuilder[Long, Long]
     m.snapshots.foreach { snap =>
       val (entries, dp, _, _) = MetaIO.loadManifestListData(conf, m.location, snap)
@@ -59,11 +65,13 @@ object RowLineage {
           val files = MetaIO.loadChildFiles(conf, m.location, e.name)
           files.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (_, group) =>
             group.foreach { f =>
-              if (!fileIds.contains(f.path)) {
+              if (!fileIds.contains(f.path) && !unrecoverable.contains(f.path)) {
                 f.firstRowId match {
                   case Some(explicit) =>
                     fileIds(f.path) = explicit
                     next = math.max(next, explicit + f.recordCount)
+                  case None if snap.id <= importBoundary =>
+                    unrecoverable += f.path
                   case None =>
                     fileIds(f.path) = next
                     next += f.recordCount

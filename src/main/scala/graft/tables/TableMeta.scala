@@ -103,6 +103,20 @@ object TableFormat {
     * take ids from here, never colliding with foreign ranges.
     */
   val RowLineageNextRowId = "graft.row-lineage.next-row-id"
+  /** Stamped (permanently) by the first lineage-preserving rewrite:
+    * some data files now carry their REAL per-row ids in materialized
+    * rider columns, which the v3 export's inherited first_row_id ranges
+    * cannot represent — the export checks this marker and refuses.
+    */
+  val RowLineageMaterialized = "graft.row-lineage.materialized"
+  /** Highest snapshot id present AT IMPORT TIME: files first seen at or
+    * below it without an explicit foreign id have no recoverable lineage
+    * (e.g. a foreign compaction re-listed them as EXISTING with null
+    * field 142 and their real ids materialized in a column graft does
+    * not read) — they serve NULL lineage rather than invented numbers.
+    * Native files of later snapshots assign normally.
+    */
+  val RowLineageImportBoundary = "graft.row-lineage.import-boundary"
   /** Target data-file size for writes (Iceberg
     * `write.target-file-size-bytes`): served to AQE as the advisory
     * partition size for the write's shuffle, so range/hash-distributed

@@ -196,6 +196,22 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("names with '+', '%', and spaces survive the path encoding (review finding)") {
+    withServer { (_, c) =>
+      c.createNamespace(Seq("a+b"))
+      c.createTable(Seq("a+b"), "my table",
+        StructType(Seq(StructField("x", IntegerType))))
+      c.createTable(Seq("a+b"), "p%t",
+        StructType(Seq(StructField("x", IntegerType))))
+      assert(c.tableExists(Seq("a+b"), "my table"))
+      assert(c.tableExists(Seq("a+b"), "p%t"))
+      assert(c.listTables(Seq("a+b")).toSet == Set("my table", "p%t"))
+      assert(c.loadTable(Seq("a+b"), "p%t").metadataLocation.nonEmpty)
+      c.dropTable(Seq("a+b"), "my table")
+      assert(!c.tableExists(Seq("a+b"), "my table"))
+    }
+  }
+
   test("wire shapes: config endpoint, error envelope, spec paths") {
     withServer { (srv, c) =>
       // raw HTTP against the spec paths (no client sugar)

@@ -180,6 +180,25 @@ class MediaFormatsSpec extends AnyFunSuite {
     assert(dec.samples.sameElements(Array(7, -7)))
   }
 
+  test("hostile sizes refuse loudly, never wrap (review finding)") {
+    // WAV data chunk declaring ~Int.MaxValue bytes: the bound check must
+    // refuse instead of wrapping negative and allocating gigabytes
+    val wav = Media.Wav.encode(8000, Array(1, 2, 3)).clone()
+    wav(40) = 0xFF.toByte; wav(41) = 0xFF.toByte
+    wav(42) = 0xFF.toByte; wav(43) = 0x7F.toByte
+    assert(intercept[IllegalArgumentException](
+      Media.Wav.decode(wav)).getMessage.contains("truncated"))
+    // BMP declaring width large enough to wrap the stride arithmetic
+    val bmp = Media.Bmp.encode(2, 2, new Array[Byte](12)).clone()
+    def putI32(off: Int, v: Int): Unit = {
+      bmp(off) = v.toByte; bmp(off + 1) = (v >> 8).toByte
+      bmp(off + 2) = (v >> 16).toByte; bmp(off + 3) = (v >> 24).toByte
+    }
+    putI32(18, 715827883) // width * 3 wraps Int
+    val e = intercept[IllegalArgumentException](Media.Bmp.decode(bmp))
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("budget"))
+  }
+
   test("WAV refusals: non-PCM, bad magic, truncated chunk, missing data") {
     val good = Media.Wav.encode(8000, Array(1, 2, 3))
     def mutated(off: Int, v: Byte): Array[Byte] = {

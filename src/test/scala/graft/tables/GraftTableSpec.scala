@@ -269,6 +269,27 @@ class GraftTableSpec extends SparkSpec {
     assert(t.toDF().count() == 0)
   }
 
+  test("update: condition and assignments read the ORIGINAL row (review finding)") {
+    // SQL UPDATE semantics: SET status='B', note='hit' WHERE status='A'
+    // must set BOTH columns on A-rows — a per-column fold would mutate
+    // status first and the note assignment's condition would match nothing
+    val t = GraftTable.createAs(spark, tmp(),
+      Seq((1, "A", "x"), (2, "A", "y"), (3, "C", "z"))
+        .toDF("id", "status", "note"))
+    t.update("status = 'A'", Map("status" -> "'B'", "note" -> "'hit'"))
+    val got = t.toDF().collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1) == ("B", "hit") && got(2) == ("B", "hit"))
+    assert(got(3) == ("C", "z"))
+    // simultaneous swap: SET a=b, b=a reads both RHS from the old row
+    val s = GraftTable.createAs(spark, tmp(),
+      Seq((1, 10L, 20L)).toDF("id", "a", "b"))
+    s.update("id = 1", Map("a" -> "b", "b" -> "a"))
+    val row = s.toDF().head
+    assert(row.getLong(1) == 20L && row.getLong(2) == 10L,
+      "swap must not read a half-assigned row")
+  }
+
   test("t09 identity partitioning produces partition dirs and prunes by value") {
     val loc = tmp()
     val df = ordersDf.withColumn("status", col("o_orderstatus"))

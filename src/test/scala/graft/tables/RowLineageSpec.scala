@@ -142,6 +142,109 @@ class RowLineageSpec extends SparkSpec {
     assert(appended == 6L)
   }
 
+  test("v3 export refuses rider-carrying files (materialized lineage is not representable)") {
+    // a preserve-mode rewrite materialized real per-row ids into
+    // __gp_row_id; an inherited first_row_id range in the export would
+    // hand a foreign reader DIFFERENT ids than graft serves — refuse
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5),
+      properties = Map(TableFormat.RowLineagePreserve -> "true"))
+    t.delete("r_regionkey = 1")
+    val e = intercept[IllegalStateException](
+      IcebergExport.exportBinary(t, out(), formatVersion = 3))
+    assert(e.getMessage.contains("rider") || e.getMessage.contains("materialized"))
+    // without preservation the same table exports fine (ids reassigned)
+    val u = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    u.delete("r_regionkey = 1")
+    IcebergExport.exportBinary(u, out(), formatVersion = 3)
+  }
+
+  test("imported EXISTING entries with null ids serve NULL lineage, never invented ids") {
+    val stage = Files.createTempDirectory("graft_lin_ex").toString
+    def withIds(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+        col(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ColumnMapping.ParquetFieldIdKey, i + 1L).build())
+      }.toSeq: _*).coalesce(1).write.parquet(dir)
+    withIds(Seq((1, "a"), (2, "b")).toDF("id", "name"), s"$stage/a")
+    withIds(Seq((3, "c")).toDF("id", "name"), s"$stage/b")
+    def one(d: String) = new java.io.File(d).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getPath
+    val dir = out()
+    val entrySchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"first_row_id","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+    // file A: EXISTING (status 0) with NULL id — a foreign compaction
+    // shape whose real ids live in a materialized column graft can't
+    // read; file B: ADDED with an explicit id
+    val manifestBytes = Avro.writeContainer(entrySchema, Seq(
+      Map[String, Any]("status" -> 0, "snapshot_id" -> 1L, "first_row_id" -> null,
+        "data_file" -> Map[String, Any]("file_path" -> one(s"$stage/a"),
+          "file_format" -> "PARQUET", "partition" -> Map.empty[String, Any],
+          "record_count" -> 2L, "file_size_in_bytes" -> 10L)),
+      Map[String, Any]("status" -> 1, "snapshot_id" -> 1L, "first_row_id" -> 500L,
+        "data_file" -> Map[String, Any]("file_path" -> one(s"$stage/b"),
+          "file_format" -> "PARQUET", "partition" -> Map.empty[String, Any],
+          "record_count" -> 1L, "file_size_in_bytes" -> 10L))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ex-m0.avro"), manifestBytes)
+    val listSchema =
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"added_snapshot_id","type":"long"}]}""".stripMargin
+    val listBytes = Avro.writeContainer(listSchema, Seq(Map[String, Any](
+      "manifest_path" -> s"$dir/ex-m0.avro",
+      "manifest_length" -> manifestBytes.length.toLong,
+      "partition_spec_id" -> 0, "added_snapshot_id" -> 1L)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/snap-1-ex.avro"), listBytes)
+    val metadata =
+      s"""{"format-version": 3,
+         |"table-uuid": "abcdabcd-9999-2222-3333-444455556666",
+         |"location": "$dir",
+         |"last-updated-ms": 1700000000000,
+         |"last-sequence-number": 1,
+         |"last-column-id": 2,
+         |"next-row-id": 501,
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "int"},
+         |  {"id": 2, "name": "name", "required": false, "type": "string"}]}],
+         |"current-schema-id": 0,
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 1,
+         |"snapshots": [
+         |  {"snapshot-id": 1, "sequence-number": 1, "schema-id": 0,
+         |   "timestamp-ms": 1700000000000,
+         |   "summary": {"operation": "append"},
+         |   "manifest-list": "$dir/snap-1-ex.avro"}],
+         |"snapshot-log": [{"timestamp-ms": 1700000000000, "snapshot-id": 1}]}
+         |""".stripMargin
+    MetaIO.writeString(conf, s"$dir/metadata.json", metadata)
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    val got = imp.lineageDF().select("id", RowLineage.RowIdCol).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1).isEmpty && got(2).isEmpty,
+      "unrecoverable foreign ids must serve NULL, never invented numbers")
+    assert(got(3).contains(500L))
+    // a NATIVE append after the import assigns normally, above the watermark
+    imp.append(Seq((4, "d")).toDF("id", "name"))
+    val late = imp.lineageDF().filter(col("id") === 4)
+      .select(RowLineage.RowIdCol).head.getLong(0)
+    assert(late == 501L)
+    // v3 RE-export refuses: it cannot stamp ids for the unrecoverable file
+    val e = intercept[IllegalStateException](
+      IcebergExport.exportBinary(imp, out(), formatVersion = 3))
+    assert(e.getMessage.contains("no row-id assignment"))
+  }
+
   test("foreign manifest inheritance: null entry ids derive from the list's first_row_id") {
     // hand-built v3 doc: one manifest whose TWO added entries leave
     // first_row_id null; the manifest-list row anchors inheritance at 100
