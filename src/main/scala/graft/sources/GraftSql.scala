@@ -814,7 +814,7 @@ class GraftSql(val spark: SparkSession, warehouse: String,
     * name references.
     */
   private val MetaTableRef =
-    """(?i)\b(\w+)\.(history|snapshots|files|manifests|metadata_log_entries|partitions|refs)\b""".r
+    """(?i)\b(\w+)\.(history|snapshots|files|manifests|metadata_log_entries|partitions|refs|lineage)\b""".r
 
   private def runSelect(selectRaw: String): DataFrame = {
     var q = selectRaw
@@ -846,6 +846,8 @@ class GraftSql(val spark: SparkSession, warehouse: String,
           case "metadata_log_entries" => table(name).metadataLogDf
           case "partitions" => table(name).partitionsDf
           case "refs" => table(name).refsDf
+          // row-level lineage read surface (v3 _row_id metadata columns)
+          case "lineage" => table(name).lineageDF()
         }
         df.createOrReplaceTempView(view)
         view

@@ -196,6 +196,34 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("streaming sink commits through the catalog: one REST commit per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    withServer { (_, c) =>
+      c.createNamespace(Seq("lake"))
+      c.createTable(Seq("lake"), "ev",
+        StructType(Seq(StructField("event_id", LongType), StructField("value", DoubleType))))
+      // st04's sink over a catalog-attached handle: every micro-batch
+      // append is a requirements/updates proposal over the wire
+      val table = c.table(spark, Seq("lake"), "ev")
+      val input = MemoryStream[(Long, Double)]
+      val q = graft.streaming.Streams.writeToTable(
+        input.toDF().toDF("event_id", "value"), table, "cat_st04")
+      try {
+        input.addData((1L, 1.0), (2L, 2.0))
+        q.processAllAvailable()
+        val v1 = c.loadTable(Seq("lake"), "ev").metadata.version
+        input.addData((3L, 3.0))
+        q.processAllAvailable()
+        val m = c.loadTable(Seq("lake"), "ev").metadata
+        assert(m.version == v1 + 1, "each micro-batch is one catalog commit")
+        assert(m.snapshots.size == 2)
+        assert(c.table(spark, Seq("lake"), "ev").toDF().count() == 3)
+      } finally q.stop()
+    }
+  }
+
   test("names with '+', '%', and spaces survive the path encoding (review finding)") {
     withServer { (_, c) =>
       c.createNamespace(Seq("a+b"))

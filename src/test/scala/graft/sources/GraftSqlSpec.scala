@@ -780,6 +780,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(rows(990L) == "NEW")
   }
 
+  test("t.lineage metadata table serves _row_id through SQL") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE lin1 AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 200")
+    val n = g.sql("SELECT COUNT(*) AS n FROM lin1").head().getLong(0)
+    val rows = g.sql(
+      "SELECT _row_id, _last_updated_sequence_number FROM lin1.lineage")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == n)
+    assert(rows.map(_._1).sorted.toSeq == (0L until n), "ids cover [0, n)")
+    assert(rows.forall(_._2 == 1L), "single append: every row at sequence 1")
+    // composes with ordinary SQL: join lineage back to the data
+    assert(g.sql(
+      """SELECT COUNT(*) AS n FROM lin1 t
+        |JOIN lin1.lineage l ON t.o_orderkey = l.o_orderkey
+        |WHERE l._row_id >= 0""".stripMargin).head().getLong(0) == n)
+  }
+
   test("DDL against the REST catalog: create, insert, evolve, discover, drop") {
     // the SQL facade in catalog mode: CREATE registers the table with the
     // catalog, every INSERT/ALTER commits THROUGH it (requirements/updates

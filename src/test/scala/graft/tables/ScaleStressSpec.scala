@@ -296,6 +296,19 @@ class ScaleStressSpec extends SparkSpec {
       t2.currentFiles().map(_.recordCount).sum)
   }
 
+  test("lineage read plan: one broadcast O(files) join, the corpus never shuffles", SlowSuite) {
+    val orders = spark.read.parquet(s"$sf01/orders.parquet")
+    val t = GraftTable.createAs(spark, tmp(), orders.repartition(8))
+    t.deleteMergeOnReadDV("o_orderkey % 101 = 0")
+    val df = t.lineageDF()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "file-info join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "lineage must never shuffle the corpus")
+    val n = orders.count() - orders.filter(col("o_orderkey") % 101 === 0).count()
+    assert(df.count() == n)
+    assert(df.select("_row_id").distinct().count() == n, "ids stay unique under MOR deletes")
+  }
+
   test("v3 DV export spills into multiple Puffin containers past the byte budget") {
     // driver-buffer guard (r11 verdict): past-threshold bitmap volume
     // must chunk into N containers — identical read-back semantics, no
