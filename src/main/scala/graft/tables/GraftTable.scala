@@ -2180,21 +2180,33 @@ class GraftTable(val spark: SparkSession, val location: String) {
         cur.filter(f => hit.contains(f.path))
       }
 
+    val preserve = lineagePreserving(m)
     val rewritten: DataFrame = if (touched.isEmpty) null else {
-      val base = ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
+      val base = // defaults-aware rewrite; preserve-mode rides row ids
+        if (preserve) lineageScan(m, currentManifest(m), touched)
+        else ScanPlanner.scan(spark, m, touched, None)
+      val matched = col(s"__s_${keyCols.head}").isNotNull
       base.join(srcRenamed, joinCond, "left")
-        .select(m.schema.fields.map { f =>
-          when(col(s"__s_${keyCols.head}").isNotNull, col(s"__s_${f.name}"))
+        .select((m.schema.fields.toSeq.map { f =>
+          when(matched, col(s"__s_${f.name}"))
             .otherwise(col(f.name)).as(f.name)
-        }: _*)
+        } ++ (if (!preserve) Nil else Seq(
+          col(RowLineage.MatRowId),
+          // updated rows inherit THIS commit's sequence number
+          when(matched, lit(null).cast(LongType))
+            .otherwise(col(RowLineage.MatSeq)).as(RowLineage.MatSeq)))): _*)
     }
     val inserts = source.join(target.select(keyCols.map(col): _*), keyCols, "left_anti")
       .select(m.schema.fields.map(f => col(f.name)): _*)
 
-    val toWrite = (Option(rewritten).toSeq :+ inserts).reduce(_ unionAll _)
+    // inserted rows carry no riders (null -> inherit the new file's
+    // range at their positions), so the union fills them as missing
+    val toWrite = (Option(rewritten).toSeq :+ inserts)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val newFiles = writeDataFiles(toWrite, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
-    commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size)
+    commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size,
+      extraProperties = lineageMarker(m))
     this
   }
 
@@ -2234,10 +2246,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
         cur.filter(f => hit.contains(f.path))
       }
 
+    val preserve = lineagePreserving(m)
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val base = ScanPlanner.scan(spark, m, touched, None) // defaults-aware rewrite
+        val base = // defaults-aware rewrite; preserve-mode rides row ids
+          if (preserve) lineageScan(m, currentManifest(m), touched)
+          else ScanPlanner.scan(spark, m, touched, None)
         val delKeyed = keyCols.foldLeft(deleteKeys.select(keyCols.map(col): _*)
           .distinct()) { (d, c) => d.withColumnRenamed(c, s"__d_$c") }
         val updRenamed = m.schema.fieldNames.foldLeft(updates) { (d, c) =>
@@ -2248,18 +2263,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val joined = minusDeleted.join(updRenamed,
           keyCols.map(c => minusDeleted(c) === updRenamed(s"__u_$c")).reduce(_ && _),
           "left")
-        Some(joined.select(m.schema.fieldNames.map { c =>
-          when(col(s"__u_${keyCols.head}").isNotNull, col(s"__u_$c"))
-            .otherwise(col(c)).as(c)
-        }.toSeq: _*))
+        val matched = col(s"__u_${keyCols.head}").isNotNull
+        Some(joined.select((m.schema.fieldNames.toSeq.map { c =>
+          when(matched, col(s"__u_$c")).otherwise(col(c)).as(c)
+        } ++ (if (!preserve) Nil else Seq(
+          col(RowLineage.MatRowId),
+          when(matched, lit(null).cast(LongType))
+            .otherwise(col(RowLineage.MatSeq)).as(RowLineage.MatSeq)))): _*))
       }
 
     if (touched.isEmpty && inserts.isEmpty) return this // nothing to do
     val toWrite = (rewritten.toSeq :+ inserts.select(
-      m.schema.fieldNames.map(col).toSeq: _*)).reduce(_ unionAll _)
+      m.schema.fieldNames.map(col).toSeq: _*))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val newFiles = writeDataFiles(toWrite, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
-    commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size)
+    commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size,
+      extraProperties = lineageMarker(m))
     this
   }
 
@@ -2603,14 +2623,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (cur.isEmpty) return this
     val n = if (nFiles > 0) nFiles
       else math.max(1, (cur.map(_.sizeBytes).sum / (128L << 20)).toInt)
-    val sorted = ScanPlanner.scan(spark, m, cur, None) // defaults-aware rewrite
+    val src = // defaults-aware rewrite; preserve-mode rides row ids through
+      if (lineagePreserving(m)) lineageScan(m, currentManifest(m), cur)
+      else ScanPlanner.scan(spark, m, cur, None)
+    val sorted = src
       .repartitionByRange(n, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     // distribution 'none': a hash-by-partition repartition here would
     // destroy the range layout this rewrite just produced
     val newFiles = writeDataFiles(sorted, m, distributionOverride = Some("none"))
     val hadLive = partitionStats(m).nonEmpty
-    commitSnapshot(m, newFiles, "replace", newFiles.size)
+    commitSnapshot(m, newFiles, "replace", newFiles.size,
+      extraProperties = lineageMarker(m))
     refreshPartitionStatsIfLive(hadLive)
     this
   }
@@ -2667,7 +2691,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val cur = currentFiles(m)
     if (cur.isEmpty) return this
-    val base = ScanPlanner.scan(spark, m, cur, None) // defaults-aware bounds
+    val base = // defaults-aware bounds; preserve-mode rides row ids through
+      if (lineagePreserving(m)) lineageScan(m, currentManifest(m), cur)
+      else ScanPlanner.scan(spark, m, cur, None)
     val st = base.agg(
       min(col(cols.head).cast("double")),
       (Seq(max(col(cols.head).cast("double"))) ++
@@ -2696,7 +2722,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .drop("__curve")
     val newFiles = writeDataFiles(sorted, m, distributionOverride = Some("none"))
     val hadLive = partitionStats(m).nonEmpty
-    commitSnapshot(m, newFiles, "replace", newFiles.size)
+    commitSnapshot(m, newFiles, "replace", newFiles.size,
+      extraProperties = lineageMarker(m))
     refreshPartitionStatsIfLive(hadLive)
     this
   }

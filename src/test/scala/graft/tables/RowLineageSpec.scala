@@ -123,6 +123,40 @@ class RowLineageSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("cluster and MERGE preserve ids too (every rewrite path is covered)") {
+    // range-cluster reorders rows across files — inheritance alone can't
+    // survive it, so the preserve path must ride the materialized ids
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5),
+      properties = Map(TableFormat.RowLineagePreserve -> "true"))
+    t.append(Seq((600, "m", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    val before = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    t.cluster(Seq("r_regionkey"), nFiles = 2)
+    val afterCluster = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(afterCluster == before.view.mapValues(_._1).toMap,
+      "cluster must not renumber rows")
+    // CoW MERGE: update key 0, insert key 700 — survivors keep (id, seq),
+    // the updated row keeps its id at the merge commit's sequence, the
+    // insert inherits a fresh id above every existing one
+    val mergeSeq = t.meta.snapshots.map(_.id).max + 1
+    t.mergeInto(Seq((0, "UPD", "c"), (700, "NEW", "c"))
+      .toDF("r_regionkey", "r_name", "r_comment"), Seq("r_regionkey"))
+    val after = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol, "r_name")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    before.keys.foreach { k =>
+      assert(after(k)._1 == before(k)._1, s"merge must not renumber key $k")
+      if (k == 0) {
+        assert(after(k)._2 == mergeSeq && after(k)._3 == "UPD")
+      } else assert(after(k)._2 == before(k)._2, s"untouched key $k keeps its seq")
+    }
+    assert(after(700)._1 > before.values.map(_._1).max, "insert id is fresh")
+    // all ids stay unique
+    assert(after.values.map(_._1).toSeq.distinct.size == after.size)
+  }
+
   test("graft→graft v3 round trip keeps ids; post-import appends respect the watermark") {
     val t = GraftTable.createAs(spark, tmp(), sortedRegion(5))
     t.append(Seq((400, "q", "c")).toDF("r_regionkey", "r_name", "r_comment"))
