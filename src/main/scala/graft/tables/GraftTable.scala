@@ -1250,6 +1250,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .withColumnRenamed(RowLineage.MatSeq, RowLineage.SeqCol)
   }
 
+  /** Time-traveled lineage: `_row_id` columns over an older snapshot's
+    * rows. Ids are STABLE across the two surfaces by construction — the
+    * assignment walk covers every snapshot, and a file keeps its range
+    * in every snapshot that carries it — so a consumer can diff row
+    * identity between two snapshots directly.
+    */
+  def lineageAsOf(snapshotId: Long): DataFrame = {
+    val m = meta
+    val snap = m.snapshot(snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    val md = manifestDataOf(snap)
+    lineageScan(m.copy(schema = m.schemaAt(snap.schemaId)), md, md.files)
+      .withColumnRenamed(RowLineage.MatRowId, RowLineage.RowIdCol)
+      .withColumnRenamed(RowLineage.MatSeq, RowLineage.SeqCol)
+  }
+
   private def lineagePreserving(m: TableMeta): Boolean =
     m.properties.get(TableFormat.RowLineagePreserve).contains("true")
 

@@ -123,6 +123,23 @@ class RowLineageSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("lineageAsOf: ids are stable between time-traveled and current surfaces") {
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5),
+      properties = Map(TableFormat.RowLineagePreserve -> "true"))
+    val s1 = t.meta.currentSnapshotId.get
+    t.append(Seq((800, "t", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    t.delete("r_regionkey = 2")
+    val old = t.lineageAsOf(s1).select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val now = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(old.keySet == Set(0, 1, 2, 3, 4))
+    // every row alive in BOTH snapshots carries the SAME id — a consumer
+    // can diff row identity across snapshots directly
+    (old.keySet & now.keySet).foreach(k => assert(old(k) == now(k), s"key $k"))
+    assert(!now.contains(2) && now.contains(800))
+  }
+
   test("cluster and MERGE preserve ids too (every rewrite path is covered)") {
     // range-cluster reorders rows across files — inheritance alone can't
     // survive it, so the preserve path must ride the materialized ids
