@@ -23,7 +23,7 @@ import java.nio.charset.StandardCharsets
   * executors, never through the catalog), one per table load. The
   * catalog is not on the per-row path anywhere.
   */
-class RestCatalogClient(val baseUri: String) {
+class RestCatalogClient(val baseUri: String, bearerToken: Option[String] = None) {
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
 
@@ -31,8 +31,9 @@ class RestCatalogClient(val baseUri: String) {
     extends RuntimeException(s"$errorType ($code): $message")
 
   private def send(method: String, path: String, body: Option[String] = None): JsonNode = {
-    val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+    val b0 = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
       .header("Content-Type", "application/json")
+    val b = bearerToken.fold(b0)(t => b0.header("Authorization", s"Bearer $t"))
     val req = (method match {
       case "GET" => b.GET()
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())

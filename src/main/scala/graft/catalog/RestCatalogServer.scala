@@ -46,7 +46,8 @@ import java.util.concurrent.ConcurrentHashMap
   * to `catalog.json` under the warehouse so a restarted server recovers.
   */
 class RestCatalogServer(val warehouse: String,
-    conf: Configuration = new Configuration(), port: Int = 0) {
+    conf: Configuration = new Configuration(), port: Int = 0,
+    bearerToken: Option[String] = None) {
   private val mapper = new ObjectMapper()
 
   // registry: namespace -> (table name -> location); namespace props
@@ -115,6 +116,13 @@ class RestCatalogServer(val warehouse: String,
 
   private def route(ex: HttpExchange): Unit = {
     try {
+      // static bearer auth (the spec's `token` credential shape): when
+      // the server declares a token, every request must present it
+      bearerToken.foreach { tok =>
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        if (!auth.contains(s"Bearer $tok"))
+          return error(ex, 401, "NotAuthorizedException", "missing or bad bearer token")
+      }
       // getRawPath keeps percent-escapes intact so names containing '/'
       // or '%' can't shift segment boundaries; each segment then decodes
       // exactly once, percent-style (a literal '+' is a plus, not a

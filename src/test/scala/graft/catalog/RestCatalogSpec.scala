@@ -196,6 +196,28 @@ class RestCatalogSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("two SparkSessions share one table through the catalog") {
+    // separate Spark SESSIONS (isolated SQL conf/temp views over one
+    // context): A creates and writes through the catalog, B discovers
+    // the table by name and reads — then commits its own append, which A
+    // observes. No shared driver state beyond the catalog itself.
+    withServer { (_, c) =>
+      val sessionA = spark.newSession()
+      val sessionB = spark.newSession()
+      c.createNamespace(Seq("lake"))
+      val region = sessionA.read.parquet(s"$sf/region.parquet")
+      c.createTable(Seq("lake"), "shared", region.schema)
+      c.table(sessionA, Seq("lake"), "shared").append(region)
+      val viaB = c.table(sessionB, Seq("lake"), "shared")
+      assert(viaB.toDF().count() == 5)
+      viaB.append(sessionB.createDataFrame(
+        sessionA.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(200, "via-b", "c"))), region.schema))
+      assert(c.table(sessionA, Seq("lake"), "shared").toDF().count() == 6)
+      assert(c.loadTable(Seq("lake"), "shared").metadata.snapshots.size == 2)
+    }
+  }
+
   test("streaming sink commits through the catalog: one REST commit per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.types._
@@ -238,6 +260,24 @@ class RestCatalogSpec extends SparkSpec {
       c.dropTable(Seq("a+b"), "my table")
       assert(!c.tableExists(Seq("a+b"), "my table"))
     }
+  }
+
+  test("bearer-token auth: 401 without the token, full surface with it") {
+    val srv = new RestCatalogServer(tmp(), conf, bearerToken = Some("s3cret"))
+    try {
+      val anon = new RestCatalogClient(srv.uri)
+      val e = intercept[anon.CatalogException](anon.listNamespaces())
+      assert(e.code == 401 && e.errorType == "NotAuthorizedException")
+      val bad = new RestCatalogClient(srv.uri, bearerToken = Some("wrong"))
+      assert(intercept[bad.CatalogException](bad.listNamespaces()).code == 401)
+      val ok = new RestCatalogClient(srv.uri, bearerToken = Some("s3cret"))
+      ok.createNamespace(Seq("lake"))
+      ok.createTable(Seq("lake"), "t",
+        StructType(Seq(StructField("a", IntegerType))))
+      ok.table(spark, Seq("lake"), "t")
+        .append(spark.range(3).selectExpr("CAST(id AS INT) AS a"))
+      assert(ok.table(spark, Seq("lake"), "t").toDF().count() == 3)
+    } finally srv.stop()
   }
 
   test("wire shapes: config endpoint, error envelope, spec paths") {

@@ -140,6 +140,32 @@ class RowLineageSpec extends SparkSpec {
     assert(!now.contains(2) && now.contains(800))
   }
 
+  test("CDC identity diff: lineage surfaces compose into an exact row-level changelog") {
+    // the payoff of stable ids: diffing two snapshots BY _row_id yields
+    // the exact row-level delta — deletes = ids only in the old surface,
+    // inserts = ids only in the new one, updates = same id with a newer
+    // _last_updated_sequence_number — with no key columns needed at all
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5),
+      properties = Map(TableFormat.RowLineagePreserve -> "true"))
+    val s1 = t.meta.currentSnapshotId.get
+    t.delete("r_regionkey = 1")
+    t.update("r_regionkey = 3", Map("r_name" -> "'UPD'"))
+    t.append(Seq((900, "new", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    def surface(df: org.apache.spark.sql.DataFrame) = df
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol)
+      .collect().map(r => r.getLong(1) -> (r.getInt(0), r.getLong(2))).toMap
+    val old = surface(t.lineageAsOf(s1))
+    val now = surface(t.lineageDF())
+    val deleted = old.keySet -- now.keySet
+    val inserted = now.keySet -- old.keySet
+    val updated = (old.keySet & now.keySet).filter(id => now(id)._2 > old(id)._2)
+    assert(deleted.map(old(_)._1) == Set(1))
+    assert(inserted.map(now(_)._1) == Set(900))
+    assert(updated.map(now(_)._1) == Set(3))
+    assert((old.keySet & now.keySet -- updated).forall(id => now(id) == old(id)),
+      "untouched rows are identical on both surfaces")
+  }
+
   test("cluster and MERGE preserve ids too (every rewrite path is covered)") {
     // range-cluster reorders rows across files — inheritance alone can't
     // survive it, so the preserve path must ride the materialized ids
