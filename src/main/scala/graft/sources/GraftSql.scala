@@ -405,7 +405,13 @@ class GraftSql(val spark: SparkSession, warehouse: String,
       case ShowTables(db) =>
         import spark.implicits._
         val prefix = Option(db).map(_.toLowerCase + "__").getOrElse("")
-        (tables.keys.map((_, "managed")) ++ externals.keys.map((_, "external")))
+        // catalog mode also lists tables OTHER sessions created (the
+        // discovery listTables round trip, deduped against local names)
+        val catalogNames = catalog.toSeq.flatMap { case (c, ns) =>
+          c.listTables(ns).filterNot(tables.contains).map((_, "managed"))
+        }
+        (tables.keys.map((_, "managed")) ++ externals.keys.map((_, "external"))
+          ++ catalogNames)
           .filter(_._1.startsWith(prefix)).toSeq.sorted
           .map { case (n, kind) => (n.stripPrefix(prefix), kind) }
           .toDF("tableName", "tableType")

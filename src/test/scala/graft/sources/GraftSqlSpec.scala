@@ -822,6 +822,9 @@ class GraftSqlSpec extends SparkSpec {
       assert(g2.sql("SELECT COUNT(*) AS n FROM cat_orders WHERE tier = 'bronze'")
         .head().getLong(0) == g.sql("SELECT COUNT(*) AS n FROM cat_orders")
         .head().getLong(0))
+      // SHOW TABLES in catalog mode lists tables other sessions created
+      assert(g2.sql("SHOW TABLES").collect()
+        .map(_.getString(0)).contains("cat_orders"))
       // commits really ride the wire: with the server down, a write fails
       srv.stop()
       intercept[Exception](
