@@ -75,13 +75,26 @@ class RestCatalogClient(val baseUri: String, bearerToken: Option[String] = None)
     ()
   }
 
+  /** Follow `next-page-token` until the listing is exhausted. */
+  private def paged(path: String)(consume: JsonNode => Unit): Unit = {
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = token.map(t => s"?pageToken=${seg(t)}").getOrElse("")
+      val resp = send("GET", path + q)
+      consume(resp)
+      token = Option(resp.get("next-page-token")).filterNot(_.isNull).map(_.asText())
+      more = token.isDefined
+    }
+  }
+
   def listNamespaces(): Seq[Seq[String]] = {
     val out = Seq.newBuilder[Seq[String]]
-    send("GET", "/v1/namespaces").get("namespaces").forEach { a =>
+    paged("/v1/namespaces")(_.get("namespaces").forEach { a =>
       val parts = Seq.newBuilder[String]
       a.forEach(n => { parts += n.asText(); () })
       out += parts.result()
-    }
+    })
     out.result()
   }
 
@@ -93,8 +106,8 @@ class RestCatalogClient(val baseUri: String, bearerToken: Option[String] = None)
 
   def listTables(ns: Seq[String]): Seq[String] = {
     val out = Seq.newBuilder[String]
-    send("GET", s"/v1/namespaces/${nsPath(ns)}/tables").get("identifiers")
-      .forEach(id => { out += id.get("name").asText(); () })
+    paged(s"/v1/namespaces/${nsPath(ns)}/tables")(_.get("identifiers")
+      .forEach(id => { out += id.get("name").asText(); () }))
     out.result()
   }
 

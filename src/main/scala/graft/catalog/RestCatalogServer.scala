@@ -148,6 +148,11 @@ class RestCatalogServer(val warehouse: String,
           else error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
         case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) => dropTable(ex, ns, t)
         case ("POST", Seq("v1", "namespaces", ns, "tables", t)) => commitTable(ex, ns, t)
+        case ("POST", Seq("v1", "namespaces", ns, "tables", t, "metrics")) =>
+          // spec: engines report scan metrics here; accepted and dropped
+          if (locationOf(ns, t).isEmpty)
+            error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
+          else { body(ex); ex.sendResponseHeaders(204, -1); ex.close() }
         case ("POST", Seq("v1", "tables", "rename")) => renameTable(ex)
         case _ =>
           error(ex, 404, "NotFoundException", s"$method ${ex.getRequestURI.getPath}")
@@ -188,12 +193,31 @@ class RestCatalogServer(val warehouse: String,
 
   // ------------------------------------------------------- namespaces
 
+  /** Spec pagination: `pageSize` caps a response, `next-page-token`
+    * carries the resume point (the last name served — names sort, so the
+    * token stays valid under concurrent create/drop).
+    */
+  private def page(ex: HttpExchange, names: Seq[String]): (Seq[String], Option[String]) = {
+    val params = Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&")).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }).toMap
+    val after = params.get("pageToken").map(t => names.filter(_ > t)).getOrElse(names)
+    params.get("pageSize").flatMap(s => scala.util.Try(s.toInt).toOption) match {
+      case Some(n) if n >= 0 && after.size > n =>
+        (after.take(n), after.take(n).lastOption)
+      case _ => (after, None)
+    }
+  }
+
   private def listNamespaces(ex: HttpExchange): Unit = {
     val o = mapper.createObjectNode()
+    import scala.jdk.CollectionConverters._
+    val (names, token) = page(ex, namespaces.keySet().asScala.toSeq.sorted)
     val arr = o.putArray("namespaces")
-    namespaces.keySet().stream().sorted().forEach { ns =>
-      val a = arr.addArray(); nsParts(ns).foreach(a.add)
-    }
+    names.foreach { ns => val a = arr.addArray(); nsParts(ns).foreach(a.add) }
+    token.foreach(o.put("next-page-token", _))
     json(ex, 200, o)
   }
 
@@ -247,12 +271,17 @@ class RestCatalogServer(val warehouse: String,
     if (!namespaces.containsKey(ns))
       return error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
     val o = mapper.createObjectNode()
+    import scala.jdk.CollectionConverters._
+    val all = Option(tables.get(ns)).map(_.keySet().asScala.toSeq.sorted)
+      .getOrElse(Nil)
+    val (names, token) = page(ex, all)
     val arr = o.putArray("identifiers")
-    Option(tables.get(ns)).foreach(_.keySet().stream().sorted().forEach { t =>
+    names.foreach { t =>
       val id = arr.addObject()
       val a = id.putArray("namespace"); nsParts(ns).foreach(a.add)
       id.put("name", t)
-    })
+    }
+    token.foreach(o.put("next-page-token", _))
     json(ex, 200, o)
   }
 

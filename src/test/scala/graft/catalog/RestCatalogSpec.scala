@@ -262,6 +262,36 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("pagination: pageSize chunks listings, tokens resume, client reassembles") {
+    withServer { (srv, c) =>
+      c.createNamespace(Seq("lake"))
+      (1 to 7).foreach(i => c.createTable(Seq("lake"), f"t$i%02d",
+        StructType(Seq(StructField("a", IntegerType)))))
+      // raw paged request: 3 at a time with a resume token
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): com.fasterxml.jackson.databind.JsonNode =
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"${srv.uri}$path")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      val p1 = get("/v1/namespaces/lake/tables?pageSize=3")
+      assert(p1.get("identifiers").size() == 3)
+      val tok = p1.get("next-page-token").asText()
+      assert(tok == "t03")
+      val p2 = get(s"/v1/namespaces/lake/tables?pageSize=3&pageToken=$tok")
+      assert(p2.get("identifiers").size() == 3)
+      assert(p2.get("identifiers").get(0).get("name").asText() == "t04")
+      // the client reassembles all pages transparently
+      assert(c.listTables(Seq("lake")).size == 7)
+      // metrics endpoint: accepted and dropped per spec
+      val mr = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${srv.uri}/v1/namespaces/lake/tables/t01/metrics"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(mr.statusCode() == 204)
+    }
+  }
+
   test("bearer-token auth: 401 without the token, full surface with it") {
     val srv = new RestCatalogServer(tmp(), conf, bearerToken = Some("s3cret"))
     try {
