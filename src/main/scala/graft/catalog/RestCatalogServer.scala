@@ -204,8 +204,10 @@ class RestCatalogServer(val warehouse: String,
         case _ => None
       }).toMap
     val after = params.get("pageToken").map(t => names.filter(_ > t)).getOrElse(names)
+    // non-positive pageSize is not a valid cap (an empty page with no
+    // token would read as "nothing exists") — ignored like a bad token
     params.get("pageSize").flatMap(s => scala.util.Try(s.toInt).toOption) match {
-      case Some(n) if n >= 0 && after.size > n =>
+      case Some(n) if n > 0 && after.size > n =>
         (after.take(n), after.take(n).lastOption)
       case _ => (after, None)
     }

@@ -105,14 +105,16 @@ object Media {
         s"unsupported BMP bit depth $bpp (only 24/32)")
       require(width > 0 && height >= 0, s"bad dimensions ${width}x$rawHeight")
       val bytesPerPx = bpp / 8
-      // all size arithmetic in Long: a hostile header near Int.MaxValue
-      // must hit the refusal below, not wrap past it into a negative
-      // allocation (refuse-loudly posture)
+      // all size arithmetic in Long, and the pixel budget FIRST: with
+      // width·height ≤ Int.MaxValue/3 pinned, no later product (stride
+      // ≤ 4·width+4, stride·height) can overflow Long — a hostile
+      // header near Int.MaxValue on BOTH axes must hit a refusal, never
+      // wrap past one into a negative allocation
+      require(width.toLong * height <= Int.MaxValue / 3,
+        s"BMP dimensions ${width}x$height exceed the decodable pixel budget")
       val strideL = (width.toLong * bytesPerPx + 3) / 4 * 4
       require(offBits >= 0 && strideL * height <= bytes.length.toLong - offBits,
         s"truncated BMP: need ${offBits + strideL * height} bytes, have ${bytes.length}")
-      require(width.toLong * height * 3 <= Int.MaxValue,
-        s"BMP dimensions ${width}x$height exceed the decodable pixel budget")
       val stride = strideL.toInt
       val rgb = new Array[Byte](width * height * 3)
       var fileRow = 0

@@ -68,10 +68,12 @@ class GraftSql(val spark: SparkSession, warehouse: String,
     catalog.flatMap { case (c, ns) =>
       // catalog-mode discovery: another session may have created the
       // table; loadTable resolves it and the local map caches the
-      // (immutable) location
+      // (immutable) location. A successful load also proves catalog
+      // registration — no later exists-probe needed.
       if (c.tableExists(ns, name)) {
         val loc = c.loadTable(ns, name).location
         tables(name) = loc
+        catalogKnown += name
         Some(loc)
       } else None
     }.getOrElse(
@@ -93,10 +95,7 @@ class GraftSql(val spark: SparkSession, warehouse: String,
   def table(name: String): GraftTable = catalog match {
     case Some((c, ns)) =>
       val loc = location(name)
-      if (!catalogKnown.contains(name)) {
-        if (!c.tableExists(ns, name)) register(name, loc)
-        if (c.tableExists(ns, name)) { catalogKnown += name; () }
-      }
+      if (!catalogKnown.contains(name)) register(name, loc)
       if (catalogKnown.contains(name)) c.attach(spark, ns, name, loc)
       else GraftTable.load(spark, loc)
     case None => GraftTable.load(spark, location(name))
@@ -109,11 +108,21 @@ class GraftSql(val spark: SparkSession, warehouse: String,
   def register(name: String, loc: String): Unit = {
     tables(name) = loc
     catalog.foreach { case (c, ns) =>
-      if (!c.tableExists(ns, name)) {
-        val conf = spark.sparkContext.hadoopConfiguration
-        graft.tables.MetaIO.currentVersion(conf, loc).foreach { v =>
-          c.registerTable(ns, name, graft.tables.MetaIO.metadataPath(loc, v))
+      if (!catalogKnown.contains(name)) {
+        val known = c.tableExists(ns, name) || {
+          val conf = spark.sparkContext.hadoopConfiguration
+          graft.tables.MetaIO.currentVersion(conf, loc).exists { v =>
+            try {
+              c.registerTable(ns, name, graft.tables.MetaIO.metadataPath(loc, v))
+              true
+            } catch {
+              // a concurrent session won the registration race: same name,
+              // already catalog-known
+              case e: c.CatalogException if e.code == 409 => true
+            }
+          }
         }
+        if (known) { catalogKnown += name; () }
       }
     }
   }
@@ -406,9 +415,12 @@ class GraftSql(val spark: SparkSession, warehouse: String,
         import spark.implicits._
         val prefix = Option(db).map(_.toLowerCase + "__").getOrElse("")
         // catalog mode also lists tables OTHER sessions created (the
-        // discovery listTables round trip, deduped against local names)
+        // discovery listTables round trip, deduped against local names);
+        // an unreachable catalog degrades to the local registry — a
+        // read-only listing must not fail harder than non-catalog mode
         val catalogNames = catalog.toSeq.flatMap { case (c, ns) =>
-          c.listTables(ns).filterNot(tables.contains).map((_, "managed"))
+          scala.util.Try(c.listTables(ns)).getOrElse(Nil)
+            .filterNot(tables.contains).map((_, "managed"))
         }
         (tables.keys.map((_, "managed")) ++ externals.keys.map((_, "external"))
           ++ catalogNames)

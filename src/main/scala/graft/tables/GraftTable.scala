@@ -1225,10 +1225,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
       regexp_replace(col(ScanPlanner.RowMetaFile), "^file:/+", "/") ===
         regexp_replace(col("__gp_lin_fp"), "^file:/+", "/"),
       "left_outer")
+    // rows with NO lineage at all (unassigned file, no rider) pin the
+    // −1 sentinel: a rewrite stores it, and a later read must NOT let a
+    // null rider inherit from the rewritten file's fresh range — that
+    // would invent ids for rows whose honest answer is NULL
     applyDeletes(joined, md.deletePredicates)
       .withColumn(RowLineage.MatRowId,
         coalesce(col(RowLineage.MatRowId),
-          col("__gp_lin_first") + col(ScanPlanner.RowMetaPos)))
+          col("__gp_lin_first") + col(ScanPlanner.RowMetaPos),
+          lit(RowLineage.NoLineage)))
       .withColumn(RowLineage.MatSeq,
         coalesce(col(RowLineage.MatSeq), col("__gp_lin_seq")))
       .drop(ScanPlanner.RowMetaFile, ScanPlanner.RowMetaPos,
@@ -1245,10 +1250,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def lineageDF(): DataFrame = {
     val m = meta
     val md = currentManifest(m)
-    lineageScan(m, md, md.files)
-      .withColumnRenamed(RowLineage.MatRowId, RowLineage.RowIdCol)
-      .withColumnRenamed(RowLineage.MatSeq, RowLineage.SeqCol)
+    publicLineage(lineageScan(m, md, md.files))
   }
+
+  /** Rename the rider columns to the public names and map the no-lineage
+    * sentinel back to NULL (the sentinel exists only so rewrites can
+    * STORE "no lineage" — see [[RowLineage.NoLineage]]).
+    */
+  private def publicLineage(df: DataFrame): DataFrame = df
+    .withColumn(RowLineage.RowIdCol,
+      when(col(RowLineage.MatRowId) === RowLineage.NoLineage,
+        lit(null).cast(LongType)).otherwise(col(RowLineage.MatRowId)))
+    .drop(RowLineage.MatRowId)
+    .withColumnRenamed(RowLineage.MatSeq, RowLineage.SeqCol)
 
   /** Time-traveled lineage: `_row_id` columns over an older snapshot's
     * rows. Ids are STABLE across the two surfaces by construction — the
@@ -1261,9 +1275,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val snap = m.snapshot(snapshotId)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $snapshotId"))
     val md = manifestDataOf(snap)
-    lineageScan(m.copy(schema = m.schemaAt(snap.schemaId)), md, md.files)
-      .withColumnRenamed(RowLineage.MatRowId, RowLineage.RowIdCol)
-      .withColumnRenamed(RowLineage.MatSeq, RowLineage.SeqCol)
+    publicLineage(lineageScan(m.copy(schema = m.schemaAt(snap.schemaId)), md, md.files))
   }
 
   private def lineagePreserving(m: TableMeta): Boolean =
@@ -2079,7 +2091,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val rewritten = writeDataFiles(kept, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouchedFiles ++ rewritten, "delete", rewritten.size,
-      extraProperties = lineageMarker(m))
+      extraProperties = if (rewritten.isEmpty) Map.empty else lineageMarker(m))
     this
   }
 
@@ -2115,7 +2127,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val rewritten = writeDataFiles(updated, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouchedFiles ++ rewritten, "update", rewritten.size,
-      extraProperties = lineageMarker(m))
+      extraProperties = if (rewritten.isEmpty) Map.empty else lineageMarker(m))
     this
   }
 
@@ -2222,7 +2234,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val newFiles = writeDataFiles(toWrite, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size,
-      extraProperties = lineageMarker(m))
+      extraProperties = if (touched.isEmpty) Map.empty else lineageMarker(m))
     this
   }
 
@@ -2295,7 +2307,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val newFiles = writeDataFiles(toWrite, m)
     val untouchedFiles = cur.filterNot(f => touched.exists(_.path == f.path))
     commitSnapshot(m, untouchedFiles ++ newFiles, "merge", newFiles.size,
-      extraProperties = lineageMarker(m))
+      extraProperties = if (touched.isEmpty) Map.empty else lineageMarker(m))
     this
   }
 

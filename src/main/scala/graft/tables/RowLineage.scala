@@ -35,6 +35,13 @@ object RowLineage {
     */
   val MatRowId = "__gp_row_id"
   val MatSeq = "__gp_last_seq"
+  /** Materialized marker for a row with NO lineage (unrecoverable
+    * imported ids, predicate-delete-commit files): ids are non-negative
+    * by construction, so −1 survives rewrites where a null rider would
+    * be mistaken for "inherit from the NEW file's range" — which would
+    * invent exactly the numbers the null stands in refusal of.
+    */
+  val NoLineage = -1L
 
   case class Assignment(fileFirstRowId: Map[String, Long],
       snapshotFirstRowId: Map[Long, Long], nextRowId: Long)

@@ -197,6 +197,16 @@ class MediaFormatsSpec extends AnyFunSuite {
     putI32(18, 715827883) // width * 3 wraps Int
     val e = intercept[IllegalArgumentException](Media.Bmp.decode(bmp))
     assert(e.getMessage.contains("truncated") || e.getMessage.contains("budget"))
+    // BOTH axes near Int.MaxValue: products wrap even Long unless the
+    // pixel budget is checked first (review finding)
+    val bmp2 = Media.Bmp.encode(2, 2, new Array[Byte](12)).clone()
+    def putI32b(off: Int, v: Int): Unit = {
+      bmp2(off) = v.toByte; bmp2(off + 1) = (v >> 8).toByte
+      bmp2(off + 2) = (v >> 16).toByte; bmp2(off + 3) = (v >> 24).toByte
+    }
+    putI32b(18, Int.MaxValue); putI32b(22, Int.MaxValue)
+    val e2 = intercept[IllegalArgumentException](Media.Bmp.decode(bmp2))
+    assert(e2.getMessage.contains("budget"))
   }
 
   test("WAV refusals: non-PCM, bad magic, truncated chunk, missing data") {

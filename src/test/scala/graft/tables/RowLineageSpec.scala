@@ -320,6 +320,18 @@ class RowLineageSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       IcebergExport.exportBinary(imp, out(), formatVersion = 3))
     assert(e.getMessage.contains("no row-id assignment"))
+
+    // a lineage-PRESERVING rewrite must keep the NULLs null: a null rider
+    // would inherit from the rewritten file's fresh range and invent the
+    // very numbers the unrecoverable marking refuses (review finding —
+    // the −1 sentinel pins "no lineage" through the rewrite)
+    imp.setProperties(Map(TableFormat.RowLineagePreserve -> "true"))
+    imp.compact(targetBytes = 1L << 30)
+    val afterCompact = imp.lineageDF().select("id", RowLineage.RowIdCol).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(afterCompact(1).isEmpty && afterCompact(2).isEmpty,
+      "no-lineage rows stay NULL through a preserving rewrite")
+    assert(afterCompact(3).contains(500L) && afterCompact(4).contains(501L))
   }
 
   test("foreign manifest inheritance: null entry ids derive from the list's first_row_id") {
