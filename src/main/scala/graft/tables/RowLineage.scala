@@ -53,7 +53,31 @@ object RowLineage {
     * the v3 export omits them (their file sets resolve at a later,
     * representable snapshot).
     */
+  /** Assignment cache keyed by (location, version): a metadata version
+    * is immutable once published, so its assignment never changes — a
+    * repeated lineage read (or a preserving rewrite right after one)
+    * skips the manifest re-walk, which is O(HISTORICAL files) on
+    * long-history tables, not O(current files). Bounded LRU-ish (drop
+    * oldest past 64 — the walk is always recomputable).
+    */
+  private val cache =
+    new java.util.LinkedHashMap[(String, Int), Assignment](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Assignment]): Boolean = size() > 64
+    }
+
   def assign(conf: Configuration, m: TableMeta): Assignment = {
+    val key = (m.location, m.version)
+    cache.synchronized(Option(cache.get(key))) match {
+      case Some(a) => a
+      case None =>
+        val a = compute(conf, m)
+        cache.synchronized { cache.put(key, a); () }
+        a
+    }
+  }
+
+  private def compute(conf: Configuration, m: TableMeta): Assignment = {
     var next = m.properties.get(TableFormat.RowLineageNextRowId)
       .map(_.toLong).getOrElse(0L)
     // imported snapshots at or below the boundary: a file WITHOUT an
