@@ -228,6 +228,72 @@ class CodecFuzzSpec extends AnyFunSuite {
     }, min = 40)
   }
 
+  // -------------------------------------------------------------- Media
+
+  test("BMP fuzz: random rasters round-trip graft↔ImageIO in both directions") {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, px.toArray)
+    check("bmp", Prop.forAll(gen) { case (w, h, rgb) =>
+      // graft encode → ImageIO referee decode, pixel-exact
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Media.Bmp.encode(w, h, rgb)))
+      val refereeOk = (0 until h).forall(y => (0 until w).forall { x =>
+        val p = img.getRGB(x, y); val b = (y * w + x) * 3
+        ((p >> 16) & 0xff) == (rgb(b) & 0xff) &&
+          ((p >> 8) & 0xff) == (rgb(b + 1) & 0xff) &&
+          (p & 0xff) == (rgb(b + 2) & 0xff)
+      })
+      // ImageIO encode → graft decode, pixel-exact
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y * w + x) * 3
+        src.setRGB(x, y, ((rgb(b) & 0xff) << 16) |
+          ((rgb(b + 1) & 0xff) << 8) | (rgb(b + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "bmp", bos)
+      val dec = Media.Bmp.decode(bos.toByteArray)
+      refereeOk && dec.width == w && dec.height == h && dec.pixels.sameElements(rgb)
+    }, min = 40)
+  }
+
+  test("WAV fuzz: random PCM round-trips graft↔javax.sound in both directions") {
+    import javax.sound.sampled._
+    val gen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      n <- Gen.choose(0, 500)
+      samples <- Gen.listOfN(n,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, samples.toArray)
+    check("wav", Prop.forAll(gen) { case (rate, samples) =>
+      // graft encode → javax.sound referee decode
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Media.Wav.encode(rate, samples)))
+      val bytes = ais.readAllBytes()
+      val refereeOk = bytes.length == samples.length * 2 &&
+        samples.indices.forall { i =>
+          (((bytes(i * 2) & 0xff) | ((bytes(i * 2 + 1) & 0xff) << 8)).toShort.toInt
+            == samples(i))
+        }
+      // javax.sound encode → graft decode
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(i * 2) = s.toByte; pcm(i * 2 + 1) = (s >> 8).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      val dec = Media.Wav.decode(bos.toByteArray)
+      refereeOk && dec.sampleRate == rate && dec.samples.sameElements(samples)
+    }, min = 40)
+  }
+
   // ------------------------------------------------------------- Puffin
 
   private val puffinBlob: Gen[Puffin.Blob] = for {
