@@ -242,8 +242,18 @@ object MetaDiff {
           val name = u.get("ref-name").asText()
           if (name == MainRef)
             curSnap = Option(u.get("snapshot-id")).filterNot(_.isNull).map(_.asLong())
-          else refs = refs.updated(name,
-            Ref(u.get("type").asText(), u.get("snapshot-id").asLong()))
+          else {
+            // malformed non-main refs (missing/null type or snapshot-id)
+            // must refuse as IllegalArgument — the server maps that to a
+            // spec 400 BadRequestException, not an opaque NPE 500
+            val typ = Option(u.get("type")).filterNot(_.isNull)
+              .getOrElse(throw new IllegalArgumentException(
+                s"set-snapshot-ref '$name': missing 'type'")).asText()
+            val sid = Option(u.get("snapshot-id")).filterNot(_.isNull)
+              .getOrElse(throw new IllegalArgumentException(
+                s"set-snapshot-ref '$name': missing 'snapshot-id'")).asLong()
+            refs = refs.updated(name, Ref(typ, sid))
+          }
         case "remove-snapshot-ref" =>
           refs = refs - u.get("ref-name").asText()
         case "set-properties" =>

@@ -25,13 +25,20 @@ import java.nio.charset.StandardCharsets
   */
 class RestCatalogClient(val baseUri: String, bearerToken: Option[String] = None) {
   private val mapper = new ObjectMapper()
-  private val http = HttpClient.newHttpClient()
+  // connect + per-request timeouts: a hung catalog server must surface as
+  // an error the caller can handle, never block every writer's commit
+  // (the delegate-routed commit path retries in a loop) indefinitely
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+  private val requestTimeout = java.time.Duration.ofSeconds(60)
 
   class CatalogException(val code: Int, val errorType: String, message: String)
     extends RuntimeException(s"$errorType ($code): $message")
 
   private def send(method: String, path: String, body: Option[String] = None): JsonNode = {
     val b0 = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+      .timeout(requestTimeout)
       .header("Content-Type", "application/json")
     val b = bearerToken.fold(b0)(t => b0.header("Authorization", s"Bearer $t"))
     val req = (method match {

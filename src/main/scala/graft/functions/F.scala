@@ -105,6 +105,13 @@ object F {
   def sqScore(q: Column, code: Column, mins: Array[Float],
       spans: Array[Float]): Column =
     col(SqScore(ex(q), ex(code), mins, spans))
+
+  /** Bounded collect_list of a long column: NULL for buckets with fewer
+    * than 2 or more than `cap` elements, with O(cap) aggregation-buffer
+    * memory even on a 10^8-member bucket (see [[CappedCollectLongs]]).
+    */
+  def cappedCollect(id: Column, cap: Int): Column =
+    col(CappedCollectLongs(ex(id), cap).toAggregateExpression())
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.

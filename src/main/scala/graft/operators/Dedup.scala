@@ -22,12 +22,37 @@ object Dedup {
 
   // ---------------------------------------------------------------- d01
 
+  /** Exact-equality guard for hash-keyed dedup: true when the group's
+    * min/max representative texts agree (they must, unless two DIFFERENT
+    * texts collided in the full 128-bit hash pair); a collision raises
+    * instead of silently merging distinct documents — the hash-keyed
+    * shapes below stay EXACT, not probabilistic.
+    */
+  private def sameOrFail(t0: Column, t1: Column): Column =
+    when(t0 <=> t1, lit(true)).otherwise(raise_error(lit(
+      "graft: 128-bit text-hash collision — exact-dedup invariant violated")).cast("boolean"))
+
+  /** 128-bit text key as two independent xxhash64 columns: the dedup
+    * shuffle moves 16 key bytes per row instead of the document text —
+    * at 100 TB the exchange no longer carries the corpus. Exactness is
+    * preserved by [[sameOrFail]] over per-group min/max text (one
+    * representative pair per group per map partition rides the exchange
+    * as an aggregation buffer, never the per-row text).
+    */
+  private def withTextKey(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("h1", xxhash64(col(text)))
+      .withColumn("h2", xxhash64(col(text), lit(1L)))
+
   /** d01: exact dedup on text — keep the lowest doc_id per distinct text,
-    * count copies. */
+    * count copies. Groups on the 128-bit text hash (the exchange key is
+    * the hash pair, not the string) and verifies exactness in-group.
+    */
   def d01DedupExact(spark: SparkSession, sfDir: String): DataFrame =
-    doubledCorpus(spark, sfDir)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    withTextKey(doubledCorpus(spark, sfDir))
+      .groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("text")).as("t0"), max(col("text")).as("t1"))
+      .filter(sameOrFail(col("t0"), col("t1")))
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
@@ -41,14 +66,23 @@ object Dedup {
   // ---------------------------------------------------------------- d02
 
   /** d02: composite-key dedup stats per source (docs vs distinct texts vs
-    * surviving rows after keep-first dedup). */
+    * surviving rows after keep-first dedup). Two hash-keyed aggregations
+    * instead of countDistinct(text): the first groups on (source, 128-bit
+    * text hash) so the distinct-expansion shuffle carries hash keys, the
+    * second folds to per-source counts — text never rides an exchange as
+    * a key (see [[withTextKey]]).
+    */
   def d02DedupExactMulti(spark: SparkSession, sfDir: String): DataFrame =
-    doubledCorpus(spark, sfDir)
+    withTextKey(doubledCorpus(spark, sfDir))
+      .groupBy(col("source"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n"),
+        min(col("text")).as("t0"), max(col("text")).as("t1"))
+      .filter(sameOrFail(col("t0"), col("t1")))
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_distinct_texts"),
-        (count(lit(1)) - countDistinct(col("text"))).as("n_duplicates"))
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        (sum(col("n")) - count(lit(1))).as("n_duplicates"))
       .orderBy(col("source"))
 
   val d02Oracle: String =
@@ -106,10 +140,15 @@ object Dedup {
     * shuffles bare (a, b) longs — payloads (signatures, embeddings) are
     * joined back AFTER dedup so each unique pair is verified exactly once.
     */
-  private[operators] def cappedBucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame =
+  private[graft] def cappedBucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame =
     keyed.groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      // Capped typed aggregate, NOT collect_list + size filter: a
+      // boilerplate bucket stops accumulating state at the cap (the
+      // buffer is O(maxBucket) even for a 10^8-member bucket) and evals
+      // to NULL, where collect_list would materialize every id in one
+      // task's buffer before the filter could drop it.
+      .agg(F.cappedCollect(col("doc_id"), maxBucket).as("ids"))
+      .filter(col("ids").isNotNull)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))

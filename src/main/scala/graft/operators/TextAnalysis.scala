@@ -714,9 +714,23 @@ object TextAnalysis {
           """transform(sequence(0, cast(ceil(size(split(trim(text), '[ \\t\\n\\f\\r]+')) / 10.0) AS int) - 1),
             |  i -> array_join(slice(split(trim(text), '[ \\t\\n\\f\\r]+'), i * 10 + 1, 10), ' '))""".stripMargin))
           .as(Seq("idx", "line")))
-    val firstSeen = lines.withColumn("rn",
-        row_number().over(Window.partitionBy(col("line"))
-          .orderBy(col("doc_id"), col("idx"))))
+    // The first-occurrence window partitions on the 128-bit line hash,
+    // not the line string: the window shuffle's partition/sort key is 16
+    // bytes per row instead of the line text (which still rides as a
+    // VALUE — it is needed to rebuild the document — but never as the
+    // exchange key). Exactness under a hash collision is guarded the same
+    // way as Dedup.d01: min/max line over the same partition must agree
+    // or the query raises instead of silently merging distinct lines.
+    val hw = Window.partitionBy(col("h1"), col("h2"))
+    val firstSeen = lines
+      .withColumn("h1", xxhash64(col("line")))
+      .withColumn("h2", xxhash64(col("line"), lit(1L)))
+      .withColumn("rn",
+        row_number().over(hw.orderBy(col("doc_id"), col("idx"))))
+      .withColumn("l0", min(col("line")).over(hw))
+      .withColumn("l1", max(col("line")).over(hw))
+      .filter(when(col("l0") <=> col("l1"), lit(true)).otherwise(raise_error(lit(
+        "graft: 128-bit line-hash collision — line-dedup invariant violated")).cast("boolean")))
       .filter(col("rn") === 1)
     val rebuilt = firstSeen.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_lines_kept"),

@@ -839,13 +839,21 @@ class GraftSql(val spark: SparkSession, warehouse: String,
     var i = 0
     // catalog-mode discovery for SELECTs: identifiers unknown locally may
     // be tables another session created — one listTables round trip
-    // resolves them (metadata-only; locations are immutable and cached)
+    // resolves them (metadata-only; locations are immutable and cached).
+    // The round trip runs ONLY when some FROM/JOIN identifier is locally
+    // unresolved, and degrades to the local registry on catalog errors
+    // (read-only statements must not fail harder than non-catalog mode —
+    // same posture as SHOW TABLES).
     catalog.foreach { case (cl, ns) =>
-      cl.listTables(ns).foreach { name =>
-        if (!tables.contains(name) &&
-            ("(?i)\\b" + Regex.quote(name) + "\\b").r.findFirstIn(q).isDefined)
-          tables(name) = cl.loadTable(ns, name).location
-      }
+      val fromRefs = "(?i)\\b(?:from|join)\\s+([a-zA-Z_]\\w*)".r
+        .findAllMatchIn(q).map(_.group(1)).toSet
+      if (fromRefs.exists(n => !tables.contains(n)))
+        scala.util.Try(cl.listTables(ns)).getOrElse(Nil).foreach { name =>
+          if (!tables.contains(name) &&
+              ("(?i)\\b" + Regex.quote(name) + "\\b").r.findFirstIn(q).isDefined)
+            scala.util.Try(cl.loadTable(ns, name).location)
+              .foreach(tables(name) = _)
+        }
     }
     // Iceberg-style inline metadata tables (reference README.md:353
     // `SELECT * FROM ${user}_ice.airlines.history`): resolve

@@ -2533,11 +2533,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // is removed only when no retained snapshot references it
     def manifestFiles(s: Snapshot): Seq[String] =
       s.manifest +: MetaIO.loadManifestEntries(conf, location, s).map(_.name)
+    // settle row-lineage BEFORE the walk order changes: expiring a file's
+    // first-seen snapshot would shift its walk position and renumber its
+    // rows, contradicting both the documented cross-snapshot stability
+    // and any v3 export a foreign reader already consumed. The settlement
+    // persists the pre-expiration per-file ids + watermark; the assigner
+    // seeds from it forever after. Computed from the PRE-expiration
+    // metadata, while every expired manifest is still readable.
+    val settledName = RowLineage.settle(conf, m,
+      keepFiles = keptFiles, keepSnapshots = kept.map(_.id).toSet)
     val keptManifests = kept.flatMap(manifestFiles).toSet
     expired.flatMap(manifestFiles).toSet.diff(keptManifests)
       .foreach(n => MetaIO.delete(conf, s"${MetaIO.metadataDir(location)}/$n"))
     commitMetadataOnly(m.copy(version = m.version + 1, snapshots = kept,
-      refs = liveRefs))
+      refs = liveRefs,
+      properties = m.properties + (TableFormat.RowLineageSettled -> settledName)))
     this
   }
 

@@ -53,21 +53,25 @@ object RowLineage {
     * the v3 export omits them (their file sets resolve at a later,
     * representable snapshot).
     */
-  /** Assignment cache keyed by (location, version): a metadata version
-    * is immutable once published, so its assignment never changes — a
-    * repeated lineage read (or a preserving rewrite right after one)
-    * skips the manifest re-walk, which is O(HISTORICAL files) on
-    * long-history tables, not O(current files). Bounded LRU-ish (drop
-    * oldest past 64 — the walk is always recomputable).
+  /** Assignment cache keyed by (location, version, metadata content
+    * hash): a metadata version is immutable once published, so its
+    * assignment never changes — a repeated lineage read (or a preserving
+    * rewrite right after one) skips the manifest re-walk, which is
+    * O(HISTORICAL files) on long-history tables, not O(current files).
+    * The content-hash component guards the drop-and-recreate-at-the-
+    * same-location case: the recreated table re-reaches the same
+    * (location, version) pairs but with different metadata, and serving
+    * the old table's file-id map would NULL every row. Bounded LRU-ish
+    * (drop oldest past 64 — the walk is always recomputable).
     */
   private val cache =
-    new java.util.LinkedHashMap[(String, Int), Assignment](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int, Int), Assignment](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Assignment]): Boolean = size() > 64
+          e: java.util.Map.Entry[(String, Int, Int), Assignment]): Boolean = size() > 64
     }
 
   def assign(conf: Configuration, m: TableMeta): Assignment = {
-    val key = (m.location, m.version)
+    val key = (m.location, m.version, m.hashCode)
     cache.synchronized(Option(cache.get(key))) match {
       case Some(a) => a
       case None =>
@@ -77,9 +81,66 @@ object RowLineage {
     }
   }
 
-  private def compute(conf: Configuration, m: TableMeta): Assignment = {
-    var next = m.properties.get(TableFormat.RowLineageNextRowId)
-      .map(_.toLong).getOrElse(0L)
+  /** Persist the CURRENT assignment (per-file first ids, per-snapshot
+    * first ids, watermark) as a settlement file in the metadata dir, so
+    * ids survive operations that change the walk order — snapshot
+    * expiration being the one graft performs. Called by
+    * [[GraftTable.expireSnapshots]] BEFORE the expiring commit, with the
+    * surviving file set, and referenced from table properties
+    * ([[TableFormat.RowLineageSettled]]); [[compute]] seeds from it, so
+    * a file keeps its pre-expiration id forever even when its first-seen
+    * snapshot is gone. O(surviving files) JSON — the same scale class as
+    * one manifest.
+    */
+  def settle(conf: Configuration, m: TableMeta, keepFiles: Set[String],
+      keepSnapshots: Set[Long]): String = {
+    val (a, unrecoverable) = computeRaw(conf, m)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("next-row-id", a.nextRowId)
+    val files = root.putObject("files")
+    a.fileFirstRowId.foreach { case (p, id) =>
+      if (keepFiles.contains(p)) files.put(p, id)
+    }
+    // unrecoverable files (serve NULL) are settled as the -1 sentinel so
+    // the determination also survives expiration
+    unrecoverable.foreach { p =>
+      if (keepFiles.contains(p)) files.put(p, NoLineage)
+    }
+    val snaps = root.putObject("snapshots")
+    a.snapshotFirstRowId.foreach { case (sid, id) =>
+      if (keepSnapshots.contains(sid)) snaps.put(sid.toString, id)
+    }
+    val name = s"lineage-settle-v${m.version}.json"
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(m.location)}/$name",
+      mapper.writeValueAsString(root))
+    name
+  }
+
+  private case class Settlement(fileIds: Map[String, Long],
+      snapIds: Map[Long, Long], next: Long)
+
+  private def loadSettlement(conf: Configuration, m: TableMeta): Option[Settlement] =
+    m.properties.get(TableFormat.RowLineageSettled).map { name =>
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(MetaIO.readString(conf, s"${MetaIO.metadataDir(m.location)}/$name"))
+      val files = Map.newBuilder[String, Long]
+      val fn = root.get("files")
+      fn.fieldNames().forEachRemaining(p => files += p -> fn.get(p).asLong())
+      val snaps = Map.newBuilder[Long, Long]
+      val sn = root.get("snapshots")
+      if (sn != null) sn.fieldNames().forEachRemaining(s => snaps += s.toLong -> sn.get(s).asLong())
+      Settlement(files.result(), snaps.result(), root.get("next-row-id").asLong())
+    }
+
+  private def compute(conf: Configuration, m: TableMeta): Assignment =
+    computeRaw(conf, m)._1
+
+  private def computeRaw(conf: Configuration, m: TableMeta): (Assignment, Set[String]) = {
+    val settled = loadSettlement(conf, m)
+    var next = math.max(
+      m.properties.get(TableFormat.RowLineageNextRowId).map(_.toLong).getOrElse(0L),
+      settled.map(_.next).getOrElse(0L))
     // imported snapshots at or below the boundary: a file WITHOUT an
     // explicit foreign id there has no recoverable lineage — serve NULL
     // instead of inventing numbers the source engine would contradict
@@ -87,11 +148,15 @@ object RowLineage {
       .map(_.toLong).getOrElse(Long.MinValue)
     val fileIds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val unrecoverable = scala.collection.mutable.Set.empty[String]
-    val snapIds = Map.newBuilder[Long, Long]
+    settled.foreach(_.fileIds.foreach { case (p, id) =>
+      if (id == NoLineage) unrecoverable += p else fileIds(p) = id
+    })
+    val settledSnaps = settled.map(_.snapIds).getOrElse(Map.empty)
+    val snapIds = scala.collection.mutable.Map.empty[Long, Long] ++= settledSnaps
     m.snapshots.foreach { snap =>
       val (entries, dp, _, _) = MetaIO.loadManifestListData(conf, m.location, snap)
       if (dp.isEmpty) {
-        snapIds += snap.id -> next
+        if (!snapIds.contains(snap.id)) snapIds(snap.id) = next
         entries.foreach { e =>
           val files = MetaIO.loadChildFiles(conf, m.location, e.name)
           files.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (_, group) =>
@@ -113,6 +178,6 @@ object RowLineage {
         }
       }
     }
-    Assignment(fileIds.toMap, snapIds.result(), next)
+    (Assignment(fileIds.toMap, snapIds.toMap, next), unrecoverable.toSet)
   }
 }

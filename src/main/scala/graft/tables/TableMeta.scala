@@ -117,6 +117,13 @@ object TableFormat {
     * Native files of later snapshots assign normally.
     */
   val RowLineageImportBoundary = "graft.row-lineage.import-boundary"
+  /** Name (in the metadata dir) of the lineage SETTLEMENT file written by
+    * snapshot expiration: the pre-expiration per-file first-row-id map +
+    * watermark, persisted so served ids stay stable when the walk order
+    * changes (a file's first-seen snapshot expiring would otherwise shift
+    * its walk position and renumber its rows — the spec's ids are forever).
+    */
+  val RowLineageSettled = "graft.row-lineage.settled"
   /** Target data-file size for writes (Iceberg
     * `write.target-file-size-bytes`): served to AQE as the advisory
     * partition size for the write's shuffle, so range/hash-distributed

@@ -329,4 +329,31 @@ class RestCatalogSpec extends SparkSpec {
       assert(c.listNamespaces().isEmpty)
     }
   }
+
+  test("malformed set-snapshot-ref commit gets a spec 400, not an opaque 500") {
+    withServer { (srv, c) =>
+      c.createNamespace(Seq("lake"))
+      c.createTable(Seq("lake"), "t", StructType(Seq(StructField("a", IntegerType))))
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String): java.net.http.HttpResponse[String] =
+        http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.uri}$path"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // missing snapshot-id on a non-main ref; then a null type
+      for (bad <- Seq(
+          """{"requirements": [], "updates": [
+            |  {"action": "set-snapshot-ref", "ref-name": "audit", "type": "branch"}]}""".stripMargin,
+          """{"requirements": [], "updates": [
+            |  {"action": "set-snapshot-ref", "ref-name": "audit", "type": null, "snapshot-id": 1}]}""".stripMargin)) {
+        val resp = post("/v1/namespaces/lake/tables/t", bad)
+        assert(resp.statusCode() == 400, s"got ${resp.statusCode()}: ${resp.body()}")
+        val e = mapper.readTree(resp.body()).get("error")
+        assert(e.get("type").asText() == "BadRequestException")
+        assert(e.get("message").asText().contains("set-snapshot-ref"))
+      }
+    }
+  }
 }

@@ -311,6 +311,31 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == nDocs)
     assert(out.agg(sum($"n_copies")).as[Long].head() == 2 * nDocs)
   }
+
+  test("exact dedup shuffles hash keys, never the text (d01/d02/x15 plan pin)") {
+    // At 100 TB the exchange key must be the 128-bit text hash, not the
+    // document/line string: every hashpartitioning exchange in the three
+    // exact-dedup plans partitions on h1/h2, and no exchange key mentions
+    // the text or line column.
+    def hashExchanges(plan: String): Seq[String] =
+      plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    val plans = Seq(
+      "d01" -> Dedup.d01DedupExact(spark, sf).queryExecution.executedPlan.toString,
+      "d02" -> Dedup.d02DedupExactMulti(spark, sf).queryExecution.executedPlan.toString,
+      "x15" -> TextAnalysis.x15LineDedup(spark, sf).queryExecution.executedPlan.toString)
+    plans.foreach { case (name, plan) =>
+      val ex = hashExchanges(plan)
+      assert(ex.nonEmpty, s"$name: expected at least one hash exchange")
+      // the dedup exchange partitions on the hash pair (d02's second,
+      // per-source fold legitimately partitions on source — also not text)
+      assert(ex.exists(l => l.contains("h1#") && l.contains("h2#")),
+        s"$name: no exchange partitions on the hash pair:\n${ex.mkString("\n")}")
+      ex.foreach { line =>
+        assert(!line.contains("text#") && !line.contains("line#"),
+          s"$name exchange key must not carry the string: $line")
+      }
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

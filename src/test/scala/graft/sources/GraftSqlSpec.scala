@@ -840,4 +840,26 @@ class GraftSqlSpec extends SparkSpec {
       assert(!c2.tableExists(Seq("lake"), "cat_orders"))
     } finally srv2.stop()
   }
+
+  test("SELECT over locally-known tables survives an unreachable catalog") {
+    // read-only statements must not fail harder than non-catalog mode:
+    // when every FROM/JOIN identifier resolves locally the discovery
+    // round trip is skipped entirely, and when it can't be skipped the
+    // listing degrades to the local registry (same posture as SHOW TABLES)
+    val wh = Files.createTempDirectory("graft_sql_deg").toString
+    val srv = new graft.catalog.RestCatalogServer(wh,
+      spark.sparkContext.hadoopConfiguration)
+    val c = new graft.catalog.RestCatalogClient(srv.uri)
+    c.createNamespace(Seq("lake"))
+    val g = new GraftSql(spark, wh, Some((c, Seq("lake"))))
+    registerSources(g)
+    g.sql("CREATE TABLE deg_t AS SELECT r_regionkey, r_name FROM region")
+    val n = g.sql("SELECT COUNT(*) AS n FROM deg_t").head().getLong(0)
+    srv.stop()
+    // fully-local SELECT: works with the catalog gone
+    assert(g.sql("SELECT COUNT(*) AS n FROM deg_t").head().getLong(0) == n)
+    // a join of locally-known tables too
+    assert(g.sql("SELECT COUNT(*) AS n FROM deg_t t JOIN region r ON t.r_regionkey = r.r_regionkey")
+      .head().getLong(0) == n)
+  }
 }

@@ -413,3 +413,68 @@ class RowLineageSpec extends SparkSpec {
     assert(imp.meta.properties(TableFormat.RowLineageNextRowId).toLong == 104L)
   }
 }
+
+class RowLineageStabilitySpec extends SparkSpec {
+  import spark.implicits._
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private def tmp(): String = Files.createTempDirectory("graft_lin_st").toString + "/t"
+  private def sortedRegion(n: Int) = spark.read.parquet(s"$sf/region.parquet")
+    .orderBy("r_regionkey").limit(n)
+
+  test("expiration settles ids: expired first-seen snapshots don't renumber rows") {
+    // snap1 writes file A (ids 0-4), snap2 appends B (5-6), snap3 CoW-
+    // rewrites A -> A' (fresh ids 7-10, no preserve property). Expiring
+    // snap1+snap2 removes A's and B's first-seen snapshots; the old
+    // walk would re-derive ids from snap3's manifest order and renumber
+    // both B and A' — the settlement written at expiration pins them.
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    t.append(Seq((100, "x", "c"), (101, "y", "c"))
+      .toDF("r_regionkey", "r_name", "r_comment").coalesce(1))
+    t.delete("r_regionkey = 1")
+    val before = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    t.expireSnapshots(Long.MaxValue)
+    assert(t.meta.snapshots.size == 1, "all but the current snapshot expired")
+    assert(t.meta.properties.contains(TableFormat.RowLineageSettled))
+    val after = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after == before, "expiration must not renumber any surviving row")
+    // the settlement is load-bearing: the same metadata WITHOUT it walks
+    // to different numbers (this is exactly the pre-fix renumbering bug)
+    val unsettled = RowLineage.assign(conf, t.meta.copy(
+      properties = t.meta.properties - TableFormat.RowLineageSettled))
+    val settled = RowLineage.assign(conf, t.meta)
+    assert(unsettled.fileFirstRowId != settled.fileFirstRowId,
+      "test shape must make the raw walk renumber (otherwise this pins nothing)")
+    // appends after the expiration continue above the settled watermark
+    val maxBefore = before.values.map(_._1).max
+    t.append(Seq((200, "z", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    val newIds = t.lineageDF().filter($"r_regionkey" === 200)
+      .select(RowLineage.RowIdCol).collect().map(_.getLong(0))
+    assert(newIds.forall(_ > maxBefore), "post-expiration ids respect the watermark")
+    // a SECOND expiration re-settles cumulatively
+    t.expireSnapshots(Long.MaxValue)
+    val again = t.lineageDF()
+      .select("r_regionkey", RowLineage.RowIdCol, RowLineage.SeqCol)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(before.forall { case (k, v) => again(k) == v })
+  }
+
+  test("drop and recreate at the same location serves the NEW table's lineage") {
+    // same (location, version) keys re-reached by a different table: the
+    // assignment cache must not serve the old table's file-id map (which
+    // would NULL every row of the recreated table)
+    val dir = tmp()
+    val t1 = GraftTable.createAs(spark, dir, sortedRegion(5))
+    assert(t1.lineageDF().count() == 5)   // populates the cache
+    MetaIO.delete(conf, dir)              // drop
+    val t2 = GraftTable.createAs(spark, dir, sortedRegion(3))
+    val got = t2.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._2)
+    assert(got.length == 3)
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 2L),
+      "recreated table must serve its own ids, not the stale cache entry")
+  }
+}

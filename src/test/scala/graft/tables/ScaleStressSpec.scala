@@ -338,4 +338,31 @@ class ScaleStressSpec extends SparkSpec {
       tmp())
     assert(imp.toDF().orderBy("o_orderkey").collect().toSeq == expected.toSeq)
   }
+
+  test("LSH blocking: a 10^6-member mega-bucket costs O(maxBucket) buffer, not O(bucket)") {
+    // The shared blocking helper (d03/d04/d05/d08/d10/st11) must never
+    // materialize a boilerplate bucket's full id list in one aggregation
+    // buffer: a 10^6-id (band, key) bucket with maxBucket=100 has to be
+    // dropped whole WITHOUT any buffer ever growing past the cap. The
+    // probe records the peak id-array length across every update/merge.
+    val probe = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.functions.CappedCollectLongs.bufferProbe = probe
+    try {
+      val mega = spark.range(1000000L).select(
+        col("id").as("doc_id"), lit(0).as("band"), lit(42).as("key"))
+      val normal = spark.range(1000000L, 1000006L).select(
+        col("id").as("doc_id"), lit(1).as("band"), (col("id") % 2).cast("int").as("key"))
+      val pairs = Dedup.cappedBucketPairs(mega.unionAll(normal).repartition(16), 100)
+        .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // mega-bucket dropped whole; the two 3-member normal buckets keep
+      // their 3 pairs each
+      assert(pairs.length == 6, s"expected 6 pairs from normal buckets, got ${pairs.length}")
+      assert(pairs.forall { case (a, b) => a >= 1000000L && b >= 1000000L },
+        "no pair may come from the mega-bucket")
+      val peak = probe.get()
+      assert(peak <= 100L,
+        s"aggregation buffer grew to $peak ids — the cap must bound buffer memory")
+      assert(peak > 0L, "probe must have observed the aggregation")
+    } finally graft.functions.CappedCollectLongs.bufferProbe = null
+  }
 }
