@@ -198,6 +198,47 @@ class RestCatalogClient(val baseUri: String, bearerToken: Option[String] = None)
     }
   }
 
+  /** One member of a multi-table transaction: a (base → next) metadata
+    * transition, or — with `next` absent — a pure ASSERTION that the
+    * table is still at `base` (requirements only, no updates), the
+    * cross-table consistency primitive.
+    */
+  case class TxChange(ns: Seq[String], name: String, base: TableMeta,
+      next: Option[TableMeta])
+
+  /** Commit several tables atomically through the spec's
+    * `/v1/transactions/commit`: the server checks every member's
+    * requirements against current metadata BEFORE publishing anything, so
+    * a conflict on any member refuses the whole transaction (409 →
+    * ConcurrentModificationException, same as single-table commits).
+    */
+  def commitTransaction(changes: Seq[TxChange]): Unit = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("table-changes")
+    changes.foreach { c =>
+      val proposal = c.next match {
+        case Some(n) => MetaDiff.diff(c.base, n)
+        case None => MetaDiff.diff(c.base, c.base.copy(version = c.base.version + 1))
+      }
+      val o = arr.addObject()
+      val id = o.putObject("identifier")
+      val nsArr = id.putArray("namespace"); c.ns.foreach(nsArr.add)
+      id.put("name", c.name)
+      o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "requirements", proposal.requirements)
+      o.set[com.fasterxml.jackson.databind.node.ObjectNode]("updates",
+        if (c.next.isDefined) proposal.updates
+        else mapper.createArrayNode())  // assertion-only member
+      ()
+    }
+    try { send("POST", "/v1/transactions/commit", Some(mapper.writeValueAsString(root))); () }
+    catch {
+      case e: CatalogException if e.code == 409 =>
+        throw new java.util.ConcurrentModificationException(
+          s"catalog transaction conflict: ${e.getMessage}")
+    }
+  }
+
   /** A table handle whose COMMITS go through the catalog: reads resolve
     * the location via `loadTable`, and the commit delegate rebuilds the
     * (base → next) diff from the immutable previous version file — the

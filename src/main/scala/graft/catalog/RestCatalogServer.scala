@@ -154,6 +154,7 @@ class RestCatalogServer(val warehouse: String,
             error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
           else { body(ex); ex.sendResponseHeaders(204, -1); ex.close() }
         case ("POST", Seq("v1", "tables", "rename")) => renameTable(ex)
+        case ("POST", Seq("v1", "transactions", "commit")) => commitTransaction(ex)
         case _ =>
           error(ex, 404, "NotFoundException", s"$method ${ex.getRequestURI.getPath}")
       }
@@ -431,4 +432,104 @@ class RestCatalogServer(val warehouse: String,
           }
         }
     }
+
+  /** The spec's `/v1/transactions/commit` (CommitTransactionRequest):
+    * commit several tables' requirements/updates as ONE transaction.
+    * Every table's lock is taken (in canonical order — no deadlock with
+    * concurrent transactions), then ALL requirements are checked against
+    * ALL current metadatas BEFORE anything publishes: a failure on any
+    * table refuses the whole transaction with 409 and no table changes.
+    * A change with an EMPTY update list is a pure assertion — the
+    * cross-table consistency primitive (e.g. "apply to the replica only
+    * if the source is still at the snapshot I replayed").
+    *
+    * Publication is per-table version-file CAS under the held locks;
+    * catalog-routed writers are fully serialized, so mid-publish
+    * conflicts can only come from OUT-OF-BAND direct-filesystem writers —
+    * in that case already-published tables are reverted best-effort (a
+    * compensating commit restoring the prior logical state) and the
+    * transaction still reports 409.
+    */
+  private def commitTransaction(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    val changesNode = Option(b.get("table-changes")).filterNot(_.isNull).getOrElse(
+      return error(ex, 400, "BadRequestException", "missing table-changes"))
+    case class Change(ns: String, name: String, loc: String,
+        reqs: JsonNode, ups: JsonNode)
+    val changes = scala.collection.mutable.ListBuffer.empty[Change]
+    val it = changesNode.elements()
+    while (it.hasNext) {
+      val c = it.next()
+      val ident = Option(c.get("identifier")).filterNot(_.isNull).getOrElse(
+        return error(ex, 400, "BadRequestException", "table change missing identifier"))
+      val nsParts = scala.collection.mutable.ListBuffer.empty[String]
+      ident.get("namespace").forEach(n => nsParts += n.asText())
+      val ns = nsParts.mkString("\u001f")
+      val name = ident.get("name").asText()
+      locationOf(ns, name) match {
+        case None =>
+          return error(ex, 404, "NoSuchTableException", s"table $ns.$name not found")
+        case Some(loc) =>
+          changes += Change(ns, name, loc, c.get("requirements"), c.get("updates"))
+      }
+    }
+    if (changes.isEmpty)
+      return error(ex, 400, "BadRequestException", "empty transaction")
+    // one lock per distinct table, canonical order
+    val lockKeys = changes.map(c => s"${c.ns}\u001f${c.name}").distinct.sorted
+    def locked(ks: List[String])(f: => Unit): Unit = ks match {
+      case Nil => f
+      case k :: rest =>
+        tableLocks.computeIfAbsent(k, _ => new Object)
+          .synchronized(locked(rest)(f))
+    }
+    locked(lockKeys.toList) {
+      // fold multiple changes to one table in request order; requirements
+      // of later changes check against the intermediate state, spec-style
+      val state = scala.collection.mutable.LinkedHashMap.empty[String, (TableMeta, Boolean)]
+      changes.foreach { c =>
+        val (cur, dirty) = state.getOrElseUpdate(c.loc,
+          (MetaIO.loadMeta(conf, c.loc), false))
+        MetaDiff.checkRequirements(cur, c.reqs) match {
+          case Some(msg) =>
+            return error(ex, 409, "CommitFailedException", s"${c.ns}.${c.name}: $msg")
+          case None => ()
+        }
+        val hasUpdates = c.ups != null && !c.ups.isNull && c.ups.size() > 0
+        if (hasUpdates) {
+          val next =
+            try MetaDiff.applyUpdates(cur, c.ups)
+            catch {
+              case e: IllegalArgumentException =>
+                return error(ex, 400, "BadRequestException",
+                  s"${c.ns}.${c.name}: ${e.getMessage}")
+            }
+          state(c.loc) = (next, true)
+        }
+      }
+      // all requirements held, all updates applied in memory — publish
+      val published = scala.collection.mutable.ListBuffer.empty[(String, TableMeta)]
+      state.foreach { case (loc, (next, dirty)) =>
+        if (dirty) {
+          try {
+            MetaIO.commitMeta(conf, next)
+            published += loc -> next
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              // out-of-band writer raced a member table: compensate the
+              // already-published members back to their prior state
+              published.reverse.foreach { case (ploc, pm) =>
+                val prior = MetaIO.metaFromJson(MetaIO.readString(conf,
+                  MetaIO.metadataPath(ploc, pm.version - 1)))
+                try MetaIO.commitMeta(conf,
+                  prior.copy(version = pm.version + 1))
+                catch { case _: Exception => () }
+              }
+              return error(ex, 409, "CommitFailedException", e.getMessage)
+          }
+        }
+      }
+      ex.sendResponseHeaders(204, -1); ex.close()
+    }
+  }
 }

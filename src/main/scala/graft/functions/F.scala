@@ -112,6 +112,9 @@ object F {
     */
   def cappedCollect(id: Column, cap: Int): Column =
     col(CappedCollectLongs(ex(id), cap).toAggregateExpression())
+
+  /** Spark-canonical file path rendering (codegen'd; see [[CanonicalPath]]). */
+  def canonPath(p: Column): Column = col(CanonicalPath(ex(p)))
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.

@@ -1038,3 +1038,41 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** Hadoop-canonical path rendering, shared between the import
+  * translation (scala-side) and the position-delete normalization
+  * expression so both produce byte-identical strings.
+  */
+object PathCanonUtil {
+  def canonString(p: String): String =
+    if (p.contains(":/")) new org.apache.hadoop.fs.Path(p).toString
+    else new org.apache.hadoop.fs.Path("file:" + p).toString
+
+  def canon(s: UTF8String): UTF8String = {
+    val p = s.toString
+    val out = canonString(p)
+    if (out == p) s else UTF8String.fromString(out)
+  }
+}
+
+/** Spark-canonical file path ("file:/abs/path" for local) — used when
+  * importing foreign position-delete files, whose stored `file_path`
+  * must compare equal to `_metadata.file_path` in the merge-on-read
+  * join. A Catalyst expression (not a udf): stays inside whole-stage
+  * codegen and keeps src/main udf-free; it runs at metadata scale
+  * (delete-file rows) regardless.
+  */
+case class CanonicalPath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_canon_path"
+  override def nullSafeEval(input: Any): Any =
+    PathCanonUtil.canon(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val pu = classOf[PathCanonUtil.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $pu.canon($s);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): CanonicalPath =
+    copy(child = newChild)
+}

@@ -258,9 +258,97 @@ object Multimodal {
       |  ON d.doc_id = r.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  case class JpegBlocks(doc_id: Long, n_blocks: Int, sum_levels: Long, pos_checksum: Long)
+
+  /** m04: COMPRESSED images — a full baseline-JPEG round trip
+    * (entropy coding, Huffman tables, quantization, FDCT/IDCT, marker
+    * structure) through the from-scratch [[graft.formats.Jpeg]] codec,
+    * VALUE-checked end to end. Each document fabricates a grayscale
+    * JPEG of 8x8-constant blocks whose levels are EVEN character codes
+    * at quality 50: a DC-only block with 8·(g−128) divisible by q00=16
+    * survives quantization exactly (JpegSpec pins the property and
+    * referees both directions against ImageIO), so every decoded block
+    * mean equals its source level and the DuckDB oracle recomputes the
+    * features from the text alone — lossy-codec plumbing with a
+    * lossless oracle. Same batch-decode scale shape as m01.
+    */
+  def m04JpegBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.formats.Jpeg
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val nb = text.length / 25
+        if (nb == 0) MediaRow(id, Array.empty[Byte], "image/jpeg", 0, 0)
+        else {
+          val w = 8 * nb; val h = 8
+          val rgb = new Array[Byte](w * h * 3)
+          var b = 0
+          while (b < nb) {
+            val g = (2 * text.charAt(b * 25)).toByte // even level 64..252
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < 8) {
+                val i = (y * w + b * 8 + x) * 3
+                rgb(i) = g; rgb(i + 1) = g; rgb(i + 2) = g
+                x += 1
+              }
+              y += 1
+            }
+            b += 1
+          }
+          MediaRow(id, Jpeg.encode(w, h, rgb, quality = 50, grayscale = true),
+            "image/jpeg", w, h)
+        }
+      }
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.payload.isEmpty) JpegBlocks(r.doc_id, 0, 0L, 0L)
+        else {
+          val img = Jpeg.decode(r.payload)
+          val nb = img.width / 8
+          // features from DECODED pixels only — a wrong coefficient,
+          // Huffman code, or IDCT would shift a block mean and break the
+          // text-derived oracle
+          var sum = 0L; var chk = 0L
+          var b = 0
+          while (b < nb) {
+            var s = 0L
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < 8) { s += img.red(b * 8 + x, y); x += 1 }
+              y += 1
+            }
+            val mean = s / 64
+            sum += mean; chk += (b + 1).toLong * mean
+            b += 1
+          }
+          JpegBlocks(r.doc_id, nb, sum, chk)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Block b's level is 2·unicode(text[b·25+1]); decoded means equal the
+    * levels exactly (q50 DC-only exactness), so sums replay from text.
+    */
+  val m04Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, strlen(text) // 25 AS nb,
+      |    [2 * unicode(text[i * 25 + 1]) for i in range(strlen(text) // 25)] AS lv
+      |  FROM documents)
+      |SELECT doc_id, CAST(nb AS INT) AS n_blocks,
+      |  CAST(COALESCE(list_sum(lv), 0) AS BIGINT) AS sum_levels,
+      |  CAST(COALESCE(list_sum([ (i + 1) * lv[i + 1] for i in range(len(lv))]), 0) AS BIGINT)
+      |    AS pos_checksum
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
     "m03_audio_segments"      -> ((m03AudioSegments _, m03Oracle)),
+    "m04_jpeg_blocks"         -> ((m04JpegBlocks _, m04Oracle)),
   )
 }

@@ -434,7 +434,11 @@ object IcebergExport {
     }
     // partition statistics (Iceberg `partition-statistics`): emitted only
     // when the persisted payload is LIVE (stamped at the current
-    // snapshot) — same honesty boundary as the column-stats entry
+    // snapshot) — same honesty boundary as the column-stats entry. Binary
+    // exports emit the SPEC SHAPE: a parquet partition-statistics file
+    // with the fixed field-id'd schema a real reader consumes (the graft
+    // JSON payload still travels alongside for graft importers); the JSON
+    // export keeps pointing at graft's own payload, declared.
     val partStatsArr = root.putArray("partition-statistics")
     for {
       snap <- m.properties.get(TableFormat.PartStatsSnapshot)
@@ -443,18 +447,119 @@ object IcebergExport {
     } {
       val conf = t.spark.sparkContext.hadoopConfiguration
       val srcPath = s"${MetaIO.metadataDir(m.location)}/$file"
-      val path = binary.map(b => s"${b.dir}/$file").getOrElse(srcPath)
-      if (scala.util.Try(MetaIO.loadPartitionStatsFile(conf, m.location, file)).isSuccess) {
-        val po = partStatsArr.addObject()
-        po.put("snapshot-id", snap.toLong)
-        po.put("statistics-path", path)
-        val len = scala.util.Try(MetaIO.fs(conf, srcPath)
-          .getFileStatus(new org.apache.hadoop.fs.Path(srcPath)).getLen).getOrElse(0L)
-        po.put("file-size-in-bytes", len)
-        ()
-      }
+      scala.util.Try(MetaIO.loadPartitionStatsFile(conf, m.location, file)).toOption
+        .foreach { payload =>
+          val po = partStatsArr.addObject()
+          po.put("snapshot-id", snap.toLong)
+          binary match {
+            case Some(b) =>
+              val pqPath = s"${b.dir}/partition-stats-$snap.parquet"
+              val len = writePartitionStatsParquet(t, payload, pqPath)
+              po.put("statistics-path", pqPath)
+              po.put("file-size-in-bytes", len)
+            case None =>
+              po.put("statistics-path", srcPath)
+              po.put("file-size-in-bytes", scala.util.Try(MetaIO.fs(conf, srcPath)
+                .getFileStatus(new org.apache.hadoop.fs.Path(srcPath)).getLen)
+                .getOrElse(0L))
+          }
+          ()
+        }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** The unified partition tuple of a table's specs (Iceberg spec
+    * "Partition Statistics" struct): specs ascending, fields in spec
+    * order, first occurrence of a name wins. Ids are 1000 + unified
+    * position — identical to the manifest export's per-spec numbering for
+    * single-spec tables (multi-spec tables share the export's declared
+    * per-spec-restart simplification).
+    */
+  private[tables] def unifiedPartitionFields(m: TableMeta):
+      Seq[(PartitionField, Option[DataType], Int)] = {
+    val physSchema = ColumnMapping.physicalSchema(m.schema)
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (PartitionField, Option[DataType])]
+    m.specs.sortBy(_.specId).foreach { spec =>
+      spec.fields.foreach { pf =>
+        if (!seen.contains(pf.name))
+          seen(pf.name) = (pf, physSchema.fields.find(_.name == pf.source).map(_.dataType))
+      }
+    }
+    seen.values.toSeq.zipWithIndex.map { case ((pf, dt), i) => (pf, dt, 1000 + i) }
+  }
+
+  private def icebergPartitionType(transform: String, src: Option[DataType]): DataType =
+    transform match {
+      case "years" | "months" | "days" | "hours" => IntegerType
+      case tr if tr.startsWith("bucket[") => IntegerType
+      case _ => src.getOrElse(StringType)
+    }
+
+  /** Write the Iceberg-spec partition-statistics PARQUET file (table spec
+    * "Partition Statistics": field-id'd fixed schema — partition struct
+    * (1), spec_id (2), data_record_count (3), data_file_count (4),
+    * total_data_file_size_in_bytes (5), last_updated_snapshot_id (12)) so
+    * a stock reader consumes `.partitions` without graft. Returns the
+    * file size in bytes. O(partitions) rows, one driver-built file — the
+    * same scale class as the payload it renders.
+    */
+  private[tables] def writePartitionStatsParquet(t: GraftTable,
+      payload: PartitionStatsPayload, outPath: String): Long = {
+    import org.apache.spark.sql.Row
+    val m = t.meta
+    val spark = t.spark
+    val unified = unifiedPartitionFields(m)
+    def idMeta(id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ColumnMapping.ParquetFieldIdKey, id.toLong).build()
+    val partStruct = StructType(unified.map { case (pf, dt, id) =>
+      StructField(pf.name, icebergPartitionType(pf.transform, dt),
+        nullable = true, metadata = idMeta(id))
+    })
+    val schema = StructType(Seq(
+      StructField("partition", partStruct, nullable = false, metadata = idMeta(1)),
+      StructField("spec_id", IntegerType, nullable = false, metadata = idMeta(2)),
+      StructField("data_record_count", LongType, nullable = false, metadata = idMeta(3)),
+      StructField("data_file_count", IntegerType, nullable = false, metadata = idMeta(4)),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false,
+        metadata = idMeta(5)),
+      StructField("last_updated_snapshot_id", LongType, nullable = true,
+        metadata = idMeta(12))))
+    def valueOf(pf: PartitionField, dt: Option[DataType], raw: String): Any =
+      if (raw == null) null
+      else IcebergManifests.partitionValueOut(pf.transform,
+        dt.getOrElse(StringType), raw) match {
+        case i: Int if dt.contains(DateType) && !pf.transform.matches("years|months|days|hours") =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+        case v => v
+      }
+    val rows: Seq[Row] = payload.entries.map { e =>
+      val kv: Map[String, String] =
+        if (e.partition.isEmpty) Map.empty
+        else e.partition.split("/").map { s =>
+          val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+        }.toMap
+      Row(
+        Row(unified.map { case (pf, dt, _) =>
+          kv.get(pf.name).map(valueOf(pf, dt, _)).orNull }: _*),
+        e.specId, e.dataRecordCount, e.dataFileCount.toInt, e.totalSizeBytes,
+        payload.snapshotId)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpDir = outPath + ".tmpdir"
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema).coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val fs = MetaIO.fs(conf, tmpDir)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet written under $tmpDir"))
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    if (fs.exists(out)) fs.delete(out, false)
+    fs.rename(part, out)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    fs.getFileStatus(out).getLen
   }
 
   /** Write the export next to the table (or at `path`) so an external
@@ -476,7 +581,8 @@ object IcebergExport {
     * declared v1 representation limits (merge-on-read snapshots, bucket
     * transforms).
     */
-  def exportBinary(t: GraftTable, outDir: String, formatVersion: Int = 1): String = {
+  def exportBinary(t: GraftTable, outDir: String, formatVersion: Int = 1,
+      hadoopLayout: Boolean = false): String = {
     require(formatVersion >= 1 && formatVersion <= 3,
       s"binary export supports Iceberg format v1/v2/v3, not v$formatVersion")
     // refuse BEFORE writing anything: a current snapshot with
@@ -496,11 +602,27 @@ object IcebergExport {
           "materializeDeletes() first" +
           (if (formatVersion == 1) " (or export formatVersion = 2, which " +
             "carries position/equality delete files)" else ""))
-    val manifests = IcebergManifests.exportManifests(t, outDir,
-      topLevelFieldIds(t.meta.schema), formatVersion)
-    val json = metadataJson(t, Some(manifests), formatVersion)
-    MetaIO.writeString(t.spark.sparkContext.hadoopConfiguration,
-      s"$outDir/metadata.json", json)
-    json
+    val conf = t.spark.sparkContext.hadoopConfiguration
+    if (hadoopLayout) {
+      // Hadoop-catalog directory layout (what a stock engine's `hadoop`
+      // catalog probes when pointed at the table DIRECTORY — reference
+      // pyspark-iceberg/interoperability.md:75-83: the load fails without
+      // `metadata/version-hint.text` naming a `v<N>.metadata.json`).
+      // Manifests live inside metadata/ like a real hadoop table's.
+      val metaDir = s"$outDir/metadata"
+      val manifests = IcebergManifests.exportManifests(t, metaDir,
+        topLevelFieldIds(t.meta.schema), formatVersion)
+      val json = metadataJson(t, Some(manifests), formatVersion)
+      val v = t.meta.version
+      MetaIO.writeString(conf, s"$metaDir/v$v.metadata.json", json)
+      MetaIO.writeString(conf, s"$metaDir/version-hint.text", v.toString)
+      json
+    } else {
+      val manifests = IcebergManifests.exportManifests(t, outDir,
+        topLevelFieldIds(t.meta.schema), formatVersion)
+      val json = metadataJson(t, Some(manifests), formatVersion)
+      MetaIO.writeString(conf, s"$outDir/metadata.json", json)
+      json
+    }
   }
 }

@@ -251,6 +251,26 @@ object IcebergImport {
       b.result()
     }.getOrElse(Map.empty)
 
+  /** Hadoop-catalog table-DIRECTORY import: resolve the current metadata
+    * file through `metadata/version-hint.text` exactly as a stock
+    * engine's `hadoop` catalog does (reference pyspark-iceberg/
+    * interoperability.md:75-83, :108-112 — pointing a hadoop catalog at
+    * a directory without the hint is the failure the reference
+    * demonstrates), then delegate to [[importMetadata]].
+    */
+  def importTableDir(spark: SparkSession, tableDir: String,
+      targetLocation: String): GraftTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hint = s"$tableDir/metadata/version-hint.text"
+    if (!MetaIO.exists(conf, hint))
+      throw new IllegalArgumentException(
+        s"$tableDir is not a hadoop-layout Iceberg table: no " +
+          "metadata/version-hint.text (export with hadoopLayout = true, " +
+          "or import by explicit metadata-file path)")
+    val v = MetaIO.readString(conf, hint).trim
+    importMetadata(spark, s"$tableDir/metadata/v$v.metadata.json", targetLocation)
+  }
+
   /** Parse + register. `targetLocation` must not already hold a graft
     * table (imports never clobber); returns the loaded table.
     */
@@ -462,9 +482,57 @@ object IcebergImport {
       TableFormat.RowLineageNextRowId -> n.asLong().toString) ++
       snaps.map(_.id).maxOption.map(b =>
         TableFormat.RowLineageImportBoundary -> b.toString))
+    // FOREIGN partition-statistics (the spec's parquet shape): when the
+    // document carries no graft payload pointer, translate the latest
+    // current-snapshot entry's parquet file back into graft's payload so
+    // `.partitions` serves O(partitions) off the imported table too
+    val foreignPartStats: Map[String, String] =
+      if (props0.contains(TableFormat.PartStatsFile)) Map.empty
+      else {
+        val physSchema = ColumnMapping.physicalSchema(schema)
+        val fieldsBySpec: Map[Int, Seq[PartitionField]] =
+          specs.map(s => s.specId -> s.fields).toMap
+        (for {
+          arr <- Option(root.get("partition-statistics")).filterNot(_.isNull)
+          if arr.size() > 0
+          entry = arr.get(arr.size() - 1)
+          snapId = entry.get("snapshot-id").asLong()
+          if currentSnap.contains(snapId)
+          path = entry.get("statistics-path").asText()
+        } yield scala.util.Try {
+          def render(pf: PartitionField, v: Any): String = {
+            val raw = v match {
+              case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+              case x => x
+            }
+            val srcType = physSchema.fields.find(_.name == pf.source)
+              .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
+            IcebergManifests.partitionValueIn(pf.transform, srcType, raw)
+              .getOrElse("__HIVE_DEFAULT_PARTITION__")
+          }
+          val entries = spark.read.parquet(path).collect().toSeq.map { r =>
+            val specId = r.getAs[Int]("spec_id")
+            val part = r.getAs[org.apache.spark.sql.Row]("partition")
+            val kvs = fieldsBySpec.getOrElse(specId, Nil).flatMap { pf =>
+              scala.util.Try(part.getAs[Any](pf.name)).toOption
+                .map(v => s"${pf.name}=${render(pf, v)}")
+            }.sorted
+            PartitionStatEntry(specId, kvs.mkString("/"),
+              r.getAs[Int]("data_file_count").toLong,
+              r.getAs[Long]("data_record_count"),
+              r.getAs[Long]("total_data_file_size_in_bytes"))
+          }.sortBy(e => (e.specId, e.partition))
+          val name = s"partition-stats-$snapId.json"
+          MetaIO.writeString(conf, s"$tgtMetaDir/$name",
+            MetaIO.partitionStatsToJson(PartitionStatsPayload(snapId, entries)))
+          Map(TableFormat.PartStatsFile -> name,
+            TableFormat.PartStatsSnapshot -> snapId.toString)
+        }.getOrElse(Map.empty)).getOrElse(Map.empty)
+      }
     val props = (if (statsOk) props0 ++ statsRenames
       else props0 -- statsProps) -
-      "graft.manifest-format" - "schema.name-mapping.default" ++ lineageProps
+      "graft.manifest-format" - "schema.name-mapping.default" ++ lineageProps ++
+      foreignPartStats
 
     MetaIO.commitMeta(conf, TableMeta(targetLocation, 1, schema, specs,
       currentSpecId, snaps, currentSnap, props, refs))

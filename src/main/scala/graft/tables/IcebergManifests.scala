@@ -1013,8 +1013,7 @@ object IcebergManifests {
     * stored delete-side path must match exactly.
     */
   private[tables] def canonPath(p: String): String =
-    if (p.contains(":/")) new org.apache.hadoop.fs.Path(p).toString
-    else new org.apache.hadoop.fs.Path("file:" + p).toString
+    graft.functions.PathCanonUtil.canonString(p)
 
   /** Recursive .parquet listing with graft's local-path convention. */
   private[tables] def listParquetFiles(conf: Configuration, dir: String): Seq[String] = {
@@ -1037,13 +1036,12 @@ object IcebergManifests {
   private def normalizePositionDeletes(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], targetLocation: String): Seq[String] = {
     if (files.isEmpty) return Nil
-    import org.apache.spark.sql.functions.{col, udf}
-    val canon = udf((p: String) => if (p == null) null else canonPath(p))
+    import org.apache.spark.sql.functions.col
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.orderedHash(files))
     val dir = s"$targetLocation/deletes/imp-$tag"
     spark.read.parquet(files: _*)
-      .select(canon(col("file_path")).as("file_path"), col("pos"))
+      .select(graft.functions.F.canonPath(col("file_path")).as("file_path"), col("pos"))
       .write.mode("overwrite").parquet(dir)
     listParquetFiles(spark.sparkContext.hadoopConfiguration, dir)
   }

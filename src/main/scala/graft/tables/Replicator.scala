@@ -162,8 +162,35 @@ object TableReplicator {
     * [[FullResync]] (-1) when the cursor was unreachable and the replica
     * was rebuilt from the source's current state instead.
     */
-  def sync(spark: SparkSession, replicaLocation: String): Int = {
+  def sync(spark: SparkSession, replicaLocation: String): Int =
+    syncImpl(spark, GraftTable.load(spark, replicaLocation))
+
+  /** [[sync]], but every replica commit rides a CATALOG TRANSACTION
+    * (`/v1/transactions/commit`) that also asserts the SOURCE is still at
+    * the state observed when the sync began: if any out-of-band writer
+    * moves the source mid-replay, the transaction refuses (409 →
+    * ConcurrentModificationException) and the replica is untouched —
+    * cross-table consistency the per-table CAS alone cannot express.
+    * Both tables must be registered in the catalog.
+    */
+  def syncTransactional(spark: SparkSession, replicaLocation: String,
+      client: graft.catalog.RestCatalogClient,
+      sourceNs: Seq[String], sourceName: String,
+      replicaNs: Seq[String], replicaName: String): Int = {
     val replica = GraftTable.load(spark, replicaLocation)
+    val srcBase = client.loadTable(sourceNs, sourceName).metadata
+    val conf = spark.sparkContext.hadoopConfiguration
+    replica.commitDelegate = Some { next =>
+      val base = MetaIO.metaFromJson(MetaIO.readString(conf,
+        MetaIO.metadataPath(next.location, next.version - 1)))
+      client.commitTransaction(Seq(
+        client.TxChange(sourceNs, sourceName, srcBase, None),
+        client.TxChange(replicaNs, replicaName, base, Some(next))))
+    }
+    syncImpl(spark, replica)
+  }
+
+  private def syncImpl(spark: SparkSession, replica: GraftTable): Int = {
     val props = replica.meta.properties
     val source = GraftTable.load(spark, props(SrcLocProp))
     val sm = source.meta

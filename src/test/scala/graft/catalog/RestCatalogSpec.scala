@@ -330,6 +330,109 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("multi-table transaction: atomic commit, any requirement failure rolls back both") {
+    withServer { (_, c) =>
+      c.createNamespace(Seq("lake"))
+      val region = spark.read.parquet(s"$sf/region.parquet")
+      c.createTable(Seq("lake"), "a", region.schema)
+      c.createTable(Seq("lake"), "b", region.schema)
+      val ta = c.table(spark, Seq("lake"), "a"); ta.append(region)
+      val tb = c.table(spark, Seq("lake"), "b"); tb.append(region.limit(2))
+      val (baseA, baseB) = (ta.meta, tb.meta)
+
+      // happy path: both property updates land as ONE transaction
+      c.commitTransaction(Seq(
+        c.TxChange(Seq("lake"), "a", baseA, Some(baseA.copy(
+          version = baseA.version + 1,
+          properties = baseA.properties + ("tx.mark" -> "yes")))),
+        c.TxChange(Seq("lake"), "b", baseB, Some(baseB.copy(
+          version = baseB.version + 1,
+          properties = baseB.properties + ("tx.mark" -> "yes"))))))
+      val (ma, mb) = (c.loadTable(Seq("lake"), "a").metadata,
+        c.loadTable(Seq("lake"), "b").metadata)
+      assert(ma.properties.get("tx.mark").contains("yes"))
+      assert(mb.properties.get("tx.mark").contains("yes"))
+
+      // a STALE base on table a (requirement failure) must refuse the
+      // whole transaction: b keeps its version, nothing published
+      val freshB = mb
+      val e = intercept[java.util.ConcurrentModificationException](
+        c.commitTransaction(Seq(
+          c.TxChange(Seq("lake"), "a", baseA, Some(baseA.copy(
+            version = baseA.version + 1,
+            properties = baseA.properties + ("tx.mark2" -> "no")))),
+          c.TxChange(Seq("lake"), "b", freshB, Some(freshB.copy(
+            version = freshB.version + 1,
+            properties = freshB.properties + ("tx.mark2" -> "no")))))))
+      assert(e.getMessage.contains("lake.a"))
+      assert(c.loadTable(Seq("lake"), "a").metadata.version == ma.version,
+        "failed transaction must not advance table a")
+      assert(c.loadTable(Seq("lake"), "b").metadata.version == mb.version,
+        "failed transaction must not advance table b either (atomicity)")
+      assert(!c.loadTable(Seq("lake"), "b").metadata.properties.contains("tx.mark2"))
+
+      // assertion-only member: commit to b ONLY IF a is unmoved — first
+      // passes, then a moves and the same shape refuses cleanly
+      val mb2 = c.loadTable(Seq("lake"), "b").metadata
+      c.commitTransaction(Seq(
+        c.TxChange(Seq("lake"), "a", ma, None),
+        c.TxChange(Seq("lake"), "b", mb2, Some(mb2.copy(
+          version = mb2.version + 1,
+          properties = mb2.properties + ("guarded" -> "1"))))))
+      assert(c.loadTable(Seq("lake"), "a").metadata.version == ma.version,
+        "assertion-only member must not publish a version")
+      assert(c.loadTable(Seq("lake"), "b").metadata.properties.get("guarded").contains("1"))
+      ta.append(region.limit(1)) // a moves
+      val mb3 = c.loadTable(Seq("lake"), "b").metadata
+      intercept[java.util.ConcurrentModificationException](
+        c.commitTransaction(Seq(
+          c.TxChange(Seq("lake"), "a", ma, None),
+          c.TxChange(Seq("lake"), "b", mb3, Some(mb3.copy(
+            version = mb3.version + 1,
+            properties = mb3.properties + ("guarded" -> "2")))))))
+      assert(c.loadTable(Seq("lake"), "b").metadata.properties.get("guarded").contains("1"))
+    }
+  }
+
+  test("replicator over transactions: replica applies only while the source holds still") {
+    withServer { (_, c) =>
+      import spark.implicits._
+      c.createNamespace(Seq("lake"))
+      val srcLoc = tmp() + "/src"
+      val repLoc = tmp() + "/rep"
+      val orders = spark.read.parquet(s"$sf/orders.parquet").limit(100)
+      val src = GraftTable.createAs(spark, srcLoc, orders)
+      val rep = TableReplicator.create(spark, repLoc, src, Seq("o_orderkey"))
+      c.registerTable(Seq("lake"), "src", s"$srcLoc/metadata/v${src.meta.version}.metadata.json")
+      c.registerTable(Seq("lake"), "rep", s"$repLoc/metadata/v${rep.meta.version}.metadata.json")
+      // two source commits, then a transactional sync: each replica
+      // commit rides a transaction asserting the source never moved
+      src.append(orders.limit(10).withColumn("o_orderkey", $"o_orderkey" + 1000000L))
+      src.delete("o_orderkey <= 5")
+      val applied = TableReplicator.syncTransactional(spark, repLoc, c,
+        Seq("lake"), "src", Seq("lake"), "rep")
+      assert(applied == 2)
+      assert(GraftTable.load(spark, repLoc).toDF().count() == src.toDF().count())
+      // stale source assertion → the whole transaction refuses, replica
+      // version does not move (the mid-sync source-writer race, replayed
+      // deterministically through the same wire shape)
+      val staleSrc = src.meta
+      src.append(orders.limit(1).withColumn("o_orderkey", $"o_orderkey" + 2000000L))
+      val repM = GraftTable.load(spark, repLoc).meta
+      intercept[java.util.ConcurrentModificationException](
+        c.commitTransaction(Seq(
+          c.TxChange(Seq("lake"), "src", staleSrc, None),
+          c.TxChange(Seq("lake"), "rep", repM, Some(repM.copy(
+            version = repM.version + 1,
+            properties = repM.properties + ("should" -> "not-land")))))))
+      assert(GraftTable.load(spark, repLoc).meta.version == repM.version)
+      // and the NEXT transactional sync catches the replica up
+      assert(TableReplicator.syncTransactional(spark, repLoc, c,
+        Seq("lake"), "src", Seq("lake"), "rep") == 1)
+      assert(GraftTable.load(spark, repLoc).toDF().count() == src.toDF().count())
+    }
+  }
+
   test("malformed set-snapshot-ref commit gets a spec 400, not an opaque 500") {
     withServer { (srv, c) =>
       c.createNamespace(Seq("lake"))

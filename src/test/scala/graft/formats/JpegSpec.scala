@@ -1,0 +1,267 @@
+package graft.formats
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayInputStream
+
+/** The from-scratch baseline JPEG codec vs the JDK's ImageIO plugin as
+  * an independent referee, BOTH directions:
+  *  - graft-encoded streams decode in ImageIO (a real reader accepts the
+  *    marker structure, Huffman streams, and coefficients);
+  *  - ImageIO-encoded streams (grayscale 4:4:4 and color 4:2:0) decode
+  *    in graft within the tolerance the two legal decoder choices leave
+  *    (IDCT rounding ±1-2; chroma upsampling replication vs triangle).
+  * Plus the exactness property the m04 gate leans on: constant 8x8
+  * blocks with even gray levels at quality 50 round-trip BIT-EXACT
+  * (DC-only blocks, q00=16 — decode-side arithmetic is exact), and
+  * hostile/truncated/unsupported streams refuse loudly.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def toBuffered(img: Media.Image): java.awt.image.BufferedImage = {
+    val b = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.height; x <- 0 until img.width)
+      b.setRGB(x, y, (img.red(x, y) << 16) | (img.green(x, y) << 8) | img.blue(x, y))
+    b
+  }
+
+  /** Referee pixel WITHOUT the JDK's colorspace surprises: a
+    * TYPE_BYTE_GRAY BufferedImage stores the decoded raster verbatim but
+    * getRGB gamma-converts linear→sRGB — the raster sample is the
+    * decoded JPEG value, so grayscale referees must read it directly.
+    */
+  private def refPixel(b: java.awt.image.BufferedImage, x: Int, y: Int): (Int, Int, Int) =
+    if (b.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      val g = b.getRaster.getSample(x, y, 0)
+      (g, g, g)
+    } else {
+      val p = b.getRGB(x, y)
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+
+  private def maxAndMeanDiff(a: Media.Image,
+      b: java.awt.image.BufferedImage): (Int, Double) = {
+    var maxd = 0; var sum = 0L; var n = 0L
+    for (y <- 0 until a.height; x <- 0 until a.width) {
+      val (r, g, bl) = refPixel(b, x, y)
+      val ds = Seq(
+        math.abs(a.red(x, y) - r),
+        math.abs(a.green(x, y) - g),
+        math.abs(a.blue(x, y) - bl))
+      maxd = math.max(maxd, ds.max)
+      sum += ds.sum; n += 3
+    }
+    (maxd, sum.toDouble / n)
+  }
+
+  test("quality-50 constant blocks round-trip BIT-EXACT (the m04 gate's envelope)") {
+    // DC-only exactness: an 8x8-constant grayscale block with an even
+    // level has DC = 8·(g−128) divisible by q00 = 16 at quality 50, so
+    // quantization loses nothing and the IDCT of a DC-only block is
+    // exact — the decoded image equals the input byte-for-byte.
+    assert(Jpeg.scaledQuant(Array.fill(64)(16), 50)(0) == 16)
+    val w = 24; val h = 16 // 3x2 blocks
+    val levels = Array(40, 126, 200, 254, 2, 128)
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val blk = (y / 8) * 3 + (x / 8)
+      val g = levels(blk)
+      val i = (y * w + x) * 3
+      rgb(i) = g.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = g.toByte
+    }
+    val jpg = Jpeg.encode(w, h, rgb, quality = 50, grayscale = true)
+    val dec = Jpeg.decode(jpg)
+    assert(dec.width == w && dec.height == h)
+    assert(dec.pixels.sameElements(rgb),
+      "even-level constant blocks at q50 must decode exactly")
+    // and ImageIO agrees on the same stream (referee on OUR encoder)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+    assert(ref != null, "ImageIO must accept the graft-encoded stream")
+    val (maxd, _) = maxAndMeanDiff(dec, ref)
+    assert(maxd <= 1, s"ImageIO decodes the same constants (max diff $maxd)")
+  }
+
+  test("graft-encoded color 4:4:4 decodes in ImageIO close to the source") {
+    val w = 37; val h = 23 // non-multiple-of-8 edges exercised
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      val x = px % w; val y = px / w
+      (i % 3 match {
+        case 0 => (x * 255) / (w - 1)
+        case 1 => (y * 255) / (h - 1)
+        case 2 => ((x + y) * 255) / (w + h - 2)
+      }).toByte
+    }
+    val jpg = Jpeg.encode(w, h, rgb, quality = 90)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+    assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+    // ImageIO's decode of our stream vs the ORIGINAL pixels: smooth
+    // gradients at q90 must survive within a tight band
+    var maxd = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      val i = (y * w + x) * 3
+      maxd = math.max(maxd, math.abs((rgb(i) & 0xff) - ((p >> 16) & 0xff)))
+      maxd = math.max(maxd, math.abs((rgb(i + 1) & 0xff) - ((p >> 8) & 0xff)))
+      maxd = math.max(maxd, math.abs((rgb(i + 2) & 0xff) - (p & 0xff)))
+    }
+    assert(maxd <= 12, s"q90 gradient drifted by $maxd through encode+ImageIO-decode")
+    // and OUR decoder of OUR stream agrees with ImageIO's within IDCT rounding
+    val dec = Jpeg.decode(jpg)
+    val (maxd2, mean2) = maxAndMeanDiff(dec, ref)
+    assert(maxd2 <= 2 && mean2 <= 0.5,
+      s"two decoders of one 4:4:4 stream must agree (max $maxd2, mean $mean2)")
+  }
+
+  test("ImageIO-encoded grayscale decodes in graft within IDCT rounding") {
+    val w = 40; val h = 25
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) // raster writes: no sRGB conversion
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val dec = Jpeg.decode(bos.toByteArray)
+    assert(dec.width == w && dec.height == h)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+    val (maxd, mean) = maxAndMeanDiff(dec, ref)
+    assert(maxd <= 2 && mean <= 0.5,
+      s"grayscale referee disagreement: max $maxd, mean $mean")
+  }
+
+  test("ImageIO-encoded color 4:2:0 decodes in graft (subsampled chroma path)") {
+    val w = 33; val h = 21
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) // smooth ramps: upsampling-method neutral
+      img.setRGB(x, y, (((x * 255) / (w - 1)) << 16) |
+        (((y * 255) / (h - 1)) << 8) | (((x + y) * 255) / (w + h - 2)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val dec = Jpeg.decode(bos.toByteArray)
+    assert(dec.width == w && dec.height == h)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+    // replication vs fancy upsampling: smooth chroma keeps the decoders
+    // within a small band; the luma plane must agree to IDCT rounding
+    val (maxd, mean) = maxAndMeanDiff(dec, ref)
+    // replication vs the JDK's triangle upsampling leaves a small mean
+    // band even on smooth chroma — both are legal decoder choices
+    assert(maxd <= 16 && mean <= 3.0,
+      s"4:2:0 referee disagreement: max $maxd, mean $mean")
+  }
+
+  test("restart markers decode and reset DC prediction") {
+    // encode without restarts, then inject DRI + RSTn by re-encoding a
+    // stream through ImageIO with restart interval set via param is not
+    // exposed — so build the case on OUR encoder's output instead by
+    // decoding a stream that ImageIO wrote with restarts disabled and
+    // one graft-built fixture with DRI: simplest honest coverage is a
+    // hand-built 2-MCU grayscale stream with DRI=1. Levels are even
+    // constants at q50, so expected pixels are exact.
+    val w = 16; val h = 8
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = if (x < 8) 60 else 180
+      val i = (y * w + x) * 3
+      rgb(i) = g.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = g.toByte
+    }
+    val plain = Jpeg.encode(w, h, rgb, quality = 50, grayscale = true)
+    // splice DRI=1 before SOS and rewrite the entropy segment as two
+    // independently-coded MCUs separated by RST0 — re-deriving the coded
+    // bits from the plain stream is NOT possible in general, but for
+    // q50 constant blocks each MCU's bits are reproducible: re-encode
+    // each half as its own 8x8 image and concatenate
+    val left = Jpeg.encode(8, 8, rgb.grouped(w * 3).flatMap(_.take(24)).toArray,
+      quality = 50, grayscale = true)
+    val right = Jpeg.encode(8, 8, rgb.grouped(w * 3).flatMap(_.drop(24)).toArray,
+      quality = 50, grayscale = true)
+    def entropyOf(jpg: Array[Byte]): Array[Byte] = {
+      // everything between end-of-SOS-header and EOI
+      var p = 2
+      while (!((jpg(p) & 0xff) == 0xff && (jpg(p + 1) & 0xff) == 0xda)) {
+        p += 2 + (((jpg(p + 2) & 0xff) << 8) | (jpg(p + 3) & 0xff))
+      }
+      val sosLen = ((jpg(p + 2) & 0xff) << 8) | (jpg(p + 3) & 0xff)
+      java.util.Arrays.copyOfRange(jpg, p + 2 + sosLen, jpg.length - 2)
+    }
+    def headerOf(jpg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      var p = 2
+      while (!((jpg(p) & 0xff) == 0xff && (jpg(p + 1) & 0xff) == 0xda)) {
+        p += 2 + (((jpg(p + 2) & 0xff) << 8) | (jpg(p + 3) & 0xff))
+      }
+      val sosLen = ((jpg(p + 2) & 0xff) << 8) | (jpg(p + 3) & 0xff)
+      (java.util.Arrays.copyOfRange(jpg, 0, p),
+        java.util.Arrays.copyOfRange(jpg, p, p + 2 + sosLen))
+    }
+    val (preSos, sos) = headerOf(plain)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(preSos, 0, preSos.length)
+    out.write(0xff); out.write(0xdd); out.write(0); out.write(4); out.write(0); out.write(1) // DRI=1
+    out.write(sos, 0, sos.length)
+    val e1 = entropyOf(left); val e2 = entropyOf(right)
+    out.write(e1, 0, e1.length)
+    out.write(0xff); out.write(0xd0) // RST0
+    out.write(e2, 0, e2.length)
+    out.write(0xff); out.write(0xd9)
+    val dec = Jpeg.decode(out.toByteArray)
+    assert(dec.width == w && dec.height == h)
+    assert(dec.pixels.sameElements(rgb),
+      "DRI=1 two-MCU stream with RST0 must decode exactly")
+    // ImageIO referee accepts the restart-carrying stream too
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+    assert(ref != null)
+    val (maxd, _) = maxAndMeanDiff(dec, ref)
+    assert(maxd <= 1)
+  }
+
+  test("unsupported and hostile streams refuse loudly") {
+    val ok = Jpeg.encode(8, 8, new Array[Byte](8 * 8 * 3), 50, grayscale = true)
+    // not a JPEG
+    intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
+    // progressive SOF2
+    val prog = ok.clone()
+    val sofAt = {
+      var p = 2
+      while (!((prog(p) & 0xff) == 0xff && (prog(p + 1) & 0xff) == 0xc0)) {
+        p += 2 + (((prog(p + 2) & 0xff) << 8) | (prog(p + 3) & 0xff))
+      }
+      p
+    }
+    prog(sofAt + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e.getMessage.contains("SOF0"))
+    // truncated entropy data
+    intercept[IllegalArgumentException](
+      Jpeg.decode(java.util.Arrays.copyOfRange(ok, 0, ok.length - 20)))
+    // hostile dimensions: width*height over the pixel budget must refuse
+    val big = ok.clone()
+    big(sofAt + 5) = 0xff.toByte; big(sofAt + 6) = 0xff.toByte // height 65535
+    big(sofAt + 7) = 0xff.toByte; big(sofAt + 8) = 0xff.toByte // width 65535
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(big))
+    assert(e2.getMessage.contains("pixel budget"))
+  }
+
+  test("fuzz: random images survive encode→both-decoders agreement at q85") {
+    val rnd = new scala.util.Random(20260814)
+    for (_ <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      // piecewise-smooth random image (random per 8x8 block + mild ramp):
+      // random NOISE would be destroyed by quantization identically for
+      // both decoders anyway, but smooth content keeps the bound tight
+      val base = Array.fill((w + 7) / 8 * ((h + 7) / 8) * 3)(rnd.nextInt(200))
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val b = ((y / 8) * ((w + 7) / 8) + (x / 8)) * 3 + c
+        rgb((y * w + x) * 3 + c) = (base(b) + (x % 8) + (y % 8)).toByte
+      }
+      val jpg = Jpeg.encode(w, h, rgb, quality = 85)
+      val dec = Jpeg.decode(jpg)
+      val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+      assert(ref != null, s"ImageIO rejected graft stream at ${w}x$h")
+      val (maxd, mean) = maxAndMeanDiff(dec, ref)
+      assert(maxd <= 2 && mean <= 0.5,
+        s"decoder disagreement at ${w}x$h: max $maxd mean $mean")
+    }
+  }
+}

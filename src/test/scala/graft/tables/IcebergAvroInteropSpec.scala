@@ -82,6 +82,35 @@ class IcebergAvroInteropSpec extends SparkSpec {
     assert(aSeqs == jSeqs)
   }
 
+  test("hadoop layout: export by directory resolves via version-hint and reads back") {
+    // the exact failure mode reference interoperability.md:108-112 shows:
+    // a stock `hadoop` catalog pointed at a table DIRECTORY probes
+    // metadata/version-hint.text → v<N>.metadata.json. hadoopLayout=true
+    // emits that layout; importTableDir registers by directory.
+    val src = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(120))
+    src.append(spark.read.parquet(s"$sf/orders.parquet").limit(30)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    val dir = outDir()
+    IcebergExport.exportBinary(src, dir, formatVersion = 2, hadoopLayout = true)
+    val metaFiles = new java.io.File(s"$dir/metadata").listFiles().map(_.getName).toSet
+    assert(metaFiles.contains("version-hint.text"))
+    assert(metaFiles.contains(s"v${src.meta.version}.metadata.json"))
+    assert(metaFiles.exists(f => f.startsWith("snap-") && f.endsWith(".avro")))
+    assert(!new java.io.File(dir, "metadata.json").exists(),
+      "hadoop layout is the real directory shape, not the flat artifact")
+    // register by DIRECTORY, not metadata path
+    val imp = IcebergImport.importTableDir(spark, dir, tmp())
+    assert(imp.toDF().orderBy("o_orderkey").collect().toSeq ==
+      src.toDF().orderBy("o_orderkey").collect().toSeq)
+    // a directory WITHOUT the hint refuses with the documented guidance
+    val bare = outDir()
+    IcebergExport.exportBinary(src, bare, formatVersion = 2)
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.importTableDir(spark, bare, tmp()))
+    assert(e.getMessage.contains("version-hint.text"))
+  }
+
   test("avro partition values are Iceberg-semantics; graft values restore") {
     val src = GraftTable.createAs(spark, tmp(),
       spark.read.parquet(s"$sf/orders.parquet").limit(100),
@@ -243,6 +272,73 @@ class IcebergAvroInteropSpec extends SparkSpec {
     // …AND the partition-stats payload traveled with the artifact (it
     // used to dangle, dropping every stats pointer on import)
     assert(imp.partitionStats.nonEmpty)
+    assert(imp.partitionStats.get.entries.map(e =>
+        (e.partition, e.dataFileCount, e.dataRecordCount)).toSet ==
+      t.partitionStats.get.entries.map(e =>
+        (e.partition, e.dataFileCount, e.dataRecordCount)).toSet)
+  }
+
+  test("partition statistics export in the spec's parquet shape; a stock reader consumes it") {
+    // the Iceberg table spec's "Partition Statistics" file: fixed
+    // field-id'd parquet schema a real engine reads without graft — the
+    // `partition-statistics` metadata entry points at it (binary exports;
+    // graft's JSON payload rides alongside for graft importers)
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(400)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+      partitionFields = Seq(
+        PartitionField("o_orderstatus", "identity", "status"),
+        PartitionField("o_orderdate", "months", "o_month")))
+    t.computePartitionStats()
+    val dir = outDir()
+    IcebergExport.exportBinary(t, dir, formatVersion = 2)
+    val metaJson = mapper.readTree(new java.io.File(dir, "metadata.json"))
+    val psArr = metaJson.get("partition-statistics")
+    assert(psArr.size() == 1)
+    val entry = psArr.get(0)
+    assert(entry.get("snapshot-id").asLong() == t.meta.currentSnapshotId.get)
+    val path = entry.get("statistics-path").asText()
+    assert(path.endsWith(".parquet"), s"spec shape is parquet, got $path")
+    assert(entry.get("file-size-in-bytes").asLong() ==
+      new java.io.File(new java.net.URI(
+        if (path.contains(":/")) path else "file:" + path).getPath).length())
+
+    // a STOCK reader (plain spark.read.parquet — no graft code) consumes
+    // the file: spec columns present, counters match `.partitions`
+    val df = spark.read.parquet(path)
+    assert(df.columns.toSet == Set("partition", "spec_id", "data_record_count",
+      "data_file_count", "total_data_file_size_in_bytes", "last_updated_snapshot_id"))
+    val got = df.selectExpr("partition.status", "partition.o_month",
+        "spec_id", "data_file_count", "data_record_count").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val want = t.partitionStats.get.entries.map { e =>
+      val kv = e.partition.split("/").map { s =>
+        val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1) }.toMap
+      (kv("status"), kv("o_month").toInt - 1970 * 12, e.specId,
+        e.dataFileCount.toInt, e.dataRecordCount)
+    }.toSet
+    assert(got == want, s"parquet stats must equal .partitions:\n$got\nvs\n$want")
+    // month transform values are Iceberg semantics: months SINCE EPOCH
+    assert(got.forall { case (_, m, _, _, _) => m > 0 && m < 12 * 200 })
+
+    // a FOREIGN document (graft payload pointers stripped) still serves
+    // `.partitions` from the parquet translation on import
+    val stripped = {
+      val root = mapper.readTree(new java.io.File(dir, "metadata.json"))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val props = root.get("properties")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      props.remove("graft.partition-stats.file")
+      props.remove("graft.partition-stats.snapshot-id")
+      val p = s"$dir/metadata-foreign.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        mapper.writeValueAsString(root))
+      p
+    }
+    val imp = IcebergImport.importMetadata(spark, stripped, tmp())
+    assert(imp.partitionStats.nonEmpty,
+      "foreign import must translate the spec parquet back into a payload")
     assert(imp.partitionStats.get.entries.map(e =>
         (e.partition, e.dataFileCount, e.dataRecordCount)).toSet ==
       t.partitionStats.get.entries.map(e =>
