@@ -511,6 +511,7 @@ object Jpeg {
     */
   def encode(width: Int, height: Int, rgb: Array[Byte], quality: Int = 85,
       grayscale: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     require(rgb.length == width * height * 3,
       s"pixel buffer ${rgb.length} != $width x $height x 3")
     val lumQ = scaledQuant(StdLumQuant, quality)

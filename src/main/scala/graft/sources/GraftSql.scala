@@ -845,8 +845,9 @@ class GraftSql(val spark: SparkSession, warehouse: String,
     // (read-only statements must not fail harder than non-catalog mode —
     // same posture as SHOW TABLES).
     catalog.foreach { case (cl, ns) =>
-      val fromRefs = "(?i)\\b(?:from|join)\\s+([a-zA-Z_]\\w*)".r
-        .findAllMatchIn(q).map(_.group(1)).toSet
+      // FROM/JOIN identifiers, including comma-listed FROM a, b, c
+      val fromRefs = "(?i)\\b(?:from|join)\\s+([a-zA-Z_]\\w*(?:\\s*,\\s*[a-zA-Z_]\\w*)*)".r
+        .findAllMatchIn(q).flatMap(_.group(1).split(",")).map(_.trim).toSet
       if (fromRefs.exists(n => !tables.contains(n)))
         scala.util.Try(cl.listTables(ns)).getOrElse(Nil).foreach { name =>
           if (!tables.contains(name) &&

@@ -2606,8 +2606,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
           name.endsWith(".json") && !liveStats.contains(name)
         val orphanPartStats = name.startsWith("partition-stats-") &&
           name.endsWith(".json") && !livePartStats.contains(name)
+        // superseded lineage settlements: each expiration writes a fresh
+        // cumulative one; only the current property's file is load-bearing
+        val orphanSettle = name.startsWith("lineage-settle-") &&
+          name.endsWith(".json") &&
+          !m.properties.get(TableFormat.RowLineageSettled).contains(name)
         val abandonedTmp = name.startsWith(".") && name.contains(".tmp-")
-        if ((orphanManifest || orphanStats || orphanPartStats || abandonedTmp) && st.getModificationTime < olderThanMs) {
+        if ((orphanManifest || orphanStats || orphanPartStats || orphanSettle ||
+            abandonedTmp) && st.getModificationTime < olderThanMs) {
           val norm = if (st.getPath.toString.startsWith("file:"))
             st.getPath.toUri.getPath else st.getPath.toString
           MetaIO.delete(conf, norm)

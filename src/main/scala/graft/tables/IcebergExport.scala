@@ -449,21 +449,27 @@ object IcebergExport {
       val srcPath = s"${MetaIO.metadataDir(m.location)}/$file"
       scala.util.Try(MetaIO.loadPartitionStatsFile(conf, m.location, file)).toOption
         .foreach { payload =>
-          val po = partStatsArr.addObject()
-          po.put("snapshot-id", snap.toLong)
-          binary match {
-            case Some(b) =>
-              val pqPath = s"${b.dir}/partition-stats-$snap.parquet"
+          // an UNPARTITIONED table has an empty unified partition struct,
+          // which parquet cannot represent (empty group) — and the spec
+          // shape is meaningless there anyway; the graft JSON payload
+          // still rides the properties for graft importers
+          val specShape = binary.isDefined && unifiedPartitionFields(m).nonEmpty
+          if (specShape || binary.isEmpty) {
+            val po = partStatsArr.addObject()
+            po.put("snapshot-id", snap.toLong)
+            if (specShape) {
+              val pqPath = s"${binary.get.dir}/partition-stats-$snap.parquet"
               val len = writePartitionStatsParquet(t, payload, pqPath)
               po.put("statistics-path", pqPath)
               po.put("file-size-in-bytes", len)
-            case None =>
+            } else {
               po.put("statistics-path", srcPath)
               po.put("file-size-in-bytes", scala.util.Try(MetaIO.fs(conf, srcPath)
                 .getFileStatus(new org.apache.hadoop.fs.Path(srcPath)).getLen)
                 .getOrElse(0L))
+            }
+            ()
           }
-          ()
         }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)

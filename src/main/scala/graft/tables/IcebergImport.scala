@@ -531,7 +531,11 @@ object IcebergImport {
       }
     val props = (if (statsOk) props0 ++ statsRenames
       else props0 -- statsProps) -
-      "graft.manifest-format" - "schema.name-mapping.default" ++ lineageProps ++
+      "graft.manifest-format" - "schema.name-mapping.default" -
+      // the settlement file lives in the SOURCE's metadata dir and the
+      // imported manifests carry explicit per-file ids anyway — a stale
+      // pointer here would crash the first lineage read on the import
+      TableFormat.RowLineageSettled ++ lineageProps ++
       foreignPartStats
 
     MetaIO.commitMeta(conf, TableMeta(targetLocation, 1, schema, specs,

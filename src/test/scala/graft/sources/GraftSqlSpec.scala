@@ -862,4 +862,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.sql("SELECT COUNT(*) AS n FROM deg_t t JOIN region r ON t.r_regionkey = r.r_regionkey")
       .head().getLong(0) == n)
   }
+
+  test("catalog discovery triggers for comma-listed FROM tables") {
+    // `FROM local, remote` — the unresolved identifier sits in the comma
+    // tail, and the discovery round trip must still fire for it
+    val wh = Files.createTempDirectory("graft_sql_comma").toString
+    val srv = new graft.catalog.RestCatalogServer(wh,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val c = new graft.catalog.RestCatalogClient(srv.uri)
+      c.createNamespace(Seq("lake"))
+      val g = new GraftSql(spark, wh, Some((c, Seq("lake"))))
+      registerSources(g)
+      g.sql("CREATE TABLE comma_t AS SELECT r_regionkey FROM region")
+      // a SECOND facade knows `region` (source) but not comma_t
+      val g2 = new GraftSql(spark, wh, Some((c, Seq("lake"))))
+      registerSources(g2)
+      val n = g2.sql(
+        "SELECT COUNT(*) AS n FROM region, comma_t WHERE region.r_regionkey = comma_t.r_regionkey")
+        .head().getLong(0)
+      assert(n == spark.read.parquet(s"$sf/region.parquet").count())
+    } finally srv.stop()
+  }
 }

@@ -345,6 +345,22 @@ class IcebergAvroInteropSpec extends SparkSpec {
         (e.partition, e.dataFileCount, e.dataRecordCount)).toSet)
   }
 
+  test("partition stats on an UNPARTITIONED table: binary export skips the spec shape cleanly") {
+    // an empty unified partition struct cannot be a parquet group — the
+    // export must omit the spec-shape entry (not crash), and the graft
+    // payload still serves .partitions through the property round trip
+    val t = GraftTable.createAs(spark, tmp(),
+      spark.read.parquet(s"$sf/orders.parquet").limit(100))
+    t.computePartitionStats()
+    val dir = outDir()
+    IcebergExport.exportBinary(t, dir, formatVersion = 2)
+    val metaJson = mapper.readTree(new java.io.File(dir, "metadata.json"))
+    assert(metaJson.get("partition-statistics").size() == 0)
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(imp.partitionStats.nonEmpty)
+    assert(imp.partitionStats.get.entries == t.partitionStats.get.entries)
+  }
+
   test("CALL system.export_iceberg → register_iceberg round-trips the facade") {
     val g = new graft.sources.GraftSql(spark,
       Files.createTempDirectory("graft_wh_avro").toString)

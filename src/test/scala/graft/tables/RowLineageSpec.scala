@@ -462,6 +462,26 @@ class RowLineageStabilitySpec extends SparkSpec {
     assert(before.forall { case (k, v) => again(k) == v })
   }
 
+  test("binary export+import of a SETTLED table: ids survive, stale pointer dropped") {
+    // the settlement file lives in the source's metadata dir; an import
+    // must not inherit the pointer (first lineage read would crash on
+    // the missing file) — the exported manifests carry explicit ids
+    val t = GraftTable.createAs(spark, tmp(), sortedRegion(5))
+    t.append(Seq((100, "x", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    val before = t.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    t.expireSnapshots(Long.MaxValue)
+    assert(t.meta.properties.contains(TableFormat.RowLineageSettled))
+    val dir = Files.createTempDirectory("graft_lin_exp2").toString
+    IcebergExport.exportBinary(t, dir, formatVersion = 3)
+    val imp = IcebergImport.importMetadata(spark, s"$dir/metadata.json", tmp())
+    assert(!imp.meta.properties.contains(TableFormat.RowLineageSettled),
+      "imports must not carry the source's settlement pointer")
+    val after = imp.lineageDF().select("r_regionkey", RowLineage.RowIdCol)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before, "settled ids ride the export's explicit manifest ids")
+  }
+
   test("drop and recreate at the same location serves the NEW table's lineage") {
     // same (location, version) keys re-reached by a different table: the
     // assignment cache must not serve the old table's file-id map (which
