@@ -198,12 +198,20 @@ object Jpeg {
     var plane: Array[Byte] = null // compW x compH samples
     var compW: Int = 0
     var compH: Int = 0
-    var blocksW: Int = 0
+    var blocksW: Int = 0          // MCU-padded block grid
     var blocksH: Int = 0
+    var trueBlocksW: Int = 0      // ceil(true comp dims / 8) — the grid
+    var trueBlocksH: Int = 0      // non-interleaved scans cover (B.2.3)
+    var coefs: Array[Int] = null  // raw coefficients, 64 per block
   }
 
-  /** Decode a baseline JPEG to top-down RGB (grayscale replicates into
-    * all three channels — same surface as [[Media.Bmp.decode]]).
+  /** Decode a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG to top-down
+    * RGB (grayscale replicates into all three channels — same surface as
+    * [[Media.Bmp.decode]]). Multi-scan: every scan's coefficients
+    * accumulate into a per-component store (spectral selection +
+    * successive approximation per T.81 G.1.2, the same control flow the
+    * spec's own decode procedures describe); dequantization and the IDCT
+    * run once at the end.
     */
   def decode(bytes: Array[Byte]): Media.Image = {
     require(bytes.length >= 4 &&
@@ -216,205 +224,355 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
-    var scanStart = -1
+    var progressive = false
+    var sawScan = false
+    var done = false
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
 
     def u16at(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
 
-    while (scanStart < 0) {
-      require(pos + 4 <= bytes.length, "JPEG: truncated before SOS")
+    // ---- one entropy-coded scan, accumulating into the coefficient store
+    def decodeScan(scanComps: Array[Component], ss: Int, se: Int,
+        ah: Int, al: Int, entropyStart: Int): Int = {
+      val br = new BitReader(bytes, entropyStart)
+      var eobrun = 0
+      scanComps.foreach(_.pred = 0)
+      val interleaved = scanComps.length > 1
+
+      def dcFirst(c: Component, bi: Int): Unit = {
+        val t = br.decodeHuff(c.dcTable)
+        require(t <= 11, s"JPEG: DC category $t out of range")
+        c.pred += extend(br.receive(t), t)
+        c.coefs(bi) = c.pred << al
+      }
+      def dcRefine(c: Component, bi: Int): Unit =
+        if (br.readBit() == 1) c.coefs(bi) |= (1 << al)
+      def acFirst(c: Component, bi: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = br.decodeHuff(c.acTable)
+          val r = rs >> 4; val sv = rs & 0x0f
+          if (sv != 0) {
+            k += r
+            require(k <= se, "JPEG: AC run past band end")
+            c.coefs(bi + Zigzag(k)) = extend(br.receive(sv), sv) << al
+            k += 1
+          } else if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            k = se + 1
+          }
+        }
+      }
+      def acRefine(c: Component, bi: Int): Unit = {
+        // T.81 G.1.2.3 / the classic correction-bit control flow
+        val p1 = 1 << al; val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var break1 = false
+          while (k <= se && !break1) {
+            val rs = br.decodeHuff(c.acTable)
+            var r = rs >> 4
+            var newval = 0
+            if ((rs & 0x0f) != 0) {
+              require((rs & 0x0f) == 1, "JPEG: AC refinement magnitude must be 1")
+              newval = if (br.readBit() == 1) p1 else m1
+            } else if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              break1 = true
+            }
+            if (!break1) {
+              var break2 = false
+              while (k <= se && !break2) {
+                val z = bi + Zigzag(k)
+                val cur = c.coefs(z)
+                if (cur != 0) {
+                  if (br.readBit() == 1 && (cur & p1) == 0)
+                    c.coefs(z) = if (cur >= 0) cur + p1 else cur + m1
+                  k += 1
+                } else if (r == 0) break2 = true
+                else { r -= 1; k += 1 }
+              }
+              if (newval != 0) {
+                require(k <= se, "JPEG: refinement run past band end")
+                c.coefs(bi + Zigzag(k)) = newval
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = bi + Zigzag(k)
+            val cur = c.coefs(z)
+            if (cur != 0 && br.readBit() == 1 && (cur & p1) == 0)
+              c.coefs(z) = if (cur >= 0) cur + p1 else cur + m1
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      def fullBlock(c: Component, bi: Int): Unit = {
+        val t = br.decodeHuff(c.dcTable)
+        require(t <= 11, s"JPEG: DC category $t out of range")
+        c.pred += extend(br.receive(t), t)
+        c.coefs(bi) = c.pred
+        var k = 1
+        while (k < 64) {
+          val rs = br.decodeHuff(c.acTable)
+          val r = rs >> 4; val sv = rs & 0x0f
+          if (sv == 0) {
+            if (r == 15) k += 16 else k = 64
+          } else {
+            k += r
+            require(k < 64, "JPEG: AC run past block end")
+            c.coefs(bi + Zigzag(k)) = extend(br.receive(sv), sv)
+            k += 1
+          }
+        }
+      }
+
+      def decodeUnit(c: Component, bx: Int, by: Int): Unit = {
+        val bi = (by * c.blocksW + bx) * 64
+        if (!progressive) fullBlock(c, bi)
+        else if (ss == 0) { if (ah == 0) dcFirst(c, bi) else dcRefine(c, bi) }
+        else { if (ah == 0) acFirst(c, bi) else acRefine(c, bi) }
+      }
+
+      val totalMcus =
+        if (interleaved || (!progressive && scanComps.length == comps.length))
+          mcusX * mcusY
+        else { val c = scanComps(0); c.trueBlocksW * c.trueBlocksH }
+      var mcu = 0
+      var rstIdx = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart(rstIdx % 8)
+          rstIdx += 1
+          scanComps.foreach(_.pred = 0)
+          eobrun = 0
+        }
+        if (scanComps.length > 1) {
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          scanComps.foreach { c =>
+            var v = 0
+            while (v < c.v) {
+              var h = 0
+              while (h < c.h) {
+                decodeUnit(c, mx * c.h + h, my * c.v + v)
+                h += 1
+              }
+              v += 1
+            }
+          }
+        } else {
+          // non-interleaved: one data unit per MCU over the component's
+          // TRUE block grid (no MCU padding — B.2.3)
+          val c = scanComps(0)
+          decodeUnit(c, mcu % c.trueBlocksW, mcu / c.trueBlocksW)
+        }
+        mcu += 1
+      }
+      br.pos
+    }
+
+    // -------------------------------------------------- marker sequence
+    while (!done) {
+      require(pos + 2 <= bytes.length, "JPEG: truncated before EOI")
       require((bytes(pos) & 0xff) == 0xff, f"JPEG: expected marker at $pos")
       // optional 0xFF fill bytes before a marker (B.1.1.2)
       while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
-      require(pos + 4 <= bytes.length, "JPEG: truncated before SOS")
+      require(pos + 2 <= bytes.length, "JPEG: truncated before EOI")
       val marker = bytes(pos + 1) & 0xff
-      require(marker != 0xd8 && (marker < 0xd0 || marker > 0xd7),
-        "JPEG: stray SOI/RST in header sequence")
-      val len = u16at(pos + 2)
-      require(len >= 2 && pos.toLong + 2 + len <= bytes.length.toLong,
-        f"JPEG: truncated segment 0xFF$marker%02X")
-      val seg = pos + 4          // first payload byte
-      val segEnd = pos + 2 + len
-      marker match {
-        case 0xdb => // DQT — possibly several tables in one segment
-          var p = seg
-          while (p < segEnd) {
-            val pq = (bytes(p) & 0xff) >> 4
-            val tq = bytes(p) & 0x0f
-            require(pq <= 1, s"JPEG: bad DQT precision $pq")
-            require(tq < 4, s"JPEG: bad DQT id $tq")
-            val tbl = new Array[Int](64)
-            var i = 0
-            p += 1
-            while (i < 64) {
-              val v = if (pq == 0) { val x = bytes(p) & 0xff; p += 1; x }
-                else { val x = u16at(p); p += 2; x }
-              require(v > 0, "JPEG: zero quantizer")
-              tbl(Zigzag(i)) = v
-              i += 1
+      if (marker == 0xd9) { // EOI
+        require(sawScan, "JPEG: EOI before any scan")
+        done = true
+      } else {
+        require(marker != 0xd8 && (marker < 0xd0 || marker > 0xd7),
+          "JPEG: stray SOI/RST in header sequence")
+        require(pos + 4 <= bytes.length, "JPEG: truncated segment header")
+        val len = u16at(pos + 2)
+        require(len >= 2 && pos.toLong + 2 + len <= bytes.length.toLong,
+          f"JPEG: truncated segment 0xFF$marker%02X")
+        val seg = pos + 4          // first payload byte
+        val segEnd = pos + 2 + len
+        marker match {
+          case 0xdb => // DQT — possibly several tables in one segment
+            var p = seg
+            while (p < segEnd) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              require(pq <= 1, s"JPEG: bad DQT precision $pq")
+              require(tq < 4, s"JPEG: bad DQT id $tq")
+              val tbl = new Array[Int](64)
+              var i = 0
+              p += 1
+              while (i < 64) {
+                val v = if (pq == 0) { val x = bytes(p) & 0xff; p += 1; x }
+                  else { val x = u16at(p); p += 2; x }
+                require(v > 0, "JPEG: zero quantizer")
+                tbl(Zigzag(i)) = v
+                i += 1
+              }
+              quant(tq) = tbl
             }
-            quant(tq) = tbl
-          }
-        case 0xc4 => // DHT — possibly several tables
-          var p = seg
-          while (p < segEnd) {
-            val tc = (bytes(p) & 0xff) >> 4
-            val th = bytes(p) & 0x0f
-            require(tc <= 1 && th < 4, s"JPEG: bad DHT class/id $tc/$th")
-            val bits = (0 until 16).map(i => bytes(p + 1 + i) & 0xff).toArray
-            val n = bits.sum
-            require(n <= 256 && p + 17 + n <= segEnd, "JPEG: DHT overruns segment")
-            val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + n)
-            val t = new HuffTable(bits, vals)
-            if (tc == 0) dcTables(th) = t else acTables(th) = t
-            p += 17 + n
-          }
-        case 0xc0 => // SOF0 baseline
-          require(comps == null, "JPEG: multiple frame headers")
-          val prec = bytes(seg) & 0xff
-          require(prec == 8, s"JPEG: unsupported precision $prec (baseline is 8)")
-          height = u16at(seg + 1)
-          width = u16at(seg + 3)
-          require(width > 0 && height > 0, s"JPEG: bad dimensions ${width}x$height")
-          require(width.toLong * height <= Int.MaxValue / 3,
-            s"JPEG dimensions ${width}x$height exceed the decodable pixel budget")
-          val nc = bytes(seg + 5) & 0xff
-          require(nc == 1 || nc == 3,
-            s"JPEG: unsupported component count $nc (grayscale or YCbCr)")
-          comps = (0 until nc).map { i =>
-            val o = seg + 6 + i * 3
-            val id = bytes(o) & 0xff
-            val hv = bytes(o + 1) & 0xff
-            val c = Component(id, hv >> 4, hv & 0x0f, bytes(o + 2) & 0x0f)
-            require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
-              s"JPEG: unsupported sampling ${c.h}x${c.v} (only 1 and 2)")
-            c
-          }.toArray
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 ||
-            (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf && m != 0xcc) =>
-          throw new IllegalArgumentException(
-            f"JPEG: unsupported frame type 0xFF$m%02X (baseline SOF0 only)")
-        case 0xdd => // DRI
-          restartInterval = u16at(seg)
-        case 0xda => // SOS
-          require(comps != null, "JPEG: SOS before SOF0")
-          val ns = bytes(seg) & 0xff
-          require(ns == comps.length,
-            "JPEG: non-interleaved scans not supported (single scan only)")
-          var p = seg + 1
-          var i = 0
-          while (i < ns) {
-            val cid = bytes(p) & 0xff
-            val c = comps.find(_.id == cid).getOrElse(
-              throw new IllegalArgumentException(s"JPEG: scan references unknown component $cid"))
-            c.dcTable = dcTables((bytes(p + 1) & 0xff) >> 4)
-            c.acTable = acTables(bytes(p + 1) & 0x0f)
-            require(c.dcTable != null && c.acTable != null,
-              "JPEG: scan references an undefined Huffman table")
-            p += 2; i += 1
-          }
-          scanStart = segEnd
-        case _ => () // APPn, COM, others: skip
+          case 0xc4 => // DHT — possibly several tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc <= 1 && th < 4, s"JPEG: bad DHT class/id $tc/$th")
+              val bits = (0 until 16).map(i => bytes(p + 1 + i) & 0xff).toArray
+              val n = bits.sum
+              require(n <= 256 && p + 17 + n <= segEnd, "JPEG: DHT overruns segment")
+              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + n)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + n
+            }
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            require(comps == null, "JPEG: multiple frame headers")
+            progressive = marker == 0xc2
+            val prec = bytes(seg) & 0xff
+            require(prec == 8, s"JPEG: unsupported precision $prec (baseline is 8)")
+            height = u16at(seg + 1)
+            width = u16at(seg + 3)
+            require(width > 0 && height > 0, s"JPEG: bad dimensions ${width}x$height")
+            require(width.toLong * height <= Int.MaxValue / 3,
+              s"JPEG dimensions ${width}x$height exceed the decodable pixel budget")
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3,
+              s"JPEG: unsupported component count $nc (grayscale or YCbCr)")
+            comps = (0 until nc).map { i =>
+              val o = seg + 6 + i * 3
+              val id = bytes(o) & 0xff
+              val hv = bytes(o + 1) & 0xff
+              val c = Component(id, hv >> 4, hv & 0x0f, bytes(o + 2) & 0x0f)
+              require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+                s"JPEG: unsupported sampling ${c.h}x${c.v} (only 1 and 2)")
+              c
+            }.toArray
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            comps.foreach { c =>
+              c.blocksW = mcusX * c.h
+              c.blocksH = mcusY * c.v
+              c.compW = c.blocksW * 8
+              c.compH = c.blocksH * 8
+              c.trueBlocksW = ((width * c.h + hMax - 1) / hMax + 7) / 8
+              c.trueBlocksH = ((height * c.v + vMax - 1) / vMax + 7) / 8
+              c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+            }
+          case m if m == 0xc1 || m == 0xc3 ||
+              (m >= 0xc5 && m <= 0xc7) || (m >= 0xc9 && m <= 0xcf && m != 0xcc) =>
+            throw new IllegalArgumentException(
+              f"JPEG: unsupported frame type 0xFF$m%02X (baseline SOF0 or progressive SOF2 only)")
+          case 0xdd => // DRI
+            restartInterval = u16at(seg)
+          case 0xda => // SOS
+            require(comps != null, "JPEG: SOS before the frame header")
+            val ns = bytes(seg) & 0xff
+            require(ns >= 1 && ns <= comps.length, s"JPEG: bad scan component count $ns")
+            val scanComps = new Array[Component](ns)
+            var p = seg + 1
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(p) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(s"JPEG: scan references unknown component $cid"))
+              scanComps(i) = c
+              c.dcTable = dcTables((bytes(p + 1) & 0xff) >> 4)
+              c.acTable = acTables(bytes(p + 1) & 0x0f)
+              p += 2; i += 1
+            }
+            val ss = bytes(p) & 0xff
+            val se = bytes(p + 1) & 0xff
+            val ah = (bytes(p + 2) & 0xff) >> 4
+            val al = bytes(p + 2) & 0x0f
+            if (progressive) {
+              require(ss <= 63 && se <= 63 && ss <= se, s"JPEG: bad spectral band $ss..$se")
+              require(ss != 0 || se == 0, "JPEG: progressive DC scan must have Se=0")
+              require(ss == 0 || ns == 1,
+                "JPEG: progressive AC scans are single-component")
+            } else {
+              require(ss == 0 && se == 63 && ah == 0 && al == 0 && ns == comps.length,
+                "JPEG: baseline scan must be a full interleaved 0..63 scan")
+            }
+            // tables actually used by this scan must exist
+            scanComps.foreach { c =>
+              if (ss == 0 && ah == 0 || !progressive)
+                require(c.dcTable != null, "JPEG: scan references an undefined DC table")
+              if (se > 0 || !progressive)
+                require(c.acTable != null, "JPEG: scan references an undefined AC table")
+            }
+            sawScan = true
+            pos = decodeScan(scanComps, ss, se, ah, al, segEnd)
+            // re-sync on the next marker (the entropy reader stops
+            // mid-byte; padding bits fill to the boundary)
+            while (pos < bytes.length && (bytes(pos) & 0xff) != 0xff) pos += 1
+          case _ => () // APPn, COM, others: skip
+        }
+        if (marker != 0xda) pos = segEnd
       }
-      if (scanStart < 0) pos = segEnd
     }
 
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcuW = 8 * hMax; val mcuH = 8 * vMax
-    val mcusX = (width + mcuW - 1) / mcuW
-    val mcusY = (height + mcuH - 1) / mcuH
+    // ------------------------------------------- dequantize + IDCT
     comps.foreach { c =>
       require(quant(c.tq) != null, s"JPEG: component ${c.id} references undefined DQT ${c.tq}")
-      c.blocksW = mcusX * c.h
-      c.blocksH = mcusY * c.v
-      c.compW = c.blocksW * 8
-      c.compH = c.blocksH * 8
       c.plane = new Array[Byte](c.compW * c.compH)
-    }
-
-    val br = new BitReader(bytes, scanStart)
-    val coef = new Array[Int](64)
-    val out = new Array[Double](64)
-
-    def decodeBlock(c: Component, bx: Int, by: Int): Unit = {
-      java.util.Arrays.fill(coef, 0)
       val q = quant(c.tq)
-      val t = br.decodeHuff(c.dcTable)
-      require(t <= 11, s"JPEG: DC category $t out of range")
-      c.pred += extend(br.receive(t), t)
-      coef(0) = c.pred * q(0)
-      var k = 1
-      while (k < 64) {
-        val rs = br.decodeHuff(c.acTable)
-        val r = rs >> 4; val s = rs & 0x0f
-        if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else k = 64          // EOB
-        } else {
-          k += r
-          require(k < 64, "JPEG: AC run past block end")
-          val nat = Zigzag(k)
-          coef(nat) = extend(br.receive(s), s) * q(nat)
-          k += 1
-        }
-      }
-      // separable IDCT: rows then columns (A.3.3)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var sum = 0.0
-          var u = 0
-          while (u < 8) { sum += cosTab(u)(x) * coef(y * 8 + u); u += 1 }
-          out(y * 8 + x) = sum / 2.0
-          x += 1
-        }
-        y += 1
-      }
-      var x = 0
-      while (x < 8) {
-        val col = new Array[Double](8)
-        var v = 0
-        while (v < 8) {
-          var sum = 0.0
-          var u = 0
-          while (u < 8) { sum += cosTab(u)(v) * out(u * 8 + x); u += 1 }
-          col(v) = sum / 2.0
-          v += 1
-        }
-        var yy = 0
-        while (yy < 8) {
-          val s = math.round(col(yy) + 128.0).toInt
-          val clamped = if (s < 0) 0 else if (s > 255) 255 else s
-          c.plane((by * 8 + yy) * c.compW + bx * 8 + x) = clamped.toByte
-          yy += 1
-        }
-        x += 1
-      }
-    }
-
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    var rstIdx = 0
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        br.restart(rstIdx % 8)
-        rstIdx += 1
-        comps.foreach(_.pred = 0)
-      }
-      val mx = mcu % mcusX; val my = mcu / mcusX
-      comps.foreach { c =>
-        var v = 0
-        while (v < c.v) {
-          var h = 0
-          while (h < c.h) {
-            decodeBlock(c, mx * c.h + h, my * c.v + v)
-            h += 1
+      val coef = new Array[Int](64)
+      val out = new Array[Double](64)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val bi = (by * c.blocksW + bx) * 64
+          var i = 0
+          while (i < 64) { coef(i) = c.coefs(bi + i) * q(i); i += 1 }
+          // separable IDCT: rows then columns (A.3.3)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) { sum += cosTab(u)(x) * coef(y * 8 + u); u += 1 }
+              out(y * 8 + x) = sum / 2.0
+              x += 1
+            }
+            y += 1
           }
-          v += 1
+          var x = 0
+          while (x < 8) {
+            val col = new Array[Double](8)
+            var v = 0
+            while (v < 8) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) { sum += cosTab(u)(v) * out(u * 8 + x); u += 1 }
+              col(v) = sum / 2.0
+              v += 1
+            }
+            var yy = 0
+            while (yy < 8) {
+              val s2 = math.round(col(yy) + 128.0).toInt
+              val clamped = if (s2 < 0) 0 else if (s2 > 255) 255 else s2
+              c.plane((by * 8 + yy) * c.compW + bx * 8 + x) = clamped.toByte
+              yy += 1
+            }
+            x += 1
+          }
+          bx += 1
         }
+        by += 1
       }
-      mcu += 1
     }
 
     // color reconstruction: replicate chroma (A.1.1 default filter),

@@ -144,6 +144,77 @@ object Media {
       samples: Array[Int])
 
   object Wav {
+    /** G.711 μ-law compand/expand (the 16-bit-scaled table the JDK's own
+      * ULAW codec uses: BIAS 0x84, magnitudes up to 32124 = ((15·8+132)
+      * <<7)−132). decode(encode(x)) == x exactly for representable x —
+      * the identity the m05 gate's oracle rides.
+      */
+    def mulawEncode(s: Int): Byte = {
+      val sign = if (s < 0) 0x80 else 0
+      var x = math.min(if (s < 0) -s else s, 32635)
+      x += 0x84
+      var e = 7
+      while (e > 0 && (x & (0x80 << e)) == 0) e -= 1
+      val m = (x >> (e + 3)) & 0x0f
+      (~(sign | (e << 4) | m)).toByte
+    }
+
+    def mulawDecode(b: Byte): Int = {
+      val u = ~b & 0xff
+      val e = (u >> 4) & 7
+      val m = u & 0x0f
+      val x = (((m << 3) | 0x84) << e) - 0x84
+      if ((u & 0x80) != 0) -x else x
+    }
+
+    /** G.711 A-law (ITU-T; even-bit inversion 0x55): 13-bit magnitudes,
+      * the scale the JDK's ALAW codec expands to (<<3 on decode).
+      */
+    def alawEncode(s: Int): Byte = {
+      val sign = if (s >= 0) 0x80 else 0
+      val x = math.min((if (s < 0) -s else s) >> 3, 4095)
+      // segment e ≥ 1 covers x ∈ [2^(e+4), 2^(e+5)); e = 0 below 32
+      var e = 7
+      while (e > 0 && x < (0x20 << (e - 1))) e -= 1
+      val m = if (e == 0) x >> 1 else (x >> e) & 0x0f
+      ((sign | (e << 4) | m) ^ 0x55).toByte
+    }
+
+    def alawDecode(b: Byte): Int = {
+      val u = (b ^ 0x55) & 0xff
+      val e = (u >> 4) & 7
+      val m = u & 0x0f
+      val x = if (e == 0) (m << 1) | 1 else ((m | 0x10) << e) | (1 << (e - 1))
+      val v = x << 3
+      if ((u & 0x80) != 0) v else -v
+    }
+
+    /** Companded mono encode (WAVE_FORMAT_MULAW=7 / ALAW=6, 8 bits per
+      * sample): same canonical RIFF layout as [[encode]].
+      */
+    def encodeCompanded(sampleRate: Int, samples: Array[Int], mulaw: Boolean): Array[Byte] = {
+      val out = new Array[Byte](44 + samples.length)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putI32(out, 4, 36 + samples.length)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putI32(out, 16, 16)
+      putU16(out, 20, if (mulaw) 7 else 6)
+      putU16(out, 22, 1)
+      putI32(out, 24, sampleRate)
+      putI32(out, 28, sampleRate)      // byte rate: 1 byte/sample
+      putU16(out, 32, 1)               // block align
+      putU16(out, 34, 8)               // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putI32(out, 40, samples.length)
+      var i = 0
+      while (i < samples.length) {
+        out(44 + i) = if (mulaw) mulawEncode(samples(i)) else alawEncode(samples(i))
+        i += 1
+      }
+      out
+    }
+
     /** 16-bit signed mono PCM encode: RIFF/WAVE with a canonical 16-byte
       * `fmt ` chunk followed by `data`.
       */
@@ -173,8 +244,10 @@ object Media {
       out
     }
 
-    /** Decode PCM WAV: word-aligned chunk walk (unknown chunks like
-      * `LIST` are skipped), `fmt ` must declare PCM 8- or 16-bit.
+    /** Decode WAV: word-aligned chunk walk (unknown chunks like `LIST`
+      * are skipped). `fmt ` must declare PCM 8/16-bit or G.711
+      * μ-law/A-law (tags 7/6, 8-bit) — companded data EXPANDS to linear
+      * samples (`bitsPerSample` reports 16, the decoded representation).
       */
     def decode(bytes: Array[Byte]): Audio = {
       require(bytes.length >= 12 &&
@@ -183,6 +256,7 @@ object Media {
         "not a WAV: missing RIFF/WAVE magic")
       var pos = 12
       var fmtSeen = false
+      var tag = 0
       var channels = 0; var sampleRate = 0; var bits = 0
       var samples: Array[Int] = null
       while (pos + 8 <= bytes.length && samples == null) {
@@ -195,13 +269,17 @@ object Media {
         id match {
           case "fmt " =>
             require(size >= 16, s"fmt chunk too short: $size")
-            val tag = u16(bytes, pos + 8)
-            require(tag == 1, s"unsupported WAV format tag $tag (only PCM)")
+            tag = u16(bytes, pos + 8)
+            require(tag == 1 || tag == 6 || tag == 7,
+              s"unsupported WAV format tag $tag (PCM, A-law, or mu-law)")
             channels = u16(bytes, pos + 10)
             sampleRate = i32(bytes, pos + 12)
             bits = u16(bytes, pos + 22)
-            require(bits == 8 || bits == 16,
-              s"unsupported PCM bit depth $bits (only 8/16)")
+            if (tag == 1)
+              require(bits == 8 || bits == 16,
+                s"unsupported PCM bit depth $bits (only 8/16)")
+            else
+              require(bits == 8, s"companded WAV must be 8-bit, got $bits")
             require(channels >= 1, s"bad channel count $channels")
             fmtSeen = true
           case "data" =>
@@ -209,7 +287,11 @@ object Media {
             val n = size / (bits / 8)
             val out = new Array[Int](n)
             var i = 0
-            if (bits == 16) {
+            if (tag == 7) {
+              while (i < n) { out(i) = mulawDecode(bytes(pos + 8 + i)); i += 1 }
+            } else if (tag == 6) {
+              while (i < n) { out(i) = alawDecode(bytes(pos + 8 + i)); i += 1 }
+            } else if (bits == 16) {
               while (i < n) {
                 out(i) = u16(bytes, pos + 8 + i * 2).toShort.toInt
                 i += 1
@@ -223,7 +305,7 @@ object Media {
         pos += 8 + size + (size & 1)   // RIFF chunks are word-aligned
       }
       require(samples != null, "WAV has no data chunk")
-      Audio(sampleRate, channels, bits, samples)
+      Audio(sampleRate, channels, if (tag == 1) bits else 16, samples)
     }
   }
 }

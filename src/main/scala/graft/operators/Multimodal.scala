@@ -345,10 +345,68 @@ object Multimodal {
       |    AS pos_checksum
       |FROM b ORDER BY doc_id""".stripMargin
 
+  case class CompandedAudio(doc_id: Long, n_samples: Int, sum_samples: Long, pos_checksum: Long)
+
+  /** m05: COMPRESSED audio — G.711 μ-law companded WAV (format tag 7)
+    * through the from-scratch expand/compand tables
+    * (CompandedWavSpec pins all 256 codewords against the JDK's own
+    * ULAW codec). Every sample is chosen μ-law-REPRESENTABLE — character
+    * code c maps to the codeword (e = c/16, m = c%16), whose expanded
+    * value ((m·8+132)·2^e − 132) survives the lossy compander exactly —
+    * so decoded sums replay from the text, same lossless-oracle-over-
+    * lossy-format construction as m04. Batch decode shape as m03.
+    */
+  def m05MulawAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val samples = new Array[Int](text.length)
+        var i = 0
+        while (i < samples.length) {
+          val c = text.charAt(i).toInt
+          samples(i) = (((c % 16) * 8 + 132) << (c / 16)) - 132
+          i += 1
+        }
+        MediaRow(id, Media.Wav.encodeCompanded(8000, samples, mulaw = true),
+          "audio/basic", 0, 0)
+      }
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val audio = Media.Wav.decode(r.payload)
+        val s = audio.samples
+        var sum = 0L; var chk = 0L
+        var i = 0
+        while (i < s.length) {
+          sum += s(i); chk += (i + 1).toLong * s(i)
+          i += 1
+        }
+        CompandedAudio(r.doc_id, s.length, sum, chk)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Sample i is the expanded codeword of code cs[i]: exact integer
+    * arithmetic both engines.
+    */
+  val m05Oracle: String =
+    """WITH cp AS (
+      |  SELECT doc_id, [unicode(ch) for ch in regexp_split_to_array(text, '')] AS cs
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(cs) AS INT) AS n_samples,
+      |  CAST(COALESCE(list_sum(
+      |    [((x % 16) * 8 + 132) * (1 << (x // 16)) - 132 for x in cs]), 0) AS BIGINT)
+      |    AS sum_samples,
+      |  CAST(COALESCE(list_sum(
+      |    [i * (((cs[i] % 16) * 8 + 132) * (1 << (cs[i] // 16)) - 132)
+      |     for i in range(1, len(cs) + 1)]), 0) AS BIGINT) AS pos_checksum
+      |FROM cp ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
     "m03_audio_segments"      -> ((m03AudioSegments _, m03Oracle)),
     "m04_jpeg_blocks"         -> ((m04JpegBlocks _, m04Oracle)),
+    "m05_mulaw_audio"         -> ((m05MulawAudio _, m05Oracle)),
   )
 }

@@ -214,21 +214,87 @@ class JpegSpec extends AnyFunSuite {
     assert(maxd <= 1)
   }
 
+  private def imageIoJpeg(img: java.awt.image.BufferedImage,
+      progressive: Boolean): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    if (progressive) p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  private def hasSof2(jpg: Array[Byte]): Boolean = {
+    var p = 2
+    while (p + 4 <= jpg.length) {
+      val m = jpg(p + 1) & 0xff
+      if (m == 0xc2) return true
+      if (m == 0xda) return false
+      p += 2 + (((jpg(p + 2) & 0xff) << 8) | (jpg(p + 3) & 0xff))
+    }
+    false
+  }
+
+  test("ImageIO-written PROGRESSIVE grayscale decodes within IDCT rounding") {
+    val w = 43; val h = 29
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 5) % 256)
+    val jpg = imageIoJpeg(img, progressive = true)
+    assert(hasSof2(jpg), "referee stream must actually be progressive (SOF2)")
+    val dec = Jpeg.decode(jpg)
+    assert(dec.width == w && dec.height == h)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+    val (maxd, mean) = maxAndMeanDiff(dec, ref)
+    assert(maxd <= 2 && mean <= 0.5,
+      s"progressive grayscale referee disagreement: max $maxd, mean $mean")
+  }
+
+  test("ImageIO-written PROGRESSIVE color 4:2:0 decodes (multi-scan AC bands + refinement)") {
+    val w = 50; val h = 35
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 255) / (w - 1)) << 16) |
+        (((y * 255) / (h - 1)) << 8) | (((x + y) * 255) / (w + h - 2)))
+    val jpg = imageIoJpeg(img, progressive = true)
+    assert(hasSof2(jpg))
+    val dec = Jpeg.decode(jpg)
+    assert(dec.width == w && dec.height == h)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+    val (maxd, mean) = maxAndMeanDiff(dec, ref)
+    assert(maxd <= 16 && mean <= 3.0,
+      s"progressive 4:2:0 referee disagreement: max $maxd, mean $mean")
+    // both decoders must also agree with the SEQUENTIAL encoding of the
+    // same image within the same band (progressive ≠ different pixels)
+    val seq = imageIoJpeg(img, progressive = false)
+    val decSeq = Jpeg.decode(seq)
+    var maxAcross = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxAcross = math.max(maxAcross, math.abs(dec.red(x, y) - decSeq.red(x, y)))
+    assert(maxAcross <= 4,
+      s"progressive and sequential decodes of one image drifted by $maxAcross")
+  }
+
   test("unsupported and hostile streams refuse loudly") {
     val ok = Jpeg.encode(8, 8, new Array[Byte](8 * 8 * 3), 50, grayscale = true)
     // not a JPEG
     intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
-    // progressive SOF2
-    val prog = ok.clone()
+    // arithmetic-coded SOF9 (progressive SOF2 is SUPPORTED since r13)
+    val arith = ok.clone()
     val sofAt = {
       var p = 2
-      while (!((prog(p) & 0xff) == 0xff && (prog(p + 1) & 0xff) == 0xc0)) {
-        p += 2 + (((prog(p + 2) & 0xff) << 8) | (prog(p + 3) & 0xff))
+      while (!((arith(p) & 0xff) == 0xff && (arith(p + 1) & 0xff) == 0xc0)) {
+        p += 2 + (((arith(p + 2) & 0xff) << 8) | (arith(p + 3) & 0xff))
       }
       p
     }
-    prog(sofAt + 1) = 0xc2.toByte
-    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    arith(sofAt + 1) = 0xc9.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(arith))
     assert(e.getMessage.contains("SOF0"))
     // truncated entropy data
     intercept[IllegalArgumentException](
@@ -239,6 +305,29 @@ class JpegSpec extends AnyFunSuite {
     big(sofAt + 7) = 0xff.toByte; big(sofAt + 8) = 0xff.toByte // width 65535
     val e2 = intercept[IllegalArgumentException](Jpeg.decode(big))
     assert(e2.getMessage.contains("pixel budget"))
+  }
+
+  test("fuzz: random images through ImageIO-progressive decode within the referee band") {
+    // random content maximizes EOBRUN / ZRL / refinement-bit diversity
+    // across the successive-approximation scans
+    val rnd = new scala.util.Random(20260814)
+    for (i <- 0 until 8) {
+      val w = 8 + rnd.nextInt(48)
+      val h = 8 + rnd.nextInt(48)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0,
+          if (rnd.nextInt(4) == 0) rnd.nextInt(256)  // hard noise pixels
+          else (x * 11 + y * 7 + rnd.nextInt(32)) % 256)
+      val jpg = imageIoJpeg(img, progressive = true)
+      assert(hasSof2(jpg))
+      val dec = Jpeg.decode(jpg)
+      val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+      val (maxd, mean) = maxAndMeanDiff(dec, ref)
+      assert(maxd <= 2 && mean <= 0.5,
+        s"progressive fuzz #$i (${w}x$h): max $maxd mean $mean")
+    }
   }
 
   test("fuzz: random images survive encode→both-decoders agreement at q85") {

@@ -224,3 +224,78 @@ class MediaFormatsSpec extends AnyFunSuite {
       Media.Wav.decode(good.take(36))).getMessage.contains("data"))
   }
 }
+
+/** G.711 μ-law/A-law companded WAV vs the JDK's own ULAW/ALAW codecs:
+  * full 256-codeword expand-table equality both laws, compand round
+  * trips, and the container path (tags 7/6).
+  */
+class CompandedWavSpec extends AnyFunSuite {
+  import javax.sound.sampled._
+
+  /** JDK expansion of all 256 codewords of `enc` to 16-bit PCM. */
+  private def jdkExpand(enc: AudioFormat.Encoding): Array[Int] = {
+    val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+    val bytes = Array.tabulate[Byte](256)(i => i.toByte)
+    val in = new AudioInputStream(new ByteArrayInputStream(bytes), src, 256)
+    val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val conv = AudioSystem.getAudioInputStream(dst, in)
+    val out = conv.readAllBytes()
+    assert(out.length == 512)
+    Array.tabulate(256)(i =>
+      (((out(2 * i) & 0xff) | ((out(2 * i + 1) & 0xff) << 8)).toShort).toInt)
+  }
+
+  test("mu-law expand table equals the JDK codec for all 256 codewords") {
+    val jdk = jdkExpand(AudioFormat.Encoding.ULAW)
+    for (b <- 0 until 256)
+      assert(Media.Wav.mulawDecode(b.toByte) == jdk(b),
+        f"codeword 0x$b%02X: graft ${Media.Wav.mulawDecode(b.toByte)} vs JDK ${jdk(b)}")
+  }
+
+  test("a-law expand table equals the JDK codec for all 256 codewords") {
+    val jdk = jdkExpand(AudioFormat.Encoding.ALAW)
+    for (b <- 0 until 256)
+      assert(Media.Wav.alawDecode(b.toByte) == jdk(b),
+        f"codeword 0x$b%02X: graft ${Media.Wav.alawDecode(b.toByte)} vs JDK ${jdk(b)}")
+  }
+
+  test("compand round trips: decode∘encode is identity on representable values") {
+    // every expanded codeword value must encode back to itself (mu-law;
+    // skip the negative-zero codeword whose value collides with +0)
+    for (b <- 0 until 256) {
+      val v = Media.Wav.mulawDecode(b.toByte)
+      assert(Media.Wav.mulawDecode(Media.Wav.mulawEncode(v)) == v, s"mu-law value $v")
+      val va = Media.Wav.alawDecode(b.toByte)
+      assert(Media.Wav.alawDecode(Media.Wav.alawEncode(va)) == va, s"a-law value $va")
+    }
+    // non-representable values quantize DOWNWARD-consistently: the
+    // re-encode of a decoded value is stable (idempotent quantization)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 1000) {
+      val s = rnd.nextInt(65536) - 32768
+      val q = Media.Wav.mulawDecode(Media.Wav.mulawEncode(s))
+      assert(Media.Wav.mulawDecode(Media.Wav.mulawEncode(q)) == q)
+      assert(math.abs(q - s) <= 2048, s"mu-law quantization error too large at $s")
+    }
+  }
+
+  test("companded WAV containers decode through the chunk walk (tags 7/6)") {
+    val vals = Array(0, 132, -396, 8316, -32124, 1052)
+    val mu = Media.Wav.encodeCompanded(8000, vals, mulaw = true)
+    val dm = Media.Wav.decode(mu)
+    assert(dm.sampleRate == 8000 && dm.bitsPerSample == 16)
+    assert(dm.samples.toSeq == vals.toSeq, "all values chosen mu-law-representable")
+    // javax.sound reads the same container (header referee)
+    val jdk = AudioSystem.getAudioInputStream(new ByteArrayInputStream(mu))
+    assert(jdk.getFormat.getEncoding == AudioFormat.Encoding.ULAW)
+    assert(jdk.getFormat.getSampleRate == 8000f)
+    val alVals = Array(8, -8, 344, -43688, 2752)
+    val al = Media.Wav.encodeCompanded(8000, alVals, mulaw = false)
+    val da = Media.Wav.decode(al)
+    assert(da.samples.length == alVals.length)
+    assert(da.samples.toSeq == alVals.map(v =>
+      Media.Wav.alawDecode(Media.Wav.alawEncode(v))).toSeq)
+    assert(AudioSystem.getAudioInputStream(new ByteArrayInputStream(al))
+      .getFormat.getEncoding == AudioFormat.Encoding.ALAW)
+  }
+}
