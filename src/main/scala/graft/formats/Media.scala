@@ -1,22 +1,28 @@
 package graft.formats
 
-/** From-scratch codecs for the two uncompressed media containers the
-  * multimodal operators (SURVEY §2.6) decode — no image/audio libraries
-  * involved, built against the public format specifications:
+/** From-scratch codecs for the media containers the multimodal operators
+  * (SURVEY §2.6) decode — no image/audio libraries involved, built
+  * against the public format specifications:
   *
   *  - BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER, 24/32-bpp
   *    uncompressed (`BI_RGB`), 4-byte-padded rows, bottom-up (positive
   *    height) or top-down (negative height) — the format Microsoft
   *    documents in the Wdk `Bitmap Storage` pages.
   *  - WAV: RIFF container with `fmt ` + `data` chunks, PCM
-  *    (`wFormatTag=1`), 8-bit unsigned / 16-bit signed little-endian,
-  *    word-aligned chunk walk — per the original IBM/Microsoft RIFF spec.
+  *    (`wFormatTag=1`) 8/16-bit plus G.711 μ-law/A-law (tags 7/6),
+  *    word-aligned chunk walk — per the original IBM/Microsoft RIFF spec
+  *    and ITU-T G.711.
+  *  - AVI: RIFF `AVI ` with `hdrl` (avih + strl) and `movi` lists,
+  *    MJPEG (`MJPG`) video frames decoded by [[Jpeg]] — per Microsoft's
+  *    AVI RIFF documentation.
   *
   * Anything outside that envelope (compressed BMP, float/ADPCM WAV,
-  * truncated containers) refuses loudly rather than guessing.
-  * MediaFormatsSpec cross-validates both directions against the JDK's own
+  * non-MJPEG AVI streams, truncated containers) refuses loudly rather
+  * than guessing. MediaFormatsSpec cross-validates against the JDK's own
   * readers/writers (`javax.imageio.ImageIO`, `javax.sound.sampled`) as
-  * independent referees, plus hand-computed byte-level fixtures.
+  * independent referees where the JDK has one (BMP/WAV/JPEG frames),
+  * plus hand-computed byte-level fixtures (the AVI container itself has
+  * no in-env referee — same posture as Puffin).
   */
 object Media {
 
@@ -306,6 +312,134 @@ object Media {
       }
       require(samples != null, "WAV has no data chunk")
       Audio(sampleRate, channels, if (tag == 1) bits else 16, samples)
+    }
+  }
+
+  // ---------------------------------------------------------------- AVI
+
+  /** Decoded video container: raw per-frame payloads (MJPEG bytes) plus
+    * stream geometry; [[Video.frame]] decodes one frame through [[Jpeg]]
+    * — per-frame decode is the access pattern training pipelines sample
+    * with, so frames stay lazy.
+    */
+  case class Video(width: Int, height: Int, usPerFrame: Int,
+      frames: IndexedSeq[Array[Byte]]) {
+    def numFrames: Int = frames.length
+    def frame(i: Int): Image = {
+      val img = Jpeg.decode(frames(i))
+      require(img.width == width && img.height == height,
+        s"frame $i is ${img.width}x${img.height}, stream says ${width}x$height")
+      img
+    }
+  }
+
+  object Avi {
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Minimal standard MJPEG AVI: RIFF(AVI ) → LIST(hdrl){avih,
+      * LIST(strl){strh 'vids'/'MJPG', strf BITMAPINFOHEADER}} →
+      * LIST(movi){00dc…}, word-aligned. Frames are JPEG payloads
+      * (callers encode via [[Jpeg.encode]]).
+      */
+    def encode(width: Int, height: Int, usPerFrame: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+      require(usPerFrame > 0, s"bad frame interval $usPerFrame")
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = {
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+      }
+      def tag(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val strl = 4 + 8 + 56 + 8 + 40
+      val hdrl = 4 + 8 + 56 + 8 + strl
+      val riffBody = 4 + 8 + hdrl + 8 + moviBody
+      tag("RIFF"); w32(riffBody); tag("AVI ")
+      tag("LIST"); w32(hdrl); tag("hdrl")
+      tag("avih"); w32(56)
+      w32(usPerFrame); w32(0); w32(0)
+      w32(0)                            // dwFlags: no idx1, so no HASINDEX
+      w32(frames.length); w32(0); w32(1) // streams
+      w32(maxFrame); w32(width); w32(height)
+      w32(0); w32(0); w32(0); w32(0)    // reserved
+      tag("LIST"); w32(strl); tag("strl")
+      tag("strh"); w32(56)
+      tag("vids"); tag("MJPG")
+      w32(0); w32(0); w32(0)            // flags, prio+lang, initialFrames
+      w32(1); w32(1000000 / usPerFrame.max(1)) // scale, rate ≈ fps
+      w32(0); w32(frames.length)        // start, length
+      w32(maxFrame); w32(-1); w32(0)    // suggested buffer, quality, sampleSize
+      // rcFrame: left top right bottom (u16 each)
+      bos.write(0); bos.write(0); bos.write(0); bos.write(0)
+      bos.write(width & 0xff); bos.write((width >> 8) & 0xff)
+      bos.write(height & 0xff); bos.write((height >> 8) & 0xff)
+      tag("strf"); w32(40)
+      w32(40); w32(width); w32(height)
+      bos.write(1); bos.write(0)        // planes
+      bos.write(24); bos.write(0)       // bit count
+      tag("MJPG")                       // biCompression
+      w32(width * height * 3); w32(0); w32(0); w32(0); w32(0)
+      tag("LIST"); w32(moviBody); tag("movi")
+      frames.foreach { f =>
+        tag("00dc"); w32(f.length)
+        bos.write(f, 0, f.length)
+        if ((f.length & 1) == 1) bos.write(0) // word alignment
+      }
+      bos.toByteArray
+    }
+
+    /** Parse an MJPEG AVI: walk RIFF lists for `avih` (geometry, frame
+      * interval) and the `movi` frame chunks (`00dc`/`00db` of stream 0).
+      * Non-MJPEG video streams refuse; `idx1`/other chunks are skipped.
+      */
+    def decode(bytes: Array[Byte]): Video = {
+      require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+        fourcc(bytes, 8) == "AVI ", "not an AVI: missing RIFF/AVI magic")
+      var width = 0; var height = 0; var usPerFrame = 0
+      var avihSeen = false
+      var compression: String = null
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+
+      def i32(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = fourcc(bytes, pos)
+          val size = i32(pos + 4)
+          require(size >= 0 && pos.toLong + 8 + size <= end.toLong,
+            s"truncated AVI chunk '$id' at $pos (size $size)")
+          id match {
+            case "LIST" =>
+              walk(pos + 12, pos + 8 + size) // skip the list type fourcc
+            case "avih" =>
+              require(size >= 40, s"avih too short: $size")
+              usPerFrame = i32(pos + 8)
+              width = i32(pos + 40); height = i32(pos + 44)
+              avihSeen = true
+            case "strf" =>
+              if (size >= 20 && compression == null) {
+                val c = fourcc(bytes, pos + 8 + 16)
+                if (c != "\u0000\u0000\u0000\u0000") compression = c
+              }
+            case "00dc" | "00db" =>
+              frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+            case _ => () // strh, idx1, JUNK, vedt, …
+          }
+          pos += 8 + size + (size & 1)   // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, bytes.length)
+      require(avihSeen, "AVI has no avih header")
+      require(compression == null || compression == "MJPG" || compression == "mjpg",
+        s"unsupported AVI video compression '$compression' (MJPEG only)")
+      require(width > 0 && height > 0, s"bad AVI dimensions ${width}x$height")
+      Video(width, height, usPerFrame, frames.result())
     }
   }
 }

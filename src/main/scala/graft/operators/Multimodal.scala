@@ -402,11 +402,81 @@ object Multimodal {
       |     for i in range(1, len(cs) + 1)]), 0) AS BIGINT) AS pos_checksum
       |FROM cp ORDER BY doc_id""".stripMargin
 
+  case class VideoFrames(doc_id: Long, n_frames: Int, sum_levels: Long,
+      sampled_sum: Long, pos_checksum: Long)
+
+  /** m06: VIDEO — MJPEG-in-AVI containers ([[graft.formats.Media.Avi]]:
+    * RIFF hdrl/movi walk) with per-frame JPEG decode and FRAME SAMPLING
+    * (every 2nd frame — the keyframe-subsample pattern video pipelines
+    * feature-extract with). Each document fabricates one 8x8
+    * constant-gray frame per 60 characters at quality 50 (the m04
+    * exactness envelope), so every decoded frame mean equals its source
+    * level and the DuckDB oracle replays frame sums, the sampled-subset
+    * sum, and a positional checksum from the text. Per-frame decode is
+    * lazy inside mapPartitions — the batch shape scales to long videos
+    * (only sampled frames would pay decode in a real pipeline).
+    */
+  def m06VideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.formats.Jpeg
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val nf = text.length / 60
+        if (nf == 0) MediaRow(id, Array.empty[Byte], "video/x-msvideo", 0, 0)
+        else {
+          val frames = (0 until nf).map { f =>
+            val g = (2 * text.charAt(f * 60)).toByte
+            Jpeg.encode(8, 8, Array.fill(8 * 8 * 3)(g), quality = 50, grayscale = true)
+          }
+          MediaRow(id, Media.Avi.encode(8, 8, 40000, frames), "video/x-msvideo", 8, 8)
+        }
+      }
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.payload.isEmpty) VideoFrames(r.doc_id, 0, 0L, 0L, 0L)
+        else {
+          val v = Media.Avi.decode(r.payload)
+          var sum = 0L; var sampled = 0L; var chk = 0L
+          var f = 0
+          while (f < v.numFrames) {
+            val img = v.frame(f)
+            var s = 0L
+            var p = 0
+            while (p < 64) { s += img.pixels(p * 3) & 0xff; p += 1 }
+            val mean = s / 64
+            sum += mean; chk += (f + 1).toLong * mean
+            if (f % 2 == 0) sampled += mean
+            f += 1
+          }
+          VideoFrames(r.doc_id, v.numFrames, sum, sampled, chk)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Frame f's level is 2·unicode(text[f·60+1]); decoded means replay
+    * exactly (q50 constant-block envelope).
+    */
+  val m06Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    [2 * unicode(text[f * 60 + 1]) for f in range(strlen(text) // 60)] AS lv
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(lv) AS INT) AS n_frames,
+      |  CAST(COALESCE(list_sum(lv), 0) AS BIGINT) AS sum_levels,
+      |  CAST(COALESCE(list_sum([lv[i + 1] for i in range(len(lv)) if i % 2 = 0]), 0)
+      |    AS BIGINT) AS sampled_sum,
+      |  CAST(COALESCE(list_sum([(i + 1) * lv[i + 1] for i in range(len(lv))]), 0)
+      |    AS BIGINT) AS pos_checksum
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
     "m03_audio_segments"      -> ((m03AudioSegments _, m03Oracle)),
     "m04_jpeg_blocks"         -> ((m04JpegBlocks _, m04Oracle)),
     "m05_mulaw_audio"         -> ((m05MulawAudio _, m05Oracle)),
+    "m06_video_frames"        -> ((m06VideoFrames _, m06Oracle)),
   )
 }

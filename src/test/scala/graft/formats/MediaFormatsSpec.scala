@@ -299,3 +299,79 @@ class CompandedWavSpec extends AnyFunSuite {
       .getFormat.getEncoding == AudioFormat.Encoding.ALAW)
   }
 }
+
+/** MJPEG-in-AVI container: round trips, hand-computed RIFF structure,
+  * word alignment, refusals. Frames referee through JpegSpec's ImageIO
+  * validation; the container itself has no in-env referee (declared —
+  * same posture as Puffin) so the byte layout is pinned by hand.
+  */
+class AviSpec extends AnyFunSuite {
+  private def grayFrame(w: Int, h: Int, level: Int): Array[Byte] = {
+    val rgb = Array.fill((w * h * 3))(level.toByte)
+    Jpeg.encode(w, h, rgb, quality = 50, grayscale = true)
+  }
+
+  test("MJPEG AVI round trip: geometry, frame count, exact frame decode") {
+    val levels = Seq(60, 128, 202)
+    val frames = levels.map(grayFrame(16, 8, _))
+    val avi = Media.Avi.encode(16, 8, 40000, frames)
+    val v = Media.Avi.decode(avi)
+    assert(v.width == 16 && v.height == 8 && v.usPerFrame == 40000)
+    assert(v.numFrames == 3)
+    for ((lvl, i) <- levels.zipWithIndex) {
+      val img = v.frame(i)
+      assert(img.width == 16 && img.height == 8)
+      // constant even levels at q50 decode exactly (the m04/m06 envelope)
+      assert((0 until 16 * 8).forall(p => (img.pixels(p * 3) & 0xff) == lvl),
+        s"frame $i level $lvl")
+    }
+  }
+
+  test("hand-computed RIFF structure: fourccs, sizes, word alignment") {
+    val f0 = grayFrame(8, 8, 100)
+    val frames = Seq(f0)
+    val avi = Media.Avi.encode(8, 8, 33333, frames)
+    def cc(off: Int) = new String(avi, off, 4, "US-ASCII")
+    def i32(off: Int) = (avi(off) & 0xff) | ((avi(off + 1) & 0xff) << 8) |
+      ((avi(off + 2) & 0xff) << 16) | ((avi(off + 3) & 0xff) << 24)
+    assert(cc(0) == "RIFF" && cc(8) == "AVI ")
+    assert(i32(4) == avi.length - 8, "RIFF size covers everything after the size field")
+    assert(cc(12) == "LIST" && cc(20) == "hdrl")
+    assert(cc(24) == "avih" && i32(28) == 56)
+    assert(i32(32) == 33333)            // dwMicroSecPerFrame
+    assert(i32(48) == 1)                // dwStreams... offset: 24+8+
+    assert(i32(24 + 8 + 16) == 1)       // dwTotalFrames at avih+16
+    assert(i32(24 + 8 + 32) == 8 && i32(24 + 8 + 36) == 8) // width, height
+    // strh declares vids/MJPG
+    val strhAt = avi.indexOfSlice("strh".getBytes)
+    assert(strhAt > 0 && cc(strhAt + 8) == "vids" && cc(strhAt + 12) == "MJPG")
+    // movi list holds one word-aligned 00dc chunk
+    val moviAt = avi.indexOfSlice("movi".getBytes)
+    assert(moviAt > 0 && cc(moviAt + 4) == "00dc")
+    assert(i32(moviAt + 8) == f0.length)
+    assert((avi.length & 1) == 0, "odd frame payloads pad to word boundaries")
+  }
+
+  test("refusals: magic, truncation, foreign compression") {
+    intercept[IllegalArgumentException](Media.Avi.decode(Array[Byte](1, 2, 3)))
+    val ok = Media.Avi.encode(8, 8, 40000, Seq(grayFrame(8, 8, 100)))
+    intercept[IllegalArgumentException](
+      Media.Avi.decode(java.util.Arrays.copyOfRange(ok, 0, ok.length - 10)))
+    // a stream declaring H264 in strf.biCompression must refuse
+    val h264 = ok.clone()
+    val strfAt = {
+      var p = -1
+      for (i <- 0 until h264.length - 4)
+        if (p < 0 && h264(i) == 's' && h264(i + 1) == 't' && h264(i + 2) == 'r' && h264(i + 3) == 'f') p = i
+      p
+    }
+    assert(strfAt > 0)
+    System.arraycopy("H264".getBytes, 0, h264, strfAt + 8 + 16, 4)
+    val e = intercept[IllegalArgumentException](Media.Avi.decode(h264))
+    assert(e.getMessage.contains("MJPEG"))
+    // decoding a frame that disagrees with stream geometry refuses
+    val mixed = Media.Avi.encode(8, 8, 40000, Seq(grayFrame(16, 8, 100)))
+    val vm = Media.Avi.decode(mixed)
+    intercept[IllegalArgumentException](vm.frame(0))
+  }
+}
