@@ -471,6 +471,78 @@ object Multimodal {
       |    AS BIGINT) AS pos_checksum
       |FROM b ORDER BY doc_id""".stripMargin
 
+  case class PngPixels(doc_id: Long, n_pixels: Int, sum_r: Long, sum_g: Long,
+      sum_b: Long, pos_checksum: Long)
+
+  /** m07: LOSSLESS compressed images — PNG ([[graft.formats.Png]]: zlib
+    * IDAT, scanline filters, CRC-verified chunks). Because the codec is
+    * lossless, the gate needs NO exactness construction: arbitrary
+    * text-derived RGB pixels (three channel mixes per character) survive
+    * encode→decode byte-for-byte and every channel sum replays from the
+    * text in DuckDB. The encoder cycles None/Sub/Up filters, so the
+    * distributed decode really defilters. Batch shape as m01.
+    */
+  def m07PngPixels(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.formats.Png
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val h = text.length / ImgW
+        if (h == 0) MediaRow(id, Array.empty[Byte], "image/png", 0, 0)
+        else {
+          val rgb = new Array[Byte](ImgW * h * 3)
+          var i = 0
+          while (i < ImgW * h) {
+            val c = text.charAt(i).toInt
+            rgb(i * 3) = c.toByte
+            rgb(i * 3 + 1) = ((c * 3) % 256).toByte
+            rgb(i * 3 + 2) = ((c * 7) % 256).toByte
+            i += 1
+          }
+          MediaRow(id, Png.encode(ImgW, h, rgb), "image/png", ImgW, h)
+        }
+      }
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.payload.isEmpty) PngPixels(r.doc_id, 0, 0L, 0L, 0L, 0L)
+        else {
+          val img = Png.decode(r.payload)
+          val n = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+          var i = 0
+          while (i < n) {
+            val red = img.pixels(i * 3) & 0xff
+            sr += red
+            sg += img.pixels(i * 3 + 1) & 0xff
+            sb += img.pixels(i * 3 + 2) & 0xff
+            chk += (i + 1).toLong * red
+            i += 1
+          }
+          PngPixels(r.doc_id, n, sr, sg, sb, chk)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Pixel i is (c, 3c mod 256, 7c mod 256) of the i-th retained
+    * character — lossless codec, exact replay.
+    */
+  val m07Oracle: String =
+    """WITH cp AS (
+      |  SELECT doc_id,
+      |    [unicode(ch) for ch in
+      |      list_filter(regexp_split_to_array(text, ''), (ch, i) ->
+      |        i <= 25 * (strlen(text) // 25))] AS cs
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(cs) AS INT) AS n_pixels,
+      |  CAST(COALESCE(list_sum(cs), 0) AS BIGINT) AS sum_r,
+      |  CAST(COALESCE(list_sum([(x * 3) % 256 for x in cs]), 0) AS BIGINT) AS sum_g,
+      |  CAST(COALESCE(list_sum([(x * 7) % 256 for x in cs]), 0) AS BIGINT) AS sum_b,
+      |  CAST(COALESCE(list_sum([i * cs[i] for i in range(1, len(cs) + 1)]), 0)
+      |    AS BIGINT) AS pos_checksum
+      |FROM cp ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
@@ -478,5 +550,6 @@ object Multimodal {
     "m04_jpeg_blocks"         -> ((m04JpegBlocks _, m04Oracle)),
     "m05_mulaw_audio"         -> ((m05MulawAudio _, m05Oracle)),
     "m06_video_frames"        -> ((m06VideoFrames _, m06Oracle)),
+    "m07_png_pixels"          -> ((m07PngPixels _, m07Oracle)),
   )
 }
