@@ -9,10 +9,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * Envelope:
   *  - decode: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette,
   *    8-bit indices), 4 (gray+alpha), 6 (RGBA); all five scanline
-  *    filters (None/Sub/Up/Average/Paeth); multiple IDAT chunks; chunk
-  *    CRCs VERIFIED (a corrupt chunk refuses, never mis-decodes); alpha
-  *    is dropped (the raster is the RGB surface [[Media.Image]] shares
-  *    with BMP/JPEG). 16-bit, sub-byte depths, and Adam7 interlacing
+  *    filters (None/Sub/Up/Average/Paeth); ADAM7 interlacing (seven
+  *    independently-filtered passes scattered onto the raster); multiple
+  *    IDAT chunks; chunk CRCs VERIFIED (a corrupt chunk refuses, never
+  *    mis-decodes); alpha is dropped (the raster is the RGB surface
+  *    [[Media.Image]] shares with BMP/JPEG). 16-bit and sub-byte depths
   *    refuse loudly.
   *  - encode: color type 2 (RGB), one filter per row cycling
   *    None/Sub/Up (so decoders — ours and the referee — must really
@@ -69,6 +70,7 @@ object Png {
     var pos = 8
     var width = 0; var height = 0
     var depth = 0; var colorType = -1
+    var interlaced = false
     var palette: Array[Byte] = null
     var ihdrSeen = false; var iendSeen = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -100,8 +102,8 @@ object Png {
             s"PNG: unsupported color type $colorType")
           require(compression == 0 && filterMethod == 0,
             "PNG: unknown compression/filter method")
-          require(interlace == 0,
-            "PNG: Adam7 interlacing not supported (progressive delivery is JPEG's job)")
+          require(interlace <= 1, s"PNG: unknown interlace method $interlace")
+          interlaced = interlace == 1
           ihdrSeen = true
         case "PLTE" =>
           require(len % 3 == 0 && len <= 256 * 3, s"PNG: bad PLTE length $len")
@@ -124,34 +126,81 @@ object Png {
     }
     val raw = zlibInflate(idat.toByteArray)
     val stride = width * channels
-    require(raw.length == (stride + 1) * height,
-      s"PNG: decompressed size ${raw.length} != ${(stride + 1) * height}")
-    // defilter in place into `img` rows
-    val img = new Array[Byte](stride * height)
-    var y = 0
-    while (y < height) {
-      val filter = raw(y * (stride + 1)) & 0xff
-      val rowIn = y * (stride + 1) + 1
-      val rowOut = y * stride
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowIn + x) & 0xff
-        val a = if (x >= channels) img(rowOut + x - channels) & 0xff else 0
-        val b = if (y > 0) img(rowOut - stride + x) & 0xff else 0
-        val c = if (y > 0 && x >= channels) img(rowOut - stride + x - channels) & 0xff else 0
-        val v = filter match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + (a + b) / 2
-          case 4 => cur + paeth(a, b, c)
-          case f => throw new IllegalArgumentException(s"PNG: bad filter $f on row $y")
+
+    // defilter one filtered sub-image of `w`x`h` pixels starting at
+    // `off` in the inflated stream; returns (pixels, bytes consumed)
+    def defilter(off: Int, w: Int, h: Int): (Array[Byte], Int) = {
+      val st = w * channels
+      require(raw.length - off >= (st + 1) * h,
+        s"PNG: decompressed stream too short (need ${(st + 1) * h} at $off, have ${raw.length - off})")
+      val img = new Array[Byte](st * h)
+      var y = 0
+      while (y < h) {
+        val filter = raw(off + y * (st + 1)) & 0xff
+        val rowIn = off + y * (st + 1) + 1
+        val rowOut = y * st
+        var x = 0
+        while (x < st) {
+          val cur = raw(rowIn + x) & 0xff
+          val a = if (x >= channels) img(rowOut + x - channels) & 0xff else 0
+          val b = if (y > 0) img(rowOut - st + x) & 0xff else 0
+          val c = if (y > 0 && x >= channels) img(rowOut - st + x - channels) & 0xff else 0
+          val v = filter match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + (a + b) / 2
+            case 4 => cur + paeth(a, b, c)
+            case f => throw new IllegalArgumentException(s"PNG: bad filter $f on row $y")
+          }
+          img(rowOut + x) = (v & 0xff).toByte
+          x += 1
         }
-        img(rowOut + x) = (v & 0xff).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      (img, (st + 1) * h)
     }
+
+    val img: Array[Byte] =
+      if (!interlaced) {
+        val (full, used) = defilter(0, width, height)
+        require(used == raw.length, s"PNG: ${raw.length - used} trailing bytes after image data")
+        full
+      } else {
+        // Adam7 (RFC 2083 §2.6): seven sub-images, each independently
+        // filtered, scattered onto the full raster by the pass grids
+        val starts = Array((0, 0), (4, 0), (0, 4), (2, 0), (0, 2), (1, 0), (0, 1))
+        val steps = Array((8, 8), (8, 8), (4, 8), (4, 4), (2, 4), (2, 2), (1, 2))
+        val full = new Array[Byte](stride * height)
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val (x0, y0) = starts(p); val (dx, dy) = steps(p)
+          val wp = (width - x0 + dx - 1) / dx
+          val hp = (height - y0 + dy - 1) / dy
+          if (wp > 0 && hp > 0) {
+            val (sub, used) = defilter(off, wp, hp)
+            off += used
+            var sy = 0
+            while (sy < hp) {
+              var sx = 0
+              while (sx < wp) {
+                var ch = 0
+                while (ch < channels) {
+                  full(((y0 + sy * dy) * width + x0 + sx * dx) * channels + ch) =
+                    sub((sy * wp + sx) * channels + ch)
+                  ch += 1
+                }
+                sx += 1
+              }
+              sy += 1
+            }
+          }
+          p += 1
+        }
+        require(off == raw.length, s"PNG: ${raw.length - off} trailing bytes after Adam7 passes")
+        full
+      }
     // expand to the shared RGB surface
     val rgb = new Array[Byte](width * height * 3)
     var i = 0

@@ -543,6 +543,63 @@ object Multimodal {
       |    AS BIGINT) AS pos_checksum
       |FROM cp ORDER BY doc_id""".stripMargin
 
+  case class GifPixels(doc_id: Long, n_pixels: Int, sum_gray: Long, pos_checksum: Long)
+
+  /** m08: LZW-compressed images — GIF ([[graft.formats.Gif]]: variable-
+    * width LZW, sub-block reassembly, color tables). Grayscale palette =
+    * identity, indices = character codes, so the lossless round trip
+    * replays exactly from text (the m07 construction over a DIFFERENT
+    * compression family — dictionary coding vs deflate). Batch shape as
+    * m01; decode features come from DECODED pixels only.
+    */
+  def m08GifPixels(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.formats.Gif
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val h = text.length / ImgW
+        if (h == 0) MediaRow(id, Array.empty[Byte], "image/gif", 0, 0)
+        else {
+          val idx = new Array[Byte](ImgW * h)
+          var i = 0
+          while (i < idx.length) { idx(i) = text.charAt(i).toByte; i += 1 }
+          MediaRow(id, Gif.encodeGray(ImgW, h, idx), "image/gif", ImgW, h)
+        }
+      }
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.payload.isEmpty) GifPixels(r.doc_id, 0, 0L, 0L)
+        else {
+          val img = Gif.decode(r.payload)
+          val n = img.width * img.height
+          var sum = 0L; var chk = 0L
+          var i = 0
+          while (i < n) {
+            val g = img.pixels(i * 3) & 0xff
+            sum += g; chk += (i + 1).toLong * g
+            i += 1
+          }
+          GifPixels(r.doc_id, n, sum, chk)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Pixel i is the i-th retained character code (identity palette). */
+  val m08Oracle: String =
+    """WITH cp AS (
+      |  SELECT doc_id,
+      |    [unicode(ch) for ch in
+      |      list_filter(regexp_split_to_array(text, ''), (ch, i) ->
+      |        i <= 25 * (strlen(text) // 25))] AS cs
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(cs) AS INT) AS n_pixels,
+      |  CAST(COALESCE(list_sum(cs), 0) AS BIGINT) AS sum_gray,
+      |  CAST(COALESCE(list_sum([i * cs[i] for i in range(1, len(cs) + 1)]), 0)
+      |    AS BIGINT) AS pos_checksum
+      |FROM cp ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
@@ -551,5 +608,6 @@ object Multimodal {
     "m05_mulaw_audio"         -> ((m05MulawAudio _, m05Oracle)),
     "m06_video_frames"        -> ((m06VideoFrames _, m06Oracle)),
     "m07_png_pixels"          -> ((m07PngPixels _, m07Oracle)),
+    "m08_gif_pixels"          -> ((m08GifPixels _, m08Oracle)),
   )
 }

@@ -136,7 +136,7 @@ class PngSpec extends AnyFunSuite {
     assertExact(dec, ref)
   }
 
-  test("refusals: CRC corruption, truncation, interlace, 16-bit") {
+  test("refusals: CRC corruption, truncation") {
     val ok = Png.encode(9, 7, Array.fill[Byte](9 * 7 * 3)(55))
     intercept[IllegalArgumentException](Png.decode(Array[Byte](1, 2, 3)))
     // flip a byte inside IDAT: the chunk CRC must catch it
@@ -146,17 +146,29 @@ class PngSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"))
     intercept[IllegalArgumentException](
       Png.decode(java.util.Arrays.copyOfRange(ok, 0, ok.length - 6)))
-    // interlace flag → loud refusal (and the CRC is recomputed so the
-    // refusal is really about interlacing)
-    val il = ok.clone()
-    il(8 + 8 + 12) = 1 // IHDR interlace byte
-    val ihdrCrc = new java.util.zip.CRC32()
-    ihdrCrc.update(il, 8 + 4, 4 + 13)
-    val cv = ihdrCrc.getValue.toInt
-    il(8 + 8 + 13) = (cv >> 24).toByte; il(8 + 8 + 14) = (cv >> 16).toByte
-    il(8 + 8 + 15) = (cv >> 8).toByte; il(8 + 8 + 16) = cv.toByte
-    val e2 = intercept[IllegalArgumentException](Png.decode(il))
-    assert(e2.getMessage.contains("Adam7"))
+  }
+
+  test("ImageIO-written ADAM7 interlaced streams decode pixel-exact") {
+    // ImageIO's PNG writer emits Adam7 under progressive mode — the
+    // referee for the seven-pass scatter; odd dimensions exercise the
+    // empty/narrow trailing passes
+    for ((w, h) <- Seq((37, 23), (8, 8), (1, 9), (9, 1), (3, 3))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(w * 100 + h)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt(0xffffff))
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+      val png = bos.toByteArray
+      assert((png(8 + 8 + 12) & 0xff) == 1, s"${w}x$h referee stream must be interlaced")
+      assertExact(Png.decode(png), img)
+    }
   }
 
   test("fuzz: 12 random sizes round-trip losslessly through both decoders") {
