@@ -174,6 +174,7 @@ object Gif {
     }
 
     def skipSubBlocks(): Unit = {
+      require(pos < bytes.length, "GIF: truncated at sub-block length")
       var n = bytes(pos) & 0xff
       pos += 1
       while (n != 0) {
@@ -211,6 +212,7 @@ object Gif {
           val minCode = bytes(pos) & 0xff
           pos += 1
           val data = new java.io.ByteArrayOutputStream()
+          require(pos < bytes.length, "GIF: truncated at first image sub-block")
           var n = bytes(pos) & 0xff
           pos += 1
           while (n != 0) {

@@ -442,7 +442,10 @@ object Jpeg {
             height = u16at(seg + 1)
             width = u16at(seg + 3)
             require(width > 0 && height > 0, s"JPEG: bad dimensions ${width}x$height")
-            require(width.toLong * height <= Int.MaxValue / 3,
+            // the multi-scan coefficient store costs 4 bytes/pixel/component,
+            // so the budget is tighter than the raster-only codecs': 2^26
+            // pixels (8K x 8K) caps a hostile header at ~256 MB per plane
+            require(width.toLong * height <= (1L << 26),
               s"JPEG dimensions ${width}x$height exceed the decodable pixel budget")
             val nc = bytes(seg + 5) & 0xff
             require(nc == 1 || nc == 3,

@@ -407,7 +407,9 @@ object Media {
         (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
           ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
 
-      def walk(start: Int, end: Int): Unit = {
+      def walk(start: Int, end: Int, depth: Int = 0): Unit = {
+        // hostile LIST nesting must refuse, not blow the stack
+        require(depth <= 16, s"AVI: LIST nesting deeper than 16 at $start")
         var pos = start
         while (pos + 8 <= end) {
           val id = fourcc(bytes, pos)
@@ -416,7 +418,7 @@ object Media {
             s"truncated AVI chunk '$id' at $pos (size $size)")
           id match {
             case "LIST" =>
-              walk(pos + 12, pos + 8 + size) // skip the list type fourcc
+              walk(pos + 12, pos + 8 + size, depth + 1) // skip the list type fourcc
             case "avih" =>
               require(size >= 40, s"avih too short: $size")
               usPerFrame = i32(pos + 8)

@@ -38,6 +38,7 @@ object Png {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
+        require(!inf.needsDictionary(), "PNG: preset-dictionary zlib stream")
         require(n > 0 || inf.finished() || !inf.needsInput(),
           "PNG: truncated zlib stream")
         out.write(buf, 0, n)

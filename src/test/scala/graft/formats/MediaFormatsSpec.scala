@@ -354,6 +354,20 @@ class AviSpec extends AnyFunSuite {
 
   test("refusals: magic, truncation, foreign compression") {
     intercept[IllegalArgumentException](Media.Avi.decode(Array[Byte](1, 2, 3)))
+    // hostile LIST nesting refuses instead of blowing the stack
+    val deep = new java.io.ByteArrayOutputStream()
+    deep.write("RIFF".getBytes); deep.write(Array[Byte](-1, -1, 0, 0))
+    deep.write("AVI ".getBytes)
+    for (_ <- 0 until 1000) {
+      deep.write("LIST".getBytes)
+      deep.write(Array[Byte](-1, 0, 0, 0)) // size 255
+      deep.write("hdrl".getBytes)
+    }
+    val eNest = intercept[IllegalArgumentException] {
+      val b = deep.toByteArray
+      Media.Avi.decode(b)
+    }
+    assert(eNest.getMessage.contains("nesting") || eNest.getMessage.contains("truncated"))
     val ok = Media.Avi.encode(8, 8, 40000, Seq(grayFrame(8, 8, 100)))
     intercept[IllegalArgumentException](
       Media.Avi.decode(java.util.Arrays.copyOfRange(ok, 0, ok.length - 10)))
