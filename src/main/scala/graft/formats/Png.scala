@@ -13,8 +13,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    independently-filtered passes scattered onto the raster); multiple
   *    IDAT chunks; chunk CRCs VERIFIED (a corrupt chunk refuses, never
   *    mis-decodes); alpha is dropped (the raster is the RGB surface
-  *    [[Media.Image]] shares with BMP/JPEG). 16-bit and sub-byte depths
-  *    refuse loudly.
+  *    [[Media.Image]] shares with BMP/JPEG); 16-bit samples reduce to
+  *    their high byte. Sub-byte depths refuse loudly.
   *  - encode: color type 2 (RGB), one filter per row cycling
   *    None/Sub/Up (so decoders — ours and the referee — must really
   *    defilter), zlib-wrapped deflate per the spec.
@@ -98,9 +98,11 @@ object Png {
           require(width > 0 && height > 0, s"PNG: bad dimensions ${width}x$height")
           require(width.toLong * height <= Int.MaxValue / 4,
             s"PNG dimensions ${width}x$height exceed the decodable pixel budget")
-          require(depth == 8, s"PNG: unsupported bit depth $depth (8 only)")
+          require(depth == 8 || depth == 16,
+            s"PNG: unsupported bit depth $depth (8/16 only)")
           require(Set(0, 2, 3, 4, 6).contains(colorType),
             s"PNG: unsupported color type $colorType")
+          require(depth == 8 || colorType != 3, "PNG: 16-bit palette is not a legal combination")
           require(compression == 0 && filterMethod == 0,
             "PNG: unknown compression/filter method")
           require(interlace <= 1, s"PNG: unknown interlace method $interlace")
@@ -126,12 +128,15 @@ object Png {
       case 6 => 4
     }
     val raw = zlibInflate(idat.toByteArray)
-    val stride = width * channels
+    // the filter unit is the PIXEL in bytes: 16-bit samples filter over
+    // 2-byte units (RFC 2083 §6.2's bpp definition)
+    val bpp = channels * (depth / 8)
+    val stride = width * bpp
 
     // defilter one filtered sub-image of `w`x`h` pixels starting at
     // `off` in the inflated stream; returns (pixels, bytes consumed)
     def defilter(off: Int, w: Int, h: Int): (Array[Byte], Int) = {
-      val st = w * channels
+      val st = w * bpp
       require(raw.length - off >= (st + 1) * h,
         s"PNG: decompressed stream too short (need ${(st + 1) * h} at $off, have ${raw.length - off})")
       val img = new Array[Byte](st * h)
@@ -143,9 +148,9 @@ object Png {
         var x = 0
         while (x < st) {
           val cur = raw(rowIn + x) & 0xff
-          val a = if (x >= channels) img(rowOut + x - channels) & 0xff else 0
+          val a = if (x >= bpp) img(rowOut + x - bpp) & 0xff else 0
           val b = if (y > 0) img(rowOut - st + x) & 0xff else 0
-          val c = if (y > 0 && x >= channels) img(rowOut - st + x - channels) & 0xff else 0
+          val c = if (y > 0 && x >= bpp) img(rowOut - st + x - bpp) & 0xff else 0
           val v = filter match {
             case 0 => cur
             case 1 => cur + a
@@ -187,9 +192,9 @@ object Png {
               var sx = 0
               while (sx < wp) {
                 var ch = 0
-                while (ch < channels) {
-                  full(((y0 + sy * dy) * width + x0 + sx * dx) * channels + ch) =
-                    sub((sy * wp + sx) * channels + ch)
+                while (ch < bpp) {
+                  full(((y0 + sy * dy) * width + x0 + sx * dx) * bpp + ch) =
+                    sub((sy * wp + sx) * bpp + ch)
                   ch += 1
                 }
                 sx += 1
@@ -202,6 +207,16 @@ object Png {
         require(off == raw.length, s"PNG: ${raw.length - off} trailing bytes after Adam7 passes")
         full
       }
+    // 16-bit samples reduce to their HIGH byte (the 8-bit projection
+    // training pipelines take; lower byte is sub-quantization detail)
+    val img8: Array[Byte] =
+      if (depth == 8) img
+      else {
+        val out = new Array[Byte](width * height * channels)
+        var i = 0
+        while (i < out.length) { out(i) = img(i * 2); i += 1 }
+        out
+      }
     // expand to the shared RGB surface
     val rgb = new Array[Byte](width * height * 3)
     var i = 0
@@ -209,14 +224,14 @@ object Png {
     while (i < n) {
       colorType match {
         case 0 | 4 =>
-          val g = img(i * channels)
+          val g = img8(i * channels)
           rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
         case 2 | 6 =>
-          rgb(i * 3) = img(i * channels)
-          rgb(i * 3 + 1) = img(i * channels + 1)
-          rgb(i * 3 + 2) = img(i * channels + 2)
+          rgb(i * 3) = img8(i * channels)
+          rgb(i * 3 + 1) = img8(i * channels + 1)
+          rgb(i * 3 + 2) = img8(i * channels + 2)
         case 3 =>
-          val idx = (img(i) & 0xff) * 3
+          val idx = (img8(i) & 0xff) * 3
           require(idx + 2 < palette.length, s"PNG: palette index out of range at pixel $i")
           rgb(i * 3) = palette(idx)
           rgb(i * 3 + 1) = palette(idx + 1)

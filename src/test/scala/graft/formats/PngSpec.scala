@@ -171,6 +171,24 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIO-written 16-BIT grayscale reduces to the exact high bytes") {
+    val w = 21; val h = 14
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val rnd = new scala.util.Random(11)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(65536))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    assert((png(8 + 8 + 8) & 0xff) == 16, "referee stream must be 16-bit")
+    val dec = Png.decode(png)
+    for (y <- 0 until h; x <- 0 until w) {
+      val hi = img.getRaster.getSample(x, y, 0) >> 8
+      assert(dec.red(x, y) == hi, s"high byte at ($x,$y)")
+    }
+  }
+
   test("fuzz: 12 random sizes round-trip losslessly through both decoders") {
     val rnd = new scala.util.Random(20260814)
     for (_ <- 0 until 12) {
