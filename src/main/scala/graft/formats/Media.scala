@@ -26,6 +26,22 @@ package graft.formats
   */
 object Media {
 
+  /** Container sniff by magic bytes — the dispatch step of a mixed-media
+    * ingestion directory (m09). Returns a MIME-ish tag or "unknown";
+    * never throws on short/foreign buffers.
+    */
+  def sniff(b: Array[Byte]): String = {
+    def at(off: Int, s: String): Boolean =
+      b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    if (at(0, "BM")) "image/bmp"
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && at(1, "PNG")) "image/png"
+    else if (at(0, "GIF8")) "image/gif"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "audio/wav"
+    else if (at(0, "RIFF") && at(8, "AVI ")) "video/x-msvideo"
+    else "unknown"
+  }
+
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   private def i32(b: Array[Byte], off: Int): Int =

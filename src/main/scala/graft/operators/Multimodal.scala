@@ -600,6 +600,158 @@ object Multimodal {
       |    AS BIGINT) AS pos_checksum
       |FROM cp ORDER BY doc_id""".stripMargin
 
+  case class IngestRow(doc_id: Long, format: String, n_units: Int, pos_checksum: Long)
+
+  /** m09: FILE ingestion — the step every real multimodal pipeline
+    * starts from: a DIRECTORY of media files read through Spark's OWN
+    * `binaryFile` source (path/length/content rows, partitioned file
+    * listing — the same source a 1000-executor ingest uses against
+    * object storage), formats DISPATCHED by magic-byte sniffing
+    * ([[Media.sniff]]), each file decoded by its own codec. The fixture
+    * directory is fabricated DISTRIBUTED (each partition writes its own
+    * files — the embarrassingly-parallel shape; locally a tmpdir stands
+    * in for shared storage) with the format rotating by doc_id: BMP /
+    * PNG / GIF carry character-code pixels, μ-law WAV carries
+    * representable-codeword samples — all four lossless-or-exact, so
+    * one positional checksum per file replays from the text regardless
+    * of container. Docs too short for a whole image row produce no file
+    * and zero-fill through a left join (the oracle agrees).
+    */
+  def m09BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.formats.{Gif, Png}
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_media_ingest_${Integer.toHexString(sfDir.hashCode)}")
+    // deterministic rebuild: same docs → same files, byte for byte
+    if (dir.exists()) {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); ()
+    } else { dir.mkdirs(); () }
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val written = docs.as[(Long, String)].mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val payload: Array[Byte] = (id % 4) match {
+          case 0 =>
+            val h = text.length / ImgW
+            if (h == 0) null
+            else {
+              val rgb = new Array[Byte](ImgW * h * 3)
+              var i = 0
+              while (i < ImgW * h) {
+                val c = text.charAt(i).toByte
+                rgb(i * 3) = c; rgb(i * 3 + 1) = c; rgb(i * 3 + 2) = c
+                i += 1
+              }
+              Media.Bmp.encode(ImgW, h, rgb)
+            }
+          case 1 =>
+            val h = text.length / ImgW
+            if (h == 0) null
+            else {
+              val rgb = new Array[Byte](ImgW * h * 3)
+              var i = 0
+              while (i < ImgW * h) {
+                val c = text.charAt(i).toByte
+                rgb(i * 3) = c; rgb(i * 3 + 1) = c; rgb(i * 3 + 2) = c
+                i += 1
+              }
+              Png.encode(ImgW, h, rgb)
+            }
+          case 2 =>
+            val h = text.length / ImgW
+            if (h == 0) null
+            else {
+              val idx = new Array[Byte](ImgW * h)
+              var i = 0
+              while (i < idx.length) { idx(i) = text.charAt(i).toByte; i += 1 }
+              Gif.encodeGray(ImgW, h, idx)
+            }
+          case _ =>
+            val samples = new Array[Int](text.length)
+            var i = 0
+            while (i < samples.length) {
+              val c = text.charAt(i).toInt
+              samples(i) = (((c % 16) * 8 + 132) << (c / 16)) - 132
+              i += 1
+            }
+            Media.Wav.encodeCompanded(8000, samples, mulaw = true)
+        }
+        if (payload == null) 0L
+        else {
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"doc-$id.bin").toPath, payload)
+          1L
+        }
+      }
+    }.reduce(_ + _)
+    require(written > 0, "media ingest fixture produced no files")
+
+    // the REAL ingestion read: Spark's binaryFile source over the dir
+    val bin = spark.read.format("binaryFile").load(dir.getAbsolutePath + "/doc-*.bin")
+      .select(
+        regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content"))
+    val feats = bin.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val fmt = Media.sniff(bytes)
+        fmt match {
+          case "image/bmp" | "image/png" | "image/gif" =>
+            val img =
+              if (fmt == "image/bmp") Media.Bmp.decode(bytes)
+              else if (fmt == "image/png") Png.decode(bytes)
+              else Gif.decode(bytes)
+            val n = img.width * img.height
+            var chk = 0L
+            var i = 0
+            while (i < n) { chk += (i + 1).toLong * (img.pixels(i * 3) & 0xff); i += 1 }
+            IngestRow(id, fmt, n, chk)
+          case "audio/wav" =>
+            val audio = Media.Wav.decode(bytes)
+            var chk = 0L
+            var i = 0
+            while (i < audio.samples.length) {
+              chk += (i + 1).toLong * audio.samples(i); i += 1
+            }
+            IngestRow(id, fmt, audio.samples.length, chk)
+          case other =>
+            throw new IllegalStateException(s"unsniffable ingest payload: $other")
+        }
+      }
+    }.toDF()
+    // zero-fill docs whose text was too short for a whole image row
+    docs.select(col("doc_id"),
+        expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png' " +
+          "WHEN 2 THEN 'image/gif' ELSE 'audio/wav' END").as("expected_format"))
+      .join(feats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("format"), col("expected_format")).as("format"),
+        coalesce(col("n_units"), lit(0)).as("n_units"),
+        coalesce(col("pos_checksum"), lit(0L)).as("pos_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image formats checksum character-code pixels over the first
+    * 25·⌊n/25⌋ chars; WAV checksums expanded codewords over all chars.
+    */
+  val m09Oracle: String =
+    """WITH cp AS (
+      |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS fmt,
+      |    [unicode(ch) for ch in regexp_split_to_array(text, '')] AS acs,
+      |    strlen(text) AS n
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, fmt,
+      |    CASE WHEN fmt = 3 THEN acs ELSE acs[1 : 25 * (n // 25)] END AS cs
+      |  FROM cp)
+      |SELECT doc_id,
+      |  CASE fmt WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+      |    WHEN 2 THEN 'image/gif' ELSE 'audio/wav' END AS format,
+      |  CAST(len(cs) AS INT) AS n_units,
+      |  CAST(COALESCE(list_sum([i * (CASE WHEN fmt = 3
+      |    THEN ((cs[i] % 16) * 8 + 132) * (1 << (cs[i] // 16)) - 132
+      |    ELSE cs[i] END) for i in range(1, len(cs) + 1)]), 0) AS BIGINT)
+      |    AS pos_checksum
+      |FROM x ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
@@ -609,5 +761,6 @@ object Multimodal {
     "m06_video_frames"        -> ((m06VideoFrames _, m06Oracle)),
     "m07_png_pixels"          -> ((m07PngPixels _, m07Oracle)),
     "m08_gif_pixels"          -> ((m08GifPixels _, m08Oracle)),
+    "m09_binary_ingest"       -> ((m09BinaryIngest _, m09Oracle)),
   )
 }

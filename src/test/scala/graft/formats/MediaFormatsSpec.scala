@@ -389,3 +389,21 @@ class AviSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](vm.frame(0))
   }
 }
+
+/** Magic-byte container sniffing (the m09 ingest dispatch). */
+class SniffSpec extends AnyFunSuite {
+  test("every codec's output sniffs to its own tag; foreign bytes don't") {
+    val rgb = Array.fill[Byte](8 * 8 * 3)(77)
+    assert(Media.sniff(Media.Bmp.encode(8, 8, rgb)) == "image/bmp")
+    assert(Media.sniff(Png.encode(8, 8, rgb)) == "image/png")
+    assert(Media.sniff(Gif.encodeGray(8, 8, Array.fill[Byte](64)(5))) == "image/gif")
+    assert(Media.sniff(Jpeg.encode(8, 8, rgb, 50, grayscale = true)) == "image/jpeg")
+    assert(Media.sniff(Media.Wav.encode(8000, Array(1, 2, 3))) == "audio/wav")
+    assert(Media.sniff(Media.Wav.encodeCompanded(8000, Array(0), mulaw = true)) == "audio/wav")
+    assert(Media.sniff(Media.Avi.encode(8, 8, 40000,
+      Seq(Jpeg.encode(8, 8, rgb, 50, grayscale = true)))) == "video/x-msvideo")
+    assert(Media.sniff(Array[Byte]()) == "unknown")
+    assert(Media.sniff("RIFF1234ABCD".getBytes) == "unknown")
+    assert(Media.sniff(Array[Byte](0x89.toByte, 'P', 'N')) == "unknown")
+  }
+}
