@@ -703,8 +703,15 @@ object Multimodal {
       java.nio.file.Files.write(marker.toPath, markerWant.getBytes); ()
     }
 
-    // the REAL ingestion read: Spark's binaryFile source over the dir
-    val bin = spark.read.format("binaryFile").load(dir.getAbsolutePath + "/doc-*.bin")
+    // the REAL ingestion read: Spark's binaryFile source over the dir.
+    // Load the DIRECTORY with pathGlobFilter rather than a `doc-*.bin`
+    // glob: a glob expands to one ROOT PATH PER FILE before listing, and
+    // the planner then stats every root individually (a 5000-task listing
+    // job here; per-key LIST calls against object storage at fleet
+    // scale). One directory root + filter = one listStatus per directory.
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc-*.bin")
+      .load(dir.getAbsolutePath)
       .select(
         regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
         col("content"))
