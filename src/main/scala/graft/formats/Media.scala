@@ -37,6 +37,7 @@ object Media {
     else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && at(1, "PNG")) "image/png"
     else if (at(0, "GIF8")) "image/gif"
     else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (at(0, "fLaC")) "audio/flac"
     else if (at(0, "RIFF") && at(8, "WAVE")) "audio/wav"
     else if (at(0, "RIFF") && at(8, "AVI ")) "video/x-msvideo"
     else "unknown"

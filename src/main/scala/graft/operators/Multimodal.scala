@@ -777,6 +777,71 @@ object Multimodal {
       |    AS pos_checksum
       |FROM x ORDER BY doc_id""".stripMargin
 
+  case class FlacSamples(doc_id: Long, n_samples: Int, sum_samples: Long, pos_checksum: Long)
+
+  /** m10: LOSSLESS compressed audio — FLAC ([[graft.formats.Flac]]:
+    * linear prediction + Rice-coded residuals, the third entropy-coding
+    * family after DCT/deflate/LZW). Each document fabricates a STEREO
+    * stream from its characters (left an affine map of the char code,
+    * right = left minus a small char-derived delta — the shape that
+    * makes the encoder's per-frame stereo-mode search pick a
+    * decorrelated assignment), so the decode path exercises prediction,
+    * Rice, and mid/side reconstruction per row. FLAC is lossless, so
+    * the DuckDB oracle replays exact sums from the text with no
+    * exactness construction; the codec's CRC-8/CRC-16/MD5 checks run on
+    * every row, making the gate ALSO a per-document integrity audit.
+    */
+  def m10FlacSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val pcm = new Array[Int](text.length * 2)
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i).toInt % 256
+          val left = c * 199 - 25000
+          pcm(2 * i) = left
+          pcm(2 * i + 1) = left - (c % 64 - 32)
+          i += 1
+        }
+        MediaRow(id, graft.formats.Flac.encode(16000, 2, 16, pcm), "audio/flac", 0, 0)
+      }
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(Media.sniff(r.payload) == "audio/flac", "m10: fixture failed the sniff")
+        val st = graft.formats.Flac.decode(r.payload)
+        val s = st.samples
+        var sum = 0L; var chk = 0L
+        var i = 0
+        while (i < s.length / 2) {
+          val left = s(2 * i); val right = s(2 * i + 1)
+          sum += left + right
+          chk += (i + 1).toLong * (left + 2L * right)
+          i += 1
+        }
+        FlacSamples(r.doc_id, s.length / 2, sum, chk)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** left = (c%256)*199 - 25000; right = left - (c%64 - 32); the oracle
+    * replays both channels from the text because FLAC is lossless.
+    */
+  val m10Oracle: String =
+    """WITH cp AS (
+      |  SELECT doc_id,
+      |    [unicode(ch) % 256 for ch in regexp_split_to_array(text, '')] AS cs
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(cs) AS INT) AS n_samples,
+      |  CAST(COALESCE(list_sum(
+      |    [2 * (x * 199 - 25000) - (x % 64 - 32) for x in cs]), 0) AS BIGINT)
+      |    AS sum_samples,
+      |  CAST(COALESCE(list_sum(
+      |    [i * (3 * (cs[i] * 199 - 25000) - 2 * (cs[i] % 64 - 32))
+      |     for i in range(1, len(cs) + 1)]), 0) AS BIGINT) AS pos_checksum
+      |FROM cp ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
@@ -787,5 +852,6 @@ object Multimodal {
     "m07_png_pixels"          -> ((m07PngPixels _, m07Oracle)),
     "m08_gif_pixels"          -> ((m08GifPixels _, m08Oracle)),
     "m09_binary_ingest"       -> ((m09BinaryIngest _, m09Oracle)),
+    "m10_flac_samples"        -> ((m10FlacSamples _, m10Oracle)),
   )
 }
