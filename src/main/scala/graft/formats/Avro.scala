@@ -343,6 +343,30 @@ object Avro {
   final case class Container(schemaJson: String, meta: Map[String, Array[Byte]],
       records: Seq[Map[String, Any]])
 
+  /** Header-only probe: the writer schema without decoding any block —
+    * what a schema discovery step pays per file (header bytes, not the
+    * container).
+    */
+  def readSchemaJson(bytes: Array[Byte]): String = {
+    val in = new Reader(bytes, 0)
+    require(in.readBytes(4).sameElements(Magic), "not an Avro object container (bad magic)")
+    var n = in.readLong()
+    var schema: String = null
+    while (n != 0L) {
+      if (n < 0) { n = -n; in.readLong(); () }
+      var i = 0L
+      while (i < n) {
+        val k = readValue(in, AString).asInstanceOf[String]
+        val v = in.readBytes(in.readLong().toInt)
+        if (k == "avro.schema") schema = new String(v, StandardCharsets.UTF_8)
+        i += 1
+      }
+      n = in.readLong()
+    }
+    require(schema != null, "container missing avro.schema")
+    schema
+  }
+
   def readContainer(bytes: Array[Byte]): Container = {
     val in = new Reader(bytes, 0)
     require(in.readBytes(4).sameElements(Magic), "not an Avro object container (bad magic)")

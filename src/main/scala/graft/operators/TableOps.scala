@@ -403,9 +403,133 @@ object TableOps {
       |           'o_totalprice':'DECIMAL(12,2)','o_orderpriority':'VARCHAR'})
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Reusable staged fixture: `build` runs once per (sfDir, version),
+    * marker-gated, exactly the m09 reuse shape — repeated gate/bench runs
+    * pay the read, not the rewrite.
+    */
+  private def stagedFixture(dir: java.io.File, key: String)(build: => Unit): Unit = {
+    val marker = new java.io.File(dir, "_GRAFT_FIXTURE")
+    val fresh = !(marker.exists() &&
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath)))
+        .toOption.contains(key))
+    if (fresh) {
+      if (dir.exists()) {
+        def wipe(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+        }
+        wipe(dir)
+      }
+      dir.mkdirs()
+      build
+      java.nio.file.Files.write(marker.toPath, key.getBytes); ()
+    }
+  }
+
+  /** t53: AVRO ingestion — Spark's own `avro` format is an external
+    * module this environment doesn't ship, so an Avro corpus enters the
+    * engine through [[graft.sources.GraftAvro]] riding the from-scratch
+    * [[graft.formats.Avro]] codec (the same one the Iceberg manifest
+    * interop referees against Apache Avro). Fixture: a deterministic
+    * orders subset widened to exercise the whole type envelope — long,
+    * string, boolean, a NULLABLE string (the [null, T] union), an array
+    * column, and raw doubles — written DISTRIBUTED (one container per
+    * partition chunk, executors write), read back through the
+    * one-root-path `binaryFile` listing + parallel per-file decode.
+    * Aggregates stick to order-independent exactness: counts, long sums,
+    * double min/max (never double sums — IEEE order drift would poison
+    * the oracle hash).
+    */
+  def t53AvroExternal(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = new java.io.File(
+      s"/tmp/graft_avro_stage/${new java.io.File(sfDir).getName}")
+    def src = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_custkey"),
+        col("o_totalprice"),
+        (col("o_orderkey") % 2 === 0).as("even"),
+        when(col("o_orderkey") % 2 === 0, col("o_orderstatus")).as("status_even"),
+        split(col("o_orderpriority"), "-").as("prio_parts"))
+    stagedFixture(stage, s"$sfDir:avro:v1") {
+      val files = graft.sources.GraftAvro.write(
+        src.repartition(8), stage.getAbsolutePath)
+      require(files > 0, "avro stage produced no files")
+    }
+    val back = graft.sources.GraftAvro.read(spark, stage.getAbsolutePath)
+    back.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("sum_cust"),
+        count(col("status_even")).as("n_even_status"),
+        sum(size(col("prio_parts")).cast("long")).as("n_parts"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val t53Oracle: String =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice,
+      |    (o_orderkey % 2 = 0) AS even,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END AS status_even,
+      |    string_split(o_orderpriority, '-') AS prio_parts
+      |  FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(COUNT(status_even) AS BIGINT) AS n_even_status,
+      |  CAST(SUM(len(prio_parts)) AS BIGINT) AS n_parts,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price
+      |FROM src GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** t54: ORC ingestion — the third columnar lake format, through
+    * Spark's BUILT-IN orc source (unlike avro, the jars ship). The gate
+    * pins the full external-table flow: stage a deterministic lineitem
+    * subset as ORC (distributed write, marker-cached), read it back with
+    * a filter + projection that must reach the ORC reader as
+    * PushedFilters/ReadSchema (plan-pinned in TableOpsSpec), aggregate
+    * with order-independent exactness.
+    */
+  def t54OrcExternal(spark: SparkSession, sfDir: String): DataFrame = {
+    val stage = new java.io.File(
+      s"/tmp/graft_orc_stage/${new java.io.File(sfDir).getName}")
+    stagedFixture(stage, s"$sfDir:orc:v1") {
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+        .repartition(4)
+        .write.mode("overwrite").orc(stage.getAbsolutePath + "/lineitem")
+    }
+    spark.read.orc(stage.getAbsolutePath + "/lineitem")
+      .filter(col("l_returnflag") =!= "R")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_linenumber").cast("long")).as("sum_line"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val t54Oracle: String =
+    """SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem
+      |WHERE l_orderkey % 5 = 0 AND l_returnflag <> 'R'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t16_sql_facade"           -> ((t16SqlFacade _, t16Oracle)),
     "t29_csv_external"         -> ((t29CsvExternal _, t29Oracle)),
+    "t53_avro_external"        -> ((t53AvroExternal _, t53Oracle)),
+    "t54_orc_external"         -> ((t54OrcExternal _, t54Oracle)),
     "t15_merge_on_read"        -> ((t15MergeOnRead _, t15Oracle)),
     "t01_ctas_import"          -> ((t01Ctas _, t01Oracle)),
     "t02_inplace_migrate"      -> ((t02Migrate _, t02Oracle)),
