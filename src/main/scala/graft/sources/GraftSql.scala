@@ -769,6 +769,31 @@ class GraftSql(val spark: SparkSession, warehouse: String,
         .option("header", header).option("sep", delim).csv(loc)
       return status("create-external", name)
     }
+    // STORED AS AVRO / ORC externals: the t53/t54 sources behind the same
+    // SQL surface as TEXTFILE staging; both re-scan the location on every
+    // reference (external semantics — the files are the truth)
+    if (isExternal && format.exists(f => f.contains("AVRO") || f.contains("ORC"))) {
+      val fmt = format.get
+      val loc = location.getOrElse(
+        throw new IllegalArgumentException(s"STORED AS $fmt needs LOCATION"))
+      val declared = cols.map(StructType.fromDDL)
+      if (fmt.contains("AVRO"))
+        // self-describing: schema comes from the container headers;
+        // declared columns, if any, are validated at read against it
+        externals(name) = () => {
+          val df = GraftAvro.read(spark, loc)
+          declared.foreach(want => require(df.schema == want,
+            s"$name: avro files carry ${df.schema.toDDL}, declared ${want.toDDL}"))
+          df
+        }
+      else
+        externals(name) = () =>
+          declared.map(spark.read.schema(_).orc(loc)).getOrElse(spark.read.orc(loc))
+      return status("create-external", name)
+    }
+    require(!format.exists(f => f.contains("AVRO") || f.contains("ORC")),
+      s"STORED AS ${format.get} is supported for EXTERNAL tables with LOCATION only " +
+        "(managed graft tables store parquet)")
     val t = select match {
       case Some(sel) =>
         GraftTable.createAs(spark, s"$warehouse/$name", runSelect(sel), spec, props)
