@@ -61,6 +61,19 @@ object Avro {
   final case class AMap(values: Schema) extends Schema
   final case class AUnion(branches: IndexedSeq[Schema]) extends Schema
 
+  /** A recognized logical-type annotation over its underlying physical
+    * type (Avro spec §Logical Types): `decimal` (bytes/fixed two's-
+    * complement big-endian unscaled value), `date` (int days since
+    * epoch), `timestamp-millis`/`timestamp-micros` (long since epoch
+    * UTC). The codec stays BYTE-level — read/write delegate straight to
+    * `underlying` and values are the underlying representation — the
+    * annotation only surfaces so a source layer (GraftAvro) can map
+    * values; unrecognized logical types keep the r13 behavior (ignored,
+    * bare underlying type).
+    */
+  final case class ALogical(logical: String, precision: Int, scale: Int,
+      underlying: Schema) extends Schema
+
   private val mapper = new ObjectMapper()
 
   /** Parse an Avro JSON schema (the container's `avro.schema` metadata).
@@ -71,6 +84,27 @@ object Avro {
     */
   def parseSchema(json: String): Schema =
     parseNode(mapper.readTree(json), scala.collection.mutable.Map.empty)
+
+  /** The logical types the AST surfaces, each with its legal underlying
+    * physical type(s); anything else stays an ignored annotation.
+    */
+  private def wrapLogical(n: JsonNode, base: Schema): Schema = {
+    val lt = n.get("logicalType")
+    if (lt == null) return base
+    (lt.asText(), base) match {
+      case ("decimal", ABytes | _: AFixed) =>
+        val p = n.get("precision")
+        require(p != null, "decimal logical type requires precision")
+        val s = Option(n.get("scale")).map(_.asInt()).getOrElse(0)
+        ALogical("decimal", p.asInt(), s, base)
+      case ("date", AInt) => ALogical("date", 0, 0, base)
+      case ("timestamp-millis", ALong) => ALogical("timestamp-millis", 0, 0, base)
+      case ("timestamp-micros", ALong) => ALogical("timestamp-micros", 0, 0, base)
+      case ("local-timestamp-millis", ALong) => ALogical("local-timestamp-millis", 0, 0, base)
+      case ("local-timestamp-micros", ALong) => ALogical("local-timestamp-micros", 0, 0, base)
+      case _ => base // unknown annotation (or wrong underlying): bytes rule
+    }
+  }
 
   private def parseNode(n: JsonNode,
       named: scala.collection.mutable.Map[String, Schema]): Schema = {
@@ -92,13 +126,14 @@ object Avro {
       case "map"   => AMap(parseNode(n.get("values"), named))
       case "fixed" =>
         val f = AFixed(n.get("name").asText(), n.get("size").asInt())
-        named(f.name) = f; f
+        named(f.name) = f
+        wrapLogical(n, f) // named back-refs resolve to the bare fixed
       case "enum" =>
         val ss = IndexedSeq.newBuilder[String]
         n.get("symbols").forEach(s => ss += s.asText())
         val e = AEnum(n.get("name").asText(), ss.result())
         named(e.name) = e; e
-      case prim => primitiveOrRef(prim, named)
+      case prim => wrapLogical(n, primitiveOrRef(prim, named))
     }
   }
 
@@ -140,6 +175,11 @@ object Avro {
       (z >>> 1) ^ -(z & 1)
     }
     def readBytes(n: Int): Array[Byte] = {
+      // an explicit bounds check (copyOfRange would zero-PAD past the end,
+      // letting a truncated buffer parse as zeros): corrupt/truncated data
+      // fails loudly here, and the GraftAvro header probe retries with a
+      // longer prefix on exactly this failure
+      require(n >= 0 && n <= buf.length - pos, "truncated or corrupt Avro data")
       val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
     }
     def remaining: Int = buf.length - pos
@@ -147,6 +187,7 @@ object Avro {
 
   private def writeValue(out: ByteArrayOutputStream, s: Schema, v: Any): Unit =
     (s, v) match {
+      case (ALogical(_, _, _, u), x) => writeValue(out, u, x)
       case (ANull, _)          => ()
       case (ABoolean, b: Boolean) => out.write(if (b) 1 else 0)
       case (AInt, i: Int)      => writeLong(out, i.toLong)
@@ -201,20 +242,26 @@ object Avro {
     * unions are all two-branch `[null, T]`, so this never guesses.
     */
   private def branchOf(branches: IndexedSeq[Schema], v: Any): Int = {
+    // a [null, logical-T] union carries the logical's UNDERLYING value,
+    // so branch dispatch matches through the annotation
+    def base(s: Schema): Schema = s match {
+      case ALogical(_, _, _, u) => u
+      case other => other
+    }
     val i = v match {
-      case null            => branches.indexOf(ANull)
-      case _: Boolean      => branches.indexOf(ABoolean)
-      case _: Int          => branches.indexWhere(b => b == AInt || b == ALong)
-      case _: Long         => branches.indexOf(ALong)
-      case _: Float        => branches.indexOf(AFloat)
-      case _: Double       => branches.indexOf(ADouble)
-      case _: String       => branches.indexWhere {
-        case AString | _: AEnum => true; case _ => false }
-      case _: Array[Byte]  => branches.indexWhere {
-        case ABytes | _: AFixed => true; case _ => false }
-      case _: Map[_, _]    => branches.indexWhere {
-        case _: ARecord | _: AMap => true; case _ => false }
-      case _: Seq[_]       => branches.indexWhere(_.isInstanceOf[AArray])
+      case null            => branches.indexWhere(base(_) == ANull)
+      case _: Boolean      => branches.indexWhere(base(_) == ABoolean)
+      case _: Int          => branches.indexWhere(b => base(b) == AInt || base(b) == ALong)
+      case _: Long         => branches.indexWhere(base(_) == ALong)
+      case _: Float        => branches.indexWhere(base(_) == AFloat)
+      case _: Double       => branches.indexWhere(base(_) == ADouble)
+      case _: String       => branches.indexWhere(b => base(b) match {
+        case AString | _: AEnum => true; case _ => false })
+      case _: Array[Byte]  => branches.indexWhere(b => base(b) match {
+        case ABytes | _: AFixed => true; case _ => false })
+      case _: Map[_, _]    => branches.indexWhere(b => base(b) match {
+        case _: ARecord | _: AMap => true; case _ => false })
+      case _: Seq[_]       => branches.indexWhere(base(_).isInstanceOf[AArray])
       case _ => -1
     }
     require(i >= 0, s"no union branch in $branches for value $v")
@@ -222,6 +269,7 @@ object Avro {
   }
 
   def readValue(in: Reader, s: Schema): Any = s match {
+    case ALogical(_, _, _, u) => readValue(in, u)
     case ANull    => null
     case ABoolean => in.readByte() != 0
     case AInt     => in.readLong().toInt

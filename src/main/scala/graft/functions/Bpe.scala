@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merge-rule byte-pair encoding (x19) — the REAL BPE the x17 greedy
+  * longest-match stood in for. Two halves, both against the public
+  * algorithm (Sennrich et al. 2016; the encoder uses the rank-priority
+  * merge order modern BPE tokenizers apply):
+  *
+  *  - [[BpeTrainer]]: learn merge rules from a word-frequency table —
+  *    count adjacent symbol pairs weighted by word frequency, merge the
+  *    most frequent pair everywhere (ties broken lexicographically so
+  *    training is deterministic on any engine), repeat.
+  *  - [[BpeVocab]]: apply the SHIPPED rules
+  *    (`resources/graft/bpe_merges.txt`, trained once on a bounded
+  *    sample — see BpeTrain's scaladoc for the exact invocation) by
+  *    rank priority: repeatedly merge the LOWEST-ranked adjacent pair,
+  *    leftmost on ties, one merge per step, until no rule applies.
+  *
+  * The rank-priority encoder is deliberately chosen over "replay the
+  * training merges in order" because it is per-word deterministic, O(L²)
+  * bounded, and expressible in plain SQL: the x19 oracle replays it in a
+  * DuckDB recursive CTE (rank list → `list_min` → leftmost
+  * `list_position` → slice-merge) per DISTINCT word, so the gate
+  * hash-checks real BPE token accounting end to end. Whitespace
+  * separates (the RE2 `\s` class every text gate uses) and is free;
+  * any character is a base symbol (single CODE POINT — DuckDB `substr`
+  * indexes code points, so the two engines agree on non-ASCII), which is
+  * the char-fallback property that makes BPE total.
+  */
+object BpeVocab {
+
+  /** Merge rules in rank order, from the shipped resource: one
+    * `left right` pair per line, comments/blanks dropped.
+    */
+  lazy val merges: IndexedSeq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "shipped BPE merges resource missing")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val i = l.indexOf(' ')
+          require(i > 0 && i < l.length - 1, s"malformed merge rule: '$l'")
+          (l.substring(0, i), l.substring(i + 1))
+        }.toIndexedSeq
+    } finally in.close()
+  }
+
+  lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** ASCII whitespace = RE2 `\s` (the [[SubwordVocab]] contract: space,
+    * tab, LF, FF, CR — never VT, which Java's `\s` would include but
+    * the oracle's RE2 `\s` does not).
+    */
+  @inline private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** BPE token count of one word (no whitespace inside): start from
+    * single code points, repeatedly merge the lowest-ranked adjacent
+    * pair (leftmost on ties) until none has a rank.
+    */
+  def encodeCount(word: String): Int = encodeCount(word, rank)
+
+  /** Same, under an explicit rank table (spec injection point). */
+  def encodeCount(word: String, rank: Map[(String, String), Int]): Int = {
+    // split to code points
+    var n = 0
+    var i = 0
+    while (i < word.length) { n += 1; i += Character.charCount(word.codePointAt(i)) }
+    if (n <= 1) return n
+    val syms = new Array[String](n)
+    i = 0; var k = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      syms(k) = word.substring(i, i + cc)
+      k += 1; i += cc
+    }
+    var len = n
+    var continue = true
+    while (continue && len > 1) {
+      var best = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < len - 1) {
+        val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) continue = false
+      else {
+        syms(bestPos) = syms(bestPos) + syms(bestPos + 1)
+        var m = bestPos + 1
+        while (m < len - 1) { syms(m) = syms(m + 1); m += 1 }
+        len -= 1
+      }
+    }
+    len
+  }
+
+  // words repeat massively in a corpus: memoize per-word counts. The
+  // cache is cleared (not LRU-evicted) at the cap — bounded memory on
+  // any executor, amortized O(1) on real text.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val MemoCap = 1 << 16
+
+  /** Whole-text BPE token count; called from codegen. */
+  def count(s: UTF8String): Long = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    var total = 0L
+    var pos = 0
+    val len = str.length
+    while (pos < len) {
+      if (isAsciiWs(str.charAt(pos))) pos += 1
+      else {
+        var end = pos
+        while (end < len && !isAsciiWs(str.charAt(end))) end += 1
+        val w = str.substring(pos, end)
+        var c = memo.get(w)
+        if (c == null) {
+          if (memo.size() >= MemoCap) memo.clear()
+          c = Integer.valueOf(encodeCount(w))
+          memo.put(w, c)
+        }
+        total += c.intValue()
+        pos = end
+      }
+    }
+    total
+  }
+}
+
+/** Learn BPE merge rules from a word-frequency table — the classic
+  * algorithm: count adjacent symbol pairs across all words (weighted by
+  * word frequency), merge the most frequent pair in every word
+  * (left-to-right, non-overlapping), repeat. Deterministic by
+  * construction: ties break on the lexicographically smallest (left,
+  * right) pair, independent of hash-map iteration order; training stops
+  * at `numMerges` rules or when no pair occurs at least twice.
+  */
+object BpeTrainer {
+
+  def train(wordFreq: Seq[(String, Long)], numMerges: Int): IndexedSeq[(String, String)] = {
+    // words as symbol arrays (code points), paired with their frequency
+    var words: Array[(Array[String], Long)] = wordFreq.iterator.map { case (w, f) =>
+      val b = IndexedSeq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc)
+        i += cc
+      }
+      (b.result().toArray, f)
+    }.toArray
+    val out = IndexedSeq.newBuilder[(String, String)]
+    var made = 0
+    var continue = true
+    while (continue && made < numMerges) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        // deterministic argmax: max frequency, then smallest (l, r)
+        var best: (String, String) = null
+        var bestF = 0L
+        counts.foreach { case (p, f) =>
+          if (f > bestF || (f == bestF && best != null &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestF = f
+          }
+        }
+        if (bestF < 2L) continue = false
+        else {
+          out += best
+          made += 1
+          words = words.map { case (syms, f) =>
+            if (syms.length < 2) (syms, f)
+            else {
+              val b = IndexedSeq.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+                  b += syms(j) + syms(j + 1); j += 2
+                } else { b += syms(j); j += 1 }
+              }
+              (b.result().toArray, f)
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+}
+
+/** BPE token count of a string under the shipped merge rules —
+  * rank-priority merge, codegen'd (a static JVM call inside whole-stage
+  * codegen, no UDF boxing).
+  */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_tokens"
+  override def nullSafeEval(input: Any): Any =
+    BpeVocab.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bv = classOf[BpeVocab.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $bv.count($s);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}

@@ -50,6 +50,16 @@ object F {
   /** Greedy longest-match token count under the shipped subword vocab. */
   def subwordTokens(text: Column): Column = col(SubwordTokenCount(ex(text)))
 
+  /** Merge-rule BPE token count under the shipped trained merges. */
+  def bpeTokens(text: Column): Column = col(BpeTokenCount(ex(text)))
+
+  /** Markup-stripped, entity-decoded, line-normalized text of HTML. */
+  def htmlText(html: Column): Column = col(HtmlTextExtract(ex(html)))
+
+  /** Drop lines with fewer than `minWords` space-separated words. */
+  def keepLines(text: Column, minWords: Int): Column =
+    col(KeepLinesMinWords(ex(text), minWords))
+
   /** Sorted distinct rolling char-n-gram hashes of a string column. */
   def charShingles(text: Column, window: Int): Column =
     col(CharWindowHashes(ex(text), window))

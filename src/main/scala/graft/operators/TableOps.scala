@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.sources.Tables
 import graft.tables._
 import java.nio.file.Files
@@ -451,8 +451,17 @@ object TableOps {
         col("o_totalprice"),
         (col("o_orderkey") % 2 === 0).as("even"),
         when(col("o_orderkey") % 2 === 0, col("o_orderstatus")).as("status_even"),
-        split(col("o_orderpriority"), "-").as("prio_parts"))
-    stagedFixture(stage, s"$sfDir:avro:v1") {
+        split(col("o_orderpriority"), "-").as("prio_parts"),
+        // the Avro LOGICAL-TYPE envelope (r14): date built by tz-free day
+        // arithmetic (both engines agree bit-for-bit), the parquet
+        // timestamp column as-is (UTC micros through `timestamp-micros`),
+        // the price as decimal(18,2) unscaled bytes, and a string-keyed map
+        date_add(to_date(lit("1992-01-01")),
+          (col("o_orderkey") % 2557).cast("int")).as("o_date"),
+        col("o_orderdate").as("o_ts"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_dec"),
+        map(lit("cust"), col("o_custkey"), lit("ord"), col("o_orderkey")).as("o_tags"))
+    stagedFixture(stage, s"$sfDir:avro:v2-logical") {
       val files = graft.sources.GraftAvro.write(
         src.repartition(8), stage.getAbsolutePath)
       require(files > 0, "avro stage produced no files")
@@ -465,7 +474,16 @@ object TableOps {
         count(col("status_even")).as("n_even_status"),
         sum(size(col("prio_parts")).cast("long")).as("n_parts"),
         min(col("o_totalprice")).as("min_price"),
-        max(col("o_totalprice")).as("max_price"))
+        max(col("o_totalprice")).as("max_price"),
+        // rendered as strings: pandas materializes a Spark DATE as
+        // datetime.date but a DuckDB DATE as datetime64 — same value,
+        // different dtype, and the driver's compare is dtype-sensitive
+        date_format(min(col("o_date")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_date")), "yyyy-MM-dd").as("max_date"),
+        min(col("o_ts")).as("min_ts"),
+        max(col("o_ts")).as("max_ts"),
+        sum(col("o_dec")).cast("double").as("sum_dec"),
+        sum(element_at(col("o_tags"), lit("cust"))).as("sum_tag_cust"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -474,14 +492,23 @@ object TableOps {
       |  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice,
       |    (o_orderkey % 2 = 0) AS even,
       |    CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END AS status_even,
-      |    string_split(o_orderpriority, '-') AS prio_parts
+      |    string_split(o_orderpriority, '-') AS prio_parts,
+      |    DATE '1992-01-01' + CAST(o_orderkey % 2557 AS INT) AS o_date,
+      |    o_orderdate AS o_ts,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_dec
       |  FROM orders WHERE o_orderkey % 3 = 0)
       |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
       |  CAST(COUNT(status_even) AS BIGINT) AS n_even_status,
       |  CAST(SUM(len(prio_parts)) AS BIGINT) AS n_parts,
       |  MIN(o_totalprice) AS min_price,
-      |  MAX(o_totalprice) AS max_price
+      |  MAX(o_totalprice) AS max_price,
+      |  strftime(MIN(o_date), '%Y-%m-%d') AS min_date,
+      |  strftime(MAX(o_date), '%Y-%m-%d') AS max_date,
+      |  MIN(o_ts) AS min_ts,
+      |  MAX(o_ts) AS max_ts,
+      |  CAST(SUM(o_dec) AS DOUBLE) AS sum_dec,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_tag_cust
       |FROM src GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** t54: ORC ingestion — the third columnar lake format, through

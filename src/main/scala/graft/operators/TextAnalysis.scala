@@ -856,6 +856,147 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x19
+
+  /** x19: merge-rule BPE token accounting — the real-BPE upgrade over
+    * x17's greedy longest-match (VERDICT r13 #5). The shipped rules
+    * ([[graft.functions.BpeVocab]], trained on a bounded sample by
+    * `graft.BpeTrain`) apply by RANK PRIORITY — repeatedly merge the
+    * lowest-ranked adjacent symbol pair, leftmost on ties — as one
+    * codegen'd expression; per-row, shuffle-free, memoized per word on
+    * each executor. The oracle replays the identical procedure in a
+    * DuckDB recursive CTE per DISTINCT word (rank list → `list_min` →
+    * leftmost `list_position` → slice-merge), with the merge table
+    * GENERATED from BpeVocab itself so the two sides cannot drift;
+    * independent-reimplementation + hand-case pins live in BpeSpec.
+    */
+  def x19BpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.F.bpeTokens(col("text")).as("tokens_bpe"),
+        size(words(col("text"))).cast("long").as("n_words"))
+      .orderBy(col("doc_id"))
+
+  val x19Oracle: String = {
+    val merges = graft.functions.BpeVocab.merges
+    require(merges.forall { case (l, r) => !l.contains("|") && !r.contains("|") },
+      "oracle pair keys join on '|': a trained symbol containing it would be ambiguous")
+    val pairs = merges
+      .map { case (l, r) => "'" + (l + "|" + r).replace("'", "''") + "'" }
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, lower(text) AS t, text FROM documents),
+       |words AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\\s+')) AS w FROM docs),
+       |uw AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+       |enc AS (
+       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)] AS syms
+       |  FROM uw),
+       |steps(w, syms) AS (
+       |  SELECT w, syms FROM enc
+       |  UNION ALL
+       |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:len(syms)]
+       |  FROM (
+       |    SELECT w, syms, list_position(rks, list_min(rks)) AS p, list_min(rks) AS best
+       |    FROM (
+       |      SELECT w, syms,
+       |        [coalesce(nullif(list_position($pairs,
+       |           syms[CAST(x AS INT)] || '|' || syms[CAST(x AS INT)+1]), 0), 1000000)
+       |         FOR x IN range(1, len(syms))] AS rks
+       |      FROM steps WHERE len(syms) > 1)
+       |  ) WHERE best < 1000000),
+       |wtok AS (SELECT w, MIN(len(syms)) AS n_tok FROM steps GROUP BY w),
+       |per_doc AS (
+       |  SELECT w2.doc_id, SUM(wt.n_tok) AS tokens_bpe
+       |  FROM (SELECT doc_id, w FROM words WHERE w <> '') w2
+       |  JOIN wtok wt USING (w) GROUP BY w2.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(p.tokens_bpe, 0) AS BIGINT) AS tokens_bpe,
+       |  CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_words
+       |FROM docs d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- x20
+
+  /** x20: HTML → text extraction + boilerplate-line removal — the
+    * CommonCrawl step that runs BEFORE every filter in this section
+    * (VERDICT r13 #6). Markup strip, entity decode and line
+    * normalization are ONE codegen'd pass per document
+    * ([[graft.functions.HtmlTextExtract]]); the C4-style line filter
+    * (keep lines with ≥ 5 words) is a second codegen'd expression
+    * ([[graft.functions.KeepLinesMinWords]]) — per-row, shuffle-free, no
+    * regex cascade in the hot path. The gate PLANTS deterministic
+    * markup around every document (nav/script/style/footer boilerplate,
+    * comments, the six named entities, a short call-to-action line) with
+    * the SAME concat in both engines, and the oracle must reproduce the
+    * extracted and filtered text STRING-identically via the declared
+    * regex-chain semantics; hostile-input equivalence to an independent
+    * regex-chain reimplementation is pinned in HtmlSpec.
+    */
+  def x20HtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title><style>p{color:red}</style></head><body>"),
+      lit("<nav><a href=\"#\">home</a> | <a href=\"#\">about</a> | <a href=\"#\">contact</a></nav>"),
+      lit("<!-- rendered for doc "), col("doc_id"), lit(" -->"),
+      lit("<h1>document "), col("doc_id"), lit(" &amp; friends</h1>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<p>click here to subscribe</p>"),
+      lit("<script>var t = 1 < 2 && \"x\";</script>"),
+      lit("<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &lt;em&gt; ok then</p>"),
+      lit("<footer>copyright 2026 example corp</footer></body></html>"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.F.htmlText(html).as("body"))
+      .withColumn("kept", graft.functions.F.keepLines(col("body"), 5))
+      .select(
+        col("doc_id"), col("body"), col("kept"),
+        size(split(col("body"), "\n")).cast("long").as("n_lines"),
+        size(split(col("kept"), "\n")).cast("long").as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x20Oracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>p{color:red}</style></head><body>' ||
+      |    '<nav><a href="#">home</a> | <a href="#">about</a> | <a href="#">contact</a></nav>' ||
+      |    '<!-- rendered for doc ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+      |    '<h1>document ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</h1>' ||
+      |    '<p>' || text || '</p>' ||
+      |    '<p>click here to subscribe</p>' ||
+      |    '<script>var t = 1 < 2 && "x";</script>' ||
+      |    '<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &lt;em&gt; ok then</p>' ||
+      |    '<footer>copyright 2026 example corp</footer></body></html>' AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', '', 'gs') AS x FROM h),
+      |s2 AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      x, '<script[^>]*>.*?</script[^>]*>', '', 'gis'),
+      |         '<style[^>]*>.*?</style[^>]*>', '', 'gis'),
+      |         '<head[^>]*>.*?</head[^>]*>', '', 'gis'),
+      |         '<nav[^>]*>.*?</nav[^>]*>', '', 'gis'),
+      |         '<footer[^>]*>.*?</footer[^>]*>', '', 'gis') AS x FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', chr(10), 'g') AS x FROM s2),
+      |s4 AS (SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(
+      |      x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |         '&nbsp;', ' '), '&amp;', '&') AS x FROM s3),
+      |ex AS (SELECT doc_id,
+      |    array_to_string(
+      |      list_filter([trim(regexp_replace(l, '[ \t\f\r]+', ' ', 'g'))
+      |                   FOR l IN string_split(x, chr(10))], l -> l <> ''),
+      |      chr(10)) AS body FROM s4),
+      |k AS (SELECT doc_id, body,
+      |    array_to_string(
+      |      list_filter(string_split(body, chr(10)),
+      |                  l -> len(string_split(l, ' ')) >= 5),
+      |      chr(10)) AS kept FROM ex)
+      |SELECT doc_id, body, kept,
+      |  CAST(len(string_split(body, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(string_split(kept, chr(10))) AS BIGINT) AS n_kept
+      |FROM k ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- p04
 
   /** p04: deterministic SHARDED epoch shuffle — the step that turns a
@@ -943,6 +1084,8 @@ object TextAnalysis {
     "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),
     "p04_epoch_shuffle"  -> ((p04EpochShuffle _, p04Oracle)),
     "x17_subword_tokens" -> ((x17SubwordTokens _, x17Oracle)),
+    "x19_bpe_tokens"     -> ((x19BpeTokens _, x19Oracle)),
+    "x20_html_extract"   -> ((x20HtmlExtract _, x20Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
     "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),

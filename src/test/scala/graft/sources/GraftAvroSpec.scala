@@ -131,12 +131,148 @@ class GraftAvroSpec extends SparkSpec {
     assert(rows(7).getSeq[Int](2) == Seq(7, 8))
   }
 
-  test("envelope refusals: decimal/timestamp columns, mixed-schema dir, empty dir") {
-    val dec = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")
-    val e1 = intercept[IllegalArgumentException](GraftAvro.write(dec, tmp()))
-    assert(e1.getMessage.contains("unsupported type") && e1.getMessage.contains("$.d"))
-    val ts = spark.sql("SELECT TIMESTAMP '2026-01-01 00:00:00' AS t")
-    intercept[IllegalArgumentException](GraftAvro.write(ts, tmp()))
+  test("logical types round-trip: date / timestamp / decimal / map (r14)") {
+    val df = spark.sql(
+      """SELECT id,
+        |  DATE '1992-01-01' + CAST(id % 4000 AS INT) AS d,
+        |  TIMESTAMP '2024-03-01 06:30:15.123456' + make_interval(0,0,0,0,0,0, id) AS ts,
+        |  CAST(CAST(id AS STRING) || '.25' AS DECIMAL(18,2)) AS dec,
+        |  IF(id % 5 = 0, NULL, DATE '2000-06-01' + CAST(id AS INT)) AS d_null,
+        |  map('a', id, 'b', id * 2) AS m
+        |FROM range(0, 500) """.stripMargin)
+    val dir = tmp()
+    GraftAvro.write(df.repartition(3), dir, recordsPerFile = 100)
+    val back = GraftAvro.read(spark, dir)
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("dec").dataType == DecimalType(18, 2))
+    assert(back.schema("d_null").nullable)
+    assert(back.schema("m").dataType ==
+      MapType(StringType, LongType, valueContainsNull = false))
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("logical types referee: Apache Avro reads graft's annotations and values") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.LogicalTypes
+    val df = spark.sql(
+      """SELECT DATE '2020-02-29' AS d,
+        |  TIMESTAMP '2024-03-01 06:30:15.123456' AS ts,
+        |  CAST('12345.67' AS DECIMAL(12,2)) AS dec""".stripMargin)
+    val dir = tmp()
+    GraftAvro.write(df, dir)
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val rd = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(file.toPath)),
+      new GenericDatumReader[GenericRecord]())
+    val sch = rd.getSchema
+    // a nullable Spark column rides a [null, T] union: annotations live on T
+    def nn(s: org.apache.avro.Schema): org.apache.avro.Schema =
+      if (s.getType == org.apache.avro.Schema.Type.UNION)
+        s.getTypes.stream.filter(_.getType != org.apache.avro.Schema.Type.NULL)
+          .findFirst.get
+      else s
+    assert(LogicalTypes.fromSchema(nn(sch.getField("d").schema())).getName == "date")
+    assert(LogicalTypes.fromSchema(nn(sch.getField("ts").schema())).getName == "timestamp-micros")
+    val decLt = LogicalTypes.fromSchema(nn(sch.getField("dec").schema()))
+      .asInstanceOf[LogicalTypes.Decimal]
+    assert(decLt.getPrecision == 12 && decLt.getScale == 2)
+    val r = rd.next(); rd.close()
+    // underlying wire values, exactly per spec
+    assert(r.get("d") == java.time.LocalDate.of(2020, 2, 29).toEpochDay.toInt)
+    val wantUs = java.time.LocalDateTime.of(2024, 3, 1, 6, 30, 15, 123456000)
+      .toInstant(java.time.ZoneOffset.UTC)
+    assert(r.get("ts") == wantUs.getEpochSecond * 1000000L + wantUs.getNano / 1000L)
+    val decBytes = r.get("dec").asInstanceOf[java.nio.ByteBuffer]
+    val arr = new Array[Byte](decBytes.remaining()); decBytes.get(arr)
+    assert(new java.math.BigInteger(arr) == java.math.BigInteger.valueOf(1234567L))
+  }
+
+  test("logical types referee: an Apache-written container maps to Spark types") {
+    import org.apache.avro.{Schema => ApacheSchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schemaJson =
+      """{"type":"record","name":"row","fields":[
+        |  {"name":"d","type":{"type":"int","logicalType":"date"}},
+        |  {"name":"tsm","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |  {"name":"dec","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":3}}
+        |]}""".stripMargin
+    val sch = new ApacheSchema.Parser().parse(schemaJson)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, out)
+    val r = new GenericData.Record(sch)
+    r.put("d", 19000) // 2022-01-08
+    r.put("tsm", 1700000000123L)
+    r.put("dec", java.nio.ByteBuffer.wrap(
+      java.math.BigInteger.valueOf(9876543L).toByteArray)) // 9876.543
+    w.append(r); w.close()
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "apache.avro"), out.toByteArray)
+    val back = GraftAvro.read(spark, dir)
+    assert(back.schema == StructType(Seq(
+      StructField("d", DateType, nullable = false),
+      StructField("tsm", TimestampType, nullable = false),
+      StructField("dec", DecimalType(10, 3), nullable = false))))
+    val row = back.collect().head
+    assert(row.getDate(0) == java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L)))
+    assert(row.getTimestamp(1) == new java.sql.Timestamp(1700000000123L))
+    assert(row.getDecimal(2) == new java.math.BigDecimal("9876.543"))
+  }
+
+  test("sink resolves dir through the Hadoop FileSystem (explicit file: URI)") {
+    val dir = "file://" + tmp()
+    val rows = (0 until 100).map(i => (i.toLong, s"v$i"))
+    val files = GraftAvro.write(rows.toDF("k", "v").repartition(2), dir)
+    assert(files == 2)
+    val back = GraftAvro.read(spark, dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == rows)
+  }
+
+  test("schema probe is header-only: a corrupt BODY doesn't stop it (O(header) pin)") {
+    val dir = tmp()
+    GraftAvro.write(Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderpriority").coalesce(1), dir)
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    assert(bytes.length > 4096, "fixture too small to distinguish header from body")
+    // trash everything past the first KB: the header (magic + meta map)
+    // survives, every data block is garbage — a probe that touched the
+    // body could not succeed, and a full read must now fail
+    java.util.Arrays.fill(bytes, 1024, bytes.length, 0x5A.toByte)
+    java.nio.file.Files.write(file.toPath, bytes)
+    // drop the local FS's client-side checksum shadow (we edited the file
+    // behind Hadoop's back; the corrupt BODY is the point of the test)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val json = GraftAvro.probeSchemaJson(spark.sparkContext.hadoopConfiguration, dir)
+    assert(json.contains("o_orderkey"))
+    intercept[Throwable](graft.formats.Avro.readContainer(bytes))
+  }
+
+  test("schema probe grows past a header larger than the first guess") {
+    // 6000 long fields ≈ a 200 KB schema JSON — the 64 KB first guess
+    // must fail loudly (bounds-checked reader) and retry with more bytes
+    val fields = (0 until 6000).map(i =>
+      s"""{"name":"really_quite_a_long_field_name_$i","type":"long"}""").mkString(",")
+    val json = s"""{"type":"record","name":"wide","fields":[$fields]}"""
+    val rec = (0 until 6000).map(i => s"really_quite_a_long_field_name_$i" -> (i.toLong: Any)).toMap
+    val bytes = graft.formats.Avro.writeContainer(json, Seq(rec))
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "wide.avro"), bytes)
+    val got = GraftAvro.probeSchemaJson(spark.sparkContext.hadoopConfiguration, dir)
+    assert(got.contains("really_quite_a_long_field_name_5999"))
+  }
+
+  test("envelope refusals: interval / non-string map keys, mixed-schema dir, empty dir") {
+    val iv = spark.sql("SELECT INTERVAL '3' DAY AS i")
+    val e1 = intercept[IllegalArgumentException](GraftAvro.write(iv, tmp()))
+    assert(e1.getMessage.contains("unsupported type") && e1.getMessage.contains("$.i"))
+    val badMap = spark.sql("SELECT map(1, 'x') AS m")
+    intercept[IllegalArgumentException](GraftAvro.write(badMap, tmp()))
     intercept[IllegalArgumentException](GraftAvro.read(spark, tmp()))
     val dir = tmp()
     GraftAvro.write(Seq(1L).toDF("a"), dir)
