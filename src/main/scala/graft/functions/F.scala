@@ -80,6 +80,9 @@ object F {
   /** Hashed-feature linear classifier score (integer, portable). */
   def linearScore(words: Column): Column = col(HashedLinearScore(ex(words)))
 
+  /** Bigram-LM log-prob sum over adjacent tokens (x21 perplexity filter). */
+  def bigramLogProb(words: Column): Column = col(HashedBigramLogProb(ex(words)))
+
   /** Hilbert-curve index of an array<long> of `bits`-bit coordinates. */
   def hilbertIndex(coords: Column, bits: Int): Column =
     col(HilbertIndex(ex(coords), bits))

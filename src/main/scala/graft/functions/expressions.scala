@@ -594,6 +594,75 @@ object LinearScoreKernel {
   }
 }
 
+/** Static kernel for [[HashedBigramLogProb]] — the CCNet/KenLM
+  * PERPLEXITY-filter inference shape (x21), distinct from x18's
+  * classifier: a word-BIGRAM language model scores each document by the
+  * sum of integer log-probabilities over adjacent word pairs. The LM
+  * table is DERIVED (Knuth multiplicative hash of a 65536-bucket bigram
+  * index → integer log-prob in [-1000, -1]), not loaded — deterministic
+  * pseudo-random, so any engine replays the exact score with no model
+  * file; a trained bigram table drops into [[logProb]] without touching
+  * the plan. All arithmetic is integer and every intermediate stays
+  * under 2⁶³, so the DuckDB oracle reproduces the bits with
+  * `list_reduce`/list comprehensions. Empty tokens are skipped without
+  * breaking adjacency (they only arise from empty input).
+  */
+object BigramLogProbKernel {
+  final val Buckets = 65536L
+
+  /** Integer log-prob of one bigram bucket, in [-1000, -1]. */
+  def logProb(bucket: Long): Long =
+    ((bucket * 2654435761L) % 2147483647L) % 1000L - 1000L
+
+  /** Bucket of a word-hash pair (each reduced mod 2¹⁶ first — the
+    * packed 62-bit hash is h2·2³² + h1 and 2³² ≡ 0 mod 2¹⁶, so the
+    * oracle only replays the h1 chain).
+    */
+  def bucket(ha: Long, hb: Long): Long =
+    ((ha % Buckets) * 31L + (hb % Buckets)) % Buckets
+
+  def compute(words: ArrayData): Long = {
+    var sum = 0L
+    var prev = -1L
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        if (w.numChars() > 0) {
+          val h = PolyWordHashKernel.hashWord(w, 7L, 11L)
+          if (prev >= 0L) sum += logProb(bucket(prev, h))
+          prev = h
+        }
+      }
+      i += 1
+    }
+    sum
+  }
+}
+
+/** Bigram-LM log-probability sum of an array<string> token column:
+  * Σ logProb(bucket(hash(wᵢ), hash(wᵢ₊₁))) over adjacent non-empty
+  * tokens, integer arithmetic end to end (see [[BigramLogProbKernel]]).
+  */
+case class HashedBigramLogProb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bigram_logprob"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramLogProbKernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bk = classOf[BigramLogProbKernel.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $bk.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBigramLogProb =
+    copy(child = newChild)
+}
+
 /** Hashed-feature linear-classifier score of an array<string> token
   * column: Σ weight(hash(token) % 65536) over non-empty tokens, integer
   * arithmetic end to end (see [[LinearScoreKernel]]).

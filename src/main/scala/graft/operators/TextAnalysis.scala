@@ -916,6 +916,49 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x21
+
+  /** x21: PERPLEXITY filtering — the CCNet/KenLM language-model stage
+    * (distinct from x18's hashed-feature classifier): a word-bigram LM
+    * scores each document by the integer log-prob sum over adjacent
+    * word pairs ([[graft.functions.HashedBigramLogProb]], one codegen'd
+    * expression; per-row, shuffle-free); keep/drop compares the sum to
+    * the expected mean (−500 per pair) WITHOUT division, so the
+    * threshold is exact integer arithmetic. The LM table is derived
+    * (deterministic pseudo-random log-probs in [−1000, −1]) so the
+    * oracle replays the exact bits in DuckDB list ops — a trained
+    * bigram table drops into the kernel without touching the plan.
+    */
+  def x21PerplexityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.F.bigramLogProb(words(col("text"))).as("lp_sum"),
+        greatest(size(words(col("text"))).cast("long") - 1L, lit(0L)).as("n_pairs"))
+      .withColumn("label",
+        when(col("lp_sum") >= lit(-500L) * col("n_pairs"), "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+
+  val x21Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    [(list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
+      |      (a, c) -> (a * 31 + c) % 2147483647) % 65536)
+      |     FOR w IN regexp_split_to_array(trim(text), '\s+') IF length(w) > 0] AS hs,
+      |    CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0) AS BIGINT)
+      |      AS n_pairs
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_pairs,
+      |    CAST(COALESCE(list_sum([
+      |      (((hs[CAST(i AS INT)] * 31 + hs[CAST(i AS INT) + 1]) % 65536)
+      |        * 2654435761) % 2147483647 % 1000 - 1000
+      |      FOR i IN range(1, len(hs))]), 0) AS BIGINT) AS lp_sum
+      |  FROM t)
+      |SELECT doc_id, lp_sum, n_pairs,
+      |  CASE WHEN lp_sum >= -500 * n_pairs THEN 'keep' ELSE 'drop' END AS label
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- x20
 
   /** x20: HTML → text extraction + boilerplate-line removal — the
@@ -1086,6 +1129,7 @@ object TextAnalysis {
     "x17_subword_tokens" -> ((x17SubwordTokens _, x17Oracle)),
     "x19_bpe_tokens"     -> ((x19BpeTokens _, x19Oracle)),
     "x20_html_extract"   -> ((x20HtmlExtract _, x20Oracle)),
+    "x21_perplexity_filter" -> ((x21PerplexityFilter _, x21Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
     "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),

@@ -190,4 +190,41 @@ class ExpressionsSpec extends SparkSpec {
       .eval(null).asInstanceOf[Long]
     assert(interpreted == viaDf(0L))
   }
+
+  test("bigram log-prob: independent reimplementation, bounds, codegen parity") {
+    // independent reference: sliding(2) over the filtered word list,
+    // arithmetic spelled from the spec
+    def refH1(w: String): Long =
+      w.codePoints().toArray.foldLeft(7L)((a, c) => (a * 31L + c) % 2147483647L)
+    def refLp(text: String): Long =
+      text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        .map(w => refH1(w) % 65536L)
+        .sliding(2).filter(_.size == 2)
+        .map { p => ((p(0) * 31L + p(1)) % 65536L * 2654435761L) % 2147483647L % 1000L - 1000L }
+        .sum
+    val texts = Seq("the quick brown fox", "a b", "one", "",
+      "  padded   pair  ", "loop loop loop loop")
+    val viaDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", F.bigramLogProb(split(trim($"t"), "\\s+")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(viaDf(i.toLong) == refLp(t), s"mismatch on '$t'")
+    // bounds: every pair contributes a NEGATIVE log-prob in [-1000, -1]
+    val two = refLp("alpha beta")
+    assert(two >= -1000L && two <= -1L)
+    assert(refLp("one") == 0L && refLp("") == 0L)
+    // a repeated bigram contributes the identical value each time
+    assert(refLp("x y x y x y").toDouble ==
+      refLp("x y") + 2 * (refLp("y x") + refLp("x y")))
+    // interpreted eval matches the df (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val arr = new GenericArrayData(
+      Array("the", "quick", "brown", "fox").map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    val interpreted = HashedBigramLogProb(Literal(arr, ArrayType(StringType)))
+      .eval(null).asInstanceOf[Long]
+    assert(interpreted == viaDf(0L))
+  }
 }
