@@ -60,6 +60,15 @@ object BpeVocab {
   @inline private def isAsciiWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
+  /** The merge loop is O(L²) in word length: a word longer than this
+    * (code points) is charged one token per code point instead — crawl
+    * text carries multi-megabyte unbroken tokens (base64 blobs,
+    * minified JS) that would otherwise stall an executor, and no
+    * natural-language word is 256 code points. The oracle replays the
+    * identical cap (`length(w) > 256` in DuckDB counts code points too).
+    */
+  final val MaxWordLen = 256
+
   /** BPE token count of one word (no whitespace inside): start from
     * single code points, repeatedly merge the lowest-ranked adjacent
     * pair (leftmost on ties) until none has a rank.
@@ -72,7 +81,7 @@ object BpeVocab {
     var n = 0
     var i = 0
     while (i < word.length) { n += 1; i += Character.charCount(word.codePointAt(i)) }
-    if (n <= 1) return n
+    if (n <= 1 || n > MaxWordLen) return n
     val syms = new Array[String](n)
     i = 0; var k = 0
     while (i < word.length) {
@@ -120,13 +129,18 @@ object BpeVocab {
         var end = pos
         while (end < len && !isAsciiWs(str.charAt(end))) end += 1
         val w = str.substring(pos, end)
-        var c = memo.get(w)
-        if (c == null) {
-          if (memo.size() >= MemoCap) memo.clear()
-          c = Integer.valueOf(encodeCount(w))
-          memo.put(w, c)
+        // capped-length words bypass the memo: their count is O(1) to
+        // recompute and their keys would dominate cache memory
+        if (w.length > MaxWordLen * 2) total += encodeCount(w)
+        else {
+          var c = memo.get(w)
+          if (c == null) {
+            if (memo.size() >= MemoCap) memo.clear()
+            c = Integer.valueOf(encodeCount(w))
+            memo.put(w, c)
+          }
+          total += c.intValue()
         }
-        total += c.intValue()
         pos = end
       }
     }

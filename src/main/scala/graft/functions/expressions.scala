@@ -605,7 +605,8 @@ object LinearScoreKernel {
   * the plan. All arithmetic is integer and every intermediate stays
   * under 2⁶³, so the DuckDB oracle reproduces the bits with
   * `list_reduce`/list comprehensions. Empty tokens are skipped without
-  * breaking adjacency (they only arise from empty input).
+  * breaking adjacency (callers edge-trim the full whitespace class
+  * before splitting, so they only arise from empty input).
   */
 object BigramLogProbKernel {
   final val Buckets = 65536L

@@ -868,7 +868,10 @@ object TextAnalysis {
     * DuckDB recursive CTE per DISTINCT word (rank list → `list_min` →
     * leftmost `list_position` → slice-merge), with the merge table
     * GENERATED from BpeVocab itself so the two sides cannot drift;
-    * independent-reimplementation + hand-case pins live in BpeSpec.
+    * words beyond [[graft.functions.BpeVocab.MaxWordLen]] code points
+    * are charged one token per code point ON BOTH SIDES (the merge loop
+    * is O(L²) — a multi-megabyte unbroken crawl token must not stall an
+    * executor); independent-reimplementation + hand-case pins in BpeSpec.
     */
   def x19BpeTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -891,7 +894,7 @@ object TextAnalysis {
        |uw AS (SELECT DISTINCT w FROM words WHERE w <> ''),
        |enc AS (
        |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)] AS syms
-       |  FROM uw),
+       |  FROM uw WHERE length(w) <= 256),
        |steps(w, syms) AS (
        |  SELECT w, syms FROM enc
        |  UNION ALL
@@ -905,7 +908,10 @@ object TextAnalysis {
        |         FOR x IN range(1, len(syms))] AS rks
        |      FROM steps WHERE len(syms) > 1)
        |  ) WHERE best < 1000000),
-       |wtok AS (SELECT w, MIN(len(syms)) AS n_tok FROM steps GROUP BY w),
+       |wtok AS (
+       |  SELECT w, CAST(MIN(len(syms)) AS BIGINT) AS n_tok FROM steps GROUP BY w
+       |  UNION ALL
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_tok FROM uw WHERE length(w) > 256),
        |per_doc AS (
        |  SELECT w2.doc_id, SUM(wt.n_tok) AS tokens_bpe
        |  FROM (SELECT doc_id, w FROM words WHERE w <> '') w2
@@ -929,25 +935,36 @@ object TextAnalysis {
     * oracle replays the exact bits in DuckDB list ops — a trained
     * bigram table drops into the kernel without touching the plan.
     */
-  def x21PerplexityFilter(spark: SparkSession, sfDir: String): DataFrame =
+  def x21PerplexityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // edge-trim the FULL whitespace class before splitting (plain trim()
+    // strips only spaces): a trailing newline would otherwise leave an
+    // empty token that inflates n_pairs past what the kernel scores,
+    // silently widening the keep threshold
+    val ws = "[ \\t\\n\\f\\r]"
+    val tokens = split(
+      regexp_replace(col("text"), s"^$ws+|$ws+$$", ""), s"$ws+")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        graft.functions.F.bigramLogProb(words(col("text"))).as("lp_sum"),
-        greatest(size(words(col("text"))).cast("long") - 1L, lit(0L)).as("n_pairs"))
+        graft.functions.F.bigramLogProb(tokens).as("lp_sum"),
+        greatest(size(tokens).cast("long") - 1L, lit(0L)).as("n_pairs"))
       .withColumn("label",
         when(col("lp_sum") >= lit(-500L) * col("n_pairs"), "keep").otherwise("drop"))
       .orderBy(col("doc_id"))
+  }
 
   val x21Oracle: String =
-    """WITH t AS (
+    """WITH w0 AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
+      |  FROM documents),
+      |t AS (
       |  SELECT doc_id,
       |    [(list_reduce(list_prepend(CAST(7 AS BIGINT),
       |        [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
       |      (a, c) -> (a * 31 + c) % 2147483647) % 65536)
-      |     FOR w IN regexp_split_to_array(trim(text), '\s+') IF length(w) > 0] AS hs,
-      |    CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 0) AS BIGINT)
-      |      AS n_pairs
-      |  FROM documents),
+      |     FOR w IN ws IF length(w) > 0] AS hs,
+      |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_pairs
+      |  FROM w0),
       |s AS (
       |  SELECT doc_id, n_pairs,
       |    CAST(COALESCE(list_sum([
@@ -970,11 +987,17 @@ object TextAnalysis {
     * ([[graft.functions.KeepLinesMinWords]]) — per-row, shuffle-free, no
     * regex cascade in the hot path. The gate PLANTS deterministic
     * markup around every document (nav/script/style/footer boilerplate,
-    * comments, the six named entities, a short call-to-action line) with
+    * comments, all six named entities, a short call-to-action line) with
     * the SAME concat in both engines, and the oracle must reproduce the
-    * extracted and filtered text STRING-identically via the declared
-    * regex-chain semantics; hostile-input equivalence to an independent
-    * regex-chain reimplementation is pinned in HtmlSpec.
+    * extracted and filtered text STRING-identically. The oracle
+    * implements the FULL declared chain — container-name boundaries
+    * (`<header>` is not `<head>`), unterminated-comment/-container
+    * removal to end, all six named entities with `&amp;` last — except
+    * generic numeric code-point entities, which RE2 cannot compute (no
+    * replacement callbacks): the planted `&#39;` is a fixed replace, and
+    * general numeric decode is pinned in HtmlSpec; hostile-input
+    * equivalence to an independent regex-chain reimplementation is
+    * pinned there too.
     */
   def x20HtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val html = concat(
@@ -986,7 +1009,7 @@ object TextAnalysis {
       lit("<p>"), col("text"), lit("</p>"),
       lit("<p>click here to subscribe</p>"),
       lit("<script>var t = 1 < 2 && \"x\";</script>"),
-      lit("<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &lt;em&gt; ok then</p>"),
+      lit("<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &apos;z&apos; &lt;em&gt; ok then</p>"),
       lit("<footer>copyright 2026 example corp</footer></body></html>"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), graft.functions.F.htmlText(html).as("body"))
@@ -1009,22 +1032,23 @@ object TextAnalysis {
       |    '<p>' || text || '</p>' ||
       |    '<p>click here to subscribe</p>' ||
       |    '<script>var t = 1 < 2 && "x";</script>' ||
-      |    '<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &lt;em&gt; ok then</p>' ||
+      |    '<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &apos;z&apos; &lt;em&gt; ok then</p>' ||
       |    '<footer>copyright 2026 example corp</footer></body></html>' AS html
       |  FROM documents),
-      |s1 AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', '', 'gs') AS x FROM h),
+      |s1 AS (SELECT doc_id,
+      |    regexp_replace(html, '<!--.*?-->|<!--.*$', '', 'gs') AS x FROM h),
       |s2 AS (SELECT doc_id,
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |      x, '<script[^>]*>.*?</script[^>]*>', '', 'gis'),
-      |         '<style[^>]*>.*?</style[^>]*>', '', 'gis'),
-      |         '<head[^>]*>.*?</head[^>]*>', '', 'gis'),
-      |         '<nav[^>]*>.*?</nav[^>]*>', '', 'gis'),
-      |         '<footer[^>]*>.*?</footer[^>]*>', '', 'gis') AS x FROM s1),
+      |      x, '<script(>|[\s/][^>]*>).*?</script[^>]*>|<script(>|[\s/][^>]*>).*$', '', 'gis'),
+      |         '<style(>|[\s/][^>]*>).*?</style[^>]*>|<style(>|[\s/][^>]*>).*$', '', 'gis'),
+      |         '<head(>|[\s/][^>]*>).*?</head[^>]*>|<head(>|[\s/][^>]*>).*$', '', 'gis'),
+      |         '<nav(>|[\s/][^>]*>).*?</nav[^>]*>|<nav(>|[\s/][^>]*>).*$', '', 'gis'),
+      |         '<footer(>|[\s/][^>]*>).*?</footer[^>]*>|<footer(>|[\s/][^>]*>).*$', '', 'gis') AS x FROM s1),
       |s3 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', chr(10), 'g') AS x FROM s2),
       |s4 AS (SELECT doc_id,
-      |    replace(replace(replace(replace(replace(replace(
-      |      x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-      |         '&nbsp;', ' '), '&amp;', '&') AS x FROM s3),
+      |    replace(replace(replace(replace(replace(replace(replace(
+      |      x, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      |         '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM s3),
       |ex AS (SELECT doc_id,
       |    array_to_string(
       |      list_filter([trim(regexp_replace(l, '[ \t\f\r]+', ' ', 'g'))

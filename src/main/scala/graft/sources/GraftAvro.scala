@@ -98,7 +98,14 @@ object GraftAvro {
   }
 
   /** Avro schema AST → Spark schema (the read-side inverse). */
-  def sparkSchema(schemaJson: String): StructType = {
+  def sparkSchema(schemaJson: String): StructType =
+    Avro.parseSchema(schemaJson) match {
+      case r: Avro.ARecord => sparkSchemaOf(r)
+      case other => throw new IllegalArgumentException(
+        s"GraftAvro: top-level schema must be a record, got $other")
+    }
+
+  def sparkSchemaOf(rec: Avro.ARecord): StructType = {
     def dataType(s: Avro.Schema): DataType = s match {
       case Avro.ABoolean => BooleanType
       case Avro.AInt => IntegerType
@@ -129,11 +136,7 @@ object GraftAvro {
         val (t, nullable) = unwrapUnion(f.schema)
         StructField(f.name, dataType(t), nullable = nullable)
       })
-    Avro.parseSchema(schemaJson) match {
-      case r: Avro.ARecord => struct(r)
-      case other => throw new IllegalArgumentException(
-        s"GraftAvro: top-level schema must be a record, got $other")
-    }
+    struct(rec)
   }
 
   // ------------------------------------------------- value conversions
@@ -238,14 +241,24 @@ object GraftAvro {
     val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val fs = new Path(dir).getFileSystem(confB.value.value)
+      // write-then-rename commit: speculative or zombie duplicate attempts
+      // must never truncate a committed container in place, so each
+      // attempt writes a dot-prefixed temp (invisible to the `*.avro`
+      // glob AND to Spark's source, which skips dot-files) and renames;
+      // the rename loser — same deterministic bytes — deletes its temp
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       var chunk = 0
       var written = 0L
       rows.grouped(recordsPerFile).foreach { group =>
         val records = group.map(rowToMap(_, schema))
         val bytes = Avro.writeContainer(schemaJson, records,
           codec = codec, syncSalt = s"$pid-$chunk")
-        val out = fs.create(new Path(dir, f"part-$pid%05d-$chunk%04d.avro"), true)
+        val dst = new Path(dir, f"part-$pid%05d-$chunk%04d.avro")
+        val tmp = new Path(dir, f".part-$pid%05d-$chunk%04d.avro.$attempt%d.tmp")
+        val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
         chunk += 1
         written += 1
       }
@@ -299,14 +312,18 @@ object GraftAvro {
     val rdd = bin.rdd.flatMap { r =>
       val path = r.getString(0)
       val c = Avro.readContainer(r.getAs[Array[Byte]](1))
-      val st = sparkSchema(c.schemaJson)
-      require(st == schema,
-        s"GraftAvro: $path schema $st differs from the directory schema $schema")
-      Avro.parseSchema(c.schemaJson) match {
-        case rec: Avro.ARecord => c.records.map(mapToRow(_, rec))
+      // parse the file's schema ONCE; Spark-schema equality is the
+      // compatibility contract (a millis- and a micros-stamped file may
+      // legally mix: each decodes with its OWN Avro schema below)
+      val rec = Avro.parseSchema(c.schemaJson) match {
+        case rec: Avro.ARecord => rec
         case other => throw new IllegalArgumentException(
           s"GraftAvro: $path top-level schema must be a record, got $other")
       }
+      val st = sparkSchemaOf(rec)
+      require(st == schema,
+        s"GraftAvro: $path schema $st differs from the directory schema $schema")
+      c.records.map(mapToRow(_, rec))
     }
     spark.createDataFrame(rdd, schema)
   }

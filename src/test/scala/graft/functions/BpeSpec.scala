@@ -94,6 +94,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("long unbroken tokens are charged per code point (O(L²) guard)") {
+    val long = "th" * 200 // 400 code points > MaxWordLen, full of merge hits
+    assert(BpeVocab.encodeCount(long) == 400)
+    val atCap = "x" * BpeVocab.MaxWordLen
+    assert(BpeVocab.encodeCount(atCap) == BpeVocab.MaxWordLen)
+    // just under the cap still merges: fewer tokens than code points
+    val under = "the" * 85 // 255 code points
+    assert(BpeVocab.encodeCount(under) < 255)
+    // whole-text path: the long word bypasses the memo but sums the same
+    val n = BpeVocab.count(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"the $long the"))
+    assert(n == 2 * BpeVocab.encodeCount("the") + 400)
+  }
+
   test("whole-text count: whitespace free, words summed, case folded") {
     val n = BpeVocab.count(
       org.apache.spark.unsafe.types.UTF8String.fromString("The THE\t the\n"))
