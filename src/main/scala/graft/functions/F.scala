@@ -200,9 +200,40 @@ object GraftExtensions {
       info("graft_nfc", "graft_nfc(text) - Unicode NFC canonical composition"),
       (children: Seq[Expression]) => NfcNormalize(children.head))
 
+  private[functions] val subwordTokensDesc =
+    (FunctionIdentifier("graft_subword_tokens"),
+      info("graft_subword_tokens", "graft_subword_tokens(text) - greedy longest-match subword token count"),
+      (children: Seq[Expression]) => SubwordTokenCount(children.head))
+
+  private[functions] val bpeTokensDesc =
+    (FunctionIdentifier("graft_bpe_tokens"),
+      info("graft_bpe_tokens", "graft_bpe_tokens(text) - merge-rule BPE token count"),
+      (children: Seq[Expression]) => BpeTokenCount(children.head))
+
+  private[functions] val htmlTextDesc =
+    (FunctionIdentifier("graft_html_text"),
+      info("graft_html_text", "graft_html_text(html) - markup-stripped, entity-decoded, line-normalized text"),
+      (children: Seq[Expression]) => HtmlTextExtract(children.head))
+
+  private[functions] val keepLinesDesc =
+    (FunctionIdentifier("graft_keep_lines"),
+      info("graft_keep_lines", "graft_keep_lines(text, minWords) - drop lines with fewer words"),
+      (children: Seq[Expression]) => KeepLinesMinWords(children(0), litInt(children(1))))
+
+  private[functions] val linearScoreDesc =
+    (FunctionIdentifier("graft_linear_score"),
+      info("graft_linear_score", "graft_linear_score(words) - hashed-feature linear classifier score"),
+      (children: Seq[Expression]) => HashedLinearScore(children.head))
+
+  private[functions] val bigramLogProbDesc =
+    (FunctionIdentifier("graft_bigram_logprob"),
+      info("graft_bigram_logprob", "graft_bigram_logprob(words) - bigram-LM log-prob sum over adjacent words"),
+      (children: Seq[Expression]) => HashedBigramLogProb(children.head))
+
   private[functions] def all = Seq(cosineDesc, simhashDesc, fingerprintDesc,
     charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc,
-    rpBitsDesc, nfcDesc)
+    rpBitsDesc, nfcDesc, subwordTokensDesc, bpeTokensDesc, htmlTextDesc,
+    keepLinesDesc, linearScoreDesc, bigramLogProbDesc)
 
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

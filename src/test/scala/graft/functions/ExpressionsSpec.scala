@@ -108,6 +108,21 @@ class ExpressionsSpec extends SparkSpec {
       " graft_fingerprint('hello world hello world') AS f").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == 7L)
+    // the r14 text-pipeline functions ride the same registry
+    val t = spark.sql(
+      "SELECT graft_bpe_tokens('the data') AS b," +
+      " graft_subword_tokens('the data') AS sw," +
+      " graft_html_text('<p>a &amp; b</p><script>x</script>') AS h," +
+      " graft_keep_lines('one two\none two three', 3) AS k," +
+      " graft_linear_score(array('the')) AS ls," +
+      " graft_bigram_logprob(array('the', 'data')) AS lp").head()
+    assert(t.getLong(0) == BpeVocab.count(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the data")))
+    assert(t.getLong(1) > 0L)
+    assert(t.getString(2) == "a & b")
+    assert(t.getString(3) == "one two three")
+    assert(math.abs(t.getLong(4)) <= 500L)
+    assert(t.getLong(5) >= -1000L && t.getLong(5) <= -1L)
   }
 
   test("hilbert index is a bijection with unit-step adjacency") {
