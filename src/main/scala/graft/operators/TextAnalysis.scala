@@ -999,20 +999,25 @@ object TextAnalysis {
     * equivalence to an independent regex-chain reimplementation is
     * pinned there too.
     */
+  /** The deterministic markup x20/p05 plant around every document —
+    * nav/style/script/footer boilerplate, a comment, all six named
+    * entities, a 4-word call-to-action line the filter must drop.
+    */
+  private def plantedHtml: Column = concat(
+    lit("<html><head><title>doc "), col("doc_id"),
+    lit("</title><style>p{color:red}</style></head><body>"),
+    lit("<nav><a href=\"#\">home</a> | <a href=\"#\">about</a> | <a href=\"#\">contact</a></nav>"),
+    lit("<!-- rendered for doc "), col("doc_id"), lit(" -->"),
+    lit("<h1>document "), col("doc_id"), lit(" &amp; friends</h1>"),
+    lit("<p>"), col("text"), lit("</p>"),
+    lit("<p>click here to subscribe</p>"),
+    lit("<script>var t = 1 < 2 && \"x\";</script>"),
+    lit("<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &apos;z&apos; &lt;em&gt; ok then</p>"),
+    lit("<footer>copyright 2026 example corp</footer></body></html>"))
+
   def x20HtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><title>doc "), col("doc_id"),
-      lit("</title><style>p{color:red}</style></head><body>"),
-      lit("<nav><a href=\"#\">home</a> | <a href=\"#\">about</a> | <a href=\"#\">contact</a></nav>"),
-      lit("<!-- rendered for doc "), col("doc_id"), lit(" -->"),
-      lit("<h1>document "), col("doc_id"), lit(" &amp; friends</h1>"),
-      lit("<p>"), col("text"), lit("</p>"),
-      lit("<p>click here to subscribe</p>"),
-      lit("<script>var t = 1 < 2 && \"x\";</script>"),
-      lit("<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &apos;z&apos; &lt;em&gt; ok then</p>"),
-      lit("<footer>copyright 2026 example corp</footer></body></html>"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), graft.functions.F.htmlText(html).as("body"))
+      .select(col("doc_id"), graft.functions.F.htmlText(plantedHtml).as("body"))
       .withColumn("kept", graft.functions.F.keepLines(col("body"), 5))
       .select(
         col("doc_id"), col("body"), col("kept"),
@@ -1021,8 +1026,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val x20Oracle: String =
-    """WITH h AS (
+  /** The x20 extraction chain as an oracle CTE fragment ending in
+    * `k(doc_id, body, kept)` — shared verbatim by the x20 gate and the
+    * p05 end-to-end pipeline so the two replays cannot drift.
+    */
+  private val htmlOracleCtes: String =
+    """h AS (
       |  SELECT doc_id,
       |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
       |    '</title><style>p{color:red}</style></head><body>' ||
@@ -1034,7 +1043,7 @@ object TextAnalysis {
       |    '<script>var t = 1 < 2 && "x";</script>' ||
       |    '<p>she said &quot;hello&nbsp;world&quot; &#39;today&#39; &apos;z&apos; &lt;em&gt; ok then</p>' ||
       |    '<footer>copyright 2026 example corp</footer></body></html>' AS html
-      |  FROM documents),
+      |  FROM src_docs),
       |s1 AS (SELECT doc_id,
       |    regexp_replace(html, '<!--.*?-->|<!--.*$', '', 'gs') AS x FROM h),
       |s2 AS (SELECT doc_id,
@@ -1058,11 +1067,152 @@ object TextAnalysis {
       |    array_to_string(
       |      list_filter(string_split(body, chr(10)),
       |                  l -> len(string_split(l, ' ')) >= 5),
-      |      chr(10)) AS kept FROM ex)
-      |SELECT doc_id, body, kept,
-      |  CAST(len(string_split(body, chr(10))) AS BIGINT) AS n_lines,
-      |  CAST(len(string_split(kept, chr(10))) AS BIGINT) AS n_kept
-      |FROM k ORDER BY doc_id""".stripMargin
+      |      chr(10)) AS kept FROM ex)""".stripMargin
+
+  val x20Oracle: String =
+    s"""WITH src_docs AS (SELECT doc_id, text FROM documents),
+       |$htmlOracleCtes
+       |SELECT doc_id, body, kept,
+       |  CAST(len(string_split(body, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(len(string_split(kept, chr(10))) AS BIGINT) AS n_kept
+       |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- p05
+
+  /** p05: END-TO-END crawl curation (r14 capstone) — the r14 operators
+    * working TOGETHER on one corpus, each stage the real shape it ships
+    * as: planted HTML (the x20 markup, over a doubled corpus so dedup
+    * has real work) → single-pass extraction + boilerplate-line filter
+    * (x20's expressions) → a two-model quality vote (x21 bigram-LM
+    * threshold AND x18 classifier sign, both codegen'd over the SAME
+    * token split) → exact dedup on the 128-bit hash pair with the d01
+    * verified-exactness guard → merge-rule BPE token accounting (x19)
+    * over the survivors, folded per source. Shuffles only on the dedup
+    * key and the final per-source aggregate — everything upstream is
+    * per-row. The oracle replays every stage: the SHARED x20 CTE
+    * fragment, the x21/x18 hash arithmetic, text-keyed dedup (equal to
+    * the hash dedup because the guard raises on any collision), and the
+    * x19 recursive-CTE BPE over surviving documents.
+    */
+  def p05CrawlCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.F
+    val d0 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = d0.unionAll(d0.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), col("source")))
+    val base = corpus.select(col("doc_id"), col("source"),
+      F.keepLines(F.htmlText(plantedHtml), 5).as("kept"))
+    // kept is edge-clean (trimmed non-empty lines), so the split has no
+    // empty tokens and both models see the identical word sequence
+    val toks = split(col("kept"), s"$wsClass+")
+    val good = base
+      .withColumn("lp_sum", F.bigramLogProb(toks))
+      .withColumn("n_pairs", greatest(size(toks).cast("long") - 1L, lit(0L)))
+      .withColumn("cls", F.linearScore(toks))
+      .filter(col("lp_sum") >= lit(-500L) * col("n_pairs") && col("cls") > 0L)
+    val keyed = good
+      .withColumn("h1", xxhash64(col("kept")))
+      .withColumn("h2", xxhash64(col("kept"), lit(1L)))
+    val reps = keyed.groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("kept")).as("t0"), max(col("kept")).as("t1"))
+      .filter(when(col("t0") <=> col("t1"), lit(true)).otherwise(raise_error(lit(
+        "graft: 128-bit text-hash collision — exact-dedup invariant violated")).cast("boolean")))
+      .select(col("doc_id"))
+    val surv = keyed.join(reps, Seq("doc_id"))
+    base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(good.groupBy(col("source")).agg(count(lit(1)).as("n_quality")),
+        Seq("source"), "left")
+      .join(surv.groupBy(col("source")).agg(
+          count(lit(1)).as("n_unique"),
+          sum(F.bpeTokens(col("kept"))).as("tokens_bpe")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("tokens_bpe"), lit(0L)).as("tokens_bpe"))
+      .orderBy(col("source"))
+  }
+
+  val p05Oracle: String = {
+    val merges = graft.functions.BpeVocab.merges
+    val pairs = merges
+      .map { case (l, r) => "'" + (l + "|" + r).replace("'", "''") + "'" }
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |src_docs AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents),
+       |$htmlOracleCtes,
+       |tok AS (
+       |  SELECT k.doc_id, sd.source, k.kept,
+       |    regexp_split_to_array(k.kept, '\\s+') AS ws
+       |  FROM k JOIN src_docs sd USING (doc_id)),
+       |lm AS (
+       |  SELECT doc_id, source, kept, ws,
+       |    [(list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |        [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
+       |      (a, c) -> (a * 31 + c) % 2147483647) % 65536)
+       |     FOR w IN ws IF length(w) > 0] AS hs,
+       |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_pairs,
+       |    CAST(COALESCE(list_sum([
+       |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |          [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
+       |        (a, c) -> (a * 31 + c) % 2147483647) % 65536)
+       |       * 2654435761 % 2147483647 % 1001 - 500
+       |      FOR w IN ws IF length(w) > 0]), 0) AS BIGINT) AS cls
+       |  FROM tok),
+       |lp AS (
+       |  SELECT doc_id, source, kept, n_pairs, cls,
+       |    CAST(COALESCE(list_sum([
+       |      (((hs[CAST(i AS INT)] * 31 + hs[CAST(i AS INT) + 1]) % 65536)
+       |        * 2654435761) % 2147483647 % 1000 - 1000
+       |      FOR i IN range(1, len(hs))]), 0) AS BIGINT) AS lp_sum
+       |  FROM lm),
+       |good AS (SELECT * FROM lp WHERE lp_sum >= -500 * n_pairs AND cls > 0),
+       |reps AS (SELECT MIN(doc_id) AS doc_id FROM good GROUP BY kept),
+       |surv AS (SELECT g.* FROM good g JOIN reps USING (doc_id)),
+       |words2 AS (
+       |  SELECT doc_id, unnest([w FOR w IN
+       |    regexp_split_to_array(lower(kept), '\\s+') IF w <> '']) AS w
+       |  FROM surv),
+       |uw AS (SELECT DISTINCT w FROM words2),
+       |enc AS (
+       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)] AS syms
+       |  FROM uw WHERE length(w) <= 256),
+       |steps(w, syms) AS (
+       |  SELECT w, syms FROM enc
+       |  UNION ALL
+       |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:len(syms)]
+       |  FROM (
+       |    SELECT w, syms, list_position(rks, list_min(rks)) AS p, list_min(rks) AS best
+       |    FROM (
+       |      SELECT w, syms,
+       |        [coalesce(nullif(list_position($pairs,
+       |           syms[CAST(x AS INT)] || '|' || syms[CAST(x AS INT)+1]), 0), 1000000)
+       |         FOR x IN range(1, len(syms))] AS rks
+       |      FROM steps WHERE len(syms) > 1)
+       |  ) WHERE best < 1000000),
+       |wtok AS (
+       |  SELECT w, CAST(MIN(len(syms)) AS BIGINT) AS n_tok FROM steps GROUP BY w
+       |  UNION ALL
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_tok FROM uw WHERE length(w) > 256),
+       |per_doc AS (
+       |  SELECT w2.doc_id, SUM(wt.n_tok) AS t
+       |  FROM words2 w2 JOIN wtok wt USING (w) GROUP BY w2.doc_id),
+       |alln AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM src_docs GROUP BY source),
+       |qn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality FROM good GROUP BY source),
+       |un AS (
+       |  SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_unique,
+       |    CAST(SUM(p.t) AS BIGINT) AS tokens_bpe
+       |  FROM surv s JOIN per_doc p USING (doc_id) GROUP BY s.source)
+       |SELECT a.source, a.n_docs,
+       |  COALESCE(q.n_quality, 0) AS n_quality,
+       |  COALESCE(u.n_unique, 0) AS n_unique,
+       |  COALESCE(u.tokens_bpe, 0) AS tokens_bpe
+       |FROM alln a LEFT JOIN qn q USING (source) LEFT JOIN un u USING (source)
+       |ORDER BY a.source""".stripMargin
+  }
 
   // ---------------------------------------------------------------- p04
 
@@ -1154,6 +1304,7 @@ object TextAnalysis {
     "x19_bpe_tokens"     -> ((x19BpeTokens _, x19Oracle)),
     "x20_html_extract"   -> ((x20HtmlExtract _, x20Oracle)),
     "x21_perplexity_filter" -> ((x21PerplexityFilter _, x21Oracle)),
+    "p05_crawl_curation" -> ((p05CrawlCuration _, p05Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
     "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),
