@@ -228,7 +228,14 @@ object GraftAvro {
     * Container bytes go through the Hadoop `FileSystem` RESOLVED FROM
     * `dir` on each executor (not `java.nio` local paths), so the sink
     * writes one shared dataset on a real cluster — any Hadoop-resolvable
-    * URI works.
+    * URI works. OVERWRITE semantics: the driver clears any previous
+    * `*.avro` dataset (and stray temps) once before tasks run; each task
+    * then writes a dot-prefixed temp and renames, so a racing duplicate
+    * attempt can only ever lose to a same-job twin carrying IDENTICAL
+    * bytes (the writer is deterministic) — the loser deletes its temp
+    * and a committed container is never truncated in place, even where
+    * rename isn't atomic (object stores): both candidates are the same
+    * bytes.
     */
   def write(df: DataFrame, dir: String, recordsPerFile: Int = 65536,
       codec: String = "deflate"): Long = {
@@ -237,7 +244,16 @@ object GraftAvro {
     val schemaJson = avroSchemaJson(schema) // validates the envelope up front
     val sc = df.sparkSession.sparkContext
     Avro.parseSchema(schemaJson) // fail on the driver, not per-task
-    new Path(dir).getFileSystem(sc.hadoopConfiguration).mkdirs(new Path(dir))
+    val fs0 = new Path(dir).getFileSystem(sc.hadoopConfiguration)
+    fs0.mkdirs(new Path(dir))
+    // overwrite semantics live on the DRIVER: clear any previous
+    // dataset (and stray temps) once, before tasks run — task-level
+    // rename then only ever loses to a same-job duplicate attempt
+    // carrying identical bytes, never to a stale file
+    Option(fs0.globStatus(new Path(dir, "*.avro")))
+      .foreach(_.foreach(f => fs0.delete(f.getPath, false)))
+    Option(fs0.globStatus(new Path(dir, ".*.avro.*.tmp")))
+      .foreach(_.foreach(f => fs0.delete(f.getPath, false)))
     val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val fs = new Path(dir).getFileSystem(confB.value.value)

@@ -233,6 +233,33 @@ class GraftAvroSpec extends SparkSpec {
     assert(back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == rows)
   }
 
+  test("rewrite of an existing dir replaces the dataset; rename loser drops its temp") {
+    val dir = tmp()
+    GraftAvro.write(Seq((1L, "old")).toDF("k", "v"), dir)
+    // plant a stray temp (a crashed attempt's leftover) and rewrite with
+    // different data: the driver pre-clean must clear both, and a
+    // duplicate attempt's failed rename must leave no temp behind
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".part-00000-0000.avro.99.tmp"), Array[Byte](1, 2, 3))
+    GraftAvro.write(Seq((2L, "new"), (3L, "newer")).toDF("k", "v").coalesce(1), dir)
+    val back = GraftAvro.read(spark, dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == Seq((2L, "new"), (3L, "newer")))
+    val names = new java.io.File(dir).listFiles().map(_.getName).filterNot(_.endsWith(".crc"))
+    assert(names.forall(n => n.endsWith(".avro")), names.mkString(","))
+    // simulate the rename loser directly: dst already committed by the
+    // "winner"; the loser's temp must be deleted, dst untouched
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir, names.min)
+    val before = fs.getFileStatus(dst).getLen
+    val tmp2 = new org.apache.hadoop.fs.Path(dir, s".${names.min}.7.tmp")
+    val out = fs.create(tmp2, true); out.write(Array[Byte](9, 9)); out.close()
+    if (!fs.rename(tmp2, dst)) fs.delete(tmp2, false) // the sink's loser path
+    assert(fs.getFileStatus(dst).getLen == before, "committed container was clobbered")
+    assert(!fs.exists(tmp2), "loser temp not cleaned up")
+  }
+
   test("schema probe is header-only: a corrupt BODY doesn't stop it (O(header) pin)") {
     val dir = tmp()
     GraftAvro.write(Tables.orders(spark, sf)
