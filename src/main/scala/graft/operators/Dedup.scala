@@ -14,10 +14,26 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** The test corpus doubled: every text appears twice under two doc_ids. */
-  private def doubledCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shift applied to the duplicated copy's doc_id in [[doubledCorpus]]:
+    * 2^40, so originals stay below every shifted id (min(doc_id) picks the
+    * original) and the two ranges are disjoint for any corpus whose ids
+    * fit the declared envelope below — a ~10^12-document headroom, not the
+    * former 10^6 (which a crawl-scale sequentially-numbered corpus would
+    * overrun, silently producing duplicate doc_ids in the fixture).
+    */
+  private[operators] val DoubleShift: Long = 1L << 40
+
+  /** The test corpus doubled: every text appears twice under two doc_ids.
+    * The id envelope (0 ≤ doc_id < 2^40) is enforced IN-PLAN: a row outside
+    * it raises instead of silently colliding with its shifted twin, so the
+    * doc_id-keyed joins downstream can never fan out undetected.
+    */
+  private[operators] def doubledCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("source"))
-    d.unionAll(d.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), col("source")))
+      .filter(when(col("doc_id") >= 0L && col("doc_id") < lit(DoubleShift), lit(true))
+        .otherwise(raise_error(lit(
+          "graft: doc_id outside [0, 2^40) — doubled-corpus fixture envelope violated")).cast("boolean")))
+    d.unionAll(d.select((col("doc_id") + lit(DoubleShift)).as("doc_id"), col("text"), col("source")))
   }
 
   // ---------------------------------------------------------------- d01
@@ -28,9 +44,32 @@ object Dedup {
     * instead of silently merging distinct documents — the hash-keyed
     * shapes below stay EXACT, not probabilistic.
     */
-  private def sameOrFail(t0: Column, t1: Column): Column =
+  private[operators] def sameOrFail(t0: Column, t1: Column): Column =
     when(t0 <=> t1, lit(true)).otherwise(raise_error(lit(
       "graft: 128-bit text-hash collision — exact-dedup invariant violated")).cast("boolean"))
+
+  /** [[sameOrFail]] with the colliding key and witness doc in the error
+    * message. The column references in the raise branch are LOAD-BEARING
+    * beyond diagnostics: a consumer that applies this guard over an
+    * aggregate keeps every referenced output alive through column
+    * pruning, so two branches that both read the guarded aggregate keep
+    * IDENTICAL pruned subplans — the precondition for Catalyst/AQE
+    * exchange reuse. Without it, each branch prunes a different
+    * aggregate list, the exchanges stop being sameResult, and the
+    * expensive upstream runs once per branch — the p05 pin
+    * (PipelineGatesSpec) guards exactly this. `keepAlive` takes any
+    * aggregate outputs the caller's branches use asymmetrically; they
+    * ride the (never-taken) raise branch as diagnostics.
+    */
+  private[operators] def sameOrFailKeyed(t0: Column, t1: Column,
+      h1: Column, h2: Column, docId: Column, keepAlive: Column*): Column = {
+    val extras = keepAlive.flatMap(c => Seq(lit(", "), c.cast("string")))
+    when(t0 <=> t1, lit(true)).otherwise(raise_error(concat(
+      (Seq(lit("graft: 128-bit text-hash collision at (h1="), h1.cast("string"),
+        lit(", h2="), h2.cast("string"), lit("), witness doc_id="),
+        docId.cast("string")) ++ extras ++
+        Seq(lit(" — exact-dedup invariant violated"))): _*)).cast("boolean"))
+  }
 
   /** 128-bit text key as two independent xxhash64 columns: the dedup
     * shuffle moves 16 key bytes per row instead of the document text —
@@ -38,10 +77,19 @@ object Dedup {
     * preserved by [[sameOrFail]] over per-group min/max text (one
     * representative pair per group per map partition rides the exchange
     * as an aggregation buffer, never the per-row text).
+    *
+    * ARGUMENT ORDER IS LOAD-BEARING: Spark's multi-arg xxhash64 chains
+    * each argument's hash as the SEED for the next, and XXH64 of a fixed
+    * input is a bijection in its seed — so `xxhash64(text, 1)` would be a
+    * bijective function of `xxhash64(text)` and the "pair" would carry
+    * only 64 bits (a birthday collision — and a spurious [[sameOrFail]]
+    * abort — at ~5·10^9 distinct texts instead of ~2^64). Hashing the
+    * SEED LITERAL FIRST re-hashes the text bytes under a different seed,
+    * making h2 genuinely independent of h1.
     */
-  private def withTextKey(df: DataFrame, text: String = "text"): DataFrame =
+  private[operators] def withTextKey(df: DataFrame, text: String = "text"): DataFrame =
     df.withColumn("h1", xxhash64(col(text)))
-      .withColumn("h2", xxhash64(col(text), lit(1L)))
+      .withColumn("h2", xxhash64(lit(1L), col(text)))
 
   /** d01: exact dedup on text — keep the lowest doc_id per distinct text,
     * count copies. Groups on the 128-bit text hash (the exchange key is
@@ -59,7 +107,7 @@ object Dedup {
   val d01Oracle: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |  UNION ALL SELECT doc_id + 1099511627776, text FROM documents)
       |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin
 
@@ -90,7 +138,7 @@ object Dedup {
   val d02Oracle: String =
     """WITH corpus AS (
       |  SELECT doc_id, text, source FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents)
+      |  UNION ALL SELECT doc_id + 1099511627776, text, source FROM documents)
       |SELECT source, COUNT(*) AS n_docs,
       |  COUNT(DISTINCT text) AS n_distinct_texts,
       |  COUNT(*) - COUNT(DISTINCT text) AS n_duplicates
@@ -98,12 +146,23 @@ object Dedup {
 
   // ------------------------------------------------------------ near-dup
 
+  /** In-plan fixture-envelope guard for planted-copy shifts: raise unless
+    * 0 ≤ id < bound, so a shifted twin can never silently collide with an
+    * original id (a collision would fan out the id-keyed joins downstream
+    * on BOTH engines, failing the gate confusingly instead of loudly).
+    */
+  private def idEnvelope(id: Column, bound: Long): Column =
+    when(id >= 0L && id < lit(bound), lit(true)).otherwise(raise_error(lit(
+      s"graft: id outside [0, $bound) — planted-fixture envelope violated")).cast("boolean"))
+
   /** Corpus with planted near-duplicates: every doc also appears with each
     * 10th word dropped, under doc_id+2000000 — observable near-dup
     * structure on the driver's dup-free testdata, fully deterministic.
+    * The id envelope (0 ≤ doc_id < 2000000) is enforced in-plan.
     */
   private[operators] def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .filter(idEnvelope(col("doc_id"), 2000000L))
     val mutated = d.select(
       (col("doc_id") + lit(2000000L)).as("doc_id"),
       expr("concat_ws(' ', filter(split(trim(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), (w, i) -> i % 10 != 0))").as("text"))
@@ -479,6 +538,7 @@ object Dedup {
   private[operators] def d06EmbedNeardup(spark: SparkSession, sfDir: String,
       maxBucket: Int): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .filter(idEnvelope(col("vec_id"), 2000000L))
     val corpus = e.unionAll(e.select(
         (col("vec_id") + lit(2000000L)).as("vec_id"),
         expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
@@ -544,6 +604,7 @@ object Dedup {
   private[operators] def d08SemDedup(spark: SparkSession, sfDir: String,
       maxBucket: Int): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .filter(idEnvelope(col("vec_id"), 2000000L))
     val corpus = e.unionAll(e.select(
         (col("vec_id") + lit(2000000L)).as("vec_id"),
         expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))

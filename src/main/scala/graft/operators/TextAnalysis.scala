@@ -722,9 +722,13 @@ object TextAnalysis {
     // way as Dedup.d01: min/max line over the same partition must agree
     // or the query raises instead of silently merging distinct lines.
     val hw = Window.partitionBy(col("h1"), col("h2"))
+    // seed literal FIRST: xxhash64(line, 1) would chain the first hash as
+    // the seed of a fixed-input XXH64 step — a bijection of h1, leaving the
+    // "pair" only 64 bits wide (see Dedup.withTextKey); seed-first re-hashes
+    // the line bytes under a different seed, so h2 is independent of h1
     val firstSeen = lines
       .withColumn("h1", xxhash64(col("line")))
-      .withColumn("h2", xxhash64(col("line"), lit(1L)))
+      .withColumn("h2", xxhash64(lit(1L), col("line")))
       .withColumn("rn",
         row_number().over(hw.orderBy(col("doc_id"), col("idx"))))
       .withColumn("l0", min(col("line")).over(hw))
@@ -880,13 +884,44 @@ object TextAnalysis {
         size(words(col("text"))).cast("long").as("n_words"))
       .orderBy(col("doc_id"))
 
-  val x19Oracle: String = {
+  // ----------------------------------------------- shared oracle fragments
+  //
+  // The DuckDB replays of the portable kernels, as ONE definition each:
+  // x18/x21/p05 interpolate these instead of carrying their own copies of
+  // the hash arithmetic, so a kernel change cannot silently drift one
+  // oracle while the others still match.
+
+  /** [[graft.functions.LinearScoreKernel]]'s word hash replayed in DuckDB:
+    * 31-polynomial over code points mod 2^31−1, bucketed to 65536.
+    */
+  private def sqlWordHash(w: String): String =
+    s"(list_reduce(list_prepend(CAST(7 AS BIGINT), [CAST(unicode(c) AS BIGINT) " +
+      s"FOR c IN regexp_split_to_array($w, '')]), " +
+      s"(a, c) -> (a * 31 + c) % 2147483647) % 65536)"
+
+  /** x18's derived classifier weight for a hashed token bucket. */
+  private def sqlClsWeight(h: String): String =
+    s"(($h * 2654435761) % 2147483647 % 1001 - 500)"
+
+  /** x21's derived bigram log-prob for a pair of hashed token buckets. */
+  private def sqlBigramLp(h1: String, h2: String): String =
+    s"(((($h1 * 31 + $h2) % 65536) * 2654435761) % 2147483647 % 1000 - 1000)"
+
+  /** The trained BPE merge table as a DuckDB list literal of 'l|r' keys —
+    * shared by x19Oracle and p05Oracle. The require guards the '|' join
+    * separator for BOTH consumers: a trained symbol containing it would
+    * make the pair keys ambiguous (and the replay silently wrong).
+    */
+  private def bpeMergePairsSql: String = {
     val merges = graft.functions.BpeVocab.merges
     require(merges.forall { case (l, r) => !l.contains("|") && !r.contains("|") },
       "oracle pair keys join on '|': a trained symbol containing it would be ambiguous")
-    val pairs = merges
-      .map { case (l, r) => "'" + (l + "|" + r).replace("'", "''") + "'" }
+    merges.map { case (l, r) => "'" + (l + "|" + r).replace("'", "''") + "'" }
       .mkString("[", ",", "]")
+  }
+
+  val x19Oracle: String = {
+    val pairs = bpeMergePairsSql
     s"""WITH RECURSIVE
        |docs AS (SELECT doc_id, lower(text) AS t, text FROM documents),
        |words AS (
@@ -953,28 +988,25 @@ object TextAnalysis {
   }
 
   val x21Oracle: String =
-    """WITH w0 AS (
-      |  SELECT doc_id, regexp_split_to_array(
-      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ws
-      |  FROM documents),
-      |t AS (
-      |  SELECT doc_id,
-      |    [(list_reduce(list_prepend(CAST(7 AS BIGINT),
-      |        [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
-      |      (a, c) -> (a * 31 + c) % 2147483647) % 65536)
-      |     FOR w IN ws IF length(w) > 0] AS hs,
-      |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_pairs
-      |  FROM w0),
-      |s AS (
-      |  SELECT doc_id, n_pairs,
-      |    CAST(COALESCE(list_sum([
-      |      (((hs[CAST(i AS INT)] * 31 + hs[CAST(i AS INT) + 1]) % 65536)
-      |        * 2654435761) % 2147483647 % 1000 - 1000
-      |      FOR i IN range(1, len(hs))]), 0) AS BIGINT) AS lp_sum
-      |  FROM t)
-      |SELECT doc_id, lp_sum, n_pairs,
-      |  CASE WHEN lp_sum >= -500 * n_pairs THEN 'keep' ELSE 'drop' END AS label
-      |FROM s ORDER BY doc_id""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    [${sqlWordHash("w")}
+       |     FOR w IN ws IF length(w) > 0] AS hs,
+       |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_pairs
+       |  FROM w0),
+       |s AS (
+       |  SELECT doc_id, n_pairs,
+       |    CAST(COALESCE(list_sum([
+       |      ${sqlBigramLp("hs[CAST(i AS INT)]", "hs[CAST(i AS INT) + 1]")}
+       |      FOR i IN range(1, len(hs))]), 0) AS BIGINT) AS lp_sum
+       |  FROM t)
+       |SELECT doc_id, lp_sum, n_pairs,
+       |  CASE WHEN lp_sum >= -500 * n_pairs THEN 'keep' ELSE 'drop' END AS label
+       |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- x20
 
@@ -1087,62 +1119,87 @@ object TextAnalysis {
     * threshold AND x18 classifier sign, both codegen'd over the SAME
     * token split) → exact dedup on the 128-bit hash pair with the d01
     * verified-exactness guard → merge-rule BPE token accounting (x19)
-    * over the survivors, folded per source. Shuffles only on the dedup
-    * key and the final per-source aggregate — everything upstream is
-    * per-row. The oracle replays every stage: the SHARED x20 CTE
-    * fragment, the x21/x18 hash arithmetic, text-keyed dedup (equal to
-    * the hash dedup because the guard raises on any collision), and the
-    * x19 recursive-CTE BPE over surviving documents.
+    * over the survivors, folded per source. The heavy per-row work
+    * (extraction, both model kernels, the hash pair) runs in ONE pass
+    * feeding ONE exchange keyed on (h1, h2, source); per-source totals
+    * and the cross-source dedup both fold that one aggregate, so the
+    * expensive subplan executes once (ReuseExchange — spec-pinned)
+    * instead of once per output branch, and the two downstream shuffles
+    * carry only the deduped (text, source) rows. Fixture, key and guard
+    * are [[Dedup.doubledCorpus]]/[[Dedup.withTextKey]]/
+    * [[Dedup.sameOrFail]] — the d01 invariants by reference, not by
+    * copy. The oracle replays every stage: the SHARED x20 CTE fragment,
+    * the x21/x18 hash arithmetic (shared fragments), text-keyed dedup
+    * (equal to the hash dedup because the guard raises on any
+    * collision), and the x19 recursive-CTE BPE over surviving documents.
     */
   def p05CrawlCuration(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.F
-    val d0 = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("source"))
-    val corpus = d0.unionAll(d0.select(
-      (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"), col("source")))
+    // the doubling fixture, the 128-bit key and the collision guard are
+    // the SAME helpers d01 ships — p05 advertises d01's exactness
+    // invariant, so it must run d01's code, not a copy that can drift
+    val corpus = Dedup.doubledCorpus(spark, sfDir)
     val base = corpus.select(col("doc_id"), col("source"),
       F.keepLines(F.htmlText(plantedHtml), 5).as("kept"))
     // kept is edge-clean (trimmed non-empty lines), so the split has no
     // empty tokens and both models see the identical word sequence
     val toks = split(col("kept"), s"$wsClass+")
-    val good = base
+    val scored = Dedup.withTextKey(base, "kept")
       .withColumn("lp_sum", F.bigramLogProb(toks))
       .withColumn("n_pairs", greatest(size(toks).cast("long") - 1L, lit(0L)))
       .withColumn("cls", F.linearScore(toks))
-      .filter(col("lp_sum") >= lit(-500L) * col("n_pairs") && col("cls") > 0L)
-    val keyed = good
-      .withColumn("h1", xxhash64(col("kept")))
-      .withColumn("h2", xxhash64(col("kept"), lit(1L)))
-    val reps = keyed.groupBy(col("h1"), col("h2"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min(col("kept")).as("t0"), max(col("kept")).as("t1"))
-      .filter(when(col("t0") <=> col("t1"), lit(true)).otherwise(raise_error(lit(
-        "graft: 128-bit text-hash collision — exact-dedup invariant violated")).cast("boolean")))
-      .select(col("doc_id"))
-    val surv = keyed.join(reps, Seq("doc_id"))
-    base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .join(good.groupBy(col("source")).agg(count(lit(1)).as("n_quality")),
-        Seq("source"), "left")
-      .join(surv.groupBy(col("source")).agg(
-          count(lit(1)).as("n_unique"),
-          sum(F.bpeTokens(col("kept"))).as("tokens_bpe")),
-        Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+      .withColumn("q", col("lp_sum") >= lit(-500L) * col("n_pairs") && col("cls") > 0L)
+    // ONE heavy pass: extraction, both model kernels and the hash pair
+    // run exactly once, folded into a single exchange keyed on
+    // (h1, h2, source). Every output column is derived from this one
+    // aggregate, so the two consumers below share the SAME exchange
+    // subtree and Catalyst's ReuseExchange/AQE stage reuse computes the
+    // expensive upstream once (three disjoint-keyed branches — the
+    // previous shape — re-ran it three times; spec-pinned in
+    // PipelineGatesSpec). The keyed guard below is what MAKES the reuse
+    // fire: it references every aggregate output (n included), so column
+    // pruning cannot specialize the aggregate list per branch — totals
+    // ignores (doc_id, t0, t1) and reps ignores n, and without the guard
+    // the two pruned subplans stop being sameResult and the heavy
+    // upstream runs twice (observed before this shape landed).
+    // q is constant within a group (it depends only on kept, and the
+    // group is one exact text per source — the guard verifies), so
+    // min(q) is THE group's verdict, not a vote.
+    val g1 = scored.groupBy(col("h1"), col("h2"), col("source"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"),
+        min(col("kept")).as("t0"), max(col("kept")).as("t1"),
+        min(col("q")).as("q"))
+      .filter(Dedup.sameOrFailKeyed(col("t0"), col("t1"),
+        col("h1"), col("h2"), col("doc_id"), col("n"), col("q")))
+    val totals = g1.groupBy(col("source")).agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("q"), col("n")).otherwise(0L)).as("n_quality"))
+    // dedup ACROSS sources: the representative is the globally-lowest
+    // doc_id's row; its source gets the survivor. The guard spans the
+    // whole (h1, h2) group — min/max over the per-source min/max is the
+    // corpus-wide min/max — so a cross-source collision raises too.
+    val reps = g1.filter(col("q"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(min_by(col("source"), col("doc_id")).as("source"),
+        min(col("t0")).as("t0"), max(col("t1")).as("t1"))
+      .filter(Dedup.sameOrFail(col("t0"), col("t1")))
+      .select(col("source"), col("t0").as("kept"))
+    val uniq = reps.groupBy(col("source")).agg(
+      count(lit(1)).as("n_unique"),
+      sum(F.bpeTokens(col("kept"))).as("tokens_bpe"))
+    totals.join(uniq, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_quality"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
         coalesce(col("tokens_bpe"), lit(0L)).as("tokens_bpe"))
       .orderBy(col("source"))
   }
 
   val p05Oracle: String = {
-    val merges = graft.functions.BpeVocab.merges
-    val pairs = merges
-      .map { case (l, r) => "'" + (l + "|" + r).replace("'", "''") + "'" }
-      .mkString("[", ",", "]")
+    val pairs = bpeMergePairsSql
     s"""WITH RECURSIVE
        |src_docs AS (
        |  SELECT doc_id, text, source FROM documents
-       |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents),
+       |  UNION ALL SELECT doc_id + 1099511627776, text, source FROM documents),
        |$htmlOracleCtes,
        |tok AS (
        |  SELECT k.doc_id, sd.source, k.kept,
@@ -1150,23 +1207,17 @@ object TextAnalysis {
        |  FROM k JOIN src_docs sd USING (doc_id)),
        |lm AS (
        |  SELECT doc_id, source, kept, ws,
-       |    [(list_reduce(list_prepend(CAST(7 AS BIGINT),
-       |        [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
-       |      (a, c) -> (a * 31 + c) % 2147483647) % 65536)
+       |    [${sqlWordHash("w")}
        |     FOR w IN ws IF length(w) > 0] AS hs,
        |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_pairs,
        |    CAST(COALESCE(list_sum([
-       |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
-       |          [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
-       |        (a, c) -> (a * 31 + c) % 2147483647) % 65536)
-       |       * 2654435761 % 2147483647 % 1001 - 500
+       |      ${sqlClsWeight(sqlWordHash("w"))}
        |      FOR w IN ws IF length(w) > 0]), 0) AS BIGINT) AS cls
        |  FROM tok),
        |lp AS (
        |  SELECT doc_id, source, kept, n_pairs, cls,
        |    CAST(COALESCE(list_sum([
-       |      (((hs[CAST(i AS INT)] * 31 + hs[CAST(i AS INT) + 1]) % 65536)
-       |        * 2654435761) % 2147483647 % 1000 - 1000
+       |      ${sqlBigramLp("hs[CAST(i AS INT)]", "hs[CAST(i AS INT) + 1]")}
        |      FOR i IN range(1, len(hs))]), 0) AS BIGINT) AS lp_sum
        |  FROM lm),
        |good AS (SELECT * FROM lp WHERE lp_sum >= -500 * n_pairs AND cls > 0),
@@ -1279,23 +1330,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   val x18Oracle: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    [w FOR w IN regexp_split_to_array(trim(text), '\s+') IF length(w) > 0] AS ws,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id, n_tokens,
-      |    CAST(COALESCE(list_sum([
-      |      ((list_reduce(list_prepend(CAST(7 AS BIGINT),
-      |          [CAST(unicode(c) AS BIGINT) FOR c IN regexp_split_to_array(w, '')]),
-      |        (a, c) -> (a * 31 + c) % 2147483647) % 65536)
-      |       * 2654435761) % 2147483647 % 1001 - 500
-      |      FOR w IN ws]), 0) AS BIGINT) AS score_sum
-      |  FROM t)
-      |SELECT doc_id, score_sum, n_tokens,
-      |  CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END AS label
-      |FROM s ORDER BY doc_id""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    [w FOR w IN regexp_split_to_array(trim(text), '\\s+') IF length(w) > 0] AS ws,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(list_sum([
+       |      ${sqlClsWeight(sqlWordHash("w"))}
+       |      FOR w IN ws]), 0) AS BIGINT) AS score_sum
+       |  FROM t)
+       |SELECT doc_id, score_sum, n_tokens,
+       |  CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM s ORDER BY doc_id""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),

@@ -662,6 +662,28 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("p05 runs the heavy extraction pass once (ReusedExchange plan pin)") {
+    // p05 fans out into two consumers (per-source totals and the
+    // cross-source dedup) over ONE (h1, h2, source) aggregate. The keyed
+    // collision guard references every aggregate output, so per-branch
+    // column pruning cannot specialize the aggregate lists — without
+    // that, the two exchanges stop being sameResult and the extraction +
+    // scoring subtree silently runs once per branch (observed before
+    // this shape landed). Pin the reuse in the FINAL adaptive plan.
+    val df = TextAnalysis.p05CrawlCuration(spark, sf)
+    df.collect() // finalize AQE so the executed plan is the real one
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.exists(l =>
+      l.contains("ReusedExchange") && l.contains("hashpartitioning(h1")),
+      s"p05: the (h1, h2, source) exchange is not reused:\n$finalPlan")
+    // the extraction expression must appear exactly twice — once per leg
+    // of the doubled-corpus union — not twice per consumer branch
+    val heavy = "graft_html_text".r.findAllMatchIn(finalPlan).size
+    assert(heavy == 2,
+      s"p05: heavy extraction appears $heavy times in the final plan (want 2):\n$finalPlan")
+  }
+
   test("p04 epoch shuffle: a permutation per epoch, epochs decorrelate, shards balanced") {
     val out = TextAnalysis.p04EpochShuffle(spark, sf)
       .as[(Int, Int, Long, Long)].collect()
