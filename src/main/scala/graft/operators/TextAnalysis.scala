@@ -1165,9 +1165,20 @@ object TextAnalysis {
     // q is constant within a group (it depends only on kept, and the
     // group is one exact text per source — the guard verifies), so
     // min(q) is THE group's verdict, not a vote.
+    // Witnesses ride the exchange ONLY for quality groups: they exist to
+    // verify the texts that flow onward into dedup/BPE, and a crawl-scale
+    // corpus is mostly filtered-out docs — shipping their witness strings
+    // through the one corpus-scale shuffle would roughly double its bytes
+    // for rows no later stage reads. Quality groups keep d01's full
+    // verified exactness; the count-only outputs (n_docs, n_quality) are
+    // exact by per-group arithmetic under the same 2^-128 key guarantee
+    // d02's count_distinct carries, with the quality-group witness (and
+    // d01 over the same doubled corpus in the same gate run) as the
+    // collision canary.
+    val qKept = when(col("q"), col("kept"))
     val g1 = scored.groupBy(col("h1"), col("h2"), col("source"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"),
-        min(col("kept")).as("t0"), max(col("kept")).as("t1"),
+        min(qKept).as("t0"), max(qKept).as("t1"),
         min(col("q")).as("q"))
       .filter(Dedup.sameOrFailKeyed(col("t0"), col("t1"),
         col("h1"), col("h2"), col("doc_id"), col("n"), col("q")))
