@@ -66,6 +66,13 @@ object MetaDiff {
     require(!base.refs.contains(MainRef) && !next.refs.contains(MainRef),
       "a graft ref named 'main' would shadow the current-snapshot pointer " +
         "on the catalog wire — rename the ref")
+    // applyUpdates reproduces `next` under the id-sorted snapshot-list
+    // invariant (adds land in id position); refuse loudly if a producer
+    // ever hands over an unsorted list instead of round-tripping wrong
+    def sorted(ss: Seq[Snapshot]): Boolean =
+      ss.iterator.map(_.id).sliding(2).forall(w => w.size < 2 || w(0) < w(1))
+    require(sorted(base.snapshots) && sorted(next.snapshots),
+      "catalog commit requires id-sorted snapshot lists (engine invariant)")
     val reqs = mapper.createArrayNode()
     val rv = reqs.addObject()
     rv.put("type", "assert-version"); rv.put("version", base.version)
@@ -216,10 +223,14 @@ object MetaDiff {
           snaps = snaps.filterNot(s => ids(s.id))
         case "add-snapshot" =>
           val s = snapshotFromNode(u.get("snapshot"))
-          snaps =
-            if (snaps.exists(_.id == s.id))
-              snaps.map(x => if (x.id == s.id) s else x)
-            else snaps :+ s
+          // keep the id-sorted invariant: every producer's snapshot list
+          // ascends (the engine allocates max+1 and appends; expiration
+          // filters preserve order), so an add must land in id POSITION.
+          // A plain append breaks round-tripping when an expire freed the
+          // max id and a later add reuses it: apply would put the reborn
+          // id after younger ones and diff/apply stops being the identity
+          // (found by MetaDiffFuzzSpec).
+          snaps = (snaps.filterNot(_.id == s.id) :+ s).sortBy(_.id)
         case "add-schema" =>
           val v = SchemaVersion(u.get("schema-id").asInt(),
             schemaFromNode(u.get("schema")))

@@ -423,7 +423,11 @@ object IcebergImport {
           sumLong("added-data-files"), sumLong("total-data-files"),
           sumLong("total-records"))
       })
-      out.result()
+      // normalize foreign document order to graft's id-sorted invariant:
+      // Iceberg ids are random longs and the spec attaches no meaning to
+      // snapshot-list order (history is parent links + timestamps), while
+      // graft's catalog diff/apply relies on id-sorted lists to round-trip
+      out.result().sortBy(_.id)
     }
 
     val currentSnap = Option(root.get("current-snapshot-id"))

@@ -116,6 +116,23 @@ class MetaDiffFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("drop-then-readd of a freed max id round-trips (fuzz counterexample)") {
+    // expire snapshot 50, then two commits re-allocate ids 49 and 50: the
+    // reborn 50 has NEW content and must land in id position, not at the
+    // list tail where a plain apply-append would put it
+    def snap(id: Long, ts: Long): Snapshot =
+      Snapshot(id, None, ts, "append", s"manifest-$id.json", 1, 1, 1, 0)
+    val base = TableMeta("/tmp/fuzz", 3, genSchema(2),
+      Seq(PartitionSpec(0, Nil)), 0,
+      Seq(snap(4, 10), snap(48, 20), snap(50, 30)), Some(50), Map(), Map(), Nil, 0)
+    val next = base.copy(version = 4,
+      snapshots = Seq(snap(4, 10), snap(48, 20), snap(49, 40), snap(50, 99)),
+      currentSnapshotId = Some(50))
+    val p = MetaDiff.diff(base, next)
+    assert(MetaDiff.checkRequirements(base, p.requirements).isEmpty)
+    assert(MetaDiff.applyUpdates(base, p.updates) == next)
+  }
+
   test("requirements refuse every out-of-date base") {
     val gen = for {
       base <- genBase

@@ -36,8 +36,12 @@ class ScaleStressSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_scale10x").toString
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     val n1 = docs.count()
+    // shifts stay inside the planted-fixture id envelope [0, 2e6) that
+    // d03's corpus generator now enforces in-plan (the guard refuses
+    // loudly instead of risking silent planted-id collisions); id VALUES
+    // don't affect LSH cost, only the 10x row count and twin structure do
     (0 until 10).map(i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
       .reduce(_ unionAll _)
       .repartition(16).write.parquet(s"$dir/documents.parquet")
 
