@@ -128,6 +128,15 @@ object F {
 
   /** Spark-canonical file path rendering (codegen'd; see [[CanonicalPath]]). */
   def canonPath(p: Column): Column = col(CanonicalPath(ex(p)))
+
+  /** Is the URL inside the declared canonicalization envelope? (x22) */
+  def urlOk(url: Column): Column = col(UrlInEnvelope(ex(url)))
+
+  /** Canonical form of an http/https URL (x22 crawl normalization). */
+  def canonUrl(url: Column): Column = col(UrlCanonicalize(ex(url)))
+
+  /** Registered domain (mini-PSL rule) of an http/https URL. */
+  def regDomain(url: Column): Column = col(UrlRegisteredDomain(ex(url)))
 }
 
 /** SQL-surface registration: `spark.sql("SELECT graft_cosine(a, b) ...")`.
@@ -230,10 +239,26 @@ object GraftExtensions {
       info("graft_bigram_logprob", "graft_bigram_logprob(words) - bigram-LM log-prob sum over adjacent words"),
       (children: Seq[Expression]) => HashedBigramLogProb(children.head))
 
+  private[functions] val urlOkDesc =
+    (FunctionIdentifier("graft_url_ok"),
+      info("graft_url_ok", "graft_url_ok(url) - is the URL inside the canonicalization envelope"),
+      (children: Seq[Expression]) => UrlInEnvelope(children.head))
+
+  private[functions] val canonUrlDesc =
+    (FunctionIdentifier("graft_canon_url"),
+      info("graft_canon_url", "graft_canon_url(url) - canonical form of an http/https URL"),
+      (children: Seq[Expression]) => UrlCanonicalize(children.head))
+
+  private[functions] val regDomainDesc =
+    (FunctionIdentifier("graft_reg_domain"),
+      info("graft_reg_domain", "graft_reg_domain(url) - registered domain of an http/https URL"),
+      (children: Seq[Expression]) => UrlRegisteredDomain(children.head))
+
   private[functions] def all = Seq(cosineDesc, simhashDesc, fingerprintDesc,
     charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc,
     rpBitsDesc, nfcDesc, subwordTokensDesc, bpeTokensDesc, htmlTextDesc,
-    keepLinesDesc, linearScoreDesc, bigramLogProbDesc)
+    keepLinesDesc, linearScoreDesc, bigramLogProbDesc, urlOkDesc,
+    canonUrlDesc, regDomainDesc)
 
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1008,6 +1008,107 @@ object TextAnalysis {
        |  CASE WHEN lp_sum >= -500 * n_pairs THEN 'keep' ELSE 'drop' END AS label
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x22
+
+  /** The deterministic URL x22 plants on every document — mixed-case
+    * scheme/host, a `www.` label, default and non-default ports, a
+    * ccSLD (`co.uk`) registered domain, tracking parameters
+    * interleaved with real ones, and a fragment. Same concat in both
+    * engines (the x20 planted-markup discipline).
+    */
+  private def plantedUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.News")).otherwise(lit("http://blog")),
+    col("doc_id") % 5, lit("."),
+    when(col("doc_id") % 3 === 0, lit("example.COM"))
+      .when(col("doc_id") % 3 === 1, lit("Sample.co.uk"))
+      .otherwise(lit("demo.org")),
+    when(col("doc_id") % 2 === 0, lit(":443"))
+      .when(col("doc_id") % 5 === 4, lit(":8080")).otherwise(lit(":80")),
+    lit("/Articles/"), col("doc_id"),
+    lit("/index.html?utm_source=feed&page="), col("doc_id") % 7,
+    lit("&fbclid=abc"), col("doc_id"),
+    when(col("doc_id") % 4 === 0, lit("&ref=home")).otherwise(lit("&lang=en")),
+    lit("#Section-"), col("doc_id") % 9)
+
+  /** x22: URL filtering + normalization — the crawl stage BEFORE even
+    * x20's extraction: canonicalize each page's URL (case/port/fragment
+    * equivalences + tracking-parameter strip, one codegen'd pass —
+    * [[graft.functions.UrlCanonicalize]]), key it to its REGISTERED
+    * domain ([[graft.functions.UrlRegisteredDomain]], the mini-PSL
+    * rule), then drop blocklisted domains via a BROADCAST join — the
+    * blocklist is thousands of rows against a 100 TB corpus, so it
+    * ships to every executor and the corpus never shuffles. The gate
+    * plants a deterministic URL per document exercising every
+    * canonicalization rule; the oracle replays the declared chain with
+    * DuckDB string/regex/list functions and must reproduce the
+    * canonical URL STRING-identically. Envelope probe + refusal
+    * semantics and an independent java.net.URI reimplementation are
+    * pinned in UrlSpec.
+    */
+  def x22UrlFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.F
+    val blocklist = broadcast(Seq("sample.co.uk").toDF("bad_domain"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), F.canonUrl(plantedUrl).as("url_canon"))
+      .withColumn("domain", F.regDomain(col("url_canon")))
+      .join(blocklist, col("domain") === col("bad_domain"), "left")
+      .withColumn("label",
+        when(col("bad_domain").isNotNull, "drop").otherwise("keep"))
+      .select(col("doc_id"), col("url_canon"), col("domain"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x22Oracle: String =
+    """WITH u0 AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.News' ELSE 'http://blog' END) ||
+      |  CAST(doc_id % 5 AS VARCHAR) || '.' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'example.COM'
+      |        WHEN doc_id % 3 = 1 THEN 'Sample.co.uk' ELSE 'demo.org' END) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN ':443'
+      |        WHEN doc_id % 5 = 4 THEN ':8080' ELSE ':80' END) ||
+      |  '/Articles/' || CAST(doc_id AS VARCHAR) ||
+      |  '/index.html?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |  '&fbclid=abc' || CAST(doc_id AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN '&ref=home' ELSE '&lang=en' END) ||
+      |  '#Section-' || CAST(doc_id % 9 AS VARCHAR) AS url
+      | FROM documents),
+      |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 's') AS u FROM u0),
+      |p AS (SELECT doc_id,
+      |  lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS sch,
+      |  lower(regexp_extract(u, '^[^:/?#]+://([^/?]*)', 1)) AS auth,
+      |  regexp_extract(u, '^[^:/?#]+://[^/?]*([^?]*)', 1) AS pth,
+      |  CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) END AS qs
+      | FROM u1),
+      |a AS (SELECT doc_id, sch, qs,
+      |  regexp_replace(
+      |    CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$', '')
+      |         ELSE regexp_replace(auth, ':443$', '') END,
+      |    '^www\.', '') AS auth,
+      |  CASE WHEN pth = '' THEN '/' ELSE pth END AS pth
+      | FROM p),
+      |q AS (SELECT doc_id, sch, auth, pth,
+      |  list_filter(string_split(COALESCE(qs, ''), '&'), s ->
+      |    len(s) > 0 AND NOT (
+      |      starts_with(split_part(s, '=', 1), 'utm_') OR
+      |      split_part(s, '=', 1) IN ('fbclid', 'gclid', 'ref'))) AS ps
+      | FROM a),
+      |c AS (SELECT doc_id,
+      |  sch || '://' || auth || pth ||
+      |  CASE WHEN len(ps) = 0 THEN '' ELSE '?' || array_to_string(ps, '&') END AS url_canon,
+      |  string_split(split_part(auth, ':', 1), '.') AS ls
+      | FROM q),
+      |d AS (SELECT doc_id, url_canon,
+      |  CASE WHEN len(ls) >= 3 AND len(ls[len(ls)]) = 2
+      |        AND ls[len(ls) - 1] IN ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
+      |       THEN array_to_string(ls[len(ls) - 2 : len(ls)], '.')
+      |       WHEN len(ls) >= 2 THEN array_to_string(ls[len(ls) - 1 : len(ls)], '.')
+      |       ELSE ls[1] END AS domain
+      | FROM c)
+      |SELECT doc_id, url_canon, domain,
+      |  CASE WHEN domain IN ('sample.co.uk') THEN 'drop' ELSE 'keep' END AS label
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- x20
 
   /** x20: HTML → text extraction + boilerplate-line removal — the
@@ -1363,6 +1464,7 @@ object TextAnalysis {
     "x19_bpe_tokens"     -> ((x19BpeTokens _, x19Oracle)),
     "x20_html_extract"   -> ((x20HtmlExtract _, x20Oracle)),
     "x21_perplexity_filter" -> ((x21PerplexityFilter _, x21Oracle)),
+    "x22_url_filter"     -> ((x22UrlFilter _, x22Oracle)),
     "p05_crawl_curation" -> ((p05CrawlCuration _, p05Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
