@@ -224,6 +224,139 @@ class GraftAvroSpec extends SparkSpec {
     assert(row.getDecimal(2) == new java.math.BigDecimal("9876.543"))
   }
 
+  test("logical-type boundary fuzz: decimals at every byte-length edge, " +
+      "pre-epoch/extreme dates + timestamps, referee'd on the wire") {
+    import java.math.{BigDecimal => JBD, BigInteger => JBI}
+    import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+    // --- decimals: unscaled magnitudes at the two's-complement
+    // byte-length boundaries (a hand-rolled minimal encoding gets
+    // exactly these wrong), both signs, per (precision, scale) class
+    val rnd = new scala.util.Random(20260815L)
+    val mags = Seq(BigInt(0), BigInt(1), BigInt(127), BigInt(128), BigInt(129),
+      BigInt(255), BigInt(256), BigInt(32767), BigInt(32768),
+      BigInt(Int.MaxValue), BigInt(Int.MaxValue) + 1,
+      BigInt(Long.MaxValue), BigInt(Long.MaxValue) + 1)
+    val psPairs = Seq((1, 0), (3, 1), (5, 2), (9, 9), (18, 0), (18, 6),
+      (20, 5), (38, 0), (38, 37))
+    val decCols = psPairs.map { case (p, s) =>
+      val cap = BigInt(10).pow(p)
+      val fixed = mags.filter(_ < cap).flatMap(m => Seq(m, -m))
+      val randoms = (0 until 8).map(_ => BigInt(p * 4, rnd) % cap)
+      (s"dec_${p}_$s", p, s,
+        (fixed ++ randoms).distinct.map(u => new JBD(new JBI(u.toString), s)))
+    }
+    val nDecRows = decCols.map(_._4.size).max
+    val decSchema = StructType(
+      StructField("id", IntegerType, nullable = false) +:
+        decCols.map { case (n, p, s, _) =>
+          StructField(n, DecimalType(p, s), nullable = true) })
+    val decRows = (0 until nDecRows).map { i =>
+      Row.fromSeq(i +: decCols.map { case (_, _, _, vs) => vs.lift(i).orNull })
+    }
+    val decDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(decRows).asJava), decSchema)
+    val decDir = tmp()
+    GraftAvro.write(decDf.coalesce(1), decDir)
+    val decBack = GraftAvro.read(spark, decDir)
+    assert(decBack.schema == decSchema)
+    val sortBoth = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().sortBy(_.getInt(0)).map(_.toSeq).toSeq
+    assert(sortBoth(decBack) == sortBoth(decDf))
+
+    // referee: Apache Avro must see the EXACT minimal two's-complement
+    // unscaled bytes for every value
+    locally {
+      import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      val file = new java.io.File(decDir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(file.toPath)),
+        new GenericDatumReader[GenericRecord]())
+      val got = scala.collection.mutable.Map[Int, GenericRecord]()
+      while (rd.hasNext) { val r = rd.next(); got(r.get("id").asInstanceOf[Int]) = r }
+      rd.close()
+      decRows.foreach { row =>
+        val r = got(row.getInt(0))
+        decCols.zipWithIndex.foreach { case ((name, _, _, _), ci) =>
+          val want = row.get(ci + 1)
+          val gotV = r.get(name)
+          if (want == null) assert(gotV == null, s"$name null")
+          else {
+            val bb = gotV.asInstanceOf[java.nio.ByteBuffer]
+            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+            val wantUnscaled = want.asInstanceOf[JBD].unscaledValue()
+            assert(new JBI(arr) == wantUnscaled, s"$name value")
+            assert(arr.toSeq == wantUnscaled.toByteArray.toSeq, s"$name minimal bytes")
+          }
+        }
+      }
+    }
+
+    // --- dates and timestamps: year 1 to 9999, both sides of the epoch,
+    // Gregorian-cutover week, sub-millisecond micros on negative seconds
+    val dates = Seq(LocalDate.of(1, 1, 1), LocalDate.of(1582, 10, 4),
+      LocalDate.of(1582, 10, 15), LocalDate.of(1899, 12, 31),
+      LocalDate.of(1969, 12, 31), LocalDate.of(1970, 1, 1),
+      LocalDate.of(2400, 2, 29), LocalDate.of(9999, 12, 31)) ++
+      (0 until 12).map(_ => LocalDate.ofEpochDay(
+        rnd.nextLong(LocalDate.of(9999, 12, 31).toEpochDay + 719162L) - 719162L))
+    val microsList = Seq(0L, 1L, -1L, 999999L, -999999L, 1000000L, -1000000L,
+      -876544L, // 1969-12-31T23:59:59.123456 — fractional micros before epoch
+      -62135596800000000L, // 0001-01-01T00:00
+      253402300799999999L) ++ // 9999-12-31T23:59:59.999999
+      (0 until 12).map(_ => rnd.nextLong(2L * 253402300799999999L) - 253402300799999999L)
+    val nTsRows = math.max(dates.size, microsList.size)
+    val tsSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("d", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("tntz", TimestampNTZType, nullable = true)))
+    def instOf(us: Long): Instant =
+      Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+    val tsRows = (0 until nTsRows).map { i =>
+      Row(i,
+        dates.lift(i).map(java.sql.Date.valueOf).orNull,
+        microsList.lift(i).map(us => java.sql.Timestamp.from(instOf(us))).orNull,
+        microsList.lift(i).map(us =>
+          LocalDateTime.ofInstant(instOf(us), ZoneOffset.UTC)).orNull)
+    }
+    val tsDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(tsRows).asJava), tsSchema)
+    val tsDir = tmp()
+    GraftAvro.write(tsDf.coalesce(1), tsDir)
+    val tsBack = GraftAvro.read(spark, tsDir)
+    assert(sortBoth(tsBack) == sortBoth(tsDf))
+
+    // referee the wire values: date = proleptic epoch days (int),
+    // timestamps = UTC micros (long)
+    locally {
+      import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      val file = new java.io.File(tsDir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(file.toPath)),
+        new GenericDatumReader[GenericRecord]())
+      val got = scala.collection.mutable.Map[Int, GenericRecord]()
+      while (rd.hasNext) { val r = rd.next(); got(r.get("id").asInstanceOf[Int]) = r }
+      rd.close()
+      (0 until nTsRows).foreach { i =>
+        val r = got(i)
+        dates.lift(i).foreach(ld =>
+          assert(r.get("d") == ld.toEpochDay.toInt, s"row $i date days"))
+        microsList.lift(i).foreach { us =>
+          assert(r.get("ts") == us, s"row $i timestamp micros")
+          assert(r.get("tntz") == us, s"row $i ntz micros")
+        }
+      }
+    }
+  }
+
   test("sink resolves dir through the Hadoop FileSystem (explicit file: URI)") {
     val dir = "file://" + tmp()
     val rows = (0 until 100).map(i => (i.toLong, s"v$i"))
