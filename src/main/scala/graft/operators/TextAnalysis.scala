@@ -1016,19 +1016,19 @@ object TextAnalysis {
     * interleaved with real ones, and a fragment. Same concat in both
     * engines (the x20 planted-markup discipline).
     */
-  private def plantedUrl: Column = concat(
-    when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.News")).otherwise(lit("http://blog")),
-    col("doc_id") % 5, lit("."),
-    when(col("doc_id") % 3 === 0, lit("example.COM"))
-      .when(col("doc_id") % 3 === 1, lit("Sample.co.uk"))
+  private def plantedUrl(id: Column): Column = concat(
+    when(id % 2 === 0, lit("HTTPS://WWW.News")).otherwise(lit("http://blog")),
+    id % 5, lit("."),
+    when(id % 3 === 0, lit("example.COM"))
+      .when(id % 3 === 1, lit("Sample.co.uk"))
       .otherwise(lit("demo.org")),
-    when(col("doc_id") % 2 === 0, lit(":443"))
-      .when(col("doc_id") % 5 === 4, lit(":8080")).otherwise(lit(":80")),
-    lit("/Articles/"), col("doc_id"),
-    lit("/index.html?utm_source=feed&page="), col("doc_id") % 7,
-    lit("&fbclid=abc"), col("doc_id"),
-    when(col("doc_id") % 4 === 0, lit("&ref=home")).otherwise(lit("&lang=en")),
-    lit("#Section-"), col("doc_id") % 9)
+    when(id % 2 === 0, lit(":443"))
+      .when(id % 5 === 4, lit(":8080")).otherwise(lit(":80")),
+    lit("/Articles/"), id,
+    lit("/index.html?utm_source=feed&page="), id % 7,
+    lit("&fbclid=abc"), id,
+    when(id % 4 === 0, lit("&ref=home")).otherwise(lit("&lang=en")),
+    lit("#Section-"), id % 9)
 
   /** x22: URL filtering + normalization — the crawl stage BEFORE even
     * x20's extraction: canonicalize each page's URL (case/port/fragment
@@ -1050,7 +1050,7 @@ object TextAnalysis {
     import graft.functions.F
     val blocklist = broadcast(Seq("sample.co.uk").toDF("bad_domain"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), F.canonUrl(plantedUrl).as("url_canon"))
+      .select(col("doc_id"), F.canonUrl(plantedUrl(col("doc_id"))).as("url_canon"))
       .withColumn("domain", F.regDomain(col("url_canon")))
       .join(blocklist, col("domain") === col("bad_domain"), "left")
       .withColumn("label",
@@ -1059,55 +1059,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The planted URL as DuckDB SQL over id expression `id` — the same
+    * concat as [[plantedUrl]], shared by the x22 and p05 oracles.
+    */
+  private def sqlPlantedUrl(id: String): String =
+    s"""(CASE WHEN ($id) % 2 = 0 THEN 'HTTPS://WWW.News' ELSE 'http://blog' END) ||
+       |  CAST(($id) % 5 AS VARCHAR) || '.' ||
+       |  (CASE WHEN ($id) % 3 = 0 THEN 'example.COM'
+       |        WHEN ($id) % 3 = 1 THEN 'Sample.co.uk' ELSE 'demo.org' END) ||
+       |  (CASE WHEN ($id) % 2 = 0 THEN ':443'
+       |        WHEN ($id) % 5 = 4 THEN ':8080' ELSE ':80' END) ||
+       |  '/Articles/' || CAST($id AS VARCHAR) ||
+       |  '/index.html?utm_source=feed&page=' || CAST(($id) % 7 AS VARCHAR) ||
+       |  '&fbclid=abc' || CAST($id AS VARCHAR) ||
+       |  (CASE WHEN ($id) % 4 = 0 THEN '&ref=home' ELSE '&lang=en' END) ||
+       |  '#Section-' || CAST(($id) % 9 AS VARCHAR)""".stripMargin
+
+  /** The x22 canonicalization + registered-domain chain as oracle CTEs
+    * over table `src`: plant the URL from id expression `seed`, replay
+    * the declared rule chain, and end in `ud(uid, url_canon, domain)`
+    * keyed by `uid` — ONE shared fragment, so the x22 gate and the p05
+    * pipeline replay cannot drift.
+    */
+  private def sqlUrlCtes(src: String, uid: String, seed: String): String =
+    s"""u1 AS (SELECT $uid AS uid,
+       |  regexp_replace(${sqlPlantedUrl(seed)}, '#.*$$', '', 's') AS u FROM $src),
+       |up AS (SELECT uid,
+       |  lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS sch,
+       |  lower(regexp_extract(u, '^[^:/?#]+://([^/?]*)', 1)) AS auth,
+       |  regexp_extract(u, '^[^:/?#]+://[^/?]*([^?]*)', 1) AS pth,
+       |  CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) END AS qs
+       | FROM u1),
+       |ua AS (SELECT uid, sch, qs,
+       |  regexp_replace(
+       |    CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$$', '')
+       |         ELSE regexp_replace(auth, ':443$$', '') END,
+       |    '^www\\.', '') AS auth,
+       |  CASE WHEN pth = '' THEN '/' ELSE pth END AS pth
+       | FROM up),
+       |uq AS (SELECT uid, sch, auth, pth,
+       |  list_filter(string_split(COALESCE(qs, ''), '&'), s ->
+       |    len(s) > 0 AND NOT (
+       |      starts_with(split_part(s, '=', 1), 'utm_') OR
+       |      split_part(s, '=', 1) IN ('fbclid', 'gclid', 'ref'))) AS ps
+       | FROM ua),
+       |uc AS (SELECT uid,
+       |  sch || '://' || auth || pth ||
+       |  CASE WHEN len(ps) = 0 THEN '' ELSE '?' || array_to_string(ps, '&') END AS url_canon,
+       |  string_split(split_part(auth, ':', 1), '.') AS ls
+       | FROM uq),
+       |ud AS (SELECT uid, url_canon,
+       |  CASE WHEN len(ls) >= 3 AND len(ls[len(ls)]) = 2
+       |        AND ls[len(ls) - 1] IN ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
+       |       THEN array_to_string(ls[len(ls) - 2 : len(ls)], '.')
+       |       WHEN len(ls) >= 2 THEN array_to_string(ls[len(ls) - 1 : len(ls)], '.')
+       |       ELSE ls[1] END AS domain
+       | FROM uc)""".stripMargin
+
   val x22Oracle: String =
-    """WITH u0 AS (SELECT doc_id,
-      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.News' ELSE 'http://blog' END) ||
-      |  CAST(doc_id % 5 AS VARCHAR) || '.' ||
-      |  (CASE WHEN doc_id % 3 = 0 THEN 'example.COM'
-      |        WHEN doc_id % 3 = 1 THEN 'Sample.co.uk' ELSE 'demo.org' END) ||
-      |  (CASE WHEN doc_id % 2 = 0 THEN ':443'
-      |        WHEN doc_id % 5 = 4 THEN ':8080' ELSE ':80' END) ||
-      |  '/Articles/' || CAST(doc_id AS VARCHAR) ||
-      |  '/index.html?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR) ||
-      |  '&fbclid=abc' || CAST(doc_id AS VARCHAR) ||
-      |  (CASE WHEN doc_id % 4 = 0 THEN '&ref=home' ELSE '&lang=en' END) ||
-      |  '#Section-' || CAST(doc_id % 9 AS VARCHAR) AS url
-      | FROM documents),
-      |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 's') AS u FROM u0),
-      |p AS (SELECT doc_id,
-      |  lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS sch,
-      |  lower(regexp_extract(u, '^[^:/?#]+://([^/?]*)', 1)) AS auth,
-      |  regexp_extract(u, '^[^:/?#]+://[^/?]*([^?]*)', 1) AS pth,
-      |  CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) END AS qs
-      | FROM u1),
-      |a AS (SELECT doc_id, sch, qs,
-      |  regexp_replace(
-      |    CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$', '')
-      |         ELSE regexp_replace(auth, ':443$', '') END,
-      |    '^www\.', '') AS auth,
-      |  CASE WHEN pth = '' THEN '/' ELSE pth END AS pth
-      | FROM p),
-      |q AS (SELECT doc_id, sch, auth, pth,
-      |  list_filter(string_split(COALESCE(qs, ''), '&'), s ->
-      |    len(s) > 0 AND NOT (
-      |      starts_with(split_part(s, '=', 1), 'utm_') OR
-      |      split_part(s, '=', 1) IN ('fbclid', 'gclid', 'ref'))) AS ps
-      | FROM a),
-      |c AS (SELECT doc_id,
-      |  sch || '://' || auth || pth ||
-      |  CASE WHEN len(ps) = 0 THEN '' ELSE '?' || array_to_string(ps, '&') END AS url_canon,
-      |  string_split(split_part(auth, ':', 1), '.') AS ls
-      | FROM q),
-      |d AS (SELECT doc_id, url_canon,
-      |  CASE WHEN len(ls) >= 3 AND len(ls[len(ls)]) = 2
-      |        AND ls[len(ls) - 1] IN ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
-      |       THEN array_to_string(ls[len(ls) - 2 : len(ls)], '.')
-      |       WHEN len(ls) >= 2 THEN array_to_string(ls[len(ls) - 1 : len(ls)], '.')
-      |       ELSE ls[1] END AS domain
-      | FROM c)
-      |SELECT doc_id, url_canon, domain,
-      |  CASE WHEN domain IN ('sample.co.uk') THEN 'drop' ELSE 'keep' END AS label
-      |FROM d ORDER BY doc_id""".stripMargin
+    s"""WITH ${sqlUrlCtes("documents", "doc_id", "doc_id")}
+       |SELECT uid AS doc_id, url_canon, domain,
+       |  CASE WHEN domain IN ('sample.co.uk') THEN 'drop' ELSE 'keep' END AS label
+       |FROM ud ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- x20
 
@@ -1214,7 +1227,11 @@ object TextAnalysis {
 
   /** p05: END-TO-END crawl curation (r14 capstone) — the r14 operators
     * working TOGETHER on one corpus, each stage the real shape it ships
-    * as: planted HTML (the x20 markup, over a doubled corpus so dedup
+    * as: URL canonicalization + registered-domain blocklist (x22's
+    * expressions, broadcast anti join, run FIRST — before any heavy
+    * per-row work, exactly as a crawl orders it; the planted URL derives
+    * from the original id so twins drop together and dedup still halves)
+    * → planted HTML (the x20 markup, over a doubled corpus so dedup
     * has real work) → single-pass extraction + boilerplate-line filter
     * (x20's expressions) → a two-model quality vote (x21 bigram-LM
     * threshold AND x18 classifier sign, both codegen'd over the SAME
@@ -1235,12 +1252,25 @@ object TextAnalysis {
     * collision), and the x19 recursive-CTE BPE over surviving documents.
     */
   def p05CrawlCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     import graft.functions.F
     // the doubling fixture, the 128-bit key and the collision guard are
     // the SAME helpers d01 ships — p05 advertises d01's exactness
     // invariant, so it must run d01's code, not a copy that can drift
     val corpus = Dedup.doubledCorpus(spark, sfDir)
-    val base = corpus.select(col("doc_id"), col("source"),
+    // URL stage (x22) FIRST — the cheap per-row check runs before the
+    // heavy extraction, exactly as a crawl orders it: the planted URL
+    // derives from the ORIGINAL id (the doubling shift is 2^40), so a
+    // twin shares its original's URL and the domain filter drops dup
+    // pairs together; the blocklist ships broadcast (anti join), the
+    // corpus never shuffles for it. n_docs counts the URL survivors.
+    val blocklist = broadcast(Seq("sample.co.uk").toDF("bad_domain"))
+    val fetched = corpus
+      .withColumn("domain",
+        F.regDomain(F.canonUrl(plantedUrl(col("doc_id") % lit(1L << 40)))))
+      .join(blocklist, col("domain") === col("bad_domain"), "left_anti")
+      .drop("domain")
+    val base = fetched.select(col("doc_id"), col("source"),
       F.keepLines(F.htmlText(plantedHtml), 5).as("kept"))
     // kept is edge-clean (trimmed non-empty lines), so the split has no
     // empty tokens and both models see the identical word sequence
@@ -1309,9 +1339,13 @@ object TextAnalysis {
   val p05Oracle: String = {
     val pairs = bpeMergePairsSql
     s"""WITH RECURSIVE
-       |src_docs AS (
+       |all_docs AS (
        |  SELECT doc_id, text, source FROM documents
        |  UNION ALL SELECT doc_id + 1099511627776, text, source FROM documents),
+       |${sqlUrlCtes("all_docs", "doc_id", "doc_id % 1099511627776")},
+       |src_docs AS (
+       |  SELECT a.* FROM all_docs a JOIN ud ON a.doc_id = ud.uid
+       |  WHERE ud.domain NOT IN ('sample.co.uk')),
        |$htmlOracleCtes,
        |tok AS (
        |  SELECT k.doc_id, sd.source, k.kept,

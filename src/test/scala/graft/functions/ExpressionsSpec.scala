@@ -123,6 +123,14 @@ class ExpressionsSpec extends SparkSpec {
     assert(t.getString(3) == "one two three")
     assert(math.abs(t.getLong(4)) <= 500L)
     assert(t.getLong(5) >= -1000L && t.getLong(5) <= -1L)
+    // the x22 URL functions ride the same registry
+    val u = spark.sql(
+      "SELECT graft_url_ok('HTTP://WWW.A.com:80/p?utm_source=x&q=1#f') AS ok," +
+      " graft_canon_url('HTTP://WWW.A.com:80/p?utm_source=x&q=1#f') AS c," +
+      " graft_reg_domain('https://x.sample.co.uk:8443/') AS d").head()
+    assert(u.getBoolean(0))
+    assert(u.getString(1) == "http://a.com/p?q=1")
+    assert(u.getString(2) == "sample.co.uk")
   }
 
   test("hilbert index is a bijection with unit-step adjacency") {
