@@ -220,14 +220,20 @@ object Dedup {
     */
   private def candidatePairs(
       docs: DataFrame, // (doc_id, sh: array<long>)
-      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame =
+    cappedBucketPairs(bandedKeys(docs, bands, rowsPerBand), maxBucket)
+
+  /** (doc_id, band, key) rows of a corpus's minhash LSH band keys —
+    * the blocking vocabulary shared by the self-join consumers above
+    * and the asymmetric corpus-vs-benchmark join (d11).
+    */
+  private def bandedKeys(docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = docs.withColumn("sig", F.minhashSig(col("sh"), bands * rowsPerBand))
-    val banded = sig.select(
+    sig.select(
         col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b) AS key))")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    cappedBucketPairs(banded, maxBucket)
   }
 
   /** d03: MinHash+LSH near-dup clustering — shingle → 128-hash minhash
@@ -329,6 +335,73 @@ object Dedup {
       |  SELECT r.src, b.v FROM reach r JOIN bi b ON r.dst = b.u)
       |SELECT src AS doc_id, MIN(dst) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** d11: FUZZY benchmark decontamination (the near-dup sibling of x08's
+    * exact 8-gram rule — the eval-set scrub modern pipelines run at the
+    * near-duplicate level, not just verbatim): flag every corpus document
+    * whose word-shingle Jaccard against ANY benchmark document reaches
+    * 0.5, reporting the lowest matching benchmark id. The benchmark is
+    * tiny and the corpus is 100 TB, so the SHAPE is the point: both
+    * sides band with d03's minhash LSH (shared [[bandedKeys]], identical
+    * constants), but the benchmark's banded keys BROADCAST to the corpus
+    * scan — a map-side join, the corpus never shuffles; only matched
+    * candidates (bounded by bands × the benchmark's true near-dup
+    * footprint) reach the exact-Jaccard verify, each pair once. Gate
+    * exactness is the d03Exact construction: the benchmark IS 20 corpus
+    * texts (exact copies → identical signatures → recall 1.0 by
+    * construction); the only other pairs over 0.5 are the corpus's
+    * planted near-dups of those texts, banded deterministically by fixed
+    * data + fixed seeds. The oracle brute-forces the exact DECISION
+    * (corpus × benchmark string-shingle Jaccard, no LSH on its side), so
+    * any blocking miss is a hash mismatch, not a silently-weaker check.
+    */
+  def d11DecontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") < 20)
+    val corpus = withShingles(docs)
+    val benchSh = withShingles(bench)
+    val corpusKeys = bandedKeys(corpus.select(col("doc_id"), col("sh")), 32, 4)
+    val benchKeys = bandedKeys(benchSh.select(col("doc_id"), col("sh")), 32, 4)
+      .select(col("band"), col("key"), col("doc_id").as("bench_id"))
+    // benchmark keys ride the broadcast; a corpus row fans out to at most
+    // bands × |matching bench docs| candidates, so no corpus-side bucket
+    // can go quadratic (there IS no corpus-side bucket)
+    val cands = corpusKeys.join(broadcast(benchKeys), Seq("band", "key"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val verified = cands
+      .join(corpus.select(col("doc_id"), col("sh")), "doc_id")
+      .join(broadcast(benchSh.select(
+        col("doc_id").as("bench_id"), col("sh").as("sh_b"))), "bench_id")
+      .filter(jaccard(col("sh"), col("sh_b")) >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(col("bench_id")).as("bench_id"))
+    docs.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("bench_id").isNotNull.as("contaminated"),
+        coalesce(col("bench_id"), lit(-1L)).as("bench_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d11Oracle: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents),
+      |bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id < 20),
+      |cw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM corpus),
+      |cs AS (SELECT doc_id, list_distinct(
+      |  [array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)]) AS s
+      | FROM cw),
+      |bw AS (SELECT bench_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM bench),
+      |bs AS (SELECT bench_id, list_distinct(
+      |  [array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)]) AS s
+      | FROM bw),
+      |hits AS (
+      |  SELECT c.doc_id, MIN(b.bench_id) AS bench_id
+      |  FROM cs c JOIN bs b ON CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) /
+      |    (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.5
+      |  GROUP BY c.doc_id)
+      |SELECT c.doc_id, h.bench_id IS NOT NULL AS contaminated,
+      |  CAST(COALESCE(h.bench_id, -1) AS BIGINT) AS bench_id
+      |FROM corpus c LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** d04: SimHash near-dup pairs — 64-bit simhash over word hashes; the 8
     * 8-bit chunks are the blocking keys (pigeonhole: any pair with hamming
@@ -976,5 +1049,6 @@ object Dedup {
     "d05_ngram_jaccard"     -> ((d05NgramJaccardExact _, d05Oracle)),
     "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),
     "d08_semdedup"          -> ((d08SemDedup _, d08Oracle)),
+    "d11_decontaminate_fuzzy" -> ((d11DecontaminateFuzzy _, d11Oracle)),
   )
 }

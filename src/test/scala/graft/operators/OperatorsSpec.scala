@@ -305,6 +305,39 @@ class DedupSpec extends SparkSpec {
     assert(d06.count { case (a, b) => b - a == 2000000L } == nVecs)
   }
 
+  test("d11 fuzzy decontamination: benchmark broadcasts, flags exactly the planted overlaps") {
+    val df = Dedup.d11DecontaminateFuzzy(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the benchmark side rides broadcasts; the corpus never sort-merges
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    // every benchmark doc is in the corpus, so doc_id < 20 always flags
+    // (self-match at Jaccard 1.0; the REPORTED id may be a lower-id
+    // near-dup inside the benchmark itself)
+    rows.filter(_._1 < 20).foreach { case (id, c, b) =>
+      assert(c && b <= id, s"doc $id should flag with a match <= itself")
+    }
+    // verify EVERY row against a driver-side exact word-shingle Jaccard
+    // brute force over the benchmark
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      t.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    rows.foreach { case (id, c, b) =>
+      val want = (0L until 20L).filter(k =>
+        jac(shingles(texts(id)), shingles(texts(k))) >= 0.5)
+      assert(c == want.nonEmpty, s"doc $id contamination flag")
+      assert(b == want.headOption.getOrElse(-1L), s"doc $id bench_id")
+    }
+  }
+
   test("d01 exact dedup halves the doubled corpus") {
     val out = Dedup.d01DedupExact(spark, sf)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
