@@ -83,6 +83,9 @@ object F {
   /** Bigram-LM log-prob sum over adjacent tokens (x21 perplexity filter). */
   def bigramLogProb(words: Column): Column = col(HashedBigramLogProb(ex(words)))
 
+  /** TRAINED-table bigram-LM log-prob sum (x23; see [[BigramLm]]). */
+  def bigramLogProbLm(words: Column): Column = col(TrainedBigramLogProb(ex(words)))
+
   /** Hilbert-curve index of an array<long> of `bits`-bit coordinates. */
   def hilbertIndex(coords: Column, bits: Int): Column =
     col(HilbertIndex(ex(coords), bits))
@@ -239,6 +242,11 @@ object GraftExtensions {
       info("graft_bigram_logprob", "graft_bigram_logprob(words) - bigram-LM log-prob sum over adjacent words"),
       (children: Seq[Expression]) => HashedBigramLogProb(children.head))
 
+  private[functions] val bigramLogProbLmDesc =
+    (FunctionIdentifier("graft_bigram_logprob_lm"),
+      info("graft_bigram_logprob_lm", "graft_bigram_logprob_lm(words) - TRAINED-table bigram-LM log-prob sum"),
+      (children: Seq[Expression]) => TrainedBigramLogProb(children.head))
+
   private[functions] val urlOkDesc =
     (FunctionIdentifier("graft_url_ok"),
       info("graft_url_ok", "graft_url_ok(url) - is the URL inside the canonicalization envelope"),
@@ -257,8 +265,8 @@ object GraftExtensions {
   private[functions] def all = Seq(cosineDesc, simhashDesc, fingerprintDesc,
     charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc,
     rpBitsDesc, nfcDesc, subwordTokensDesc, bpeTokensDesc, htmlTextDesc,
-    keepLinesDesc, linearScoreDesc, bigramLogProbDesc, urlOkDesc,
-    canonUrlDesc, regDomainDesc)
+    keepLinesDesc, linearScoreDesc, bigramLogProbDesc, bigramLogProbLmDesc,
+    urlOkDesc, canonUrlDesc, regDomainDesc)
 
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

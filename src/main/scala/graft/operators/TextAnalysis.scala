@@ -1008,6 +1008,64 @@ object TextAnalysis {
        |  CASE WHEN lp_sum >= -500 * n_pairs THEN 'keep' ELSE 'drop' END AS label
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x23
+
+  /** x23: TRAINED-LM perplexity filtering — x21's trained-table upgrade
+    * (the step x19 took over x17 for BPE, applied to the LM family):
+    * the bigram table is REAL statistics learned once on the declared
+    * bounded sample by [[graft.BigramLmTrain]] and shipped as a resource
+    * ([[graft.functions.BigramLm]]); documents score by table lookup
+    * over the same portable hash/bucket arithmetic, and keep/drop
+    * compares the sum to the training distribution's EXPECTED log-prob
+    * per pair (count-weighted table mean, from the resource header) —
+    * still division-free exact integers. The
+    * oracle joins the GENERATED sparse table (unseen buckets at the
+    * -1000 floor), so the resource and the replay cannot drift.
+    * Per-row, shuffle-free, whole-stage codegen.
+    */
+  def x23PerplexityLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = split(
+      regexp_replace(col("text"), s"^$wsClass+|$wsClass+$$", ""), s"$wsClass+")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.F.bigramLogProbLm(tokens).as("lp_sum"),
+        greatest(size(tokens).cast("long") - 1L, lit(0L)).as("n_pairs"))
+      .withColumn("label",
+        when(col("lp_sum") >=
+          lit(graft.functions.BigramLm.thresholdPerPair) * col("n_pairs"), "keep")
+          .otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x23Oracle: String = {
+    val lm = graft.functions.BigramLm
+    val vals = lm.entries.map { case (b, lp) => s"($b,$lp)" }.mkString(",")
+    val t = lm.thresholdPerPair
+    s"""WITH w0 AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    [${sqlWordHash("w")}
+       |     FOR w IN ws IF length(w) > 0] AS hs,
+       |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_pairs
+       |  FROM w0),
+       |pr AS (
+       |  SELECT doc_id, unnest([
+       |    (hs[CAST(i AS INT)] * 31 + hs[CAST(i AS INT) + 1]) % 65536
+       |    FOR i IN range(1, len(hs))]) AS b
+       |  FROM t),
+       |lmt(b, lp) AS (SELECT * FROM (VALUES $vals)),
+       |ps AS (
+       |  SELECT pr.doc_id, SUM(COALESCE(l.lp, -1000)) AS lp_sum
+       |  FROM pr LEFT JOIN lmt l USING (b) GROUP BY pr.doc_id)
+       |SELECT t.doc_id, CAST(COALESCE(ps.lp_sum, 0) AS BIGINT) AS lp_sum, t.n_pairs,
+       |  CASE WHEN COALESCE(ps.lp_sum, 0) >= ($t) * t.n_pairs
+       |       THEN 'keep' ELSE 'drop' END AS label
+       |FROM t LEFT JOIN ps USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- x22
 
   /** The deterministic URL x22 plants on every document — mixed-case
@@ -1499,6 +1557,7 @@ object TextAnalysis {
     "x20_html_extract"   -> ((x20HtmlExtract _, x20Oracle)),
     "x21_perplexity_filter" -> ((x21PerplexityFilter _, x21Oracle)),
     "x22_url_filter"     -> ((x22UrlFilter _, x22Oracle)),
+    "x23_perplexity_lm"  -> ((x23PerplexityLm _, x23Oracle)),
     "p05_crawl_curation" -> ((p05CrawlCuration _, p05Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
