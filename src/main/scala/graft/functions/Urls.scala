@@ -108,8 +108,14 @@ object Urls {
         "printable-ASCII authority, no userinfo) - pre-filter with " +
         s"graft_url_ok: ${u.take(200)}")
 
-  /** Cheap envelope probe (the crawl pre-filter); called from codegen. */
-  def inEnvelope(u: UTF8String): Boolean = parse(u.toString) != null
+  /** Cheap envelope probe (the crawl pre-filter); called from codegen.
+    * True iff [[canonicalize]] succeeds — the two can never disagree
+    * (a bare parse check would accept `http://www.:443`, whose
+    * authority strips to nothing).
+    */
+  def inEnvelope(u: UTF8String): Boolean =
+    try { canonicalize(u); true }
+    catch { case _: IllegalArgumentException => false }
 
   private def isTracking(q: String, start: Int, end: Int): Boolean = {
     var eq = start
