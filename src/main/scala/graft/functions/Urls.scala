@@ -111,11 +111,12 @@ object Urls {
   /** Cheap envelope probe (the crawl pre-filter); called from codegen.
     * True iff [[canonicalize]] succeeds — the two can never disagree
     * (a bare parse check would accept `http://www.:443`, whose
-    * authority strips to nothing).
+    * authority strips to nothing). No exception rides the rejection
+    * path: at crawl scale this filter's whole job is rejecting
+    * garbage, and a fill-in-stack-trace per malformed row would make
+    * the cheap check expensive exactly where it runs hottest.
     */
-  def inEnvelope(u: UTF8String): Boolean =
-    try { canonicalize(u); true }
-    catch { case _: IllegalArgumentException => false }
+  def inEnvelope(u: UTF8String): Boolean = canonicalizeOrNull(u.toString) != null
 
   private def isTracking(q: String, start: Int, end: Int): Boolean = {
     var eq = start
@@ -130,13 +131,22 @@ object Urls {
   /** Rules 1-6; refuses outside the envelope. Called from codegen. */
   def canonicalize(u: UTF8String): UTF8String = {
     val full = u.toString
+    val c = canonicalizeOrNull(full)
+    if (c == null) fail(full)
+    UTF8String.fromString(c)
+  }
+
+  /** Rules 1-6, null outside the envelope (the no-exception core both
+    * [[canonicalize]] and [[inEnvelope]] share).
+    */
+  private def canonicalizeOrNull(full: String): String = {
     val p = parse(full)
-    if (p == null) fail(full)
+    if (p == null) return null
     var auth = p.auth
     val defPort = if (p.scheme == "http") ":80" else ":443"
     if (auth.endsWith(defPort)) auth = auth.substring(0, auth.length - defPort.length)
     if (auth.startsWith("www.")) auth = auth.substring(4)
-    if (auth.isEmpty || auth.charAt(0) == ':') fail(full) // was only www./port
+    if (auth.isEmpty || auth.charAt(0) == ':') return null // was only www./port
     val rest = p.rest
     val qi = rest.indexOf('?')
     val path = if (qi < 0) { if (rest.isEmpty) "/" else rest }
@@ -158,7 +168,7 @@ object Urls {
       }
       if (qb.length > 0) sb.append('?').append(qb)
     }
-    UTF8String.fromString(sb.toString)
+    sb.toString
   }
 
   /** Registered domain of an in-envelope URL (canonical or raw — the

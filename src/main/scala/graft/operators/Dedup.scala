@@ -346,7 +346,13 @@ object Dedup {
     * constants), but the benchmark's banded keys BROADCAST to the corpus
     * scan — a map-side join, the corpus never shuffles; only matched
     * candidates (bounded by bands × the benchmark's true near-dup
-    * footprint) reach the exact-Jaccard verify, each pair once. Gate
+    * footprint) reach the exact-Jaccard verify, each pair once. Cost
+    * posture, declared: TWO linear corpus passes — one computes band
+    * keys, one re-derives shingles to serve the verify join (the
+    * candidate set is too small to justify caching a 100 TB corpus's
+    * shingle sets, and both passes are scan+codegen with zero corpus
+    * exchange; the same fetch-payloads-after-blocking trade every
+    * [[cappedBucketPairs]] consumer makes). Gate
     * exactness is the d03Exact construction: the benchmark IS 20 corpus
     * texts (exact copies → identical signatures → recall 1.0 by
     * construction); the only other pairs over 0.5 are the corpus's
