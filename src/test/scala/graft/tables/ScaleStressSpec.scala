@@ -55,6 +55,30 @@ class ScaleStressSpec extends SparkSpec {
       f"10x corpus took $t10%.1fs vs $t1%.1fs at 1x (envelope $envelope%.1fs)")
   }
 
+  test("d11 decontamination scales linearly at 10x; flags scale exactly", SlowSuite) {
+    // 10 id-shifted copies: every copy shares its original's TEXT, so a
+    // contaminated original's copies are contaminated too — the flagged
+    // count must scale EXACTLY 10x (identical text → identical
+    // signatures → identical band keys → deterministic candidacy), and
+    // the cost stays linear because the benchmark side is a broadcast
+    // and the corpus side is two scan passes with no corpus exchange
+    val dir = Files.createTempDirectory("graft_scale10x_d11").toString
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    (0 until 10).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
+      .reduce(_ unionAll _)
+      .repartition(16).write.parquet(s"$dir/documents.parquet")
+    val (r1, t1) = timed(
+      Dedup.d11DecontaminateFuzzy(spark, sf01).filter($"contaminated").count())
+    val (r10, t10) = timed(
+      Dedup.d11DecontaminateFuzzy(spark, dir).filter($"contaminated").count())
+    assert(r1 > 0, "fixture must plant contamination")
+    assert(r10 == 10 * r1, s"flags must scale exactly ($r1 -> $r10)")
+    val envelope = 20.0 * math.max(t1, 0.5)
+    assert(t10 <= envelope,
+      f"10x corpus took $t10%.1fs vs $t1%.1fs at 1x (envelope $envelope%.1fs)")
+  }
+
   test("connected components: O(log n) rounds on a chain; refuses partial labels", SlowSuite) {
     // a 4096-chain is label propagation's adversarial shape (4095 rounds);
     // alternating large-star/small-star must converge inside the DEFAULT
