@@ -356,6 +356,59 @@ class CodecFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("PNG fuzz: any single-byte corruption refuses (every byte rides a CRC)") {
+    // a minimal graft PNG is signature + IHDR/IDAT/IEND, and every chunk's
+    // type+data is CRC-32-covered; length/CRC field corruption breaks
+    // framing or the check itself — so ANY byte change must refuse
+    // (a random reframing passing CRC is ~2^-32; seeds are fixed)
+    val rgb = Array.tabulate(48 * 32 * 3)(i => ((i * 31 + i / 7) % 251).toByte)
+    val good = Png.encode(48, 32, rgb)
+    val gen = for {
+      at <- Gen.chooseNum(0, good.length - 1)
+      xor <- Gen.chooseNum(1, 255)
+    } yield (at, xor)
+    check("png-hostile", Prop.forAll(gen) { case (at, xor) =>
+      val mut = good.clone
+      mut(at) = (mut(at) ^ xor).toByte
+      try { Png.decode(mut); false }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }, min = 200)
+  }
+
+  test("GIF/JPEG fuzz: corruption refuses loudly or decodes bounded — never an undeclared error") {
+    // unlike PNG/FLAC these formats carry no integrity check, so a flip
+    // may legally decode to a DIFFERENT image; the pinned contract is the
+    // failure-mode envelope: only the declared refusal type ever escapes,
+    // and any surviving decode is self-consistent (pixels match its own
+    // claimed dimensions — the hostile-dimension budget guards allocation)
+    val rgb = Array.tabulate(48 * 32 * 3)(i => ((i * 37 + i / 5) % 247).toByte)
+    val goodJpeg = Jpeg.encode(48, 32, rgb)
+    val goodGif = Gif.encodeGray(40, 24,
+      Array.tabulate(40 * 24)(i => (i % 251).toByte))
+    def battery(label: String, good: Array[Byte],
+        decode: Array[Byte] => Media.Image): Unit =
+      check(label, Prop.forAll(for {
+        at <- Gen.chooseNum(0, good.length - 1)
+        xor <- Gen.chooseNum(1, 255)
+      } yield (at, xor)) { case (at, xor) =>
+        val mut = good.clone
+        mut(at) = (mut(at) ^ xor).toByte
+        try {
+          val img = decode(mut)
+          img.width > 0 && img.height > 0 &&
+            img.pixels.length == img.width * img.height * 3
+        } catch {
+          case _: IllegalArgumentException => true
+          case _: Throwable => false
+        }
+      }, min = 200)
+    battery("jpeg-hostile", goodJpeg, Jpeg.decode)
+    battery("gif-hostile", goodGif, Gif.decode)
+  }
+
   test("FLAC fuzz: hostile mutations of a valid stream refuse, never mis-decode") {
     val rnd = new scala.util.Random(97)
     val s = Array.tabulate(3000)(i => (900 * math.sin(i / 9.0)).toInt + rnd.nextInt(40) - 20)
