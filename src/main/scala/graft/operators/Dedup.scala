@@ -605,6 +605,71 @@ object Dedup {
     * 0.999 verification. Planted dups are scaled copies (identical
     * direction) under vec_id+2000000.
     */
+  /** (id, band, key) hyperplane-LSH blocking keys of a vector corpus —
+    * two independent 16-bit sign keys (the d06 constants), shared by
+    * the embedding self-join (d06) and the asymmetric
+    * corpus-vs-benchmark join (d12).
+    */
+  private def rpKeys(df: DataFrame, idCol: String, vecCol: String): DataFrame = df
+    .withColumn("k1", F.rpBits(col(vecCol), 16, 0xbeefL))
+    .withColumn("k2", F.rpBits(col(vecCol), 16, 0xcafeL))
+    .select(col(idCol),
+      explode(array(struct(lit(1).as("band"), col("k1").as("key")),
+        struct(lit(2).as("band"), col("k2").as("key")))).as("bk"))
+    .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** d12: SEMANTIC benchmark decontamination — d11's asymmetric shape in
+    * embedding space (the third leg of the decontamination triple: x08
+    * exact n-gram / d11 text near-dup / this, the SemDeDup-style
+    * eval-set scrub): flag every corpus vector whose cosine against ANY
+    * benchmark vector reaches 0.9, reporting the lowest matching
+    * benchmark id. The tiny benchmark's hyperplane band keys (d06's
+    * constants, shared [[rpKeys]]) BROADCAST to the corpus scan —
+    * per-row cost is two sign-key evaluations, the corpus never
+    * shuffles, and only key-sharing candidates pay an exact cosine
+    * (each pair once; a benchmark too large to broadcast turns the same
+    * banding into a shuffle join — still never all-pairs). Gate
+    * exactness is the d06 construction: benchmark = 20 corpus vectors,
+    * so every true match is an IDENTICAL vector (identical sign keys —
+    * prefilter recall 1.0 by construction) and uniform cross-pairs sit
+    * far below the 0.9 threshold (64-dim sims concentrate near 0), so
+    * the float-boundary gap makes the threshold decision engine-stable.
+    * The oracle brute-forces the exact corpus × benchmark decision with
+    * no blocking on its side — a prefilter miss is a hash mismatch, not
+    * a silently-weaker check.
+    */
+  def d12DecontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val bench = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+    val cands = rpKeys(emb, "vec_id", "embedding")
+      .join(broadcast(rpKeys(bench, "bench_id", "bv")), Seq("band", "key"))
+      .select(col("vec_id"), col("bench_id")).distinct()
+    val verified = cands
+      .join(emb, "vec_id")
+      .join(broadcast(bench), "bench_id")
+      .filter(F.cosine(col("embedding"), col("bv")) >= 0.9)
+      .groupBy(col("vec_id")).agg(min(col("bench_id")).as("bench_id"))
+    emb.select(col("vec_id"))
+      .join(verified, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("bench_id").isNotNull.as("contaminated"),
+        coalesce(col("bench_id"), lit(-1L)).as("bench_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d12Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 20),
+      |hits AS (
+      |  SELECT e.vec_id, MIN(b.bench_id) AS bench_id
+      |  FROM e CROSS JOIN b
+      |  WHERE list_cosine_similarity(e.v, b.bv) >= 0.9
+      |  GROUP BY e.vec_id)
+      |SELECT e.vec_id, h.bench_id IS NOT NULL AS contaminated,
+      |  CAST(COALESCE(h.bench_id, -1) AS BIGINT) AS bench_id
+      |FROM e LEFT JOIN hits h USING (vec_id) ORDER BY e.vec_id""".stripMargin
+
   def d06EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame =
     d06EmbedNeardup(spark, sfDir, maxBucket = 500)
 
@@ -622,13 +687,8 @@ object Dedup {
         (col("vec_id") + lit(2000000L)).as("vec_id"),
         expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
       .persist()
-    val keyed = corpus
-      .withColumn("k1", F.rpBits(col("embedding"), 16, 0xbeefL))
-      .withColumn("k2", F.rpBits(col("embedding"), 16, 0xcafeL))
-      .select(col("vec_id").as("doc_id"),
-        explode(array(struct(lit(1).as("band"), col("k1").as("key")),
-          struct(lit(2).as("band"), col("k2").as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keyed = rpKeys(corpus.withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", "embedding")
     val out = cappedBucketPairs(keyed, maxBucket)
       .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a")), "a")
       .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b")), "b")
@@ -1056,5 +1116,6 @@ object Dedup {
     "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),
     "d08_semdedup"          -> ((d08SemDedup _, d08Oracle)),
     "d11_decontaminate_fuzzy" -> ((d11DecontaminateFuzzy _, d11Oracle)),
+    "d12_decontaminate_semantic" -> ((d12DecontaminateSemantic _, d12Oracle)),
   )
 }

@@ -338,6 +338,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d12 semantic decontamination: benchmark broadcasts, exact cosine brute-force agreement") {
+    val df = Dedup.d12DecontaminateSemantic(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    // verify EVERY row against a driver-side exact cosine brute force
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    rows.foreach { case (id, c, b) =>
+      val want = (0L until 20L).filter(k => cos(vecs(id), vecs(k)) >= 0.9)
+      assert(c == want.nonEmpty, s"vec $id contamination flag")
+      assert(b == want.headOption.getOrElse(-1L), s"vec $id bench_id")
+    }
+    // the benchmark is in the corpus: every vec_id < 20 self-flags
+    assert(rows.filter(_._1 < 20).forall(_._2))
+  }
+
   test("d01 exact dedup halves the doubled corpus") {
     val out = Dedup.d01DedupExact(spark, sf)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
