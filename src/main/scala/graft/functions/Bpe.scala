@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Merge-rule byte-pair encoding (x19) — the REAL BPE the x17 greedy
@@ -111,11 +112,114 @@ object BpeVocab {
     len
   }
 
+  /** Final SYMBOLS of one word under the rank-priority merge order —
+    * the same loop as [[encodeCount]] but keeping the strings, for
+    * consumers that materialize tokens (p06's id stream). Words over
+    * [[MaxWordLen]] code points return their code points unmerged (the
+    * same cap, same both-engines contract as the count path).
+    */
+  def encodeSyms(word: String): Array[String] = {
+    val b = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      b += word.substring(i, i + cc)
+      i += cc
+    }
+    val syms = b.result().toArray
+    if (syms.length <= 1 || syms.length > MaxWordLen) return syms
+    var len = syms.length
+    var continue = true
+    while (continue && len > 1) {
+      var best = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < len - 1) {
+        val r = rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) continue = false
+      else {
+        syms(bestPos) = syms(bestPos) + syms(bestPos + 1)
+        var m = bestPos + 1
+        while (m < len - 1) { syms(m) = syms(m + 1); m += 1 }
+        len -= 1
+      }
+    }
+    java.util.Arrays.copyOf(syms, len)
+  }
+
+  /** Token → id, pure arithmetic so any engine replays it: a
+    * single-code-point token's id IS its code point (< 0x110000 —
+    * the char-fallback alphabet needs no shipped table); a merge
+    * product's id is 0x110000 + its first rank in the shipped rules
+    * (disjoint from code points; "first" because two rules can in
+    * principle produce the same string). Every multi-code-point token
+    * the encoder emits is a merge product by construction, so the
+    * lookup is total.
+    */
+  lazy val productId: Map[String, Int] = {
+    val m = scala.collection.mutable.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val p = l + r
+      if (!m.contains(p)) m(p) = i
+    }
+    m.toMap
+  }
+
+  /** One id past every assignable token id: the end-of-document
+    * sentinel training pipelines append between concatenated docs.
+    */
+  lazy val EosId: Long = 0x110000L + merges.length
+
+  def idOf(token: String): Long =
+    if (token.codePointCount(0, token.length) == 1) token.codePointAt(0).toLong
+    else productId.get(token) match {
+      case Some(r) => 0x110000L + r
+      case None => throw new IllegalArgumentException(
+        s"graft: token '$token' is neither a code point nor a merge product")
+    }
+
   // words repeat massively in a corpus: memoize per-word counts. The
   // cache is cleared (not LRU-evicted) at the cap — bounded memory on
   // any executor, amortized O(1) on real text.
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val idMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   private val MemoCap = 1 << 16
+
+  private def idsOfWord(w: String): Array[Long] = {
+    if (w.length > MaxWordLen * 2) return encodeSyms(w).map(idOf)
+    var ids = idMemo.get(w)
+    if (ids == null) {
+      if (idMemo.size() >= MemoCap) idMemo.clear()
+      ids = encodeSyms(w).map(idOf)
+      idMemo.put(w, ids)
+    }
+    ids
+  }
+
+  /** Whole-text BPE token IDS (lowercased, whitespace-separated — the
+    * [[count]] contract); called from codegen. One flat array per
+    * document, NO end-of-document sentinel (the query appends
+    * [[EosId]] so the packing boundary stays visible in the plan).
+    */
+  def tokenIds(s: UTF8String): GenericArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](str.length / 4 + 4)
+    var pos = 0
+    val len = str.length
+    while (pos < len) {
+      if (isAsciiWs(str.charAt(pos))) pos += 1
+      else {
+        var end = pos
+        while (end < len && !isAsciiWs(str.charAt(end))) end += 1
+        out ++= idsOfWord(str.substring(pos, end))
+        pos = end
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 
   /** Whole-text BPE token count; called from codegen. */
   def count(s: UTF8String): Long = {
@@ -234,5 +338,27 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
       s"${ev.value} = $bv.count($s);"
     })
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** BPE token IDS of a string under the shipped merge rules — the
+  * materializing sibling of [[BpeTokenCount]] (same tokenizer contract:
+  * lowercase, ASCII-whitespace words, rank-priority merges, the
+  * [[BpeVocab.MaxWordLen]] cap): one flat long array of ids per
+  * document, code-point ids below 0x110000 and merge-product ids above
+  * (see [[BpeVocab.idOf]]). Codegen'd, per-row, per-word memoized.
+  */
+case class BpeTokenIds(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_ids"
+  override def nullSafeEval(input: Any): Any =
+    BpeVocab.tokenIds(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bv = classOf[BpeVocab.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $bv.tokenIds($s);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
     copy(child = newChild)
 }

@@ -53,6 +53,9 @@ object F {
   /** Merge-rule BPE token count under the shipped trained merges. */
   def bpeTokens(text: Column): Column = col(BpeTokenCount(ex(text)))
 
+  /** Merge-rule BPE token IDS (flat long array) under the same merges. */
+  def bpeTokenIds(text: Column): Column = col(BpeTokenIds(ex(text)))
+
   /** Markup-stripped, entity-decoded, line-normalized text of HTML. */
   def htmlText(html: Column): Column = col(HtmlTextExtract(ex(html)))
 

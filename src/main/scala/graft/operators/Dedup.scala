@@ -1104,7 +1104,118 @@ object Dedup {
       |FROM b2 b LEFT JOIN m ON b.doc_id = m.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+
+  /** d13: exact-substring SPAN REMOVAL — the ExactSubstr step itself (Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"):
+    * d07 reports which documents carry cross-document duplicated spans;
+    * this operator REMOVES them and reassembles the text, the way the
+    * published pipeline edits its corpus. Semantics, declared: a word
+    * position is covered iff ANY word-8-gram containing it occurs in at
+    * least 2 distinct documents (document frequency, so within-doc
+    * repetition — x09's signal — never triggers removal); covered words
+    * are dropped and the survivors are rejoined in order with single
+    * spaces. Documents shorter than 8 words form one whole-text gram
+    * covering every position (the WordWindowHashes fallback), so exact
+    * short-doc duplicates vanish entirely — the document row survives
+    * with empty text, the x15 convention.
+    *
+    * Shape at 100 TB: positional grams are one codegen'd pass; the
+    * gram-frequency exchange and the covered-candidate join are keyed on
+    * the 128-bit xxhash64 pair — gram STRINGS never ride an exchange
+    * (they are hashed and dropped in the same projection that builds
+    * them). Then the x15 cost model: one shuffle back by doc to fold
+    * covered starts, one join to reassemble. No doc-doc pair blowup
+    * anywhere: cost is O(total grams), the property that lets
+    * coverage-style substring dedup scale where pairwise methods cannot.
+    * Exactness posture is the d02 trust level: the exchange key is the
+    * full 128-bit pair (seed-first second hash — see [[withTextKey]]),
+    * collisions land at 2⁻¹²⁸ with d01 over the same table as the
+    * collision canary, and the gate's string-replaying oracle is the
+    * end-to-end check.
+    *
+    * Gate fixture: the driver's testdata is largely dup-free, so every
+    * doc_id % 3 == 0 document gets one shared 8-word sentinel appended
+    * (same concat in both engines) — its trailing gram is duplicated
+    * corpus-wide and provably removed, while grams straddling the
+    * sentinel boundary stay unique per document and pin partial
+    * coverage; natural text dups (the d07 signal) exercise the rest.
+    */
+  def d13SubstringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(col("text"), lit(" the quick brown fox jumps over lazy dogs")))
+          .otherwise(col("text")).as("text"))
+    val base = docs.select(col("doc_id"),
+      split(trim(col("text")), "[ \\t\\n\\f\\r]+").as("w"))
+    val grams = base.select(col("doc_id"),
+      posexplode(when(size(col("w")) < 8, array(array_join(col("w"), " ")))
+        .otherwise(expr(
+          "transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))")))
+        .as(Seq("idx", "g")))
+    // hash in the SAME projection that builds the gram: the string dies
+    // here, only the 16-byte pair reaches any exchange
+    val keyed = grams.select(col("doc_id"), col("idx"),
+      xxhash64(col("g")).as("h1"), xxhash64(lit(1L), col("g")).as("h2"))
+    val dup = keyed.groupBy(col("h1"), col("h2"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("h1"), col("h2"))
+    val covered = keyed.join(dup, Seq("h1", "h2"))
+      .groupBy(col("doc_id")).agg(collect_set(col("idx")).as("starts"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", array_distinct(flatten(transform(
+        coalesce(col("starts"), expr("array()")),
+        s => sequence(s, s + lit(7))))))
+      .withColumn("keep", array_except(
+        sequence(lit(0), size(col("w")) - 1), col("cov")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("keep")).cast("long").as("n_kept"),
+        array_join(transform(col("keep"),
+          p => element_at(col("w"), p + 1)), " ").as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** String-gram replay of the full removal: positional grams, document
+    * frequency ≥ 2 on the STRINGS (any Spark-side hash collision is a
+    * mismatch here, not a silently-weaker check), coverage flatten,
+    * position filter, reassembly — text compared STRING-identically.
+    */
+  val d13Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN text || ' the quick brown fox jumps over lazy dogs'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |ws AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM docs),
+      |sh AS (
+      |  SELECT doc_id, i.i - 1 AS idx, array_to_string(w[i.i:i.i+7], ' ') AS g
+      |  FROM ws, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 7)) AS i) i
+      |  WHERE len(w) >= 8
+      |  UNION ALL
+      |  SELECT doc_id, 0 AS idx, array_to_string(w, ' ') AS g FROM ws WHERE len(w) < 8),
+      |dup AS (
+      |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM sh)
+      |  GROUP BY g HAVING COUNT(*) >= 2),
+      |st AS (
+      |  SELECT s.doc_id, list(DISTINCT s.idx) AS starts
+      |  FROM sh s JOIN dup USING (g) GROUP BY s.doc_id),
+      |cv AS (
+      |  SELECT doc_id, list_distinct(flatten(
+      |    [generate_series(s, s + 7) FOR s IN starts])) AS cov
+      |  FROM st),
+      |out AS (
+      |  SELECT ws.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    [w[CAST(p AS INT) + 1] FOR p IN generate_series(0, len(w) - 1)
+      |     IF NOT list_contains(COALESCE(cov, []), p)] AS kw
+      |  FROM ws LEFT JOIN cv USING (doc_id))
+      |SELECT doc_id, n_words, CAST(len(kw) AS BIGINT) AS n_kept,
+      |  COALESCE(array_to_string(kw, ' '), '') AS text_dedup
+      |FROM out ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d13_substring_dedup" -> ((d13SubstringDedup _, d13Oracle)),
     "d10_incremental_dedup" -> ((d10IncrementalDedup _, d10Oracle)),
     "d09_dup_components" -> ((d09DupComponents _, d09Oracle)),
     "d07_dup_grams"         -> ((d07DupGramCoverage _, d07Oracle)),

@@ -920,6 +920,17 @@ object TextAnalysis {
       .mkString("[", ",", "]")
   }
 
+  /** The trained merge PRODUCTS (l||r per rule, rank order) as a DuckDB
+    * list literal — p06's token-id arithmetic: a merge product's id is
+    * 0x110000 + its FIRST rank, which `list_position` (first match)
+    * replays exactly; generated from the same [[graft.functions.BpeVocab]]
+    * the Spark kernel reads, so the two sides cannot drift.
+    */
+  private def bpeProductsSql: String =
+    graft.functions.BpeVocab.merges
+      .map { case (l, r) => "'" + (l + r).replace("'", "''") + "'" }
+      .mkString("[", ",", "]")
+
   val x19Oracle: String = {
     val pairs = bpeMergePairsSql
     s"""WITH RECURSIVE
@@ -1549,7 +1560,120 @@ object TextAnalysis {
        |  CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END AS label
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p06
+
+  /** p06: PACKED training sequences — the step that turns a curated
+    * corpus into what a training job actually loads (GPT/LLaMA
+    * concatenate-and-chunk, MATERIALIZED — p02 only accounts for it):
+    * every document becomes its merge-rule BPE token-ID stream
+    * ([[graft.functions.BpeTokenIds]], the materializing sibling of
+    * x19's counter: code-point ids below 0x110000, merge-product ids
+    * above, pure arithmetic so any engine replays them) plus one
+    * end-of-document sentinel ([[graft.functions.BpeVocab.EosId]]);
+    * streams concatenate per SHARD (doc_id mod 8 here; a production
+    * run sizes shards to the cluster) in doc_id order and chunk at a
+    * fixed 128-token budget — sequence k of a shard is tokens
+    * [128k, 128k+128) of its stream, the last one partial.
+    *
+    * Shape at 100 TB: tokenization is one codegen'd per-row pass (no
+    * shuffle); the running offset is a window cumsum WITHIN each shard
+    * (the p04 posture — nothing global, shard count scales with the
+    * cluster and each shard sorts independently, exactly the shard-file
+    * layout training jobs read); then one exchange on (shard, seq_id)
+    * assembles sequences whose size is bounded by the token budget, so
+    * no aggregation buffer can outgrow 128 ids. Output sequences ride
+    * as space-joined id strings compared STRING-identically — the
+    * oracle replays tokenization (x19's recursive CTE extended to keep
+    * the SYMBOLS, ids from the shared product fragment), concatenation,
+    * offsets and chunking, so a single misplaced token anywhere in the
+    * corpus fails the gate.
+    */
+  def p06PackedSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(graft.functions.F.bpeTokenIds(col("text")),
+          array(lit(graft.functions.BpeVocab.EosId))).as("ids"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = docs.withColumn("off",
+      coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
+    withOff.select(col("shard"), col("off"),
+        posexplode(col("ids")).as(Seq("pos", "id")))
+      .select(col("shard"), (col("off") + col("pos")).as("gpos"), col("id"))
+      .groupBy(col("shard"), expr("gpos div 128").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("gpos"), col("id")))),
+          x => x.getField("id").cast("string")), " ").as("seq_text"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val p06Oracle: String = {
+    val pairs = bpeMergePairsSql
+    val prods = bpeProductsSql
+    val eos = graft.functions.BpeVocab.EosId
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM docs),
+       |wpos AS (
+       |  SELECT doc_id, i.i AS widx, ws[i.i] AS w
+       |  FROM dw, LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS i) i
+       |  WHERE ws[i.i] <> ''),
+       |uw AS (SELECT DISTINCT w FROM wpos),
+       |enc AS (
+       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)] AS syms
+       |  FROM uw WHERE length(w) <= 256),
+       |steps(w, syms) AS (
+       |  SELECT w, syms FROM enc
+       |  UNION ALL
+       |  SELECT w, syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:len(syms)]
+       |  FROM (
+       |    SELECT w, syms, list_position(rks, list_min(rks)) AS p, list_min(rks) AS best
+       |    FROM (
+       |      SELECT w, syms,
+       |        [coalesce(nullif(list_position($pairs,
+       |           syms[CAST(x AS INT)] || '|' || syms[CAST(x AS INT)+1]), 0), 1000000)
+       |         FOR x IN range(1, len(syms))] AS rks
+       |      FROM steps WHERE len(syms) > 1)
+       |  ) WHERE best < 1000000),
+       |fin AS (
+       |  SELECT w, arg_min(syms, len(syms)) AS syms FROM steps GROUP BY w
+       |  UNION ALL
+       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)]
+       |  FROM uw WHERE length(w) > 256),
+       |wids AS (
+       |  SELECT w, [CASE WHEN length(s) = 1 THEN CAST(unicode(s) AS BIGINT)
+       |     ELSE CAST(1114111 + COALESCE(nullif(list_position($prods, s), 0),
+       |       CAST(error('graft oracle: token is not a merge product') AS INT)) AS BIGINT) END
+       |     FOR s IN syms] AS ids
+       |  FROM fin),
+       |dtok AS (
+       |  SELECT p.doc_id, p.widx, s.tidx, ids[CAST(s.tidx AS INT)] AS id
+       |  FROM wpos p JOIN wids USING (w),
+       |    LATERAL (SELECT UNNEST(generate_series(1, len(ids))) AS tidx) s
+       |  UNION ALL
+       |  SELECT doc_id, 2147483647 AS widx, 1 AS tidx, $eos AS id FROM docs),
+       |pos AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, tidx) - 1 AS pos, id
+       |  FROM dtok),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+       |off AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM cnt),
+       |g AS (SELECT o.shard, o.off + p.pos AS gpos, p.id FROM pos p JOIN off o USING (doc_id))
+       |SELECT CAST(shard AS BIGINT) AS shard, CAST(gpos // 128 AS BIGINT) AS seq_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS seq_text
+       |FROM g GROUP BY shard, gpos // 128
+       |ORDER BY shard, seq_id""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p06_packed_sequences" -> ((p06PackedSequences _, p06Oracle)),
     "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),
     "p04_epoch_shuffle"  -> ((p04EpochShuffle _, p04Oracle)),
     "x17_subword_tokens" -> ((x17SubwordTokens _, x17Oracle)),

@@ -305,6 +305,42 @@ class DedupSpec extends SparkSpec {
     assert(d06.count { case (a, b) => b - a == 2000000L } == nVecs)
   }
 
+  test("d13 substring removal equals driver-side brute force; sentinel grams vanish") {
+    val out = Dedup.d13SubstringDedup(spark, sf)
+      .select($"doc_id", $"n_words", $"n_kept", $"text_dedup")
+      .as[(Long, Long, Long, String)].collect()
+    // independent recompute: positional string grams, cross-doc document
+    // frequency, coverage flatten, reassembly
+    val sentinel = " the quick brown fox jumps over lazy dogs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> (if (id % 3 == 0) t + sentinel else t) }
+    val wordsOf = docs.map { case (id, t) => id -> t.trim.split("\\s+") }.toMap
+    val gramsOf: Map[Long, Seq[(Int, String)]] = wordsOf.map { case (id, ws) =>
+      id -> (if (ws.length < 8) Seq(0 -> ws.mkString(" "))
+             else (0 to ws.length - 8).map(i => i -> ws.slice(i, i + 8).mkString(" ")))
+    }
+    val df = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(_._2).distinct.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, occ) => g -> occ.map(_._2).distinct.size }
+    for ((id, nWords, nKept, text) <- out) {
+      val ws = wordsOf(id)
+      val starts = gramsOf(id).collect { case (i, g) if df(g) >= 2 => i }
+      val covered = starts.flatMap(s => s to s + 7).toSet
+      val keep = ws.indices.filterNot(covered)
+      assert(nWords == ws.length.toLong, s"doc $id n_words")
+      assert(nKept == keep.size.toLong, s"doc $id n_kept")
+      assert(text == keep.map(ws).mkString(" "), s"doc $id text")
+    }
+    // the sentinel's trailing gram is duplicated corpus-wide: every
+    // doc_id % 3 == 0 document loses at least its last 8 words
+    out.filter(_._1 % 3 == 0).foreach { case (id, nWords, nKept, _) =>
+      assert(nKept <= nWords - 8, s"doc $id sentinel not removed") }
+    // partial coverage exists (docs trimmed but not emptied), pinning
+    // that removal is span-level, not whole-document
+    assert(out.exists { case (_, nw, nk, _) => nk > 0 && nk < nw },
+      "expected at least one partially-trimmed document")
+  }
+
   test("d11 fuzzy decontamination: benchmark broadcasts, flags exactly the planted overlaps") {
     val df = Dedup.d11DecontaminateFuzzy(spark, sf)
     df.collect() // finalize AQE
