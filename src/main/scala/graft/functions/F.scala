@@ -225,6 +225,11 @@ object GraftExtensions {
       info("graft_bpe_tokens", "graft_bpe_tokens(text) - merge-rule BPE token count"),
       (children: Seq[Expression]) => BpeTokenCount(children.head))
 
+  private[functions] val bpeIdsDesc =
+    (FunctionIdentifier("graft_bpe_ids"),
+      info("graft_bpe_ids", "graft_bpe_ids(text) - merge-rule BPE token ids (flat long array)"),
+      (children: Seq[Expression]) => BpeTokenIds(children.head))
+
   private[functions] val htmlTextDesc =
     (FunctionIdentifier("graft_html_text"),
       info("graft_html_text", "graft_html_text(html) - markup-stripped, entity-decoded, line-normalized text"),
@@ -267,7 +272,7 @@ object GraftExtensions {
 
   private[functions] def all = Seq(cosineDesc, simhashDesc, fingerprintDesc,
     charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc,
-    rpBitsDesc, nfcDesc, subwordTokensDesc, bpeTokensDesc, htmlTextDesc,
+    rpBitsDesc, nfcDesc, subwordTokensDesc, bpeTokensDesc, bpeIdsDesc, htmlTextDesc,
     keepLinesDesc, linearScoreDesc, bigramLogProbDesc, bigramLogProbLmDesc,
     urlOkDesc, canonUrlDesc, regDomainDesc)
 

@@ -126,6 +126,69 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- token ids (p06)
+
+  test("token ids: syms rebuild the word, ids are arithmetic, count agrees") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val lower = text.toLowerCase(java.util.Locale.ROOT)
+      val ws = lower.trim.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+      // symbols concatenate back to the word (no token lost or invented)
+      ws.foreach { w =>
+        val syms = BpeVocab.encodeSyms(w)
+        assert(syms.mkString == w, s"doc $id word '$w' syms")
+        assert(syms.length == BpeVocab.encodeCount(w), s"doc $id word '$w' count")
+        // id arithmetic: code point below 0x110000, product above
+        syms.foreach { s =>
+          val i = BpeVocab.idOf(s)
+          if (s.codePointCount(0, s.length) == 1) assert(i == s.codePointAt(0).toLong)
+          else assert(i == 0x110000L + BpeVocab.productId(s))
+        }
+      }
+      // whole-text ids length == whole-text count (same scanner)
+      val ids = BpeVocab.tokenIds(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      assert(ids.numElements().toLong == BpeVocab.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)), s"doc $id ids/count")
+    }
+  }
+
+  test("token ids: ids decode back to the exact text words (id bijection)") {
+    // id → token inverse: code point or merge product by FIRST rank
+    val inv: Map[Long, String] =
+      BpeVocab.productId.toSeq.groupBy(_._2).map { case (r, ps) =>
+        (0x110000L + r) -> ps.head._1 }
+    def tok(i: Long): String =
+      if (i < 0x110000L) new String(Character.toChars(i.toInt)) else inv(i)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+      .select($"text").as[String].collect()
+    docs.foreach { t =>
+      val ids = BpeVocab.tokenIds(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toLongArray()
+      val rebuilt = ids.map(tok).mkString
+      val want = t.toLowerCase(java.util.Locale.ROOT)
+        .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).mkString
+      assert(rebuilt == want)
+    }
+  }
+
+  test("token ids: codegen/interpreted parity and EOS disjointness") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val viaCodegen = docs
+      .select($"doc_id", graft.functions.F.bpeTokenIds($"text").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    docs.select($"doc_id", $"text").collect().foreach { r =>
+      val interp = BpeVocab.tokenIds(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+        .toLongArray().toVector
+      assert(interp == viaCodegen(r.getLong(0)), s"doc ${r.getLong(0)}")
+      // no document token ever equals the end-of-document sentinel
+      assert(!interp.contains(BpeVocab.EosId))
+    }
+    assert(BpeVocab.EosId == 0x110000L + BpeVocab.merges.length)
+  }
+
   // ------------------------------------------------------- provenance
 
   test("shipped merges reproduce from the declared bounded sample") {

@@ -123,6 +123,12 @@ class ExpressionsSpec extends SparkSpec {
     assert(t.getString(3) == "one two three")
     assert(math.abs(t.getLong(4)) <= 500L)
     assert(t.getLong(5) >= -1000L && t.getLong(5) <= -1L)
+    // the p06 id stream rides the same registry
+    val ids = spark.sql("SELECT graft_bpe_ids('the data') AS i").head()
+      .getSeq[Long](0).toVector
+    assert(ids == BpeVocab.tokenIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the data"))
+      .toLongArray().toVector)
     // the x22 URL functions ride the same registry
     val u = spark.sql(
       "SELECT graft_url_ok('HTTP://WWW.A.com:80/p?utm_source=x&q=1#f') AS ok," +

@@ -758,6 +758,45 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("p06 packed sequences: exact budget, EOS accounting, stream reconstruction") {
+    import graft.functions.BpeVocab
+    val rows = TextAnalysis.p06PackedSequences(spark, sf)
+      .select($"shard", $"seq_id", $"n_tokens", $"seq_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // every sequence but the last of each shard holds EXACTLY the budget;
+    // seq_ids are dense from 0
+    rows.groupBy(_._1).foreach { case (shard, seqs) =>
+      val sorted = seqs.sortBy(_._2)
+      assert(sorted.map(_._2).toVector == sorted.indices.map(_.toLong).toVector,
+        s"shard $shard seq_ids not dense")
+      sorted.init.foreach { case (_, sid, n, txt) =>
+        assert(n == 128L, s"shard $shard seq $sid n_tokens $n")
+        assert(txt.split(" ").length == 128, s"shard $shard seq $sid text len")
+      }
+      assert(sorted.last._3 <= 128L)
+    }
+    // driver-side reconstruction: per shard, the concatenated sequence
+    // streams equal the concatenated per-doc id streams in doc_id order
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val wantByShard: Map[Long, Vector[Long]] = docs.groupBy(_._1 % 8).map {
+      case (shard, ds) => shard -> ds.sortBy(_._1).toVector.flatMap { case (_, t) =>
+        BpeVocab.tokenIds(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          .toLongArray().toVector :+ BpeVocab.EosId
+      }
+    }
+    rows.groupBy(_._1).foreach { case (shard, seqs) =>
+      val got = seqs.sortBy(_._2).toVector.flatMap(_._4.split(" ").map(_.toLong))
+      assert(got == wantByShard(shard), s"shard $shard stream mismatch")
+    }
+    // EOS count per shard == document count per shard (one boundary each)
+    rows.groupBy(_._1).foreach { case (shard, seqs) =>
+      val eos = seqs.flatMap(_._4.split(" ")).count(_.toLong == BpeVocab.EosId)
+      assert(eos == docs.count(_._1 % 8 == shard), s"shard $shard EOS count")
+    }
+  }
+
   test("p05 runs the heavy extraction pass once (ReusedExchange plan pin)") {
     // p05 fans out into two consumers (per-source totals and the
     // cross-source dedup) over ONE (h1, h2, source) aggregate. The keyed
