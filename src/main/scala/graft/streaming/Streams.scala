@@ -794,7 +794,128 @@ object Streams {
       |  COALESCE(m.dup_of, -1) FROM b3 b LEFT JOIN m3 m ON b.doc_id = m.doc_id
       |ORDER BY batch, doc_id""".stripMargin
 
+  // -------------------------------------------------------- st12 packing
+
+  case class PackDoc(shard: Long, doc_id: Long, flush: Boolean, ids: Array[Long])
+  case class PackState(next_seq: Long, leftover: Array[Long])
+  case class PackedSeq(shard: Long, seq_id: Long, n_tokens: Long, seq_text: String)
+
+  /** st12: CONTINUOUS sequence packing — the streaming face of p06: an
+    * unbounded curated-document stream becomes fixed-budget training
+    * sequences as it arrives, token streams concatenating ACROSS
+    * micro-batches. Tokenization (BPE ids + EOS) runs codegen'd in the
+    * stream's select before any state; per shard,
+    * `flatMapGroupsWithState` carries exactly (next seq_id, the < budget
+    * leftover ids) — O(budget) state per shard, emitted sequences leave
+    * immediately, so state never grows with the stream. Ordered-ingest
+    * contract (the st11 posture): batches arrive in doc_id order and
+    * each batch's group is sorted by doc_id, so the packing is
+    * deterministic and equals the batch operator bit for bit. A FLUSH
+    * marker per shard (the epoch-close signal a real ingest sends)
+    * closes the partial tail sequence and drops the state.
+    */
+  def packSequences(docs: Dataset[PackDoc], budget: Int): Dataset[PackedSeq] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackedSeq](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, Array.empty[Long]))
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          val out = Seq.newBuilder[PackedSeq]
+          val buf = scala.collection.mutable.ArrayBuffer[Long](st.leftover.toSeq: _*)
+          var seq = st.next_seq
+          var flush = false
+          sorted.foreach { d =>
+            if (d.flush) flush = true
+            else {
+              buf ++= d.ids
+              while (buf.length >= budget) {
+                out += PackedSeq(shard, seq, budget.toLong,
+                  buf.take(budget).mkString(" "))
+                buf.remove(0, budget)
+                seq += 1
+              }
+            }
+          }
+          if (flush) {
+            // epoch close: the partial tail ships as the final (short)
+            // sequence — exactly the batch operator's last chunk
+            if (buf.nonEmpty) {
+              out += PackedSeq(shard, seq, buf.length.toLong, buf.mkString(" "))
+              seq += 1
+              buf.clear()
+            }
+            state.remove()
+          } else state.update(PackState(seq, buf.toArray))
+          out.result().iterator
+      }
+  }
+
+  /** st12 as a driver-gate query: the documents table streams through
+    * [[packSequences]] in three ordered micro-batches plus one flush
+    * batch (one marker per shard, doc_ids at 2^40 + shard so pmod lands
+    * them without colliding with data ids). Because ordered streaming
+    * packing ≡ batch concat-and-chunk, the gate shares p06's ORACLE
+    * verbatim — the DuckDB replay of the batch semantics checks the
+    * STREAMING result, pinning stream/batch equivalence end to end.
+    */
+  def st12StreamPackingGate(spark: SparkSession, sfDir: String): DataFrame =
+    st12StreamPackingGate(spark, sfDir, Seq(150L, 350L))
+
+  private[streaming] def st12StreamPackingGate(spark: SparkSession,
+      sfDir: String, cuts: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val flushers = spark.range(8).select(
+      (lit(1L << 40) + col("id")).as("doc_id"),
+      lit(null).cast("string").as("text"))
+    val bounds = Long.MinValue +: cuts :+ Long.MaxValue
+    val parts = bounds.sliding(2).map { case Seq(lo, hi) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }.toSeq :+ flushers
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_st12_src").toString
+    parts.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$streamDir/.stage$i"
+      b.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/batch$i.parquet"))
+      // FileStreamSource orders by mtime (see st11): pin strictly
+      // increasing timestamps so batch order is deterministic
+      new java.io.File(s"$streamDir/batch$i.parquet")
+        .setLastModified(1000000000000L + i * 60000L)
+      ()
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // tokenize in the stream's select — codegen'd, BEFORE any state
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .select(pmod(col("doc_id"), lit(8L)).as("shard"), col("doc_id"),
+        col("text").isNull.as("flush"),
+        when(col("text").isNull, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(concat(graft.functions.F.bpeTokenIds(col("text")),
+            array(lit(graft.functions.BpeVocab.EosId)))).as("ids"))
+      .as[PackDoc]
+    val outDir = graft.TempDirs.create("graft_st12").toString
+    val name = s"st12_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = withStatePartitions(spark) {
+      packSequences(stream, 128).writeStream.queryName(name)
+        .outputMode("append")
+        .foreachBatch((b: Dataset[PackedSeq], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/b$id")).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$outDir/b*")
+      .select(col("shard"), col("seq_id"), col("n_tokens"), col("seq_text"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "st12_stream_packing"      -> ((st12StreamPackingGate _,
+      graft.operators.TextAnalysis.p06Oracle)),
     "st11_stream_dedup_index"  -> ((st11StreamDedupIndexGate _, st11Oracle)),
     "st09_view_maintain"       -> ((st09ViewMaintain _, st09Oracle)),
     "st10_stream_outer_join"   -> ((st10StreamOuterJoinGate _, st10Oracle)),

@@ -298,6 +298,32 @@ class StreamsSpec extends SparkSpec {
     assert(!vm.isAlive, "maintainer thread survived stop()")
   }
 
+  test("st12 streaming packing equals the batch operator across batch cuts") {
+    import graft.functions.BpeVocab
+    // cuts sized to the sf0.001 corpus (50 docs) so tokens genuinely
+    // carry across micro-batches in the leftover state
+    val stream = Streams.st12StreamPackingGate(spark, sf, Seq(20L, 35L))
+      .as[(Long, Long, Long, String)].collect().toVector
+    val batch = graft.operators.TextAnalysis.p06PackedSequences(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toVector
+    assert(stream == batch, "streaming result differs from batch packing")
+    assert(stream.nonEmpty)
+    // fixture sanity: some shard's pre-cut token count is not a multiple
+    // of the budget AND it has post-cut docs, so the equality above
+    // really exercised a leftover buffer crossing a batch boundary
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val crossing = (0L until 8L).exists { s =>
+      val mine = docs.filter(_._1 % 8 == s)
+      val preTok = mine.filter(_._1 < 20).map { case (_, t) =>
+        BpeVocab.tokenIds(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          .numElements().toLong + 1L
+      }.sum
+      mine.exists(_._1 >= 20) && preTok % 128L != 0L
+    }
+    assert(crossing, "fixture degenerated: no shard carries leftover across the cut")
+  }
+
   test("changelog stream stop() terminates the poller promptly") {
     val table = graft.tables.GraftTable.createAs(spark,
       java.nio.file.Files.createTempDirectory("graft_st06_stop").toString + "/t",
