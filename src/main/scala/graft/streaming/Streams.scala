@@ -888,6 +888,21 @@ object Streams {
         .setLastModified(1000000000000L + i * 60000L)
       ()
     }
+    val outDir = graft.TempDirs.create("graft_st12").toString
+    val q = startPackingQuery(spark, streamDir, outDir,
+      graft.TempDirs.create("graft_st12_cp").toString)
+    try q.processAllAvailable() finally q.stop()
+    packedResult(spark, outDir)
+  }
+
+  /** The st12 stream → state → per-batch sink wiring, restartable: the
+    * checkpoint carries the file-source offset log AND the packing state,
+    * so a query stopped mid-stream and restarted on the same checkpoint
+    * resumes with its leftover buffers intact (spec-pinned).
+    */
+  private[streaming] def startPackingQuery(spark: SparkSession,
+      streamDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     // tokenize in the stream's select — codegen'd, BEFORE any state
@@ -899,19 +914,20 @@ object Streams {
           .otherwise(concat(graft.functions.F.bpeTokenIds(col("text")),
             array(lit(graft.functions.BpeVocab.EosId)))).as("ids"))
       .as[PackDoc]
-    val outDir = graft.TempDirs.create("graft_st12").toString
     val name = s"st12_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = withStatePartitions(spark) {
+    withStatePartitions(spark) {
       packSequences(stream, 128).writeStream.queryName(name)
         .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
         .foreachBatch((b: Dataset[PackedSeq], id: Long) =>
           b.write.mode("overwrite").parquet(s"$outDir/b$id")).start()
     }
-    try q.processAllAvailable() finally q.stop()
+  }
+
+  private[streaming] def packedResult(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/b*")
       .select(col("shard"), col("seq_id"), col("n_tokens"), col("seq_text"))
       .orderBy(col("shard"), col("seq_id"))
-  }
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "st12_stream_packing"      -> ((st12StreamPackingGate _,

@@ -324,6 +324,48 @@ class StreamsSpec extends SparkSpec {
     assert(crossing, "fixture degenerated: no shard carries leftover across the cut")
   }
 
+  test("st12 packing survives a mid-stream restart (checkpointed leftover state)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val flushers = spark.range(8).select(
+      (lit(1L << 40) + $"id").as("doc_id"), lit(null).cast("string").as("text"))
+    val parts = Seq(
+      docs.filter($"doc_id" < 20),
+      docs.filter($"doc_id" >= 20 && $"doc_id" < 35),
+      docs.filter($"doc_id" >= 35),
+      flushers)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_st12_rs").toString
+    def stage(b: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = s"$streamDir/.stage$i"
+      b.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/batch$i.parquet"))
+      new java.io.File(s"$streamDir/batch$i.parquet")
+        .setLastModified(1000000000000L + i * 60000L)
+      ()
+    }
+    val outDir = graft.TempDirs.create("graft_st12_rs_out").toString
+    val cp = graft.TempDirs.create("graft_st12_rs_cp").toString
+    // first life: only the first two batches exist; the query drains
+    // them — leftover buffers are mid-flight in the state store — and dies
+    parts.take(2).zipWithIndex.foreach { case (b, i) => stage(b, i) }
+    val q1 = Streams.startPackingQuery(spark, streamDir, outDir, cp)
+    try q1.processAllAvailable() finally q1.stop()
+    // second life: the rest of the corpus + flush arrive; the restarted
+    // query must resume from the CHECKPOINTED leftovers, not from zero
+    parts.drop(2).zipWithIndex.foreach { case (b, i) => stage(b, i + 2) }
+    val q2 = Streams.startPackingQuery(spark, streamDir, outDir, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = Streams.packedResult(spark, outDir)
+      .as[(Long, Long, Long, String)].collect().toVector
+    val want = graft.operators.TextAnalysis.p06PackedSequences(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toVector
+    assert(got == want, "restarted stream diverged from batch packing")
+  }
+
   test("changelog stream stop() terminates the poller promptly") {
     val table = graft.tables.GraftTable.createAs(spark,
       java.nio.file.Files.createTempDirectory("graft_st06_stop").toString + "/t",
