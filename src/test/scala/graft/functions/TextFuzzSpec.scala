@@ -83,6 +83,49 @@ class TextFuzzSpec extends AnyFunSuite {
     Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, piece)).map(_.mkString)
   }
 
+  test("bpe ids: concatenated token strings rebuild the folded text on any input") {
+    // the id stream's defining invariant: ids decode (code point below
+    // 0x110000, FIRST-rank merge product above) back to exactly the
+    // lowercased whitespace-stripped input — nothing lost, invented or
+    // reordered, on hostile shapes the corpus never exercises
+    val inv: Map[Long, String] =
+      BpeVocab.productId.toSeq.groupBy(_._2).map { case (r, ps) =>
+        (0x110000L + r) -> ps.head._1 }
+    check("bpe id bijection", Prop.forAll(text) { t =>
+      val ids = BpeVocab.tokenIds(u(t)).toLongArray()
+      val rebuilt = ids.map { i =>
+        if (i < 0x110000L) new String(Character.toChars(i.toInt)) else inv(i)
+      }.mkString
+      val want = t.toLowerCase(java.util.Locale.ROOT)
+        .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).mkString
+      rebuilt == want && ids.length == BpeVocab.count(u(t)) &&
+        !ids.contains(BpeVocab.EosId)
+    })
+  }
+
+  test("bpe ids: astral code points and capped words keep the bijection") {
+    val astral: Gen[String] = Gen.chooseNum(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("😀", "𐀀", "a", "é", "𝕊"))
+        .map(_.mkString))
+    val long: Gen[String] = Gen.chooseNum(250, 300).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaLowerChar))
+    check("bpe id astral/cap", Prop.forAll(Gen.oneOf(astral, long)) { w =>
+      val ids = BpeVocab.tokenIds(u(w)).toLongArray()
+      val lw = w.toLowerCase(java.util.Locale.ROOT)
+      val cp = lw.codePointCount(0, lw.length)
+      // over the cap: exactly one id per code point, each a code point id
+      val capOk = cp <= BpeVocab.MaxWordLen ||
+        (ids.length == cp && ids.forall(_ < 0x110000L))
+      val rebuilt = ids.map { i =>
+        if (i < 0x110000L) new String(Character.toChars(i.toInt))
+        else BpeVocab.productId.toSeq.groupBy(_._2)
+          .map { case (r, ps) => (0x110000L + r) -> ps.head._1 }
+          .apply(i)
+      }.mkString
+      capOk && rebuilt == lw
+    }, min = 60)
+  }
+
   test("html: output is line-normalized (no blank lines, no edge/double spaces, no tabs)") {
     check("html well-formed", Prop.forAll(htmlish) { h =>
       val out = extract(h)
