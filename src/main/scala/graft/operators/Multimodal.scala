@@ -842,7 +842,75 @@ object Multimodal {
       |     for i in range(1, len(cs) + 1)]), 0) AS BIGINT) AS pos_checksum
       |FROM cp ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+
+  /** Special ids for the interleaved image legs — laid out immediately
+    * past [[graft.functions.BpeVocab.EosId]], so the text-id and
+    * image-marker ranges can never collide (EosId is already one past
+    * every assignable text id).
+    */
+  private[operators] val ImgStartId: Long = graft.functions.BpeVocab.EosId + 1L
+  private[operators] val ImgPatchId: Long = graft.functions.BpeVocab.EosId + 2L
+  private[operators] val ImgEndId: Long   = graft.functions.BpeVocab.EosId + 3L
+
+  /** m11: INTERLEAVED image+text sequence packing — the vision-language
+    * training-data step (LLaVA/Flamingo-style): each document is an
+    * (image, caption) pair; its token stream is IMG_START, one
+    * IMG_PATCH marker per 8×8 patch of the DECODED image geometry,
+    * IMG_END, then the caption's merge-rule BPE ids and the EOS — and
+    * streams pack into fixed 128-token sequences exactly as p06 (the
+    * concat-and-chunk tail is [[TextAnalysis.packIdStream]], shared, so
+    * the two gates cannot drift). The image is a REAL BMP (the m01
+    * fabrication) and the patch count comes from DECODING it in the
+    * mapPartitions batch (the m-series shape — one codec context per
+    * partition), never from the text; the ORACLE replays the geometry
+    * through the container arithmetic the m01 gate already pins
+    * (width 25, height ⌊n/25⌋), the ids through the p06 fragments, so a
+    * single misplaced patch marker or caption token fails the gate.
+    * Scale: fabricate+decode+tokenize are one per-row pass; then
+    * p06's cost model (per-shard window, one bounded-state exchange).
+    */
+  def m11MultimodalPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val patched = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (bmp, _) = textToBmp(text)
+          val img = Media.Bmp.decode(bmp)
+          val patches = ((img.width + 7) / 8) * ((img.height + 7) / 8)
+          (id, text, patches)
+        }
+      }.toDF("doc_id", "text", "n_patches")
+    TextAnalysis.packIdStream(patched.select(col("doc_id"),
+      concat(
+        array(lit(ImgStartId)),
+        array_repeat(lit(ImgPatchId), col("n_patches")),
+        array(lit(ImgEndId)),
+        graft.functions.F.bpeTokenIds(col("text")),
+        array(lit(graft.functions.BpeVocab.EosId))).as("ids")))
+  }
+
+  /** The p06 replay with one extra `dtok` branch: per doc, IMG_START +
+    * patch markers + IMG_END at widx −1 (before every word token),
+    * patch count from the m01 container arithmetic.
+    */
+  val m11Oracle: String = {
+    val extra = s"""
+       |  UNION ALL
+       |  SELECT i.doc_id, CAST(-1 AS BIGINT) AS widx, t.t AS tidx,
+       |    CASE WHEN t.t = 1 THEN $ImgStartId
+       |         WHEN t.t = i.patches + 2 THEN $ImgEndId
+       |         ELSE $ImgPatchId END AS id
+       |  FROM (SELECT doc_id,
+       |          CAST(4 * ((strlen(text) // 25 + 7) // 8) AS BIGINT) AS patches
+       |        FROM documents) i,
+       |    LATERAL (SELECT UNNEST(generate_series(1, i.patches + 2)) AS t) t""".stripMargin
+    TextAnalysis.packedOracleSql(extra)
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m11_multimodal_packing"  -> ((m11MultimodalPacking _, m11Oracle)),
     "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
     "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
     "m03_audio_segments"      -> ((m03AudioSegments _, m03Oracle)),

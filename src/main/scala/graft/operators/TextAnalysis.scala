@@ -1588,16 +1588,23 @@ object TextAnalysis {
     * offsets and chunking, so a single misplaced token anywhere in the
     * corpus fails the gate.
     */
-  def p06PackedSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
+  def p06PackedSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packIdStream(Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         concat(graft.functions.F.bpeTokenIds(col("text")),
-          array(lit(graft.functions.BpeVocab.EosId))).as("ids"))
-      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+          array(lit(graft.functions.BpeVocab.EosId))).as("ids")))
+
+  /** The concat-and-chunk tail shared by p06 (text) and m11 (interleaved
+    * image+text): input is (doc_id, ids array<long>); shard, window
+    * cumsum, chunk at the 128-token budget — see [[p06PackedSequences]]
+    * for the scale argument.
+    */
+  private[operators] def packIdStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = docs.withColumn("shard", pmod(col("doc_id"), lit(8L)))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withOff = docs.withColumn("off",
+    val withOff = sharded.withColumn("off",
       coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
     withOff.select(col("shard"), col("off"),
         posexplode(col("ids")).as(Seq("pos", "id")))
@@ -1609,7 +1616,14 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val p06Oracle: String = {
+  val p06Oracle: String = packedOracleSql("")
+
+  /** The packed-sequence replay, parameterized by an optional extra
+    * `dtok` UNION branch (m11 injects its image-token rows at widx −1 so
+    * they sort before every word token; empty for p06). One definition —
+    * the text-only and interleaved gates cannot drift.
+    */
+  private[operators] def packedOracleSql(extraDtok: String): String = {
     val pairs = bpeMergePairsSql
     val prods = bpeProductsSql
     val eos = graft.functions.BpeVocab.EosId
@@ -1653,7 +1667,7 @@ object TextAnalysis {
        |  FROM wpos p JOIN wids USING (w),
        |    LATERAL (SELECT UNNEST(generate_series(1, len(ids))) AS tidx) s
        |  UNION ALL
-       |  SELECT doc_id, 2147483647 AS widx, 1 AS tidx, $eos AS id FROM docs),
+       |  SELECT doc_id, 2147483647 AS widx, 1 AS tidx, $eos AS id FROM docs$extraDtok),
        |pos AS (
        |  SELECT doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, tidx) - 1 AS pos, id

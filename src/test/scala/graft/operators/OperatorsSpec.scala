@@ -961,6 +961,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("m11 interleaved packing: decoded-geometry patch counts, stream layout, p06 agreement") {
+    import graft.functions.BpeVocab
+    val rows = Multimodal.m11MultimodalPacking(spark, sf)
+      .select($"shard", $"seq_id", $"n_tokens", $"seq_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // driver-side expected stream per shard: image prefix from the KNOWN
+    // fabrication geometry (w=25, h=len/25), then BPE ids + EOS
+    def idsOf(t: String): Vector[Long] = {
+      val patches = 4 * ((t.length / 25 + 7) / 8)
+      (Multimodal.ImgStartId +: Vector.fill(patches)(Multimodal.ImgPatchId) :+
+        Multimodal.ImgEndId) ++
+        BpeVocab.tokenIds(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          .toLongArray().toVector :+ BpeVocab.EosId
+    }
+    val wantByShard = docs.groupBy(_._1 % 8).map { case (s, ds) =>
+      s -> ds.sortBy(_._1).toVector.flatMap { case (_, t) => idsOf(t) } }
+    rows.groupBy(_._1).foreach { case (shard, seqs) =>
+      val got = seqs.sortBy(_._2).toVector.flatMap(_._4.split(" ").map(_.toLong))
+      assert(got == wantByShard(shard), s"shard $shard interleaved stream mismatch")
+      // every image leg is well-formed: START...patches...END precede the text
+      val starts = got.count(_ == Multimodal.ImgStartId)
+      val ends = got.count(_ == Multimodal.ImgEndId)
+      val nDocs = docs.count(_._1 % 8 == shard)
+      assert(starts == nDocs && ends == nDocs, s"shard $shard image-leg count")
+    }
+  }
+
   test("m09 ingest read lists ONE root path (dir + pathGlobFilter, never a per-file glob)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = Multimodal.m09BinaryIngest(spark, sf)
