@@ -71,6 +71,11 @@ object BigramLmTrain {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("src/main/resources/graft/bigram_lm.txt")
+    // optional 3rd arg: restrict the sample to one language — the x24
+    // TARGET-domain table (`bigram_lm_target.txt`) trains on the `en`
+    // docs among the same first-SampleDocs window, so the raw and target
+    // tables see the same corpus slice and differ only by domain
+    val langFilter = args.lift(2)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -78,15 +83,19 @@ object BigramLmTrain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val texts = spark.read.parquet(s"$dir/documents.parquet")
+    val window = spark.read.parquet(s"$dir/documents.parquet")
       .orderBy("doc_id").limit(SampleDocs)
+    val sample = langFilter.fold(window)(l =>
+      window.filter(org.apache.spark.sql.functions.col("lang") === l))
+    val texts = sample.orderBy("doc_id")
       .select("text").collect().map(_.getString(0)).toSeq
     val (entries, threshold) = train(texts)
+    val langNote = langFilter.fold("")(l => s", lang = $l only")
     val header =
       s"""# Bigram LM table: quantized log-frequencies per hashed bigram bucket
          |# (one `bucket lp` per line; unlisted buckets are the -1000 floor).
          |# Trained by graft.BigramLmTrain: sample = first $SampleDocs docs of
-         |# $dir/documents.parquet, top $MaxEntries buckets by count.
+         |# $dir/documents.parquet$langNote, top $MaxEntries buckets by count.
          |threshold $threshold
          |""".stripMargin
     val body = entries.map { case (b, lp) => s"$b $lp" }.mkString("\n")

@@ -31,9 +31,9 @@ object BigramLm {
   final val Buckets = 65536
   final val Floor = -1000L
 
-  private lazy val parsed: (IndexedSeq[(Int, Int)], Long) = {
-    val in = getClass.getResourceAsStream("/graft/bigram_lm.txt")
-    require(in != null, "shipped bigram LM resource missing")
+  private def parse(path: String): (IndexedSeq[(Int, Int)], Long) = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"shipped bigram LM resource missing: $path")
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toIndexedSeq
@@ -55,6 +55,9 @@ object BigramLm {
     } finally in.close()
   }
 
+  private lazy val parsed: (IndexedSeq[(Int, Int)], Long) =
+    parse("/graft/bigram_lm.txt")
+
   /** Sparse trained entries (bucket, lp), resource order. */
   lazy val entries: IndexedSeq[(Int, Int)] = parsed._1
 
@@ -63,20 +66,27 @@ object BigramLm {
     */
   lazy val thresholdPerPair: Long = parsed._2
 
-  private lazy val table: Array[Int] = {
+  private def buildTable(entries: IndexedSeq[(Int, Int)]): Array[Int] = {
     val t = Array.fill(Buckets)(Floor.toInt)
     entries.foreach { case (b, lp) => t(b) = lp }
     t
   }
 
+  private lazy val table: Array[Int] = buildTable(entries)
+
+  /** The x24 TARGET-domain table (`bigram_lm_target.txt` — same trainer,
+    * sample restricted to the target domain's documents): the numerator
+    * of the DSIR importance ratio, the raw table above the denominator.
+    */
+  lazy val targetEntries: IndexedSeq[(Int, Int)] =
+    parse("/graft/bigram_lm_target.txt")._1
+
+  private lazy val targetTable: Array[Int] = buildTable(targetEntries)
+
   /** Trained log-prob of one bigram bucket. */
   def logProb(bucket: Long): Long = table(bucket.toInt).toLong
 
-  /** Σ trained-logProb over adjacent non-empty tokens; called from
-    * codegen (the [[BigramLogProbKernel.compute]] loop over the trained
-    * table).
-    */
-  def compute(words: ArrayData): Long = {
+  private def computeWith(t: Array[Int], words: ArrayData): Long = {
     var sum = 0L
     var prev = -1L
     var i = 0
@@ -86,7 +96,7 @@ object BigramLm {
         val w = words.getUTF8String(i)
         if (w.numChars() > 0) {
           val h = PolyWordHashKernel.hashWord(w, 7L, 11L)
-          if (prev >= 0L) sum += logProb(BigramLogProbKernel.bucket(prev, h))
+          if (prev >= 0L) sum += t(BigramLogProbKernel.bucket(prev, h).toInt).toLong
           prev = h
         }
       }
@@ -94,6 +104,15 @@ object BigramLm {
     }
     sum
   }
+
+  /** Σ trained-logProb over adjacent non-empty tokens; called from
+    * codegen (the [[BigramLogProbKernel.compute]] loop over the trained
+    * table).
+    */
+  def compute(words: ArrayData): Long = computeWith(table, words)
+
+  /** Same sum under the TARGET-domain table; called from codegen. */
+  def computeTarget(words: ArrayData): Long = computeWith(targetTable, words)
 }
 
 /** Trained-table bigram-LM log-probability sum of an array<string>
@@ -114,5 +133,27 @@ case class TrainedBigramLogProb(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): TrainedBigramLogProb =
+    copy(child = newChild)
+}
+
+/** TARGET-domain trained bigram-LM log-probability sum (the numerator
+  * of x24's DSIR importance ratio; see [[BigramLm.computeTarget]]);
+  * `graft_bigram_logprob_target` in SQL.
+  */
+case class TargetBigramLogProb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bigram_logprob_target"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramLm.computeTarget(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bk = classOf[BigramLm.type].getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $bk.computeTarget($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TargetBigramLogProb =
     copy(child = newChild)
 }

@@ -89,6 +89,9 @@ object F {
   /** TRAINED-table bigram-LM log-prob sum (x23; see [[BigramLm]]). */
   def bigramLogProbLm(words: Column): Column = col(TrainedBigramLogProb(ex(words)))
 
+  /** TARGET-domain trained bigram-LM log-prob sum (x24 DSIR numerator). */
+  def bigramLogProbTarget(words: Column): Column = col(TargetBigramLogProb(ex(words)))
+
   /** Hilbert-curve index of an array<long> of `bits`-bit coordinates. */
   def hilbertIndex(coords: Column, bits: Int): Column =
     col(HilbertIndex(ex(coords), bits))
@@ -255,6 +258,11 @@ object GraftExtensions {
       info("graft_bigram_logprob_lm", "graft_bigram_logprob_lm(words) - TRAINED-table bigram-LM log-prob sum"),
       (children: Seq[Expression]) => TrainedBigramLogProb(children.head))
 
+  private[functions] val bigramLogProbTargetDesc =
+    (FunctionIdentifier("graft_bigram_logprob_target"),
+      info("graft_bigram_logprob_target", "graft_bigram_logprob_target(words) - TARGET-domain trained bigram-LM log-prob sum"),
+      (children: Seq[Expression]) => TargetBigramLogProb(children.head))
+
   private[functions] val urlOkDesc =
     (FunctionIdentifier("graft_url_ok"),
       info("graft_url_ok", "graft_url_ok(url) - is the URL inside the canonicalization envelope"),
@@ -274,6 +282,7 @@ object GraftExtensions {
     charShinglesDesc, wordShinglesDesc, sortedOverlapDesc, minhashDesc,
     rpBitsDesc, nfcDesc, subwordTokensDesc, bpeTokensDesc, bpeIdsDesc, htmlTextDesc,
     keepLinesDesc, linearScoreDesc, bigramLogProbDesc, bigramLogProbLmDesc,
+    bigramLogProbTargetDesc,
     urlOkDesc, canonUrlDesc, regDomainDesc)
 
   /** Register graft SQL functions on an already-built session. */

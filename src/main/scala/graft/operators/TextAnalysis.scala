@@ -1077,6 +1077,88 @@ object TextAnalysis {
        |FROM t LEFT JOIN ps USING (doc_id) ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x24
+
+  /** x24: DSIR data selection — importance RESAMPLING toward a target
+    * domain (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"), the published method behind "make the
+    * corpus look more like the domain I care about", distinct from the
+    * quality filters (x02/x18/x21/x23 score absolute quality; this
+    * scores RELATIVE likelihood): each document's importance weight is
+    * log p_target − log p_raw over its hashed bigram features — DSIR's
+    * own hashed-n-gram construction — with both models REAL trained
+    * tables shipped as resources (`bigram_lm_target.txt`: the `en` docs
+    * of the declared sample window; `bigram_lm.txt`: the whole window —
+    * same trainer, same slice, differing only by domain). Both lookups
+    * are codegen'd table expressions over the same token split, so the
+    * weight is exact integer arithmetic the oracle replays bit-for-bit
+    * by joining both GENERATED tables. Selection is the resampling
+    * step: keep the top ⌈n/4⌉ documents per SOURCE by (weight desc,
+    * doc_id) — one window per source partition (the p04 posture, no
+    * global sort; at 100 TB the same selection runs as a threshold read
+    * off a per-source weight histogram, declared). Per-row scoring,
+    * shuffle only for the per-source rank.
+    */
+  def x24DsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = split(
+      regexp_replace(col("text"), s"^$wsClass+|$wsClass+$$", ""), s"$wsClass+")
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (graft.functions.F.bigramLogProbTarget(tokens) -
+          graft.functions.F.bigramLogProbLm(tokens)).as("weight"),
+        greatest(size(tokens).cast("long") - 1L, lit(0L)).as("n_pairs"))
+    val bySource = Window.partitionBy(col("source"))
+    val rank = row_number().over(bySource.orderBy(col("weight").desc, col("doc_id")))
+    scored
+      .withColumn("rnk", rank.cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySource))
+      .withColumn("selected", expr("rnk <= (n_src + 3) div 4"))
+      .select(col("doc_id"), col("source"), col("weight"), col("n_pairs"),
+        col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x24Oracle: String = {
+    val lm = graft.functions.BigramLm
+    val raw = lm.entries.map { case (b, lp) => s"($b,$lp)" }.mkString(",")
+    val tgt = lm.targetEntries.map { case (b, lp) => s"($b,$lp)" }.mkString(",")
+    s"""WITH w0 AS (
+       |  SELECT doc_id, source, regexp_split_to_array(
+       |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, source,
+       |    [${sqlWordHash("w")}
+       |     FOR w IN ws IF length(w) > 0] AS hs,
+       |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_pairs
+       |  FROM w0),
+       |pr AS (
+       |  SELECT doc_id, unnest([
+       |    (hs[CAST(i AS INT)] * 31 + hs[CAST(i AS INT) + 1]) % 65536
+       |    FOR i IN range(1, len(hs))]) AS b
+       |  FROM t),
+       |lmt(b, lp) AS (SELECT * FROM (VALUES $raw)),
+       |ltt(b, lp) AS (SELECT * FROM (VALUES $tgt)),
+       |ps AS (
+       |  SELECT pr.doc_id,
+       |    SUM(COALESCE(lt.lp, -1000) - COALESCE(lr.lp, -1000)) AS weight
+       |  FROM pr LEFT JOIN lmt lr USING (b) LEFT JOIN ltt lt USING (b)
+       |  GROUP BY pr.doc_id),
+       |sc AS (
+       |  SELECT t.doc_id, t.source,
+       |    CAST(COALESCE(ps.weight, 0) AS BIGINT) AS weight, t.n_pairs
+       |  FROM t LEFT JOIN ps USING (doc_id)),
+       |rk AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY weight DESC, doc_id) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_src
+       |  FROM sc)
+       |SELECT doc_id, source, weight, n_pairs,
+       |  rnk <= (n_src + 3) // 4 AS selected
+       |FROM rk ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- x22
 
   /** The deterministic URL x22 plants on every document — mixed-case
@@ -1696,6 +1778,7 @@ object TextAnalysis {
     "x21_perplexity_filter" -> ((x21PerplexityFilter _, x21Oracle)),
     "x22_url_filter"     -> ((x22UrlFilter _, x22Oracle)),
     "x23_perplexity_lm"  -> ((x23PerplexityLm _, x23Oracle)),
+    "x24_dsir_select"    -> ((x24DsirSelect _, x24Oracle)),
     "p05_crawl_curation" -> ((p05CrawlCuration _, p05Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),

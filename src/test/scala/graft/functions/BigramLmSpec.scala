@@ -34,6 +34,45 @@ class BigramLmSpec extends SparkSpec {
     assert(threshold == BigramLm.thresholdPerPair, "shipped threshold drifted")
   }
 
+  test("x24 target resource: shape, provenance from the en-only sample") {
+    assert(BigramLm.targetEntries.nonEmpty)
+    assert(BigramLm.targetEntries.forall { case (b, lp) =>
+      b >= 0 && b < BigramLm.Buckets && lp > BigramLm.Floor && lp <= -1 })
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").limit(graft.BigramLmTrain.SampleDocs)
+      .filter($"lang" === "en")
+      .orderBy("doc_id").select("text").collect().map(_.getString(0)).toSeq
+    val (entries, _) = graft.BigramLmTrain.train(texts)
+    assert(entries == BigramLm.targetEntries,
+      "shipped target entries drifted from the declared en-only sample")
+  }
+
+  test("x24 DSIR selection: exact per-source quota, weights resample toward the target domain") {
+    val rows = graft.operators.TextAnalysis.x24DsirSelect(spark, sf)
+      .select($"doc_id", $"source", $"weight", $"selected")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // quota: exactly ceil(n/4) selected per source, and they are the
+    // top-(weight, doc_id) rows
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val want = (ds.length + 3) / 4
+      val sel = ds.filter(_._4)
+      assert(sel.length == want, s"source $src quota")
+      val ranked = ds.sortBy(d => (-d._3, d._1)).take(want).map(_._1).toSet
+      assert(sel.map(_._1).toSet == ranked, s"source $src not the top-ranked docs")
+    }
+    // the point of DSIR: selection skews toward the target domain — the
+    // selected set's `en` share must beat the corpus share (target table
+    // trained on en docs, raw table on the full window)
+    val lang = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val selEn = rows.filter(_._4).count(r => lang(r._1) == "en").toDouble /
+      rows.count(_._4)
+    val allEn = rows.count(r => lang(r._1) == "en").toDouble / rows.length
+    assert(selEn > allEn,
+      f"DSIR selection did not skew toward the target domain: sel=$selEn%.3f corpus=$allEn%.3f")
+  }
+
   // ------------------------------------ independent reimplementation
 
   /** Independent word hash: 31-polynomial over code points mod 2³¹−1,

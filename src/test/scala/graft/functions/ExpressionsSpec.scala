@@ -123,6 +123,12 @@ class ExpressionsSpec extends SparkSpec {
     assert(t.getString(3) == "one two three")
     assert(math.abs(t.getLong(4)) <= 500L)
     assert(t.getLong(5) >= -1000L && t.getLong(5) <= -1L)
+    // the x24 DSIR target-table lookup rides the same registry
+    val tg = spark.sql(
+      "SELECT graft_bigram_logprob_target(array('the', 'data')) AS t," +
+      " graft_bigram_logprob_lm(array('the', 'data')) AS r").head()
+    assert(tg.getLong(0) >= -1000L && tg.getLong(0) <= -1L)
+    assert(tg.getLong(1) >= -1000L && tg.getLong(1) <= -1L)
     // the p06 id stream rides the same registry
     val ids = spark.sql("SELECT graft_bpe_ids('the data') AS i").head()
       .getSeq[Long](0).toVector
