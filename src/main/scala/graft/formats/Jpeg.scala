@@ -457,6 +457,9 @@ object Jpeg {
               val c = Component(id, hv >> 4, hv & 0x0f, bytes(o + 2) & 0x0f)
               require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
                 s"JPEG: unsupported sampling ${c.h}x${c.v} (only 1 and 2)")
+              // Tq is a 4-bit nibble but quant has 4 slots (T.81 B.2.2) —
+              // validate before quant(c.tq) is ever indexed
+              require(c.tq < 4, s"JPEG: bad component DQT id ${c.tq}")
               c
             }.toArray
             hMax = comps.map(_.h).max
@@ -490,8 +493,15 @@ object Jpeg {
               val c = comps.find(_.id == cid).getOrElse(
                 throw new IllegalArgumentException(s"JPEG: scan references unknown component $cid"))
               scanComps(i) = c
-              c.dcTable = dcTables((bytes(p + 1) & 0xff) >> 4)
-              c.acTable = acTables(bytes(p + 1) & 0x0f)
+              // Td/Ta are 4-bit stream nibbles but only 0..3 name tables
+              // (T.81 B.2.3) — validate BEFORE indexing or a hostile byte
+              // escapes as ArrayIndexOutOfBounds instead of the declared
+              // refusal (found by the CodecFuzzSpec hostile battery)
+              val td = (bytes(p + 1) & 0xff) >> 4
+              val ta = bytes(p + 1) & 0x0f
+              require(td < 4 && ta < 4, s"JPEG: bad scan entropy-table ids $td/$ta")
+              c.dcTable = dcTables(td)
+              c.acTable = acTables(ta)
               p += 2; i += 1
             }
             val ss = bytes(p) & 0xff

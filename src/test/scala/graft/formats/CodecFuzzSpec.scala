@@ -407,6 +407,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       }, min = 200)
     battery("jpeg-hostile", goodJpeg, Jpeg.decode)
     battery("gif-hostile", goodGif, Gif.decode)
+    // regression pin, kept from a live battery counterexample: a corrupted
+    // SOS entropy-table selector (4-bit nibble, only 0..3 valid) escaped
+    // as ArrayIndexOutOfBounds before the decoder validated it; byte 615
+    // of this fixed encode sits in the scan header's Td/Ta byte
+    for (xor <- Seq(169, 255)) {
+      val mut = goodJpeg.clone
+      mut(615) = (mut(615) ^ xor).toByte
+      val e = intercept[IllegalArgumentException](Jpeg.decode(mut))
+      assert(e.getMessage.contains("entropy-table ids"), e.getMessage)
+    }
   }
 
   test("FLAC fuzz: hostile mutations of a valid stream refuse, never mis-decode") {
