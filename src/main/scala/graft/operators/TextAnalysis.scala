@@ -1159,6 +1159,108 @@ object TextAnalysis {
        |FROM rk ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x25
+
+  /** x25: domain-graph ranking — the link-graph quality signal crawl
+    * pipelines key on (CommonCrawl publishes exactly this: PageRank /
+    * harmonic centrality over the REGISTERED-domain graph, consumed as a
+    * per-domain quality prior by the filters upstream). Semantics,
+    * declared: INTEGER PageRank — ranks are fixed-point longs (scale
+    * 10^12), five iterations of r' = 15%·S + 85%·Σ_in floorDiv(r, outdeg)
+    * with floor division at every step, so the result is exact integer
+    * arithmetic both engines replay bit-for-bit (float PageRank would
+    * drift across engines/partition orders: summation order is not
+    * associative in IEEE — the x13/x18 integer discipline applied to
+    * graph centrality). Dangling domains (link targets with no page)
+    * keep absorbing and leak their mass — the declared variant; the
+    * redistribution term is one aggregate away and changes no plumbing.
+    *
+    * Shape at 100 TB (10^8 domains): edges fold once to (src, dst,
+    * multiplicity) — the only corpus-sized pass; each iteration is one
+    * join + one groupBy on domain keys (the Graph.connectedComponents
+    * posture: work per round is edge-sized, rank lineage cut by
+    * localCheckpoint, never an adjacency-list hot row). Fixed iteration
+    * count keeps the oracle an unrolled CTE chain.
+    *
+    * Gate fixture: each document's page lives at domain d(doc_id mod 64)
+    * and links to d((doc_id·31+7) mod 64) — a deterministic 64-node
+    * multigraph whose URLs run through the REAL x22 expressions
+    * (canonicalize → registered domain); the oracle replays the domain
+    * strings by the same arithmetic and the whole 5-iteration ladder.
+    */
+  def x25DomainRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.F
+    val Scale = 1000000000000L
+    val Base = Scale * 15L / 100L
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    def domUrl(k: Column): Column =
+      concat(lit("http://d"), k, lit(".example/p"))
+    val edges = docs.select(
+        F.regDomain(F.canonUrl(domUrl(pmod(col("doc_id"), lit(64L))))).as("src"),
+        F.regDomain(F.canonUrl(domUrl(pmod(col("doc_id") * 31L + 7L, lit(64L))))).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("m"))
+      .persist()
+    val nodes = edges.select(col("src").as("domain"))
+      .union(edges.select(col("dst"))).distinct().persist()
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("m")).as("od"))
+    val edgesN = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("m"), col("od")).persist()
+    var rank = nodes.select(col("domain"), lit(Scale).as("r")).localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val contrib = edgesN.join(rank, edgesN("src") === rank("domain"))
+        .select(col("dst"), (col("m") * expr("r div od")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, nodes("domain") === contrib("dst"), "left")
+        .select(col("domain"),
+          (lit(Base) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    val inLinks = edges.groupBy(col("dst")).agg(sum(col("m")).as("in_links"))
+    val out = nodes
+      .join(rank, "domain")
+      .join(outdeg.withColumnRenamed("src", "domain"), Seq("domain"), "left")
+      .join(inLinks.withColumnRenamed("dst", "domain"), Seq("domain"), "left")
+      .select(col("domain"), col("r").as("rank"),
+        coalesce(col("od"), lit(0L)).as("out_links"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"))
+      .orderBy(col("domain"))
+      .localCheckpoint(true)
+    edges.unpersist(); nodes.unpersist(); edgesN.unpersist()
+    out
+  }
+
+  /** The 5-iteration integer-PageRank ladder unrolled as CTEs — floor
+    * division at every step makes each rung exact on both engines.
+    */
+  val x25Oracle: String = {
+    def rung(k: Int): String =
+      s"""s$k AS (
+         |  SELECT e.dst AS domain, SUM(e.m * (r${k - 1}.r // od.od)) AS s
+         |  FROM e JOIN od USING (src) JOIN r${k - 1} ON r${k - 1}.domain = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT n.domain,
+         |    CAST(150000000000 + (85 * COALESCE(s$k.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN s$k USING (domain))""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT 'd' || CAST(doc_id % 64 AS VARCHAR) || '.example' AS src,
+       |         'd' || CAST((doc_id * 31 + 7) % 64 AS VARCHAR) || '.example' AS dst
+       |  FROM documents),
+       |e AS (SELECT src, dst, COUNT(*) AS m FROM e0 GROUP BY src, dst),
+       |n AS (SELECT src AS domain FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, SUM(m) AS od FROM e GROUP BY src),
+       |il AS (SELECT dst AS domain, SUM(m) AS in_links FROM e GROUP BY dst),
+       |r0 AS (SELECT domain, CAST(1000000000000 AS BIGINT) AS r FROM n),
+       |${(1 to 5).map(rung).mkString(",\n")}
+       |SELECT n.domain, r5.r AS rank,
+       |  CAST(COALESCE(od.od, 0) AS BIGINT) AS out_links,
+       |  CAST(COALESCE(il.in_links, 0) AS BIGINT) AS in_links
+       |FROM n JOIN r5 USING (domain)
+       |  LEFT JOIN od ON od.src = n.domain
+       |  LEFT JOIN il USING (domain)
+       |ORDER BY domain""".stripMargin
+  }
+
   // ---------------------------------------------------------------- x22
 
   /** The deterministic URL x22 plants on every document — mixed-case
@@ -1779,6 +1881,7 @@ object TextAnalysis {
     "x22_url_filter"     -> ((x22UrlFilter _, x22Oracle)),
     "x23_perplexity_lm"  -> ((x23PerplexityLm _, x23Oracle)),
     "x24_dsir_select"    -> ((x24DsirSelect _, x24Oracle)),
+    "x25_domain_rank"    -> ((x25DomainRank _, x25Oracle)),
     "p05_crawl_curation" -> ((p05CrawlCuration _, p05Oracle)),
     "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
     "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),

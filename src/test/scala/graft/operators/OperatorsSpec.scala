@@ -797,6 +797,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("x25 domain rank equals a driver-side integer PageRank (exact, all rows)") {
+    val rows = TextAnalysis.x25DomainRank(spark, sf)
+      .select($"domain", $"rank", $"out_links", $"in_links")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent recompute: same fixed-point ladder, plain Scala maps
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id").as[Long].collect()
+    val edges = ids.map(i => (s"d${i % 64}.example", s"d${(i * 31 + 7) % 64}.example"))
+      .groupBy(identity).map { case (e, o) => (e._1, e._2, o.size.toLong) }.toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val od = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val il = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._3).sum }
+    val Scale = 1000000000000L
+    var r = nodes.map(_ -> Scale).toMap
+    for (_ <- 1 to 5) {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, m) => m * Math.floorDiv(r(src), od(src)) }.sum }
+      r = nodes.map(n => n -> (Scale * 15L / 100L +
+        Math.floorDiv(85L * s.getOrElse(n, 0L), 100L))).toMap
+    }
+    assert(rows.length == nodes.size)
+    rows.foreach { case (d, rank, o, i) =>
+      assert(rank == r(d), s"domain $d rank")
+      assert(o == od.getOrElse(d, 0L), s"domain $d out_links")
+      assert(i == il.getOrElse(d, 0L), s"domain $d in_links")
+    }
+    // structural sanity: every rank carries at least the teleport base,
+    // and dangling leak keeps total mass at or under the start
+    assert(rows.forall(_._2 >= Scale * 15L / 100L))
+    assert(rows.map(_._2).sum <= Scale * nodes.size)
+    // ranks genuinely differentiate (the multigraph is non-uniform)
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("p05 runs the heavy extraction pass once (ReusedExchange plan pin)") {
     // p05 fans out into two consumers (per-source totals and the
     // cross-source dedup) over ONE (h1, h2, source) aggregate. The keyed
