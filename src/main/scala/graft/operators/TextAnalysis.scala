@@ -1188,7 +1188,19 @@ object TextAnalysis {
     * (canonicalize → registered domain); the oracle replays the domain
     * strings by the same arithmetic and the whole 5-iteration ladder.
     */
-  def x25DomainRank(spark: SparkSession, sfDir: String): DataFrame = {
+  def x25DomainRank(spark: SparkSession, sfDir: String): DataFrame =
+    x25DomainRank(spark, sfDir, 1L << 18)
+
+  /** Below `localEdgeCap` FOLDED edges the ladder runs on the driver
+    * (the [[Graph.connectedComponents]] fast-path rationale: each
+    * distributed round is join+groupBy fixed job latency, pure overhead
+    * on a small graph, and a folded domain graph is (src, dst, m) rows —
+    * tens of MB at the cap). Identical integer ranks either way
+    * (agreement spec-pinned); a real crawl's 10^8-domain graph takes the
+    * distributed rounds untouched. Pass 0 to force them.
+    */
+  private[operators] def x25DomainRank(spark: SparkSession, sfDir: String,
+      localEdgeCap: Long): DataFrame = {
     import graft.functions.F
     val Scale = 1000000000000L
     val Base = Scale * 15L / 100L
@@ -1200,6 +1212,24 @@ object TextAnalysis {
         F.regDomain(F.canonUrl(domUrl(pmod(col("doc_id") * 31L + 7L, lit(64L))))).as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("m"))
       .persist()
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeCap) {
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      edges.unpersist()
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val od = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val il = es.groupBy(_._2).map { case (d, g) => d -> g.map(_._3).sum }
+      var r = ns.map(_ -> Scale).toMap
+      for (_ <- 1 to 5) {
+        val s = es.groupBy(_._2).map { case (dst, g) =>
+          dst -> g.map { case (src, _, m) => m * Math.floorDiv(r(src), od(src)) }.sum }
+        r = ns.map(n => n -> (Base + Math.floorDiv(85L * s.getOrElse(n, 0L), 100L))).toMap
+      }
+      return ns.map(n => (n, r(n), od.getOrElse(n, 0L), il.getOrElse(n, 0L)))
+        .toSeq.toDF("domain", "rank", "out_links", "in_links")
+        .orderBy(col("domain"))
+    }
     val nodes = edges.select(col("src").as("domain"))
       .union(edges.select(col("dst"))).distinct().persist()
     val outdeg = edges.groupBy(col("src")).agg(sum(col("m")).as("od"))

@@ -830,6 +830,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_._2).sum <= Scale * nodes.size)
     // ranks genuinely differentiate (the multigraph is non-uniform)
     assert(rows.map(_._2).distinct.length > 1)
+    // the driver fast path and the distributed rounds agree exactly
+    val dist = TextAnalysis.x25DomainRank(spark, sf, localEdgeCap = 0L)
+      .select($"domain", $"rank", $"out_links", $"in_links")
+      .as[(String, Long, Long, Long)].collect()
+    assert(dist.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq,
+      "local and distributed PageRank ladders diverged")
   }
 
   test("p05 runs the heavy extraction pass once (ReusedExchange plan pin)") {
