@@ -1535,6 +1535,17 @@ object TextAnalysis {
     * collision), and the x19 recursive-CTE BPE over surviving documents.
     */
   def p05CrawlCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val g1 = p05Keyed(spark, sfDir)
+    p05Fold(g1)
+  }
+
+  /** The p05 chain through the quality vote and the keyed, guarded
+    * (h1, h2, source) aggregate — shared VERBATIM by p05 (which folds
+    * totals/dedup/BPE from it) and p07 (which packs the survivors), so
+    * the two capstones run the same curation code, not copies that can
+    * drift.
+    */
+  private def p05Keyed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.F
     // the doubling fixture, the 128-bit key and the collision guard are
@@ -1590,12 +1601,16 @@ object TextAnalysis {
     // d01 over the same doubled corpus in the same gate run) as the
     // collision canary.
     val qKept = when(col("q"), col("kept"))
-    val g1 = scored.groupBy(col("h1"), col("h2"), col("source"))
+    scored.groupBy(col("h1"), col("h2"), col("source"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"),
         min(qKept).as("t0"), max(qKept).as("t1"),
         min(col("q")).as("q"))
       .filter(Dedup.sameOrFailKeyed(col("t0"), col("t1"),
         col("h1"), col("h2"), col("doc_id"), col("n"), col("q")))
+  }
+
+  private def p05Fold(g1: DataFrame): DataFrame = {
+    import graft.functions.F
     val totals = g1.groupBy(col("source")).agg(
       sum(col("n")).as("n_docs"),
       sum(when(col("q"), col("n")).otherwise(0L)).as("n_quality"))
@@ -1619,10 +1634,13 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  val p05Oracle: String = {
-    val pairs = bpeMergePairsSql
-    s"""WITH RECURSIVE
-       |all_docs AS (
+  /** The p05 curation chain as oracle CTEs, through `surv` (one row per
+    * surviving quality-deduped text: doc_id = the corpus-min
+    * representative, source, kept) — ONE definition shared by the p05
+    * and p07 oracles, so the two capstones replay the same chain.
+    */
+  private def p05SurvivorCtes: String =
+    s"""all_docs AS (
        |  SELECT doc_id, text, source FROM documents
        |  UNION ALL SELECT doc_id + 1099511627776, text, source FROM documents),
        |${sqlUrlCtes("all_docs", "doc_id", "doc_id % 1099511627776")},
@@ -1651,7 +1669,12 @@ object TextAnalysis {
        |  FROM lm),
        |good AS (SELECT * FROM lp WHERE lp_sum >= -500 * n_pairs AND cls > 0),
        |reps AS (SELECT MIN(doc_id) AS doc_id FROM good GROUP BY kept),
-       |surv AS (SELECT g.* FROM good g JOIN reps USING (doc_id)),
+       |surv AS (SELECT g.* FROM good g JOIN reps USING (doc_id))""".stripMargin
+
+  val p05Oracle: String = {
+    val pairs = bpeMergePairsSql
+    s"""WITH RECURSIVE
+       |$p05SurvivorCtes,
        |words2 AS (
        |  SELECT doc_id, unnest([w FOR w IN
        |    regexp_split_to_array(lower(kept), '\\s+') IF w <> '']) AS w
@@ -1834,15 +1857,19 @@ object TextAnalysis {
 
   /** The packed-sequence replay, parameterized by an optional extra
     * `dtok` UNION branch (m11 injects its image-token rows at widx −1 so
-    * they sort before every word token; empty for p06). One definition —
-    * the text-only and interleaved gates cannot drift.
+    * they sort before every word token; empty for p06), optional prefix
+    * CTEs, and the document source (p07 packs the p05 survivor chain's
+    * texts instead of the raw table). One definition — the text-only,
+    * interleaved and capstone gates cannot drift.
     */
-  private[operators] def packedOracleSql(extraDtok: String): String = {
+  private[operators] def packedOracleSql(extraDtok: String,
+      prefixCtes: String = "",
+      docsSelect: String = "SELECT doc_id, lower(text) AS t FROM documents"): String = {
     val pairs = bpeMergePairsSql
     val prods = bpeProductsSql
     val eos = graft.functions.BpeVocab.EosId
     s"""WITH RECURSIVE
-       |docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |${prefixCtes}docs AS ($docsSelect),
        |dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM docs),
        |wpos AS (
        |  SELECT doc_id, i.i AS widx, ws[i.i] AS w
@@ -1900,8 +1927,44 @@ object TextAnalysis {
        |ORDER BY shard, seq_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p07
+
+  /** p07: crawl → TRAINING FILE, the whole arc in one gate — p05's
+    * curation chain (URL filter → HTML extraction → two-model quality
+    * vote → hash-keyed exact dedup, run through the SAME shared
+    * [[p05Keyed]] stage, so the two capstones cannot drift) feeding
+    * p06's packing tail: each surviving text becomes its BPE token-ID
+    * stream + EOS, concatenated per shard in representative-doc_id
+    * order and chunked at the 128-token budget. The output IS what a
+    * training job loads, derived from raw crawl rows inside one plan.
+    * The oracle composes the SAME shared fragments end to end
+    * ([[p05SurvivorCtes]] → [[packedOracleSql]] over `surv`), so a
+    * single wrong decision anywhere in the arc — a URL kept, a line
+    * dropped, a dup surviving, a token misplaced — fails the hash.
+    * Scale shape: p05's one heavy corpus pass + one keyed exchange,
+    * then p06's per-shard window + bounded-state assembly over the
+    * (much smaller) survivor set.
+    */
+  def p07CurateAndPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.F
+    val reps = p05Keyed(spark, sfDir).filter(col("q"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("t0")).as("t0"), max(col("t1")).as("t1"))
+      .filter(Dedup.sameOrFail(col("t0"), col("t1")))
+      .select(col("doc_id"), col("t0").as("kept"))
+    packIdStream(reps.select(col("doc_id"),
+      concat(F.bpeTokenIds(col("kept")),
+        array(lit(graft.functions.BpeVocab.EosId))).as("ids")))
+  }
+
+  val p07Oracle: String = packedOracleSql("",
+    prefixCtes = p05SurvivorCtes + ",\n",
+    docsSelect = "SELECT doc_id, lower(kept) AS t FROM surv")
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p06_packed_sequences" -> ((p06PackedSequences _, p06Oracle)),
+    "p07_curate_and_pack"  -> ((p07CurateAndPack _, p07Oracle)),
     "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),
     "p04_epoch_shuffle"  -> ((p04EpochShuffle _, p04Oracle)),
     "x17_subword_tokens" -> ((x17SubwordTokens _, x17Oracle)),

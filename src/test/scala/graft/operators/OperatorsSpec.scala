@@ -838,6 +838,28 @@ class TextAnalysisSpec extends SparkSpec {
       "local and distributed PageRank ladders diverged")
   }
 
+  test("p07 capstone: packed totals reconcile exactly with p05's accounting") {
+    val seqs = TextAnalysis.p07CurateAndPack(spark, sf)
+      .select($"shard", $"seq_id", $"n_tokens", $"seq_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(seqs.nonEmpty)
+    // cross-gate invariant: p07 packs EXACTLY the tokens p05 accounts
+    // for — Σ n_tokens = Σ tokens_bpe + one EOS per unique survivor
+    val p05 = TextAnalysis.p05CrawlCuration(spark, sf)
+      .select($"n_unique", $"tokens_bpe").as[(Long, Long)].collect()
+    val survivors = p05.map(_._1).sum
+    assert(seqs.map(_._3).sum == p05.map(_._2).sum + survivors,
+      "packed token total diverged from the curation accounting")
+    val eos = graft.functions.BpeVocab.EosId
+    assert(seqs.flatMap(_._4.split(" ")).count(_.toLong == eos) == survivors,
+      "EOS count != survivor count")
+    // budget: every sequence but the last of its shard is exactly full
+    seqs.groupBy(_._1).foreach { case (sh, ss) =>
+      ss.sortBy(_._2).init.foreach { case (_, sid, n, _) =>
+        assert(n == 128L, s"shard $sh seq $sid") }
+    }
+  }
+
   test("p05 runs the heavy extraction pass once (ReusedExchange plan pin)") {
     // p05 fans out into two consumers (per-source totals and the
     // cross-source dedup) over ONE (h1, h2, source) aggregate. The keyed
