@@ -419,6 +419,50 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP/WAV/AVI fuzz: corruption refuses loudly or decodes bounded — never an undeclared error") {
+    // same contract as the JPEG/GIF battery (no integrity check in these
+    // containers, so a flip may legally decode DIFFERENT media): only the
+    // declared refusal type escapes, and any surviving decode is
+    // self-consistent against its own claimed geometry/length
+    val goodBmp = Media.Bmp.encode(31, 17,
+      Array.tabulate(31 * 17 * 3)(i => ((i * 29 + i / 3) % 253).toByte))
+    val goodWav = Media.Wav.encode(8000,
+      Array.tabulate(500)(i => (600 * math.sin(i / 7.0)).toInt))
+    val frame = Jpeg.encode(16, 16,
+      Array.tabulate(16 * 16 * 3)(i => ((i * 11) % 200).toByte))
+    val goodAvi = Media.Avi.encode(16, 16, 40000, Seq(frame, frame, frame))
+    def battery[A](label: String, good: Array[Byte],
+        decode: Array[Byte] => A, bounded: A => Boolean): Unit =
+      check(label, Prop.forAll(for {
+        at <- Gen.chooseNum(0, good.length - 1)
+        xor <- Gen.chooseNum(1, 255)
+      } yield (at, xor)) { case (at, xor) =>
+        val mut = good.clone
+        mut(at) = (mut(at) ^ xor).toByte
+        try bounded(decode(mut))
+        catch {
+          case _: IllegalArgumentException => true
+          case _: Throwable => false
+        }
+      }, min = 200)
+    battery[Media.Image]("bmp-hostile", goodBmp, Media.Bmp.decode,
+      img => img.width > 0 && img.height > 0 &&
+        img.pixels.length == img.width * img.height * 3)
+    battery[Media.Audio]("wav-hostile", goodWav, Media.Wav.decode,
+      a => a.channels > 0 && a.sampleRate > 0 &&
+        a.samples.length % a.channels == 0)
+    battery[Media.Video]("avi-hostile", goodAvi, { b: Array[Byte] =>
+      val v = Media.Avi.decode(b)
+      // the lazy frame path must hold the same contract: decode every
+      // frame inside the battery so a corrupt payload can't hide
+      v.frames.indices.foreach { i =>
+        val img = v.frame(i)
+        assert(img.pixels.length == img.width * img.height * 3)
+      }
+      v
+    }, v => v.width > 0 && v.height > 0)
+  }
+
   test("FLAC fuzz: hostile mutations of a valid stream refuse, never mis-decode") {
     val rnd = new scala.util.Random(97)
     val s = Array.tabulate(3000)(i => (900 * math.sin(i / 9.0)).toInt + rnd.nextInt(40) - 20)
