@@ -1864,15 +1864,29 @@ object TextAnalysis {
     */
   private[operators] def packedOracleSql(extraDtok: String,
       prefixCtes: String = "",
-      docsSelect: String = "SELECT doc_id, lower(text) AS t FROM documents"): String = {
+      docsSelect: String = "SELECT doc_id, lower(text) AS t FROM documents",
+      withMask: Boolean = false): String = {
+    require(extraDtok.isEmpty || !withMask,
+      "mask packing and extra dtok branches are separate consumers")
     val pairs = bpeMergePairsSql
     val prods = bpeProductsSql
     val eos = graft.functions.BpeVocab.EosId
+    // the p08 mask leg: a word token trains (mask 1) iff its word sits
+    // past the per-doc prompt cut ((len+1)//2); EOS always trains
+    val cutCol = if (withMask) ",\n    (len(regexp_split_to_array(trim(t), '\\s+')) + 1) // 2 AS cut" else ""
+    val cutSel = if (withMask) ", cut" else ""
+    val wMask = if (withMask) ",\n    CASE WHEN p.widx <= p.cut THEN 0 ELSE 1 END AS mask" else ""
+    val eosMask = if (withMask) ", 1 AS mask" else ""
+    val posMask = if (withMask) ", mask" else ""
+    val gMask = if (withMask) ", p.mask" else ""
+    val outMask = if (withMask)
+      ",\n  CAST(SUM(mask) AS BIGINT) AS n_trained,\n  string_agg(CAST(mask AS VARCHAR), ' ' ORDER BY gpos) AS mask_text"
+    else ""
     s"""WITH RECURSIVE
        |${prefixCtes}docs AS ($docsSelect),
-       |dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws FROM docs),
+       |dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws$cutCol FROM docs),
        |wpos AS (
-       |  SELECT doc_id, i.i AS widx, ws[i.i] AS w
+       |  SELECT doc_id, i.i AS widx, ws[i.i] AS w$cutSel
        |  FROM dw, LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS i) i
        |  WHERE ws[i.i] <> ''),
        |uw AS (SELECT DISTINCT w FROM wpos),
@@ -1904,14 +1918,14 @@ object TextAnalysis {
        |     FOR s IN syms] AS ids
        |  FROM fin),
        |dtok AS (
-       |  SELECT p.doc_id, p.widx, s.tidx, ids[CAST(s.tidx AS INT)] AS id
+       |  SELECT p.doc_id, p.widx, s.tidx, ids[CAST(s.tidx AS INT)] AS id$wMask
        |  FROM wpos p JOIN wids USING (w),
        |    LATERAL (SELECT UNNEST(generate_series(1, len(ids))) AS tidx) s
        |  UNION ALL
-       |  SELECT doc_id, 2147483647 AS widx, 1 AS tidx, $eos AS id FROM docs$extraDtok),
+       |  SELECT doc_id, 2147483647 AS widx, 1 AS tidx, $eos AS id$eosMask FROM docs$extraDtok),
        |pos AS (
        |  SELECT doc_id,
-       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, tidx) - 1 AS pos, id
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx, tidx) - 1 AS pos, id$posMask
        |  FROM dtok),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
        |off AS (
@@ -1919,9 +1933,9 @@ object TextAnalysis {
        |    COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
        |  FROM cnt),
-       |g AS (SELECT o.shard, o.off + p.pos AS gpos, p.id FROM pos p JOIN off o USING (doc_id))
+       |g AS (SELECT o.shard, o.off + p.pos AS gpos, p.id$gMask FROM pos p JOIN off o USING (doc_id))
        |SELECT CAST(shard AS BIGINT) AS shard, CAST(gpos // 128 AS BIGINT) AS seq_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens$outMask,
        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS seq_text
        |FROM g GROUP BY shard, gpos // 128
        |ORDER BY shard, seq_id""".stripMargin
@@ -1962,9 +1976,73 @@ object TextAnalysis {
     prefixCtes = p05SurvivorCtes + ",\n",
     docsSelect = "SELECT doc_id, lower(kept) AS t FROM surv")
 
+  // ---------------------------------------------------------------- p08
+
+  /** p08: SFT loss-mask packing — the supervised-fine-tuning twin of
+    * p06: each example is a (prompt, completion) pair, and the packed
+    * output carries a parallel LOSS MASK (0 = prompt token, context
+    * only; 1 = completion token + EOS, trained) — completions-only loss
+    * is how instruction tuning is actually trained, and the mask must
+    * survive packing token-for-token or the model silently trains on
+    * prompts. [[sftPack]] is the generic operator over (doc_id, prompt,
+    * completion) columns; the gate fabricates the pair deterministically
+    * (prompt = the first ⌈n/2⌉ words — both engines replay the cut).
+    * Token-level soundness rides BPE's whitespace separation:
+    * tokenize(prompt) ++ tokenize(completion) ≡ tokenize(text), so the
+    * packed ID stream equals p06's and ONLY the mask is new (the fuzz
+    * suite pins that additivity). Same plan shape as p06 — one shard
+    * exchange serving window + assembly, state bounded by the budget.
+    */
+  def p08SftPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(trim(col("text")), s"$wsClass+"))
+      .withColumn("cut", expr("(size(ws) + 1) div 2"))
+      .select(col("doc_id"),
+        array_join(expr("slice(ws, 1, cut)"), " ").as("prompt"),
+        array_join(expr("slice(ws, cut + 1, size(ws) - cut)"), " ").as("completion"))
+    sftPack(docs)
+  }
+
+  /** Pack (doc_id, prompt, completion) rows into fixed-budget sequences
+    * with a parallel loss mask — see [[p08SftPacking]].
+    */
+  private[operators] def sftPack(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.F
+    val idsP = F.bpeTokenIds(col("prompt"))
+    val idsC = concat(F.bpeTokenIds(col("completion")),
+      array(lit(graft.functions.BpeVocab.EosId)))
+    val docs = rows.select(col("doc_id"),
+        concat(idsP, idsC).as("ids"),
+        concat(transform(idsP, _ => lit(0L)),
+          transform(idsC, _ => lit(1L))).as("masks"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("off",
+        coalesce(sum(size(col("ids")).cast("long")).over(w), lit(0L)))
+      .select(col("shard"), col("off"),
+        posexplode(arrays_zip(col("ids"), col("masks"))).as(Seq("pos", "im")))
+      .select(col("shard"), (col("off") + col("pos")).as("gpos"),
+        col("im.ids").as("id"), col("im.masks").as("mask"))
+      .groupBy(col("shard"), expr("gpos div 128").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("mask")).as("n_trained"),
+        array_sort(collect_list(struct(col("gpos"), col("id"), col("mask")))).as("toks"))
+      .select(col("shard"), col("seq_id"), col("n_tokens"), col("n_trained"),
+        array_join(transform(col("toks"),
+          x => x.getField("id").cast("string")), " ").as("seq_text"),
+        array_join(transform(col("toks"),
+          x => x.getField("mask").cast("string")), " ").as("mask_text"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val p08Oracle: String = packedOracleSql("", withMask = true)
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p06_packed_sequences" -> ((p06PackedSequences _, p06Oracle)),
     "p07_curate_and_pack"  -> ((p07CurateAndPack _, p07Oracle)),
+    "p08_sft_packing"      -> ((p08SftPacking _, p08Oracle)),
     "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),
     "p04_epoch_shuffle"  -> ((p04EpochShuffle _, p04Oracle)),
     "x17_subword_tokens" -> ((x17SubwordTokens _, x17Oracle)),

@@ -860,6 +860,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("p08 SFT packing: id stream equals p06, masks reconstruct the prompt cut") {
+    import graft.functions.BpeVocab
+    val p8 = TextAnalysis.p08SftPacking(spark, sf)
+      .select($"shard", $"seq_id", $"n_tokens", $"n_trained", $"seq_text", $"mask_text")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(p8.nonEmpty)
+    // BPE whitespace additivity: tokenize(prompt) ++ tokenize(completion)
+    // == tokenize(text), so the packed ID stream must equal p06's exactly
+    val p6 = TextAnalysis.p06PackedSequences(spark, sf)
+      .select($"shard", $"seq_id", $"n_tokens", $"seq_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(p8.map(r => (r._1, r._2, r._3, r._5)).sortBy(x => (x._1, x._2)).toSeq ==
+      p6.sortBy(x => (x._1, x._2)).toSeq, "SFT id stream diverged from p06")
+    // per-row: n_trained is exactly the mask's popcount, lengths agree
+    p8.foreach { case (sh, sid, n, tr, ids, mask) =>
+      val ms = mask.split(" ")
+      assert(ms.length == n && ids.split(" ").length == n, s"$sh/$sid lengths")
+      assert(ms.count(_ == "1") == tr, s"$sh/$sid n_trained")
+      assert(ms.forall(m => m == "0" || m == "1"))
+    }
+    // mask stream equals a driver recompute of the declared cut
+    def ids(t: String): Int = BpeVocab.tokenIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)).numElements()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val wantMasks = docs.groupBy(_._1 % 8).map { case (s, ds) =>
+      s -> ds.sortBy(_._1).toVector.flatMap { case (_, t) =>
+        val ws = t.trim.split("\\s+")
+        val cut = (ws.length + 1) / 2
+        val p = ws.take(cut).mkString(" ")
+        val c = ws.drop(cut).mkString(" ")
+        Vector.fill(ids(p))("0") ++ Vector.fill(ids(c) + 1)("1")
+      } }
+    p8.groupBy(_._1).foreach { case (shard, seqs) =>
+      val got = seqs.sortBy(_._2).toVector.flatMap(_._6.split(" "))
+      assert(got == wantMasks(shard), s"shard $shard mask stream mismatch")
+    }
+  }
+
   test("p05 runs the heavy extraction pass once (ReusedExchange plan pin)") {
     // p05 fans out into two consumers (per-source totals and the
     // cross-source dedup) over ONE (h1, h2, source) aggregate. The keyed
