@@ -304,10 +304,22 @@ object Media {
             else
               require(bits == 8, s"companded WAV must be 8-bit, got $bits")
             require(channels >= 1, s"bad channel count $channels")
+            // i32 read: a flipped top bit yields a NEGATIVE rate the
+            // decoder would otherwise hand downstream (hostile-sweep find)
+            require(sampleRate >= 1, s"bad sample rate $sampleRate")
             fmtSeen = true
           case "data" =>
             require(fmtSeen, "WAV data chunk before fmt chunk")
+            // self-consistency: the payload must be a whole number of
+            // sample FRAMES — a corrupted channel count (or a truncated
+            // 16-bit tail) would otherwise decode to samples that
+            // mis-align every per-channel consumer downstream (found by
+            // the CodecFuzzSpec hostile battery)
+            require(size % (bits / 8) == 0,
+              s"WAV data length $size is not whole ${bits}-bit samples")
             val n = size / (bits / 8)
+            require(n % channels == 0,
+              s"WAV data ($n samples) is not a whole number of $channels-channel frames")
             val out = new Array[Int](n)
             var i = 0
             if (tag == 7) {

@@ -451,6 +451,24 @@ class CodecFuzzSpec extends AnyFunSuite {
     battery[Media.Audio]("wav-hostile", goodWav, Media.Wav.decode,
       a => a.channels > 0 && a.sampleRate > 0 &&
         a.samples.length % a.channels == 0)
+    // regression pin from a live battery counterexample: byte 23 is the
+    // channel-count high byte of this fixed encode — a flip made decode
+    // return 257-channel audio whose 500 samples were not frame-aligned
+    for (xor <- Seq(1, 168)) {
+      val mut = goodWav.clone
+      mut(23) = (mut(23) ^ xor).toByte
+      val e = intercept[IllegalArgumentException](Media.Wav.decode(mut))
+      assert(e.getMessage.contains("channel-channel frames") ||
+        e.getMessage.contains("whole number"), e.getMessage)
+    }
+    // second live counterexample (64k-case sweep): byte 27 is the sample
+    // rate's top byte — a sign-bit flip decoded to NEGATIVE Hz
+    for (xor <- Seq(172, 139)) {
+      val mut = goodWav.clone
+      mut(27) = (mut(27) ^ xor).toByte
+      val e = intercept[IllegalArgumentException](Media.Wav.decode(mut))
+      assert(e.getMessage.contains("bad sample rate"), e.getMessage)
+    }
     battery[Media.Video]("avi-hostile", goodAvi, { b: Array[Byte] =>
       val v = Media.Avi.decode(b)
       // the lazy frame path must hold the same contract: decode every
