@@ -82,8 +82,26 @@ object Avro {
     * Named-type back-references ("type": "r102" after r102 was defined)
     * resolve against the names seen so far.
     */
-  def parseSchema(json: String): Schema =
+  def parseSchema(json: String): Schema = refusing("schema") {
     parseNode(mapper.readTree(json), scala.collection.mutable.Map.empty)
+  }
+
+  /** Untrusted-input boundary: anything a hostile byte stream can make
+    * the parse layer throw — zip `DataFormatException`, Jackson's
+    * IOException-family parse errors, index/cast/number crashes from
+    * structurally-wrong-but-well-framed bytes — surfaces as the DECLARED
+    * refusal type with the original as cause, the same contract every
+    * other graft codec holds under its hostile battery. Declared
+    * refusals (IllegalArgumentException) pass through untouched.
+    */
+  private def refusing[A](what: String)(body: => A): A =
+    try body catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: java.util.zip.DataFormatException | _: java.io.IOException |
+                _: RuntimeException) =>
+        throw new IllegalArgumentException(s"corrupt Avro $what: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}", e)
+    }
 
   /** The logical types the AST surfaces, each with its legal underlying
     * physical type(s); anything else stays an ignored annotation.
@@ -395,7 +413,7 @@ object Avro {
     * what a schema discovery step pays per file (header bytes, not the
     * container).
     */
-  def readSchemaJson(bytes: Array[Byte]): String = {
+  def readSchemaJson(bytes: Array[Byte]): String = refusing("container header") {
     val in = new Reader(bytes, 0)
     require(in.readBytes(4).sameElements(Magic), "not an Avro object container (bad magic)")
     var n = in.readLong()
@@ -415,7 +433,7 @@ object Avro {
     schema
   }
 
-  def readContainer(bytes: Array[Byte]): Container = {
+  def readContainer(bytes: Array[Byte]): Container = refusing("container") {
     val in = new Reader(bytes, 0)
     require(in.readBytes(4).sameElements(Magic), "not an Avro object container (bad magic)")
     val meta = Map.newBuilder[String, Array[Byte]]

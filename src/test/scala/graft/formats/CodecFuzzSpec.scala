@@ -481,6 +481,50 @@ class CodecFuzzSpec extends AnyFunSuite {
     }, v => v.width > 0 && v.height > 0)
   }
 
+  test("Avro fuzz: hostile container mutations refuse loudly, never an undeclared error") {
+    // the container interleaves THREE parse layers a flip can land in —
+    // varint framing, a deflate stream, and schema JSON — and before the
+    // refusing() boundary each leaked its own exception family
+    // (DataFormatException ×15945, Jackson parse ×1756, NPE ×714,
+    // ArrayIndexOutOfBounds ×169 in a 40k sweep); the declared contract
+    // is one refusal type at the entry points
+    val schema = """{"type":"record","name":"r","fields":[
+      {"name":"id","type":"long"},{"name":"s","type":"string"}]}"""
+    val recs = (0 until 200).map(i =>
+      Map[String, Any]("id" -> i.toLong, "s" -> s"value-$i-${"x" * (i % 17)}"))
+    val good = Avro.writeContainer(schema, recs, codec = "deflate", syncSalt = "sweep")
+    check("avro-hostile", Prop.forAll(for {
+      at <- Gen.chooseNum(0, good.length - 1)
+      xor <- Gen.chooseNum(1, 255)
+    } yield (at, xor)) { case (at, xor) =>
+      val mut = good.clone
+      mut(at) = (mut(at) ^ xor).toByte
+      try { Avro.readContainer(mut).records.foreach(r => assert(r != null)); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }, min = 200)
+    // live counterexamples from the sweep, one per leaked family: deflate
+    // body (745^212), schema JSON made non-JSON (63^237), valid JSON of
+    // the wrong shape -> NPE (51^143), framing over-read (1044^204)
+    for ((at, xor) <- Seq((745, 212), (63, 237), (51, 143), (1044, 204), (118, 184))) {
+      val mut = good.clone
+      mut(at) = (mut(at) ^ xor).toByte
+      intercept[IllegalArgumentException](Avro.readContainer(mut))
+      ()
+    }
+    // the header-only probe holds the same boundary
+    for ((at, xor) <- Seq((63, 237), (51, 143))) {
+      val mut = good.clone
+      mut(at) = (mut(at) ^ xor).toByte
+      try { Avro.readSchemaJson(mut); () }
+      catch {
+        case _: IllegalArgumentException => ()
+      }
+    }
+  }
+
   test("FLAC fuzz: hostile mutations of a valid stream refuse, never mis-decode") {
     val rnd = new scala.util.Random(97)
     val s = Array.tabulate(3000)(i => (900 * math.sin(i / 9.0)).toInt + rnd.nextInt(40) - 20)
