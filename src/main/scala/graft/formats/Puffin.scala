@@ -89,7 +89,18 @@ object Puffin {
     bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'F' &&
       bytes(2) == 'A' && bytes(3) == '1'
 
-  def read(bytes: Array[Byte]): File = {
+  def read(bytes: Array[Byte]): File =
+    try read0(bytes) catch {
+      case e: IllegalArgumentException => throw e
+      // untrusted-input boundary: hostile bytes reach a JSON parse (the
+      // Jackson IOException family), node navigation (NPE on a wrong
+      // shape) and region arithmetic — all surface the DECLARED refusal
+      case e @ (_: java.io.IOException | _: RuntimeException) =>
+        throw new IllegalArgumentException(s"corrupt Puffin file: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}", e)
+    }
+
+  private def read0(bytes: Array[Byte]): File = {
     require(isPuffin(bytes), "not a Puffin file (bad head magic)")
     val n = bytes.length
     require(n >= 20, "truncated Puffin file")
@@ -100,6 +111,8 @@ object Puffin {
       "compressed Puffin footer unsupported (null codec only)")
     val payloadSize = ByteBuffer.wrap(bytes, n - 12, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(payloadSize >= 2 && payloadSize <= n - 20,
+      s"footer payload size $payloadSize out of range for $n bytes")
     val payloadStart = n - 12 - payloadSize
     require(payloadStart >= 8, "footer payload size out of range")
     require(bytes(payloadStart - 4) == 'P' && bytes(payloadStart - 3) == 'F' &&
@@ -114,12 +127,17 @@ object Puffin {
       val props = Map.newBuilder[String, String]
       Option(o.get("properties")).foreach(p =>
         p.fieldNames().forEachRemaining(k => props += k -> p.get(k).asText()))
-      val off = o.get("offset").asLong().toInt
-      val len = o.get("length").asLong().toInt
+      val off = o.get("offset").asLong()
+      val len = o.get("length").asLong()
+      // long-math region check BEFORE copyOfRange: a hostile length is a
+      // multi-GB allocation request (un-catchable OOM), a hostile offset
+      // an out-of-bounds read
+      require(off >= 4L && len >= 0L && off + len <= (payloadStart - 4).toLong,
+        s"blob region [$off, +$len) outside the Puffin payload area")
       blobs += Blob(o.get("type").asText(), fields.result(),
         Option(o.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),
         Option(o.get("sequence-number")).map(_.asLong()).getOrElse(-1L),
-        java.util.Arrays.copyOfRange(bytes, off, off + len),
+        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),
         props.result())
     })
     val fileProps = Map.newBuilder[String, String]

@@ -108,7 +108,18 @@ object Roaring {
   }
 
   /** Deserialize a portable 64-bit roaring bitmap to sorted positions. */
-  def deserialize(bytes: Array[Byte]): Array[Long] = {
+  def deserialize(bytes: Array[Byte]): Array[Long] =
+    try deserialize0(bytes) catch {
+      case e: IllegalArgumentException => throw e
+      // untrusted-input boundary (the codec-battery contract): a hostile
+      // byte stream can drive the ByteBuffer walk into underflow or the
+      // count fields negative — surface the DECLARED refusal, cause kept
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"corrupt roaring bitmap: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}", e)
+    }
+
+  private def deserialize0(bytes: Array[Byte]): Array[Long] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nBuckets = buf.getLong
     require(nBuckets >= 0 && nBuckets <= Int.MaxValue, s"bucket count $nBuckets out of range")
@@ -138,7 +149,14 @@ object Roaring {
           buf.get(flags)
           (n, flags)
         } else if (cookie == NoRunCookie) {
-          (buf.getInt, null)
+          val n = buf.getInt
+          // validate BEFORE the per-container allocations: a corrupt
+          // count must refuse, not drive a multi-GB allocation (OOM is
+          // un-catchable — found by the hostile sweep). A 32-bit roaring
+          // bitmap holds at most 65536 containers, each >= 4 header bytes
+          require(n >= 1 && n <= 65536 && buf.remaining() >= n.toLong * 4,
+            s"roaring container count $n out of range for ${buf.remaining()} bytes")
+          (n, null)
         } else throw new IllegalArgumentException(
           s"unrecognized roaring cookie $cookie")
       def isRun(c: Int): Boolean =

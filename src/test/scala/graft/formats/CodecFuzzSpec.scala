@@ -481,6 +481,49 @@ class CodecFuzzSpec extends AnyFunSuite {
     }, v => v.width > 0 && v.height > 0)
   }
 
+  test("Roaring/Puffin fuzz: hostile mutations refuse loudly, never an undeclared error") {
+    // both are FOREIGN-file surfaces (Iceberg DV + stats exchange); before
+    // their untrusted-input hardening a 40k sweep leaked BufferUnderflow/
+    // NegativeArraySize and an UNCATCHABLE OutOfMemoryError from a corrupt
+    // container count (roaring), and the Jackson family + NPE + a multi-GB
+    // copyOfRange from a hostile blob length (puffin)
+    val positions = (0L until 3000L).filter(i => (i * 2654435761L) % 7 < 3).toArray
+    val rb = Roaring.serialize(positions)
+    val blob = Puffin.Blob("apache-datasketches-theta-v1", Seq(1), 42L, 7L,
+      Array.tabulate(500)(i => (i * 37 % 251).toByte), Map("ndv" -> "123"))
+    val pf = Puffin.write(Seq(blob), Map("created-by" -> "graft-fuzz"))
+    def battery(label: String, good: Array[Byte], decode: Array[Byte] => Any): Unit =
+      check(label, Prop.forAll(for {
+        at <- Gen.chooseNum(0, good.length - 1)
+        xor <- Gen.chooseNum(1, 255)
+      } yield (at, xor)) { case (at, xor) =>
+        val mut = good.clone
+        mut(at) = (mut(at) ^ xor).toByte
+        try { decode(mut); true }
+        catch {
+          case _: IllegalArgumentException => true
+          case _: Throwable => false
+        }
+      }, min = 200)
+    battery("roaring-hostile", rb, Roaring.deserialize)
+    battery("puffin-hostile", pf, Puffin.read)
+    // live counterexamples: roaring container count driven huge/negative
+    // (bytes 19/23 of this fixed serialization), puffin blob length made
+    // hostile (705) and footer JSON corrupted (515)
+    for ((at, xor) <- Seq((19, 158), (19, 108), (23, 201)))  {
+      val mut = rb.clone
+      mut(at) = (mut(at) ^ xor).toByte
+      intercept[IllegalArgumentException](Roaring.deserialize(mut))
+      ()
+    }
+    for ((at, xor) <- Seq((705, 157), (515, 42), (619, 174))) {
+      val mut = pf.clone
+      mut(at) = (mut(at) ^ xor).toByte
+      intercept[IllegalArgumentException](Puffin.read(mut))
+      ()
+    }
+  }
+
   test("Avro fuzz: hostile container mutations refuse loudly, never an undeclared error") {
     // the container interleaves THREE parse layers a flip can land in —
     // varint framing, a deflate stream, and schema JSON — and before the
