@@ -131,8 +131,13 @@ object Puffin {
       val len = o.get("length").asLong()
       // long-math region check BEFORE copyOfRange: a hostile length is a
       // multi-GB allocation request (un-catchable OOM), a hostile offset
-      // an out-of-bounds read
-      require(off >= 4L && len >= 0L && off + len <= (payloadStart - 4).toLong,
+      // an out-of-bounds read. Overflow-free form: `off + len` with both
+      // near Long.MaxValue wraps negative and would pass a sum-based
+      // bound, then the Int truncations land on an in-bounds but WRONG
+      // range — so bound each field first, then the difference.
+      val payloadEnd = (payloadStart - 4).toLong
+      require(len >= 0L && len <= payloadEnd &&
+        off >= 4L && off <= payloadEnd - len,
         s"blob region [$off, +$len) outside the Puffin payload area")
       blobs += Blob(o.get("type").asText(), fields.result(),
         Option(o.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),

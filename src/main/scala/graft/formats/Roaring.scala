@@ -153,8 +153,12 @@ object Roaring {
           // validate BEFORE the per-container allocations: a corrupt
           // count must refuse, not drive a multi-GB allocation (OOM is
           // un-catchable — found by the hostile sweep). A 32-bit roaring
-          // bitmap holds at most 65536 containers, each >= 4 header bytes
-          require(n >= 1 && n <= 65536 && buf.remaining() >= n.toLong * 4,
+          // bitmap holds at most 65536 containers, each >= 4 header bytes.
+          // n == 0 is allowed: the portable format permits an empty
+          // bitmap (cookie, size 0), and a conforming foreign writer
+          // (the Iceberg-interop surface this reader serves) may emit
+          // one even though this serializer never does.
+          require(n >= 0 && n <= 65536 && buf.remaining() >= n.toLong * 4,
             s"roaring container count $n out of range for ${buf.remaining()} bytes")
           (n, null)
         } else throw new IllegalArgumentException(

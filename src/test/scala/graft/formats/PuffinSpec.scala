@@ -62,6 +62,32 @@ class PuffinSpec extends AnyFunSuite {
     assert(f.properties("who") == "external")
   }
 
+  test("hostile two-field blob region: Long off+len overflow refuses") {
+    // off = 0x7FFFFFFF00000004 (low int = 4, in-bounds after truncation),
+    // len = 0x7FFFFFFF00000000: the Long sum wraps NEGATIVE, so a
+    // sum-based guard passes and the Int truncations land on the
+    // in-bounds-but-empty range [4, 4) — copyOfRange silently returns
+    // zero bytes instead of refusing. The single-byte-flip battery
+    // cannot reach this two-field state; pin it directly.
+    val payload = Array[Byte](1, 2, 3)
+    val footerJson =
+      ("""{"blobs":[{"type":"t1","fields":[5],"snapshot-id":9,""" +
+        """"sequence-number":9,"offset":9223372032559808516,""" +
+        """"length":9223372032559808512}],"properties":{}}""")
+        .getBytes(StandardCharsets.UTF_8)
+    val out = new ByteArrayOutputStream()
+    out.write("PFA1".getBytes(StandardCharsets.UTF_8))
+    out.write(payload)
+    out.write("PFA1".getBytes(StandardCharsets.UTF_8))
+    out.write(footerJson)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(footerJson.length).array())
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write("PFA1".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException](Puffin.read(out.toByteArray))
+    assert(e.getMessage.contains("blob region"))
+  }
+
   test("refusals: bad magic, compressed footer") {
     val good = Puffin.write(Seq(Puffin.Blob("t", Seq(1), 1L, 1L, Array[Byte](0))))
     assert(!Puffin.isPuffin("nope".getBytes(StandardCharsets.UTF_8)))

@@ -99,4 +99,24 @@ class RoaringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Roaring.serialize(Array(3L, 1L)))
     intercept[IllegalArgumentException](Roaring.serialize(Array(-1L)))
   }
+
+  test("foreign empty bucket decodes (cookie 12346, container count 0)") {
+    // The portable format permits an empty 32-bit bitmap; this
+    // serializer never emits one, but a conforming foreign writer (the
+    // Iceberg-interop surface this reader exists for) may — hand-build
+    // one bucket with zero containers and one with data.
+    val buf = java.nio.ByteBuffer.allocate(8 + (4 + 8) + (4 + 8 + 4 + 4 + 2))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(2L)
+    buf.putInt(0).putInt(12346).putInt(0)              // bucket 0: empty
+    buf.putInt(1).putInt(12346).putInt(1)              // bucket 1: one container
+      .putShort(0).putShort(0)                          //   key 0, card 1
+      .putInt(16)                                       //   offset header
+      .putShort(7)                                      //   value 7
+    assert(Roaring.deserialize(buf.array()).toSeq == Seq((1L << 32) | 7L))
+    // and a wholly empty bitmap (bucket count 0)
+    val empty = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(0L)
+    assert(Roaring.deserialize(empty.array()).isEmpty)
+  }
 }
