@@ -3,8 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times every SparkEntry query (action = count) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
+  *
+  * Variance is measured INSIDE the artifact: a fixed CALIBRATION probe
+  * (one lineitem scan+sum, data- and plan-identical every time) runs
+  * between every [[CalibrationEvery]] queries and its per-rep times are
+  * emitted as a `calibration` series in the JSON. Two runs of the same
+  * tree can then be compared run-context-free: if this run's calibration
+  * band reads >1.2x another artifact's, this run was load-bound — the
+  * probes say so in-band, no prose needed.
+  *
+  * A raw run writes `bench_raw.json` (override: SPARK_GRAFT_BENCH_OUT).
+  * The merged per-query-min artifact `bench_result.json` is written ONLY
+  * by tools/merge_bench.py — a raw run on a dirty tree leaves the
+  * committed artifact untouched.
   */
 object Bench {
+  private val CalibrationEvery = 10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -13,9 +28,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup so the first timed query isn't charged for it
+    // fixed calibration probe: same scan+sum every time, ~0.1 s at sf0.1
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.sum("l_extendedprice")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JVM/codegen warmup on a NEUTRAL query (scan + broadcast join + agg —
+    // not a gate, so no gate gets a free warm first rep while the others
+    // run cold; q01 used to double-dip here and read 3x in loaded runs)
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
+    val wn = spark.read.parquet(s"$sfDir/nation.parquet")
+    val wr = spark.read.parquet(s"$sfDir/region.parquet")
+    wn.join(wr, wn("n_regionkey") === wr("r_regionkey"))
+      .groupBy("r_name").count().count()
+    probe() // warm the probe's own plan so calibration sample 1 isn't cold
 
     // min over INTERLEAVED reps: run a full pass over all queries, then a
     // second full pass, and keep the per-query min. Back-to-back reps share
@@ -30,7 +59,9 @@ object Bench {
     // A query that throws must surface as an explicit error, not as the
     // elapsed-until-throw time masquerading as a (suspiciously fast) success.
     val errs = Array.fill[Option[String]](named.size)(None)
+    val calibration = Seq.newBuilder[Double]
     for (_ <- 1 to reps; ((_, fn), i) <- named.zipWithIndex) {
+      if (i % CalibrationEvery == 0) calibration += probe()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -39,6 +70,7 @@ object Bench {
         errs(i) = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
     }
+    calibration += probe() // close the series after the last query
     val results = named.zipWithIndex.collect {
       case ((name, _), i) if errs(i).isEmpty => name -> best(i)
     }
@@ -64,9 +96,17 @@ object Bench {
       else failed.map { case (k, e) =>
         "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
+    val cal = calibration.result()
+    val calSorted = cal.sorted
+    def pct(p: Double): Double =
+      calSorted(math.min(calSorted.size - 1, (p * calSorted.size).toInt))
+    val calJson = cal.map(fmt).mkString(
+      "\"calibration\":{\"times\":[", ",", "]," +
+        s""""min":${fmt(calSorted.head)},"median":${fmt(pct(0.5))},""" +
+        s""""p90":${fmt(pct(0.9))}}""")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsJson,$calJson,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_raw.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

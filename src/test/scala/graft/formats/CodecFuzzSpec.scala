@@ -407,6 +407,23 @@ class CodecFuzzSpec extends AnyFunSuite {
       }, min = 200)
     battery("jpeg-hostile", goodJpeg, Jpeg.decode)
     battery("gif-hostile", goodGif, Gif.decode)
+    // PROGRESSIVE stream via ImageIO — the multi-scan decode path (spectral
+    // selection + successive approximation) has its own header state the
+    // baseline battery never reaches
+    val img = new java.awt.image.BufferedImage(48, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 48)
+      img.setRGB(x, y, ((x * 53 + y * 17) % 255 << 16) |
+        ((x * 7 + y * 31) % 255 << 8) | ((x + y * 3) % 255))
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val prm = wtr.getDefaultWriteParam
+    prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    wtr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    ios.close(); wtr.dispose()
+    battery("jpeg-progressive-hostile", bos.toByteArray, Jpeg.decode)
     // regression pin, kept from a live battery counterexample: a corrupted
     // SOS entropy-table selector (4-bit nibble, only 0..3 valid) escaped
     // as ArrayIndexOutOfBounds before the decoder validated it; byte 615
