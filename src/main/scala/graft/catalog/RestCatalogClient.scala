@@ -40,6 +40,10 @@ class RestCatalogClient(val baseUri: String, bearerToken: Option[String] = None)
     val b0 = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
       .timeout(requestTimeout)
       .header("Content-Type", "application/json")
+      // pin the graft-native metadata vocabulary per-request: this client
+      // parses TableMeta, so it must keep working against a server that
+      // serves stock Iceberg clients by default (icebergDialect = true)
+      .header("X-Graft-Metadata-Dialect", "graft")
     val b = bearerToken.fold(b0)(t => b0.header("Authorization", s"Bearer $t"))
     val req = (method match {
       case "GET" => b.GET()

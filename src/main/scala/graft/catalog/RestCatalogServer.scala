@@ -47,7 +47,9 @@ import java.util.concurrent.ConcurrentHashMap
   */
 class RestCatalogServer(val warehouse: String,
     conf: Configuration = new Configuration(), port: Int = 0,
-    bearerToken: Option[String] = None) {
+    bearerToken: Option[String] = None,
+    icebergDialect: Boolean = false,
+    icebergScanExporter: Option[org.apache.spark.sql.SparkSession] = None) {
   private val mapper = new ObjectMapper()
 
   // registry: namespace -> (table name -> location); namespace props
@@ -288,7 +290,74 @@ class RestCatalogServer(val warehouse: String,
     json(ex, 200, o)
   }
 
-  private def loadTableResult(ns: String, t: String, loc: String): ObjectNode = {
+  /** Which metadata vocabulary a response carries. Spec-conformant
+    * foreign clients send no extra headers and get the CONFIGURED
+    * dialect (construct with `icebergDialect = true` to serve stock
+    * Iceberg clients); graft's own client pins its dialect per-request
+    * via the `X-Graft-Metadata-Dialect` extension header, so one server
+    * can arbitrate both client populations.
+    */
+  private def wantIceberg(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("X-Graft-Metadata-Dialect")) match {
+      case Some(d) => d.equalsIgnoreCase("iceberg")
+      case None => icebergDialect
+    }
+
+  // (location, version) -> (metadata-location, document); versions are
+  // immutable once published, so entries never invalidate — a commit
+  // bumps the version and the next load exports the new one
+  private val icebergCache =
+    new ConcurrentHashMap[String, (String, String)]()
+
+  /** LoadTableResult in the Iceberg vocabulary: the metadata document is
+    * [[IcebergExport]]'s translation of the CURRENT version, written
+    * beside the native metadata so `metadata-location` resolves to a
+    * real file. With a SparkSession configured, the export is the FULL
+    * binary artifact (real Avro manifest lists — a stock engine can scan
+    * it end-to-end); without one, the metadata-only translation (all
+    * catalog surfaces — schemas, specs, snapshots, refs — conformant,
+    * manifest format declared `json`). Exports are cached per immutable
+    * (location, version); serving a cached load is O(metadata bytes)
+    * with no Spark on the path.
+    */
+  private def icebergLoadResult(loc: String): ObjectNode = {
+    val v = MetaIO.currentVersion(conf, loc).getOrElse(
+      throw new IllegalStateException(s"no metadata at $loc"))
+    val (metaLoc, json) = icebergCache.computeIfAbsent(s"$loc@$v", _ => {
+      val exportDir = s"${MetaIO.metadataDir(loc)}/iceberg/v$v"
+      icebergScanExporter.flatMap { spark =>
+        try {
+          val t = graft.tables.GraftTable.load(spark, loc)
+          // a commit may land between the version read and the load;
+          // export what was actually loaded and cache under ITS version
+          val json = IcebergExport.exportBinary(t,
+            s"${MetaIO.metadataDir(loc)}/iceberg/v${t.meta.version}",
+            formatVersion = 2)
+          Some((s"${MetaIO.metadataDir(loc)}/iceberg/v${t.meta.version}/metadata.json", json))
+        } catch {
+          // unrepresentable states (pending predicate deletes) fall back
+          // to the metadata-only translation below
+          case _: IllegalStateException => None
+        }
+      }.getOrElse {
+        val m = MetaIO.loadMeta(conf, loc)
+        val json = IcebergExport.metadataJson(m, conf, formatVersion = 2)
+        val p = s"$exportDir/metadata.json"
+        MetaIO.writeStringAtomic(conf, p, json)
+        (p, json)
+      }
+    })
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", metaLoc)
+    o.set[ObjectNode]("metadata",
+      mapper.readTree(json).asInstanceOf[ObjectNode])
+    o.putObject("config")
+    o
+  }
+
+  private def loadTableResult(ex: HttpExchange, ns: String, t: String,
+      loc: String): ObjectNode = {
+    if (wantIceberg(ex)) return icebergLoadResult(loc)
     val v = MetaIO.currentVersion(conf, loc).getOrElse(
       throw new IllegalStateException(s"no metadata at $loc"))
     val o = mapper.createObjectNode()
@@ -327,7 +396,7 @@ class RestCatalogServer(val warehouse: String,
         new java.util.concurrent.ConcurrentHashMap[String, String]()).put(name, loc)
       saveRegistry()
     }
-    json(ex, 200, loadTableResult(ns, name, loc))
+    json(ex, 200, loadTableResult(ex, ns, name, loc))
   }
 
   private def registerTable(ex: HttpExchange, ns: String): Unit = {
@@ -348,13 +417,13 @@ class RestCatalogServer(val warehouse: String,
         new java.util.concurrent.ConcurrentHashMap[String, String]()).put(name, loc)
       saveRegistry()
     }
-    json(ex, 200, loadTableResult(ns, name, loc))
+    json(ex, 200, loadTableResult(ex, ns, name, loc))
   }
 
   private def loadTable(ex: HttpExchange, ns: String, t: String): Unit =
     locationOf(ns, t) match {
       case None => error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
-      case Some(loc) => json(ex, 200, loadTableResult(ns, t, loc))
+      case Some(loc) => json(ex, 200, loadTableResult(ex, ns, t, loc))
     }
 
   private def dropTable(ex: HttpExchange, ns: String, t: String): Unit =
@@ -428,7 +497,7 @@ class RestCatalogServer(val warehouse: String,
                   // the file CAS stays authoritative even under a catalog
                   return error(ex, 409, "CommitFailedException", e.getMessage)
               }
-              json(ex, 200, loadTableResult(ns, t, loc))
+              json(ex, 200, loadTableResult(ex, ns, t, loc))
           }
         }
     }

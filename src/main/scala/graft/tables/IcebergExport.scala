@@ -98,6 +98,16 @@ object IcebergExport {
 
   def metadataJson(t: GraftTable): String = metadataJson(t, None)
 
+  /** Metadata-only translation from a bare [[TableMeta]] — no table
+    * handle, no SparkSession (the REST catalog serves this on loadTable:
+    * requests are O(metadata bytes), Spark never enters the serving
+    * path). Manifest-list pointers reference graft's JSON manifests,
+    * declared via `graft.manifest-format: json`.
+    */
+  def metadataJson(m: TableMeta, conf: org.apache.hadoop.conf.Configuration,
+      formatVersion: Int): String =
+    metadataJsonCore(m, conf, None, formatVersion, None)
+
   /** The metadata document. With `binary` set (the [[exportBinary]] path),
     * manifest-list pointers reference the exported Avro files, snapshots
     * the v1 format can't represent (pending merge-on-read payloads) are
@@ -110,9 +120,21 @@ object IcebergExport {
     */
   private[tables] def metadataJson(t: GraftTable,
       binary: Option[IcebergManifests.ExportedManifests],
-      formatVersion: Int = 1): String = {
+      formatVersion: Int = 1): String =
+    metadataJsonCore(t.meta, t.spark.sparkContext.hadoopConfiguration,
+      binary, formatVersion, Some(t))
+
+  private def metadataJsonCore(m: TableMeta,
+      hconf: org.apache.hadoop.conf.Configuration,
+      binary: Option[IcebergManifests.ExportedManifests],
+      formatVersion: Int,
+      tOpt: Option[GraftTable]): String = {
+    // binary exports write sidecars (Puffin stats, partition-stats
+    // parquet) that need the live table handle; metadata-only callers
+    // never pass binary
+    require(binary.isEmpty || tOpt.isDefined,
+      "binary manifest export requires a table handle")
     val v2 = formatVersion >= 2
-    val m = t.meta
     val omittedSnaps = binary.map(_.omittedSnapshots.toSet).getOrElse(Set.empty)
     m.currentSnapshotId.filter(omittedSnaps.contains).foreach { id =>
       throw new IllegalStateException(
@@ -193,6 +215,8 @@ object IcebergExport {
     }
     root.set("schema", schemaNode)
     root.putArray("schemas").add(schemaNode)
+    // required in v2 (readers key the schemas list off it); legal in v1
+    root.put("current-schema-id", 0)
     // top-level name → the field id this export just assigned (nested ids
     // were consumed depth-first, so index+1 would be wrong past the first
     // nested type)
@@ -253,6 +277,10 @@ object IcebergExport {
       ()
     }
     root.put("default-spec-id", m.currentSpecId)
+    // required in v2: the highest partition field id ever assigned; this
+    // export numbers each spec's fields 1000 + position
+    root.put("last-partition-id",
+      999 + m.specs.map(_.fields.size).foldLeft(0)(math.max))
     if (v2) {
       // required in v2; graft's write-time ordering is a table property
       // (write.sort-order), declared unsorted at the spec level
@@ -332,6 +360,16 @@ object IcebergExport {
       ()
     }
     val refs = root.putObject("refs")
+    // graft's current pointer is implicit (a ref literally named "main"
+    // is refused to avoid shadowing it), but the Iceberg vocabulary
+    // expects the main BRANCH in refs — synthesize it at the current
+    // snapshot; IcebergImport drops it back to the implicit pointer
+    m.currentSnapshotId.filterNot(omittedSnaps.contains).foreach { cur =>
+      val ro = refs.putObject("main")
+      ro.put("snapshot-id", cur)
+      ro.put("type", "BRANCH")
+      ()
+    }
     m.refs.filterNot { case (_, r) => omittedSnaps.contains(r.snapshotId) }
       .foreach { case (name, r) =>
         val ro = refs.putObject(name)
@@ -350,7 +388,7 @@ object IcebergExport {
       snap <- m.properties.get(TableFormat.StatsSnapshot)
       file <- m.properties.get(TableFormat.StatsFile)
     } {
-      val conf = t.spark.sparkContext.hadoopConfiguration
+      val conf = hconf
       val path = s"${MetaIO.metadataDir(m.location)}/$file"
       // top-level name → field id, read back from the schema node the
       // export just numbered (nested ids were consumed depth-first)
@@ -428,7 +466,7 @@ object IcebergExport {
       b <- binary
       file <- m.properties.get(TableFormat.PartStatsFile)
     } scala.util.Try {
-      val conf = t.spark.sparkContext.hadoopConfiguration
+      val conf = hconf
       MetaIO.writeString(conf, s"${b.dir}/$file",
         MetaIO.readString(conf, s"${MetaIO.metadataDir(m.location)}/$file"))
     }
@@ -445,7 +483,7 @@ object IcebergExport {
       file <- m.properties.get(TableFormat.PartStatsFile)
       if m.currentSnapshotId.contains(snap.toLong)
     } {
-      val conf = t.spark.sparkContext.hadoopConfiguration
+      val conf = hconf
       val srcPath = s"${MetaIO.metadataDir(m.location)}/$file"
       scala.util.Try(MetaIO.loadPartitionStatsFile(conf, m.location, file)).toOption
         .foreach { payload =>
@@ -459,7 +497,7 @@ object IcebergExport {
             po.put("snapshot-id", snap.toLong)
             if (specShape) {
               val pqPath = s"${binary.get.dir}/partition-stats-$snap.parquet"
-              val len = writePartitionStatsParquet(t, payload, pqPath)
+              val len = writePartitionStatsParquet(tOpt.get, payload, pqPath)
               po.put("statistics-path", pqPath)
               po.put("file-size-in-bytes", len)
             } else {

@@ -437,8 +437,12 @@ object IcebergImport {
       Option(root.get("refs")).foreach { ro =>
         ro.fieldNames().forEachRemaining { name =>
           val o = ro.get(name)
-          b += name -> Ref(o.get("type").asText().toLowerCase,
-            o.get("snapshot-id").asLong())
+          // Iceberg's main branch IS graft's implicit current pointer
+          // (current-snapshot-id above); materializing it as a ref would
+          // shadow the pointer, which graft refuses by construction
+          if (name != "main")
+            b += name -> Ref(o.get("type").asText().toLowerCase,
+              o.get("snapshot-id").asLong())
         }
       }
       b.result()
