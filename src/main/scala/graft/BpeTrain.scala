@@ -40,11 +40,16 @@ object BpeTrain {
       .take(maxWords).toSeq
     val merges = graft.functions.BpeTrainer.train(freqs, numMerges)
     val header =
-      s"""# BPE merge rules, rank order (one `left right` per line).
+      s"""# BYTE-level BPE merge rules, rank order: one `left right` per
+         |# line, each symbol the lowercase-hex form of its UTF-8 bytes
+         |# (GPT-2/tiktoken lineage — merges operate on bytes, byte
+         |# fallback makes every input tokenizable).
          |# Trained by graft.BpeTrain: sample = first $sampleDocs docs of
          |# $dir/documents.parquet, top $maxWords words, $numMerges merges max.
          |""".stripMargin
-    val body = merges.map { case (l, r) => s"$l $r" }.mkString("\n")
+    val body = merges.map { case (l, r) =>
+      s"${graft.functions.BpeVocab.hexOf(l)} ${graft.functions.BpeVocab.hexOf(r)}"
+    }.mkString("\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).getParent)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), header + body + "\n")
     println(s"wrote ${merges.size} merges to $out")

@@ -6,20 +6,31 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Merge-rule byte-pair encoding (x19) — the REAL BPE the x17 greedy
-  * longest-match stood in for. Two halves, both against the public
-  * algorithm (Sennrich et al. 2016; the encoder uses the rank-priority
-  * merge order modern BPE tokenizers apply):
+/** Merge-rule BYTE-level byte-pair encoding (x19) — the REAL BPE the
+  * x17 greedy longest-match stood in for, in the GPT-2/tiktoken lineage:
+  * merges operate on UTF-8 BYTES with byte fallback, so no out-of-
+  * vocabulary input exists — ANY byte string tokenizes and round-trips.
+  * Two halves, both against the public algorithm (Sennrich et al. 2016;
+  * Radford et al. 2019 for the byte-level alphabet; the encoder uses
+  * the rank-priority merge order modern BPE tokenizers apply):
   *
   *  - [[BpeTrainer]]: learn merge rules from a word-frequency table —
-  *    count adjacent symbol pairs weighted by word frequency, merge the
-  *    most frequent pair everywhere (ties broken lexicographically so
-  *    training is deterministic on any engine), repeat.
+  *    count adjacent byte-symbol pairs weighted by word frequency,
+  *    merge the most frequent pair everywhere (ties broken
+  *    lexicographically so training is deterministic on any engine),
+  *    repeat.
   *  - [[BpeVocab]]: apply the SHIPPED rules
   *    (`resources/graft/bpe_merges.txt`, trained once on a bounded
   *    sample — see BpeTrain's scaladoc for the exact invocation) by
   *    rank priority: repeatedly merge the LOWEST-ranked adjacent pair,
   *    leftmost on ties, one merge per step, until no rule applies.
+  *
+  * In the JVM a symbol is a latin-1 string (one char per byte, 0-255 —
+  * concatenation and hashing stay native); in the resource and in the
+  * oracle SQL a symbol is its lowercase-hex byte form, so the DuckDB
+  * replay slices `lower(hex(encode(w)))` into 2-char units and the two
+  * engines agree on EVERY byte sequence (no code-point-indexing
+  * divergence is possible).
   *
   * The rank-priority encoder is deliberately chosen over "replay the
   * training merges in order" because it is per-word deterministic, O(L²)
@@ -28,14 +39,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * `list_position` → slice-merge) per DISTINCT word, so the gate
   * hash-checks real BPE token accounting end to end. Whitespace
   * separates (the RE2 `\s` class every text gate uses) and is free;
-  * any character is a base symbol (single CODE POINT — DuckDB `substr`
-  * indexes code points, so the two engines agree on non-ASCII), which is
-  * the char-fallback property that makes BPE total.
+  * any BYTE is a base symbol — the byte-fallback property that makes
+  * BPE total.
   */
 object BpeVocab {
 
+  /** A word's UTF-8 bytes as a latin-1 string: one char per byte. */
+  @inline private[graft] def byteString(word: String): String =
+    new String(word.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Lowercase-hex form of a byte-symbol — the resource and oracle-SQL
+    * representation of the latin-1 JVM form.
+    */
+  private[graft] def hexOf(sym: String): String = {
+    val sb = new java.lang.StringBuilder(sym.length * 2)
+    var i = 0
+    while (i < sym.length) {
+      val b = sym.charAt(i).toInt
+      require(b < 256, s"not a byte symbol: '$sym'")
+      sb.append(Character.forDigit(b >> 4, 16))
+      sb.append(Character.forDigit(b & 15, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def unhex(h: String): String = {
+    require(h.length >= 2 && h.length % 2 == 0 &&
+      h.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"malformed hex symbol: '$h'")
+    val sb = new java.lang.StringBuilder(h.length / 2)
+    var i = 0
+    while (i < h.length) {
+      sb.append(Integer.parseInt(h.substring(i, i + 2), 16).toChar)
+      i += 2
+    }
+    sb.toString
+  }
+
   /** Merge rules in rank order, from the shipped resource: one
-    * `left right` pair per line, comments/blanks dropped.
+    * `left right` pair of lowercase-hex byte symbols per line,
+    * comments/blanks dropped; decoded to the latin-1 JVM form.
     */
   lazy val merges: IndexedSeq[(String, String)] = {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
@@ -46,7 +91,7 @@ object BpeVocab {
         .map { l =>
           val i = l.indexOf(' ')
           require(i > 0 && i < l.length - 1, s"malformed merge rule: '$l'")
-          (l.substring(0, i), l.substring(i + 1))
+          (unhex(l.substring(0, i)), unhex(l.substring(i + 1)))
         }.toIndexedSeq
     } finally in.close()
   }
@@ -62,34 +107,28 @@ object BpeVocab {
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** The merge loop is O(L²) in word length: a word longer than this
-    * (code points) is charged one token per code point instead — crawl
-    * text carries multi-megabyte unbroken tokens (base64 blobs,
-    * minified JS) that would otherwise stall an executor, and no
-    * natural-language word is 256 code points. The oracle replays the
-    * identical cap (`length(w) > 256` in DuckDB counts code points too).
+    * (UTF-8 BYTES) is charged one token per byte instead — crawl text
+    * carries multi-megabyte unbroken tokens (base64 blobs, minified JS)
+    * that would otherwise stall an executor, and no natural-language
+    * word is 256 bytes. The oracle replays the identical cap
+    * (`octet_length(w) > 256` in DuckDB counts UTF-8 bytes too).
     */
   final val MaxWordLen = 256
 
   /** BPE token count of one word (no whitespace inside): start from
-    * single code points, repeatedly merge the lowest-ranked adjacent
+    * single UTF-8 bytes, repeatedly merge the lowest-ranked adjacent
     * pair (leftmost on ties) until none has a rank.
     */
   def encodeCount(word: String): Int = encodeCount(word, rank)
 
   /** Same, under an explicit rank table (spec injection point). */
   def encodeCount(word: String, rank: Map[(String, String), Int]): Int = {
-    // split to code points
-    var n = 0
-    var i = 0
-    while (i < word.length) { n += 1; i += Character.charCount(word.codePointAt(i)) }
+    val bs = byteString(word)
+    val n = bs.length
     if (n <= 1 || n > MaxWordLen) return n
     val syms = new Array[String](n)
-    i = 0; var k = 0
-    while (i < word.length) {
-      val cc = Character.charCount(word.codePointAt(i))
-      syms(k) = word.substring(i, i + cc)
-      k += 1; i += cc
-    }
+    var k = 0
+    while (k < n) { syms(k) = String.valueOf(bs.charAt(k)); k += 1 }
     var len = n
     var continue = true
     while (continue && len > 1) {
@@ -115,18 +154,12 @@ object BpeVocab {
   /** Final SYMBOLS of one word under the rank-priority merge order —
     * the same loop as [[encodeCount]] but keeping the strings, for
     * consumers that materialize tokens (p06's id stream). Words over
-    * [[MaxWordLen]] code points return their code points unmerged (the
-    * same cap, same both-engines contract as the count path).
+    * [[MaxWordLen]] bytes return their bytes unmerged (the same cap,
+    * same both-engines contract as the count path).
     */
   def encodeSyms(word: String): Array[String] = {
-    val b = IndexedSeq.newBuilder[String]
-    var i = 0
-    while (i < word.length) {
-      val cc = Character.charCount(word.codePointAt(i))
-      b += word.substring(i, i + cc)
-      i += cc
-    }
-    val syms = b.result().toArray
+    val bs = byteString(word)
+    val syms = Array.tabulate(bs.length)(i => String.valueOf(bs.charAt(i)))
     if (syms.length <= 1 || syms.length > MaxWordLen) return syms
     var len = syms.length
     var continue = true
@@ -151,13 +184,13 @@ object BpeVocab {
   }
 
   /** Token → id, pure arithmetic so any engine replays it: a
-    * single-code-point token's id IS its code point (< 0x110000 —
-    * the char-fallback alphabet needs no shipped table); a merge
-    * product's id is 0x110000 + its first rank in the shipped rules
-    * (disjoint from code points; "first" because two rules can in
-    * principle produce the same string). Every multi-code-point token
-    * the encoder emits is a merge product by construction, so the
-    * lookup is total.
+    * single-byte token's id IS its byte value (0-255 — the
+    * byte-fallback alphabet needs no shipped table, GPT-2-style); a
+    * merge product's id is 256 + its first rank in the shipped rules
+    * (disjoint from bytes; "first" because two rules can in principle
+    * produce the same byte string). Every multi-byte token the encoder
+    * emits is a merge product by construction, so the lookup is total
+    * — no OOV exists.
     */
   lazy val productId: Map[String, Int] = {
     val m = scala.collection.mutable.HashMap[String, Int]()
@@ -171,14 +204,14 @@ object BpeVocab {
   /** One id past every assignable token id: the end-of-document
     * sentinel training pipelines append between concatenated docs.
     */
-  lazy val EosId: Long = 0x110000L + merges.length
+  lazy val EosId: Long = 256L + merges.length
 
   def idOf(token: String): Long =
-    if (token.codePointCount(0, token.length) == 1) token.codePointAt(0).toLong
+    if (token.length == 1) token.charAt(0).toLong
     else productId.get(token) match {
-      case Some(r) => 0x110000L + r
+      case Some(r) => 256L + r
       case None => throw new IllegalArgumentException(
-        s"graft: token '$token' is neither a code point nor a merge product")
+        s"graft: token '${hexOf(token)}' is neither a byte nor a merge product")
     }
 
   // words repeat massively in a corpus: memoize per-word counts. The
@@ -263,16 +296,11 @@ object BpeVocab {
 object BpeTrainer {
 
   def train(wordFreq: Seq[(String, Long)], numMerges: Int): IndexedSeq[(String, String)] = {
-    // words as symbol arrays (code points), paired with their frequency
+    // words as symbol arrays (UTF-8 bytes in the latin-1 JVM form),
+    // paired with their frequency
     var words: Array[(Array[String], Long)] = wordFreq.iterator.map { case (w, f) =>
-      val b = IndexedSeq.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val cc = Character.charCount(w.codePointAt(i))
-        b += w.substring(i, i + cc)
-        i += cc
-      }
-      (b.result().toArray, f)
+      val bs = BpeVocab.byteString(w)
+      (Array.tabulate(bs.length)(i => String.valueOf(bs.charAt(i))), f)
     }.toArray
     val out = IndexedSeq.newBuilder[(String, String)]
     var made = 0
@@ -345,8 +373,8 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   * materializing sibling of [[BpeTokenCount]] (same tokenizer contract:
   * lowercase, ASCII-whitespace words, rank-priority merges, the
   * [[BpeVocab.MaxWordLen]] cap): one flat long array of ids per
-  * document, code-point ids below 0x110000 and merge-product ids above
-  * (see [[BpeVocab.idOf]]). Codegen'd, per-row, per-word memoized.
+  * document, byte ids below 256 and merge-product ids above (see
+  * [[BpeVocab.idOf]]). Codegen'd, per-row, per-word memoized.
   */
 case class BpeTokenIds(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
