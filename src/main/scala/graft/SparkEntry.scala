@@ -8,13 +8,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
-  private def allEntries: Map[String, ((SparkSession, String) => DataFrame, String)] =
+  private[graft] def allEntries: Map[String, Gate.Entry] =
     Relational.entries ++ TemporalJoins.entries ++ TextAnalysis.entries ++
       Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++
       TableOps.entries ++ TableOpsExt.entries ++ SkewJoins.entries ++
       Incremental.entries ++ graft.streaming.Streams.entries
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Enumerating
+    * this map forces NO oracle thunk and parses NO shipped resource —
+    * see [[Gate]] for why that is a hard invariant (InitSmokeSpec pins
+    * it).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allEntries.map { case (k, (fn, _)) => k -> fn }
 
@@ -22,6 +26,25 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops (empty
     * oracle string → rows-only check).
     */
-  def oracleSql: Map[String, String] =
-    allEntries.collect { case (k, (_, sql)) if sql.nonEmpty => k -> sql }
+  def oracleSql: Map[String, String] = dumpOracles(allEntries)
+
+  /** Evaluate each gate's oracle thunk, one at a time: a thunk that
+    * throws (a bad shipped resource, a builder bug) degrades THAT gate
+    * to the driver's rows-only check — logged, never fatal, never
+    * contagious to the other gates' dump.
+    */
+  private[graft] def dumpOracles(entries: Map[String, Gate.Entry]): Map[String, String] =
+    entries.flatMap { case (k, (_, oracle)) =>
+      val sql =
+        // Throwable, not NonFatal: a resource failure surfaces as
+        // ExceptionInInitializerError / NoClassDefFoundError (an Error)
+        // when the thunk touches a module whose static init parses it
+        try oracle()
+        catch { case e: Throwable if !e.isInstanceOf[InterruptedException] =>
+          System.err.println(s"[graft] oracle for '$k' failed to build " +
+            s"(gate degrades to rows-only): $e")
+          ""
+        }
+      if (sql.nonEmpty) Some(k -> sql) else None
+    }
 }

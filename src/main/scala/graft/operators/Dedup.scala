@@ -1214,19 +1214,19 @@ object Dedup {
       |  COALESCE(array_to_string(kw, ' '), '') AS text_dedup
       |FROM out ORDER BY doc_id""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "d13_substring_dedup" -> ((d13SubstringDedup _, d13Oracle)),
-    "d10_incremental_dedup" -> ((d10IncrementalDedup _, d10Oracle)),
-    "d09_dup_components" -> ((d09DupComponents _, d09Oracle)),
-    "d07_dup_grams"         -> ((d07DupGramCoverage _, d07Oracle)),
-    "d01_dedup_exact"       -> ((d01DedupExact _, d01Oracle)),
-    "d02_dedup_exact_multi" -> ((d02DedupExactMulti _, d02Oracle)),
-    "d03_minhash_lsh"       -> ((d03MinhashLshExact _, d03Oracle)),
-    "d04_simhash"           -> ((d04SimhashExact _, d04Oracle)),
-    "d05_ngram_jaccard"     -> ((d05NgramJaccardExact _, d05Oracle)),
-    "d06_embed_neardup"     -> ((d06EmbedNeardup _, d06Oracle)),
-    "d08_semdedup"          -> ((d08SemDedup _, d08Oracle)),
-    "d11_decontaminate_fuzzy" -> ((d11DecontaminateFuzzy _, d11Oracle)),
-    "d12_decontaminate_semantic" -> ((d12DecontaminateSemantic _, d12Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "d13_substring_dedup" -> graft.Gate(d13SubstringDedup _, d13Oracle),
+    "d10_incremental_dedup" -> graft.Gate(d10IncrementalDedup _, d10Oracle),
+    "d09_dup_components" -> graft.Gate(d09DupComponents _, d09Oracle),
+    "d07_dup_grams"         -> graft.Gate(d07DupGramCoverage _, d07Oracle),
+    "d01_dedup_exact"       -> graft.Gate(d01DedupExact _, d01Oracle),
+    "d02_dedup_exact_multi" -> graft.Gate(d02DedupExactMulti _, d02Oracle),
+    "d03_minhash_lsh"       -> graft.Gate(d03MinhashLshExact _, d03Oracle),
+    "d04_simhash"           -> graft.Gate(d04SimhashExact _, d04Oracle),
+    "d05_ngram_jaccard"     -> graft.Gate(d05NgramJaccardExact _, d05Oracle),
+    "d06_embed_neardup"     -> graft.Gate(d06EmbedNeardup _, d06Oracle),
+    "d08_semdedup"          -> graft.Gate(d08SemDedup _, d08Oracle),
+    "d11_decontaminate_fuzzy" -> graft.Gate(d11DecontaminateFuzzy _, d11Oracle),
+    "d12_decontaminate_semantic" -> graft.Gate(d12DecontaminateSemantic _, d12Oracle),
   )
 }

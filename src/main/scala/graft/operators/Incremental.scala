@@ -82,7 +82,7 @@ object Incremental {
        |    + (SELECT COUNT(*) FROM ups) AS chg_upsert
        |FROM final GROUP BY o_orderstatus""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "mv01_incremental_agg" -> ((mv01IncrementalAgg _, mv01Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "mv01_incremental_agg" -> graft.Gate(mv01IncrementalAgg _, mv01Oracle),
   )
 }

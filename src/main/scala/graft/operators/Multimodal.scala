@@ -849,9 +849,9 @@ object Multimodal {
     * image-marker ranges can never collide (EosId is already one past
     * every assignable text id).
     */
-  private[operators] val ImgStartId: Long = graft.functions.BpeVocab.EosId + 1L
-  private[operators] val ImgPatchId: Long = graft.functions.BpeVocab.EosId + 2L
-  private[operators] val ImgEndId: Long   = graft.functions.BpeVocab.EosId + 3L
+  private[operators] lazy val ImgStartId: Long = graft.functions.BpeVocab.EosId + 1L
+  private[operators] lazy val ImgPatchId: Long = graft.functions.BpeVocab.EosId + 2L
+  private[operators] lazy val ImgEndId: Long   = graft.functions.BpeVocab.EosId + 3L
 
   /** m11: INTERLEAVED image+text sequence packing — the vision-language
     * training-data step (LLaVA/Flamingo-style): each document is an
@@ -895,7 +895,7 @@ object Multimodal {
     * patch markers + IMG_END at widx −1 (before every word token),
     * patch count from the m01 container arithmetic.
     */
-  val m11Oracle: String = {
+  lazy val m11Oracle: String = {
     val extra = s"""
        |  UNION ALL
        |  SELECT i.doc_id, CAST(-1 AS BIGINT) AS widx, t.t AS tidx,
@@ -909,17 +909,17 @@ object Multimodal {
     TextAnalysis.packedOracleSql(extra)
   }
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "m11_multimodal_packing"  -> ((m11MultimodalPacking _, m11Oracle)),
-    "m01_multimodal_pipeline" -> ((m01MultimodalPipeline _, m01Oracle)),
-    "m02_frame_features"      -> ((m02FrameFeatures _, m02Oracle)),
-    "m03_audio_segments"      -> ((m03AudioSegments _, m03Oracle)),
-    "m04_jpeg_blocks"         -> ((m04JpegBlocks _, m04Oracle)),
-    "m05_mulaw_audio"         -> ((m05MulawAudio _, m05Oracle)),
-    "m06_video_frames"        -> ((m06VideoFrames _, m06Oracle)),
-    "m07_png_pixels"          -> ((m07PngPixels _, m07Oracle)),
-    "m08_gif_pixels"          -> ((m08GifPixels _, m08Oracle)),
-    "m09_binary_ingest"       -> ((m09BinaryIngest _, m09Oracle)),
-    "m10_flac_samples"        -> ((m10FlacSamples _, m10Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "m11_multimodal_packing"  -> graft.Gate(m11MultimodalPacking _, m11Oracle),
+    "m01_multimodal_pipeline" -> graft.Gate(m01MultimodalPipeline _, m01Oracle),
+    "m02_frame_features"      -> graft.Gate(m02FrameFeatures _, m02Oracle),
+    "m03_audio_segments"      -> graft.Gate(m03AudioSegments _, m03Oracle),
+    "m04_jpeg_blocks"         -> graft.Gate(m04JpegBlocks _, m04Oracle),
+    "m05_mulaw_audio"         -> graft.Gate(m05MulawAudio _, m05Oracle),
+    "m06_video_frames"        -> graft.Gate(m06VideoFrames _, m06Oracle),
+    "m07_png_pixels"          -> graft.Gate(m07PngPixels _, m07Oracle),
+    "m08_gif_pixels"          -> graft.Gate(m08GifPixels _, m08Oracle),
+    "m09_binary_ingest"       -> graft.Gate(m09BinaryIngest _, m09Oracle),
+    "m10_flac_samples"        -> graft.Gate(m10FlacSamples _, m10Oracle),
   )
 }

@@ -550,27 +550,27 @@ object Relational {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q23_bucketed_join"    -> ((q23BucketedJoin _, q23Oracle)),
-    "q01_pricing_summary"  -> ((q01PricingSummary _, q01Oracle)),
-    "q02_filter_pushdown"  -> ((q02FilterPushdown _, q02Oracle)),
-    "q03_join_fact_dim"    -> ((q03JoinFactDim _, q03Oracle)),
-    "q04_multiway_join"    -> ((q04MultiwayJoin _, q04Oracle)),
-    "q05_window_topn"      -> ((q05WindowTopN _, q05Oracle)),
-    "q06_time_transforms"  -> ((q06TimeTransforms _, q06Oracle)),
-    "q07_merge_upsert"     -> ((q07MergeUpsert _, q07Oracle)),
-    "q08_distinct_agg"     -> ((q08DistinctAgg _, q08Oracle)),
-    "q09_topk"             -> ((q09TopK _, q09Oracle)),
-    "q10_semijoin"         -> ((q10Semijoin _, q10Oracle)),
-    "q11_antijoin"         -> ((q11Antijoin _, q11Oracle)),
-    "q12_conditional_agg"  -> ((q12ConditionalAgg _, q12Oracle)),
-    "q13_rollup"           -> ((q13Rollup _, q13Oracle)),
-    "q14_sessionize_batch" -> ((q14SessionizeBatch _, q14Oracle)),
-    "q15_windowed_agg"     -> ((q15WindowedAgg _, q15Oracle)),
-    "q16_json_extract"     -> ((q16JsonExtract _, q16Oracle)),
-    "q17_setops"           -> ((q17SetOps _, q17Oracle)),
-    "q20_correlated_subquery" -> ((q20CorrelatedSubquery _, q20Oracle)),
-    "q21_pivot"               -> ((q21Pivot _, q21Oracle)),
-    "q22_cube"                -> ((q22Cube _, q22Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "q23_bucketed_join"    -> graft.Gate(q23BucketedJoin _, q23Oracle),
+    "q01_pricing_summary"  -> graft.Gate(q01PricingSummary _, q01Oracle),
+    "q02_filter_pushdown"  -> graft.Gate(q02FilterPushdown _, q02Oracle),
+    "q03_join_fact_dim"    -> graft.Gate(q03JoinFactDim _, q03Oracle),
+    "q04_multiway_join"    -> graft.Gate(q04MultiwayJoin _, q04Oracle),
+    "q05_window_topn"      -> graft.Gate(q05WindowTopN _, q05Oracle),
+    "q06_time_transforms"  -> graft.Gate(q06TimeTransforms _, q06Oracle),
+    "q07_merge_upsert"     -> graft.Gate(q07MergeUpsert _, q07Oracle),
+    "q08_distinct_agg"     -> graft.Gate(q08DistinctAgg _, q08Oracle),
+    "q09_topk"             -> graft.Gate(q09TopK _, q09Oracle),
+    "q10_semijoin"         -> graft.Gate(q10Semijoin _, q10Oracle),
+    "q11_antijoin"         -> graft.Gate(q11Antijoin _, q11Oracle),
+    "q12_conditional_agg"  -> graft.Gate(q12ConditionalAgg _, q12Oracle),
+    "q13_rollup"           -> graft.Gate(q13Rollup _, q13Oracle),
+    "q14_sessionize_batch" -> graft.Gate(q14SessionizeBatch _, q14Oracle),
+    "q15_windowed_agg"     -> graft.Gate(q15WindowedAgg _, q15Oracle),
+    "q16_json_extract"     -> graft.Gate(q16JsonExtract _, q16Oracle),
+    "q17_setops"           -> graft.Gate(q17SetOps _, q17Oracle),
+    "q20_correlated_subquery" -> graft.Gate(q20CorrelatedSubquery _, q20Oracle),
+    "q21_pivot"               -> graft.Gate(q21Pivot _, q21Oracle),
+    "q22_cube"                -> graft.Gate(q22Cube _, q22Oracle),
   )
 }

@@ -931,15 +931,15 @@ object Similarity {
       mins, spans, rerank = 100)
   }
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "s06_range_search"   -> ((s06RangeSearchGate _, s06Oracle)),
-    "s01_ann_bruteforce" -> ((s01AnnBruteforce _, s01Oracle)),
-    "s02_ann_lsh"        -> ((s02AnnLshGate _, plantedOracle)),
-    "s03_ann_ivf"        -> ((s03AnnIvfGate _, plantedOracle)),
-    "s04_ann_pq"         -> ((s04AnnPqGate _, plantedOracle)),
-    "s05_ann_filtered"   -> ((s05AnnFilteredGate _, s05Oracle)),
-    "s07_ann_ivf_pq"     -> ((s07AnnIvfPqGate _, plantedOracle)),
-    "s08_ann_opq"        -> ((s08AnnOpqGate _, plantedOracle)),
-    "s09_ann_sq"         -> ((s09AnnSqGate _, plantedOracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "s06_range_search"   -> graft.Gate(s06RangeSearchGate _, s06Oracle),
+    "s01_ann_bruteforce" -> graft.Gate(s01AnnBruteforce _, s01Oracle),
+    "s02_ann_lsh"        -> graft.Gate(s02AnnLshGate _, plantedOracle),
+    "s03_ann_ivf"        -> graft.Gate(s03AnnIvfGate _, plantedOracle),
+    "s04_ann_pq"         -> graft.Gate(s04AnnPqGate _, plantedOracle),
+    "s05_ann_filtered"   -> graft.Gate(s05AnnFilteredGate _, s05Oracle),
+    "s07_ann_ivf_pq"     -> graft.Gate(s07AnnIvfPqGate _, plantedOracle),
+    "s08_ann_opq"        -> graft.Gate(s08AnnOpqGate _, plantedOracle),
+    "s09_ann_sq"         -> graft.Gate(s09AnnSqGate _, plantedOracle),
   )
 }

@@ -47,7 +47,7 @@ object SkewJoins {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "x07_salted_join" -> ((x07SaltedJoinGate _, x07Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "x07_salted_join" -> graft.Gate(x07SaltedJoinGate _, x07Oracle),
   )
 }

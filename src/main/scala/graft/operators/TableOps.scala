@@ -552,25 +552,25 @@ object TableOps {
       |WHERE l_orderkey % 5 = 0 AND l_returnflag <> 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "t16_sql_facade"           -> ((t16SqlFacade _, t16Oracle)),
-    "t29_csv_external"         -> ((t29CsvExternal _, t29Oracle)),
-    "t53_avro_external"        -> ((t53AvroExternal _, t53Oracle)),
-    "t54_orc_external"         -> ((t54OrcExternal _, t54Oracle)),
-    "t15_merge_on_read"        -> ((t15MergeOnRead _, t15Oracle)),
-    "t01_ctas_import"          -> ((t01Ctas _, t01Oracle)),
-    "t02_inplace_migrate"      -> ((t02Migrate _, t02Oracle)),
-    "t03_snapshots_history"    -> ((t03History _, t03Oracle)),
-    "t04_time_travel"          -> ((t04TimeTravel _, t04Oracle)),
-    "t05_rollback"             -> ((t05Rollback _, t05Oracle)),
-    "t06_expire_snapshots"     -> ((t06Expire _, t06Oracle)),
-    "t07_merge_into"           -> ((t07Merge _, t07Oracle)),
-    "t08_delete_update"        -> ((t08DeleteUpdate _, t08Oracle)),
-    "t09_identity_partitioning" -> ((t09IdentityPartition _, t09Oracle)),
-    "t10_transform_partitioning" -> ((t10TransformPartition _, t10Oracle)),
-    "t11_partition_evolution"  -> ((t11PartitionEvolution _, t11Oracle)),
-    "t12_file_pruning_stats"   -> ((t12StatsPruning _, t12Oracle)),
-    "t13_compaction"           -> ((t13Compaction _, t13Oracle)),
-    "t14_schema_evolution"     -> ((t14SchemaEvolution _, t14Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "t16_sql_facade"           -> graft.Gate(t16SqlFacade _, t16Oracle),
+    "t29_csv_external"         -> graft.Gate(t29CsvExternal _, t29Oracle),
+    "t53_avro_external"        -> graft.Gate(t53AvroExternal _, t53Oracle),
+    "t54_orc_external"         -> graft.Gate(t54OrcExternal _, t54Oracle),
+    "t15_merge_on_read"        -> graft.Gate(t15MergeOnRead _, t15Oracle),
+    "t01_ctas_import"          -> graft.Gate(t01Ctas _, t01Oracle),
+    "t02_inplace_migrate"      -> graft.Gate(t02Migrate _, t02Oracle),
+    "t03_snapshots_history"    -> graft.Gate(t03History _, t03Oracle),
+    "t04_time_travel"          -> graft.Gate(t04TimeTravel _, t04Oracle),
+    "t05_rollback"             -> graft.Gate(t05Rollback _, t05Oracle),
+    "t06_expire_snapshots"     -> graft.Gate(t06Expire _, t06Oracle),
+    "t07_merge_into"           -> graft.Gate(t07Merge _, t07Oracle),
+    "t08_delete_update"        -> graft.Gate(t08DeleteUpdate _, t08Oracle),
+    "t09_identity_partitioning" -> graft.Gate(t09IdentityPartition _, t09Oracle),
+    "t10_transform_partitioning" -> graft.Gate(t10TransformPartition _, t10Oracle),
+    "t11_partition_evolution"  -> graft.Gate(t11PartitionEvolution _, t11Oracle),
+    "t12_file_pruning_stats"   -> graft.Gate(t12StatsPruning _, t12Oracle),
+    "t13_compaction"           -> graft.Gate(t13Compaction _, t13Oracle),
+    "t14_schema_evolution"     -> graft.Gate(t14SchemaEvolution _, t14Oracle),
   )
 }

@@ -1426,41 +1426,41 @@ object TableOpsExt {
        |  CASE WHEN o_orderkey % 100 = 7 THEN CAST(4 AS BIGINT) ELSE seq END AS last_seq
        |FROM alive ORDER BY o_orderkey""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "t52_row_lineage"          -> ((t52RowLineage _, t52Oracle)),
-    "t51_rest_catalog"         -> ((t51RestCatalog _, t51Oracle)),
-    "t50_column_defaults"      -> ((t50ColumnDefaults _, t50Oracle)),
-    "t49_dv_interop"           -> ((t49DvInterop _, t49Oracle)),
-    "t48_avro_interop"         -> ((t48AvroInterop _, t48Oracle)),
-    "t47_deletion_vectors"     -> ((t47DeletionVectors _, t47Oracle)),
-    "t46_partition_stats"      -> ((t46PartitionStats _, t46Oracle)),
-    "t45_sort_order"           -> ((t45SortOrder _, t45Oracle)),
-    "t44_stats_join"           -> ((t44StatsJoin _, t44Oracle)),
-    "t43_cdc_schema_evolution" -> ((t43CdcSchemaEvolution _, t43Oracle)),
-    "t42_analyze"           -> ((t42Analyze _, t42Oracle)),
-    "t41_fast_agg"          -> ((t41FastAgg _, t41Oracle)),
-    "t40_dynamic_overwrite" -> ((t40DynamicOverwrite _, t40Oracle)),
-    "t39_merge_clauses"     -> ((t39MergeClauses _, t39Oracle)),
-    "t38_add_files"         -> ((t38AddFiles _, t38Oracle)),
-    "t37_replicate"         -> ((t37Replicate _, t37Oracle)),
-    "t36_schema_evolution"  -> ((t36SchemaEvolution _, t36Oracle)),
-    "t33_concurrent_append" -> ((t33ConcurrentAppend _, t33Oracle)),
-    "t34_branch_retention"  -> ((t34BranchRetention _, t34Oracle)),
-    "t35_runtime_filter_join" -> ((t35RuntimeFilterJoin _, t35Oracle)),
-    "t32_cherry_pick"       -> ((t32CherryPick _, t32Oracle)),
-    "t27_metadata_inspection" -> ((t27MetadataInspection _, t27Oracle)),
-    "t17_position_deletes"  -> ((t17PositionDeletes _, t17Oracle)),
-    "t18_equality_deletes"  -> ((t18EqualityDeletes _, t18Oracle)),
-    "t19_upsert_mor"        -> ((t19UpsertMor _, t19Oracle)),
-    "t20_changes_between"   -> ((t20ChangesBetween _, t20Oracle)),
-    "t21_refs_wap"          -> ((t21RefsWap _, t21Oracle)),
-    "t22_rewrite_manifests" -> ((t22RewriteManifests _, t22Oracle)),
-    "t23_cluster"           -> ((t23Cluster _, t23Oracle)),
-    "t24_cluster_zorder"    -> ((t24ClusterZOrder _, t24Oracle)),
-    "t28_cluster_hilbert"   -> ((t28ClusterHilbert _, t28Oracle)),
-    "t30_cow_changelog"     -> ((t30CowChangelog _, t30Oracle)),
-    "t31_remove_orphans"    -> ((t31RemoveOrphans _, t31Oracle)),
-    "t25_added_between"     -> ((t25AddedBetween _, t25Oracle)),
-    "t26_bloom_filters"     -> ((t26BloomFilters _, t26Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "t52_row_lineage"          -> graft.Gate(t52RowLineage _, t52Oracle),
+    "t51_rest_catalog"         -> graft.Gate(t51RestCatalog _, t51Oracle),
+    "t50_column_defaults"      -> graft.Gate(t50ColumnDefaults _, t50Oracle),
+    "t49_dv_interop"           -> graft.Gate(t49DvInterop _, t49Oracle),
+    "t48_avro_interop"         -> graft.Gate(t48AvroInterop _, t48Oracle),
+    "t47_deletion_vectors"     -> graft.Gate(t47DeletionVectors _, t47Oracle),
+    "t46_partition_stats"      -> graft.Gate(t46PartitionStats _, t46Oracle),
+    "t45_sort_order"           -> graft.Gate(t45SortOrder _, t45Oracle),
+    "t44_stats_join"           -> graft.Gate(t44StatsJoin _, t44Oracle),
+    "t43_cdc_schema_evolution" -> graft.Gate(t43CdcSchemaEvolution _, t43Oracle),
+    "t42_analyze"           -> graft.Gate(t42Analyze _, t42Oracle),
+    "t41_fast_agg"          -> graft.Gate(t41FastAgg _, t41Oracle),
+    "t40_dynamic_overwrite" -> graft.Gate(t40DynamicOverwrite _, t40Oracle),
+    "t39_merge_clauses"     -> graft.Gate(t39MergeClauses _, t39Oracle),
+    "t38_add_files"         -> graft.Gate(t38AddFiles _, t38Oracle),
+    "t37_replicate"         -> graft.Gate(t37Replicate _, t37Oracle),
+    "t36_schema_evolution"  -> graft.Gate(t36SchemaEvolution _, t36Oracle),
+    "t33_concurrent_append" -> graft.Gate(t33ConcurrentAppend _, t33Oracle),
+    "t34_branch_retention"  -> graft.Gate(t34BranchRetention _, t34Oracle),
+    "t35_runtime_filter_join" -> graft.Gate(t35RuntimeFilterJoin _, t35Oracle),
+    "t32_cherry_pick"       -> graft.Gate(t32CherryPick _, t32Oracle),
+    "t27_metadata_inspection" -> graft.Gate(t27MetadataInspection _, t27Oracle),
+    "t17_position_deletes"  -> graft.Gate(t17PositionDeletes _, t17Oracle),
+    "t18_equality_deletes"  -> graft.Gate(t18EqualityDeletes _, t18Oracle),
+    "t19_upsert_mor"        -> graft.Gate(t19UpsertMor _, t19Oracle),
+    "t20_changes_between"   -> graft.Gate(t20ChangesBetween _, t20Oracle),
+    "t21_refs_wap"          -> graft.Gate(t21RefsWap _, t21Oracle),
+    "t22_rewrite_manifests" -> graft.Gate(t22RewriteManifests _, t22Oracle),
+    "t23_cluster"           -> graft.Gate(t23Cluster _, t23Oracle),
+    "t24_cluster_zorder"    -> graft.Gate(t24ClusterZOrder _, t24Oracle),
+    "t28_cluster_hilbert"   -> graft.Gate(t28ClusterHilbert _, t28Oracle),
+    "t30_cow_changelog"     -> graft.Gate(t30CowChangelog _, t30Oracle),
+    "t31_remove_orphans"    -> graft.Gate(t31RemoveOrphans _, t31Oracle),
+    "t25_added_between"     -> graft.Gate(t25AddedBetween _, t25Oracle),
+    "t26_bloom_filters"     -> graft.Gate(t26BloomFilters _, t26Oracle),
   )
 }

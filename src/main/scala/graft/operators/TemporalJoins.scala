@@ -101,8 +101,8 @@ object TemporalJoins {
       |  ON e.user_id = r.user_id AND e.ems >= r.start_ms AND e.ems < r.end_ms
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q18_asof_join"  -> ((q18AsofJoin _, q18Oracle)),
-    "q19_range_join" -> ((q19RangeJoin _, q19Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "q18_asof_join"  -> graft.Gate(q18AsofJoin _, q18Oracle),
+    "q19_range_join" -> graft.Gate(q19RangeJoin _, q19Oracle),
   )
 }

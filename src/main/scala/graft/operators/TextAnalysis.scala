@@ -831,7 +831,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("len_chars"))
       .orderBy(col("doc_id"))
 
-  val x17Oracle: String = {
+  lazy val x17Oracle: String = {
     val vocab = graft.functions.SubwordVocab.entries
       .map(e => "('" + e.replace("'", "''") + "')").mkString(",")
     s"""WITH RECURSIVE
@@ -868,12 +868,16 @@ object TextAnalysis {
     * `graft.BpeTrain`) apply by RANK PRIORITY — repeatedly merge the
     * lowest-ranked adjacent symbol pair, leftmost on ties — as one
     * codegen'd expression; per-row, shuffle-free, memoized per word on
-    * each executor. The oracle replays the identical procedure in a
-    * DuckDB recursive CTE per DISTINCT word (rank list → `list_min` →
-    * leftmost `list_position` → slice-merge), with the merge table
-    * GENERATED from BpeVocab itself so the two sides cannot drift;
-    * words beyond [[graft.functions.BpeVocab.MaxWordLen]] code points
-    * are charged one token per code point ON BOTH SIDES (the merge loop
+    * each executor. Merges operate on UTF-8 BYTES (GPT-2/tiktoken
+    * lineage — byte fallback, no OOV). The oracle replays the identical
+    * procedure in a DuckDB recursive CTE per DISTINCT word, in the
+    * lowercase-HEX byte representation (`lower(hex(encode(w)))` sliced
+    * into 2-char units, so DuckDB's code-point indexing can never
+    * diverge from the kernel's byte indexing on non-ASCII text): rank
+    * list → `list_min` → leftmost `list_position` → slice-merge, with
+    * the merge table GENERATED from BpeVocab itself so the two sides
+    * cannot drift; words beyond [[graft.functions.BpeVocab.MaxWordLen]]
+    * BYTES are charged one token per byte ON BOTH SIDES (the merge loop
     * is O(L²) — a multi-megabyte unbroken crawl token must not stall an
     * executor); independent-reimplementation + hand-case pins in BpeSpec.
     */
@@ -907,40 +911,43 @@ object TextAnalysis {
   private def sqlBigramLp(h1: String, h2: String): String =
     s"(((($h1 * 31 + $h2) % 65536) * 2654435761) % 2147483647 % 1000 - 1000)"
 
-  /** The trained BPE merge table as a DuckDB list literal of 'l|r' keys —
-    * shared by x19Oracle and p05Oracle. The require guards the '|' join
-    * separator for BOTH consumers: a trained symbol containing it would
-    * make the pair keys ambiguous (and the replay silently wrong).
+  /** The trained BPE merge table as a DuckDB list literal of 'l|r' keys,
+    * each symbol in its lowercase-HEX byte form (the resource/oracle
+    * representation — see [[graft.functions.BpeVocab]]'s scaladoc) —
+    * shared by x19Oracle, p05Oracle and [[packedOracleSql]]. Hex symbols
+    * are [0-9a-f] only, so the '|' join separator and SQL quoting are
+    * unambiguous by construction.
     */
-  private def bpeMergePairsSql: String = {
-    val merges = graft.functions.BpeVocab.merges
-    require(merges.forall { case (l, r) => !l.contains("|") && !r.contains("|") },
-      "oracle pair keys join on '|': a trained symbol containing it would be ambiguous")
-    merges.map { case (l, r) => "'" + (l + "|" + r).replace("'", "''") + "'" }
+  private def bpeMergePairsSql: String =
+    graft.functions.BpeVocab.merges
+      .map { case (l, r) =>
+        "'" + graft.functions.BpeVocab.hexOf(l) + "|" +
+          graft.functions.BpeVocab.hexOf(r) + "'" }
       .mkString("[", ",", "]")
-  }
 
-  /** The trained merge PRODUCTS (l||r per rule, rank order) as a DuckDB
-    * list literal — p06's token-id arithmetic: a merge product's id is
-    * 0x110000 + its FIRST rank, which `list_position` (first match)
-    * replays exactly; generated from the same [[graft.functions.BpeVocab]]
-    * the Spark kernel reads, so the two sides cannot drift.
+  /** The trained merge PRODUCTS (l||r per rule, rank order, lowercase-hex
+    * byte form) as a DuckDB list literal — p06's token-id arithmetic: a
+    * merge product's id is 256 + its FIRST rank (disjoint from the 0-255
+    * byte ids), which `list_position` (first match) replays exactly;
+    * generated from the same [[graft.functions.BpeVocab]] the Spark
+    * kernel reads, so the two sides cannot drift.
     */
   private def bpeProductsSql: String =
     graft.functions.BpeVocab.merges
-      .map { case (l, r) => "'" + (l + r).replace("'", "''") + "'" }
+      .map { case (l, r) => "'" + graft.functions.BpeVocab.hexOf(l + r) + "'" }
       .mkString("[", ",", "]")
 
-  val x19Oracle: String = {
+  lazy val x19Oracle: String = {
     val pairs = bpeMergePairsSql
     s"""WITH RECURSIVE
        |docs AS (SELECT doc_id, lower(text) AS t, text FROM documents),
        |words AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\\s+')) AS w FROM docs),
        |uw AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+       |hx AS (SELECT w, lower(hex(encode(w))) AS hw FROM uw),
        |enc AS (
-       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)] AS syms
-       |  FROM uw WHERE length(w) <= 256),
+       |  SELECT w, [substr(hw, CAST(x AS INT), 2) FOR x IN range(1, length(hw)+1, 2)] AS syms
+       |  FROM hx WHERE length(hw) <= 512),
        |steps(w, syms) AS (
        |  SELECT w, syms FROM enc
        |  UNION ALL
@@ -957,7 +964,7 @@ object TextAnalysis {
        |wtok AS (
        |  SELECT w, CAST(MIN(len(syms)) AS BIGINT) AS n_tok FROM steps GROUP BY w
        |  UNION ALL
-       |  SELECT w, CAST(length(w) AS BIGINT) AS n_tok FROM uw WHERE length(w) > 256),
+       |  SELECT w, CAST(length(hw) // 2 AS BIGINT) AS n_tok FROM hx WHERE length(hw) > 512),
        |per_doc AS (
        |  SELECT w2.doc_id, SUM(wt.n_tok) AS tokens_bpe
        |  FROM (SELECT doc_id, w FROM words WHERE w <> '') w2
@@ -1048,7 +1055,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val x23Oracle: String = {
+  lazy val x23Oracle: String = {
     val lm = graft.functions.BigramLm
     val vals = lm.entries.map { case (b, lp) => s"($b,$lp)" }.mkString(",")
     val t = lm.thresholdPerPair
@@ -1671,7 +1678,7 @@ object TextAnalysis {
        |reps AS (SELECT MIN(doc_id) AS doc_id FROM good GROUP BY kept),
        |surv AS (SELECT g.* FROM good g JOIN reps USING (doc_id))""".stripMargin
 
-  val p05Oracle: String = {
+  lazy val p05Oracle: String = {
     val pairs = bpeMergePairsSql
     s"""WITH RECURSIVE
        |$p05SurvivorCtes,
@@ -1680,9 +1687,10 @@ object TextAnalysis {
        |    regexp_split_to_array(lower(kept), '\\s+') IF w <> '']) AS w
        |  FROM surv),
        |uw AS (SELECT DISTINCT w FROM words2),
+       |hx AS (SELECT w, lower(hex(encode(w))) AS hw FROM uw),
        |enc AS (
-       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)] AS syms
-       |  FROM uw WHERE length(w) <= 256),
+       |  SELECT w, [substr(hw, CAST(x AS INT), 2) FOR x IN range(1, length(hw)+1, 2)] AS syms
+       |  FROM hx WHERE length(hw) <= 512),
        |steps(w, syms) AS (
        |  SELECT w, syms FROM enc
        |  UNION ALL
@@ -1699,7 +1707,7 @@ object TextAnalysis {
        |wtok AS (
        |  SELECT w, CAST(MIN(len(syms)) AS BIGINT) AS n_tok FROM steps GROUP BY w
        |  UNION ALL
-       |  SELECT w, CAST(length(w) AS BIGINT) AS n_tok FROM uw WHERE length(w) > 256),
+       |  SELECT w, CAST(length(hw) // 2 AS BIGINT) AS n_tok FROM hx WHERE length(hw) > 512),
        |per_doc AS (
        |  SELECT w2.doc_id, SUM(wt.n_tok) AS t
        |  FROM words2 w2 JOIN wtok wt USING (w) GROUP BY w2.doc_id),
@@ -1804,8 +1812,8 @@ object TextAnalysis {
     * concatenate-and-chunk, MATERIALIZED — p02 only accounts for it):
     * every document becomes its merge-rule BPE token-ID stream
     * ([[graft.functions.BpeTokenIds]], the materializing sibling of
-    * x19's counter: code-point ids below 0x110000, merge-product ids
-    * above, pure arithmetic so any engine replays them) plus one
+    * x19's counter: byte ids below 256, merge-product ids at 256 + rank,
+    * pure arithmetic so any engine replays them) plus one
     * end-of-document sentinel ([[graft.functions.BpeVocab.EosId]]);
     * streams concatenate per SHARD (doc_id mod 8 here; a production
     * run sizes shards to the cluster) in doc_id order and chunk at a
@@ -1853,7 +1861,7 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val p06Oracle: String = packedOracleSql("")
+  lazy val p06Oracle: String = packedOracleSql("")
 
   /** The packed-sequence replay, parameterized by an optional extra
     * `dtok` UNION branch (m11 injects its image-token rows at widx −1 so
@@ -1890,9 +1898,10 @@ object TextAnalysis {
        |  FROM dw, LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS i) i
        |  WHERE ws[i.i] <> ''),
        |uw AS (SELECT DISTINCT w FROM wpos),
+       |hx AS (SELECT w, lower(hex(encode(w))) AS hw FROM uw),
        |enc AS (
-       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)] AS syms
-       |  FROM uw WHERE length(w) <= 256),
+       |  SELECT w, [substr(hw, CAST(x AS INT), 2) FOR x IN range(1, length(hw)+1, 2)] AS syms
+       |  FROM hx WHERE length(hw) <= 512),
        |steps(w, syms) AS (
        |  SELECT w, syms FROM enc
        |  UNION ALL
@@ -1909,11 +1918,13 @@ object TextAnalysis {
        |fin AS (
        |  SELECT w, arg_min(syms, len(syms)) AS syms FROM steps GROUP BY w
        |  UNION ALL
-       |  SELECT w, [substr(w, CAST(x AS INT), 1) FOR x IN range(1, length(w)+1)]
-       |  FROM uw WHERE length(w) > 256),
+       |  SELECT w, [substr(hw, CAST(x AS INT), 2) FOR x IN range(1, length(hw)+1, 2)]
+       |  FROM hx WHERE length(hw) > 512),
        |wids AS (
-       |  SELECT w, [CASE WHEN length(s) = 1 THEN CAST(unicode(s) AS BIGINT)
-       |     ELSE CAST(1114111 + COALESCE(nullif(list_position($prods, s), 0),
+       |  SELECT w, [CASE WHEN length(s) = 2 THEN CAST(
+       |       strpos('123456789abcdef', substr(s, 1, 1)) * 16
+       |       + strpos('123456789abcdef', substr(s, 2, 1)) AS BIGINT)
+       |     ELSE CAST(255 + COALESCE(nullif(list_position($prods, s), 0),
        |       CAST(error('graft oracle: token is not a merge product') AS INT)) AS BIGINT) END
        |     FOR s IN syms] AS ids
        |  FROM fin),
@@ -1972,7 +1983,7 @@ object TextAnalysis {
         array(lit(graft.functions.BpeVocab.EosId))).as("ids")))
   }
 
-  val p07Oracle: String = packedOracleSql("",
+  lazy val p07Oracle: String = packedOracleSql("",
     prefixCtes = p05SurvivorCtes + ",\n",
     docsSelect = "SELECT doc_id, lower(kept) AS t FROM surv")
 
@@ -2037,39 +2048,39 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val p08Oracle: String = packedOracleSql("", withMask = true)
+  lazy val p08Oracle: String = packedOracleSql("", withMask = true)
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "p06_packed_sequences" -> ((p06PackedSequences _, p06Oracle)),
-    "p07_curate_and_pack"  -> ((p07CurateAndPack _, p07Oracle)),
-    "p08_sft_packing"      -> ((p08SftPacking _, p08Oracle)),
-    "x18_classifier_score" -> ((x18ClassifierScore _, x18Oracle)),
-    "p04_epoch_shuffle"  -> ((p04EpochShuffle _, p04Oracle)),
-    "x17_subword_tokens" -> ((x17SubwordTokens _, x17Oracle)),
-    "x19_bpe_tokens"     -> ((x19BpeTokens _, x19Oracle)),
-    "x20_html_extract"   -> ((x20HtmlExtract _, x20Oracle)),
-    "x21_perplexity_filter" -> ((x21PerplexityFilter _, x21Oracle)),
-    "x22_url_filter"     -> ((x22UrlFilter _, x22Oracle)),
-    "x23_perplexity_lm"  -> ((x23PerplexityLm _, x23Oracle)),
-    "x24_dsir_select"    -> ((x24DsirSelect _, x24Oracle)),
-    "x25_domain_rank"    -> ((x25DomainRank _, x25Oracle)),
-    "p05_crawl_curation" -> ((p05CrawlCuration _, p05Oracle)),
-    "x16_normalize"     -> ((x16Normalize _, x16Oracle)),
-    "x15_line_dedup"    -> ((x15LineDedup _, x15Oracle)),
-    "x14_kmv_distinct"  -> ((x14KmvDistinct _, x14Oracle)),
-    "x11_pii_redact"    -> ((x11PiiRedact _, x11Oracle)),
-    "p01_pretrain_pipeline" -> ((p01PretrainPipeline _, p01Oracle)),
-    "p02_seq_packing"       -> ((p02SequencePacking _, p02Oracle)),
-    "p03_token_budget_mix"  -> ((p03TokenBudgetMix _, p03Oracle)),
-    "x13_exact_quantiles"   -> ((x13ExactQuantiles _, x13Oracle)),
-    "x10_data_mix"      -> ((x10DataMix _, x10Oracle)),
-    "x08_decontaminate" -> ((x08Decontaminate _, x08Oracle)),
-    "x09_repetition"    -> ((x09Repetition _, x09Oracle)),
-    "x01_token_count"   -> ((x01TokenCount _, x01Oracle)),
-    "x06_heavy_hitters" -> ((x06HeavyHitters _, x06Oracle)),
-    "x02_quality_score" -> ((x02QualityScore _, x02Oracle)),
-    "x03_langid"        -> ((x03LangId _, x03Oracle)),
-    "x04_fingerprint"   -> ((x04FingerprintPortable _, x04Oracle)),
-    "x05_ngram_stats"   -> ((x05NgramStats _, x05Oracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "p06_packed_sequences" -> graft.Gate(p06PackedSequences _, p06Oracle),
+    "p07_curate_and_pack"  -> graft.Gate(p07CurateAndPack _, p07Oracle),
+    "p08_sft_packing"      -> graft.Gate(p08SftPacking _, p08Oracle),
+    "x18_classifier_score" -> graft.Gate(x18ClassifierScore _, x18Oracle),
+    "p04_epoch_shuffle"  -> graft.Gate(p04EpochShuffle _, p04Oracle),
+    "x17_subword_tokens" -> graft.Gate(x17SubwordTokens _, x17Oracle),
+    "x19_bpe_tokens"     -> graft.Gate(x19BpeTokens _, x19Oracle),
+    "x20_html_extract"   -> graft.Gate(x20HtmlExtract _, x20Oracle),
+    "x21_perplexity_filter" -> graft.Gate(x21PerplexityFilter _, x21Oracle),
+    "x22_url_filter"     -> graft.Gate(x22UrlFilter _, x22Oracle),
+    "x23_perplexity_lm"  -> graft.Gate(x23PerplexityLm _, x23Oracle),
+    "x24_dsir_select"    -> graft.Gate(x24DsirSelect _, x24Oracle),
+    "x25_domain_rank"    -> graft.Gate(x25DomainRank _, x25Oracle),
+    "p05_crawl_curation" -> graft.Gate(p05CrawlCuration _, p05Oracle),
+    "x16_normalize"     -> graft.Gate(x16Normalize _, x16Oracle),
+    "x15_line_dedup"    -> graft.Gate(x15LineDedup _, x15Oracle),
+    "x14_kmv_distinct"  -> graft.Gate(x14KmvDistinct _, x14Oracle),
+    "x11_pii_redact"    -> graft.Gate(x11PiiRedact _, x11Oracle),
+    "p01_pretrain_pipeline" -> graft.Gate(p01PretrainPipeline _, p01Oracle),
+    "p02_seq_packing"       -> graft.Gate(p02SequencePacking _, p02Oracle),
+    "p03_token_budget_mix"  -> graft.Gate(p03TokenBudgetMix _, p03Oracle),
+    "x13_exact_quantiles"   -> graft.Gate(x13ExactQuantiles _, x13Oracle),
+    "x10_data_mix"      -> graft.Gate(x10DataMix _, x10Oracle),
+    "x08_decontaminate" -> graft.Gate(x08Decontaminate _, x08Oracle),
+    "x09_repetition"    -> graft.Gate(x09Repetition _, x09Oracle),
+    "x01_token_count"   -> graft.Gate(x01TokenCount _, x01Oracle),
+    "x06_heavy_hitters" -> graft.Gate(x06HeavyHitters _, x06Oracle),
+    "x02_quality_score" -> graft.Gate(x02QualityScore _, x02Oracle),
+    "x03_langid"        -> graft.Gate(x03LangId _, x03Oracle),
+    "x04_fingerprint"   -> graft.Gate(x04FingerprintPortable _, x04Oracle),
+    "x05_ngram_stats"   -> graft.Gate(x05NgramStats _, x05Oracle),
   )
 }

@@ -929,20 +929,20 @@ object Streams {
       .select(col("shard"), col("seq_id"), col("n_tokens"), col("seq_text"))
       .orderBy(col("shard"), col("seq_id"))
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "st12_stream_packing"      -> ((st12StreamPackingGate _,
-      graft.operators.TextAnalysis.p06Oracle)),
-    "st11_stream_dedup_index"  -> ((st11StreamDedupIndexGate _, st11Oracle)),
-    "st09_view_maintain"       -> ((st09ViewMaintain _, st09Oracle)),
-    "st10_stream_outer_join"   -> ((st10StreamOuterJoinGate _, st10Oracle)),
-    "st08_stream_static_join"  -> ((st08StreamStaticGate _, st08GateOracle)),
-    "st07_stream_join"         -> ((st07StreamJoinGate _, st07GateOracle)),
-    "st01_stream_windowed_agg" -> ((st01StreamingGate _, st01GateOracle)),
-    "st02_stream_sessionize"   -> ((st02StreamingGate _, st02GateOracle)),
-    "st03_stream_dedup"        -> ((st03StreamingGate _, st03GateOracle)),
-    "st04_stream_to_table"     -> ((st04StreamingGate _, st04GateOracle)),
-    "st05_stream_upsert"       -> ((st05StreamingGate _, st05GateOracle)),
-    "st06_stream_changelog"    -> ((st06ChangelogGate _, st06GateOracle)),
+  val entries: Map[String, graft.Gate.Entry] = Map(
+    "st12_stream_packing"      -> graft.Gate(st12StreamPackingGate _,
+      graft.operators.TextAnalysis.p06Oracle),
+    "st11_stream_dedup_index"  -> graft.Gate(st11StreamDedupIndexGate _, st11Oracle),
+    "st09_view_maintain"       -> graft.Gate(st09ViewMaintain _, st09Oracle),
+    "st10_stream_outer_join"   -> graft.Gate(st10StreamOuterJoinGate _, st10Oracle),
+    "st08_stream_static_join"  -> graft.Gate(st08StreamStaticGate _, st08GateOracle),
+    "st07_stream_join"         -> graft.Gate(st07StreamJoinGate _, st07GateOracle),
+    "st01_stream_windowed_agg" -> graft.Gate(st01StreamingGate _, st01GateOracle),
+    "st02_stream_sessionize"   -> graft.Gate(st02StreamingGate _, st02GateOracle),
+    "st03_stream_dedup"        -> graft.Gate(st03StreamingGate _, st03GateOracle),
+    "st04_stream_to_table"     -> graft.Gate(st04StreamingGate _, st04GateOracle),
+    "st05_stream_upsert"       -> graft.Gate(st05StreamingGate _, st05GateOracle),
+    "st06_stream_changelog"    -> graft.Gate(st06ChangelogGate _, st06GateOracle),
   )
 
   /** Batch-id fence for EXACTLY-ONCE foreachBatch sinks: Spark replays the

@@ -52,8 +52,8 @@ class BpeSpec extends SparkSpec {
     assert(BpeVocab.encodeCount("xyzzy", toyRank) == 5) // no rule applies
     assert(BpeVocab.encodeCount("a", toyRank) == 1)
     assert(BpeVocab.encodeCount("", toyRank) == 0)
-    // code points, not UTF-16 units: an astral char is ONE base symbol
-    assert(BpeVocab.encodeCount("a😀b", toyRank) == 3)
+    // UTF-8 BYTES, not code points: an astral char is FOUR base symbols
+    assert(BpeVocab.encodeCount("a😀b", toyRank) == 6)
   }
 
   /** Independent reimplementation: immutable-Vector fold, recomputing
@@ -61,10 +61,9 @@ class BpeSpec extends SparkSpec {
     * control flow from the production in-place array walk).
     */
   private def altEncode(word: String, rank: Map[(String, String), Int]): Int = {
-    var syms: Vector[String] = {
-      val cps = word.codePoints().toArray
-      cps.toVector.map(cp => new String(Character.toChars(cp)))
-    }
+    var syms: Vector[String] =
+      word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .toVector.map(b => ((b & 0xff).toChar).toString)
     var done = syms.size <= 1
     while (!done) {
       val ranked = syms.init.zip(syms.tail).zipWithIndex
@@ -94,13 +93,16 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("long unbroken tokens are charged per code point (O(L²) guard)") {
-    val long = "th" * 200 // 400 code points > MaxWordLen, full of merge hits
+  test("long unbroken tokens are charged per byte (O(L²) guard)") {
+    val long = "th" * 200 // 400 bytes > MaxWordLen, full of merge hits
     assert(BpeVocab.encodeCount(long) == 400)
     val atCap = "x" * BpeVocab.MaxWordLen
     assert(BpeVocab.encodeCount(atCap) == BpeVocab.MaxWordLen)
-    // just under the cap still merges: fewer tokens than code points
-    val under = "the" * 85 // 255 code points
+    // a multi-byte word over the cap charges BYTES, not code points
+    val wide = "é" * 129 // 129 code points, 258 bytes > MaxWordLen
+    assert(BpeVocab.encodeCount(wide) == 258)
+    // just under the cap still merges: fewer tokens than bytes
+    val under = "the" * 85 // 255 bytes
     assert(BpeVocab.encodeCount(under) < 255)
     // whole-text path: the long word bypasses the memo but sums the same
     val n = BpeVocab.count(
@@ -134,16 +136,17 @@ class BpeSpec extends SparkSpec {
     docs.foreach { case (id, text) =>
       val lower = text.toLowerCase(java.util.Locale.ROOT)
       val ws = lower.trim.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
-      // symbols concatenate back to the word (no token lost or invented)
+      // symbols (latin-1 byte strings) concatenate back to the word's
+      // UTF-8 bytes (no token lost or invented)
       ws.foreach { w =>
         val syms = BpeVocab.encodeSyms(w)
-        assert(syms.mkString == w, s"doc $id word '$w' syms")
+        assert(syms.mkString == BpeVocab.byteString(w), s"doc $id word '$w' syms")
         assert(syms.length == BpeVocab.encodeCount(w), s"doc $id word '$w' count")
-        // id arithmetic: code point below 0x110000, product above
+        // id arithmetic: byte value below 256, product at 256 + rank
         syms.foreach { s =>
           val i = BpeVocab.idOf(s)
-          if (s.codePointCount(0, s.length) == 1) assert(i == s.codePointAt(0).toLong)
-          else assert(i == 0x110000L + BpeVocab.productId(s))
+          if (s.length == 1) assert(i == s.charAt(0).toLong)
+          else assert(i == 256L + BpeVocab.productId(s))
         }
       }
       // whole-text ids length == whole-text count (same scanner)
@@ -154,21 +157,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("token ids: ids decode back to the exact text words (id bijection)") {
-    // id → token inverse: code point or merge product by FIRST rank
+  test("token ids: ids decode back to the exact text bytes (id bijection)") {
+    // id → token inverse: byte value or merge product by FIRST rank
     val inv: Map[Long, String] =
       BpeVocab.productId.toSeq.groupBy(_._2).map { case (r, ps) =>
-        (0x110000L + r) -> ps.head._1 }
-    def tok(i: Long): String =
-      if (i < 0x110000L) new String(Character.toChars(i.toInt)) else inv(i)
+        (256L + r) -> ps.head._1 }
+    def tok(i: Long): String = if (i < 256L) i.toChar.toString else inv(i)
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
       .select($"text").as[String].collect()
     docs.foreach { t =>
       val ids = BpeVocab.tokenIds(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)).toLongArray()
       val rebuilt = ids.map(tok).mkString
-      val want = t.toLowerCase(java.util.Locale.ROOT)
-        .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).mkString
+      val want = BpeVocab.byteString(t.toLowerCase(java.util.Locale.ROOT)
+        .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).mkString)
       assert(rebuilt == want)
     }
   }
@@ -186,7 +188,7 @@ class BpeSpec extends SparkSpec {
       // no document token ever equals the end-of-document sentinel
       assert(!interp.contains(BpeVocab.EosId))
     }
-    assert(BpeVocab.EosId == 0x110000L + BpeVocab.merges.length)
+    assert(BpeVocab.EosId == 256L + BpeVocab.merges.length)
   }
 
   // ------------------------------------------------------- provenance
@@ -203,10 +205,13 @@ class BpeSpec extends SparkSpec {
     assert(BpeTrainer.train(freqs, 300) == BpeVocab.merges)
   }
 
-  test("shipped merges are non-trivial and '|'-free (oracle key contract)") {
+  test("shipped merges are non-trivial byte symbols (oracle hex contract)") {
     assert(BpeVocab.merges.nonEmpty)
-    assert(BpeVocab.merges.forall { case (l, r) => !l.contains("|") && !r.contains("|") })
-    // common corpus words should compress below their char count
+    // every trained symbol is a byte string: its hex form (the oracle/
+    // resource representation) round-trips cleanly
+    assert(BpeVocab.merges.forall { case (l, r) =>
+      (l + r).forall(_ < 256) && BpeVocab.hexOf(l + r).length == 2 * (l + r).length })
+    // common corpus words should compress below their byte count
     assert(BpeVocab.encodeCount("the") < 3 || BpeVocab.encodeCount("data") < 4)
   }
 }

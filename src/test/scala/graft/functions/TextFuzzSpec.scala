@@ -36,12 +36,12 @@ class TextFuzzSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- BPE
 
-  test("bpe: token count of a word is within [1, codePoints]") {
+  test("bpe: token count of a word is within [1, utf8Bytes]") {
     check("bpe word bounds", Prop.forAll(word) { w =>
       val lw = w.toLowerCase(java.util.Locale.ROOT)
-      val cp = lw.codePointCount(0, lw.length)
+      val nb = lw.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
       val n = BpeVocab.encodeCount(lw)
-      n >= 1 && n <= cp
+      n >= 1 && n <= nb
     })
   }
 
@@ -60,7 +60,9 @@ class TextFuzzSpec extends AnyFunSuite {
     })
   }
 
-  test("bpe: beyond the length cap the charge is exactly one per code point") {
+  test("bpe: beyond the length cap the charge is exactly one per byte") {
+    // alphaLower is 1 byte per char, so bytes == length; the astral/cap
+    // property below covers multi-byte shapes
     val long = Gen.chooseNum(BpeVocab.MaxWordLen + 1, BpeVocab.MaxWordLen * 3)
       .flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
     check("bpe cap", Prop.forAll(long) { w =>
@@ -84,20 +86,21 @@ class TextFuzzSpec extends AnyFunSuite {
   }
 
   test("bpe ids: concatenated token strings rebuild the folded text on any input") {
-    // the id stream's defining invariant: ids decode (code point below
-    // 0x110000, FIRST-rank merge product above) back to exactly the
-    // lowercased whitespace-stripped input — nothing lost, invented or
-    // reordered, on hostile shapes the corpus never exercises
+    // the id stream's defining invariant: ids decode (byte value below
+    // 256, FIRST-rank merge product at 256 + rank) back to exactly the
+    // UTF-8 bytes of the lowercased whitespace-stripped input — nothing
+    // lost, invented or reordered, on hostile shapes the corpus never
+    // exercises. Tokens live in the latin-1 byte-string form.
     val inv: Map[Long, String] =
       BpeVocab.productId.toSeq.groupBy(_._2).map { case (r, ps) =>
-        (0x110000L + r) -> ps.head._1 }
+        (256L + r) -> ps.head._1 }
     check("bpe id bijection", Prop.forAll(text) { t =>
       val ids = BpeVocab.tokenIds(u(t)).toLongArray()
       val rebuilt = ids.map { i =>
-        if (i < 0x110000L) new String(Character.toChars(i.toInt)) else inv(i)
+        if (i < 256L) i.toChar.toString else inv(i)
       }.mkString
-      val want = t.toLowerCase(java.util.Locale.ROOT)
-        .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).mkString
+      val want = BpeVocab.byteString(t.toLowerCase(java.util.Locale.ROOT)
+        .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).mkString)
       rebuilt == want && ids.length == BpeVocab.count(u(t)) &&
         !ids.contains(BpeVocab.EosId)
     })
@@ -109,20 +112,20 @@ class TextFuzzSpec extends AnyFunSuite {
         .map(_.mkString))
     val long: Gen[String] = Gen.chooseNum(250, 300).flatMap(n =>
       Gen.stringOfN(n, Gen.alphaLowerChar))
+    val inv: Map[Long, String] =
+      BpeVocab.productId.toSeq.groupBy(_._2).map { case (r, ps) =>
+        (256L + r) -> ps.head._1 }
     check("bpe id astral/cap", Prop.forAll(Gen.oneOf(astral, long)) { w =>
       val ids = BpeVocab.tokenIds(u(w)).toLongArray()
       val lw = w.toLowerCase(java.util.Locale.ROOT)
-      val cp = lw.codePointCount(0, lw.length)
-      // over the cap: exactly one id per code point, each a code point id
-      val capOk = cp <= BpeVocab.MaxWordLen ||
-        (ids.length == cp && ids.forall(_ < 0x110000L))
+      val bs = BpeVocab.byteString(lw)
+      // over the cap: exactly one id per UTF-8 byte, each a byte id
+      val capOk = bs.length <= BpeVocab.MaxWordLen ||
+        (ids.length == bs.length && ids.forall(_ < 256L))
       val rebuilt = ids.map { i =>
-        if (i < 0x110000L) new String(Character.toChars(i.toInt))
-        else BpeVocab.productId.toSeq.groupBy(_._2)
-          .map { case (r, ps) => (0x110000L + r) -> ps.head._1 }
-          .apply(i)
+        if (i < 256L) i.toChar.toString else inv(i)
       }.mkString
-      capOk && rebuilt == lw
+      capOk && rebuilt == bs
     }, min = 60)
   }
 
