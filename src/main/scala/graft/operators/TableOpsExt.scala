@@ -1426,7 +1426,124 @@ object TableOpsExt {
        |  CASE WHEN o_orderkey % 100 = 7 THEN CAST(4 AS BIGINT) ELSE seq END AS last_seq
        |FROM alive ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- t55
+
+  /** t55: RANGE changelog under SNAPSHOT SCHEMAS (VERDICT r14 #5): a CDC
+    * consumer replays `(s0, head]` across a MID-RANGE rename with
+    * [[GraftTable.changesBetweenBySnapshot]](underSnapshotSchema=true)
+    * and gets each commit's rows in PERIOD-CORRECT column names — the
+    * pre-rename append surfaces `o_totalprice`, the post-rename append
+    * and the merge-on-read delete surface `amount`; nothing is renamed
+    * retroactively. The gate folds each per-commit frame by reading the
+    * measure BY ITS PERIOD NAME (the name itself is part of the output,
+    * so a frame served under the wrong schema fails the hash). Reference
+    * anchor: the workshop's time-travel + schema-evolution surface
+    * (README.md "Time travel"; limitations.md ADD COLUMN) — Iceberg
+    * changelog scans with `snapshot-schema` semantics.
+    */
+  def t55RangeChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 600))
+    val s0 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 150, 900000000L))     // pre-rename names
+    t.renameColumn("o_totalprice", "amount")             // metadata-only
+    t.append(shifted(spark, sfDir, 120, 950000000L)
+      .withColumnRenamed("o_totalprice", "amount"))      // post-rename names
+    t.deleteMergeOnRead("amount > 100000.0 AND o_orderkey > 900000000")
+    val frames = t.changesBetweenBySnapshot(s0, t.meta.currentSnapshotId.get,
+      underSnapshotSchema = true)
+    frames.zipWithIndex.map { case ((_, df), i) =>
+      val priceCol = if (df.columns.contains("amount")) "amount" else "o_totalprice"
+      df.groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col(priceCol).cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+        .select(lit((i + 1).toLong).as("commit_seq"), lit(priceCol).as("price_col"),
+          col("change_type"), col("n_rows"), col("sum_price"))
+    }.reduce(_ unionByName _).orderBy(col("commit_seq"), col("change_type"))
+  }
+
+  val t55Oracle: String =
+    s"""WITH a AS (
+       |  SELECT o_orderkey + 900000000 AS k, o_totalprice AS p FROM ${cappedSql(150)}
+       |), b AS (
+       |  SELECT o_orderkey + 950000000 AS k, o_totalprice AS p FROM ${cappedSql(120)}
+       |), del AS (
+       |  SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+       |  WHERE p > 100000.0 AND k > 900000000
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS commit_seq, 'o_totalprice' AS price_col,
+       |    'insert' AS change_type, COUNT(*) AS n_rows,
+       |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM a
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'amount', 'insert', COUNT(*),
+       |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM b
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'amount', 'delete', COUNT(*),
+       |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM del
+       |) ORDER BY commit_seq, change_type""".stripMargin
+
+  // ---------------------------------------------------------------- t56
+
+  /** t56: `add_files` over ORC and AVRO directories (VERDICT r14 #7) —
+    * the manifest records each entry's `file_format` (the Iceberg
+    * per-file field; reference limitations.md manifest dumps) and the
+    * scan reads every file with ITS OWN format in one frame. Pruning
+    * stays REAL for ORC: its footers carry min/max/null stats
+    * ([[graft.tables.ExternalFooters]]), so a key predicate skips the
+    * out-of-range ORC file without reading it — the gate pins that (two
+    * disjoint-key-range ORC files, exactly one survives planning). Avro
+    * containers carry no column stats: exact record counts only,
+    * partition-value pruning, conservative everywhere else. Graft's own
+    * writes stay parquet; any rewrite migrates rows to parquet.
+    */
+  def t56AddFilesFormats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = GraftTable.createAs(spark, tmp(), orders(spark, sfDir, 400))
+    val orcDir = Files.createTempDirectory("graft_t56_orc").toString + "/o"
+    // two single-file appends with DISJOINT key ranges: the pruning pin
+    shifted(spark, sfDir, 150, 900000000L).coalesce(1)
+      .write.mode("append").orc(orcDir)
+    shifted(spark, sfDir, 100, 950000000L).coalesce(1)
+      .write.mode("append").orc(orcDir)
+    val avroDir = Files.createTempDirectory("graft_t56_avro").toString + "/a"
+    // graft's own container codec — Spark's `avro` module is not shipped
+    graft.sources.GraftAvro.write(
+      shifted(spark, sfDir, 120, 980000000L).coalesce(1), avroDir)
+    t.addFiles(orcDir, "orc")
+    t.addFiles(avroDir, "avro")
+    val reloaded = GraftTable.load(spark, t.location)
+    val files = reloaded.currentFiles()
+    val orcPlanned = reloaded.plannedFiles("o_orderkey >= 950000000")
+      .count(_.fileFormat == "orc")
+    reloaded.toDF().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .withColumn("formats",
+        lit(files.map(_.fileFormat).distinct.sorted.mkString(",")))
+      .withColumn("n_orc_files",
+        lit(files.count(_.fileFormat == "orc").toLong))
+      .withColumn("n_orc_planned", lit(orcPlanned.toLong))
+      .withColumn("n_avro_rows", lit(
+        files.filter(_.fileFormat == "avro").map(_.recordCount).sum))
+  }
+
+  val t56Oracle: String =
+    s"""WITH u AS (
+       |  SELECT o_totalprice FROM ${cappedSql(400)}
+       |  UNION ALL SELECT o_totalprice FROM ${cappedSql(150)}
+       |  UNION ALL SELECT o_totalprice FROM ${cappedSql(100)}
+       |  UNION ALL SELECT o_totalprice FROM ${cappedSql(120)}
+       |)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  'avro,orc,parquet' AS formats,
+       |  CAST(2 AS BIGINT) AS n_orc_files,
+       |  CAST(1 AS BIGINT) AS n_orc_planned,
+       |  (SELECT COUNT(*) FROM ${cappedSql(120)}) AS n_avro_rows
+       |FROM u""".stripMargin
+
   val entries: Map[String, graft.Gate.Entry] = Map(
+    "t56_add_files_formats"    -> graft.Gate(t56AddFilesFormats _, t56Oracle),
+    "t55_range_changelog"      -> graft.Gate(t55RangeChangelog _, t55Oracle),
     "t52_row_lineage"          -> graft.Gate(t52RowLineage _, t52Oracle),
     "t51_rest_catalog"         -> graft.Gate(t51RestCatalog _, t51Oracle),
     "t50_column_defaults"      -> graft.Gate(t50ColumnDefaults _, t50Oracle),

@@ -314,6 +314,34 @@ object GraftAvro {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Read an EXPLICIT path list under a required schema — the table-scan
+    * entry point ([[graft.tables.ColumnMapping.readFiles]]), where the
+    * MANIFEST owns the file set, not a directory glob. Every file's
+    * spark-mapped field (name, type) sequence must equal `schema` (the
+    * table's physical schema): `add_files` checked that contract at
+    * registration; this re-checks per read so a swapped file fails loud.
+    */
+  def readPaths(spark: SparkSession, schema: StructType,
+      paths: Seq[String]): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(paths: _*)
+      .select("path", "content")
+    val want = schema.fields.toSeq.map(f => (f.name, f.dataType))
+    val rdd = bin.rdd.flatMap { r =>
+      val path = r.getString(0)
+      val c = Avro.readContainer(r.getAs[Array[Byte]](1))
+      val rec = Avro.parseSchema(c.schemaJson) match {
+        case rec: Avro.ARecord => rec
+        case other => throw new IllegalArgumentException(
+          s"GraftAvro: $path top-level schema must be a record, got $other")
+      }
+      val st = sparkSchemaOf(rec)
+      require(st.fields.toSeq.map(f => (f.name, f.dataType)) == want,
+        s"GraftAvro: $path schema $st differs from the table schema $schema")
+      c.records.map(mapToRow(_, rec))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Read every `*.avro` container under `dir` as one DataFrame. All
     * files must carry the same schema (a mixed directory refuses with
     * the offending path).

@@ -74,8 +74,17 @@ object ColumnMapping {
 
   /** Read parquet files under the physical schema, exposed logically. */
   def readFiles(spark: SparkSession, schema: StructType,
-      paths: Seq[String]): DataFrame = {
-    val df = spark.read.schema(physicalSchema(schema)).parquet(paths: _*)
+      paths: Seq[String], format: String = "parquet"): DataFrame = {
+    // one format per call — mixed file sets are grouped by the caller
+    // (ScanPlanner.scan), matching Iceberg's per-file `file_format`.
+    // Avro rides graft's own container codec (Spark's `avro` module is
+    // not on this classpath) — whole-file decode, no column pruning;
+    // a rewrite migrates such files to parquet
+    val df =
+      if (format == "avro")
+        graft.sources.GraftAvro.readPaths(spark, physicalSchema(schema), paths)
+      else spark.read.schema(physicalSchema(schema)).format(format)
+        .load(paths: _*)
     if (!hasMapping(schema)) df
     else df.select(schema.fields.toSeq.map(f =>
       col(physicalName(f)).as(f.name, f.metadata)): _*)

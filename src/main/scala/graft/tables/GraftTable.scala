@@ -757,6 +757,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
     */
   def changesBetween(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val m = meta
+    val parts = ancestryChain(m, fromSnapshotId, toSnapshotId)
+      .map(s => commitChanges(m, s))
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(m.schema.fields :+ StructField("_change_type", StringType)))
+    else parts.reduce(_ unionAll _)
+  }
+
+  /** The commits in `(from, to]` in commit order; requires ancestry. */
+  private def ancestryChain(m: TableMeta, fromSnapshotId: Long,
+      toSnapshotId: Long): List[Snapshot] = {
     var chain = List.empty[Snapshot]
     var cur = m.snapshot(toSnapshotId)
     while (cur.isDefined && cur.get.id != fromSnapshotId) {
@@ -764,11 +775,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
       cur = cur.get.parentId.flatMap(m.snapshot)
     }
     require(cur.isDefined, s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
-    val parts = chain.map(s => commitChanges(m, s))
-    if (parts.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(m.schema.fields :+ StructField("_change_type", StringType)))
-    else parts.reduce(_ unionAll _)
+    chain
+  }
+
+  /** RANGE changelog under SNAPSHOT SCHEMAS — the range extension of
+    * [[changesOf]]'s `underSnapshotSchema` mode: each commit in
+    * `(from, to]` as its OWN frame under the schema its writer saw, in
+    * commit order. A CDC consumer replaying a long range across a
+    * rename gets each period's rows in period-correct column names
+    * (never the current names applied retroactively); per-commit
+    * schemas can't union into one frame, so the consumer remaps each
+    * frame itself — [[SchemaDiff.diff]](frame schema, current schema)
+    * is the op batch that brings it forward. With
+    * `underSnapshotSchema = false` every frame uses the current schema
+    * (then `.reduce(unionAll)` reproduces [[changesBetween]]).
+    */
+  def changesBetweenBySnapshot(fromSnapshotId: Long, toSnapshotId: Long,
+      underSnapshotSchema: Boolean = false): Seq[(Snapshot, DataFrame)] = {
+    val m0 = meta
+    ancestryChain(m0, fromSnapshotId, toSnapshotId).map { s =>
+      val m = if (underSnapshotSchema) m0.copy(schema = m0.schemaAt(s.schemaId))
+              else m0
+      (s, commitChanges(m, s))
+    }
   }
 
   /** ONE commit's row-level changes under ITS OWN snapshot schema when
@@ -1432,15 +1461,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * null counts) are dropped per column — pruning is conservative by
     * construction.
     */
-  private[tables] def collectFileEntries(dir: String, m: TableMeta, specId: Int): Seq[DataFile] = {
+  private[tables] def collectFileEntries(dir: String, m: TableMeta, specId: Int,
+      format: String = "parquet"): Seq[DataFile] = {
     import scala.collection.parallel.CollectionConverters._
+    val exts: Seq[String] = format match {
+      case "parquet" => Seq(".parquet", ".parq")
+      case "orc"     => Seq(".orc")
+      case "avro"    => Seq(".avro")
+      case other => throw new IllegalArgumentException(
+        s"unsupported data file format '$other' (parquet, orc, avro)")
+    }
     val fsys = MetaIO.fs(conf, dir)
     val it = fsys.listFiles(new Path(dir), true)
     val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath.toString
-      if (p.endsWith(".parquet") || p.endsWith(".parq")) sizes(stripScheme(p)) = st.getLen
+      if (exts.exists(p.endsWith)) sizes(stripScheme(p)) = st.getLen
     }
     if (sizes.isEmpty) return Nil
     val par = sizes.toSeq.par
@@ -1448,8 +1485,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // footers are keyed by what the files contain: physical names
     val physSchema = ColumnMapping.physicalSchema(m.schema)
     par.map { case (path, size) =>
-      val (rows, stats) = FooterStats.read(conf, path, physSchema)
-      DataFile(path, specId, partitionValuesFromPath(path), rows, size, stats)
+      val (rows, stats) = format match {
+        case "parquet" => FooterStats.read(conf, path, physSchema)
+        case "orc"     => ExternalFooters.orcStats(conf, path, physSchema)
+        // Avro containers carry no column stats — partition-only pruning
+        case "avro" =>
+          (ExternalFooters.avroRowCount(conf, path), Map.empty[String, ColStats])
+      }
+      DataFile(path, specId, partitionValuesFromPath(path), rows, size, stats,
+        fileFormat = format)
     }.seq
   }
 
@@ -1971,20 +2015,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     this
   }
 
-  /** Register existing parquet files into this table WITHOUT rewriting
+  /** Register existing data files into this table WITHOUT rewriting
     * them (Iceberg's `add_files` procedure; the in-place half of the
     * workshop's import story applied to a live table instead of a new
-    * one). One footer-stats pass over the new files builds their manifest
-    * entries; the commit is an append — the files get this commit's data
-    * sequence number, so carried-forward equality deletes (scoped to older
+    * one). `format` may be "parquet" (default), "orc" or "avro" — each
+    * manifest entry records its own format (Iceberg's per-file
+    * `file_format` field) and the scan reads it accordingly; graft's own
+    * writes stay parquet, and any rewrite (compaction, clustering, CoW)
+    * migrates the rows to parquet as a side effect. One footer-stats
+    * pass over the new files builds their manifest entries (ORC footers
+    * carry min/max/null stats, Avro containers only exact counts); the
+    * commit is an append — the files get this commit's data sequence
+    * number, so carried-forward equality deletes (scoped to older
     * sequences) can never hit them, same as [[append]]. The incoming
     * physical schema must match: a file whose columns differ would
     * silently read as nulls forever after.
     */
-  def addFiles(sourceDir: String): GraftTable = {
+  def addFiles(sourceDir: String, format: String = "parquet"): GraftTable = {
     if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
     val m = meta
-    val incoming = spark.read.parquet(sourceDir).schema
+    val incoming =
+      if (format == "avro") graft.sources.GraftAvro.sparkSchema(
+        graft.sources.GraftAvro.probeSchemaJson(conf, sourceDir))
+      else spark.read.format(format).load(sourceDir).schema
     val expected = ColumnMapping.physicalSchema(m.schema)
     val missing = expected.fields.filterNot(f =>
       incoming.fields.exists(i => i.name == f.name && i.dataType == f.dataType))
@@ -1993,7 +2046,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val md = currentManifest(m)
     // external writers may truncate binary footer stats: string bounds
     // stay pruning-safe but must not serve aggregate-exact answers
-    val entries = collectFileEntries(sourceDir, m, m.currentSpecId)
+    val entries = collectFileEntries(sourceDir, m, m.currentSpecId, format)
       .map(_.copy(seq = nextSnapshotId(m), trustedBounds = false))
     commitSnapshot(m, md.files ++ entries, "append", entries.size,
       positionDeleteFiles = md.positionDeleteFiles,

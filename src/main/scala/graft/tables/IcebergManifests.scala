@@ -426,7 +426,7 @@ object IcebergManifests {
           }
           val dataFile = Map[String, Any](
             "file_path" -> f.path,
-            "file_format" -> "PARQUET",
+            "file_format" -> f.fileFormat.toUpperCase(java.util.Locale.ROOT),
             "partition" -> partition,
             "record_count" -> f.recordCount,
             "file_size_in_bytes" -> f.sizeBytes,
@@ -843,9 +843,9 @@ object IcebergManifests {
           if (status == 2) None // deleted entry: not live
           else {
             val df = entry("data_file").asInstanceOf[Map[String, Any]]
-            val fmt = df.getOrElse("file_format", "PARQUET").toString
-            require(fmt.equalsIgnoreCase("parquet"),
-              s"cannot import non-parquet data file format '$fmt'")
+            val fmt = df.getOrElse("file_format", "PARQUET").toString.toLowerCase
+            require(Seq("parquet", "orc", "avro").contains(fmt),
+              s"cannot import data file format '$fmt' (parquet, orc, avro)")
             val partRec = df.getOrElse("partition", Map.empty)
               .asInstanceOf[Map[String, Any]]
             val partitionValues = spec.fields.flatMap { pf =>
@@ -884,7 +884,8 @@ object IcebergManifests {
               // last byte of string upper bounds): pruning-safe, never
               // aggregate-exact
               trustedBounds = false,
-              firstRowId = first))
+              firstRowId = first,
+              fileFormat = fmt))
           }
         }
         val name = translatedName(path)

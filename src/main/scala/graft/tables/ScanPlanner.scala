@@ -343,12 +343,18 @@ object ScanPlanner {
         // passes them through.
         val defaults = meta.schema.fields.toSeq
           .flatMap(f => ColumnDefaults.of(f).map { case (v, since) => (f, v, since) })
+        // one scan branch per (file format, applicable-defaults) group:
+        // formats can't share a file-source relation, and plan growth
+        // stays bounded by formats × default epochs (≤3 × typically 2)
+        def readGroup(fs: Seq[DataFile], fmt: String): DataFrame =
+          withMeta(ColumnMapping.readFiles(spark, meta.schema, fs.map(_.path), fmt))
         if (defaults.isEmpty)
-          withMeta(ColumnMapping.readFiles(spark, meta.schema, pruned.map(_.path)))
-        else pruned.groupBy(df => defaults.map(d => df.seq < d._3))
-          .toSeq.sortBy(_._1.toString).map { case (flags, fs) =>
-            defaults.zip(flags).foldLeft(
-              withMeta(ColumnMapping.readFiles(spark, meta.schema, fs.map(_.path)))) {
+          pruned.groupBy(_.fileFormat).toSeq.sortBy(_._1)
+            .map { case (fmt, fs) => readGroup(fs, fmt) }
+            .reduce(_ unionByName _)
+        else pruned.groupBy(df => (df.fileFormat, defaults.map(d => df.seq < d._3)))
+          .toSeq.sortBy(_._1.toString).map { case ((fmt, flags), fs) =>
+            defaults.zip(flags).foldLeft(readGroup(fs, fmt)) {
                 case (d, ((fld, v, _), applies)) =>
                   if (!applies) d
                   else d.withColumn(fld.name,

@@ -199,7 +199,12 @@ case class DataFile(
     // manifest (Iceberg manifest-entry field 142, imports only).
     // Native files leave it None — their ids derive from the same
     // deterministic walk the v3 export uses ([[RowLineage.assign]]).
-    firstRowId: Option[Long] = None)
+    firstRowId: Option[Long] = None,
+    // per-file data format (the Iceberg manifest `file_format` field):
+    // graft WRITES parquet only, but add_files/import can register
+    // existing "orc" and "avro" files in place — the scan reads each
+    // file with its own format, like Iceberg's format-per-file model.
+    fileFormat: String = "parquet")
 
 /** One merge-on-read equality delete: rows matching any key tuple in
   * `files` (parquet, schema = `cols`) are dropped at read time — but only
@@ -527,6 +532,7 @@ object MetaIO {
       if (f.seq != 0) o.put("seq", f.seq)
       if (!f.trustedBounds) o.put("trusted_bounds", false)
       f.firstRowId.foreach(o.put("first_row_id", _))
+      if (f.fileFormat != "parquet") o.put("file_format", f.fileFormat)
       val st = o.putObject("stats")
       f.stats.foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -565,7 +571,8 @@ object MetaIO {
         statsMapFromJson(o.get("stats")),
         Option(o.get("seq")).map(_.asLong()).getOrElse(0L),
         Option(o.get("trusted_bounds")).forall(_.asBoolean()),
-        Option(o.get("first_row_id")).map(_.asLong()))
+        Option(o.get("first_row_id")).map(_.asLong()),
+        Option(o.get("file_format")).map(_.asText()).getOrElse("parquet"))
     }
     ManifestData(out.result(), deletes.result(), posDeletes.result(),
       eqDeletesFromJson(root))
