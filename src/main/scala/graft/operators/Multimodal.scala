@@ -909,7 +909,101 @@ object Multimodal {
     TextAnalysis.packedOracleSql(extra)
   }
 
+  // ---------------------------------------------------------------- m12
+
+  /** Special ids for the audio leg — past the m11 image markers, so
+    * text, image and audio id ranges can never collide. Four level
+    * markers: a frame's id is [[AudLevelBase]] + its quantized energy
+    * level (0-3).
+    */
+  private[operators] lazy val AudStartId: Long = graft.functions.BpeVocab.EosId + 4L
+  private[operators] lazy val AudEndId: Long   = graft.functions.BpeVocab.EosId + 5L
+  private[operators] lazy val AudLevelBase: Long = graft.functions.BpeVocab.EosId + 6L
+
+  /** m12: AUDIO+text sequence packing — the third modality through the
+    * SHARED [[TextAnalysis.packIdStream]] tail (text = p06, image+text =
+    * m11): each document becomes an (audio, transcript) pair; its token
+    * stream is AUD_START, one level marker per 25-sample frame of the
+    * DECODED audio (the m03 WAV fabrication, through the from-scratch
+    * RIFF parser in the mapPartitions batch — never from the text), one
+    * of FOUR ids by quantized frame energy, AUD_END, the transcript's
+    * merge-rule BPE ids, EOS — packed into fixed 128-token sequences.
+    *
+    * Frame QUANTIZATION rides the integer energy kernel (m03's exact
+    * arithmetic; thresholds 120000/480000/1080000 = voiced at 1×/2×/3×
+    * amplitude), so the DuckDB oracle replays every marker bit-for-bit.
+    * The mel/MFCC filterbank a production pipeline would attach per
+    * frame ([[graft.formats.Dsp]]) is real and DspSpec-pinned against
+    * closed-form fixtures, but floating-point features are NOT
+    * hash-comparable across engines — the portable marker layer is the
+    * integer one, the float features ride beside it (the same
+    * fidelity/portability split every gate in this family makes).
+    * Scale: decode+quantize+tokenize are one per-row pass; then p06's
+    * cost model (per-shard window, one bounded-state exchange).
+    */
+  def m12AudioPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val leveled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val samples = new Array[Int](text.length)
+          var i = 0
+          while (i < samples.length) { samples(i) = text.charAt(i) - 32; i += 1 }
+          val s = Media.Wav.decode(Media.Wav.encode(8000, samples)).samples
+          val nw = s.length / 25
+          val levels = new Array[Long](nw)
+          var w = 0
+          while (w < nw) {
+            var e = 0L
+            var j = w * 25; val end = j + 25
+            while (j < end) { e += s(j).toLong * s(j); j += 1 }
+            levels(w) =
+              if (e <= 120000L) 0L else if (e <= 480000L) 1L
+              else if (e <= 1080000L) 2L else 3L
+            w += 1
+          }
+          (id, text, levels)
+        }
+      }.toDF("doc_id", "text", "levels")
+    TextAnalysis.packIdStream(leveled.select(col("doc_id"),
+      concat(
+        array(lit(AudStartId)),
+        transform(col("levels"), l => l + lit(AudLevelBase)),
+        array(lit(AudEndId)),
+        graft.functions.F.bpeTokenIds(col("text")),
+        array(lit(graft.functions.BpeVocab.EosId))).as("ids")))
+  }
+
+  /** The p06 replay with the audio `dtok` branch: per doc, AUD_START +
+    * one quantized-energy level marker per 25-sample frame + AUD_END at
+    * widx −1, energies from m03's exact integer arithmetic.
+    */
+  lazy val m12Oracle: String = {
+    val extra = s"""
+       |  UNION ALL
+       |  SELECT a.doc_id, CAST(-1 AS BIGINT) AS widx, t.t AS tidx,
+       |    CASE WHEN t.t = 1 THEN $AudStartId
+       |         WHEN t.t = a.nw + 2 THEN $AudEndId
+       |         ELSE $AudLevelBase + a.levels[CAST(t.t - 1 AS INT)] END AS id
+       |  FROM (
+       |    SELECT doc_id,
+       |      [CASE WHEN e <= 120000 THEN 0 WHEN e <= 480000 THEN 1
+       |            WHEN e <= 1080000 THEN 2 ELSE 3 END
+       |       FOR e IN es] AS levels, len(es) AS nw
+       |    FROM (
+       |      SELECT doc_id,
+       |        [list_sum([(x-32)*(x-32) FOR x IN cs[w*25+1 : w*25+25]])
+       |         FOR w IN range(0, len(cs) // 25)] AS es
+       |      FROM (SELECT doc_id,
+       |              [unicode(c) FOR c IN regexp_split_to_array(text, '')] AS cs
+       |            FROM documents))) a,
+       |    LATERAL (SELECT UNNEST(generate_series(1, a.nw + 2)) AS t) t""".stripMargin
+    TextAnalysis.packedOracleSql(extra)
+  }
+
   val entries: Map[String, graft.Gate.Entry] = Map(
+    "m12_audio_packing"       -> graft.Gate(m12AudioPacking _, m12Oracle),
     "m11_multimodal_packing"  -> graft.Gate(m11MultimodalPacking _, m11Oracle),
     "m01_multimodal_pipeline" -> graft.Gate(m01MultimodalPipeline _, m01Oracle),
     "m02_frame_features"      -> graft.Gate(m02FrameFeatures _, m02Oracle),
