@@ -303,11 +303,15 @@ class RestCatalogServer(val warehouse: String,
       case None => icebergDialect
     }
 
-  // (location, version) -> (metadata-location, document); versions are
-  // immutable once published, so entries never invalidate — a commit
-  // bumps the version and the next load exports the new one
+  // location -> (version, metadata-location, document): at most ONE
+  // cached export per location (the newest seen), so a long-lived server
+  // over actively-committed tables holds O(tables) memory, not
+  // O(commits) — old-version entries would never be requested again
+  // (loads always resolve the current version) but used to accumulate
+  // forever. Replacement is version-monotonic, so a commit racing the
+  // export can never regress the cache to an older document.
   private val icebergCache =
-    new ConcurrentHashMap[String, (String, String)]()
+    new ConcurrentHashMap[String, (Int, String, String)]()
 
   /** LoadTableResult in the Iceberg vocabulary: the metadata document is
     * [[IcebergExport]]'s translation of the CURRENT version, written
@@ -323,17 +327,18 @@ class RestCatalogServer(val warehouse: String,
   private def icebergLoadResult(loc: String): ObjectNode = {
     val v = MetaIO.currentVersion(conf, loc).getOrElse(
       throw new IllegalStateException(s"no metadata at $loc"))
-    val (metaLoc, json) = icebergCache.computeIfAbsent(s"$loc@$v", _ => {
-      val exportDir = s"${MetaIO.metadataDir(loc)}/iceberg/v$v"
-      icebergScanExporter.flatMap { spark =>
+    val (_, metaLoc, json) = Option(icebergCache.get(loc))
+      .filter(_._1 >= v).getOrElse {
+      val built = icebergScanExporter.flatMap { spark =>
         try {
           val t = graft.tables.GraftTable.load(spark, loc)
           // a commit may land between the version read and the load;
           // export what was actually loaded and cache under ITS version
+          val ver = t.meta.version
           val json = IcebergExport.exportBinary(t,
-            s"${MetaIO.metadataDir(loc)}/iceberg/v${t.meta.version}",
+            s"${MetaIO.metadataDir(loc)}/iceberg/v$ver",
             formatVersion = 2)
-          Some((s"${MetaIO.metadataDir(loc)}/iceberg/v${t.meta.version}/metadata.json", json))
+          Some((ver, s"${MetaIO.metadataDir(loc)}/iceberg/v$ver/metadata.json", json))
         } catch {
           // unrepresentable states (pending predicate deletes) fall back
           // to the metadata-only translation below
@@ -342,11 +347,14 @@ class RestCatalogServer(val warehouse: String,
       }.getOrElse {
         val m = MetaIO.loadMeta(conf, loc)
         val json = IcebergExport.metadataJson(m, conf, formatVersion = 2)
-        val p = s"$exportDir/metadata.json"
+        val p = s"${MetaIO.metadataDir(loc)}/iceberg/v${m.version}/metadata.json"
         MetaIO.writeStringAtomic(conf, p, json)
-        (p, json)
+        (m.version, p, json)
       }
-    })
+      icebergCache.merge(loc, built,
+        (old, nw) => if (nw._1 >= old._1) nw else old)
+      built
+    }
     val o = mapper.createObjectNode()
     o.put("metadata-location", metaLoc)
     o.set[ObjectNode]("metadata",

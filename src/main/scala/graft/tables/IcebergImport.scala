@@ -437,12 +437,36 @@ object IcebergImport {
       Option(root.get("refs")).foreach { ro =>
         ro.fieldNames().forEachRemaining { name =>
           val o = ro.get(name)
+          val snapId = o.get("snapshot-id").asLong()
           // Iceberg's main branch IS graft's implicit current pointer
           // (current-snapshot-id above); materializing it as a ref would
-          // shadow the pointer, which graft refuses by construction
+          // shadow the pointer, which graft refuses by construction. But
+          // a FOREIGN main can legitimately diverge from the current
+          // pointer (WAP / staged commits) or carry retention settings —
+          // silently discarding that state loses it, so: drop main only
+          // when it is the trivial mirror of current-snapshot-id with no
+          // retention fields; otherwise preserve the head under
+          // 'main_imported' and say so.
+          val retentionKeys = Seq("max-ref-age-ms", "min-snapshots-to-keep",
+            "max-snapshot-age-ms").filter(o.has)
           if (name != "main")
-            b += name -> Ref(o.get("type").asText().toLowerCase,
-              o.get("snapshot-id").asLong())
+            b += name -> Ref(o.get("type").asText().toLowerCase, snapId)
+          else if (currentSnap.contains(snapId) && retentionKeys.isEmpty)
+            () // trivial mirror of the current pointer: safe to drop
+          else {
+            if (!currentSnap.contains(snapId)) {
+              System.err.println(s"[graft] iceberg import: 'main' ref " +
+                s"(snapshot $snapId) diverges from current-snapshot-id " +
+                s"${currentSnap.getOrElse(-1L)} — preserving it as branch " +
+                "'main_imported'")
+              b += "main_imported" ->
+                Ref(o.get("type").asText().toLowerCase, snapId)
+            }
+            if (retentionKeys.nonEmpty)
+              System.err.println("[graft] iceberg import: 'main' ref " +
+                s"retention settings (${retentionKeys.mkString(", ")}) have " +
+                "no graft equivalent and are not imported")
+          }
         }
       }
       b.result()
