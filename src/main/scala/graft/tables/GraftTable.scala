@@ -2032,6 +2032,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * silently read as nulls forever after.
     */
   def addFiles(sourceDir: String, format: String = "parquet"): GraftTable = {
+    require(Seq("parquet", "orc", "avro").contains(format),
+      s"unsupported data file format '$format' (parquet, orc, avro)")
     if (currentManifest().deletePredicates.nonEmpty) { materializeDeletes(); () }
     val m = meta
     val incoming =

@@ -1093,6 +1093,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m12 audio packing: quantized-energy markers, stream layout, id-range disjointness") {
+    import graft.functions.BpeVocab
+    // the three modality ranges can never collide
+    assert(BpeVocab.EosId < Multimodal.ImgStartId)
+    assert(Multimodal.ImgEndId < Multimodal.AudStartId)
+    assert(Multimodal.AudLevelBase + 3L ==
+      graft.functions.BpeVocab.EosId + 9L)
+    val rows = Multimodal.m12AudioPacking(spark, sf)
+      .select($"shard", $"seq_id", $"seq_text")
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // driver-side expected stream: m03 window energies (code−32 squared,
+    // 25-sample frames) quantized at 1x/2x/3x-amplitude thresholds,
+    // then BPE ids + EOS
+    def idsOf(t: String): Vector[Long] = {
+      val levels = (0 until t.length / 25).toVector.map { w =>
+        val e = (w * 25 until w * 25 + 25)
+          .map(i => (t.charAt(i) - 32).toLong).map(s => s * s).sum
+        if (e <= 120000L) 0L else if (e <= 480000L) 1L
+        else if (e <= 1080000L) 2L else 3L
+      }
+      (Multimodal.AudStartId +: levels.map(Multimodal.AudLevelBase + _) :+
+        Multimodal.AudEndId) ++
+        BpeVocab.tokenIds(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          .toLongArray().toVector :+ BpeVocab.EosId
+    }
+    val wantByShard = docs.groupBy(_._1 % 8).map { case (s, ds) =>
+      s -> ds.sortBy(_._1).toVector.flatMap { case (_, t) => idsOf(t) } }
+    rows.groupBy(_._1).foreach { case (shard, seqs) =>
+      val got = seqs.sortBy(_._2).toVector.flatMap(_._3.split(" ").map(_.toLong))
+      assert(got == wantByShard(shard), s"shard $shard audio stream mismatch")
+    }
+  }
+
   test("m09 ingest read lists ONE root path (dir + pathGlobFilter, never a per-file glob)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = Multimodal.m09BinaryIngest(spark, sf)

@@ -1,0 +1,109 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Multi-format data files (t56): `add_files` over ORC/Avro directories,
+  * per-file `file_format` in the manifest, format-grouped scans, ORC
+  * footer stats that really prune, Avro exact counts, and parquet
+  * migration on rewrite.
+  */
+class MultiFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def base() = GraftTable.createAs(spark, tmp("graft_mf"),
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "price"))
+
+  test("add_files orc: format in the manifest, stats prune, values read") {
+    val t = base()
+    val orcDir = tmp("graft_mf_orc")
+    Seq((10L, "x", 1.5), (11L, "y", 2.5)).toDF("id", "name", "price")
+      .coalesce(1).write.mode("append").orc(orcDir)
+    Seq((900L, "z", 9.0)).toDF("id", "name", "price")
+      .coalesce(1).write.mode("append").orc(orcDir)
+    t.addFiles(orcDir, "orc")
+    val re = GraftTable.load(spark, t.location)
+    val orcFiles = re.currentFiles().filter(_.fileFormat == "orc")
+    assert(orcFiles.size == 2)
+    assert(orcFiles.map(_.recordCount).sorted == Seq(1L, 2L))
+    // ORC footer stats landed and prune: id >= 900 plans one orc file
+    assert(orcFiles.forall(_.stats.contains("id")))
+    assert(re.plannedFiles("id >= 900").count(_.fileFormat == "orc") == 1)
+    // the mixed-format read unifies
+    assert(re.toDF().count() == 5)
+    assert(re.toDF().filter(col("id") === 900L).select(col("name"))
+      .as[String].collect().toSeq == Seq("z"))
+  }
+
+  test("add_files avro: exact block counts, values read via the native codec") {
+    val t = base()
+    val avroDir = tmp("graft_mf_avro")
+    graft.sources.GraftAvro.write(
+      Seq((100L, "p", 7.0), (101L, "q", 8.0), (102L, "r", 9.0))
+        .toDF("id", "name", "price").coalesce(1), avroDir)
+    t.addFiles(avroDir, "avro")
+    val re = GraftTable.load(spark, t.location)
+    val av = re.currentFiles().filter(_.fileFormat == "avro")
+    assert(av.nonEmpty && av.map(_.recordCount).sum == 3L)
+    assert(av.forall(_.stats.isEmpty), "avro containers carry no column stats")
+    assert(re.toDF().count() == 5)
+    assert(re.toDF().filter(col("id") >= 100L)
+      .select(sum(col("price"))).head().getDouble(0) == 24.0)
+  }
+
+  test("file_format round-trips through manifest JSON (parquet stays implicit)") {
+    val files = Seq(
+      DataFile("/d/a.parquet", 0, Map.empty, 5L, 100L, Map.empty),
+      DataFile("/d/b.orc", 0, Map.empty, 3L, 50L, Map.empty, fileFormat = "orc"),
+      DataFile("/d/c.avro", 0, Map.empty, 2L, 40L, Map.empty, fileFormat = "avro"))
+    val json = MetaIO.manifestToJson(files)
+    assert(!json.split("\n").exists(l =>
+      l.contains("file_format") && l.contains("parquet")),
+      "parquet is the default and must not be serialized")
+    assert(MetaIO.manifestFromJson(json).map(_.fileFormat) ==
+      Seq("parquet", "orc", "avro"))
+  }
+
+  test("rewrite migrates foreign-format rows to parquet") {
+    val t = base()
+    val orcDir = tmp("graft_mf_orc2")
+    Seq((10L, "x", 1.5)).toDF("id", "name", "price")
+      .coalesce(1).write.orc(orcDir)
+    t.addFiles(orcDir, "orc")
+    t.compact()
+    val re = GraftTable.load(spark, t.location)
+    assert(re.currentFiles().forall(_.fileFormat == "parquet"))
+    assert(re.toDF().count() == 3)
+  }
+
+  test("orc footer stats map exactly; truncated-unsafe columns drop, not corrupt") {
+    val dir = tmp("graft_mf_orc3")
+    Seq((5L, "alpha", 1.25, true), (9L, "omega", -3.5, false))
+      .toDF("k", "s", "d", "b").coalesce(1).write.orc(dir)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".orc")).get
+    val (rows, stats) = ExternalFooters.orcStats(
+      spark.sparkContext.hadoopConfiguration, f.getAbsolutePath,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.BooleanType))))
+    assert(rows == 2L)
+    assert(stats("k") == ColStats(Some(5L), Some(9L), 0L))
+    assert(stats("s") == ColStats(Some("alpha"), Some("omega"), 0L))
+    assert(stats("d") == ColStats(Some(-3.5), Some(1.25), 0L))
+    assert(stats("b") == ColStats(Some(false), Some(true), 0L))
+  }
+
+  test("add_files refuses a format the engine doesn't read") {
+    val t = base()
+    val e = intercept[IllegalArgumentException] {
+      t.addFiles("/nonexistent", "csv")
+    }
+    assert(e.getMessage.contains("csv") || e.getMessage.contains("format"))
+  }
+}

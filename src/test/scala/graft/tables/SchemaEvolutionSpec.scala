@@ -180,6 +180,37 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.changesOf(s1).columns.toSeq == Seq("id", "val", "note", "_change_type"))
   }
 
+  test("changesBetweenBySnapshot serves a RANGE under per-commit schemas (r16)") {
+    val t = GraftTable.createAs(spark, tmp(), Seq((1L, 1.0)).toDF("id", "v"))
+    val s0 = t.meta.currentSnapshotId.get
+    t.append(Seq((2L, 2.0)).toDF("id", "v"))         // commit A: old name
+    t.renameColumn("v", "val")                       // metadata-only
+    t.append(Seq((3L, 3.0)).toDF("id", "val"))       // commit B: new name
+    t.deleteMergeOnRead("id = 2")                    // commit C: MOR delete
+    val head = t.meta.currentSnapshotId.get
+
+    val frames = t.changesBetweenBySnapshot(s0, head, underSnapshotSchema = true)
+    assert(frames.size == 3)
+    val Seq((_, a), (_, b), (_, c)) = frames
+    // each frame carries the names ITS writer saw, never retroactive ones
+    assert(a.columns.toSeq == Seq("id", "v", "_change_type"))
+    assert(b.columns.toSeq == Seq("id", "val", "_change_type"))
+    assert(c.columns.toSeq == Seq("id", "val", "_change_type"))
+    assert(a.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((2L, "insert")))
+    assert(c.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((2L, "delete")))
+    // a consumer remaps a historical frame forward via SchemaDiff
+    val ops = SchemaDiff.diff(
+      t.meta.schemaAt(frames.head._1.schemaId), t.meta.schema)
+    assert(ops == Seq(SchemaOp.Rename("v", "val")))
+    // underSnapshotSchema=false reproduces changesBetween's uniform view
+    val uniform = t.changesBetweenBySnapshot(s0, head)
+    assert(uniform.forall(_._2.columns.toSeq == Seq("id", "val", "_change_type")))
+    assert(uniform.map(_._2).reduce(_ unionAll _).collect().toSet ==
+      t.changesBetween(s0, head).collect().toSet)
+  }
+
   test("snapshot schemas: drop and widen are scoped to their commits") {
     val t = GraftTable.createAs(spark, tmp(),
       Seq((1, "x", 1.5f)).toDF("n", "label", "f"))
