@@ -1541,7 +1541,63 @@ object TableOpsExt {
        |  (SELECT COUNT(*) FROM ${cappedSql(120)}) AS n_avro_rows
        |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- t57
+
+  /** t57: ZERO-COPY table snapshot (Iceberg's `snapshot` procedure —
+    * completing the migration trio with t02 in-place migrate and
+    * t38/t56 add_files): `GraftTable.snapshotOf` creates an independent
+    * table whose first snapshot borrows the source's current files in
+    * place, then both sides DIVERGE — a copy-on-write delete on the
+    * snapshot rewrites ONLY the files holding affected keys (into the
+    * snapshot's own location; the base-commit files stay borrowed,
+    * pinned by `zero_copy`), and a later append on the source never
+    * appears in the snapshot. Maintenance safety is structural: expire/
+    * orphan sweeps delete only under a table's own dirs, so the
+    * borrowed files can never be reclaimed by the copy.
+    */
+  def t57SnapshotTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcLoc = tmp()
+    val src = GraftTable.createAs(spark, srcLoc, orders(spark, sfDir, 700))
+    src.append(shifted(spark, sfDir, 100, 900000000L))
+    val snap = GraftTable.snapshotOf(src, tmp())
+    // diverge the copy: CoW delete touching only the second commit's files
+    snap.delete("o_orderkey >= 900000000 AND o_orderkey % 2 = 0")
+    // diverge the source: an append the copy must never see
+    src.append(shifted(spark, sfDir, 150, 950000000L))
+    val snapFiles = GraftTable.load(spark, snap.location).currentFiles()
+    val srcAgg = GraftTable.load(spark, srcLoc).toDF().agg(
+      count(lit(1)).as("src_rows"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("src_sum"))
+    val snapAgg = GraftTable.load(spark, snap.location).toDF().agg(
+      count(lit(1)).as("snap_rows"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("snap_sum"))
+    srcAgg.crossJoin(snapAgg)
+      .withColumn("zero_copy",
+        lit(snapFiles.exists(_.path.startsWith(srcLoc))))
+      .withColumn("rewrites_own",
+        lit(snapFiles.filterNot(_.path.startsWith(srcLoc))
+          .forall(_.path.startsWith(snap.location))))
+  }
+
+  val t57Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql(700)}),
+       |s1 AS (SELECT o_orderkey + 900000000 AS k, o_totalprice AS p FROM ${cappedSql(100)}),
+       |s2 AS (SELECT o_orderkey + 950000000 AS k, o_totalprice AS p FROM ${cappedSql(150)}),
+       |src AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS p FROM base
+       |  UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+       |snp AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS p FROM base
+       |  UNION ALL SELECT * FROM s1 WHERE NOT (k >= 900000000 AND k % 2 = 0))
+       |SELECT
+       |  (SELECT COUNT(*) FROM src) AS src_rows,
+       |  (SELECT CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM src) AS src_sum,
+       |  (SELECT COUNT(*) FROM snp) AS snap_rows,
+       |  (SELECT CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM snp) AS snap_sum,
+       |  TRUE AS zero_copy, TRUE AS rewrites_own""".stripMargin
+
   val entries: Map[String, graft.Gate.Entry] = Map(
+    "t57_snapshot_table"       -> graft.Gate(t57SnapshotTable _, t57Oracle),
     "t56_add_files_formats"    -> graft.Gate(t56AddFilesFormats _, t56Oracle),
     "t55_range_changelog"      -> graft.Gate(t55RangeChangelog _, t55Oracle),
     "t52_row_lineage"          -> graft.Gate(t52RowLineage _, t52Oracle),

@@ -3229,4 +3229,45 @@ object GraftTable {
   }
 
   def load(spark: SparkSession, location: String): GraftTable = new GraftTable(spark, location)
+
+  /** Zero-copy TABLE SNAPSHOT (Iceberg's `snapshot` procedure — the
+    * third migration leg beside in-place migrate and `add_files`): a NEW
+    * independent table at `location` whose first snapshot references the
+    * source's CURRENT data files — and its pending merge-on-read delete
+    * payloads, so the copy reads exactly what the source reads — all IN
+    * PLACE. No bytes copy; the source is untouched, and the two tables
+    * evolve independently from here: the copy's writes and rewrites land
+    * under its OWN location, and maintenance can never reclaim the
+    * borrowed files because expiration and orphan sweeps only ever
+    * delete under a table's own data/deletes dirs (the invariant
+    * Iceberg's `gc.enabled=false` enforces on its snapshot tables —
+    * here it holds for every table by construction). Partition specs
+    * copy whole (file entries reference their spec ids); source
+    * stats/lineage pointer properties are dropped (they name files in
+    * the source's metadata dir — recompute on the copy when needed).
+    */
+  def snapshotOf(source: GraftTable, location: String): GraftTable = {
+    val spark = source.spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(MetaIO.currentVersion(conf, location).isEmpty,
+      s"table exists at $location")
+    val sm = source.meta
+    val md = source.currentManifest(sm)
+    val dropProps = Set(TableFormat.StatsFile, TableFormat.StatsSnapshot,
+      TableFormat.PartStatsFile, TableFormat.PartStatsSnapshot,
+      TableFormat.RowLineageSettled)
+    val snapId = 1L
+    val manifestName = MetaIO.newManifestName(snapId)
+    MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$manifestName",
+      MetaIO.manifestToJson(md.files, md.deletePredicates,
+        md.positionDeleteFiles, md.equalityDeletes))
+    val snap = Snapshot(snapId, None, System.currentTimeMillis(), "snapshot",
+      manifestName, md.files.size, md.files.size,
+      md.files.map(_.recordCount).sum)
+    MetaIO.commitMeta(conf, TableMeta(location, 1, sm.schema, sm.specs,
+      sm.currentSpecId, Seq(snap), Some(snapId),
+      (sm.properties -- dropProps) +
+        (TableFormat.SnapshotSource -> sm.location)))
+    new GraftTable(spark, location)
+  }
 }

@@ -124,6 +124,10 @@ object TableFormat {
     * its walk position and renumber its rows — the spec's ids are forever).
     */
   val RowLineageSettled = "graft.row-lineage.settled"
+  /** Set on a table created by [[GraftTable.snapshotOf]]: the source
+    * table location whose files the first snapshot borrowed in place.
+    */
+  val SnapshotSource = "graft.snapshot-source"
   /** Target data-file size for writes (Iceberg
     * `write.target-file-size-bytes`): served to AQE as the advisory
     * partition size for the write's shuffle, so range/hash-distributed

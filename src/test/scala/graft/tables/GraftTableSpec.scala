@@ -12,6 +12,32 @@ class GraftTableSpec extends SparkSpec {
 
   private def ordersDf = spark.read.parquet(s"$sf/orders.parquet")
 
+  test("snapshotOf: zero-copy, pending MOR deletes carry, maintenance never reclaims borrowed files (r16)") {
+    val srcLoc = tmp()
+    val src = GraftTable.createAs(spark, srcLoc,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v"))
+    src.deleteMergeOnReadPositions("id = 2") // pending MOR state at snapshot time
+    val snap = GraftTable.snapshotOf(src, tmp())
+    // the copy reads exactly what the source reads, borrowing its files
+    assert(snap.toDF().select(col("id")).as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    assert(snap.currentFiles().forall(_.path.startsWith(srcLoc)), "zero copy")
+    assert(snap.meta.properties(TableFormat.SnapshotSource) == src.meta.location)
+    // divergence: a write on the copy never touches the source
+    snap.append(Seq((9L, 90.0)).toDF("id", "v"))
+    assert(src.toDF().count() == 3 && snap.toDF().count() == 4)
+    // maintenance on the copy can never delete the source's files: expire
+    // everything expirable, then orphan-sweep with no age guard
+    snap.expireSnapshots(System.currentTimeMillis() + 1000000L)
+    val swept = GraftTable.load(spark, snap.location)
+      .removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000000L)
+    assert(swept.forall(!_.startsWith(srcLoc)), "borrowed files reclaimed")
+    assert(src.toDF().count() == 3, "source survives the copy's maintenance")
+    // a second snapshot at an occupied location refuses
+    intercept[IllegalArgumentException] {
+      GraftTable.snapshotOf(src, snap.location)
+    }
+  }
+
   test("eq-delete key-range stats confine the anti-join to overlapping files (r8)") {
     import org.apache.spark.sql.catalyst.plans.LeftAnti
     import org.apache.spark.sql.execution.FileSourceScanExec
