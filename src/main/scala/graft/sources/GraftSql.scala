@@ -36,6 +36,9 @@ import scala.util.matching.Regex
   *  - `CALL system.compute_partition_stats('t')` (persisted partition statistics;
   *    appends fold, `.partitions` serves in O(partitions))
   *  - `CALL system.cherrypick_snapshot('t', <snapshot-id>)` (divergent-WAP publish)
+  *  - `CALL system.add_files('t', '<dir>'[, 'orc'|'avro'])` (in-place file
+  *    registration, per-file format in the manifest)
+  *  - `CALL system.snapshot('src', 'target')` (zero-copy table snapshot)
   *  - `DESCRIBE HISTORY t`
   *  - `SELECT ... FROM t [FOR SYSTEM_TIME AS OF '<ts>']
   *    [FOR SYSTEM_VERSION AS OF <id>] ...` — time travel inline in queries
@@ -188,7 +191,10 @@ class GraftSql(val spark: SparkSession, warehouse: String,
   private val CallRemoveOrphans =
     r("""CALL\s+[\w.]*REMOVE_ORPHAN_FILES\s*\(\s*["']([\w.]+)["']\s*(?:,\s*(\d+)\s*)?\)""")
   private val CallAddFiles =
-    r("""CALL\s+[\w.]*ADD_FILES\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
+    r("""CALL\s+[\w.]*ADD_FILES\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*(?:,\s*["'](\w+)["']\s*)?\)""")
+  // (?<!_) keeps CHERRYPICK_SNAPSHOT out of this pattern's prefix
+  private val CallSnapshot =
+    r("""CALL\s+[\w.]*(?<!_)SNAPSHOT\s*\(\s*["']([\w.]+)["']\s*,\s*["']([\w.]+)["']\s*\)""")
   private val CallRegisterIceberg =
     r("""CALL\s+[\w.]*REGISTER_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
   private val CallExportIceberg =
@@ -379,8 +385,16 @@ class GraftSql(val spark: SparkSession, warehouse: String,
         table(name).rollback(snap.toLong); status("rollback", name)
       case ExecExpire(name, ts) =>
         table(name).expireSnapshots(parseTimestampMs(ts)); status("expire", name)
-      case CallAddFiles(name, dir) =>
-        table(stripDb(name)).addFiles(dir); status("add-files", stripDb(name))
+      case CallAddFiles(name, dir, fmt) =>
+        table(stripDb(name)).addFiles(dir, Option(fmt).getOrElse("parquet"))
+        status("add-files", stripDb(name))
+      case CallSnapshot(src, tgt) =>
+        // zero-copy table snapshot (Iceberg `snapshot` procedure): the
+        // target borrows the source's current files in place
+        val tn = stripDb(tgt)
+        val t = GraftTable.snapshotOf(table(stripDb(src)), s"$warehouse/$tn")
+        register(tn, t.location)
+        status("snapshot", tn)
       case CallRegisterIceberg(name, metaPath) =>
         // read-side Iceberg interop (reference interoperability.md): point
         // graft at an external metadata.json; metadata-only registration

@@ -780,6 +780,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(rows(990L) == "NEW")
   }
 
+  test("CALL system.snapshot + 3-arg add_files: migration trio through SQL (r16)") {
+    import spark.implicits._
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE snapsrc AS SELECT o_orderkey, o_totalprice FROM orders LIMIT 50")
+    // 3-arg add_files: register an ORC dir with its format
+    val orcDir = Files.createTempDirectory("graft_sql_orc").toString + "/o"
+    Seq((900000001L, 1.5), (900000002L, 2.5)).toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.orc(orcDir)
+    g.sql(s"CALL system.add_files('snapsrc', '$orcDir', 'orc')")
+    assert(g.sql("SELECT COUNT(*) AS n FROM snapsrc").head().getLong(0) == 52)
+    // zero-copy snapshot, then diverge: the copy never sees later writes
+    g.sql("CALL system.snapshot('snapsrc', 'snapcopy')")
+    g.sql("INSERT INTO snapsrc SELECT o_orderkey + 990000000, o_totalprice FROM orders LIMIT 5")
+    assert(g.sql("SELECT COUNT(*) AS n FROM snapcopy").head().getLong(0) == 52)
+    assert(g.sql("SELECT COUNT(*) AS n FROM snapsrc").head().getLong(0) == 57)
+    // cherrypick_snapshot still routes to its own procedure (regex guard)
+    val e = intercept[Exception] {
+      g.sql("CALL system.cherrypick_snapshot('snapsrc', 999)")
+    }
+    assert(e.getMessage.toLowerCase.contains("snapshot") ||
+      e.getMessage.contains("999"))
+  }
+
   test("t.lineage metadata table serves _row_id through SQL") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE lin1 AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 200")
