@@ -2050,7 +2050,63 @@ object TextAnalysis {
 
   lazy val p08Oracle: String = packedOracleSql("", withMask = true)
 
+  // ---------------------------------------------------------------- x26
+
+  /** x26: per-document DISTINCTIVE-TERM extraction — the exact-arithmetic
+    * core of TF-IDF, the keyword/topic-labeling pass a curation pipeline
+    * runs to tag and mix training data by subject: each document's top
+    * term by `tf / df` (its frequency in the doc over its document
+    * frequency in the corpus; ties break on the lexicographically
+    * smallest term). Deliberately NO logarithms: tf and df are exact
+    * integers and IEEE division of the same two integers is correctly
+    * rounded on every engine, so the gate hash-compares scores
+    * bit-for-bit — where a log-weighted variant would drift in the last
+    * ulp between JVM and DuckDB (the same fidelity/portability line the
+    * LM and MFCC families draw).
+    *
+    * Scale shape at 100 TB: one shuffle for per-(doc, term) counts, one
+    * for per-term document frequencies; the df table is vocabulary-sized
+    * (bounded, zipf-truncated in practice) so the score join broadcasts;
+    * the final per-doc argmax is a window over the doc's own terms —
+    * partition-local, no global ordering anywhere.
+    */
+  def x26DocKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("w").as("keyword"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x26Oracle: String =
+    """WITH w0 AS (
+      |  SELECT doc_id, unnest([w FOR w IN
+      |    regexp_split_to_array(trim(lower(text)), '\s+') IF w <> '']) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w0 GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |s AS (
+      |  SELECT doc_id, w, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (w)),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rk FROM s)
+      |SELECT doc_id, w AS keyword, tf, df, score
+      |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, graft.Gate.Entry] = Map(
+    "x26_doc_keywords"   -> graft.Gate(x26DocKeywords _, x26Oracle),
     "p06_packed_sequences" -> graft.Gate(p06PackedSequences _, p06Oracle),
     "p07_curate_and_pack"  -> graft.Gate(p07CurateAndPack _, p07Oracle),
     "p08_sft_packing"      -> graft.Gate(p08SftPacking _, p08Oracle),
