@@ -758,6 +758,25 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("x26 keyword plan: the df table broadcasts, argmax stays per-doc (no sort-merge join)") {
+    val out = TextAnalysis.x26DocKeywords(spark, sf)
+    // finalize AQE so the executed plan is the real one
+    val rows = out.as[(Long, String, Long, Long, Double)].collect()
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "score join must broadcast the vocabulary-sized df table")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "a sort-merge join here means the df side shuffled the corpus")
+    // and the result is sane: one keyword per document, score = tf/df
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.trim($"text") =!= "").count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { case (_, _, tf, df, score) =>
+      assert(score == tf.toDouble / df && tf >= 1 && df >= 1)
+    }
+  }
+
   test("p06 packed sequences: exact budget, EOS accounting, stream reconstruction") {
     import graft.functions.BpeVocab
     val rows = TextAnalysis.p06PackedSequences(spark, sf)

@@ -99,6 +99,39 @@ class MultiFormatSpec extends SparkSpec {
     assert(stats("b") == ColStats(Some(false), Some(true), 0L))
   }
 
+  test("hostile bytes fail LOUD at registration, never corrupt a manifest") {
+    val dir = tmp("graft_mf_bad")
+    // a parquet file renamed .orc: the ORC tail parse must throw, so
+    // add_files never commits an entry whose stats/counts are garbage
+    Seq((1L, "x")).toDF("id", "name").coalesce(1).write.parquet(dir)
+    val pq = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val asOrc = new java.io.File(dir, "fake.orc")
+    java.nio.file.Files.copy(pq.toPath, asOrc.toPath)
+    intercept[Exception] {
+      ExternalFooters.orcStats(spark.sparkContext.hadoopConfiguration,
+        asOrc.getAbsolutePath,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+    }
+    // a truncated avro container: the block walk must throw, not
+    // under-count
+    val avroDir = tmp("graft_mf_bad_avro")
+    graft.sources.GraftAvro.write(
+      Seq((1L, 2.0), (3L, 4.0)).toDF("a", "b").coalesce(1), avroDir)
+    val av = new java.io.File(avroDir).listFiles()
+      .find(_.getName.endsWith(".avro")).get
+    val bytes = java.nio.file.Files.readAllBytes(av.toPath)
+    val cut = new java.io.File(avroDir, "cut.avro")
+    java.nio.file.Files.write(cut.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    intercept[Exception] {
+      ExternalFooters.avroRowCount(
+        spark.sparkContext.hadoopConfiguration, cut.getAbsolutePath)
+    }
+  }
+
   test("add_files refuses a format the engine doesn't read") {
     val t = base()
     val e = intercept[IllegalArgumentException] {
