@@ -132,6 +132,28 @@ class MultiFormatSpec extends SparkSpec {
     }
   }
 
+  test("per-file format survives the Iceberg v2 binary round trip") {
+    val t = base()
+    val orcDir = tmp("graft_mf_orc4")
+    Seq((10L, "x", 1.5), (11L, "y", 2.5)).toDF("id", "name", "price")
+      .coalesce(1).write.orc(orcDir)
+    t.addFiles(orcDir, "orc")
+    val exportDir = java.nio.file.Files
+      .createTempDirectory("graft_mf_ice").toString
+    IcebergExport.exportBinary(GraftTable.load(spark, t.location),
+      exportDir, formatVersion = 2)
+    val imp = IcebergImport.importMetadata(spark,
+      s"$exportDir/metadata.json", tmp("graft_mf_imp"))
+    // the manifest's file_format field round-trips; the imported table
+    // reads each file with its own format
+    assert(imp.currentFiles().map(_.fileFormat).sorted ==
+      t.currentFiles().map(_.fileFormat).sorted)
+    assert(imp.currentFiles().count(_.fileFormat == "orc") == 1)
+    assert(imp.toDF().count() == 4)
+    assert(imp.toDF().filter(col("id") >= 10L)
+      .select(sum(col("price"))).head().getDouble(0) == 4.0)
+  }
+
   test("add_files refuses a format the engine doesn't read") {
     val t = base()
     val e = intercept[IllegalArgumentException] {
