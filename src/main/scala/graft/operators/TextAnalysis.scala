@@ -1870,35 +1870,17 @@ object TextAnalysis {
     * texts instead of the raw table). One definition — the text-only,
     * interleaved and capstone gates cannot drift.
     */
-  private[operators] def packedOracleSql(extraDtok: String,
-      prefixCtes: String = "",
-      docsSelect: String = "SELECT doc_id, lower(text) AS t FROM documents",
-      withMask: Boolean = false): String = {
-    require(extraDtok.isEmpty || !withMask,
-      "mask packing and extra dtok branches are separate consumers")
+  /** The per-DISTINCT-word byte-level BPE replay in hex space as oracle
+    * CTEs — input `uw(w)` (caller-provided), output `wids(w, ids)`: one
+    * token-id array per word, byte ids below 256 and merge products at
+    * 256 + rank. ONE definition shared by [[packedOracleSql]] (p06/p07/
+    * p08/m11/m12/st12) and the p10 oracle, so a kernel change cannot
+    * drift one replay while the others still match.
+    */
+  private def bpeWordIdsCtes: String = {
     val pairs = bpeMergePairsSql
     val prods = bpeProductsSql
-    val eos = graft.functions.BpeVocab.EosId
-    // the p08 mask leg: a word token trains (mask 1) iff its word sits
-    // past the per-doc prompt cut ((len+1)//2); EOS always trains
-    val cutCol = if (withMask) ",\n    (len(regexp_split_to_array(trim(t), '\\s+')) + 1) // 2 AS cut" else ""
-    val cutSel = if (withMask) ", cut" else ""
-    val wMask = if (withMask) ",\n    CASE WHEN p.widx <= p.cut THEN 0 ELSE 1 END AS mask" else ""
-    val eosMask = if (withMask) ", 1 AS mask" else ""
-    val posMask = if (withMask) ", mask" else ""
-    val gMask = if (withMask) ", p.mask" else ""
-    val outMask = if (withMask)
-      ",\n  CAST(SUM(mask) AS BIGINT) AS n_trained,\n  string_agg(CAST(mask AS VARCHAR), ' ' ORDER BY gpos) AS mask_text"
-    else ""
-    s"""WITH RECURSIVE
-       |${prefixCtes}docs AS ($docsSelect),
-       |dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws$cutCol FROM docs),
-       |wpos AS (
-       |  SELECT doc_id, i.i AS widx, ws[i.i] AS w$cutSel
-       |  FROM dw, LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS i) i
-       |  WHERE ws[i.i] <> ''),
-       |uw AS (SELECT DISTINCT w FROM wpos),
-       |hx AS (SELECT w, lower(hex(encode(w))) AS hw FROM uw),
+    s"""hx AS (SELECT w, lower(hex(encode(w))) AS hw FROM uw),
        |enc AS (
        |  SELECT w, [substr(hw, CAST(x AS INT), 2) FOR x IN range(1, length(hw)+1, 2)] AS syms
        |  FROM hx WHERE length(hw) <= 512),
@@ -1927,7 +1909,36 @@ object TextAnalysis {
        |     ELSE CAST(255 + COALESCE(nullif(list_position($prods, s), 0),
        |       CAST(error('graft oracle: token is not a merge product') AS INT)) AS BIGINT) END
        |     FOR s IN syms] AS ids
-       |  FROM fin),
+       |  FROM fin)""".stripMargin
+  }
+
+  private[operators] def packedOracleSql(extraDtok: String,
+      prefixCtes: String = "",
+      docsSelect: String = "SELECT doc_id, lower(text) AS t FROM documents",
+      withMask: Boolean = false): String = {
+    require(extraDtok.isEmpty || !withMask,
+      "mask packing and extra dtok branches are separate consumers")
+    val eos = graft.functions.BpeVocab.EosId
+    // the p08 mask leg: a word token trains (mask 1) iff its word sits
+    // past the per-doc prompt cut ((len+1)//2); EOS always trains
+    val cutCol = if (withMask) ",\n    (len(regexp_split_to_array(trim(t), '\\s+')) + 1) // 2 AS cut" else ""
+    val cutSel = if (withMask) ", cut" else ""
+    val wMask = if (withMask) ",\n    CASE WHEN p.widx <= p.cut THEN 0 ELSE 1 END AS mask" else ""
+    val eosMask = if (withMask) ", 1 AS mask" else ""
+    val posMask = if (withMask) ", mask" else ""
+    val gMask = if (withMask) ", p.mask" else ""
+    val outMask = if (withMask)
+      ",\n  CAST(SUM(mask) AS BIGINT) AS n_trained,\n  string_agg(CAST(mask AS VARCHAR), ' ' ORDER BY gpos) AS mask_text"
+    else ""
+    s"""WITH RECURSIVE
+       |${prefixCtes}docs AS ($docsSelect),
+       |dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws$cutCol FROM docs),
+       |wpos AS (
+       |  SELECT doc_id, i.i AS widx, ws[i.i] AS w$cutSel
+       |  FROM dw, LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS i) i
+       |  WHERE ws[i.i] <> ''),
+       |uw AS (SELECT DISTINCT w FROM wpos),
+       |$bpeWordIdsCtes,
        |dtok AS (
        |  SELECT p.doc_id, p.widx, s.tidx, ids[CAST(s.tidx AS INT)] AS id$wMask
        |  FROM wpos p JOIN wids USING (w),
@@ -2050,6 +2061,105 @@ object TextAnalysis {
 
   lazy val p08Oracle: String = packedOracleSql("", withMask = true)
 
+  // ---------------------------------------------------------------- p10
+
+  /** p10: DPO/RLHF PREFERENCE-PAIR construction — the data-prep step
+    * preference optimization actually trains on: each example is a
+    * (prompt, chosen, rejected) triple, and the output carries BOTH
+    * response legs as parallel token-id streams sharing the prompt
+    * prefix, each with a completions-only loss mask (0 = prompt token,
+    * 1 = response token + EOS) — a pair must stay together so the DPO
+    * loss can contrast its two legs, which is why this materializes
+    * per-example rows rather than riding the p06 cross-example packer.
+    * [[dpoPack]] is the generic operator over (doc_id, prompt, chosen,
+    * rejected) columns; the gate fabricates the triple deterministically
+    * (prompt = the first ⌈n/2⌉ words, chosen = the rest, rejected = the
+    * rest REVERSED — same per-word tokens in a different order, so a
+    * stream that confuses the legs still differs token-for-token while
+    * the counts agree, exactly the bug class a pair builder must not
+    * have). Token-level soundness rides BPE's whitespace separation
+    * (tokenize(prompt) ++ tokenize(response) ≡ tokenize(text), fuzz-
+    * pinned). Scale shape: pure per-row codegen — NO shuffle anywhere;
+    * the oracle replays both legs from the shared per-word fragment.
+    */
+  def p10DpoPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ws", split(trim(col("text")), s"$wsClass+"))
+      .withColumn("cut", expr("(size(ws) + 1) div 2"))
+      .select(col("doc_id"),
+        array_join(expr("slice(ws, 1, cut)"), " ").as("prompt"),
+        array_join(expr("slice(ws, cut + 1, size(ws) - cut)"), " ").as("chosen"),
+        array_join(reverse(expr("slice(ws, cut + 1, size(ws) - cut)")), " ")
+          .as("rejected"))
+    dpoPack(docs)
+  }
+
+  /** Build preference-pair rows from (doc_id, prompt, chosen, rejected)
+    * columns — see [[p10DpoPairs]].
+    */
+  private[operators] def dpoPack(rows: DataFrame): DataFrame = {
+    import graft.functions.F
+    val eos = array(lit(graft.functions.BpeVocab.EosId))
+    def strJoin(ids: Column): Column =
+      array_join(transform(ids, _.cast("string")), " ")
+    def maskOf(p: Column, leg: Column): Column =
+      array_join(concat(transform(p, _ => lit("0")),
+        transform(leg, _ => lit("1"))), " ")
+    rows.select(col("doc_id"),
+        F.bpeTokenIds(col("prompt")).as("p"),
+        concat(F.bpeTokenIds(col("chosen")), eos).as("c"),
+        concat(F.bpeTokenIds(col("rejected")), eos).as("r"))
+      .select(col("doc_id"),
+        strJoin(concat(col("p"), col("c"))).as("chosen_text"),
+        maskOf(col("p"), col("c")).as("chosen_mask"),
+        strJoin(concat(col("p"), col("r"))).as("rejected_text"),
+        maskOf(col("p"), col("r")).as("rejected_mask"),
+        size(col("p")).cast("long").as("n_prompt"),
+        size(col("c")).cast("long").as("n_chosen"),
+        size(col("r")).cast("long").as("n_rejected"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val p10Oracle: String = {
+    val eos = graft.functions.BpeVocab.EosId
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ws,
+       |  (len(regexp_split_to_array(trim(t), '\\s+')) + 1) // 2 AS cut FROM docs),
+       |wpos AS (
+       |  SELECT doc_id, i.i AS widx, ws[i.i] AS w, cut
+       |  FROM dw, LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS i) i
+       |  WHERE ws[i.i] <> ''),
+       |uw AS (SELECT DISTINCT w FROM wpos),
+       |$bpeWordIdsCtes,
+       |dtok AS (
+       |  SELECT p.doc_id, p.widx, s.tidx, ids[CAST(s.tidx AS INT)] AS id,
+       |    CASE WHEN p.widx <= p.cut THEN 0 ELSE 1 END AS mask
+       |  FROM wpos p JOIN wids USING (w),
+       |    LATERAL (SELECT UNNEST(generate_series(1, len(ids))) AS tidx) s),
+       |legs AS (
+       |  SELECT doc_id,
+       |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY widx, tidx) AS ch_ids,
+       |    string_agg(CAST(mask AS VARCHAR), ' ' ORDER BY widx, tidx) AS ch_mask,
+       |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY
+       |      CASE WHEN mask = 0 THEN widx ELSE 2147483647 - widx END, tidx) AS rj_ids,
+       |    string_agg(CAST(mask AS VARCHAR), ' ' ORDER BY
+       |      CASE WHEN mask = 0 THEN widx ELSE 2147483647 - widx END, tidx) AS rj_mask,
+       |    SUM(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS n_prompt,
+       |    SUM(mask) AS n_compl
+       |  FROM dtok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(l.ch_ids || ' ', '') || '$eos' AS chosen_text,
+       |  COALESCE(l.ch_mask || ' ', '') || '1' AS chosen_mask,
+       |  COALESCE(l.rj_ids || ' ', '') || '$eos' AS rejected_text,
+       |  COALESCE(l.rj_mask || ' ', '') || '1' AS rejected_mask,
+       |  CAST(COALESCE(l.n_prompt, 0) AS BIGINT) AS n_prompt,
+       |  CAST(COALESCE(l.n_compl, 0) + 1 AS BIGINT) AS n_chosen,
+       |  CAST(COALESCE(l.n_compl, 0) + 1 AS BIGINT) AS n_rejected
+       |FROM docs d LEFT JOIN legs l USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- x26
 
   /** x26: per-document DISTINCTIVE-TERM extraction — the exact-arithmetic
@@ -2107,6 +2217,7 @@ object TextAnalysis {
 
   val entries: Map[String, graft.Gate.Entry] = Map(
     "x26_doc_keywords"   -> graft.Gate(x26DocKeywords _, x26Oracle),
+    "p10_dpo_pairs"      -> graft.Gate(p10DpoPairs _, p10Oracle),
     "p06_packed_sequences" -> graft.Gate(p06PackedSequences _, p06Oracle),
     "p07_curate_and_pack"  -> graft.Gate(p07CurateAndPack _, p07Oracle),
     "p08_sft_packing"      -> graft.Gate(p08SftPacking _, p08Oracle),

@@ -777,6 +777,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("p10 preference pairs: shared prompt prefix, contrasting legs, masks align") {
+    import graft.functions.BpeVocab
+    val rows = TextAnalysis.p10DpoPairs(spark, sf)
+      .as[(Long, String, String, String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ct, cm, rt, rm, np, nc, nr) =>
+      val (cIds, cMask) = (ct.split(" "), cm.split(" "))
+      val (rIds, rMask) = (rt.split(" "), rm.split(" "))
+      // masks align 1:1 with ids; prompt prefix (mask 0) is SHARED
+      assert(cIds.length == cMask.length && rIds.length == rMask.length, s"doc $id")
+      assert(cIds.length == np + nc && rIds.length == np + nr, s"doc $id counts")
+      assert(cMask.takeWhile(_ == "0").length == np, s"doc $id prompt mask")
+      assert(cIds.take(np.toInt).sameElements(rIds.take(np.toInt)), s"doc $id prefix")
+      // both legs end in EOS and train it
+      assert(cIds.last.toLong == BpeVocab.EosId && cMask.last == "1", s"doc $id")
+      // same response-token MULTISET, reversed word order: counts agree,
+      // and any multi-word response with distinct words must DIFFER in order
+      assert(nc == nr, s"doc $id leg counts")
+      val (cResp, rResp) = (cIds.drop(np.toInt), rIds.drop(np.toInt))
+      assert(cResp.sorted.sameElements(rResp.sorted), s"doc $id response multiset")
+    }
+    // the corpus must actually exercise the contrast (some pair differs)
+    assert(rows.exists { case (_, ct, _, rt, _, np, _, _) =>
+      ct.split(" ").drop(np.toInt).mkString(" ") !=
+        rt.split(" ").drop(np.toInt).mkString(" ") })
+  }
+
   test("p06 packed sequences: exact budget, EOS accounting, stream reconstruction") {
     import graft.functions.BpeVocab
     val rows = TextAnalysis.p06PackedSequences(spark, sf)
