@@ -322,7 +322,7 @@ object GraftAvro {
     * registration; this re-checks per read so a swapped file fails loud.
     */
   def readPaths(spark: SparkSession, schema: StructType,
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String], rowMeta: Boolean = false): DataFrame = {
     val bin = spark.read.format("binaryFile").load(paths: _*)
       .select("path", "content")
     val want = schema.fields.toSeq.map(f => (f.name, f.dataType))
@@ -337,9 +337,19 @@ object GraftAvro {
       val st = sparkSchemaOf(rec)
       require(st.fields.toSeq.map(f => (f.name, f.dataType)) == want,
         s"GraftAvro: $path schema $st differs from the table schema $schema")
-      c.records.map(mapToRow(_, rec))
+      if (!rowMeta) c.records.iterator.map(mapToRow(_, rec))
+      else c.records.iterator.zipWithIndex.map { case (m, i) =>
+        // the parquet scan's (_metadata.file_path, row_index) equivalent:
+        // container path + record position within it
+        Row.fromSeq(mapToRow(m, rec).toSeq :+ path :+ i.toLong)
+      }
     }
-    spark.createDataFrame(rdd, schema)
+    val outSchema =
+      if (!rowMeta) schema
+      else StructType(schema.fields :+
+        StructField(graft.tables.ScanPlanner.RowMetaFile, StringType) :+
+        StructField(graft.tables.ScanPlanner.RowMetaPos, LongType))
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Read every `*.avro` container under `dir` as one DataFrame. All

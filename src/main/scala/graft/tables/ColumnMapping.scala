@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
 
 /** Logical→physical column-name mapping for schema evolution (the Delta
@@ -74,20 +74,41 @@ object ColumnMapping {
 
   /** Read parquet files under the physical schema, exposed logically. */
   def readFiles(spark: SparkSession, schema: StructType,
-      paths: Seq[String], format: String = "parquet"): DataFrame = {
+      paths: Seq[String], format: String = "parquet",
+      rowMeta: Boolean = false): DataFrame = {
     // one format per call — mixed file sets are grouped by the caller
     // (ScanPlanner.scan), matching Iceberg's per-file `file_format`.
     // Avro rides graft's own container codec (Spark's `avro` module is
     // not on this classpath) — whole-file decode, no column pruning;
-    // a rewrite migrates such files to parquet
+    // a rewrite migrates such files to parquet. `rowMeta` attaches the
+    // per-branch (file path, row position) helper columns: from the file
+    // source's `_metadata` where a file source exists, from the
+    // container walk on the avro path.
     val df =
       if (format == "avro")
-        graft.sources.GraftAvro.readPaths(spark, physicalSchema(schema), paths)
-      else spark.read.schema(physicalSchema(schema)).format(format)
-        .load(paths: _*)
+        graft.sources.GraftAvro.readPaths(spark, physicalSchema(schema),
+          paths, rowMeta)
+      else {
+        val base = spark.read.schema(physicalSchema(schema)).format(format)
+          .load(paths: _*)
+        if (!rowMeta) base
+        else base.withColumn(ScanPlanner.RowMetaFile, col("_metadata.file_path"))
+          .withColumn(ScanPlanner.RowMetaPos,
+            // only the parquet source serves `_metadata.row_index`; a null
+            // position on an ORC branch is SAFE: positions are only ever
+            // compared against position-delete entries, which anchor to
+            // parquet file paths (creating position-anchored state on
+            // foreign-format files is refused up front), so a foreign
+            // row's (path, null) can never match — and CoW file matching
+            // reads only the path column
+            if (format == "parquet") col("_metadata.row_index")
+            else lit(null).cast(org.apache.spark.sql.types.LongType))
+      }
     if (!hasMapping(schema)) df
     else df.select(schema.fields.toSeq.map(f =>
-      col(physicalName(f)).as(f.name, f.metadata)): _*)
+        col(physicalName(f)).as(f.name, f.metadata)) ++
+      (if (rowMeta) Seq(col(ScanPlanner.RowMetaFile), col(ScanPlanner.RowMetaPos))
+       else Nil): _*)
   }
 
   /** Project a logical-named frame to physical names for writing. Extra

@@ -1279,7 +1279,27 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def lineageDF(): DataFrame = {
     val m = meta
     val md = currentManifest(m)
+    requireAllParquet(md, "row lineage")
     publicLineage(lineageScan(m, md, md.files))
+  }
+
+  /** Position-anchored features (position/DV deletes, row lineage) ride
+    * the file source's `_metadata.row_index`, which only the parquet
+    * scan attaches — the Avro path decodes whole containers through an
+    * RDD and has no per-row file position, and failing HERE names the
+    * actual constraint instead of surfacing an unresolvable `_metadata`
+    * mid-plan. Predicate/equality deletes and CoW mutations work on any
+    * format; a compaction migrates foreign files to parquet and lifts
+    * the restriction.
+    */
+  private def requireAllParquet(md: ManifestData, feature: String): Unit = {
+    val foreign = md.files.filter(_.fileFormat != "parquet")
+    require(foreign.isEmpty,
+      s"$feature need per-row file positions, which only the parquet scan " +
+        s"attaches; this table holds ${foreign.size} " +
+        s"${foreign.map(_.fileFormat).distinct.mkString("/")} file(s) " +
+        "(registered via add_files) — compact() to migrate them to parquet, " +
+        "or use predicate/equality deletes")
   }
 
   /** Rename the rider columns to the public names and map the no-lineage
@@ -1547,6 +1567,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def deleteMergeOnReadPositions(cond: String): GraftTable = {
     val m = meta
     val md = currentManifest(m)
+    requireAllParquet(md, "position deletes")
     val written = matchingLivePositions(m, md, cond) match {
       case None => Nil
       case Some(posDf) =>
@@ -1580,6 +1601,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def deleteMergeOnReadDV(cond: String): GraftTable = {
     val m = meta
     val md = currentManifest(m)
+    requireAllParquet(md, "deletion vectors")
     val written = matchingLivePositions(m, md, cond) match {
       case None => Nil
       case Some(posDf) =>

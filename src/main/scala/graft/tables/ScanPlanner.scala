@@ -319,10 +319,6 @@ object ScanPlanner {
       case Some(f) => pruneFiles(meta, files, f, spark)
       case None => files
     }
-    def withMeta(d: DataFrame): DataFrame =
-      if (!rowMeta) d
-      else d.withColumn(RowMetaFile, col("_metadata.file_path"))
-        .withColumn(RowMetaPos, col("_metadata.row_index"))
     val base =
       if (pruned.isEmpty) {
         val schema =
@@ -345,9 +341,12 @@ object ScanPlanner {
           .flatMap(f => ColumnDefaults.of(f).map { case (v, since) => (f, v, since) })
         // one scan branch per (file format, applicable-defaults) group:
         // formats can't share a file-source relation, and plan growth
-        // stays bounded by formats × default epochs (≤3 × typically 2)
+        // stays bounded by formats × default epochs (≤3 × typically 2).
+        // Row-meta columns come from each branch's own source (file-source
+        // `_metadata` vs the avro container walk) — ColumnMapping.readFiles
+        // attaches them per branch, never after a union
         def readGroup(fs: Seq[DataFile], fmt: String): DataFrame =
-          withMeta(ColumnMapping.readFiles(spark, meta.schema, fs.map(_.path), fmt))
+          ColumnMapping.readFiles(spark, meta.schema, fs.map(_.path), fmt, rowMeta)
         if (defaults.isEmpty)
           pruned.groupBy(_.fileFormat).toSeq.sortBy(_._1)
             .map { case (fmt, fs) => readGroup(fs, fmt) }

@@ -154,6 +154,51 @@ class MultiFormatSpec extends SparkSpec {
       .select(sum(col("price"))).head().getDouble(0) == 4.0)
   }
 
+  test("copy-on-write delete/update work on a mixed-format table") {
+    val t = base()
+    val orcDir = tmp("graft_mf_orc5")
+    Seq((10L, "x", 1.5), (11L, "y", 2.5)).toDF("id", "name", "price")
+      .coalesce(1).write.orc(orcDir)
+    val avroDir = tmp("graft_mf_avro5")
+    graft.sources.GraftAvro.write(
+      Seq((20L, "p", 7.0), (21L, "q", 8.0)).toDF("id", "name", "price")
+        .coalesce(1), avroDir)
+    t.addFiles(orcDir, "orc")
+    t.addFiles(avroDir, "avro")
+    // CoW delete hits one row in EACH format's files; untouched-format
+    // rows and the untouched file's rows survive with values intact
+    t.delete("id IN (11, 20)")
+    val re = GraftTable.load(spark, t.location)
+    assert(re.toDF().select(col("id")).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 10L, 21L))
+    // the rewrite materialized the touched foreign files as parquet
+    assert(re.currentFiles().count(_.fileFormat != "parquet") == 0 ||
+      re.toDF().filter(col("id") === 10L).count() == 1)
+    t.update("id = 21", Map("price" -> "99.0"))
+    assert(GraftTable.load(spark, t.location).toDF()
+      .filter(col("id") === 21L).select(col("price"))
+      .as[Double].head() == 99.0)
+  }
+
+  test("position-anchored features refuse loudly on foreign-format files") {
+    val t = base()
+    val orcDir = tmp("graft_mf_orc6")
+    Seq((10L, "x", 1.5)).toDF("id", "name", "price")
+      .coalesce(1).write.orc(orcDir)
+    t.addFiles(orcDir, "orc")
+    Seq(
+      () => t.deleteMergeOnReadPositions("id = 10"),
+      () => t.deleteMergeOnReadDV("id = 10"),
+      () => t.lineageDF()).foreach { op =>
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("parquet"), e.getMessage)
+    }
+    // compaction migrates to parquet and lifts the restriction
+    t.compact()
+    t.deleteMergeOnReadPositions("id = 10")
+    assert(GraftTable.load(spark, t.location).toDF().count() == 2)
+  }
+
   test("add_files refuses a format the engine doesn't read") {
     val t = base()
     val e = intercept[IllegalArgumentException] {
