@@ -2181,7 +2181,6 @@ object TextAnalysis {
     * partition-local, no global ordering anywhere.
     */
   def x26DocKeywords(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
@@ -2189,12 +2188,15 @@ object TextAnalysis {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "w")
       .withColumn("score", col("tf").cast("double") / col("df"))
-    val win = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("w").asc)
-    scored.withColumn("rk", row_number().over(win))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("w").as("keyword"), col("tf"), col("df"),
-        col("score"))
+    // per-doc argmax as a HASH aggregate, not a window: min_by over the
+    // (-score, w) ordering struct is argmax-score with the lex-min word
+    // tie-break, and it needs no per-partition sort — the doc's terms
+    // fold in one pass
+    scored.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("w"), col("tf"), col("df"), col("score")),
+        struct((-col("score")).as("ns"), col("w"))).as("b"))
+      .select(col("doc_id"), col("b.w").as("keyword"), col("b.tf").as("tf"),
+        col("b.df").as("df"), col("b.score").as("score"))
       .orderBy(col("doc_id"))
   }
 
