@@ -39,6 +39,8 @@ import scala.util.matching.Regex
   *  - `CALL system.add_files('t', '<dir>'[, 'orc'|'avro'])` (in-place file
   *    registration, per-file format in the manifest)
   *  - `CALL system.snapshot('src', 'target')` (zero-copy table snapshot)
+  *  - `CALL system.create_changelog_view('t', <from>, <to>)` → queryable
+  *    `<t>_changes` view of the row-level changelog
   *  - `DESCRIBE HISTORY t`
   *  - `SELECT ... FROM t [FOR SYSTEM_TIME AS OF '<ts>']
   *    [FOR SYSTEM_VERSION AS OF <id>] ...` — time travel inline in queries
@@ -195,6 +197,8 @@ class GraftSql(val spark: SparkSession, warehouse: String,
   // (?<!_) keeps CHERRYPICK_SNAPSHOT out of this pattern's prefix
   private val CallSnapshot =
     r("""CALL\s+[\w.]*(?<!_)SNAPSHOT\s*\(\s*["']([\w.]+)["']\s*,\s*["']([\w.]+)["']\s*\)""")
+  private val CallChangelogView =
+    r("""CALL\s+[\w.]*CREATE_CHANGELOG_VIEW\s*\(\s*["']([\w.]+)["']\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""")
   private val CallRegisterIceberg =
     r("""CALL\s+[\w.]*REGISTER_ICEBERG\s*\(\s*["']([\w.]+)["']\s*,\s*["'](.+?)["']\s*\)""")
   private val CallExportIceberg =
@@ -395,6 +399,13 @@ class GraftSql(val spark: SparkSession, warehouse: String,
         val t = GraftTable.snapshotOf(table(stripDb(src)), s"$warehouse/$tn")
         register(tn, t.location)
         status("snapshot", tn)
+      case CallChangelogView(name, from, to) =>
+        // Iceberg's create_changelog_view: the row-level changelog of
+        // (from, to] queryable as <table>_changes (_change_type tagged)
+        val n = stripDb(name)
+        table(n).changesBetween(from.toLong, to.toLong)
+          .createOrReplaceTempView(s"${n}_changes")
+        status("create-changelog-view", n)
       case CallRegisterIceberg(name, metaPath) =>
         // read-side Iceberg interop (reference interoperability.md): point
         // graft at an external metadata.json; metadata-only registration

@@ -803,6 +803,20 @@ class GraftSqlSpec extends SparkSpec {
       e.getMessage.contains("999"))
   }
 
+  test("CALL system.create_changelog_view: the changelog is queryable SQL (r16)") {
+    val g = freshSql(); registerSources(g)
+    g.sql("CREATE TABLE clv AS SELECT o_orderkey, o_totalprice FROM orders LIMIT 20")
+    val t = g.table("clv")
+    val s0 = t.meta.currentSnapshotId.get
+    g.sql("INSERT INTO clv SELECT o_orderkey + 900000000, o_totalprice FROM orders LIMIT 7")
+    val head = t.meta.currentSnapshotId.get
+    g.sql(s"CALL system.create_changelog_view('clv', $s0, $head)")
+    val rows = g.sql(
+      "SELECT _change_type, COUNT(*) AS n FROM clv_changes GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("insert" -> 7L))
+  }
+
   test("t.lineage metadata table serves _row_id through SQL") {
     val g = freshSql(); registerSources(g)
     g.sql("CREATE TABLE lin1 AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 200")
