@@ -180,6 +180,23 @@ object Multimodal {
   case class AudioSegments(doc_id: Long, n_windows: Int, n_voiced: Int,
       longest_run: Int, total_energy: Long)
 
+  /** Deterministic text→PCM fabrication shared by m03/m12: one sample per
+    * CODE POINT (not UTF-16 unit — DuckDB's regexp_split_to_array +
+    * unicode() iterate code points, so astral-plane text must yield the
+    * same frame count on both sides), centered at cp−32 and clamped to
+    * the 16-bit WAV sample range so high code points survive the encode/
+    * decode round trip with the value the oracle computes.
+    */
+  private[operators] def fabricateSamples(text: String): Array[Int] = {
+    val cps = text.codePoints().toArray
+    val samples = new Array[Int](cps.length)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = math.min(32767, math.max(-32768, cps(i) - 32)); i += 1
+    }
+    samples
+  }
+
   /** m03: AUDIO voice-activity segmentation over REAL WAV containers —
     * each document becomes 16-bit mono PCM (sample per character,
     * centered at code−32), the from-scratch RIFF parser recovers the
@@ -194,10 +211,8 @@ object Multimodal {
     val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val samples = new Array[Int](text.length)
-        var i = 0
-        while (i < samples.length) { samples(i) = text.charAt(i) - 32; i += 1 }
-        MediaRow(id, Media.Wav.encode(8000, samples), "audio/wav", 0, 0)
+        MediaRow(id, Media.Wav.encode(8000, fabricateSamples(text)),
+          "audio/wav", 0, 0)
       }
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -229,7 +244,8 @@ object Multimodal {
       |  FROM documents
       |), w AS (
       |  SELECT doc_id, i.i AS widx,
-      |    list_sum([ (x-32)*(x-32) for x in cs[i.i*25+1 : i.i*25+25] ]) AS energy
+      |    list_sum([ least(x-32,32767)*least(x-32,32767)
+      |               for x in cs[i.i*25+1 : i.i*25+25] ]) AS energy
       |  FROM cp, LATERAL (SELECT UNNEST(generate_series(0,
       |    CAST(FLOOR(len(cs)/25.0) AS INT)-1)) AS i) i
       |), v AS (
@@ -947,10 +963,8 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val samples = new Array[Int](text.length)
-          var i = 0
-          while (i < samples.length) { samples(i) = text.charAt(i) - 32; i += 1 }
-          val s = Media.Wav.decode(Media.Wav.encode(8000, samples)).samples
+          val s = Media.Wav.decode(
+            Media.Wav.encode(8000, fabricateSamples(text))).samples
           val nw = s.length / 25
           val levels = new Array[Long](nw)
           var w = 0
@@ -993,7 +1007,8 @@ object Multimodal {
        |       FOR e IN es] AS levels, len(es) AS nw
        |    FROM (
        |      SELECT doc_id,
-       |        [list_sum([(x-32)*(x-32) FOR x IN cs[w*25+1 : w*25+25]])
+       |        [list_sum([least(x-32,32767)*least(x-32,32767)
+       |                   FOR x IN cs[w*25+1 : w*25+25]])
        |         FOR w IN range(0, len(cs) // 25)] AS es
        |      FROM (SELECT doc_id,
        |              [unicode(c) FOR c IN regexp_split_to_array(text, '')] AS cs

@@ -1863,13 +1863,6 @@ object TextAnalysis {
 
   lazy val p06Oracle: String = packedOracleSql("")
 
-  /** The packed-sequence replay, parameterized by an optional extra
-    * `dtok` UNION branch (m11 injects its image-token rows at widx −1 so
-    * they sort before every word token; empty for p06), optional prefix
-    * CTEs, and the document source (p07 packs the p05 survivor chain's
-    * texts instead of the raw table). One definition — the text-only,
-    * interleaved and capstone gates cannot drift.
-    */
   /** The per-DISTINCT-word byte-level BPE replay in hex space as oracle
     * CTEs — input `uw(w)` (caller-provided), output `wids(w, ids)`: one
     * token-id array per word, byte ids below 256 and merge products at
@@ -1912,6 +1905,13 @@ object TextAnalysis {
        |  FROM fin)""".stripMargin
   }
 
+  /** The packed-sequence replay, parameterized by an optional extra
+    * `dtok` UNION branch (m11 injects its image-token rows at widx −1 so
+    * they sort before every word token; empty for p06), optional prefix
+    * CTEs, and the document source (p07 packs the p05 survivor chain's
+    * texts instead of the raw table). One definition — the text-only,
+    * interleaved and capstone gates cannot drift.
+    */
   private[operators] def packedOracleSql(extraDtok: String,
       prefixCtes: String = "",
       docsSelect: String = "SELECT doc_id, lower(text) AS t FROM documents",

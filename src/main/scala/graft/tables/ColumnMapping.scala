@@ -99,8 +99,10 @@ object ColumnMapping {
             // compared against position-delete entries, which anchor to
             // parquet file paths (creating position-anchored state on
             // foreign-format files is refused up front), so a foreign
-            // row's (path, null) can never match — and CoW file matching
-            // reads only the path column
+            // row's (path, null) can never match — and the MERGE
+            // cardinality check substitutes a scan-unique id for null
+            // positions before grouping (GraftTable
+            // .touchedFilesWithCardinalityCheck)
             if (format == "parquet") col("_metadata.row_index")
             else lit(null).cast(org.apache.spark.sql.types.LongType))
       }

@@ -765,6 +765,33 @@ class GraftTable(val spark: SparkSession, val location: String) {
     else parts.reduce(_ unionAll _)
   }
 
+  /** The QUERYABLE changelog frame backing `CALL
+    * system.create_changelog_view` (Iceberg's changelog view columns):
+    * every commit in `(from, to]` under the CURRENT schema, each row
+    * tagged `_change_type` plus `_change_ordinal` — the commit's
+    * 0-based position in the range; metadata-only commits (rename,
+    * property set) keep their ordinal and simply contribute no rows —
+    * and `_commit_snapshot_id`. Planning is O(range commits) metadata;
+    * the data read is each commit's own diff (added files for appends,
+    * removed-vs-added multiset diff for CoW), never a base-table scan.
+    */
+  def changelogView(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val m = meta
+    val parts = ancestryChain(m, fromSnapshotId, toSnapshotId).zipWithIndex
+      .map { case (s, i) =>
+        commitChanges(m, s)
+          .withColumn("_change_ordinal", lit(i.toLong))
+          .withColumn("_commit_snapshot_id", lit(s.id))
+      }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(m.schema.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_change_ordinal", LongType),
+          StructField("_commit_snapshot_id", LongType))))
+    else parts.reduce(_ unionAll _)
+  }
+
   /** The commits in `(from, to]` in commit order; requires ancestry. */
   private def ancestryChain(m: TableMeta, fromSnapshotId: Long,
       toSnapshotId: Long): List[Snapshot] = {
@@ -2238,6 +2265,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val perRow = base
       .withColumnRenamed(ScanPlanner.RowMetaFile, "__fp")
       .withColumnRenamed(ScanPlanner.RowMetaPos, "__pos")
+      // Non-parquet branches (ORC via add_files) have no native
+      // `_metadata.row_index` — their __pos is NULL, and grouping N
+      // matched rows of one ORC file under (file, NULL) would report a
+      // spurious cardinality violation. The check only needs a value
+      // that DISTINGUISHES rows within a file (never an on-disk
+      // position — position-anchored delete state on foreign formats is
+      // refused up front), so substitute a scan-unique id: files are
+      // single-format, so synthesized ids never mix with real indices
+      // inside one group key.
+      .withColumn("__pos", coalesce(col("__pos"), monotonically_increasing_id()))
       .join(probe, joinCond, "inner")
       .groupBy(col("__fp"), col("__pos"))
       .agg(sum(countFlag).as("__n"), first(keyDesc).as("__k"))

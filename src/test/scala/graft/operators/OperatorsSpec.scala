@@ -1156,9 +1156,11 @@ class MultimodalSpec extends SparkSpec {
     // 25-sample frames) quantized at 1x/2x/3x-amplitude thresholds,
     // then BPE ids + EOS
     def idsOf(t: String): Vector[Long] = {
-      val levels = (0 until t.length / 25).toVector.map { w =>
+      val cps = t.codePoints().toArray
+      val levels = (0 until cps.length / 25).toVector.map { w =>
         val e = (w * 25 until w * 25 + 25)
-          .map(i => (t.charAt(i) - 32).toLong).map(s => s * s).sum
+          .map(i => math.min(32767, math.max(-32768, cps(i) - 32)).toLong)
+          .map(s => s * s).sum
         if (e <= 120000L) 0L else if (e <= 480000L) 1L
         else if (e <= 1080000L) 2L else 3L
       }
@@ -1173,6 +1175,18 @@ class MultimodalSpec extends SparkSpec {
       val got = seqs.sortBy(_._2).toVector.flatMap(_._3.split(" ").map(_.toLong))
       assert(got == wantByShard(shard), s"shard $shard audio stream mismatch")
     }
+  }
+
+  test("audio fabrication iterates CODE POINTS and clamps to the WAV range " +
+      "(astral text frames like the DuckDB oracle)") {
+    // one astral code point = ONE sample (not two surrogate samples), and
+    // high code points clamp to 32767 instead of overflowing 16-bit PCM
+    val s = Multimodal.fabricateSamples("a𝄞退") // 'a', U+1D11E, U+9000
+    assert(s.toSeq == Seq('a' - 32, 32767, 32767))
+    // round-trips the WAV codec exactly at the clamped values
+    val rt = graft.formats.Media.Wav.decode(
+      graft.formats.Media.Wav.encode(8000, s)).samples
+    assert(rt.toSeq == s.toSeq)
   }
 
   test("m09 ingest read lists ONE root path (dir + pathGlobFilter, never a per-file glob)") {

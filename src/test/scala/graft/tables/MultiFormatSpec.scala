@@ -55,6 +55,36 @@ class MultiFormatSpec extends SparkSpec {
       .select(sum(col("price"))).head().getDouble(0) == 24.0)
   }
 
+  test("merge into a table with multi-row orc files: no spurious cardinality " +
+      "violation, real violations still throw") {
+    val t = base()
+    val orcDir = tmp("graft_mf_orc_merge")
+    // THREE rows in ONE orc file: with null row positions these used to
+    // collapse into a single (file, NULL) cardinality group, so a merge
+    // matching >=2 of them threw a spurious violation
+    Seq((10L, "x", 1.5), (11L, "y", 2.5), (12L, "z", 3.5))
+      .toDF("id", "name", "price").coalesce(1).write.orc(orcDir)
+    t.addFiles(orcDir, "orc")
+    t.mergeInto(
+      Seq((10L, "X", 15.0), (11L, "Y", 25.0), (99L, "N", 99.0))
+        .toDF("id", "name", "price"), Seq("id"))
+    val re = GraftTable.load(spark, t.location)
+    assert(re.toDF().count() == 6)
+    assert(re.toDF().filter(col("id") === 10L).select(col("name"))
+      .as[String].head() == "X")
+    assert(re.toDF().filter(col("id") === 11L).select(col("price"))
+      .as[Double].head() == 25.0)
+    assert(re.toDF().filter(col("id") === 99L).count() == 1)
+    // a genuinely ambiguous merge (two source rows share key 12, which
+    // matches one orc-resident target row) must still throw
+    val ex = intercept[IllegalArgumentException] {
+      re.mergeInto(
+        Seq((12L, "a", 1.0), (12L, "b", 2.0)).toDF("id", "name", "price"),
+        Seq("id"))
+    }
+    assert(ex.getMessage.contains("cardinality"))
+  }
+
   test("file_format round-trips through manifest JSON (parquet stays implicit)") {
     val files = Seq(
       DataFile("/d/a.parquet", 0, Map.empty, 5L, 100L, Map.empty),
