@@ -1071,8 +1071,13 @@ object TableOpsExt {
     val t = GraftTable.createAs(spark, tmp(), base.limit(0))
     t.setSortOrder(Seq("o_orderkey"))
     // small target so gate-scale appends still land several files (at
-    // production scale the same knob yields ~128MB files)
-    t.setProperties(Map(TableFormat.TargetFileSize -> "16384"))
+    // production scale the same knob yields ~128MB files). Derived from
+    // the CORPUS, not a constant: ~16 bytes/row per half-table append,
+    // floored — at sf0.001's 1500-row cap a fixed 16384 made each append
+    // ONE full-range file and pruning had nothing to drop (VERDICT r16
+    // "what's wrong" #2)
+    val target = math.max(2048L, base.count() * 16 / 4)
+    t.setProperties(Map(TableFormat.TargetFileSize -> target.toString))
     // each unsorted batch spans the WHOLE key range (parity split), so
     // only the declared order — not arrival luck — can separate files
     t.append(base.filter(col("o_orderkey") % 2 === 0).repartition(4))
@@ -1223,7 +1228,8 @@ object TableOpsExt {
     s"""WITH base AS (SELECT * FROM ${cappedSql(5000)}),
        |shifted AS (SELECT * FROM ${cappedSql(1000)})
        |SELECT TRUE AS avro_artifacts, TRUE AS roundtrip_exact,
-       |  CAST(6000 AS BIGINT) AS rows_total,
+       |  (SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM shifted)
+       |    AS rows_total,
        |  (SELECT COUNT(*) FROM base
        |     WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01')
        |  + (SELECT COUNT(*) FROM shifted
@@ -1596,7 +1602,175 @@ object TableOpsExt {
        |  (SELECT CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM snp) AS snap_sum,
        |  TRUE AS zero_copy, TRUE AS rewrites_own""".stripMargin
 
+  // ---------------------------------------------------------------- t58
+
+  /** t58: MULTI-TABLE TRANSACTION through the REST catalog (the Iceberg
+    * REST `/v1/transactions/commit` surface; extends t33/t51's
+    * single-table racing-writer semantics ACROSS tables). Four writers
+    * race; each one atomically (a) appends a 200-row batch to `orders`
+    * and (b) appends that batch's audit mark (batch_id, n_rows) to
+    * `audit` — both staged as metadata diffs first (the audit append is
+    * captured via the commit delegate, never published on its own), then
+    * published by ONE transaction or neither. Retry is a bounded
+    * restage-from-fresh-base loop (CommitRetries=0 disables per-table
+    * rebase so every conflict re-runs the CROSS-table protocol). The
+    * gate pins zero lost updates in both directions: every batch's rows
+    * are in `orders` IFF its mark is in `audit` (`marks_match_rows`
+    * recomputes the shifted-row count against the audit marks), both
+    * histories are linear, and no mark is duplicated. This is the
+    * replicate/MV pair shape (source+view commit source-then-view today)
+    * done atomically.
+    */
+  def t58MultiTableTx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val writers = 4
+    val srv = new RestCatalogServer(
+      Files.createTempDirectory("graft_cat58").toString,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val c = new RestCatalogClient(srv.uri)
+      val ns = Seq("lake")
+      c.createNamespace(ns)
+      val base = orders(spark, sfDir, 1000)
+      c.createTable(ns, "orders", base.schema,
+        properties = Map(TableFormat.CommitRetries -> "0"))
+      c.table(spark, ns, "orders").append(base)
+      val auditSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType)))
+      c.createTable(ns, "audit", auditSchema,
+        properties = Map(TableFormat.CommitRetries -> "0"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      def baseOf(next: TableMeta): TableMeta = MetaIO.metaFromJson(
+        MetaIO.readString(conf, MetaIO.metadataPath(next.location, next.version - 1)))
+
+      def txAppend(i: Int): Unit = {
+        val batch = shifted(spark, sfDir, 200, 900000000L * i)
+        val n = batch.count()
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          try {
+            // stage the audit mark against the current audit base: the
+            // capture delegate writes the data file + builds the next
+            // metadata but publishes NOTHING
+            val auditT = c.table(spark, ns, "audit")
+            var stagedAudit: TableMeta = null
+            auditT.commitDelegate = Some(next => stagedAudit = next)
+            auditT.append(Seq((i.toLong, n)).toDF("batch_id", "n_rows"))
+            val auditBase = baseOf(stagedAudit)
+            // route the orders append's publish through ONE transaction
+            // carrying BOTH diffs
+            val srcT = c.table(spark, ns, "orders")
+            srcT.commitDelegate = Some { next =>
+              c.commitTransaction(Seq(
+                c.TxChange(ns, "orders", baseOf(next), Some(next)),
+                c.TxChange(ns, "audit", auditBase, Some(stagedAudit))))
+            }
+            srcT.append(batch)
+            done = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              if (attempts >= 32) throw e // bounded, like t33
+          }
+        }
+      }
+
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence((1 to writers).map(i => Future(txAppend(i)))),
+        300.seconds)
+      finally pool.shutdown()
+
+      val src = c.table(spark, ns, "orders")
+      val audit = c.table(spark, ns, "audit")
+      val (sm, am) = (src.meta, audit.meta)
+      val markedRows = audit.toDF().agg(sum(col("n_rows"))).head().getLong(0)
+      val shiftedRows = src.toDF()
+        .filter(col("o_orderkey") >= 900000000L).count()
+      Seq((src.toDF().count(),
+        audit.toDF().select(col("batch_id")).distinct().count(),
+        audit.toDF().count(),
+        sm.currentAncestors.size == sm.snapshots.size,
+        am.currentAncestors.size == am.snapshots.size,
+        markedRows == shiftedRows))
+        .toDF("src_rows", "audit_batches", "audit_rows",
+          "linear_src", "linear_audit", "marks_match_rows")
+    } finally srv.stop()
+  }
+
+  val t58Oracle: String =
+    s"""SELECT (SELECT COUNT(*) FROM ${cappedSql(1000)})
+       |    + 4 * (SELECT COUNT(*) FROM ${cappedSql(200)}) AS src_rows,
+       |  CAST(4 AS BIGINT) AS audit_batches,
+       |  CAST(4 AS BIGINT) AS audit_rows,
+       |  TRUE AS linear_src, TRUE AS linear_audit,
+       |  TRUE AS marks_match_rows""".stripMargin
+
+  // ---------------------------------------------------------------- t59
+
+  /** t59: the CHANGELOG VIEW driven through SQL (VERDICT r16 #6 — t55
+    * gates the API path; this gates `CALL system.create_changelog_view`
+    * and the `<table>_changes` temp view it registers). Same commit
+    * range as t55 — CoW append, metadata-only RENAME mid-range, append
+    * under the new name, merge-on-read delete — then the whole readout
+    * is SQL over the view: per-ordinal row counts and price sums,
+    * grouped on Iceberg's `_change_ordinal` column. The view serves the
+    * CURRENT schema (`amount` everywhere — the live-consumer half of the
+    * changelog story; t55's per-snapshot frames are the auditor half),
+    * the rename is a metadata-only version bump (no snapshot, so no
+    * ordinal — the three row-changing commits take ordinals 0/1/2), and
+    * the sums hash-match t55's frame aggregates exactly.
+    */
+  def t59ChangelogView(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft_t59").toString
+    val t = GraftTable.createAs(spark, s"$wh/ord", orders(spark, sfDir, 600))
+    val s0 = t.meta.currentSnapshotId.get
+    t.append(shifted(spark, sfDir, 150, 900000000L))     // ordinal 0
+    t.renameColumn("o_totalprice", "amount")             // ordinal 1 (no rows)
+    t.append(shifted(spark, sfDir, 120, 950000000L)
+      .withColumnRenamed("o_totalprice", "amount"))      // ordinal 2
+    t.deleteMergeOnRead("amount > 100000.0 AND o_orderkey > 900000000") // ordinal 3
+    val g = new graft.sources.GraftSql(spark, wh)
+    g.register("ord", t.location)
+    g.sql(s"CALL system.create_changelog_view('ord', $s0, ${t.meta.currentSnapshotId.get})")
+    g.sql("""SELECT _change_ordinal AS commit_seq, _change_type AS change_type,
+            |  COUNT(*) AS n_rows,
+            |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            |FROM ord_changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val t59Oracle: String =
+    s"""WITH a AS (
+       |  SELECT o_orderkey + 900000000 AS k, o_totalprice AS p FROM ${cappedSql(150)}
+       |), b AS (
+       |  SELECT o_orderkey + 950000000 AS k, o_totalprice AS p FROM ${cappedSql(120)}
+       |), del AS (
+       |  SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+       |  WHERE p > 100000.0 AND k > 900000000
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS commit_seq, 'insert' AS change_type,
+       |    COUNT(*) AS n_rows,
+       |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM a
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), 'insert', COUNT(*),
+       |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM b
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+       |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM del
+       |) ORDER BY commit_seq, change_type""".stripMargin
+
   val entries: Map[String, graft.Gate.Entry] = Map(
+    "t59_changelog_view"       -> graft.Gate(t59ChangelogView _, t59Oracle),
+    "t58_multi_table_tx"       -> graft.Gate(t58MultiTableTx _, t58Oracle),
     "t57_snapshot_table"       -> graft.Gate(t57SnapshotTable _, t57Oracle),
     "t56_add_files_formats"    -> graft.Gate(t56AddFilesFormats _, t56Oracle),
     "t55_range_changelog"      -> graft.Gate(t55RangeChangelog _, t55Oracle),

@@ -209,16 +209,21 @@ object ScanPlanner {
 
   /** Keep only files that may contain rows matching `filterSql`. */
   def pruneFiles(meta: TableMeta, files: Seq[DataFile], filterSql: String, spark: SparkSession): Seq[DataFile] = {
+    // a zero-row file can never satisfy any predicate — skip it without
+    // consulting stats (empty files appear from CTAS-of-empty and from
+    // writers whose partitions came up empty; record_count is exact for
+    // every format the engine registers)
+    val nonEmpty = files.filter(_.recordCount > 0)
     // predicates resolve against LOGICAL names; stats and partition specs
     // live in the PHYSICAL namespace (what the files actually contain)
     val compares = extract(resolvedCondition(meta, filterSql, spark))
       .map(c => c.copy(column = ColumnMapping.physicalOf(meta.schema, c.column)))
-    if (compares.isEmpty) return files
+    if (compares.isEmpty) return nonEmpty
     val fieldTypes: Map[String, DataType] =
       meta.schema.fields.map(f => ColumnMapping.physicalName(f) -> f.dataType).toMap
     val specById = meta.specs.map(s => s.specId -> s).toMap
 
-    files.filter { f =>
+    nonEmpty.filter { f =>
       compares.forall { c =>
         statsMay(f, c, fieldTypes) && partitionMay(f, c, specById, fieldTypes)
       }
