@@ -401,9 +401,11 @@ class GraftSql(val spark: SparkSession, warehouse: String,
         status("snapshot", tn)
       case CallChangelogView(name, from, to) =>
         // Iceberg's create_changelog_view: the row-level changelog of
-        // (from, to] queryable as <table>_changes (_change_type tagged)
+        // (from, to] queryable as <table>_changes, rows tagged with
+        // _change_type + _change_ordinal + _commit_snapshot_id (the
+        // Iceberg changelog-view columns)
         val n = stripDb(name)
-        table(n).changesBetween(from.toLong, to.toLong)
+        table(n).changelogView(from.toLong, to.toLong)
           .createOrReplaceTempView(s"${n}_changes")
         status("create-changelog-view", n)
       case CallRegisterIceberg(name, metaPath) =>

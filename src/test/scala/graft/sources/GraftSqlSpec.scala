@@ -815,6 +815,12 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT _change_type, COUNT(*) AS n FROM clv_changes GROUP BY 1")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(rows == Map("insert" -> 7L))
+    // Iceberg's changelog-view columns ride every row: the single
+    // row-changing commit takes ordinal 0 and carries its snapshot id
+    val meta = g.sql(
+      "SELECT DISTINCT _change_ordinal, _commit_snapshot_id FROM clv_changes")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(meta.toSeq == Seq((0L, head)))
   }
 
   test("t.lineage metadata table serves _row_id through SQL") {
