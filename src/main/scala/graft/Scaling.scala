@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * density, not with corpus size).
   *
   * Usage: runMain graft.Scaling [factor] [queries...]
+  *
+  * For a PERSISTENT scaled corpus the full Bench can run against (all
+  * gates, reusable across sessions, FKs to scaled dims preserved and
+  * text/vectors perturbed into near-duplicates), use [[DataGen]]; this
+  * probe stays the quick self-contained A/B harness.
   */
 object Scaling {
   private val DefaultQueries = Seq(
