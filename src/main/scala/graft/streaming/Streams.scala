@@ -215,10 +215,17 @@ object Streams {
   def st04StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st04_gate").toString
+    // stage through Spark (one part file), never a raw file copy — the
+    // corpus table may be a single parquet file (driver layout) or a
+    // directory of parts (DataGen-scaled layout)
+    val staged = java.nio.file.Files.createTempDirectory("graft_st04_src").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val part = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head.toPath
     Seq("b1.parquet", "b2.parquet").foreach { f =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
-        java.nio.file.Paths.get(s"$dir/$f"))
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$dir/$f"))
     }
     val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
     val table = GraftTable.createEmpty(spark,
