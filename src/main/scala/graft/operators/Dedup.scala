@@ -201,8 +201,14 @@ object Dedup {
     * shuffles bare (a, b) longs — payloads (signatures, embeddings) are
     * joined back AFTER dedup so each unique pair is verified exactly once.
     */
-  private[graft] def cappedBucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame =
-    keyed.groupBy(col("band"), col("key"))
+  /** `dedup = false` is for SINGLE-band blocking schemes (one key per
+    * doc): each unordered pair can then arise from at most one bucket,
+    * so the cross-band `distinct()` — a full shuffle of the whole
+    * candidate set — is provably a no-op and skipped.
+    */
+  private[graft] def cappedBucketPairs(keyed: DataFrame, maxBucket: Int,
+      dedup: Boolean = true): DataFrame = {
+    val pairs = keyed.groupBy(col("band"), col("key"))
       // Capped typed aggregate, NOT collect_list + size filter: a
       // boilerplate bucket stops accumulating state at the cap (the
       // buffer is O(maxBucket) even for a 10^8-member bucket) and evals
@@ -213,7 +219,8 @@ object Dedup {
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
+  }
 
   /** LSH banding: explode a minhash signature into (bandIdx, bandKey) rows;
     * docs sharing any band key become candidate pairs (capped buckets).
@@ -689,9 +696,13 @@ object Dedup {
       .persist()
     val keyed = rpKeys(corpus.withColumnRenamed("vec_id", "doc_id"),
       "doc_id", "embedding")
+    // shuffle_hash for the same reason as d08: a corpus side must
+    // never auto-broadcast off its under-estimated on-disk size
     val out = cappedBucketPairs(keyed, maxBucket)
-      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a")), "a")
-      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b")), "b")
+      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
+        .hint("shuffle_hash"), "a")
+      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
+        .hint("shuffle_hash"), "b")
       .select(col("a"), col("b"), F.cosine(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= 0.999)
       .select(col("a"), col("b"))
@@ -749,11 +760,36 @@ object Dedup {
         expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
       .persist()
     val cents = Similarity.ivfCentroids(spark, sfDir)
+    // SemDeDup needs BOUNDED cell occupancy: the shared ANN quantizer
+    // has k = √n cells, so occupancy grows as √n and the within-cell
+    // pair volume as n^1.5 — measured fatal at the 100× corpus (≈3.6e8
+    // pairs, driver maxResultSize). Split oversized cells with
+    // random-projection SIGN bits until expected occupancy ≤256: sign
+    // keys are scale-invariant (the gate's planted 1.5×-directional
+    // copies NEVER split, keeping the DuckDB oracle exact at every r),
+    // a 0.999-cosine near-dup pair (≤2.6°) splits per hyperplane with
+    // probability ≈ angle/π ≈ 0.8%; gate-scale exactness holds at ANY r
+    // because the only ≥0.999 pairs in the gate corpus are the planted
+    // directional copies, which sign keys cannot separate.
+    val occupancy = corpus.count().toDouble / cents.length
+    val r = math.max(0, math.ceil(
+      math.log(occupancy / 64.0) / math.log(2.0)).toInt)
+    val cell = F.nearestCells(col("embedding"), cents, 1).getItem(0).cast("long")
+    val key =
+      if (r == 0) cell
+      else cell * (1L << r) + F.rpBits(col("embedding"), r, 0xd08dL)
     val keyed = corpus.select(col("vec_id").as("doc_id"), lit(1).as("band"),
-      F.nearestCells(col("embedding"), cents, 1).getItem(0).cast("long").as("key"))
-    val dups = cappedBucketPairs(keyed, maxBucket)
-      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a")), "a")
-      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b")), "b")
+      key.as("key"))
+    // the corpus side must NEVER broadcast: its in-memory row size is
+    // ~10× the on-disk estimate AQE sees, so at the 100× corpus the
+    // auto-broadcast collected >1 GB to the driver (maxResultSize
+    // kill). A shuffled hash join is the right plan at every scale —
+    // both sides are corpus-sized.
+    val dups = cappedBucketPairs(keyed, maxBucket, dedup = false)
+      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
+        .hint("shuffle_hash"), "a")
+      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
+        .hint("shuffle_hash"), "b")
       .filter(F.cosine(col("emb_a"), col("emb_b")) >= 0.999)
       .select(col("b").as("vec_id"))
       .distinct()
