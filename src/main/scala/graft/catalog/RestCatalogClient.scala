@@ -184,6 +184,118 @@ class RestCatalogClient(val baseUri: String, bearerToken: Option[String] = None)
     def metadata: TableMeta = MetaIO.metaFromJson(raw.get("metadata").toString)
   }
 
+  // ------------------------------------------------------------- views
+
+  def listViews(ns: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    paged(s"/v1/namespaces/${nsPath(ns)}/views")(_.get("identifiers")
+      .forEach(id => { out += id.get("name").asText(); () }))
+    out.result()
+  }
+
+  def viewExists(ns: Seq[String], name: String): Boolean =
+    try { send("HEAD", s"/v1/namespaces/${nsPath(ns)}/views/${seg(name)}"); true }
+    catch { case e: CatalogException if e.code == 404 => false }
+
+  private def viewVersionNode(sql: String, dialect: String,
+      defaultNamespace: Seq[String], operation: String,
+      schemaId: Int): JsonNode = {
+    val vv = mapper.createObjectNode()
+    vv.put("schema-id", schemaId)
+    val s = vv.putObject("summary")
+    s.put("engine-name", "graft"); s.put("operation", operation)
+    val reps = vv.putArray("representations")
+    val r = reps.addObject()
+    r.put("type", "sql"); r.put("sql", sql); r.put("dialect", dialect)
+    val dn = vv.putArray("default-namespace")
+    defaultNamespace.foreach(dn.add)
+    vv
+  }
+
+  /** Create a versioned SQL view (the spec's CreateViewRequest: name +
+    * schema + the first view-version). The schema is the analyzed output
+    * schema of `sql` — the engine computes it, the catalog records it.
+    */
+  def createView(ns: Seq[String], name: String, sql: String,
+      schema: StructType, dialect: String = "spark",
+      properties: Map[String, String] = Map.empty,
+      location: Option[String] = None): ViewLoadResult = {
+    val o = mapper.createObjectNode()
+    o.put("name", name)
+    location.foreach(o.put("location", _))
+    o.set[JsonNode]("schema", mapper.readTree(schema.json))
+    o.set[JsonNode]("view-version", viewVersionNode(sql, dialect, ns, "create", 0))
+    val p = o.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    ViewLoadResult(send("POST", s"/v1/namespaces/${nsPath(ns)}/views",
+      Some(mapper.writeValueAsString(o))))
+  }
+
+  def loadView(ns: Seq[String], name: String): ViewLoadResult =
+    ViewLoadResult(send("GET", s"/v1/namespaces/${nsPath(ns)}/views/${seg(name)}"))
+
+  /** Redefine the view: one commit carrying `assert-view-uuid` (against
+    * `base` — a concurrent redefinition surfaces as the familiar 409) +
+    * add-schema + add-view-version + set-current-view-version(-1). The
+    * old definition stays in `versions`, replayable forever.
+    */
+  def replaceView(ns: Seq[String], name: String, base: ViewMeta, sql: String,
+      schema: StructType, dialect: String = "spark"): ViewLoadResult = {
+    val o = mapper.createObjectNode()
+    val reqs = o.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-view-uuid"); r.put("uuid", base.viewUuid)
+    val ups = o.putArray("updates")
+    val addSchema = ups.addObject()
+    addSchema.put("action", "add-schema")
+    addSchema.set[JsonNode]("schema", mapper.readTree(schema.json))
+    val addVersion = ups.addObject()
+    addVersion.put("action", "add-view-version")
+    addVersion.set[JsonNode]("view-version",
+      viewVersionNode(sql, dialect, ns, "replace", -1))
+    val setCur = ups.addObject()
+    setCur.put("action", "set-current-view-version")
+    setCur.put("view-version-id", -1)
+    ViewLoadResult(send("POST", s"/v1/namespaces/${nsPath(ns)}/views/${seg(name)}",
+      Some(mapper.writeValueAsString(o))))
+  }
+
+  def setViewProperties(ns: Seq[String], name: String, base: ViewMeta,
+      updates: Map[String, String]): ViewLoadResult = {
+    val o = mapper.createObjectNode()
+    val reqs = o.putArray("requirements")
+    val r = reqs.addObject()
+    r.put("type", "assert-view-uuid"); r.put("uuid", base.viewUuid)
+    val ups = o.putArray("updates")
+    val set = ups.addObject()
+    set.put("action", "set-properties")
+    val u = set.putObject("updates")
+    updates.foreach { case (k, v) => u.put(k, v) }
+    ViewLoadResult(send("POST", s"/v1/namespaces/${nsPath(ns)}/views/${seg(name)}",
+      Some(mapper.writeValueAsString(o))))
+  }
+
+  def dropView(ns: Seq[String], name: String): Unit = {
+    send("DELETE", s"/v1/namespaces/${nsPath(ns)}/views/${seg(name)}"); ()
+  }
+
+  def renameView(ns: Seq[String], name: String, toNs: Seq[String], toName: String): Unit = {
+    val o = mapper.createObjectNode()
+    def ident(n: Seq[String], t: String, key: String): Unit = {
+      val id = o.putObject(key)
+      val a = id.putArray("namespace"); n.foreach(a.add)
+      id.put("name", t); ()
+    }
+    ident(ns, name, "source"); ident(toNs, toName, "destination")
+    send("POST", "/v1/views/rename", Some(mapper.writeValueAsString(o)))
+    ()
+  }
+
+  case class ViewLoadResult(raw: JsonNode) {
+    def metadataLocation: String = raw.get("metadata-location").asText()
+    def metadata: ViewMeta = ViewIO.viewFromNode(raw.get("metadata"))
+  }
+
   // ----------------------------------------------------------- commit
 
   /** Propose a (base → next) metadata transition; 409 surfaces as the

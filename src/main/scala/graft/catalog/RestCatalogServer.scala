@@ -52,9 +52,12 @@ class RestCatalogServer(val warehouse: String,
     icebergScanExporter: Option[org.apache.spark.sql.SparkSession] = None) {
   private val mapper = new ObjectMapper()
 
-  // registry: namespace -> (table name -> location); namespace props
+  // registry: namespace -> (table name -> location); namespace props;
+  // views get their own name -> location map (the spec keeps table and
+  // view identifiers in separate listings; a name may exist in both)
   private val namespaces = new ConcurrentHashMap[String, java.util.Map[String, String]]()
   private val tables = new ConcurrentHashMap[String, java.util.Map[String, String]]()
+  private val views = new ConcurrentHashMap[String, java.util.Map[String, String]]()
   private val registryLock = new Object
   private val tableLocks = new ConcurrentHashMap[String, Object]()
 
@@ -95,6 +98,15 @@ class RestCatalogServer(val warehouse: String,
         tn.fieldNames().forEachRemaining(k => m.put(k, tn.get(k).asText()))
         tables.put(ns, m)
       }
+      // registries written before views existed have no "views" node
+      Option(root.get("views")).filterNot(_.isNull).foreach { vroot =>
+        vroot.fieldNames().forEachRemaining { ns =>
+          val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+          val vn = vroot.get(ns)
+          vn.fieldNames().forEachRemaining(k => m.put(k, vn.get(k).asText()))
+          views.put(ns, m)
+        }
+      }
     }
   }
 
@@ -108,6 +120,11 @@ class RestCatalogServer(val warehouse: String,
     val tNode = root.putObject("tables")
     tables.forEach { (ns, m) =>
       val o = tNode.putObject(ns)
+      m.forEach((k, v) => { o.put(k, v); () })
+    }
+    val vNode = root.putObject("views")
+    views.forEach { (ns, m) =>
+      val o = vNode.putObject(ns)
       m.forEach((k, v) => { o.put(k, v); () })
     }
     MetaIO.writeStringAtomic(conf, catalogFile,
@@ -156,6 +173,15 @@ class RestCatalogServer(val warehouse: String,
             error(ex, 404, "NoSuchTableException", s"table $ns.$t not found")
           else { body(ex); ex.sendResponseHeaders(204, -1); ex.close() }
         case ("POST", Seq("v1", "tables", "rename")) => renameTable(ex)
+        case ("GET", Seq("v1", "namespaces", ns, "views")) => listViews(ex, ns)
+        case ("POST", Seq("v1", "namespaces", ns, "views")) => createView(ex, ns)
+        case ("GET", Seq("v1", "namespaces", ns, "views", v)) => loadView(ex, ns, v)
+        case ("HEAD", Seq("v1", "namespaces", ns, "views", v)) =>
+          if (viewLocationOf(ns, v).isDefined) { ex.sendResponseHeaders(204, -1); ex.close() }
+          else error(ex, 404, "NoSuchViewException", s"view $ns.$v not found")
+        case ("DELETE", Seq("v1", "namespaces", ns, "views", v)) => dropView(ex, ns, v)
+        case ("POST", Seq("v1", "namespaces", ns, "views", v)) => commitView(ex, ns, v)
+        case ("POST", Seq("v1", "views", "rename")) => renameView(ex)
         case ("POST", Seq("v1", "transactions", "commit")) => commitTransaction(ex)
         case _ =>
           error(ex, 404, "NotFoundException", s"$method ${ex.getRequestURI.getPath}")
@@ -264,8 +290,10 @@ class RestCatalogServer(val warehouse: String,
         error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
       else if (!Option(tables.get(ns)).forall(_.isEmpty))
         error(ex, 409, "NamespaceNotEmptyException", s"namespace $ns has tables")
+      else if (!Option(views.get(ns)).forall(_.isEmpty))
+        error(ex, 409, "NamespaceNotEmptyException", s"namespace $ns has views")
       else {
-        namespaces.remove(ns); tables.remove(ns); saveRegistry()
+        namespaces.remove(ns); tables.remove(ns); views.remove(ns); saveRegistry()
         ex.sendResponseHeaders(204, -1); ex.close()
       }
     }
@@ -473,6 +501,219 @@ class RestCatalogServer(val warehouse: String,
       }
     }
   }
+
+  // ------------------------------------------------------------ views
+
+  private def viewLocationOf(ns: String, v: String): Option[String] =
+    Option(views.get(ns)).flatMap(m => Option(m.get(v)))
+
+  private def viewLoadResult(loc: String): ObjectNode = {
+    val m = ViewIO.load(conf, loc)
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", ViewIO.metadataPath(loc, m.version))
+    o.set[ObjectNode]("metadata",
+      mapper.readTree(ViewIO.toJson(m)).asInstanceOf[ObjectNode])
+    o.putObject("config")
+    o
+  }
+
+  private def listViews(ex: HttpExchange, ns: String): Unit = {
+    if (!namespaces.containsKey(ns))
+      return error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+    val o = mapper.createObjectNode()
+    import scala.jdk.CollectionConverters._
+    val all = Option(views.get(ns)).map(_.keySet().asScala.toSeq.sorted)
+      .getOrElse(Nil)
+    val (names, token) = page(ex, all)
+    val arr = o.putArray("identifiers")
+    names.foreach { v =>
+      val id = arr.addObject()
+      val a = id.putArray("namespace"); nsParts(ns).foreach(a.add)
+      id.put("name", v)
+    }
+    token.foreach(o.put("next-page-token", _))
+    json(ex, 200, o)
+  }
+
+  /** Parse the spec's `view-version` shape (representations +
+    * default-namespace + summary); `schema-id` is assigned by the caller
+    * (create pins 0; commit resolves the -1 = "last added" sentinel).
+    */
+  private def parseViewVersion(n: JsonNode, versionId: Int,
+      schemaId: Int): ViewVersion = {
+    val reps = Seq.newBuilder[ViewRepresentation]
+    n.get("representations").forEach(r =>
+      reps += ViewRepresentation(r.get("type").asText(), r.get("sql").asText(),
+        Option(r.get("dialect")).filterNot(_.isNull).map(_.asText())
+          .getOrElse("spark")))
+    val dn = Seq.newBuilder[String]
+    Option(n.get("default-namespace")).filterNot(_.isNull)
+      .foreach(_.forEach(x => { dn += x.asText(); () }))
+    val summary = Map.newBuilder[String, String]
+    Option(n.get("summary")).filterNot(_.isNull).foreach(s =>
+      s.fieldNames().forEachRemaining(k => summary += k -> s.get(k).asText()))
+    ViewVersion(versionId, System.currentTimeMillis(), schemaId,
+      summary.result(), reps.result(), dn.result())
+  }
+
+  private def createView(ex: HttpExchange, ns: String): Unit = {
+    if (!namespaces.containsKey(ns))
+      return error(ex, 404, "NoSuchNamespaceException", s"namespace $ns not found")
+    val b = body(ex)
+    val name = b.get("name").asText()
+    val loc = Option(b.get("location")).filterNot(_.isNull).map(_.asText())
+      .getOrElse(s"$warehouse/${nsParts(ns).mkString("/")}/$name")
+    registryLock.synchronized {
+      if (viewLocationOf(ns, name).isDefined)
+        return error(ex, 409, "AlreadyExistsException", s"view $ns.$name exists")
+      if (ViewIO.currentFileVersion(conf, loc).isDefined)
+        return error(ex, 409, "AlreadyExistsException", s"view metadata exists at $loc")
+      val schema = DataType.fromJson(b.get("schema").toString).asInstanceOf[StructType]
+      val vv = parseViewVersion(b.get("view-version"), versionId = 1, schemaId = 0)
+      val props = Map.newBuilder[String, String]
+      Option(b.get("properties")).filterNot(_.isNull).foreach(p =>
+        p.fieldNames().forEachRemaining(k => props += k -> p.get(k).asText()))
+      ViewIO.commit(conf, ViewMeta(loc, 1,
+        java.util.UUID.randomUUID().toString, 1, Seq(vv),
+        Seq((vv.timestampMs, 1)), Map(0 -> schema), props.result()))
+      views.computeIfAbsent(ns, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]()).put(name, loc)
+      saveRegistry()
+    }
+    json(ex, 200, viewLoadResult(loc))
+  }
+
+  private def loadView(ex: HttpExchange, ns: String, v: String): Unit =
+    viewLocationOf(ns, v) match {
+      case None => error(ex, 404, "NoSuchViewException", s"view $ns.$v not found")
+      case Some(loc) => json(ex, 200, viewLoadResult(loc))
+    }
+
+  private def dropView(ex: HttpExchange, ns: String, v: String): Unit =
+    registryLock.synchronized {
+      viewLocationOf(ns, v) match {
+        case None => error(ex, 404, "NoSuchViewException", s"view $ns.$v not found")
+        case Some(_) =>
+          views.get(ns).remove(v); saveRegistry()
+          ex.sendResponseHeaders(204, -1); ex.close()
+      }
+    }
+
+  private def renameView(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    def ident(n: JsonNode): (String, String) = {
+      val parts = Seq.newBuilder[String]
+      n.get("namespace").forEach(x => { parts += x.asText(); () })
+      (parts.result().mkString(NsSep.toString), n.get("name").asText())
+    }
+    val (sNs, sName) = ident(b.get("source"))
+    val (dNs, dName) = ident(b.get("destination"))
+    registryLock.synchronized {
+      viewLocationOf(sNs, sName) match {
+        case None =>
+          error(ex, 404, "NoSuchViewException", s"view $sNs.$sName not found")
+        case Some(loc) =>
+          if (!namespaces.containsKey(dNs))
+            error(ex, 404, "NoSuchNamespaceException", s"namespace $dNs not found")
+          else if (viewLocationOf(dNs, dName).isDefined)
+            error(ex, 409, "AlreadyExistsException", s"view $dNs.$dName exists")
+          else {
+            views.get(sNs).remove(sName)
+            views.computeIfAbsent(dNs, _ =>
+              new java.util.concurrent.ConcurrentHashMap[String, String]())
+              .put(dName, loc)
+            saveRegistry()
+            ex.sendResponseHeaders(204, -1); ex.close()
+          }
+      }
+    }
+  }
+
+  /** View commit: `assert-view-uuid` requirement checked against the
+    * CURRENT metadata, then spec updates applied — `add-schema`,
+    * `add-view-version` (schema-id -1 = last added schema),
+    * `set-current-view-version` (-1 = last added version),
+    * `set-properties` / `remove-properties` — and the next metadata FILE
+    * version published through the shared CAS under the view's lock.
+    * Versions are append-only: a redefinition never rewrites history.
+    */
+  private def commitView(ex: HttpExchange, ns: String, v: String): Unit =
+    viewLocationOf(ns, v) match {
+      case None => error(ex, 404, "NoSuchViewException", s"view $ns.$v not found")
+      case Some(loc) =>
+        val lock = tableLocks.computeIfAbsent(s"view:$ns$NsSep$v", _ => new Object)
+        lock.synchronized {
+          val b = body(ex)
+          val cur = ViewIO.load(conf, loc)
+          var bad: Option[String] = None
+          Option(b.get("requirements")).filterNot(_.isNull).foreach(_.forEach { r =>
+            r.get("type").asText() match {
+              case "assert-view-uuid" =>
+                val want = r.get("uuid").asText()
+                if (want != cur.viewUuid && bad.isEmpty)
+                  bad = Some(s"requirement failed: view uuid is ${cur.viewUuid}, not $want")
+              case other =>
+                if (bad.isEmpty) bad = Some(s"unsupported view requirement: $other")
+            }
+          })
+          bad match {
+            case Some(msg) => error(ex, 409, "CommitFailedException", msg)
+            case None =>
+              var m = cur
+              var lastSchemaId = -1
+              var lastVersionId = -1
+              try {
+                Option(b.get("updates")).filterNot(_.isNull).foreach(_.forEach { u =>
+                  u.get("action").asText() match {
+                    case "add-schema" =>
+                      val st = DataType.fromJson(u.get("schema").toString)
+                        .asInstanceOf[StructType]
+                      lastSchemaId = if (m.schemas.isEmpty) 0 else m.schemas.keys.max + 1
+                      m = m.copy(schemas = m.schemas + (lastSchemaId -> st))
+                    case "add-view-version" =>
+                      val nextId = m.versions.map(_.versionId).max + 1
+                      val sidRaw = Option(u.get("view-version").get("schema-id"))
+                        .filterNot(_.isNull).map(_.asInt()).getOrElse(-1)
+                      val sid = if (sidRaw == -1) lastSchemaId else sidRaw
+                      require(m.schemas.contains(sid),
+                        s"add-view-version references unknown schema $sidRaw")
+                      val vv = parseViewVersion(u.get("view-version"), nextId, sid)
+                      lastVersionId = nextId
+                      m = m.copy(versions = m.versions :+ vv)
+                    case "set-current-view-version" =>
+                      val idRaw = u.get("view-version-id").asInt()
+                      val id = if (idRaw == -1) lastVersionId else idRaw
+                      require(m.versions.exists(_.versionId == id),
+                        s"set-current-view-version targets unknown version $idRaw")
+                      m = m.copy(currentVersionId = id,
+                        versionLog = m.versionLog :+ ((System.currentTimeMillis(), id)))
+                    case "set-properties" =>
+                      val ups = Map.newBuilder[String, String]
+                      u.get("updates").fieldNames().forEachRemaining(k =>
+                        ups += k -> u.get("updates").get(k).asText())
+                      m = m.copy(properties = m.properties ++ ups.result())
+                    case "remove-properties" =>
+                      val rm = Seq.newBuilder[String]
+                      u.get("removals").forEach(x => { rm += x.asText(); () })
+                      m = m.copy(properties = m.properties -- rm.result())
+                    case other =>
+                      throw new IllegalArgumentException(
+                        s"unsupported view update action: $other")
+                  }
+                })
+              } catch {
+                case e: IllegalArgumentException =>
+                  return error(ex, 400, "BadRequestException", e.getMessage)
+              }
+              try ViewIO.commit(conf, m.copy(version = cur.version + 1))
+              catch {
+                case e: java.util.ConcurrentModificationException =>
+                  return error(ex, 409, "CommitFailedException", e.getMessage)
+              }
+              json(ex, 200, viewLoadResult(loc))
+          }
+        }
+    }
 
   // ----------------------------------------------------------- commit
 

@@ -1768,7 +1768,75 @@ object TableOpsExt {
        |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM del
        |) ORDER BY commit_seq, change_type""".stripMargin
 
+  // ---------------------------------------------------------------- t60
+
+  /** t60: versioned SQL VIEWS through the REST catalog (Iceberg VIEW
+    * spec, format-version 1 — apache/iceberg `view-spec`; the catalog
+    * surface `/v1/namespaces/{ns}/views` from `rest-catalog-open-api
+    * .yaml`): CREATE VIEW records an immutable version (SQL
+    * representation + the definition's analyzed schema) in view metadata
+    * published through the same CAS primitive as table commits; ALTER
+    * VIEW appends version 2 and moves `current-version-id` under an
+    * assert-view-uuid requirement — version 1 stays replayable from
+    * metadata forever, the view-level face of time travel. The gate
+    * stages a capped orders table, defines a per-status totals view,
+    * redefines it with an urgency filter, then reads BOTH the current
+    * definition and the version-1 replay through a SECOND SQL session
+    * that discovers the view and its base table purely from the catalog
+    * (nothing registered locally). Scale: a view is pure metadata —
+    * O(definition bytes) per load, no data IO; the data-side plan is
+    * whatever the definition's own query plans.
+    */
+  def t60CatalogViews(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.catalog._
+    val srv = new RestCatalogServer(
+      Files.createTempDirectory("graft_cat60").toString,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val c = new RestCatalogClient(srv.uri)
+      c.createNamespace(Seq("lake"))
+      val wh = Files.createTempDirectory("graft_t60").toString
+      val t = GraftTable.createAs(spark, s"$wh/ord", orders(spark, sfDir, 2000))
+      val g = new graft.sources.GraftSql(spark, wh, Some((c, Seq("lake"))))
+      g.register("ord", t.location)
+      g.sql("""CREATE VIEW status_totals AS SELECT o_orderstatus,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              |FROM ord GROUP BY o_orderstatus""".stripMargin)
+      g.sql("""ALTER VIEW status_totals AS SELECT o_orderstatus,
+              |  COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              |FROM ord WHERE o_orderpriority <> '1-URGENT'
+              |GROUP BY o_orderstatus""".stripMargin)
+      // a SECOND session resolves the view and its base table purely
+      // through catalog discovery — the cross-session story the catalog
+      // exists for
+      val g2 = new graft.sources.GraftSql(spark, wh, Some((c, Seq("lake"))))
+      val cur = g2.sql("SELECT * FROM status_totals")
+      val meta = c.loadView(Seq("lake"), "status_totals").metadata
+      val v1 = g2.sql(meta.versionAt(1).sqlFor("spark"))
+      v1.withColumn("view_version", lit(1))
+        .unionByName(cur.withColumn("view_version", lit(2)))
+        .select(col("view_version"), col("o_orderstatus"), col("n"),
+          col("sum_price"))
+        .orderBy(col("view_version"), col("o_orderstatus"))
+    } finally srv.stop()
+  }
+
+  val t60Oracle: String =
+    s"""SELECT * FROM (
+       |  SELECT 1 AS view_version, o_orderstatus, COUNT(*) AS n,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |  FROM ${cappedSql(2000)} GROUP BY o_orderstatus
+       |  UNION ALL
+       |  SELECT 2, o_orderstatus, COUNT(*),
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |  FROM ${cappedSql(2000)} WHERE o_orderpriority <> '1-URGENT'
+       |  GROUP BY o_orderstatus
+       |) ORDER BY view_version, o_orderstatus""".stripMargin
+
   val entries: Map[String, graft.Gate.Entry] = Map(
+    "t60_catalog_views"        -> graft.Gate(t60CatalogViews _, t60Oracle),
     "t59_changelog_view"       -> graft.Gate(t59ChangelogView _, t59Oracle),
     "t58_multi_table_tx"       -> graft.Gate(t58MultiTableTx _, t58Oracle),
     "t57_snapshot_table"       -> graft.Gate(t57SnapshotTable _, t57Oracle),

@@ -63,6 +63,13 @@ class GraftSql(val spark: SparkSession, warehouse: String,
   private val externals = mutable.LinkedHashMap[String, () => DataFrame]()
   private val databases = mutable.Set[String]()
   private val vars = mutable.Map[String, String]()
+  // SQL views: name -> the CURRENT version's definition. In catalog mode
+  // definitions round-trip through the REST view surface (versioned
+  // Iceberg view metadata — every redefinition is a new immutable
+  // version); locally they live only in this map.
+  private val viewDefs = mutable.LinkedHashMap[String, String]()
+  // views being staged right now — breaks definition cycles (v1 -> v2 -> v1)
+  private val viewStack = mutable.Set[String]()
 
   /** Bind `${name}` placeholders in statements (reference scripts use
     * `${bucket}` for the staging location root).
@@ -172,6 +179,14 @@ class GraftSql(val spark: SparkSession, warehouse: String,
   private val CreateMv = r(
     """CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+(.*)""")
   private val RefreshMv = r("""REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)""")
+  // plain SQL views (the Iceberg VIEW spec surface in catalog mode):
+  // the body must start at a query head so CREATE MATERIALIZED VIEW
+  // keeps its own route and DDL typos don't parse as definitions
+  private val CreateView = r(
+    """CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+((?:SELECT|WITH|FROM)\b.*)""")
+  private val AlterViewAs = r("""ALTER\s+VIEW\s+(\w+)\s+AS\s+((?:SELECT|WITH|FROM)\b.*)""")
+  private val DropViewStmt = r("""DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)""")
+  private val ShowViews = r("""SHOW\s+VIEWS""")
   private val RenameCol = r("""ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)""")
   private val DropCol = r("""ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)""")
   private val AlterColType = r("""ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)""")
@@ -354,6 +369,25 @@ class GraftSql(val spark: SparkSession, warehouse: String,
         val n = graft.tables.IncrementalAggView.load(spark, location(name)).refresh()
         import spark.implicits._
         Seq(("refresh-mv", name, n)).toDF("status", "table", "change_rows")
+      case CreateView(orReplace, name, select) =>
+        handleCreateView(name, select, orReplace != null)
+      case AlterViewAs(name, select) =>
+        handleAlterView(name, select)
+      case DropViewStmt(name) =>
+        viewDefs.remove(name)
+        catalog.foreach { case (c, ns) =>
+          if (c.viewExists(ns, name)) c.dropView(ns, name)
+        }
+        spark.catalog.dropTempView(name)
+        status("drop-view", name)
+      case ShowViews() =>
+        import spark.implicits._
+        // catalog mode also lists views other sessions created, like
+        // SHOW TABLES; an unreachable catalog degrades to the local map
+        val catalogNames = catalog.toSeq.flatMap { case (c, ns) =>
+          scala.util.Try(c.listViews(ns)).getOrElse(Nil)
+        }
+        (viewDefs.keys ++ catalogNames).toSeq.distinct.sorted.toDF("viewName")
       case RenameCol(name, from, to) =>
         table(name).renameColumn(from, to); status("rename-column", name)
       case DropCol(name, colName) =>
@@ -475,6 +509,52 @@ class GraftSql(val spark: SparkSession, warehouse: String,
   }
 
   // --------------------------------------------------------- helpers
+
+  /** CREATE [OR REPLACE] VIEW: analyze the definition NOW (a bad
+    * definition must fail at CREATE, not at first read — and the
+    * analyzed schema is what the catalog records for the version), then
+    * create or (OR REPLACE) append a new view version through the
+    * catalog's versioned-view surface.
+    */
+  private def handleCreateView(name: String, select: String,
+      orReplace: Boolean): DataFrame = {
+    require(!tables.contains(name) && !externals.contains(name),
+      s"$name already names a table; views and tables share the SQL namespace here")
+    val schema = runSelect(select).schema
+    catalog match {
+      case Some((c, ns)) =>
+        if (c.viewExists(ns, name)) {
+          if (!orReplace)
+            throw new IllegalArgumentException(
+              s"view $name already exists (use CREATE OR REPLACE VIEW)")
+          val base = c.loadView(ns, name).metadata
+          c.replaceView(ns, name, base, select, schema)
+        } else c.createView(ns, name, select, schema)
+      case None =>
+        if (!orReplace && viewDefs.contains(name))
+          throw new IllegalArgumentException(
+            s"view $name already exists (use CREATE OR REPLACE VIEW)")
+    }
+    viewDefs(name) = select
+    status("create-view", name)
+  }
+
+  /** ALTER VIEW … AS: redefinition of an EXISTING view — a new immutable
+    * version in catalog mode (assert-view-uuid guards against a
+    * concurrent redefinition; the old version stays replayable).
+    */
+  private def handleAlterView(name: String, select: String): DataFrame = {
+    val schema = runSelect(select).schema
+    catalog match {
+      case Some((c, ns)) =>
+        val base = c.loadView(ns, name).metadata // 404 if it doesn't exist
+        c.replaceView(ns, name, base, select, schema)
+      case None =>
+        require(viewDefs.contains(name), s"unknown view: $name")
+    }
+    viewDefs(name) = select
+    status("alter-view", name)
+  }
 
   /** MERGE INTO with real clause semantics: `UPDATE SET *` replaces the
     * matched row with the source row; `UPDATE SET a = e, …` updates only
@@ -907,6 +987,28 @@ class GraftSql(val spark: SparkSession, warehouse: String,
             scala.util.Try(cl.loadTable(ns, name).location)
               .foreach(tables(name) = _)
         }
+      // same discovery for VIEWS another session defined: cache the
+      // CURRENT version's SQL (the commit moves currentVersionId, so a
+      // stale cache only lasts until the next statement's discovery)
+      if (fromRefs.exists(n => !tables.contains(n) && !externals.contains(n) &&
+          !viewDefs.contains(n)))
+        scala.util.Try(cl.listViews(ns)).getOrElse(Nil).foreach { name =>
+          if (!viewDefs.contains(name) && !tables.contains(name) &&
+              ("(?i)\\b" + Regex.quote(name) + "\\b").r.findFirstIn(q).isDefined)
+            scala.util.Try(cl.loadView(ns, name).metadata)
+              .foreach(m => viewDefs(name) = m.currentVersion.sqlFor("spark"))
+        }
+    }
+    // stage referenced SQL views: run each definition (a recursive
+    // runSelect — views-over-views stage naturally) into a temp view the
+    // final spark.sql resolves; the in-flight set breaks cycles
+    viewDefs.keys.toSeq.foreach { name =>
+      if (!viewStack.contains(name) &&
+          ("(?i)\\b" + Regex.quote(name) + "\\b").r.findFirstIn(q).isDefined) {
+        viewStack += name
+        try runSelect(viewDefs(name)).createOrReplaceTempView(name)
+        finally viewStack -= name
+      }
     }
     // Iceberg-style inline metadata tables (reference README.md:353
     // `SELECT * FROM ${user}_ice.airlines.history`): resolve

@@ -139,8 +139,31 @@ object Streams {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Append-mode sink for UNBOUNDED streaming output: a parquet FILE sink
+    * plus read-back, replacing the memory sink for every gate whose
+    * output is O(stream). A memory sink materializes the entire result as
+    * driver-held rows — fine for window aggregates (st01), fatal for
+    * per-row outputs: the ×100 corpus OOM'd a 24 GiB driver collecting
+    * st03's deduped stream. The file sink writes each micro-batch's
+    * output straight to storage from the executors (a production
+    * pipeline's lake sink — exactly-once via the sink's own commit log),
+    * so the measurement path scales with the CLUSTER, not the driver.
+    * Read-back pins the sink's schema: an empty result must read as an
+    * empty frame, not a schema-inference failure.
+    */
+  private def parquetSink(df: DataFrame)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_file_sink").toString
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
+    (q, () => df.sparkSession.read.schema(df.schema).parquet(s"$out/data"))
+  }
+
   /** st02 as a driver-gate query: the REAL streaming sessionizer (file
-    * source → flatMapGroupsWithState → memory sink) over the events table.
+    * source → flatMapGroupsWithState → parquet file sink) over the events
+    * table.
     * A far-future flush event PER USER closes every real session (each
     * flush opens a session of its own that stays in state, never emitted),
     * so the closed-session aggregate is value-identical to the batch q14
@@ -152,10 +175,8 @@ object Streams {
     stageEvents(spark, sfDir, dir)
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms")).as[Ev]
-    val name = s"st02_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = withStatePartitions(spark) {
-      sessionize(stream, 1800000L)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (q, sessions) = withStatePartitions(spark) {
+      parquetSink(sessionize(stream, 1800000L).toDF())
     }
     try {
       q.processAllAvailable()
@@ -168,7 +189,7 @@ object Streams {
         .write.mode("append").parquet(dir)
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    sessions()
       .groupBy(col("user_id"))
       .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_sessions"))
       .orderBy(col("user_id"))
@@ -193,13 +214,11 @@ object Streams {
     val dir = java.nio.file.Files.createTempDirectory("graft_st03_gate").toString
     stageEvents(spark, sfDir, dir, Seq("copy1.parquet", "copy2.parquet"))
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
-    val name = s"st03_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = withStatePartitions(spark) {
-      dedupStream(stream)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (q, deduped) = withStatePartitions(spark) {
+      parquetSink(dedupStream(stream))
     }
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    deduped()
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
@@ -542,10 +561,7 @@ object Streams {
         col("user_id"),
         coalesce(unix_millis(col("c_ts")) - unix_millis(col("v_ts")), lit(-1L))
           .as("gap_ms"))
-    val name = s"st10_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = withStatePartitions(spark) {
-      joined.writeStream.format("memory").queryName(name).outputMode("append").start()
-    }
+    val (q, matches) = withStatePartitions(spark) { parquetSink(joined) }
     try {
       q.processAllAvailable()
       // flush: one far-future row per side advances both watermarks past
@@ -560,7 +576,7 @@ object Streams {
         .write.mode("append").parquet(dir)
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).filter(col("v_id") < 900000000L)
+    matches().filter(col("v_id") < 900000000L)
       .orderBy(col("v_id"), col("c_id"))
   }
 
@@ -601,12 +617,9 @@ object Streams {
         col("c_ts") <= col("v_ts") + expr("INTERVAL 15 MINUTES"))
       .select(col("v_id"), col("c_id"), col("user_id"),
         (unix_millis(col("c_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
-    val name = s"st07_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = withStatePartitions(spark) {
-      joined.writeStream.format("memory").queryName(name).outputMode("append").start()
-    }
+    val (q, matches) = withStatePartitions(spark) { parquetSink(joined) }
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy(col("v_id"), col("c_id"))
+    matches().orderBy(col("v_id"), col("c_id"))
   }
 
   val st07GateOracle: String =
@@ -641,11 +654,9 @@ object Streams {
       .select(col("c_custkey"), col("n_name")))
     val joined = stream.join(dim, stream("user_id") === dim("c_custkey"))
       .select(col("event_id"), col("n_name"), col("value"))
-    val name = s"st08_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    val (q, enriched) = parquetSink(joined)
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    enriched()
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
