@@ -57,7 +57,14 @@ object Bench {
     // interleaving puts minutes between a query's two samples so a burst
     // can't sit on both.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Optional subset (comma-separated gate names) for scale probes: the
+    // sf100-class corpora make the DECLARED linear-scan gates (s01/s02/…)
+    // hour-long by design, so ×1000 scaling rows time the scalable-path
+    // representatives only. The driver's per-round run never sets this.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = Array.fill(named.size)(Double.MaxValue)
     // A query that throws must surface as an explicit error, not as the
     // elapsed-until-throw time masquerading as a (suspiciously fast) success.

@@ -1835,7 +1835,89 @@ object TableOpsExt {
        |  GROUP BY o_orderstatus
        |) ORDER BY view_version, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- t61
+
+  /** t61: DELETE-FILE COMPACTION (Iceberg's `rewrite_position_delete_files`
+    * maintenance surface — [[GraftTable.compactDeleteFiles]], previously
+    * spec-only): continuous MOR ingestion accretes one small delete file
+    * per commit, so read fan-in grows O(commits) until maintenance folds
+    * it back. Four position-delete commits plus two equality-delete
+    * commits (distinct sequence numbers) accumulate six delete artifacts;
+    * compaction folds the position stack into ONE deletion-vector file
+    * (bitmap layout — O(touched data files) rows however many positions
+    * died) while the equality entries keep their sequence numbers
+    * (folding across seqs would widen older deletes onto files they must
+    * not touch — upserted rows would vanish under their own delete). The
+    * gate pins the whole contract: the accumulated position stack (≥4
+    * files) folds to 1 with the DV bounded by the data-file count, data files byte-identical (path set
+    * unchanged — this is delete-side-only maintenance), visible rows and
+    * the price aggregate unchanged, the compaction snapshot reads as
+    * row-preserving maintenance in the changelog (zero rows — a
+    * changelog consumer must survive maintenance running between its
+    * polls), and the folded state still materializes cleanly. At 100 TB
+    * this is the steady-state companion to t13's data-file compaction:
+    * the fold moves O(bitmap bytes) per touched file, never O(deleted
+    * rows) through a shuffle. Reference: README.md "Table maintenance"
+    * (compaction + cleanup), extended to the delete-file side.
+    */
+  def t61CompactDeleteFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = orders(spark, sfDir)
+    val t = GraftTable.createAs(spark, tmp(), base.repartition(8))
+    val dataBefore = t.currentFiles().map(_.path).toSet
+    t.deleteMergeOnReadPositions("o_orderkey % 5 = 0")
+    t.deleteMergeOnReadPositions("o_orderkey % 7 = 1")
+    t.deleteMergeOnReadPositions("o_orderkey % 11 = 2")
+    t.deleteMergeOnReadPositions("o_orderkey % 13 = 3")
+    t.deleteMergeOnReadEquality(
+      base.filter(col("o_orderkey") % 17 === 4).select("o_orderkey"), Seq("o_orderkey"))
+    t.deleteMergeOnReadEquality(
+      base.filter(col("o_orderkey") % 19 === 5).select("o_orderkey"), Seq("o_orderkey"))
+    val posBefore = t.currentPositionDeletes().size.toLong
+    val eqSeqsBefore = t.currentEqualityDeletes().map(_.seq).sorted
+    val rowsBefore = t.toDF().count()
+    t.compactDeleteFiles()
+    val posAfter = t.currentPositionDeletes().size.toLong
+    // one bitmap row per touched data file, never one per deleted position
+    val dvBounded = spark.read.parquet(t.currentPositionDeletes(): _*)
+      .count() <= dataBefore.size
+    val dataUntouched = t.currentFiles().map(_.path).toSet == dataBefore
+    val eqSeqsPreserved = t.currentEqualityDeletes().map(_.seq).sorted == eqSeqsBefore
+    val rowsAfter = t.toDF().count()
+    val snaps = t.meta.snapshots
+    val changelogRows =
+      t.changesBetween(snaps(snaps.size - 2).id, snaps.last.id).count()
+    t.materializeDeletes()
+    val rowsFinal = t.toDF().count()
+    val sumPrice = t.toDF()
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"))
+      .head().getDouble(0)
+    Seq((posBefore >= 4L, posAfter, dvBounded, dataUntouched, eqSeqsPreserved,
+        rowsBefore, rowsAfter, changelogRows, rowsFinal, sumPrice))
+      .toDF("pos_stack_accumulated", "pos_files_after", "dv_bounded",
+        "data_files_untouched", "eq_seqs_preserved", "rows_before",
+        "rows_after", "changelog_rows", "rows_final", "sum_price")
+  }
+
+  val t61Oracle: String =
+    s"""WITH base AS (SELECT * FROM ${cappedSql()}),
+       |live AS (
+       |  SELECT * FROM base
+       |  WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 1
+       |    AND o_orderkey % 11 <> 2 AND o_orderkey % 13 <> 3
+       |    AND o_orderkey % 17 <> 4 AND o_orderkey % 19 <> 5)
+       |SELECT TRUE AS pos_stack_accumulated,
+       |  CAST(1 AS BIGINT) AS pos_files_after,
+       |  TRUE AS dv_bounded, TRUE AS data_files_untouched,
+       |  TRUE AS eq_seqs_preserved,
+       |  (SELECT COUNT(*) FROM live) AS rows_before,
+       |  (SELECT COUNT(*) FROM live) AS rows_after,
+       |  CAST(0 AS BIGINT) AS changelog_rows,
+       |  (SELECT COUNT(*) FROM live) AS rows_final,
+       |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM live) AS sum_price""".stripMargin
+
   val entries: Map[String, graft.Gate.Entry] = Map(
+    "t61_compact_delete_files" -> graft.Gate(t61CompactDeleteFiles _, t61Oracle),
     "t60_catalog_views"        -> graft.Gate(t60CatalogViews _, t60Oracle),
     "t59_changelog_view"       -> graft.Gate(t59ChangelogView _, t59Oracle),
     "t58_multi_table_tx"       -> graft.Gate(t58MultiTableTx _, t58Oracle),
