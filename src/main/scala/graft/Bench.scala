@@ -74,7 +74,21 @@ object Bench {
       if (i % CalibrationEvery == 0) calibration += probe()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // Hash EVERY output value, not count rows: a bare count() (and
+        // even count(col) — non-nullable columns normalize to count(1))
+        // lets Catalyst prune unreferenced columns and eliminate
+        // cardinality-preserving joins above them — d13's whole gram
+        // pipeline (grams → document-frequency → coverage join) was
+        // being optimized out of the measurement, timing a 0.1 s doc
+        // scan at every corpus size. xxhash64 over all columns is
+        // value-dependent, so nothing upstream is prunable; the final
+        // orderBy still folds away under the aggregate, keeping the
+        // rest of the historical count() basis. Hash cost is one
+        // codegen'd pass over the result — noise next to operator work.
+        import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
+        val out = fn(spark, sfDir)
+        out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
+          .agg(max(org.apache.spark.sql.functions.col("h"))).count()
         best(i) = math.min(best(i), (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         errs(i) = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")

@@ -1,8 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
 
-/** Time a subset of SparkEntry queries at an arbitrary sf (ad-hoc). */
+/** Time a subset of SparkEntry queries at an arbitrary sf (ad-hoc).
+  * Uses the same hash-all-columns action as [[Bench]] (value-dependent,
+  * nothing prunable); `SPARK_GRAFT_EXPLAIN=1` additionally prints each
+  * query's formatted physical plan to stderr before running it.
+  */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,9 +15,15 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").count()
     for (name <- args; fn <- SparkEntry.queries.get(name)) {
+      val out = fn(spark, sfDir)
+      val hashed = out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
+        .agg(max(col("h")))
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        System.err.println(hashed.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       for (rep <- 1 to 2) {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val n = hashed.count()
         println(f"[benchone] $name rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

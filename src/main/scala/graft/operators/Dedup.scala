@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.F
@@ -222,6 +223,42 @@ object Dedup {
     if (dedup) pairs.distinct() else pairs
   }
 
+  /** Within-bucket VERIFIED pairs with the verification payload carried
+    * INTO the bucket exchange instead of joined onto materialized pairs.
+    * Input is (doc_id, band, key, p) — `p` the column the verifier needs
+    * (an embedding, a signature) riding each keyed row. Buckets above
+    * `maxBucket` drop whole (the [[cappedBucketPairs]] boilerplate
+    * contract; sizes are censused on bare keys first, and singleton
+    * buckets drop too — no pair can come from them). Surviving buckets
+    * self-join on (band, key) and `accept` runs in the join stage, so
+    * pair×payload NEVER rides an exchange: total shuffle is O(corpus ×
+    * bands × payload). The pairs-then-join-payload shape re-shuffled
+    * every candidate pair with two embeddings aboard — ~40 GB of spill
+    * at the ×1000 corpus (single-box disk kill), against ~5 GB for this
+    * shape on the same input. Both self-join sides are corpus-sized and
+    * shuffle_hash-hinted (never auto-broadcast off an under-estimated
+    * on-disk size); per-key match buffering is bounded by `maxBucket`.
+    */
+  private[graft] def cappedVerifiedPairs(keyedP: DataFrame, maxBucket: Int,
+      accept: (Column, Column) => Column, dedup: Boolean = true): DataFrame = {
+    val ok = keyedP.select(col("band"), col("key"))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+      .select(col("band"), col("key"))
+    // ok is O(distinct small buckets) — tiny next to the corpus; AQE may
+    // broadcast it, keeping the corpus scan shuffle-free here
+    val rows = keyedP.join(ok, Seq("band", "key"))
+    val l = rows.select(col("band"), col("key"), col("doc_id").as("a"),
+      col("p").as("pa"))
+    val r = rows.select(col("band"), col("key"), col("doc_id").as("b"),
+      col("p").as("pb"))
+    val pairs = l.hint("shuffle_hash").join(r.hint("shuffle_hash"),
+        Seq("band", "key"))
+      .filter(col("a") < col("b") && accept(col("pa"), col("pb")))
+      .select(col("a"), col("b"))
+    if (dedup) pairs.distinct() else pairs
+  }
+
   /** LSH banding: explode a minhash signature into (bandIdx, bandKey) rows;
     * docs sharing any band key become candidate pairs (capped buckets).
     */
@@ -256,7 +293,7 @@ object Dedup {
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
       .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     // CC only over edge endpoints — the near-dup graph is tiny relative to
     // the corpus, so the iterative part never touches the full id set;
     // everything else is a singleton cluster by construction.
@@ -269,7 +306,7 @@ object Dedup {
     val out = clustered.unionAll(singletons)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     corpus.unpersist()
     out
   }
@@ -298,7 +335,7 @@ object Dedup {
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
       .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     val endpoints = verified.select(col("src").as("id"))
       .unionAll(verified.select(col("dst").as("id"))).distinct()
     val clustered = Graph.connectedComponents(endpoints, verified)
@@ -308,7 +345,7 @@ object Dedup {
     val out = clustered.unionAll(singletons)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     corpus.unpersist()
     out
   }
@@ -451,7 +488,7 @@ object Dedup {
       .select(col("a"), col("b"), expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 7)
       .orderBy(col("a"), col("b"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     sigs.unpersist()
     out
   }
@@ -486,7 +523,7 @@ object Dedup {
       .filter(col("hamming") <= 7)
       // no orderBy: the gate compare sorts rows itself, and a range
       // shuffle (sample pass + exchange) is pure fixed cost here
-      .localCheckpoint(true)
+      .diskCheckpoint()
     sigs.unpersist()
     out
   }
@@ -550,7 +587,7 @@ object Dedup {
       .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("a"), col("b"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     corpus.unpersist()
     out
   }
@@ -583,7 +620,7 @@ object Dedup {
       .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("a"), col("b"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     corpus.unpersist()
     out
   }
@@ -617,13 +654,19 @@ object Dedup {
     * the embedding self-join (d06) and the asymmetric
     * corpus-vs-benchmark join (d12).
     */
-  private def rpKeys(df: DataFrame, idCol: String, vecCol: String): DataFrame = df
-    .withColumn("k1", F.rpBits(col(vecCol), 16, 0xbeefL))
-    .withColumn("k2", F.rpBits(col(vecCol), 16, 0xcafeL))
-    .select(col(idCol),
-      explode(array(struct(lit(1).as("band"), col("k1").as("key")),
-        struct(lit(2).as("band"), col("k2").as("key")))).as("bk"))
-    .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  /** `keepPayload = true` additionally carries the vector as `p` on each
+    * banded row — the [[cappedVerifiedPairs]] input shape. */
+  private def rpKeys(df: DataFrame, idCol: String, vecCol: String,
+      keepPayload: Boolean = false): DataFrame = {
+    val banded = df
+      .withColumn("k1", F.rpBits(col(vecCol), 16, 0xbeefL))
+      .withColumn("k2", F.rpBits(col(vecCol), 16, 0xcafeL))
+      .select((col(idCol) +: (if (keepPayload) Seq(col(vecCol).as("p")) else Nil)) :+
+        explode(array(struct(lit(1).as("band"), col("k1").as("key")),
+          struct(lit(2).as("band"), col("k2").as("key")))).as("bk"): _*)
+    banded.select((col(idCol) +: (if (keepPayload) Seq(col("p")) else Nil)) ++
+      Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
+  }
 
   /** d12: SEMANTIC benchmark decontamination — d11's asymmetric shape in
     * embedding space (the third leg of the decontamination triple: x08
@@ -680,11 +723,14 @@ object Dedup {
   def d06EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame =
     d06EmbedNeardup(spark, sfDir, maxBucket = 500)
 
-  /** Hyperplane buckets funnel through [[cappedBucketPairs]] like every
-    * other blocking scheme — uniform data puts ~N/2¹⁶ vectors on each
-    * 16-bit key, so the uncapped self-join is Θ(N²/2¹⁶) pairs at scale.
-    * Pairs are deduped BEFORE the embedding join, so the shuffle carries
-    * bare id pairs and cosine runs once per unique pair.
+  /** Hyperplane buckets funnel through the capped-bucket contract like
+    * every other blocking scheme — uniform data puts ~N/2¹⁶ vectors on
+    * each 16-bit key, so the uncapped self-join is Θ(N²/2¹⁶) pairs at
+    * scale. Verification runs through [[cappedVerifiedPairs]]: the
+    * embedding rides the bucket exchange once per keyed row and cosine
+    * streams through the self-join stage — candidate pairs never carry
+    * payloads across a shuffle (the pairs-then-join shape spilled ~40 GB
+    * at the ×1000 corpus; this one moves O(corpus) bytes).
     */
   private[operators] def d06EmbedNeardup(spark: SparkSession, sfDir: String,
       maxBucket: Int): DataFrame = {
@@ -694,20 +740,12 @@ object Dedup {
         (col("vec_id") + lit(2000000L)).as("vec_id"),
         expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").as("embedding")))
       .persist()
-    val keyed = rpKeys(corpus.withColumnRenamed("vec_id", "doc_id"),
-      "doc_id", "embedding")
-    // shuffle_hash for the same reason as d08: a corpus side must
-    // never auto-broadcast off its under-estimated on-disk size
-    val out = cappedBucketPairs(keyed, maxBucket)
-      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
-        .hint("shuffle_hash"), "a")
-      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
-        .hint("shuffle_hash"), "b")
-      .select(col("a"), col("b"), F.cosine(col("emb_a"), col("emb_b")).as("sim"))
-      .filter(col("sim") >= 0.999)
-      .select(col("a"), col("b"))
+    val keyedP = rpKeys(corpus.withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", "embedding", keepPayload = true)
+    val out = cappedVerifiedPairs(keyedP, maxBucket,
+        (pa, pb) => F.cosine(pa, pb) >= 0.999)
       .orderBy(col("a"), col("b"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     corpus.unpersist()
     out
   }
@@ -778,19 +816,16 @@ object Dedup {
     val key =
       if (r == 0) cell
       else cell * (1L << r) + F.rpBits(col("embedding"), r, 0xd08dL)
-    val keyed = corpus.select(col("vec_id").as("doc_id"), lit(1).as("band"),
-      key.as("key"))
-    // the corpus side must NEVER broadcast: its in-memory row size is
-    // ~10× the on-disk estimate AQE sees, so at the 100× corpus the
-    // auto-broadcast collected >1 GB to the driver (maxResultSize
-    // kill). A shuffled hash join is the right plan at every scale —
-    // both sides are corpus-sized.
-    val dups = cappedBucketPairs(keyed, maxBucket, dedup = false)
-      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
-        .hint("shuffle_hash"), "a")
-      .join(corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
-        .hint("shuffle_hash"), "b")
-      .filter(F.cosine(col("emb_a"), col("emb_b")) >= 0.999)
+    val keyedP = corpus.select(col("vec_id").as("doc_id"), lit(1).as("band"),
+      key.as("key"), col("embedding").as("p"))
+    // verification through cappedVerifiedPairs: the embedding rides the
+    // cell exchange once per vector and cosine streams through the
+    // self-join stage — corpus-sized sides shuffle_hash there (never
+    // auto-broadcast off the ~10×-under-estimated on-disk size; the
+    // pairs-then-join shape additionally re-shuffled every candidate
+    // pair with two embeddings aboard, the ×1000-corpus heap/disk kill)
+    val dups = cappedVerifiedPairs(keyedP, maxBucket,
+        (pa, pb) => F.cosine(pa, pb) >= 0.999, dedup = false)
       .select(col("b").as("vec_id"))
       .distinct()
       .withColumn("dup", lit(true))
@@ -798,7 +833,7 @@ object Dedup {
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), (!coalesce(col("dup"), lit(false))).as("keep"))
       .orderBy(col("vec_id"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     corpus.unpersist()
     out
   }
@@ -907,7 +942,7 @@ object Dedup {
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
       .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
       .select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     val comps = Graph.connectedComponents(
       corpus.select(col("doc_id").as("id")),
       edges.select(col("a").as("src"), col("b").as("dst")))
@@ -1086,7 +1121,7 @@ object Dedup {
     val verified = cands.join(oldSh, "old_id").join(newSh, "new_id")
       .filter(sketchJaccard(col("sh_new"), col("sh_old"), SketchK) >= 0.6)
       .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
 
     batch.select(col("doc_id"))
       .join(verified, batch("doc_id") === verified("new_id"), "left")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -77,14 +78,14 @@ object Graph {
       canon(relinked.unionAll(m.select(col("src"), col("m").as("dst"))))
     }
 
-    var e = canon(edges.select(col("src"), col("dst"))).localCheckpoint(true)
+    var e = canon(edges.select(col("src"), col("dst"))).diskCheckpoint()
     val nEdges = e.count()
     if (nEdges > 0 && nEdges <= localEdgeCap)
       return localComponents(vertices, e)
     var iter = 0
     var converged = nEdges == 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).diskCheckpoint()
       // fixpoint test on the canonical edge set: the round potential
       // strictly decreases until the graph is a union of min-rooted
       // stars (SoCC '14, Thm 1-2), on which both phases are identities —
@@ -101,7 +102,7 @@ object Graph {
     vertices.select(col("id"))
       .join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
   }
 
   /** Union-find (path compression, min-id roots) over a collected
@@ -141,6 +142,6 @@ object Graph {
     vertices.select(col("id"))
       .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
   }
 }

@@ -532,10 +532,25 @@ object Relational {
         val suf = java.util.UUID.randomUUID().toString.take(8)
         val dir = graft.TempDirs.create("graft_bkt")
         val pair = (s"graft_bkt_o_$suf", s"graft_bkt_l_$suf")
-        Tables.orders(spark, sfDir).write
+        // Pre-shuffle each table onto a MULTIPLE of nBuckets partitions
+        // keyed by the bucket column before the bucketed write: with
+        // parts % nBuckets == 0, a hash-partition p holds keys of exactly
+        // one bucket (bucket = hash % nBuckets = p % nBuckets), so every
+        // write task sorts ONE bounded slice of one bucket instead of
+        // routing all nBuckets from an arbitrarily large read split —
+        // write-side sort memory is sized by `parts`, not by input size
+        // (a 600M-row corpus OOM'd the per-task sorter without this),
+        // and file count stays O(parts). This is the cluster idiom: size
+        // write parallelism to the data, keep bucket count stable for
+        // the read side.
+        val parts = nBuckets * math.max(1,
+          spark.sparkContext.defaultParallelism * 4 / nBuckets)
+        Tables.orders(spark, sfDir)
+          .repartition(parts, col("o_orderkey")).write
           .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$dir/o").saveAsTable(pair._1)
-        Tables.lineitem(spark, sfDir).write
+        Tables.lineitem(spark, sfDir)
+          .repartition(parts, col("l_orderkey")).write
           .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$dir/l").saveAsTable(pair._2)
         bucketCache(key) = pair

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -1242,7 +1243,7 @@ object TextAnalysis {
     val outdeg = edges.groupBy(col("src")).agg(sum(col("m")).as("od"))
     val edgesN = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("m"), col("od")).persist()
-    var rank = nodes.select(col("domain"), lit(Scale).as("r")).localCheckpoint(true)
+    var rank = nodes.select(col("domain"), lit(Scale).as("r")).diskCheckpoint()
     for (_ <- 1 to 5) {
       val contrib = edgesN.join(rank, edgesN("src") === rank("domain"))
         .select(col("dst"), (col("m") * expr("r div od")).as("c"))
@@ -1250,7 +1251,7 @@ object TextAnalysis {
       rank = nodes.join(contrib, nodes("domain") === contrib("dst"), "left")
         .select(col("domain"),
           (lit(Base) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .localCheckpoint(true)
+        .diskCheckpoint()
     }
     val inLinks = edges.groupBy(col("dst")).agg(sum(col("m")).as("in_links"))
     val out = nodes
@@ -1261,7 +1262,7 @@ object TextAnalysis {
         coalesce(col("od"), lit(0L)).as("out_links"),
         coalesce(col("in_links"), lit(0L)).as("in_links"))
       .orderBy(col("domain"))
-      .localCheckpoint(true)
+      .diskCheckpoint()
     edges.unpersist(); nodes.unpersist(); edgesN.unpersist()
     out
   }

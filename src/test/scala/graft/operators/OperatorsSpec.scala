@@ -269,6 +269,21 @@ class DedupSpec extends SparkSpec {
       s"oversize bucket must be dropped whole, got ${pairs.toSeq}")
   }
 
+  test("verified-pair blocking: payload rides the exchange, caps and dedup hold") {
+    // bucket 7 oversize (dropped whole, never verified), bucket 9 holds two
+    // close members and one far one (the verifier rejects it), and a second
+    // band repeats the close pair (deduped to one output row)
+    val keyed = ((1 to 10).map(i => (i.toLong, 1, 7L, 0.0)) ++
+        Seq((100L, 1, 9L, 1.0), (101L, 1, 9L, 1.4), (102L, 1, 9L, 99.0),
+          (100L, 2, 11L, 1.0), (101L, 2, 11L, 1.4)))
+      .toDF("doc_id", "band", "key", "p")
+    val pairs = Dedup.cappedVerifiedPairs(keyed, maxBucket = 5,
+        (pa, pb) => abs(pa - pb) < lit(1.0))
+      .as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((100L, 101L)),
+      s"expected the one verified pair exactly once, got ${pairs.toSeq}")
+  }
+
   test("d05 exact variant equals all-pairs string-shingle jaccard >= 0.6") {
     val out = Dedup.d05NgramJaccardExact(spark, sf)
       .as[(Long, Long, Double)].collect().toSet
