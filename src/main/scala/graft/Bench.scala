@@ -85,10 +85,16 @@ object Bench {
         // orderBy still folds away under the aggregate, keeping the
         // rest of the historical count() basis. Hash cost is one
         // codegen'd pass over the result — noise next to operator work.
+        // The action must CONSUME the hash: `.count()` on the 1-row
+        // aggregate never reads max(h), so Catalyst pruned the hash,
+        // the projection, and every cardinality-preserving operator
+        // above the scan — the exact hole the hash was added to close
+        // (r17 ADVICE #1). `.head()` collects the max-hash row itself,
+        // so the value is referenced end-to-end and nothing is prunable.
         import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
         val out = fn(spark, sfDir)
         out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
-          .agg(max(org.apache.spark.sql.functions.col("h"))).count()
+          .agg(max(org.apache.spark.sql.functions.col("h"))).head()
         best(i) = math.min(best(i), (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         errs(i) = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")

@@ -16,6 +16,11 @@ object BenchOne {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     for (name <- args; fn <- SparkEntry.queries.get(name)) {
       val out = fn(spark, sfDir)
+      // The timed action is hashed.head() — collecting the max hash keeps
+      // the value referenced so nothing upstream is prunable, and the
+      // explained plan below IS the plan executed (r17 ADVICE #2: the old
+      // count() re-optimized to a different, hash-free plan than the one
+      // explained, which is how the pruning hole evaded the explain check).
       val hashed = out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
         .agg(max(col("h")))
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
@@ -23,8 +28,10 @@ object BenchOne {
           org.apache.spark.sql.execution.FormattedMode))
       for (rep <- 1 to 2) {
         val t0 = System.nanoTime()
-        val n = hashed.count()
-        println(f"[benchone] $name rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val h = hashed.head()
+        // the max hash doubles as a cheap run-to-run result fingerprint
+        val fp = if (h.isNullAt(0)) "null" else h.getLong(0).toHexString
+        println(f"[benchone] $name rep$rep hash=$fp ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()

@@ -3,13 +3,17 @@
 
 The sf100 point is a SUBSET run (SPARK_GRAFT_BENCH_ONLY: 31 scalable-path
 representatives — the declared linear-scan s gates and the file-count-linear
-m09 are excluded by design, see SURVEY §9) measured with the r17
-third-session hash-all-columns bench action (value-dependent, so Catalyst
-cannot eliminate cardinality-preserving joins out of the measurement; the
-earlier count() basis under-measured d13 at every scale). Both points are
-measured at the same HEAD with the same action, so the x1000 ratios are
-internally consistent; they are NOT comparable per-gate to the count()-based
-3-point columns. q23 runs in its own JVM at each scale: its double 15 GB
+m09 are excluded by design, see SURVEY §9) measured with the hash-all-columns
+bench action. NOTE (r18): the r17 variant of that action ended in `.count()`
+on the 1-row aggregate, which never references max(h) — Catalyst pruned the
+hash and everything upstream, so the r17 subset_x1000 numbers under-measure
+pruning-susceptible gates (at minimum d13, whose gram pipeline re-optimized
+to a bare doc scan). The r18 action collects the aggregate row (`.head()`),
+making the hash genuinely value-dependent end-to-end; r18 regenerated both
+subset points under it. Both points of any one block are measured at the
+same HEAD with the same action, so each block's x1000 ratios are internally
+consistent; r17-action blocks are NOT comparable per-gate to r18-action ones
+nor to the count()-based 3-point columns. q23 runs in its own JVM at each scale: its double 15 GB
 bucketed write needs the whole box's execution memory and aborts when 29
 gates' broadcasts/caches share the pool — per-gate JSONs passed separately.
 
