@@ -99,6 +99,20 @@ object Bench {
       } catch { case e: Throwable =>
         errs(i) = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
+      // SPARK_GRAFT_HEAPLOG=1: per-gate heap staircase for long-lived-JVM
+      // leak hunts (r17 open finding: t+m families OOM one shared JVM at
+      // sf100). Forced GC isolates RETAINED bytes from garbage; the SQL
+      // status-store counters name the usual driver-accretion suspect
+      // (plan strings + metrics retained per execution even with the UI
+      // off). stderr only — never part of the bench JSON.
+      if (sys.env.contains("SPARK_GRAFT_HEAPLOG")) {
+        System.gc(); Thread.sleep(300); System.gc()
+        val rt = Runtime.getRuntime
+        val usedMb = (rt.totalMemory - rt.freeMemory) >> 20
+        val ss = spark.sharedState.statusStore
+        System.err.println(s"[heap] after=${named(i)._1} usedMB=$usedMb " +
+          s"sqlExecs=${ss.executionsCount} planGraphs=${ss.planGraphCount}")
+      }
     }
     calibration += probe() // close the series after the last query
     val results = named.zipWithIndex.collect {

@@ -793,6 +793,57 @@ object Multimodal {
       |    AS pos_checksum
       |FROM x ORDER BY doc_id""".stripMargin
 
+  /** m09 SCALE companion — small-object COALESCING ingest (VERDICT r17
+    * "Next round #5"; Iceberg's `rewrite_data_files` bin-pack analogue
+    * moved to the ingest boundary). A real crawl dump is millions of
+    * KB-sized objects; reading them per-file forever means every
+    * downstream pass pays the per-object LIST/open cost (m09's sf100
+    * shape is 5M files — excluded from the ×1000 row precisely because
+    * it is file-count-linear). The fix every large pipeline ships: ONE
+    * distributed pass that packs ~`recordsPerPack` objects per output
+    * file, after which all downstream reads are file-count-bounded.
+    *
+    * Shape notes (the cluster-correct choices):
+    *   - `coalesce`, NOT `repartition`: packing needs no co-location, so
+    *     shuffling 100 TB of payload bytes through the exchange would be
+    *     pure waste. Coalesce is a narrow dependency — the same tasks
+    *     that read the small objects stream them into the packs, and the
+    *     only driver-side work is the file listing.
+    *   - Packs are PARQUET with a binary `content` column: splittable,
+    *     doc_id-pushdown-able, and byte-identical on round trip (pinned
+    *     in MultimodalSpec), i.e. the packed lake is a strict upgrade
+    *     over the loose-object one, not a new bespoke container.
+    *   - Memory is bounded by ONE payload + the parquet writer's row
+    *     group, never by pack size or partition size (rows stream
+    *     through; nothing accumulates a partition in heap).
+    *
+    * Returns the number of pack files written (== the coalesced
+    * partition count: min(ceil(n/recordsPerPack), listing partitions),
+    * every coalesced partition nonempty because coalesce unions
+    * contiguous nonempty inputs).
+    */
+  def ingestCoalesced(spark: SparkSession, srcDir: String, packDir: String,
+                      recordsPerPack: Int): Long = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc-*.bin")
+      .load(srcDir)
+      .select(
+        regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content"))
+    // metadata-only pass: binaryFile prunes `content` for a count, so
+    // this is the listing cost, not a data read
+    val n = bin.count()
+    val numPacks = math.max(1L, (n + recordsPerPack - 1) / recordsPerPack).toInt
+    bin.coalesce(numPacks).write.mode("overwrite").parquet(packDir)
+    spark.read.parquet(packDir).inputFiles.length.toLong
+  }
+
+  /** Read a packed ingest dir back to (doc_id, content) — plain parquet;
+    * downstream decode is IDENTICAL to the loose-object path's.
+    */
+  def readPacks(spark: SparkSession, packDir: String): DataFrame =
+    spark.read.parquet(packDir).select(col("doc_id"), col("content"))
+
   case class FlacSamples(doc_id: Long, n_samples: Int, sum_samples: Long, pos_checksum: Long)
 
   /** m10: LOSSLESS compressed audio — FLAC ([[graft.formats.Flac]]:

@@ -1224,6 +1224,42 @@ class MultimodalSpec extends SparkSpec {
         s"per-file listing roots: ${s.relation.location.rootPaths.length}")
     }
   }
+
+  test("m09 coalesced ingest: pinned pack count, byte-identical payloads, no shuffle") {
+    import org.apache.spark.sql.functions.col
+    // materialize the loose-object fixture (same dir m09 uses)
+    Multimodal.m09BinaryIngest(spark, sf).count()
+    val srcDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_media_ingest_${Integer.toHexString(sf.hashCode)}")
+    val nFiles = srcDir.listFiles().count(_.getName.matches("doc-\\d+\\.bin"))
+    assert(nFiles > 100, s"fixture too small for a packing test: $nFiles")
+    val packDir = java.nio.file.Files.createTempDirectory("graft_packs").toString + "/p"
+    val k = 100
+    val packs = Multimodal.ingestCoalesced(spark, srcDir.getAbsolutePath, packDir, k)
+    // pack-count pin: coalesce produces exactly ceil(n/k) output files
+    // (listing partitions exceed ceil(n/k) here, so coalesce can always
+    // narrow to it; every coalesced partition is nonempty)
+    assert(packs == (nFiles + k - 1) / k,
+      s"pack files: $packs, expected ${(nFiles + k - 1) / k} for $nFiles objects at k=$k")
+    // byte identity: the packed lake holds exactly the loose objects
+    val direct = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc-*.bin").load(srcDir.getAbsolutePath)
+      .select(org.apache.spark.sql.functions
+        .regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content"))
+    val packed = Multimodal.readPacks(spark, packDir)
+    assert(packed.count() == nFiles.toLong)
+    assert(direct.except(packed).count() == 0 && packed.except(direct).count() == 0,
+      "packed payloads are not byte-identical to the loose objects")
+    // shape pin: packing is a NARROW plan — payload bytes must never
+    // cross an exchange (at crawl scale that shuffle is the whole cost)
+    val packPlan = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc-*.bin").load(srcDir.getAbsolutePath)
+      .select(col("path"), col("content")).coalesce(3)
+      .queryExecution.executedPlan
+    assert(!packPlan.toString.contains("Exchange"),
+      "coalesced ingest plan contains a shuffle exchange")
+  }
 }
 
 class SketchAndSkewSpec extends SparkSpec {
