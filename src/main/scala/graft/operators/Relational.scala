@@ -520,6 +520,19 @@ object Relational {
   private val bucketCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), (String, String)]
 
+  /** Bucketed-write parallelism: smallest multiple of nBuckets that keeps
+    * every write task's sort slice under ~64 MB of estimated input, with a
+    * 4×parallelism floor so small corpora still use the whole box. Pure —
+    * pinned in RelationalPlanSpec at both the floor and the scale regime.
+    */
+  private[operators] def bucketWriteParts(estBytes: Long, defaultParallelism: Int,
+      nBuckets: Int): Int = {
+    val targetSlice = 64L << 20
+    val byBytes = estBytes / targetSlice + 1
+    val floor = defaultParallelism.toLong * 4
+    (nBuckets * ((math.max(byBytes, floor) + nBuckets - 1) / nBuckets)).toInt
+  }
+
   private[operators] def bucketedPair(spark: SparkSession, sfDir: String,
       nBuckets: Int): (DataFrame, DataFrame) = bucketCache.synchronized {
     val key = (sfDir, nBuckets)
@@ -538,21 +551,27 @@ object Relational {
         // one bucket (bucket = hash % nBuckets = p % nBuckets), so every
         // write task sorts ONE bounded slice of one bucket instead of
         // routing all nBuckets from an arbitrarily large read split —
-        // write-side sort memory is sized by `parts`, not by input size
-        // (a 600M-row corpus OOM'd the per-task sorter without this),
-        // and file count stays O(parts). This is the cluster idiom: size
-        // write parallelism to the data, keep bucket count stable for
-        // the read side.
-        val parts = nBuckets * math.max(1,
-          spark.sparkContext.defaultParallelism * 4 / nBuckets)
-        Tables.orders(spark, sfDir)
-          .repartition(parts, col("o_orderkey")).write
-          .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$dir/o").saveAsTable(pair._1)
-        Tables.lineitem(spark, sfDir)
-          .repartition(parts, col("l_orderkey")).write
-          .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$dir/l").saveAsTable(pair._2)
+        // write-side sort memory is sized by the SLICE, not by input
+        // size (a 600M-row corpus OOM'd the per-task sorter without
+        // this), and file count stays O(parts). parts itself scales with
+        // estimated input bytes (target ~64 MB/slice, parallelism floor)
+        // so the per-task footprint stays bounded at ANY corpus size and
+        // the gate cohabits a shared JVM whose execution pool is already
+        // carrying other gates' broadcasts — r17 sized parts by
+        // parallelism alone, which made slices grow with the corpus and
+        // forced q23 into its own JVM at sf100. This is the cluster
+        // idiom: size write parallelism to the data, keep bucket count
+        // stable for the read side.
+        def write(df: DataFrame, keyCol: String, path: String, name: String): Unit = {
+          val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          val parts = bucketWriteParts(bytes.toLong,
+            spark.sparkContext.defaultParallelism, nBuckets)
+          df.repartition(parts, col(keyCol)).write
+            .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+            .option("path", path).saveAsTable(name)
+        }
+        write(Tables.orders(spark, sfDir), "o_orderkey", s"$dir/o", pair._1)
+        write(Tables.lineitem(spark, sfDir), "l_orderkey", s"$dir/l", pair._2)
         bucketCache(key) = pair
         pair
       }

@@ -1428,6 +1428,21 @@ class RelationalPlanSpec extends SparkSpec {
       s"join keys must NOT shuffle — bucketing is supposed to co-locate:\n$plan")
   }
 
+  test("q23 bucketed-write parallelism bounds the per-task sort slice at any scale") {
+    import Relational.bucketWriteParts
+    // scale regime: a 15 GB side must land ~64 MB slices (the r17 shape
+    // that OOM'd a shared JVM when parts was parallelism-only), and parts
+    // stays a multiple of nBuckets so each write task sorts ONE bucket
+    val big = bucketWriteParts(15L << 30, defaultParallelism = 32, nBuckets = 8)
+    assert(big % 8 == 0)
+    assert((15L << 30) / big <= (64L << 20), s"slice too big at parts=$big")
+    // floor regime: small corpora still use the whole box
+    val small = bucketWriteParts(10L << 20, defaultParallelism = 32, nBuckets = 8)
+    assert(small % 8 == 0 && small >= 32 * 4)
+    // monotone in bytes — growing the corpus never shrinks parallelism
+    assert(bucketWriteParts(100L << 30, 32, 8) > big)
+  }
+
   test("s05 filtered ann keeps the corpus map-only below a broadcast join") {
     val df = graft.operators.Similarity.s05AnnFiltered(spark, sf)
     df.collect()
