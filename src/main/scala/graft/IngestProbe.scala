@@ -45,8 +45,10 @@ object IngestProbe {
 
     def checksum(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
       val t0 = System.nanoTime()
-      val s = df.select(sum(xxhash64(col("doc_id"), col("content"))).as("s"))
-        .head().getLong(0)
+      // bit_xor: order-independent and overflow-free (sum of full-range
+      // xxhash64 longs trips ANSI overflow)
+      val s = df.select(xxhash64(col("doc_id"), col("content")).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
       (s, (System.nanoTime() - t0) / 1e9)
     }
     def loose() = spark.read.format("binaryFile")
