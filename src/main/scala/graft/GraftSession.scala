@@ -79,6 +79,15 @@ object GraftSession {
     .config("spark.ui.retainedJobs", "100")
     .config("spark.ui.retainedStages", "100")
     .config("spark.ui.retainedTasks", "10000")
+    // ObjectHashAggregate falls back to SORT-BASED aggregation past this
+    // many distinct keys per task (default 128) — the fallback sorts the
+    // remaining INPUT stream, which for graft's bounded-state aggregates
+    // (TopKSimPairs: k entries/key; CappedCollectLongs: cap ids/key)
+    // reintroduces the exact unbounded pair-sort they exist to avoid
+    // (s09's 8×10^10-pair ENOSPC at sf100). With O(small) state per key,
+    // a million in-map keys is ~tens of MB per task — keep hashing.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
 
   /** Standalone session (tests, ad-hoc mains). */
   def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

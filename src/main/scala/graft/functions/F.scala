@@ -135,6 +135,14 @@ object F {
   def cappedCollect(id: Column, cap: Int): Column =
     col(CappedCollectLongs(ex(id), cap).toAggregateExpression())
 
+  /** Bounded-state per-group top-k of (sim, id) under (sim desc, id asc):
+    * array<struct<sim,id>> sorted best-first, O(k) aggregation state per
+    * group — the no-sort, no-spill replacement for the rank-window ANN
+    * tail (see [[TopKSimPairs]]).
+    */
+  def topKPairs(sim: Column, id: Column, k: Int): Column =
+    col(TopKSimPairs(ex(sim), ex(id), k).toAggregateExpression())
+
   /** Spark-canonical file path rendering (codegen'd; see [[CanonicalPath]]). */
   def canonPath(p: Column): Column = col(CanonicalPath(ex(p)))
 

@@ -8,9 +8,9 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 object CappedCollectLongs {
   /** Aggregation state: the true bucket size plus at most `cap` collected
@@ -116,4 +116,126 @@ case class CappedCollectLongs(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): CappedCollectLongs =
     copy(child = newChild)
+}
+
+object TopKSimPairs {
+  /** Bounded top-k state: parallel arrays sorted by (sim desc, id asc),
+    * at most k entries — O(k) per group NO MATTER how many rows score.
+    */
+  final class Buf(var n: Int, val sims: Array[Double], val ids: Array[Long])
+}
+
+/** Per-group top-k of (sim, id) pairs under (sim DESC, id ASC) order — the
+  * bounded-state replacement for `row_number().over(Window.partitionBy(q)
+  * .orderBy(sim desc)) <= k` in the ANN linear-scan tail.
+  *
+  * WHY: the window/WindowGroupLimit form must SORT every map partition's
+  * full (corpus-slice × queries) pair stream before its rank filter —
+  * 8×10^10 pairs at sf100 spilled >65 GB of sort runs per wave and killed
+  * s09 with disk exhaustion (ENOSPC, r18 measured). As a partial
+  * aggregate, state is k entries per query per task (~16 bytes each): the
+  * pair stream is consumed ROW BY ROW with an O(1) reject against the
+  * current k-th sim, nothing is ever sorted or spilled, and the exchange
+  * carries only nTasks×nQueries×k pre-reduced rows. This is the
+  * aggregate-shaped top-k every distributed ANN scan ships.
+  *
+  * Ordering matches the window it replaces exactly: sim desc, id asc
+  * tiebreak; null sim/id rows are skipped (the window form ranks nulls
+  * last, so outputs agree whenever a query has ≥k non-null candidates —
+  * ANN scans always do; pinned equal in SimilaritySpec either way).
+  */
+case class TopKSimPairs(
+    sim: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKSimPairs.Buf] with BinaryLike[Expression] {
+
+  import TopKSimPairs.Buf
+
+  require(k >= 1, s"k must be positive, got $k")
+
+  override def left: Expression = sim
+  override def right: Expression = id
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("sim", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k_pairs"
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(0, new Array[Double](k), new Array[Long](k))
+
+  /** (s, i) sorts before position p's entry under (sim desc, id asc)? */
+  private def beats(buf: Buf, p: Int, s: Double, i: Long): Boolean =
+    s > buf.sims(p) || (s == buf.sims(p) && i < buf.ids(p))
+
+  private def insert(buf: Buf, s: Double, i: Long): Unit = {
+    if (buf.n == k && !beats(buf, k - 1, s, i)) return
+    // binary search for insertion point in the sorted prefix
+    var lo = 0
+    var hi = buf.n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (beats(buf, mid, s, i)) hi = mid else lo = mid + 1
+    }
+    if (lo >= k) return
+    val last = math.min(buf.n, k - 1)
+    var j = last
+    while (j > lo) {
+      buf.sims(j) = buf.sims(j - 1); buf.ids(j) = buf.ids(j - 1); j -= 1
+    }
+    buf.sims(lo) = s
+    buf.ids(lo) = i
+    if (buf.n < k) buf.n += 1
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val s = sim.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      insert(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    var j = 0
+    while (j < other.n) { insert(buf, other.sims(j), other.ids(j)); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    val rows = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      rows(j) = InternalRow(buf.sims(j), buf.ids(j)); j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var j = 0
+    while (j < buf.n) { bb.putDouble(buf.sims(j)); bb.putLong(buf.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf(n, new Array[Double](k), new Array[Long](k))
+    var j = 0
+    while (j < n) { buf.sims(j) = bb.getDouble; buf.ids(j) = bb.getLong; j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSimPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSimPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TopKSimPairs =
+    copy(sim = newLeft, id = newRight)
 }

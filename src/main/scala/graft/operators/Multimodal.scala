@@ -695,17 +695,17 @@ object Multimodal {
     require(written > 0, "media ingest fixture produced no files")
   }
 
-  def m09BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import graft.formats.{Gif, Png}
+  /** Materialize the m09 loose-object fixture dir for `sfDir` (marker-
+    * cached: the fixture is DETERMINISTIC per source dir — same docs →
+    * same files byte for byte — so a completed build is reusable and
+    * repeated gate/bench runs pay only the ingestion read, not 5000
+    * rewrites). Shared by m09 (loose read) and m13 (packed read).
+    */
+  private def looseFixture(spark: SparkSession, sfDir: String): java.io.File = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_media_ingest_${Integer.toHexString(sfDir.hashCode)}")
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val nDocs = docs.count()
-    // the fixture is DETERMINISTIC per source dir (same docs → same
-    // files, byte for byte), so a completed build is reusable: the
-    // marker records the doc count and a completed write — repeated
-    // gate/bench runs pay only the ingestion read, not 5000 rewrites
     val marker = new java.io.File(dir, "_GRAFT_FIXTURE")
     val markerWant = s"$sfDir:$nDocs:v1"
     val fresh = !(marker.exists() &&
@@ -718,20 +718,18 @@ object Multimodal {
       buildFixture(docs, dir)
       java.nio.file.Files.write(marker.toPath, markerWant.getBytes); ()
     }
+    dir
+  }
 
-    // the REAL ingestion read: Spark's binaryFile source over the dir.
-    // Load the DIRECTORY with pathGlobFilter rather than a `doc-*.bin`
-    // glob: a glob expands to one ROOT PATH PER FILE before listing, and
-    // the planner then stats every root individually (a 5000-task listing
-    // job here; per-key LIST calls against object storage at fleet
-    // scale). One directory root + filter = one listStatus per directory.
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "doc-*.bin")
-      .load(dir.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
-        col("content"))
-    val feats = bin.as[(Long, Array[Byte])].mapPartitions { rows =>
+  /** Sniff-dispatch decode + positional checksum over (doc_id, content)
+    * rows — the SAME pass whether the payloads arrive as loose objects
+    * (m09) or from coalesced packs (m13): pack-vs-loose is a storage
+    * layout choice, invisible to decode.
+    */
+  private def decodeFeatures(bin: DataFrame): DataFrame = {
+    import bin.sparkSession.implicits._
+    import graft.formats.{Gif, Png}
+    bin.as[(Long, Array[Byte])].mapPartitions { rows =>
       rows.map { case (id, bytes) =>
         val fmt = Media.sniff(bytes)
         fmt match {
@@ -758,8 +756,13 @@ object Multimodal {
         }
       }
     }.toDF()
-    // zero-fill docs whose text was too short for a whole image row
-    docs.select(col("doc_id"),
+  }
+
+  /** Zero-fill docs whose text was too short for a whole image row (they
+    * produce no file; the oracle agrees) and fix the output order.
+    */
+  private def zeroFilled(spark: SparkSession, sfDir: String, feats: DataFrame): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
         expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png' " +
           "WHEN 2 THEN 'image/gif' ELSE 'audio/wav' END").as("expected_format"))
       .join(feats, Seq("doc_id"), "left")
@@ -768,6 +771,51 @@ object Multimodal {
         coalesce(col("n_units"), lit(0)).as("n_units"),
         coalesce(col("pos_checksum"), lit(0L)).as("pos_checksum"))
       .orderBy(col("doc_id"))
+
+  def m09BinaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = looseFixture(spark, sfDir)
+    // the REAL ingestion read: Spark's binaryFile source over the dir.
+    // Load the DIRECTORY with pathGlobFilter rather than a `doc-*.bin`
+    // glob: a glob expands to one ROOT PATH PER FILE before listing, and
+    // the planner then stats every root individually (a 5000-task listing
+    // job here; per-key LIST calls against object storage at fleet
+    // scale). One directory root + filter = one listStatus per directory.
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc-*.bin")
+      .load(dir.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc-(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content"))
+    zeroFilled(spark, sfDir, decodeFeatures(bin))
+  }
+
+  /** m13: PACKED ingestion — the m09 pipeline run the way a 100 TB lake
+    * actually stores a crawl: the loose objects are coalesced ONCE into
+    * parquet packs ([[ingestCoalesced]] — narrow pass, ~k objects/file,
+    * byte-identical payloads) and every later read is file-count-bounded
+    * instead of object-count-bounded (measured 17.4× at 500k objects,
+    * `bench_scaling_r18.json` `ingest_probe_500k`; m09's loose listing at
+    * 5M objects is what OOM'd r17's shared sf100 JVM). Decode is the
+    * IDENTICAL sniff-dispatch pass m09 runs — same oracle, so the gate
+    * proves pack-then-decode ≡ loose-decode end to end. The pack dir is
+    * marker-cached beside the fixture.
+    */
+  def m13PackedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val loose = looseFixture(spark, sfDir)
+    val packDir = new java.io.File(loose.getParentFile,
+      loose.getName + "_packs")
+    val marker = new java.io.File(packDir, "_GRAFT_PACKS")
+    val markerWant = s"${loose.getAbsolutePath}:v1"
+    val fresh = !(marker.exists() &&
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath)))
+        .toOption.contains(markerWant))
+    if (fresh) {
+      ingestCoalesced(spark, loose.getAbsolutePath,
+        s"${packDir.getAbsolutePath}/data", recordsPerPack = 500)
+      java.nio.file.Files.write(marker.toPath, markerWant.getBytes); ()
+    }
+    val bin = readPacks(spark, s"${packDir.getAbsolutePath}/data")
+    zeroFilled(spark, sfDir, decodeFeatures(bin))
   }
 
   /** Image formats checksum character-code pixels over the first
@@ -1080,6 +1128,9 @@ object Multimodal {
     "m07_png_pixels"          -> graft.Gate(m07PngPixels _, m07Oracle),
     "m08_gif_pixels"          -> graft.Gate(m08GifPixels _, m08Oracle),
     "m09_binary_ingest"       -> graft.Gate(m09BinaryIngest _, m09Oracle),
+    // identical output contract to m09 — the gate proves pack-then-decode
+    // ≡ loose-decode, so the two share one oracle
+    "m13_packed_ingest"       -> graft.Gate(m13PackedIngest _, m09Oracle),
     "m10_flac_samples"        -> graft.Gate(m10FlacSamples _, m10Oracle),
   )
 }

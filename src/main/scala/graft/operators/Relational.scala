@@ -528,7 +528,12 @@ object Relational {
   private[operators] def bucketWriteParts(estBytes: Long, defaultParallelism: Int,
       nBuckets: Int): Int = {
     val targetSlice = 64L << 20
-    val byBytes = estBytes / targetSlice + 1
+    // cap at 16384 write tasks (1 TB/side at 64 MB slices): above that,
+    // file count matters more than slice size — you'd raise nBuckets for
+    // a corpus that big, and the sorter spills past the target anyway.
+    // Also guards the unknown-stats case, where sizeInBytes is a
+    // Long.MaxValue-class sentinel, from overflowing the partition count.
+    val byBytes = math.min(estBytes / targetSlice + 1, 16384L)
     val floor = defaultParallelism.toLong * 4
     (nBuckets * ((math.max(byBytes, floor) + nBuckets - 1) / nBuckets)).toInt
   }

@@ -23,14 +23,25 @@ object Similarity {
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
-  private def topK(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  /** Per-query top-K tail shared by every ANN gate. Shape matters more
+    * than it looks: the rank-window form (row_number over partitionBy
+    * query) must SORT each map partition's full corpus-slice × query
+    * pair stream before ranking — at sf100 that is 8×10^10 pairs and
+    * >65 GB of sort spill per wave, which killed s09 with disk
+    * exhaustion (ENOSPC, r18). [[graft.functions.TopKSimPairs]] consumes
+    * the same stream as a BOUNDED partial aggregate instead: k entries
+    * of state per query per task, an O(1) reject against the running
+    * k-th sim for almost every pair, no sort anywhere, and the exchange
+    * carries only tasks×queries×k pre-reduced rows. Equality with the
+    * window form (including sim ties) is pinned in SimilaritySpec.
+    */
+  private def topK(scored: DataFrame): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.F.topKPairs(col("sim"), col("neighbor_id"), K).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("pos") + 1L).cast("long").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
-  }
 
   /** s01: exact top-5 cosine neighbors per query (brute force baseline). */
   def s01AnnBruteforce(spark: SparkSession, sfDir: String): DataFrame = {

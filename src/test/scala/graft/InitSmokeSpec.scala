@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class InitSmokeSpec extends AnyFunSuite {
 
   test("every gate enumerates: SparkEntry.queries serves the full inventory") {
-    assert(SparkEntry.queries.size == 165)
+    assert(SparkEntry.queries.size == 166)
   }
 
   test("every oracle thunk builds (no gate silently degraded to rows-only)") {

@@ -452,6 +452,42 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("bounded top-k aggregate equals the rank window, ties included, no sort in plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // deterministic pseudo-random pairs with PLANTED SIM TIES (sim takes
+    // only 16 distinct values over 50k pairs, so every query has dozens
+    // of ties at the k boundary — the id-asc tiebreak must decide both
+    // implementations identically)
+    val scored = spark.range(50000).select(
+      (col("id") % 100).as("query_id"),
+      col("id").as("neighbor_id"),
+      ((col("id") * 2654435761L % 16L) / 16.0).as("sim"))
+    val k = 5
+    val viaAgg = scored.groupBy(col("query_id"))
+      .agg(graft.functions.F.topKPairs(col("sim"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("pos") + 1L).as("rnk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val viaWindow = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    assert(viaAgg.count() == 100L * k)
+    assert(viaAgg.except(viaWindow).count() == 0 &&
+      viaWindow.except(viaAgg).count() == 0,
+      "bounded top-k aggregate diverged from the rank window")
+    // shape pin: the aggregate path must contain NO sort below the agg
+    // (the whole point — the window form sorts every partition's full
+    // pair stream) and must hash-aggregate, not sort-aggregate
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    val beforeExchange = plan.split("Exchange")(plan.split("Exchange").length - 1)
+    assert(!beforeExchange.contains("Sort "),
+      s"map-side sort under the top-k aggregate:\n$plan")
+  }
+
   test("s06 range search returns exactly the radius set, empty off-threshold") {
     // planted copies are the ONLY pairs above τ=0.8 (natural max 0.48):
     // 5 copies per query, nothing else
