@@ -43,6 +43,20 @@ object Similarity {
         (col("pos") + 1L).cast("long").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
 
+  /** Top-`rerank` candidate ids per query by (ascore desc, id asc) — the
+    * compressed-scan half of the scan-then-rerank ANN gates (s04/s07/
+    * s09), through the same bounded aggregate as [[topK]] and for the
+    * same reason: the rank-window form sorted the FULL ADC/SQ pair
+    * stream per map partition (s04/s09 score corpus × queries before
+    * any pruning — the 8×10^10-pair sort is what ENOSPC'd sf100, not
+    * the final top-K).
+    */
+  private def topRerank(adcScored: DataFrame, rerank: Int): DataFrame =
+    adcScored.groupBy(col("query_id"))
+      .agg(graft.functions.F.topKPairs(col("ascore"), col("neighbor_id"), rerank).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+
   /** s01: exact top-5 cosine neighbors per query (brute force baseline). */
   def s01AnnBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -539,14 +553,10 @@ object Similarity {
       "transform(qv, x -> CAST(x / sqrt(aggregate(qv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
     val qenc = rot.map(r => F.rotate(qunit, r)).getOrElse(qunit)
     val luts = q.select(col("query_id"), F.pqLut(qenc, cbs).as("lut"))
-    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)
-    val cands = coded.crossJoin(broadcast(luts))
+    val cands = topRerank(coded.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        F.pqAdc(col("code"), col("lut"), ks).as("ascore"))
-      .withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+        F.pqAdc(col("code"), col("lut"), ks).as("ascore")), rerank)
     val scored = cands
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .join(broadcast(q), "query_id")
@@ -787,18 +797,14 @@ object Similarity {
     val qenc = rot.map(r => F.rotate(qunit, r)).getOrElse(qunit)
     val probes = q.select(col("query_id"), F.pqLut(qenc, cbs).as("lut"),
       explode(F.nearestCells(col("qv"), cents, nProbe)).as("cell"))
-    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)
-    val cands = coded.join(broadcast(probes), "cell")
+    val cands = topRerank(coded.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         F.pqAdc(col("code"), col("lut"), ks).as("ascore"))
       // a pair can arrive via more than one shared cell; its ADC score is
       // cell-independent, so max == any — one dedup shuffle
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("ascore")).as("ascore"))
-      .withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+      .agg(max(col("ascore")).as("ascore")), rerank)
     val scored = cands
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .join(broadcast(q), "query_id")
@@ -907,14 +913,10 @@ object Similarity {
     val qunit = expr(
       "transform(qv, x -> CAST(x / sqrt(aggregate(qv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))")
     val qn = q.select(col("query_id"), qunit.as("qn"))
-    val wSq = Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)
-    val cands = coded.crossJoin(broadcast(qn))
+    val cands = topRerank(coded.crossJoin(broadcast(qn))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        F.sqScore(col("qn"), col("code"), mins, spans).as("ascore"))
-      .withColumn("rn", row_number().over(wSq))
-      .filter(col("rn") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+        F.sqScore(col("qn"), col("code"), mins, spans).as("ascore")), rerank)
     val scored = cands
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .join(broadcast(q), "query_id")
