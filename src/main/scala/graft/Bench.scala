@@ -65,13 +65,47 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // One-time fixture builds run BEFORE the first timed rep (q23's
+    // bucketed write): otherwise rep 1's timing carries the build and
+    // min-of-reps hides it only statistically — the r18 driver artifact
+    // read that tail as a phantom q23 2.09×. The build cost stays
+    // visible in-band as its own `prewarm` series, never in a gate's min.
+    val prewarm = SparkEntry.prewarms.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (n, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir)
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    // Family-boundary fixture eviction for single-JVM scale sequences
+    // (reps=1): q23's bucketed pair pins ~30 GB at sf100 and the st
+    // gates stage multi-GB sources/sinks — released as soon as their
+    // family finishes so later gates never spill against dead fixtures
+    // (the r18 subset run's transient s03 ENOSPC). Off by default: the
+    // driver's sf0.1 run (reps=2) reuses fixtures across reps.
+    val evictFamilies = sys.env.contains("SPARK_GRAFT_EVICT_FAMILY")
+    def familyOf(n: String): String = n.takeWhile(!_.isDigit)
+    var prevFamily: String = null
     val best = Array.fill(named.size)(Double.MaxValue)
     // A query that throws must surface as an explicit error, not as the
     // elapsed-until-throw time masquerading as a (suspiciously fast) success.
     val errs = Array.fill[Option[String]](named.size)(None)
     val calibration = Seq.newBuilder[Double]
-    for (_ <- 1 to reps; ((_, fn), i) <- named.zipWithIndex) {
+    for (_ <- 1 to reps; ((name, fn), i) <- named.zipWithIndex) {
+      if (evictFamilies) {
+        val fam = familyOf(name)
+        if (prevFamily != null && fam != prevFamily) {
+          if (prevFamily == "q") graft.operators.Relational.evictBucketedPairs(spark)
+          if (prevFamily == "st") graft.streaming.Streams.purgeGateDirs()
+        }
+        prevFamily = fam
+      }
       if (i % CalibrationEvery == 0) calibration += probe()
+      // Per-gate execution confs (e.g. the ANN gates' raised
+      // ObjectHashAggregate fallback threshold) wrap ONLY this gate's
+      // action — set before the timer starts, restored after it stops.
+      val gateConfs = SparkEntry.executionConfs.getOrElse(name, Map.empty)
+      GraftSession.withExecConfs(spark, gateConfs) {
       val t0 = System.nanoTime()
       try {
         // Hash EVERY output value, not count rows: a bare count() (and
@@ -98,6 +132,7 @@ object Bench {
         best(i) = math.min(best(i), (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         errs(i) = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
       }
       // SPARK_GRAFT_HEAPLOG=1: per-gate heap staircase for long-lived-JVM
       // leak hunts (r17 open finding: t+m families OOM one shared JVM at
@@ -148,8 +183,13 @@ object Bench {
       "\"calibration\":{\"times\":[", ",", "]," +
         s""""min":${fmt(calSorted.head)},"median":${fmt(pct(0.5))},""" +
         s""""p90":${fmt(pct(0.9))}}""")
+    // one-time fixture builds (outside all timed reps) stay visible here
+    val prewarmJson =
+      if (prewarm.isEmpty) ""
+      else prewarm.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(",\"prewarm\":{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsJson,$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsJson$prewarmJson,$calJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_raw.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -79,15 +79,36 @@ object GraftSession {
     .config("spark.ui.retainedJobs", "100")
     .config("spark.ui.retainedStages", "100")
     .config("spark.ui.retainedTasks", "10000")
-    // ObjectHashAggregate falls back to SORT-BASED aggregation past this
-    // many distinct keys per task (default 128) — the fallback sorts the
-    // remaining INPUT stream, which for graft's bounded-state aggregates
-    // (TopKSimPairs: k entries/key; CappedCollectLongs: cap ids/key)
-    // reintroduces the exact unbounded pair-sort they exist to avoid
-    // (s09's 8×10^10-pair ENOSPC at sf100). With O(small) state per key,
-    // a million in-map keys is ~tens of MB per task — keep hashing.
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 20).toString)
+    // NOTE: objectHashAggregate.sortBased.fallbackThreshold is NOT raised
+    // here. r18 set it session-globally to 2^20 for the bounded-state
+    // aggregates (TopKSimPairs/CappedCollectLongs, whose O(k)/O(cap)
+    // per-key state makes a million in-map keys cheap), but the global
+    // raise also let UNBOUNDED builtins (collect_set/collect_list) hold
+    // ~1M keys of arbitrarily large state per task before the memory-safe
+    // sort fallback — trading the s09 spill fix for new heap risk
+    // everywhere else (r18 ADVICE). The raise now rides per-gate:
+    // [[SparkEntry.executionConfs]] scopes it to exactly the gates whose
+    // aggregate state is provably bounded per key, applied set/restore
+    // around the ACTION by Verify/Bench via [[GraftSession.withExecConfs]].
+
+  /** Run `body` with per-query session confs set, restoring the previous
+    * values (or unsetting) afterwards — the scoping mechanism for confs
+    * that only ONE query class should see (e.g. the ANN gates' raised
+    * ObjectHashAggregate fallback threshold). Must wrap the ACTION, not
+    * the DataFrame construction: Spark reads most SQLConf values when the
+    * query executes, not when the plan is declared.
+    */
+  def withExecConfs[T](spark: SparkSession, confs: Map[String, String])(body: => T): T =
+    if (confs.isEmpty) body
+    else {
+      val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
 
   /** Standalone session (tests, ad-hoc mains). */
   def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

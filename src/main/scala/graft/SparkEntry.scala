@@ -28,6 +28,47 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = dumpOracles(allEntries)
 
+  /** Per-gate EXECUTION confs, applied set/restore around the gate's
+    * ACTION by Verify and Bench ([[GraftSession.withExecConfs]]). The one
+    * conf that rides here today is the ObjectHashAggregate sort-fallback
+    * threshold: the s-family's [[graft.functions.TopKSimPairs]] (k
+    * entries/key) and the LSH dedup gates' [[graft.functions
+    * .CappedCollectLongs]] (cap ids/key) carry provably BOUNDED per-key
+    * state, so hashing a million in-map keys costs tens of MB — while the
+    * default-128 fallback would sort the remaining INPUT stream, i.e. the
+    * exact unbounded pair-sort that ENOSPC'd s09 at sf100 (8×10^10
+    * pairs). Scoped per-gate rather than session-global because the same
+    * raise under UNBOUNDED builtins (collect_set/collect_list) is a heap
+    * risk: ~1M in-map keys of arbitrarily large state before the
+    * memory-safe fallback kicks in (r18 ADVICE #5). Gates not listed run
+    * at Spark defaults.
+    */
+  def executionConfs: Map[String, Map[String, String]] = {
+    val boundedStateHashAgg = Map(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+        (1 << 20).toString)
+    val boundedGates =
+      Similarity.entries.keys.toSeq ++ // TopKSimPairs: k entries/key
+        // CappedCollectLongs with a small gate cap (500/200/100 ids/key).
+        // NOT d09/d11: d09's collector is uncapped (Int.MaxValue — its
+        // corpus is gate-bounded instead) and d11 has no corpus-side
+        // bucket at all, so neither qualifies as bounded-per-key.
+        Seq("d03_minhash_lsh", "d04_simhash", "d05_ngram_jaccard")
+    boundedGates.map(_ -> boundedStateHashAgg).toMap
+  }
+
+  /** One-time fixture builds that must run OUTSIDE any timed bench rep.
+    * q23's bucketed table pair is written once per JVM and cached
+    * (Relational.bucketCache); without a prewarm, rep 1's timing carries
+    * the whole bucketed write and only min-of-reps statistically hides it
+    * — the r18 driver artifact read the write tail as a phantom 2.09×
+    * (VERDICT r18 "What's wrong #1"). Bench runs these before the first
+    * timed rep and reports their cost as a separate `prewarm` series, so
+    * the setup stays visible in-band without polluting any gate's min.
+    */
+  def prewarms: Map[String, (SparkSession, String) => Unit] = Map(
+    "q23_bucketed_join" -> ((s, dir) => Relational.prewarmBucketedPair(s, dir)))
+
   /** Evaluate each gate's oracle thunk, one at a time: a thunk that
     * throws (a bad shipped resource, a builder bug) degrades THAT gate
     * to the driver's rows-only check — logged, never fatal, never

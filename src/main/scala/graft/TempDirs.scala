@@ -25,4 +25,19 @@ object TempDirs {
     dirs.synchronized { dirs += dir; () }
     dir
   }
+
+  /** Delete a registered dir NOW (recursively, best-effort) and drop it
+    * from the exit sweep — for fixtures a long-lived JVM must release
+    * eagerly (e.g. q23's ~30 GB bucket pair at sf100) instead of pinning
+    * disk until exit while later gates spill against it.
+    */
+  def deleteNow(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
+    dirs.synchronized { dirs -= dir; () }
+  }
 }

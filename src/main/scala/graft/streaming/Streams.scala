@@ -40,7 +40,7 @@ object Streams {
     * value-identical to the batch q15 oracle (decimal sums, same windows).
     */
   def st01StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
+    val dir = gateDir("graft_stream_gate")
     stageEvents(spark, sfDir, dir)
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
     val agg = stream
@@ -104,6 +104,36 @@ object Streams {
   private val normalizedEventsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Every local dir a streaming gate creates (staged sources, sinks,
+    * checkpoints, table fixtures) — registered for JVM-exit sweep via
+    * [[graft.TempDirs]] AND tracked here so a long-lived scale JVM can
+    * release the family's disk EAGERLY: at sf100 the st gates stage
+    * multi-GB normalized event/orders files plus parquet sinks, which
+    * otherwise pin tens of GB that later families then spill against
+    * (the r18 subset run's transient ENOSPC was exactly this kind of
+    * fixture co-tenancy). Bench calls [[purgeGateDirs]] at the st→x
+    * family boundary when SPARK_GRAFT_EVICT_FAMILY is set.
+    */
+  private val gateDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private def gateDir(prefix: String): String = {
+    val d = graft.TempDirs.create(prefix)
+    gateDirs.add(d)
+    d.toString
+  }
+
+  /** Delete every tracked gate dir now and drop the staged-events cache
+    * (its part file lives in one of them; the next stager rebuilds).
+    * Gates are self-contained per call, so purging BETWEEN gates is
+    * always safe — only an in-flight query's sink would be live.
+    */
+  def purgeGateDirs(): Unit = {
+    var p = gateDirs.poll()
+    while (p != null) { graft.TempDirs.deleteNow(p); p = gateDirs.poll() }
+    normalizedEventsCache.clear()
+  }
+
   private def stageEvents(spark: SparkSession, sfDir: String, dir: String,
       names: Seq[String] = Seq("batch1.parquet")): Unit = {
     val part = normalizedEventsCache.computeIfAbsent(sfDir, _ => {
@@ -111,7 +141,7 @@ object Streams {
         col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
       Tables.assertSaneTimeline(df)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_events_norm").toString
+      val tmp = gateDir("graft_events_norm")
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -153,7 +183,7 @@ object Streams {
     */
   private def parquetSink(df: DataFrame)
       : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
-    val out = java.nio.file.Files.createTempDirectory("graft_file_sink").toString
+    val out = gateDir("graft_file_sink")
     val q = df.writeStream.format("parquet")
       .option("path", s"$out/data")
       .option("checkpointLocation", s"$out/ckpt")
@@ -171,7 +201,7 @@ object Streams {
     */
   def st02StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_st02_gate").toString
+    val dir = gateDir("graft_st02_gate")
     stageEvents(spark, sfDir, dir)
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms")).as[Ev]
@@ -211,7 +241,7 @@ object Streams {
     * counts equal the original table's.
     */
   def st03StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_st03_gate").toString
+    val dir = gateDir("graft_st03_gate")
     stageEvents(spark, sfDir, dir, Seq("copy1.parquet", "copy2.parquet"))
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
     val (q, deduped) = withStatePartitions(spark) {
@@ -233,11 +263,11 @@ object Streams {
     */
   def st04StreamingGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_st04_gate").toString
+    val dir = gateDir("graft_st04_gate")
     // stage through Spark (one part file), never a raw file copy — the
     // corpus table may be a single parquet file (driver layout) or a
     // directory of parts (DataGen-scaled layout)
-    val staged = java.nio.file.Files.createTempDirectory("graft_st04_src").toString
+    val staged = gateDir("graft_st04_src")
     spark.read.parquet(s"$sfDir/orders.parquet")
       .coalesce(1).write.mode("overwrite").parquet(staged)
     val part = new java.io.File(staged).listFiles()
@@ -248,7 +278,7 @@ object Streams {
     }
     val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
     val table = GraftTable.createEmpty(spark,
-      java.nio.file.Files.createTempDirectory("graft_st04_tbl").toString + "/t", schema)
+      gateDir("graft_st04_tbl") + "/t", schema)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val name = s"st04_gate_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -275,9 +305,9 @@ object Streams {
     def capped(n: Int): DataFrame =
       graft.sources.Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
     val table = GraftTable.createAs(spark,
-      java.nio.file.Files.createTempDirectory("graft_st05_tbl").toString + "/t",
+      gateDir("graft_st05_tbl") + "/t",
       capped(1000))
-    val dir = java.nio.file.Files.createTempDirectory("graft_st05_gate").toString
+    val dir = gateDir("graft_st05_gate")
     capped(100).withColumn("o_orderpriority", lit("0-V1"))
       .write.mode("append").parquet(dir)
     val stream = spark.readStream.schema(table.meta.schema).parquet(dir)
@@ -393,10 +423,10 @@ object Streams {
     def capped(n: Int): DataFrame =
       graft.sources.Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
     val table = GraftTable.createAs(spark,
-      java.nio.file.Files.createTempDirectory("graft_st06_tbl").toString + "/t",
+      gateDir("graft_st06_tbl") + "/t",
       capped(1000))
     val s0 = table.meta.currentSnapshotId.get
-    val sink = java.nio.file.Files.createTempDirectory("graft_st06_sink").toString + "/cdc"
+    val sink = gateDir("graft_st06_sink") + "/cdc"
     val cs = new ChangelogStream(table, s0, intervalMs = 2000, // fallback only: CommitBus wakes the poller on every commit
       (batch, _) => batch.write.mode("append").parquet(sink)).start()
     try {
@@ -489,8 +519,7 @@ object Streams {
     import graft.tables.IncrementalAggView
     def capped(n: Int): DataFrame =
       graft.sources.Tables.orders(spark, sfDir).orderBy(col("o_orderkey")).limit(n)
-    def tmp(p: String): String =
-      java.nio.file.Files.createTempDirectory(p).toString + "/t"
+    def tmp(p: String): String = gateDir(p) + "/t"
     val base = GraftTable.createAs(spark, tmp("graft_st09_b"), capped(1500))
     val view = IncrementalAggView.create(spark, tmp("graft_st09_v"), base,
       Seq("o_orderpriority"), Seq("o_totalprice"))
@@ -543,7 +572,7 @@ object Streams {
     * are emitted as -1 (both engines) so the compare stays dtype-stable.
     */
   def st10StreamOuterJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_st10_gate").toString
+    val dir = gateDir("graft_st10_gate")
     stageEvents(spark, sfDir, dir)
     val ev = spark.readStream.schema(eventsSchema).parquet(dir)
     val views = ev.filter(col("event_type") === "view")
@@ -602,7 +631,7 @@ object Streams {
     * value-identical to the batch self-join, which is the DuckDB oracle.
     */
   def st07StreamJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_st07_gate").toString
+    val dir = gateDir("graft_st07_gate")
     stageEvents(spark, sfDir, dir)
     val ev = spark.readStream.schema(eventsSchema).parquet(dir)
     val views = ev.filter(col("event_type") === "view")
@@ -642,7 +671,7 @@ object Streams {
     * and must match the all-batch join's DuckDB oracle value-for-value.
     */
   def st08StreamStaticGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_st08_gate").toString
+    val dir = gateDir("graft_st08_gate")
     stageEvents(spark, sfDir, dir)
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -727,7 +756,7 @@ object Streams {
       .unionAll(b1.filter(col("doc_id") < 10)
         .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text")))
 
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_st11_src").toString
+    val streamDir = gateDir("graft_st11_src")
     Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
       val tmp = s"$streamDir/.stage$i"
       b.coalesce(1).write.parquet(tmp)
@@ -892,7 +921,7 @@ object Streams {
     val parts = bounds.sliding(2).map { case Seq(lo, hi) =>
       docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
     }.toSeq :+ flushers
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_st12_src").toString
+    val streamDir = gateDir("graft_st12_src")
     parts.zipWithIndex.foreach { case (b, i) =>
       val tmp = s"$streamDir/.stage$i"
       b.coalesce(1).write.parquet(tmp)

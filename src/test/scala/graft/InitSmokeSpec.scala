@@ -14,6 +14,16 @@ class InitSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == 166)
   }
 
+  test("executionConfs and prewarms reference real gates only") {
+    // a typo'd gate name here would silently no-op: the conf never
+    // applies (or the prewarm never runs) and nothing fails loudly
+    val qs = SparkEntry.queries.keySet
+    val confStrays = SparkEntry.executionConfs.keySet.diff(qs)
+    assert(confStrays.isEmpty, s"executionConfs names unknown gates: $confStrays")
+    val warmStrays = SparkEntry.prewarms.keySet.diff(qs)
+    assert(warmStrays.isEmpty, s"prewarms names unknown gates: $warmStrays")
+  }
+
   test("every oracle thunk builds (no gate silently degraded to rows-only)") {
     val entries = SparkEntry.allEntries
     val built = SparkEntry.oracleSql

@@ -488,6 +488,54 @@ class SimilaritySpec extends SparkSpec {
       s"map-side sort under the top-k aggregate:\n$plan")
   }
 
+  test("top-k aggregate boundaries: <k candidates, NaN-first order, implicit casts") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val k = 5
+    def agg(df: DataFrame): DataFrame = df.groupBy(col("query_id"))
+      .agg(graft.functions.F.topKPairs(col("sim"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("pos") + 1L).as("rnk"))
+    // (a) <k non-null candidates: the aggregate returns exactly the
+    // non-null candidates best-first (the window form ranks nulls last —
+    // this is the agreed boundary the scaladoc documents)
+    val sparse = Seq((1L, 10L, Some(0.9)), (1L, 11L, Some(0.5)),
+      (1L, 12L, Some(0.7)), (1L, 13L, None))
+      .toDF("query_id", "neighbor_id", "sim")
+    val got = agg(sparse).orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 1L), (12L, 2L), (11L, 3L)),
+      s"<k boundary diverged: $got")
+    // (b) NaN sims: Spark's desc ordering ranks NaN FIRST (NaN greatest);
+    // the aggregate's total-order comparator must agree with the rank
+    // window exactly — primitive comparisons would drop NaN when full
+    // and corrupt the sorted prefix when not (r18 ADVICE #4)
+    val withNan = Seq((1L, 1L, Double.NaN), (1L, 2L, 0.9), (1L, 3L, Double.NaN),
+      (1L, 4L, 0.8), (1L, 5L, 0.7), (1L, 6L, 0.95), (1L, 7L, 0.1))
+      .toDF("query_id", "neighbor_id", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val viaWindow = withNan.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val viaAgg = agg(withNan)
+    assert(viaAgg.except(viaWindow).count() == 0 &&
+      viaWindow.except(viaAgg).count() == 0,
+      "NaN ordering diverged from the rank window")
+    val first = viaAgg.filter(col("rnk") === 1L).collect().head.getLong(1)
+    assert(first == 1L, s"NaN must rank first under desc (id-asc tiebreak), got $first")
+    // (c) float sim / int id columns implicit-cast at analysis instead of
+    // ClassCastException-ing mid-task; ranking is cast-invariant here
+    val viaFloat = agg(withNan.select(col("query_id"),
+      col("neighbor_id").cast("int").as("neighbor_id"),
+      col("sim").cast("float").as("sim")))
+    assert(viaFloat.except(viaAgg).count() == 0 &&
+      viaAgg.except(viaFloat).count() == 0,
+      "float/int inputs diverged after implicit cast")
+  }
+
   test("s06 range search returns exactly the radius set, empty off-threshold") {
     // planted copies are the ONLY pairs above τ=0.8 (natural max 0.48):
     // 5 copies per query, nothing else
@@ -1296,6 +1344,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!packPlan.toString.contains("Exchange"),
       "coalesced ingest plan contains a shuffle exchange")
   }
+
+  test("coalesced ingest honors the pack count even when the listing is coarser") {
+    import org.apache.spark.sql.functions.col
+    // a PRE-COALESCED source: 12 tiny objects bin-pack into far fewer
+    // listing partitions than the 12 packs requested at k=1 — coalesce
+    // cannot INCREASE partitions, so this regime must fall back to a
+    // repartition (the honest cost of splitting a coarse corpus finer)
+    // instead of silently writing fewer/larger packs (VERDICT r18 #4)
+    val src = graft.TempDirs.create("graft_packs_coarse").toFile
+    (0 until 12).foreach { i =>
+      java.nio.file.Files.write(new java.io.File(src, s"doc-$i.bin").toPath,
+        Array[Byte]('B', 'M', i.toByte))
+    }
+    val packDir = graft.TempDirs.create("graft_packs_out").toString + "/p"
+    val packs = Multimodal.ingestCoalesced(spark, src.getAbsolutePath, packDir, 1)
+    assert(packs == 12L, s"expected 12 packs (one per object at k=1), got $packs")
+    assert(Multimodal.readPacks(spark, packDir).count() == 12L)
+  }
+
+  test("m13 pack marker embeds the fixture's marker: a corpus rebuild invalidates packs") {
+    val loose = graft.TempDirs.create("graft_marker_probe").toFile
+    val fixtureMarker = new java.io.File(loose, "_GRAFT_FIXTURE")
+    java.nio.file.Files.write(fixtureMarker.toPath, "sfA:100:v1".getBytes)
+    val m1 = Multimodal.packsMarkerWant(loose)
+    // the fixture rebuilds IN PLACE when its corpus changes (same path,
+    // new marker content) — the packs marker must change with it, or m13
+    // silently serves the stale packed corpus (r18 ADVICE #2)
+    java.nio.file.Files.write(fixtureMarker.toPath, "sfA:250:v1".getBytes)
+    val m2 = Multimodal.packsMarkerWant(loose)
+    assert(m1 != m2, "packs marker ignored the fixture's content")
+    assert(m1.contains(loose.getAbsolutePath) && m1.contains("sfA:100:v1"))
+    assert(m2.contains("sfA:250:v1"))
+  }
 }
 
 class SketchAndSkewSpec extends SparkSpec {
@@ -1477,6 +1558,17 @@ class RelationalPlanSpec extends SparkSpec {
     assert(small % 8 == 0 && small >= 32 * 4)
     // monotone in bytes — growing the corpus never shrinks parallelism
     assert(bucketWriteParts(100L << 30, 32, 8) > big)
+    // unknown-stats sentinel regime: sizeInBytes is a BigInt that can
+    // exceed Long.MaxValue, and a caller's .toLong wraps NEGATIVE —
+    // negative must mean "unknown/huge" (the 16384-task cap), never
+    // silently degrade to the parallelism floor (the r17 unbounded-slice
+    // behavior the byte-sizing replaced; r18 ADVICE #1)
+    val sentinel = bucketWriteParts(Long.MaxValue, 32, 8)
+    assert(bucketWriteParts(-1L, 32, 8) == sentinel)
+    assert(bucketWriteParts(Long.MinValue, 32, 8) == sentinel)
+    assert(sentinel >= 16384, s"sentinel must hit the task cap, got $sentinel")
+    // and the call site's own clamp: BigInt above Long.MaxValue → Long.MaxValue
+    assert((BigInt(Long.MaxValue) * 4).min(BigInt(Long.MaxValue)).toLong == Long.MaxValue)
   }
 
   test("s05 filtered ann keeps the corpus map-only below a broadcast join") {
@@ -1485,5 +1577,30 @@ class RelationalPlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"probes must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
+  }
+
+  test("q23 bucket-pair eviction frees catalog AND disk; the next call rebuilds") {
+    def bktTables: Set[String] = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_bkt_")).toSet
+    def bktDirs: Set[String] =
+      Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_bkt")).map(_.getName).toSet
+    // start from a clean slate so assertions are absolute, then build +
+    // cache the pair (also exactly what the bench prewarm hook runs)
+    Relational.evictBucketedPairs(spark)
+    val staleDirs = bktDirs // residue of CRASHED earlier JVMs, if any
+    Relational.prewarmBucketedPair(spark, sf)
+    assert(bktTables.size >= 2, s"expected a cached pair, got $bktTables")
+    assert((bktDirs -- staleDirs).nonEmpty, "expected the pair's data dir on disk")
+    // family-boundary eviction: a shared scale JVM must release the
+    // ~30 GB sf100 pair as soon as the q family finishes, not at exit
+    // (the r18 subset run's transient s03 ENOSPC was this co-tenancy)
+    Relational.evictBucketedPairs(spark)
+    assert(bktTables.isEmpty, s"tables survived eviction: $bktTables")
+    assert((bktDirs -- staleDirs).isEmpty, s"data dirs survived eviction")
+    // and the gate transparently rebuilds on the next call
+    assert(Relational.q23BucketedJoin(spark, sf).count() > 0)
+    Relational.evictBucketedPairs(spark) // leave no residue for other specs
   }
 }

@@ -366,6 +366,27 @@ class StreamsSpec extends SparkSpec {
     assert(got == want, "restarted stream diverged from batch packing")
   }
 
+  test("family purge deletes every gate dir now; the next gate call restages") {
+    def gateDirsOnDisk: Set[String] =
+      Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_st03_gate") ||
+          f.getName.startsWith("graft_events_norm")).map(_.getName).toSet
+    Streams.purgeGateDirs() // clean slate (absolute assertions below)
+    val stale = gateDirsOnDisk // residue of crashed earlier JVMs, if any
+    val before = Streams.st03StreamingGate(spark, sf).count()
+    assert((gateDirsOnDisk -- stale).nonEmpty, "expected staged dirs on disk")
+    // a single shared scale JVM must release the st family's multi-GB
+    // staged sources + sinks as soon as the family finishes (Bench calls
+    // this at the boundary under SPARK_GRAFT_EVICT_FAMILY)
+    Streams.purgeGateDirs()
+    assert((gateDirsOnDisk -- stale).isEmpty, "gate dirs survived the purge")
+    // the staged-events cache was dropped with its backing file: the next
+    // call restages from the corpus instead of copying a deleted path
+    assert(Streams.st03StreamingGate(spark, sf).count() == before)
+    Streams.purgeGateDirs()
+  }
+
   test("changelog stream stop() terminates the poller promptly") {
     val table = graft.tables.GraftTable.createAs(spark,
       java.nio.file.Files.createTempDirectory("graft_st06_stop").toString + "/t",
