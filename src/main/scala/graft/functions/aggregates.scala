@@ -51,12 +51,17 @@ case class CappedCollectLongs(
     cap: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[CappedCollectLongs.Buf] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[CappedCollectLongs.Buf] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   import CappedCollectLongs.Buf
 
   require(cap >= 1, s"cap must be positive, got $cap")
 
+  // same hardening as TopKSimPairs: an int id column casts at analysis
+  // instead of ClassCastException-ing in update() mid-task (declared as
+  // Seq[DataType] — AbstractDataType is private[sql]; Seq is covariant)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_capped_collect"

@@ -35,6 +35,18 @@ class GraphSpec extends SparkSpec {
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("capped collect casts int ids at analysis instead of failing mid-task") {
+    // same hardening as TopKSimPairs (r18 ADVICE #3): the aggregate
+    // declares (long) input, so an IntegerType id column implicit-casts
+    // at analysis rather than ClassCastException-ing in update()
+    val ints = spark.range(10).select(
+      (col("id") % 3).cast("int").as("b"), col("id").cast("int").as("v"))
+    val sizes = ints.groupBy(col("b"))
+      .agg(graft.functions.F.cappedCollect(col("v"), 100).as("ids"))
+      .select(size(col("ids")).as("n")).as[Int].collect()
+    assert(sizes.sum == 10 && sizes.forall(_ >= 2))
+  }
+
   test("d07 dup-gram coverage equals driver-side brute force and is bimodal") {
     val out = Dedup.d07DupGramCoverage(spark, sf)
       .select($"doc_id", $"n_grams", $"n_dup", $"flagged")
