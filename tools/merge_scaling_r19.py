@@ -20,14 +20,21 @@ Blocks:
    ingest_probe_500k are NOT copied forward — they remain in
    bench_scaling_r18.json, measured at r18 HEAD under the same action.)
 
+  stream_state_probe  sessionizer (flatMapGroupsWithState) under the same
+                      chunkings: closed-session multiset IDENTICAL across
+                      chunkings at 100M events, state rows plateau at the
+                      live-user population from batch 1 (1.5M — no growth
+                      with batch count), per-batch wall flat.
+
 Usage: merge_scaling_r19.py <sf01_subset.json> <sf100_subset.json> \
-         <s04_sf100.json> <stream_probe_sf100.json> <ingest_probe.json>
+         <s04_sf100.json> <stream_probe_sf100.json> <ingest_probe.json> \
+         [state_probe_sf100.json]
 """
 import json
 import sys
 
 
-def main(p01, p100, ps04, pstream, pingest):
+def main(p01, p100, ps04, pstream, pingest, pstate=None):
     a = json.load(open(p01))
     b = json.load(open(p100))
     qs = {}
@@ -89,10 +96,12 @@ def main(p01, p100, ps04, pstream, pingest):
         'stream_chunk_probe_sf100': stream,
         'ingest_scale_probe_sf100': ingest,
     }
+    if pstate:
+        out['stream_state_probe_sf100'] = json.load(open(pstate))
     with open('bench_scaling_r19.json', 'w') as f:
         json.dump(out, f, indent=1)
     print('wrote bench_scaling_r19.json')
 
 
 if __name__ == '__main__':
-    main(*sys.argv[1:6])
+    main(*sys.argv[1:7])
