@@ -78,9 +78,15 @@ object IngestScaleProbe {
     // the packs stay (they're the persistent layout; a later run of the
     // m13 gate rebuilds the fixture if it needs it)
     if (sys.env.contains("SPARK_GRAFT_PROBE_RM_LOOSE")) {
+      // the fixture MARKER must go with the objects: a surviving marker
+      // over an emptied dir reads as a valid cached fixture, and a later
+      // m09/m13 run would silently decode nothing (all-zero rows) instead
+      // of rebuilding
       Option(looseDir.listFiles()).foreach(_.foreach(f =>
-        if (f.getName.endsWith(".bin")) { f.delete(); () }))
-      System.err.println(s"[probe] loose objects under $looseDir removed")
+        if (f.getName.endsWith(".bin") || f.getName == "_GRAFT_FIXTURE") {
+          f.delete(); ()
+        }))
+      System.err.println(s"[probe] loose objects + fixture marker under $looseDir removed")
     }
     spark.stop()
   }
