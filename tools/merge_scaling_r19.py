@@ -26,15 +26,23 @@ Blocks:
                       live-user population from batch 1 (1.5M — no growth
                       with batch count), per-batch wall flat.
 
+  gap_families        the 47 gates whose only sf100 rows were r17-basis
+                      (PRUNABLE action): d/q/x/p remainders + mv01 + s05,
+                      re-measured under the honest action in one JVM.
+                      With these, every gate except the five declared
+                      linear-scan s-gates (class measured via the
+                      completed s04) and m09-loose (replaced by the
+                      packed row) has an honest-action x1000 point.
+
 Usage: merge_scaling_r19.py <sf01_subset.json> <sf100_subset.json> \
          <s04_sf100.json> <stream_probe_sf100.json> <ingest_probe.json> \
-         [state_probe_sf100.json]
+         [state_probe_sf100.json] [gap_families_sf100.json]
 """
 import json
 import sys
 
 
-def main(p01, p100, ps04, pstream, pingest, pstate=None):
+def main(p01, p100, ps04, pstream, pingest, pstate=None, pgap=None):
     a = json.load(open(p01))
     b = json.load(open(p100))
     qs = {}
@@ -98,10 +106,29 @@ def main(p01, p100, ps04, pstream, pingest, pstate=None):
     }
     if pstate:
         out['stream_state_probe_sf100'] = json.load(open(pstate))
+    if pgap:
+        gap = json.load(open(pgap))
+        out['gap_families_completion'] = {
+            'note': ('the 47 gates whose only prior sf100 rows were '
+                     'r17-basis (prunable action) — d02/d07/d09/d10/d11/'
+                     'd12, the 14 q-remainder, 18 x-remainder, 7 '
+                     'p-remainder, mv01, s05 — re-measured under the '
+                     'honest hash-consume action at r19 HEAD, ONE shared '
+                     '24g JVM, family eviction on, zero errors. Honest-'
+                     'basis x1000 coverage is now total: every gate '
+                     'except the five declared linear-scan s-gates '
+                     '(class measured end-to-end via the completed s04) '
+                     'and m09-loose (replaced by the packed-ingest row).'),
+            'sf100_total_sec': round(gap['value'], 1),
+            'n_gates': len(gap['queries']),
+            'n_errors': len(gap.get('errors', {})),
+            'calibration': gap['calibration'],
+            'queries': gap['queries'],
+        }
     with open('bench_scaling_r19.json', 'w') as f:
         json.dump(out, f, indent=1)
     print('wrote bench_scaling_r19.json')
 
 
 if __name__ == '__main__':
-    main(*sys.argv[1:7])
+    main(*sys.argv[1:8])
