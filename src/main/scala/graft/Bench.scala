@@ -83,7 +83,16 @@ object Bench {
     // family finishes so later gates never spill against dead fixtures
     // (the r18 subset run's transient s03 ENOSPC). Off by default: the
     // driver's sf0.1 run (reps=2) reuses fixtures across reps.
-    val evictFamilies = sys.env.contains("SPARK_GRAFT_EVICT_FAMILY")
+    // Eviction with reps > 1 would rebuild the evicted fixtures INSIDE
+    // rep 2's timed action (prewarm runs once, before rep 1) — exactly
+    // the phantom fixture-build timing the prewarm series exists to keep
+    // out of gate minima. Enforced, not just documented (r19 ADVICE #2).
+    val evictRequested = sys.env.contains("SPARK_GRAFT_EVICT_FAMILY")
+    if (evictRequested && reps > 1) System.err.println(
+      s"[bench] WARNING: SPARK_GRAFT_EVICT_FAMILY ignored at reps=$reps — " +
+        "eviction is only honest at reps=1 (rebuilds would land in rep 2's " +
+        "timed action); running WITHOUT family eviction")
+    val evictFamilies = evictRequested && reps == 1
     def familyOf(n: String): String = n.takeWhile(!_.isDigit)
     var prevFamily: String = null
     val best = Array.fill(named.size)(Double.MaxValue)

@@ -50,9 +50,12 @@ object SparkEntry {
     val boundedGates =
       Similarity.entries.keys.toSeq ++ // TopKSimPairs: k entries/key
         // CappedCollectLongs with a small gate cap (500/200/100 ids/key).
-        // NOT d09/d11: d09's collector is uncapped (Int.MaxValue — its
-        // corpus is gate-bounded instead) and d11 has no corpus-side
-        // bucket at all, so neither qualifies as bounded-per-key.
+        // The exact-oracle variants (incl. d09) are now hard-bounded too
+        // (Dedup.ExactCorpusCap = 512, non-binding on their ≤500-doc
+        // corpora by construction); they stay OFF this list anyway — the
+        // raised threshold buys nothing at 512 longs/key and the default
+        // sort-based fallback is the safer posture. d11 has no
+        // corpus-side bucket at all (benchmark keys broadcast).
         Seq("d03_minhash_lsh", "d04_simhash", "d05_ngram_jaccard")
     boundedGates.map(_ -> boundedStateHashAgg).toMap
   }

@@ -34,6 +34,13 @@ object StreamStateProbe {
     val spark = GraftSession.tune(SparkSession.builder().master(s"local[$cpus]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // recentProgress retains only numRecentProgressUpdates entries
+    // (default 100): at SPARK_GRAFT_PROBE_FILES > 100 the batch_sec /
+    // state_rows series would silently truncate to the tail (r19 ADVICE
+    // #3). Sized to the one-file-per-batch run plus slack, checked by a
+    // require on the collected series below.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(100, nFiles + 16).toString)
     import spark.implicits._
 
     // through the schema-normalizing loader (raw driver parquet may carry
@@ -76,6 +83,12 @@ object StreamStateProbe {
       try q.processAllAvailable() finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      // truncation must fail loudly, never skew the ledger silently: the
+      // one-file-per-batch run produces exactly nFiles data batches
+      require(perTrigger != 1 || progress.size == nFiles,
+        s"progress series truncated or batch count off: " +
+          s"got ${progress.size} data batches, expected $nFiles — raise " +
+          "spark.sql.streaming.numRecentProgressUpdates")
       val batchSec = progress.map(p =>
         p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3)
       val stateRows = progress.map(p =>

@@ -7,14 +7,27 @@ package graft
   */
 object TempDirs {
   private val dirs = scala.collection.mutable.Set.empty[java.nio.file.Path]
+
+  /** Recursive best-effort delete; true iff the dir is GONE afterwards.
+    * The walk stream is closed explicitly (try-with-resources shape) —
+    * an unclosed Files.walk pins directory file descriptors until GC.
+    */
+  private def deleteTree(dir: java.nio.file.Path): Boolean = {
+    import scala.jdk.CollectionConverters._
+    try {
+      if (java.nio.file.Files.exists(dir)) {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () } // best-effort sweep
+    !java.nio.file.Files.exists(dir)
+  }
+
   private lazy val hook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      dirs.synchronized(dirs.toSeq).foreach { dir =>
-        try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        catch { case _: java.io.IOException => () } // best-effort sweep
-      }
+      dirs.synchronized(dirs.toSeq).foreach(deleteTree)
     }))
   }
 
@@ -30,14 +43,11 @@ object TempDirs {
     * from the exit sweep — for fixtures a long-lived JVM must release
     * eagerly (e.g. q23's ~30 GB bucket pair at sf100) instead of pinning
     * disk until exit while later gates spill against it.
+    *
+    * A dir that could NOT be fully deleted (IOException mid-walk) stays
+    * registered so the JVM-exit sweep retries it — deregistering on a
+    * failed delete would leak the partial dir permanently.
     */
-  def deleteNow(dir: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    try {
-      if (java.nio.file.Files.exists(dir))
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => () }
-    dirs.synchronized { dirs -= dir; () }
-  }
+  def deleteNow(dir: java.nio.file.Path): Unit =
+    if (deleteTree(dir)) dirs.synchronized { dirs -= dir; () }
 }

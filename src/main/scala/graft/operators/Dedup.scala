@@ -193,6 +193,20 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Hard per-key state bound for the EXACT-oracle gate variants
+    * (d03Exact/d04Exact/d05Exact/d09), which must not drop any bucket:
+    * their corpora are pinned to ≤ 500 documents by construction
+    * (`doc_id < 250` filter + one mirrored copy), so no blocking bucket
+    * can hold more ids than this and the cap NEVER binds — it exists so
+    * the collector's state is hard-bounded (512 longs/key ≈ 4 KB) instead
+    * of the former Int.MaxValue sentinel, closing the one aggregate that
+    * had no per-key bound (r19 verdict residual #2). A corpus above the
+    * bound would overflow a bucket to NULL → dropped edges → an oracle
+    * hash MISMATCH, never a silently-weaker answer; DedupSpec pins the
+    * corpus-fits-under-cap invariant directly.
+    */
+  private[graft] val ExactCorpusCap = 512
+
   /** Distinct candidate pairs from blocking-key buckets, with hot buckets
     * capped: ALL the near-dup blocking schemes (minhash bands, simhash
     * chunks, hyperplane keys) funnel through this so none of them can go
@@ -329,7 +343,7 @@ object Dedup {
     val corpus = withShingles(base.unionAll(base.select(
         (col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))))
       .persist()
-    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, Int.MaxValue)
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 32, 4, ExactCorpusCap)
     val verified = cands
       .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -516,7 +530,7 @@ object Dedup {
     val chunked = sigs.select(col("doc_id"),
         explode(expr("transform(sequence(0, 7), c -> struct(c AS band, shiftrightunsigned(sig, c * 8) & 255 AS key))")).as("ck"))
       .select(col("doc_id"), col("ck.band").as("band"), col("ck.key").as("key"))
-    val out = cappedBucketPairs(chunked, Int.MaxValue)
+    val out = cappedBucketPairs(chunked, ExactCorpusCap)
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .select(col("a"), col("b"), expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
@@ -613,7 +627,7 @@ object Dedup {
         (col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
       .withColumn("sh", charShingleHashes(col("text")))
       .persist()
-    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, Int.MaxValue)
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, ExactCorpusCap)
     val out = cands
       .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -936,7 +950,7 @@ object Dedup {
         (col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
       .withColumn("sh", charShingleHashes(col("text")))
       .persist()
-    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, Int.MaxValue)
+    val cands = candidatePairs(corpus.select(col("doc_id"), col("sh")), 16, 8, ExactCorpusCap)
     val edges = cands
       .join(corpus.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(corpus.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")

@@ -910,11 +910,22 @@ object Multimodal {
     // leaves empty partitions → missing packs) both honors the pack
     // count and leaves each pack a doc_id RANGE, so the packed lake gets
     // min/max footer pruning on doc_id for free. Pinned in MultimodalSpec.
+    // PRECONDITION of the "honors the pack count" claim: doc_ids are
+    // UNIQUE (they are, by the doc-<id>.bin naming) — a range partitioner
+    // over a key space with fewer distinct values than numPacks emits
+    // fewer non-empty partitions than asked, so duplicate-heavy keys
+    // would yield fewer packs with no error. The divergence check below
+    // makes that regime visible instead of silent.
     val distributed =
       if (bin.rdd.getNumPartitions >= numPacks) bin.coalesce(numPacks)
       else bin.repartitionByRange(numPacks, col("doc_id"))
     distributed.write.mode("overwrite").parquet(packDir)
-    spark.read.parquet(packDir).inputFiles.length.toLong
+    val written = spark.read.parquet(packDir).inputFiles.length.toLong
+    if (written != numPacks) System.err.println(
+      s"[ingestCoalesced] wrote $written packs, asked $numPacks " +
+        s"($n records @ $recordsPerPack/pack) — range sampling emitted " +
+        "fewer non-empty partitions than requested (duplicate/skewed doc_ids?)")
+    written
   }
 
   /** Read a packed ingest dir back to (doc_id, content) — plain parquet;

@@ -1207,7 +1207,7 @@ object TextAnalysis {
     * (agreement spec-pinned); a real crawl's 10^8-domain graph takes the
     * distributed rounds untouched. Pass 0 to force them.
     */
-  private[operators] def x25DomainRank(spark: SparkSession, sfDir: String,
+  private[graft] def x25DomainRank(spark: SparkSession, sfDir: String,
       localEdgeCap: Long): DataFrame = {
     import graft.functions.F
     val Scale = 1000000000000L

@@ -1218,6 +1218,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
         throw new java.util.ConcurrentModificationException(
           s"commit conflict at $location: base version ${m.version}, current $v")
     }
+    // crash seam: the operation's data/delete files are durable on disk,
+    // nothing references them yet (see MetaIO.commitFault)
+    MetaIO.faultPoint("data-files-written")
     val snapId = nextSnapshotId(m)
     val parentId = parentOverride.orElse(m.currentSnapshotId)
     val (listName, entries) =
@@ -1225,6 +1228,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     MetaIO.writeString(conf, s"${MetaIO.metadataDir(location)}/$listName",
       MetaIO.manifestListToJson(entries, deletePredicates, positionDeleteFiles,
         equalityDeletes))
+    // crash seam: manifest + manifest-list durable, version not published
+    MetaIO.faultPoint("manifests-written")
     val snap = Snapshot(snapId, parentId,
       System.currentTimeMillis(), op,
       listName, added, files.size, files.map(_.recordCount).sum,

@@ -1057,11 +1057,30 @@ object MetaIO {
     * matching Iceberg). The two properties are distinct (reference
     * README.md "Metadata files"): the count alone never deletes anything.
     */
+  /** Test seam for the crash-consistency battery (CrashConsistencySpec):
+    * when non-null, invoked with a stage label at the named points of the
+    * commit protocol — `data-files-written` (the operation's data/delete
+    * files are durable, nothing references them yet), `manifests-written`
+    * (manifest + manifest-list durable, version not CAS-published), and
+    * `cas-published` (the commit POINT passed, advisory hint not yet
+    * updated). A hook that THROWS leaves exactly the on-disk state a
+    * writer killed at that point leaves: no catch/finally on the commit
+    * path cleans up partial artifacts, which is deliberate — crash debris
+    * is remove_orphans' job, never a half-rollback's. Production value is
+    * null (one volatile read per commit).
+    */
+  @volatile var commitFault: String => Unit = null
+  def faultPoint(stage: String): Unit = {
+    val f = commitFault
+    if (f != null) f(stage)
+  }
+
   def commitMeta(conf: Configuration, m: TableMeta): Unit = {
     if (!casPublish(conf, metadataPath(m.location, m.version), metaToJson(m)))
       throw new java.util.ConcurrentModificationException(
         s"commit conflict at ${m.location}: version ${m.version} was " +
           "committed by another writer")
+    faultPoint("cas-published")
     writeStringAtomic(conf, versionHintPath(m.location), m.version.toString)
     CommitBus.signal(m.location)
     if (m.properties.get(TableFormat.DeleteAfterCommit).contains("true")) {

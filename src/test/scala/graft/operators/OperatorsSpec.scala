@@ -281,6 +281,29 @@ class DedupSpec extends SparkSpec {
       s"oversize bucket must be dropped whole, got ${pairs.toSeq}")
   }
 
+  test("exact-variant collector state is hard-bounded and the cap never binds (r20)") {
+    // The exact-oracle variants (d03/d04/d05 Exact, d09) may not drop any
+    // bucket, so ExactCorpusCap is a STATE bound, not a semantic one: it
+    // only works because their corpora are pinned under it by
+    // construction. Pin both halves — the corpus fits under the cap, and
+    // the collector's peak buffer across a full d09 run stays ≤ cap.
+    val corpusRows = 2 * spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 250).count()
+    assert(corpusRows > 0 && corpusRows <= Dedup.ExactCorpusCap,
+      s"exact-variant corpus ($corpusRows rows) must fit under " +
+        s"ExactCorpusCap=${Dedup.ExactCorpusCap} or buckets could drop")
+    val probe = new java.util.concurrent.atomic.AtomicLong(0L)
+    graft.functions.CappedCollectLongs.bufferProbe = probe
+    try {
+      val n = Dedup.d09DupComponents(spark, sf).count()
+      assert(n == corpusRows, s"d09 must label every corpus doc, got $n")
+      assert(probe.get() > 0L, "probe must have observed the aggregation")
+      assert(probe.get() <= Dedup.ExactCorpusCap,
+        s"collector buffer peaked at ${probe.get()} ids — no aggregate " +
+          "may hold unbounded per-key state")
+    } finally graft.functions.CappedCollectLongs.bufferProbe = null
+  }
+
   test("verified-pair blocking: payload rides the exchange, caps and dedup hold") {
     // bucket 7 oversize (dropped whole, never verified), bucket 9 holds two
     // close members and one far one (the verifier rejects it), and a second
