@@ -140,6 +140,29 @@ class CrashConsistencySpec extends SparkSpec {
     test(s"compaction killed at $stage: old snapshot reads, orphans sweep, retry lands") {
       crashCase("compact", stage, _.compact(), baseRows)
     }
+    test(s"DV delete killed at $stage: old snapshot reads, orphans sweep, retry lands") {
+      crashCase("dv-delete", stage, _.deleteMergeOnReadDV("k % 2 = 0"), afterDelete)
+    }
+    test(s"equality delete killed at $stage: old snapshot reads, orphans sweep, retry lands") {
+      crashCase("eq-delete", stage,
+        t => t.deleteMergeOnReadEquality(
+          (0L until 20L by 2).toDF("k"), Seq("k")), afterDelete)
+    }
+    test(s"cluster rewrite killed at $stage: old snapshot reads, orphans sweep, retry lands") {
+      crashCase("cluster", stage, _.cluster(Seq("k")), baseRows)
+    }
+    test(s"MOR upsert killed at $stage: old snapshot reads, orphans sweep, retry lands") {
+      // the CDC shape: ONE commit = equality delete on the source keys +
+      // the source rows as new files — both halves must vanish together
+      // when the writer dies pre-CAS, and retry must apply exactly once
+      val src = (0L until 5L).map(k => (k, s"u$k")) ++
+        (20L until 23L).map(k => (k, s"u$k"))
+      val afterUpsert = ((0L until 5L).map(k => (k, s"u$k")) ++
+        (5L until 20L).map(k => (k, s"v$k")) ++
+        (20L until 23L).map(k => (k, s"u$k"))).sorted
+      crashCase("mor-upsert", stage,
+        _.upsertMergeOnRead(src.toDF("k", "v"), Seq("k")), afterUpsert)
+    }
   }
 
   test("writer killed between version CAS and hint: the commit HAPPENED") {
