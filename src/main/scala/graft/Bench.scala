@@ -104,6 +104,7 @@ object Bench {
       if (evictFamilies) {
         val fam = familyOf(name)
         if (prevFamily != null && fam != prevFamily) {
+          if (prevFamily == "m") graft.operators.Multimodal.evictIngestFixtures()
           if (prevFamily == "q") graft.operators.Relational.evictBucketedPairs(spark)
           if (prevFamily == "st") graft.streaming.Streams.purgeGateDirs()
         }

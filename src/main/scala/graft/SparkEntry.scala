@@ -68,9 +68,16 @@ object SparkEntry {
     * (VERDICT r18 "What's wrong #1"). Bench runs these before the first
     * timed rep and reports their cost as a separate `prewarm` series, so
     * the setup stays visible in-band without polluting any gate's min.
+    *
+    * m13's loose-object + pack fixture chain is the same class (marker-
+    * cached, one-time, 1083 s at sf100): prewarmed since r20 so a fresh
+    * JVM never pays the build inside the gate's timing; a marker hit
+    * costs ~0, so cached boxes (incl. every run that produced the
+    * committed sf0.1 numbers) are unaffected.
     */
   def prewarms: Map[String, (SparkSession, String) => Unit] = Map(
-    "q23_bucketed_join" -> ((s, dir) => Relational.prewarmBucketedPair(s, dir)))
+    "q23_bucketed_join" -> ((s, dir) => Relational.prewarmBucketedPair(s, dir)),
+    "m13_packed_ingest" -> ((s, dir) => operators.Multimodal.prewarmIngestFixture(s, dir)))
 
   /** Evaluate each gate's oracle thunk, one at a time: a thunk that
     * throws (a bad shipped resource, a builder bug) degrades THAT gate

@@ -12,7 +12,7 @@ object TempDirs {
     * The walk stream is closed explicitly (try-with-resources shape) —
     * an unclosed Files.walk pins directory file descriptors until GC.
     */
-  private def deleteTree(dir: java.nio.file.Path): Boolean = {
+  private[graft] def deleteTree(dir: java.nio.file.Path): Boolean = {
     import scala.jdk.CollectionConverters._
     try {
       if (java.nio.file.Files.exists(dir)) {

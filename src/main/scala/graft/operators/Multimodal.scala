@@ -701,9 +701,40 @@ object Multimodal {
     * repeated gate/bench runs pay only the ingestion read, not 5000
     * rewrites). Shared by m09 (loose read) and m13 (packed read).
     */
+  /** Ingest fixture dirs touched this JVM (loose + packs), for
+    * family-boundary eviction in single-JVM scale runs: the sf100 loose
+    * fixture is ~20 GB that nothing reads after the m-family finishes,
+    * and the r20 capstone measured it pinned to JVM exit — the same
+    * retained-fixture disk tax the q23/st evictions retired in r19.
+    */
+  private val ingestFixtureDirs = scala.collection.mutable.Set.empty[java.io.File]
+
+  /** Build the m13 fixture chain (loose objects + packs) OUTSIDE any
+    * timed gate — the q23-prewarm discipline: a fresh JVM would
+    * otherwise pay the whole one-time build (1083 s at sf100, r19
+    * ledger) inside m13's first timed rep. Marker-cached, so a box that
+    * already holds the fixture pays only the marker check.
+    */
+  def prewarmIngestFixture(spark: SparkSession, sfDir: String): Unit = {
+    ensurePacks(spark, sfDir); ()
+  }
+
+  /** Release every ingest fixture dir this JVM touched (recursive,
+    * markers included — the marker discipline makes the next builder
+    * rebuild from scratch). Called by Bench at the m-family boundary
+    * under SPARK_GRAFT_EVICT_FAMILY; safe because no gate outside the
+    * m-family reads these dirs.
+    */
+  def evictIngestFixtures(): Unit =
+    ingestFixtureDirs.synchronized {
+      ingestFixtureDirs.foreach(d => graft.TempDirs.deleteTree(d.toPath))
+      ingestFixtureDirs.clear()
+    }
+
   private def looseFixture(spark: SparkSession, sfDir: String): java.io.File = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_media_ingest_${Integer.toHexString(sfDir.hashCode)}")
+    ingestFixtureDirs.synchronized { ingestFixtureDirs += dir; () }
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val nDocs = docs.count()
     val marker = new java.io.File(dir, "_GRAFT_FIXTURE")
@@ -801,21 +832,31 @@ object Multimodal {
     * marker-cached beside the fixture.
     */
   def m13PackedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val packDir = ensurePacks(spark, sfDir)
+    val bin = readPacks(spark, s"${packDir.getAbsolutePath}/data")
+    zeroFilled(spark, sfDir, decodeFeatures(bin))
+  }
+
+  /** Materialize (or marker-hit) the m13 pack dir for `sfDir` — the
+    * shared build step behind the gate and [[prewarmIngestFixture]].
+    */
+  private def ensurePacks(spark: SparkSession, sfDir: String): java.io.File = {
     val loose = looseFixture(spark, sfDir)
     val packDir = new java.io.File(loose.getParentFile,
       loose.getName + "_packs")
+    ingestFixtureDirs.synchronized { ingestFixtureDirs += packDir; () }
     val marker = new java.io.File(packDir, "_GRAFT_PACKS")
     val markerWant = packsMarkerWant(loose)
     val fresh = !(marker.exists() &&
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath)))
         .toOption.contains(markerWant))
     if (fresh) {
+      packDir.mkdirs()
       ingestCoalesced(spark, loose.getAbsolutePath,
         s"${packDir.getAbsolutePath}/data", recordsPerPack = 500)
       java.nio.file.Files.write(marker.toPath, markerWant.getBytes); ()
     }
-    val bin = readPacks(spark, s"${packDir.getAbsolutePath}/data")
-    zeroFilled(spark, sfDir, decodeFeatures(bin))
+    packDir
   }
 
   /** The pack dir's cache-marker content: embeds the FIXTURE's own marker

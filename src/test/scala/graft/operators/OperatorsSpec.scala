@@ -1412,6 +1412,27 @@ class MultimodalSpec extends SparkSpec {
     assert(m1.contains(loose.getAbsolutePath) && m1.contains("sfA:100:v1"))
     assert(m2.contains("sfA:250:v1"))
   }
+
+  test("m13 fixture prewarm + family eviction: evict releases both dirs, rebuild identical (r20)") {
+    // the q23-prewarm discipline applied to the ingest fixture: build
+    // outside any timed gate, release at the family boundary (the r20
+    // capstone measured the sf100 fixture — ~20 GB — pinned to JVM exit)
+    Multimodal.prewarmIngestFixture(spark, sf)
+    val loose = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_media_ingest_${Integer.toHexString(sf.hashCode)}")
+    val packs = new java.io.File(loose.getParentFile, loose.getName + "_packs")
+    assert(loose.exists() && packs.exists(), "prewarm must materialize fixture + packs")
+    val r1 = Multimodal.m13PackedIngest(spark, sf)
+      .collect().map(_.mkString("|")).sorted
+    Multimodal.evictIngestFixtures()
+    assert(!loose.exists() && !packs.exists(),
+      "eviction must remove the fixture AND packs, markers included")
+    // marker discipline: a later consumer rebuilds from scratch and
+    // serves byte-identical rows — eviction can never staleness-poison
+    val r2 = Multimodal.m13PackedIngest(spark, sf)
+      .collect().map(_.mkString("|")).sorted
+    assert(r1.sameElements(r2), "post-eviction rebuild diverged")
+  }
 }
 
 class SketchAndSkewSpec extends SparkSpec {
