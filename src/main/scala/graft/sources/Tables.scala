@@ -7,8 +7,12 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, Times
 /** Loaders for the driver's test tables (TPC-H-ish star schema + events /
   * documents / embeddings). One parquet file per table under `sfDir`.
   *
-  * All loads are plain `spark.read.parquet` so Catalyst keeps full pushdown
-  * and column-pruning freedom; nothing is cached here.
+  * Loads go through [[Pq.readStable]]: plain parquet reads (full pushdown
+  * and column-pruning freedom — no row or result caching), but the footer
+  * schema is inferred once per (path, mtime) instead of on every load, so
+  * repeated table loads across gates skip the per-read schema-inference
+  * Spark job (r20 profiling: `SchemaMergeUtils.mergeSchemasInParallel` on
+  * the driver's hot path of nearly every gate).
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -17,7 +21,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else Pq.readStable(spark, s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -49,15 +53,26 @@ object Tables {
     // restoring the conf out from under them would break a
     // previously-working frame (the restore is scoped to the probe lock,
     // concurrent loads serialize on the cheap footer read only).
-    val raw = nanosProbeLock.synchronized {
+    // footer-probe schema cached per (path, mtime) like every corpus load
+    // (Pq.readStable discipline): a cache hit means this exact file was
+    // probed before in this JVM — if it was a nanos corpus the legacy conf
+    // is already set for good (see below), so replaying the probed schema
+    // is conf-correct without re-entering the lock.
+    val eventsPath = s"$d/events.parquet"
+    val mt = Pq.mtime(s, eventsPath)
+    val cachedRaw = rawEventsSchema.get(eventsPath)
+    val raw = if (cachedRaw != null && cachedRaw._1 == mt)
+      s.read.schema(cachedRaw._2).parquet(eventsPath)
+    else nanosProbeLock.synchronized {
       val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val r = s.read.parquet(s"$d/events.parquet")
+      val r = s.read.parquet(eventsPath)
       if (r.schema("ts").dataType == LongType) nanosCorpusSeen = true
       else if (!nanosCorpusSeen) prevNanos match {
         case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
+      rawEventsSchema.put(eventsPath, (mt, r.schema))
       r
     }
     val normalized = raw.schema("ts").dataType match {
@@ -110,6 +125,8 @@ object Tables {
 
   private val nanosProbeLock = new Object
   @volatile private var nanosCorpusSeen = false
+  private val rawEventsSchema =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
   /** Timeline sanity guard: one cheap aggregate proving the loaded events
     * span plausible years. Gate stagers call this so a future encoding

@@ -268,7 +268,7 @@ object Streams {
     // corpus table may be a single parquet file (driver layout) or a
     // directory of parts (DataGen-scaled layout)
     val staged = gateDir("graft_st04_src")
-    spark.read.parquet(s"$sfDir/orders.parquet")
+    graft.sources.Tables.orders(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(staged)
     val part = new java.io.File(staged).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -276,7 +276,7 @@ object Streams {
     Seq("b1.parquet", "b2.parquet").foreach { f =>
       java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$dir/$f"))
     }
-    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val schema = graft.sources.Tables.orders(spark, sfDir).schema
     val table = GraftTable.createEmpty(spark,
       gateDir("graft_st04_tbl") + "/t", schema)
     val stream = spark.readStream.schema(schema)
@@ -674,9 +674,9 @@ object Streams {
     val dir = gateDir("graft_st08_gate")
     stageEvents(spark, sfDir, dir)
     val stream = spark.readStream.schema(eventsSchema).parquet(dir)
-    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val cust = graft.sources.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_nationkey"))
-    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val nation = graft.sources.Tables.nation(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"))
     val dim = broadcast(cust
       .join(nation, cust("c_nationkey") === nation("n_nationkey"))

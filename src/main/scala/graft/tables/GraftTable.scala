@@ -1,6 +1,7 @@
 package graft.tables
 
 import graft.plans.DeclaredStats
+import graft.sources.Pq
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, Histogram, HistogramBin}
@@ -93,7 +94,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val afterClassic =
       if (classic.isEmpty) base
       else {
-        val dels = spark.read.parquet(classic: _*)
+        // delete files are write-once (UUID-named commit artifacts): all
+        // internal delete-file reads go through Pq.readImmutable so the
+        // footer schema is inferred once, not once per table read
+        val dels = Pq.readImmutable(spark, classic)
         base.join(dels,
           col(ScanPlanner.RowMetaFile) === dels("file_path") && col(ScanPlanner.RowMetaPos) === dels("pos"),
           "left_anti")
@@ -116,7 +120,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * one-DV-per-file invariant.
     */
   private def dvBitmaps(dvFiles: Seq[String]): DataFrame = {
-    val raw = spark.read.parquet(dvFiles: _*)
+    val raw = Pq.readImmutable(spark, dvFiles)
     if (dvFiles.size == 1)
       raw.select(col("file_path").as("__gp_dvfp"), col("dv").as("__gp_dv"))
     else
@@ -137,9 +141,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val (dv, classic) = paths.partition(GraftTable.isDvFile)
     val parts = Seq(
       if (classic.isEmpty) None
-      else Some(spark.read.parquet(classic: _*).select(col("file_path"), col("pos"))),
+      else Some(Pq.readImmutable(spark, classic).select(col("file_path"), col("pos"))),
       if (dv.isEmpty) None
-      else Some(spark.read.parquet(dv: _*).select(col("file_path"),
+      else Some(Pq.readImmutable(spark, dv).select(col("file_path"),
         explode(graft.functions.F.bitmapPositions(col("dv"))).as("pos")))).flatten
     parts.reduce(_ unionAll _)
   }
@@ -169,7 +173,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       StructField(f.name, f.dataType, nullable = true,
         ColumnMapping.fileMetadata(f))).toArray))
       .parquet(files: _*)
-    else spark.read.parquet(files: _*)
+    else Pq.readImmutable(spark, files)
   }
 
   private def applyEq(df: DataFrame, eqs: Seq[EqualityDelete],
@@ -1857,7 +1861,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // pruned file_path projections (no bitmap is ever decoded here)
         val (dv, classic) = md.positionDeleteFiles.partition(GraftTable.isDvFile)
         Seq(classic, dv).filter(_.nonEmpty)
-          .map(ps => spark.read.parquet(ps: _*).select(col("file_path")))
+          .map(ps => Pq.readImmutable(spark, ps).select(col("file_path")))
           .reduce(_ unionAll _)
           .distinct().collect()
           .map(r => stripScheme(r.getString(0))).toSet
@@ -1911,7 +1915,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     if (!posNeedsFold && !eqNeedsFold) return this
     def fold(paths: Seq[String]): Seq[String] = {
       val dir = s"$location/deletes/${UUID.randomUUID().toString.take(8)}"
-      spark.read.parquet(paths: _*).distinct().coalesce(1).write.parquet(dir)
+      Pq.readImmutable(spark, paths).distinct().coalesce(1).write.parquet(dir)
       listParquet(dir)
     }
     // position deletes fold into ONE deletion-vector file regardless of
@@ -1929,7 +1933,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val allDv = md.positionDeleteFiles.forall(GraftTable.isDvFile)
         val folded =
           if (allDv)
-            spark.read.parquet(md.positionDeleteFiles: _*)
+            Pq.readImmutable(spark, md.positionDeleteFiles)
               .groupBy(col("file_path"))
               .agg(GraftTable.bitmapMergeAgg(col("dv")).as("dv"))
           else
@@ -3273,7 +3277,7 @@ object GraftTable {
     * without rewriting any data — manifests point at the original files.
     */
   def migrateInPlace(spark: SparkSession, location: String, sourceDir: String): GraftTable = {
-    val schema = spark.read.parquet(sourceDir).schema
+    val schema = Pq.readStable(spark, sourceDir).schema
     val t = createEmpty(spark, location, schema, Nil, Map.empty)
     val m = t.meta
     // same stats pass as the write path, over the source files — which an

@@ -1011,10 +1011,33 @@ object MetaIO {
         v
       }
 
+  // Version metadata files are CAS-published write-once, but a table
+  // location CAN be deleted and re-created within one JVM (test fixtures,
+  // bench reps), re-using v1.metadata.json with different content — so the
+  // cache key carries the file's (mtime, length) identity on top of
+  // (location, version). One stat call replaces the full read + JSON parse
+  // on every `.meta` access (r20 profiling: MetaIO.readString on the
+  // driver's hot path of every t-family gate). Bounded LRU, same
+  // discipline as childCache.
+  private val metaCache =
+    new java.util.LinkedHashMap[(String, Int, Long, Long), TableMeta](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Long, Long), TableMeta]): Boolean =
+        size() > 256
+    }
+
   def loadMeta(conf: Configuration, location: String): TableMeta = {
     val v = currentVersion(conf, location)
       .getOrElse(throw new IllegalStateException(s"not a graft table: $location"))
-    metaFromJson(readString(conf, metadataPath(location, v)))
+    val path = metadataPath(location, v)
+    val st = scala.util.Try(fs(conf, path).getFileStatus(new Path(path))).toOption
+    val key = st.map(s => (location, v, s.getModificationTime, s.getLen))
+    val hit = key.flatMap(k => metaCache.synchronized(Option(metaCache.get(k))))
+    hit.getOrElse {
+      val m = metaFromJson(readString(conf, path))
+      key.foreach(k => metaCache.synchronized { metaCache.put(k, m); () })
+      m
+    }
   }
 
   def loadManifest(conf: Configuration, location: String, snap: Snapshot): Seq[DataFile] =
